@@ -1,13 +1,335 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` entry has a matching `oracleSql` (DuckDB ANSI SQL over
+  * the same parquet tables) unless the operator is inherently
+  * engine-specific (HLL sketches, seeded LSH) — those get rows-only checks.
+  *
+  * Determinism contract with the oracle: double aggregates go through
+  * exact decimal sums (ColumnFns.decSum), timestamps are emitted as
+  * formatted strings or epoch seconds, and integer-typed columns are cast
+  * on the DuckDB side to Spark's natural width (row_number/len → INT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(Tables.tune(s), dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Relational.revenueCube(t(spark, d, "region"), t(spark, d, "nation"),
+      t(spark, d, "customer"), t(spark, d, "orders"), t(spark, d, "lineitem"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(t(s, d, "lineitem"))),
+    "q2_filter_project" -> ((s, d) => Relational.filterProject(t(s, d, "lineitem"))),
+    "q3_top_revenue" -> ((s, d) =>
+      Relational.topRevenue(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q4_exists_semi" -> ((s, d) => Relational.existsSemi(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q5_nation_revenue" -> ((s, d) => Relational.nationRevenue(t(s, d, "region"),
+      t(s, d, "nation"), t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q6_selective_agg" -> ((s, d) => Relational.selectiveAgg(t(s, d, "lineitem"))),
+    "q7_rollup" -> ((s, d) => Relational.rollupAgg(t(s, d, "lineitem"))),
+    "q8_grouping_sets" -> ((s, d) => Relational.cubeAgg(t(s, d, "orders"))),
+    "q9_pivot" -> ((s, d) => Relational.pivotEvents(t(s, d, "events"))),
+    "q10_topn_group" -> ((s, d) => Relational.topNPerGroup(t(s, d, "part"))),
+    "q11_window_running" -> ((s, d) => Relational.windowRunning(t(s, d, "events"))),
+    "q12_distinct" -> ((s, d) => Relational.distinctUsers(t(s, d, "events"))),
+    "q13_approx_distinct" -> ((s, d) => Relational.approxDistinct(t(s, d, "events"))),
+    "q14_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "events"))),
+    "q15_sessionize" -> ((s, d) => TimeJoins.sessionize(t(s, d, "events"))),
+    "q16_asof_join" -> ((s, d) => TimeJoins.asofJoin(t(s, d, "events"))),
+    "q17_range_join" -> ((s, d) => TimeJoins.rangeJoin(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q18_set_ops" -> ((s, d) =>
+      Relational.setOps(t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
+    "q19_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
+    "q20_string_funcs" -> ((s, d) => Relational.stringFuncs(t(s, d, "part"))),
+    "q21_date_series" -> ((s, d) => Relational.dateSeries(t(s, d, "orders"))),
+    "q22_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
+    "d1_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "d2_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
+    "d3_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"))),
+    "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
+    "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
+    "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"))),
+    "t1_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "t2_quality" -> ((s, d) => TextOps.quality(t(s, d, "documents"))),
+    "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
+    "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
+    "m2_media_features" -> ((s, d) => Multimodal.mediaFrames(s, t(s, d, "documents"))),
+    "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
+    "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
+      t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
+  )
+
+  // SQL helpers (kept textual so each oracle is self-contained)
+  private def dsum(x: String) =
+    s"CAST(round(sum(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
+  // product sums: cast each raw factor to decimal, multiply exactly
+  private def dprod(price: String, factors: String*) =
+    s"CAST(round(sum(CAST($price AS DECIMAL(12,4))" +
+      factors.map(f => s" * CAST($f AS DECIMAL(8,4))").mkString +
+      "), 2) AS DOUBLE)"
+  private def davg(x: String) =
+    s"CAST(CAST(CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS DOUBLE)"
+  private val toks =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+  private val shingleTok =
+    s"""SELECT doc_id, source, CASE WHEN len(t) >= 3 THEN
+        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        for i in generate_series(1, len(t)-2)])
+        ELSE [array_to_string(t, ' ')] END AS sh
+        FROM (SELECT doc_id, source, $toks AS t FROM documents)"""
+  private def stopHits(lang: String): String = {
+    val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+    s"CAST(len(list_filter(t, x -> list_contains($words, x))) AS INTEGER)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${dsum("l_quantity")} AS sum_qty,
+          ${dsum("l_extendedprice")} AS sum_base_price,
+          ${dprod("l_extendedprice", "1 - l_discount")} AS sum_disc_price,
+          ${dprod("l_extendedprice", "1 - l_discount", "1 + l_tax")} AS sum_charge,
+          ${davg("l_quantity")} AS avg_qty,
+          ${davg("l_extendedprice")} AS avg_price,
+          ${davg("l_discount")} AS avg_disc,
+          count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_top_revenue" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          ${dprod("l_extendedprice", "1 - l_discount")} AS revenue
+          FROM customer, orders, lineitem
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+            AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          GROUP BY o_orderkey, orders.o_orderdate
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q4_exists_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, ${dprod("l_extendedprice", "1 - l_discount")} AS revenue
+          FROM region, nation, customer, orders, lineitem
+          WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1 ORDER BY 1""",
+    "q6_selective_agg" ->
+      s"""SELECT ${dprod("l_extendedprice", "l_discount")} AS revenue FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q7_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          ${dsum("l_quantity")} AS sum_qty, count(*) AS count_order
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""",
+    "q8_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+          coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+          ${dsum("o_totalprice")} AS sum_price, count(*) AS n_orders
+          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY 1, 2""",
+    "q9_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q10_topn_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+           SELECT p_brand, p_partkey, p_retailprice, CAST(row_number() OVER
+             (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+           FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""",
+    "q11_window_running" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER run AS DOUBLE) AS run_sum,
+         lag(value, 1) OVER ord AS prev_value,
+         CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER mov AS DOUBLE)
+               / count(*) OVER mov AS DECIMAL(38,4)) AS DOUBLE) AS mov_avg
+         FROM events
+         WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+           run AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           mov AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q12_distinct" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q14_percentiles" ->
+      """SELECT event_type, CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,4)) AS DOUBLE) AS p50,
+         CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(38,4)) AS DOUBLE) AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q15_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, value,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+          f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL OR se - lag(se) OVER w > 1800
+                THEN 1 ELSE 0 END AS ns FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY se, event_id)),
+          g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY se, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+          SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
+          ${dsum("value")} AS sum_value
+          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q16_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events
+           WHERE event_type IN ('purchase', 'signup')),
+         f AS (SELECT *, last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY se, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_value FROM e)
+         SELECT event_id, user_id, se, value, ref_value FROM f
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q17_range_join" ->
+      s"""SELECT o_orderkey, count(*) AS n_items,
+          ${dprod("l_extendedprice", "1 - l_discount")} AS revenue
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+          GROUP BY 1 ORDER BY 1""",
+    "q18_set_ops" ->
+      """WITH a AS (SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier),
+         c AS (SELECT CAST(n_nationkey AS INTEGER) AS nationkey FROM nation
+               WHERE n_regionkey IN (0, 1))
+         SELECT DISTINCT nationkey FROM (
+           (SELECT * FROM a INTERSECT SELECT * FROM b)
+           UNION (SELECT * FROM a EXCEPT SELECT * FROM c))
+         ORDER BY nationkey""",
+    "q19_json_extract" ->
+      """SELECT event_id, event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k
+         FROM events
+         WHERE CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) > 50
+         ORDER BY event_id""",
+    "q20_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_u, split_part(p_type, ' ', 1) AS type_head,
+         regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_n,
+         CAST(length(p_name) AS INTEGER) AS name_len,
+         substring(p_name, 1, 5) AS name_pre,
+         p_brand || '|' || p_type AS brand_type
+         FROM part ORDER BY p_partkey""",
+    "q21_date_series" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+          ${dsum("o_totalprice")} AS revenue, count(*) AS n_orders
+          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q22_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
+         GROUP BY text ORDER BY 1""",
+    "d4_ngram_jaccard" ->
+      s"""WITH tok AS ($shingleTok),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+                FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    "d5_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY 1, 2""",
+    "s1_ann_brute" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(q.v, c.v) AS cos
+               FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY cos DESC, id_b) AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    "t1_lang_id" ->
+      s"""WITH s AS (SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
+            ${stopHits("de")} AS score_de, ${stopHits("fr")} AS score_fr,
+            ${stopHits("zh")} AS score_zh
+            FROM (SELECT doc_id, $toks AS t FROM documents))
+          SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+          CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+               WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+               WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+               WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+          FROM s ORDER BY doc_id""",
+    "t2_quality" ->
+      s"""WITH b AS (SELECT doc_id, $toks AS t, length(text) AS txt_len,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER)
+              AS punct_cnt FROM documents),
+          c AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words, punct_cnt,
+            CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+              / len(t) AS avg_word_len,
+            CAST(${stopHits("en")} AS DOUBLE) / len(t) AS stop_ratio,
+            CAST(punct_cnt AS DOUBLE) / txt_len AS punct_ratio FROM b)
+          SELECT doc_id, n_words, punct_cnt, avg_word_len, stop_ratio,
+          (CASE WHEN n_words BETWEEN 5 AND 2000 THEN 1 ELSE 0 END +
+           CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END +
+           CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS quality_score
+          FROM c ORDER BY doc_id""",
+    "t3_tokens" ->
+      s"""SELECT doc_id, CAST(len($toks) AS INTEGER) AS ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER)
+            AS re_tokens,
+          CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS approx_bpe
+          FROM documents ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT doc_id, CASE WHEN len(c) >= 4 THEN
+           list_min([ord(c[i]) * 29791 + ord(c[i+1]) * 961
+           + ord(c[i+2]) * 31 + ord(c[i+3])
+           for i in generate_series(1, len(c)-3)])
+           ELSE NULL END AS fp
+         FROM (SELECT doc_id, string_split(text, '') AS c FROM documents)
+         ORDER BY doc_id""",
+    "m1_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         upper(hex(encode(substring(text, 1, 2)))) AS magic_hex,
+         ['image', 'audio', 'video'][(octet_length(encode(text)) % 3) + 1] AS media_type,
+         CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+         CAST(64 + (octet_length(encode(text)) * 31) % 331 AS INTEGER) AS height,
+         CAST(1 + octet_length(encode(text)) % 5 AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "m2_media_features" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+         CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,
+         64 AS feat_dim
+         FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
+         ORDER BY doc_id, frame_id""",
+    "st1_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          event_type, count(*) AS n, ${dsum("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "g1_entry" ->
+      s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,
+          count(DISTINCT o_orderkey) AS n_orders
+          FROM region, nation, customer, orders, lineitem
+          WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+            AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+          GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
 }

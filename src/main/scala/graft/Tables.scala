@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the star-schema test tables from a scale-factor directory.
+  *
+  * All operators in graft take DataFrames; this is the only place that
+  * knows about paths. At cluster scale the same operators run against
+  * catalog tables — nothing else changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Parquet TIMESTAMP(NANOS) isn't a Spark type: with nanosAsLong (set in
+    // tune) it arrives as raw nanos — normalize to a microsecond timestamp.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      .getOrElse(df)
+  }
+
+  /** Session defaults tuned for the local[32] harness; on a real
+    * cluster only shuffle.partitions changes (AQE coalesces anyway).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column builders shared by all graft operators.
+  *
+  * Everything here is a pure composition of `org.apache.spark.sql.functions`
+  * (codegen'd, no UDFs), so operators stay inside whole-stage codegen.
+  *
+  * Cross-engine determinism: double sums are order-dependent, and Spark's
+  * partial aggregation order differs run to run — so any aggregate that
+  * feeds the DuckDB oracle goes through exact decimal arithmetic
+  * (per-value cast → exact sum → cast back), making the result identical
+  * regardless of partitioning. This is also the right call at 100 TB:
+  * decimal partial aggs are still map-side combinable and the per-row
+  * cast is codegen'd.
+  */
+object ColumnFns {
+
+  /** Round in the DECIMAL domain: `round()` on a double differs between
+    * engines when the exact value is a decimal half (Spark rounds the
+    * shortest repr, DuckDB the binary value) — a decimal→decimal cast
+    * rounds half-away-from-zero identically everywhere. */
+  def decRound(c: Column, scale: Int): Column =
+    c.cast(DecimalType(38, scale)).cast("double")
+
+  /** Exact, order-independent sum of a double column, rounded to cents. */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 2)).cast("double")
+
+  /** Exact, order-independent sum of a PRODUCT of raw columns: each factor
+    * is cast to decimal first (raw parquet values sit ~1e-9 from their
+    * decimal form, so the cast is boundary-safe), then multiplied exactly.
+    * Casting a computed double product instead would disagree with other
+    * engines ~1/10^5 rows — decimal-domain multiplication never does. */
+  def decProdSum(price: Column, factors: Column*): Column = {
+    val prod = factors.foldLeft(price.cast(DecimalType(12, 4)))(
+      (acc, f) => acc * f.cast(DecimalType(8, 4)))
+    sum(prod).cast(DecimalType(38, 2)).cast("double")
+  }
+
+  /** Exact-sum average, rounded to 4 decimals. */
+  def decAvg(c: Column): Column =
+    decRound(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)
+
+  /** Timestamp → stable string forms (hash-identical across engines). */
+  def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Epoch seconds (floor), matching DuckDB CAST(floor(epoch(ts)) AS BIGINT). */
+  def epochSec(c: Column): Column = unix_timestamp(c)
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles over [[tokens]] (space-joined). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    // short docs (< n tokens) collapse to one whole-text shingle: keeps
+    // element_at in bounds (ANSI mode throws on OOB access)
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Jaccard similarity of two pre-distinct arrays: |∩| / |∪| (exact
+    * int/int division — bit-identical across engines). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Vector ops over array<float|double> columns; math in double. */
+  def toDoubleVec(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Stopword hit count over a token array (for lang-ID / quality). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Winnowing-style document fingerprint: min polynomial hash over all
+    * char 4-grams. Pure integer math — exact in any engine. */
+  def fingerprint(text: Column): Column = {
+    val chars = split(text, "")
+    val win = transform(
+      sequence(lit(0), size(chars) - 4),
+      i =>
+        ascii(element_at(chars, i + 1)) * 29791 +
+          ascii(element_at(chars, i + 2)) * 961 +
+          ascii(element_at(chars, i + 3)) * 31 +
+          ascii(element_at(chars, i + 4)))
+    when(size(chars) >= 4, array_min(win)).otherwise(lit(null).cast("int"))
+  }
+}

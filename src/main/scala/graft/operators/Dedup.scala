@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture: the exact + LSH variants are the 100 TB paths — work is
+  * proportional to bucket collisions, never all-pairs. The blocked
+  * pairwise variant (`ngramJaccardPairs`) is the exact-answer baseline
+  * used to verify LSH recall at small scale.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content, keep the smallest id.
+    * One shuffle on the (hashed) text key; at 100 TB you'd group on
+    * xxhash64(text) first and only compare full text within a hash
+    * bucket — same plan shape. */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("dup_count"))
+      .orderBy(col("doc_id"))
+
+  /** Exact n-gram-shingle Jaccard near-dup pairs, blocked by `source`
+    * (the quadratic baseline — bounded by the largest block). */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = documents.select(col("doc_id"), col("source"),
+      shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("sh").as("sh_b"))
+    a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jacc", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- MinHash + LSH ---------------------------------------------------
+
+  /** 64 seeded affine permutations over xxhash64(shingle). */
+  private val P = 2147483647L // 2^31 - 1
+  private val perms: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(64)((r.nextInt(Int.MaxValue - 1).toLong * 2 + 1, r.nextInt(Int.MaxValue).toLong))
+  }
+  private val numBands = 16
+  private val rowsPerBand = 4
+
+  /** MinHash signature column (array<long>, length 64) over shingles. */
+  def minhashSignature(sh: Column): Column =
+    array(perms.map { case (a, b) =>
+      // reduce the 64-bit hash below 2^31 before the affine map so
+      // a*h stays under 2^62 (no overflow under ANSI mode)
+      array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(P)) * a + b, lit(P))))
+    }: _*)
+
+  /** MinHash LSH near-dup pairs: sign → band → bucket-join candidates →
+    * exact-Jaccard verify. Shuffle is on (band, bucket-hash); oversized
+    * buckets (degenerate content, e.g. empty docs) are capped to keep the
+    * candidate join skew-free at scale. */
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh")))
+    val banded = sig
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
+      .withColumn("bh", xxhash64(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select(col("doc_id"), col("band"), col("bh"))
+    // skew guard: drop degenerate buckets (> maxBucket members)
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= maxBucket)
+    val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("band").as("band2"), col("bh").as("bh2"), col("doc_id").as("doc_b")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jacc", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash over distinct tokens. Unrolled per-bit aggregates —
+    * works, but is 64 passes over the token array; a custom codegen
+    * Expression computing all bits in one pass is the planned R2
+    * optimization for the 100 TB path. */
+  def simhash(text: Column): Column = {
+    val hs = transform(array_distinct(tokens(text)), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs within hamming distance `maxDist`, via 4×16-bit
+    * band blocking (exact for maxDist ≤ 3 by pigeonhole). */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sg = documents.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val banded = sg.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
+    val cand = banded.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("c").as("c2"), col("chunk").as("chunk2"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        col("c") === col("c2") && col("chunk") === col("chunk2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+    cand
+      .withColumn("dist", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    * approximate scale path is Similarity.lshTopK's bucketing). */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    v.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

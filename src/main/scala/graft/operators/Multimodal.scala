@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` + typed metadata.
+  *
+  * The real decode step (image/audio/video libraries) is STUBBED — this
+  * container has no media codecs — behind [[MediaDecoder]]. Everything
+  * Spark-side is real and tested: binary column handling, typed Encoders,
+  * per-partition decoder initialization (`mapPartitions`, the Scala
+  * analogue of batched `mapInPandas`), and the explode-to-frames shape a
+  * video pipeline produces.
+  */
+object Multimodal {
+
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class FrameFeature(doc_id: Long, frame_id: Int, feat_mean: Double, feat_dim: Int)
+
+  /** Decoder contract: one instance per partition (codecs are expensive
+    * to init and not serializable — same pattern as a GPU/FFI decoder). */
+  trait MediaDecoder extends Serializable {
+    def frames(m: MediaIn): Iterator[FrameFeature]
+  }
+
+  /** Deterministic stand-in for a real codec: "samples" 1 + len%5 frames
+    * and emits an arithmetic feature. A real impl would decode `payload`
+    * here; nothing outside this class would change. */
+  object StubDecoder extends MediaDecoder {
+    def frames(m: MediaIn): Iterator[FrameFeature] = {
+      val n = 1 + (m.payload.length % 5)
+      Iterator.tabulate(n)(i =>
+        FrameFeature(m.doc_id, i, ((m.doc_id * 31 + i * 7) % 997).toDouble / 997.0, 64))
+    }
+  }
+
+  /** Metadata extraction from the binary payload — pure column exprs. */
+  def mediaMeta(documents: DataFrame): DataFrame = {
+    val withBin = documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val len = octet_length(col("payload"))
+    withBin.select(
+        col("doc_id"),
+        len.as("byte_len"),
+        upper(hex(expr("substring(payload, 1, 2)"))).as("magic_hex"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), pmod(len, lit(3)) + 1)
+          .as("media_type"),
+        (lit(64) + pmod(len, lit(577))).as("width"),
+        (lit(64) + pmod(len * 31, lit(331))).as("height"),
+        (lit(1) + pmod(len, lit(5))).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode → per-frame features through the typed mapPartitions path. */
+  def mediaFrames(spark: SparkSession, documents: DataFrame,
+                  decoder: MediaDecoder = StubDecoder): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaIn] =
+      documents.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn]
+    media.mapPartitions { it =>
+      val dec = decoder // per-partition binding; a real codec would init here
+      it.flatMap(dec.frames)
+    }.toDF().orderBy(col("doc_id"), col("frame_id"))
+  }
+}

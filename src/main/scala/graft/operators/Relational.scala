@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Core relational operators, expressed declaratively so Catalyst gets the
+  * whole plan: filters sit directly on scans (pushdown), small dimensions
+  * are broadcast explicitly, aggregates are partial-agg friendly.
+  *
+  * Scale posture (100 TB): every query here shuffles at most once on its
+  * natural key after pushed-down filters; dims (`region`, `nation`,
+  * `customer` at star proportions, `part`, `supplier`) are `broadcast()`
+  * so the fact table never shuffles for them.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** Pricing summary: wide grouped aggregation with filter pushdown. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    lineitem
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+        decProdSum(col("l_extendedprice"), lit(1) - col("l_discount"), lit(1) + col("l_tax")).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Selective scan: both predicates and the 4-column projection must
+    * reach the parquet reader (asserted in ExplainSpec). */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Top unshipped-revenue orders: broadcast the filtered customer dim,
+    * shuffle lineitem once on orderkey. */
+  def topRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
+      .join(orders.filter(col("o_orderdate") < ts("1998-06-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .select(col("o_orderkey"), fmtDate(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** EXISTS → left-semi join with a non-equi conjunct. */
+  def existsSemi(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Revenue by customer nation inside one region-year: 5-way star join;
+    * region/nation/customer broadcast, single shuffle on orderkey. */
+  def nationRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(
+          col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** Highly selective scalar aggregate (all predicates pushed). */
+  def selectiveAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(decProdSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+
+  /** ROLLUP hierarchy: Catalyst expands to grouping sets w/ partial aggs. */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE over order status × priority. */
+  def cubeAgg(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(decSum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("sum_price"), col("n_orders"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Pivot events wide by type (compiles to conditional aggregation). */
+  def pivotEvents(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events.groupBy(col("user_id")).pivot("event_type", types).agg(count(lit(1)))
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Top-N per group via rank window. */
+  def topNPerGroup(part: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** Running sum / lag / moving average per user. Window sums go through
+    * decimal so segment-tree vs sequential accumulation can't differ. */
+  def windowRunning(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-2, Window.currentRow)
+    val decVal = col("value").cast("decimal(18,2)")
+    events.select(
+        col("event_id"), col("user_id"),
+        sum(decVal).over(run).cast("double").as("run_sum"),
+        lag(col("value"), 1).over(ord).as("prev_value"),
+        decRound(sum(decVal).over(mov).cast("double") / count(lit(1)).over(mov), 4).as("mov_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Exact distinct count per group (shuffles once on the group key;
+    * Spark expands distinct into a two-phase partial agg). */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** HLL++ approximate distinct — sketch-mergeable, one narrow shuffle.
+    * (rows-only oracle: sketch estimates are engine-specific.) */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** Exact interpolated percentiles per group. */
+  def percentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        decRound(expr("percentile(value, 0.5)"), 4).as("p50"),
+        decRound(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** UNION / INTERSECT / EXCEPT composition on nation keys. */
+  def setOps(customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val a = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val b = supplier.select(col("s_nationkey").cast("int").as("nationkey"))
+    val c = nation.filter(col("n_regionkey").isin(0, 1))
+      .select(col("n_nationkey").cast("int").as("nationkey"))
+    a.intersect(b).union(a.except(c)).distinct().orderBy(col("nationkey"))
+  }
+
+  /** JSON field extraction from the events props column. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+
+  /** String transform battery over part. */
+  def stringFuncs(part: DataFrame): DataFrame =
+    part.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_n"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  /** Monthly revenue time series (date truncation + exact-sum agg). */
+  def dateSeries(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
+  /** NOT EXISTS → left-anti join. */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Flagship: region × year revenue cube over the full star. */
+  def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("o_year"))
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteTopK` is the exact baseline: broadcast the (small) query set and
+  * scan candidates once — at 100 TB the scan parallelizes perfectly and
+  * the top-k is a per-partition partial (TakeOrdered), so it's
+  * shuffle-light but still O(n·q).
+  *
+  * `lshTopK` is the scale path: random-hyperplane signatures bucket the
+  * corpus; queries multi-probe their bucket plus all hamming-1 neighbours,
+  * so the candidate join touches ~(probes/2^bits) of the corpus.
+  */
+object Similarity {
+
+  private val numPlanes = 8
+  /** Seeded gaussian hyperplanes (deterministic across runs/executors). */
+  private[graft] val planes: Seq[Seq[Double]] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(numPlanes)(Seq.fill(64)(r.nextGaussian()))
+  }
+
+  private def planeLit(p: Seq[Double]): Column = typedLit(p)
+
+  /** Sign-bit LSH code of a double-vector column. */
+  def lshCode(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id_b").as("neighbor_id"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact cosine top-k for each query vector (queries broadcast). */
+  def bruteTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .join(broadcast(q), col("id_b") =!= col("q_id"))
+      .withColumn("cos", cosine(col("vq"), col("vb")))
+    topK(pairs, k)
+  }
+
+  /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
+  def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("code", lshCode(col("v")))
+    val probeCodes = array((lit(0) +: (0 until numPlanes).map(i => lit(1 << i))): _*)
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"),
+        explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
+    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("code"))
+      .join(broadcast(q), col("code") === col("probe") && col("id_b") =!= col("q_id"))
+      .select(col("q_id"), col("id_b"), col("vq"), col("vb")).distinct()
+      .withColumn("cos", cosine(col("vq"), col("vb")))
+    topK(pairs, k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All pure column expressions (no UDFs): embarrassingly parallel, no
+  * shuffle at all until a downstream consumer groups — exactly what you
+  * want for a 100 TB map-only curation pass.
+  */
+object TextOps {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  private val langOrder = Seq("en", "es", "de", "fr", "zh")
+
+  /** Stopword-overlap language ID with a fixed priority tie-break. */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = langOrder.map(l => l -> stopwordHits(toks, stopwords(l)))
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives en-first priority: the first lang equal to max wins.
+    documents.select(
+        (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
+        pred.as("pred_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality metrics + integer quality score.
+    * All ratios are int/int divisions — exact in IEEE double. */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val txtLen = length(col("text"))
+    val punctCnt = txtLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stopCnt = stopwordHits(toks, stopwords("en"))
+    val charSum = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val punctRatio = punctCnt.cast("double") / txtLen
+    val stopRatio = stopCnt.cast("double") / nWords
+    documents.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        punctCnt.as("punct_cnt"),
+        (charSum.cast("double") / nWords).as("avg_word_len"),
+        stopRatio.as("stop_ratio"),
+        (when(nWords.between(5, 2000), 1).otherwise(0) +
+         when(punctRatio < 0.1, 1).otherwise(0) +
+         when(stopRatio > 0.05, 1).otherwise(0)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whitespace + BPE-ish regex token counts + the len/4 heuristic. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+          .as("re_tokens"),
+        ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash winnowing fingerprint per document. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Time-oriented operators: sessionization, as-of join, range join.
+  *
+  * All three avoid the naive O(n²) point-in-time formulations:
+  *  - sessionize: one shuffle on the key, then a linear window pass;
+  *  - as-of join: union-both-sides + carry-forward window (one shuffle,
+  *    linear scan) instead of a per-row "latest earlier row" self-join;
+  *  - range join: equi-key join with the range as a residual predicate,
+  *    so Spark still plans a hash join keyed on the equi column.
+  */
+object TimeJoins {
+
+  /** Gap-based sessionization: rows for `keyCol` whose neighbours are
+    * more than `gapSec` apart start a new session. Linear: lag + running
+    * sum over one window. Epoch math on whole seconds for engine parity.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("se"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        epochSec(col("ts")).as("se"))
+      .withColumn("new_sess",
+        when(lag(col("se"), 1).over(ord).isNull ||
+             col("se") - lag(col("se"), 1).over(ord) > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("se")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of join: each `purchase` row picks up the value of the most
+    * recent earlier-or-equal `signup` by the same user.
+    *
+    * Implemented as a single carry-forward window over the union of both
+    * sides — one shuffle on user_id, linear per partition, no
+    * point-in-time cross product (the naive formulation is quadratic in
+    * events-per-user and unusable at 100 TB).
+    */
+  def asofJoin(events: DataFrame,
+               hitType: String = "purchase", refType: String = "signup"): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("se"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(hitType, refType))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochSec(col("ts")).as("se"))
+      .withColumn("ref_value",
+        last(when(col("event_type") === refType, col("value")), ignoreNulls = true).over(ord))
+      .filter(col("event_type") === hitType)
+      .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Equi + date-range join: lineitems shipped within [orderdate,
+    * orderdate + windowDays). The equi key keeps this a hash join; the
+    * range is a residual predicate evaluated post-probe. */
+  def rangeJoin(orders: DataFrame, lineitem: DataFrame, windowDays: Int = 90): DataFrame =
+    orders
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr(s"INTERVAL $windowDays DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("o_orderkey"))
+
+  /** Tumbling-window aggregation (batch parity of the streaming path). */
+  def tumblingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}
