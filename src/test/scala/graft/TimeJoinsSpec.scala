@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeJoins
+
+class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
+
+  test("sessionize: sessions partition all events, ids contiguous per user") {
+    val events = table("events")
+    val out = TimeJoins.sessionize(events).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum === events.count())
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.sameElements(1L to ids.length))
+      // session starts are strictly increasing and > gap apart
+      val starts = rows.sortBy(_.getAs[Long]("session_id")).map(_.getAs[Long]("session_start"))
+      assert(starts.zip(starts.tail).forall { case (a, b) => b - a > 1800 })
+    }
+  }
+
+  test("as-of join matches a naive per-row recompute") {
+    val out = TimeJoins.asofJoin(table("events")).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.get(r.fieldIndex("ref_value"))).map(_.asInstanceOf[Double]))
+      .toMap
+    // naive recompute on the driver (fine at sf0.001)
+    val evs = table("events").select("event_id", "user_id", "event_type", "value", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getTimestamp(4).getTime / 1000))
+    val purchases = evs.filter(_._3 == "purchase")
+    purchases.foreach { case (id, user, _, _, se) =>
+      val expected = evs.filter(e => e._2 == user && e._3 == "signup" &&
+          (e._5 < se || (e._5 == se && e._1 <= id)))
+        .sortBy(e => (e._5, e._1)).lastOption.map(_._4)
+      assert(out(id) === expected, s"event $id")
+    }
+  }
+
+  test("range join only counts lineitems inside the window") {
+    val joined = table("orders").join(table("lineitem"),
+      col("l_orderkey") === col("o_orderkey"))
+    val inWindow = joined.filter(
+      col("l_shipdate") >= col("o_orderdate") &&
+      col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS")).count()
+    val out = TimeJoins.rangeJoin(table("orders"), table("lineitem")).collect()
+    assert(out.map(_.getAs[Long]("n_items")).sum === inWindow)
+  }
+
+  test("tumbling window: buckets are hour-aligned and cover all events") {
+    val out = TimeJoins.tumblingWindow(table("events")).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === table("events").count())
+    out.foreach(r => assert(r.getAs[String]("window_start").endsWith(":00:00")))
+  }
+}
