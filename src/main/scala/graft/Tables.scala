@@ -32,6 +32,14 @@ object Tables {
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Constraint propagation infers isnotnull(...) filters by INLINING the
+    // full defining expression of every referenced alias. On expression-
+    // heavy pipelines (shingling, hashing) those inferred per-row filters
+    // re-evaluate the pipeline — measured 11× on the near-dup benchmark.
+    // The useful inferred filters here are join-key isnotnulls, which the
+    // operators already state explicitly.
+    c.set("spark.sql.constraintPropagation.enabled", "false")
+    org.apache.spark.sql.graftx.GraftFunctions.register(spark)
     spark
   }
 }

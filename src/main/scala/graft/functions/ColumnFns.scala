@@ -56,7 +56,24 @@ object ColumnFns {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles over [[tokens]] (space-joined). */
+  /** Distinct word n-gram shingles over a MATERIALIZED token-array column.
+    *
+    * Callers must pass a projected column (`withColumn("toks", tokens(...))`),
+    * never an inline `tokens(text)` expression: subexpressions referenced
+    * inside HOF lambdas are re-evaluated per element access, turning a
+    * linear scan into O(len²) per row (measured 30× on the bench).
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Distinct word n-gram shingles over [[tokens]] (space-joined).
+    * Convenience form for tests/small data; hot paths use
+    * [[shinglesFromTokens]] on a materialized column. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     // short docs (< n tokens) collapse to one whole-text shingle: keeps
@@ -79,7 +96,13 @@ object ColumnFns {
   /** Vector ops over array<float|double> columns; math in double. */
   def toDoubleVec(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen expression (registered by
+    * Tables.tune / GraftFunctions.register). Same left-to-right summation
+    * order as the HOF formulation, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Interpreted HOF fallback (no registry needed); same semantics. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -92,8 +115,11 @@ object ColumnFns {
 
   /** Winnowing-style document fingerprint: min polynomial hash over all
     * char 4-grams. Pure integer math — exact in any engine. */
-  def fingerprint(text: Column): Column = {
-    val chars = split(text, "")
+  def fingerprint(text: Column): Column = fingerprintFromChars(split(text, ""))
+
+  /** Same, over a materialized char-array column (hot path — see
+    * [[shinglesFromTokens]] for why). */
+  def fingerprintFromChars(chars: Column): Column = {
     val win = transform(
       sequence(lit(0), size(chars) - 4),
       i =>

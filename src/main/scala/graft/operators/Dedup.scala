@@ -25,16 +25,46 @@ object Dedup {
 
   /** Exact n-gram-shingle Jaccard near-dup pairs, blocked by `source`
     * (the quadratic baseline — bounded by the largest block). */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = documents.select(col("doc_id"), col("source"),
-      shingles(col("text"), 3).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("sh").as("sh_b"))
-    a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b"))
-      .withColumn("jacc", jaccard(col("sh_a"), col("sh_b")))
+  /** Shingle sets + sizes + 64-bit hashed form, materialized stage by
+    * stage (tokens → shingles → size/hashes) so no HOF lambda recomputes
+    * an upstream array. Pair-wise intersections run on the hashed long
+    * arrays: set semantics are preserved (xxhash64 collisions across a
+    * ~14-element set are ~1e-17) and a long intersect is ~10× cheaper
+    * than hashing strings per comparison. */
+  private def shingled(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("sh", shinglesFromTokens(col("_toks"), 3))
+      .withColumn("shn", size(col("sh")))
+      // sorted so pair-wise intersection is a primitive merge loop
+      .withColumn("hsh", array_sort(transform(col("sh"), s => xxhash64(s))))
+
+  /** Compute jacc per pair and filter WITHOUT letting the optimizer push
+    * the predicate into the join condition: embedded there it re-runs the
+    * intersection for every probed pair (twice — once per reference) and
+    * constraint inference then inlines the whole shingle pipeline into
+    * per-row isnotnull filters — a measured 6× slowdown. `inter` is
+    * emitted through explode(array(...)): a Generate is a pushdown
+    * barrier for predicates on its output, and unlike a plain barrier
+    * column it survives column pruning because it produces `inter`. */
+  private def jaccFiltered(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("inter",
+        explode(array(call_function("graft_intersect_n", col("sh_a"), col("sh_b")))))
+      .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(documents)
+    val a = sh.select(col("doc_id").as("doc_a"), col("source"),
+      col("hsh").as("sh_a"), col("shn").as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+      col("hsh").as("sh_b"), col("shn").as("nb"))
+    jaccFiltered(
+      a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b")),
+      threshold)
   }
 
   // --- MinHash + LSH ---------------------------------------------------
@@ -48,13 +78,19 @@ object Dedup {
   private val numBands = 16
   private val rowsPerBand = 4
 
-  /** MinHash signature column (array<long>, length 64) over shingles. */
-  def minhashSignature(sh: Column): Column =
+  /** MinHash signature (array<long>, length 64) over a MATERIALIZED
+    * array of pre-hashed shingles (pmod(xxhash64(s), P) per shingle) —
+    * hashing inside the 64 per-permutation lambdas would rehash every
+    * shingle 64×. The affine map keeps a*h under 2^62 (no ANSI overflow).
+    */
+  def minhashSignature(hashed: Column): Column =
     array(perms.map { case (a, b) =>
-      // reduce the 64-bit hash below 2^31 before the affine map so
-      // a*h stays under 2^62 (no overflow under ANSI mode)
-      array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(P)) * a + b, lit(P))))
+      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
     }: _*)
+
+  /** Pre-hash a shingle array for [[minhashSignature]]. */
+  def hashShingles(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(P)))
 
   /** MinHash LSH near-dup pairs: sign → band → bucket-join candidates →
     * exact-Jaccard verify. Shuffle is on (band, bucket-hash); oversized
@@ -62,10 +98,10 @@ object Dedup {
     * candidate join skew-free at scale. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh")))
+    val sh = shingled(documents).select(col("doc_id"), col("hsh"), col("shn"))
+    val sig = sh
+      .withColumn("_hashed", hashShingles(col("hsh")))
+      .withColumn("sig", minhashSignature(col("_hashed")))
     val banded = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
       .withColumn("bh", xxhash64(col("band"),
@@ -82,13 +118,11 @@ object Dedup {
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // verify candidates with exact Jaccard on the shingle sets
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jacc", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    jaccFiltered(
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"), col("shn").as("na")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"), col("shn").as("nb")), "doc_b"),
+      threshold)
   }
 
   // --- SimHash ---------------------------------------------------------
@@ -97,8 +131,13 @@ object Dedup {
     * works, but is 64 passes over the token array; a custom codegen
     * Expression computing all bits in one pass is the planned R2
     * optimization for the 100 TB path. */
-  def simhash(text: Column): Column = {
-    val hs = transform(array_distinct(tokens(text)), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(array_distinct(tokens(text)), t => xxhash64(t)))
+
+  /** SimHash over a MATERIALIZED token-hash array column — the 64 per-bit
+    * aggregates each reference the array, so an inline expression would
+    * tokenize + hash every row 64×. */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 64).map { j =>
       val bitSum = aggregate(hs, lit(0L),
         (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1)
@@ -110,7 +149,9 @@ object Dedup {
   /** SimHash near-dup pairs within hamming distance `maxDist`, via 4×16-bit
     * band blocking (exact for maxDist ≤ 3 by pigeonhole). */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sg = documents.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sg = documents
+      .withColumn("_hs", transform(array_distinct(tokens(col("text"))), t => xxhash64(t)))
+      .select(col("doc_id"), simhashFromHashes(col("_hs")).as("sig"))
     val banded = sg.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
@@ -129,10 +170,15 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline; the
     * approximate scale path is Similarity.lshTopK's bucketing). */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    v.select(col("vec_id").as("id_a"), col("v").as("va"))
-      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), col("id_a") < col("id_b"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+    // norms are per-vector: compute once before the pair join, so each of
+    // the O(n²) candidate pairs only evaluates one dot product
+    val v = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -41,14 +41,17 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Exact cosine top-k for each query vector (queries broadcast). */
+  /** Exact cosine top-k for each query vector (queries broadcast).
+    * Norms are precomputed per side; each candidate×query pair pays one
+    * dot product only. */
   def bruteTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val q = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"))
-    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       .join(broadcast(q), col("id_b") =!= col("q_id"))
-      .withColumn("cos", cosine(col("vq"), col("vb")))
+      .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
     topK(pairs, k)
   }
 
@@ -56,14 +59,15 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("code", lshCode(col("v")))
+      .withColumn("nrm", norm(col("v")))
     val probeCodes = array((lit(0) +: (0 until numPlanes).map(i => lit(1 << i))): _*)
     val q = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"),
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
         explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
-    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("code"))
+    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("code"))
       .join(broadcast(q), col("code") === col("probe") && col("id_b") =!= col("q_id"))
-      .select(col("q_id"), col("id_b"), col("vq"), col("vb")).distinct()
-      .withColumn("cos", cosine(col("vq"), col("vb")))
+      .select(col("q_id"), col("id_b"), col("vq"), col("vb"), col("nq"), col("nb")).distinct()
+      .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
     topK(pairs, k)
   }
 }

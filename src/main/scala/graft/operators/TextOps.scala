@@ -22,16 +22,18 @@ object TextOps {
 
   private val langOrder = Seq("en", "es", "de", "fr", "zh")
 
-  /** Stopword-overlap language ID with a fixed priority tie-break. */
+  /** Stopword-overlap language ID with a fixed priority tie-break.
+    * Tokens are materialized once per row before the per-language scans. */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val withToks = documents.withColumn("_toks", tokens(col("text")))
+    val toks = col("_toks")
     val scores = langOrder.map(l => l -> stopwordHits(toks, stopwords(l)))
     val best = greatest(scores.map(_._2): _*)
     val pred = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
     // foldRight gives en-first priority: the first lang equal to max wins.
-    documents.select(
+    withToks.select(
         (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
         pred.as("pred_lang"): _*)
       .orderBy(col("doc_id"))
@@ -40,7 +42,8 @@ object TextOps {
   /** Heuristic quality metrics + integer quality score.
     * All ratios are int/int divisions — exact in IEEE double. */
   def quality(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val withToks = documents.withColumn("_toks", tokens(col("text")))
+    val toks = col("_toks")
     val nWords = size(toks)
     val txtLen = length(col("text"))
     val punctCnt = txtLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
@@ -48,7 +51,7 @@ object TextOps {
     val charSum = aggregate(toks, lit(0), (acc, t) => acc + length(t))
     val punctRatio = punctCnt.cast("double") / txtLen
     val stopRatio = stopCnt.cast("double") / nWords
-    documents.select(
+    withToks.select(
         col("doc_id"),
         nWords.as("n_words"),
         punctCnt.as("punct_cnt"),
@@ -70,8 +73,11 @@ object TextOps {
         ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
       .orderBy(col("doc_id"))
 
-  /** Rolling-hash winnowing fingerprint per document. */
+  /** Rolling-hash winnowing fingerprint per document (char array is
+    * materialized first — inline it and the split re-runs per window). */
   def fingerprints(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    documents
+      .withColumn("_chars", split(col("text"), ""))
+      .select(col("doc_id"), fingerprintFromChars(col("_chars")).as("fp"))
       .orderBy(col("doc_id"))
 }

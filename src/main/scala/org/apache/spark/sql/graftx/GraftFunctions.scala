@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import graft.functions.{DotProduct, SortedIntersectCount}
+
+/** Session-registry bridge (lives under org.apache.spark.sql to reach the
+  * private[sql] session internals — the standard library-extension
+  * pattern, cf. Qbeast's DatasetFactory / Spark's own sql package object).
+  */
+object GraftFunctions {
+
+  /** Idempotently registers graft's native expressions as temp functions
+    * so Column code can reach them via `functions.call_function`. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_dot",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(args(0), args(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_intersect_n",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(args(0), args(1)),
+      "built-in")
+  }
+}
