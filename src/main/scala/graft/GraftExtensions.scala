@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, SortedIntersectCount}
+
+/** Spark extensions entry point: lets any session pick up graft's native
+  * expressions at build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * (Sessions built by graft itself get the same functions via
+  * `Tables.tune`, which registers post-hoc; this class is for sessions
+  * graft does not construct, e.g. spark-submit / Thrift server users
+  * calling `graft_dot` from SQL.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_n"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_intersect_n"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+  }
+}

@@ -65,6 +65,11 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "m2_media_features" -> ((s, d) => Multimodal.mediaFrames(s, t(s, d, "documents"))),
+    "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
+    "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
+    "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
+    "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
+    "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
@@ -319,6 +324,35 @@ object SparkEntry {
          64 AS feat_dim
          FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
          ORDER BY doc_id, frame_id""",
+    "c1_top_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+            list_distinct([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)])
+            ELSE [array_to_string(t, ' ')] END AS ngs
+            FROM (SELECT doc_id, $toks AS t FROM documents))
+          SELECT ng, count(*) AS df FROM tok, unnest(ngs) AS u(ng)
+          GROUP BY ng ORDER BY df DESC, ng LIMIT 20""",
+    "c2_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+            GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents)
+          SELECT doc_id, terms.term, tf,
+            CAST(CAST(tf * ln(CAST(n AS DOUBLE) / df) AS DECIMAL(38,6)) AS DOUBLE) AS tfidf
+          FROM terms, dfreq, n WHERE terms.term = dfreq.term
+            AND CAST(CAST(tf * ln(CAST(n AS DOUBLE) / df) AS DECIMAL(38,6)) AS DOUBLE) > 0.0
+          ORDER BY doc_id, terms.term""",
+    "c3_hash_split" ->
+      """SELECT doc_id, CASE WHEN (doc_id * 2654435761 + 104729) % 100 < 90 THEN 'train'
+           WHEN (doc_id * 2654435761 + 104729) % 100 < 95 THEN 'valid'
+           ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "c5_length_buckets" ->
+      """SELECT CASE WHEN n_chars >= 500 THEN 5 WHEN n_chars >= 400 THEN 4
+           WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 200 THEN 2
+           WHEN n_chars >= 100 THEN 1 ELSE 0 END AS bucket,
+         count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "st1_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${dsum("value")} AS sum_value

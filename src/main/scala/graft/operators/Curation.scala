@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Corpus-curation operators beyond per-document text analysis:
+  * vocabulary statistics, TF-IDF, dataset splitting and sampling.
+  *
+  * Scale posture: n-gram/TF-IDF are explode → hash-agg (one shuffle on
+  * the term key, map-side combined); the hash split is a pure map with a
+  * deterministic per-row hash — reproducible across runs, partitionings
+  * and engines (no RNG); stratified sampling is per-stratum Bernoulli,
+  * no shuffle.
+  */
+object Curation {
+
+  /** Global top-k token bigrams by document frequency — explode once,
+    * two exact aggregations. */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("ng", explode(shinglesFromTokens(col("_toks"), n)))
+      .groupBy(col("ng"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ng"))
+      .limit(k)
+
+  /** TF-IDF per (doc, term) for the top terms of each document.
+    * tf = term count in doc; idf = ln(N / df) over distinct docs. */
+  def tfidf(documents: DataFrame, minScore: Double = 0.0): DataFrame = {
+    val terms = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents.count()
+    terms.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        decRound(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .filter(col("tfidf") > minScore)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Deterministic hash-based train/valid/test split: engine-independent
+    * multiplicative hash on the id — reproducible anywhere, no RNG, and
+    * stable when the corpus grows (a doc never changes split). */
+  def hashSplit(documents: DataFrame,
+                trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    val bucket = pmod(col("doc_id") * 2654435761L + 104729L, lit(100L))
+    documents
+      .select(col("doc_id"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-stratum counts after a seeded stratified sample (sampleBy):
+    * deterministic for a fixed seed + partitioning, engine-specific RNG
+    * (rows-only check). */
+  def stratifiedSample(documents: DataFrame, fraction: Double = 0.5,
+                       seed: Long = 42): DataFrame = {
+    val fractions = documents.select("lang").distinct().collect()
+      .map(r => r.getString(0) -> fraction).toMap
+    documents.stat.sampleBy("lang", fractions, seed)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** Document length histogram on fixed bucket edges (training-data
+    * length filtering diagnostics). */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val edges = Seq(0L, 100L, 200L, 300L, 400L, 500L, Long.MaxValue)
+    val bucket = edges.sliding(2).zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (Seq(lo, hi), i)) =>
+        when(col("n_chars") >= lo && col("n_chars") < hi, i).otherwise(acc)
+    }
+    documents
+      .select(bucket.as("bucket"), col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket"))
+  }
+}

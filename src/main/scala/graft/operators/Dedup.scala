@@ -23,8 +23,6 @@ object Dedup {
       .select(col("doc_id"), col("dup_count"))
       .orderBy(col("doc_id"))
 
-  /** Exact n-gram-shingle Jaccard near-dup pairs, blocked by `source`
-    * (the quadratic baseline — bounded by the largest block). */
   /** Shingle sets + sizes + 64-bit hashed form, materialized stage by
     * stage (tokens → shingles → size/hashes) so no HOF lambda recomputes
     * an upstream array. Pair-wise intersections run on the hashed long

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite with SharedSpark {
+
+  test("top ngrams: df bounded by corpus size, descending") {
+    val out = Curation.topNgrams(table("documents")).collect()
+    assert(out.length <= 20)
+    val dfs = out.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    assert(dfs.head <= table("documents").count())
+  }
+
+  test("tfidf: positive scores, tf >= 1, ubiquitous terms excluded") {
+    val n = table("documents").count()
+    val out = Curation.tfidf(table("documents")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tf") >= 1)
+      assert(r.getAs[Double]("tfidf") > 0.0) // df == N ⇒ idf 0 ⇒ filtered
+    }
+  }
+
+  test("hash split: deterministic, partitions the corpus, ~90/5/5") {
+    val a = Curation.hashSplit(table("documents")).collect()
+    val b = Curation.hashSplit(table("documents")).collect()
+    assert(a.map(r => (r.getLong(0), r.getString(1))).sameElements(
+      b.map(r => (r.getLong(0), r.getString(1)))))
+    val byS = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byS.values.sum === table("documents").count())
+    assert(byS("train") > byS.getOrElse("valid", 0))
+    assert(byS("train") > byS.getOrElse("test", 0))
+  }
+
+  test("stratified sample: every stratum shrinks, none empties unreasonably") {
+    val orig = table("documents").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Curation.stratifiedSample(table("documents"), 0.5).collect()
+    out.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getAs[Long]("n_sampled") <= orig(lang))
+    }
+  }
+
+  test("length buckets: counts cover the corpus, min/max inside edges") {
+    val out = Curation.lengthBuckets(table("documents")).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === table("documents").count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+    }
+  }
+
+  test("GraftExtensions registers functions in an extension-built session") {
+    // newSession() builds a FRESH SessionState (no Tables.tune ran on it),
+    // so graft_dot resolving here proves the extensions path works.
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "graft_intersect_n(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n").collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getInt(1) === 2)
+  }
+}
