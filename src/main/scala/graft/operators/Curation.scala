@@ -26,8 +26,10 @@ object Curation {
       .orderBy(col("df").desc, col("ng"))
       .limit(k)
 
-  /** TF-IDF per (doc, term) for the top terms of each document.
-    * tf = term count in doc; idf = ln(N / df) over distinct docs. */
+  /** TF-IDF per (doc, term): tf = term count in doc; idf = ln(N / df)
+    * over distinct docs. Fully lazy — N comes in via a broadcast
+    * one-row aggregate (a driver-side count() here would run a job at
+    * plan-construction time, once per pipeline build). */
   def tfidf(documents: DataFrame, minScore: Double = 0.0): DataFrame = {
     val terms = documents
       .withColumn("term", explode(tokens(col("text"))))
@@ -35,10 +37,11 @@ object Curation {
       .agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val n = documents.count()
+    val n = documents.agg(count(lit(1)).as("n"))
     terms.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        decRound(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        decRound(col("tf") * log(col("n").cast("double") / col("df")), 6))
       .filter(col("tfidf") > minScore)
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
       .orderBy(col("doc_id"), col("term"))

@@ -145,14 +145,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within hamming distance `maxDist`, via 4×16-bit
-    * band blocking (exact for maxDist ≤ 3 by pigeonhole). */
-  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    * band blocking (exact for maxDist ≤ 3 by pigeonhole). `maxBucket`
+    * caps degenerate chunk buckets (boilerplate-heavy corpora collapse
+    * many docs onto one chunk value) so the candidate join stays
+    * skew-free at scale — capped buckets fall through to the other
+    * three chunks. */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
     val sg = documents
       .withColumn("_hs", transform(array_distinct(tokens(col("text"))), t => xxhash64(t)))
       .select(col("doc_id"), simhashFromHashes(col("_hs")).as("sig"))
     val banded = sg.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c"), col("chunk"))))
+      .filter(col("bsz") <= maxBucket)
     val cand = banded.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(banded.select(col("c").as("c2"), col("chunk").as("chunk2"),
           col("doc_id").as("doc_b"), col("sig").as("sig_b")),
