@@ -71,6 +71,7 @@ object SparkEntry {
     "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
     "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
+    "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -357,6 +358,15 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st2_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value,
+            (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900) * 900 AS base
+            FROM events),
+          w AS (SELECT event_type, value, base - k * 900 AS ws
+            FROM e, unnest(generate_series(0, 3)) AS t(k))
+          SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+            event_type, count(*) AS n, ${dsum("value")} AS sum_value
+          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "g1_entry" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
           ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,

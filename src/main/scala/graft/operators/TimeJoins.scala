@@ -76,6 +76,17 @@ object TimeJoins {
         decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
       .orderBy(col("o_orderkey"))
 
+  /** Sliding-window aggregation (batch parity of StreamOps.slidingCounts):
+    * 1-hour windows every 15 minutes — each event lands in 4 windows.
+    * Spark's window() generates the per-event window set; no self-join. */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Tumbling-window aggregation (batch parity of the streaming path). */
   def tumblingWindow(events: DataFrame): DataFrame =
     events

@@ -31,6 +31,22 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("streaming sliding window agrees with the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    mem.addData(eventData())
+    val q = StreamOps.slidingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TimeJoins.slidingWindow(table("events"))
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful streaming sessionization agrees with batch on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
