@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, MinHashSignature, SimHash, SortedIntersectCount}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -28,5 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_intersect_n"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_intersect_n"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash64"),
+      (args: Seq[Expression]) => MinHashSignature(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash(args(0))))
   }
 }

@@ -68,19 +68,17 @@ object Dedup {
   // --- MinHash + LSH ---------------------------------------------------
 
   /** 64 seeded affine permutations over xxhash64(shingle). */
-  private val P = 2147483647L // 2^31 - 1
+  private val P = graft.functions.Signatures.P
   private val perms: Seq[(Long, Long)] = {
-    val r = new scala.util.Random(42)
-    Seq.fill(64)((r.nextInt(Int.MaxValue - 1).toLong * 2 + 1, r.nextInt(Int.MaxValue).toLong))
+    val (a, b) = graft.functions.Signatures.perms()
+    a.zip(b).toSeq
   }
   private val numBands = 16
   private val rowsPerBand = 4
 
-  /** MinHash signature (array<long>, length 64) over a MATERIALIZED
-    * array of pre-hashed shingles (pmod(xxhash64(s), P) per shingle) —
-    * hashing inside the 64 per-permutation lambdas would rehash every
-    * shingle 64×. The affine map keeps a*h under 2^62 (no ANSI overflow).
-    */
+  /** Composable reference MinHash (64 interpreted array passes) over a
+    * MATERIALIZED pre-hashed shingle array; the hot path is the native
+    * one-pass graft_minhash64 expression — bit-identical output. */
   def minhashSignature(hashed: Column): Column =
     array(perms.map { case (a, b) =>
       array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
@@ -97,9 +95,7 @@ object Dedup {
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     val sh = shingled(documents).select(col("doc_id"), col("hsh"), col("shn"))
-    val sig = sh
-      .withColumn("_hashed", hashShingles(col("hsh")))
-      .withColumn("sig", minhashSignature(col("_hashed")))
+    val sig = sh.withColumn("sig", call_function("graft_minhash64", col("hsh")))
     val banded = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
       .withColumn("bh", xxhash64(col("band"),
@@ -154,7 +150,7 @@ object Dedup {
                    maxBucket: Int = 10000): DataFrame = {
     val sg = documents
       .withColumn("_hs", transform(array_distinct(tokens(col("text"))), t => xxhash64(t)))
-      .select(col("doc_id"), simhashFromHashes(col("_hs")).as("sig"))
+      .select(col("doc_id"), call_function("graft_simhash64", col("_hs")).as("sig"))
     val banded = sg.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))

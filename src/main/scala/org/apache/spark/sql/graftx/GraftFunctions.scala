@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, MinHashSignature, SimHash, SortedIntersectCount}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -21,6 +21,14 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_intersect_n",
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(args(0), args(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_minhash64",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(args(0)),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash64",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash(args(0)),
       "built-in")
   }
 }

@@ -32,6 +32,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("native signatures are bit-identical to the composable reference") {
+    import graft.operators.Dedup
+    val hs = table("documents")
+      .withColumn("_toks", graft.functions.ColumnFns.tokens(col("text")))
+      .withColumn("sh", graft.functions.ColumnFns.shinglesFromTokens(col("_toks"), 3))
+      .withColumn("hsh", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .select(col("doc_id"), col("hsh"))
+    val both = hs
+      .withColumn("ref_sig", Dedup.minhashSignature(Dedup.hashShingles(col("hsh"))))
+      .withColumn("native_sig", call_function("graft_minhash64", col("hsh")))
+      .withColumn("ref_sim", Dedup.simhashFromHashes(col("hsh")))
+      .withColumn("native_sim", call_function("graft_simhash64", col("hsh")))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("ref_sig")) ===
+        r.getSeq[Long](r.fieldIndex("native_sig")), s"minhash doc ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("ref_sim")) ===
+        r.getLong(r.fieldIndex("native_sim")), s"simhash doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash pairs respect the hamming bound") {
     val out = Dedup.simhashPairs(table("documents"), 3).collect()
     out.foreach(r => assert(r.getAs[Int]("dist") <= 3))
