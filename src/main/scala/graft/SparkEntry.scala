@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -70,6 +71,16 @@ object SparkEntry {
     "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
     "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
     "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
+    "q23_funnel" -> ((s, d) => TimeJoins.funnel(t(s, d, "events"))),
+    "q24_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      graft.sources.Sources.upsert(cur, upd, "o_orderkey").orderBy(col("o_orderkey"))
+    }),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
@@ -358,6 +369,28 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q23_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+         f AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN se END) AS first_from
+               FROM e GROUP BY 1),
+         g AS (SELECT e.user_id, f.first_from,
+               min(CASE WHEN e.event_type = 'purchase' AND e.se >= f.first_from
+                   THEN e.se END) AS first_to
+               FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2)
+         SELECT user_id, first_from, first_to, first_to - first_from AS lag_sec,
+           first_to IS NOT NULL AS converted
+         FROM g WHERE first_from IS NOT NULL ORDER BY user_id""",
+    "q24_upsert" ->
+      """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+                 FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+           coalesce(u.o_totalprice, c.o_totalprice) AS o_totalprice
+         FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey
+         ORDER BY 1""",
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,
             (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900) * 900 AS base

@@ -223,6 +223,22 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** Skew-safe equi join: the hot-key side gets a deterministic salt
+    * (hash of the whole row mod `saltFactor`), the other side is
+    * replicated `saltFactor`× — a shuffled join on (key, salt) where no
+    * reducer sees more than ~1/saltFactor of any hot key. Use when AQE
+    * skew-split isn't available (e.g. the skewed side feeds an
+    * aggregation that must stay co-partitioned). Result is identical to
+    * the plain join (spec-asserted). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 saltFactor: Int = 8): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)))
+    val replicated = other
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Flagship: region × year revenue cube over the full star. */
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame =

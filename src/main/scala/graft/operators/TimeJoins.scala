@@ -76,6 +76,29 @@ object TimeJoins {
         decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
       .orderBy(col("o_orderkey"))
 
+  /** Conversion funnel: per user, the first `signup` and the first
+    * `purchase` after it, with the conversion lag. One shuffle on
+    * user_id, two conditional min-aggregates — no self-join, no
+    * per-step scan, so it holds at event-log scale. */
+  def funnel(events: DataFrame,
+             fromType: String = "signup", toType: String = "purchase"): DataFrame = {
+    val se = epochSec(col("ts"))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === fromType, se)).as("first_from"))
+    events
+      .select(col("user_id").as("uid"), col("event_type"), se.as("se"))
+      .join(perUser, col("uid") === col("user_id"))
+      .groupBy(col("user_id"), col("first_from"))
+      .agg(min(when(col("event_type") === toType && col("se") >= col("first_from"),
+        col("se"))).as("first_to"))
+      .filter(col("first_from").isNotNull)
+      .select(col("user_id"), col("first_from"), col("first_to"),
+        (col("first_to") - col("first_from")).as("lag_sec"),
+        col("first_to").isNotNull.as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   /** Sliding-window aggregation (batch parity of StreamOps.slidingCounts):
     * 1-hour windows every 15 minutes — each event lands in 4 windows.
     * Spark's window() generates the per-event window set; no self-join. */

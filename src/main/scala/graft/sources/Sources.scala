@@ -47,4 +47,21 @@ object Sources {
   /** Plain single-dataset write (overwrite). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Key-based upsert (MERGE): rows from `updates` replace same-key rows
+    * in `current`; unmatched rows from both sides survive. One shuffle
+    * on the key (or zero if both sides are bucketed on it); at table
+    * scale this is the compaction step of an incremental pipeline. */
+  def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cur = current.select(current.columns.map(c =>
+      current.col(c).as(if (c == key) c else s"cur_$c")): _*)
+    val upd = updates.select(updates.columns.map(c =>
+      updates.col(c).as(if (c == key) c else s"upd_$c")): _*)
+    val cols = current.columns.filter(_ != key)
+    cur.join(upd, Seq(key), "full_outer")
+      .select(org.apache.spark.sql.functions.col(key) +: cols.map(c =>
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col(s"upd_$c"),
+          org.apache.spark.sql.functions.col(s"cur_$c")).as(c)): _*)
+  }
 }
