@@ -72,6 +72,8 @@ object SparkEntry {
     "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
     "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
     "q23_funnel" -> ((s, d) => TimeJoins.funnel(t(s, d, "events"))),
+    "q25_brand_revenue" -> ((s, d) => Relational.brandRevenue(t(s, d, "region"),
+      t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "part"), t(s, d, "lineitem"))),
     "q24_upsert" -> ((s, d) => {
       val orders = t(s, d, "orders")
       val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
@@ -381,6 +383,16 @@ object SparkEntry {
          SELECT user_id, first_from, first_to, first_to - first_from AS lag_sec,
            first_to IS NOT NULL AS converted
          FROM g WHERE first_from IS NOT NULL ORDER BY user_id""",
+    "q25_brand_revenue" ->
+      s"""SELECT p_brand, ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,
+          count(*) AS n_items
+          FROM lineitem, part, supplier, nation, region
+          WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE'
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1 ORDER BY 1""",
     "q24_upsert" ->
       """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
                       WHERE o_orderkey % 2 = 0),

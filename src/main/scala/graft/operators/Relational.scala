@@ -239,6 +239,24 @@ object Relational {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Snowflake join: brand revenue for supplier-region-filtered
+    * lineitems — exercises part ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+    * with every dimension broadcast. */
+  def brandRevenue(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+                   part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("p_brand"))
+      .agg(decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
   /** Flagship: region × year revenue cube over the full star. */
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame =
