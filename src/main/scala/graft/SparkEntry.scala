@@ -60,6 +60,7 @@ object SparkEntry {
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"))),
+    "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "t1_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.quality(t(s, d, "documents"))),
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),

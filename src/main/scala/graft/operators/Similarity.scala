@@ -55,6 +55,41 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** IVF-style approximate top-k: deterministic pivot set (the nPivots
+    * smallest xxhash64(vec_id) — a seedless uniform sample), every vector
+    * assigned to its nearest pivot cell, queries probe the `nProbe`
+    * nearest cells. The candidate join shuffles on cell id, touching
+    * ~nProbe/nPivots of the corpus per query — the classic IVF-flat
+    * trade-off, here with centroids that need no iterative training so
+    * results are exactly reproducible at any scale/partitioning. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pivots = v
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(nPivots)
+      .select(col("vec_id").as("pivot_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    def nearestCells(side: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("pcos").desc, col("pivot_id"))
+      side.crossJoin(broadcast(pivots))
+        .withColumn("pcos", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
+        .withColumn("prank", row_number().over(w))
+        .filter(col("prank") <= n)
+        .select(col("vec_id"), col("v"), col("nrm"), col("pivot_id").as("cell"))
+    }
+    val corpus = nearestCells(v, 1)
+      .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    val q = nearestCells(v.filter(col("vec_id") < numQueries), nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+        col("cell").as("qcell"))
+    val pairs = corpus
+      .join(q, col("cell") === col("qcell") && col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
+    topK(pairs, k)
+  }
+
   /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -83,6 +83,22 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right-side events of the same user from the preceding hour. Both
+    * sides carry watermarks so the join state is bounded — the state
+    * retention window is watermark + interval. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr("l.user_id = r.user_id AND " +
+        "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts AND " +
+        "l.event_id != r.event_id"))
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
+        col("l.user_id").as("user_id"))
+  }
+
   /** Streaming exact-dedup sink: drops already-seen keys per batch via
     * foreachBatch + an accumulating seen-set table. For tests we use
     * dropDuplicates with watermark (state-bounded). */

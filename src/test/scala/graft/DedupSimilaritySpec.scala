@@ -83,6 +83,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("IVF ANN: deterministic, well-formed, nontrivial recall vs brute force") {
+    val ivf1 = Similarity.ivfTopK(table("embeddings"), numQueries = 10, k = 5).collect()
+    val ivf2 = Similarity.ivfTopK(table("embeddings"), numQueries = 10, k = 5).collect()
+    assert(ivf1.map(_.toString).sameElements(ivf2.map(_.toString))) // reproducible
+    ivf1.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rows.length))
+    }
+    val brute = Similarity.bruteTopK(table("embeddings"), numQueries = 10, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val found = ivf1.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = found.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall") // deterministic on this data
+  }
+
   test("LSH ANN returns a subset of each query's true neighbourhood ranking") {
     val brute = Similarity.bruteTopK(table("embeddings"), numQueries = 5, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet

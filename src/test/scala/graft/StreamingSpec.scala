@@ -69,6 +69,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join agrees with the batch equivalent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = eventData().filter(_.event_type == "purchase")
+    val signups = eventData().filter(_.event_type == "signup")
+    val memL = MemoryStream[StreamOps.Ev]; val memR = MemoryStream[StreamOps.Ev]
+    memL.addData(purchases); memR.addData(signups)
+    val q = StreamOps.intervalJoin(memL.toDF(), memR.toDF()).writeStream
+      .format("memory").queryName("ssjoin_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = purchases.toDF().alias("l"); val r = signups.toDF().alias("r")
+    val batch = l.join(r, expr("l.user_id = r.user_id AND " +
+        "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts AND l.event_id != r.event_id"))
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
