@@ -303,9 +303,9 @@ object SparkEntry {
               AS punct_cnt FROM documents),
           c AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words, punct_cnt,
             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-              / len(t) AS avg_word_len,
-            CAST(${stopHits("en")} AS DOUBLE) / len(t) AS stop_ratio,
-            CAST(punct_cnt AS DOUBLE) / txt_len AS punct_ratio FROM b)
+              / nullif(len(t), 0) AS avg_word_len,
+            CAST(${stopHits("en")} AS DOUBLE) / nullif(len(t), 0) AS stop_ratio,
+            CAST(punct_cnt AS DOUBLE) / nullif(txt_len, 0) AS punct_ratio FROM b)
           SELECT doc_id, n_words, punct_cnt, avg_word_len, stop_ratio,
           (CASE WHEN n_words BETWEEN 5 AND 2000 THEN 1 ELSE 0 END +
            CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END +

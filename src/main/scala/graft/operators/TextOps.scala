@@ -49,13 +49,15 @@ object TextOps {
     val punctCnt = txtLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
     val stopCnt = stopwordHits(toks, stopwords("en"))
     val charSum = aggregate(toks, lit(0), (acc, t) => acc + length(t))
-    val punctRatio = punctCnt.cast("double") / txtLen
-    val stopRatio = stopCnt.cast("double") / nWords
+    // nullif guards: empty/whitespace docs have 0 words / 0 chars and
+    // must yield null ratios, not an ANSI divide-by-zero error
+    val punctRatio = punctCnt.cast("double") / nullif(txtLen, lit(0))
+    val stopRatio = stopCnt.cast("double") / nullif(nWords, lit(0))
     withToks.select(
         col("doc_id"),
         nWords.as("n_words"),
         punctCnt.as("punct_cnt"),
-        (charSum.cast("double") / nWords).as("avg_word_len"),
+        (charSum.cast("double") / nullif(nWords, lit(0))).as("avg_word_len"),
         stopRatio.as("stop_ratio"),
         (when(nWords.between(5, 2000), 1).otherwise(0) +
          when(punctRatio < 0.1, 1).otherwise(0) +

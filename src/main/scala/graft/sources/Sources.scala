@@ -48,6 +48,22 @@ object Sources {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Bucketed + sorted table write: both sides of a recurring fact-fact
+    * join written with the same bucketing never shuffle again — the join
+    * runs bucket-local (asserted in BucketingSpec: zero Exchange nodes).
+    * This is the 100 TB answer to repeated big-big joins; bucket count
+    * should be a multiple of the cluster's parallelism. Requires a
+    * catalog (`saveAsTable`) — plain parquet paths can't carry bucket
+    * metadata. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Key-based upsert (MERGE): rows from `updates` replace same-key rows
     * in `current`; unmatched rows from both sides survive. One shuffle
     * on the key (or zero if both sides are bucketed on it); at table

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextOps}
+
+/** Degenerate-input behavior: empty, whitespace-only, single-word and
+  * sub-n-gram documents must flow through every text operator without
+  * ANSI runtime errors (OOB element_at, negative sequence, etc.). */
+class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
+
+  private def edgeDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "   ", "en", "src0", 3L),
+      (3L, "one", "en", "src0", 3L),
+      (4L, "two words", "en", "src0", 9L),
+      (5L, "three tiny words", "en", "src0", 16L),
+      (6L, "a b c d e f g h", "en", "src1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("text analysis survives empty/short docs") {
+    val q = TextOps.quality(edgeDocs).collect()
+    assert(q.length === 6)
+    val tc = TextOps.tokenCounts(edgeDocs).collect()
+    assert(tc.map(_.getAs[Int]("ws_tokens")).sorted.sameElements(Seq(0, 0, 1, 2, 3, 8)))
+    val fp = TextOps.fingerprints(edgeDocs).collect()
+    // docs shorter than one 4-gram window get a null fingerprint
+    assert(fp.count(_.isNullAt(1)) === 3) // "", "   ", "one" — all < 4 chars
+    val lid = TextOps.langId(edgeDocs).collect()
+    assert(lid.find(_.getLong(0) == 1L).get.getAs[String]("pred_lang") === "und")
+  }
+
+  test("dedup family survives empty/short docs") {
+    // sub-3-gram docs collapse to a whole-text shingle; nothing throws
+    val pairs = Dedup.ngramJaccardPairs(edgeDocs, 0.01).collect()
+    pairs.foreach(r => assert(r.getAs[Double]("jacc") > 0))
+    val mh = Dedup.minhashPairs(edgeDocs, 0.01).collect()
+    assert(mh.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    val sh = Dedup.simhashPairs(edgeDocs).collect()
+    assert(sh.forall(_.getAs[Int]("dist") <= 3))
+    val ex = Dedup.exact(edgeDocs).collect()
+    assert(ex.length === 6)
+  }
+}
