@@ -19,7 +19,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // heap comes from build.sbt's javaOptions (-Xmx$SPARK_DRIVER_MEM,
+      // fork=true); setting spark.driver.memory here would be a no-op
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)

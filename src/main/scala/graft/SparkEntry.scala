@@ -327,7 +327,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "m1_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-         upper(hex(encode(substring(text, 1, 2)))) AS magic_hex,
+         upper(substring(hex(encode(text)), 1, 4)) AS magic_hex,
          ['image', 'audio', 'video'][(octet_length(encode(text)) % 3) + 1] AS media_type,
          CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
          CAST(64 + (octet_length(encode(text)) * 31) % 331 AS INTEGER) AS height,

@@ -74,17 +74,8 @@ object ColumnFns {
   /** Distinct word n-gram shingles over [[tokens]] (space-joined).
     * Convenience form for tests/small data; hot paths use
     * [[shinglesFromTokens]] on a materialized column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    // short docs (< n tokens) collapse to one whole-text shingle: keeps
-    // element_at in bounds (ANSI mode throws on OOB access)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Jaccard similarity of two pre-distinct arrays: |∩| / |∪| (exact
     * int/int division — bit-identical across engines). */

@@ -61,14 +61,32 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-stratum counts after a seeded stratified sample (sampleBy):
-    * deterministic for a fixed seed + partitioning, engine-specific RNG
-    * (rows-only check). */
+  /** Per-stratum counts after a deterministic stratified sample: a
+    * seeded per-row hash gate admits ~`fraction` of each stratum.
+    * Unlike `sampleBy` (whose rand(seed) depends on partition layout,
+    * so results shift with cluster size), the hash gate is reproducible
+    * on any partitioning/engine, and the plan stays lazy — no
+    * driver-side distinct() at construction time (rows-only check). */
+  def stratifiedSample(documents: DataFrame, fractions: Map[String, Double],
+                       seed: Long): DataFrame = {
+    val M = 1000000L
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col("lang") === k, f).otherwise(acc)
+    }
+    documents
+      .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
+        (frac * M).cast("long"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** Uniform-fraction convenience form (every stratum keeps `fraction`). */
   def stratifiedSample(documents: DataFrame, fraction: Double = 0.5,
                        seed: Long = 42): DataFrame = {
-    val fractions = documents.select("lang").distinct().collect()
-      .map(r => r.getString(0) -> fraction).toMap
-    documents.stat.sampleBy("lang", fractions, seed)
+    val M = 1000000L
+    documents
+      .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
+        (fraction * M).toLong)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang"))
   }

@@ -141,11 +141,12 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within hamming distance `maxDist`, via 4×16-bit
-    * band blocking (exact for maxDist ≤ 3 by pigeonhole). `maxBucket`
-    * caps degenerate chunk buckets (boilerplate-heavy corpora collapse
-    * many docs onto one chunk value) so the candidate join stays
-    * skew-free at scale — capped buckets fall through to the other
-    * three chunks. */
+    * band blocking — exact for maxDist ≤ 3 by pigeonhole WHEN no bucket
+    * exceeds `maxBucket`. The cap bounds the candidate join on
+    * boilerplate-heavy corpora (many docs collapsing onto one chunk
+    * value) at the cost of recall for pairs whose only matching chunk
+    * is capped; raise `maxBucket` (or pre-dedup exact duplicates) when
+    * exactness matters more than worst-case reducer size. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3,
                    maxBucket: Int = 10000): DataFrame = {
     val sg = documents

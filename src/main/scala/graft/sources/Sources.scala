@@ -69,15 +69,18 @@ object Sources {
     * on the key (or zero if both sides are bucketed on it); at table
     * scale this is the compaction step of an incremental pipeline. */
   def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
     val cur = current.select(current.columns.map(c =>
       current.col(c).as(if (c == key) c else s"cur_$c")): _*)
+    // row-presence marker (not coalesce): an update row carrying a NULL
+    // column must still replace the current value with NULL
     val upd = updates.select(updates.columns.map(c =>
       updates.col(c).as(if (c == key) c else s"upd_$c")): _*)
+      .withColumn("_upd_present", lit(1))
     val cols = current.columns.filter(_ != key)
     cur.join(upd, Seq(key), "full_outer")
-      .select(org.apache.spark.sql.functions.col(key) +: cols.map(c =>
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.col(s"upd_$c"),
-          org.apache.spark.sql.functions.col(s"cur_$c")).as(c)): _*)
+      .select(col(key) +: cols.map(c =>
+        when(col("_upd_present").isNotNull, col(s"upd_$c"))
+          .otherwise(col(s"cur_$c")).as(c)): _*)
   }
 }

@@ -23,8 +23,12 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      // same decimal path as the batch twin's decSum: cast values to
+      // (18,4) BEFORE summing, round the SUM to cents — rounding each
+      // value first would diverge from batch on sub-cent values
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double")
+          .as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -35,9 +39,11 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double")
+          .as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("event_type"), col("n"))
+        col("event_type"), col("n"), col("sum_value"))
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)

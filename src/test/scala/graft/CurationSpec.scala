@@ -36,14 +36,24 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(byS("train") > byS.getOrElse("test", 0))
   }
 
-  test("stratified sample: every stratum shrinks, none empties unreasonably") {
+  test("stratified sample: deterministic hash gate, per-stratum fractions honored") {
     val orig = table("documents").groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val out = Curation.stratifiedSample(table("documents"), 0.5).collect()
     out.foreach { r =>
       val lang = r.getString(0)
-      assert(r.getAs[Long]("n_sampled") <= orig(lang))
+      val n = r.getAs[Long]("n_sampled")
+      assert(n <= orig(lang))
+      assert(math.abs(n.toDouble / orig(lang) - 0.5) < 0.25, s"$lang: $n of ${orig(lang)}")
     }
+    // reproducible independent of partitioning
+    val again = Curation.stratifiedSample(table("documents").repartition(7), 0.5).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // per-stratum map form: excluded stratum vanishes entirely
+    val mapped = Curation.stratifiedSample(table("documents"),
+      Map("en" -> 1.0, "fr" -> 0.0), 42).collect()
+    assert(mapped.map(_.getString(0)).toSet === Set("en"))
+    assert(mapped.head.getAs[Long]("n_sampled") === orig("en"))
   }
 
   test("length buckets: counts cover the corpus, min/max inside edges") {

@@ -23,12 +23,12 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .format("memory").queryName("tumbling_out").outputMode("complete").start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("tumbling_out")
-      .select("window_start", "event_type", "n")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val batch = TimeJoins.tumblingWindow(table("events"))
-      .select("window_start", "event_type", "n")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    assert(streamed === batch)
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch) // including exact decimal-path sums
   }
 
   test("streaming sliding window agrees with the batch twin") {

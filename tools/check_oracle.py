@@ -22,6 +22,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# every oracle key must have a Spark output dir — a query that threw in
+# Verify writes nothing and must FAIL the gate, not silently vanish
+written = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out_dir}/*/")}
+missing = sorted(set(oracle) - written)
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -29,7 +34,7 @@ def canon(df):
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-fails, passes, rows_only = [], [], []
+fails, passes, rows_only = [(m, "query produced no output (failed in Verify)") for m in missing], [], []
 for d in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(d.rstrip("/"))
     try:
