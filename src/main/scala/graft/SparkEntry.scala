@@ -282,7 +282,8 @@ object SparkEntry {
                list_cosine_similarity(q.v, c.v) AS cos
                FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
          r AS (SELECT q_id, id_b, CAST(row_number() OVER
-               (PARTITION BY q_id ORDER BY cos DESC, id_b) AS INTEGER) AS rank FROM p)
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
     "t1_lang_id" ->
       s"""WITH s AS (SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
@@ -358,9 +359,10 @@ object SparkEntry {
             AND CAST(CAST(tf * ln(CAST(n AS DOUBLE) / df) AS DECIMAL(38,6)) AS DOUBLE) > 0.0
           ORDER BY doc_id, terms.term""",
     "c3_hash_split" ->
-      """SELECT doc_id, CASE WHEN (doc_id * 2654435761 + 104729) % 100 < 90 THEN 'train'
-           WHEN (doc_id * 2654435761 + 104729) % 100 < 95 THEN 'valid'
-           ELSE 'test' END AS split
+      """SELECT doc_id,
+           CASE WHEN ((doc_id % 1000003) * 2654435761 + 104729) % 100 < 90 THEN 'train'
+                WHEN ((doc_id % 1000003) * 2654435761 + 104729) % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
     "c5_length_buckets" ->
       """SELECT CASE WHEN n_chars >= 500 THEN 5 WHEN n_chars >= 400 THEN 4
@@ -400,8 +402,10 @@ object SparkEntry {
          upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
                  FROM orders WHERE o_orderkey % 3 = 0)
          SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
-           coalesce(u.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
-           coalesce(u.o_totalprice, c.o_totalprice) AS o_totalprice
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE c.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE c.o_totalprice END AS o_totalprice
          FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey
          ORDER BY 1""",
     "st2_sliding_window" ->

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 object Signatures {
   val P: Long = 2147483647L // 2^31 - 1
 
-  /** Seeded affine permutation coefficients (a odd, both < 2^31). */
+  /** Seeded affine permutation coefficients: a odd with a < 2^32
+    * (nextInt(Int.MaxValue-1)*2+1 ≤ 2^32-5), b < 2^31. Overflow headroom
+    * for (a*hr + b) with hr ≤ P-1 = 2^31-2: max ≈ (2^32-5)·(2^31-2)+2^31
+    * ≈ 2^63 - 2^33 < Long.MaxValue — safe, but only by ~2^33. */
   def perms(seed: Long = 42, n: Int = 64): (Array[Long], Array[Long]) = {
     val r = new scala.util.Random(seed)
     val ab = Array.fill(n)((r.nextInt(Int.MaxValue - 1).toLong * 2 + 1, r.nextInt(Int.MaxValue).toLong))

@@ -49,10 +49,17 @@ object Curation {
 
   /** Deterministic hash-based train/valid/test split: engine-independent
     * multiplicative hash on the id — reproducible anywhere, no RNG, and
-    * stable when the corpus grows (a doc never changes split). */
+    * stable when the corpus grows (a doc never changes split).
+    *
+    * The id is reduced mod 1000003 (prime) BEFORE the affine multiply so
+    * the product stays ≤ 1000002·2654435761 ≈ 2.7e15 ≪ Long.Max — no
+    * overflow under Spark 4 ANSI mode even for ids beyond 2^33 (a raw
+    * `doc_id * 2654435761` throws once doc_id exceeds ~3.47e9, plausible
+    * at 100 TB corpus scale). */
   def hashSplit(documents: DataFrame,
                 trainPct: Int = 90, validPct: Int = 5): DataFrame = {
-    val bucket = pmod(col("doc_id") * 2654435761L + 104729L, lit(100L))
+    val bucket =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 104729L, lit(100L))
     documents
       .select(col("doc_id"),
         when(bucket < trainPct, "train")

@@ -33,9 +33,15 @@ object Similarity {
       when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Rank candidates per query. Ordering uses the cosine rounded to 6
+    * decimals in the decimal domain (ties then break on id): float-exact
+    * ordering is fragile across engines — sqrt/association differences of
+    * one ulp can flip near-tied candidates, so near-ties are collapsed
+    * into exact ties and broken deterministically. */
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id_b"))
-    pairs.withColumn("rank", row_number().over(w))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("id_b"))
+    pairs.withColumn("cos6", decRound(col("cos"), 6))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id_b").as("neighbor_id"), col("rank"))
       .orderBy(col("q_id"), col("rank"))

@@ -46,12 +46,23 @@ object StreamOps {
         col("event_type"), col("n"), col("sum_value"))
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
-  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class BufEv(sec: Long, id: Long, value: Double)
+  case class SessionBuf(evs: Seq[BufEv])
   case class SessionOut(user_id: Long, session_start: Long, n_events: Int, sum_value: Double)
 
-  /** Stateful gap-based sessionization: one state object per user,
-    * emitted when the gap timeout fires. Batch parity: TimeJoins
-    * .sessionize (same gap rule). */
+  /** Stateful gap-based sessionization with TRUE batch parity under
+    * out-of-order arrival: state buffers every event of the user's
+    * still-open sessions, and each batch re-derives sessions from the
+    * buffer in event-time order. A session is emitted only once sealed by
+    * the watermark (no admissible future event — all have ts ≥ watermark —
+    * can extend or merge it: last_event + gap < watermark), so events
+    * arriving out of order across micro-batches, as long as they clear the
+    * watermark, land in exactly the session the batch operator
+    * (TimeJoins.sessionize) would assign.
+    *
+    * State size is bounded by the watermark delay: only events of sessions
+    * not yet sealed are buffered, and the watermark seals everything older
+    * than delay + gap. Keyed by user, so state shards across executors. */
   def sessionize(spark: SparkSession, events: Dataset[Ev],
                  gapSec: Long = 1800): Dataset[SessionOut] = {
     import spark.implicits._
@@ -59,32 +70,35 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, s.start, s.n, s.sum))
-          } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val sec = e.ts.getTime / 1000
-              cur match {
-                case Some(s) if sec - s.last <= gapSec =>
-                  cur = Some(s.copy(last = sec, n = s.n + 1, sum = s.sum + e.value))
-                case Some(s) =>
-                  closed += SessionOut(user, s.start, s.n, s.sum)
-                  cur = Some(SessionState(sec, sec, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(sec, sec, 1, e.value))
-              }
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionBuf]) =>
+          val incoming = evs.map(e => BufEv(e.ts.getTime / 1000, e.event_id, e.value)).toSeq
+          val all = (state.getOption.map(_.evs).getOrElse(Seq.empty) ++ incoming)
+            .sortBy(e => (e.sec, e.id))
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            // split the full buffer into gap-based sessions, event-time order
+            val sessions = Seq.newBuilder[Vector[BufEv]]
+            var cur = Vector(all.head)
+            all.tail.foreach { e =>
+              if (e.sec - cur.last.sec <= gapSec) cur :+= e
+              else { sessions += cur; cur = Vector(e) }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last * 1000 + gapSec * 1000)
+            sessions += cur
+            val wmSec = state.getCurrentWatermarkMs() / 1000
+            val (closed, open) = sessions.result()
+              .partition(s => s.last.sec + gapSec < wmSec)
+            if (open.isEmpty) state.remove()
+            else {
+              val rest = open.flatten
+              state.update(SessionBuf(rest))
+              // fire once the watermark passes the newest open session's gap
+              // (+1s: the timeout timestamp must exceed the current watermark)
+              state.setTimeoutTimestamp(math.max(
+                (rest.map(_.sec).max + gapSec) * 1000 + 1000,
+                state.getCurrentWatermarkMs() + 1000))
             }
-            closed.result().iterator
+            closed.iterator
+              .map(s => SessionOut(user, s.head.sec, s.size, s.map(_.value).sum))
           }
       }
   }

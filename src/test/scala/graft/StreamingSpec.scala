@@ -69,6 +69,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("sessionization folds cross-batch out-of-order events into event-time sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L // arbitrary fixed epoch ms
+    def ev(id: Long, offSec: Long) =
+      StreamOps.Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", 1.0)
+    val mem = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionize(spark, mem.toDS()).writeStream
+      .format("memory").queryName("session_ooo").outputMode("append").start()
+    // newest-first delivery: ids 2,4 land a batch before the EARLIER ids 1,3
+    mem.addData(ev(2, 600), ev(4, 2000)); q.processAllAvailable()
+    mem.addData(ev(1, 0), ev(3, 1200)); q.processAllAvailable()
+    mem.addData(StreamOps.Ev(-1L, new Timestamp(t0 + (7200L + 1800 + 2000 + 60) * 1000),
+      999999L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_ooo").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // event-time order: gaps 600/600/800 ≤ 1800 → ONE session from t0 with 4 events
+    assert(got === Set((1L, t0 / 1000, 4)))
+  }
+
   test("stream-stream interval join agrees with the batch equivalent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
