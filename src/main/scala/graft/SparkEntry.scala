@@ -84,6 +84,22 @@ object SparkEntry {
           (col("o_totalprice") * 2).as("o_totalprice"))
       graft.sources.Sources.upsert(cur, upd, "o_orderkey").orderBy(col("o_orderkey"))
     }),
+    "d6_dup_clusters" -> ((s, d) => Dedup.duplicateClusters(t(s, d, "embeddings"))),
+    "c6_boilerplate" -> ((s, d) => Curation.boilerplate(t(s, d, "documents"))),
+    "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
+    "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
+    "t5_scrub" -> ((s, d) => TextOps.scrubNumbers(t(s, d, "events"))),
+    "q26_small_qty" -> ((s, d) => Relational.smallQuantityRevenue(t(s, d, "lineitem"))),
+    "q27_salted_join" -> ((s, d) => {
+      val orders = t(s, d, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer").select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Relational.saltedJoin(orders, cust, "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.ColumnFns.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q28_latest_event" -> ((s, d) => Relational.latestEvent(t(s, d, "events"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
@@ -417,6 +433,71 @@ object SparkEntry {
           SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
             event_type, count(*) AS n, ${dsum("value")} AS sum_value
           FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE e AS (
+           SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b
+           ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.35),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+         SELECT v.vec_id, coalesce(lab.cluster_id, v.vec_id) AS cluster_id
+         FROM embeddings v LEFT JOIN lab ON lab.n = v.vec_id ORDER BY 1""",
+    "c6_boilerplate" ->
+      s"""WITH tok AS ($shingleTok),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+          df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1)
+          SELECT ex.doc_id, count(*) AS n_shingles,
+            CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+            CAST(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+              / count(*) AS boiler_ratio
+          FROM ex JOIN df ON ex.s = df.s GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "c7_repetition" ->
+      s"""WITH r AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]
+            ELSE [array_to_string(t, ' ')] END AS sh
+          FROM (SELECT doc_id, $toks AS t FROM documents))
+          SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+            CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+            1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio
+          FROM r ORDER BY doc_id""",
+    "c8_domain_stats" ->
+      """WITH lc AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+         top AS (SELECT source, lang AS top_lang FROM
+           (SELECT source, lang, row_number() OVER
+              (PARTITION BY source ORDER BY n DESC, lang) AS rn FROM lc)
+           WHERE rn = 1),
+         agg AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1)
+         SELECT agg.source, n_docs, sum_chars, n_langs,
+           CAST(sum_chars AS DOUBLE) / n_docs AS avg_chars, top_lang
+         FROM agg JOIN top ON agg.source = top.source ORDER BY agg.source""",
+    "t5_scrub" ->
+      """SELECT event_id, regexp_replace(props, '-?\d+', '<NUM>', 'g') AS scrubbed,
+         CAST(len(regexp_extract_all(props, '-?\d+')) AS INTEGER) AS n_redactions
+         FROM events ORDER BY event_id""",
+    "q26_small_qty" ->
+      s"""SELECT ${dsum("l_extendedprice")} AS total_price, count(*) AS n_items
+          FROM lineitem l JOIN (SELECT l_partkey AS pk, ${davg("l_quantity")} AS avg_qty
+                                FROM lineitem GROUP BY 1) p
+            ON l.l_partkey = p.pk
+          WHERE l.l_quantity < 0.5 * p.avg_qty""",
+    "q27_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${dsum("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1 ORDER BY 1""",
+    "q28_latest_event" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+         r AS (SELECT *, row_number() OVER
+           (PARTITION BY user_id ORDER BY se DESC, event_id DESC) AS rn FROM e)
+         SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           se AS last_sec, value AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "g1_entry" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
           ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,

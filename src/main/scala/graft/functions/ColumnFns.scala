@@ -71,6 +71,16 @@ object ColumnFns {
           i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** RAW (non-distinct) n-gram shingles over a materialized token array —
+    * for intra-document repetition measurement, where duplicate shingles
+    * are the signal that [[shinglesFromTokens]]'s distinct would erase. */
+  def rawShinglesFromTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+
   /** Distinct word n-gram shingles over [[tokens]] (space-joined).
     * Convenience form for tests/small data; hot paths use
     * [[shinglesFromTokens]] on a materialized column. */

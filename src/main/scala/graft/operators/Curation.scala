@@ -98,6 +98,66 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Corpus-boilerplate detection (the shingle generalization of
+    * CCNet-style line dedup): an n-gram shingle is boilerplate when it
+    * appears in ≥ `minDf` distinct documents; each document reports how
+    * much of it is boilerplate. Plan shape: explode distinct shingles →
+    * one shuffle to count document frequency → join back on the shingle
+    * key → per-doc aggregate. At 100 TB the df table is itself huge, so
+    * the join stays a shuffle join on the shingle hash (never broadcast),
+    * with map-side combine on both aggregations. */
+  def boilerplate(documents: DataFrame, n: Int = 3, minDf: Long = 2): DataFrame = {
+    val sh = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), n)).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      // exact bigint/bigint division — bit-identical across engines
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition ratio: 1 − distinct/total over RAW (non-
+    * distinct) n-gram shingles. Pure map — no shuffle at all; the classic
+    * "repeated paragraph" quality filter at corpus scale. */
+  def repetition(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("_sh", rawShinglesFromTokens(col("_toks"), n))
+      .select(col("doc_id"), size(col("_sh")).as("n_shingles"),
+        size(array_distinct(col("_sh"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source (domain) corpus statistics with the dominant language —
+    * the provenance-analysis pass used to weight or drop domains. Two
+    * aggregations shuffled on `source` + a broadcast of the tiny
+    * top-language table. */
+  def domainStats(documents: DataFrame): DataFrame = {
+    val langCounts = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("lang"))
+    val top = langCounts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(broadcast(top), "source")
+      // exact int sums divided in double — deterministic cross-engine
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("n_langs"),
+        col("avg_chars"), col("top_lang"))
+      .orderBy(col("source"))
+  }
+
   /** Document length histogram on fixed bucket edges (training-data
     * length filtering diagnostics). */
   def lengthBuckets(documents: DataFrame): DataFrame = {

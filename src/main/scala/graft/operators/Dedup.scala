@@ -170,6 +170,74 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Distributed connected components over an (a, b) edge list — the
+    * clustering stage that turns near-dup PAIRS into dedup GROUPS (keep
+    * one doc per component). Min-label propagation with pointer jumping
+    * (label-of-label), so convergence is O(log diameter) rounds instead
+    * of O(diameter) — a 60-deep chain resolves in ~6 rounds. Each round
+    * is two shuffled joins + one aggregation, all on the (small relative
+    * to the corpus) edge/label sets; lineage is truncated per round with
+    * localCheckpoint so plans don't grow exponentially.
+    *
+    * Returns (n, cluster_id) for every node appearing in an edge, where
+    * cluster_id = the smallest node id in the component (deterministic,
+    * engine-independent — a recursive SQL query computes the same ids).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val bidir = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var lab = bidir.groupBy(col("a").as("n"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("n"), least(col("n"), col("nb")).as("lab"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // best label reachable through one edge hop
+      val viaEdge = bidir
+        .join(lab.select(col("n").as("bn"), col("lab").as("blab")), col("b") === col("bn"))
+        .groupBy(col("a").as("en")).agg(min(col("blab")).as("elab"))
+      // pointer jump: the label of my label (doubles propagation distance)
+      val viaJump = lab.select(col("n").as("jn"), col("lab").as("jkey"))
+        .join(lab.select(col("n").as("jkey2"), col("lab").as("jlab")),
+          col("jkey") === col("jkey2"))
+        .select(col("jn"), col("jlab"))
+      val next = lab
+        .join(viaEdge, col("n") === col("en"), "left")
+        .join(viaJump, col("n") === col("jn"), "left")
+        .select(col("n"), col("lab"),
+          least(col("lab"), coalesce(col("elab"), col("lab")),
+            coalesce(col("jlab"), col("lab"))).as("lab2"))
+        .localCheckpoint()
+      converged = next.filter(col("lab2") < col("lab")).isEmpty
+      lab = next.select(col("n"), col("lab2").as("lab"))
+      iter += 1
+    }
+    bidir.unpersist()
+    // fixpoint ⇒ labels are constant across every edge ⇒ per-component
+    // constant, and the component's min node keeps its own id
+    lab.select(col("n"), col("lab").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the embedding corpus: cosine pairs (≥
+    * threshold) become edges, connected components become clusters, and
+    * every vector gets a cluster id (singletons label themselves). This is
+    * the full semantic-dedup pipeline shape: pair generation (here the
+    * exact baseline; at 100 TB swap in the LSH/IVF candidate stage) →
+    * component clustering → keep min-id per cluster. */
+  def duplicateClusters(embeddings: DataFrame, threshold: Double = 0.35,
+                        maxIter: Int = 25): DataFrame = {
+    val edges = embeddingPairs(embeddings, threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = connectedComponents(edges, maxIter)
+    embeddings.select(col("vec_id"))
+      .join(labels, col("vec_id") === col("n"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline; the
     * approximate scale path is Similarity.lshTopK's bucketing). */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {

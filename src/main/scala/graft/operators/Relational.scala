@@ -239,6 +239,38 @@ object Relational {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Correlated-scalar-subquery pattern (TPC-H Q17): lineitems whose
+    * quantity is below half their part's average quantity. Decorrelated
+    * into a per-part aggregate joined back on partkey — both sides
+    * shuffle once on partkey (the aggregate is one row per part, too big
+    * to broadcast at scale). The average goes through the exact decimal
+    * sum so the comparison threshold is engine-identical. */
+  def smallQuantityRevenue(lineitem: DataFrame): DataFrame = {
+    val partAvg = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg(decAvg(col("l_quantity")).as("avg_qty"))
+    lineitem
+      .join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(decSum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Latest-state extraction: the most recent event per user (the batch
+    * form of streaming keyed state; see StreamOps.latestState for the
+    * twin). One shuffle on user_id. Ordering is (second-truncated ts,
+    * event_id) — deterministic across engines and timestamp precisions. */
+  def latestEvent(events: DataFrame): DataFrame = {
+    val sec = epochSec(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(sec.desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), sec.as("last_sec"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Snowflake join: brand revenue for supplier-region-filtered
     * lineitems — exercises part ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
     * with every dimension broadcast. */

@@ -75,6 +75,29 @@ object TextOps {
         ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
       .orderBy(col("doc_id"))
 
+  /** Pattern redaction (PII-scrub plumbing): every match of each
+    * (pattern → tag) pair is replaced, and the total match count is
+    * reported per row. Pure map-side regex — embarrassingly parallel,
+    * codegen'd, no shuffle; swap in email/phone/SSN patterns for a real
+    * PII pass (the synthetic corpus carries none, so the gated query
+    * scrubs numeric ids out of the events props JSON instead). */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+            patterns: Seq[(String, String)]): DataFrame = {
+    val scrubbed = patterns.foldLeft(col(textCol)) {
+      case (acc, (pat, tag)) => regexp_replace(acc, pat, tag)
+    }
+    val counts = patterns.map { case (pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    }
+    df.select(col(idCol), scrubbed.as("scrubbed"),
+        counts.reduce(_ + _).as("n_redactions"))
+      .orderBy(col(idCol))
+  }
+
+  /** Gated scrub query: numeric-id redaction over events.props. */
+  def scrubNumbers(events: DataFrame): DataFrame =
+    scrub(events, "event_id", "props", Seq("-?\\d+" -> "<NUM>"))
+
   /** Rolling-hash winnowing fingerprint per document (char array is
     * materialized first — inline it and the split re-runs per window). */
   def fingerprints(documents: DataFrame): DataFrame =

@@ -103,6 +103,29 @@ object StreamOps {
       }
   }
 
+  case class Latest(user_id: Long, last_event_id: Long, last_type: String,
+                    last_sec: Long, last_value: Double)
+
+  /** Streaming keyed latest-state: one state row per user holding the
+    * most recent event by (second-truncated ts, event_id) — the streaming
+    * twin of Relational.latestEvent (update-mode sink; the per-user max
+    * over emitted updates equals the batch result). State is one fixed-
+    * size record per key, sharded by user across executors. */
+  def latestState(spark: SparkSession, events: Dataset[Ev]): Dataset[Latest] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Latest]) =>
+          val best = (state.getOption.iterator ++
+            evs.map(e => Latest(user, e.event_id, e.event_type,
+              e.ts.getTime / 1000, e.value)))
+            .maxBy(l => (l.last_sec, l.last_event_id))
+          state.update(best)
+          best
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right-side events of the same user from the preceding hour. Both
     * sides carry watermarks so the join state is bounded — the state

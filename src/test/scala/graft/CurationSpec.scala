@@ -64,6 +64,57 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("boilerplate: counts bounded, shared shingles flagged on a crafted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "alpha beta gamma delta other words"),
+      (3L, "totally different content here now")).toDF("doc_id", "text")
+    val out = Curation.boilerplate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "alpha beta gamma" and "beta gamma delta" appear in docs 1 and 2
+    assert(out(1L).getAs[Long]("n_boiler") === 2)
+    assert(out(2L).getAs[Long]("n_boiler") === 2)
+    assert(out(3L).getAs[Long]("n_boiler") === 0)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_shingles"))
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("repetition: repeated shingles detected, ratios in [0,1]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one distinct shingle, 4 raw
+      (2L, "all words here are different truly")).toDF("doc_id", "text")
+    val out = Curation.repetition(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_distinct") === 1)
+    assert(out(1L).getAs[Double]("rep_ratio") === 0.75)
+    assert(out(2L).getAs[Double]("rep_ratio") === 0.0)
+    val real = Curation.repetition(table("documents")).collect()
+    real.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_shingles"))
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("domain stats: doc counts partition the corpus, top_lang is a real mode") {
+    val docs = table("documents")
+    val out = Curation.domainStats(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val langsBySource = docs.groupBy("source", "lang").count().collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val src = r.getString(0)
+      val counts = langsBySource(src).map(x => x.getString(1) -> x.getLong(2)).toMap
+      val maxN = counts.values.max
+      assert(counts(r.getAs[String]("top_lang")) === maxN)
+      assert(r.getAs[Long]("n_langs") === counts.size)
+    }
+  }
+
   test("GraftExtensions registers functions in an extension-built session") {
     // newSession() builds a FRESH SessionState (no Tables.tune ran on it),
     // so graft_dot resolving here proves the extensions path works.

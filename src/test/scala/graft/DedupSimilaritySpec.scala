@@ -74,6 +74,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out === expected)
   }
 
+  test("connected components: chain + triangle resolve to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (diameter > 2 forces pointer jumping), triangle 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("duplicate clusters: edge endpoints share a cluster, labels are member minima") {
+    val pairs = Dedup.embeddingPairs(table("embeddings"), 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.duplicateClusters(table("embeddings"), 0.35).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === table("embeddings").count())
+    pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b), s"pair ($a,$b)") }
+    // every cluster's label is its smallest member
+    clusters.groupBy(_._2).foreach { case (lab, members) =>
+      assert(members.keys.min === lab)
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("brute-force ANN: k results per query, ranks contiguous, really top-k") {
     val out = Similarity.bruteTopK(table("embeddings"), numQueries = 3, k = 5).collect()
     val byQ = out.groupBy(_.getAs[Long]("q_id"))

@@ -68,4 +68,36 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     val sums = out.map(_.getAs[Double]("run_sum"))
     assert(sums.zip(sums.tail).forall { case (a, b) => b >= a })
   }
+
+  test("small-quantity revenue matches a driver-side recompute") {
+    val li = table("lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = li.groupBy(_._1).view.mapValues { rows =>
+      // mirror decAvg: exact decimal sum, /count, round to 4
+      val s = rows.map(r => BigDecimal(r._2).setScale(4)).sum
+      BigDecimal(s.toDouble / rows.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val kept = li.filter { case (pk, q, _) => q < 0.5 * avg(pk) }
+    val out = Relational.smallQuantityRevenue(table("lineitem")).collect()(0)
+    assert(out.getAs[Long]("n_items") === kept.length)
+    val expected = kept.map(r => BigDecimal(r._3).setScale(4)).sum
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("total_price") === expected)
+  }
+
+  test("latest event: one row per user, really the max (sec, id)") {
+    val out = Relational.latestEvent(table("events")).collect()
+    val events = table("events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._3, e._2))).toMap
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert((r.getAs[Long]("last_sec"), r.getAs[Long]("last_event_id")) ===
+        ((expected(u)._3, expected(u)._2)))
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamOps
-import graft.operators.TimeJoins
+import graft.operators.{Relational, TimeJoins}
 import java.sql.Timestamp
 
 class StreamingSpec extends AnyFunSuite with SharedSpark {
@@ -109,6 +109,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
     assert(streamed === batch)
     assert(batch.nonEmpty)
+  }
+
+  test("streaming latest-state agrees with the batch latestEvent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventData()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.latestState(spark, mem.toDS()).writeStream
+      .format("memory").queryName("latest_out").outputMode("update").start()
+    mem.addData(b2); q.processAllAvailable() // second half first: order-robust
+    mem.addData(b1); q.processAllAvailable(); q.stop()
+    // final state per user = max over the update stream's emitted rows
+    val streamed = spark.table("latest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(x => (x._4, x._2)) }.toSet
+    val batch = Relational.latestEvent(table("events")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[String]("last_type"), r.getAs[Long]("last_sec"),
+        r.getAs[Double]("last_value"))).toSet
+    assert(streamed === batch)
   }
 
   test("streaming dedup drops duplicate keys") {

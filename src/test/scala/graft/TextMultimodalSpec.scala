@@ -40,6 +40,21 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(a.sameElements(b))
   }
 
+  test("scrub redacts every pattern match and counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "call 555 or -42 now"), (2L, "no digits at all")).toDF("id", "body")
+    val out = TextOps.scrub(df, "id", "body", Seq("-?\\d+" -> "<NUM>"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("scrubbed") === "call <NUM> or <NUM> now")
+    assert(out(1L).getAs[Int]("n_redactions") === 2)
+    assert(out(2L).getAs[String]("scrubbed") === "no digits at all")
+    assert(out(2L).getAs[Int]("n_redactions") === 0)
+    // gated form: no digits survive anywhere
+    TextOps.scrubNumbers(table("events")).collect().foreach { r =>
+      assert(!r.getAs[String]("scrubbed").exists(_.isDigit))
+    }
+  }
+
   test("media meta: derived fields consistent with byte length") {
     Multimodal.mediaMeta(table("documents")).collect().foreach { r =>
       val len = r.getAs[Int]("byte_len")
