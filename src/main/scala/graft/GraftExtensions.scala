@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSignature, SimHash, SortedIntersectCount}
+import graft.functions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args(0))))
   }
 }

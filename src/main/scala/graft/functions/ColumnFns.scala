@@ -41,6 +41,14 @@ object ColumnFns {
     sum(prod).cast(DecimalType(38, 2)).cast("double")
   }
 
+  /** Exact decimal product of raw columns WITHOUT the sum/round — for
+    * two-level aggregations that sum partials exactly and round once at
+    * the end (sum-then-round must happen exactly once to match the
+    * single-level decProdSum bit-for-bit). */
+  def decProd(price: Column, factors: Column*): Column =
+    factors.foldLeft(price.cast(DecimalType(12, 4)))(
+      (acc, f) => acc * f.cast(DecimalType(8, 4)))
+
   /** Exact-sum average, rounded to 4 decimals. */
   def decAvg(c: Column): Column =
     decRound(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)

@@ -52,6 +52,33 @@ object Signatures {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Winnowing fingerprint: min over rolling polynomial hashes of char
+    * 4-grams (code points, matching split(text,"")+ascii semantics of the
+    * composable ColumnFns.fingerprintFromChars — and DuckDB's
+    * string_split+ord). One pass over the string; the composable form
+    * walks a per-char array with 4 element lookups per window. Int math
+    * (corpus is BMP text; same overflow envelope as the composable form). */
+  def fingerprint(s: org.apache.spark.unsafe.types.UTF8String): java.lang.Integer = {
+    val str = s.toString
+    val len = str.length
+    // rolling window of the last 4 code points
+    var c0, c1, c2, c3 = 0
+    var seen = 0
+    var min = Int.MaxValue
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      c0 = c1; c1 = c2; c2 = c3; c3 = cp
+      seen += 1
+      if (seen >= 4) {
+        val h = c0 * 29791 + c1 * 961 + c2 * 31 + c3
+        if (h < min) min = h
+      }
+    }
+    if (seen < 4) null else Integer.valueOf(min)
+  }
+
   /** SimHash: bit j set iff elements with bit j outnumber those without. */
   def simhash(in: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -100,6 +127,30 @@ case class MinHashSignature(child: Expression)
     nullSafeCodeGen(ctx, ev, in =>
       s"${ev.value} = graft.functions.Signatures.minhash($in, $a, $b);")
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass rolling 4-gram min-hash fingerprint of a string (null when
+  * the string has fewer than 4 code points). */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(in: Any): Any =
+    Signatures.fingerprint(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+      java.lang.Integer ${ev.value}_r = graft.functions.Signatures.fingerprint($in);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }
+    """)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -60,8 +60,14 @@ object Dedup {
       col("hsh").as("sh_a"), col("shn").as("na"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
       col("hsh").as("sh_b"), col("shn").as("nb"))
+    // size-ratio prefix filter: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max, so
+    // J ≤ min/max — pairs whose sizes differ by > 1/θ can't reach the
+    // threshold. A two-int comparison is cheap enough to live in the join
+    // condition (unlike the intersection itself, see jaccFiltered).
     jaccFiltered(
-      a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b")),
+      a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb"))),
       threshold)
   }
 

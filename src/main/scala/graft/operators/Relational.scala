@@ -289,17 +289,35 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
 
-  /** Flagship: region × year revenue cube over the full star. */
+  /** Flagship: region × year revenue cube over the full star.
+    *
+    * n_orders is a DISTINCT order count per cell. Instead of a two-phase
+    * distinct aggregate over the full lineitem⋈orders join output (a
+    * per-cell distinct-key exchange of every joined row — the widest
+    * shuffle in the query at 100 TB), aggregate per ORDER first: the
+    * grouping contains the join key, so the partial reuses the join's
+    * hash partitioning shuffle-free, and the final aggregate only
+    * exchanges one row per order. Revenue partials stay exact decimal
+    * and are rounded ONCE at the end — bit-identical to the single-level
+    * decProdSum. */
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
-                  orders: DataFrame, lineitem: DataFrame): DataFrame =
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+                  orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val custGeo = customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(
-        decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+      .select(col("c_custkey"), col("r_name"))
+    val o = orders
+      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("r_name"), year(col("o_orderdate")).as("o_year"))
+    val perOrder = lineitem
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("o_year"), col("o_orderkey"))
+      .agg(sum(decProd(col("l_extendedprice"), lit(1) - col("l_discount"))).as("orev"))
+    perOrder
+      .groupBy(col("r_name"), col("o_year"))
+      .agg(sum(col("orev")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"), col("o_year"))
+  }
 }

@@ -98,11 +98,13 @@ object TextOps {
   def scrubNumbers(events: DataFrame): DataFrame =
     scrub(events, "event_id", "props", Seq("-?\\d+" -> "<NUM>"))
 
-  /** Rolling-hash winnowing fingerprint per document (char array is
-    * materialized first — inline it and the split re-runs per window). */
+  /** Rolling-hash winnowing fingerprint per document, via the one-pass
+    * native graft_fingerprint expression (bit-identical to the composable
+    * ColumnFns.fingerprintFromChars reference — spec-asserted — but one
+    * string walk instead of a char-array with 4 lookups per window). */
   def fingerprints(documents: DataFrame): DataFrame =
     documents
-      .withColumn("_chars", split(col("text"), ""))
-      .select(col("doc_id"), fingerprintFromChars(col("_chars")).as("fp"))
+      .select(col("doc_id"),
+        call_function("graft_fingerprint", col("text")).as("fp"))
       .orderBy(col("doc_id"))
 }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{DotProduct, MinHashSignature, SimHash, SortedIntersectCount}
+import graft.functions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -29,6 +29,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_simhash64",
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash(args(0)),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_fingerprint",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingFingerprint(args(0)),
       "built-in")
   }
 }

@@ -40,6 +40,24 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(a.sameElements(b))
   }
 
+  test("native fingerprint is bit-identical to the composable reference") {
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "abc"), (3L, "abcd"), (4L, "  x  "),
+      (5L, "héllo wörld")).toDF("doc_id", "text")
+    val docs = table("documents").select("doc_id", "text").union(edge)
+    val both = docs
+      .withColumn("_chars", split(col("text"), ""))
+      .select(col("doc_id"),
+        graft.functions.ColumnFns.fingerprintFromChars(col("_chars")).as("ref"),
+        call_function("graft_fingerprint", col("text")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"nullability doc ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getInt(1) === r.getInt(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("scrub redacts every pattern match and counts them") {
     import spark.implicits._
     val df = Seq((1L, "call 555 or -42 now"), (2L, "no digits at all")).toDF("id", "body")
