@@ -100,6 +100,10 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
     "q28_latest_event" -> ((s, d) => Relational.latestEvent(t(s, d, "events"))),
+    "q29_deciles" -> ((s, d) => Relational.priceDeciles(t(s, d, "orders"))),
+    "c9_source_mix" -> ((s, d) => Curation.sourceMix(t(s, d, "documents"),
+      Map("src0" -> 1000, "src1" -> 250, "src2" -> 0))),
+    "t6_normalize" -> ((s, d) => TextOps.normalize(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
@@ -498,6 +502,30 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id, event_type AS last_type,
            se AS last_sec, value AS last_value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "q29_deciles" ->
+      """SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile, count(*) AS n,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+               ntile(10) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS decile
+               FROM orders)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c9_source_mix" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+         WHERE ((doc_id % 1000003) * 2654435761 + 104729) % 1000 <
+           CASE WHEN source = 'src0' THEN 1000
+                WHEN source = 'src1' THEN 250
+                WHEN source = 'src2' THEN 0
+                ELSE 500 END
+         GROUP BY 1 ORDER BY 1""",
+    "t6_normalize" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),
+                        '\s+', ' ', 'g') AS norm_text,
+         CAST(length(text) AS INTEGER) AS n_chars_raw,
+         CAST(length(regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),
+                     '\s+', ' ', 'g')) AS INTEGER) AS n_chars_norm
+         FROM documents ORDER BY doc_id""",
     "g1_entry" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
           ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,

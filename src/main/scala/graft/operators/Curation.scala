@@ -158,6 +158,24 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Deterministic dataset mixing: each source is sampled at its own
+    * rate (permille), via the same engine-independent multiplicative
+    * hash gate as [[hashSplit]] — so the mix is reproducible on any
+    * engine/partitioning and stable as the corpus grows (a kept doc
+    * stays kept). The pure-map gate + one aggregation is the 100 TB
+    * shape for corpus re-weighting. */
+  def sourceMix(documents: DataFrame, rates: Map[String, Int],
+                defaultPermille: Int = 500, seed: Long = 104729L): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille)) {
+      case (acc, (s, r)) => when(col("source") === s, r).otherwise(acc)
+    }
+    val gate =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + lit(seed), lit(1000L))
+    documents.filter(gate < rate)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Document length histogram on fixed bucket edges (training-data
     * length filtering diagnostics). */
   def lengthBuckets(documents: DataFrame): DataFrame = {

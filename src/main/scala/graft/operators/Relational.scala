@@ -255,6 +255,22 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Per-group price deciles via NTILE. The window is PARTITIONED (by
+    * order priority) deliberately: a global ntile would force every row
+    * into one partition — the partition-parallel form is the only shape
+    * that survives 100 TB (for global quantiles use `percentiles`'
+    * aggregate instead). */
+  def priceDeciles(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
   /** Latest-state extraction: the most recent event per user (the batch
     * form of streaming keyed state; see StreamOps.latestState for the
     * twin). One shuffle on user_id. Ordering is (second-truncated ts,

@@ -75,6 +75,17 @@ object TextOps {
         ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
       .orderBy(col("doc_id"))
 
+  /** Canonical text normalization: lowercase, trim, strip punctuation,
+    * collapse whitespace — the standard pre-tokenization cleanup pass.
+    * Map-only, codegen'd. */
+  def normalize(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[.,!?;:]", ""), "\\s+", " ")
+    documents.select(col("doc_id"), norm.as("norm_text"),
+        length(col("text")).as("n_chars_raw"), length(norm).as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pattern redaction (PII-scrub plumbing): every match of each
     * (pattern → tag) pair is replaced, and the total match count is
     * reported per row. Pure map-side regex — embarrassingly parallel,

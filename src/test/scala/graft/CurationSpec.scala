@@ -115,6 +115,21 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("source mix: rates honored, deterministic under repartitioning") {
+    val docs = table("documents")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("src0" -> 1000, "src1" -> 0)
+    val out = Curation.sourceMix(docs, rates).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("src0") === perSource("src0")) // rate 1000‰ keeps everything
+    assert(!out.contains("src1")) // rate 0 drops the source entirely
+    out.foreach { case (s, n) => assert(n <= perSource(s)) }
+    val again = Curation.sourceMix(docs.repartition(7), rates).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("GraftExtensions registers functions in an extension-built session") {
     // newSession() builds a FRESH SessionState (no Tables.tune ran on it),
     // so graft_dot resolving here proves the extensions path works.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Curation, Dedup, TextOps}
 
 /** Degenerate-input behavior: empty, whitespace-only, single-word and
   * sub-n-gram documents must flow through every text operator without
@@ -43,5 +43,28 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(sh.forall(_.getAs[Int]("dist") <= 3))
     val ex = Dedup.exact(edgeDocs).collect()
     assert(ex.length === 6)
+  }
+
+  test("curation ops survive empty/short docs") {
+    val bp = Curation.boilerplate(edgeDocs).collect()
+    assert(bp.length === 6) // every doc yields >= 1 shingle, even ""
+    val rep = Curation.repetition(edgeDocs).collect()
+    rep.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    val ds = Curation.domainStats(edgeDocs).collect()
+    assert(ds.map(_.getAs[Long]("n_docs")).sum === 6)
+  }
+
+  test("connected components on an empty edge set labels every node itself") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(noEdges).isEmpty)
+    // duplicateClusters with an impossible threshold: all singletons
+    val vecs = table("embeddings").limit(20)
+    val out = Dedup.duplicateClusters(vecs, threshold = 1.1).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.length === 20)
   }
 }

@@ -86,6 +86,23 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out.getAs[Double]("total_price") === expected)
   }
 
+  test("price deciles: cover each priority group, monotone boundaries") {
+    val out = Relational.priceDeciles(table("orders")).collect()
+    val groupCounts = table("orders").groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (prio, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum === groupCounts(prio))
+      assert(rows.map(_.getAs[Int]("decile")).sorted.sameElements(1 to rows.length))
+      // deciles are ordered price bands
+      val sorted = rows.sortBy(_.getAs[Int]("decile"))
+      sorted.foreach(r =>
+        assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price")))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
+      }
+    }
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),

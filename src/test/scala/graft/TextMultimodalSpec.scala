@@ -58,6 +58,21 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("normalize: lowercase, punctuation-free, single-spaced") {
+    import spark.implicits._
+    val df = Seq((1L, "  Hello,  WORLD!? x  "), (2L, "already clean"))
+      .toDF("doc_id", "text")
+    val out = TextOps.normalize(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("norm_text") === "hello world x")
+    assert(out(2L).getAs[String]("norm_text") === "already clean")
+    TextOps.normalize(table("documents")).collect().foreach { r =>
+      val n = r.getAs[String]("norm_text")
+      assert(!n.exists(_.isUpper) && !n.contains("  "))
+      assert(r.getAs[Int]("n_chars_norm") === n.length)
+      assert(r.getAs[Int]("n_chars_norm") <= r.getAs[Int]("n_chars_raw"))
+    }
+  }
+
   test("scrub redacts every pattern match and counts them") {
     import spark.implicits._
     val df = Seq((1L, "call 555 or -42 now"), (2L, "no digits at all")).toDF("id", "body")
