@@ -110,8 +110,11 @@ object Curation {
     val sh = documents
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), n)).as("sh"))
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+    // document frequency via a window over the shingle key: ONE shuffle of
+    // the exploded rows (a df-aggregate + join back would shuffle them on
+    // the same key AND re-run the explode pipeline for the second side)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    sh.withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))

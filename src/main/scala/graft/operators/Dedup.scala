@@ -190,6 +190,7 @@ object Dedup {
     * engine-independent — a recursive SQL query computes the same ids).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val bidir = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
@@ -197,27 +198,34 @@ object Dedup {
       .agg(min(col("b")).as("nb"))
       .select(col("n"), least(col("n"), col("nb")).as("lab"))
       .localCheckpoint()
+    // labels only ever DECREASE, so the (exact decimal) label sum is a
+    // strictly monotone progress measure: unchanged sum ⇔ fixpoint. One
+    // scalar action per round on the checkpointed labels, instead of an
+    // old-vs-new comparison join.
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lab").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge set
+    var prevSum = labSum(lab)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // best label reachable through one edge hop
+      // candidate labels: my own, the best through one edge hop, and the
+      // label of my label (pointer jump — doubles propagation distance);
+      // one union + one shuffled min-aggregate per round
       val viaEdge = bidir
         .join(lab.select(col("n").as("bn"), col("lab").as("blab")), col("b") === col("bn"))
-        .groupBy(col("a").as("en")).agg(min(col("blab")).as("elab"))
-      // pointer jump: the label of my label (doubles propagation distance)
+        .select(col("a").as("n"), col("blab").as("lab"))
       val viaJump = lab.select(col("n").as("jn"), col("lab").as("jkey"))
         .join(lab.select(col("n").as("jkey2"), col("lab").as("jlab")),
           col("jkey") === col("jkey2"))
-        .select(col("jn"), col("jlab"))
-      val next = lab
-        .join(viaEdge, col("n") === col("en"), "left")
-        .join(viaJump, col("n") === col("jn"), "left")
-        .select(col("n"), col("lab"),
-          least(col("lab"), coalesce(col("elab"), col("lab")),
-            coalesce(col("jlab"), col("lab"))).as("lab2"))
+        .select(col("jn").as("n"), col("jlab").as("lab"))
+      val next = lab.union(viaEdge).union(viaJump)
+        .groupBy(col("n")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
-      converged = next.filter(col("lab2") < col("lab")).isEmpty
-      lab = next.select(col("n"), col("lab2").as("lab"))
+      val s = labSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      lab = next
       iter += 1
     }
     bidir.unpersist()

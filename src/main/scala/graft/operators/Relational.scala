@@ -164,10 +164,12 @@ object Relational {
       .orderBy(col("event_type"))
 
   /** HLL++ approximate distinct — sketch-mergeable, one narrow shuffle.
-    * (rows-only oracle: sketch estimates are engine-specific.) */
-  def approxDistinct(events: DataFrame): DataFrame =
+    * rsd 2% = 4k registers/group: the sketch-size/precision point where
+    * the per-row update stays cheap at fact-table row counts. (rows-only
+    * oracle: sketch estimates are engine-specific.) */
+  def approxDistinct(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy(col("event_type"))
 
   /** Exact interpolated percentiles per group. */
