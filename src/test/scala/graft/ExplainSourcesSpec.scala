@@ -44,6 +44,30 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
       "HashAggregate not inside a codegen stage")
   }
 
+  test("flagship has no per-cell distinct expand; partial agg on the fact join") {
+    val df = Relational.revenueCube(table("region"), table("nation"),
+      table("customer"), table("orders"), table("lineitem"))
+    df.collect()
+    val p = plan(df)
+    // the two-level shape must not reintroduce a distinct aggregate
+    assert(!p.contains("Expand"), "distinct expand reappeared in the flagship")
+    assert(p.contains("partial_sum"), "no map-side combine in flagship aggregates")
+  }
+
+  test("boilerplate shuffles the exploded shingles exactly once") {
+    val df = graft.operators.Curation.boilerplate(table("documents"))
+    df.collect()
+    // AQE's toString appends an "Initial Plan" section — audit the final
+    // plan only, or every node double-counts
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // window over sh + final agg on doc_id + global sort = 3 exchanges max;
+    // the agg+join-back shape would add a fourth (df-aggregate exchange)
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 3, s"too many exchanges ($exchanges) in:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate explode")) <= 1,
+      s"explode pipeline duplicated in:\n$p")
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = table("nation")
