@@ -293,8 +293,8 @@ object SparkEntry {
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+         WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
          ORDER BY 1, 2""",
     "s1_ann_brute" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -441,8 +441,8 @@ object SparkEntry {
       """WITH RECURSIVE e AS (
            SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b
            ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])) >= 0.35),
+           WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.35),
          bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
          nodes AS (SELECT DISTINCT a AS n FROM bidir),
          reach(n, m) AS (SELECT n, n FROM nodes UNION
@@ -512,7 +512,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "c9_source_mix" ->
       """SELECT source, count(*) AS n_kept FROM documents
-         WHERE ((doc_id % 1000003) * 2654435761 + 104729) % 1000 <
+         WHERE ((doc_id % 1000003) * 2246822519 + 104729) % 1000 <
            CASE WHEN source = 'src0' THEN 1000
                 WHEN source = 'src1' THEN 250
                 WHEN source = 'src2' THEN 0

@@ -35,11 +35,8 @@ object ColumnFns {
     * decimal form, so the cast is boundary-safe), then multiplied exactly.
     * Casting a computed double product instead would disagree with other
     * engines ~1/10^5 rows — decimal-domain multiplication never does. */
-  def decProdSum(price: Column, factors: Column*): Column = {
-    val prod = factors.foldLeft(price.cast(DecimalType(12, 4)))(
-      (acc, f) => acc * f.cast(DecimalType(8, 4)))
-    sum(prod).cast(DecimalType(38, 2)).cast("double")
-  }
+  def decProdSum(price: Column, factors: Column*): Column =
+    sum(decProd(price, factors: _*)).cast(DecimalType(38, 2)).cast("double")
 
   /** Exact decimal product of raw columns WITHOUT the sum/round — for
     * two-level aggregations that sum partials exactly and round once at
@@ -72,12 +69,7 @@ object ColumnFns {
     * linear scan into O(len²) per row (measured 30× on the bench).
     */
   def shinglesFromTokens(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-      .otherwise(array(concat_ws(" ", toks)))
+    array_distinct(rawShinglesFromTokens(toks, n))
 
   /** RAW (non-distinct) n-gram shingles over a materialized token array —
     * for intra-document repetition measurement, where duplicate shingles

@@ -172,8 +172,13 @@ object Curation {
     val rate = rates.foldLeft(lit(defaultPermille)) {
       case (acc, (s, r)) => when(col("source") === s, r).otherwise(acc)
     }
+    // DIFFERENT multiplier than hashSplit's 2654435761 (xxhash prime2
+    // instead of the Knuth constant): with the same hash, mix and split
+    // would be the same value mod 1000 vs mod 100 — a 5%-rate mix would
+    // land every kept doc in 'train'. Distinct multipliers decorrelate
+    // the two gates. Same overflow-safe mod-reduce-first shape.
     val gate =
-      pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + lit(seed), lit(1000L))
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(seed), lit(1000L))
     documents.filter(gate < rate)
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))

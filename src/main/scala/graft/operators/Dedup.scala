@@ -263,7 +263,12 @@ object Dedup {
     v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
         col("id_a") < col("id_b"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      // threshold compare on the DECIMAL-rounded cosine: a raw-double
+      // compare flips for pairs within an ulp of the threshold when
+      // engines associate the norm product differently (same fragility
+      // Similarity.topK's ranking guards against)
+      .filter(decRound(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -94,14 +94,16 @@ object TextOps {
     * scrubs numeric ids out of the events props JSON instead). */
   def scrub(df: DataFrame, idCol: String, textCol: String,
             patterns: Seq[(String, String)]): DataFrame = {
-    val scrubbed = patterns.foldLeft(col(textCol)) {
-      case (acc, (pat, tag)) => regexp_replace(acc, pat, tag)
+    // patterns apply SEQUENTIALLY, each counting its matches against the
+    // text it actually rewrites — so n_redactions always equals the number
+    // of replacements performed. Replacement tags are visible to later
+    // patterns; pick tags that no later pattern matches.
+    val (scrubbed, total) = patterns.foldLeft((col(textCol), lit(0))) {
+      case ((txt, cnt), (pat, tag)) =>
+        (regexp_replace(txt, pat, tag),
+          cnt + size(regexp_extract_all(txt, lit(pat), lit(0))))
     }
-    val counts = patterns.map { case (pat, _) =>
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
-    }
-    df.select(col(idCol), scrubbed.as("scrubbed"),
-        counts.reduce(_ + _).as("n_redactions"))
+    df.select(col(idCol), scrubbed.as("scrubbed"), total.as("n_redactions"))
       .orderBy(col(idCol))
   }
 

@@ -65,9 +65,12 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
+    // mirror the operator's decimal-rounded threshold compare
+    def cos6(a: Array[Double], b: Array[Double]) =
+      BigDecimal(cos(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = (for {
       (i, vi) <- vecs.toSeq; (j, vj) <- vecs.toSeq
-      if i < j && cos(vi, vj) >= 0.45
+      if i < j && cos6(vi, vj) >= 0.45
     } yield (i, j)).toSet
     val out = Dedup.embeddingPairs(table("embeddings")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -82,6 +82,12 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(1L).getAs[Int]("n_redactions") === 2)
     assert(out(2L).getAs[String]("scrubbed") === "no digits at all")
     assert(out(2L).getAs[Int]("n_redactions") === 0)
+    // multi-pattern: each stage counts against the text it rewrites
+    val multi = TextOps.scrub(df, "id", "body",
+      Seq("-?\\d+" -> "[N]", "call|now" -> "[V]")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(multi(1L).getAs[String]("scrubbed") === "[V] [N] or [N] [V]")
+    assert(multi(1L).getAs[Int]("n_redactions") === 4)
     // gated form: no digits survive anywhere
     TextOps.scrubNumbers(table("events")).collect().foreach { r =>
       assert(!r.getAs[String]("scrubbed").exists(_.isDigit))
