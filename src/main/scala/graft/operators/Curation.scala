@@ -38,7 +38,11 @@ object Curation {
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
-    terms.join(broadcast(df), "term")
+    // NO broadcast hint on the df join: the vocabulary of a 100 TB corpus
+    // is itself huge. Both sides are aggregates keyed on term, so the
+    // shuffle join reuses their partitioning; AQE still broadcasts when
+    // the measured size is small.
+    terms.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         decRound(col("tf") * log(col("n").cast("double") / col("df")), 6))
@@ -153,7 +157,10 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("lang")).as("n_langs"))
-      .join(broadcast(top), "source")
+      // no broadcast hint: at web scale 'source' is millions of domains;
+      // both sides are per-source aggregates, the join reuses their
+      // partitioning (AQE broadcasts small cases on its own)
+      .join(top, "source")
       // exact int sums divided in double — deterministic cross-engine
       .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
       .select(col("source"), col("n_docs"), col("sum_chars"), col("n_langs"),
