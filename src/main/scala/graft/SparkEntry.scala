@@ -104,6 +104,10 @@ object SparkEntry {
     "c9_source_mix" -> ((s, d) => Curation.sourceMix(t(s, d, "documents"),
       Map("src0" -> 1000, "src1" -> 250, "src2" -> 0))),
     "t6_normalize" -> ((s, d) => TextOps.normalize(t(s, d, "documents"))),
+    "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
+    "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
+    "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
+    "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
@@ -132,6 +136,16 @@ object SparkEntry {
     val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
     s"CAST(len(list_filter(t, x -> list_contains($words, x))) AS INTEGER)"
   }
+  // quality_score subquery shared by t2-style scoring consumers (d7)
+  private def qualityScoreSql =
+    s"""SELECT doc_id, (CASE WHEN n_words BETWEEN 5 AND 2000 THEN 1 ELSE 0 END +
+        CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END +
+        CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS quality_score
+        FROM (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words,
+          CAST(${stopHits("en")} AS DOUBLE) / nullif(len(t), 0) AS stop_ratio,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / nullif(length(text), 0) AS punct_ratio
+          FROM (SELECT doc_id, text, $toks AS t FROM documents))"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -526,6 +540,41 @@ object SparkEntry {
          CAST(length(regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),
                      '\s+', ' ', 'g')) AS INTEGER) AS n_chars_norm
          FROM documents ORDER BY doc_id""",
+    "q30_cume_users" ->
+      """WITH fd AS (SELECT user_id, min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+           FROM events GROUP BY 1),
+         pd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+         SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_users
+         FROM pd ORDER BY day""",
+    "q31_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER) + 1
+           END AS bucket,
+         count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "t7_unigram_ll" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+          tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
+          tot AS (SELECT count(*) AS total FROM tk)
+          SELECT doc_id, count(*) AS n_tokens,
+            CAST(CAST(CAST(sum(CAST(CAST(ln(CAST(tf.tf AS DOUBLE) / tot.total)
+                 AS DECIMAL(38,6)) AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
+          FROM tk JOIN tf ON tk.term = tf.term, tot
+          GROUP BY doc_id ORDER BY doc_id""",
+    "d7_canonical" ->
+      s"""WITH q AS ($qualityScoreSql),
+          j AS (SELECT d.doc_id, d.text, q.quality_score
+                FROM documents d JOIN q ON d.doc_id = q.doc_id),
+          r AS (SELECT doc_id, quality_score,
+                CAST(row_number() OVER (PARTITION BY text
+                  ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rn,
+                count(*) OVER (PARTITION BY text) AS dup_count FROM j)
+          SELECT doc_id, quality_score, CAST(dup_count AS BIGINT) AS dup_count
+          FROM r WHERE rn = 1 ORDER BY doc_id""",
     "g1_entry" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
           ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,

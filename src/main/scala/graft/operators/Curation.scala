@@ -191,6 +191,30 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Per-document average unigram log-likelihood under the corpus
+    * unigram distribution — the classic cheap LM-quality signal
+    * (gibberish and boilerplate score low). Per-token log-probs are
+    * rounded in the decimal domain before the exact decimal sum, so the
+    * score is engine-stable; the tf join is left to AQE (vocabulary-sized
+    * at corpus scale). */
+  def unigramLogLik(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .select(col("doc_id"), col("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(tf, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("ll", decRound(log(col("tf").cast("double") / col("total")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ll").cast(DecimalType(28, 6))).as("_sll"))
+      .select(col("doc_id"), col("n_tokens"),
+        decRound(col("_sll").cast("double") / col("n_tokens"), 4).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document length histogram on fixed bucket edges (training-data
     * length filtering diagnostics). */
   def lengthBuckets(documents: DataFrame): DataFrame = {

@@ -273,6 +273,41 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("decile"))
   }
 
+  /** Cumulative distinct-user growth curve WITHOUT a cumulative distinct:
+    * each user contributes on their first active day (one agg on
+    * user_id), the per-day new-user counts are tiny, and the running sum
+    * windows over days only — the classic incremental-distinct rewrite.
+    * (The final window is a single partition of per-DAY rows — thousands
+    * of rows even at 100 TB, not fact-table-sized.) */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(fmtDate(date_trunc("day", col("ts")))).as("day"))
+    val perDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("cume_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  /** Fixed-bound numeric histogram, width_bucket semantics (0 below the
+    * range, nBuckets+1 above) spelled as explicit floor arithmetic —
+    * bit-identical in any IEEE engine, and portable to engines without
+    * width_bucket (DuckDB 1.0). */
+  def priceHistogram(orders: DataFrame, lo: Double = 0.0, hi: Double = 600000.0,
+                     nBuckets: Int = 12): DataFrame = {
+    val width = (hi - lo) / nBuckets
+    val x = col("o_totalprice")
+    val bucket = when(x < lo, 0).when(x >= hi, nBuckets + 1)
+      .otherwise(floor((x - lo) / width).cast("int") + 1)
+    orders
+      .select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Latest-state extraction: the most recent event per user (the batch
     * form of streaming keyed state; see StreamOps.latestState for the
     * twin). One shuffle on user_id. Ordering is (second-truncated ts,

@@ -41,7 +41,12 @@ object TextOps {
 
   /** Heuristic quality metrics + integer quality score.
     * All ratios are int/int divisions — exact in IEEE double. */
-  def quality(documents: DataFrame): DataFrame = {
+  def quality(documents: DataFrame): DataFrame =
+    qualityMetrics(documents).orderBy(col("doc_id"))
+
+  /** [[quality]] without the output ordering — for composition inside
+    * other operators (a global sort below a join is wasted work). */
+  def qualityMetrics(documents: DataFrame): DataFrame = {
     val withToks = documents.withColumn("_toks", tokens(col("text")))
     val toks = col("_toks")
     val nWords = size(toks)
@@ -62,7 +67,6 @@ object TextOps {
         (when(nWords.between(5, 2000), 1).otherwise(0) +
          when(punctRatio < 0.1, 1).otherwise(0) +
          when(stopRatio > 0.05, 1).otherwise(0)).as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   /** Whitespace + BPE-ish regex token counts + the len/4 heuristic. */

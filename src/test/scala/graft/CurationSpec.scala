@@ -115,6 +115,19 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("unigram log-likelihood: negative scores, repeated-token docs score higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),   // all mass on one token
+      (2L, "rare0 rare1 rare2 rare3")).toDF("doc_id", "text")
+    val out = Curation.unigramLogLik(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4)
+    // doc 1's token has p=4/8, doc 2's each p=1/8 → doc 1 scores higher
+    assert(out(1L).getAs[Double]("avg_ll") > out(2L).getAs[Double]("avg_ll"))
+    Curation.unigramLogLik(table("documents")).collect()
+      .foreach(r => assert(r.getAs[Double]("avg_ll") < 0.0))
+  }
+
   test("source mix: rates honored, deterministic under repartitioning") {
     val docs = table("documents")
     val perSource = docs.groupBy("source").count().collect()

@@ -77,6 +77,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out === expected)
   }
 
+  test("canonical: one survivor per text group, best quality wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of and to in is words here now"), // dup text, high stop ratio
+      (2L, "the a of and to in is words here now"),
+      (3L, "zz qq xx")).toDF("doc_id", "text")
+    val out = Dedup.canonical(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 3L)) // equal quality ⇒ min id survives
+    assert(out(1L).getAs[Long]("dup_count") === 2)
+    assert(out(3L).getAs[Long]("dup_count") === 1)
+    // full corpus: survivors' dup counts add up to the corpus size
+    val real = Dedup.canonical(table("documents")).collect()
+    assert(real.map(_.getAs[Long]("dup_count")).sum === table("documents").count())
+  }
+
   test("connected components: chain + triangle resolve to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4-5-6 (diameter > 2 forces pointer jumping), triangle 10-11-12

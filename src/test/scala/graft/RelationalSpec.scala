@@ -103,6 +103,24 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("cumulative users: monotone, ends at total distinct users") {
+    val out = Relational.cumulativeUsers(table("events")).collect()
+    val cume = out.map(_.getAs[Long]("cume_users"))
+    assert(cume.zip(cume.tail).forall { case (a, b) => b > a })
+    assert(cume.last === table("events").select("user_id").distinct().count())
+    assert(out.map(_.getAs[Long]("new_users")).sum === cume.last)
+  }
+
+  test("price histogram: buckets partition all orders, bounds inside bands") {
+    val out = Relational.priceHistogram(table("orders")).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === table("orders").count())
+    out.filter(r => r.getInt(0) >= 1 && r.getInt(0) <= 12).foreach { r =>
+      val b = r.getInt(0)
+      assert(r.getAs[Double]("min_price") >= (b - 1) * 50000.0)
+      assert(r.getAs[Double]("max_price") < b * 50000.0)
+    }
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),
