@@ -108,6 +108,7 @@ object SparkEntry {
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
+    "c10_funnel" -> ((s, d) => Curation.curationFunnel(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
@@ -135,6 +136,21 @@ object SparkEntry {
   private def stopHits(lang: String): String = {
     val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
     s"CAST(len(list_filter(t, x -> list_contains($words, x))) AS INTEGER)"
+  }
+  // pred_lang subquery shared by t1-style consumers (c10)
+  private def predLangSql = {
+    val g = "greatest(score_en, score_es, score_de, score_fr, score_zh)"
+    s"""SELECT doc_id,
+        CASE WHEN $g = 0 THEN 'und'
+             WHEN score_en = $g THEN 'en'
+             WHEN score_es = $g THEN 'es'
+             WHEN score_de = $g THEN 'de'
+             WHEN score_fr = $g THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+        FROM (SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
+              ${stopHits("de")} AS score_de, ${stopHits("fr")} AS score_fr,
+              ${stopHits("zh")} AS score_zh
+              FROM (SELECT doc_id, $toks AS t FROM documents))"""
   }
   // quality_score subquery shared by t2-style scoring consumers (d7)
   private def qualityScoreSql =
@@ -575,6 +591,25 @@ object SparkEntry {
                 count(*) OVER (PARTITION BY text) AS dup_count FROM j)
           SELECT doc_id, quality_score, CAST(dup_count AS BIGINT) AS dup_count
           FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "c10_funnel" ->
+      s"""WITH L AS ($predLangSql),
+          Q AS ($qualityScoreSql),
+          f AS (SELECT d.doc_id, d.text, d.n_chars,
+                (L.pred_lang = 'en') AS f1, (Q.quality_score >= 2) AS f2,
+                (d.n_chars BETWEEN 100 AND 2000) AS f3
+                FROM documents d JOIN L ON d.doc_id = L.doc_id
+                                 JOIN Q ON d.doc_id = Q.doc_id),
+          a AS (SELECT count(*) AS n_all,
+                CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+                CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+                count(DISTINCT CASE WHEN f1 AND f2 AND f3 THEN text END) AS n_dedup FROM f)
+          SELECT '0_all' AS stage, n_all AS n_docs FROM a
+          UNION ALL SELECT '1_lang', n_lang FROM a
+          UNION ALL SELECT '2_quality', n_quality FROM a
+          UNION ALL SELECT '3_length', n_length FROM a
+          UNION ALL SELECT '4_dedup', n_dedup FROM a
+          ORDER BY 1""",
     "g1_entry" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
           ${dprod("l_extendedprice", "1 - l_discount")} AS revenue,

@@ -215,6 +215,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation funnel: survivor counts after each stage of the
+    * standard pre-training pipeline (language gate → quality gate →
+    * length band → exact dedup). Computed as a SINGLE conditional
+    * aggregation over one scan — stage predicates become boolean flags
+    * and the funnel is sums of flag conjunctions (+ a distinct count for
+    * the dedup stage) — instead of five filtered sub-scans. That single
+    * pass is the difference between one and five reads of a 100 TB
+    * corpus. */
+  def curationFunnel(documents: DataFrame, lang: String = "en",
+                     minQuality: Int = 2, minChars: Long = 100,
+                     maxChars: Long = 2000): DataFrame = {
+    val l = TextOps.langIdMetrics(documents).select(col("doc_id"), col("pred_lang"))
+    val q = TextOps.qualityMetrics(documents).select(col("doc_id"), col("quality_score"))
+    val flagged = documents.select(col("doc_id"), col("text"), col("n_chars"))
+      .join(l, "doc_id").join(q, "doc_id")
+      .select(col("text"),
+        (col("pred_lang") === lang).as("f1"),
+        (col("quality_score") >= minQuality).as("f2"),
+        col("n_chars").between(minChars, maxChars).as("f3"))
+    val row = flagged.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n_length"),
+      countDistinct(when(col("f1") && col("f2") && col("f3"), col("text")))
+        .as("n_dedup"))
+    row.select(expr(
+        "stack(5, '0_all', n_all, '1_lang', n_lang, '2_quality', n_quality, " +
+        "'3_length', n_length, '4_dedup', n_dedup) AS (stage, n_docs)"))
+      .orderBy(col("stage"))
+  }
+
   /** Document length histogram on fixed bucket edges (training-data
     * length filtering diagnostics). */
   def lengthBuckets(documents: DataFrame): DataFrame = {

@@ -24,7 +24,11 @@ object TextOps {
 
   /** Stopword-overlap language ID with a fixed priority tie-break.
     * Tokens are materialized once per row before the per-language scans. */
-  def langId(documents: DataFrame): DataFrame = {
+  def langId(documents: DataFrame): DataFrame =
+    langIdMetrics(documents).orderBy(col("doc_id"))
+
+  /** [[langId]] without the output ordering (see [[qualityMetrics]]). */
+  def langIdMetrics(documents: DataFrame): DataFrame = {
     val withToks = documents.withColumn("_toks", tokens(col("text")))
     val toks = col("_toks")
     val scores = langOrder.map(l => l -> stopwordHits(toks, stopwords(l)))
@@ -36,7 +40,6 @@ object TextOps {
     withToks.select(
         (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
         pred.as("pred_lang"): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** Heuristic quality metrics + integer quality score.

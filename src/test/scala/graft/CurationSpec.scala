@@ -128,6 +128,19 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       .foreach(r => assert(r.getAs[Double]("avg_ll") < 0.0))
   }
 
+  test("curation funnel: stages are a monotone funnel starting at the corpus size") {
+    val out = Curation.curationFunnel(table("documents")).collect()
+    assert(out.map(_.getString(0)).sameElements(
+      Seq("0_all", "1_lang", "2_quality", "3_length", "4_dedup")))
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    assert(counts.head === table("documents").count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    // cross-check stage 1 against the standalone language operator
+    val enDocs = graft.operators.TextOps.langId(table("documents"))
+      .filter(col("pred_lang") === "en").count()
+    assert(counts(1) === enDocs)
+  }
+
   test("source mix: rates honored, deterministic under repartitioning") {
     val docs = table("documents")
     val perSource = docs.groupBy("source").count().collect()
