@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Dedup, TimeJoins}
+import scala.util.Random
+
+/** Property-style checks: seeded random inputs against independent
+  * driver-side reference implementations (deterministic seeds; small
+  * sizes — each case round-trips through Spark jobs). */
+class PropertySpec extends AnyFunSuite with SharedSpark {
+
+  /** Driver-side union-find reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOfRoot = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    roots.map { case (k, r) => k -> minOfRoot(r) }
+  }
+
+  test("connected components equals union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (_ <- 1 to 6) {
+      val n = 2 + rnd.nextInt(24)
+      val edges = List.fill(1 + rnd.nextInt(40)) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === unionFind(edges), s"edges: $edges")
+      }
+    }
+  }
+
+  test("sessionize partitions random event sets into gap-consistent sessions") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (_ <- 1 to 5) {
+      val evs = (0 until (1 + rnd.nextInt(40))).map(i => (i.toLong, rnd.nextInt(20000).toLong))
+      val df = evs.toDF("event_id", "sec")
+        .select(col("event_id"), lit(1L).as("user_id"),
+          timestamp_seconds(col("sec")).as("ts"), lit(1.0).as("value"))
+      val sessions = TimeJoins.sessionize(df).collect()
+        .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("n_events")))
+      assert(sessions.map(_._2).sum === evs.length)
+      // session starts are exactly the gap-rule boundaries of sorted times
+      val secs = evs.map(_._2).sorted
+      val expectedStarts = secs.head +: secs.zip(secs.tail)
+        .collect { case (a, b) if b - a > 1800 => b }
+      assert(sessions.map(_._1).sorted.sameElements(expectedStarts.distinct.sorted),
+        s"events: $secs")
+    }
+  }
+
+  test("hash split assignment is per-doc stable under corpus subsetting") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val ids = List.fill(60)(rnd.nextLong(1000000L)).distinct
+    val docs = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val full = Curation.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = Curation.hashSplit(docs.limit(ids.length / 2 + 1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, split) => assert(full(id) === split) }
+    assert(half.nonEmpty)
+  }
+}

@@ -111,6 +111,24 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("tumbling window drops events later than the watermark (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, offSec: Long) =
+      StreamOps.Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", 1.0)
+    val mem = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("wm_drop").outputMode("update").start()
+    mem.addData(ev(1, 4 * 3600)); q.processAllAvailable() // watermark → t0+2h
+    mem.addData(ev(2, 0)); q.processAllAvailable()        // t0 < watermark: dropped
+    q.stop()
+    val windows = spark.table("wm_drop").collect().map(_.getString(0)).toSet
+    val t0Window = java.time.Instant.ofEpochMilli(t0).toString.take(13).replace("T", " ") + ":00:00"
+    assert(!windows.contains(t0Window), s"late event not dropped: $windows")
+    assert(windows.nonEmpty)
+  }
+
   test("streaming latest-state agrees with the batch latestEvent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
