@@ -137,31 +137,42 @@ object SparkEntry {
     val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
     s"CAST(len(list_filter(t, x -> list_contains($words, x))) AS INTEGER)"
   }
-  // pred_lang subquery shared by t1-style consumers (c10)
-  private def predLangSql = {
+  // SINGLE SOURCE per scoring formula: t1/c10 and t2/d7 oracles all build
+  // from these fragments, so a tie-break or score tweak cannot
+  // desynchronize the oracles from each other (they must all hash-match
+  // the one Spark implementation in TextOps).
+  private def langScoresSql =
+    s"""SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
+        ${stopHits("de")} AS score_de, ${stopHits("fr")} AS score_fr,
+        ${stopHits("zh")} AS score_zh
+        FROM (SELECT doc_id, $toks AS t FROM documents)"""
+  private val predLangCase = {
     val g = "greatest(score_en, score_es, score_de, score_fr, score_zh)"
-    s"""SELECT doc_id,
-        CASE WHEN $g = 0 THEN 'und'
-             WHEN score_en = $g THEN 'en'
-             WHEN score_es = $g THEN 'es'
-             WHEN score_de = $g THEN 'de'
-             WHEN score_fr = $g THEN 'fr'
-             ELSE 'zh' END AS pred_lang
-        FROM (SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
-              ${stopHits("de")} AS score_de, ${stopHits("fr")} AS score_fr,
-              ${stopHits("zh")} AS score_zh
-              FROM (SELECT doc_id, $toks AS t FROM documents))"""
+    s"""CASE WHEN $g = 0 THEN 'und'
+         WHEN score_en = $g THEN 'en'
+         WHEN score_es = $g THEN 'es'
+         WHEN score_de = $g THEN 'de'
+         WHEN score_fr = $g THEN 'fr'
+         ELSE 'zh' END"""
   }
-  // quality_score subquery shared by t2-style scoring consumers (d7)
-  private def qualityScoreSql =
-    s"""SELECT doc_id, (CASE WHEN n_words BETWEEN 5 AND 2000 THEN 1 ELSE 0 END +
+  private def predLangSql =
+    s"SELECT doc_id, $predLangCase AS pred_lang FROM ($langScoresSql)"
+  private def qualityBaseSql =
+    s"""SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words, punct_cnt,
+        CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+          / nullif(len(t), 0) AS avg_word_len,
+        CAST(${stopHits("en")} AS DOUBLE) / nullif(len(t), 0) AS stop_ratio,
+        CAST(punct_cnt AS DOUBLE) / nullif(txt_len, 0) AS punct_ratio
+        FROM (SELECT doc_id, $toks AS t, length(text) AS txt_len,
+              CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS INTEGER) AS punct_cnt
+              FROM documents)"""
+  private val qualityCase =
+    """(CASE WHEN n_words BETWEEN 5 AND 2000 THEN 1 ELSE 0 END +
         CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END +
-        CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS quality_score
-        FROM (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words,
-          CAST(${stopHits("en")} AS DOUBLE) / nullif(len(t), 0) AS stop_ratio,
-          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-            / nullif(length(text), 0) AS punct_ratio
-          FROM (SELECT doc_id, text, $toks AS t FROM documents))"""
+        CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END)"""
+  private def qualityScoreSql =
+    s"SELECT doc_id, $qualityCase AS quality_score FROM ($qualityBaseSql)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -336,32 +347,14 @@ object SparkEntry {
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
     "t1_lang_id" ->
-      s"""WITH s AS (SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
-            ${stopHits("de")} AS score_de, ${stopHits("fr")} AS score_fr,
-            ${stopHits("zh")} AS score_zh
-            FROM (SELECT doc_id, $toks AS t FROM documents))
+      s"""WITH s AS ($langScoresSql)
           SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
-          CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
-               WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
-               WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
-               WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
-               WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
-               ELSE 'zh' END AS pred_lang
+          $predLangCase AS pred_lang
           FROM s ORDER BY doc_id""",
     "t2_quality" ->
-      s"""WITH b AS (SELECT doc_id, $toks AS t, length(text) AS txt_len,
-            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER)
-              AS punct_cnt FROM documents),
-          c AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words, punct_cnt,
-            CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-              / nullif(len(t), 0) AS avg_word_len,
-            CAST(${stopHits("en")} AS DOUBLE) / nullif(len(t), 0) AS stop_ratio,
-            CAST(punct_cnt AS DOUBLE) / nullif(txt_len, 0) AS punct_ratio FROM b)
-          SELECT doc_id, n_words, punct_cnt, avg_word_len, stop_ratio,
-          (CASE WHEN n_words BETWEEN 5 AND 2000 THEN 1 ELSE 0 END +
-           CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END +
-           CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS quality_score
-          FROM c ORDER BY doc_id""",
+      s"""SELECT doc_id, n_words, punct_cnt, avg_word_len, stop_ratio,
+          $qualityCase AS quality_score
+          FROM ($qualityBaseSql) ORDER BY doc_id""",
     "t3_tokens" ->
       s"""SELECT doc_id, CAST(len($toks) AS INTEGER) AS ws_tokens,
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER)
@@ -561,8 +554,8 @@ object SparkEntry {
            FROM events GROUP BY 1),
          pd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
          SELECT day, new_users,
-           sum(new_users) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_users
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
          FROM pd ORDER BY day""",
     "q31_histogram" ->
       """SELECT CASE WHEN o_totalprice < 0.0 THEN 0

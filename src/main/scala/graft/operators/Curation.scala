@@ -39,9 +39,9 @@ object Curation {
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     // NO broadcast hint on the df join: the vocabulary of a 100 TB corpus
-    // is itself huge. Both sides are aggregates keyed on term, so the
-    // shuffle join reuses their partitioning; AQE still broadcasts when
-    // the measured size is small.
+    // is itself huge. The df side's aggregate partitioning is reused; the
+    // per-(doc,term) side reshuffles on term — unavoidable once the df
+    // table can't broadcast. AQE still broadcasts small measured sizes.
     terms.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -226,13 +226,14 @@ object Curation {
   def curationFunnel(documents: DataFrame, lang: String = "en",
                      minQuality: Int = 2, minChars: Long = 100,
                      maxChars: Long = 2000): DataFrame = {
-    val l = TextOps.langIdMetrics(documents).select(col("doc_id"), col("pred_lang"))
-    val q = TextOps.qualityMetrics(documents).select(col("doc_id"), col("quality_score"))
-    val flagged = documents.select(col("doc_id"), col("text"), col("n_chars"))
-      .join(l, "doc_id").join(q, "doc_id")
+    // flags are pure column expressions over one materialized token
+    // array — truly one scan, no joins (pred_lang/quality_score as
+    // separate DataFrames would shuffle the full corpus twice on doc_id)
+    val flagged = documents
+      .withColumn("_toks", tokens(col("text")))
       .select(col("text"),
-        (col("pred_lang") === lang).as("f1"),
-        (col("quality_score") >= minQuality).as("f2"),
+        (TextOps.predLangCol(col("_toks")) === lang).as("f1"),
+        (TextOps.qualityScoreCol(col("text"), col("_toks")) >= minQuality).as("f2"),
         col("n_chars").between(minChars, maxChars).as("f3"))
     val row = flagged.agg(
       count(lit(1)).as("n_all"),

@@ -185,13 +185,15 @@ object Dedup {
     * a hash bucket — same plan shape). */
   def canonical(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextOps.qualityMetrics(documents)
-      .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("text"))
       .orderBy(col("quality_score").desc, col("doc_id"))
     val wg = Window.partitionBy(col("text"))
-    documents.select(col("doc_id"), col("text"))
-      .join(q, "doc_id")
+    // quality score computed inline (pure column expression) — one scan,
+    // then the single shuffle on the text key for both windows
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        TextOps.qualityScoreCol(col("text"), col("_toks")).as("quality_score"))
       .withColumn("rn", row_number().over(w))
       .withColumn("dup_count", count(lit(1)).over(wg))
       .filter(col("rn") === 1)

@@ -27,25 +27,47 @@ object TextOps {
   def langId(documents: DataFrame): DataFrame =
     langIdMetrics(documents).orderBy(col("doc_id"))
 
+  /** Predicted language as a pure Column over a MATERIALIZED token array
+    * — composable into single-scan pipelines (canonical/funnel). */
+  def predLangCol(toks: Column): Column = {
+    val scores = langOrder.map(l => stopwordHits(toks, stopwords(l)))
+    val best = greatest(scores: _*)
+    // foldRight gives en-first priority: the first lang equal to max wins.
+    langOrder.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
   /** [[langId]] without the output ordering (see [[qualityMetrics]]). */
   def langIdMetrics(documents: DataFrame): DataFrame = {
     val withToks = documents.withColumn("_toks", tokens(col("text")))
     val toks = col("_toks")
     val scores = langOrder.map(l => l -> stopwordHits(toks, stopwords(l)))
-    val best = greatest(scores.map(_._2): _*)
-    val pred = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
-    }
-    // foldRight gives en-first priority: the first lang equal to max wins.
     withToks.select(
         (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
-        pred.as("pred_lang"): _*)
+        predLangCol(toks).as("pred_lang"): _*)
   }
 
   /** Heuristic quality metrics + integer quality score.
     * All ratios are int/int divisions — exact in IEEE double. */
   def quality(documents: DataFrame): DataFrame =
     qualityMetrics(documents).orderBy(col("doc_id"))
+
+  /** Integer quality score as a pure Column over the text plus a
+    * MATERIALIZED token array — composable into single-scan pipelines. */
+  def qualityScoreCol(text: Column, toks: Column): Column = {
+    val nWords = size(toks)
+    val txtLen = length(text)
+    val punctCnt = txtLen - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stopCnt = stopwordHits(toks, stopwords("en"))
+    // nullif guards: empty/whitespace docs have 0 words / 0 chars and
+    // must yield null ratios, not an ANSI divide-by-zero error
+    val punctRatio = punctCnt.cast("double") / nullif(txtLen, lit(0))
+    val stopRatio = stopCnt.cast("double") / nullif(nWords, lit(0))
+    when(nWords.between(5, 2000), 1).otherwise(0) +
+      when(punctRatio < 0.1, 1).otherwise(0) +
+      when(stopRatio > 0.05, 1).otherwise(0)
+  }
 
   /** [[quality]] without the output ordering — for composition inside
     * other operators (a global sort below a join is wasted work). */
@@ -57,9 +79,6 @@ object TextOps {
     val punctCnt = txtLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
     val stopCnt = stopwordHits(toks, stopwords("en"))
     val charSum = aggregate(toks, lit(0), (acc, t) => acc + length(t))
-    // nullif guards: empty/whitespace docs have 0 words / 0 chars and
-    // must yield null ratios, not an ANSI divide-by-zero error
-    val punctRatio = punctCnt.cast("double") / nullif(txtLen, lit(0))
     val stopRatio = stopCnt.cast("double") / nullif(nWords, lit(0))
     withToks.select(
         col("doc_id"),
@@ -67,9 +86,7 @@ object TextOps {
         punctCnt.as("punct_cnt"),
         (charSum.cast("double") / nullif(nWords, lit(0))).as("avg_word_len"),
         stopRatio.as("stop_ratio"),
-        (when(nWords.between(5, 2000), 1).otherwise(0) +
-         when(punctRatio < 0.1, 1).otherwise(0) +
-         when(stopRatio > 0.05, 1).otherwise(0)).as("quality_score"))
+        qualityScoreCol(col("text"), toks).as("quality_score"))
   }
 
   /** Whitespace + BPE-ish regex token counts + the len/4 heuristic. */

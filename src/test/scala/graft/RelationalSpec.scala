@@ -104,6 +104,19 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("cumulative users: monotone, ends at total distinct users") {
+    import spark.implicits._
+    // sf0.001 events land on one day — synthesize a 3-day curve so the
+    // running-sum window is actually exercised across rows
+    val day = 86400L
+    val evs = Seq( // (event_id, user, sec): u1 d1, u2 d1, u2 d2 (repeat), u3 d3
+      (1L, 1L, 0L), (2L, 2L, 100L), (3L, 2L, day + 5), (4L, 3L, 2 * day + 5))
+      .toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val curve = Relational.cumulativeUsers(evs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("new_users"), r.getAs[Long]("cume_users")))
+    assert(curve.map(c => (c._2, c._3)).sameElements(Seq((2L, 2L), (1L, 3L))))
+    // real table: totals still consistent
     val out = Relational.cumulativeUsers(table("events")).collect()
     val cume = out.map(_.getAs[Long]("cume_users"))
     assert(cume.zip(cume.tail).forall { case (a, b) => b > a })
