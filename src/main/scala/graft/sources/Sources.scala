@@ -29,6 +29,14 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Streaming parquet-directory source (schema-explicit — streaming
+    * sources cannot infer, and shouldn't at scale anyway; file listing
+    * is incremental per micro-batch). Feed into any StreamOps transform
+    * and a checkpointed writeStream sink for the live half of a
+    * backfill+live pipeline. */
+  def streamParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
   /** Partitioned, stats-friendly parquet write: partition columns prune
     * whole directories; sortWithinPartitions orders row groups so
     * min/max statistics make selective scans skip pages. */

@@ -150,6 +150,37 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("file readStream → watermarked agg → checkpointed parquet writeStream") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (in, out, chk) = (s"$dir/in", s"$dir/out", s"$dir/chk")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val evs = eventData().take(200)
+    evs.toDF().write.mode("overwrite").parquet(in)
+    val q = StreamOps.tumblingCounts(
+        graft.sources.Sources.streamParquet(spark, in, schema))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // append mode emits a window only once the watermark passes it — a
+    // far-future sentinel file seals every real window
+    val last = evs.map(_.ts.getTime).max
+    Seq(StreamOps.Ev(-1L, new Timestamp(last + 86400L * 1000), 999999L, "view", 0.0))
+      .toDF().write.mode("append").parquet(in)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = TimeJoins.tumblingWindow(evs.toDF())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
