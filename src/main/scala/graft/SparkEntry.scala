@@ -67,6 +67,7 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "m2_media_features" -> ((s, d) => Multimodal.mediaFrames(s, t(s, d, "documents"))),
+    "m3_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
@@ -383,6 +384,13 @@ object SparkEntry {
          64 AS feat_dim
          FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
          ORDER BY doc_id, frame_id""",
+    "m3_frame_dedup" ->
+      """WITH fr AS (SELECT doc_id,
+           CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean
+           FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f))
+         SELECT CAST(floor(feat_mean * 32) AS INTEGER) AS bucket,
+           count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
+         FROM fr GROUP BY 1 ORDER BY 1""",
     "c1_top_ngrams" ->
       s"""WITH tok AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
             list_distinct([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)])

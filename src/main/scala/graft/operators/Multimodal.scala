@@ -50,15 +50,34 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Decode → per-frame features through the typed mapPartitions path. */
-  def mediaFrames(spark: SparkSession, documents: DataFrame,
-                  decoder: MediaDecoder = StubDecoder): DataFrame = {
+  private def decodedFrames(spark: SparkSession, documents: DataFrame,
+                            decoder: MediaDecoder): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaIn] =
       documents.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn]
     media.mapPartitions { it =>
       val dec = decoder // per-partition binding; a real codec would init here
       it.flatMap(dec.frames)
-    }.toDF().orderBy(col("doc_id"), col("frame_id"))
+    }.toDF()
   }
+
+  /** Decode → per-frame features through the typed mapPartitions path. */
+  def mediaFrames(spark: SparkSession, documents: DataFrame,
+                  decoder: MediaDecoder = StubDecoder): DataFrame =
+    decodedFrames(spark, documents, decoder)
+      .orderBy(col("doc_id"), col("frame_id"))
+
+  /** Frame-level near-dup buckets: decoded frame features quantized into
+    * `buckets` bands; frames landing in the same band across documents
+    * are dedup candidates (the perceptual-hash bucketing shape — with a
+    * real decoder the feature would be a pHash/embedding, and the
+    * downstream exact-verify joins within buckets exactly like the text
+    * LSH family). Decode is map-side; one shuffle on the band key. */
+  def frameDedup(spark: SparkSession, documents: DataFrame,
+                 decoder: MediaDecoder = StubDecoder, buckets: Int = 32): DataFrame =
+    decodedFrames(spark, documents, decoder)
+      .select(floor(col("feat_mean") * buckets).cast("int").as("bucket"), col("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_frames"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
 }

@@ -103,6 +103,16 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("frame dedup: buckets cover all frames, bucket ids in range") {
+    val frames = Multimodal.mediaFrames(spark, table("documents")).count()
+    val out = Multimodal.frameDedup(spark, table("documents")).collect()
+    assert(out.map(_.getAs[Long]("n_frames")).sum === frames)
+    out.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 32)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_frames"))
+    }
+  }
+
   test("media frames: stub decoder emits n_frames rows per doc") {
     val meta = Multimodal.mediaMeta(table("documents")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
