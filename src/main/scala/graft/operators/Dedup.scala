@@ -56,16 +56,25 @@ object Dedup {
 
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingled(documents)
+    // Blocking key = (source, size band). Blocking on source alone caps
+    // parallelism at the number of sources (20 here — 20 tasks no matter
+    // the cluster); the log2-size band multiplies key cardinality. The
+    // size-ratio bound J ≤ min/max means qualifying pairs differ by ≤ m
+    // bands (2^m ≥ 1/θ), so the probe side replicates into k−m..k+m and
+    // every qualifying pair meets in EXACTLY one band (build side keeps
+    // its own band only) — no distinct needed, no recall loss.
+    val m = math.max(1, math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt)
+    val band = floor(log(2.0, col("shn"))).cast("int")
     val a = sh.select(col("doc_id").as("doc_a"), col("source"),
-      col("hsh").as("sh_a"), col("shn").as("na"))
+      col("hsh").as("sh_a"), col("shn").as("na"), band.as("band"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
-      col("hsh").as("sh_b"), col("shn").as("nb"))
-    // size-ratio prefix filter: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max, so
-    // J ≤ min/max — pairs whose sizes differ by > 1/θ can't reach the
-    // threshold. A two-int comparison is cheap enough to live in the join
-    // condition (unlike the intersection itself, see jaccFiltered).
+        col("hsh").as("sh_b"), col("shn").as("nb"), band.as("kb"))
+      .withColumn("band2", explode(array((-m to m).map(d => col("kb") + d): _*)))
+    // the two-int size-ratio comparison is cheap enough for the join
+    // condition (unlike the intersection itself, see jaccFiltered)
     jaccFiltered(
-      a.join(b, col("source") === col("src_b") && col("doc_a") < col("doc_b") &&
+      a.join(b, col("source") === col("src_b") && col("band") === col("band2") &&
+        col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")).cast("double") >=
           lit(threshold) * greatest(col("na"), col("nb"))),
       threshold)
