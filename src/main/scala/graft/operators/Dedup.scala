@@ -65,18 +65,28 @@ object Dedup {
     // its own band only) — no distinct needed, no recall loss.
     val m = math.max(1, math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt)
     val band = floor(log(2.0, col("shn"))).cast("int")
-    val a = sh.select(col("doc_id").as("doc_a"), col("source"),
-      col("hsh").as("sh_a"), col("shn").as("na"), band.as("band"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
-        col("hsh").as("sh_b"), col("shn").as("nb"), band.as("kb"))
+    // candidate generation runs on SKINNY columns only (ids + sizes +
+    // band): the (2m+1)x probe replication then multiplies 8-byte keys,
+    // not the hashed-shingle arrays, which join back by doc id
+    // afterwards (same shape as minhashPairs' verify stage)
+    val skinny = sh.select(col("doc_id"), col("source"), col("shn"), band.as("k"))
+    val a = skinny.select(col("doc_id").as("doc_a"), col("source"),
+      col("shn").as("na"), col("k").as("band"))
+    val b = skinny.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+        col("shn").as("nb"), col("k").as("kb"))
       .withColumn("band2", explode(array((-m to m).map(d => col("kb") + d): _*)))
     // the two-int size-ratio comparison is cheap enough for the join
     // condition (unlike the intersection itself, see jaccFiltered)
-    jaccFiltered(
-      a.join(b, col("source") === col("src_b") && col("band") === col("band2") &&
+    val cand = a.join(b,
+        col("source") === col("src_b") && col("band") === col("band2") &&
         col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")).cast("double") >=
-          lit(threshold) * greatest(col("na"), col("nb"))),
+          lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    jaccFiltered(
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), "doc_b"),
       threshold)
   }
 
