@@ -107,6 +107,7 @@ object SparkEntry {
     "t6_normalize" -> ((s, d) => TextOps.normalize(t(s, d, "documents"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
+    "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
     "c10_funnel" -> ((s, d) => Curation.curationFunnel(t(s, d, "documents"))),
@@ -572,6 +573,13 @@ object SparkEntry {
            END AS bucket,
          count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q32_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se, event_id FROM events),
+         f AS (SELECT event_type, lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY se, event_id) AS next_type FROM e)
+         SELECT event_type, next_type, count(*) AS n FROM f
+         WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
     "t7_unigram_ll" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
           tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),

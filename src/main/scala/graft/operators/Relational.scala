@@ -308,6 +308,21 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Event-type transition counts (the Markov transition matrix of user
+    * behaviour): one shuffle on user_id, a linear lead() pass, then a
+    * tiny type×type aggregate — no self-join on the event stream. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("se"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), epochSec(col("ts")).as("se"),
+        col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** Latest-state extraction: the most recent event per user (the batch
     * form of streaming keyed state; see StreamOps.latestState for the
     * twin). One shuffle on user_id. Ordering is (second-truncated ts,

@@ -134,6 +134,18 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("event transitions: counts sum to events minus one per user") {
+    val out = Relational.eventTransitions(table("events")).collect()
+    val total = table("events").count()
+    val users = table("events").select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum === total - users)
+    val types = table("events").select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    out.foreach { r =>
+      assert(types.contains(r.getString(0)) && types.contains(r.getString(1)))
+    }
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),
