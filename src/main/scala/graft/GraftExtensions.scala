@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
       (args: Seq[Expression]) => RollingFingerprint(args(0))))
+    // HOF dot-product → native graft_dot rewrite (semantics-guarded)
+    ext.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
   }
 }

@@ -40,6 +40,9 @@ object Tables {
     // operators already state explicitly.
     c.set("spark.sql.constraintPropagation.enabled", "false")
     org.apache.spark.sql.graftx.GraftFunctions.register(spark)
+    // HOF dot-product → native graft_dot (idempotent assignment; sessions
+    // built with GraftExtensions get the same rule via injectOptimizerRule)
+    spark.experimental.extraOptimizations = Seq(graft.plans.NativeVectorRewrite)
     spark
   }
 }

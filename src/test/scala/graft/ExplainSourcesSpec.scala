@@ -68,6 +68,23 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
       s"explode pipeline duplicated in:\n$p")
   }
 
+  test("optimizer rewrites the HOF dot product to the native expression") {
+    import graft.functions.ColumnFns
+    // range-backed input (a literal toDF collapses to a LocalRelation and
+    // is constant-folded before the plan can be inspected)
+    val df = spark.range(3).select(col("id").cast("double").as("x"))
+      .select(array(col("x"), lit(2.0)).as("a"),
+        when(col("x") === 2.0, array(lit(4.0)))
+          .otherwise(array(lit(4.0), lit(5.0))).as("b")) // ragged at x=2
+    val hof = df.select(ColumnFns.dotHof(col("a"), col("b")).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"rewrite did not fire:\n${hof.queryExecution.optimizedPlan}")
+    val rows = hof.orderBy(col("d").asc_nulls_last).collect()
+    // x=0: [0,2]·[4,5]=10 ; x=1: [1,2]·[4,5]=14 ; x=2 ragged → HOF's NULL
+    assert(rows(0).getDouble(0) === 10.0 && rows(1).getDouble(0) === 14.0)
+    assert(rows(2).isNullAt(0))
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = table("nation")
