@@ -40,9 +40,13 @@ object Tables {
     // operators already state explicitly.
     c.set("spark.sql.constraintPropagation.enabled", "false")
     org.apache.spark.sql.graftx.GraftFunctions.register(spark)
-    // HOF dot-product → native graft_dot (idempotent assignment; sessions
-    // built with GraftExtensions get the same rule via injectOptimizerRule)
-    spark.experimental.extraOptimizations = Seq(graft.plans.NativeVectorRewrite)
+    // HOF dot-product → native graft_dot. APPEND (idempotently) rather
+    // than assign: tune() must not clobber optimizer rules the caller
+    // registered on the session. (GraftExtensions-built sessions get the
+    // same rule via injectOptimizerRule.)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NativeVectorRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NativeVectorRewrite
     spark
   }
 }

