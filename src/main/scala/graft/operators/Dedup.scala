@@ -233,11 +233,43 @@ object Dedup {
     * cluster_id = the smallest node id in the component (deterministic,
     * engine-independent — a recursive SQL query computes the same ids).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          maxDriverEdges: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bidir = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+    // persist the EDGE LIST itself (often the output of an expensive pair
+    // generation) so the size probe, the driver fast path and the
+    // distributed loop all read the one materialization
+    val e = edges.select(col("a"), col("b")).persist()
+    // The near-dup pair graph is a tiny DERIVED artifact (pairs, not the
+    // corpus). Below the bound, component resolution runs driver-side:
+    // one collect of the edge list + linear union-find beats rounds of
+    // distributed iteration whose cost is pure stage-scheduling overhead
+    // (the same small-graph fast path GraphFrames takes). The pointer-
+    // jumping loop below remains the path for genuinely large graphs.
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { // iterative: stack-safe on long chains
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val roots = parent.keys.map(k => k -> find(k)).toMap
+      val minOfRoot = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val sess = edges.sparkSession
+      import sess.implicits._
+      return roots.toSeq.map { case (k, r) => (k, minOfRoot(r)) }
+        .toDF("n", "cluster_id")
+    }
+    val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
     var lab = bidir.groupBy(col("a").as("n"))
       .agg(min(col("b")).as("nb"))
       .select(col("n"), least(col("n"), col("nb")).as("lab"))
@@ -272,7 +304,7 @@ object Dedup {
       lab = next
       iter += 1
     }
-    bidir.unpersist()
+    e.unpersist()
     // fixpoint ⇒ labels are constant across every edge ⇒ per-component
     // constant, and the component's min node keeps its own id
     lab.select(col("n"), col("lab").as("cluster_id"))

@@ -36,9 +36,16 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         (math.min(a, b), math.max(a, b))
       }.filter(e => e._1 != e._2)
       if (edges.nonEmpty) {
-        val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        val expected = unionFind(edges)
+        // driver fast path (default bound) and the distributed pointer-
+        // jumping loop (bound forced to 0) must both match the reference
+        val fast = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got === unionFind(edges), s"edges: $edges")
+        assert(fast === expected, s"fast path, edges: $edges")
+        val dist = Dedup.connectedComponents(edges.toDF("a", "b"),
+          maxDriverEdges = 0L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist === expected, s"distributed path, edges: $edges")
       }
     }
   }
