@@ -105,6 +105,7 @@ object SparkEntry {
     "c9_source_mix" -> ((s, d) => Curation.sourceMix(t(s, d, "documents"),
       Map("src0" -> 1000, "src1" -> 250, "src2" -> 0))),
     "t6_normalize" -> ((s, d) => TextOps.normalize(t(s, d, "documents"))),
+    "c11_shards" -> ((s, d) => Curation.shardAssign(t(s, d, "documents"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
@@ -534,6 +535,10 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id, event_type AS last_type,
            se AS last_sec, value AS last_value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "c11_shards" ->
+      """SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q29_deciles" ->
       """SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile, count(*) AS n,
          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

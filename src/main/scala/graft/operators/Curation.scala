@@ -248,6 +248,23 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  /** Deterministic training-shard assignment + balance statistics: docs
+    * hash to `nShards` output shards (the write-layout stage of a
+    * training pipeline — each shard becomes one output file group).
+    * Third independent multiplier, so shard, split (hashSplit) and mix
+    * (sourceMix) gates are pairwise uncorrelated; same overflow-safe
+    * engine-independent form. Pure map + one tiny aggregate. */
+  def shardAssign(documents: DataFrame, nShards: Int = 8,
+                  seed: Long = 104729L): DataFrame = {
+    val shard =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
+    documents
+      .select(shard.as("shard"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("shard"))
+  }
+
   /** Document length histogram on fixed bucket edges (training-data
     * length filtering diagnostics). */
   def lengthBuckets(documents: DataFrame): DataFrame = {

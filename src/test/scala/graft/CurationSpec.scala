@@ -128,6 +128,17 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       .foreach(r => assert(r.getAs[Double]("avg_ll") < 0.0))
   }
 
+  test("shard assignment: partitions the corpus, roughly balanced, stable") {
+    val docs = table("documents")
+    val out = Curation.shardAssign(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    val mean = counts.sum.toDouble / counts.length
+    counts.foreach(c => assert(math.abs(c - mean) < mean * 0.5, s"imbalanced: ${counts.toSeq}"))
+    val again = Curation.shardAssign(docs.repartition(5)).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("curation funnel: stages are a monotone funnel starting at the corpus size") {
     val out = Curation.curationFunnel(table("documents")).collect()
     assert(out.map(_.getString(0)).sameElements(
