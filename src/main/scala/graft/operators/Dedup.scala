@@ -55,7 +55,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
 
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // materialize the shingle table once: it feeds candidate generation
+    // AND both verify join-backs, and each DataFrame reference would
+    // otherwise re-run the tokenize→shingle→hash→sort pipeline (3×
+    // measured). At corpus scale this is the standard "write the shingle
+    // table" staging step; localCheckpoint is its in-memory analogue.
     val sh = shingled(documents)
+      .select(col("doc_id"), col("source"), col("shn"), col("hsh"))
+      .localCheckpoint()
     // Blocking key = (source, size band). Blocking on source alone caps
     // parallelism at the number of sources (20 here — 20 tasks no matter
     // the cluster); the log2-size band multiplies key cardinality. The
