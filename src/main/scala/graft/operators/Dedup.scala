@@ -126,7 +126,10 @@ object Dedup {
     * candidate join skew-free at scale. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
+    // staged once: feeds signature banding + both verify join-backs
+    // (see ngramJaccardPairs for the measurement)
     val sh = shingled(documents).select(col("doc_id"), col("hsh"), col("shn"))
+      .localCheckpoint()
     val sig = sh.withColumn("sig", call_function("graft_minhash64", col("hsh")))
     val banded = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
