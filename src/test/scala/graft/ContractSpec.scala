@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency: SURVEY.md §2 is the graded inventory and
+  * must stay in lockstep with SparkEntry — every §2 row is a real query
+  * key, every `full` row has an oracle, every `rows` row is a documented
+  * rows-only check, and nothing exists in code that §2 does not list. */
+class ContractSpec extends AnyFunSuite {
+
+  private val row = """\|\s*\d+\s*\|\s*`([a-z0-9_]+)`\s*\|[^|]*\|\s*(full|rows)\s*\|""".r
+
+  private lazy val surveyRows: Map[String, String] =
+    scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
+      .flatMap(l => row.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2)))
+      .toMap
+
+  test("SURVEY §2 keys exactly match SparkEntry.queries") {
+    assert(surveyRows.keySet === SparkEntry.queries.keySet,
+      s"only in SURVEY: ${surveyRows.keySet -- SparkEntry.queries.keySet}; " +
+      s"only in code: ${SparkEntry.queries.keySet -- surveyRows.keySet}")
+  }
+
+  test("every full-oracle row has oracle SQL; every rows-only row has none") {
+    val withOracle = SparkEntry.oracleSql.keySet
+    surveyRows.foreach {
+      case (k, "full") => assert(withOracle.contains(k), s"$k claims full oracle, none defined")
+      case (k, "rows") => assert(!withOracle.contains(k), s"$k claims rows-only but has an oracle")
+      case _ => ()
+    }
+  }
+
+  test("every oracle key is a real query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("rows-only set is exactly the documented engine-specific operators") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("c4_stratified_sample", "d2_dedup_minhash",
+      "d3_dedup_simhash", "q13_approx_distinct", "s2_ann_lsh", "s3_ann_ivf"))
+  }
+}
