@@ -25,7 +25,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
 
+    // Per-query isolation: queries that localCheckpoint (near-dup staging)
+    // leave persisted blocks behind; without eviction those blocks pile up
+    // across the 66-query sweep and later queries pay their memory
+    // pressure — one contaminated measurement poisons the round artifact.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
     def run(name: String): Double = {
+      isolate()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -37,13 +47,27 @@ object Bench {
     }
 
     run("g1_entry") // warmup: codegen + classloading + file index
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // min of two runs per query: steady-state time, robust to transient
-    // host contention (measured ±25% uniform noise on single runs)
+    // Microbench mode: SPARK_GRAFT_BENCH_QUERIES="d4_ngram_jaccard,d2_..."
+    // isolates named queries — per-operator timing without the 66-query
+    // sweep (and a cross-check when a sweep number looks contaminated).
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map { f => val ks = f.split(",").map(_.trim).toSet; all.filter(ks) }
+      .getOrElse(all)
+    // Contention-robust statistic: min of two runs, plus an outlier
+    // guard — if the two disagree by >30% the slower one was likely a
+    // transient host-contention window, so take a third and keep the
+    // global min. (BENCH_r02 was poisoned by exactly such a window: five
+    // alphabetically-consecutive queries 3-6× slow, unreproducible.)
     val results = names.map { n =>
       val t1 = run(n)
       val t2 = run(n)
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      val best =
+        if (t1 < 0 || t2 < 0) math.max(t1, t2)
+        else if (math.max(t1, t2) > 1.3 * math.min(t1, t2))
+          (Seq(t1, t2, run(n)).filter(_ >= 0)).min
+        else math.min(t1, t2)
+      n -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

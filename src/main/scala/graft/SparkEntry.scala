@@ -86,6 +86,8 @@ object SparkEntry {
       graft.sources.Sources.upsert(cur, upd, "o_orderkey").orderBy(col("o_orderkey"))
     }),
     "d6_dup_clusters" -> ((s, d) => Dedup.duplicateClusters(t(s, d, "embeddings"))),
+    "d8_embed_lsh_pairs" -> ((s, d) => Dedup.embeddingLshPairs(t(s, d, "embeddings"))),
+    "d9_lsh_clusters" -> ((s, d) => Dedup.duplicateClustersLsh(t(s, d, "embeddings"))),
     "c6_boilerplate" -> ((s, d) => Curation.boilerplate(t(s, d, "documents"))),
     "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
     "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
@@ -340,6 +342,15 @@ object SparkEntry {
          WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
          ORDER BY 1, 2""",
+    // d8 is the banded-LSH candidate stage + exact verify: output must
+    // EQUAL the exact all-pairs truth set (full recall with the seeded
+    // planes at this θ) — so its oracle IS the d5 oracle.
+    "d8_embed_lsh_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
+         ORDER BY 1, 2""",
     "s1_ann_brute" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
@@ -471,6 +482,21 @@ object SparkEntry {
             event_type, count(*) AS n, ${dsum("value")} AS sum_value
           FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "d6_dup_clusters" ->
+      """WITH RECURSIVE e AS (
+           SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b
+           ON a.vec_id < b.vec_id
+           WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.35),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+         SELECT v.vec_id, coalesce(lab.cluster_id, v.vec_id) AS cluster_id
+         FROM embeddings v LEFT JOIN lab ON lab.n = v.vec_id ORDER BY 1""",
+    // d9 = the same clustering through the LSH pair source: full LSH
+    // recall at θ=0.35 ⇒ identical components ⇒ the d6 oracle verbatim.
+    "d9_lsh_clusters" ->
       """WITH RECURSIVE e AS (
            SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b
            ON a.vec_id < b.vec_id

@@ -228,13 +228,29 @@ object Curation {
                      maxChars: Long = 2000): DataFrame = {
     // flags are pure column expressions over one materialized token
     // array — truly one scan, no joins (pred_lang/quality_score as
-    // separate DataFrames would shuffle the full corpus twice on doc_id)
-    val flagged = documents
+    // separate DataFrames would shuffle the full corpus twice on doc_id).
+    // Stopword scans project ONCE into score columns; pred_lang and the
+    // quality stop-ratio both read the attributes (the en score is shared
+    // by both signals) — inline, the pred_lang when-chain would re-run
+    // every language scan per branch (conditionals are outside Spark's
+    // subexpression elimination; see TextOps.predLangFromScores).
+    val langs = TextOps.langOrder
+    val scored = documents
       .withColumn("_toks", tokens(col("text")))
-      .select(col("text"),
-        (TextOps.predLangCol(col("_toks")) === lang).as("f1"),
-        (TextOps.qualityScoreCol(col("text"), col("_toks")) >= minQuality).as("f2"),
-        col("n_chars").between(minChars, maxChars).as("f3"))
+      .select(col("text") +: col("n_chars") +: size(col("_toks")).as("_nw") +:
+        langs.map(l =>
+          graft.functions.ColumnFns.stopwordHits(col("_toks"), TextOps.stopwords(l))
+            .as(s"_score_$l")): _*)
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+      nullif(length(col("text")), lit(0))
+    val flagged = scored.select(col("text"),
+      (TextOps.predLangFromScores(langs.map(l => l -> col(s"_score_$l"))) === lang)
+        .as("f1"),
+      (TextOps.qualityScoreFromParts(col("_nw"), punctRatio,
+        col("_score_en").cast("double") / nullif(col("_nw"), lit(0))) >= minQuality)
+        .as("f2"),
+      col("n_chars").between(minChars, maxChars).as("f3"))
     val row = flagged.agg(
       count(lit(1)).as("n_all"),
       sum(when(col("f1"), 1L).otherwise(0L)).as("n_lang"),

@@ -181,9 +181,17 @@ object Dedup {
     * boilerplate-heavy corpora (many docs collapsing onto one chunk
     * value) at the cost of recall for pairs whose only matching chunk
     * is capped; raise `maxBucket` (or pre-dedup exact duplicates) when
-    * exactness matters more than worst-case reducer size. */
+    * exactness matters more than worst-case reducer size.
+    *
+    * Default cap = 1000, matching the minhash twin: a capped bucket
+    * self-join is O(cap²) comparisons on ONE reducer, so 1000 bounds the
+    * degenerate-bucket cost at 1e6 pairs where 10000 admitted 1e8. On the
+    * test corpora the tighter cap drops no pairs (no bucket comes near
+    * it — DedupSimilaritySpec asserts cap-insensitivity); a real corpus
+    * hitting the cap has near-identical docs better removed by exact
+    * dedup BEFORE simhash. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame = {
     val sg = documents
       .withColumn("_hs", transform(array_distinct(tokens(col("text"))), t => xxhash64(t)))
       .select(col("doc_id"), call_function("graft_simhash64", col("_hs")).as("sig"))
@@ -320,17 +328,15 @@ object Dedup {
     lab.select(col("n"), col("lab").as("cluster_id"))
   }
 
-  /** Near-dup clusters over the embedding corpus: cosine pairs (≥
-    * threshold) become edges, connected components become clusters, and
-    * every vector gets a cluster id (singletons label themselves). This is
-    * the full semantic-dedup pipeline shape: pair generation (here the
-    * exact baseline; at 100 TB swap in the LSH/IVF candidate stage) →
-    * component clustering → keep min-id per cluster. */
-  def duplicateClusters(embeddings: DataFrame, threshold: Double = 0.35,
-                        maxIter: Int = 25): DataFrame = {
-    val edges = embeddingPairs(embeddings, threshold)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-    val labels = connectedComponents(edges, maxIter)
+  /** Near-dup clusters from an EXPLICIT edge list — the pair-source-
+    * agnostic core of the semantic-dedup pipeline: every vector gets a
+    * cluster id (min vec_id of its component; singletons label
+    * themselves). Feed it [[embeddingPairs]] (exact baseline),
+    * [[embeddingLshPairs]] (banded-LSH scale path) or any domain edge
+    * list (minhash/simhash pairs on doc ids work identically). */
+  def duplicateClustersFrom(embeddings: DataFrame, edges: DataFrame,
+                            maxIter: Int = 25): DataFrame = {
+    val labels = connectedComponents(edges.select(col("a"), col("b")), maxIter)
     embeddings.select(col("vec_id"))
       .join(labels, col("vec_id") === col("n"), "left")
       .select(col("vec_id"),
@@ -338,8 +344,43 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (exact all-pairs baseline; the
-    * approximate scale path is Similarity.lshTopK's bucketing). */
+  /** Near-dup clusters over the embedding corpus: cosine pairs (≥
+    * threshold) become edges, connected components become clusters. This
+    * form wires the EXACT all-pairs generator — the small-scale verify
+    * baseline; [[duplicateClustersLsh]] is the same pipeline on the
+    * banded-LSH candidate stage (the 100 TB path). */
+  def duplicateClusters(embeddings: DataFrame, threshold: Double = 0.35,
+                        maxIter: Int = 25): DataFrame =
+    duplicateClustersFrom(embeddings,
+      embeddingPairs(embeddings, threshold)
+        .select(col("id_a").as("a"), col("id_b").as("b")), maxIter)
+
+  /** [[duplicateClusters]] with the banded sign-LSH pair source — the
+    * full scale-path pipeline (LSH candidates → exact verify → connected
+    * components). Identical output whenever the LSH stage achieves full
+    * recall (spec-checked against the exact pipeline; the d9 gate checks
+    * it against the recursive-SQL oracle). */
+  def duplicateClustersLsh(embeddings: DataFrame, threshold: Double = 0.35,
+                           maxIter: Int = 25): DataFrame =
+    duplicateClustersFrom(embeddings,
+      embeddingLshPairs(embeddings, threshold)
+        .select(col("id_a").as("a"), col("id_b").as("b")), maxIter)
+
+  /** Decimal-guarded cosine threshold filter shared by the exact and LSH
+    * pair generators. The raw-double guard short-circuits first —
+    * decRound(c,6) >= θ implies c >= θ-5e-7 — so the per-value decimal
+    * allocation runs only on the near-threshold sliver, not on every
+    * candidate pair (measured 4×); the decimal compare then makes the
+    * accept set identical across engines (a raw-double compare flips for
+    * pairs within an ulp of θ when engines associate the norm product
+    * differently). */
+  private def cosAtLeast(va: Column, na: Column, vb: Column, nb: Column,
+                         threshold: Double): Column =
+    dot(va, vb) / (na * nb) >= threshold - 6e-7 &&
+      decRound(dot(va, vb) / (na * nb), 6) >= threshold
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs baseline — the
+    * recall oracle for [[embeddingLshPairs]], which is the scale path). */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     // norms are per-vector: compute once before the pair join, so each of
     // the O(n²) candidate pairs only evaluates one dot product
@@ -349,15 +390,68 @@ object Dedup {
     v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
         col("id_a") < col("id_b"))
-      // threshold compare on the DECIMAL-rounded cosine: a raw-double
-      // compare flips for pairs within an ulp of the threshold when
-      // engines associate the norm product differently (same fragility
-      // Similarity.topK's ranking guards against). The raw-double guard
-      // short-circuits first — decRound(c,6) >= θ implies c >= θ-5e-7 —
-      // so the per-value decimal allocation runs only on the near-
-      // threshold sliver, not on every candidate pair (measured 4×).
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold - 6e-7 &&
-        decRound(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+      .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), threshold))
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Banded sign-LSH near-dup pairs over the embedding corpus — the
+    * sub-quadratic candidate stage for [[embeddingPairs]]: `numPlanes`
+    * seeded hyperplane sign bits per vector, grouped into bands of
+    * `bitsPerBand`; vectors sharing any (band, chunk) bucket become
+    * candidates; candidates are verified with the same decimal-guarded
+    * exact cosine as the baseline, so output ⊆ exact and equality holds
+    * exactly when every true pair shares a bucket.
+    *
+    * Recall/cost: a pair at cosine c agrees per plane with
+    * p = 1 − acos(c)/π, so P(missed) = (1 − p^b)^k over k = planes/b
+    * bands. Defaults (b=1, k=16) give miss ≈ 5e-8 at c = 0.45 — chosen
+    * because the synthetic corpus is ISOTROPIC and its true pairs sit just
+    * above the 0.45 threshold (p ≈ 0.65), where 1-bit bands are the only
+    * banding with full recall; the filter then prunes little, and the
+    * exact baseline is equally good at this θ. On a real near-dup corpus
+    * (clustered embeddings, c ≥ 0.8 ⇒ p ≥ 0.8) set b = 8..16: each band
+    * then keeps ~2^-b of random pairs per band and the candidate join
+    * touches a vanishing corpus fraction — that regime, not θ=0.45
+    * isotropic, is what the banding exists for.
+    *
+    * Plan shape (the part that must survive 100×): the banding table is
+    * SKINNY (id, band, chunk) — vectors are not replicated; one shuffle
+    * on (band, chunk) for the bucket self-join, oversized buckets capped
+    * (skew guard, like minhashPairs); distinct pair keys; then two
+    * id-keyed join-backs to fetch vectors for the verify. */
+  def embeddingLshPairs(embeddings: DataFrame, threshold: Double = 0.45,
+                        numPlanes: Int = 16, bitsPerBand: Int = 1,
+                        maxBucket: Int = 100000): DataFrame = {
+    require(numPlanes % bitsPerBand == 0, "numPlanes must divide into bands")
+    val planes = Similarity.planesFor(numPlanes)
+    val v = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // per-row band chunk values: sign bit per plane, packed per band
+    val bits = planes.map(p =>
+      when(dot(col("v"), Similarity.planeLit(p)) > 0, 1).otherwise(0))
+    val chunkCols = bits.grouped(bitsPerBand).map(g =>
+      g.zipWithIndex.map { case (b, i) => b * (1 << i) }.reduce(_ + _)).toSeq
+    val banded = v.select(col("vec_id"),
+      posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
+    // skew guard: drop degenerate buckets (> maxBucket members) — at
+    // b ≥ 8 a boilerplate-free corpus never hits it; a capped bucket
+    // costs recall only for pairs whose every shared band is capped
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("chunk"))))
+      .filter(col("bsz") <= maxBucket)
+    val cand = sized.select(col("band"), col("chunk"), col("vec_id").as("id_a"))
+      .join(sized.select(col("band").as("band2"), col("chunk").as("chunk2"),
+          col("vec_id").as("id_b")),
+        col("band") === col("band2") && col("chunk") === col("chunk2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), threshold))
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -19,13 +19,16 @@ import graft.functions.ColumnFns._
 object Similarity {
 
   private val numPlanes = 8
-  /** Seeded gaussian hyperplanes (deterministic across runs/executors). */
-  private[graft] val planes: Seq[Seq[Double]] = {
+  /** Seeded gaussian hyperplanes (deterministic across runs/executors).
+    * The first 8 of `planesFor(n)` are always the same planes, so widening
+    * a code (more planes for finer banding) never changes existing bits. */
+  private[graft] def planesFor(n: Int): Seq[Seq[Double]] = {
     val r = new scala.util.Random(42)
-    Seq.fill(numPlanes)(Seq.fill(64)(r.nextGaussian()))
+    Seq.fill(n)(Seq.fill(64)(r.nextGaussian()))
   }
+  private[graft] val planes: Seq[Seq[Double]] = planesFor(numPlanes)
 
-  private def planeLit(p: Seq[Double]): Column = typedLit(p)
+  private[graft] def planeLit(p: Seq[Double]): Column = typedLit(p)
 
   /** Sign-bit LSH code of a double-vector column. */
   def lshCode(v: Column): Column =
@@ -67,23 +70,44 @@ object Similarity {
     * nearest cells. The candidate join shuffles on cell id, touching
     * ~nProbe/nPivots of the corpus per query — the classic IVF-flat
     * trade-off, here with centroids that need no iterative training so
-    * results are exactly reproducible at any scale/partitioning. */
+    * results are exactly reproducible at any scale/partitioning.
+    *
+    * Cell assignment is a PURE PROJECTION: the pivot table collapses to a
+    * one-row array (tiny — nPivots structs), broadcast-cross-joined onto
+    * every vector, and the nearest cell is an array argmin over that
+    * in-row array. No shuffle, no window — the earlier formulation
+    * (crossJoin each vector with all pivots, then a row_number window
+    * partitioned by vec_id) range-shuffled and sorted 32× the corpus just
+    * to pick a per-row argmax, which is exactly the plan you cannot run
+    * at 100 TB. The only corpus-wide shuffle left is the cell-keyed
+    * candidate join itself. */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val pivots = v
+    // one-row table carrying ALL pivots as an array<struct> — the
+    // broadcast unit for the projection-side argmin below
+    val parr = v
       .withColumn("hk", xxhash64(col("vec_id")))
       .orderBy(col("hk"), col("vec_id")).limit(nPivots)
-      .select(col("vec_id").as("pivot_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+      .agg(collect_list(struct(col("vec_id").as("pivot_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))).as("pvs"))
+    // Per-row scored pivot array: struct(-cos, pivot_id), so the NATURAL
+    // struct ordering (ascending lexicographic) ranks best-cosine first
+    // with ties to the smallest pivot id — array_min IS the argmax.
+    // `v`/`nrm` are materialized attributes, so the lambda re-evaluates
+    // nothing upstream (see SURVEY §5 on HOF materialization).
+    def scored: Column = transform(col("pvs"), p =>
+      struct((dot(col("v"), p.getField("pv")) * -1.0 /
+        (col("nrm") * p.getField("pnrm"))).as("negcos"),
+        p.getField("pivot_id").as("pivot_id")))
     def nearestCells(side: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("pcos").desc, col("pivot_id"))
-      side.crossJoin(broadcast(pivots))
-        .withColumn("pcos", dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")))
-        .withColumn("prank", row_number().over(w))
-        .filter(col("prank") <= n)
-        .select(col("vec_id"), col("v"), col("nrm"), col("pivot_id").as("cell"))
+      val base = side.crossJoin(broadcast(parr))
+      val cell =
+        if (n == 1) array_min(scored).getField("pivot_id")
+        else explode(transform(slice(array_sort(scored), 1, n),
+          s => s.getField("pivot_id")))
+      base.select(col("vec_id"), col("v"), col("nrm"), cell.as("cell"))
     }
     val corpus = nearestCells(v, 1)
       .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))

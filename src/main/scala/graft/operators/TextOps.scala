@@ -20,38 +20,64 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
 
-  private val langOrder = Seq("en", "es", "de", "fr", "zh")
+  /** Tie-break priority for [[predLangFromScores]] — mirrored by every
+    * oracle CASE chain, so it is part of the cross-engine contract. */
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
 
   /** Stopword-overlap language ID with a fixed priority tie-break.
     * Tokens are materialized once per row before the per-language scans. */
   def langId(documents: DataFrame): DataFrame =
     langIdMetrics(documents).orderBy(col("doc_id"))
 
-  /** Predicted language as a pure Column over a MATERIALIZED token array
-    * — composable into single-scan pipelines (canonical/funnel). */
-  def predLangCol(toks: Column): Column = {
-    val scores = langOrder.map(l => stopwordHits(toks, stopwords(l)))
-    val best = greatest(scores: _*)
+  /** Predicted language from ALREADY-PROJECTED per-language score columns.
+    * The when-chain references each score several times (vs the max, then
+    * as the winner), so callers must pass materialized attributes — never
+    * the stopword-scan expressions themselves: conditional branches are
+    * excluded from Spark's subexpression elimination, so inline score
+    * expressions would re-run each stopword HOF per branch. */
+  def predLangFromScores(scores: Seq[(String, Column)]): Column = {
+    val best = greatest(scores.map(_._2): _*)
     // foldRight gives en-first priority: the first lang equal to max wins.
-    langOrder.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
   }
 
-  /** [[langId]] without the output ordering (see [[qualityMetrics]]). */
+  /** Predicted language as a pure Column over a MATERIALIZED token array
+    * — convenience form for one-off composition; evaluates each language
+    * scan inside the when-chain, so SINGLE-use only. Hot paths project the
+    * five scores once and use [[predLangFromScores]] (see
+    * [[langIdMetrics]] / Curation.curationFunnel). */
+  def predLangCol(toks: Column): Column =
+    predLangFromScores(langOrder.map(l => l -> stopwordHits(toks, stopwords(l))))
+
+  /** [[langId]] without the output ordering (see [[qualityMetrics]]).
+    * Two stacked projections: scores once, then pred_lang over the score
+    * ATTRIBUTES. CollapseProject keeps them stacked (a multi-referenced
+    * non-cheap producer blocks the merge), so each stopword HOF runs
+    * exactly once per row — LangPlanSpec asserts it. */
   def langIdMetrics(documents: DataFrame): DataFrame = {
     val withToks = documents.withColumn("_toks", tokens(col("text")))
-    val toks = col("_toks")
-    val scores = langOrder.map(l => l -> stopwordHits(toks, stopwords(l)))
-    withToks.select(
-        (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
-        predLangCol(toks).as("pred_lang"): _*)
+    val scored = withToks.select(
+      col("doc_id") +:
+        langOrder.map(l => stopwordHits(col("_toks"), stopwords(l)).as(s"score_$l")): _*)
+    scored.withColumn("pred_lang",
+      predLangFromScores(langOrder.map(l => l -> col(s"score_$l"))))
   }
 
   /** Heuristic quality metrics + integer quality score.
     * All ratios are int/int divisions — exact in IEEE double. */
   def quality(documents: DataFrame): DataFrame =
     qualityMetrics(documents).orderBy(col("doc_id"))
+
+  /** Quality score from its three pre-computed signal columns — for
+    * pipelines that already project the inputs (the en stopword count
+    * doubles as score_en in the funnel, so it is computed once there). */
+  def qualityScoreFromParts(nWords: Column, punctRatio: Column,
+                            stopRatio: Column): Column =
+    when(nWords.between(5, 2000), 1).otherwise(0) +
+      when(punctRatio < 0.1, 1).otherwise(0) +
+      when(stopRatio > 0.05, 1).otherwise(0)
 
   /** Integer quality score as a pure Column over the text plus a
     * MATERIALIZED token array — composable into single-scan pipelines. */
@@ -62,11 +88,9 @@ object TextOps {
     val stopCnt = stopwordHits(toks, stopwords("en"))
     // nullif guards: empty/whitespace docs have 0 words / 0 chars and
     // must yield null ratios, not an ANSI divide-by-zero error
-    val punctRatio = punctCnt.cast("double") / nullif(txtLen, lit(0))
-    val stopRatio = stopCnt.cast("double") / nullif(nWords, lit(0))
-    when(nWords.between(5, 2000), 1).otherwise(0) +
-      when(punctRatio < 0.1, 1).otherwise(0) +
-      when(stopRatio > 0.05, 1).otherwise(0)
+    qualityScoreFromParts(nWords,
+      punctCnt.cast("double") / nullif(txtLen, lit(0)),
+      stopCnt.cast("double") / nullif(nWords, lit(0)))
   }
 
   /** [[quality]] without the output ordering — for composition inside

@@ -77,6 +77,46 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out === expected)
   }
 
+  test("banded sign-LSH pairs reproduce the exact truth set (both thresholds)") {
+    Seq(0.45, 0.35).foreach { th =>
+      val exact = Dedup.embeddingPairs(table("embeddings"), th).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.embeddingLshPairs(table("embeddings"), th).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // verify stage makes lsh ⊆ exact; full recall makes them equal
+      assert(lsh === exact, s"θ=$th missed: ${exact.diff(lsh)}")
+      assert(exact.nonEmpty)
+    }
+  }
+
+  test("LSH-sourced duplicate clusters equal the exact-pair clustering") {
+    val viaExact = Dedup.duplicateClusters(table("embeddings"), 0.35).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLsh = Dedup.duplicateClustersLsh(table("embeddings"), 0.35).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLsh === viaExact)
+  }
+
+  test("simhash pairs are insensitive to the tightened bucket cap") {
+    val tight = Dedup.simhashPairs(table("documents"), 3, maxBucket = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Dedup.simhashPairs(table("documents"), 3, maxBucket = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === loose)
+  }
+
+  test("IVF cell assignment is a projection: no window/sort before the cell join") {
+    val plan = Similarity.ivfTopK(table("embeddings"), numQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    // exactly one Window node in the whole plan — the final top-k rank
+    // over q_id; the per-vector argmax must NOT appear as a second window
+    // ("Window [" excludes the WindowGroupLimit helper nodes)
+    assert(plan.sliding("Window [".length).count(_ == "Window [") === 1, plan)
+    // and no exchange keyed on the corpus vec_id (the old crossJoin+
+    // row_number assignment hash-partitioned 32× the corpus by vec_id)
+    assert(!plan.contains("hashpartitioning(vec_id"), plan)
+  }
+
   test("canonical: one survivor per text group, best quality wins") {
     import spark.implicits._
     val docs = Seq(
