@@ -116,6 +116,10 @@ object SparkEntry {
     "c10_funnel" -> ((s, d) => Curation.curationFunnel(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
+    "st3_sessionize_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.sessionizeFileStream(Tables.tune(s), d)),
+    "st4_latest_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.latestStateFileStream(Tables.tune(s), d)),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -269,6 +273,20 @@ object SparkEntry {
          CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(38,4)) AS DOUBLE) AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
     "q15_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, value,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+          f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL OR se - lag(se) OVER w > 1800
+                THEN 1 ELSE 0 END AS ns FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY se, event_id)),
+          g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY se, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+          SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
+          ${dsum("value")} AS sum_value
+          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    // st3 drives the STATEFUL streaming sessionizer end-to-end (file
+    // source → flatMapGroupsWithState → foreachBatch) and must land on
+    // the batch result exactly — the q15 oracle verbatim.
+    "st3_sessionize_stream" ->
       s"""WITH e AS (SELECT event_id, user_id, value,
             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
           f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL OR se - lag(se) OVER w > 1800
@@ -554,6 +572,16 @@ object SparkEntry {
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY 1 ORDER BY 1""",
     "q28_latest_event" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+         r AS (SELECT *, row_number() OVER
+           (PARTITION BY user_id ORDER BY se DESC, event_id DESC) AS rn FROM e)
+         SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           se AS last_sec, value AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    // st4 = the q28 oracle verbatim: streaming keyed latest-state must
+    // drain to exactly the batch latest-event table.
+    "st4_latest_stream" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
          r AS (SELECT *, row_number() OVER

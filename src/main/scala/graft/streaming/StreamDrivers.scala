@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+/** End-to-end drivers for the STATEFUL streaming operators: file source →
+  * stateful transform → foreachBatch sink, returning the accumulated
+  * result as a batch DataFrame in the exact column shape of the batch
+  * twin — so the DuckDB oracle that gates the batch operator gates the
+  * streaming path too (keys st3/st4).
+  *
+  * These are the harness half of a production pipeline: in production the
+  * foreachBatch body upserts each micro-batch into a table; here it
+  * accumulates on the driver because the correctness gate compares one
+  * local DataFrame. The STREAMING side (source, watermark, state
+  * lifecycle, emission) is exactly the production path — including a
+  * multi-file source so state genuinely crosses micro-batch boundaries,
+  * and a far-future sentinel file that advances the watermark to seal the
+  * final sessions (the live-pipeline equivalent is simply the next day's
+  * data arriving).
+  */
+object StreamDrivers {
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private val SentinelUser = -999999L
+
+  /** Stage the events table as a 2-file parquet directory (so
+    * maxFilesPerTrigger=1 yields real multi-batch execution), run the
+    * stateful stream over it, append a sentinel file, drain, clean up. */
+  private def runOverEventFiles[T](spark: SparkSession, sfDir: String,
+                                   sentinelOffsetSec: Long)(
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val dir = Files.createTempDirectory("graft-stream-drv")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try {
+      val evs = graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      evs.coalesce(2).write.mode("overwrite").parquet(in)
+      val lastMs = evs.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val src = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = start(src, chk)
+      q.processAllAvailable()
+      // sentinel: one far-future event advancing the watermark past every
+      // real session's seal point (watermark delay + session gap + slack)
+      import spark.implicits._
+      Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + sentinelOffsetSec * 1000),
+          SentinelUser, "view", 0.0))
+        .toDF().write.mode("append").parquet(in)
+      q.processAllAvailable()
+      q.stop()
+    } finally deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+  }
+
+  /** q15's result through the streaming path: file source →
+    * StreamOps.sessionize (flatMapGroupsWithState) → foreachBatch
+    * accumulation → per-user session_id numbering. Column contract ==
+    * TimeJoins.sessionize == the q15 oracle. */
+  def sessionizeFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[StreamOps.SessionOut]
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = 7200L + 1800L + 60L) {
+      (src, chk) =>
+        StreamOps.sessionize(spark, src.as[StreamOps.Ev]).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (b: Dataset[StreamOps.SessionOut], _: Long) =>
+            val rows = b.collect(); buf.synchronized { buf ++= rows }; ()
+          }
+          .start()
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    buf.toSeq.filter(_.user_id != SentinelUser).toDF()
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("n_events").cast("long").as("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q28's result through the streaming path: file source →
+    * StreamOps.latestState (mapGroupsWithState, update semantics) →
+    * foreachBatch accumulation → final state per key = the
+    * chronologically best emitted update (what an upsert sink holds once
+    * the stream drains). Column contract == Relational.latestEvent == the
+    * q28 oracle. */
+  def latestStateFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[StreamOps.Latest]
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = 60L) { (src, chk) =>
+      StreamOps.latestState(spark, src.as[StreamOps.Ev]).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[StreamOps.Latest], _: Long) =>
+          val rows = b.collect(); buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+    }
+    buf.toSeq.filter(_.user_id != SentinelUser)
+      .groupBy(_.user_id).values
+      .map(_.maxBy(l => (l.last_sec, l.last_event_id))).toSeq
+      .toDF()
+      .select(col("user_id"), col("last_event_id"), col("last_type"),
+        col("last_sec"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+}

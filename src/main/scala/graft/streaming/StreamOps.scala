@@ -97,8 +97,17 @@ object StreamOps {
                 (rest.map(_.sec).max + gapSec) * 1000 + 1000,
                 state.getCurrentWatermarkMs() + 1000))
             }
-            closed.iterator
-              .map(s => SessionOut(user, s.head.sec, s.size, s.map(_.value).sum))
+            // sum in the decimal domain exactly like the batch twin's
+            // decSum (per-value scale-4 round, exact sum, round to cents)
+            // — a plain double fold would drift from the batch/oracle
+            // result on sub-cent values
+            closed.iterator.map { s =>
+              val sum = s.foldLeft(java.math.BigDecimal.ZERO)((acc, e) =>
+                  acc.add(new java.math.BigDecimal(java.lang.Double.toString(e.value))
+                    .setScale(4, java.math.RoundingMode.HALF_UP)))
+                .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+              SessionOut(user, s.head.sec, s.size, sum)
+            }
           }
       }
   }

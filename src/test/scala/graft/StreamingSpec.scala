@@ -181,6 +181,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st3 driver: file-sourced stateful sessionization equals the batch result") {
+    val streamed = graft.streaming.StreamDrivers
+      .sessionizeFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = TimeJoins.sessionize(table("events")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("session_start"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("st4 driver: file-sourced latest-state equals the batch result") {
+    val streamed = graft.streaming.StreamDrivers
+      .latestStateFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = Relational.latestEvent(table("events")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[String]("last_type"), r.getAs[Long]("last_sec"),
+        r.getAs[Double]("last_value"))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
