@@ -27,7 +27,90 @@ object SparkEntry {
       t(spark, d, "customer"), t(spark, d, "orders"), t(spark, d, "lineitem"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Deterministic output order is a GATE concern (the oracle compare
+    * hashes row-by-row), not an operator concern: library operators
+    * return unsorted results — a terminal global orderBy is a full
+    * range-partition shuffle of the output that a composing caller never
+    * wants (it was the first thing every internal consumer discarded).
+    * The gate applies each key's presentation sort here, once.
+    * Keys absent from this map either sort semantically inside the
+    * operator (top-N limits), return a single row, or are harness
+    * drivers that already order their collected output. */
+  private val gateSort: Map[String, Seq[String]] = Map(
+    "q1_pricing_summary" -> Seq("l_returnflag", "l_linestatus"),
+    "q2_filter_project" -> Seq("l_orderkey", "l_linenumber"),
+    "q4_exists_semi" -> Seq("o_orderpriority"),
+    "q5_nation_revenue" -> Seq("n_name"),
+    "q7_rollup" -> Seq("l_returnflag", "l_linestatus"),
+    "q8_grouping_sets" -> Seq("o_orderstatus", "o_orderpriority"),
+    "q9_pivot" -> Seq("user_id"),
+    "q10_topn_group" -> Seq("p_brand", "rn"),
+    "q11_window_running" -> Seq("user_id", "event_id"),
+    "q12_distinct" -> Seq("event_type"),
+    "q13_approx_distinct" -> Seq("event_type"),
+    "q14_percentiles" -> Seq("event_type"),
+    "q15_sessionize" -> Seq("user_id", "session_id"),
+    "q16_asof_join" -> Seq("event_id"),
+    "q17_range_join" -> Seq("o_orderkey"),
+    "q18_set_ops" -> Seq("nationkey"),
+    "q19_json_extract" -> Seq("event_id"),
+    "q20_string_funcs" -> Seq("p_partkey"),
+    "q21_date_series" -> Seq("month"),
+    "q22_anti_join" -> Seq("c_custkey"),
+    "q23_funnel" -> Seq("user_id"),
+    "q24_upsert" -> Seq("o_orderkey"),
+    "q25_brand_revenue" -> Seq("p_brand"),
+    "q27_salted_join" -> Seq("c_mktsegment"),
+    "q28_latest_event" -> Seq("user_id"),
+    "q29_deciles" -> Seq("o_orderpriority", "decile"),
+    "q30_cume_users" -> Seq("day"),
+    "q31_histogram" -> Seq("bucket"),
+    "q32_transitions" -> Seq("event_type", "next_type"),
+    "g1_entry" -> Seq("r_name", "o_year"),
+    "st1_tumbling_window" -> Seq("window_start", "event_type"),
+    "st2_sliding_window" -> Seq("window_start", "event_type"),
+    "d1_dedup_exact" -> Seq("doc_id"),
+    "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
+    "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
+    "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "d5_embed_neardup" -> Seq("id_a", "id_b"),
+    "d6_dup_clusters" -> Seq("vec_id"),
+    "d7_canonical" -> Seq("doc_id"),
+    "d8_embed_lsh_pairs" -> Seq("id_a", "id_b"),
+    "d9_lsh_clusters" -> Seq("vec_id"),
+    "s1_ann_brute" -> Seq("q_id", "rank"),
+    "s2_ann_lsh" -> Seq("q_id", "rank"),
+    "s3_ann_ivf" -> Seq("q_id", "rank"),
+    "t1_lang_id" -> Seq("doc_id"),
+    "t2_quality" -> Seq("doc_id"),
+    "t3_tokens" -> Seq("doc_id"),
+    "t4_fingerprint" -> Seq("doc_id"),
+    "t5_scrub" -> Seq("event_id"),
+    "t6_normalize" -> Seq("doc_id"),
+    "t7_unigram_ll" -> Seq("doc_id"),
+    "c2_tfidf" -> Seq("doc_id", "term"),
+    "c3_hash_split" -> Seq("doc_id"),
+    "c4_stratified_sample" -> Seq("lang"),
+    "c5_length_buckets" -> Seq("bucket"),
+    "c6_boilerplate" -> Seq("doc_id"),
+    "c7_repetition" -> Seq("doc_id"),
+    "c8_domain_stats" -> Seq("source"),
+    "c9_source_mix" -> Seq("source"),
+    "c10_funnel" -> Seq("stage"),
+    "c11_shards" -> Seq("shard"),
+    "m1_media_meta" -> Seq("doc_id"),
+    "m2_media_features" -> Seq("doc_id", "frame_id"),
+    "m3_frame_dedup" -> Seq("bucket"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (k, f) =>
+      k -> { (s: SparkSession, d: String) =>
+        val df = f(s, d)
+        gateSort.get(k).map(cs => df.orderBy(cs.map(col): _*)).getOrElse(df)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(t(s, d, "lineitem"))),
     "q2_filter_project" -> ((s, d) => Relational.filterProject(t(s, d, "lineitem"))),
     "q3_top_revenue" -> ((s, d) =>
@@ -61,8 +144,8 @@ object SparkEntry {
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"))),
     "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
-    "t1_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
-    "t2_quality" -> ((s, d) => TextOps.quality(t(s, d, "documents"))),
+    "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
+    "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
@@ -83,7 +166,7 @@ object SparkEntry {
       val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") * 2).as("o_totalprice"))
-      graft.sources.Sources.upsert(cur, upd, "o_orderkey").orderBy(col("o_orderkey"))
+      graft.sources.Sources.upsert(cur, upd, "o_orderkey")
     }),
     "d6_dup_clusters" -> ((s, d) => Dedup.duplicateClusters(t(s, d, "embeddings"))),
     "d8_embed_lsh_pairs" -> ((s, d) => Dedup.embeddingLshPairs(t(s, d, "embeddings"))),
@@ -100,7 +183,6 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           graft.functions.ColumnFns.decSum(col("o_totalprice")).as("sum_price"))
-        .orderBy(col("c_mktsegment"))
     }),
     "q28_latest_event" -> ((s, d) => Relational.latestEvent(t(s, d, "events"))),
     "q29_deciles" -> ((s, d) => Relational.priceDeciles(t(s, d, "orders"))),

@@ -48,7 +48,6 @@ object Curation {
         decRound(col("tf") * log(col("n").cast("double") / col("df")), 6))
       .filter(col("tfidf") > minScore)
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
-      .orderBy(col("doc_id"), col("term"))
   }
 
   /** Deterministic hash-based train/valid/test split: engine-independent
@@ -69,7 +68,6 @@ object Curation {
         when(bucket < trainPct, "train")
           .when(bucket < trainPct + validPct, "valid")
           .otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-stratum counts after a deterministic stratified sample: a
@@ -88,7 +86,6 @@ object Curation {
       .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
         (frac * M).cast("long"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-      .orderBy(col("lang"))
   }
 
   /** Uniform-fraction convenience form (every stratum keeps `fraction`). */
@@ -99,7 +96,6 @@ object Curation {
       .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
         (fraction * M).toLong)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-      .orderBy(col("lang"))
   }
 
   /** Corpus-boilerplate detection (the shingle generalization of
@@ -125,7 +121,6 @@ object Curation {
       // exact bigint/bigint division — bit-identical across engines
       .withColumn("boiler_ratio",
         col("n_boiler").cast("double") / col("n_shingles"))
-      .orderBy(col("doc_id"))
   }
 
   /** Intra-document repetition ratio: 1 − distinct/total over RAW (non-
@@ -139,7 +134,6 @@ object Curation {
         size(array_distinct(col("_sh"))).as("n_distinct"))
       .withColumn("rep_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
-      .orderBy(col("doc_id"))
 
   /** Per-source (domain) corpus statistics with the dominant language —
     * the provenance-analysis pass used to weight or drop domains. Two
@@ -165,7 +159,6 @@ object Curation {
       .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
       .select(col("source"), col("n_docs"), col("sum_chars"), col("n_langs"),
         col("avg_chars"), col("top_lang"))
-      .orderBy(col("source"))
   }
 
   /** Deterministic dataset mixing: each source is sampled at its own
@@ -188,7 +181,6 @@ object Curation {
       pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(seed), lit(1000L))
     documents.filter(gate < rate)
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      .orderBy(col("source"))
   }
 
   /** Per-document average unigram log-likelihood under the corpus
@@ -212,7 +204,6 @@ object Curation {
         sum(col("ll").cast(DecimalType(28, 6))).as("_sll"))
       .select(col("doc_id"), col("n_tokens"),
         decRound(col("_sll").cast("double") / col("n_tokens"), 4).as("avg_ll"))
-      .orderBy(col("doc_id"))
   }
 
   /** End-to-end curation funnel: survivor counts after each stage of the
@@ -261,7 +252,6 @@ object Curation {
     row.select(expr(
         "stack(5, '0_all', n_all, '1_lang', n_lang, '2_quality', n_quality, " +
         "'3_length', n_length, '4_dedup', n_dedup) AS (stage, n_docs)"))
-      .orderBy(col("stage"))
   }
 
   /** Deterministic training-shard assignment + balance statistics: docs
@@ -278,7 +268,6 @@ object Curation {
       .select(shard.as("shard"), col("n_chars"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("shard"))
   }
 
   /** Document length histogram on fixed bucket edges (training-data
@@ -294,6 +283,5 @@ object Curation {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
-      .orderBy(col("bucket"))
   }
 }

@@ -21,7 +21,6 @@ object Dedup {
     documents.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("dup_count"))
-      .orderBy(col("doc_id"))
 
   /** Shingle sets + sizes + 64-bit hashed form, materialized stage by
     * stage (tokens → shingles → size/hashes) so no HOF lambda recomputes
@@ -52,7 +51,6 @@ object Dedup {
       .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
-      .orderBy(col("doc_a"), col("doc_b"))
 
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     // materialize the shingle table once: it feeds candidate generation
@@ -210,7 +208,6 @@ object Dedup {
       .withColumn("dist", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Canonical-document selection: one survivor per exact-duplicate text
@@ -235,7 +232,6 @@ object Dedup {
       .withColumn("dup_count", count(lit(1)).over(wg))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("quality_score"), col("dup_count"))
-      .orderBy(col("doc_id"))
   }
 
   /** Distributed connected components over an (a, b) edge list — the
@@ -341,7 +337,6 @@ object Dedup {
       .join(labels, col("vec_id") === col("n"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .orderBy(col("vec_id"))
   }
 
   /** Near-dup clusters over the embedding corpus: cosine pairs (≥
@@ -392,7 +387,6 @@ object Dedup {
         col("id_a") < col("id_b"))
       .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), threshold))
       .select(col("id_a"), col("id_b"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Banded sign-LSH near-dup pairs over the embedding corpus — the
@@ -453,6 +447,5 @@ object Dedup {
       .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), threshold))
       .select(col("id_a"), col("id_b"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 }

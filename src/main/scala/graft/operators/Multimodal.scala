@@ -47,7 +47,6 @@ object Multimodal {
         (lit(64) + pmod(len, lit(577))).as("width"),
         (lit(64) + pmod(len * 31, lit(331))).as("height"),
         (lit(1) + pmod(len, lit(5))).as("n_frames"))
-      .orderBy(col("doc_id"))
   }
 
   private def decodedFrames(spark: SparkSession, documents: DataFrame,
@@ -65,7 +64,6 @@ object Multimodal {
   def mediaFrames(spark: SparkSession, documents: DataFrame,
                   decoder: MediaDecoder = StubDecoder): DataFrame =
     decodedFrames(spark, documents, decoder)
-      .orderBy(col("doc_id"), col("frame_id"))
 
   /** Frame-level near-dup buckets: decoded frame features quantized into
     * `buckets` bands; frames landing in the same band across documents
@@ -79,5 +77,4 @@ object Multimodal {
       .select(floor(col("feat_mean") * buckets).cast("int").as("bucket"), col("doc_id"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_frames"), countDistinct(col("doc_id")).as("n_docs"))
-      .orderBy(col("bucket"))
 }

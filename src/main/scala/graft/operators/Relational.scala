@@ -32,7 +32,6 @@ object Relational {
         decAvg(col("l_extendedprice")).as("avg_price"),
         decAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Selective scan: both predicates and the 4-column projection must
@@ -45,7 +44,6 @@ object Relational {
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Top unshipped-revenue orders: broadcast the filtered customer dim,
     * shuffle lineitem once on orderkey. */
@@ -71,7 +69,6 @@ object Relational {
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy(col("o_orderpriority"))
 
   /** Revenue by customer nation inside one region-year: 5-way star join;
     * region/nation/customer broadcast, single shuffle on orderkey. */
@@ -88,7 +85,6 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
-      .orderBy(col("n_name"))
 
   /** Highly selective scalar aggregate (all predicates pushed). */
   def selectiveAgg(lineitem: DataFrame): DataFrame =
@@ -109,7 +105,6 @@ object Relational {
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
         col("sum_qty"), col("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** CUBE over order status × priority. */
   def cubeAgg(orders: DataFrame): DataFrame =
@@ -120,14 +115,12 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         col("sum_price"), col("n_orders"))
-      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
   /** Pivot events wide by type (compiles to conditional aggregation). */
   def pivotEvents(events: DataFrame): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val p = events.groupBy(col("user_id")).pivot("event_type", types).agg(count(lit(1)))
     p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
-      .orderBy(col("user_id"))
   }
 
   /** Top-N per group via rank window. */
@@ -138,7 +131,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
-      .orderBy(col("p_brand"), col("rn"))
   }
 
   /** Running sum / lag / moving average per user. Window sums go through
@@ -153,7 +145,6 @@ object Relational {
         sum(decVal).over(run).cast("double").as("run_sum"),
         lag(col("value"), 1).over(ord).as("prev_value"),
         decRound(sum(decVal).over(mov).cast("double") / count(lit(1)).over(mov), 4).as("mov_avg"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Exact distinct count per group (shuffles once on the group key;
@@ -161,7 +152,6 @@ object Relational {
   def distinctUsers(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("event_type"))
 
   /** HLL++ approximate distinct — sketch-mergeable, one narrow shuffle.
     * rsd 2% = 4k registers/group: the sketch-size/precision point where
@@ -170,7 +160,6 @@ object Relational {
   def approxDistinct(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
-      .orderBy(col("event_type"))
 
   /** Exact interpolated percentiles per group. */
   def percentiles(events: DataFrame): DataFrame =
@@ -178,7 +167,6 @@ object Relational {
       .agg(
         decRound(expr("percentile(value, 0.5)"), 4).as("p50"),
         decRound(expr("percentile(value, 0.9)"), 4).as("p90"))
-      .orderBy(col("event_type"))
 
   /** UNION / INTERSECT / EXCEPT composition on nation keys. */
   def setOps(customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
@@ -196,7 +184,6 @@ object Relational {
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k") > 50)
-      .orderBy(col("event_id"))
 
   /** String transform battery over part. */
   def stringFuncs(part: DataFrame): DataFrame =
@@ -208,14 +195,12 @@ object Relational {
         length(col("p_name")).as("name_len"),
         substring(col("p_name"), 1, 5).as("name_pre"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
-      .orderBy(col("p_partkey"))
 
   /** Monthly revenue time series (date truncation + exact-sum agg). */
   def dateSeries(orders: DataFrame): DataFrame =
     orders
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
       .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-      .orderBy(col("month"))
 
   /** NOT EXISTS → left-anti join. */
   def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
@@ -223,7 +208,6 @@ object Relational {
       .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   /** Skew-safe equi join: the hot-key side gets a deterministic salt
     * (hash of the whole row mod `saltFactor`), the other side is
@@ -270,7 +254,6 @@ object Relational {
       .groupBy(col("o_orderpriority"), col("decile"))
       .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
-      .orderBy(col("o_orderpriority"), col("decile"))
   }
 
   /** Cumulative distinct-user growth curve WITHOUT a cumulative distinct:
@@ -287,7 +270,6 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDay
       .withColumn("cume_users", sum(col("new_users")).over(w))
-      .orderBy(col("day"))
   }
 
   /** Fixed-bound numeric histogram, width_bucket semantics (0 below the
@@ -305,7 +287,6 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
-      .orderBy(col("bucket"))
   }
 
   /** Event-type transition counts (the Markov transition matrix of user
@@ -320,7 +301,6 @@ object Relational {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("event_type"), col("next_type"))
   }
 
   /** Latest-state extraction: the most recent event per user (the batch
@@ -336,7 +316,6 @@ object Relational {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), sec.as("last_sec"),
         col("value").as("last_value"))
-      .orderBy(col("user_id"))
   }
 
   /** Snowflake join: brand revenue for supplier-region-filtered
@@ -355,7 +334,6 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("p_brand"))
 
   /** Flagship: region × year revenue cube over the full star.
     *
@@ -386,6 +364,5 @@ object Relational {
       .agg(sum(col("orev")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
-      .orderBy(col("r_name"), col("o_year"))
   }
 }

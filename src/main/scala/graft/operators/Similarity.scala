@@ -47,7 +47,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id_b").as("neighbor_id"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Exact cosine top-k for each query vector (queries broadcast).

@@ -121,7 +121,6 @@ object TextOps {
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
           .as("re_tokens"),
         ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
-      .orderBy(col("doc_id"))
 
   /** Canonical text normalization: lowercase, trim, strip punctuation,
     * collapse whitespace — the standard pre-tokenization cleanup pass.
@@ -131,7 +130,6 @@ object TextOps {
       regexp_replace(lower(trim(col("text"))), "[.,!?;:]", ""), "\\s+", " ")
     documents.select(col("doc_id"), norm.as("norm_text"),
         length(col("text")).as("n_chars_raw"), length(norm).as("n_chars_norm"))
-      .orderBy(col("doc_id"))
   }
 
   /** Pattern redaction (PII-scrub plumbing): every match of each
@@ -152,7 +150,6 @@ object TextOps {
           cnt + size(regexp_extract_all(txt, lit(pat), lit(0))))
     }
     df.select(col(idCol), scrubbed.as("scrubbed"), total.as("n_redactions"))
-      .orderBy(col(idCol))
   }
 
   /** Gated scrub query: numeric-id redaction over events.props. */
@@ -167,5 +164,4 @@ object TextOps {
     documents
       .select(col("doc_id"),
         call_function("graft_fingerprint", col("text")).as("fp"))
-      .orderBy(col("doc_id"))
 }

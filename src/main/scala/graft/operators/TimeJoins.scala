@@ -35,7 +35,6 @@ object TimeJoins {
         min(col("se")).as("session_start"),
         count(lit(1)).as("n_events"),
         decSum(col("value")).as("sum_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** As-of join: each `purchase` row picks up the value of the most
@@ -58,7 +57,6 @@ object TimeJoins {
         last(when(col("event_type") === refType, col("value")), ignoreNulls = true).over(ord))
       .filter(col("event_type") === hitType)
       .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
-      .orderBy(col("event_id"))
   }
 
   /** Equi + date-range join: lineitems shipped within [orderdate,
@@ -74,7 +72,6 @@ object TimeJoins {
       .agg(
         count(lit(1)).as("n_items"),
         decProdSum(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
-      .orderBy(col("o_orderkey"))
 
   /** Conversion funnel: per user, the first `signup` and the first
     * `purchase` after it, with the conversion lag. One shuffle on
@@ -96,7 +93,6 @@ object TimeJoins {
       .select(col("user_id"), col("first_from"), col("first_to"),
         (col("first_to") - col("first_from")).as("lag_sec"),
         col("first_to").isNotNull.as("converted"))
-      .orderBy(col("user_id"))
   }
 
   /** Sliding-window aggregation (batch parity of StreamOps.slidingCounts):
@@ -108,7 +104,6 @@ object TimeJoins {
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
       .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-      .orderBy(col("window_start"), col("event_type"))
 
   /** Tumbling-window aggregation (batch parity of the streaming path). */
   def tumblingWindow(events: DataFrame): DataFrame =
@@ -117,5 +112,4 @@ object TimeJoins {
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
       .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-      .orderBy(col("window_start"), col("event_type"))
 }

@@ -135,8 +135,10 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     val counts = out.map(_.getAs[Long]("n_docs"))
     val mean = counts.sum.toDouble / counts.length
     counts.foreach(c => assert(math.abs(c - mean) < mean * 0.5, s"imbalanced: ${counts.toSeq}"))
+    // operators return UNSORTED results (ordering is a gate concern) —
+    // stability across partitionings is a set property
     val again = Curation.shardAssign(docs.repartition(5)).collect()
-    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+    assert(out.map(_.toString).toSet === again.map(_.toString).toSet)
   }
 
   test("curation funnel: stages are a monotone funnel starting at the corpus size") {

@@ -85,6 +85,40 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(rows(2).isNullAt(0))
   }
 
+  test("library operators carry no terminal global sort (ordering is a gate concern)") {
+    // a global orderBy plans as Exchange rangepartitioning — none of the
+    // library operator bodies may contain one (the gate adds presentation
+    // order per query key; composing callers never pay for it)
+    val samples = Seq(
+      Relational.pricingSummary(table("lineitem")),
+      graft.operators.Curation.tfidf(table("documents")),
+      graft.operators.Dedup.exact(table("documents")),
+      graft.operators.Dedup.embeddingLshPairs(table("embeddings")),
+      graft.operators.TextOps.langIdMetrics(table("documents")),
+      graft.operators.TimeJoins.sessionize(table("events")))
+    samples.foreach { df =>
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(!p.contains("rangepartitioning"),
+        s"terminal global sort in library operator plan:\n$p")
+    }
+    // and the gate DOES sort: the gated form of the same operator plans one
+    val gated = SparkEntry.queries("d1_dedup_exact")(spark, "/root/testdata/sf0.001")
+    assert(plan(gated).contains("rangepartitioning"))
+  }
+
+  test("lang scores are evaluated once: stacked projections stay stacked") {
+    // each language contributes exactly ONE stopword-scan expression
+    // (array_contains against its word list); the pred_lang when-chain
+    // must reference the projected attributes, not re-run the scans
+    Seq(graft.operators.TextOps.langIdMetrics(table("documents")),
+        graft.operators.Curation.curationFunnel(table("documents"))).foreach { df =>
+      val p = df.queryExecution.optimizedPlan.toString
+      val scans = p.sliding("array_contains".length).count(_ == "array_contains")
+      assert(scans === 5, s"expected 5 stopword scans, found $scans in:\n$p")
+    }
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = table("nation")
