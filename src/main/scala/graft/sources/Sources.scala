@@ -29,6 +29,38 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC with an explicit schema. ORC carries min/max/bloom statistics
+    * like parquet, and Spark pushes filters into the stripe reader — the
+    * pruning spec asserts PushedFilters lands on the ORC scan. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Plain ORC write (overwrite). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Avro with an explicit schema. Avro is Spark's EXTERNAL module
+    * (spark-avro) — callers on clusters without it get a clear error at
+    * plan time; [[avroAvailable]] lets pipelines fall back (the round-trip
+    * spec self-cancels where the connector jar is absent). */
+  def avro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).format("avro").load(path)
+
+  /** Plain Avro write (overwrite); requires the spark-avro module. */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format("avro").save(path)
+
+  /** True when the spark-avro data source is registered. Probes Spark's
+    * own provider lookup (a bare Class.forName is wrong here: other Spark
+    * modules bundle avro serialization classes without registering the
+    * data source). */
+  def avroAvailable(spark: SparkSession): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("avro", spark.sessionState.conf)
+      true
+    } catch { case _: Exception => false }
+
   /** Streaming parquet-directory source (schema-explicit — streaming
     * sources cannot infer, and shouldn't at scale anyway; file listing
     * is incremental per micro-batch). Feed into any StreamOps transform

@@ -134,6 +134,32 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(backJson.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet === orig)
   }
 
+  test("orc round-trips with an explicit schema and pushes filters") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = table("orders")
+    Sources.writeOrc(df, s"$dir/orders_orc")
+    val schema = df.schema
+    val back = Sources.orc(spark, s"$dir/orders_orc", schema)
+    assert(back.count() === df.count())
+    val sel = back.filter(col("o_orderkey") === 42L).select("o_orderkey", "o_totalprice")
+    val p = plan(sel)
+    assert(p.contains("Format: ORC") || p.contains("orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderkey"),
+      s"filter not pushed to ORC scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") || !df.columns.contains("o_comment"))
+    assert(sel.collect().map(_.getLong(0)).forall(_ == 42L))
+  }
+
+  test("avro round-trips with an explicit schema (cancels without spark-avro)") {
+    assume(Sources.avroAvailable(spark), "spark-avro connector not on this classpath")
+    val dir = Files.createTempDirectory("graft-avro").toString
+    val df = table("nation")
+    Sources.writeAvro(df, s"$dir/nation_avro")
+    val back = Sources.avro(spark, s"$dir/nation_avro", df.schema)
+    assert(back.collect().map(_.toString).toSet === df.collect().map(_.toString).toSet)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Sources.writePartitioned(table("orders"), s"$dir/orders",
