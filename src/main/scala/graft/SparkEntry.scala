@@ -98,6 +98,8 @@ object SparkEntry {
     "c9_source_mix" -> Seq("source"),
     "c10_funnel" -> Seq("stage"),
     "c11_shards" -> Seq("shard"),
+    "c12_contamination" -> Seq("doc_id"),
+    "t8_importance" -> Seq("doc_id"),
     "m1_media_meta" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"))
@@ -190,6 +192,12 @@ object SparkEntry {
       Map("src0" -> 1000, "src1" -> 250, "src2" -> 0))),
     "t6_normalize" -> ((s, d) => TextOps.normalize(t(s, d, "documents"))),
     "c11_shards" -> ((s, d) => Curation.shardAssign(t(s, d, "documents"))),
+    "c12_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // deterministic self-derived "benchmark": every 97th document
+      Curation.contamination(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
+    "t8_importance" -> ((s, d) => Curation.importanceWeight(t(s, d, "documents"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
@@ -675,6 +683,33 @@ object SparkEntry {
       """SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "c12_contamination" ->
+      s"""WITH tok AS ($shingleTok),
+          bm AS (SELECT DISTINCT s FROM
+                 (SELECT unnest(sh) AS s FROM tok WHERE doc_id % 97 = 0)),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM tok)
+          SELECT ex.doc_id, count(*) AS n_shingles,
+            CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_contaminated,
+            CAST(CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS DOUBLE) / count(*) AS contam_ratio
+          FROM ex LEFT JOIN bm ON ex.s = bm.s
+          GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "t8_importance" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
+          tf AS (SELECT term, count(*) AS ctf,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ttf
+                 FROM tk GROUP BY 1),
+          tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS ctot,
+                  CAST(sum(ttf) AS BIGINT) AS ttot, count(*) AS vocab FROM tf)
+          SELECT tk.doc_id, count(*) AS n_tokens,
+            CAST(CAST(CAST(sum(CAST(CAST(
+                ln(CAST(tf.ttf + 1 AS DOUBLE) / (tot.ttot + tot.vocab)) -
+                ln(CAST(tf.ctf + 1 AS DOUBLE) / (tot.ctot + tot.vocab))
+              AS DECIMAL(38,6)) AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+              AS DECIMAL(38,4)) AS DOUBLE) AS importance
+          FROM tk JOIN tf ON tk.term = tf.term, tot
+          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     "q29_deciles" ->
       """SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile, count(*) AS n,
          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

@@ -254,6 +254,68 @@ object Curation {
         "'3_length', n_length, '4_dedup', n_dedup) AS (stage, n_docs)"))
   }
 
+  /** Benchmark decontamination: per-document n-gram overlap against a
+    * benchmark/eval set — the standard pre-training hygiene pass (a doc
+    * sharing many shingles with an eval benchmark leaks test data into
+    * training). Benchmark sets are tiny next to the corpus (MMLU-sized,
+    * not web-sized), so their distinct shingle table BROADCASTS and the
+    * corpus side stays map-local: explode → broadcast-hash left join →
+    * per-doc count. The only shuffle is the per-doc re-aggregation, and
+    * map-side combine collapses it to one row per document (a document's
+    * exploded shingles are partition-local). */
+  def contamination(documents: DataFrame, benchmark: DataFrame,
+                    n: Int = 3): DataFrame = {
+    val docSh = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), n)).as("sh"))
+    val bmSh = benchmark
+      .withColumn("_toks", tokens(col("text")))
+      .select(explode(shinglesFromTokens(col("_toks"), n)).as("bsh"))
+      .distinct()
+    docSh.join(broadcast(bmSh), col("sh") === col("bsh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("bsh").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      // exact bigint/bigint division — bit-identical across engines
+      .withColumn("contam_ratio",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
+  /** DSIR-style importance weight: average per-token log-likelihood RATIO
+    * between a target-domain unigram LM and the corpus unigram LM — the
+    * cheap data-selection score (positive ⇒ doc looks more like the
+    * target domain than the average corpus doc). Both LMs are
+    * Laplace-smoothed over the corpus vocabulary so out-of-target terms
+    * stay finite. Plan shape: one explode, two vocabulary-sized
+    * aggregates merged by a single term-keyed join (left to AQE, like
+    * tfidf), per-token ratios decimal-rounded, exact decimal per-doc
+    * average — engine-stable like t7. */
+  def importanceWeight(documents: DataFrame,
+                       targetSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .select(col("doc_id"), col("source"), col("term"))
+    // one pass over the exploded tokens builds BOTH LMs (the target tf is
+    // a conditional aggregate, not a second scan)
+    val tf = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("ctf"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ttf"))
+    val totals = tf.agg(
+      sum(col("ctf")).as("ctot"), sum(col("ttf")).as("ttot"),
+      count(lit(1)).as("vocab"))
+    val num = (col("ttf") + 1).cast("double") / (col("ttot") + col("vocab"))
+    val den = (col("ctf") + 1).cast("double") / (col("ctot") + col("vocab"))
+    toks.join(tf, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("llr", decRound(log(num) - log(den), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr").cast(DecimalType(28, 6))).as("_sllr"))
+      .select(col("doc_id"), col("n_tokens"),
+        decRound(col("_sllr").cast("double") / col("n_tokens"), 4).as("importance"))
+  }
+
   /** Deterministic training-shard assignment + balance statistics: docs
     * hash to `nShards` output shards (the write-layout stage of a
     * training pipeline — each shard becomes one output file group).

@@ -128,6 +128,37 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       .foreach(r => assert(r.getAs[Double]("avg_ll") < 0.0))
   }
 
+  test("contamination: benchmark docs fully flagged, clean docs at zero, ratios bounded") {
+    val docs = table("documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Curation.contamination(docs, bench).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === docs.count())
+    out.values.foreach { r =>
+      val ratio = r.getAs[Double]("contam_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_shingles"))
+    }
+    // every benchmark member overlaps itself completely
+    benchIds.foreach(id => assert(out(id).getAs[Double]("contam_ratio") === 1.0))
+    assert(benchIds.nonEmpty)
+  }
+
+  test("importance weight: target-source docs score higher than the rest on average") {
+    val docs = table("documents")
+    val out = Curation.importanceWeight(docs, "src0").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("importance"))).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (target, rest) = out.partition { case (id, _) => srcOf(id) == "src0" }
+    def mean(m: Map[Long, Double]) = m.values.sum / m.size
+    assert(target.nonEmpty && rest.nonEmpty)
+    // the LM ratio must, on average, prefer its own training domain
+    assert(mean(target) > mean(rest),
+      s"target mean ${mean(target)} !> rest mean ${mean(rest)}")
+  }
+
   test("shard assignment: partitions the corpus, roughly balanced, stable") {
     val docs = table("documents")
     val out = Curation.shardAssign(docs).collect()
