@@ -210,6 +210,8 @@ object SparkEntry {
       graft.streaming.StreamDrivers.sessionizeFileStream(Tables.tune(s), d)),
     "st4_latest_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.latestStateFileStream(Tables.tune(s), d)),
+    "st5_interval_join_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.intervalJoinFileStream(Tables.tune(s), d)),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -669,6 +671,19 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id, event_type AS last_type,
            se AS last_sec, value AS last_value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    // st5: the watermarked stream-stream interval join must emit exactly
+    // the batch interval-join pairs. CAST(ts AS TIMESTAMP) truncates
+    // DuckDB's nanosecond timestamps to the microseconds Spark compares.
+    "st5_interval_join_stream" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup')
+         SELECT p.event_id AS l_id, s.event_id AS r_id, p.user_id
+         FROM p JOIN s ON p.user_id = s.user_id
+           AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+           AND p.event_id != s.event_id
+         ORDER BY 1, 2""",
     // st4 = the q28 oracle verbatim: streaming keyed latest-state must
     // drain to exactly the batch latest-event table.
     "st4_latest_stream" ->

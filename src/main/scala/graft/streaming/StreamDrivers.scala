@@ -90,6 +90,49 @@ object StreamDrivers {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The stream-stream interval join driven end-to-end: purchases and
+    * signups staged as SEPARATE file sources, each split into two files
+    * AT THE TIME MIDPOINT so the second micro-batch's events all sit
+    * above the watermark set by the first (arbitrary splits would let
+    * the watermark drop genuinely-late rows and diverge from the batch
+    * oracle — time-ordered arrival is the contract under which an
+    * interval join is lossless). Inner-join matches emit as they arrive;
+    * the watermark only bounds state, so no sentinel is needed. */
+  def intervalJoinFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssjoin")
+    try {
+      val evs = graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2
+      val mid = new Timestamp(midMs)
+      def stage(types: String): String = {
+        val p = s"$dir/$types"
+        val side = evs.filter(col("event_type") === types)
+        side.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(p)
+        side.filter(col("ts") > mid).coalesce(1).write.mode("append").parquet(p)
+        p
+      }
+      val (pDir, sDir) = (stage("purchase"), stage("signup"))
+      def src(p: String) = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = StreamOps.intervalJoin(src(pDir), src(sDir)).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/chk")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      buf.toSeq.toDF("l_id", "r_id", "user_id")
+        .orderBy(col("l_id"), col("r_id"))
+    } finally deleteRecursively(dir)
+  }
+
   /** q28's result through the streaming path: file source →
     * StreamOps.latestState (mapGroupsWithState, update semantics) →
     * foreachBatch accumulation → final state per key = the

@@ -206,6 +206,22 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("st5 driver: file-sourced stream-stream interval join equals the batch join") {
+    val streamed = graft.streaming.StreamDrivers
+      .intervalJoinFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    import spark.implicits._
+    val evs = eventData()
+    val l = evs.filter(_.event_type == "purchase").toDF().alias("l")
+    val r = evs.filter(_.event_type == "signup").toDF().alias("r")
+    val batch = l.join(r, expr("l.user_id = r.user_id AND " +
+        "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts AND l.event_id != r.event_id"))
+      .select(col("l.event_id"), col("r.event_id"), col("l.user_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
