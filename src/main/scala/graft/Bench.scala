@@ -52,7 +52,14 @@ object Bench {
     // sweep (and a cross-check when a sweep number looks contaminated).
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
-      .map { f => val ks = f.split(",").map(_.trim).toSet; all.filter(ks) }
+      .map { f =>
+        val ks = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = ks -- all.toSet
+        // fail fast on typos: silently measuring nothing defeats the
+        // cross-check this filter exists for
+        require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(", ")}")
+        all.filter(ks)
+      }
       .getOrElse(all)
     // Contention-robust statistic: min of two runs, plus an outlier
     // guard — if the two disagree by >30% the slower one was likely a

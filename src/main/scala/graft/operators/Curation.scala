@@ -286,7 +286,10 @@ object Curation {
     * cheap data-selection score (positive ⇒ doc looks more like the
     * target domain than the average corpus doc). Both LMs are
     * Laplace-smoothed over the corpus vocabulary so out-of-target terms
-    * stay finite. Plan shape: one explode, two vocabulary-sized
+    * stay finite. Documents with ZERO tokens have no defined score and
+    * are absent from the output (the SQL oracle's join drops them the
+    * same way — like t7); callers gating on importance should treat
+    * absence as "no signal". Plan shape: one explode, two vocabulary-sized
     * aggregates merged by a single term-keyed join (left to AQE, like
     * tfidf), per-token ratios decimal-rounded, exact decimal per-doc
     * average — engine-stable like t7. */

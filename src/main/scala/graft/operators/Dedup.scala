@@ -354,11 +354,14 @@ object Dedup {
     * full scale-path pipeline (LSH candidates → exact verify → connected
     * components). Identical output whenever the LSH stage achieves full
     * recall (spec-checked against the exact pipeline; the d9 gate checks
-    * it against the recursive-SQL oracle). */
+    * it against the recursive-SQL oracle). Banding parameters pass
+    * through so a clustered-corpus caller can reach the b = 8..16
+    * pruning regime (see [[embeddingLshPairs]]). */
   def duplicateClustersLsh(embeddings: DataFrame, threshold: Double = 0.35,
-                           maxIter: Int = 25): DataFrame =
+                           maxIter: Int = 25, numPlanes: Int = 16,
+                           bitsPerBand: Int = 1, maxBucket: Int = 0): DataFrame =
     duplicateClustersFrom(embeddings,
-      embeddingLshPairs(embeddings, threshold)
+      embeddingLshPairs(embeddings, threshold, numPlanes, bitsPerBand, maxBucket)
         .select(col("id_a").as("a"), col("id_b").as("b")), maxIter)
 
   /** Decimal-guarded cosine threshold filter shared by the exact and LSH
@@ -409,17 +412,31 @@ object Dedup {
     * touches a vanishing corpus fraction — that regime, not θ=0.45
     * isotropic, is what the banding exists for.
     *
+    * Bucket cap semantics: `maxBucket` ≤ 0 (the default) disables the
+    * cap. A cap is a SKEW guard for the b ≥ 8 regime, where buckets are
+    * ~corpus/2^b and only a degenerate direction (all-identical vectors)
+    * overflows; at b = 1 every bucket holds ~half the corpus by
+    * construction, so any finite cap would silently drop EVERY banded
+    * row past ~2·cap vectors and the operator would return an empty
+    * result instead of an error — the cap is therefore opt-in, not a
+    * default. Capping also forfeits the first-shared-band fast path
+    * (below): a capped bucket removes a shared band from the join but
+    * not from the xor codes, so the mask test would skip pairs whose
+    * first shared band was capped — with a cap, uniqueness falls back
+    * to the distinct, which emits on ANY surviving shared band.
+    *
     * Plan shape (the part that must survive 100×): the banding table is
-    * SKINNY (id, band, chunk) — vectors are not replicated; one shuffle
-    * on (band, chunk) for the bucket self-join, oversized buckets capped
-    * (skew guard, like minhashPairs); pair uniqueness by first-shared-
-    * band emission (1-bit bands) or an explicit distinct; then two
+    * SKINNY (id, band, chunk, code), staged once (it feeds both join
+    * sides) — vectors are not replicated; one shuffle on (band, chunk)
+    * for the bucket self-join; pair uniqueness by first-shared-band
+    * emission (1-bit bands, uncapped) or an explicit distinct; then two
     * id-keyed join-backs to fetch vectors for the verify. */
   def embeddingLshPairs(embeddings: DataFrame, threshold: Double = 0.45,
                         numPlanes: Int = 16, bitsPerBand: Int = 1,
-                        maxBucket: Int = 100000): DataFrame = {
+                        maxBucket: Int = 0): DataFrame = {
     require(numPlanes % bitsPerBand == 0, "numPlanes must divide into bands")
     require(numPlanes <= 62, "packed sign code must fit a long")
+    val capped = maxBucket > 0
     val planes = Similarity.planesFor(numPlanes)
     val v = embeddings
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
@@ -430,15 +447,18 @@ object Dedup {
     val packed = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
     val chunkCols = bits.grouped(bitsPerBand).map(g =>
       g.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)).toSeq
+    // staged once: the skinny banding table feeds BOTH sides of the
+    // bucket self-join (same reasoning as the shingle-table staging in
+    // ngramJaccardPairs — k dot products per row must not run twice)
     val banded = v.select(col("vec_id"), packed.as("code"),
-      posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
-    // skew guard: drop degenerate buckets (> maxBucket members) — at
-    // b ≥ 8 a boilerplate-free corpus never hits it; a capped bucket
-    // costs recall only for pairs whose every shared band is capped
-    val sized = banded
+        posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
+      .localCheckpoint()
+    // optional skew guard (see Scaladoc: opt-in, b ≥ 8 regime only)
+    val sized = if (!capped) banded else banded
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("chunk"))))
       .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val a = sized.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("code").as("code_a"))
     val b = sized.select(col("band").as("band2"), col("chunk").as("chunk2"),
@@ -446,14 +466,15 @@ object Dedup {
     val bucketEq = col("band") === col("band2") && col("chunk") === col("chunk2") &&
       col("id_a") < col("id_b")
     // Pair uniqueness: a qualifying pair shares ≥1 band, often many. For
-    // 1-bit bands the pair is emitted ONLY at its FIRST shared band —
-    // band j qualifies iff all xor bits below j are 1 (bit j itself is 0
-    // by the bucket equality) — a pure bit-mask residual on the packed
-    // codes, so every pair exits the join exactly once and the distinct
-    // disappears (that distinct re-shuffled every probed candidate row —
-    // the dominant cost of the whole query, measured ~2.5×). Wider bands
-    // can't compose the mask test per-band, so they keep the distinct.
-    val cand = (if (bitsPerBand == 1) {
+    // UNCAPPED 1-bit bands the pair is emitted ONLY at its FIRST shared
+    // band — band j qualifies iff all xor bits below j are 1 (bit j
+    // itself is 0 by the bucket equality) — a pure bit-mask residual on
+    // the packed codes, so every pair exits the join exactly once and
+    // the distinct disappears (that distinct re-shuffled every probed
+    // candidate row — the dominant cost of the whole query, measured
+    // ~2.5×). Wider bands can't compose the mask test per-band, and a
+    // cap invalidates it (Scaladoc above) — both keep the distinct.
+    val cand = (if (bitsPerBand == 1 && !capped) {
       val xor = col("code_a").bitwiseXOR(col("code_b"))
       // SQL-level shiftleft: the Scala builder only takes a literal shift
       val lowMask = expr("shiftleft(CAST(1 AS BIGINT), band) - CAST(1 AS BIGINT)")

@@ -34,7 +34,15 @@ object StreamDrivers {
 
   /** Stage the events table as a 2-file parquet directory (so
     * maxFilesPerTrigger=1 yields real multi-batch execution), run the
-    * stateful stream over it, append a sentinel file, drain, clean up. */
+    * stateful stream over it, append a sentinel file, drain, clean up.
+    *
+    * The two files are split AT THE TIME MIDPOINT, written in time
+    * order — not an arbitrary row split: batch 1 advances the watermark
+    * to max(batch1) − delay, and an arbitrary split would land
+    * older-than-watermark events in batch 2, where the engine drops
+    * them and the batch oracle diverges. With the midpoint split every
+    * batch-2 event sits above batch 1's watermark, while sessions
+    * STRADDLING the midpoint still exercise genuine cross-batch state. */
   private def runOverEventFiles[T](spark: SparkSession, sfDir: String,
                                    sentinelOffsetSec: Long)(
       start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -43,8 +51,11 @@ object StreamDrivers {
     try {
       val evs = graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      evs.coalesce(2).write.mode("overwrite").parquet(in)
-      val lastMs = evs.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
+      val lastMs = bounds.getTimestamp(1).getTime
+      val mid = new Timestamp((bounds.getTimestamp(0).getTime + lastMs) / 2)
+      evs.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(in)
+      evs.filter(col("ts") > mid).coalesce(1).write.mode("append").parquet(in)
       val src = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = start(src, chk)
@@ -62,7 +73,12 @@ object StreamDrivers {
 
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+    // Files.walk holds directory handles open until the stream is closed
+    // — materialize the listing under try/finally or every driver run
+    // leaks a handle
+    val walk = Files.walk(p)
+    val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+    files.foreach(f => Files.deleteIfExists(f))
   }
 
   /** q15's result through the streaming path: file source →

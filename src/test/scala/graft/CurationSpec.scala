@@ -145,6 +145,21 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(benchIds.nonEmpty)
   }
 
+  test("contamination keeps short and empty documents (degenerate shingle arrays)") {
+    import spark.implicits._
+    // shinglesFromTokens yields a 1-element array below n tokens (and
+    // [""] for empty text), so explode can never drop a document
+    val docs = Seq((1L, "two tokens"), (2L, ""), (3L, "   "),
+      (4L, "the quick brown fox ran")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 4L)
+    val out = Curation.contamination(docs, bench).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L).getAs[Long]("n_shingles") === 1L)
+    assert(out(1L).getAs[Long]("n_contaminated") === 0L)
+    assert(out(4L).getAs[Double]("contam_ratio") === 1.0)
+  }
+
   test("importance weight: target-source docs score higher than the rest on average") {
     val docs = table("documents")
     val out = Curation.importanceWeight(docs, "src0").collect()

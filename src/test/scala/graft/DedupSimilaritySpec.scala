@@ -89,6 +89,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("capped and wide-band LSH variants: capped equals fast path, wide stays a subset") {
+    val exact = Dedup.embeddingPairs(table("embeddings"), 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a non-binding cap routes through the distinct branch — same result
+    val cappedOut = Dedup.embeddingLshPairs(table("embeddings"), 0.45,
+        maxBucket = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedOut === exact)
+    // wider bands prune harder; the exact-cosine verify keeps output ⊆ truth
+    val wide = Dedup.embeddingLshPairs(table("embeddings"), 0.45,
+        numPlanes = 16, bitsPerBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(exact))
+  }
+
   test("LSH-sourced duplicate clusters equal the exact-pair clustering") {
     val viaExact = Dedup.duplicateClusters(table("embeddings"), 0.35).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
