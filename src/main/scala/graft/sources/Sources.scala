@@ -61,6 +61,45 @@ object Sources {
       true
     } catch { case _: Exception => false }
 
+  /** Partitioned JDBC read — the parallel-ingest form: `numPartitions`
+    * concurrent range queries over `[lowerBound, upperBound)` of a
+    * numeric `partitionColumn`. A bare single-connection JDBC read
+    * serializes a whole table through one executor — never acceptable
+    * for bulk ingest; bounds come from the source's own
+    * min/max(partitionColumn), fetched once. Filters and column
+    * pruning push into the generated SQL (JDBCRelation pushdown). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+
+  /** Single-partition JDBC read — ONLY for genuinely small tables
+    * (dimension/config lookups); see [[jdbc]] for bulk ingest. */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Small-files compaction: rewrite a parquet dataset into
+    * ~`targetMB`-sized files at `outPath`. Streaming sinks and
+    * fine-grained partitioned writes accumulate thousands of small
+    * files; at 100 TB the file-listing and per-file open costs dominate
+    * scans until compaction runs. Output file count is computed from the
+    * actual on-disk size, not row counts (row width varies). Writes to a
+    * NEW path — the atomic swap (rename/catalog repoint) is the
+    * caller's, so a failed compaction never corrupts the live dataset. */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+                targetMB: Int = 512): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, bytes / (targetMB.toLong << 20) +
+      (if (bytes % (targetMB.toLong << 20) == 0) 0 else 1)).toInt
+    spark.read.parquet(inPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Streaming parquet-directory source (schema-explicit — streaming
     * sources cannot infer, and shouldn't at scale anyway; file listing
     * is incremental per micro-batch). Feed into any StreamOps transform
