@@ -447,18 +447,28 @@ object Dedup {
     val packed = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
     val chunkCols = bits.grouped(bitsPerBand).map(g =>
       g.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)).toSeq
-    // staged once: the skinny banding table feeds BOTH sides of the
-    // bucket self-join (same reasoning as the shingle-table staging in
-    // ngramJaccardPairs — k dot products per row must not run twice)
+    // Deliberately NOT staged (unlike the shingle table in
+    // ngramJaccardPairs): the banding is k fused codegen dot products
+    // per row — far cheaper than the tokenize→shingle→hash pipeline —
+    // and a localCheckpoint here pins the probe join to the scan's few
+    // input partitions while blocking exchange reuse (measured 2× SLOWER
+    // at sf0.1). Recomputing the cheap projection per join side is the
+    // right trade.
     val banded = v.select(col("vec_id"), packed.as("code"),
-        posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
-      .localCheckpoint()
+      posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
     // optional skew guard (see Scaladoc: opt-in, b ≥ 8 regime only)
-    val sized = if (!capped) banded else banded
+    val guarded = if (!capped) banded else banded
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("chunk"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
+    // Explicit bucket-key repartition: exactly the exchange the shuffled
+    // self-join needs (so free at scale), and it pins the probe's
+    // parallelism to shuffle.partitions regardless of input file layout —
+    // without it, AQE broadcasts the small banded side and the 16M-pair
+    // probe runs at the parquet scan's partition count (1 for a small
+    // file: measured 2.4× on d8 at sf0.1).
+    val sized = guarded.repartition(col("band"), col("chunk"))
     val a = sized.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("code").as("code_a"))
     val b = sized.select(col("band").as("band2"), col("chunk").as("chunk2"),
