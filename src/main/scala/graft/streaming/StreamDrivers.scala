@@ -43,12 +43,25 @@ object StreamDrivers {
     * them and the batch oracle diverges. With the midpoint split every
     * batch-2 event sits above batch 1's watermark, while sessions
     * STRADDLING the midpoint still exercise genuine cross-batch state. */
+  /** Run `body` with the session's shuffle partitions (= streaming state
+    * store count, fixed at the query's FIRST run from this conf) lowered
+    * to `n`: each state partition is a directory of per-batch files, so
+    * 32 stores × batches × operator instances is pure file churn at
+    * harness scale. A production deployment sizes this to keyspace ÷
+    * executor memory instead — the conf is restored on exit. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def runOverEventFiles[T](spark: SparkSession, sfDir: String,
                                    sentinelOffsetSec: Long)(
       start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val dir = Files.createTempDirectory("graft-stream-drv")
     val in = s"$dir/in"; val chk = s"$dir/chk"
-    try {
+    try withStatePartitions(spark, 8) {
       val evs = graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
@@ -117,7 +130,7 @@ object StreamDrivers {
   def intervalJoinFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ssjoin")
-    try {
+    try withStatePartitions(spark, 8) {
       val evs = graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
