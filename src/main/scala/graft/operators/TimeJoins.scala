@@ -37,6 +37,28 @@ object TimeJoins {
         decSum(col("value")).as("sum_value"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE session_window operator
+    * — the built-in alternative to the lag+running-sum form above, and
+    * the one that transfers unchanged to Structured Streaming (a
+    * watermarked session_window aggregation keeps per-session state in
+    * the state store with merge-on-arrival).
+    *
+    * Boundary semantics differ by one instant: session_window merges an
+    * event iff it lands STRICTLY inside lastEvent + gap ("diff < gap"),
+    * while the lag form keeps "diff <= gapSec". On whole-second
+    * timestamps gap = gapSec + 1 seconds makes the two identical —
+    * TimeJoinsSpec asserts exact parity including sums. */
+  def sessionizeNative(events: DataFrame, gapSec: Long = 1800): DataFrame =
+    events
+      .select(col("user_id"), col("value"),
+        date_trunc("second", col("ts")).as("tsec"))
+      .groupBy(col("user_id"),
+        session_window(col("tsec"), s"${gapSec + 1} seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** As-of join: each `purchase` row picks up the value of the most
     * recent earlier-or-equal `signup` by the same user.
     *

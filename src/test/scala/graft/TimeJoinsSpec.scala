@@ -19,6 +19,18 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("native session_window sessionization exactly matches the lag-based form") {
+    val events = table("events")
+    val native = TimeJoins.sessionizeNative(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val lagForm = TimeJoins.sessionize(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(native === lagForm)
+    assert(native.nonEmpty)
+  }
+
   test("as-of join matches a naive per-row recompute") {
     val out = TimeJoins.asofJoin(table("events")).collect()
       .map(r => r.getAs[Long]("event_id") ->
