@@ -100,6 +100,8 @@ object SparkEntry {
     "c11_shards" -> Seq("shard"),
     "c12_contamination" -> Seq("doc_id"),
     "t8_importance" -> Seq("doc_id"),
+    "c14_percentile_gate" -> Seq("source"),
+    "c15_token_packing" -> Seq("shard", "pack_id"),
     "m1_media_meta" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"))
@@ -198,6 +200,8 @@ object SparkEntry {
       Curation.contamination(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
     "t8_importance" -> ((s, d) => Curation.importanceWeight(t(s, d, "documents"))),
+    "c14_percentile_gate" -> ((s, d) => Curation.percentileGate(t(s, d, "documents"))),
+    "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
@@ -710,6 +714,24 @@ object SparkEntry {
               AS DOUBLE) / count(*) AS contam_ratio
           FROM ex LEFT JOIN bm ON ex.s = bm.s
           GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "c14_percentile_gate" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.1) AS p_lo,
+                    quantile_cont(n_chars, 0.9) AS p_hi FROM documents)
+         SELECT source, count(*) AS n_kept, min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+         FROM documents, b WHERE n_chars >= p_lo AND n_chars <= p_hi
+         GROUP BY 1 ORDER BY 1""",
+    "c15_token_packing" ->
+      """WITH t AS (SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
+             doc_id, CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS tok
+             FROM documents),
+         c AS (SELECT shard, doc_id, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM t)
+         SELECT shard, (cum - tok) // 2048 AS pack_id, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "t8_importance" ->
       s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
           tf AS (SELECT term, count(*) AS ctf,

@@ -335,6 +335,54 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Global-quantile-driven length gate: keep documents whose length
+    * falls inside the corpus's [lo, hi] percentile band — the adaptive
+    * form of fixed-threshold length filtering (thresholds track the
+    * corpus instead of being hand-tuned per source). Plan shape: ONE
+    * exact-percentile aggregate collapses to a single broadcast row; the
+    * gate itself is then a pure map over the corpus — the global
+    * statistic costs one aggregation, never a sort of 100 TB. */
+  def percentileGate(documents: DataFrame, lo: Double = 0.1,
+                     hi: Double = 0.9): DataFrame = {
+    val bounds = documents.agg(
+      expr(s"percentile(n_chars, $lo)").as("p_lo"),
+      expr(s"percentile(n_chars, $hi)").as("p_hi"))
+    documents.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  /** Deterministic sequence packing: documents are packed into fixed
+    * token-budget groups (the sample-packing step that turns a corpus
+    * into fixed-length training sequences). Next-fit in doc_id order
+    * within each hash shard: pack_id = (running token count − own
+    * tokens) div budget — a single window per shard, so packing
+    * parallelizes across shards (a GLOBAL greedy pack would serialize
+    * the corpus through one partition; per-shard next-fit is the shape
+    * that survives 100 TB, and shard assignment is already
+    * reproducible). Token counts use the chars/4 heuristic of t3's
+    * approx_bpe — swap in real tokenizer counts by joining a token-count
+    * column upstream. */
+  def tokenPacking(documents: DataFrame, budgetTokens: Long = 2048,
+                   nShards: Int = 8, seed: Long = 104729L): DataFrame = {
+    val shard =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
+    val tok = ceil(col("n_chars").cast("double") / 4).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents
+      .select(shard.as("shard"), col("doc_id"), tok.as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      // integer division (div), not double floor — engine-exact
+      .withColumn("pack_id", expr(s"(cum - tok) div $budgetTokens"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+  }
+
   /** Document length histogram on fixed bucket edges (training-data
     * length filtering diagnostics). */
   def lengthBuckets(documents: DataFrame): DataFrame = {

@@ -174,6 +174,40 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       s"target mean ${mean(target)} !> rest mean ${mean(rest)}")
   }
 
+  test("percentile gate keeps the middle band and respects the bounds") {
+    val docs = table("documents")
+    val out = Curation.percentileGate(docs, 0.1, 0.9).collect()
+    val kept = out.map(_.getAs[Long]("n_kept")).sum
+    // ~80% of the corpus survives a [P10, P90] gate (ties move it slightly)
+    assert(kept >= (docs.count() * 0.7).toLong && kept <= (docs.count() * 0.9).toLong,
+      s"kept $kept of ${docs.count()}")
+    val Array(pLo, pHi) = docs
+      .selectExpr("percentile(n_chars, 0.1)", "percentile(n_chars, 0.9)")
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_chars") >= pLo)
+      assert(r.getAs[Long]("max_chars") <= pHi)
+    }
+  }
+
+  test("token packing: packs cover the corpus, budget respected, deterministic") {
+    val docs = table("documents")
+    val out = Curation.tokenPacking(docs, budgetTokens = 2048).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val expectedTokens = docs.selectExpr("sum(cast(ceil(cast(n_chars as double)/4) as long))")
+      .collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum === expectedTokens)
+    // next-fit: a pack only exceeds the budget by at most its last doc's
+    // tokens (pack_id advances once the RUNNING count passes the budget)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, packs) =>
+      val ids = packs.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head === 0L) // packing starts at pack 0 in every shard
+    }
+    val again = Curation.tokenPacking(docs.repartition(7), budgetTokens = 2048)
+      .collect().map(_.toString).toSet
+    assert(again === out.map(_.toString).toSet) // partitioning-independent
+  }
+
   test("shard assignment: partitions the corpus, roughly balanced, stable") {
     val docs = table("documents")
     val out = Curation.shardAssign(docs).collect()
