@@ -102,6 +102,7 @@ object SparkEntry {
     "t8_importance" -> Seq("doc_id"),
     "c14_percentile_gate" -> Seq("source"),
     "c15_token_packing" -> Seq("shard", "pack_id"),
+    "t9_stop_strip" -> Seq("doc_id"),
     "m1_media_meta" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"))
@@ -201,6 +202,7 @@ object SparkEntry {
     }),
     "t8_importance" -> ((s, d) => Curation.importanceWeight(t(s, d, "documents"))),
     "c14_percentile_gate" -> ((s, d) => Curation.percentileGate(t(s, d, "documents"))),
+    "t9_stop_strip" -> ((s, d) => TextOps.stopStrip(t(s, d, "documents"))),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
@@ -714,6 +716,18 @@ object SparkEntry {
               AS DOUBLE) / count(*) AS contam_ratio
           FROM ex LEFT JOIN bm ON ex.s = bm.s
           GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "t9_stop_strip" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents),
+          top AS (SELECT term FROM tk GROUP BY term
+                  ORDER BY count(*) DESC, term LIMIT 20),
+          tl AS (SELECT list(term) AS topk FROM top)
+          SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens_raw,
+            CAST(len(f) AS INTEGER) AS n_tokens_kept,
+            array_to_string(f, ' ') AS stripped_text
+          FROM (SELECT doc_id, t,
+                list_filter(t, x -> NOT list_contains(topk, x)) AS f
+                FROM (SELECT doc_id, $toks AS t FROM documents), tl)
+          ORDER BY doc_id""",
     "c14_percentile_gate" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.1) AS p_lo,
                     quantile_cont(n_chars, 0.9) AS p_hi FROM documents)

@@ -156,6 +156,30 @@ object TextOps {
   def scrubNumbers(events: DataFrame): DataFrame =
     scrub(events, "event_id", "props", Seq("-?\\d+" -> "<NUM>"))
 
+  /** Corpus-adaptive stopword stripping: the corpus's top-k most
+    * frequent tokens are removed from every document, order preserved —
+    * the vocabulary-driven rewrite used before indexing / n-gram
+    * modelling (fixed stopword lists miss domain-specific filler).
+    * Plan shape: the top-k vocabulary is a TakeOrdered over the term
+    * aggregate, collapsed to ONE row carrying the list and broadcast;
+    * the rewrite is then a pure per-row HOF filter over the materialized
+    * token array — no explode, no shuffle on the rewrite path. */
+  def stopStrip(documents: DataFrame, k: Int = 20): DataFrame = {
+    val top = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(k)
+      .agg(collect_list(col("term")).as("topk"))
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"), size(col("_toks")).as("n_tokens_raw"),
+        filter(col("_toks"), t => !array_contains(col("topk"), t)).as("_kept"))
+      .select(col("doc_id"), col("n_tokens_raw"),
+        size(col("_kept")).as("n_tokens_kept"),
+        array_join(col("_kept"), " ").as("stripped_text"))
+  }
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

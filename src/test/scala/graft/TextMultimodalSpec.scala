@@ -58,6 +58,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("stop strip: top-k terms gone, order preserved, counts consistent") {
+    val docs = table("documents")
+    val out = TextOps.stopStrip(docs, k = 20).collect()
+    assert(out.length === docs.count())
+    val topk = docs.withColumn("term", explode(graft.functions.ColumnFns.tokens(col("text"))))
+      .groupBy("term").count().orderBy(col("count").desc, col("term")).limit(20)
+      .collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      val kept = r.getAs[String]("stripped_text").split("\\s+").filter(_.nonEmpty)
+      assert(kept.length === r.getAs[Int]("n_tokens_kept"))
+      assert(kept.forall(t => !topk.contains(t)), s"doc ${r.getLong(0)} kept a top-k term")
+      assert(r.getAs[Int]("n_tokens_kept") <= r.getAs[Int]("n_tokens_raw"))
+    }
+    // order preservation on a crafted doc: non-stop tokens keep relative order
+    import spark.implicits._
+    val crafted = Seq((1L, "zebra the apple of banana")).toDF("doc_id", "text")
+    val one = TextOps.stopStrip(docs.select("doc_id", "text").union(crafted), 20)
+      .filter(col("doc_id") === 1L).collect()(0)
+    val keptSeq = one.getAs[String]("stripped_text").split(" ").toSeq
+    assert(keptSeq === keptSeq.sortBy(t => Seq("zebra", "apple", "banana").indexOf(t)))
+  }
+
   test("normalize: lowercase, punctuation-free, single-spaced") {
     import spark.implicits._
     val df = Seq((1L, "  Hello,  WORLD!? x  "), (2L, "already clean"))
