@@ -723,7 +723,8 @@ object SparkEntry {
           tl AS (SELECT list(term) AS topk FROM top)
           SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens_raw,
             CAST(len(f) AS INTEGER) AS n_tokens_kept,
-            array_to_string(f, ' ') AS stripped_text
+            -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+            coalesce(array_to_string(f, ' '), '') AS stripped_text
           FROM (SELECT doc_id, t,
                 list_filter(t, x -> NOT list_contains(topk, x)) AS f
                 FROM (SELECT doc_id, $toks AS t FROM documents), tl)
