@@ -66,6 +66,8 @@ object SparkEntry {
     "q30_cume_users" -> Seq("day"),
     "q31_histogram" -> Seq("bucket"),
     "q32_transitions" -> Seq("event_type", "next_type"),
+    "q33_wau" -> Seq("window_start"),
+    "q34_retention" -> Seq("cohort_week", "week_offset"),
     "g1_entry" -> Seq("r_name", "o_year"),
     "st1_tumbling_window" -> Seq("window_start", "event_type"),
     "st2_sliding_window" -> Seq("window_start", "event_type"),
@@ -207,6 +209,8 @@ object SparkEntry {
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
+    "q33_wau" -> ((s, d) => Relational.slidingActiveUsers(t(s, d, "events"))),
+    "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
     "c10_funnel" -> ((s, d) => Curation.curationFunnel(t(s, d, "documents"))),
@@ -808,6 +812,20 @@ object SparkEntry {
            (PARTITION BY user_id ORDER BY se, event_id) AS next_type FROM e)
          SELECT event_type, next_type, count(*) AS n FROM f
          WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q33_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+         SELECT strftime(day - k * INTERVAL '1 day', '%Y-%m-%d') AS window_start,
+           count(DISTINCT user_id) AS wau
+         FROM ud, unnest(generate_series(0, 6)) AS t(k)
+         GROUP BY 1 ORDER BY 1""",
+    "q34_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+         SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS INTEGER) AS week_offset,
+           count(DISTINCT uw.user_id) AS n_users
+         FROM uw JOIN c ON uw.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "t7_unigram_ll" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
           tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),

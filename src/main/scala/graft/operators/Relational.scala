@@ -303,6 +303,46 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Sliding-window distinct-user curve (WAU): distinct users per 7-day
+    * window, one row per window start. NO windowed distinct over raw
+    * events — the (user, day) activity set is reduced FIRST (tiny: users
+    * × active days), then each activity day fans out to the 7 windows it
+    * serves and the distinct runs on the reduced set. At 100 TB the raw
+    * scan reduces in one map-side-combined aggregate; everything after
+    * is proportional to user-days, not events. */
+  def slidingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    userDays
+      .select(col("user_id"), explode(sequence(lit(0), lit(windowDays - 1))).as("k"),
+        col("day"))
+      .select(col("user_id"), date_format(date_sub(col("day"), col("k").cast("int")), "yyyy-MM-dd")
+        .as("window_start"))
+      .groupBy(col("window_start"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+  }
+
+  /** Cohort retention matrix: users grouped by first-active week, counted
+    * per week offset — the standard retention triangle. Two aggregates
+    * (first week per user; distinct user-weeks) joined on user_id: no
+    * per-cohort scans, no self-join of the event log. Both engines
+    * truncate weeks to ISO Monday, so offsets are exact multiples of 7
+    * days and the integer division is engine-exact. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val userWeeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    userWeeks.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Latest-state extraction: the most recent event per user (the batch
     * form of streaming keyed state; see StreamOps.latestState for the
     * twin). One shuffle on user_id. Ordering is (second-truncated ts,

@@ -146,6 +146,38 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("sliding WAU: each window counts exactly its member user-days") {
+    val out = Relational.slidingActiveUsers(table("events")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("wau")).toMap
+    val userDays = table("events")
+      .select(col("user_id"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val expected = userDays
+      .flatMap { case (u, d) =>
+        val day = java.time.LocalDate.parse(d, fmt)
+        (0 until 7).map(k => day.minusDays(k).format(fmt) -> u)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("retention: offset-0 counts every cohort member, users counted once per offset") {
+    val out = Relational.cohortRetention(table("events")).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("week_offset"), r.getAs[Long]("n_users")))
+    // offset 0 row exists for every cohort and equals the cohort size
+    val cohorts = out.groupBy(_._1)
+    cohorts.foreach { case (_, rows) =>
+      val byOff = rows.map(r => r._2 -> r._3).toMap
+      assert(byOff.contains(0))
+      byOff.foreach { case (_, n) => assert(n <= byOff(0)) } // retention ≤ cohort size
+    }
+    // total cohort sizes = total distinct users
+    assert(cohorts.map(_._2.filter(_._2 == 0).map(_._3).sum).sum ===
+      table("events").select("user_id").distinct().count())
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),
