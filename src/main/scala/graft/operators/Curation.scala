@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ColumnFns._
 
@@ -325,10 +325,16 @@ object Curation {
     * Third independent multiplier, so shard, split (hashSplit) and mix
     * (sourceMix) gates are pairwise uncorrelated; same overflow-safe
     * engine-independent form. Pure map + one tiny aggregate. */
+  /** The one shard-hash definition shared by [[shardAssign]] and
+    * [[tokenPacking]] — overflow-safe (doc_id is reduced mod 1000003
+    * before the multiply) and engine-independent; the c11/c15 oracle SQL
+    * mirrors these constants verbatim, so change them in lockstep. */
+  private def shardCol(nShards: Int, seed: Long): Column =
+    pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
+
   def shardAssign(documents: DataFrame, nShards: Int = 8,
                   seed: Long = 104729L): DataFrame = {
-    val shard =
-      pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
+    val shard = shardCol(nShards, seed)
     documents
       .select(shard.as("shard"), col("n_chars"))
       .groupBy(col("shard"))
@@ -367,8 +373,7 @@ object Curation {
     * column upstream. */
   def tokenPacking(documents: DataFrame, budgetTokens: Long = 2048,
                    nShards: Int = 8, seed: Long = 104729L): DataFrame = {
-    val shard =
-      pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
+    val shard = shardCol(nShards, seed)
     val tok = ceil(col("n_chars").cast("double") / 4).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -467,8 +467,10 @@ object Dedup {
     // parallelism to shuffle.partitions regardless of input file layout —
     // without it, AQE broadcasts the small banded side and the 16M-pair
     // probe runs at the parquet scan's partition count (1 for a small
-    // file: measured 2.4× on d8 at sf0.1).
-    val sized = guarded.repartition(col("band"), col("chunk"))
+    // file: measured 2.4× on d8 at sf0.1). The capped branch already
+    // hash-shuffles on (band, chunk) for the skew-guard window, so
+    // repartitioning there would add a second identical exchange.
+    val sized = if (capped) guarded else guarded.repartition(col("band"), col("chunk"))
     val a = sized.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("code").as("code_a"))
     val b = sized.select(col("band").as("band2"), col("chunk").as("chunk2"),

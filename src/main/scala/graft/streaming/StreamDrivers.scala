@@ -32,6 +32,20 @@ object StreamDrivers {
 
   private val SentinelUser = -999999L
 
+  /** Run `body` with the session's shuffle partitions (= streaming state
+    * store count, fixed at the query's FIRST run from this conf) LOWERED
+    * to at most `n`: each state partition is a directory of per-batch
+    * files, so 32 stores × batches × operator instances is pure file
+    * churn at harness scale. Never raises an already-lower setting (the
+    * test session runs at 4). A production deployment sizes this to
+    * keyspace ÷ executor memory instead — the conf is restored on exit. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, n).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage the events table as a 2-file parquet directory (so
     * maxFilesPerTrigger=1 yields real multi-batch execution), run the
     * stateful stream over it, append a sentinel file, drain, clean up.
@@ -43,19 +57,6 @@ object StreamDrivers {
     * them and the batch oracle diverges. With the midpoint split every
     * batch-2 event sits above batch 1's watermark, while sessions
     * STRADDLING the midpoint still exercise genuine cross-batch state. */
-  /** Run `body` with the session's shuffle partitions (= streaming state
-    * store count, fixed at the query's FIRST run from this conf) lowered
-    * to `n`: each state partition is a directory of per-batch files, so
-    * 32 stores × batches × operator instances is pure file churn at
-    * harness scale. A production deployment sizes this to keyspace ÷
-    * executor memory instead — the conf is restored on exit. */
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
-  }
-
   private def runOverEventFiles[T](spark: SparkSession, sfDir: String,
                                    sentinelOffsetSec: Long)(
       start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {

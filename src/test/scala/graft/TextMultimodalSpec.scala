@@ -73,11 +73,15 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
     // order preservation on a crafted doc: non-stop tokens keep relative order
     import spark.implicits._
-    val crafted = Seq((1L, "zebra the apple of banana")).toDF("doc_id", "text")
+    // id -1 cannot collide with a corpus doc_id (those are non-negative)
+    val crafted = Seq((-1L, "zebra the apple of banana")).toDF("doc_id", "text")
     val one = TextOps.stopStrip(docs.select("doc_id", "text").union(crafted), 20)
-      .filter(col("doc_id") === 1L).collect()(0)
+      .filter(col("doc_id") === -1L).collect()(0)
+    // whether 'the'/'of' are stripped depends on the corpus top-k; the
+    // invariant under test is that surviving tokens keep relative order
     val keptSeq = one.getAs[String]("stripped_text").split(" ").toSeq
-    assert(keptSeq === keptSeq.sortBy(t => Seq("zebra", "apple", "banana").indexOf(t)))
+    assert(keptSeq.filter(Set("zebra", "apple", "banana")) ===
+      Seq("zebra", "apple", "banana"))
   }
 
   test("normalize: lowercase, punctuation-free, single-spaced") {
