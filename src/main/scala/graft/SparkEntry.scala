@@ -71,6 +71,8 @@ object SparkEntry {
     "g1_entry" -> Seq("r_name", "o_year"),
     "st1_tumbling_window" -> Seq("window_start", "event_type"),
     "st2_sliding_window" -> Seq("window_start", "event_type"),
+    "st6_dedup_stream" -> Seq("event_id"),
+    "s4_knn_graph" -> Seq("q_id", "rank"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -222,6 +224,9 @@ object SparkEntry {
       graft.streaming.StreamDrivers.latestStateFileStream(Tables.tune(s), d)),
     "st5_interval_join_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.intervalJoinFileStream(Tables.tune(s), d)),
+    "st6_dedup_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.dedupFileStream(Tables.tune(s), d)),
+    "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -471,6 +476,22 @@ object SparkEntry {
          WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
          ORDER BY 1, 2""",
+    // st6: streaming dedup over a source with every event duplicated
+    // across micro-batches must drain to exactly the original table.
+    "st6_dedup_stream" ->
+      """SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+         user_id, event_type, value FROM events ORDER BY event_id""",
+    // s4 = the s1 oracle with every vector as a query (k-NN graph);
+    // same decimal-rounded cosine ordering, same id tie-break.
+    "s4_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(q.v, c.v) AS cos
+               FROM v q JOIN v c ON c.vec_id <> q.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
     "s1_ann_brute" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,

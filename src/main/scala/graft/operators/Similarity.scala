@@ -119,6 +119,51 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Exact cosine k-NN GRAPH: top-k neighbours for EVERY corpus vector
+    * (not just a query set) — the edge list semantic-dedup, clustering
+    * and curriculum pipelines build on. All-pairs O(n²): this is the
+    * declared exact baseline that gates correctness; [[knnGraphLsh]] is
+    * the sub-quadratic scale path verified against it. No broadcast hint
+    * — both join sides are the corpus, so the pair join shuffles (AQE
+    * picks broadcast while one side still fits). */
+  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
+    topK(pairs, k)
+  }
+
+  /** Approximate k-NN graph via sign-LSH buckets with hamming-1
+    * multi-probe: every vector probes its own code plus the 8 one-bit
+    * neighbours, candidates are vectors sharing a probed bucket, exact
+    * cosine ranks within candidates. Work is Σ bucket² over ~2^planes
+    * buckets instead of n² — the candidate join shuffles on the bucket
+    * code, so it parallelizes by bucket at corpus scale. Recall is
+    * corpus-dependent (a true neighbour differing in ≥2 sign bits is
+    * missed); SimilaritySpec measures it against [[knnGraph]] on the
+    * test corpus. Per-vector top-k stays a window over candidates only. */
+  def knnGraphLsh(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("code", lshCode(col("v")))
+      .withColumn("nrm", norm(col("v")))
+    val probeCodes = array((lit(0) +: (0 until numPlanes).map(i => lit(1 << i))): _*)
+    val q = v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+      explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
+    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("code"))
+      .join(q, col("code") === col("probe") && col("id_b") =!= col("q_id"))
+      // a pair can meet through ≤2 probed buckets (q's own code and one
+      // hamming-1 neighbour); dedup on ids only, then fetch one vector
+      // copy per side — cheaper than distinct-ing the vector payloads
+      .select(col("q_id"), col("id_b")).distinct()
+      .join(v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
+    topK(pairs, k)
+  }
+
   /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -163,6 +163,54 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** Watermarked streaming dedup driven end-to-end with REAL duplicates
+    * crossing micro-batch boundaries: each time-half of the events table
+    * is staged twice (f1 = half1, f2 = half1 again, f3 = half2, f4 =
+    * half2 again; maxFilesPerTrigger=1 ⇒ four micro-batches in write
+    * order), so every event's duplicate arrives one batch after its
+    * original. The dedup must emit each event exactly once: originals are
+    * first-seen (batch 1/3), copies are dropped either by state (same
+    * key) or as late rows below the watermark — both paths delete the
+    * copy, which is why watermark eviction never loses correctness here.
+    * Copies are byte-identical rows, so the surviving row is the same
+    * whichever copy wins, and the drained output hash-matches the batch
+    * oracle (the events table itself). No sentinel needed: append-mode
+    * dedup emits first-seen rows in their own batch. */
+  def dedupFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    val in = s"$dir/in"
+    try withStatePartitions(spark, 8) {
+      val evs = graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = new Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      val half1 = evs.filter(col("ts") <= mid)
+      val half2 = evs.filter(col("ts") > mid)
+      half1.coalesce(1).write.mode("overwrite").parquet(in)
+      half1.coalesce(1).write.mode("append").parquet(in)
+      half2.coalesce(1).write.mode("append").parquet(in)
+      half2.coalesce(1).write.mode("append").parquet(in)
+      val src = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Double)]
+      val q = StreamOps.dedupStream(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/chk")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+            r.getLong(2), r.getString(3), r.getDouble(4)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      buf.toSeq.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .orderBy(col("event_id"))
+    } finally deleteRecursively(dir)
+  }
+
   /** q28's result through the streaming path: file source →
     * StreamOps.latestState (mapGroupsWithState, update semantics) →
     * foreachBatch accumulation → final state per key = the

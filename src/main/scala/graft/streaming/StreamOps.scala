@@ -151,9 +151,16 @@ object StreamOps {
         col("l.user_id").as("user_id"))
   }
 
-  /** Streaming exact-dedup sink: drops already-seen keys per batch via
-    * foreachBatch + an accumulating seen-set table. For tests we use
-    * dropDuplicates with watermark (state-bounded). */
+  /** Streaming exact dedup: first occurrence of each (event_id, ts) is
+    * emitted, later copies are dropped. The event-time column is PART OF
+    * the dedup key — the canonical watermarked-dedup pattern: state rows
+    * carry their event time, so the watermark genuinely evicts them
+    * (keying on event_id alone would grow state forever), and a
+    * duplicate's ts equals its original's, so adding ts to the key
+    * changes no semantics. Duplicates arriving after the watermark
+    * passes their event time are dropped as late rather than matched
+    * against (already-evicted) state — the same outcome, which is what
+    * makes the eviction safe. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 }

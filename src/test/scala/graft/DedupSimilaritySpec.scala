@@ -195,6 +195,47 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.2, s"IVF recall collapsed: $recall") // deterministic on this data
   }
 
+  test("k-NN graph: every vector gets k ranked neighbours; LSH graph recall holds") {
+    val exact = Similarity.knnGraph(table("embeddings"), k = 3).collect()
+    val n = table("embeddings").count()
+    assert(exact.length === n * 3)
+    exact.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3))
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") == r.getAs[Long]("q_id")))
+    }
+    val truth = exact.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.knnGraphLsh(table("embeddings"), k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    // the synthetic corpus is ISOTROPIC — true "neighbours" sit near
+    // cos 0.5, the worst case for sign-LSH (see embeddingLshPairs'
+    // Scaladoc); measured 0.119 at sf0.001, so this floor only guards
+    // against bucketing regressions. The clustered-corpus test below is
+    // the operating-regime recall check.
+    assert(recall >= 0.08, s"LSH knn-graph recall collapsed: $recall")
+  }
+
+  test("LSH k-NN graph: high recall on a clustered corpus (the operating regime)") {
+    import spark.implicits._
+    // 20 tight clusters × 10 vectors: centre ± small noise, seeded — the
+    // shape of a real near-dup embedding corpus (within-cluster cosine
+    // ≈ 0.99 ⇒ per-plane agreement ≈ 0.95, so hamming-1 multi-probe
+    // recovers nearly every within-cluster neighbour)
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      centre = Array.fill(64)(rnd.nextGaussian())
+      i <- 0 until 10
+    } yield (c * 10L + i, centre.map(x => (x + rnd.nextGaussian() * 0.07).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.knnGraph(df, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.knnGraphLsh(df, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"clustered-corpus recall: $recall")
+  }
+
   test("LSH ANN returns a subset of each query's true neighbourhood ranking") {
     val brute = Similarity.bruteTopK(table("embeddings"), numQueries = 5, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet

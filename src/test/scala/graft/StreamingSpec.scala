@@ -222,6 +222,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st6 driver: dedup of a cross-batch-duplicated source equals the events table") {
+    val streamed = graft.streaming.StreamDrivers
+      .dedupFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    // exactly once per event, despite every event arriving twice
+    assert(streamed.map(_._1).distinct.length === streamed.length)
+    val batch = table("events")
+      .select(col("event_id"), col("ts").cast("long"), col("user_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    assert(streamed.toSet === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
