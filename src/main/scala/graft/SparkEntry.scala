@@ -73,6 +73,7 @@ object SparkEntry {
     "st2_sliding_window" -> Seq("window_start", "event_type"),
     "st6_dedup_stream" -> Seq("event_id"),
     "s4_knn_graph" -> Seq("q_id", "rank"),
+    "d10_text_clusters" -> Seq("doc_id"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -227,6 +228,16 @@ object SparkEntry {
     "st6_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.dedupFileStream(Tables.tune(s), d)),
     "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
+    // text-side duplicate clusters: the d4 exact-Jaccard pairs as the
+    // edge source into the pair-source-agnostic connected components
+    "d10_text_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.duplicateClustersFrom(
+        docs.select(col("doc_id").as("vec_id")),
+        Dedup.ngramJaccardPairs(docs)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    }),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -650,6 +661,22 @@ object SparkEntry {
          lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
          SELECT v.vec_id, coalesce(lab.cluster_id, v.vec_id) AS cluster_id
          FROM embeddings v LEFT JOIN lab ON lab.n = v.vec_id ORDER BY 1""",
+    // d10 = connected components over the d4 exact-Jaccard pair graph
+    // (doc-id domain); the same recursive-reachability oracle as d6/d9,
+    // seeded by the d4 pair SQL. Singleton docs label themselves.
+    "d10_text_clusters" ->
+      s"""WITH RECURSIVE tok AS ($shingleTok),
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+         SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN lab ON lab.n = d.doc_id ORDER BY 1""",
     "c6_boilerplate" ->
       s"""WITH tok AS ($shingleTok),
           ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),

@@ -195,6 +195,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.2, s"IVF recall collapsed: $recall") // deterministic on this data
   }
 
+  test("text clusters: d4 pair endpoints share a cluster, non-pairs are singletons") {
+    val docs = table("documents")
+    val pairs = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = SparkEntry.queries("d10_text_clusters")(spark, SharedSpark.sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assert(clusters.size === docs.count())
+    pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b)) }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (d, c) =>
+      if (!paired.contains(d)) assert(c === d, s"unpaired doc $d not a singleton")
+      assert(c <= d) // cluster label is the component minimum
+    }
+  }
+
   test("k-NN graph: every vector gets k ranked neighbours; LSH graph recall holds") {
     val exact = Similarity.knnGraph(table("embeddings"), k = 3).collect()
     val n = table("embeddings").count()
