@@ -74,6 +74,7 @@ object SparkEntry {
     "st6_dedup_stream" -> Seq("event_id"),
     "s4_knn_graph" -> Seq("q_id", "rank"),
     "d10_text_clusters" -> Seq("doc_id"),
+    "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -227,6 +228,8 @@ object SparkEntry {
       graft.streaming.StreamDrivers.intervalJoinFileStream(Tables.tune(s), d)),
     "st6_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.dedupFileStream(Tables.tune(s), d)),
+    "st7_tumbling_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
     "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     // text-side duplicate clusters: the d4 exact-Jaccard pairs as the
     // edge source into the pair-source-agnostic connected components
@@ -487,6 +490,12 @@ object SparkEntry {
          WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
          ORDER BY 1, 2""",
+    // st7 = the st1 oracle verbatim: the streaming windowed aggregation
+    // must drain to exactly the batch tumbling-window table.
+    "st7_tumbling_stream" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          event_type, count(*) AS n, ${dsum("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // st6: streaming dedup over a source with every event duplicated
     // across micro-batches must drain to exactly the original table.
     "st6_dedup_stream" ->

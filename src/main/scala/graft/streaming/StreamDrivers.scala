@@ -163,6 +163,34 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st1's result through the streaming path: file source →
+    * StreamOps.tumblingCounts (watermarked windowed agg, append mode) →
+    * foreachBatch accumulation. Append mode emits a window only once the
+    * watermark passes its END, so the far-future sentinel (3 h + slack
+    * past the last event: 2 h watermark delay + 1 h window length) seals
+    * every real window; the sentinel's own window is never sealed and
+    * never emitted, so no output filtering is needed. Windows straddling
+    * the file midpoint aggregate across micro-batches in state — the
+    * cross-batch case the gate exists to pin. Column contract ==
+    * TimeJoins.tumblingWindow == the st1 oracle. */
+  def tumblingFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = 3L * 3600 + 60) { (src, chk) =>
+      StreamOps.tumblingCounts(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+    }
+    buf.toSeq.toDF("window_start", "event_type", "n", "sum_value")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Watermarked streaming dedup driven end-to-end with REAL duplicates
     * crossing micro-batch boundaries: each time-half of the events table
     * is staged twice (f1 = half1, f2 = half1 again, f3 = half2, f4 =

@@ -222,6 +222,17 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st7 driver: file-sourced windowed aggregation equals the batch result") {
+    val streamed = graft.streaming.StreamDrivers
+      .tumblingFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = TimeJoins.tumblingWindow(table("events")).collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("st6 driver: dedup of a cross-batch-duplicated source equals the events table") {
     val streamed = graft.streaming.StreamDrivers
       .dedupFileStream(spark, "/root/testdata/sf0.001").collect()
