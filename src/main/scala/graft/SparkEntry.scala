@@ -75,6 +75,8 @@ object SparkEntry {
     "s4_knn_graph" -> Seq("q_id", "rank"),
     "d10_text_clusters" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
+    "q35_type_concat" -> Seq("user_id"),
+    "q36_modal_type" -> Seq("user_id"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -214,6 +216,8 @@ object SparkEntry {
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
     "q33_wau" -> ((s, d) => Relational.slidingActiveUsers(t(s, d, "events"))),
+    "q35_type_concat" -> ((s, d) => Relational.typeConcat(t(s, d, "events"))),
+    "q36_modal_type" -> ((s, d) => Relational.modalType(t(s, d, "events"))),
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
@@ -490,6 +494,16 @@ object SparkEntry {
          WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
          ORDER BY 1, 2""",
+    "q35_type_concat" ->
+      """SELECT user_id,
+         array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q36_modal_type" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER
+               (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+         SELECT user_id, event_type AS modal_type, n FROM r WHERE rn = 1 ORDER BY 1""",
     // st7 = the st1 oracle verbatim: the streaming windowed aggregation
     // must drain to exactly the batch tumbling-window table.
     "st7_tumbling_stream" ->

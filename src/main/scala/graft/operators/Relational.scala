@@ -386,6 +386,29 @@ object Relational {
     * exchanges one row per order. Revenue partials stay exact decimal
     * and are rounded ONCE at the end — bit-identical to the single-level
     * decProdSum. */
+  /** Deterministic group concatenation (LISTAGG): the distinct values
+    * per key, sorted, joined into one string. collect_set's order is
+    * nondeterministic, so the sort happens AFTER aggregation on the
+    * (small) distinct set — values are deterministic, order is imposed,
+    * and the aggregate keeps map-side partials. Groups are per-key value
+    * DOMAINS (bounded), not per-key rows — the shape under which listagg
+    * is safe at corpus scale. */
+  def typeConcat(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+
+  /** Per-key modal value (most frequent event type) with a deterministic
+    * tie-break (smallest type). Two-level shape: the count aggregate
+    * shuffles on (key, value) — partials combine map-side — and the
+    * argmax window runs over the tiny counts table, partitioned by key. */
+  def modalType(events: DataFrame): DataFrame = {
+    val counts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
+  }
+
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val custGeo = customer

@@ -178,6 +178,27 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       table("events").select("user_id").distinct().count())
   }
 
+  test("type concat: sorted distinct per user; modal type: true argmax with tie-break") {
+    val events = table("events").select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = events.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val concat = Relational.typeConcat(table("events")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("types")).toMap
+    assert(concat.size === byUser.size)
+    byUser.foreach { case (u, ts) =>
+      assert(concat(u) === ts.distinct.sorted.mkString(","))
+    }
+    val modal = Relational.modalType(table("events")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("modal_type"), r.getAs[Long]("n")))).toMap
+    assert(modal.size === byUser.size)
+    byUser.foreach { case (u, ts) =>
+      val counts = ts.groupBy(identity).view.mapValues(_.size).toMap
+      val best = counts.toSeq.minBy { case (t, n) => (-n, t) }
+      assert(modal(u) === ((best._1, best._2.toLong)))
+    }
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),
