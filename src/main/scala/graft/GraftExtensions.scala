@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RollingFingerprint(args(0))))
     // HOF dot-product → native graft_dot rewrite (semantics-guarded)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
+    // whole-operator as-of join: logical node → sorted-merge SparkPlan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

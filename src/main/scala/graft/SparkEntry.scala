@@ -77,6 +77,7 @@ object SparkEntry {
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "q35_type_concat" -> Seq("user_id"),
     "q36_modal_type" -> Seq("user_id"),
+    "q37_asof_exec" -> Seq("event_id"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -218,6 +219,9 @@ object SparkEntry {
     "q33_wau" -> ((s, d) => Relational.slidingActiveUsers(t(s, d, "events"))),
     "q35_type_concat" -> ((s, d) => Relational.typeConcat(t(s, d, "events"))),
     "q36_modal_type" -> ((s, d) => Relational.modalType(t(s, d, "events"))),
+    // the whole-operator tier under the oracle gate: custom LogicalPlan →
+    // Strategy → sorted-merge SparkPlan, result == the q16 window form
+    "q37_asof_exec" -> ((s, d) => TimeJoins.asofJoinExec(t(Tables.tune(s), d, "events"))),
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
@@ -494,6 +498,17 @@ object SparkEntry {
          WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
          ORDER BY 1, 2""",
+    // q37 = the q16 oracle verbatim: the custom sorted-merge as-of
+    // SparkPlan must reproduce the window formulation exactly.
+    "q37_asof_exec" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events
+           WHERE event_type IN ('purchase', 'signup')),
+         f AS (SELECT *, last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY se, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_value FROM e)
+         SELECT event_id, user_id, se, value, ref_value FROM f
+         WHERE event_type = 'purchase' ORDER BY event_id""",
     "q35_type_concat" ->
       """SELECT user_id,
          array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types

@@ -47,6 +47,10 @@ object Tables {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NativeVectorRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NativeVectorRewrite
+    // whole-operator as-of join (same append-idempotently discipline)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     spark
   }
 }

@@ -81,6 +81,42 @@ object TimeJoins {
       .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
   }
 
+  /** [[asofJoin]] through the WHOLE-OPERATOR tier: the same result via
+    * the custom AsOfJoin LogicalPlan → AsOfJoinStrategy → AsOfJoinExec
+    * sorted-merge (see graft.plans.AsOfJoinPlan). One hash exchange +
+    * sort per side, then a streaming merge with one held payload row —
+    * no union, no window buffering. Requires the strategy on the session
+    * (Tables.tune / GraftExtensions). Deterministic tie-break matches
+    * the window form: right rows are merged in (se, event_id) order via
+    * a composite time value, so the LAST qualifying row is the
+    * (se, event_id)-max — exactly what `last(...) over (order by se,
+    * event_id)` selects. */
+  def asofJoinExec(events: DataFrame,
+                   hitType: String = "purchase", refType: String = "signup"): DataFrame = {
+    val base = events
+      .filter(col("event_type").isin(hitType, refType))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochSec(col("ts")).as("se"))
+    // composite merge time: (se, event_id) packed so long ordering ==
+    // lexicographic (se, event_id) ordering — ids are dense and small,
+    // se < 2^31, so se * 2^20 + id stays far from overflow
+    val mergeT = (col("se") * 1048576L + col("event_id")).as("mt")
+    val l = base.filter(col("event_type") === hitType)
+      .select(col("event_id"), col("user_id"), col("se"), col("value"), mergeT)
+    val r = base.filter(col("event_type") === refType)
+      .select(col("user_id").as("r_user"), mergeT.as("r_mt"),
+        col("value").as("ref_value"))
+    val spark = events.sparkSession
+    import org.apache.spark.sql.graftx.GraftDataset
+    val lp = GraftDataset.analyzed(l)
+    val rp = GraftDataset.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).get
+    GraftDataset.ofRows(spark, graft.plans.AsOfJoin(lp, rp,
+        attr(lp, "user_id"), attr(lp, "mt"), attr(rp, "r_user"), attr(rp, "r_mt")))
+      .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
+  }
+
   /** Equi + date-range join: lineitems shipped within [orderdate,
     * orderdate + windowDays). The equi key keeps this a hash join; the
     * range is a residual predicate evaluated post-probe. */

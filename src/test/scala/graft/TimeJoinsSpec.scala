@@ -49,6 +49,23 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("whole-operator as-of join: exact parity with the window form, merge plan shape") {
+    val win = TimeJoins.asofJoin(table("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    val exec = TimeJoins.asofJoinExec(table("events"))
+    val got = exec.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got === win)
+    assert(got.nonEmpty)
+    // physical shape: the custom merge node is planned, no Window op,
+    // and exactly the two key exchanges any correct form needs
+    val plan = exec.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(400)) // nodeName strips "Exec"
+    assert(!plan.contains("Window"), "merge form must not window-buffer")
+  }
+
   test("range join only counts lineitems inside the window") {
     val joined = table("orders").join(table("lineitem"),
       col("l_orderkey") === col("o_orderkey"))
