@@ -91,6 +91,24 @@ object TimeJoins {
     * a composite time value, so the LAST qualifying row is the
     * (se, event_id)-max — exactly what `last(...) over (order by se,
     * event_id)` selects. */
+  /** General as-of merge through the custom operator: every left row ++
+    * the right payload (right minus its key/time) of the LAST right row
+    * with `rightTime ≤ leftTime` on the same key, null-padded when none.
+    * Key/time columns must be LongType; name-collision management is the
+    * caller's (right payload names join the output as-is). */
+  def asofMerge(left: DataFrame, right: DataFrame,
+                leftKey: String, leftTime: String,
+                rightKey: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.graftx.GraftDataset
+    val lp = GraftDataset.analyzed(left)
+    val rp = GraftDataset.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    GraftDataset.ofRows(left.sparkSession, graft.plans.AsOfJoin(lp, rp,
+      attr(lp, leftKey), attr(lp, leftTime), attr(rp, rightKey), attr(rp, rightTime)))
+  }
+
   def asofJoinExec(events: DataFrame,
                    hitType: String = "purchase", refType: String = "signup"): DataFrame = {
     val base = events
@@ -99,21 +117,15 @@ object TimeJoins {
         epochSec(col("ts")).as("se"))
     // composite merge time: (se, event_id) packed so long ordering ==
     // lexicographic (se, event_id) ordering — ids are dense and small,
-    // se < 2^31, so se * 2^20 + id stays far from overflow
+    // se < 2^31, so se * 2^20 + id stays far from overflow (pack wider
+    // for larger id domains)
     val mergeT = (col("se") * 1048576L + col("event_id")).as("mt")
     val l = base.filter(col("event_type") === hitType)
       .select(col("event_id"), col("user_id"), col("se"), col("value"), mergeT)
     val r = base.filter(col("event_type") === refType)
       .select(col("user_id").as("r_user"), mergeT.as("r_mt"),
         col("value").as("ref_value"))
-    val spark = events.sparkSession
-    import org.apache.spark.sql.graftx.GraftDataset
-    val lp = GraftDataset.analyzed(l)
-    val rp = GraftDataset.analyzed(r)
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             n: String) = p.output.find(_.name == n).get
-    GraftDataset.ofRows(spark, graft.plans.AsOfJoin(lp, rp,
-        attr(lp, "user_id"), attr(lp, "mt"), attr(rp, "r_user"), attr(rp, "r_mt")))
+    asofMerge(l, r, "user_id", "mt", "r_user", "r_mt")
       .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
   }
 
