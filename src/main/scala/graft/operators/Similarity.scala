@@ -149,9 +149,14 @@ object Similarity {
     // ≥ r_k − 1e-6: admitting cos ≥ r_k − 1.2e-6 keeps every row the
     // decimal ranking can select, and the raw top-k itself always
     // passes, so each query admits ≥ k rows.
+    // least(k, size) handles queries with fewer than k candidates (tiny
+    // corpora): the threshold falls back to their weakest candidate, so
+    // all available neighbours rank — matching the oracle's "rank ≤ k of
+    // whatever exists" (a bare element_at(_, k) would throw under ANSI)
     val thr = pairs.groupBy(col("q_id"))
-      .agg((element_at(sort_array(collect_list(col("cos")), asc = false),
-        k) - 1.2e-6).as("thr"))
+      .agg(sort_array(collect_list(col("cos")), asc = false).as("cs"))
+      .select(col("q_id"),
+        (element_at(col("cs"), least(lit(k), size(col("cs")))) - 1.2e-6).as("thr"))
     topK(pairs.join(broadcast(thr), "q_id").filter(col("cos") >= col("thr")), k)
   }
 
@@ -171,14 +176,12 @@ object Similarity {
     val probeCodes = array((lit(0) +: (0 until numPlanes).map(i => lit(1 << i))): _*)
     val q = v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
       explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
+    // no distinct, no join-backs: a (q, c) pair meets through EXACTLY one
+    // probed bucket — the 9 probe masks are distinct and only
+    // m = q.code XOR c.code satisfies c.code == q.code XOR m — so the
+    // probe join is already duplicate-free and the payloads ride through
     val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("code"))
       .join(q, col("code") === col("probe") && col("id_b") =!= col("q_id"))
-      // a pair can meet through ≤2 probed buckets (q's own code and one
-      // hamming-1 neighbour); dedup on ids only, then fetch one vector
-      // copy per side — cheaper than distinct-ing the vector payloads
-      .select(col("q_id"), col("id_b")).distinct()
-      .join(v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
-      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
     topK(pairs, k)
   }
@@ -192,9 +195,11 @@ object Similarity {
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
         explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
+    // duplicate-free without a distinct: only m = q.code XOR c.code
+    // among the 9 distinct probe masks satisfies the bucket equality,
+    // so each (q, c) pair exits the probe join exactly once
     val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("code"))
       .join(broadcast(q), col("code") === col("probe") && col("id_b") =!= col("q_id"))
-      .select(col("q_id"), col("id_b"), col("vq"), col("vb"), col("nq"), col("nb")).distinct()
       .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
     topK(pairs, k)
   }

@@ -81,16 +81,6 @@ object TimeJoins {
       .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
   }
 
-  /** [[asofJoin]] through the WHOLE-OPERATOR tier: the same result via
-    * the custom AsOfJoin LogicalPlan → AsOfJoinStrategy → AsOfJoinExec
-    * sorted-merge (see graft.plans.AsOfJoinPlan). One hash exchange +
-    * sort per side, then a streaming merge with one held payload row —
-    * no union, no window buffering. Requires the strategy on the session
-    * (Tables.tune / GraftExtensions). Deterministic tie-break matches
-    * the window form: right rows are merged in (se, event_id) order via
-    * a composite time value, so the LAST qualifying row is the
-    * (se, event_id)-max — exactly what `last(...) over (order by se,
-    * event_id)` selects. */
   /** General as-of merge through the custom operator: every left row ++
     * the right payload (right minus its key/time) of the LAST right row
     * with `rightTime ≤ leftTime` on the same key, null-padded when none.
@@ -103,23 +93,44 @@ object TimeJoins {
     val lp = GraftDataset.analyzed(left)
     val rp = GraftDataset.analyzed(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             n: String) = p.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+             n: String) = p.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"no column '$n' in ${p.output.map(_.name)}")
+      case _ => throw new IllegalArgumentException(
+        s"ambiguous column '$n' in ${p.output.map(_.name)}")
+    }
     GraftDataset.ofRows(left.sparkSession, graft.plans.AsOfJoin(lp, rp,
       attr(lp, leftKey), attr(lp, leftTime), attr(rp, rightKey), attr(rp, rightTime)))
   }
 
+  /** [[asofJoin]] through the WHOLE-OPERATOR tier: the same result via
+    * the custom AsOfJoin LogicalPlan → AsOfJoinStrategy → AsOfJoinExec
+    * sorted-merge (see graft.plans.AsOfJoinPlan). One hash exchange +
+    * sort per side, then a streaming merge with one held payload row —
+    * no union, no window buffering. Requires the strategy on the session
+    * (Tables.tune / GraftExtensions). Deterministic tie-break matches
+    * the window form: right rows are merged in (se, event_id) order via
+    * a composite time value, so the LAST qualifying row is the
+    * (se, event_id)-max — exactly what `last(...) over (order by se,
+    * event_id)` selects. */
   def asofJoinExec(events: DataFrame,
                    hitType: String = "purchase", refType: String = "signup"): DataFrame = {
     val base = events
       .filter(col("event_type").isin(hitType, refType))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         epochSec(col("ts")).as("se"))
-    // composite merge time: (se, event_id) packed so long ordering ==
-    // lexicographic (se, event_id) ordering — ids are dense and small,
-    // se < 2^31, so se * 2^20 + id stays far from overflow (pack wider
-    // for larger id domains)
-    val mergeT = (col("se") * 1048576L + col("event_id")).as("mt")
+    // Composite merge time: (se, event_id) packed so long ordering ==
+    // lexicographic (se, event_id) ordering. The 2^32 id bound is
+    // ENFORCED per row (raise_error, codegen'd branch) — an id past the
+    // bound would silently corrupt the as-of ordering, so it must be
+    // loud; se * 2^32 itself stays under 2^63 for any epoch second
+    // before 2038, past which ANSI overflow also fails loud.
+    val idBound = 4294967296L // 2^32
+    val guardedId = when(col("event_id") >= idBound || col("event_id") < 0,
+        expr(s"raise_error('event_id exceeds the as-of pack bound $idBound')").cast("long"))
+      .otherwise(col("event_id"))
+    val mergeT = (col("se") * idBound + guardedId).as("mt")
     val l = base.filter(col("event_type") === hitType)
       .select(col("event_id"), col("user_id"), col("se"), col("value"), mergeT)
     val r = base.filter(col("event_type") === refType)

@@ -95,6 +95,11 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val payload = rightPayload
+    // the result projection's INPUT schema must mark the payload slots
+    // nullable (matching the null-padded GenericInternalRow): binding
+    // against the right child's original non-nullable attributes would
+    // let codegen skip the null check and emit 0/garbage instead of NULL
+    val payloadNullable = payload.map(_.withNullability(true))
     val lSchema = left.output
     val rSchema = right.output
     val lKeyExpr = leftKey; val lTimeExpr = leftTime
@@ -104,7 +109,7 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       val lkt = UnsafeProjection.create(Seq(lKeyExpr, lTimeExpr), lSchema)
       val rkt = UnsafeProjection.create(Seq(rKeyExpr, rTimeExpr), rSchema)
       val payloadProj = UnsafeProjection.create(payload, rSchema)
-      val resultProj = UnsafeProjection.create(outAttrs, lSchema ++ payload)
+      val resultProj = UnsafeProjection.create(outAttrs, lSchema ++ payloadNullable)
       val joined = new JoinedRow
       val nulls = new GenericInternalRow(payload.length)
 

@@ -46,19 +46,32 @@ object StreamDrivers {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Stage the events table as a 2-file parquet directory (so
+  /** Stage the events table as a multi-file parquet directory (so
     * maxFilesPerTrigger=1 yields real multi-batch execution), run the
-    * stateful stream over it, append a sentinel file, drain, clean up.
+    * stateful stream over it, optionally append a sentinel file, drain,
+    * clean up.
     *
-    * The two files are split AT THE TIME MIDPOINT, written in time
+    * The halves are split AT THE TIME MIDPOINT, written in time
     * order — not an arbitrary row split: batch 1 advances the watermark
     * to max(batch1) − delay, and an arbitrary split would land
     * older-than-watermark events in batch 2, where the engine drops
     * them and the batch oracle diverges. With the midpoint split every
     * batch-2 event sits above batch 1's watermark, while sessions
-    * STRADDLING the midpoint still exercise genuine cross-batch state. */
+    * STRADDLING the midpoint still exercise genuine cross-batch state.
+    *
+    * `copiesPerHalf` > 1 writes each half that many times in a row
+    * (separate files → separate micro-batches): the duplicated-source
+    * harness for the streaming dedup gate — copies of a half still obey
+    * the time-order contract above (a copy's rows are at worst dropped
+    * as late, which for duplicates is the intended outcome).
+    *
+    * `sentinelOffsetSec = Some(s)` appends one far-future event s
+    * seconds past the last real event, advancing the watermark past
+    * every seal point (watermark delay + window/gap + slack); None for
+    * operators whose emission doesn't wait on the watermark. */
   private def runOverEventFiles[T](spark: SparkSession, sfDir: String,
-                                   sentinelOffsetSec: Long)(
+                                   sentinelOffsetSec: Option[Long],
+                                   copiesPerHalf: Int = 1)(
       start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val dir = Files.createTempDirectory("graft-stream-drv")
     val in = s"$dir/in"; val chk = s"$dir/chk"
@@ -68,19 +81,25 @@ object StreamDrivers {
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
       val lastMs = bounds.getTimestamp(1).getTime
       val mid = new Timestamp((bounds.getTimestamp(0).getTime + lastMs) / 2)
-      evs.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(in)
-      evs.filter(col("ts") > mid).coalesce(1).write.mode("append").parquet(in)
+      val halves = Seq(evs.filter(col("ts") <= mid), evs.filter(col("ts") > mid))
+      var first = true
+      halves.foreach { h =>
+        (1 to copiesPerHalf).foreach { _ =>
+          h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+          first = false
+        }
+      }
       val src = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = start(src, chk)
       q.processAllAvailable()
-      // sentinel: one far-future event advancing the watermark past every
-      // real session's seal point (watermark delay + session gap + slack)
-      import spark.implicits._
-      Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + sentinelOffsetSec * 1000),
-          SentinelUser, "view", 0.0))
-        .toDF().write.mode("append").parquet(in)
-      q.processAllAvailable()
+      sentinelOffsetSec.foreach { off =>
+        import spark.implicits._
+        Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + off * 1000),
+            SentinelUser, "view", 0.0))
+          .toDF().write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
       q.stop()
     } finally deleteRecursively(dir)
   }
@@ -102,7 +121,7 @@ object StreamDrivers {
   def sessionizeFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[StreamOps.SessionOut]
-    runOverEventFiles(spark, sfDir, sentinelOffsetSec = 7200L + 1800L + 60L) {
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = Some(7200L + 1800L + 60L)) {
       (src, chk) =>
         StreamOps.sessionize(spark, src.as[StreamOps.Ev]).writeStream
           .outputMode("append")
@@ -176,7 +195,7 @@ object StreamDrivers {
   def tumblingFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
-    runOverEventFiles(spark, sfDir, sentinelOffsetSec = 3L * 3600 + 60) { (src, chk) =>
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = Some(3L * 3600 + 60)) { (src, chk) =>
       StreamOps.tumblingCounts(src).writeStream
         .outputMode("append")
         .option("checkpointLocation", chk)
@@ -205,38 +224,25 @@ object StreamDrivers {
     * oracle (the events table itself). No sentinel needed: append-mode
     * dedup emits first-seen rows in their own batch. */
   def dedupFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-dedup-stream")
-    val in = s"$dir/in"
-    try withStatePartitions(spark, 8) {
-      val evs = graft.Tables.load(spark, sfDir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
-      val mid = new Timestamp(
-        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
-      val half1 = evs.filter(col("ts") <= mid)
-      val half2 = evs.filter(col("ts") > mid)
-      half1.coalesce(1).write.mode("overwrite").parquet(in)
-      half1.coalesce(1).write.mode("append").parquet(in)
-      half2.coalesce(1).write.mode("append").parquet(in)
-      half2.coalesce(1).write.mode("append").parquet(in)
-      val src = spark.readStream.schema(evSchema)
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Double)]
-      val q = StreamOps.dedupStream(src).writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$dir/chk")
-        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val rows = b.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
-            r.getLong(2), r.getString(3), r.getDouble(4)))
-          buf.synchronized { buf ++= rows }; ()
-        }
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      import spark.implicits._
-      buf.toSeq.toDF("event_id", "sec", "user_id", "event_type", "value")
-        .orderBy(col("event_id"))
-    } finally deleteRecursively(dir)
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Double)]
+    // copiesPerHalf = 2: every event's duplicate arrives one micro-batch
+    // after its original; no sentinel — append-mode dedup emits
+    // first-seen rows in their own batch
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = None, copiesPerHalf = 2) {
+      (src, chk) =>
+        StreamOps.dedupStream(src).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = b.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+              r.getLong(2), r.getString(3), r.getDouble(4)))
+            buf.synchronized { buf ++= rows }; ()
+          }
+          .start()
+    }
+    buf.toSeq.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .orderBy(col("event_id"))
   }
 
   /** q28's result through the streaming path: file source →
@@ -248,7 +254,7 @@ object StreamDrivers {
   def latestStateFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[StreamOps.Latest]
-    runOverEventFiles(spark, sfDir, sentinelOffsetSec = 60L) { (src, chk) =>
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = Some(60L)) { (src, chk) =>
       StreamOps.latestState(spark, src.as[StreamOps.Ev]).writeStream
         .outputMode("update")
         .option("checkpointLocation", chk)

@@ -230,6 +230,19 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.08, s"LSH knn-graph recall collapsed: $recall")
   }
 
+  test("k-NN graph on a corpus smaller than k ranks all available neighbours") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq.fill(64)(1.0f)), (1L, Seq.fill(64)(0.9f)), (2L, Seq.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(tiny, k = 3).collect()
+    // 3 vectors → each query has only 2 candidates; both must rank
+    assert(out.length === 6)
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 2))
+    }
+  }
+
   test("LSH k-NN graph: high recall on a clustered corpus (the operating regime)") {
     import spark.implicits._
     // 20 tight clusters × 10 vectors: centre ± small noise, seeded — the

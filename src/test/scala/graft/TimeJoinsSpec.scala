@@ -66,6 +66,22 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Window"), "merge form must not window-buffer")
   }
 
+  test("asofMerge: NULL padding survives non-nullable payloads; ambiguity is loud") {
+    import spark.implicits._
+    // Datasets from case classes/tuples carry NON-nullable columns — the
+    // regression this pins: unmatched left rows must project NULL, not 0
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 7.5)).toDF("rk", "rt", "payload")
+    val out = TimeJoins.asofMerge(l, r, "k", "t", "rk", "rt").collect()
+      .map(x => x.getLong(0) -> Option(x.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(1L -> Some(7.5), 2L -> None))
+    val dup = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "x")
+      .crossJoin(Seq(1).toDF("rk2")).withColumnRenamed("rk2", "rk")
+    intercept[IllegalArgumentException] {
+      TimeJoins.asofMerge(l, dup, "k", "t", "rk", "rt")
+    }
+  }
+
   test("range join only counts lineitems inside the window") {
     val joined = table("orders").join(table("lineitem"),
       col("l_orderkey") === col("o_orderkey"))
