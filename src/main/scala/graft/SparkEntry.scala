@@ -824,7 +824,9 @@ object SparkEntry {
                     quantile_cont(n_chars, 0.9) AS p_hi FROM documents)
          SELECT source, count(*) AS n_kept, min(n_chars) AS min_chars,
            max(n_chars) AS max_chars
-         FROM documents, b WHERE n_chars >= p_lo AND n_chars <= p_hi
+         FROM documents, b
+         WHERE n_chars >= CAST(p_lo AS DECIMAL(38,6))
+           AND n_chars <= CAST(p_hi AS DECIMAL(38,6))
          GROUP BY 1 ORDER BY 1""",
     "c15_token_packing" ->
       """WITH t AS (SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,

@@ -353,8 +353,14 @@ object Curation {
     val bounds = documents.agg(
       expr(s"percentile(n_chars, $lo)").as("p_lo"),
       expr(s"percentile(n_chars, $hi)").as("p_hi"))
+    // gate in the DECIMAL domain: Spark percentile and DuckDB
+    // quantile_cont interpolate the same bound but can differ by an ulp —
+    // raw-double compares against integer n_chars would flip boundary
+    // docs between engines, so both sides round to 6 decimals first
+    // (cosAtLeast's discipline; the c14 oracle mirrors the cast)
     documents.crossJoin(broadcast(bounds))
-      .filter(col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+      .filter(col("n_chars") >= decRound(col("p_lo"), 6) &&
+        col("n_chars") <= decRound(col("p_hi"), 6))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))

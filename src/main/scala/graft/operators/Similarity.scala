@@ -157,7 +157,11 @@ object Similarity {
       .agg(sort_array(collect_list(col("cos")), asc = false).as("cs"))
       .select(col("q_id"),
         (element_at(col("cs"), least(lit(k), size(col("cs")))) - 1.2e-6).as("thr"))
-    topK(pairs.join(broadcast(thr), "q_id").filter(col("cos") >= col("thr")), k)
+    // no broadcast hint on thr: it carries ONE ROW PER CORPUS VECTOR, so
+    // hinting it broadcast would grow the driver copy linearly with the
+    // corpus — the q_id-keyed shuffle join is the shape that scales (AQE
+    // still picks broadcast while thr genuinely fits)
+    topK(pairs.join(thr, "q_id").filter(col("cos") >= col("thr")), k)
   }
 
   /** Approximate k-NN graph via sign-LSH buckets with hamming-1

@@ -100,6 +100,18 @@ object TimeJoins {
       case _ => throw new IllegalArgumentException(
         s"ambiguous column '$n' in ${p.output.map(_.name)}")
     }
+    // fail fast on name collisions: the payload joins the output as-is,
+    // so a payload name shadowing a left column (or a direct self-merge
+    // reusing one plan's exprIds) would yield duplicate output columns
+    // that the analyzer does not repair for a custom node
+    val payloadNames = rp.output.map(_.name).filterNot(n => n == rightKey || n == rightTime)
+    val clash = payloadNames.toSet.intersect(lp.output.map(_.name).toSet)
+    require(clash.isEmpty,
+      s"asofMerge: right payload columns ${clash.mkString(", ")} collide with left " +
+        "columns — alias one side before merging")
+    require(lp.output.map(_.exprId).toSet.intersect(rp.output.map(_.exprId).toSet).isEmpty,
+      "asofMerge: left and right share attribute exprIds (self-merge of one plan) — " +
+        "re-select/alias one side so the custom node's children are independent")
     GraftDataset.ofRows(left.sparkSession, graft.plans.AsOfJoin(lp, rp,
       attr(lp, leftKey), attr(lp, leftTime), attr(rp, rightKey), attr(rp, rightTime)))
   }

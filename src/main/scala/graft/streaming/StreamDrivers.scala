@@ -32,6 +32,34 @@ object StreamDrivers {
 
   private val SentinelUser = -999999L
 
+  /** FileStreamSource orders newly-seen files by MODIFICATION TIME (path
+    * string as the tie-break) — not write order. Two staged files landing
+    * in the same mtime granule (coarse filesystems, fast writes) could
+    * therefore swap micro-batches, letting the watermark set by the later
+    * half drop the earlier half as late. Stamping every staged file with
+    * a strictly-increasing mtime in write order pins arrival order ==
+    * write order unconditionally. The fixed base is fine: the source's
+    * maxFileAge purge is relative to the newest mtime SEEN, not the wall
+    * clock, and all stamps sit within seconds of each other. */
+  private final class MtimeStamper {
+    private val seen = scala.collection.mutable.Set.empty[Path]
+    private var n = 0
+    def stamp(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(dir)
+      val listing = Files.list(d)
+      val files = try listing.iterator().asScala.toSeq finally listing.close()
+      files.filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .filterNot(seen.contains)
+        .foreach { f =>
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + n * 1000L))
+          n += 1; seen += f
+        }
+    }
+  }
+
   /** Run `body` with the session's shuffle partitions (= streaming state
     * store count, fixed at the query's FIRST run from this conf) LOWERED
     * to at most `n`: each state partition is a directory of per-batch
@@ -83,10 +111,12 @@ object StreamDrivers {
       val mid = new Timestamp((bounds.getTimestamp(0).getTime + lastMs) / 2)
       val halves = Seq(evs.filter(col("ts") <= mid), evs.filter(col("ts") > mid))
       var first = true
+      val stamper = new MtimeStamper
       halves.foreach { h =>
         (1 to copiesPerHalf).foreach { _ =>
           h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
           first = false
+          stamper.stamp(in)
         }
       }
       val src = spark.readStream.schema(evSchema)
@@ -98,6 +128,7 @@ object StreamDrivers {
         Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + off * 1000),
             SentinelUser, "view", 0.0))
           .toDF().write.mode("append").parquet(in)
+        stamper.stamp(in)
         q.processAllAvailable()
       }
       q.stop()
@@ -159,8 +190,11 @@ object StreamDrivers {
       def stage(types: String): String = {
         val p = s"$dir/$types"
         val side = evs.filter(col("event_type") === types)
+        val stamper = new MtimeStamper
         side.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(p)
+        stamper.stamp(p)
         side.filter(col("ts") > mid).coalesce(1).write.mode("append").parquet(p)
+        stamper.stamp(p)
         p
       }
       val (pDir, sDir) = (stage("purchase"), stage("signup"))

@@ -80,6 +80,16 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       TimeJoins.asofMerge(l, dup, "k", "t", "rk", "rt")
     }
+    // fail-fast guards fire BEFORE planning: a payload name shadowing a
+    // left column, and a self-merge reusing one plan's exprIds, would
+    // both build an output the analyzer can't repair for a custom node
+    val shadow = Seq((1L, 5L, 7.5)).toDF("rk", "rt", "t")
+    intercept[IllegalArgumentException] {
+      TimeJoins.asofMerge(l, shadow, "k", "t", "rk", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      TimeJoins.asofMerge(l, l, "k", "t", "k", "t")
+    }
   }
 
   test("range join only counts lineitems inside the window") {
