@@ -78,7 +78,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // fat line first (per-query detail for humans), then a short (<200 B)
+    // FINAL line: the driver captures a bounded tail of stdout, and the
+    // ~3 KB per-query line overflows it — its head gets truncated and the
+    // JSON parse fails (every BENCH_r0*.json landed "parsed": null). The
+    // last complete line is what the tail parse sees, so keep it tiny.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

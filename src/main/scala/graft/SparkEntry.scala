@@ -49,6 +49,7 @@ object SparkEntry {
     "q12_distinct" -> Seq("event_type"),
     "q13_approx_distinct" -> Seq("event_type"),
     "q14_percentiles" -> Seq("event_type"),
+    "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
     "q16_asof_join" -> Seq("event_id"),
     "q17_range_join" -> Seq("o_orderkey"),
@@ -73,6 +74,7 @@ object SparkEntry {
     "st2_sliding_window" -> Seq("window_start", "event_type"),
     "st6_dedup_stream" -> Seq("event_id"),
     "s4_knn_graph" -> Seq("q_id", "rank"),
+    "s5_knn_lsh_graph" -> Seq("q_id", "rank"),
     "d10_text_clusters" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "q35_type_concat" -> Seq("user_id"),
@@ -80,6 +82,7 @@ object SparkEntry {
     "q37_asof_exec" -> Seq("event_id"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
+    "d11_incremental" -> Seq("doc_a", "doc_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
@@ -141,6 +144,7 @@ object SparkEntry {
     "q12_distinct" -> ((s, d) => Relational.distinctUsers(t(s, d, "events"))),
     "q13_approx_distinct" -> ((s, d) => Relational.approxDistinct(t(s, d, "events"))),
     "q14_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "events"))),
+    "q38_percentiles_approx" -> ((s, d) => Relational.percentilesApprox(t(s, d, "events"))),
     "q15_sessionize" -> ((s, d) => TimeJoins.sessionize(t(s, d, "events"))),
     "q16_asof_join" -> ((s, d) => TimeJoins.asofJoin(t(s, d, "events"))),
     "q17_range_join" -> ((s, d) => TimeJoins.rangeJoin(t(s, d, "orders"), t(s, d, "lineitem"))),
@@ -185,6 +189,21 @@ object SparkEntry {
     "d6_dup_clusters" -> ((s, d) => Dedup.duplicateClusters(t(s, d, "embeddings"))),
     "d8_embed_lsh_pairs" -> ((s, d) => Dedup.embeddingLshPairs(t(s, d, "embeddings"))),
     "d9_lsh_clusters" -> ((s, d) => Dedup.duplicateClustersLsh(t(s, d, "embeddings"))),
+    // incremental dedup: even-id docs are the "new batch", odd-id docs
+    // the persisted corpus — the result must equal the full recompute
+    // over everything, restricted to pairs touching the batch (rows-only:
+    // seeded LSH banding; the restriction equality is spec-asserted)
+    "d11_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // the corpus signature table is PERSISTED in production (written
+      // once, e.g. Sources.writeBucketed); localCheckpoint models that
+      // here — without it each of the operator's corpus scans would
+      // re-shingle the corpus, which is exactly what incremental avoids
+      val corpusSigs = Dedup
+        .minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .localCheckpoint()
+      Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
+    }),
     "c6_boilerplate" -> ((s, d) => Curation.boilerplate(t(s, d, "documents"))),
     "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
     "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
@@ -234,11 +253,17 @@ object SparkEntry {
       graft.streaming.StreamDrivers.latestStateFileStream(Tables.tune(s), d)),
     "st5_interval_join_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.intervalJoinFileStream(Tables.tune(s), d)),
+    "st8_interval_outer_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.intervalJoinOuterFileStream(Tables.tune(s), d)),
     "st6_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.dedupFileStream(Tables.tune(s), d)),
     "st7_tumbling_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
     "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
+    // the sub-quadratic k-NN-graph scale path under the driver gate:
+    // recall is corpus-dependent (rows-only; the recall floor vs s4's
+    // exact graph is asserted in DedupSimilaritySpec)
+    "s5_knn_lsh_graph" -> ((s, d) => Similarity.knnGraphLsh(t(s, d, "embeddings"))),
     // text-side duplicate clusters: the d4 exact-Jaccard pairs as the
     // edge source into the pair-source-agnostic connected components
     "d10_text_clusters" -> ((s, d) => {
@@ -780,6 +805,19 @@ object SparkEntry {
            AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
            AND p.event_id != s.event_id
          ORDER BY 1, 2""",
+    // st8: the LEFT-OUTER half of st5 — unmatched purchases must
+    // null-emit exactly once via watermark eviction. NULLS FIRST matches
+    // Spark's ascending null ordering (DuckDB defaults to NULLS LAST).
+    "st8_interval_outer_stream" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup')
+         SELECT p.event_id AS l_id, s.event_id AS r_id, p.user_id
+         FROM p LEFT JOIN s ON p.user_id = s.user_id
+           AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+           AND p.event_id != s.event_id
+         ORDER BY 1, 2 NULLS FIRST""",
     // st4 = the q28 oracle verbatim: streaming keyed latest-state must
     // drain to exactly the batch latest-event table.
     "st4_latest_stream" ->

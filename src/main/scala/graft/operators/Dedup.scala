@@ -152,6 +152,82 @@ object Dedup {
       threshold)
   }
 
+  /** Persistable MinHash signature table: one row per document carrying
+    * the banding input (the 64-hash signature) and the verify inputs
+    * (hashed shingle set + size). This is the artifact a production
+    * pipeline writes once per corpus (e.g. via `Sources.writeBucketed`
+    * on doc_id) so each new batch dedups against it incrementally
+    * ([[minhashIncremental]]) instead of recomputing the corpus. */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    shingled(documents)
+      .select(col("doc_id"), col("hsh"), col("shn"))
+      .withColumn("sig", call_function("graft_minhash64", col("hsh")))
+
+  /** Band + bucket-hash rows for a signature table (the LSH join key). */
+  private def bandedSigs(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
+      .withColumn("bh", xxhash64(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select(col("doc_id"), col("band"), col("bh"))
+
+  /** Incremental near-dup detection of a NEW BATCH against a persisted
+    * corpus: returns exactly the [[minhashPairs]] result of
+    * `corpus ∪ batch` RESTRICTED to pairs touching the batch
+    * (batch-vs-corpus and batch-vs-batch; corpus-internal pairs were
+    * found when the corpus was built). Doc ids must be globally unique
+    * across corpus and batch — the standard append-only id contract.
+    *
+    * Scale shape — the reason this API exists: the corpus side is never
+    * re-shingled, never re-signed and NEVER self-joined. Its stored
+    * signatures are banded (a projection), bucket-counted (one skinny
+    * aggregation, linear in corpus bands — persist these counts next to
+    * the signature table to skip even that scan), and probed by the
+    * batch's banded rows only, so the candidate join is
+    * |batch bands| × collisions, independent of corpus². The bucket cap
+    * is evaluated on UNION bucket sizes, matching the full recompute
+    * bit-for-bit (DedupSimilaritySpec asserts the equality). */
+  def minhashIncremental(batch: DataFrame, corpusSigs: DataFrame,
+                         threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    // batch staging mirrors minhashPairs: the signature table feeds the
+    // banding AND both verify join-backs
+    val bs = minhashSignatures(batch).localCheckpoint()
+    val batchBanded = bandedSigs(bs)
+    val corpusBanded = bandedSigs(corpusSigs)
+    val unionBanded = corpusBanded.union(batchBanded)
+    // skew guard on UNION bucket sizes — identical accept set to the
+    // full-recompute window; an aggregation (not a window) because the
+    // per-bucket count table is tiny and joins back by bucket key
+    val bucketSizes = unionBanded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+    val admitted = unionBanded.join(bucketSizes.filter(col("bsz") <= maxBucket),
+      Seq("band", "bh"))
+    // probe = batch only; build = union (so batch-batch pairs are found
+    // too). Normalizing to (min, max) + distinct collapses the double
+    // emission of batch-batch pairs (each side probes once) and the
+    // multi-band collisions in one pass.
+    val cand = batchBanded.select(col("band"), col("bh"), col("doc_id").as("probe_id"))
+      .join(admitted.select(col("band").as("band2"), col("bh").as("bh2"),
+          col("doc_id").as("build_id")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("probe_id") =!= col("build_id"))
+      .select(least(col("probe_id"), col("build_id")).as("doc_a"),
+        greatest(col("probe_id"), col("build_id")).as("doc_b"))
+      .distinct()
+    // verify with exact Jaccard on the stored shingle hashes (either side
+    // may be a corpus or a batch doc — join the union signature table)
+    val allSigs = corpusSigs.select(col("doc_id"), col("hsh"), col("shn"))
+      .union(bs.select(col("doc_id"), col("hsh"), col("shn")))
+    jaccFiltered(
+      cand
+        .join(allSigs.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"),
+          col("shn").as("na")), "doc_a")
+        .join(allSigs.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"),
+          col("shn").as("nb")), "doc_b"),
+      threshold)
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over distinct tokens. Unrolled per-bit aggregates —

@@ -161,12 +161,31 @@ object Relational {
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
 
-  /** Exact interpolated percentiles per group. */
+  /** Exact interpolated percentiles per group. Memory posture: exact
+    * `percentile` buffers a per-group map of value→count in the
+    * aggregation buffer — bounded by the DISTINCT value count per group,
+    * fine for the bounded-domain oracle gate, a quiet OOM risk when the
+    * value domain grows with the data (raw doubles at 100×).
+    * [[percentilesApprox]] is the bounded-memory scale twin. */
   def percentiles(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(
         decRound(expr("percentile(value, 0.5)"), 4).as("p50"),
         decRound(expr("percentile(value, 0.9)"), 4).as("p90"))
+
+  /** Approximate percentiles per group — the 100 TB twin of
+    * [[percentiles]] (same output shape). `approx_percentile` keeps a
+    * Greenwald-Khanna sketch of O(accuracy) size per group regardless of
+    * the value domain, and sketches merge associatively, so the partial
+    * aggregation stays map-side and the per-group state is bounded.
+    * Error is rank-based: ≤ n/accuracy positions off the exact rank
+    * (rows-only gate: sketch contents are engine-specific;
+    * RelationalSpec bounds |approx − exact| on the test data). */
+  def percentilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        decRound(expr(s"approx_percentile(value, 0.5, $accuracy)"), 4).as("p50"),
+        decRound(expr(s"approx_percentile(value, 0.9, $accuracy)"), 4).as("p90"))
 
   /** UNION / INTERSECT / EXCEPT composition on nation keys. */
   def setOps(customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {

@@ -90,8 +90,25 @@ object TimeJoins {
                 leftKey: String, leftTime: String,
                 rightKey: String, rightTime: String): DataFrame = {
     import org.apache.spark.sql.graftx.GraftDataset
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
     val lp = GraftDataset.analyzed(left)
-    val rp = GraftDataset.analyzed(right)
+    val rpRaw = GraftDataset.analyzed(right)
+    // Un-aliased self-as-of (both sides projecting ONE base plan — e.g.
+    // asofMerge(ev.select("k","t","x"), ev.select("k","t","y"), ...))
+    // leaves the two children sharing attribute exprIds. The analyzer's
+    // relation dedup then re-ids the right child UNDER this node without
+    // rewriting the node's own key/time expressions (it cannot know which
+    // of a custom node's expressions bind to which child), and execution
+    // dies with ATTRIBUTE_NOT_FOUND. Re-aliasing the right side up front
+    // (a no-op Project minting fresh exprIds) makes the children
+    // independent, so the realistic self-merge pattern just works instead
+    // of failing fast (negative-tested before this fix, parity-tested
+    // after in TimeJoinsSpec).
+    val rp =
+      if (lp.output.map(_.exprId).toSet
+          .intersect(rpRaw.output.map(_.exprId).toSet).isEmpty) rpRaw
+      else Project(rpRaw.output.map(a => Alias(a, a.name)()), rpRaw)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              n: String) = p.output.filter(_.name == n) match {
       case Seq(a) => a
@@ -101,17 +118,16 @@ object TimeJoins {
         s"ambiguous column '$n' in ${p.output.map(_.name)}")
     }
     // fail fast on name collisions: the payload joins the output as-is,
-    // so a payload name shadowing a left column (or a direct self-merge
-    // reusing one plan's exprIds) would yield duplicate output columns
-    // that the analyzer does not repair for a custom node
+    // so a payload name shadowing a left column would yield duplicate
+    // output columns that the analyzer does not repair for a custom node
     val payloadNames = rp.output.map(_.name).filterNot(n => n == rightKey || n == rightTime)
     val clash = payloadNames.toSet.intersect(lp.output.map(_.name).toSet)
     require(clash.isEmpty,
       s"asofMerge: right payload columns ${clash.mkString(", ")} collide with left " +
         "columns — alias one side before merging")
-    require(lp.output.map(_.exprId).toSet.intersect(rp.output.map(_.exprId).toSet).isEmpty,
-      "asofMerge: left and right share attribute exprIds (self-merge of one plan) — " +
-        "re-select/alias one side so the custom node's children are independent")
+    // no exprId guard needed: the re-aliasing above makes the children's
+    // exprId sets disjoint by construction, so the node's output
+    // (left.output ++ rightPayload) can never carry a duplicate attribute
     GraftDataset.ofRows(left.sparkSession, graft.plans.AsOfJoin(lp, rp,
       attr(lp, leftKey), attr(lp, leftTime), attr(rp, rightKey), attr(rp, rightTime)))
   }

@@ -40,10 +40,26 @@ object StreamDrivers {
     * a strictly-increasing mtime in write order pins arrival order ==
     * write order unconditionally. The fixed base is fine: the source's
     * maxFileAge purge is relative to the newest mtime SEEN, not the wall
-    * clock, and all stamps sit within seconds of each other. */
+    * clock, and all stamps sit within seconds of each other
+    * (StreamingSpec's staleness guard asserts the years-old regime keeps
+    * ingesting, so a Spark purge-semantics change fails loudly).
+    *
+    * `stamp` is only race-free BEFORE the query starts: staged against a
+    * live query, the source can list a fresh file with its wall-clock
+    * mtime before the stamp lands — and a wall-clock latestTimestamp
+    * (decades past the 2020 base) would push the maxFileAge purge
+    * threshold past every later base-stamped file, silently dropping
+    * them. [[stageLive]] closes that window: it writes to a temp sibling,
+    * stamps THERE, then moves the already-stamped file in (rename
+    * preserves mtime), so the watched directory never shows a
+    * wall-clock-stamped or half-written file. */
   private final class MtimeStamper {
     private val seen = scala.collection.mutable.Set.empty[Path]
     private var n = 0
+    private def next(): java.nio.file.attribute.FileTime = {
+      val t = java.nio.file.attribute.FileTime.fromMillis(1600000000000L + n * 1000L)
+      n += 1; t
+    }
     def stamp(dir: String): Unit = {
       import scala.jdk.CollectionConverters._
       val d = java.nio.file.Paths.get(dir)
@@ -52,11 +68,28 @@ object StreamDrivers {
       files.filter(_.getFileName.toString.startsWith("part-"))
         .sortBy(_.getFileName.toString)
         .filterNot(seen.contains)
-        .foreach { f =>
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + n * 1000L))
-          n += 1; seen += f
-        }
+        .foreach { f => Files.setLastModifiedTime(f, next()); seen += f }
+    }
+    /** Stage `df` into the live-watched `dir` race-free (see class doc):
+      * temp-sibling write → stamp → atomic move of the part files. */
+    def stageLive(df: DataFrame, dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val target = java.nio.file.Paths.get(dir)
+      // sibling of the watched dir ⇒ same filesystem ⇒ ATOMIC_MOVE holds
+      val tmp = Files.createTempDirectory(target.getParent, "stage-")
+      try {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val parts = try listing.iterator().asScala.toSeq finally listing.close()
+        parts.filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+          .foreach { f =>
+            Files.setLastModifiedTime(f, next())
+            val dest = target.resolve(f.getFileName)
+            Files.move(f, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            seen += dest
+          }
+      } finally deleteRecursively(tmp)
     }
   }
 
@@ -125,10 +158,11 @@ object StreamDrivers {
       q.processAllAvailable()
       sentinelOffsetSec.foreach { off =>
         import spark.implicits._
-        Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + off * 1000),
-            SentinelUser, "view", 0.0))
-          .toDF().write.mode("append").parquet(in)
-        stamper.stamp(in)
+        // staged against the LIVE query → must go through the race-free
+        // temp-stamp-move path, never a direct write + after-the-fact stamp
+        stamper.stageLive(
+          Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + off * 1000),
+            SentinelUser, "view", 0.0)).toDF(), in)
         q.processAllAvailable()
       }
       q.stop()
@@ -178,16 +212,37 @@ object StreamDrivers {
     * oracle — time-ordered arrival is the contract under which an
     * interval join is lossless). Inner-join matches emit as they arrive;
     * the watermark only bounds state, so no sentinel is needed. */
-  def intervalJoinFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def intervalJoinFileStream(spark: SparkSession, sfDir: String): DataFrame =
+    runIntervalJoin(spark, sfDir, outer = false)
+
+  /** The LEFT-OUTER stream-stream interval join driven end-to-end: same
+    * two time-split file sources as [[intervalJoinFileStream]], joined
+    * with `joinType = "leftOuter"` — purchases with no preceding-hour
+    * signup must emit exactly once with a null `r_id`, which only
+    * happens when the watermark EVICTS their join state. Two sentinel
+    * rounds on BOTH sources drain that path deterministically: the
+    * global watermark is the minimum across sources (so both need the
+    * far-future row), round 1 advances it past every real event's
+    * eviction point, and round 2 runs the extra micro-batch in which the
+    * engine materializes the evicted null-padded rows (outer results
+    * always land one batch behind the watermark advance; relying on the
+    * no-data-batch heuristic to run that batch before
+    * processAllAvailable returns is a race, two sentinels are not).
+    * Gated on the batch LEFT JOIN oracle. */
+  def intervalJoinOuterFileStream(spark: SparkSession, sfDir: String): DataFrame =
+    runIntervalJoin(spark, sfDir, outer = true)
+
+  private def runIntervalJoin(spark: SparkSession, sfDir: String,
+                              outer: Boolean): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ssjoin")
     try withStatePartitions(spark, 8) {
       val evs = graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
-      val midMs = (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2
-      val mid = new Timestamp(midMs)
-      def stage(types: String): String = {
+      val lastMs = bounds.getTimestamp(1).getTime
+      val mid = new Timestamp((bounds.getTimestamp(0).getTime + lastMs) / 2)
+      def stage(types: String): (String, MtimeStamper) = {
         val p = s"$dir/$types"
         val side = evs.filter(col("event_type") === types)
         val stamper = new MtimeStamper
@@ -195,23 +250,41 @@ object StreamDrivers {
         stamper.stamp(p)
         side.filter(col("ts") > mid).coalesce(1).write.mode("append").parquet(p)
         stamper.stamp(p)
-        p
+        (p, stamper)
       }
-      val (pDir, sDir) = (stage("purchase"), stage("signup"))
+      val (pDir, pStamper) = stage("purchase")
+      val (sDir, sStamper) = stage("signup")
       def src(p: String) = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1").parquet(p)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      val q = StreamOps.intervalJoin(src(pDir), src(sDir)).writeStream
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Long)]
+      val joinType = if (outer) "leftOuter" else "inner"
+      val q = StreamOps.intervalJoin(src(pDir), src(sDir), joinType = joinType).writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$dir/chk")
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val rows = b.collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
           buf.synchronized { buf ++= rows }; ()
         }
         .start()
       q.processAllAvailable()
+      if (outer) {
+        // two rounds, both sources each (see intervalJoinOuterFileStream
+        // doc); sentinel ids are distinct so the two far-future rows match
+        // only each other and are filtered by user below. 4 h clears every
+        // eviction point: 1 h join interval + 2 h watermark delay + slack.
+        Seq(4L * 3600, 4L * 3600 + 60).foreach { off =>
+          Seq((pDir, pStamper, -1L), (sDir, sStamper, -2L)).foreach {
+            case (p, st, id) =>
+              st.stageLive(Seq(StreamOps.Ev(id, new Timestamp(lastMs + off * 1000),
+                SentinelUser, "sentinel", 0.0)).toDF(), p)
+          }
+          q.processAllAvailable()
+        }
+      }
       q.stop()
-      buf.toSeq.toDF("l_id", "r_id", "user_id")
+      buf.toSeq.filter(_._3 != SentinelUser).toDF("l_id", "r_id", "user_id")
+        // asc_nulls_first == the oracle's ORDER BY 1, 2 NULLS FIRST
         .orderBy(col("l_id"), col("r_id"))
     } finally deleteRecursively(dir)
   }

@@ -138,15 +138,28 @@ object StreamOps {
   /** Watermarked stream-stream interval join: each left event pairs with
     * right-side events of the same user from the preceding hour. Both
     * sides carry watermarks so the join state is bounded — the state
-    * retention window is watermark + interval. */
+    * retention window is watermark + interval.
+    *
+    * `joinType = "leftOuter"` adds watermark-evicted null padding: a left
+    * event that found no right match by the time the watermark passes its
+    * eviction point emits once with a null `r_id` — the harder, more
+    * useful half of a stream-stream join (every "signups without a
+    * purchase" style query needs it). Outer rows materialize in the batch
+    * AFTER the watermark advance that evicts them, so a drained query
+    * needs one more (possibly data-less) micro-batch past the final
+    * watermark — the gate driver stages a second sentinel for exactly
+    * that. Inner matches are unaffected: they emit as they arrive under
+    * either join type. */
   def intervalJoin(left: DataFrame, right: DataFrame,
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r,
       expr("l.user_id = r.user_id AND " +
         "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts AND " +
-        "l.event_id != r.event_id"))
+        "l.event_id != r.event_id"),
+      joinType)
       .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
         col("l.user_id").as("user_id"))
   }

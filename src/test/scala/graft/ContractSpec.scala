@@ -37,6 +37,7 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only set is exactly the documented engine-specific operators") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("c4_stratified_sample", "d2_dedup_minhash",
-      "d3_dedup_simhash", "q13_approx_distinct", "s2_ann_lsh", "s3_ann_ivf"))
+      "d3_dedup_simhash", "q13_approx_distinct", "s2_ann_lsh", "s3_ann_ivf",
+      "q38_percentiles_approx", "s5_knn_lsh_graph", "d11_incremental"))
   }
 }

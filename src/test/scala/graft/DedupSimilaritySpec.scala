@@ -32,6 +32,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("incremental minhash dedup equals the full recompute restricted to the batch") {
+    // corpus = the documents table; batch = copies of every 5th doc under
+    // new ids (identical text ⇒ Jaccard 1.0 ⇒ batch-vs-corpus pairs are
+    // guaranteed, so the equality below is never vacuous)
+    val corpus = table("documents")
+    val batch = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val inc = Dedup.minhashIncremental(batch, Dedup.minhashSignatures(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(corpus.unionByName(batch)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 >= 10000 || p._2 >= 10000).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // corpus-internal pairs must NOT be recomputed or emitted
+    assert(inc.forall(p => p._1 >= 10000 || p._2 >= 10000))
+  }
+
   test("native signatures are bit-identical to the composable reference") {
     import graft.operators.Dedup
     val hs = table("documents")

@@ -86,6 +86,28 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out.getAs[Double]("total_price") === expected)
   }
 
+  test("approx percentiles land inside tight exact rank bands (q14 scale twin)") {
+    // GK-sketch guarantee: rank error ≤ n/accuracy = 1e-4·n, so the
+    // approx p50/p90 value must sit between the exact quantiles a ±2%
+    // RANK band away — a bound in the same (rank) domain as the sketch's
+    // contract, robust to the value distribution
+    val bands = table("events").groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo90"),
+        expr("percentile(value, 0.92)").as("hi90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Relational.percentilesApprox(table("events")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === bands.keySet)
+    approx.foreach { case (k, (p50, p90)) =>
+      val (lo50, hi50, lo90, hi90) = bands(k)
+      assert(p50 >= lo50 && p50 <= hi50, s"$k p50=$p50 outside [$lo50,$hi50]")
+      assert(p90 >= lo90 && p90 <= hi90, s"$k p90=$p90 outside [$lo90,$hi90]")
+    }
+  }
+
   test("price deciles: cover each priority group, monotone boundaries") {
     val out = Relational.priceDeciles(table("orders")).collect()
     val groupCounts = table("orders").groupBy("o_orderpriority").count().collect()

@@ -248,6 +248,72 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st8 driver: left-outer interval join equals the batch left join") {
+    val streamed = graft.streaming.StreamDrivers
+      .intervalJoinOuterFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    import spark.implicits._
+    val evs = eventData()
+    val l = evs.filter(_.event_type == "purchase").toDF().alias("l")
+    val r = evs.filter(_.event_type == "signup").toDF().alias("r")
+    val batch = l.join(r, expr("l.user_id = r.user_id AND " +
+        "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts AND l.event_id != r.event_id"),
+        "left")
+      .select(col("l.event_id"), col("r.event_id"), col("l.user_id"))
+      .collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)), x.getLong(2))).toSet
+    assert(streamed === batch)
+    // the outer path must actually be exercised: unmatched purchases
+    // null-emit via watermark eviction, never silently vanish
+    assert(batch.exists(_._2.isEmpty), "corpus has no unmatched purchase — outer path untested")
+    assert(batch.exists(_._2.nonEmpty))
+  }
+
+  test("FileStreamSource ingests a staged directory whose mtimes are all years old") {
+    // The MtimeStamper regime (StreamDrivers) stamps every staged file
+    // with fixed 2020-era mtimes, relying on FileStreamSource's
+    // maxFileAge purge being relative to the newest mtime SEEN — not the
+    // wall clock. A Spark upgrade changing that purge semantics would
+    // silently drop every stamped file from every streaming gate; this
+    // spec makes it fail loudly instead.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stale")
+    try {
+      val in = s"$dir/in"
+      val evs = eventData().take(50)
+      Seq(evs.take(25), evs.drop(25)).zipWithIndex.foreach { case (half, i) =>
+        half.toDF().coalesce(1).write
+          .mode(if (i == 0) "overwrite" else "append").parquet(in)
+      }
+      // stamp every part file with a ~2020 mtime, strictly increasing in
+      // name order — exactly what MtimeStamper does
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(Paths.get(in))
+      val parts = try listing.iterator().asScala.toSeq finally listing.close()
+      parts.filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 1000L))
+        }
+      val schema = evs.toDF().schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.format("memory").queryName("stale_out")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      assert(spark.table("stale_out").count() === 50,
+        "FileStreamSource purged years-old staged files — the MtimeStamper premise broke")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(dir)
+      val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      files.foreach(f => Files.deleteIfExists(f))
+    }
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

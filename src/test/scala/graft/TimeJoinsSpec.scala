@@ -80,16 +80,30 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       TimeJoins.asofMerge(l, dup, "k", "t", "rk", "rt")
     }
-    // fail-fast guards fire BEFORE planning: a payload name shadowing a
-    // left column, and a self-merge reusing one plan's exprIds, would
-    // both build an output the analyzer can't repair for a custom node
+    // fail-fast guard fires BEFORE planning: a payload name shadowing a
+    // left column builds an output the analyzer can't repair for a
+    // custom node
     val shadow = Seq((1L, 5L, 7.5)).toDF("rk", "rt", "t")
     intercept[IllegalArgumentException] {
       TimeJoins.asofMerge(l, shadow, "k", "t", "rk", "rt")
     }
-    intercept[IllegalArgumentException] {
-      TimeJoins.asofMerge(l, l, "k", "t", "k", "t")
-    }
+  }
+
+  test("asofMerge: un-aliased self-as-of (two projections of one table) works") {
+    import spark.implicits._
+    // The realistic self-merge pattern: both sides project the SAME base
+    // plan, so the attributes share exprIds across children. asofMerge
+    // must re-alias the right side internally (fresh exprIds) — without
+    // that, the analyzer's relation dedup re-ids the right child under
+    // the custom node without rewriting its key/time expressions and
+    // execution dies with ATTRIBUTE_NOT_FOUND.
+    val base = Seq((1L, 10L, 1.0, 2.0), (1L, 5L, 3.0, 4.0), (2L, 7L, 5.0, 6.0))
+      .toDF("k", "t", "x", "y")
+    val out = TimeJoins.asofMerge(
+        base.select("k", "t", "x"), base.select("k", "t", "y"),
+        "k", "t", "k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(out === Set((1L, 10L, 1.0, 2.0), (1L, 5L, 3.0, 4.0), (2L, 7L, 5.0, 6.0)))
   }
 
   test("range join only counts lineitems inside the window") {
