@@ -83,6 +83,7 @@ object SparkEntry {
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
+    "d12_incremental_exact" -> Seq("doc_id"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
@@ -203,6 +204,14 @@ object SparkEntry {
         .minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
         .localCheckpoint()
       Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
+    }),
+    // exact-dedup analogue of d11: even-id batch anti-joined against the
+    // odd-id corpus's text keys, then deduped within the batch
+    "d12_incremental_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.exactIncremental(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
     }),
     "c6_boilerplate" -> ((s, d) => Curation.boilerplate(t(s, d, "documents"))),
     "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
@@ -500,6 +509,14 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
+         GROUP BY text ORDER BY 1""",
+    // d12 = d1 restricted to the even-id batch, minus texts the odd-id
+    // corpus already holds — incremental ingest dedup, fully relational
+    "d12_incremental_exact" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         c AS (SELECT text FROM documents WHERE doc_id % 2 = 1)
+         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.text = b.text)
          GROUP BY text ORDER BY 1""",
     "d4_ngram_jaccard" ->
       s"""WITH tok AS ($shingleTok),

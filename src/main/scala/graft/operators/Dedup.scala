@@ -22,6 +22,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("dup_count"))
 
+  /** Incremental EXACT dedup of a new batch against an existing corpus:
+    * the surviving batch documents — texts unseen in the corpus — one
+    * row per distinct batch text with the smallest batch id and the
+    * within-batch duplicate count. The exact-dedup analogue of
+    * [[minhashIncremental]] (every production ingest dedups the new
+    * batch against what's already stored, not the union from scratch).
+    * Plan shape: one left-anti join on the text key (at 100 TB: on
+    * xxhash64(text), comparing full text only within a hash bucket —
+    * the [[exact]] shape) + the [[exact]] group-by on the surviving
+    * batch rows only. The corpus side is a single key scan — never
+    * grouped, never self-joined; with the corpus text-key table
+    * bucket-written (`Sources.writeBucketed`) the anti join needs no
+    * corpus-side shuffle at all. */
+  def exactIncremental(batch: DataFrame, corpus: DataFrame): DataFrame =
+    batch
+      .join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("dup_count"))
+
   /** Shingle sets + sizes + 64-bit hashed form, materialized stage by
     * stage (tokens → shingles → size/hashes) so no HOF lambda recomputes
     * an upstream array. Pair-wise intersections run on the hashed long

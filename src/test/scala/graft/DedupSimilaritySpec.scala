@@ -50,6 +50,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(inc.forall(p => p._1 >= 10000 || p._2 >= 10000))
   }
 
+  test("incremental exact dedup: survivors are exactly corpus-unseen batch texts") {
+    val docs = table("documents")
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0)).toSet
+    val expected = batch.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filterNot(r => corpusTexts.contains(r._2))
+      .groupBy(_._2).map { case (_, rs) => (rs.map(_._1).min, rs.size.toLong) }.toSet
+    val out = Dedup.exactIncremental(batch, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("native signatures are bit-identical to the composable reference") {
     import graft.operators.Dedup
     val hs = table("documents")

@@ -119,6 +119,32 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("incremental dedup plans: anti join for d12, no unkeyed pair join in s5/d11") {
+    val docs = table("documents")
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // d12: ONE anti join on the text key + partial-agg dedup of the
+    // surviving batch side — the corpus is never grouped or self-joined
+    val d12 = graft.operators.Dedup.exactIncremental(batch, corpus)
+    d12.collect()
+    val p12 = plan(d12).split("== Initial Plan ==")(0)
+    assert(p12.contains("LeftAnti"), s"no anti join in d12 plan:\n$p12")
+    assert(p12.contains("partial_"), s"no map-side combine in d12 plan:\n$p12")
+    // the sub-quadratic scale paths must plan KEYED joins only — a
+    // cartesian/nested-loop pair join is exactly the shape they exist to
+    // avoid
+    val s5 = graft.operators.Similarity.knnGraphLsh(table("embeddings"))
+    s5.collect()
+    val d11 = graft.operators.Dedup.minhashIncremental(
+      batch, graft.operators.Dedup.minhashSignatures(corpus))
+    d11.collect()
+    Seq("s5" -> plan(s5), "d11" -> plan(d11)).foreach { case (name, pl) =>
+      val p = pl.split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"unkeyed pair join in $name scale-path plan:\n$p")
+    }
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = table("nation")
