@@ -149,11 +149,9 @@ object Dedup {
     val sh = shingled(documents).select(col("doc_id"), col("hsh"), col("shn"))
       .localCheckpoint()
     val sig = sh.withColumn("sig", call_function("graft_minhash64", col("hsh")))
-    val banded = sig
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
-      .withColumn("bh", xxhash64(col("band"),
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col("doc_id"), col("band"), col("bh"))
+    // single banding definition shared with minhashIncremental — the
+    // incremental==full-recompute equality depends on these being one code path
+    val banded = bandedSigs(sig)
     // skew guard: drop degenerate buckets (> maxBucket members)
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(

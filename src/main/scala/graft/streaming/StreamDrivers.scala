@@ -80,8 +80,14 @@ object StreamDrivers {
       try {
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val listing = Files.list(tmp)
-        val parts = try listing.iterator().asScala.toSeq finally listing.close()
-        parts.filter(_.getFileName.toString.startsWith("part-"))
+        val all = try listing.iterator().asScala.toSeq finally listing.close()
+        val parts = all.filter(_.getFileName.toString.startsWith("part-"))
+        // coalesce(1) must yield exactly one part file; anything else (empty
+        // DF, changed naming) would silently drop a sentinel and hang the
+        // outer-join drain — fail loudly instead
+        require(parts.size == 1,
+          s"stageLive expected exactly 1 part file in $tmp, found ${parts.size}")
+        parts
           .sortBy(_.getFileName.toString)
           .foreach { f =>
             Files.setLastModifiedTime(f, next())

@@ -87,18 +87,20 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("approx percentiles land inside tight exact rank bands (q14 scale twin)") {
-    // GK-sketch guarantee: rank error ≤ n/accuracy = 1e-4·n, so the
-    // approx p50/p90 value must sit between the exact quantiles a ±2%
-    // RANK band away — a bound in the same (rank) domain as the sketch's
-    // contract, robust to the value distribution
+    // GK-sketch guarantee: rank error ≤ n/accuracy. At accuracy=50 the
+    // summaries genuinely compress at test-scale group sizes (merge
+    // threshold 2·n/50 > 0), so this bounds REAL sketch error — the
+    // default accuracy=10000 would hold every value and pass trivially.
+    // Band is ±3% rank: the ε=2% contract plus slack for the exact
+    // side's interpolation between samples at the band edges.
     val bands = table("events").groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.48)").as("lo50"),
-        expr("percentile(value, 0.52)").as("hi50"),
-        expr("percentile(value, 0.88)").as("lo90"),
-        expr("percentile(value, 0.92)").as("hi90"))
+      .agg(expr("percentile(value, 0.47)").as("lo50"),
+        expr("percentile(value, 0.53)").as("hi50"),
+        expr("percentile(value, 0.87)").as("lo90"),
+        expr("percentile(value, 0.93)").as("hi90"))
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val approx = Relational.percentilesApprox(table("events")).collect()
+    val approx = Relational.percentilesApprox(table("events"), accuracy = 50).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(approx.keySet === bands.keySet)
     approx.foreach { case (k, (p50, p90)) =>
