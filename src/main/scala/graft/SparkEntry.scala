@@ -84,6 +84,7 @@ object SparkEntry {
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
     "d12_incremental_exact" -> Seq("doc_id"),
+    "d13_embed_incremental" -> Seq("id_a", "id_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
@@ -204,6 +205,21 @@ object SparkEntry {
         .minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
         .localCheckpoint()
       Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
+    }),
+    // embedding analogue of d11: even-vec_id batch probed against the
+    // persisted sign-code table of the odd-vec_id corpus; full oracle
+    // because the seeded 1-bit banding has full recall at this θ (d8's
+    // argument), so the result is the exact pair set restricted to
+    // batch-touching pairs
+    "d13_embed_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // the corpus code table is PERSISTED in production (written once,
+      // e.g. Sources.writeBucketed); localCheckpoint models that here
+      val corpusCodes = Dedup
+        .embeddingSignCodes(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .localCheckpoint()
+      Dedup.embeddingLshIncremental(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), corpusCodes)
     }),
     // exact-dedup analogue of d11: even-id batch anti-joined against the
     // odd-id corpus's text keys, then deduped within the batch
@@ -539,6 +555,17 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
+         ORDER BY 1, 2""",
+    // d13 = the exact pair set restricted to batch-touching pairs (the
+    // odd-id corpus's internal pairs are excluded — found at corpus-build
+    // time); full oracle by d8's full-recall argument for the seeded
+    // 1-bit banding at θ=0.45.
+    "d13_embed_incremental" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
+           AND NOT (a.vec_id % 2 = 1 AND b.vec_id % 2 = 1)
          ORDER BY 1, 2""",
     // q37 = the q16 oracle verbatim: the custom sorted-merge as-of
     // SparkPlan must reproduce the window formulation exactly.

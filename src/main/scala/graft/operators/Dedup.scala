@@ -471,6 +471,112 @@ object Dedup {
     dot(va, vb) / (na * nb) >= threshold - 6e-7 &&
       decRound(dot(va, vb) / (na * nb), 6) >= threshold
 
+  /** Persistable sign-code table for the embedding-LSH family: one row
+    * per vector carrying the banding input (the packed `numPlanes`-bit
+    * hyperplane sign code) and the verify inputs (double vector + norm).
+    * This is the artifact a production pipeline writes once per corpus
+    * (e.g. via `Sources.writeBucketed` on vec_id) so each new batch
+    * dedups against it incrementally ([[embeddingLshIncremental]])
+    * instead of re-scoring the corpus. [[embeddingLshPairs]] derives its
+    * banding from the same code column via [[codeBandRows]], so the full
+    * recompute and the incremental path share one definition of the
+    * bucket key. */
+  def embeddingSignCodes(embeddings: DataFrame, numPlanes: Int = 16): DataFrame = {
+    require(numPlanes <= 62, "packed sign code must fit a long")
+    val planes = Similarity.planesFor(numPlanes)
+    val v = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val bits = planes.map(p =>
+      when(dot(col("v"), Similarity.planeLit(p)) > 0, 1L).otherwise(0L))
+    v.withColumn("code",
+      bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _))
+  }
+
+  /** Band + chunk rows for a sign-code table (the LSH bucket key):
+    * chunk_j = bits [j·b, (j+1)·b) of the packed code — pure bit ops on
+    * the stored code, no dot products. */
+  private def codeBandRows(codes: DataFrame, numPlanes: Int,
+                           bitsPerBand: Int): DataFrame = {
+    val k = numPlanes / bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    codes
+      .select(col("vec_id"), col("code"),
+        explode(sequence(lit(0), lit(k - 1))).as("band"))
+      .withColumn("chunk",
+        expr(s"shiftright(code, band * $bitsPerBand)").bitwiseAND(lit(mask)))
+  }
+
+  /** Incremental embedding near-dup of a NEW BATCH against a persisted
+    * corpus sign-code table ([[embeddingSignCodes]]): returns exactly the
+    * [[embeddingLshPairs]] result of `corpus ∪ batch` RESTRICTED to pairs
+    * touching the batch (batch-vs-corpus and batch-vs-batch;
+    * corpus-internal pairs were found when the corpus was built). Vec ids
+    * must be globally unique across corpus and batch.
+    *
+    * Scale shape — the reason this API exists: the corpus is never
+    * re-scored and NEVER self-joined. Its stored codes are band-expanded
+    * (a pure bit-op projection) and probed by the batch's banded rows
+    * only, so the candidate join is |batch bands| × collisions,
+    * independent of corpus²; with a small batch the probe side
+    * broadcasts and the corpus code scan is never shuffled at all. Pair
+    * uniqueness reuses the first-shared-band mask (b = 1, uncapped —
+    * see [[embeddingLshPairs]]), with batch-batch double emission
+    * suppressed by an id-order gate instead of a distinct. The optional
+    * bucket cap is evaluated on UNION bucket sizes, matching the full
+    * recompute bit-for-bit (DedupSimilaritySpec asserts the equality). */
+  def embeddingLshIncremental(batch: DataFrame, corpusCodes: DataFrame,
+                              threshold: Double = 0.45, numPlanes: Int = 16,
+                              bitsPerBand: Int = 1, maxBucket: Int = 0): DataFrame = {
+    require(numPlanes % bitsPerBand == 0, "numPlanes must divide into bands")
+    val capped = maxBucket > 0
+    val bc = embeddingSignCodes(batch, numPlanes)
+    val batchBanded = codeBandRows(bc, numPlanes, bitsPerBand)
+    val corpusBanded = codeBandRows(corpusCodes, numPlanes, bitsPerBand)
+    // build = union (so batch-batch pairs are found too), probe = batch
+    val unionBanded = corpusBanded.withColumn("corp", lit(true))
+      .union(batchBanded.withColumn("corp", lit(false)))
+    val admitted = if (!capped) unionBanded else {
+      // skew guard on UNION bucket sizes — identical accept set to the
+      // full-recompute window; aggregation + join back because the
+      // per-bucket count table is tiny (see minhashIncremental)
+      val sizes = unionBanded.groupBy(col("band"), col("chunk"))
+        .agg(count(lit(1)).as("bsz"))
+      unionBanded.join(sizes.filter(col("bsz") <= maxBucket), Seq("band", "chunk"))
+        .drop("bsz")
+    }
+    val a = batchBanded.select(col("band"), col("chunk"),
+      col("vec_id").as("probe_id"), col("code").as("code_a"))
+    val b = admitted.select(col("band").as("band2"), col("chunk").as("chunk2"),
+      col("vec_id").as("build_id"), col("code").as("code_b"), col("corp"))
+    val bucketEq = col("band") === col("band2") && col("chunk") === col("chunk2") &&
+      col("probe_id") =!= col("build_id")
+    // batch-batch pairs exit both probes — keep only the smaller id's
+    val orderGate = col("corp") || col("probe_id") < col("build_id")
+    val pairCols = Seq(least(col("probe_id"), col("build_id")).as("id_a"),
+      greatest(col("probe_id"), col("build_id")).as("id_b"))
+    val cand = if (bitsPerBand == 1 && !capped) {
+      // first-shared-band emission (see embeddingLshPairs): each ordered
+      // (probe, build) pair exits the join exactly once, no distinct
+      val xor = col("code_a").bitwiseXOR(col("code_b"))
+      val lowMask = expr("shiftleft(CAST(1 AS BIGINT), band) - CAST(1 AS BIGINT)")
+      a.join(b, bucketEq && orderGate && (xor.bitwiseAND(lowMask) === lowMask))
+        .select(pairCols: _*)
+    } else {
+      a.join(b, bucketEq && orderGate).select(pairCols: _*).distinct()
+    }
+    // verify with the stored vectors (either side may be corpus or batch)
+    val allCodes = corpusCodes.select(col("vec_id"), col("v"), col("nrm"))
+      .union(bc.select(col("vec_id"), col("v"), col("nrm")))
+    cand
+      .join(allCodes.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(allCodes.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), threshold))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline — the
     * recall oracle for [[embeddingLshPairs]], which is the scale path). */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
@@ -531,16 +637,6 @@ object Dedup {
     require(numPlanes % bitsPerBand == 0, "numPlanes must divide into bands")
     require(numPlanes <= 62, "packed sign code must fit a long")
     val capped = maxBucket > 0
-    val planes = Similarity.planesFor(numPlanes)
-    val v = embeddings
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    // per-row sign bits, packed into one long code + per-band chunk values
-    val bits = planes.map(p =>
-      when(dot(col("v"), Similarity.planeLit(p)) > 0, 1L).otherwise(0L))
-    val packed = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
-    val chunkCols = bits.grouped(bitsPerBand).map(g =>
-      g.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)).toSeq
     // Deliberately NOT staged (unlike the shingle table in
     // ngramJaccardPairs): the banding is k fused codegen dot products
     // per row — far cheaper than the tokenize→shingle→hash pipeline —
@@ -548,8 +644,8 @@ object Dedup {
     // input partitions while blocking exchange reuse (measured 2× SLOWER
     // at sf0.1). Recomputing the cheap projection per join side is the
     // right trade.
-    val banded = v.select(col("vec_id"), packed.as("code"),
-      posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
+    val v = embeddingSignCodes(embeddings, numPlanes)
+    val banded = codeBandRows(v, numPlanes, bitsPerBand)
     // optional skew guard (see Scaladoc: opt-in, b ≥ 8 regime only)
     val guarded = if (!capped) banded else banded
       .withColumn("bsz", count(lit(1)).over(

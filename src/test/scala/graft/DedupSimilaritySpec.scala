@@ -50,6 +50,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(inc.forall(p => p._1 >= 10000 || p._2 >= 10000))
   }
 
+  test("incremental embedding dedup equals the full recompute restricted to the batch") {
+    // corpus = the embeddings table; batch = copies of every 5th vector
+    // under new ids (identical vectors ⇒ cosine 1.0 ⇒ batch-vs-corpus
+    // pairs are guaranteed, so the equality is never vacuous)
+    val corpus = table("embeddings")
+    val batch = corpus.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val codes = Dedup.embeddingSignCodes(corpus).localCheckpoint()
+    def restricted(full: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      full.map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => p._1 >= 100000 || p._2 >= 100000).toSet
+    // b = 1 (first-shared-band fast path, no distinct)
+    val inc1 = Dedup.embeddingLshIncremental(batch, codes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full1 = restricted(Dedup.embeddingLshPairs(corpus.unionByName(batch)).collect())
+    assert(inc1 === full1)
+    assert(inc1.nonEmpty)
+    // corpus-internal pairs must NOT be recomputed or emitted
+    assert(inc1.forall(p => p._1 >= 100000 || p._2 >= 100000))
+    // b = 2 (distinct path): same algorithm ⇒ same restriction equality,
+    // whatever the banding's recall at this θ
+    val inc2 = Dedup.embeddingLshIncremental(batch, codes, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full2 = restricted(
+      Dedup.embeddingLshPairs(corpus.unionByName(batch), bitsPerBand = 2).collect())
+    assert(inc2 === full2)
+  }
+
   test("incremental exact dedup: survivors are exactly corpus-unseen batch texts") {
     val docs = table("documents")
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
