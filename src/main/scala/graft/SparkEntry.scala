@@ -77,6 +77,7 @@ object SparkEntry {
     "s5_knn_lsh_graph" -> Seq("q_id", "rank"),
     "d10_text_clusters" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
+    "st9_ingest_dedup_stream" -> Seq("doc_id"),
     "q35_type_concat" -> Seq("user_id"),
     "q36_modal_type" -> Seq("user_id"),
     "q37_asof_exec" -> Seq("event_id"),
@@ -284,6 +285,8 @@ object SparkEntry {
       graft.streaming.StreamDrivers.dedupFileStream(Tables.tune(s), d)),
     "st7_tumbling_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
+    "st9_ingest_dedup_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.ingestDedupFileStream(Tables.tune(s), d)),
     "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     // the sub-quadratic k-NN-graph scale path under the driver gate:
     // recall is corpus-dependent (rows-only; the recall floor vs s4's
@@ -862,6 +865,16 @@ object SparkEntry {
            AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
            AND p.event_id != s.event_id
          ORDER BY 1, 2 NULLS FIRST""",
+    // st9: d12's incremental ingest dedup through the streaming path.
+    // The driver stages every surviving document TWICE (cross-batch
+    // update-mode state), hence the 2× on the count — the only way the
+    // staged duplication is visible in the final state.
+    "st9_ingest_dedup_stream" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         c AS (SELECT text FROM documents WHERE doc_id % 2 = 1)
+         SELECT min(doc_id) AS doc_id, CAST(2 * count(*) AS BIGINT) AS dup_count
+         FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.text = b.text)
+         GROUP BY text ORDER BY 1""",
     // st4 = the q28 oracle verbatim: streaming keyed latest-state must
     // drain to exactly the batch latest-event table.
     "st4_latest_stream" ->

@@ -323,6 +323,57 @@ object StreamDrivers {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
+    * ALL documents staged as two doc_id-halves × 2 copies (four
+    * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →
+    * update-mode foreachBatch upsert keyed on text. The stream-static
+    * join genuinely drops the corpus-held (odd-id) documents; every
+    * surviving text arrives twice in DISTINCT micro-batches, so the
+    * final upserted state (dup_count = 2 × the batch count) pins real
+    * cross-batch aggregation state — and min/count arrival-order
+    * independence means that state equals the batch recompute. Column
+    * contract == d12 with doubled counts (the ×2 staging lives in the
+    * oracle). No watermark/sentinel: update mode re-emits a key whenever
+    * it changes, so the last upsert per key IS the final state. */
+  def ingestDedupFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ingest")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      // the static side of the stream-static join — localCheckpoint
+      // models the persisted corpus key table (re-read per micro-batch)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 1).localCheckpoint()
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(4)) < 2),
+          docs.filter(pmod(col("doc_id"), lit(4)) >= 2)).foreach { h =>
+        (1 to 2).foreach { _ =>
+          h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+          first = false
+          stamper.stamp(in)
+        }
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val q = StreamOps.ingestDedup(src, corpus).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          state.synchronized { rows.foreach { case (t, id, c) => state(t) = (id, c) } }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      state.values.toSeq.toDF("doc_id", "dup_count")
+    } finally deleteRecursively(dir)
+  }
+
   /** Watermarked streaming dedup driven end-to-end with REAL duplicates
     * crossing micro-batch boundaries: each time-half of the events table
     * is staged twice (f1 = half1, f2 = half1 again, f3 = half2, f4 =

@@ -176,4 +176,29 @@ object StreamOps {
     * makes the eviction safe. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** Streaming ingest dedup against a STATIC corpus — the streaming twin
+    * of `Dedup.exactIncremental`: batch documents whose text the corpus
+    * already holds are discarded (stream-static join: the corpus side is
+    * re-readable per micro-batch, never streamed, never shuffled when
+    * broadcast or bucket-stored); survivors aggregate to one row per
+    * distinct text carrying the smallest doc_id and the arrival count,
+    * maintained incrementally in UPDATE mode. min/count are
+    * arrival-order-independent, so the final state equals the batch
+    * recompute no matter how ingestion interleaves.
+    *
+    * Stream-static left ANTI joins are unsupported (as of Spark 4) —
+    * the left-outer join + null filter below is the standard equivalent.
+    * The aggregation is deliberately unwatermarked: the text key set IS
+    * the thing being deduplicated against, so state is the running
+    * dedup table itself (size = distinct new texts, the same artifact a
+    * batch pipeline persists); a production deployment bounds it by
+    * periodically folding state into the static corpus and restarting
+    * the query — the corpus-side contract this operator already has. */
+  def ingestDedup(batch: DataFrame, corpusKeys: DataFrame): DataFrame =
+    batch
+      .join(corpusKeys.select(col("text"), lit(1).as("_seen")), Seq("text"), "left_outer")
+      .filter(col("_seen").isNull)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
 }

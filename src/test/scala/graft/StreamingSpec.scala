@@ -314,6 +314,36 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaming ingest dedup equals the batch incremental recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus holds texts A,B; the stream carries corpus hits (A,B),
+    // batch-internal duplicates split ACROSS micro-batches (C), and the
+    // min-id arriving AFTER a larger id (D) — update mode must converge
+    // to the batch recompute regardless
+    val corpus = Seq((1L, "A"), (2L, "B")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "A"), (11L, "C"), (14L, "D"))
+    val b2 = Seq((12L, "C"), (13L, "B"), (9L, "D"))
+    val mem = MemoryStream[(Long, String)]
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val q = StreamOps.ingestDedup(
+        mem.toDF().toDF("doc_id", "text"), corpus).writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => state(r.getString(0)) = (r.getLong(1), r.getLong(2))); ()
+      }
+      .start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val batchDf = (b1 ++ b2).toDF("doc_id", "text")
+    val expected = graft.operators.Dedup.exactIncremental(batchDf, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state.values.toSet === expected)
+    assert(state.keySet === Set("C", "D")) // corpus hits A,B dropped
+    assert(state("C") === ((11L, 2L)) && state("D") === ((9L, 2L)))
+  }
+
   test("streaming dedup drops duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
