@@ -117,6 +117,7 @@ object SparkEntry {
     "t8_importance" -> Seq("doc_id"),
     "c14_percentile_gate" -> Seq("source"),
     "c15_token_packing" -> Seq("shard", "pack_id"),
+    "c16_sketch_rollup" -> Seq("event_type"),
     "t9_stop_strip" -> Seq("doc_id"),
     "m1_media_meta" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
@@ -258,6 +259,9 @@ object SparkEntry {
     "c14_percentile_gate" -> ((s, d) => Curation.percentileGate(t(s, d, "documents"))),
     "t9_stop_strip" -> ((s, d) => TextOps.stopStrip(t(s, d, "documents"))),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
+    // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
+    // merged==direct and error-vs-exact are spec-asserted)
+    "c16_sketch_rollup" -> ((s, d) => Curation.sketchRollup(t(s, d, "events"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),

@@ -408,4 +408,35 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
   }
+
+  /** Persistable per-(event_type, day) HLL sketch table of distinct
+    * users — the mergeable pre-aggregation artifact: at 100 TB this
+    * table is written once per day (tiny: one ≤2^lgK-register sketch
+    * per group) and every distinct-count question over any date range
+    * becomes a merge of stored sketches instead of a raw-event scan.
+    * DataSketches HLL is what `approx_count_distinct` does NOT give
+    * you: sketches are first-class values that persist and re-merge. */
+  def dailyUserSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+
+  /** Distinct-user estimates per event type by MERGING the daily sketch
+    * table — the rollup a dashboard runs over the persisted artifact.
+    * Union is register-wise max: associative and commutative, so
+    * partial aggregation composes across any partitioning. In the
+    * sparse regime the merged estimate equals sketching the raw stream
+    * directly (spec-asserted); once sketches go dense the union
+    * estimates from the merged registers alone while a direct sketch
+    * also carries its HIP estimator, so the two may differ within the
+    * configured error bound — the registers are path-independent, the
+    * estimator is not (spec bounds the dense-regime deviation).
+    * Rows-only gate: the estimate is DataSketches-specific — DuckDB's
+    * approx_count_distinct is a different HLL; the spec bounds the
+    * error vs exact distinct counts instead. */
+  def sketchRollup(events: DataFrame, lgK: Int = 12): DataFrame =
+    dailyUserSketches(events, lgK)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
 }
