@@ -118,6 +118,7 @@ object SparkEntry {
     "c14_percentile_gate" -> Seq("source"),
     "c15_token_packing" -> Seq("shard", "pack_id"),
     "c16_sketch_rollup" -> Seq("event_type"),
+    "q39_zorder_read" -> Seq("event_id"),
     "t9_stop_strip" -> Seq("doc_id"),
     "m1_media_meta" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
@@ -262,6 +263,19 @@ object SparkEntry {
     // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
     // merged==direct and error-vs-exact are spec-asserted)
     "c16_sketch_rollup" -> ((s, d) => Curation.sketchRollup(t(s, d, "events"))),
+    // z-order round trip: write the events z-clustered on (user_id,
+    // value), read back through the stats-pruned scan with a
+    // two-dimensional predicate — result is layout-independent, so the
+    // oracle is the same filter over the raw table; the pruning itself
+    // is measured in BucketingSpec
+    "q39_zorder_read" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("value"))
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/ev"
+      graft.sources.Sources.writeZOrdered(ev, out, "user_id", "value", numFiles = 16)
+      s.read.parquet(out)
+        .filter(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
@@ -869,6 +883,12 @@ object SparkEntry {
            AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
            AND p.event_id != s.event_id
          ORDER BY 1, 2 NULLS FIRST""",
+    // q39: the z-ordered round trip must read back exactly the raw-table
+    // filter result (layout changes bytes read, never rows returned)
+    "q39_zorder_read" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 20.0 AND 80.0
+         ORDER BY 1""",
     // st9: d12's incremental ingest dedup through the streaming path.
     // The driver stages every surviving document TWICE (cross-batch
     // update-mode state), hence the 2× on the count — the only way the
