@@ -64,6 +64,8 @@ object SparkEntry {
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
     "q29_deciles" -> Seq("o_orderpriority", "decile"),
+    "q40_scd2" -> Seq("user_id", "version"),
+    "q41_outliers" -> Seq("event_type"),
     "q30_cume_users" -> Seq("day"),
     "q31_histogram" -> Seq("bucket"),
     "q32_transitions" -> Seq("event_type", "next_type"),
@@ -276,6 +278,8 @@ object SparkEntry {
         .filter(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    "q40_scd2" -> ((s, d) => Relational.scd2(t(s, d, "events"))),
+    "q41_outliers" -> ((s, d) => Relational.robustOutliers(t(s, d, "events"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
     "q32_transitions" -> ((s, d) => Relational.eventTransitions(t(s, d, "events"))),
@@ -468,6 +472,37 @@ object SparkEntry {
     "q12_distinct" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q40_scd2" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         changes AS (
+           SELECT * FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+         FROM changes
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version""",
+    "q41_outliers" ->
+      """WITH med AS (
+           SELECT event_type,
+             CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,4)) AS DOUBLE) AS med
+           FROM events GROUP BY 1),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type,
+             CAST(CAST(quantile_cont(dev, 0.5) AS DECIMAL(38,4)) AS DOUBLE) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_type, max(d.med) AS med, max(m.mad) AS mad,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE d.dev > m.mad * 3.0) AS n_outliers
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
     "q14_percentiles" ->
       """SELECT event_type, CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,4)) AS DOUBLE) AS p50,
          CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(38,4)) AS DOUBLE) AS p90

@@ -428,6 +428,62 @@ object Relational {
       .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
   }
 
+  /** SCD2 dimension build from an event change-log: per-user runs of
+    * consecutive identical `event_type` collapse into validity intervals
+    * `[valid_from, valid_to)` with a version counter and an is_current
+    * flag — the standard slowly-changing-dimension type-2 load, computed
+    * from the full log in one pass.
+    *
+    * Shape: both windows share one `(user_id)` partitioning with one
+    * `(ts, event_id)` sort, so the whole build is a single shuffle +
+    * single sort of the change log — the run-start filter preserves the
+    * sort order, and Catalyst reuses the exchange for the second window.
+    * No self-join, no per-version scans. Ordering ties on `ts` break on
+    * `event_id`, so versions are deterministic across engines. */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to", lead(fmtTs(col("ts")), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        fmtTs(col("ts")).as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
+  }
+
+  /** Robust per-group outlier detection: median/MAD gate (|x − med| >
+    * k·MAD), the rank-based outlier test that a long-tailed `value`
+    * domain needs — mean/stddev would let the outliers drag their own
+    * threshold.
+    *
+    * Shape: two exact-percentile aggregates (5-row results) broadcast
+    * back onto the events — the flag itself is a pure map-side
+    * comparison, so the only shuffles are the two tiny per-type
+    * aggregations. At 100 TB swap the exact `percentile` for
+    * [[percentilesApprox]]'s GK sketch (same gate shape, bounded
+    * per-group state); the exact form is what the oracle can replay.
+    *
+    * Cross-engine determinism: med and MAD are decimal-rounded to 4
+    * decimals BEFORE the deviation/threshold comparisons (the c14
+    * decimal-domain-gate discipline) — interpolated percentiles can
+    * differ at one ulp between engines, and a raw `dev > 3·mad` at the
+    * boundary would flip; after rounding, both sides compare identical
+    * doubles. */
+  def robustOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(decRound(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = events.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(decRound(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n_total"),
+        count(when(col("dev") > col("mad") * k, 1)).as("n_outliers"))
+  }
+
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val custGeo = customer

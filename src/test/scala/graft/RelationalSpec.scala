@@ -223,6 +223,54 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scd2: contiguous versions, chained intervals, exactly one current per user") {
+    val out = Relational.scd2(table("events")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val byV = rows.sortBy(_.getAs[Int]("version"))
+      assert(byV.map(_.getAs[Int]("version")).sameElements(1 to rows.length))
+      // consecutive versions never carry the same type (runs collapsed)
+      byV.map(_.getAs[String]("event_type")).sliding(2).foreach {
+        case Array(a, b) => assert(a !== b); case _ => ()
+      }
+      // each version's valid_to is exactly the next version's valid_from
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") === b.getAs[String]("valid_from"))
+        case _ => ()
+      }
+      assert(rows.count(_.getAs[Int]("is_current") === 1) === 1)
+      assert(byV.last.getAs[Int]("is_current") === 1)
+    }
+  }
+
+  test("robust outliers: gate matches a driver-side median/MAD recompute") {
+    val out = Relational.robustOutliers(table("events")).collect()
+    val vals = table("events").select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(out.length === vals.size)
+    def med4(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val m =
+        if (s.length % 2 == 1) s(s.length / 2)
+        else {
+          val lo = s(s.length / 2 - 1); val hi = s(s.length / 2)
+          lo + 0.5 * (hi - lo) // quantile_cont interpolation form
+        }
+      BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { r =>
+      val xs = vals(r.getAs[String]("event_type")).map(_._2)
+      val m = med4(xs)
+      assert(r.getAs[Double]("med") === m)
+      val mad = med4(xs.map(x => math.abs(x - m)))
+      assert(r.getAs[Double]("mad") === mad)
+      assert(r.getAs[Long]("n_outliers") === xs.count(x => math.abs(x - m) > 3.0 * mad))
+      assert(r.getAs[Long]("n_total") === xs.length)
+    }
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),
