@@ -120,6 +120,8 @@ object SparkEntry {
     "c14_percentile_gate" -> Seq("source"),
     "c15_token_packing" -> Seq("shard", "pack_id"),
     "c16_sketch_rollup" -> Seq("event_type"),
+    "c17_freq_rollup" -> Seq("token"),
+    "c18_bloom_gate" -> Seq("doc_id"),
     "q39_zorder_read" -> Seq("event_id"),
     "t9_stop_strip" -> Seq("doc_id"),
     "m1_media_meta" -> Seq("doc_id"),
@@ -265,6 +267,18 @@ object SparkEntry {
     // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
     // merged==direct and error-vs-exact are spec-asserted)
     "c16_sketch_rollup" -> ((s, d) => Curation.sketchRollup(t(s, d, "events"))),
+    // mergeable frequent-items rollup (rows-only: sketch internals are
+    // engine-specific; sparse-regime exactness is spec-asserted)
+    "c17_freq_rollup" -> ((s, d) => Curation.freqRollup(t(s, d, "documents"))),
+    // bloom decontamination gate (rows-only: bit pattern is
+    // Spark-sketch-specific; the build's one driver-side head() IS the
+    // operator — the bounded filter artifact replaces an exact
+    // benchmark-shingle broadcast, see Curation.benchmarkBloom)
+    "c18_bloom_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.bloomGate(docs,
+        Curation.benchmarkBloom(docs.filter(pmod(col("doc_id"), lit(97)) === 0)))
+    }),
     // z-order round trip: write the events z-clustered on (user_id,
     // value), read back through the stats-pruned scan with a
     // two-dimensional predicate — result is layout-independent, so the

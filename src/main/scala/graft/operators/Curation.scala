@@ -439,4 +439,77 @@ object Curation {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
+
+  /** Persistable per-source frequent-tokens sketch table — the
+    * heavy-hitters companion to [[dailyUserSketches]]: one bounded
+    * DataSketches frequent-items state per source (`approx_top_k_
+    * accumulate`), written once and re-merged for any source subset
+    * instead of re-scanning the corpus. Per-group state is
+    * O(maxItemsTracked) regardless of vocabulary size — the property
+    * an exact token groupBy loses at 100 TB, where the term dimension
+    * itself is billions of keys. */
+  def tokenFreqSketches(documents: DataFrame, maxItemsTracked: Int = 65536): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("source"), explode(col("_toks")).as("token"))
+      .groupBy(col("source"))
+      .agg(call_function("approx_top_k_accumulate", col("token"),
+        lit(maxItemsTracked)).as("sk"))
+
+  /** Global top-k tokens by MERGING the per-source sketch table
+    * (`approx_top_k_combine` → `estimate`) — the rollup a curation
+    * dashboard runs over the persisted artifact. Combine is the
+    * sketch-native union: associative, commutative, error-bounded, so
+    * partials compose across any partitioning. While every source's
+    * tracked map stays sparse (distinct tokens ≤ ~0.75·maxItemsTracked)
+    * the counts are exact and the rollup equals the exact global top-k
+    * (spec-asserted); rows-only gate because the sketch internals are
+    * engine-specific. */
+  def freqRollup(documents: DataFrame, k: Int = 20,
+                 maxItemsTracked: Int = 65536): DataFrame =
+    tokenFreqSketches(documents, maxItemsTracked)
+      .agg(call_function("approx_top_k_combine", col("sk"),
+        lit(maxItemsTracked)).as("sk"))
+      .select(explode(call_function("approx_top_k_estimate", col("sk"),
+        lit(k))).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est_count"))
+
+  /** Build-once Bloom filter over the benchmark's distinct shingle
+    * hashes, returned serialized (Spark's `bloom_filter_agg` — the same
+    * sketch InjectRuntimeFilter plants for join pruning). The ONE
+    * driver-side `head()` here is the point of the operator: the filter
+    * is a bounded `numBits/8`-byte artifact that replaces broadcasting
+    * the full benchmark shingle set — at 100 TB a benchmark suite's
+    * shingle table is GBs (too big to broadcast exactly), while the
+    * bloom stays fixed-size with a one-sided error that only ever
+    * OVER-flags (no contaminated document escapes). */
+  def benchmarkBloom(benchmark: DataFrame, n: Int = 3,
+                     estItems: Long = 1L << 16, numBits: Long = 1L << 22): Array[Byte] = {
+    val bytes = benchmark
+      .withColumn("_toks", tokens(col("text")))
+      .select(explode(shinglesFromTokens(col("_toks"), n)).as("sh"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),
+        lit(estItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    require(bytes != null, "bloom_filter_agg over an empty benchmark")
+    bytes
+  }
+
+  /** Probe-side decontamination gate: per-document shingle hits against
+    * the serialized bloom (constant-foldable literal → the probe is a
+    * pure map over the document scan, no join, no shuffle beyond the
+    * per-doc count). False-negative-free by bloom construction;
+    * false-positive rate is sized by (estItems, numBits) and measured
+    * against the exact [[contamination]] in the spec. Rows-only gate:
+    * the bit pattern is Spark-sketch-specific. */
+  def bloomGate(documents: DataFrame, bloom: Array[Byte], n: Int = 3): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), n)).as("sh"))
+      .withColumn("hit",
+        call_function("graft_bloom_contains", lit(bloom), xxhash64(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("contaminated", (col("n_flagged") > 0).cast("int"))
 }

@@ -34,5 +34,22 @@ object GraftFunctions {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingFingerprint(args(0)),
       "built-in")
+    // Spark's own bloom-probe expression (the one InjectRuntimeFilter
+    // plants): not SQL-registered upstream because runtime filtering
+    // inserts it directly — graft exposes it for explicit
+    // build-once/probe-many membership gates (Curation.bloomGate).
+    // args: (bloom filter binary — constant/foldable, probed long hash)
+    registry.createOrReplaceTempFunction("graft_bloom_contains",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1)),
+      "built-in")
+    // build side of the same pair (TypedImperativeAggregate, mergeable):
+    // upstream keeps it on the internal-only registry, same reason as the
+    // probe. args: (long hash column, estimatedNumItems, numBits)
+    registry.createOrReplaceTempFunction("graft_bloom_agg",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)),
+      "built-in")
   }
 }

@@ -287,6 +287,58 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("frequent-items rollup: sparse regime exact, small-sketch top items still exact-counted") {
+    import graft.operators.Curation
+    val docs = table("documents")
+    val exact = docs.withColumn("_toks", graft.functions.ColumnFns.tokens(col("text")))
+      .select(explode(col("_toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sparse regime (maxItemsTracked >> vocabulary): every estimate is the
+    // exact count, and every token strictly above the k-th count is present
+    val out = Curation.freqRollup(docs, k = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.length === 20)
+    out.foreach { case (tok, est) => assert(est === exact(tok), tok) }
+    val kth = out.map(_._2).min
+    val mustHave = exact.filter(_._2 > kth).keySet
+    assert(mustHave.subsetOf(out.map(_._1).toSet))
+    // genuinely-lossy sketch (maxItemsTracked=64 << vocabulary): the
+    // heavy hitters survive with exact counts — the frequent-items
+    // guarantee is an error bound ≤ n/maxMapSize on TRACKED items, and
+    // the clear heavy hitters here dominate it
+    val lossy = Curation.freqRollup(docs, k = 5, maxItemsTracked = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top5 = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
+    val n = exact.values.sum
+    top5.foreach { case (tok, cnt) =>
+      lossy.get(tok).foreach(est =>
+        assert(est >= cnt && est <= cnt + n / 64, s"$tok est=$est exact=$cnt"))
+    }
+  }
+
+  test("bloom gate: no false negatives vs exact contamination, bounded false positives") {
+    import graft.operators.Curation
+    val docs = table("documents")
+    val bm = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val gate = Curation.bloomGate(docs, Curation.benchmarkBloom(bm)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_flagged"), r.getAs[Int]("contaminated")))
+    val exact = Curation.contamination(docs, bm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(gate.length === exact.size)
+    var fpShingles = 0L; var totShingles = 0L
+    gate.foreach { case (id, nSh, nFlag, contam) =>
+      // one-sided error: every exactly-contaminated shingle is flagged
+      assert(nFlag >= exact(id), s"doc $id under-flagged")
+      assert(contam === (if (nFlag > 0) 1 else 0))
+      fpShingles += nFlag - exact(id); totShingles += nSh
+    }
+    // FP rate at (estItems=2^16, numBits=2^22) sizing: well under 1%
+    assert(fpShingles.toDouble / totShingles < 0.01,
+      s"bloom FP rate ${fpShingles.toDouble / totShingles}")
+  }
+
   test("GraftExtensions registers functions in an extension-built session") {
     // newSession() builds a FRESH SessionState (no Tables.tune ran on it),
     // so graft_dot resolving here proves the extensions path works.
