@@ -77,6 +77,8 @@ object SparkEntry {
     "st6_dedup_stream" -> Seq("event_id"),
     "s4_knn_graph" -> Seq("q_id", "rank"),
     "s5_knn_lsh_graph" -> Seq("q_id", "rank"),
+    "s6_kmeans" -> Seq("vec_id"),
+    "s7_pagerank" -> Seq("vec_id"),
     "d10_text_clusters" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "st9_ingest_dedup_stream" -> Seq("doc_id"),
@@ -328,6 +330,15 @@ object SparkEntry {
     // recall is corpus-dependent (rows-only; the recall floor vs s4's
     // exact graph is asserted in DedupSimilaritySpec)
     "s5_knn_lsh_graph" -> ((s, d) => Similarity.knnGraphLsh(t(s, d, "embeddings"))),
+    // deterministic distributed k-means (rows-only: the iterative
+    // assignment isn't ANSI-SQL-expressible; exact driver-parity is
+    // spec-asserted in DedupSimilaritySpec)
+    "s6_kmeans" -> ((s, d) => Similarity.kmeans(t(s, d, "embeddings"))),
+    // PageRank over the exact k-NN graph's edges (rows-only: iterative;
+    // driver-parity + mass conservation spec-asserted)
+    "s7_pagerank" -> ((s, d) => Similarity.pageRank(
+      Similarity.knnGraph(t(s, d, "embeddings"))
+        .select(col("q_id").as("src"), col("neighbor_id").as("dst")))),
     // text-side duplicate clusters: the d4 exact-Jaccard pairs as the
     // edge source into the pair-source-agnostic connected components
     "d10_text_clusters" -> ((s, d) => {

@@ -190,6 +190,105 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the
+    * clustering step semantic curriculum / diversity-sampling pipelines
+    * run after dedup. Deterministic end to end: seeds are the k
+    * smallest-`xxhash64(vec_id)` vectors (the IVF pivot idiom — a
+    * seedless uniform sample), distances are decimal-rounded before the
+    * argmin (ties → smallest cluster id), and centroid updates sum in
+    * exact decimal with one HALF_UP division on the driver — so the
+    * result is independent of partitioning and run order.
+    *
+    * Scale shape per iteration: assignment is a PURE PROJECTION against
+    * a broadcast k×d centroid literal (no join, no shuffle), and the
+    * update is one (cluster, dim)-keyed partial-aggregating shuffle of
+    * k·d rows — the corpus itself never reshuffles. The input is
+    * localCheckpoint'ed once because an iterative algorithm re-reads its
+    * working set every pass (the MLlib cache-the-input idiom). Driver
+    * state is k·d decimals per iteration — independent of corpus size. */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint()
+    var cents: Array[Array[Double]] = v
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def assigned: DataFrame = {
+      val carr = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cid"), typedLit(c.toSeq).as("cv"),
+          lit(c.map(x => x * x).sum).as("cc"))
+      }: _*)
+      // struct(d6, cid): natural ascending struct order makes array_min
+      // the deterministic argmin (nearest centroid, ties → smallest cid)
+      v.withColumn("vv", dot(col("v"), col("v")))
+        .withColumn("cluster", array_min(transform(carr, p =>
+          struct(decRound(col("vv") - lit(2.0) * dot(col("v"), p.getField("cv"))
+            + p.getField("cc"), 6).as("d6"),
+            p.getField("cid").as("cid")))).getField("cid"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          r.getAs[JBD]("sx").divide(new JBD(r.getAs[Long]("n")), 12, RoundingMode.HALF_UP)
+            .doubleValue()
+      }
+      cents = next
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
+  /** PageRank over an edge list (e.g. the [[knnGraph]] k-NN edges) —
+    * Pregel-style power iteration in plain DataFrames: rank inflow is a
+    * `dst`-keyed partial-aggregating shuffle per iteration, dangling
+    * mass (nodes with no out-edges) is redistributed uniformly, and each
+    * iteration's ranks are localCheckpoint'ed so lineage stays O(1)
+    * instead of growing a join per pass. Deterministic: inflow sums in
+    * exact decimal (order-independent), per-edge division and the
+    * damping update are single IEEE ops.
+    *
+    * The dangling-mass aggregate (one tiny driver action per iteration)
+    * is skipped entirely when the graph has no dangling nodes — true for
+    * any k-NN graph, where every node emits k edges. */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, "src").localCheckpoint()
+    val dangling = nodes.join(withDeg.select(col("src")).distinct(),
+      nodes("id") === col("src"), "left_anti").localCheckpoint()
+    val hasDangling = dangling.limit(1).count() > 0
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dmass =
+        if (!hasDangling) 0.0
+        else dangling.join(ranks, "id")
+          .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec)).cast("double"))
+          .head.getDouble(0)
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(dec)).cast("double").as("inflow"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n + damping * dmass / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id").as("vec_id"), decRound(col("rank"), 12).as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -325,6 +325,80 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.9, s"clustered-corpus recall: $recall")
   }
 
+  test("k-means: exact parity with a driver-side Lloyd reference, clusters nonempty-ish") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val emb = table("embeddings")
+    val k = 8; val iters = 5
+    val out = Similarity.kmeans(emb, k, iters).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    // driver reference mirroring the operator's decimal discipline exactly
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    var cents = emb.withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def d6(x: Double): Double =
+      new JBD(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    def assign(v: Array[Double]): Int = {
+      val vv = v.map(x => x * x).sum
+      cents.zipWithIndex.map { case (c, i) =>
+        val dotvc = v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        (d6(vv - 2.0 * dotvc + c.map(x => x * x).sum), i)
+      }.min._2
+    }
+    var sse = Double.MaxValue
+    for (_ <- 1 to iters) {
+      val groups = vecs.toSeq.groupBy { case (_, v) => assign(v) }
+      val curSse = vecs.values.map { v =>
+        val c = cents(assign(v))
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      assert(curSse <= sse + 1e-9); sse = curSse // Lloyd never worsens SSE
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        groups.get(i).map { members =>
+          val n = new JBD(members.size)
+          Array.tabulate(old.length) { p =>
+            members.map { case (_, v) =>
+              new JBD(v(p)).setScale(12, RoundingMode.HALF_UP)
+            }.reduce(_.add(_)).divide(n, 12, RoundingMode.HALF_UP).doubleValue()
+          }
+        }.getOrElse(old)
+      }
+    }
+    val ref = vecs.map { case (id, v) => id -> assign(v) }
+    assert(out === ref)
+    assert(out.values.toSet.size > 1, "degenerate single-cluster result")
+  }
+
+  test("pagerank: driver parity on the k-NN graph, mass conserved, dangling handled") {
+    val edges = Similarity.knnGraph(table("embeddings"))
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    val out = Similarity.pageRank(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("rank")).toMap
+    // total mass: dangling-free graph conserves sum(rank) = 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+    // driver reference in plain doubles (decimal sums agree to ~1e-12)
+    val es = edges.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val n = nodes.length
+    val deg = es.groupBy(_._1).view.mapValues(_.length).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val inflow = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = nodes.map(id =>
+        id -> (0.15 / n + 0.85 * inflow.getOrElse(id, 0.0))).toMap
+    }
+    out.foreach { case (id, r) => assert(math.abs(r - rank(id)) < 1e-9, s"node $id") }
+    // dangling redistribution: a 2-node graph with one sink still sums to 1
+    val tiny = spark.createDataFrame(Seq((1L, 2L))).toDF("src", "dst")
+    val tinyRanks = Similarity.pageRank(tiny, iters = 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(tinyRanks.values.sum - 1.0) < 1e-6)
+    assert(tinyRanks(2L) > tinyRanks(1L)) // the sink accumulates rank
+  }
+
   test("LSH ANN returns a subset of each query's true neighbourhood ranking") {
     val brute = Similarity.bruteTopK(table("embeddings"), numQueries = 5, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
