@@ -334,10 +334,12 @@ object SparkEntry {
     // assignment isn't ANSI-SQL-expressible; exact driver-parity is
     // spec-asserted in DedupSimilaritySpec)
     "s6_kmeans" -> ((s, d) => Similarity.kmeans(t(s, d, "embeddings"))),
-    // PageRank over the exact k-NN graph's edges (rows-only: iterative;
-    // driver-parity + mass conservation spec-asserted)
+    // PageRank over the SUB-QUADRATIC k-NN graph (LSH edges — the whole
+    // chain is the 100 TB path, no O(n²) stage; rows-only: iterative.
+    // Driver parity + mass conservation are spec-asserted on the exact
+    // graph's edges, which tests pageRank itself independent of source)
     "s7_pagerank" -> ((s, d) => Similarity.pageRank(
-      Similarity.knnGraph(t(s, d, "embeddings"))
+      Similarity.knnGraphLsh(t(s, d, "embeddings"))
         .select(col("q_id").as("src"), col("neighbor_id").as("dst")))),
     // text-side duplicate clusters: the d4 exact-Jaccard pairs as the
     // edge source into the pair-source-agnostic connected components
