@@ -65,6 +65,8 @@ object SparkEntry {
     "q28_latest_event" -> Seq("user_id"),
     "q29_deciles" -> Seq("o_orderpriority", "decile"),
     "q40_scd2" -> Seq("user_id", "version"),
+    "q42_interval_islands" -> Seq("user_id", "island"),
+    "c19_quantile_rollup" -> Seq("event_type"),
     "q41_outliers" -> Seq("event_type"),
     "q30_cume_users" -> Seq("day"),
     "q31_histogram" -> Seq("bucket"),
@@ -295,6 +297,10 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"))
     }),
     "q40_scd2" -> ((s, d) => Relational.scd2(t(s, d, "events"))),
+    "q42_interval_islands" -> ((s, d) => Relational.intervalIslands(t(s, d, "events"))),
+    // mergeable KLL quantile rollup (rows-only: KLL compaction is
+    // randomized; rank-domain error bound spec-asserted)
+    "c19_quantile_rollup" -> ((s, d) => Curation.quantileRollup(t(s, d, "events"))),
     "q41_outliers" -> ((s, d) => Relational.robustOutliers(t(s, d, "events"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
@@ -513,6 +519,26 @@ object SparkEntry {
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    "q42_interval_islands" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS start_sec,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) * 60 AS end_sec
+           FROM events),
+         marked AS (
+           SELECT user_id, ts, event_id, start_sec, end_sec,
+             max(end_sec) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM iv),
+         isl AS (
+           SELECT user_id, start_sec, end_sec,
+             CAST(sum(CASE WHEN prev_max IS NULL OR start_sec > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS island
+           FROM marked)
+         SELECT user_id, island, min(start_sec) AS island_start,
+           max(end_sec) AS island_end, count(*) AS n_events
+         FROM isl GROUP BY 1, 2 ORDER BY 1, 2""",
     "q41_outliers" ->
       """WITH med AS (
            SELECT event_type,

@@ -440,6 +440,37 @@ object Curation {
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
 
+  /** Persistable per-(event_type, day) KLL quantile sketch table — the
+    * quantile member of the sketch-artifact family ([[dailyUserSketches]]
+    * for distinct counts, [[tokenFreqSketches]] for heavy hitters).
+    * graft-native aggregate (`functions/KllQuantile.scala`): Spark has no
+    * re-mergeable quantile state — `approx_percentile` evaluates in place
+    * and its GK buffer is never a column value. Per-group state is
+    * O(k log n) regardless of the value domain. */
+  def valueQuantileSketches(events: DataFrame, k: Int = 256): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(call_function("graft_kll_agg", col("value"), lit(k)).as("sk"))
+
+  /** Per-type p50/p90/p99 by MERGING the daily sketch table — the rollup
+    * a dashboard runs over the persisted artifact; any date range rolls
+    * up without touching raw events. Merge is sketch-native union
+    * (associative + commutative → partial-agg safe). Rows-only gate: KLL
+    * compaction flips random coins, so estimates are bounded (normalized
+    * rank error, spec-asserted in the rank domain like q38), not
+    * bit-reproducible. */
+  def quantileRollup(events: DataFrame, k: Int = 256): DataFrame =
+    valueQuantileSketches(events, k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        call_function("graft_kll_merge", col("sk"), lit(k)).as("sk"))
+      .withColumn("qs",
+        call_function("graft_kll_quantiles", col("sk"), typedLit(Seq(0.5, 0.9, 0.99))))
+      .select(col("event_type"), col("n_days"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"),
+        element_at(col("qs"), 3).as("p99"))
+
   /** Persistable per-source frequent-tokens sketch table — the
     * heavy-hitters companion to [[dailyUserSketches]]: one bounded
     * DataSketches frequent-items state per source (`approx_top_k_

@@ -484,6 +484,38 @@ object Relational {
         count(when(col("dev") > col("mad") * k, 1)).as("n_outliers"))
   }
 
+  /** Interval-island coalescing (gaps-and-islands over TRUE intervals):
+    * each event carries an activity interval [ts, ts + floor(value)
+    * minutes]; overlapping or touching intervals per user merge into
+    * islands. Unlike gap-based sessionization (q15 — distances between
+    * POINTS), island detection needs the running MAX of interval ends:
+    * an interval can start inside an island whose farthest end came from
+    * an earlier, longer interval, which a lag-based gap test would
+    * wrongly split.
+    *
+    * One shuffle on `user_id`, one (ts, event_id) sort shared by the
+    * running-max and island-id windows, and the per-island aggregate
+    * groups on (user_id, island) — a superset of the window partitioning,
+    * so no further exchange. Seconds-domain integer arithmetic
+    * (`floor` before the cast — ANSI double→int truncates toward zero in
+    * Spark but rounds in other engines). */
+  def intervalIslands(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevMax = max(col("end_sec")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .withColumn("start_sec", epochSec(col("ts")))
+      .withColumn("end_sec",
+        col("start_sec") + floor(col("value")).cast("long") * 60)
+      .withColumn("new_island",
+        when(prevMax.isNull || col("start_sec") > prevMax, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start_sec")).as("island_start"),
+        max(col("end_sec")).as("island_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val custGeo = customer

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
+import graft.functions.{DotProduct, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -46,6 +46,20 @@ object GraftFunctions {
     // build side of the same pair (TypedImperativeAggregate, mergeable):
     // upstream keeps it on the internal-only registry, same reason as the
     // probe. args: (long hash column, estimatedNumItems, numBits)
+    // mergeable KLL quantile sketches (graft-native TypedImperativeAggregate
+    // pair + estimator — Spark has no re-mergeable quantile state)
+    registry.createOrReplaceTempFunction("graft_kll_agg",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllSketchAgg(args(0), args(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_kll_merge",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllMergeAgg(args(0), args(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_kll_quantiles",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllQuantiles(args(0), args(1)),
+      "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

@@ -287,6 +287,34 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("KLL quantile rollup: merged estimates inside exact rank bands, per type") {
+    import graft.operators.Curation
+    val ev = table("events")
+    // KLL k=256 → normalized rank error ~1.3% (99% conf); band ±3% rank
+    // mirrors the q38 discipline (sketch bound + exact-side interpolation
+    // slack). The merge path is the thing under test: estimates come from
+    // UNIONED daily sketches, not one direct sketch.
+    val bands = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.47)").as("lo50"), expr("percentile(value, 0.53)").as("hi50"),
+        expr("percentile(value, 0.87)").as("lo90"), expr("percentile(value, 0.93)").as("hi90"),
+        expr("percentile(value, 0.96)").as("lo99"), expr("percentile(value, 1.0)").as("hi99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val out = Curation.quantileRollup(ev).collect()
+    assert(out.map(_.getString(0)).toSet === bands.keySet)
+    val nDays = ev.select(to_date(col("ts"))).distinct().count()
+    out.foreach { r =>
+      val (lo50, hi50, lo90, hi90, lo99, hi99) = bands(r.getString(0))
+      assert(r.getAs[Long]("n_days") > 0 && r.getAs[Long]("n_days") <= nDays)
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 >= lo50 && p50 <= hi50, s"${r.getString(0)} p50=$p50 outside [$lo50,$hi50]")
+      assert(p90 >= lo90 && p90 <= hi90, s"${r.getString(0)} p90=$p90 outside [$lo90,$hi90]")
+      assert(p99 >= lo99 && p99 <= hi99, s"${r.getString(0)} p99=$p99 outside [$lo99,$hi99]")
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("frequent-items rollup: sparse regime exact, small-sketch top items still exact-counted") {
     import graft.operators.Curation
     val docs = table("documents")

@@ -271,6 +271,25 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("interval islands: partition the events, really merged (no mergeable neighbours)") {
+    val out = Relational.intervalIslands(table("events")).collect()
+    val events = table("events").count()
+    assert(out.map(_.getAs[Long]("n_events")).sum === events)
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val byI = rows.sortBy(_.getAs[Int]("island"))
+      assert(byI.map(_.getAs[Int]("island")).sameElements(1 to rows.length))
+      byI.foreach { r =>
+        assert(r.getAs[Long]("island_end") >= r.getAs[Long]("island_start"))
+      }
+      // islands are maximal: consecutive islands never touch or overlap
+      byI.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("island_start") > a.getAs[Long]("island_end"))
+        case _ => ()
+      }
+    }
+  }
+
   test("latest event: one row per user, really the max (sec, id)") {
     val out = Relational.latestEvent(table("events")).collect()
     val events = table("events").select(col("user_id"), col("event_id"),
