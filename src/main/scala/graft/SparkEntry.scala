@@ -331,6 +331,11 @@ object SparkEntry {
       graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
     "st9_ingest_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.ingestDedupFileStream(Tables.tune(s), d)),
+    // the c16 sketch table written INCREMENTALLY by a watermarked stream,
+    // rolled up by the same batch merge (rows-only: sketch estimates;
+    // streaming==batch equality spec-asserted in the sparse regime)
+    "st10_sketch_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.sketchRollupFileStream(Tables.tune(s), d)),
     "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     // the sub-quadratic k-NN-graph scale path under the driver gate:
     // recall is corpus-dependent (rows-only; the recall floor vs s4's

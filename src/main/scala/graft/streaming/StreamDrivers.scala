@@ -323,6 +323,39 @@ object StreamDrivers {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** The c16 sketch pipeline driven end-to-end: file source →
+    * [[StreamOps.dailyUserSketchStream]] (watermarked append-mode daily
+    * HLL sketches, sealed days accumulated as the incrementally-written
+    * sketch TABLE) → the same `Curation.sketchRollup` merge the batch
+    * artifact gets. Sentinel = watermark delay (2 h) + day window (24 h)
+    * + slack past the last event, sealing every real day; the sentinel's
+    * own window is never sealed and never emitted (st7 argument). In the
+    * sparse regime the streamed daily sketches hold identical coupon
+    * state to batch-built ones (register updates are max-ops), so the
+    * rollup equals batch c16 exactly — spec-asserted; rows-only gate
+    * (sketch estimates are engine-specific). */
+  def sketchRollupFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, java.sql.Date, Array[Byte])]
+    runOverEventFiles(spark, sfDir, sentinelOffsetSec = Some(24L * 3600 + 2 * 3600 + 60)) {
+      (src, chk) =>
+        StreamOps.dailyUserSketchStream(src).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = b.collect().map(r =>
+              (r.getString(0), r.getDate(1), r.getAs[Array[Byte]](2)))
+            buf.synchronized { buf ++= rows }; ()
+          }
+          .start()
+    }
+    buf.toSeq.toDF("event_type", "day", "sk")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →

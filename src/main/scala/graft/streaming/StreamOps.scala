@@ -45,6 +45,21 @@ object StreamOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming writer of the c16 daily-sketch artifact: watermarked
+    * per-(event_type, day-window) HLL distinct-user sketches, emitted
+    * append-mode once the watermark seals each day — the INCREMENTAL
+    * producer of the persistable sketch table that
+    * `Curation.sketchRollup` merges. HLL register updates are max-ops
+    * (order-independent), so a day assembled across micro-batches holds
+    * the same registers as a batch scan of that day. */
+  def dailyUserSketchStream(events: DataFrame, lgK: Int = 12,
+                            watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .select(col("event_type"), to_date(col("w.start")).as("day"), col("sk"))
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class BufEv(sec: Long, id: Long, value: Double)
   case class SessionBuf(evs: Seq[BufEv])

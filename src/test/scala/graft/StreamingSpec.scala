@@ -233,6 +233,19 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st10 driver: streamed daily sketch table rolls up equal to batch c16") {
+    val streamed = graft.streaming.StreamDrivers
+      .sketchRollupFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // sparse regime at test scale: the streamed daily sketches hold the
+    // same coupon state as batch-built ones, so the merged rollup is
+    // EQUAL, not merely close
+    val batch = graft.operators.Curation.sketchRollup(table("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("st6 driver: dedup of a cross-batch-duplicated source equals the events table") {
     val streamed = graft.streaming.StreamDrivers
       .dedupFileStream(spark, "/root/testdata/sf0.001").collect()
