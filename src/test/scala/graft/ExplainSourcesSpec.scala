@@ -145,6 +145,44 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scd2 and interval islands: one exchange, one sort — windows share the pass") {
+    Seq(Relational.scd2(table("events")),
+        Relational.intervalIslands(table("events"))).foreach { df =>
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 1, s"expected exactly one hash exchange, got $exchanges in:\n$p")
+      val sorts = p.linesIterator.count(l => l.contains("Sort [") && !l.contains("SortAggregate"))
+      assert(sorts <= 1, s"windows re-sorted ($sorts sorts) in:\n$p")
+    }
+  }
+
+  test("robust outlier gate: tiny aggregates broadcast back, flag stays map-side") {
+    val df = Relational.robustOutliers(table("events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"med/mad joins not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"5-row aggregate shuffled the corpus in:\n$p")
+  }
+
+  test("bloom probe is a pure map: no join, no exchange before the per-doc count") {
+    val docs = table("documents")
+    val df = graft.operators.Curation.bloomGate(docs,
+      graft.operators.Curation.benchmarkBloom(docs.limit(20)))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"bloom probe introduced a join in:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"probe shuffled more than the doc_id agg in:\n$p")
+  }
+
+  test("k-means assignment is a projection: no join or corpus exchange before the update agg") {
+    // one Lloyd iteration's update input — the per-iteration hot path
+    val p = plan(graft.operators.Similarity.kmeans(table("embeddings"), k = 4, iters = 1))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"assignment joined instead of projecting in:\n$p")
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = table("nation")
