@@ -125,6 +125,7 @@ object SparkEntry {
     "c15_token_packing" -> Seq("shard", "pack_id"),
     "c16_sketch_rollup" -> Seq("event_type"),
     "c17_freq_rollup" -> Seq("token"),
+    "c20_weighted_sample" -> Seq("lang", "rn"),
     "c18_bloom_gate" -> Seq("doc_id"),
     "q39_zorder_read" -> Seq("event_id"),
     "t9_stop_strip" -> Seq("doc_id"),
@@ -274,6 +275,10 @@ object SparkEntry {
     // mergeable frequent-items rollup (rows-only: sketch internals are
     // engine-specific; sparse-regime exactness is spec-asserted)
     "c17_freq_rollup" -> ((s, d) => Curation.freqRollup(t(s, d, "documents"))),
+    // deterministic weighted reservoir sample (rows-only: ln of a
+    // hash-uniform is JVM-exact, not ANSI-reproducible; exact driver
+    // parity spec-asserted)
+    "c20_weighted_sample" -> ((s, d) => Curation.weightedSample(t(s, d, "documents"))),
     // bloom decontamination gate (rows-only: bit pattern is
     // Spark-sketch-specific; the build's one driver-side head() IS the
     // operator — the bounded filter artifact replaces an exact

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ColumnFns._
 
@@ -86,6 +87,40 @@ object Curation {
       .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
         (frac * M).cast("long"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+  }
+
+  /** Deterministic weighted reservoir sample: exactly k docs per stratum
+    * with inclusion probability ∝ weight (n_chars here), via
+    * Efraimidis–Spirakis exponential clocks — `clock = −ln(u)/w` with a
+    * hash-derived uniform, smallest k clocks win. No RNG state, no
+    * reservoir object: reproducible across runs, partitionings and
+    * retries, which is what makes a sampled training mix AUDITABLE.
+    *
+    * Scale shape: TWO-LEVEL top-k. A single `row_number() over
+    * (partition by lang)` would funnel each stratum through one reducer
+    * (5 strata = 5 reducers at 100 TB); level 1 takes the per-(stratum,
+    * 64-salt-cell) top-k — 64-way parallel per stratum — and level 2
+    * ranks only the ≤ 64·k survivors. The global top-k is a subset of
+    * the union of cell top-ks, so the result is IDENTICAL to the
+    * single-window form. Rows-only gate (ln of a hash-uniform is
+    * JVM-exact but not ANSI-SQL-reproducible); driver parity is
+    * spec-asserted exactly. */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    // u ∈ (0,1] built from 52 exactly-representable hash bits
+    val M = 1L << 52
+    val u = (pmod(xxhash64(col("doc_id"), lit(42)), lit(M)) + 1).cast("double") / M.toDouble
+    val clock = -log(u) / greatest(col("n_chars"), lit(1)).cast("double")
+    val salt = pmod(xxhash64(col("doc_id"), lit(7)), lit(64))
+    val w1 = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("clock"), col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("clock"), col("doc_id"))
+    documents
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        clock.as("clock"), salt.as("salt"))
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("lang"), col("rn").cast("int").as("rn"),
+        col("doc_id"), col("n_chars"))
   }
 
   /** Uniform-fraction convenience form (every stratum keeps `fraction`). */

@@ -287,6 +287,38 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("weighted sample: exact driver parity, two-level == single-level, weight bias real") {
+    import graft.operators.Curation
+    val docs = table("documents")
+    val k = 20
+    val out = Curation.weightedSample(docs, k).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // driver reference: same hash clock (Spark result provides the hash
+    // via a one-column projection — JVM Math.log matches Spark's log)
+    val hashed = docs
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        pmod(xxhash64(col("doc_id"), lit(42)), lit(1L << 52)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = hashed.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.toSeq.map { case (_, id, nc, h) =>
+        val u = (h + 1).toDouble / (1L << 52).toDouble
+        (id, -math.log(u) / math.max(nc, 1L).toDouble)
+      }.sortBy { case (id, c) => (c, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (lang, i + 1, id) }
+    }.toSet
+    assert(out.toSet === ref)
+    out.groupBy(_._1).values.foreach(rows =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length)))
+    // weighting is real: sampled docs skew longer than the corpus average
+    val sampledIds = out.map(_._3).toSet
+    val (sampAvg, corpAvg) = {
+      val all = hashed.map(t => (t._2, t._3))
+      (all.filter(t => sampledIds.contains(t._1)).map(_._2).sum.toDouble / sampledIds.size,
+        all.map(_._2).sum.toDouble / all.length)
+    }
+    assert(sampAvg > corpAvg, s"weighted sample not weight-biased: $sampAvg <= $corpAvg")
+  }
+
   test("KLL quantile rollup: merged estimates inside exact rank bands, per type") {
     import graft.operators.Curation
     val ev = table("events")
