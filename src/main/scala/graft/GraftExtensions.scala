@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
+import graft.functions.{DotProduct, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -40,6 +40,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
       (args: Seq[Expression]) => RollingFingerprint(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (args: Seq[Expression]) => KllSketchAgg(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      (args: Seq[Expression]) => KllMergeAgg(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
+      (args: Seq[Expression]) => KllQuantiles(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))))
     // HOF dot-product → native graft_dot rewrite (semantics-guarded)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
     // whole-operator as-of join: logical node → sorted-merge SparkPlan

@@ -408,5 +408,28 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       "graft_intersect_n(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n").collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 2)
+    // the round-6 additions resolve through the extensions path too:
+    // a KLL sketch built+merged+queried and a bloom built+probed in SQL
+    val r2 = s2.sql(
+      """SELECT graft_kll_quantiles(
+           graft_kll_merge(sk, 256), array(0.5d))[0] AS med
+         FROM (SELECT graft_kll_agg(CAST(id AS DOUBLE), 256) AS sk
+               FROM range(101) GROUP BY id % 2)""").collect()(0)
+    assert(r2.getDouble(0) >= 0 && r2.getDouble(0) <= 100)
+    // the probe's bloom side must be constant-foldable or a scalar
+    // subquery (the expression's own contract — the operator passes a
+    // collected literal, Curation.bloomGate)
+    val r3 = s2.sql(
+      """SELECT graft_bloom_contains(
+           (SELECT graft_bloom_agg(xxhash64(id), CAST(1000 AS BIGINT),
+              CAST(65536 AS BIGINT)) FROM range(100)),
+           xxhash64(CAST(7 AS BIGINT))) AS hit,
+         graft_bloom_contains(
+           (SELECT graft_bloom_agg(xxhash64(id), CAST(1000 AS BIGINT),
+              CAST(65536 AS BIGINT)) FROM range(100)),
+           xxhash64(CAST(1234567 AS BIGINT))) AS miss""")
+      .collect()(0)
+    assert(r3.getBoolean(0))
+    assert(!r3.getBoolean(1))
   }
 }
