@@ -57,6 +57,44 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(ds.map(_.getAs[Long]("n_docs")).sum === 6)
   }
 
+  test("round-6 operators survive degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{Relational, Similarity}
+    // single-event users: scd2 = one current version; islands = one island
+    val oneEach = table("events").groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("keep"))
+      .select(col("keep"))
+      .join(table("events"), col("keep") === col("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val s = Relational.scd2(oneEach).collect()
+    assert(s.forall(r => r.getAs[Int]("version") === 1 &&
+      r.getAs[Int]("is_current") === 1 && r.getAs[String]("valid_to") == null))
+    val isl = Relational.intervalIslands(oneEach).collect()
+    assert(isl.forall(_.getAs[Long]("n_events") === 1))
+    // k-means with k larger than the corpus: every vector still assigned,
+    // surplus centroids just go empty
+    val tiny = table("embeddings").limit(5)
+    val km = Similarity.kmeans(tiny, k = 8, iters = 2).collect()
+    assert(km.length === 5)
+    assert(km.map(_.getAs[Int]("cluster")).forall(c => c >= 0 && c < 8))
+    // weighted sample with k beyond the stratum size: whole stratum, ranked
+    val ws = Curation.weightedSample(edgeDocs, k = 50).collect()
+    assert(ws.length === 6)
+    // bloom gate against a benchmark of empty/short docs: nothing throws,
+    // benchmark docs themselves must flag (their shingles are in the filter)
+    val bg = Curation.bloomGate(edgeDocs,
+      Curation.benchmarkBloom(edgeDocs.filter(col("doc_id") <= 2))).collect()
+    assert(bg.length === 6)
+    assert(bg.filter(_.getAs[Long]("doc_id") <= 2)
+      .forall(_.getAs[Int]("contaminated") === 1))
+    // pagerank on a two-component graph: both components keep their mass
+    val twoComp = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val pr = Similarity.pageRank(twoComp, iters = 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr.values.forall(v => math.abs(v - 0.25) < 1e-9)) // symmetric graph
+  }
+
   test("connected components on an empty edge set labels every node itself") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
