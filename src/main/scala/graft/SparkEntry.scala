@@ -59,6 +59,7 @@ object SparkEntry {
     "q21_date_series" -> Seq("month"),
     "q22_anti_join" -> Seq("c_custkey"),
     "q23_funnel" -> Seq("user_id"),
+    "q43_conversion_window" -> Seq("user_id"),
     "q24_upsert" -> Seq("o_orderkey"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
@@ -189,6 +190,7 @@ object SparkEntry {
     "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
     "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
     "q23_funnel" -> ((s, d) => TimeJoins.funnel(t(s, d, "events"))),
+    "q43_conversion_window" -> ((s, d) => TimeJoins.conversionWindow(t(s, d, "events"))),
     "q25_brand_revenue" -> ((s, d) => Relational.brandRevenue(t(s, d, "region"),
       t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "part"), t(s, d, "lineitem"))),
     "q24_upsert" -> ((s, d) => {
@@ -529,6 +531,29 @@ object SparkEntry {
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    "q43_conversion_window" ->
+      """WITH ord AS (
+           SELECT user_id, event_type, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS rn
+           FROM events),
+         marked AS (
+           SELECT user_id, event_type, sec, rn,
+             last_value(CASE WHEN event_type = 'signup' THEN rn END IGNORE NULLS)
+               OVER w AS sig_rn,
+             last_value(CASE WHEN event_type = 'signup' THEN sec END IGNORE NULLS)
+               OVER w AS sig_sec,
+             last_value(CASE WHEN event_type = 'error' THEN rn END IGNORE NULLS)
+               OVER w AS err_rn
+           FROM ord
+           WINDOW w AS (PARTITION BY user_id ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, count(*) AS n_purchases,
+           count(*) FILTER (WHERE sig_sec IS NOT NULL AND sec - sig_sec <= 3600
+             AND (err_rn IS NULL OR err_rn < sig_rn)) AS n_conversions
+         FROM marked WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     "q42_interval_islands" ->
       """WITH iv AS (
            SELECT user_id, event_id, ts,

@@ -204,6 +204,36 @@ object TimeJoins {
         col("first_to").isNotNull.as("converted"))
   }
 
+  /** CEP-style pattern detection via carry-forward windows: a purchase
+    * CONVERTS iff the user's most recent signup happened within
+    * `withinSec` AND no error event intervened — the "A then B within T
+    * with no C between" shape (a negative condition q23's funnel cannot
+    * express). Each predecessor is a `last(_, ignoreNulls)` carry-forward
+    * over one (user_id)-partitioned (ts, event_id) sort — the q16 as-of
+    * shape, so the whole match is ONE shuffle + ONE linear pass; no
+    * self-join, no per-pattern scans. The "between" test compares ROW
+    * positions (not seconds): an error sharing a timestamp with the
+    * signup resolves by event order identically in every engine. */
+  def conversionWindow(events: DataFrame, withinSec: Long = 3600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cur = w.rowsBetween(Window.unboundedPreceding, 0)
+    def lastWhere(ty: String, v: Column): Column =
+      last(when(col("event_type") === ty, v), ignoreNulls = true).over(cur)
+    events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("sec", epochSec(col("ts")))
+      .withColumn("sig_rn", lastWhere("signup", col("rn")))
+      .withColumn("sig_sec", lastWhere("signup", col("sec")))
+      .withColumn("err_rn", lastWhere("error", col("rn")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("sig_sec").isNotNull &&
+          col("sec") - col("sig_sec") <= withinSec &&
+          (col("err_rn").isNull || col("err_rn") < col("sig_rn")), 1))
+          .as("n_conversions"))
+  }
+
   /** Sliding-window aggregation (batch parity of StreamOps.slidingCounts):
     * 1-hour windows every 15 minutes — each event lands in 4 windows.
     * Spark's window() generates the per-event window set; no self-join. */

@@ -121,4 +121,33 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(out.map(_.getAs[Long]("n")).sum === table("events").count())
     out.foreach(r => assert(r.getAs[String]("window_start").endsWith(":00:00")))
   }
+
+  test("conversion window: matches a driver-side sequential recompute") {
+    val out = TimeJoins.conversionWindow(table("events")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_conversions"))).toMap
+    val evs = table("events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getTimestamp(4).getTime))
+    val ref = evs.groupBy(_._1).map { case (uid, rows) =>
+      val ordered = rows.sortBy(e => (e._5, e._2)) // (full-precision ts, event_id)
+      var sigIdx = -1; var sigSec = -1L; var errIdx = -1
+      var purchases = 0L; var conversions = 0L
+      ordered.zipWithIndex.foreach { case ((_, _, ty, sec, _), i) =>
+        if (ty == "purchase") {
+          purchases += 1
+          if (sigIdx >= 0 && sec - sigSec <= 3600 && errIdx < sigIdx) conversions += 1
+        }
+        if (ty == "signup") { sigIdx = i; sigSec = sec }
+        if (ty == "error") errIdx = i
+      }
+      uid -> (purchases, conversions)
+    }.filter(_._2._1 > 0)
+    assert(out === ref)
+    assert(ref.values.exists(_._2 > 0), "no conversions in test data — vacuous")
+    assert(ref.values.exists(v => v._2 < v._1), "every purchase converted — vacuous")
+  }
 }
