@@ -110,6 +110,8 @@ object SparkEntry {
     "t5_scrub" -> Seq("event_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
+    "c21_bigram_ll" -> Seq("doc_id"),
+    "d14_multi_clusters" -> Seq("doc_id"),
     "c2_tfidf" -> Seq("doc_id", "term"),
     "c3_hash_split" -> Seq("doc_id"),
     "c4_stratified_sample" -> Seq("lang"),
@@ -320,6 +322,22 @@ object SparkEntry {
     "q37_asof_exec" -> ((s, d) => TimeJoins.asofJoinExec(t(Tables.tune(s), d, "events"))),
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
+    "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
+    // multi-signal duplicate clusters: the three text pair sources
+    // (exact Jaccard, MinHash-LSH, SimHash) unioned into the
+    // pair-source-agnostic connected components (rows-only: two of the
+    // three sources are seeded-LSH; co-clustering invariants spec'd)
+    "d14_multi_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pair = (df: DataFrame, a: String, b: String) =>
+        df.select(col(a).as("a"), col(b).as("b"))
+      Dedup.duplicateClustersFrom(
+        docs.select(col("doc_id").as("vec_id")),
+        pair(Dedup.ngramJaccardPairs(docs), "doc_a", "doc_b")
+          .union(pair(Dedup.minhashPairs(docs), "doc_a", "doc_b"))
+          .union(pair(Dedup.simhashPairs(docs), "doc_a", "doc_b")).distinct())
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    }),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),
     "c10_funnel" -> ((s, d) => Curation.curationFunnel(t(s, d, "documents"))),
     "st1_tumbling_window" -> ((s, d) => TimeJoins.tumblingWindow(t(s, d, "events"))),
@@ -1165,6 +1183,22 @@ object SparkEntry {
                  AS DECIMAL(38,6)) AS DECIMAL(28,6))) AS DOUBLE) / count(*)
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
+          GROUP BY doc_id ORDER BY doc_id""",
+    "c21_bigram_ll" ->
+      s"""WITH toked AS (SELECT doc_id, $toks AS t FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS bigram,
+                   unnest([t[i] for i in generate_series(1, len(t)-1)]) AS w1
+                 FROM toked WHERE len(t) >= 2),
+          bc AS (SELECT bigram, count(*) AS bc FROM bg GROUP BY 1),
+          pc AS (SELECT w1, count(*) AS pc FROM bg GROUP BY 1),
+          vv AS (SELECT count(DISTINCT term) AS v FROM
+                  (SELECT unnest(t) AS term FROM toked))
+          SELECT doc_id, count(*) AS n_bigrams,
+            CAST(CAST(CAST(sum(CAST(CAST(ln(CAST(bc.bc + 1 AS DOUBLE) / (pc.pc + vv.v))
+                 AS DECIMAL(38,6)) AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
+          FROM bg JOIN bc USING (bigram) JOIN pc USING (w1), vv
           GROUP BY doc_id ORDER BY doc_id""",
     "d7_canonical" ->
       s"""WITH q AS ($qualityScoreSql),

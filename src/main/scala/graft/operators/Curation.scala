@@ -241,6 +241,41 @@ object Curation {
         decRound(col("_sll").cast("double") / col("n_tokens"), 4).as("avg_ll"))
   }
 
+  /** Bigram-LM document score: average Laplace-smoothed log
+    * P(wᵢ | wᵢ₋₁) per document — the first-order upgrade of
+    * [[unigramLogLik]] (t7): repetitive or scrambled text scores low
+    * even when its unigram mix looks natural, because the CONDITIONAL
+    * distribution is what shuffling destroys.
+    *
+    * Same shape and determinism discipline as t7: corpus-level bigram /
+    * preceding-unigram counts are two hash aggregations, the smoothed
+    * log-likelihood is decimal-rounded at 6 (exact-rational input, so
+    * sub-ulp ln() platform differences cannot flip the rounding), and
+    * per-doc sums are exact decimal. Docs with fewer than two tokens
+    * carry no bigram and are excluded on BOTH engine sides. */
+  def bigramLogLik(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = documents
+      .withColumn("_toks", tokens(col("text")))
+      .filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(rawShinglesFromTokens(col("_toks"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val bc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
+    val pc = bg.groupBy(col("w1")).agg(count(lit(1)).as("pc"))
+    val vocab = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(explode(col("_toks")).as("term")).agg(countDistinct(col("term")).as("v"))
+    bg.join(bc, "bigram").join(pc, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("ll",
+        decRound(log((col("bc") + 1).cast("double") / (col("pc") + col("v"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ll").cast(DecimalType(28, 6))).as("_sll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        decRound(col("_sll").cast("double") / col("n_bigrams"), 4).as("avg_ll"))
+  }
+
   /** End-to-end curation funnel: survivor counts after each stage of the
     * standard pre-training pipeline (language gate → quality gate →
     * length band → exact dedup). Computed as a SINGLE conditional

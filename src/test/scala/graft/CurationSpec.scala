@@ -287,6 +287,40 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bigram LL: conditional signal — scrambled text scores below natural text") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // identical unigram mix; only the CONDITIONAL distribution differs
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox brown jumps the"
+    val corpus = ((1L to 10L).map(i => (i, natural)) :+ (11L, scrambled))
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLogLik(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_ll")).toMap
+    assert(out(1L) === out(10L)) // identical docs score identically
+    assert(out(1L) > out(11L),
+      s"natural ${out(1L)} should beat scrambled ${out(11L)}")
+    // unigram LL can NOT separate them (same token multiset)
+    val uni = Curation.unigramLogLik(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_ll")).toMap
+    assert(uni(1L) === uni(11L))
+  }
+
+  test("multi-signal clusters: every source pair co-clustered") {
+    import graft.operators.Dedup
+    val docs = table("documents")
+    val cl = SparkEntry.queries("d14_multi_clusters")(spark, SharedSpark.sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cl.size === docs.count())
+    val pairs =
+      Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b").collect() ++
+      Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect() ++
+      Dedup.simhashPairs(docs).select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(cl(r.getLong(0)) === cl(r.getLong(1)),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters"))
+  }
+
   test("weighted sample: exact driver parity, two-level == single-level, weight bias real") {
     import graft.operators.Curation
     val docs = table("documents")
