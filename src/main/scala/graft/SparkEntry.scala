@@ -61,6 +61,7 @@ object SparkEntry {
     "q23_funnel" -> Seq("user_id"),
     "q43_conversion_window" -> Seq("user_id"),
     "q24_upsert" -> Seq("o_orderkey"),
+    "q44_cdc_apply" -> Seq("o_orderkey"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
@@ -203,6 +204,28 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") * 2).as("o_totalprice"))
       graft.sources.Sources.upsert(cur, upd, "o_orderkey")
+    }),
+    // ordered CDC changelog applied onto a snapshot: U@1 for even keys,
+    // D@2 for %5 keys, I@3 for %21 keys — multi-change keys exercise the
+    // latest-wins collapse, D-after-U deletes, I-after-D resurrects
+    "q44_cdc_apply" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snap = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val u = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("U").as("op"), lit(1L).as("seq"))
+      val dl = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit("D").as("op"), lit(2L).as("seq"))
+      val ins = o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), lit("NEW").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("I").as("op"), lit(3L).as("seq"))
+      graft.sources.Sources.applyCdc(snap, u.union(dl).union(ins), "o_orderkey")
     }),
     "d6_dup_clusters" -> ((s, d) => Dedup.duplicateClusters(t(s, d, "embeddings"))),
     "d8_embed_lsh_pairs" -> ((s, d) => Dedup.embeddingLshPairs(t(s, d, "embeddings"))),
@@ -572,6 +595,29 @@ object SparkEntry {
              AND (err_rn IS NULL OR err_rn < sig_rn)) AS n_conversions
          FROM marked WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+    "q44_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         snap AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+         ch AS (
+           SELECT o_orderkey, 'U1' AS o_orderstatus,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 'U' AS op, 1 AS seq
+           FROM base WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, NULL, NULL, 'D', 2 FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, 'NEW', o_totalprice + 1000.0, 'I', 3
+           FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0),
+         latest AS (SELECT * FROM (
+           SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+           FROM ch) WHERE rn = 1)
+         SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
+           CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END
+             AS o_totalprice
+         FROM snap s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY 1""",
     "q42_interval_islands" ->
       """WITH iv AS (
            SELECT user_id, event_id, ts,

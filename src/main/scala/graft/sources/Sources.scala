@@ -208,6 +208,36 @@ object Sources {
     * in `current`; unmatched rows from both sides survive. One shuffle
     * on the key (or zero if both sides are bucketed on it); at table
     * scale this is the compaction step of an incremental pipeline. */
+  /** Apply an ordered CDC changelog (I/U/D rows with a sequence column)
+    * onto a snapshot — the SCD1 load. Per key only the LATEST change
+    * applies (row_number over seq desc — a multi-change key collapses
+    * before touching the snapshot, so the join carries one row per
+    * changed key no matter how chatty the log); 'D' deletes, 'I'/'U'
+    * replace the full row, untouched keys pass through. One shuffle of
+    * the (skinny) changelog + one key-partitioned full-outer join; the
+    * snapshot is never windowed or re-sorted. Delete-of-absent and
+    * update-of-absent both land as inserts of the change row (idempotent
+    * replay semantics: the log wins). */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, key: String,
+               seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, row_number, when}
+    import org.apache.spark.sql.expressions.Window
+    val cols = snapshot.columns.filter(_ != key)
+    val latest = changes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col("_rn") === 1)
+    val snap = snapshot.select(snapshot.columns.map(c =>
+      snapshot.col(c).as(if (c == key) c else s"cur_$c")): _*)
+    val chg = latest.select(col(key) +: col(opCol).as("_op") +:
+      cols.map(c => latest.col(c).as(s"chg_$c")): _*)
+    snap.join(chg, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= lit("D"))
+      .select(col(key) +: cols.map(c =>
+        when(col("_op").isNotNull, col(s"chg_$c"))
+          .otherwise(col(s"cur_$c")).as(c)): _*)
+  }
+
   def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val cur = current.select(current.columns.map(c =>
