@@ -134,6 +134,7 @@ object SparkEntry {
     "q39_zorder_read" -> Seq("event_id"),
     "t9_stop_strip" -> Seq("doc_id"),
     "m1_media_meta" -> Seq("doc_id"),
+    "m4_media_text_gate" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"))
 
@@ -185,6 +186,7 @@ object SparkEntry {
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
+    "m4_media_text_gate" -> ((s, d) => Multimodal.mediaTextGate(t(s, d, "documents"))),
     "m2_media_features" -> ((s, d) => Multimodal.mediaFrames(s, t(s, d, "documents"))),
     "m3_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
@@ -858,6 +860,18 @@ object SparkEntry {
          CAST(64 + (octet_length(encode(text)) * 31) % 331 AS INTEGER) AS height,
          CAST(1 + octet_length(encode(text)) % 5 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "m4_media_text_gate" ->
+      s"""WITH q AS ($qualityScoreSql)
+          SELECT d.doc_id,
+            ['image', 'audio', 'video'][(octet_length(encode(d.text)) % 3) + 1]
+              AS media_type,
+            CAST(1 + octet_length(encode(d.text)) % 5 AS INTEGER) AS n_frames,
+            q.quality_score,
+            CAST(CASE WHEN q.quality_score >= 2
+              AND 1 + octet_length(encode(d.text)) % 5 <= 4
+              THEN 1 ELSE 0 END AS INTEGER) AS keep
+          FROM documents d JOIN q ON d.doc_id = q.doc_id
+          ORDER BY d.doc_id""",
     "m2_media_features" ->
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
          CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,

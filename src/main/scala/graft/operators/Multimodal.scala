@@ -65,6 +65,27 @@ object Multimodal {
                   decoder: MediaDecoder = StubDecoder): DataFrame =
     decodedFrames(spark, documents, decoder)
 
+  /** Joint text+media curation gate in ONE scan: the text-quality score
+    * and the media metadata both derive from the same row, so the gate
+    * is a single projection — no per-signal sub-pipelines, no doc_id
+    * join-back shuffle (the two-DataFrame composition would exchange the
+    * corpus once per signal at 100 TB). Keep = quality ≥ minQuality AND
+    * frame count ≤ maxFrames — the standard "text good, media cheap
+    * enough to process" admission rule of a multimodal training mix. */
+  def mediaTextGate(documents: DataFrame, maxFrames: Int = 4,
+                    minQuality: Int = 2): DataFrame = {
+    val len = octet_length(col("text").cast("binary"))
+    documents
+      .withColumn("_toks", graft.functions.ColumnFns.tokens(col("text")))
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          pmod(len, lit(3)) + 1).as("media_type"),
+        (lit(1) + pmod(len, lit(5))).as("n_frames"),
+        TextOps.qualityScoreCol(col("text"), col("_toks")).as("quality_score"))
+      .withColumn("keep",
+        (col("quality_score") >= minQuality && col("n_frames") <= maxFrames).cast("int"))
+  }
+
   /** Frame-level near-dup buckets: decoded frame features quantized into
     * `buckets` bands; frames landing in the same band across documents
     * are dedup candidates (the perceptual-hash bucketing shape — with a

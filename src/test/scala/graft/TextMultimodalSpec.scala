@@ -139,6 +139,25 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("media-text gate: keep == quality∧frames conjunction of the component operators") {
+    val gate = Multimodal.mediaTextGate(table("documents")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("media_type"), r.getAs[Int]("n_frames"),
+          r.getAs[Int]("quality_score"), r.getAs[Int]("keep"))).toMap
+    val q = TextOps.qualityMetrics(table("documents")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("quality_score")).toMap
+    val m = Multimodal.mediaMeta(table("documents")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("media_type"), r.getAs[Int]("n_frames"))).toMap
+    assert(gate.keySet === q.keySet)
+    gate.foreach { case (id, (ty, nf, qs, keep)) =>
+      assert((ty, nf) === m(id))
+      assert(qs === q(id))
+      assert(keep === (if (qs >= 2 && nf <= 4) 1 else 0))
+    }
+    assert(gate.values.exists(_._4 == 1) && gate.values.exists(_._4 == 0))
+  }
+
   test("media frames: stub decoder emits n_frames rows per doc") {
     val meta = Multimodal.mediaMeta(table("documents")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
