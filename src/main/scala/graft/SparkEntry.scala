@@ -68,6 +68,8 @@ object SparkEntry {
     "q29_deciles" -> Seq("o_orderpriority", "decile"),
     "q40_scd2" -> Seq("user_id", "version"),
     "q42_interval_islands" -> Seq("user_id", "island"),
+    "q45_unpivot" -> Seq("user_id", "event_type"),
+    "d15_simhash_incremental" -> Seq("doc_a", "doc_b"),
     "c19_quantile_rollup" -> Seq("event_type"),
     "q41_outliers" -> Seq("event_type"),
     "q30_cume_users" -> Seq("day"),
@@ -332,6 +334,17 @@ object SparkEntry {
     }),
     "q40_scd2" -> ((s, d) => Relational.scd2(t(s, d, "events"))),
     "q42_interval_islands" -> ((s, d) => Relational.intervalIslands(t(s, d, "events"))),
+    "q45_unpivot" -> ((s, d) => Relational.unpivotCounts(t(s, d, "events"))),
+    // incremental SimHash vs a persisted signature table (rows-only like
+    // d3; == full recompute restricted to batch-touching pairs,
+    // spec-asserted). localCheckpoint models the persisted corpus table.
+    "d15_simhash_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusSigs = Dedup
+        .simhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .localCheckpoint()
+      Dedup.simhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
+    }),
     // mergeable KLL quantile rollup (rows-only: KLL compaction is
     // randomized; rank-domain error bound spec-asserted)
     "c19_quantile_rollup" -> ((s, d) => Curation.quantileRollup(t(s, d, "events"))),
@@ -574,6 +587,22 @@ object SparkEntry {
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    "q45_unpivot" ->
+      """WITH p AS (
+           SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'error') AS error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'view') AS view
+           FROM events GROUP BY user_id)
+         SELECT user_id, event_type, n FROM (
+           SELECT user_id, 'click' AS event_type, click AS n FROM p
+           UNION ALL SELECT user_id, 'error', error FROM p
+           UNION ALL SELECT user_id, 'purchase', purchase FROM p
+           UNION ALL SELECT user_id, 'signup', signup FROM p
+           UNION ALL SELECT user_id, 'view', view FROM p)
+         ORDER BY user_id, event_type""",
     "q43_conversion_window" ->
       """WITH ord AS (
            SELECT user_id, event_type, event_id, ts,

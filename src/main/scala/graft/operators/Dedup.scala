@@ -304,6 +304,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** SimHash signature table — the persistable artifact
+    * [[simhashIncremental]] probes (the simhash member of the signature-
+    * store family: minhash `minhashSignatures`, embedding
+    * `embeddingSignCodes`). */
+  def simhashSignatures(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("_hs", transform(array_distinct(tokens(col("text"))), t => xxhash64(t)))
+      .select(col("doc_id"), call_function("graft_simhash64", col("_hs")).as("sig"))
+
+  /** Incremental new-batch-vs-corpus SimHash near-dup — completes the
+    * incremental family (d11 minhash / d12 exact / d13 embedding): the
+    * corpus side is a persisted (doc_id, sig) table that is only ever
+    * BANDED BY PROJECTION (4×16-bit chunks) and probed by the batch's
+    * bands; the corpus is never re-tokenized, never re-signed, never
+    * self-joined. Bucket caps evaluate on UNION bucket sizes, so the
+    * result equals the full [[simhashPairs]] recompute over
+    * corpus ∪ batch restricted to batch-touching pairs (spec-asserted).
+    * Batch-batch pairs meet twice through the probe (each side probes
+    * the other) — normalized to (min, max) before the distinct. */
+  def simhashIncremental(batch: DataFrame, corpusSigs: DataFrame,
+                         maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val bs = simhashSignatures(batch)
+    def band(df: DataFrame) = df
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
+    // cap on UNION bucket sizes — the same population the full recompute
+    // windows over, so capping decisions match it bucket for bucket
+    val sizes = band(bs.union(corpusSigs.select(col("doc_id"), col("sig"))))
+      .groupBy(col("c"), col("chunk")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+    val target = band(bs.union(corpusSigs.select(col("doc_id"), col("sig"))))
+      .join(sizes, Seq("c", "chunk"))
+    val probe = band(bs).join(sizes, Seq("c", "chunk"))
+    probe.select(col("c"), col("chunk"), col("doc_id").as("pa"), col("sig").as("sig_a"))
+      .join(target.select(col("c").as("c2"), col("chunk").as("chunk2"),
+          col("doc_id").as("pb"), col("sig").as("sig_b")),
+        col("c") === col("c2") && col("chunk") === col("chunk2") && col("pa") =!= col("pb"))
+      // distance first (symmetric), THEN the (min, max) normalization —
+      // normalizing ids while keeping probe-order sigs would leave a
+      // batch-batch pair as two distinct rows with swapped sig columns
+      .withColumn("dist", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"), col("dist"))
+      .distinct()
+  }
+
   /** Canonical-document selection: one survivor per exact-duplicate text
     * group, preferring the highest quality score and then the smallest
     * id — the keep-best completion of the dedup pipeline (real pipelines

@@ -428,6 +428,18 @@ object Relational {
       .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
   }
 
+  /** Unpivot (melt): the wide per-user event-type counts back to long
+    * (user_id, event_type, n) rows — the inverse of [[pivotEvents]],
+    * via the native `unpivot` operator (an Expand node: no join, no
+    * shuffle — each wide row emits its 5 long rows map-side). Zero
+    * counts survive, which is the semantic difference from a groupBy
+    * of the raw events (a melt preserves the cell grid). */
+  def unpivotCounts(events: DataFrame): DataFrame =
+    pivotEvents(events).unpivot(
+      Array(col("user_id")),
+      Array("click", "error", "purchase", "signup", "view").map(col),
+      "event_type", "n")
+
   /** SCD2 dimension build from an event change-log: per-user runs of
     * consecutive identical `event_type` collapse into validity intervals
     * `[valid_from, valid_to)` with a version counter and an is_current

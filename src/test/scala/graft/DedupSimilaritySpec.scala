@@ -50,6 +50,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(inc.forall(p => p._1 >= 10000 || p._2 >= 10000))
   }
 
+  test("incremental simhash dedup equals the full recompute restricted to the batch") {
+    // identical-text copies ⇒ hamming distance 0 ⇒ guaranteed pairs
+    val corpus = table("documents")
+    val batch = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val inc = Dedup.simhashIncremental(batch, Dedup.simhashSignatures(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.simhashPairs(corpus.unionByName(batch)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => p._1 >= 10000 || p._2 >= 10000).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    assert(inc.forall(p => p._1 >= 10000 || p._2 >= 10000))
+    // batch-batch pairs normalize to ONE row each (the swapped-sig trap)
+    val ids = inc.map(p => (p._1, p._2))
+    assert(ids.size === inc.size)
+  }
+
   test("incremental embedding dedup equals the full recompute restricted to the batch") {
     // corpus = the embeddings table; batch = copies of every 5th vector
     // under new ids (identical vectors ⇒ cosine 1.0 ⇒ batch-vs-corpus
