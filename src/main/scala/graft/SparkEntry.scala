@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_conversion_window" -> Seq("user_id"),
     "q24_upsert" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
+    "st11_cdc_stream" -> Seq("o_orderkey"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
@@ -394,6 +395,8 @@ object SparkEntry {
       graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
     "st9_ingest_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.ingestDedupFileStream(Tables.tune(s), d)),
+    "st11_cdc_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.cdcFileStream(Tables.tune(s), d)),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
     // rolled up by the same batch merge (rows-only: sketch estimates;
     // streaming==batch equality spec-asserted in the sparse regime)
@@ -487,6 +490,32 @@ object SparkEntry {
         CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END)"""
   private def qualityScoreSql =
     s"SELECT doc_id, $qualityCase AS quality_score FROM ($qualityBaseSql)"
+
+  // shared by q44 (batch) and st11 (the same apply driven through a
+  // seq-ordered file stream with cross-batch max-seq state)
+  private val cdcApplySql =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       snap AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+       ch AS (
+         SELECT o_orderkey, 'U1' AS o_orderstatus,
+           o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 'U' AS op, 1 AS seq
+         FROM base WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, NULL, NULL, 'D', 2 FROM base WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, 'NEW', o_totalprice + 1000.0, 'I', 3
+         FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0),
+       latest AS (SELECT * FROM (
+         SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+         FROM ch) WHERE rn = 1)
+       SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
+         CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END
+           AS o_totalprice
+       FROM snap s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey
+       WHERE l.op IS NULL OR l.op <> 'D'
+       ORDER BY 1"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -626,29 +655,8 @@ object SparkEntry {
              AND (err_rn IS NULL OR err_rn < sig_rn)) AS n_conversions
          FROM marked WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
-    "q44_cdc_apply" ->
-      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-         snap AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
-         ch AS (
-           SELECT o_orderkey, 'U1' AS o_orderstatus,
-             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 'U' AS op, 1 AS seq
-           FROM base WHERE o_orderkey % 2 = 0
-           UNION ALL
-           SELECT o_orderkey, NULL, NULL, 'D', 2 FROM base WHERE o_orderkey % 5 = 0
-           UNION ALL
-           SELECT o_orderkey, 'NEW', o_totalprice + 1000.0, 'I', 3
-           FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0),
-         latest AS (SELECT * FROM (
-           SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
-           FROM ch) WHERE rn = 1)
-         SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
-           CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END
-             AS o_orderstatus,
-           CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END
-             AS o_totalprice
-         FROM snap s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey
-         WHERE l.op IS NULL OR l.op <> 'D'
-         ORDER BY 1""",
+    "q44_cdc_apply" -> cdcApplySql,
+    "st11_cdc_stream" -> cdcApplySql,
     "q42_interval_islands" ->
       """WITH iv AS (
            SELECT user_id, event_id, ts,

@@ -356,6 +356,73 @@ object StreamDrivers {
       .orderBy(col("event_type"))
   }
 
+  /** The q44 CDC apply driven end-to-end: the changelog's three seq
+    * tiers staged as separate files IN SEQ ORDER (maxFilesPerTrigger=1
+    * ⇒ the delete-after-update and insert-after-delete collapses happen
+    * across MICRO-BATCH boundaries in [[StreamOps.cdcLatest]] state, not
+    * within one batch) → update-mode max-seq reduction → drained state
+    * applied to the snapshot by the same `Sources.applyCdc` join the
+    * batch path uses. Gated on the q44 oracle. No watermark/sentinel:
+    * update mode re-emits a key whenever its state advances, so the last
+    * upsert per key IS the final change. */
+  def cdcFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-cdc")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val o = graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snap = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      // the SAME derived changelog as the q44 gate, one file per seq tier
+      val tiers = Seq(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"),
+            lit("U").as("op"), lit(1L).as("seq")),
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit("D").as("op"), lit(2L).as("seq")),
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey"), lit("NEW").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit("I").as("op"), lit(3L).as("seq")))
+      val stamper = new MtimeStamper
+      var first = true
+      tiers.foreach { tier =>
+        tier.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val chgSchema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("op", StringType),
+        StructField("seq", LongType)))
+      val src = spark.readStream.schema(chgSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val state = scala.collection.mutable.Map.empty[Long, StreamOps.CdcChg]
+      val q = StreamOps.cdcLatest(spark, src.as[StreamOps.CdcChg]).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[StreamOps.CdcChg], _: Long) =>
+          val rows = b.collect()
+          state.synchronized {
+            rows.foreach(c =>
+              if (!state.get(c.o_orderkey).exists(_.seq >= c.seq))
+                state(c.o_orderkey) = c)
+          }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val latest = state.values.toSeq.toDS()
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("op"), col("seq"))
+      graft.sources.Sources.applyCdc(snap, latest, "o_orderkey")
+    } finally deleteRecursively(dir)
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →

@@ -60,6 +60,27 @@ object StreamOps {
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
       .select(col("event_type"), to_date(col("w.start")).as("day"), col("sk"))
 
+  case class CdcChg(o_orderkey: Long, o_orderstatus: Option[String],
+                    o_totalprice: Option[Double], op: String, seq: Long)
+
+  /** Streaming CDC reducer: latest change per key across micro-batches
+    * (max `seq` wins — arrival order is irrelevant, so late-arriving
+    * lower-seq changes can never regress the state). Update-mode
+    * `mapGroupsWithState`: the per-key state is ONE change row, emitted
+    * whenever it advances; an upsert sink holds exactly the batch
+    * `latest-per-key` collapse once the stream drains, ready for the
+    * same `Sources.applyCdc` join the batch path runs. */
+  def cdcLatest(spark: SparkSession, changes: Dataset[CdcChg]): Dataset[CdcChg] = {
+    import spark.implicits._
+    changes.groupByKey(_.o_orderkey)
+      .mapGroupsWithState[CdcChg, CdcChg](GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[CdcChg], state: GroupState[CdcChg]) =>
+          val best = (state.getOption.iterator ++ it).maxBy(_.seq)
+          state.update(best)
+          best
+      }
+  }
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class BufEv(sec: Long, id: Long, value: Double)
   case class SessionBuf(evs: Seq[BufEv])

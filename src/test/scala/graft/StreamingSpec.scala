@@ -233,6 +233,16 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st11 driver: streamed CDC apply equals the batch q44 result") {
+    val streamed = graft.streaming.StreamDrivers
+      .cdcFileStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("q44_cdc_apply")(spark, SharedSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("st10 driver: streamed daily sketch table rolls up equal to batch c16") {
     val streamed = graft.streaming.StreamDrivers
       .sketchRollupFileStream(spark, "/root/testdata/sf0.001").collect()
