@@ -115,6 +115,7 @@ object SparkEntry {
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
+    "t10_vocab_coverage" -> Seq("pct"),
     "d14_multi_clusters" -> Seq("doc_id"),
     "c2_tfidf" -> Seq("doc_id", "term"),
     "c3_hash_split" -> Seq("doc_id"),
@@ -362,6 +363,7 @@ object SparkEntry {
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
+    "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
     // multi-signal duplicate clusters: the three text pair sources
     // (exact Jaccard, MinHash-LSH, SimHash) unioned into the
     // pair-source-agnostic connected components (rows-only: two of the
@@ -1281,6 +1283,29 @@ object SparkEntry {
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
+    "t10_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents),
+          counts AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+          classes AS (
+            SELECT n, count(*) AS nterms, n * count(*) AS class_tokens
+            FROM counts GROUP BY 1),
+          cum AS (
+            SELECT n, nterms, class_tokens,
+              sum(class_tokens) OVER (ORDER BY n DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after,
+              coalesce(sum(nterms) OVER (ORDER BY n DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS terms_before
+            FROM classes),
+          tot AS (SELECT sum(n) AS total FROM counts),
+          tgt AS (SELECT unnest([50, 90, 95, 99]) AS pct)
+          SELECT pct, (total * pct + 99) // 100 AS need_tokens,
+            terms_before + ((total * pct + 99) // 100 - (cum_after - class_tokens) + n - 1) // n
+              AS vocab_size,
+            total AS total_tokens
+          FROM cum, tot, tgt
+          WHERE (cum_after - class_tokens) < (total * pct + 99) // 100
+            AND cum_after >= (total * pct + 99) // 100
+          ORDER BY pct""",
     "c21_bigram_ll" ->
       s"""WITH toked AS (SELECT doc_id, $toks AS t FROM documents),
           bg AS (SELECT doc_id,

@@ -241,6 +241,50 @@ object Curation {
         decRound(col("_sll").cast("double") / col("n_tokens"), 4).as("avg_ll"))
   }
 
+  /** Vocabulary coverage curve: the vocab size needed to cover p% of all
+    * token occurrences, for each coverage target — the sizing question
+    * every tokenizer build answers first. Pure integer arithmetic
+    * (targets are PERCENTS, need = ⌈total·p/100⌉ via integer division),
+    * so the result is engine-exact with no float boundary.
+    *
+    * Scale shape: the corpus collapses to term counts (one shuffle),
+    * then counts collapse to COUNT CLASSES (n, n_terms) — the window
+    * runs over the class table, whose size is the number of DISTINCT
+    * frequency values (≤ a few thousand at any corpus size — frequency
+    * domains grow ~log with corpus, not linearly), never over the vocab
+    * itself. A boundary falling inside an equal-count class is resolved
+    * by integer ceil within the class (terms of equal count are
+    * interchangeable for coverage). */
+  def vocabCoverage(documents: DataFrame,
+                    targets: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val counts = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(explode(col("_toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc)
+    val classes = counts.groupBy(col("n")).agg(count(lit(1)).as("nterms"))
+      .withColumn("class_tokens", col("n") * col("nterms"))
+      .withColumn("cum_after",
+        sum(col("class_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum_after") - col("class_tokens"))
+      .withColumn("terms_before", coalesce(
+        sum(col("nterms")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val tgt = targets.foldLeft(Option.empty[DataFrame]) { (acc, p) =>
+      // `div` (integer division), not `/` (double): total·p exceeds
+      // 2^53 at real corpus scale, where a double round-trip drops bits
+      val one = total.select(lit(p).as("pct"),
+        expr(s"(total * $p + 99) div 100").as("need"), col("total"))
+      Some(acc.map(_.union(one)).getOrElse(one))
+    }.get
+    classes.join(broadcast(tgt),
+        col("cum_before") < col("need") && col("cum_after") >= col("need"))
+      .select(col("pct"), col("need").as("need_tokens"),
+        (col("terms_before") +
+          expr("(need - cum_before + n - 1) div n")).as("vocab_size"),
+        col("total").as("total_tokens"))
+  }
+
   /** Bigram-LM document score: average Laplace-smoothed log
     * P(wᵢ | wᵢ₋₁) per document — the first-order upgrade of
     * [[unigramLogLik]] (t7): repetitive or scrambled text scores low

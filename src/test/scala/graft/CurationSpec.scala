@@ -287,6 +287,27 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("vocab coverage: minimal sizes that really cover, monotone in the target") {
+    import graft.operators.Curation
+    val docs = table("documents")
+    val out = Curation.vocabCoverage(docs).collect()
+      .map(r => (r.getAs[Int]("pct"), r.getAs[Long]("need_tokens"),
+        r.getAs[Long]("vocab_size"), r.getAs[Long]("total_tokens"))).sortBy(_._1)
+    assert(out.map(_._1).sameElements(Seq(50, 90, 95, 99)))
+    val counts = docs.withColumn("_toks", graft.functions.ColumnFns.tokens(col("text")))
+      .select(explode(col("_toks")).as("t")).groupBy("t").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val total = counts.sum
+    out.foreach { case (pct, need, vocab, tot) =>
+      assert(tot === total)
+      assert(need === (total * pct + 99) / 100)
+      // MINIMAL cover: top-vocab counts reach need, top-(vocab-1) do not
+      assert(counts.take(vocab.toInt).sum >= need)
+      assert(counts.take(vocab.toInt - 1).sum < need)
+    }
+    assert(out.map(_._3).sameElements(out.map(_._3).sorted)) // monotone
+  }
+
   test("bigram LL: conditional signal — scrambled text scores below natural text") {
     import spark.implicits._
     import graft.operators.Curation
