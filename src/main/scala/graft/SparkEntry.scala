@@ -86,6 +86,7 @@ object SparkEntry {
     "s5_knn_lsh_graph" -> Seq("q_id", "rank"),
     "s6_kmeans" -> Seq("vec_id"),
     "s7_pagerank" -> Seq("vec_id"),
+    "s8_label_prop" -> Seq("vec_id"),
     "d10_text_clusters" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "st9_ingest_dedup_stream" -> Seq("doc_id"),
@@ -418,6 +419,11 @@ object SparkEntry {
     // Driver parity + mass conservation are spec-asserted on the exact
     // graph's edges, which tests pageRank itself independent of source)
     "s7_pagerank" -> ((s, d) => Similarity.pageRank(
+      Similarity.knnGraphLsh(t(s, d, "embeddings"))
+        .select(col("q_id").as("src"), col("neighbor_id").as("dst")))),
+    // label-propagation communities over the same sub-quadratic edge
+    // source (rows-only: iterative; exact driver parity spec-asserted)
+    "s8_label_prop" -> ((s, d) => Similarity.labelPropagation(
       Similarity.knnGraphLsh(t(s, d, "embeddings"))
         .select(col("q_id").as("src"), col("neighbor_id").as("dst")))),
     // text-side duplicate clusters: the d4 exact-Jaccard pairs as the

@@ -289,6 +289,33 @@ object Similarity {
     ranks.select(col("id").as("vec_id"), decRound(col("rank"), 12).as("rank"))
   }
 
+  /** Synchronous label propagation (community detection) over an edge
+    * list — completes the k-NN-graph analytics family (connected
+    * components = connectivity, PageRank = centrality, LPA = community
+    * structure). Fully deterministic: synchronous rounds (no update
+    * races by construction), label = most frequent neighbour label with
+    * ties to the SMALLEST label (one `min(struct(-count, label))`
+    * aggregate — the argmax is an aggregation, not a window), fixed
+    * iteration count. Per round: one (dst, label)-keyed partial-agg
+    * shuffle + one per-node argmax; labels localCheckpoint per round
+    * (O(1) lineage). Edges are symmetrized once up front. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("negc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("id"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as("vec_id"), col("label"))
+  }
+
   /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -417,6 +417,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(tinyRanks(2L) > tinyRanks(1L)) // the sink accumulates rank
   }
 
+  test("label propagation: exact parity with a driver-side synchronous reference") {
+    val edges = Similarity.knnGraphLsh(table("embeddings"))
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    val out = Similarity.labelPropagation(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("label")).toMap
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = (es ++ es.map(_.swap)).distinct
+    val inN = und.groupBy(_._2) // neighbours feeding each dst
+    var lab = und.map(_._1).distinct.map(id => id -> id).toMap
+    for (_ <- 1 to 5) {
+      lab = lab.keys.map { id =>
+        val counts = inN(id).map { case (s, _) => lab(s) }
+          .groupBy(identity).view.mapValues(_.size)
+        id -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    assert(out === lab)
+    assert(out.values.toSet.size < out.size, "no communities formed — vacuous")
+  }
+
   test("LSH ANN returns a subset of each query's true neighbourhood ranking") {
     val brute = Similarity.bruteTopK(table("embeddings"), numQueries = 5, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
