@@ -117,6 +117,7 @@ object SparkEntry {
     "t7_unigram_ll" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
+    "c22_temperature_mix" -> Seq("source"),
     "d14_multi_clusters" -> Seq("doc_id"),
     "c2_tfidf" -> Seq("doc_id", "term"),
     "c3_hash_split" -> Seq("doc_id"),
@@ -365,6 +366,7 @@ object SparkEntry {
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
     "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
+    "c22_temperature_mix" -> ((s, d) => Curation.temperatureMix(t(s, d, "documents"))),
     // multi-signal duplicate clusters: the three text pair sources
     // (exact Jaccard, MinHash-LSH, SimHash) unioned into the
     // pair-source-agnostic connected components (rows-only: two of the
@@ -1289,6 +1291,19 @@ object SparkEntry {
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
+    "c22_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,12))) AS DOUBLE) AS wsum FROM c),
+         r AS (SELECT source, n,
+             CAST(CAST(least(1.0, 300 * sqrt(n) / (wsum * n)) AS DECIMAL(38,6)) AS DOUBLE)
+               AS rate
+           FROM c, w)
+         SELECT d.source, max(r.n) AS n_docs, max(r.rate) AS rate,
+           count(*) FILTER (WHERE
+             ((d.doc_id % 1000003) * 2246822519 + 104729) % 1000000
+               < CAST(floor(r.rate * 1000000.0) AS BIGINT)) AS n_kept
+         FROM documents d JOIN r ON d.source = r.source
+         GROUP BY 1 ORDER BY 1""",
     "t10_vocab_coverage" ->
       s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents),
           counts AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),

@@ -218,6 +218,37 @@ object Curation {
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Temperature-based dataset mixing: per-source keep rates computed
+    * FROM the data as nₛ^α / Σ n^α (α < 1 upsamples the tail — the
+    * standard multinomial-with-temperature mix of multilingual /
+    * multi-source pretraining), scaled to a token^W target corpus size,
+    * then applied through the engine-independent integer hash gate (the
+    * [[sourceMix]] gate with per-source COMPUTED thresholds).
+    *
+    * Cross-engine determinism: α is fixed at 0.5 so n^α is `sqrt`
+    * (IEEE-correctly-rounded in every engine, unlike `pow`); the weight
+    * sum is exact decimal (order-independent); the rate is
+    * decimal-rounded at 6 and floored to a millionth-scale integer
+    * threshold — from there the gate is pure integer arithmetic. */
+  def temperatureMix(documents: DataFrame, targetTotal: Long = 300,
+                     seed: Long = 104729L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val wsum = counts
+      .agg(sum(sqrt(col("n")).cast(DecimalType(28, 12))).cast("double").as("wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("rate", decRound(
+        least(lit(1.0), lit(targetTotal.toDouble) * sqrt(col("n")) / (col("wsum") * col("n"))), 6))
+      .select(col("source"), col("n").as("n_docs"), col("rate"),
+        floor(col("rate") * 1e6).cast("long").as("thr"))
+    val gate =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(seed), lit(1000000L))
+    documents.join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("rate")).as("rate"),
+        count(when(gate < col("thr"), 1)).as("n_kept"))
+  }
+
   /** Per-document average unigram log-likelihood under the corpus
     * unigram distribution — the classic cheap LM-quality signal
     * (gibberish and boilerplate score low). Per-token log-probs are

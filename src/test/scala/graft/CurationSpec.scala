@@ -287,6 +287,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("temperature mix: tail upsampled (rate anti-monotone in size), gate honors rates") {
+    import graft.operators.Curation
+    val out = Curation.temperatureMix(table("documents")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("rate"), r.getAs[Long]("n_kept")))
+    assert(out.length === table("documents").select("source").distinct().count())
+    // α=0.5 upsamples the tail: bigger source ⇒ same-or-smaller keep rate
+    out.sortBy(_._2).sliding(2).foreach {
+      case Array(small, big) => assert(small._3 >= big._3)
+      case _ => ()
+    }
+    out.foreach { case (_, n, rate, kept) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(kept <= n)
+      // uniform integer gate: kept within ±40% + slack of rate·n
+      assert(math.abs(kept - rate * n) <= 0.4 * rate * n + 5)
+    }
+  }
+
   test("vocab coverage: minimal sizes that really cover, monotone in the target") {
     import graft.operators.Curation
     val docs = table("documents")
