@@ -183,6 +183,28 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"assignment joined instead of projecting in:\n$p")
   }
 
+  test("conversion window: the three carry-forwards share one exchange and sort") {
+    val df = graft.operators.TimeJoins.conversionWindow(table("events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // one hash exchange for the window, one for the final user agg (AQE
+    // may reuse); never more than two, and exactly one Sort
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges in:\n$p")
+    val sorts = p.linesIterator.count(l => l.contains("Sort [") && !l.contains("SortAggregate"))
+    assert(sorts === 1, s"carry-forwards re-sorted ($sorts) in:\n$p")
+  }
+
+  test("cdc apply: the changelog collapses before the join; the snapshot is never sorted") {
+    val df = SparkEntry.queries("q44_cdc_apply")(spark, SharedSpark.sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // exactly one Window (latest-per-key over the CHANGELOG) — a second
+    // would mean the snapshot got windowed
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows === 1, s"expected 1 window (changelog collapse), got $windows in:\n$p")
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-sources").toString
     val df = table("nation")
