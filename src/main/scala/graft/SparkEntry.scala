@@ -85,6 +85,7 @@ object SparkEntry {
     "s4_knn_graph" -> Seq("q_id", "rank"),
     "s5_knn_lsh_graph" -> Seq("q_id", "rank"),
     "s6_kmeans" -> Seq("vec_id"),
+    "s9_diversity_sample" -> Seq("cluster", "rank"),
     "s7_pagerank" -> Seq("vec_id"),
     "s8_label_prop" -> Seq("vec_id"),
     "d10_text_clusters" -> Seq("doc_id"),
@@ -416,6 +417,9 @@ object SparkEntry {
     // assignment isn't ANSI-SQL-expressible; exact driver-parity is
     // spec-asserted in DedupSimilaritySpec)
     "s6_kmeans" -> ((s, d) => Similarity.kmeans(t(s, d, "embeddings"))),
+    // cluster-stratified coreset selection (rows-only: iterative
+    // k-means upstream; per-cluster membership+centrality spec-asserted)
+    "s9_diversity_sample" -> ((s, d) => Similarity.diversitySample(t(s, d, "embeddings"))),
     // PageRank over the SUB-QUADRATIC k-NN graph (LSH edges — the whole
     // chain is the 100 TB path, no O(n²) stage; rows-only: iterative.
     // Driver parity + mass conservation are spec-asserted on the exact

@@ -207,29 +207,44 @@ object Similarity {
     * working set every pass (the MLlib cache-the-input idiom). Driver
     * state is k·d decimals per iteration — independent of corpus size. */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .localCheckpoint()
+    assignToCentroids(v, kmeansCentroids(v, k, iters))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** Nearest-centroid assignment (+ decimal-rounded squared distance)
+    * against a driver-side centroid array — a pure broadcast-literal
+    * projection; shared by [[kmeans]] and [[diversitySample]]. */
+  private def assignToCentroids(v: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val carr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedLit(c.toSeq).as("cv"),
+        lit(c.map(x => x * x).sum).as("cc"))
+    }: _*)
+    // struct(d6, cid): natural ascending struct order makes array_min
+    // the deterministic argmin (nearest centroid, ties → smallest cid)
+    v.withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("m", array_min(transform(carr, p =>
+        struct(decRound(col("vv") - lit(2.0) * dot(col("v"), p.getField("cv"))
+          + p.getField("cc"), 6).as("d6"),
+          p.getField("cid").as("cid")))))
+      .withColumn("cluster", col("m.cid"))
+      .withColumn("d6", col("m.d6"))
+      .drop("m", "vv")
+  }
+
+  /** The Lloyd iteration loop, returning the final centroids (the
+    * persistable model artifact). `v` must be a materialized
+    * (vec_id, v: array<double>) frame. */
+  private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
     var cents: Array[Array[Double]] = v
       .withColumn("hk", xxhash64(col("vec_id")))
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    def assigned: DataFrame = {
-      val carr = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("cid"), typedLit(c.toSeq).as("cv"),
-          lit(c.map(x => x * x).sum).as("cc"))
-      }: _*)
-      // struct(d6, cid): natural ascending struct order makes array_min
-      // the deterministic argmin (nearest centroid, ties → smallest cid)
-      v.withColumn("vv", dot(col("v"), col("v")))
-        .withColumn("cluster", array_min(transform(carr, p =>
-          struct(decRound(col("vv") - lit(2.0) * dot(col("v"), p.getField("cv"))
-            + p.getField("cc"), 6).as("d6"),
-            p.getField("cid").as("cid")))).getField("cid"))
-    }
     for (_ <- 1 to iters) {
-      val sums = assigned
+      val sums = assignToCentroids(v, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("sx"),
@@ -243,7 +258,26 @@ object Similarity {
       }
       cents = next
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    cents
+  }
+
+  /** Cluster-stratified diversity sample (coreset selection): k-means
+    * partitions the embedding space, then each cluster contributes its
+    * `perCluster` most central vectors (smallest decimal-rounded
+    * distance, ties → smallest id) — a spread-out representative subset
+    * instead of a uniform draw, the selection step of
+    * semantic-diversity curation. The per-cluster top is a window over
+    * cluster partitions (k ≈ thousands at scale, so no single-reducer
+    * funnel); assignment stays the broadcast-literal projection. */
+  def diversitySample(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+                      perCluster: Int = 10): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("cluster")).orderBy(col("d6"), col("vec_id"))
+    assignToCentroids(v, kmeansCentroids(v, k, iters))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col("rank"), col("vec_id"))
   }
 
   /** PageRank over an edge list (e.g. the [[knnGraph]] k-NN edges) —

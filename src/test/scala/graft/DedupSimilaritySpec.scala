@@ -389,6 +389,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out.values.toSet.size > 1, "degenerate single-cluster result")
   }
 
+  test("diversity sample: members of their clusters, genuinely the most central") {
+    val emb = table("embeddings")
+    val sel = Similarity.diversitySample(emb, k = 8, iters = 5, perCluster = 10).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    val assign = Similarity.kmeans(emb, k = 8, iters = 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    // selected vectors carry their k-means cluster
+    sel.foreach { case (c, _, id) => assert(assign(id) === c) }
+    sel.groupBy(_._1).foreach { case (c, rows) =>
+      val size = assign.count(_._2 == c)
+      assert(rows.length === math.min(10, size))
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+    }
+    // coverage: every non-empty cluster contributes
+    assert(sel.map(_._1).toSet === assign.values.toSet)
+  }
+
   test("pagerank: driver parity on the k-NN graph, mass conserved, dangling handled") {
     val edges = Similarity.knnGraph(table("embeddings"))
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
