@@ -20,6 +20,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(Tables.tune(s), dir, name)
 
+  /** One JVM-scoped scratch root for q39's z-ordered write, deleted on
+    * exit — per-invocation createTempDirectory leaked 16 parquet files
+    * every bench/verify run. writeZOrdered overwrites, so reuse is safe. */
+  private lazy val zorderScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-zorder")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      files.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }))
+    p.toString
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -331,7 +345,7 @@ object SparkEntry {
     // is measured in BucketingSpec
     "q39_zorder_read" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("value"))
-      val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/ev"
+      val out = zorderScratch + "/ev"
       graft.sources.Sources.writeZOrdered(ev, out, "user_id", "value", numFiles = 16)
       s.read.parquet(out)
         .filter(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
@@ -1323,10 +1337,10 @@ object SparkEntry {
             FROM classes),
           tot AS (SELECT sum(n) AS total FROM counts),
           tgt AS (SELECT unnest([50, 90, 95, 99]) AS pct)
-          SELECT pct, (total * pct + 99) // 100 AS need_tokens,
-            terms_before + ((total * pct + 99) // 100 - (cum_after - class_tokens) + n - 1) // n
-              AS vocab_size,
-            total AS total_tokens
+          SELECT pct, CAST((total * pct + 99) // 100 AS BIGINT) AS need_tokens,
+            CAST(terms_before + ((total * pct + 99) // 100 - (cum_after - class_tokens) + n - 1) // n
+              AS BIGINT) AS vocab_size,
+            CAST(total AS BIGINT) AS total_tokens
           FROM cum, tot, tgt
           WHERE (cum_after - class_tokens) < (total * pct + 99) // 100
             AND cum_after >= (total * pct + 99) // 100

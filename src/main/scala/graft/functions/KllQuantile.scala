@@ -122,6 +122,11 @@ case class KllQuantiles(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_kll_quantiles"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // nullSafeEval returns null for an EMPTY sketch (an all-null input group
+  // still serializes one), so nullability can't be inherited from the
+  // non-nullable children — undeclared, the CodegenFallback non-nullable
+  // path would skip the null check and corrupt the UnsafeRow.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType &&
         (right.dataType match {

@@ -389,8 +389,17 @@ object Dedup {
     * engine-independent — a recursive SQL query computes the same ids).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          maxDriverEdges: Long = 4000000L): DataFrame = {
+                          maxDriverEdges: Long = -1L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Fast-path bound derived from the ACTUAL driver heap, not a fixed
+    // constant: a collected edge costs ~100 B on-heap (Tuple2 + two boxed
+    // Longs + the union-find map entries), and the fast path may claim at
+    // most ~5% of maxMemory — heap/2000 ≈ 4M edges on an 8 GiB driver,
+    // 500k on 1 GiB. Callers can still pin the bound (tests pass 0 to
+    // force the distributed loop).
+    val driverBound =
+      if (maxDriverEdges >= 0L) maxDriverEdges
+      else Runtime.getRuntime.maxMemory() / 2000L
     // persist the EDGE LIST itself (often the output of an expensive pair
     // generation) so the size probe, the driver fast path and the
     // distributed loop all read the one materialization
@@ -402,7 +411,11 @@ object Dedup {
     // (the same small-graph fast path GraphFrames takes). The pointer-
     // jumping loop below remains the path for genuinely large graphs.
     val nEdges = e.count()
-    if (nEdges <= maxDriverEdges) {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+    log.info(s"connectedComponents: $nEdges edges, driver fast-path bound " +
+      s"$driverBound -> ${if (nEdges <= driverBound) "driver union-find"
+        else "distributed pointer-jumping"} path")
+    if (nEdges <= driverBound) {
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       e.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()

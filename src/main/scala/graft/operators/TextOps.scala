@@ -156,6 +156,38 @@ object TextOps {
   def scrubNumbers(events: DataFrame): DataFrame =
     scrub(events, "event_id", "props", Seq("-?\\d+" -> "<NUM>"))
 
+  /** Sequential multi-pattern redaction with PER-PATTERN match counts —
+    * the real-PII shape of [[scrub]] (which reports one total): a
+    * curation pipeline audits email/phone/URL hits separately before
+    * deciding a document's fate. Each (pattern, tag, countCol) counts
+    * against the text the previous patterns already rewrote, so
+    * Σ count columns == replacements performed; tags must not match any
+    * later pattern. Pure map-side regex, codegen'd, no shuffle. */
+  def scrubCounted(df: DataFrame, idCol: String, textCol: String,
+                   patterns: Seq[(String, String, String)]): DataFrame = {
+    val (scrubbed, counts) =
+      patterns.foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((txt, cs), (pat, tag, cname)) =>
+          (regexp_replace(txt, pat, tag),
+            cs :+ size(regexp_extract_all(txt, lit(pat), lit(0))).as(cname))
+      }
+    df.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
+  }
+
+  /** The standard PII trio, ordered so no tag is re-matched downstream:
+    * emails first (most specific), then URLs, then NNN-NNNN phone stubs.
+    * Mirrored verbatim by the t12 oracle SQL — RE2 (DuckDB) and
+    * java.util.regex agree on this subset (classes, \b, \S, {m,}). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "n_email"),
+    ("https?://\\S+", "<URL>", "n_url"),
+    ("\\b\\d{3}-\\d{4}\\b", "<PHONE>", "n_phone"))
+
+  /** Gated PII scrub: email/URL/phone redaction with per-pattern counts. */
+  def scrubPii(documents: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    scrubCounted(documents, idCol, textCol, piiPatterns)
+
   /** Corpus-adaptive stopword stripping: the corpus's top-k most
     * frequent tokens are removed from every document, order preserved —
     * the vocabulary-driven rewrite used before indexing / n-gram

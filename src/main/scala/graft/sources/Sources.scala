@@ -215,9 +215,9 @@ object Sources {
     * changed key no matter how chatty the log); 'D' deletes, 'I'/'U'
     * replace the full row, untouched keys pass through. One shuffle of
     * the (skinny) changelog + one key-partitioned full-outer join; the
-    * snapshot is never windowed or re-sorted. Delete-of-absent and
-    * update-of-absent both land as inserts of the change row (idempotent
-    * replay semantics: the log wins). */
+    * snapshot is never windowed or re-sorted. Insert/update-of-absent
+    * land as inserts of the change row (idempotent replay semantics:
+    * the log wins); delete-of-absent is a no-op. */
   def applyCdc(snapshot: DataFrame, changes: DataFrame, key: String,
                seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, row_number, when}
