@@ -128,6 +128,8 @@ object SparkEntry {
     "t3_tokens" -> Seq("doc_id"),
     "t4_fingerprint" -> Seq("doc_id"),
     "t5_scrub" -> Seq("event_id"),
+    "t11_bpe_tokens" -> Seq("doc_id"),
+    "t12_pii_scrub" -> Seq("doc_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
@@ -295,6 +297,25 @@ object SparkEntry {
     "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
     "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
     "t5_scrub" -> ((s, d) => TextOps.scrubNumbers(t(s, d, "events"))),
+    // PII breadth gate: the synthetic corpus carries no PII, so the query
+    // plants deterministic email/URL/phone strings derived from doc_id
+    // (identically in the oracle SQL) and scrubs them back out — the
+    // operator under test is the per-pattern-counting sequential scrub
+    "t12_pii_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) < 2,
+          concat(lit(" see https://data.example.org/doc/"),
+            col("doc_id").cast("string"), lit(" end"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" call 555-0100 or 555-0199")).otherwise(lit(""))
+      ).as("text"))
+      TextOps.scrubPii(aug)
+    }),
     "q26_small_qty" -> ((s, d) => Relational.smallQuantityRevenue(t(s, d, "lineitem"))),
     "q27_salted_join" -> ((s, d) => {
       val orders = t(s, d, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice"))
@@ -318,6 +339,9 @@ object SparkEntry {
     "t8_importance" -> ((s, d) => Curation.importanceWeight(t(s, d, "documents"))),
     "c14_percentile_gate" -> ((s, d) => Curation.percentileGate(t(s, d, "documents"))),
     "t9_stop_strip" -> ((s, d) => TextOps.stopStrip(t(s, d, "documents"))),
+    // corpus-learned BPE: rows-only (the learn loop is not expressible in
+    // ANSI SQL); exact driver-parity + invariants spec-asserted (BpeSpec)
+    "t11_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(t(s, d, "documents"))),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
     // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
     // merged==direct and error-vs-exact are spec-asserted)
@@ -1105,6 +1129,31 @@ object SparkEntry {
       """SELECT event_id, regexp_replace(props, '-?\d+', '<NUM>', 'g') AS scrubbed,
          CAST(len(regexp_extract_all(props, '-?\d+')) AS INTEGER) AS n_redactions
          FROM events ORDER BY event_id""",
+    // t12: same planted-PII construction as the Spark side, then the same
+    // three sequential pattern passes (RE2 and java.util.regex agree on
+    // this regex subset); counts taken against the pre-replace text of
+    // each stage, exactly like TextOps.scrubCounted
+    "t12_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 4 < 2 THEN ' see https://data.example.org/doc/' ||
+             CAST(doc_id AS VARCHAR) || ' end' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' call 555-0100 or 555-0199' ELSE '' END
+           AS t0 FROM documents),
+         s1 AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1 FROM aug),
+         s2 AS (SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t1, 'https?://\S+')) AS INTEGER) AS n_url,
+           regexp_replace(t1, 'https?://\S+', '<URL>', 'g') AS t2 FROM s1),
+         s3 AS (SELECT doc_id, n_email, n_url,
+           CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+           regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t3 FROM s2)
+         SELECT doc_id, t3 AS scrubbed, n_email, n_url, n_phone
+         FROM s3 ORDER BY doc_id""",
     "q26_small_qty" ->
       s"""SELECT ${dsum("l_extendedprice")} AS total_price, count(*) AS n_items
           FROM lineitem l JOIN (SELECT l_partkey AS pk, ${davg("l_quantity")} AS avg_qty
@@ -1309,6 +1358,18 @@ object SparkEntry {
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
+    // c20: the ES clock replayed exactly — same integer hash, same IEEE
+    // double into ln, decimal-6 rounded clock, (clock, doc_id) ranking
+    "c20_weighted_sample" ->
+      """WITH c AS (SELECT lang, doc_id, n_chars,
+           CAST(CAST(-ln(CAST(((doc_id % 1000003) * 2246822519 + 15485863) % 1000000 + 1
+                 AS DOUBLE) / 1000000.0)
+               / greatest(n_chars, 1) AS DECIMAL(38,6)) AS DOUBLE) AS clock
+           FROM documents),
+         r AS (SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY clock, doc_id) AS rn FROM c)
+         SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, n_chars
+         FROM r WHERE rn <= 50 ORDER BY lang, rn""",
     "c22_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
          w AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,12))) AS DOUBLE) AS wsum FROM c),

@@ -102,14 +102,20 @@ object Curation {
     * 64-salt-cell) top-k — 64-way parallel per stratum — and level 2
     * ranks only the ≤ 64·k survivors. The global top-k is a subset of
     * the union of cell top-ks, so the result is IDENTICAL to the
-    * single-window form. Rows-only gate (ln of a hash-uniform is
-    * JVM-exact but not ANSI-SQL-reproducible); driver parity is
-    * spec-asserted exactly. */
+    * single-window form.
+    *
+    * Cross-engine determinism (full DuckDB oracle): u comes from the
+    * engine-independent integer hash (sourceMix's overflow-safe
+    * mod-reduce shape, its own additive seed) at millionth granularity,
+    * so both engines feed `ln` the SAME IEEE double; the clock is
+    * decimal-rounded at 6 — the repo's standard boundary — and the
+    * RANKING uses the rounded clock with a doc_id tie-break, so the
+    * oracle replays the selection exactly. */
   def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
-    // u ∈ (0,1] built from 52 exactly-representable hash bits
-    val M = 1L << 52
-    val u = (pmod(xxhash64(col("doc_id"), lit(42)), lit(M)) + 1).cast("double") / M.toDouble
-    val clock = -log(u) / greatest(col("n_chars"), lit(1)).cast("double")
+    val M = 1000000L
+    val u = (pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(15485863L),
+      lit(M)) + 1).cast("double") / M.toDouble
+    val clock = decRound(-log(u) / greatest(col("n_chars"), lit(1)).cast("double"), 6)
     val salt = pmod(xxhash64(col("doc_id"), lit(7)), lit(64))
     val w1 = Window.partitionBy(col("lang"), col("salt"))
       .orderBy(col("clock"), col("doc_id"))

@@ -34,19 +34,76 @@ object Multimodal {
     }
   }
 
-  /** Metadata extraction from the binary payload — pure column exprs. */
-  def mediaMeta(documents: DataFrame): DataFrame = {
+  /** Big-endian unsigned int from `n` bytes of a binary column at 1-based
+    * `pos` — substring+hex+conv, pure codegen exprs (no UDF). Null when
+    * the read runs past the payload (hex comes back short). */
+  private def beUint(payload: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column,
+                     n: Int): org.apache.spark.sql.Column = {
+    val h = hex(payload.substr(pos, lit(n)))
+    when(length(h) === n * 2, conv(h, 16, 10).cast("long"))
+  }
+
+  /** SOFn marker bytes (all frame-header types: C0-C3, C5-C7, C9-CB,
+    * CD-CF — everything but DHT/DAC/RST). */
+  private val JpegSofTypes: Seq[Long] =
+    Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).map(_.toLong)
+
+  /** Metadata extraction from the binary payload — pure column exprs.
+    *
+    * REAL header parsing for the two ubiquitous image containers:
+    * PNG (signature + IHDR width/height at fixed offsets, per the PNG
+    * spec the IHDR chunk is always first) and JPEG (FF D8 then a
+    * variable-length segment walk to the first SOFn frame header —
+    * unrolled to `maxJpegSegments` steps as STACKED projections, each
+    * step's cursor/found state materialized once per row; Catalyst keeps
+    * multi-referenced non-cheap producers stacked, see SURVEY §5).
+    * Payloads with any other magic fall back to the deterministic
+    * synthetic metadata (the sandbox corpus is text bytes, which can
+    * never carry the PNG/JPEG magic — real parsing is spec-gated on
+    * crafted byte literals in TextMultimodalSpec). */
+  def mediaMeta(documents: DataFrame, maxJpegSegments: Int = 12): DataFrame = {
     val withBin = documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val len = octet_length(col("payload"))
-    withBin.select(
+    val p = col("payload")
+    val len = octet_length(p)
+    val isPng = hex(p.substr(lit(1), lit(8))) === "89504E470D0A1A0A" &&
+                hex(p.substr(lit(13), lit(4))) === "49484452"
+    val isJpeg = hex(p.substr(lit(1), lit(2))) === "FFD8"
+    // JPEG segment walk: cursor at the segment's FF byte (1-based);
+    // FF ty LL LL payload... → next = pos + 2 + be16(pos+2)
+    var df = withBin
+      .withColumn("_png", isPng)
+      .withColumn("_jpg", isJpeg)
+      .withColumn("_found0", lit(false))
+      .withColumn("_pos0", when(isJpeg, lit(3L)))
+    for (i <- 1 to maxJpegSegments) {
+      val pos = col(s"_pos${i - 1}")
+      val found = col(s"_found${i - 1}")
+      val isSof = coalesce(beUint(p, pos + 1, 1).isin(JpegSofTypes: _*), lit(false))
+      df = df
+        .withColumn(s"_found$i", found || isSof)
+        .withColumn(s"_pos$i", when(col(s"_found$i"), pos)
+          .otherwise(pos + lit(2) + coalesce(beUint(p, pos + 2, 2), lit(0L))))
+    }
+    val found = col(s"_found$maxJpegSegments")
+    val sof = col(s"_pos$maxJpegSegments")
+    // SOF layout from the FF byte: FF Cn LL LL precision H H W W
+    val jpegOk = col("_jpg") && found
+    df.select(
         col("doc_id"),
         len.as("byte_len"),
-        upper(hex(expr("substring(payload, 1, 2)"))).as("magic_hex"),
-        element_at(array(lit("image"), lit("audio"), lit("video")), pmod(len, lit(3)) + 1)
-          .as("media_type"),
-        (lit(64) + pmod(len, lit(577))).as("width"),
-        (lit(64) + pmod(len * 31, lit(331))).as("height"),
-        (lit(1) + pmod(len, lit(5))).as("n_frames"))
+        upper(hex(p.substr(lit(1), lit(2)))).as("magic_hex"),
+        when(col("_png") || col("_jpg"), lit("image"))
+          .otherwise(element_at(array(lit("image"), lit("audio"), lit("video")),
+            pmod(len, lit(3)) + 1)).as("media_type"),
+        when(col("_png"), beUint(p, lit(17), 4).cast("int"))
+          .when(jpegOk, beUint(p, sof + 7, 2).cast("int"))
+          .otherwise(lit(64) + pmod(len, lit(577))).as("width"),
+        when(col("_png"), beUint(p, lit(21), 4).cast("int"))
+          .when(jpegOk, beUint(p, sof + 5, 2).cast("int"))
+          .otherwise(lit(64) + pmod(len * 31, lit(331))).as("height"),
+        when(col("_png") || jpegOk, lit(1))
+          .otherwise(lit(1) + pmod(len, lit(5))).as("n_frames"))
   }
 
   private def decodedFrames(spark: SparkSession, documents: DataFrame,

@@ -212,6 +212,40 @@ object TextOps {
         array_join(col("_kept"), " ").as("stripped_text"))
   }
 
+  /** Corpus-learned BPE merge table (graft.functions.Bpe — the public
+    * Sennrich algorithm). The fit only touches the (word, count)
+    * aggregate: one distributed word count capped to the `maxVocab` most
+    * frequent words (deterministic count-desc/word tie-break), then a
+    * driver loop over that vocab-bounded dict — the corpus itself is
+    * never collected, so the shape holds at 100 TB (k-means-centroid-
+    * style model state). */
+  def bpeLearn(documents: DataFrame, numMerges: Int = 40,
+               maxVocab: Int = 100000): Seq[(String, String)] = {
+    val wc = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.learn(wc, numMerges)
+  }
+
+  /** Apply a learned merge table: map-only native codegen segmentation
+    * per document (graft_bpe_segment), no shuffle. Emits the real-token
+    * count a packing/budgeting pipeline needs plus the segmentation
+    * itself (space-joined — subwords never contain whitespace). */
+  def bpeTokenize(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents
+      .withColumn("_bpe", call_function("graft_bpe_segment", col("text"),
+        lit(merges.map { case (a, b) => s"$a $b" }.toArray)))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        size(col("_bpe")).as("n_bpe_tokens"),
+        array_join(col("_bpe"), " ").as("bpe_text"))
+
+  /** Gated t11: learn on the corpus, segment the corpus. */
+  def bpeTokens(documents: DataFrame, numMerges: Int = 40): DataFrame =
+    bpeTokenize(documents, bpeLearn(documents, numMerges))
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

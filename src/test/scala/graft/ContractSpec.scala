@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
       "q38_percentiles_approx", "s5_knn_lsh_graph", "d11_incremental",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
       "s6_kmeans", "s7_pagerank", "c19_quantile_rollup", "st10_sketch_stream",
-      "c20_weighted_sample", "d14_multi_clusters", "d15_simhash_incremental",
-      "s8_label_prop", "s9_diversity_sample"))
+      "d14_multi_clusters", "d15_simhash_incremental",
+      "s8_label_prop", "s9_diversity_sample", "t11_bpe_tokens"))
   }
 }

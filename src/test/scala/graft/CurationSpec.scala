@@ -367,16 +367,18 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     val k = 20
     val out = Curation.weightedSample(docs, k).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    // driver reference: same hash clock (Spark result provides the hash
-    // via a one-column projection — JVM Math.log matches Spark's log)
+    // driver reference: the full ES clock recomputed in plain Scala —
+    // same engine-independent integer hash, same decimal-6 rounding
     val hashed = docs
-      .select(col("lang"), col("doc_id"), col("n_chars"),
-        pmod(xxhash64(col("doc_id"), lit(42)), lit(1L << 52)).as("h"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val ref = hashed.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
-      rows.toSeq.map { case (_, id, nc, h) =>
-        val u = (h + 1).toDouble / (1L << 52).toDouble
-        (id, -math.log(u) / math.max(nc, 1L).toDouble)
+      rows.toSeq.map { case (_, id, nc) =>
+        val h = ((id % 1000003L) * 2246822519L + 15485863L) % 1000000L
+        val u = (h + 1).toDouble / 1000000.0
+        val clock = BigDecimal(-math.log(u) / math.max(nc, 1L).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, clock)
       }.sortBy { case (id, c) => (c, id) }.take(k).zipWithIndex
         .map { case ((id, _), i) => (lang, i + 1, id) }
     }.toSet

@@ -129,6 +129,40 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("media meta: real PNG/JPEG header bytes parse to true dimensions") {
+    import spark.implicits._
+    // minimal PNG: signature, IHDR length, "IHDR", width=640, height=480
+    val png: Array[Byte] = (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, 0x00, 0x00, 0x01, 0xE0,
+      0x08, 0x06, 0x00, 0x00, 0x00)).map(_.toByte).toArray
+    // JPEG: SOI, APP0(JFIF, len 16), COM(len 4), SOF0 h=240 w=320 —
+    // the SOF sits two variable-length segments deep
+    val jpeg: Array[Byte] = (Seq(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46, 0x49, 0x46, 0x00, 0x01,
+      0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xFE, 0x00, 0x04, 0x68, 0x69,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0xF0, 0x01, 0x40, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)).map(_.toByte).toArray
+    val truncated: Array[Byte] = Array(0xFF.toByte, 0xD8.toByte) // SOI only, no SOF
+    val text: Array[Byte] = "plain text payload".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, text))
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaMeta(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("media_type"), r.getAs[Int]("width"),
+          r.getAs[Int]("height"), r.getAs[Int]("n_frames"))).toMap
+    assert(out(1L) === ("image", 640, 480, 1))
+    assert(out(2L) === ("image", 320, 240, 1))
+    // truncated JPEG: magic says image, dims fall back to synthetic
+    assert(out(3L)._1 === "image")
+    assert(out(3L)._2 === 64 + 2 % 577 && out(3L)._3 === 64 + (2 * 31) % 331)
+    // unknown magic: full synthetic fallback
+    val len = text.length
+    assert(out(4L) === (Seq("image", "audio", "video")(len % 3),
+      64 + len % 577, 64 + (len * 31) % 331, 1 + len % 5))
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
