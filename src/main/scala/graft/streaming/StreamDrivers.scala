@@ -242,13 +242,21 @@ object StreamDrivers {
                               outer: Boolean): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ssjoin")
-    try withStatePartitions(spark, 8) {
+    // ONE state partition: a stream-stream join keeps FOUR state stores
+    // per partition (keyWithIndex + keyToNumValues per side), and each
+    // store pays a per-batch delta-commit regardless of rows — measured
+    // addBatch ~1.2 s/batch even for 0-row watermark batches at 8
+    // partitions, and the drain is 9 batches deep. Data volume is 20k
+    // rows/batch at harness scale, so one partition loses nothing; a
+    // production deployment sizes this to keyspace ÷ executor memory
+    // (see withStatePartitions doc).
+    try withStatePartitions(spark, 1) {
       val evs = graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).head()
       val lastMs = bounds.getTimestamp(1).getTime
       val mid = new Timestamp((bounds.getTimestamp(0).getTime + lastMs) / 2)
-      def stage(types: String): (String, MtimeStamper) = {
+      def stage(types: String, sentinelId: Long): (String, MtimeStamper) = {
         val p = s"$dir/$types"
         val side = evs.filter(col("event_type") === types)
         val stamper = new MtimeStamper
@@ -256,10 +264,24 @@ object StreamDrivers {
         stamper.stamp(p)
         side.filter(col("ts") > mid).coalesce(1).write.mode("append").parquet(p)
         stamper.stamp(p)
+        if (outer) {
+          // the drain sentinel PRE-STAGED as the source's last file
+          // (mtime-ordered after both data files, so maxFilesPerTrigger=1
+          // still forces the data rows through separate batches first):
+          // once both sources' sentinels are read, the global watermark
+          // passes every eviction point and the engine's no-data batch
+          // flushes the null-padded matches — no live-staged drain rounds
+          // needed (measured: 9 batches → 5-6). 4 h clears every eviction
+          // point: 1 h join interval + 2 h watermark delay + slack.
+          Seq(StreamOps.Ev(sentinelId,
+            new Timestamp(lastMs + 4L * 3600 * 1000), SentinelUser, "sentinel", 0.0))
+            .toDF().coalesce(1).write.mode("append").parquet(p)
+          stamper.stamp(p)
+        }
         (p, stamper)
       }
-      val (pDir, pStamper) = stage("purchase")
-      val (sDir, sStamper) = stage("signup")
+      val (pDir, _) = stage("purchase", -1L)
+      val (sDir, _) = stage("signup", -2L)
       def src(p: String) = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1").parquet(p)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Long)]
@@ -274,20 +296,10 @@ object StreamDrivers {
         }
         .start()
       q.processAllAvailable()
-      if (outer) {
-        // two rounds, both sources each (see intervalJoinOuterFileStream
-        // doc); sentinel ids are distinct so the two far-future rows match
-        // only each other and are filtered by user below. 4 h clears every
-        // eviction point: 1 h join interval + 2 h watermark delay + slack.
-        Seq(4L * 3600, 4L * 3600 + 60).foreach { off =>
-          Seq((pDir, pStamper, -1L), (sDir, sStamper, -2L)).foreach {
-            case (p, st, id) =>
-              st.stageLive(Seq(StreamOps.Ev(id, new Timestamp(lastMs + off * 1000),
-                SentinelUser, "sentinel", 0.0)).toDF(), p)
-          }
-          q.processAllAvailable()
-        }
-      }
+      // drain-cost audit hook: batch count + per-batch wall time
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[st-join] batch=${p.batchId} rows=${p.numInputRows} ms=${p.durationMs}"))
       q.stop()
       buf.toSeq.filter(_._3 != SentinelUser).toDF("l_id", "r_id", "user_id")
         // asc_nulls_first == the oracle's ORDER BY 1, 2 NULLS FIRST
