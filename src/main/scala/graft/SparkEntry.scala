@@ -510,19 +510,18 @@ object SparkEntry {
   // from these fragments, so a tie-break or score tweak cannot
   // desynchronize the oracles from each other (they must all hash-match
   // the one Spark implementation in TextOps).
+  // generated from TextOps.langOrder so SQL and Spark can never list
+  // different languages or disagree on tie-break priority
   private def langScoresSql =
-    s"""SELECT doc_id, ${stopHits("en")} AS score_en, ${stopHits("es")} AS score_es,
-        ${stopHits("de")} AS score_de, ${stopHits("fr")} AS score_fr,
-        ${stopHits("zh")} AS score_zh
+    s"""SELECT doc_id, ${TextOps.langOrder.map(l => s"${stopHits(l)} AS score_$l").mkString(",\n        ")}
         FROM (SELECT doc_id, $toks AS t FROM documents)"""
   private val predLangCase = {
-    val g = "greatest(score_en, score_es, score_de, score_fr, score_zh)"
+    val g = TextOps.langOrder.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val whens = TextOps.langOrder.init
+      .map(l => s"WHEN score_$l = $g THEN '$l'").mkString("\n         ")
     s"""CASE WHEN $g = 0 THEN 'und'
-         WHEN score_en = $g THEN 'en'
-         WHEN score_es = $g THEN 'es'
-         WHEN score_de = $g THEN 'de'
-         WHEN score_fr = $g THEN 'fr'
-         ELSE 'zh' END"""
+         $whens
+         ELSE '${TextOps.langOrder.last}' END"""
   }
   private def predLangSql =
     s"SELECT doc_id, $predLangCase AS pred_lang FROM ($langScoresSql)"
@@ -920,7 +919,7 @@ object SparkEntry {
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
     "t1_lang_id" ->
       s"""WITH s AS ($langScoresSql)
-          SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+          SELECT doc_id, ${TextOps.langOrder.map(l => s"score_$l").mkString(", ")},
           $predLangCase AS pred_lang
           FROM s ORDER BY doc_id""",
     "t2_quality" ->
@@ -998,6 +997,14 @@ object SparkEntry {
                 WHEN ((doc_id % 1000003) * 2654435761 + 104729) % 100 < 95 THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // c4: the stratified gate replayed — stratum mixed in via leading
+    // character codes, integer arithmetic end to end (seed 42, frac 0.5)
+    "c4_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+         WHERE ((doc_id % 1000003) * 2246822519 +
+                (ord(substr(lang, 1, 1)) * 31 + ord(substr(lang, 2, 1))) * 97003
+                + 42) % 1000000 < 500000
+         GROUP BY 1 ORDER BY lang""",
     "c5_length_buckets" ->
       """SELECT CASE WHEN n_chars >= 500 THEN 5 WHEN n_chars >= 400 THEN 4
            WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 200 THEN 2

@@ -75,8 +75,17 @@ object Curation {
     * seeded per-row hash gate admits ~`fraction` of each stratum.
     * Unlike `sampleBy` (whose rand(seed) depends on partition layout,
     * so results shift with cluster size), the hash gate is reproducible
-    * on any partitioning/engine, and the plan stays lazy — no
-    * driver-side distinct() at construction time (rows-only check). */
+    * on any partitioning, and the plan stays lazy — no driver-side
+    * distinct() at construction time. The gate is the repo's
+    * engine-independent integer hash (sourceMix's overflow-safe shape)
+    * with the stratum mixed in through its leading character codes, so
+    * the full DuckDB oracle replays it — pure integer arithmetic end to
+    * end. */
+  private def stratumGate(seed: Long): Column =
+    pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L +
+      (ascii(col("lang")) * 31 + ascii(substring(col("lang"), 2, 1))) * lit(97003L) +
+      lit(seed), lit(1000000L))
+
   def stratifiedSample(documents: DataFrame, fractions: Map[String, Double],
                        seed: Long): DataFrame = {
     val M = 1000000L
@@ -84,8 +93,7 @@ object Curation {
       when(col("lang") === k, f).otherwise(acc)
     }
     documents
-      .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
-        (frac * M).cast("long"))
+      .filter(stratumGate(seed) < (frac * M).cast("long"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
   }
 
@@ -134,8 +142,7 @@ object Curation {
                        seed: Long = 42): DataFrame = {
     val M = 1000000L
     documents
-      .filter(pmod(xxhash64(col("lang"), col("doc_id"), lit(seed)), lit(M)) <
-        (fraction * M).toLong)
+      .filter(stratumGate(seed) < (fraction * M).toLong)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
   }
 

@@ -18,11 +18,17 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "per"),
+    "pt" -> Seq("o", "a", "de", "e", "que", "do", "em"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "te", "dat"))
 
   /** Tie-break priority for [[predLangFromScores]] — mirrored by every
-    * oracle CASE chain, so it is part of the cross-engine contract. */
-  val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+    * oracle CASE chain (generated from this list), so it is part of the
+    * cross-engine contract. New languages append at the END: priority of
+    * the original five is frozen, so historical predictions are stable
+    * under coverage growth. */
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh", "it", "pt", "nl")
 
   /** Stopword-overlap language ID with a fixed priority tie-break.
     * Tokens are materialized once per row before the per-language scans. */

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("rows-only set is exactly the documented engine-specific operators") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("c4_stratified_sample", "d2_dedup_minhash",
+    assert(rowsOnly === Set("d2_dedup_minhash",
       "d3_dedup_simhash", "q13_approx_distinct", "s2_ann_lsh", "s3_ann_ivf",
       "q38_percentiles_approx", "s5_knn_lsh_graph", "d11_incremental",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",

@@ -115,7 +115,8 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
         graft.operators.Curation.curationFunnel(table("documents"))).foreach { df =>
       val p = df.queryExecution.optimizedPlan.toString
       val scans = p.sliding("array_contains".length).count(_ == "array_contains")
-      assert(scans === 5, s"expected 5 stopword scans, found $scans in:\n$p")
+      val n = graft.operators.TextOps.langOrder.size
+      assert(scans === n, s"expected $n stopword scans, found $scans in:\n$p")
     }
   }
 
@@ -203,6 +204,31 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     // would mean the snapshot got windowed
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows === 1, s"expected 1 window (changelog collapse), got $windows in:\n$p")
+  }
+
+  test("pii scrub and bpe apply are pure maps: no join, no exchange") {
+    Seq(graft.operators.TextOps.scrubPii(table("documents")),
+        graft.operators.TextOps.bpeTokenize(table("documents"),
+          Seq(("t", "h"), ("th", "e")))).foreach { df =>
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(!p.contains("Join"), s"map-only op introduced a join in:\n$p")
+      assert(!p.contains("Exchange"), s"map-only op shuffled in:\n$p")
+    }
+  }
+
+  test("bpe learn touches only the word aggregate: one exchange, top-k no global sort") {
+    // the fit's distributed part — word count + deterministic vocab cap
+    val wc = table("documents")
+      .select(explode(graft.functions.ColumnFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(100000)
+    wc.collect()
+    val p = plan(wc).split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected one word-count exchange, got $exchanges in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cap is not a top-k (global sort instead) in:\n$p")
   }
 
   test("csv and json round-trip with explicit schemas") {

@@ -9,7 +9,7 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
-      val scores = Seq("en", "es", "de", "fr", "zh").map(l => l -> r.getAs[Int](s"score_$l"))
+      val scores = TextOps.langOrder.map(l => l -> r.getAs[Int](s"score_$l"))
       val pred = r.getAs[String]("pred_lang")
       if (scores.forall(_._2 == 0)) assert(pred === "und")
       else {
