@@ -150,6 +150,7 @@ object SparkEntry {
     "t8_importance" -> Seq("doc_id"),
     "c14_percentile_gate" -> Seq("source"),
     "c15_token_packing" -> Seq("shard", "pack_id"),
+    "c23_bpe_packing" -> Seq("shard", "pack_id"),
     "c16_sketch_rollup" -> Seq("event_type"),
     "c17_freq_rollup" -> Seq("token"),
     "c20_weighted_sample" -> Seq("lang", "rn"),
@@ -342,6 +343,12 @@ object SparkEntry {
     // corpus-learned BPE: rows-only (the learn loop is not expressible in
     // ANSI SQL); exact driver-parity + invariants spec-asserted (BpeSpec)
     "t11_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(t(s, d, "documents"))),
+    // c15's packing re-gated on REAL tokenizer counts (t11's BPE) —
+    // rows-only for the same reason as t11; packing algebra itself is
+    // the c15 full-oracle path, parity spec-asserted in CurationSpec
+    "c23_bpe_packing" -> ((s, d) =>
+      Curation.tokenPackingBy(TextOps.bpeTokens(t(s, d, "documents")),
+        col("n_bpe_tokens"))),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
     // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
     // merged==direct and error-vs-exact are spec-asserted)

@@ -536,15 +536,25 @@ object Curation {
     * approx_bpe — swap in real tokenizer counts by joining a token-count
     * column upstream. */
   def tokenPacking(documents: DataFrame, budgetTokens: Long = 2048,
-                   nShards: Int = 8, seed: Long = 104729L): DataFrame = {
+                   nShards: Int = 8, seed: Long = 104729L): DataFrame =
+    tokenPackingBy(documents,
+      ceil(col("n_chars").cast("double") / 4).cast("long"),
+      budgetTokens, nShards, seed)
+
+  /** [[tokenPacking]] against a caller-supplied token-count column —
+    * the same per-shard next-fit, but the budget is honored against
+    * REAL tokenizer output instead of the chars/4 heuristic (the gated
+    * c23 composition packs by t11's corpus-learned BPE counts). */
+  def tokenPackingBy(documents: DataFrame, tokenCount: Column,
+                     budgetTokens: Long = 2048,
+                     nShards: Int = 8, seed: Long = 104729L): DataFrame = {
     val shard = shardCol(nShards, seed)
-    val tok = ceil(col("n_chars").cast("double") / 4).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     documents
-      .select(shard.as("shard"), col("doc_id"), tok.as("tok"))
+      .select(shard.as("shard"), col("doc_id"), tokenCount.cast("long").as("tok"))
       .withColumn("cum", sum(col("tok")).over(w))
       // integer division (div), not double floor — engine-exact
       .withColumn("pack_id", expr(s"(cum - tok) div $budgetTokens"))

@@ -208,6 +208,34 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(again === out.map(_.toString).toSet) // partitioning-independent
   }
 
+  test("bpe packing (c23): same next-fit algebra as c15, driven by real token counts") {
+    import graft.operators.TextOps
+    val docs = table("documents")
+    val counted = TextOps.bpeTokens(docs, numMerges = 25)
+    val out = Curation.tokenPackingBy(counted, col("n_bpe_tokens"), budgetTokens = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    // driver reference: next-fit in doc_id order per shard over the SAME
+    // counts (operator output is trusted for counts — BpeSpec pins those)
+    val rows = counted.select(col("doc_id"), col("n_bpe_tokens")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1)
+    val ref: Map[(Long, Long), (Long, Long)] = rows.toSeq.groupBy { case (id, _) =>
+      ((id % 1000003L) * 3266489917L + 104729L) % 8L
+    }.toSeq.flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.map { case (_, tok) =>
+        val packId = cum / 2048L; cum += tok
+        ((shard, packId), tok)
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    assert(out === ref)
+    // coverage + real-count wiring: totals match the t11 output exactly
+    assert(out.values.map(_._1).sum === docs.count())
+    assert(out.values.map(_._2).sum === rows.map(_._2).sum)
+  }
+
   test("shard assignment: partitions the corpus, roughly balanced, stable") {
     val docs = table("documents")
     val out = Curation.shardAssign(docs).collect()
