@@ -252,6 +252,25 @@ object TextOps {
   def bpeTokens(documents: DataFrame, numMerges: Int = 40): DataFrame =
     bpeTokenize(documents, bpeLearn(documents, numMerges))
 
+  /** Learned merges as a persistable model table (rank, first, second) —
+    * the same artifact idiom as the k-means centroids and sketch tables:
+    * fit once on the big corpus, save the (tiny) table, tokenize any
+    * later batch with [[bpeTokenize]] after [[bpeMergesFrom]]. */
+  def bpeMergesDF(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "first", "second")
+  }
+
+  /** Inverse of [[bpeMergesDF]]: rank order restored regardless of the
+    * table's storage order. */
+  def bpeMergesFrom(df: DataFrame): Seq[(String, String)] =
+    df.select(col("rank"), col("first"), col("second"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

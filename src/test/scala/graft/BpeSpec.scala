@@ -105,6 +105,40 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("merge table round-trips through parquet with identical segmentation") {
+    val docs = table("documents")
+    val merges = TextOps.bpeLearn(docs, numMerges = 25)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model")
+    try {
+      TextOps.bpeMergesDF(spark, merges).write.mode("overwrite")
+        .parquet(s"$dir/merges")
+      val loaded = TextOps.bpeMergesFrom(
+        spark.read.parquet(s"$dir/merges").orderBy(rand(7)))
+      assert(loaded === merges)
+      val a = TextOps.bpeTokenize(docs, merges).collect().map(_.toString).sorted
+      val b = TextOps.bpeTokenize(docs, loaded).collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  test("edge cases: empty text, one-char words, no applicable merges") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "a"), (3L, "a b c"), (4L, "  padded  "))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeTokenize(df, Seq(("x", "y")))
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((0, "")))          // empty doc -> zero tokens
+    assert(out(2L) === ((1, "a")))         // single char word survives
+    assert(out(3L) === ((3, "a b c")))     // no merge applies -> chars
+    assert(out(4L) === ((6, "p a d d e d"))) // trimmed, chars (no merges)
+  }
+
   test("greedy merge honors rank order, not adjacency order") {
     // merges: (b,c) rank 0, (a,b) rank 1 — "abc" must become [a, bc]
     val m = Seq(("b", "c"), ("a", "b"))
