@@ -20,9 +20,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(Tables.tune(s), dir, name)
 
-  /** One JVM-scoped scratch root for q39's z-ordered write, deleted on
+  /** One JVM-scoped scratch root for q39's z-ordered writes, deleted on
     * exit — per-invocation createTempDirectory leaked 16 parquet files
-    * every bench/verify run. writeZOrdered overwrites, so reuse is safe. */
+    * every bench/verify run. Each invocation still gets its OWN subdir
+    * (zorderDir()) so a later run's overwrite can never invalidate a
+    * DataFrame an earlier invocation returned and has not collected yet. */
   private lazy val zorderScratch: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-zorder")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -33,6 +35,15 @@ object SparkEntry {
     }))
     p.toString
   }
+  private val zorderRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private def zorderDir(): String =
+    s"$zorderScratch/run-${zorderRuns.incrementAndGet()}"
+
+  private val bpeFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeFit(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeFits.computeIfAbsent(d,
+      dir => graft.operators.TextOps.bpeLearn(t(s, dir, "documents")))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -341,13 +352,17 @@ object SparkEntry {
     "c14_percentile_gate" -> ((s, d) => Curation.percentileGate(t(s, d, "documents"))),
     "t9_stop_strip" -> ((s, d) => TextOps.stopStrip(t(s, d, "documents"))),
     // corpus-learned BPE: rows-only (the learn loop is not expressible in
-    // ANSI SQL); exact driver-parity + invariants spec-asserted (BpeSpec)
-    "t11_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(t(s, d, "documents"))),
+    // ANSI SQL); exact driver-parity + invariants spec-asserted (BpeSpec).
+    // The fit is memoized per sfDir so t11 and c23 share one word-count
+    // job + driver merge loop per sweep (it's a pure function of the dir)
+    "t11_bpe_tokens" -> ((s, d) =>
+      TextOps.bpeTokenize(t(s, d, "documents"), bpeFit(s, d))),
     // c15's packing re-gated on REAL tokenizer counts (t11's BPE) —
     // rows-only for the same reason as t11; packing algebra itself is
     // the c15 full-oracle path, parity spec-asserted in CurationSpec
     "c23_bpe_packing" -> ((s, d) =>
-      Curation.tokenPackingBy(TextOps.bpeTokens(t(s, d, "documents")),
+      Curation.tokenPackingBy(
+        TextOps.bpeTokenize(t(s, d, "documents"), bpeFit(s, d)),
         col("n_bpe_tokens"))),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
     // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
@@ -376,7 +391,7 @@ object SparkEntry {
     // is measured in BucketingSpec
     "q39_zorder_read" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("value"))
-      val out = zorderScratch + "/ev"
+      val out = zorderDir() + "/ev"
       graft.sources.Sources.writeZOrdered(ev, out, "user_id", "value", numFiles = 16)
       s.read.parquet(out)
         .filter(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
@@ -1009,6 +1024,7 @@ object SparkEntry {
     "c4_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled FROM documents
          WHERE ((doc_id % 1000003) * 2246822519 +
+                ((doc_id // 1000003) % 1000003) * 2654435761 +
                 (ord(substr(lang, 1, 1)) * 31 + ord(substr(lang, 2, 1))) * 97003
                 + 42) % 1000000 < 500000
          GROUP BY 1 ORDER BY lang""",
@@ -1376,7 +1392,8 @@ object SparkEntry {
     // double into ln, decimal-6 rounded clock, (clock, doc_id) ranking
     "c20_weighted_sample" ->
       """WITH c AS (SELECT lang, doc_id, n_chars,
-           CAST(CAST(-ln(CAST(((doc_id % 1000003) * 2246822519 + 15485863) % 1000000 + 1
+           CAST(CAST(-ln(CAST(((doc_id % 1000003) * 2246822519 +
+                 ((doc_id // 1000003) % 1000003) * 2654435761 + 15485863) % 1000000 + 1
                  AS DOUBLE) / 1000000.0)
                / greatest(n_chars, 1) AS DECIMAL(38,6)) AS DOUBLE) AS clock
            FROM documents),

@@ -110,7 +110,10 @@ object Bpe {
     * ColumnFns.tokens contract), each word greedily merged. Called from
     * generated code — one pass, no boxing beyond the symbol strings. */
   def segment(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
-    val words = text.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT, not the JVM default: Spark's lower() (the tokens()
+    // contract this mirrors) is locale-independent — a tr-locale driver
+    // must not produce dotless-ı tokens the learn side never saw
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < words.length) {

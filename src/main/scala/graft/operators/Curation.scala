@@ -83,6 +83,10 @@ object Curation {
     * end. */
   private def stratumGate(seed: Long): Column =
     pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L +
+      // second mixing term over the HIGH digits: without it, ids that
+      // differ by a multiple of 1000003 would gate identically — a
+      // systematic correlation once the corpus passes ~1M docs
+      pmod(expr("doc_id div 1000003"), lit(1000003L)) * 2654435761L +
       (ascii(col("lang")) * 31 + ascii(substring(col("lang"), 2, 1))) * lit(97003L) +
       lit(seed), lit(1000000L))
 
@@ -121,7 +125,9 @@ object Curation {
     * oracle replays the selection exactly. */
   def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
     val M = 1000000L
-    val u = (pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(15485863L),
+    // high-digit mixing term for the same reason as stratumGate's
+    val u = (pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L +
+      pmod(expr("doc_id div 1000003"), lit(1000003L)) * 2654435761L + lit(15485863L),
       lit(M)) + 1).cast("double") / M.toDouble
     val clock = decRound(-log(u) / greatest(col("n_chars"), lit(1)).cast("double"), 6)
     val salt = pmod(xxhash64(col("doc_id"), lit(7)), lit(64))

@@ -392,14 +392,17 @@ object Dedup {
                           maxDriverEdges: Long = -1L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // Fast-path bound derived from the ACTUAL driver heap, not a fixed
-    // constant: a collected edge costs ~100 B on-heap (Tuple2 + two boxed
-    // Longs + the union-find map entries), and the fast path may claim at
-    // most ~5% of maxMemory — heap/2000 ≈ 4M edges on an 8 GiB driver,
-    // 500k on 1 GiB. Callers can still pin the bound (tests pass 0 to
-    // force the distributed loop).
+    // constant. A collected edge's PEAK footprint is several hundred
+    // bytes, not sizeof(2 longs): the collect's Array[Row] (boxed values)
+    // is still reachable while the tuple array builds, and union-find
+    // adds boxed-Long map entries per node — budget ~400 B/edge against
+    // ~5% of maxMemory (heap/8000 ≈ 1M edges on 8 GiB), with an absolute
+    // 8M cap so a huge-heap driver never volunteers for a graph the
+    // distributed loop should own. Callers can still pin the bound
+    // (tests pass 0 to force the distributed loop).
     val driverBound =
       if (maxDriverEdges >= 0L) maxDriverEdges
-      else Runtime.getRuntime.maxMemory() / 2000L
+      else math.min(Runtime.getRuntime.maxMemory() / 8000L, 8000000L)
     // persist the EDGE LIST itself (often the output of an expensive pair
     // generation) so the size probe, the driver fast path and the
     // distributed loop all read the one materialization

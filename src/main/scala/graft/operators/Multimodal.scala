@@ -96,12 +96,17 @@ object Multimodal {
         when(col("_png") || col("_jpg"), lit("image"))
           .otherwise(element_at(array(lit("image"), lit("audio"), lit("video")),
             pmod(len, lit(3)) + 1)).as("media_type"),
-        when(col("_png"), beUint(p, lit(17), 4).cast("int"))
-          .when(jpegOk, beUint(p, sof + 7, 2).cast("int"))
-          .otherwise(lit(64) + pmod(len, lit(577))).as("width"),
-        when(col("_png"), beUint(p, lit(21), 4).cast("int"))
-          .when(jpegOk, beUint(p, sof + 5, 2).cast("int"))
-          .otherwise(lit(64) + pmod(len * 31, lit(331))).as("height"),
+        // coalesce, not just the when-chain: a payload truncated INSIDE
+        // the IHDR/SOF header makes beUint null — that row must fall
+        // back to the synthetic dims like any other unparseable payload
+        coalesce(
+          when(col("_png"), beUint(p, lit(17), 4).cast("int"))
+            .when(jpegOk, beUint(p, sof + 7, 2).cast("int")),
+          lit(64) + pmod(len, lit(577))).as("width"),
+        coalesce(
+          when(col("_png"), beUint(p, lit(21), 4).cast("int"))
+            .when(jpegOk, beUint(p, sof + 5, 2).cast("int")),
+          lit(64) + pmod(len * 31, lit(331))).as("height"),
         when(col("_png") || jpegOk, lit(1))
           .otherwise(lit(1) + pmod(len, lit(5))).as("n_frames"))
   }

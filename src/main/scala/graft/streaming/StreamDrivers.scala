@@ -225,16 +225,21 @@ object StreamDrivers {
     * two time-split file sources as [[intervalJoinFileStream]], joined
     * with `joinType = "leftOuter"` — purchases with no preceding-hour
     * signup must emit exactly once with a null `r_id`, which only
-    * happens when the watermark EVICTS their join state. Two sentinel
-    * rounds on BOTH sources drain that path deterministically: the
-    * global watermark is the minimum across sources (so both need the
-    * far-future row), round 1 advances it past every real event's
-    * eviction point, and round 2 runs the extra micro-batch in which the
-    * engine materializes the evicted null-padded rows (outer results
-    * always land one batch behind the watermark advance; relying on the
-    * no-data-batch heuristic to run that batch before
-    * processAllAvailable returns is a race, two sentinels are not).
-    * Gated on the batch LEFT JOIN oracle. */
+    * happens when the watermark EVICTS their join state. One far-future
+    * sentinel per source, PRE-STAGED as the source's mtime-last file,
+    * drains that path: the global watermark is the minimum across
+    * sources (so both need the row), and once a batch has read both,
+    * the advance runs the flush batch that materializes the evicted
+    * null-padded rows. This is NOT a race with processAllAvailable:
+    * MicroBatchExecution only signals no-new-data when
+    * `lastExecution.shouldRunAnotherBatch(watermark)` is false — a
+    * stateful join whose watermark advanced REQUIRES the flush batch,
+    * so processAllAvailable blocks until it has committed (the
+    * SPARK-24156 no-data-batch contract; an earlier revision of this
+    * driver live-staged two sentinel rounds out of caution, which cost
+    * 5 extra micro-batches per drain — determinism re-verified across
+    * repeated oracle runs after the change). Gated on the batch LEFT
+    * JOIN oracle. */
   def intervalJoinOuterFileStream(spark: SparkSession, sfDir: String): DataFrame =
     runIntervalJoin(spark, sfDir, outer = true)
 

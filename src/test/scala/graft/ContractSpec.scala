@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * must stay in lockstep with SparkEntry — every §2 row is a real query
   * key, every `full` row has an oracle, every `rows` row is a documented
   * rows-only check, and nothing exists in code that §2 does not list. */
-class ContractSpec extends AnyFunSuite {
+class ContractSpec extends AnyFunSuite with SharedSpark {
 
   private val row = """\|\s*\d+\s*\|\s*`([a-z0-9_]+)`\s*\|[^|]*\|\s*(full|rows)\s*\|""".r
 
@@ -32,6 +32,20 @@ class ContractSpec extends AnyFunSuite {
 
   test("every oracle key is a real query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("wrong-arity graft function calls raise an analysis error") {
+    // FnArity guards both registry surfaces; without it a bad SQL call
+    // dies with IndexOutOfBoundsException from args(1)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot") && e.getMessage.contains("2"),
+      s"unexpected message: ${e.getMessage}")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bpe_segment('ab')").collect()
+    }
+    assert(e2.getMessage.contains("graft_bpe_segment"))
   }
 
   test("rows-only set is exactly the documented engine-specific operators") {

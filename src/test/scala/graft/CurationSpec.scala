@@ -402,7 +402,8 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val ref = hashed.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
       rows.toSeq.map { case (_, id, nc) =>
-        val h = ((id % 1000003L) * 2246822519L + 15485863L) % 1000000L
+        val h = ((id % 1000003L) * 2246822519L +
+          ((id / 1000003L) % 1000003L) * 2654435761L + 15485863L) % 1000000L
         val u = (h + 1).toDouble / 1000000.0
         val clock = BigDecimal(-math.log(u) / math.max(nc, 1L).toDouble)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

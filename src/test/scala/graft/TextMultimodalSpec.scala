@@ -145,8 +145,11 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0xF0, 0x01, 0x40, 0x03,
       0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)).map(_.toByte).toArray
     val truncated: Array[Byte] = Array(0xFF.toByte, 0xD8.toByte) // SOI only, no SOF
+    // SOF marker found but the payload ends before the dimension bytes
+    val midSof: Array[Byte] = (Seq(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08))
+      .map(_.toByte).toArray
     val text: Array[Byte] = "plain text payload".getBytes("UTF-8")
-    val df = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, text))
+    val df = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, text), (5L, midSof))
       .toDF("doc_id", "text")
     val out = Multimodal.mediaMeta(df).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -161,6 +164,9 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     val len = text.length
     assert(out(4L) === (Seq("image", "audio", "video")(len % 3),
       64 + len % 577, 64 + (len * 31) % 331, 1 + len % 5))
+    // SOF found but dims cut off: never NULL — dims fall back synthetic
+    assert(out(5L)._1 === "image")
+    assert(out(5L)._2 === 64 + 7 % 577 && out(5L)._3 === 64 + (7 * 31) % 331)
   }
 
   test("frame dedup: buckets cover all frames, bucket ids in range") {
