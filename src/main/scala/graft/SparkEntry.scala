@@ -141,6 +141,7 @@ object SparkEntry {
     "t5_scrub" -> Seq("event_id"),
     "t11_bpe_tokens" -> Seq("doc_id"),
     "t12_pii_scrub" -> Seq("doc_id"),
+    "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
@@ -309,6 +310,7 @@ object SparkEntry {
     "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
     "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
     "t5_scrub" -> ((s, d) => TextOps.scrubNumbers(t(s, d, "events"))),
+    "t13_chunking" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
     // PII breadth gate: the synthetic corpus carries no PII, so the query
     // plants deterministic email/URL/phone strings derived from doc_id
     // (identically in the oracle SQL) and scrubs them back out — the
@@ -1159,6 +1161,18 @@ object SparkEntry {
       """SELECT event_id, regexp_replace(props, '-?\d+', '<NUM>', 'g') AS scrubbed,
          CAST(len(regexp_extract_all(props, '-?\d+')) AS INTEGER) AS n_redactions
          FROM events ORDER BY event_id""",
+    // t13: windows of 64 tokens at stride 48; DuckDB list slicing is
+    // 1-based inclusive [a : b], Spark's slice(start, length) truncates
+    // at the array end — least() mirrors that
+    "t13_chunking" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          s AS (SELECT doc_id, t,
+            unnest(generate_series(1, len(t), 48)) AS start FROM tk),
+          c AS (SELECT doc_id, CAST((start - 1) // 48 AS INTEGER) AS chunk_id,
+            t[start : least(start + 63, len(t))] AS chunk FROM s)
+          SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_tokens,
+            array_to_string(chunk, ' ') AS chunk_text
+          FROM c ORDER BY doc_id, chunk_id""",
     // t12: same planted-PII construction as the Spark side, then the same
     // three sequential pattern passes (RE2 and java.util.regex agree on
     // this regex subset); counts taken against the pre-replace text of

@@ -271,6 +271,30 @@ object TextOps {
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Fixed-window document chunking with stride: every document becomes
+    * ⌈len/stride⌉ overlapping windows of up to `window` tokens (the
+    * context-window preprocessing step of training / retrieval
+    * pipelines; stride < window gives the standard overlap). Map +
+    * generate only — tokens materialize once, starts are a `sequence`,
+    * the slice happens right after the posexplode so the full token
+    * array is never carried per chunk row. No shuffle; row amplification
+    * is the output's intrinsic ⌈len/stride⌉ factor. */
+  def chunk(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("_starts", when(size(col("_toks")) > 0,
+        sequence(lit(1), size(col("_toks")), lit(stride)))
+        .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(col("_starts")).as(Seq("chunk_id", "_start")))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("_toks"), col("_start"), lit(window)).as("_chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_chunk")).as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

@@ -129,6 +129,33 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("chunking: stride coverage, window bound, stride-prefix reconstruction") {
+    import spark.implicits._
+    val docs = table("documents")
+    val out = TextOps.chunk(docs, window = 64, stride = 48).collect()
+      .groupBy(_.getLong(0))
+    val toks = docs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("text").toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).toMap
+    assert(out.keySet === toks.filter(_._2.nonEmpty).keySet)
+    out.foreach { case (id, chunks) =>
+      val ts = toks(id)
+      assert(chunks.length === (ts.length + 47) / 48, s"doc $id chunk count")
+      val sorted = chunks.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(sorted.indices))
+      sorted.foreach { c =>
+        val n = c.getAs[Int]("n_tokens")
+        assert(n >= 1 && n <= 64)
+        assert(c.getAs[String]("chunk_text").split(" ").length === n)
+      }
+      // the stride-prefix of each chunk tiles the document exactly
+      val rebuilt = sorted.flatMap(c =>
+        c.getAs[String]("chunk_text").split(" ").take(48))
+      assert(rebuilt.sameElements(ts), s"doc $id reconstruction")
+    }
+    // empty doc yields no chunks
+    assert(TextOps.chunk(Seq((99L, "")).toDF("doc_id", "text")).count() === 0)
+  }
+
   test("media meta: real PNG/JPEG header bytes parse to true dimensions") {
     import spark.implicits._
     // minimal PNG: signature, IHDR length, "IHDR", width=640, height=480
