@@ -223,7 +223,9 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "m4_media_text_gate" -> ((s, d) => Multimodal.mediaTextGate(t(s, d, "documents"))),
-    "m2_media_features" -> ((s, d) => Multimodal.mediaFrames(s, t(s, d, "documents"))),
+    // real ImageIO pixel decode on planted PNGs (every 16th doc_id),
+    // stub fallback on the text payloads — both branches full-oracle
+    "m2_media_features" -> ((s, d) => Multimodal.mediaFramesPlanted(s, t(s, d, "documents"))),
     "m3_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
@@ -373,9 +375,10 @@ object SparkEntry {
     // mergeable frequent-items rollup (rows-only: sketch internals are
     // engine-specific; sparse-regime exactness is spec-asserted)
     "c17_freq_rollup" -> ((s, d) => Curation.freqRollup(t(s, d, "documents"))),
-    // deterministic weighted reservoir sample (rows-only: ln of a
-    // hash-uniform is JVM-exact, not ANSI-reproducible; exact driver
-    // parity spec-asserted)
+    // deterministic weighted reservoir sample (FULL oracle: the
+    // Efraimidis–Spirakis clock is decimal-6-rounded from an
+    // engine-independent integer hash, so DuckDB replays the selection
+    // exactly; exact driver parity additionally spec-asserted)
     "c20_weighted_sample" -> ((s, d) => Curation.weightedSample(t(s, d, "documents"))),
     // bloom decontamination gate (rows-only: bit pattern is
     // Spark-sketch-specific; the build's one driver-side head() IS the
@@ -984,11 +987,29 @@ object SparkEntry {
               THEN 1 ELSE 0 END AS INTEGER) AS keep
           FROM documents d JOIN q ON d.doc_id = q.doc_id
           ORDER BY d.doc_id""",
+    // planted rows (doc_id % 16 = 0) replay the REAL decode: the planted
+    // PNG is a lossless gray gradient, so mean luminance = avg over the
+    // gradient — a single IEEE division of integer sums in both engines
     "m2_media_features" ->
-      """SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
-         CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,
-         64 AS feat_dim
+      """WITH planted AS (
+           SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                  CAST(3 + doc_id % 4 AS INTEGER) AS h
+           FROM documents WHERE doc_id % 16 = 0),
+         px AS (
+           SELECT doc_id, w, h, (doc_id * 31 + x * 7 + y * 13) % 256 AS g
+           FROM planted,
+             unnest(generate_series(0, w - 1)) AS xs(x),
+             unnest(generate_series(0, h - 1)) AS ys(y))
+         SELECT doc_id, 0 AS frame_id,
+           CAST(SUM(g) AS DOUBLE) / (255.0 * w * h) AS feat_mean,
+           CAST(w * h AS INTEGER) AS feat_dim
+         FROM px GROUP BY doc_id, w, h
+         UNION ALL
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,
+           64 AS feat_dim
          FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
+         WHERE doc_id % 16 <> 0
          ORDER BY doc_id, frame_id""",
     "m3_frame_dedup" ->
       """WITH fr AS (SELECT doc_id,
@@ -1027,7 +1048,8 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_sampled FROM documents
          WHERE ((doc_id % 1000003) * 2246822519 +
                 ((doc_id // 1000003) % 1000003) * 2654435761 +
-                (ord(substr(lang, 1, 1)) * 31 + ord(substr(lang, 2, 1))) * 97003
+                (CASE WHEN length(lang) >= 1 THEN ord(substr(lang, 1, 1)) ELSE 0 END * 31
+                 + CASE WHEN length(lang) >= 2 THEN ord(substr(lang, 2, 1)) ELSE 0 END) * 97003
                 + 42) % 1000000 < 500000
          GROUP BY 1 ORDER BY lang""",
     "c5_length_buckets" ->

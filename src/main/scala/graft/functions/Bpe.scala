@@ -149,6 +149,11 @@ case class BpeSegment(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> merges, got ${right.dataType}")
     else if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName merges must be a literal (foldable) merge table")
+    // a foldable NULL (e.g. CAST(NULL AS ARRAY<STRING>)) would pass the
+    // shape checks but NPE when the ranks map is built — reject it at
+    // analysis time with a clear message instead
+    else if (right.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName merges literal must not be null")
     else TypeCheckResult.TypeCheckSuccess
 
   private lazy val ranks: java.util.HashMap[String, Integer] = {

@@ -81,14 +81,23 @@ object Curation {
     * with the stratum mixed in through its leading character codes, so
     * the full DuckDB oracle replays it — pure integer arithmetic end to
     * end. */
-  private def stratumGate(seed: Long): Column =
+  private def stratumGate(seed: Long): Column = {
+    // char codes are length-guarded EXPLICITLY (not via Spark's
+    // ascii('')==0 convention) so the DuckDB oracle can mirror the same
+    // CASE — ord('') errors there, and an unguarded oracle would diverge
+    // on any stratum label shorter than 2 chars
+    val c1 = when(length(col("lang")) >= 1, ascii(substring(col("lang"), 1, 1)))
+      .otherwise(lit(0))
+    val c2 = when(length(col("lang")) >= 2, ascii(substring(col("lang"), 2, 1)))
+      .otherwise(lit(0))
     pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L +
       // second mixing term over the HIGH digits: without it, ids that
       // differ by a multiple of 1000003 would gate identically — a
       // systematic correlation once the corpus passes ~1M docs
       pmod(expr("doc_id div 1000003"), lit(1000003L)) * 2654435761L +
-      (ascii(col("lang")) * 31 + ascii(substring(col("lang"), 2, 1))) * lit(97003L) +
+      (c1 * 31 + c2) * lit(97003L) +
       lit(seed), lit(1000000L))
+  }
 
   def stratifiedSample(documents: DataFrame, fractions: Map[String, Double],
                        seed: Long): DataFrame = {
@@ -122,7 +131,14 @@ object Curation {
     * so both engines feed `ln` the SAME IEEE double; the clock is
     * decimal-rounded at 6 — the repo's standard boundary — and the
     * RANKING uses the rounded clock with a doc_id tie-break, so the
-    * oracle replays the selection exactly. */
+    * oracle replays the selection exactly. Residual risk: `ln` is the
+    * one non-integer step in the replay, relying on JVM Math.log and
+    * DuckDB's libm agreeing to the last ulp; a 1-ulp divergence landing
+    * exactly on a 0.5e-6 rounding boundary would flip the rounded clock
+    * and could change top-k membership. Probability is negligible, but
+    * if a hash-gate flake ever appears, snap the clock to the grid from
+    * integer inputs (precompute −ln((h+1)/1e6) at fixed granularity)
+    * instead of widening the rounding. */
   def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
     val M = 1000000L
     // high-digit mixing term for the same reason as stratumGate's

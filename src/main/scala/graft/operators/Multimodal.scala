@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` + typed metadata.
   *
-  * The real decode step (image/audio/video libraries) is STUBBED — this
-  * container has no media codecs — behind [[MediaDecoder]]. Everything
-  * Spark-side is real and tested: binary column handling, typed Encoders,
-  * per-partition decoder initialization (`mapPartitions`, the Scala
-  * analogue of batched `mapInPandas`), and the explode-to-frames shape a
-  * video pipeline produces.
+  * The decode step is REAL for the two image containers the JDK ships
+  * codecs for — PNG and JPEG via `javax.imageio.ImageIO`, see
+  * [[ImageIoDecoder]] — and STUBBED only for payloads no JDK reader
+  * recognizes (audio/video would need external codecs this container
+  * doesn't have). Everything Spark-side is real and tested: binary
+  * column handling, typed Encoders, per-partition decoder
+  * initialization (`mapPartitions`, the Scala analogue of batched
+  * `mapInPandas`), and the explode-to-frames shape a video pipeline
+  * produces.
   */
 object Multimodal {
 
@@ -23,15 +26,108 @@ object Multimodal {
     def frames(m: MediaIn): Iterator[FrameFeature]
   }
 
-  /** Deterministic stand-in for a real codec: "samples" 1 + len%5 frames
-    * and emits an arithmetic feature. A real impl would decode `payload`
-    * here; nothing outside this class would change. */
+  /** Deterministic stand-in for a codec the JVM doesn't have: "samples"
+    * 1 + len%5 frames and emits an arithmetic feature. Kept as the
+    * fallback tier of [[ImageIoDecoder]] and as the audio/video
+    * stand-in. */
   object StubDecoder extends MediaDecoder {
     def frames(m: MediaIn): Iterator[FrameFeature] = {
       val n = 1 + (m.payload.length % 5)
       Iterator.tabulate(n)(i =>
         FrameFeature(m.doc_id, i, ((m.doc_id * 31 + i * 7) % 997).toDouble / 997.0, 64))
     }
+  }
+
+  /** REAL pixel decoder: PNG/JPEG payloads (recognized by magic, the
+    * same magics m1's header parse keys on) are decoded with the JDK's
+    * own ImageIO readers — no external codecs — and emit one frame with
+    * the mean channel luminance over ALL real decoded pixels
+    * (`sum(r+g+b) / (3·255·w·h)`, a single IEEE division of integer
+    * sums, so a deterministic oracle can replay it exactly for lossless
+    * planted PNGs) and `feat_dim` = pixel count. Anything ImageIO can't
+    * read — wrong magic, truncated or corrupt image bytes — falls back
+    * to [[StubDecoder]]: decode failure must degrade a row, never abort
+    * a 100 TB job. One ImageIO call per payload, no shared state —
+    * safe inside `mapPartitions` without per-partition init. */
+  object ImageIoDecoder extends MediaDecoder {
+    private def looksDecodable(b: Array[Byte]): Boolean =
+      (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+
+    def frames(m: MediaIn): Iterator[FrameFeature] = {
+      // cheap magic gate first: the overwhelmingly common case at scale
+      // is a non-image payload, which must not pay an ImageIO attempt
+      if (!looksDecodable(m.payload)) return StubDecoder.frames(m)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img == null) StubDecoder.frames(m)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Iterator.single(FrameFeature(m.doc_id, 0,
+          sum.toDouble / (765.0 * w * h), w * h))
+      }
+    }
+  }
+
+  /** Deterministic planted image payloads for the oracle gate: the
+    * synthetic corpus is text bytes (never a real image), so — the same
+    * planted-data idiom as the t12 PII gate — every `every`-th doc_id
+    * gets a real PNG whose gray gradient is a pure function of doc_id:
+    * `w = 4 + id%5`, `h = 3 + id%4`, `gray(x,y) = (id·31+x·7+y·13)%256`.
+    * PNG is lossless, so the decoded mean luminance equals the gradient
+    * mean, which DuckDB replays with generate_series — the REAL decode
+    * path gets a full hash oracle. (JPEG decode is real too but lossy,
+    * so it is spec-gated with a tolerance, not oracle-gated.) */
+  object PlantedImages {
+    val Every = 16
+
+    def craftedPng(docId: Long): Array[Byte] = {
+      val w = 4 + (docId % 5).toInt
+      val h = 3 + (docId % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Documents with planted real-PNG payloads on every `every`-th
+    * doc_id (text bytes otherwise — identical to `cast(text as binary)`,
+    * both UTF-8). Typed map: payload synthesis is per-row JVM work just
+    * like the decode step that follows it. */
+  def plantedMedia(spark: SparkSession, documents: DataFrame,
+                   every: Int = PlantedImages.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedImages.craftedPng(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
   }
 
   /** Big-endian unsigned int from `n` bytes of a binary column at 1-based
@@ -41,6 +137,16 @@ object Multimodal {
                      n: Int): org.apache.spark.sql.Column = {
     val h = hex(payload.substr(pos, lit(n)))
     when(length(h) === n * 2, conv(h, 16, 10).cast("long"))
+  }
+
+  /** beUint range-gated to the signed-int domain before the cast: a
+    * crafted/corrupt 4-byte dimension >= 2^31 must become null (and fall
+    * into the caller's coalesce fallback), not throw the whole job under
+    * ANSI overflow checking. */
+  private def beUintInt(payload: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column,
+                        n: Int): org.apache.spark.sql.Column = {
+    val v = beUint(payload, pos, n)
+    when(v <= lit(Int.MaxValue.toLong), v).cast("int")
   }
 
   /** SOFn marker bytes (all frame-header types: C0-C3, C5-C7, C9-CB,
@@ -100,32 +206,47 @@ object Multimodal {
         // the IHDR/SOF header makes beUint null — that row must fall
         // back to the synthetic dims like any other unparseable payload
         coalesce(
-          when(col("_png"), beUint(p, lit(17), 4).cast("int"))
+          when(col("_png"), beUintInt(p, lit(17), 4))
             .when(jpegOk, beUint(p, sof + 7, 2).cast("int")),
           lit(64) + pmod(len, lit(577))).as("width"),
         coalesce(
-          when(col("_png"), beUint(p, lit(21), 4).cast("int"))
+          when(col("_png"), beUintInt(p, lit(21), 4))
             .when(jpegOk, beUint(p, sof + 5, 2).cast("int")),
           lit(64) + pmod(len * 31, lit(331))).as("height"),
         when(col("_png") || jpegOk, lit(1))
           .otherwise(lit(1) + pmod(len, lit(5))).as("n_frames"))
   }
 
-  private def decodedFrames(spark: SparkSession, documents: DataFrame,
-                            decoder: MediaDecoder): DataFrame = {
+  private def decodedMedia(media: Dataset[MediaIn],
+                           decoder: MediaDecoder): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaIn] =
-      documents.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn]
     media.mapPartitions { it =>
       val dec = decoder // per-partition binding; a real codec would init here
       it.flatMap(dec.frames)
     }.toDF()
   }
 
-  /** Decode → per-frame features through the typed mapPartitions path. */
+  private def decodedFrames(spark: SparkSession, documents: DataFrame,
+                            decoder: MediaDecoder): DataFrame = {
+    import spark.implicits._
+    decodedMedia(
+      documents.select(col("doc_id"), col("text").cast("binary").as("payload")).as[MediaIn],
+      decoder)
+  }
+
+  /** Decode → per-frame features through the typed mapPartitions path.
+    * Default decoder is the REAL ImageIO path (stub fallback inside). */
   def mediaFrames(spark: SparkSession, documents: DataFrame,
-                  decoder: MediaDecoder = StubDecoder): DataFrame =
+                  decoder: MediaDecoder = ImageIoDecoder): DataFrame =
     decodedFrames(spark, documents, decoder)
+
+  /** The m2 gate path: plant real PNGs into the corpus, decode them with
+    * the real ImageIO decoder — planted rows exercise true pixel decode
+    * under the full hash oracle, text rows take the stub fallback. */
+  def mediaFramesPlanted(spark: SparkSession, documents: DataFrame,
+                         every: Int = PlantedImages.Every): DataFrame =
+    decodedMedia(plantedMedia(spark, documents, every), ImageIoDecoder)
 
   /** Joint text+media curation gate in ONE scan: the text-quality score
     * and the media metadata both derive from the same row, so the gate
@@ -155,7 +276,7 @@ object Multimodal {
     * downstream exact-verify joins within buckets exactly like the text
     * LSH family). Decode is map-side; one shuffle on the band key. */
   def frameDedup(spark: SparkSession, documents: DataFrame,
-                 decoder: MediaDecoder = StubDecoder, buckets: Int = 32): DataFrame =
+                 decoder: MediaDecoder = ImageIoDecoder, buckets: Int = 32): DataFrame =
     decodedFrames(spark, documents, decoder)
       .select(floor(col("feat_mean") * buckets).cast("int").as("bucket"), col("doc_id"))
       .groupBy(col("bucket"))

@@ -139,6 +139,18 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(out(4L) === ((6, "p a d d e d"))) // trimmed, chars (no merges)
   }
 
+  test("graft_bpe_segment rejects a null merges literal at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      df.select(expr("graft_bpe_segment(text, CAST(NULL AS ARRAY<STRING>))")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("null"))
+    // a valid empty merge table is still fine (chars pass through)
+    val ok = df.select(expr("graft_bpe_segment(text, CAST(ARRAY() AS ARRAY<STRING>))").as("t")).collect()(0)
+    assert(ok.getSeq[String](0) === Seq("a", "b"))
+  }
+
   test("greedy merge honors rank order, not adjacency order") {
     // merges: (b,c) rank 0, (a,b) rank 1 — "abc" must become [a, bc]
     val m = Seq(("b", "c"), ("a", "b"))

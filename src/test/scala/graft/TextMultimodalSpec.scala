@@ -196,6 +196,84 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(5L)._2 === 64 + 7 % 577 && out(5L)._3 === 64 + (7 * 31) % 331)
   }
 
+  test("image decoder: planted PNG decodes to the exact gradient features") {
+    Seq(0L, 16L, 32L, 48L, 464L, 1008L).foreach { id =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      var sumG = 0L
+      for (y <- 0 until h; x <- 0 until w) sumG += (id * 31 + x * 7 + y * 13) % 256
+      val f = Multimodal.ImageIoDecoder.frames(
+        Multimodal.MediaIn(id, Multimodal.PlantedImages.craftedPng(id))).toSeq
+      assert(f.length === 1, s"doc $id frame count")
+      assert(f.head.frame_id === 0)
+      assert(f.head.feat_dim === w * h, s"doc $id dims")
+      // decoder computes sum(r+g+b)/(765·n); the oracle replays it as
+      // sumG/(255·n) — IEEE division is correctly rounded, and the two
+      // real quotients are identical, so the doubles must be bit-equal
+      assert(f.head.feat_mean === (3 * sumG).toDouble / (765.0 * w * h), s"doc $id decoder mean")
+      assert(f.head.feat_mean === sumG.toDouble / (255.0 * w * h), s"doc $id oracle-form mean")
+    }
+  }
+
+  test("mediaFramesPlanted: planted rows real-decoded, text rows stub fallback") {
+    val out = Multimodal.mediaFramesPlanted(spark, table("documents")).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(out.keys.exists(_ % 16 == 0), "corpus must contain planted docs")
+    out.foreach { case (id, rows) =>
+      if (id % 16 == 0) {
+        assert(rows.length === 1, s"doc $id")
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        var sumG = 0L
+        for (y <- 0 until h; x <- 0 until w) sumG += (id * 31 + x * 7 + y * 13) % 256
+        assert(rows.head.getAs[Int]("feat_dim") === w * h)
+        assert(rows.head.getAs[Double]("feat_mean") === sumG.toDouble / (255.0 * w * h))
+      } else {
+        rows.foreach(r => assert(r.getAs[Int]("feat_dim") === 64, s"doc $id stub dim"))
+      }
+    }
+  }
+
+  test("image decoder: real JPEG decodes with true dims and approximate luminance") {
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val f = Multimodal.ImageIoDecoder.frames(
+      Multimodal.MediaIn(7L, baos.toByteArray)).toSeq
+    assert(f.length === 1)
+    assert(f.head.feat_dim === 200) // dims are lossless even through JPEG
+    // luminance is lossy (DCT quantization + YCbCr rounding): tolerance gate
+    assert(math.abs(f.head.feat_mean - 100.0 / 255.0) < 0.02)
+  }
+
+  test("image decoder: corrupt image bytes fall back to the stub tier") {
+    val junk = (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Seq.fill(24)(0x42)).map(_.toByte).toArray
+    val m = Multimodal.MediaIn(5L, junk)
+    assert(Multimodal.ImageIoDecoder.frames(m).toSeq ===
+      Multimodal.StubDecoder.frames(m).toSeq)
+    // plain text payload: magic gate short-circuits straight to stub
+    val t = Multimodal.MediaIn(6L, "not an image".getBytes("UTF-8"))
+    assert(Multimodal.ImageIoDecoder.frames(t).toSeq ===
+      Multimodal.StubDecoder.frames(t).toSeq)
+  }
+
+  test("media meta: PNG dims >= 2^31 fall back to synthetic instead of ANSI overflow") {
+    import spark.implicits._
+    // crafted IHDR with width 0x80000000 (out of signed-int range)
+    val bigPng: Array[Byte] = (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x80, 0x00, 0x00, 0x00, 0x00, 0x00, 0x01, 0xE0,
+      0x08, 0x06, 0x00, 0x00, 0x00)).map(_.toByte).toArray
+    val out = Multimodal.mediaMeta(Seq((1L, bigPng)).toDF("doc_id", "text")).collect()(0)
+    val len = bigPng.length
+    assert(out.getAs[String]("media_type") === "image")
+    assert(out.getAs[Int]("width") === 64 + len % 577)   // synthetic fallback
+    assert(out.getAs[Int]("height") === 480)             // in-range read survives
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
