@@ -119,6 +119,52 @@ object TextOps {
         qualityScoreCol(col("text"), toks).as("quality_score"))
   }
 
+  /** Gopher/C4-style quality-rule breadth (the public production rule
+    * set: Gopher's repetition-free document heuristics and C4's line
+    * rules): word-count bounds, mean word length bounds, symbol-to-word
+    * ratio, bullet-line and ellipsis-line fractions, alpha-word
+    * fraction, and the composite keep/drop flag a curation funnel
+    * gates on. Pure column algebra over ONE scan: the token and line
+    * arrays materialize once and every signal derives from those two
+    * attributes — map-only, no shuffle (plan spec-asserted). Every
+    * ratio is an int/int single IEEE division, so the full DuckDB
+    * oracle replays all eight columns exactly. */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val base = documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("_lines", split(col("text"), "\n"))
+    val toks = col("_toks")
+    val lines = col("_lines")
+    val nWords = size(toks)
+    val nLines = size(lines)
+    val charSum = aggregate(toks, lit(0), (a, t) => a + length(t))
+    // Gopher counts hash and ellipsis symbols; non-overlapping leftmost
+    // matching is identical in java.util.regex and RE2 for this pattern
+    val nSym = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+    val nBullet = size(filter(lines, l =>
+      ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") || ltrim(l).startsWith("• ")))
+    val nEllipsis = size(filter(lines, l => rtrim(l).endsWith("...")))
+    // tokens() lowercases, so [a-z] is the full letter test
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    base.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        (charSum.cast("double") / nullif(nWords, lit(0))).as("mean_word_len"),
+        (nSym.cast("double") / nullif(nWords, lit(0))).as("symbol_ratio"),
+        (nBullet.cast("double") / nullif(nLines, lit(0))).as("bullet_line_frac"),
+        (nEllipsis.cast("double") / nullif(nLines, lit(0))).as("ellipsis_line_frac"),
+        (nAlpha.cast("double") / nullif(nWords, lit(0))).as("alpha_word_frac"))
+      // when/otherwise, not a boolean cast: an empty doc has null ratios
+      // and must gate to 0 in BOTH engines (CASE ... ELSE 0 semantics)
+      .withColumn("keep", when(
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3, 10) &&
+        col("symbol_ratio") < 0.1 &&
+        col("bullet_line_frac") < 0.9 &&
+        col("ellipsis_line_frac") < 0.3 &&
+        col("alpha_word_frac") > 0.8, 1).otherwise(0))
+  }
+
   /** Whitespace + BPE-ish regex token counts + the len/4 heuristic. */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(

@@ -7,6 +7,46 @@ import graft.operators.Curation
 
 class CurationSpec extends AnyFunSuite with SharedSpark {
 
+  test("gopher rules: crafted docs score exactly; keep matches the rule conjunction") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, Array.fill(60)("word").mkString(" ")),      // clean: keep
+      (2L, "tiny doc"),                                // word-count bound fails
+      (3L, Array.fill(60)("word").mkString(" ") +
+        (1 to 10).map(i => s"\n- b$i").mkString),      // 10 bullets / 11 lines
+      (4L, Array.fill(60)("99").mkString(" ")),        // zero alpha words
+      (5L, Array.fill(60)("word").mkString(" ") + " # # # # # # # #"), // symbols
+      (6L, "")                                         // empty: null-safe gate
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.gopherQuality(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") === 1)
+    assert(out(1L).getAs[Double]("mean_word_len") === 4.0)
+    assert(out(1L).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out(2L).getAs[Int]("keep") === 0)
+    assert(out(3L).getAs[Double]("bullet_line_frac") === 10.0 / 11)
+    assert(out(3L).getAs[Int]("keep") === 0)
+    assert(out(4L).getAs[Double]("alpha_word_frac") === 0.0)
+    assert(out(4L).getAs[Int]("keep") === 0)
+    assert(out(5L).getAs[Double]("symbol_ratio") === 8.0 / 68)
+    assert(out(5L).getAs[Int]("keep") === 0)
+    assert(out(6L).getAs[Int]("keep") === 0)
+    // the gated (planted) corpus: both outcomes occur, and keep is
+    // EXACTLY the conjunction of the emitted signal columns
+    val gated = SparkEntry.queries("c24_quality_rules")(spark, SharedSpark.sfDir).collect()
+    assert(gated.map(_.getAs[Int]("keep")).distinct.sorted.sameElements(Array(0, 1)),
+      "planted corpus must produce both keeps and drops")
+    gated.foreach { r =>
+      val expect = r.getAs[Int]("n_words") >= 50 && r.getAs[Int]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3 && r.getAs[Double]("mean_word_len") <= 10 &&
+        r.getAs[Double]("symbol_ratio") < 0.1 &&
+        r.getAs[Double]("bullet_line_frac") < 0.9 &&
+        r.getAs[Double]("ellipsis_line_frac") < 0.3 &&
+        r.getAs[Double]("alpha_word_frac") > 0.8
+      assert(r.getAs[Int]("keep") === (if (expect) 1 else 0), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("top ngrams: df bounded by corpus size, descending") {
     val out = Curation.topNgrams(table("documents")).collect()
     assert(out.length <= 20)

@@ -206,10 +206,11 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(windows === 1, s"expected 1 window (changelog collapse), got $windows in:\n$p")
   }
 
-  test("pii scrub and bpe apply are pure maps: no join, no exchange") {
+  test("pii scrub, bpe apply and gopher rules are pure maps: no join, no exchange") {
     Seq(graft.operators.TextOps.scrubPii(table("documents")),
         graft.operators.TextOps.bpeTokenize(table("documents"),
-          Seq(("t", "h"), ("th", "e")))).foreach { df =>
+          Seq(("t", "h"), ("th", "e"))),
+        graft.operators.TextOps.gopherQuality(table("documents"))).foreach { df =>
       df.collect()
       val p = plan(df).split("== Initial Plan ==")(0)
       assert(!p.contains("Join"), s"map-only op introduced a join in:\n$p")
