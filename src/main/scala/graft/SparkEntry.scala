@@ -39,6 +39,17 @@ object SparkEntry {
   private def zorderDir(): String =
     s"$zorderScratch/run-${zorderRuns.incrementAndGet()}"
 
+  /** Deterministic per-sfDir stage root for oracle-readable side tables
+    * (c23's BPE count table). Deliberately NOT a random temp dir and NOT
+    * deleted on JVM exit: the DuckDB oracle reads these files AFTER the
+    * Verify JVM has exited (Verify substitutes this path for the
+    * __GRAFT_STAGE__ placeholder when dumping oracle_sql.json), and the
+    * fixed per-dataset path means a later run overwrites instead of
+    * accumulating — bounded, unlike the per-run temp dirs q39 once
+    * leaked. */
+  private[graft] def stageDir(sfDir: String): String =
+    "/tmp/graft-stage/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private val bpeFits =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
   private def bpeFit(s: SparkSession, d: String): Seq[(String, String)] =
@@ -387,10 +398,18 @@ object SparkEntry {
     // c15's packing re-gated on REAL tokenizer counts (t11's BPE) —
     // rows-only for the same reason as t11; packing algebra itself is
     // the c15 full-oracle path, parity spec-asserted in CurationSpec
-    "c23_bpe_packing" -> ((s, d) =>
-      Curation.tokenPackingBy(
-        TextOps.bpeTokenize(t(s, d, "documents"), bpeFit(s, d)),
-        col("n_bpe_tokens"))),
+    // FULL oracle via the staged-count idiom: the per-doc BPE counts are
+    // deterministic but only computable in the JVM (learned merge table
+    // + greedy segmentation), so the gate stages them as a parquet the
+    // DuckDB oracle reads, then the oracle replays the whole packing
+    // algebra (shard hash, running sum, integer-div pack ids) over them
+    "c23_bpe_packing" -> ((s, d) => {
+      val counts = TextOps.bpeTokenize(t(s, d, "documents"), bpeFit(s, d))
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      counts.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c23_bpe_counts")
+      Curation.tokenPackingBy(counts, col("n_bpe_tokens"))
+    }),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
     // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
     // merged==direct and error-vs-exact are spec-asserted)
@@ -1393,6 +1412,20 @@ object SparkEntry {
       """WITH t AS (SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
              doc_id, CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS tok
              FROM documents),
+         c AS (SELECT shard, doc_id, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM t)
+         SELECT shard, (cum - tok) // 2048 AS pack_id, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // c23: c15's packing algebra over the STAGED real BPE counts (the
+    // gate writes them; Verify rewrites __GRAFT_STAGE__ to the per-sfDir
+    // stage path when dumping oracle_sql.json)
+    "c23_bpe_packing" ->
+      """WITH t AS (SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
+             doc_id, CAST(n_bpe_tokens AS BIGINT) AS tok
+             FROM read_parquet('__GRAFT_STAGE__/c23_bpe_counts/*.parquet')),
          c AS (SELECT shard, doc_id, tok,
              CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum

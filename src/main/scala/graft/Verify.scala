@@ -39,9 +39,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __GRAFT_STAGE__ resolves to the per-sfDir stage root where the
+    // gates above just wrote their oracle-readable side tables (c23's
+    // BPE counts) — the oracle runs after this JVM exits, so the path
+    // must be substituted here, not computed in the static map
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_STAGE__", SparkEntry.stageDir(sfDir)))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

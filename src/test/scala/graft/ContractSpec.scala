@@ -56,7 +56,6 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
       "s6_kmeans", "s7_pagerank", "c19_quantile_rollup", "st10_sketch_stream",
       "d14_multi_clusters", "d15_simhash_incremental",
-      "s8_label_prop", "s9_diversity_sample", "t11_bpe_tokens",
-      "c23_bpe_packing"))
+      "s8_label_prop", "s9_diversity_sample", "t11_bpe_tokens"))
   }
 }
