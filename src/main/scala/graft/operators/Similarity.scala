@@ -125,8 +125,25 @@ object Similarity {
     * declared exact baseline that gates correctness; [[knnGraphLsh]] is
     * the sub-quadratic scale path verified against it. No broadcast hint
     * — both join sides are the corpus, so the pair join shuffles (AQE
-    * picks broadcast while one side still fits). */
-  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    * picks broadcast while one side still fits).
+    *
+    * SCALE GUARD: at real corpus size the all-pairs join is a cartesian
+    * — an accidental 100M-vector call would be a ~10^16-row stage. The
+    * construction-time probe (`limit(n+1).count`, bounded by the limit,
+    * never a full scan) refuses corpora above `maxExactRows` unless the
+    * caller passes `force = true`, pointing at [[knnGraphLsh]] instead.
+    * The refusal is deliberately an ERROR, not a silent fallback to the
+    * LSH twin: the two differ in recall, and a baseline that silently
+    * degrades stops being a baseline. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3,
+               maxExactRows: Long = 100000, force: Boolean = false): DataFrame = {
+    if (!force) {
+      val probed = embeddings
+        .limit(math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt).count()
+      require(probed <= maxExactRows,
+        s"knnGraph is the O(n²) exact baseline and the corpus exceeds $maxExactRows " +
+        s"vectors; use knnGraphLsh (sub-quadratic, recall-spec'd) or pass force = true")
+    }
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     def pairs = v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))

@@ -309,6 +309,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.08, s"LSH knn-graph recall collapsed: $recall")
   }
 
+  test("k-NN graph refuses a corpus above the exact-baseline bound unless forced") {
+    val emb = table("embeddings")
+    val n = emb.count()
+    // the probe refuses the O(n²) baseline at distributed size...
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(emb, k = 3, maxExactRows = n - 1)
+    }
+    assert(ex.getMessage.contains("knnGraphLsh"))
+    // ...force overrides for deliberate truth-set builds...
+    assert(Similarity.knnGraph(emb, k = 3, maxExactRows = n - 1, force = true)
+      .limit(1).count() === 1)
+    // ...and the sub-quadratic twin never probes or refuses
+    assert(Similarity.knnGraphLsh(emb, k = 3).limit(1).count() === 1)
+  }
+
   test("k-NN graph on a corpus smaller than k ranks all available neighbours") {
     import spark.implicits._
     val tiny = Seq(
