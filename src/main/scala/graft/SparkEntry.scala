@@ -153,6 +153,7 @@ object SparkEntry {
     "t11_bpe_tokens" -> Seq("doc_id"),
     "t12_pii_scrub" -> Seq("doc_id"),
     "c24_quality_rules" -> Seq("doc_id"),
+    "t14_lang_ngram" -> Seq("doc_id"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
@@ -366,6 +367,10 @@ object SparkEntry {
       ).as("text"))
       TextOps.gopherQuality(aug)
     }),
+    // Cavnar–Trenkle char-trigram language ID: profiles learned from the
+    // labeled slice (aggregate-bounded), scoring map-only; integer end
+    // to end, so the oracle replays the learning AND the scoring
+    "t14_lang_ngram" -> ((s, d) => TextOps.langIdNgramFit(t(s, d, "documents"))),
     "q26_small_qty" -> ((s, d) => Relational.smallQuantityRevenue(t(s, d, "lineitem"))),
     "q27_salted_join" -> ((s, d) => {
       val orders = t(s, d, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice"))
@@ -584,14 +589,17 @@ object SparkEntry {
   private def langScoresSql =
     s"""SELECT doc_id, ${TextOps.langOrder.map(l => s"${stopHits(l)} AS score_$l").mkString(",\n        ")}
         FROM (SELECT doc_id, $toks AS t FROM documents)"""
-  private val predLangCase = {
-    val g = TextOps.langOrder.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+  // parameterized over the score-column prefix so t1 (stopword scores)
+  // and t14 (n-gram scores) share the one tie-break CASE shape
+  private def predCaseOver(prefix: String) = {
+    val g = TextOps.langOrder.map(l => s"$prefix$l").mkString("greatest(", ", ", ")")
     val whens = TextOps.langOrder.init
-      .map(l => s"WHEN score_$l = $g THEN '$l'").mkString("\n         ")
+      .map(l => s"WHEN $prefix$l = $g THEN '$l'").mkString("\n         ")
     s"""CASE WHEN $g = 0 THEN 'und'
          $whens
          ELSE '${TextOps.langOrder.last}' END"""
   }
+  private val predLangCase = predCaseOver("score_")
   private def predLangSql =
     s"SELECT doc_id, $predLangCase AS pred_lang FROM ($langScoresSql)"
   private def qualityBaseSql =
@@ -1262,6 +1270,33 @@ object SparkEntry {
            regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t3 FROM s2)
          SELECT doc_id, t3 AS scrubbed, n_email, n_url, n_phone
          FROM s3 ORDER BY doc_id""",
+    // t14: the ENTIRE Cavnar–Trenkle pipeline replayed relationally —
+    // per-lang trigram counts, deterministic rank cut, rank-weighted
+    // occurrence scoring, the shared langOrder tie-break CASE
+    "t14_lang_ngram" -> {
+      val scoreCols = TextOps.langOrder.map(l =>
+        s"coalesce(max(CASE WHEN sc.lang = '$l' THEN s END), 0) AS ng_score_$l")
+        .mkString(",\n           ")
+      s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         g AS (SELECT doc_id, lang, CASE WHEN length(t) >= 3 THEN
+             [substr(t, i, 3) for i in generate_series(1, length(t) - 2)]
+             ELSE [] END AS gs FROM d),
+         pc AS (SELECT lang, gram, count(*) AS cnt
+                FROM (SELECT lang, unnest(gs) AS gram FROM g) GROUP BY 1, 2),
+         prof AS (SELECT lang, gram, 41 - rn AS wt FROM (
+                SELECT lang, gram, row_number() OVER
+                  (PARTITION BY lang ORDER BY cnt DESC, gram) AS rn FROM pc)
+                WHERE rn <= 40),
+         dg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         sc AS (SELECT dg.doc_id, prof.lang, CAST(sum(prof.wt) AS INTEGER) AS s
+                FROM dg JOIN prof ON dg.gram = prof.gram GROUP BY 1, 2),
+         p AS (SELECT d.doc_id,
+           $scoreCols
+           FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id GROUP BY 1)
+         SELECT doc_id, ${TextOps.langOrder.map(l => s"ng_score_$l").mkString(", ")},
+           ${predCaseOver("ng_score_")} AS pred_lang
+         FROM p ORDER BY doc_id"""
+    },
     // c24: same planted decorations as the Spark gate, then the Gopher
     // rule algebra — every ratio an int/int single IEEE division
     "c24_quality_rules" ->

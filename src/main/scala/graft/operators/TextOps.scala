@@ -119,6 +119,80 @@ object TextOps {
         qualityScoreCol(col("text"), toks).as("quality_score"))
   }
 
+  /** Per-language top-k character n-gram profiles, learned from the
+    * corpus's language-labeled slice — the model half of the
+    * Cavnar–Trenkle rank-profile method (public: "N-Gram-Based Text
+    * Categorization", 1994). Shape is bpeLearn's: the distributed part
+    * touches only the (lang, gram, count) aggregate; the per-language
+    * rank window partitions by lang (8 reducers of vocab-sized input,
+    * never the corpus); only langs×topK tiny rows reach the driver as
+    * the model artifact. Deterministic: count-desc, gram-asc tie-break. */
+  def charNgramProfiles(documents: DataFrame, n: Int = 3,
+                        topK: Int = 40): Map[String, Seq[String]] = {
+    val t = lower(col("text"))
+    val grams = documents
+      .select(col("lang"), t.as("_t"))
+      // guard: sequence(1, len-n+1) with len < n would COUNT DOWN
+      // (Spark infers step -1), not return empty
+      .withColumn("_g", when(length(col("_t")) >= n,
+        transform(sequence(lit(1), length(col("_t")) - (n - 1)),
+          i => col("_t").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("lang"), explode(col("_g")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("g"))
+    grams.withColumn("r", row_number().over(w)).filter(col("r") <= topK)
+      .select(col("lang"), col("g"), col("r")).collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
+  }
+
+  /** Language ID by rank-weighted profile hits: each document's char
+    * n-gram OCCURRENCES are scored against every language profile with
+    * weight (topK + 1 − rank) — the standard simplification of
+    * Cavnar–Trenkle's out-of-place distance that needs no per-document
+    * ranking — and the best positive score wins with the same langOrder
+    * priority tie-break as t1. Apply is MAP-ONLY: the profiles ship as
+    * foldable map literals (constant-folded, like the BPE merge table),
+    * the gram walk and lookups run per row, no shuffle. Integer
+    * arithmetic end to end → full DuckDB oracle (the oracle replays the
+    * learning AND the scoring). More robust than the stopword heuristic
+    * on short documents: trigrams hit on morphology (suffixes,
+    * digraphs), not just whole function words. */
+  def langIdNgram(documents: DataFrame, profiles: Map[String, Seq[String]],
+                  n: Int = 3, topK: Int = 40): DataFrame = {
+    val docs = documents
+      .withColumn("_t", lower(col("text")))
+      .withColumn("_grams", when(length(col("_t")) >= n,
+        transform(sequence(lit(1), length(col("_t")) - (n - 1)),
+          i => col("_t").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+    val scored = docs.select(
+      col("doc_id") +:
+        langOrder.map { l =>
+          val prof = profiles.getOrElse(l, Seq.empty)
+          if (prof.isEmpty) lit(0).as(s"ng_score_$l")
+          else {
+            // weight = topK − rank₀ even when the learned profile is
+            // shorter than topK, so the oracle's (topK + 1 − rank) is
+            // the same number regardless of profile length
+            val m = map(prof.zipWithIndex.flatMap { case (g, r) =>
+              Seq(lit(g), lit(topK - r)) }: _*)
+            aggregate(col("_grams"), lit(0),
+              (acc, g) => acc + coalesce(try_element_at(m, g), lit(0)))
+              .as(s"ng_score_$l")
+          }
+        }: _*)
+    scored.withColumn("pred_lang",
+      predLangFromScores(langOrder.map(l => l -> col(s"ng_score_$l"))))
+  }
+
+  /** Gated t14: learn the profiles on the corpus, score the corpus. */
+  def langIdNgramFit(documents: DataFrame, n: Int = 3, topK: Int = 40): DataFrame =
+    langIdNgram(documents, charNgramProfiles(documents, n, topK), n, topK)
+
   /** Gopher/C4-style quality-rule breadth (the public production rule
     * set: Gopher's repetition-free document heuristics and C4's line
     * rules): word-count bounds, mean word length bounds, symbol-to-word

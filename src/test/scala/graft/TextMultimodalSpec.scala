@@ -19,6 +19,39 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ngram lang-id: profiles deterministic, unseen docs classified, short docs und") {
+    import spark.implicits._
+    // crafted labeled corpus with distinctive trigram morphology
+    val corpus = Seq(
+      (1L, "the thing with them is that they gather there", "en"),
+      (2L, "these brothers rather like the weather", "en"),
+      (3L, "das ist das beste aus dem westen das wasser", "de"),
+      (4L, "dieses wesen isst das essen aus dessen kiste", "de")
+    ).toDF("doc_id", "text", "lang")
+    val prof = TextOps.charNgramProfiles(corpus, topK = 20)
+    assert(prof.keySet === Set("en", "de"))
+    assert(prof("en").length <= 20 && prof("en").distinct.length === prof("en").length)
+    // determinism across runs
+    assert(prof === TextOps.charNgramProfiles(corpus, topK = 20))
+    // unseen docs score toward the right profile
+    val unseen = Seq(
+      (10L, "whether they are there with the others"),   // en-ish trigrams
+      (11L, "das wasser ist aus dem besten westen"),     // de-ish trigrams
+      (12L, "xq")                                        // too short: no grams
+    ).toDF("doc_id", "text")
+    val out = TextOps.langIdNgram(unseen, prof, topK = 20).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[String]("pred_lang") === "en")
+    assert(out(11L).getAs[String]("pred_lang") === "de")
+    assert(out(12L).getAs[String]("pred_lang") === "und")
+    assert(out(12L).getAs[Int]("ng_score_en") === 0)
+    // corpus gate: every row scored, pred in the closed language set
+    val gated = SparkEntry.queries("t14_lang_ngram")(spark, SharedSpark.sfDir).collect()
+    assert(gated.length === table("documents").count())
+    val allowed = (TextOps.langOrder :+ "und").toSet
+    gated.foreach(r => assert(allowed.contains(r.getAs[String]("pred_lang"))))
+  }
+
   test("quality: ratios bounded, score in 0..3") {
     TextOps.quality(table("documents")).collect().foreach { r =>
       assert(r.getAs[Double]("stop_ratio") >= 0 && r.getAs[Double]("stop_ratio") <= 1)
