@@ -1499,14 +1499,18 @@ object SparkEntry {
                 WHEN source = 'src2' THEN 0
                 ELSE 500 END
          GROUP BY 1 ORDER BY 1""",
+    // nfc_normalize mirrors the Spark side's NFKC step on the NFC-visible
+    // subset (identical on NFC-normalized text, which includes all of
+    // ASCII); NFKC-only cases are spec-gated, not oracle-gated
     "t6_normalize" ->
-      """SELECT doc_id,
-         regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),
+      """WITH n AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM documents)
+         SELECT doc_id,
+         regexp_replace(regexp_replace(lower(trim(nt)), '[.,!?;:]', '', 'g'),
                         '\s+', ' ', 'g') AS norm_text,
          CAST(length(text) AS INTEGER) AS n_chars_raw,
-         CAST(length(regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'),
+         CAST(length(regexp_replace(regexp_replace(lower(trim(nt)), '[.,!?;:]', '', 'g'),
                      '\s+', ' ', 'g')) AS INTEGER) AS n_chars_norm
-         FROM documents ORDER BY doc_id""",
+         FROM n ORDER BY doc_id""",
     "q30_cume_users" ->
       """WITH fd AS (SELECT user_id, min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
            FROM events GROUP BY 1),

@@ -248,12 +248,18 @@ object TextOps {
           .as("re_tokens"),
         ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
 
-  /** Canonical text normalization: lowercase, trim, strip punctuation,
-    * collapse whitespace — the standard pre-tokenization cleanup pass.
-    * Map-only, codegen'd. */
+  /** Canonical text normalization: Unicode NFKC first (ligatures,
+    * full-width forms, compatibility variants → canonical — the
+    * graft_nfkc codegen expression), then lowercase, trim, strip
+    * punctuation, collapse whitespace — the standard pre-tokenization
+    * cleanup pass. Map-only, codegen'd. NFKC is the identity on ASCII,
+    * so the DuckDB oracle (whose nfc_normalize covers only the NFC
+    * subset) stays exact on any NFC-normalized corpus; the NFKC-visible
+    * cases (ﬁ, ＡＢＣ, ²) are spec-gated in EdgeCaseSpec. */
   def normalize(documents: DataFrame): DataFrame = {
     val norm = regexp_replace(
-      regexp_replace(lower(trim(col("text"))), "[.,!?;:]", ""), "\\s+", " ")
+      regexp_replace(lower(trim(call_function("graft_nfkc", col("text")))),
+        "[.,!?;:]", ""), "\\s+", " ")
     documents.select(col("doc_id"), norm.as("norm_text"),
         length(col("text")).as("n_chars_raw"), length(norm).as("n_chars_norm"))
   }

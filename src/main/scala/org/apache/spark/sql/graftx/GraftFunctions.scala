@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, RollingFingerprint, SimHash, SortedIntersectCount}
+import graft.functions.{BpeSegment, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, NfkcNormalize, RollingFingerprint, SimHash, SortedIntersectCount}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -31,6 +31,9 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction("graft_fingerprint",
       FnArity.checked("graft_fingerprint", 1)(args => RollingFingerprint(args(0))),
+      "built-in")
+    registry.createOrReplaceTempFunction("graft_nfkc",
+      FnArity.checked("graft_nfkc", 1)(args => NfkcNormalize(args(0))),
       "built-in")
     // BPE subword segmentation against a literal learned merge table
     // (rank order); args: (text, array<string> of "a b" merge pairs)

@@ -21,6 +21,33 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("nfkc: compatibility forms fold, ASCII is untouched, nulls pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ﬁre ﬂow"),              // ligatures fi, fl
+      (2L, "ＡＢＣ　ｄｅｆ"),          // full-width letters + ideographic space
+      (3L, "x² + y³"),              // superscripts
+      (4L, "Ⅳ quarters"),           // roman numeral
+      (5L, "plain ascii"),          // identity fast path
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        call_function("graft_nfkc", col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) === "fire flow")
+    assert(out(2L) === "ABC def")
+    assert(out(3L) === "x2 + y3")
+    assert(out(4L) === "IV quarters")
+    assert(out(5L) === "plain ascii")
+    assert(out(6L) === null)
+    // end to end through t6: the NFKC step precedes lower/trim/collapse
+    val norm = TextOps.normalize(df.filter(col("text").isNotNull)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("norm_text")).toMap
+    assert(norm(1L) === "fire flow")
+    assert(norm(2L) === "abc def")
+    assert(norm(4L) === "iv quarters")
+  }
+
   test("text analysis survives empty/short docs") {
     val q = TextOps.quality(edgeDocs).collect()
     assert(q.length === 6)
