@@ -154,6 +154,7 @@ object SparkEntry {
     "t12_pii_scrub" -> Seq("doc_id"),
     "c24_quality_rules" -> Seq("doc_id"),
     "t14_lang_ngram" -> Seq("doc_id"),
+    "st12_token_budget_stream" -> Seq("source"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
@@ -513,6 +514,16 @@ object SparkEntry {
       graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
     "st9_ingest_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.ingestDedupFileStream(Tables.tune(s), d)),
+    // streaming BPE token-budget ledger: merge table persisted and
+    // reloaded (bpeMergesDF → bpeMergesFrom — the model-artifact path),
+    // per-doc counts staged for the oracle's batch-aggregate replay
+    "st12_token_budget_stream" -> ((s, d) => {
+      val ss = Tables.tune(s)
+      val merges = TextOps.bpeMergesFrom(TextOps.bpeMergesDF(ss, bpeFit(ss, d)))
+      TextOps.bpeCounts(t(s, d, "documents"), merges)
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st12_counts")
+      graft.streaming.StreamDrivers.bpeBudgetFileStream(ss, d, merges)
+    }),
     "st11_cdc_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.cdcFileStream(Tables.tune(s), d)),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
@@ -1454,6 +1465,13 @@ object SparkEntry {
          SELECT shard, (cum - tok) // 2048 AS pack_id, count(*) AS n_docs,
            CAST(sum(tok) AS BIGINT) AS sum_tokens
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // st12: the drained streaming per-source totals must equal the batch
+    // aggregate over the staged per-doc counts
+    "st12_token_budget_stream" ->
+      """SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_docs
+         FROM read_parquet('__GRAFT_STAGE__/st12_counts/*.parquet')
+         GROUP BY 1 ORDER BY 1""",
     // c23: c15's packing algebra over the STAGED real BPE counts (the
     // gate writes them; Verify rewrites __GRAFT_STAGE__ to the per-sfDir
     // stage path when dumping oracle_sql.json)

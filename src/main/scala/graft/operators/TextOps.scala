@@ -397,6 +397,16 @@ object TextOps {
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Per-doc BPE counts keyed for budget accounting: (doc_id, source,
+    * n_bpe_tokens). Same map-only graft_bpe_segment projection as
+    * [[bpeTokenize]], keeping the source key a budget ledger groups by;
+    * works unchanged on a streaming DataFrame (pure projection). */
+  def bpeCounts(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents
+      .withColumn("_bpe", call_function("graft_bpe_segment", col("text"),
+        lit(merges.map { case (a, b) => s"$a $b" }.toArray)))
+      .select(col("doc_id"), col("source"), size(col("_bpe")).as("n_bpe_tokens"))
+
   /** Fixed-window document chunking with stride: every document becomes
     * ⌈len/stride⌉ overlapping windows of up to `window` tokens (the
     * context-window preprocessing step of training / retrieval

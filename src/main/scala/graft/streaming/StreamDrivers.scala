@@ -491,6 +491,52 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st12: streaming BPE token-budget accounting driven end-to-end —
+    * the corpus staged as two doc_id-halves (maxFilesPerTrigger=1 ⇒ two
+    * micro-batches), tokenized IN-STREAM with the persisted merge table
+    * the caller fit, per-source totals maintained in update mode so the
+    * second batch genuinely updates the first batch's state. Update mode
+    * re-emits a source whenever its total changes, so the last upsert
+    * per source IS the final state; no watermark/sentinel needed. Gated
+    * against the batch aggregate over the staged per-doc counts (the
+    * c23 staged-count oracle idiom). */
+  def bpeBudgetFileStream(spark: SparkSession, sfDir: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-bpebudget")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val q = StreamOps.tokenBudget(src, merges).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          state.synchronized { rows.foreach { case (s, t, n) => state(s) = (t, n) } }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      state.toSeq.map { case (s, (t, n)) => (s, t, n) }
+        .toDF("source", "total_tokens", "n_docs")
+    } finally deleteRecursively(dir)
+  }
+
   /** Watermarked streaming dedup driven end-to-end with REAL duplicates
     * crossing micro-batch boundaries: each time-half of the events table
     * is staged twice (f1 = half1, f2 = half1 again, f3 = half2, f4 =

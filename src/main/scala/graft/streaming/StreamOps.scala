@@ -237,4 +237,19 @@ object StreamOps {
       .filter(col("_seen").isNull)
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Running per-source token-budget totals over a DOCUMENT stream,
+    * tokenized in-stream with a PERSISTED BPE merge table — the live
+    * counter a training-data ingest keeps against its token budget.
+    * Tokenization is the same map-only graft_bpe_segment projection as
+    * batch t11 (the merge table ships as a literal: model state, not
+    * data); the unbounded update-mode aggregate keeps ONE state row per
+    * source, so state is bounded by source cardinality, never stream
+    * length. sum/count are arrival-order-independent, so the drained
+    * state equals the batch aggregate however ingestion interleaves. */
+  def tokenBudget(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextOps.bpeCounts(docs, merges)
+      .groupBy(col("source"))
+      .agg(sum(col("n_bpe_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_docs"))
 }
