@@ -194,7 +194,9 @@ object SparkEntry {
     "m1_media_meta" -> Seq("doc_id"),
     "m4_media_text_gate" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
-    "m3_frame_dedup" -> Seq("bucket"))
+    "m3_frame_dedup" -> Seq("bucket"),
+    "m5_wav_meta" -> Seq("doc_id"),
+    "m6_wav_frames" -> Seq("doc_id", "frame_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -249,6 +251,12 @@ object SparkEntry {
     // stub fallback on the text payloads — both branches full-oracle
     "m2_media_features" -> ((s, d) => Multimodal.mediaFramesPlanted(s, t(s, d, "documents"))),
     "m3_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, t(s, d, "documents"))),
+    // real RIFF/WAV header parsing over planted 8-bit PCM payloads
+    // (every 8th doc_id); synthetic fallback rows mirror the image path
+    "m5_wav_meta" -> ((s, d) => Multimodal.wavMetaPlanted(s, t(s, d, "documents"))),
+    // real PCM frame features (mean |amplitude deviation| per 32-sample
+    // frame) — lossless by construction, so fully oracle-replayable
+    "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
@@ -1080,6 +1088,51 @@ object SparkEntry {
            64 AS feat_dim
          FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
          WHERE doc_id % 16 <> 0
+         ORDER BY doc_id, frame_id""",
+    // m5: planted rows replay the real header fields from the plant
+    // formula; text rows replay the synthetic fallback from byte length
+    "m5_wav_meta" ->
+      """SELECT doc_id, 1 AS is_wav,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           1 AS n_channels, 8 AS bits,
+           CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+           CAST(((64 + doc_id % 64) * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+             AS duration_ms
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_wav,
+           CAST(8000 + (octet_length(encode(text)) % 5) * 2000 AS INTEGER) AS sample_rate,
+           CAST(1 + octet_length(encode(text)) % 2 AS INTEGER) AS n_channels,
+           16 AS bits,
+           CAST(64 + (octet_length(encode(text)) * 7) % 331 AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) * 13) % 10000 AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m6: the planted PCM is lossless by construction — per-frame
+    // absolute-deviation sums replay exactly via generate_series
+    "m6_wav_frames" ->
+      """WITH planted AS (
+           SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS ns
+           FROM documents WHERE doc_id % 8 = 0),
+         fr AS (
+           SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
+           FROM planted,
+             unnest(generate_series(0, (ns + 31) // 32 - 1)) AS t(f)),
+         sm AS (
+           SELECT doc_id, f, flen,
+             sum(abs((doc_id * 7 + (f * 32 + i) * 13) % 256 - 128)) AS s
+           FROM fr, unnest(generate_series(0, flen - 1)) AS u(i)
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST(s AS DOUBLE) / (128.0 * flen) AS feat_mean,
+           CAST(flen AS INTEGER) AS feat_dim
+         FROM sm
+         UNION ALL
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,
+           64 AS feat_dim
+         FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
+         WHERE doc_id % 8 <> 0
          ORDER BY doc_id, frame_id""",
     "m3_frame_dedup" ->
       """WITH fr AS (SELECT doc_id,

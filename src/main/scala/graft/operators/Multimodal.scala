@@ -82,6 +82,66 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder for the one format that needs no codec at all:
+    * canonical-layout 8-bit PCM mono WAV (RIFF) — the samples ARE the
+    * bytes. Emits fixed 32-sample frames with the mean absolute
+    * deviation from the 8-bit midpoint as the feature (integer sums →
+    * one IEEE division, oracle-replayable like the PNG gradient) and
+    * `feat_dim` = samples in the frame. Anything that isn't a complete
+    * canonical 8-bit mono PCM WAV falls back to [[StubDecoder]] — same
+    * degrade-don't-abort contract as the image path. */
+  object WavPcmDecoder extends MediaDecoder {
+    val FrameLen = 32
+
+    def frames(m: MediaIn): Iterator[FrameFeature] = {
+      val b = m.payload
+      def le(off: Int, n: Int): Long = {
+        var v = 0L
+        var i = n - 1
+        while (i >= 0) { v = (v << 8) | (b(off + i) & 0xFF); i -= 1 }
+        v
+      }
+      val ok = b.length >= 44 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ' &&
+        le(20, 2) == 1 && le(22, 2) == 1 && le(34, 2) == 8 &&
+        b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a' &&
+        le(40, 4) >= 1 && b.length >= 44 + le(40, 4)
+      if (!ok) StubDecoder.frames(m)
+      else {
+        val n = le(40, 4).toInt
+        val nFrames = (n + FrameLen - 1) / FrameLen
+        Iterator.tabulate(nFrames) { f =>
+          val start = f * FrameLen
+          val len = math.min(FrameLen, n - start)
+          var sum = 0L
+          var i = 0
+          while (i < len) {
+            sum += math.abs((b(44 + start + i) & 0xFF) - 128)
+            i += 1
+          }
+          FrameFeature(m.doc_id, f, sum.toDouble / (128.0 * len), len)
+        }
+      }
+    }
+  }
+
+  /** Production default: route by container magic — RIFF/WAVE to the
+    * PCM decoder, PNG/JPEG to ImageIO, everything else to the stub
+    * (video would need external codecs this container doesn't have).
+    * Both real tiers re-check their own invariants and degrade to stub
+    * themselves, so routing only needs the cheap magic probe. */
+  object AutoDecoder extends MediaDecoder {
+    private def isRiff(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def frames(m: MediaIn): Iterator[FrameFeature] =
+      if (isRiff(m.payload)) WavPcmDecoder.frames(m)
+      else ImageIoDecoder.frames(m)
+  }
+
   /** Deterministic planted image payloads for the oracle gate: the
     * synthetic corpus is text bytes (never a real image), so — the same
     * planted-data idiom as the t12 PII gate — every `every`-th doc_id
@@ -130,6 +190,49 @@ object Multimodal {
       }
   }
 
+  /** Deterministic planted REAL WAV payloads (m5/m6's gate): every
+    * `every`-th doc_id gets a canonical-layout 8-bit PCM mono WAV whose
+    * samples are a pure function of doc_id — `rate = 8000 + (id%4)·4000`,
+    * `nSamples = 64 + id%64`, `sample(i) = (id·7 + i·13) % 256` — so
+    * both the header fields and the decoded frame features replay
+    * exactly in DuckDB (PCM is lossless by construction). */
+  object PlantedWavs {
+    val Every = 8
+
+    def craftedWav(docId: Long): Array[Byte] = {
+      val rate = (8000 + (docId % 4) * 4000).toInt
+      val nSamples = (64 + docId % 64).toInt
+      val out = java.nio.ByteBuffer.allocate(44 + nSamples)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)                 // PCM, mono
+        .putInt(rate).putInt(rate)               // byteRate = rate·1·1
+        .putShort(1).putShort(8)                 // blockAlign, bits
+        .put("data".getBytes("US-ASCII")).putInt(nSamples)
+      var i = 0
+      while (i < nSamples) {
+        out.put(((docId * 7 + i * 13) % 256).toByte)
+        i += 1
+      }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-WAV payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedWavMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedWavs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedWavs.craftedWav(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Big-endian unsigned int from `n` bytes of a binary column at 1-based
     * `pos` — substring+hex+conv, pure codegen exprs (no UDF). Null when
     * the read runs past the payload (hex comes back short). */
@@ -148,6 +251,73 @@ object Multimodal {
     val v = beUint(payload, pos, n)
     when(v <= lit(Int.MaxValue.toLong), v).cast("int")
   }
+
+  /** Little-endian unsigned int from `n` bytes at 1-based `pos`:
+    * per-byte hex concatenated in reversed order → conv. Null when the
+    * read runs past the payload. RIFF/WAV headers are little-endian —
+    * the big-endian [[beUint]] covers PNG/JPEG. */
+  private def leUint(payload: org.apache.spark.sql.Column, pos: Int,
+                     n: Int): org.apache.spark.sql.Column = {
+    val h = concat(((n - 1) to 0 by -1)
+      .map(i => hex(payload.substr(lit(pos + i), lit(1)))): _*)
+    when(length(h) === n * 2, conv(h, 16, 10).cast("long"))
+  }
+
+  /** REAL audio metadata from the binary payload — pure column exprs,
+    * the RIFF/WAVE analogue of [[mediaMeta]]'s PNG/IHDR path: magic +
+    * fmt-chunk validation, little-endian field reads (format, channels,
+    * sample rate, bit depth, data size), derived sample count and
+    * duration. `complete` requires the canonical 44-byte PCM layout
+    * with the data chunk fully present AND sane divisors (bits ≥ 8,
+    * channels ≥ 1, byteRate ≥ 1) so the integer divisions can never hit
+    * an ANSI divide-by-zero; anything else falls back to deterministic
+    * synthetic metadata, mirroring the image path's contract. */
+  def wavMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isWav = hex(p.substr(lit(1), lit(4))) === "52494646" &&
+      hex(p.substr(lit(9), lit(8))) === "57415645666D7420" &&
+      coalesce(leUint(p, 21, 2) === 1, lit(false)) && // PCM format tag
+      hex(p.substr(lit(37), lit(4))) === "64617461"
+    // header fields materialize once; `complete` and the derived
+    // divisions reference the attributes (stacked projections, same
+    // pattern as mediaMeta's segment walk)
+    val staged = media
+      .withColumn("_ds", leUint(p, 41, 4))
+      .withColumn("_ch", leUint(p, 23, 2))
+      .withColumn("_rate", leUint(p, 25, 4))
+      .withColumn("_bits", leUint(p, 35, 2))
+      .withColumn("_br", leUint(p, 29, 4))
+    val complete = coalesce(isWav, lit(false)) &&
+      coalesce(len >= lit(44) + col("_ds"), lit(false)) &&
+      // sane divisors, so the div expressions below can never hit an
+      // ANSI divide-by-zero (when() short-circuits per row)
+      coalesce(col("_ds") >= 1 && col("_br") >= 1 &&
+        col("_bits") >= 8 && col("_ch") >= 1, lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_wav"),
+      when(complete, col("_rate").cast("int"))
+        .otherwise(lit(8000) + pmod(len, lit(5)) * 2000).as("sample_rate"),
+      when(complete, col("_ch").cast("int"))
+        .otherwise(lit(1) + pmod(len, lit(2))).as("n_channels"),
+      when(complete, col("_bits").cast("int")).otherwise(lit(16)).as("bits"),
+      when(complete, expr("_ds div (_ch * (_bits div 8))"))
+        .otherwise((lit(64) + pmod(len * 7, lit(331))).cast("long")).as("n_samples"),
+      when(complete, expr("(_ds * 1000) div _br"))
+        .otherwise(pmod(len * 13, lit(10000)).cast("long")).as("duration_ms"))
+  }
+
+  /** The m5 gate: header metadata over the planted-WAV corpus. */
+  def wavMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedWavs.Every): DataFrame =
+    wavMeta(plantedWavMedia(spark, documents, every).toDF())
+
+  /** The m6 gate: real PCM frame features over the planted-WAV corpus
+    * (text rows take the stub fallback inside [[AutoDecoder]]). */
+  def wavFramesPlanted(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedWavs.Every): DataFrame =
+    decodedMedia(plantedWavMedia(spark, documents, every), AutoDecoder)
 
   /** SOFn marker bytes (all frame-header types: C0-C3, C5-C7, C9-CB,
     * CD-CF — everything but DHT/DAC/RST). */
@@ -236,9 +406,10 @@ object Multimodal {
   }
 
   /** Decode → per-frame features through the typed mapPartitions path.
-    * Default decoder is the REAL ImageIO path (stub fallback inside). */
+    * Default decoder routes by magic to the REAL tiers (WAV PCM,
+    * ImageIO) with the stub fallback inside. */
   def mediaFrames(spark: SparkSession, documents: DataFrame,
-                  decoder: MediaDecoder = ImageIoDecoder): DataFrame =
+                  decoder: MediaDecoder = AutoDecoder): DataFrame =
     decodedFrames(spark, documents, decoder)
 
   /** The m2 gate path: plant real PNGs into the corpus, decode them with
@@ -276,7 +447,7 @@ object Multimodal {
     * downstream exact-verify joins within buckets exactly like the text
     * LSH family). Decode is map-side; one shuffle on the band key. */
   def frameDedup(spark: SparkSession, documents: DataFrame,
-                 decoder: MediaDecoder = ImageIoDecoder, buckets: Int = 32): DataFrame =
+                 decoder: MediaDecoder = AutoDecoder, buckets: Int = 32): DataFrame =
     decodedFrames(spark, documents, decoder)
       .select(floor(col("feat_mean") * buckets).cast("int").as("bucket"), col("doc_id"))
       .groupBy(col("bucket"))

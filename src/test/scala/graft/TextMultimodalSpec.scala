@@ -307,6 +307,56 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out.getAs[Int]("height") === 480)             // in-range read survives
   }
 
+  test("wav decoder: planted PCM decodes to exact frame features; corrupt falls back") {
+    Seq(0L, 8L, 16L, 63L, 127L).foreach { id =>
+      val ns = (64 + id % 64).toInt
+      val f = Multimodal.WavPcmDecoder.frames(
+        Multimodal.MediaIn(id, Multimodal.PlantedWavs.craftedWav(id))).toSeq
+      assert(f.length === (ns + 31) / 32, s"doc $id frame count")
+      f.zipWithIndex.foreach { case (fr, fi) =>
+        val len = math.min(32, ns - fi * 32)
+        var sum = 0L
+        for (i <- 0 until len) sum += math.abs((id * 7 + (fi * 32 + i) * 13) % 256 - 128)
+        assert(fr.frame_id === fi)
+        assert(fr.feat_dim === len)
+        assert(fr.feat_mean === sum.toDouble / (128.0 * len), s"doc $id frame $fi")
+      }
+    }
+    // truncated WAV (header claims more data than present) → stub tier
+    val wav = Multimodal.PlantedWavs.craftedWav(8L)
+    val truncated = wav.take(50)
+    val m = Multimodal.MediaIn(8L, truncated)
+    assert(Multimodal.WavPcmDecoder.frames(m).toSeq ===
+      Multimodal.StubDecoder.frames(m).toSeq)
+    // AutoDecoder routes RIFF to PCM, PNG to ImageIO, text to stub
+    assert(Multimodal.AutoDecoder.frames(
+      Multimodal.MediaIn(8L, wav)).toSeq ===
+      Multimodal.WavPcmDecoder.frames(Multimodal.MediaIn(8L, wav)).toSeq)
+    val png = Multimodal.PlantedImages.craftedPng(16L)
+    assert(Multimodal.AutoDecoder.frames(
+      Multimodal.MediaIn(16L, png)).toSeq ===
+      Multimodal.ImageIoDecoder.frames(Multimodal.MediaIn(16L, png)).toSeq)
+  }
+
+  test("wav meta: real header fields parse; non-wav and short payloads fall back") {
+    import spark.implicits._
+    val wav = Multimodal.PlantedWavs.craftedWav(24L) // rate 8000, 88 samples
+    val text = "not audio at all".getBytes("UTF-8")
+    val short = wav.take(30)
+    val out = Multimodal.wavMeta(
+      Seq((1L, wav), (2L, text), (3L, short)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("is_wav") === 1)
+    assert(out(1L).getAs[Int]("sample_rate") === 8000)
+    assert(out(1L).getAs[Int]("n_channels") === 1)
+    assert(out(1L).getAs[Int]("bits") === 8)
+    assert(out(1L).getAs[Long]("n_samples") === 88L)
+    assert(out(1L).getAs[Long]("duration_ms") === 88L * 1000 / 8000)
+    assert(out(2L).getAs[Int]("is_wav") === 0)
+    assert(out(2L).getAs[Int]("sample_rate") === 8000 + (text.length % 5) * 2000)
+    assert(out(3L).getAs[Int]("is_wav") === 0) // header cut mid-fmt: fallback
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
