@@ -234,8 +234,26 @@ object SparkEntry {
     "q21_date_series" -> ((s, d) => Relational.dateSeries(t(s, d, "orders"))),
     "q22_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
-    "d2_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
-    "d3_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
+    // d2/d3 FULL oracle via staged signatures: the signature values are
+    // JVM expressions (xxhash64 / graft_minhash64 / graft_simhash64)
+    // DuckDB cannot recompute, but everything AFTER them — banding,
+    // bucket caps, candidate joins, exact verify — is pure relational
+    // algebra the oracle replays over the staged tables
+    "d2_dedup_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigs = Dedup.minhashSignatures(docs)
+      sigs.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d2_sigs")
+      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d2_banded")
+      Dedup.minhashPairs(docs)
+    }),
+    "d3_dedup_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.simhashSignatures(docs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d3_sigs")
+      Dedup.simhashPairs(docs)
+    }),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"))),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
@@ -944,6 +962,53 @@ object SparkEntry {
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
                 FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d2: banding/cap/candidate/verify replayed over the staged
+    // signature tables (the signature VALUES are JVM hashes the gate
+    // stages; everything after them is relational)
+    "d2_dedup_minhash" ->
+      """WITH banded AS (
+           SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d2_banded/*.parquet')),
+         sized AS (
+           SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sized a JOIN sized b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/d2_sigs/*.parquet')),
+         v AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+               / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d3: 4×16-bit chunk banding, bucket cap, candidate join and the
+    // xor/bit_count hamming verify all replay over the staged codes
+    "d3_dedup_simhash" ->
+      """WITH sg AS (SELECT doc_id, sig
+           FROM read_parquet('__GRAFT_STAGE__/d3_sigs/*.parquet')),
+         banded AS (
+           SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS chunk
+           FROM sg, unnest(generate_series(0, 3)) AS t(c)),
+         sized AS (
+           SELECT doc_id, sig, c, chunk FROM (
+             SELECT doc_id, sig, c, chunk,
+               count(*) OVER (PARTITION BY c, chunk) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+           FROM sized a JOIN sized b
+             ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS dist
+         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         ORDER BY 1, 2""",
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -181,8 +181,10 @@ object Dedup {
       .select(col("doc_id"), col("hsh"), col("shn"))
       .withColumn("sig", call_function("graft_minhash64", col("hsh")))
 
-  /** Band + bucket-hash rows for a signature table (the LSH join key). */
-  private def bandedSigs(sigs: DataFrame): DataFrame =
+  /** Band + bucket-hash rows for a signature table (the LSH join key).
+    * private[graft]: the d2 gate stages these rows for the DuckDB
+    * oracle, which replays the cap/candidate/verify algebra over them. */
+  private[graft] def bandedSigs(sigs: DataFrame): DataFrame =
     sigs
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
