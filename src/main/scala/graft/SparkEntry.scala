@@ -327,10 +327,16 @@ object SparkEntry {
       // the corpus signature table is PERSISTED in production (written
       // once, e.g. Sources.writeBucketed); localCheckpoint models that
       // here — without it each of the operator's corpus scans would
-      // re-shingle the corpus, which is exactly what incremental avoids
-      val corpusSigs = Dedup
-        .minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
-        .localCheckpoint()
+      // re-shingle the corpus, which is exactly what incremental avoids.
+      // FULL oracle via the d2 staging idiom: the full signature/banded
+      // tables are staged and DuckDB replays the union cap, the
+      // batch-probe join and the exact-Jaccard verify over them
+      val sigsAll = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigsAll.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d11_sigs")
+      Dedup.bandedSigs(sigsAll).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d11_banded")
+      val corpusSigs = sigsAll.filter(pmod(col("doc_id"), lit(2)) === 1)
       Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
     }),
     // embedding analogue of d11: even-vec_id batch probed against the
@@ -493,9 +499,11 @@ object SparkEntry {
     // spec-asserted). localCheckpoint models the persisted corpus table.
     "d15_simhash_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val corpusSigs = Dedup
-        .simhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
-        .localCheckpoint()
+      // FULL oracle via the d3 staging idiom (see d11's comment)
+      val sigsAll = Dedup.simhashSignatures(docs).localCheckpoint()
+      sigsAll.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d15_sigs")
+      val corpusSigs = sigsAll.filter(pmod(col("doc_id"), lit(2)) === 1)
       Dedup.simhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
     }),
     // mergeable KLL quantile rollup (rows-only: KLL compaction is
@@ -987,6 +995,53 @@ object SparkEntry {
            FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d11: the incremental probe replayed — union-bucket cap, UNCAPPED
+    // batch probe joining the capped build side, (min,max) pair
+    // normalization, exact-Jaccard verify over the staged signatures
+    "d11_incremental" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d11_banded/*.parquet')),
+         bsz AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+         admitted AS (SELECT b.doc_id, b.band, b.bh
+           FROM banded b JOIN bsz ON b.band = bsz.band AND b.bh = bsz.bh
+           WHERE bsz.n <= 1000),
+         cand AS (
+           SELECT DISTINCT least(p.doc_id, a.doc_id) AS doc_a,
+             greatest(p.doc_id, a.doc_id) AS doc_b
+           FROM banded p JOIN admitted a
+             ON p.band = a.band AND p.bh = a.bh AND p.doc_id <> a.doc_id
+           WHERE p.doc_id % 2 = 0),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/d11_sigs/*.parquet')),
+         v AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+               / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d15: simhash incremental — CAPPED probe and build (unlike d11's
+    // uncapped probe: mirrors the Scala exactly), symmetric hamming
+    // verify, (min,max)+distinct collapse
+    "d15_simhash_incremental" ->
+      """WITH sg AS (SELECT doc_id, sig
+           FROM read_parquet('__GRAFT_STAGE__/d15_sigs/*.parquet')),
+         banded AS (
+           SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS chunk
+           FROM sg, unnest(generate_series(0, 3)) AS t(c)),
+         sizes AS (SELECT c, chunk FROM (
+             SELECT c, chunk, count(*) AS bsz FROM banded GROUP BY 1, 2)
+           WHERE bsz <= 1000),
+         target AS (SELECT b.doc_id, b.sig, b.c, b.chunk
+           FROM banded b JOIN sizes ON b.c = sizes.c AND b.chunk = sizes.chunk),
+         probe AS (SELECT * FROM target WHERE doc_id % 2 = 0)
+         SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
+           greatest(p.doc_id, t.doc_id) AS doc_b,
+           CAST(bit_count(xor(p.sig, t.sig)) AS INTEGER) AS dist
+         FROM probe p JOIN target t
+           ON p.c = t.c AND p.chunk = t.chunk AND p.doc_id <> t.doc_id
+         WHERE bit_count(xor(p.sig, t.sig)) <= 3
+         ORDER BY 1, 2""",
     // d3: 4×16-bit chunk banding, bucket cap, candidate join and the
     // xor/bit_count hamming verify all replay over the staged codes
     "d3_dedup_simhash" ->
