@@ -530,6 +530,16 @@ object SparkEntry {
     // three sources are seeded-LSH; co-clustering invariants spec'd)
     "d14_multi_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // FULL oracle via the d2/d3 staging idiom — own staged copies so
+      // the key stays self-contained under dev subset runs; the oracle
+      // replays all three pair sources AND the connected components
+      val msigs = Dedup.minhashSignatures(docs).localCheckpoint()
+      msigs.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d14_sigs")
+      Dedup.bandedSigs(msigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d14_banded")
+      Dedup.simhashSignatures(docs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d14_simhash")
       val pair = (df: DataFrame, a: String, b: String) =>
         df.select(col(a).as("a"), col(b).as("b"))
       Dedup.duplicateClustersFrom(
@@ -1385,6 +1395,49 @@ object SparkEntry {
                FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+         SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN lab ON lab.n = d.doc_id ORDER BY 1""",
+    // d14: all three pair sources replayed (exact Jaccard from the text,
+    // minhash + simhash over the staged signature tables) unioned into
+    // the same recursive connected-components as d10
+    "d14_multi_clusters" ->
+      s"""WITH RECURSIVE tok AS ($shingleTok),
+         e1 AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         mb AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d14_banded/*.parquet')),
+         msz AS (SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bsz
+             FROM mb) WHERE bsz <= 1000),
+         mc AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM msz x JOIN msz y
+             ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         msh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/d14_sigs/*.parquet')),
+         e2 AS (SELECT c.a, c.b FROM mc c
+           JOIN msh sa ON sa.doc_id = c.a JOIN msh sb ON sb.doc_id = c.b
+           WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+             / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5),
+         sg AS (SELECT doc_id, sig
+           FROM read_parquet('__GRAFT_STAGE__/d14_simhash/*.parquet')),
+         sb2 AS (SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS chunk
+           FROM sg, unnest(generate_series(0, 3)) AS t(c)),
+         ssz AS (SELECT doc_id, sig, c, chunk FROM (
+             SELECT doc_id, sig, c, chunk, count(*) OVER (PARTITION BY c, chunk) AS bsz
+             FROM sb2) WHERE bsz <= 1000),
+         e3 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ssz x JOIN ssz y
+             ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+           WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+         e AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2
+               UNION SELECT a, b FROM e3),
          bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
          nodes AS (SELECT DISTINCT a AS n FROM bidir),
          reach(n, m) AS (SELECT n, n FROM nodes UNION

@@ -55,7 +55,6 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
       "q38_percentiles_approx", "s5_knn_lsh_graph",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
       "s6_kmeans", "s7_pagerank", "c19_quantile_rollup", "st10_sketch_stream",
-      "d14_multi_clusters",
       "s8_label_prop", "s9_diversity_sample", "t11_bpe_tokens"))
   }
 }
