@@ -257,7 +257,15 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"))),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
-    "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(t(s, d, "embeddings"))),
+    // s2 FULL oracle: the seeded sign codes are JVM float math, but the
+    // probe (hamming ≤ 1 on the staged codes) and the decimal-6 cosine
+    // ranking replay relationally — s1's proven ranking shape
+    "s2_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s2_codes")
+      Similarity.lshTopK(emb)
+    }),
     "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
@@ -588,7 +596,13 @@ object SparkEntry {
     // the sub-quadratic k-NN-graph scale path under the driver gate:
     // recall is corpus-dependent (rows-only; the recall floor vs s4's
     // exact graph is asserted in DedupSimilaritySpec)
-    "s5_knn_lsh_graph" -> ((s, d) => Similarity.knnGraphLsh(t(s, d, "embeddings"))),
+    // s5 FULL oracle: same staged-code replay as s2, every vector a query
+    "s5_knn_lsh_graph" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s5_codes")
+      Similarity.knnGraphLsh(emb)
+    }),
     // deterministic distributed k-means (rows-only: the iterative
     // assignment isn't ANSI-SQL-expressible; exact driver-parity is
     // spec-asserted in DedupSimilaritySpec)
@@ -1139,6 +1153,39 @@ object SparkEntry {
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
                list_cosine_similarity(q.v, c.v) AS cos
                FROM v q JOIN v c ON c.vec_id <> q.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+    // s2: the multi-probe candidate set is exactly hamming ≤ 1 on the
+    // staged 8-bit codes; ranking is s1's decimal-6 cosine shape
+    "s2_ann_lsh" ->
+      """WITH cd AS (SELECT vec_id, code
+           FROM read_parquet('__GRAFT_STAGE__/s2_codes/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM cd q JOIN cd c
+                 ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+                 AND bit_count(xor(q.code, c.code)) <= 1
+               JOIN v qv ON qv.vec_id = q.vec_id
+               JOIN v cv ON cv.vec_id = c.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s5: same staged-code replay, every vector a query, k = 3
+    "s5_knn_lsh_graph" ->
+      """WITH cd AS (SELECT vec_id, code
+           FROM read_parquet('__GRAFT_STAGE__/s5_codes/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM cd q JOIN cd c
+                 ON c.vec_id <> q.vec_id
+                 AND bit_count(xor(q.code, c.code)) <= 1
+               JOIN v qv ON qv.vec_id = q.vec_id
+               JOIN v cv ON cv.vec_id = c.vec_id),
          r AS (SELECT q_id, id_b, CAST(row_number() OVER
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)

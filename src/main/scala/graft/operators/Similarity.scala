@@ -367,6 +367,15 @@ object Similarity {
     labels.select(col("id").as("vec_id"), col("label"))
   }
 
+  /** Persistable sign-LSH code table (vec_id, code) — the artifact the
+    * s2/s5 probes join; the gates stage it so the DuckDB oracle can
+    * replay the bucket probe (the 9-mask multi-probe set equals
+    * hamming ≤ 1 on the 8-bit codes) and the decimal-6 exact-cosine
+    * ranking relationally. */
+  def lshCodes(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      lshCode(toDoubleVec(col("embedding"))).as("code"))
+
   /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -51,8 +51,8 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
   test("rows-only set is exactly the documented engine-specific operators") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "q13_approx_distinct", "s2_ann_lsh", "s3_ann_ivf",
-      "q38_percentiles_approx", "s5_knn_lsh_graph",
+      "q13_approx_distinct", "s3_ann_ivf",
+      "q38_percentiles_approx",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
       "s6_kmeans", "s7_pagerank", "c19_quantile_rollup", "st10_sketch_stream",
       "s8_label_prop", "s9_diversity_sample", "t11_bpe_tokens"))
