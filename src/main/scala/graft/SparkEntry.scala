@@ -611,17 +611,32 @@ object SparkEntry {
     // k-means upstream; per-cluster membership+centrality spec-asserted)
     "s9_diversity_sample" -> ((s, d) => Similarity.diversitySample(t(s, d, "embeddings"))),
     // PageRank over the SUB-QUADRATIC k-NN graph (LSH edges — the whole
-    // chain is the 100 TB path, no O(n²) stage; rows-only: iterative.
-    // Driver parity + mass conservation are spec-asserted on the exact
-    // graph's edges, which tests pageRank itself independent of source)
-    "s7_pagerank" -> ((s, d) => Similarity.pageRank(
-      Similarity.knnGraphLsh(t(s, d, "embeddings"))
-        .select(col("q_id").as("src"), col("neighbor_id").as("dst")))),
+    // chain is the 100 TB path, no O(n²) stage). FULL oracle: stage the
+    // seeded LSH codes (the one non-ANSI step), then the oracle
+    // re-derives the edges relationally and replays the 10 power
+    // iterations as unrolled CTEs — per-edge division and the damping
+    // update are single IEEE ops on both engines, inflow sums in exact
+    // DECIMAL(38,18), and the result is decimal-12-rounded
+    "s7_pagerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s7_codes")
+      Similarity.pageRank(
+        Similarity.knnGraphLsh(emb)
+          .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    }),
     // label-propagation communities over the same sub-quadratic edge
-    // source (rows-only: iterative; exact driver parity spec-asserted)
-    "s8_label_prop" -> ((s, d) => Similarity.labelPropagation(
-      Similarity.knnGraphLsh(t(s, d, "embeddings"))
-        .select(col("q_id").as("src"), col("neighbor_id").as("dst")))),
+    // source. FULL oracle: staged-code edge replay + the synchronous
+    // rounds unrolled as CTEs — all-integer label/count arithmetic, so
+    // the replay is exact (argmax = rank by count DESC, label ASC)
+    "s8_label_prop" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s8_codes")
+      Similarity.labelPropagation(
+        Similarity.knnGraphLsh(emb)
+          .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    }),
     // text-side duplicate clusters: the d4 exact-Jaccard pairs as the
     // edge source into the pair-source-agnostic connected components
     "d10_text_clusters" -> ((s, d) => {
@@ -637,6 +652,25 @@ object SparkEntry {
   )
 
   // SQL helpers (kept textual so each oracle is self-contained)
+  // Shared s5/s7/s8 edge derivation: staged seeded LSH codes (the one
+  // non-ANSI step) → hamming≤1 candidate pairs → decimal-6 cosine
+  // top-3 per vector. Parameterized on the stage key so each gate's
+  // staged table stays self-contained.
+  private def lshEdgeCtes(stage: String) =
+    s"""WITH cd AS (SELECT vec_id, code
+           FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM cd q JOIN cd c
+                 ON c.vec_id <> q.vec_id
+                 AND bit_count(xor(q.code, c.code)) <= 1
+               JOIN v qv ON qv.vec_id = q.vec_id
+               JOIN v cv ON cv.vec_id = c.vec_id),
+         rr AS (SELECT q_id, id_b, row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS rank FROM p),
+         e AS (SELECT q_id AS src, id_b AS dst FROM rr WHERE rank <= 3)"""
   private def dsum(x: String) =
     s"CAST(round(sum(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
   // product sums: cast each raw factor to decimal, multiply exactly
@@ -1190,6 +1224,52 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+    // s8: the s5 edge replay feeding the label-propagation rounds
+    // unrolled as CTEs — labels and counts are integers, the per-round
+    // argmax is rank-by-(count DESC, label ASC), so the replay is exact
+    "s8_label_prop" ->
+      s"""${lshEdgeCtes("s8_codes")},
+         und AS (SELECT DISTINCT src, dst FROM
+                 (SELECT src, dst FROM e
+                  UNION ALL SELECT dst AS src, src AS dst FROM e) b),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM und)${
+        (1 to 5).map { i =>
+          s""",
+         l$i AS (SELECT dst AS id, label FROM
+                (SELECT u.dst, l.label, row_number() OVER
+                 (PARTITION BY u.dst ORDER BY count(*) DESC, l.label) AS rn
+                 FROM und u JOIN l${i - 1} l ON u.src = l.id
+                 GROUP BY u.dst, l.label) g WHERE rn = 1)"""
+        }.mkString}
+         SELECT id AS vec_id, label FROM l5 ORDER BY vec_id""",
+    // s7: same edge replay, then the 10 damped power iterations
+    // unrolled — rank/deg and the damping update are single IEEE double
+    // ops on both engines, the inflow sum is exact DECIMAL(38,18) (the
+    // one double→decimal cast rounds a dyadic rational whose digit-19
+    // tail is never an exact half — same residual class as c20's ln
+    // note), and the k-NN graph has no dangling nodes by construction
+    // (bucket sharing is symmetric), so the dangling-mass term is 0
+    "s7_pagerank" ->
+      s"""${lshEdgeCtes("s7_codes")},
+         n AS (SELECT DISTINCT src AS id FROM
+               (SELECT src FROM e UNION ALL SELECT dst AS src FROM e) b),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM n),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS rank FROM n CROSS JOIN nn)${
+        (1 to 10).map { i =>
+          s""",
+         c$i AS (SELECT e.dst, CAST(sum(CAST(r.rank / dg.deg AS DECIMAL(38,18)))
+                 AS DOUBLE) AS inflow
+                 FROM e JOIN dg ON e.src = dg.src JOIN r${i - 1} r ON e.src = r.id
+                 GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+                 (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, CAST(0 AS DOUBLE))
+                   AS rank
+                 FROM n CROSS JOIN nn LEFT JOIN c$i c ON n.id = c.dst)"""
+        }.mkString}
+         SELECT id AS vec_id, CAST(CAST(rank AS DECIMAL(38,12)) AS DOUBLE) AS rank
+         FROM r10 ORDER BY vec_id""",
     "s1_ann_brute" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
