@@ -266,7 +266,16 @@ object SparkEntry {
         .parquet(stageDir(d) + "/s2_codes")
       Similarity.lshTopK(emb)
     }),
-    "s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
+    // s3 FULL oracle: the deterministic pivot set (smallest xxhash64 —
+    // the one non-ANSI step) is staged; cell assignment (decimal-6
+    // argmin over the pivots), the nProbe probe, and the final
+    // decimal-6 cosine ranking all replay relationally
+    "s3_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPivotIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s3_pivots")
+      Similarity.ivfTopK(emb)
+    }),
     "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
@@ -1275,6 +1284,35 @@ object SparkEntry {
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
                list_cosine_similarity(q.v, c.v) AS cos
                FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s3: staged pivot ids → decimal-6 argmin cell assignment → 8-cell
+    // probe for the queries → s1's decimal-6 cosine ranking. A (q, c)
+    // pair meets at most once (the corpus side has ONE cell), so no
+    // dedup is needed before the ranking.
+    "s3_ann_ivf" ->
+      """WITH pid AS (SELECT pivot_id
+           FROM read_parquet('__GRAFT_STAGE__/s3_pivots/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pv AS (SELECT pid.pivot_id, v.v AS pvec FROM pid
+                JOIN v ON v.vec_id = pid.pivot_id),
+         sc AS (SELECT v.vec_id, pv.pivot_id,
+                CAST((list_inner_product(v.v, pv.pvec) * CAST(-1 AS DOUBLE)) /
+                     (sqrt(list_inner_product(v.v, v.v)) *
+                      sqrt(list_inner_product(pv.pvec, pv.pvec)))
+                     AS DECIMAL(38,6)) AS negcos
+                FROM v CROSS JOIN pv),
+         rkc AS (SELECT vec_id, pivot_id, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY negcos, pivot_id) AS rk FROM sc),
+         corp AS (SELECT vec_id AS id_b, pivot_id AS cell FROM rkc WHERE rk = 1),
+         qc AS (SELECT vec_id AS q_id, pivot_id AS cell FROM rkc
+                WHERE vec_id < 10 AND rk <= 8),
+         p AS (SELECT q.q_id, c.id_b, list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM qc q JOIN corp c ON c.cell = q.cell AND c.id_b <> q.q_id
+               JOIN v qv ON qv.vec_id = q.q_id
+               JOIN v cv ON cv.vec_id = c.id_b),
          r AS (SELECT q_id, id_b, CAST(row_number() OVER
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)

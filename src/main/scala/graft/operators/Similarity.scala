@@ -80,25 +80,44 @@ object Similarity {
     * to pick a per-row argmax, which is exactly the plan you cannot run
     * at 100 TB. The only corpus-wide shuffle left is the cell-keyed
     * candidate join itself. */
+  /** Deterministic IVF pivot ID set: the `nPivots` smallest
+    * `xxhash64(vec_id)` — a seedless uniform sample needing no iterative
+    * training. The TakeOrdered runs over (vec_id, hash) pairs only (not
+    * the 64-dim vectors), and the staged-table gate persists exactly this
+    * frame so the DuckDB oracle can replay everything downstream of the
+    * (non-ANSI) hash ordering relationally. */
+  def ivfPivotIds(embeddings: DataFrame, nPivots: Int = 32): DataFrame =
+    embeddings.select(col("vec_id"))
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(nPivots)
+      .select(col("vec_id").as("pivot_id"))
+
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     // one-row table carrying ALL pivots as an array<struct> — the
-    // broadcast unit for the projection-side argmin below
+    // broadcast unit for the projection-side argmin below (pivot vectors
+    // rejoined from the shared id derivation, so the gate's staged table
+    // and this plan can never pick different pivots)
     val parr = v
-      .withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy(col("hk"), col("vec_id")).limit(nPivots)
-      .agg(collect_list(struct(col("vec_id").as("pivot_id"), col("v").as("pv"),
+      .join(broadcast(ivfPivotIds(embeddings, nPivots)),
+        col("vec_id") === col("pivot_id"))
+      .agg(collect_list(struct(col("pivot_id"), col("v").as("pv"),
         col("nrm").as("pnrm"))).as("pvs"))
-    // Per-row scored pivot array: struct(-cos, pivot_id), so the NATURAL
+    // Per-row scored pivot array: struct(-cos6, pivot_id), so the NATURAL
     // struct ordering (ascending lexicographic) ranks best-cosine first
     // with ties to the smallest pivot id — array_min IS the argmax.
+    // The score is decimal-6-rounded (the repo's standard boundary)
+    // BEFORE the argmin: raw-double cell assignment would hinge on the
+    // engines' dot-product summation shapes agreeing to the last ulp,
+    // while rounded scores make the assignment engine-independent (the
+    // same discipline topK applies to the final ranking).
     // `v`/`nrm` are materialized attributes, so the lambda re-evaluates
     // nothing upstream (see SURVEY §5 on HOF materialization).
     def scored: Column = transform(col("pvs"), p =>
-      struct((dot(col("v"), p.getField("pv")) * -1.0 /
-        (col("nrm") * p.getField("pnrm"))).as("negcos"),
+      struct(decRound(dot(col("v"), p.getField("pv")) * -1.0 /
+        (col("nrm") * p.getField("pnrm")), 6).as("negcos"),
         p.getField("pivot_id").as("pivot_id")))
     def nearestCells(side: DataFrame, n: Int): DataFrame = {
       val base = side.crossJoin(broadcast(parr))

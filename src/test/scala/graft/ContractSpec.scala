@@ -51,7 +51,7 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
   test("rows-only set is exactly the documented engine-specific operators") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "q13_approx_distinct", "s3_ann_ivf",
+      "q13_approx_distinct",
       "q38_percentiles_approx",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
       "s6_kmeans", "c19_quantile_rollup", "st10_sketch_stream",
