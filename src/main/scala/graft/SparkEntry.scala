@@ -612,13 +612,25 @@ object SparkEntry {
         .parquet(stageDir(d) + "/s5_codes")
       Similarity.knnGraphLsh(emb)
     }),
-    // deterministic distributed k-means (rows-only: the iterative
-    // assignment isn't ANSI-SQL-expressible; exact driver-parity is
-    // spec-asserted in DedupSimilaritySpec)
-    "s6_kmeans" -> ((s, d) => Similarity.kmeans(t(s, d, "embeddings"))),
-    // cluster-stratified coreset selection (rows-only: iterative
-    // k-means upstream; per-cluster membership+centrality spec-asserted)
-    "s9_diversity_sample" -> ((s, d) => Similarity.diversitySample(t(s, d, "embeddings"))),
+    // distributed k-means, FULL oracle: stage the seed id/cid table
+    // (smallest-xxhash64 — the one non-ANSI step), then the oracle
+    // unrolls the 5 Lloyd iterations as CTEs — decimal-6 assignment
+    // argmin, exact DECIMAL(28,12) coordinate sums, and the driver's
+    // HALF_UP scale-12 mean division replayed in HUGEINT integer math
+    "s6_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s6_seeds")
+      Similarity.kmeans(emb)
+    }),
+    // cluster-stratified coreset selection, FULL oracle: the s6 replay
+    // plus a per-cluster centrality rank (decimal-6 distance, id ties)
+    "s9_diversity_sample" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s9_seeds")
+      Similarity.diversitySample(emb)
+    }),
     // PageRank over the SUB-QUADRATIC k-NN graph (LSH edges — the whole
     // chain is the 100 TB path, no O(n²) stage). FULL oracle: stage the
     // seeded LSH codes (the one non-ANSI step), then the oracle
@@ -680,6 +692,52 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS rank FROM p),
          e AS (SELECT q_id AS src, id_b AS dst FROM rr WHERE rank <= 3)"""
+  // Shared s6/s9 k-means replay: staged seed (cid, vec_id) table (the
+  // one non-ANSI step) → `iters` unrolled Lloyd iterations → final
+  // assignment CTE `fa` (vec_id, cid, d6, rk). Each iteration:
+  // decimal-6-rounded squared-distance argmin (ties → smallest cid,
+  // matching the Spark side's array_min over struct(d6, cid)), exact
+  // DECIMAL(28,12) per-(cluster, dim) coordinate sums, and the driver's
+  // BigDecimal.divide(n, 12, HALF_UP) mean replayed as HUGEINT integer
+  // math on the unscaled sum: round_half_up(S/n) = sign(S)·((2|S|+n) //
+  // (2n)). The final /1e12 double division is exact-rational correctly
+  // rounded on both engines (S/n < 2^53, 1e12 a representable power of
+  // ten), so it equals BigDecimal.doubleValue. Empty clusters keep
+  // their previous centroid (the LEFT JOIN + COALESCE).
+  private def kmeansCtes(stage: String, iters: Int = 5): String = {
+    def assign(i: String, ct: String) =
+      s"""ca$i AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM $ct GROUP BY cid),
+         cb$i AS (SELECT cid, cv, list_inner_product(cv, cv) AS cc FROM ca$i),
+         asn$i AS (SELECT vec_id, cid, d6, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY d6, cid) AS rk FROM
+                  (SELECT w.vec_id, c.cid,
+                   CAST((w.vv - (CAST(2 AS DOUBLE) * list_inner_product(w.v, c.cv)))
+                        + c.cc AS DECIMAL(38,6)) AS d6
+                   FROM vv w CROSS JOIN cb$i c) z$i)"""
+    val head =
+      s"""WITH sd AS (SELECT CAST(cid AS INTEGER) AS cid, vec_id
+           FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         vv AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM v),
+         vx AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos FROM v),
+         ct0 AS (SELECT sd.cid, u.pos, u.x AS cx FROM sd JOIN vx u ON u.vec_id = sd.vec_id)"""
+    val loop = (0 until iters).map { i =>
+      s""",
+         ${assign(i.toString, s"ct$i")},
+         sm$i AS (SELECT g.cid, u.pos,
+                 CAST(sum(CAST(u.x AS DECIMAL(28,12))) * 1000000000000 AS HUGEINT) AS s,
+                 CAST(count(*) AS HUGEINT) AS n
+                 FROM asn$i g JOIN vx u ON u.vec_id = g.vec_id
+                 WHERE g.rk = 1 GROUP BY g.cid, u.pos),
+         ct${i + 1} AS (SELECT p.cid, p.pos,
+                 COALESCE(CAST(sign(m.s) * ((2 * abs(m.s) + m.n) // (2 * m.n))
+                               AS DOUBLE) / 1e12, p.cx) AS cx
+                 FROM ct$i p LEFT JOIN sm$i m ON m.cid = p.cid AND m.pos = p.pos)"""
+    }.mkString
+    s"""$head$loop,
+         ${assign("F", s"ct$iters")},
+         fa AS (SELECT vec_id, cid, d6, rk FROM asnF)"""
+  }
   private def dsum(x: String) =
     s"CAST(round(sum(CAST($x AS DECIMAL(18,4))), 2) AS DOUBLE)"
   // product sums: cast each raw factor to decimal, multiply exactly
@@ -1288,6 +1346,20 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s6: staged seeds → 5 unrolled Lloyd iterations → final assignment
+    "s6_kmeans" ->
+      s"""${kmeansCtes("s6_seeds")}
+         SELECT vec_id, cid AS cluster FROM fa WHERE rk = 1 ORDER BY vec_id""",
+    // s9: the s6 replay + per-cluster centrality rank (decimal-6
+    // distance, vec_id ties), top 10 per cluster
+    "s9_diversity_sample" ->
+      s"""${kmeansCtes("s9_seeds")},
+         asg AS (SELECT vec_id, cid AS cluster, d6 FROM fa WHERE rk = 1),
+         rnk AS (SELECT cluster, CAST(row_number() OVER
+                 (PARTITION BY cluster ORDER BY d6, vec_id) AS INTEGER) AS rank,
+                 vec_id FROM asg)
+         SELECT cluster, rank, vec_id FROM rnk WHERE rank <= 10
+         ORDER BY cluster, rank""",
     // s3: staged pivot ids → decimal-6 argmin cell assignment → 8-cell
     // probe for the queries → s1's decimal-6 cosine ranking. A (q, c)
     // pair meets at most once (the corpus side has ONE cell), so no

@@ -269,14 +269,29 @@ object Similarity {
       .drop("m", "vv")
   }
 
+  /** Deterministic k-means seed set with cluster indices: cid i = the
+    * vector with the i-th smallest (xxhash64(vec_id), vec_id) — the IVF
+    * pivot idiom. Exposed (and staged by the s6/s9 gates) so the DuckDB
+    * oracle can replay every step downstream of the non-ANSI hash
+    * ordering; [[kmeansCentroids]] derives its initial centroids from
+    * this same frame, so gate and operator can never pick different
+    * seeds. Only `vec_id` is read — any frame carrying it works. */
+  def kmeansSeedIds(vecs: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.orderBy(col("hk"), col("vec_id"))
+    vecs.select(col("vec_id"))
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("cid"), col("vec_id"))
+  }
+
   /** The Lloyd iteration loop, returning the final centroids (the
     * persistable model artifact). `v` must be a materialized
     * (vec_id, v: array<double>) frame. */
   private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     import java.math.{BigDecimal => JBD, RoundingMode}
-    var cents: Array[Array[Double]] = v
-      .withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy(col("hk"), col("vec_id")).limit(k)
+    var cents: Array[Array[Double]] = kmeansSeedIds(v, k)
+      .join(v, "vec_id").orderBy(col("cid"))
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {

@@ -54,7 +54,7 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
       "q13_approx_distinct",
       "q38_percentiles_approx",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
-      "s6_kmeans", "c19_quantile_rollup", "st10_sketch_stream",
-      "s9_diversity_sample", "t11_bpe_tokens"))
+      "c19_quantile_rollup", "st10_sketch_stream",
+      "t11_bpe_tokens"))
   }
 }
