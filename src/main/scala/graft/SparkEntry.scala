@@ -196,7 +196,8 @@ object SparkEntry {
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"),
     "m5_wav_meta" -> Seq("doc_id"),
-    "m6_wav_frames" -> Seq("doc_id", "frame_id"))
+    "m6_wav_frames" -> Seq("doc_id", "frame_id"),
+    "m7_video_meta" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -292,6 +293,10 @@ object SparkEntry {
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
+    // real ISO-BMFF (MP4) container parsing over planted payloads
+    // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
+    // timescale/duration; synthetic fallback mirrors the image path
+    "m7_video_meta" -> ((s, d) => Multimodal.mp4MetaPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
@@ -1473,6 +1478,22 @@ object SparkEntry {
            16 AS bits,
            CAST(64 + (octet_length(encode(text)) * 7) % 331 AS BIGINT) AS n_samples,
            CAST((octet_length(encode(text)) * 13) % 10000 AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m7: planted rows replay the real mvhd fields from the plant
+    // formula; text rows replay the synthetic fallback from byte length
+    "m7_video_meta" ->
+      """SELECT doc_id, 1 AS is_mp4, 'isom' AS major_brand,
+           CAST(600 + (doc_id % 5) * 300 AS INTEGER) AS timescale,
+           CAST(1200 + (doc_id % 997) * 7 AS BIGINT) AS duration,
+           CAST(((1200 + (doc_id % 997) * 7) * 1000)
+                // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_mp4, 'none' AS major_brand,
+           CAST(600 + (octet_length(encode(text)) % 7) * 150 AS INTEGER) AS timescale,
+           CAST((octet_length(encode(text)) * 11) % 99991 AS BIGINT) AS duration,
+           CAST((octet_length(encode(text)) * 17) % 60000 AS BIGINT) AS duration_ms
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m6: the planted PCM is lossless by construction — per-frame

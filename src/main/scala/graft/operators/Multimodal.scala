@@ -220,6 +220,63 @@ object Multimodal {
     }
   }
 
+  /** Deterministic planted MP4 (ISO-BMFF) payloads for m7's gate: every
+    * `every`-th doc_id gets a minimal valid MP4 whose header fields are
+    * pure functions of doc_id — `timescale = 600 + (id%5)·300`,
+    * `duration = 1200 + (id%997)·7` — so the oracle replays them from
+    * the plant formula. The box layout deliberately exercises a REAL
+    * top-level walk: ftyp, then a variable-length `free` box
+    * (pad = id%32), then `mdat` (id%16 payload bytes), then `moov`
+    * holding the version-0 `mvhd` — the parser must skip two
+    * variable-size boxes before it finds the movie header. */
+  object PlantedMp4s {
+    val Every = 8
+
+    def craftedMp4(docId: Long): Array[Byte] = {
+      val pad = (docId % 32).toInt
+      val mdatLen = (docId % 16).toInt
+      val timescale = (600 + (docId % 5) * 300).toInt
+      val duration = (1200 + (docId % 997) * 7).toInt
+      val out = java.nio.ByteBuffer.allocate(20 + (8 + pad) + (8 + mdatLen) + 116)
+      def ascii(s: String) = out.put(s.getBytes("US-ASCII"))
+      out.putInt(20); ascii("ftyp"); ascii("isom"); out.putInt(0x200); ascii("mp41")
+      out.putInt(8 + pad); ascii("free")
+      var i = 0
+      while (i < pad) { out.put(((docId + i * 3) % 256).toByte); i += 1 }
+      out.putInt(8 + mdatLen); ascii("mdat")
+      i = 0
+      while (i < mdatLen) { out.put(((docId * 5 + i) % 256).toByte); i += 1 }
+      out.putInt(116); ascii("moov")
+      out.putInt(108); ascii("mvhd")
+      out.putInt(0)                       // version 0 + flags
+      out.putInt(0).putInt(0)             // ctime, mtime
+      out.putInt(timescale).putInt(duration)
+      out.putInt(0x00010000)              // rate 1.0
+      out.putShort(0x0100.toShort)        // volume 1.0
+      out.putShort(0); out.putInt(0).putInt(0) // reserved
+      // identity matrix
+      out.putInt(0x00010000).putInt(0).putInt(0)
+      out.putInt(0).putInt(0x00010000).putInt(0)
+      out.putInt(0).putInt(0).putInt(0x40000000)
+      (1 to 6).foreach(_ => out.putInt(0)) // pre_defined
+      out.putInt(2)                       // next_track_id
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-MP4 payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedMp4Media(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedMp4s.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedMp4s.craftedMp4(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Documents with planted real-WAV payloads on every `every`-th
     * doc_id (text bytes otherwise). */
   def plantedWavMedia(spark: SparkSession, documents: DataFrame,
@@ -318,6 +375,70 @@ object Multimodal {
   def wavFramesPlanted(spark: SparkSession, documents: DataFrame,
                        every: Int = PlantedWavs.Every): DataFrame =
     decodedMedia(plantedWavMedia(spark, documents, every), AutoDecoder)
+
+  /** REAL video-container metadata from the binary payload — pure
+    * column exprs, the ISO-BMFF (MP4) analogue of [[mediaMeta]]'s JPEG
+    * segment walk: `ftyp` validation + major-brand read, then an
+    * unrolled TOP-LEVEL box walk (size-prefixed boxes, cursor advances
+    * by each box's 32-bit big-endian size) to the `moov` box, whose
+    * first child must be the version-0 `mvhd` movie header — timescale
+    * and duration are 4-byte big-endian reads at fixed offsets from the
+    * moov position. Video FRAME decoding stays in the declared stub
+    * tier (no codecs in the JVM); the container metadata tier is real.
+    * `complete` additionally requires timescale ≥ 1 so the duration
+    * division can never hit an ANSI divide-by-zero; anything
+    * unparseable falls back to deterministic synthetic metadata,
+    * mirroring the image/audio paths' contract. */
+  def mp4Meta(media: DataFrame, maxBoxes: Int = 6): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isFtyp = coalesce(beUint(p, lit(1L), 4) >= 16, lit(false)) &&
+      hex(p.substr(lit(5), lit(4))) === "66747970" // 'ftyp'
+    // walk: cursor at each top-level box's size field (1-based); box
+    // type at pos+4; next = pos + be32(pos). A size < 8 (corrupt) or a
+    // read past the payload nulls the cursor and the walk dies out —
+    // `found` stays false and the row falls back.
+    var df = media
+      .withColumn("_mp4", isFtyp)
+      .withColumn("_found0", lit(false))
+      .withColumn("_pos0", when(isFtyp, lit(1L) + beUint(p, lit(1L), 4)))
+    for (i <- 1 to maxBoxes) {
+      val pos = col(s"_pos${i - 1}")
+      val found = col(s"_found${i - 1}")
+      val isMoov = coalesce(hex(p.substr(pos + 4, lit(4))) === "6D6F6F76", lit(false))
+      val sz = beUint(p, pos, 4)
+      df = df
+        .withColumn(s"_found$i", found || isMoov)
+        .withColumn(s"_pos$i", when(col(s"_found$i"), pos)
+          .otherwise(when(coalesce(sz >= 8, lit(false)), pos + sz)))
+    }
+    val moov = col(s"_pos$maxBoxes")
+    val mvhdOk = col(s"_found$maxBoxes") &&
+      coalesce(hex(p.substr(moov + 12, lit(4))) === "6D766864", lit(false)) && // 'mvhd'
+      coalesce(beUint(p, moov + 16, 1) === 0, lit(false)) // version 0
+    val staged = df
+      .withColumn("_ok", col("_mp4") && mvhdOk)
+      .withColumn("_ts", beUintInt(p, moov + 28, 4))
+      .withColumn("_dur", beUint(p, moov + 32, 4))
+    val complete = col("_ok") &&
+      coalesce(col("_ts") >= 1 && col("_dur").isNotNull, lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_mp4"),
+      when(complete, p.substr(lit(9), lit(4)).cast("string"))
+        .otherwise(lit("none")).as("major_brand"),
+      when(complete, col("_ts"))
+        .otherwise((lit(600) + pmod(len, lit(7)) * 150).cast("int")).as("timescale"),
+      when(complete, col("_dur"))
+        .otherwise(pmod(len * 11, lit(99991)).cast("long")).as("duration"),
+      when(complete, expr("(_dur * 1000) div _ts"))
+        .otherwise(pmod(len * 17, lit(60000)).cast("long")).as("duration_ms"))
+  }
+
+  /** The m7 gate: container metadata over the planted-MP4 corpus. */
+  def mp4MetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedMp4s.Every): DataFrame =
+    mp4Meta(plantedMp4Media(spark, documents, every).toDF())
 
   /** SOFn marker bytes (all frame-header types: C0-C3, C5-C7, C9-CB,
     * CD-CF — everything but DHT/DAC/RST). */

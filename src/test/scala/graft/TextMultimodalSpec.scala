@@ -357,6 +357,30 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L).getAs[Int]("is_wav") === 0) // header cut mid-fmt: fallback
   }
 
+  test("mp4 meta: real box walk parses mvhd; corrupt/truncated/non-mp4 fall back") {
+    import spark.implicits._
+    val mp4 = Multimodal.PlantedMp4s.craftedMp4(16L) // ts 600+300=900, dur 1200+16*7
+    val text = "not a video".getBytes("UTF-8")
+    val truncated = mp4.take(40)            // dies inside the free box
+    // corrupt: a zero box size mid-walk must kill the cursor, not loop
+    val corrupt = mp4.clone()
+    corrupt(20) = 0; corrupt(21) = 0; corrupt(22) = 0; corrupt(23) = 0
+    val out = Multimodal.mp4Meta(
+      Seq((1L, mp4), (2L, text), (3L, truncated), (4L, corrupt))
+        .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("is_mp4") === 1)
+    assert(out(1L).getAs[String]("major_brand") === "isom")
+    assert(out(1L).getAs[Int]("timescale") === 900)
+    assert(out(1L).getAs[Long]("duration") === 1200L + 16 * 7)
+    assert(out(1L).getAs[Long]("duration_ms") === (1200L + 16 * 7) * 1000 / 900)
+    assert(out(2L).getAs[Int]("is_mp4") === 0)
+    assert(out(2L).getAs[String]("major_brand") === "none")
+    assert(out(2L).getAs[Int]("timescale") === 600 + (text.length % 7) * 150)
+    assert(out(3L).getAs[Int]("is_mp4") === 0)
+    assert(out(4L).getAs[Int]("is_mp4") === 0)
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
