@@ -171,6 +171,7 @@ object SparkEntry {
     "c22_temperature_mix" -> Seq("source"),
     "d14_multi_clusters" -> Seq("doc_id"),
     "c2_tfidf" -> Seq("doc_id", "term"),
+    "c25_bm25" -> Seq("term", "rank"),
     "c3_hash_split" -> Seq("doc_id"),
     "c4_stratified_sample" -> Seq("lang"),
     "c5_length_buckets" -> Seq("bucket"),
@@ -299,6 +300,9 @@ object SparkEntry {
     "m7_video_meta" -> ((s, d) => Multimodal.mp4MetaPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
+    // BM25 top-k retrieval for the corpus's highest-df terms — the
+    // classic IR ranking, fully relational, full oracle
+    "c25_bm25" -> ((s, d) => Curation.bm25TopK(t(s, d, "documents"))),
     "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
     "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
     "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
@@ -1547,6 +1551,36 @@ object SparkEntry {
           FROM terms, dfreq, n WHERE terms.term = dfreq.term
             AND CAST(CAST(tf * ln(CAST(n AS DOUBLE) / df) AS DECIMAL(38,6)) AS DOUBLE) > 0.0
           ORDER BY doc_id, terms.term""",
+    // c25: BM25 replayed relationally — every constant enters as the
+    // same single IEEE op as the Spark expression tree (k1+1 is an ADD
+    // in both engines, never a 2.2 literal whose decimal→double
+    // conversion could differ from the runtime sum)
+    "c25_bm25" ->
+      s"""WITH terms AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+            GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+          qt AS (SELECT term AS qterm, df FROM dfreq ORDER BY df DESC, term LIMIT 5),
+          dlen AS (SELECT doc_id, sum(tf) AS dl FROM terms GROUP BY 1),
+          st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                        (SELECT sum(tf) FROM terms) AS tt),
+          sc AS (SELECT qt.qterm AS term, t.doc_id,
+                 CAST((ln(CAST(1 AS DOUBLE) +
+                        ((CAST(st.n AS DOUBLE) - qt.df) + CAST(0.5 AS DOUBLE))
+                        / (qt.df + CAST(0.5 AS DOUBLE)))
+                      * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))))
+                   / (t.tf + CAST(1.2 AS DOUBLE) *
+                      ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                       (CAST(0.75 AS DOUBLE) * d.dl) /
+                       (CAST(st.tt AS DOUBLE) / CAST(st.n AS DOUBLE))))
+                 AS DECIMAL(38,6)) AS score
+                 FROM terms t JOIN qt ON t.term = qt.qterm
+                 JOIN dlen d ON d.doc_id = t.doc_id CROSS JOIN st),
+          r AS (SELECT term, doc_id, CAST(score AS DOUBLE) AS score,
+                CAST(row_number() OVER (PARTITION BY term
+                     ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc)
+          SELECT term, rank, doc_id, score FROM r WHERE rank <= 10
+          ORDER BY term, rank""",
     "c3_hash_split" ->
       """SELECT doc_id,
            CASE WHEN ((doc_id % 1000003) * 2654435761 + 104729) % 100 < 90 THEN 'train'

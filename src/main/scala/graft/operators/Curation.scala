@@ -51,6 +51,53 @@ object Curation {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones, the classic IR
+    * ranking) for the corpus's own head terms — the retrieval step
+    * contamination checks and retrieval-augmented curation pipelines
+    * run over a training corpus. Query terms are the `nTerms` highest-
+    * document-frequency tokens (ties → lexicographic) so the query set
+    * is deterministic and derived relationally; each term's top `k`
+    * documents rank by the decimal-6-rounded BM25 score with doc_id
+    * ties.
+    *
+    * Scale shape: the (doc, term) aggregate shuffles once on its key;
+    * the tiny query-term and corpus-stat tables broadcast, so scoring
+    * is a map over the candidate rows (docs containing a query term)
+    * plus one doc-keyed join for lengths — no corpus-wide sort, and the
+    * per-term top-k is a window over candidates only. All constants
+    * enter as single IEEE ops (k1+1 computed the same way in the
+    * oracle), and the one `ln` carries the same negligible cross-engine
+    * ulp risk c20's note documents. */
+  def bm25TopK(documents: DataFrame, nTerms: Int = 5, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = dfreq.orderBy(col("df").desc, col("term")).limit(nTerms)
+    // doc length = Σ tf over the doc's terms (same aggregate feeds both
+    // engines; a second tokenize would just redo the explode)
+    val dlen = terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val tt = terms.agg(sum(col("tf")).as("tt"))
+    val avgdl = col("tt").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val score = idf * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    terms.join(broadcast(qt.withColumnRenamed("term", "qterm")),
+        col("term") === col("qterm"))
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tt))
+      .withColumn("score", decRound(score, 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Deterministic hash-based train/valid/test split: engine-independent
     * multiplicative hash on the id — reproducible anywhere, no RNG, and
     * stable when the corpus grows (a doc never changes split).

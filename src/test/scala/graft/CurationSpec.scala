@@ -65,6 +65,31 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bm25: ranks contiguous per term, scores non-increasing, tf monotonicity") {
+    import spark.implicits._
+    val out = Curation.bm25TopK(table("documents")).collect()
+    val byTerm = out.groupBy(_.getAs[String]("term"))
+    assert(byTerm.size === 5) // the 5 head terms each return results
+    byTerm.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to rows.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0.0))
+    }
+    // hand-checkable micro corpus: same doc lengths, so the doc with
+    // more occurrences of the query term must score strictly higher
+    val tiny = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana cherry"),
+      (3L, "date fig grape plum")).toDF("doc_id", "text")
+    val t = Curation.bm25TopK(tiny, nTerms = 1, k = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    // apple/banana/cherry all have df=2 > 1; lexicographic tie-break → apple
+    assert(t.forall(_._1 == "apple"))
+    assert(t.toSeq === Seq(("apple", 1L, 1), ("apple", 2L, 2)))
+  }
+
   test("hash split: deterministic, partitions the corpus, ~90/5/5") {
     val a = Curation.hashSplit(table("documents")).collect()
     val b = Curation.hashSplit(table("documents")).collect()
