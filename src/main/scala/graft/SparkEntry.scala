@@ -462,15 +462,32 @@ object SparkEntry {
     "t8_importance" -> ((s, d) => Curation.importanceWeight(t(s, d, "documents"))),
     "c14_percentile_gate" -> ((s, d) => Curation.percentileGate(t(s, d, "documents"))),
     "t9_stop_strip" -> ((s, d) => TextOps.stopStrip(t(s, d, "documents"))),
-    // corpus-learned BPE: rows-only (the learn loop is not expressible in
-    // ANSI SQL); exact driver-parity + invariants spec-asserted (BpeSpec).
-    // The fit is memoized per sfDir so t11 and c23 share one word-count
-    // job + driver merge loop per sweep (it's a pure function of the dir)
-    "t11_bpe_tokens" -> ((s, d) =>
-      TextOps.bpeTokenize(t(s, d, "documents"), bpeFit(s, d))),
-    // c15's packing re-gated on REAL tokenizer counts (t11's BPE) —
-    // rows-only for the same reason as t11; packing algebra itself is
-    // the c15 full-oracle path, parity spec-asserted in CurationSpec
+    // corpus-learned BPE, FULL oracle via the staged-model idiom: the
+    // learn loop + greedy segmentation are the one non-ANSI step, but
+    // both are a pure function of the WORD (segment() encodes each
+    // whitespace-split word independently — Bpe.scala), so the gate
+    // stages the distinct-word → (segmentation, n_subwords) table and
+    // DuckDB replays the document layer relationally: ordered positions,
+    // subword-count sums, bpe_text re-assembly. BpeSpec keeps the
+    // algorithm itself gated by independent driver parity. The fit is
+    // memoized per sfDir so t11 and c23 share one word-count job +
+    // driver merge loop per sweep (it's a pure function of the dir)
+    "t11_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = bpeFit(s, d)
+      val mergesLit = lit(merges.map { case (a, b) => s"$a $b" }.toArray)
+      docs.select(explode(graft.functions.ColumnFns.tokens(col("text"))).as("word"))
+        .distinct()
+        .withColumn("_seg", call_function("graft_bpe_segment", col("word"), mergesLit))
+        .select(col("word"), array_join(col("_seg"), " ").as("seg"),
+          size(col("_seg")).as("n_sub"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/t11_wordseg")
+      TextOps.bpeTokenize(docs, merges)
+    }),
+    // c15's packing re-gated on REAL tokenizer counts (t11's BPE) via
+    // tokenPackingBy; packing algebra itself is the c15 full-oracle
+    // path, parity spec-asserted in CurationSpec.
     // FULL oracle via the staged-count idiom: the per-doc BPE counts are
     // deterministic but only computable in the JVM (learned merge table
     // + greedy segmentation), so the gate stages them as a parquet the
@@ -2002,6 +2019,28 @@ object SparkEntry {
     // c23: c15's packing algebra over the STAGED real BPE counts (the
     // gate writes them; Verify rewrites __GRAFT_STAGE__ to the per-sfDir
     // stage path when dumping oracle_sql.json)
+    // t11: the staged word→segmentation model (the one non-ANSI step —
+    // learn loop + greedy merges, a pure per-word function) joins back
+    // onto the corpus relationally: ordered token positions via a struct
+    // comprehension, subword counts summed, bpe_text re-assembled with an
+    // ORDER BY position string_agg; token-less docs survive the LEFT JOIN
+    "t11_bpe_tokens" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS a FROM documents),
+          w AS (SELECT doc_id, unnest([{'i': i, 'w': a[i]}
+                  for i in generate_series(1, len(a))], recursive := true)
+                FROM d),
+          j AS (SELECT w.doc_id, w.i, s.seg, s.n_sub
+                FROM w JOIN read_parquet('__GRAFT_STAGE__/t11_wordseg/*.parquet') s
+                  ON w.w = s.word),
+          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                  CAST(sum(n_sub) AS INTEGER) AS n_bpe_tokens,
+                  string_agg(seg, ' ' ORDER BY i) AS bpe_text
+                  FROM j GROUP BY 1)
+          SELECT d0.doc_id, coalesce(agg.n_words, 0) AS n_words,
+            coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+            coalesce(agg.bpe_text, '') AS bpe_text
+          FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
+          ORDER BY d0.doc_id""",
     "c23_bpe_packing" ->
       """WITH t AS (SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
              doc_id, CAST(n_bpe_tokens AS BIGINT) AS tok

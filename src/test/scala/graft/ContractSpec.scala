@@ -54,7 +54,6 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
       "q13_approx_distinct",
       "q38_percentiles_approx",
       "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
-      "c19_quantile_rollup", "st10_sketch_stream",
-      "t11_bpe_tokens"))
+      "c19_quantile_rollup", "st10_sketch_stream"))
   }
 }
