@@ -145,6 +145,7 @@ object SparkEntry {
     "d13_embed_incremental" -> Seq("id_a", "id_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "d16_dup_spans" -> Seq("doc_id", "start_pos"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -257,6 +258,9 @@ object SparkEntry {
       Dedup.simhashPairs(docs)
     }),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"))),
+    // substring-level dedup: maximal repeated 8-token spans (cross- or
+    // within-doc), interval-island merged — fully relational, full oracle
+    "d16_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
     // s2 FULL oracle: the seeded sign codes are JVM float math, but the
@@ -1114,6 +1118,29 @@ object SparkEntry {
          SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.text = b.text)
          GROUP BY text ORDER BY 1""",
+    // d16: window shingles with ordered positions (struct comprehension),
+    // duplicate marking by count-over-shingle, then the q42 island merge
+    // on token positions — w=8, so windows at p and p' overlap-or-touch
+    // iff p' <= p + 8 and the span tail is max(p) + 7
+    "d16_dup_spans" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
+                  for i in generate_series(1, len(t)-7)], recursive := true)
+                FROM d WHERE len(t) >= 8),
+          dup AS (SELECT doc_id, p FROM
+                  (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
+                  WHERE c > 1),
+          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
+                  FROM dup),
+          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS g FROM brk)
+          SELECT doc_id, CAST(g + 1 AS INTEGER) AS span_id,
+            CAST(min(p) AS INTEGER) AS start_pos,
+            CAST(max(p) + 7 AS INTEGER) AS end_pos,
+            count(*) AS n_windows,
+            CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
+          FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
     "d4_ngram_jaccard" ->
       s"""WITH tok AS ($shingleTok),
           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -756,4 +756,53 @@ object Dedup {
       .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), threshold))
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Repeated n-gram SPAN detection — substring-level dedup, the layer a
+    * training pipeline runs besides whole/near-document dedup (public
+    * result: Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2022 — repeated spans are memorized
+    * disproportionately). Every `w`-token window of every document is
+    * shingled; windows whose shingle occurs more than once in the corpus
+    * (cross- OR within-doc — boilerplate repeats count) mark duplicate
+    * positions, and overlapping-or-adjacent duplicate windows merge into
+    * maximal spans (the q42 interval-island algebra on token positions).
+    * Output: one row per maximal duplicated span, 1-based token
+    * positions, `end_pos` inclusive of the last window's tail.
+    *
+    * Scale shape: one shuffle keyed on the shingle (count-over-partition
+    * marks duplicates without a second join back) + one doc-keyed sort
+    * for the island merge — both linear in total token count. At 100 TB
+    * shuffle xxhash64(shingle) instead of the string (8 bytes vs ~10·w,
+    * same plan, collision odds 2^-64 per pair — the standard trade); the
+    * string key is kept here for engine-exact oracle replay. */
+  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), col("n") - (w - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(w))))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+    val dup = occ
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("p"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    dup
+      .withColumn("brk",
+        when(col("p") > lag(col("p"), 1).over(byDoc) + w, 1).otherwise(0))
+      .withColumn("g", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("start_pos"),
+        (max(col("p")) + (w - 1)).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), (col("g") + 1).cast("int").as("span_id"),
+        col("start_pos").cast("int").as("start_pos"),
+        col("end_pos").cast("int").as("end_pos"),
+        col("n_windows"),
+        (col("end_pos") - col("start_pos") + 1).cast("int").as("n_span_tokens"))
+  }
 }

@@ -22,6 +22,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dup spans: planted repeat merges to one maximal island, unique docs absent") {
+    import spark.implicits._
+    // 12 shared tokens at different offsets in docs 1 and 2 → with w=4
+    // every window inside the repeat duplicates; doc 3 is all-unique
+    val shared = (1 to 12).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aaa bbb $shared ccc ddd"),
+      (2L, s"xxx $shared yyy zzz www"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, w = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_id"),
+        r.getAs[Int]("start_pos"), r.getAs[Int]("end_pos"),
+        r.getAs[Long]("n_windows"), r.getAs[Int]("n_span_tokens"))).sorted
+    // doc 1: repeat occupies tokens 3..14 → windows 3..11 (9 of them)
+    // doc 2: repeat occupies tokens 2..13 → windows 2..10
+    assert(out.toSeq === Seq(
+      (1L, 1, 3, 14, 9L, 12),
+      (2L, 1, 2, 13, 9L, 12)))
+    // within-doc repetition alone also counts (boilerplate)
+    val self = Seq((7L, s"$shared filler1 filler2 $shared"))
+      .toDF("doc_id", "text")
+    val selfOut = Dedup.dupSpans(self, w = 4).collect()
+    assert(selfOut.length === 2 &&
+      selfOut.forall(_.getAs[Int]("n_span_tokens") === 12))
+  }
+
   test("minhash LSH recall: finds every exact pair at its threshold") {
     // exact pairs within the same blocking key, threshold 0.5
     val exact = Dedup.ngramJaccardPairs(table("documents"), 0.5).collect()

@@ -218,6 +218,18 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dup spans: two keyed exchanges (shingle, doc), no join anywhere") {
+    val df = graft.operators.Dedup.dupSpans(table("documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // count-over-shingle marks duplicates WITHOUT joining back, and the
+    // island merge rides the doc-keyed sort — any Join here means the
+    // one-shuffle-per-key discipline regressed
+    assert(!p.contains("Join"), s"dup-span marking introduced a join in:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2, s"expected shingle + doc exchanges, got $exchanges in:\n$p")
+  }
+
   test("bpe learn touches only the word aggregate: one exchange, top-k no global sort") {
     // the fit's distributed part — word count + deterministic vocab cap
     val wc = table("documents")
