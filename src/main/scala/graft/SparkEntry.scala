@@ -152,6 +152,7 @@ object SparkEntry {
     "d8_embed_lsh_pairs" -> Seq("id_a", "id_b"),
     "d9_lsh_clusters" -> Seq("vec_id"),
     "s1_ann_brute" -> Seq("q_id", "rank"),
+    "s10_quantized_ann" -> Seq("q_id", "rank"),
     "s2_ann_lsh" -> Seq("q_id", "rank"),
     "s3_ann_ivf" -> Seq("q_id", "rank"),
     "t1_lang_id" -> Seq("doc_id"),
@@ -263,6 +264,10 @@ object SparkEntry {
     "d16_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
+    // scalar-quantized ANN: per-dim [min,max] → 0..255 codes → s1's
+    // ranking in the quantized domain; integer dots are exact in both
+    // engines, so this is a FULL oracle end to end
+    "s10_quantized_ann" -> ((s, d) => Similarity.quantizedTopK(t(s, d, "embeddings"))),
     // s2 FULL oracle: the seeded sign codes are JVM float math, but the
     // probe (hamming ≤ 1 on the staged codes) and the decimal-6 cosine
     // ranking replay relationally — s1's proven ranking shape
@@ -1395,6 +1400,32 @@ object SparkEntry {
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
                list_cosine_similarity(q.v, c.v) AS cos
                FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s10: the quantization model (per-dim min/max) and the codes both
+    // replay relationally — (x-mn)·255/(mx-mn) is the same three IEEE
+    // ops in both engines, the integer round goes through the decimal-6
+    // boundary, and quantized dots/norms are exact integer sums
+    "s10_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT vec_id, unnest([{'d': i, 'val': v[i]}
+                 for i in generate_series(1, len(v))], recursive := true) FROM e),
+         mm AS (SELECT d, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+         c AS (SELECT vec_id, d,
+               CASE WHEN mm.mx > mm.mn THEN
+                 CAST(round(CAST((val - mm.mn) * CAST(255 AS DOUBLE) / (mm.mx - mm.mn)
+                   AS DECIMAL(38,6)), 0) AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END AS code
+               FROM x JOIN mm USING (d)),
+         n AS (SELECT vec_id, sqrt(sum(code * code)) AS nrm FROM c GROUP BY 1),
+         dp AS (SELECT q.vec_id AS q_id, b.vec_id AS id_b, sum(q.code * b.code) AS dp
+                FROM c q JOIN c b ON q.d = b.d AND q.vec_id < 10 AND b.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         p AS (SELECT dp.q_id, dp.id_b, dp.dp / (nq.nrm * nb.nrm) AS cos
+               FROM dp JOIN n nq ON nq.vec_id = dp.q_id
+                       JOIN n nb ON nb.vec_id = dp.id_b),
          r AS (SELECT q_id, id_b, CAST(row_number() OVER
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)

@@ -427,4 +427,60 @@ object Similarity {
       .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
     topK(pairs, k)
   }
+
+  /** Per-dimension [min, max] of the embedding column — the scalar-
+    * quantization model artifact (persist it like the k-means centroids;
+    * a later batch quantizes against the SAME ranges). Partial-agg
+    * shuffle of (dim, val) pairs down to one row per dimension. */
+  def quantStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(toDoubleVec(col("embedding"))))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .select(col("pos").as("dim"), col("mn"), col("mx"))
+
+  /** Scalar (int8-range) quantization: each coordinate maps to a 0..255
+    * code via the per-dimension [min, max] ranges — the standard first
+    * compression step of a large-scale ANN index (4× narrower than
+    * float32; IVF-PQ's scalar cousin). The code is the HALF_UP integer
+    * round of (x-mn)·255/(mx-mn) taken through the decimal-6 boundary,
+    * so both engines compute it from the same three IEEE ops + an exact
+    * decimal round (c20's residual-ulp note applies at the .5e-6
+    * boundaries). Constant dimensions (mx == mn) code to 0. Plan: the
+    * 64-row stats table collapses to a one-row sorted array, broadcast
+    * onto a single corpus scan — quantization itself never shuffles the
+    * corpus. Codes stay array<double> (exact small integers) so the
+    * native graft_dot path scores them unchanged. */
+  def quantize(embeddings: DataFrame, stats: DataFrame): DataFrame = {
+    val marr = stats.agg(array_sort(collect_list(
+      struct(col("dim"), col("mn"), col("mx")))).as("ms"))
+    embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .crossJoin(broadcast(marr))
+      .withColumn("codes", zip_with(col("v"), col("ms"), (x, m) =>
+        when(m.getField("mx") > m.getField("mn"),
+          round(((x - m.getField("mn")) * lit(255.0) /
+            (m.getField("mx") - m.getField("mn")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double"))
+          .otherwise(lit(0.0))))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** s1's exact cosine top-k re-run entirely in the quantized domain:
+    * integer dot products are exact in IEEE doubles (≤ 255²·64 ≪ 2^53),
+    * so quantized scores are engine-identical up to the final two IEEE
+    * ops and the decimal-6 ranking discipline absorbs those — a FULLY
+    * relational, full-oracle ANN scale path (recall vs the exact s1
+    * ranking is spec-asserted). Plan shape is bruteTopK's: broadcast
+    * queries, one candidate scan, per-partition partial top-k. */
+  def quantizedTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val qv = quantize(embeddings, quantStats(embeddings))
+      .withColumn("nrm", norm(col("codes")))
+    val q = qv.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("codes").as("cq"), col("nrm").as("nq"))
+    val pairs = qv.select(col("vec_id").as("id_b"), col("codes").as("cb"), col("nrm").as("nb"))
+      .join(broadcast(q), col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("cq"), col("cb")) / (col("nq") * col("nb")))
+    topK(pairs, k)
+  }
 }

@@ -48,6 +48,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       selfOut.forall(_.getAs[Int]("n_span_tokens") === 12))
   }
 
+  test("quantized ANN: codes are 0..255 integers, recall vs exact holds") {
+    val emb = table("embeddings")
+    val codes = Similarity.quantize(emb, Similarity.quantStats(emb))
+      .select(explode(col("codes")).as("c")).collect().map(_.getDouble(0))
+    assert(codes.forall(c => c >= 0 && c <= 255 && c == c.floor))
+    // 8-bit quantization barely moves cosines: the top-5 neighbor sets
+    // must overlap the exact ranking substantially (floor 0.6 overall)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sets(Similarity.bruteTopK(emb))
+    val quant = sets(Similarity.quantizedTopK(emb))
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.6, s"quantized recall $recall below floor")
+  }
+
   test("minhash LSH recall: finds every exact pair at its threshold") {
     // exact pairs within the same blocking key, threshold 0.5
     val exact = Dedup.ngramJaccardPairs(table("documents"), 0.5).collect()
