@@ -50,6 +50,27 @@ object SparkEntry {
   private[graft] def stageDir(sfDir: String): String =
     "/tmp/graft-stage/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Deterministic planted quality-rule violations for the c24/st13
+    * gates: the synthetic corpus is uniform clean prose, so each Gopher
+    * rule is tripped on a doc_id-keyed slice (symbols, digit runs,
+    * ellipsis lines, bullet lists — %21 docs cross the 90% bullet-line
+    * bar) to make every rule's firing observable in the oracle. */
+  private[graft] def plantQualityViolations(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit(" # text ## mark ...")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        lit(" 404 500 1234 9000")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("\nline trails off...\nthis one too...")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("\n- first bullet\n- second bullet\n- third bullet")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(21)) === 0,
+        lit("\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10\n- b11\n- b12"))
+        .otherwise(lit(""))
+    ).as("text"))
+
   private val bpeFits =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
   private def bpeFit(s: SparkSession, d: String): Seq[(String, String)] =
@@ -165,6 +186,7 @@ object SparkEntry {
     "c24_quality_rules" -> Seq("doc_id"),
     "t14_lang_ngram" -> Seq("doc_id"),
     "st12_token_budget_stream" -> Seq("source"),
+    "st13_quality_stream" -> Seq("doc_id"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
@@ -425,24 +447,8 @@ object SparkEntry {
     // is uniform clean prose, so — t12's planted-data idiom — rule
     // violations (symbols, digit runs, ellipsis/bullet lines) are
     // planted deterministically from doc_id and mirrored in the oracle
-    "c24_quality_rules" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val aug = docs.select(col("doc_id"), concat(
-        col("text"),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          lit(" # text ## mark ...")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(6)) === 0,
-          lit(" 404 500 1234 9000")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          lit("\nline trails off...\nthis one too...")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("\n- first bullet\n- second bullet\n- third bullet")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(21)) === 0,
-          lit("\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10\n- b11\n- b12"))
-          .otherwise(lit(""))
-      ).as("text"))
-      TextOps.gopherQuality(aug)
-    }),
+    "c24_quality_rules" -> ((s, d) =>
+      TextOps.gopherQuality(plantQualityViolations(t(s, d, "documents")))),
     // Cavnar–Trenkle char-trigram language ID: profiles learned from the
     // labeled slice (aggregate-bounded), scoring map-only; integer end
     // to end, so the oracle replays the learning AND the scoring
@@ -631,6 +637,12 @@ object SparkEntry {
     }),
     "st11_cdc_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.cdcFileStream(Tables.tune(s), d)),
+    // the Gopher quality gate as a streaming ingest filter — same
+    // planted-violation input and rule algebra as c24, driven through a
+    // two-batch file stream; gated on c24's oracle verbatim
+    "st13_quality_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.qualityFileStream(Tables.tune(s), d,
+        plantQualityViolations(t(s, d, "documents")))),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
     // rolled up by the same batch merge (rows-only: sketch estimates;
     // streaming==batch equality spec-asserted in the sparse regime)
@@ -784,6 +796,45 @@ object SparkEntry {
     s"CAST(CAST(CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS DOUBLE)"
   private val toks =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+  // shared by c24 (batch) and st13 (the same computation through a file
+  // stream): the aug CTE mirrors plantQualityViolations, the rule algebra
+  // mirrors TextOps.gopherQuality
+  private lazy val qualityRulesSql =
+    s"""WITH aug AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 4 = 0 THEN ' # text ## mark ...' ELSE '' END ||
+           CASE WHEN doc_id % 6 = 0 THEN ' 404 500 1234 9000' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'line trails off...' ||
+             chr(10) || 'this one too...' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- first bullet' ||
+             chr(10) || '- second bullet' || chr(10) || '- third bullet' ELSE '' END ||
+           CASE WHEN doc_id % 21 = 0 THEN chr(10) || '- b4' || chr(10) || '- b5' ||
+             chr(10) || '- b6' || chr(10) || '- b7' || chr(10) || '- b8' ||
+             chr(10) || '- b9' || chr(10) || '- b10' || chr(10) || '- b11' ||
+             chr(10) || '- b12' ELSE '' END
+           AS text FROM documents),
+         sig AS (SELECT doc_id, $toks AS t, string_split(text, chr(10)) AS ls,
+           len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym FROM aug),
+         m AS (SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_words,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+             / nullif(len(t), 0) AS mean_word_len,
+           CAST(n_sym AS DOUBLE) / nullif(len(t), 0) AS symbol_ratio,
+           CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+             OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• ')))
+             AS DOUBLE) / nullif(len(ls), 0) AS bullet_line_frac,
+           CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+             AS DOUBLE) / nullif(len(ls), 0) AS ellipsis_line_frac,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+             AS DOUBLE) / nullif(len(t), 0) AS alpha_word_frac
+           FROM sig)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3 AND 10
+             AND symbol_ratio < 0.1 AND bullet_line_frac < 0.9
+             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM m ORDER BY doc_id"""
   private val shingleTok =
     s"""SELECT doc_id, source, CASE WHEN len(t) >= 3 THEN
         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1912,42 +1963,10 @@ object SparkEntry {
     },
     // c24: same planted decorations as the Spark gate, then the Gopher
     // rule algebra — every ratio an int/int single IEEE division
-    "c24_quality_rules" ->
-      s"""WITH aug AS (SELECT doc_id, text ||
-           CASE WHEN doc_id % 4 = 0 THEN ' # text ## mark ...' ELSE '' END ||
-           CASE WHEN doc_id % 6 = 0 THEN ' 404 500 1234 9000' ELSE '' END ||
-           CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'line trails off...' ||
-             chr(10) || 'this one too...' ELSE '' END ||
-           CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- first bullet' ||
-             chr(10) || '- second bullet' || chr(10) || '- third bullet' ELSE '' END ||
-           CASE WHEN doc_id % 21 = 0 THEN chr(10) || '- b4' || chr(10) || '- b5' ||
-             chr(10) || '- b6' || chr(10) || '- b7' || chr(10) || '- b8' ||
-             chr(10) || '- b9' || chr(10) || '- b10' || chr(10) || '- b11' ||
-             chr(10) || '- b12' ELSE '' END
-           AS text FROM documents),
-         sig AS (SELECT doc_id, $toks AS t, string_split(text, chr(10)) AS ls,
-           len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym FROM aug),
-         m AS (SELECT doc_id,
-           CAST(len(t) AS INTEGER) AS n_words,
-           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-             / nullif(len(t), 0) AS mean_word_len,
-           CAST(n_sym AS DOUBLE) / nullif(len(t), 0) AS symbol_ratio,
-           CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
-             OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• ')))
-             AS DOUBLE) / nullif(len(ls), 0) AS bullet_line_frac,
-           CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
-             AS DOUBLE) / nullif(len(ls), 0) AS ellipsis_line_frac,
-           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-             AS DOUBLE) / nullif(len(t), 0) AS alpha_word_frac
-           FROM sig)
-         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-             AND mean_word_len BETWEEN 3 AND 10
-             AND symbol_ratio < 0.1 AND bullet_line_frac < 0.9
-             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
-             THEN 1 ELSE 0 END AS INTEGER) AS keep
-         FROM m ORDER BY doc_id""",
+    "c24_quality_rules" -> qualityRulesSql,
+    // st13 is the SAME computation driven through a file stream with
+    // cross-batch ingestion — the gate is c24's oracle verbatim
+    "st13_quality_stream" -> qualityRulesSql,
     "q26_small_qty" ->
       s"""SELECT ${dsum("l_extendedprice")} AS total_price, count(*) AS n_items
           FROM lineitem l JOIN (SELECT l_partkey AS pk, ${davg("l_quantity")} AS avg_qty

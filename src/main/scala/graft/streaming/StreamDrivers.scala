@@ -598,4 +598,49 @@ object StreamDrivers {
         col("last_sec"), col("last_value"))
       .orderBy(col("user_id"))
   }
+
+  /** st13: the Gopher quality gate run as a streaming ingest filter —
+    * the shape a production pipeline actually deploys it in (score and
+    * flag documents AS THEY ARRIVE, not in a nightly batch). The rule
+    * algebra is a pure projection, so it composes onto a streaming
+    * DataFrame unchanged; the driver stages the (pre-augmented) corpus
+    * as two doc_id-halves with maxFilesPerTrigger=1 so the scoring
+    * provably runs per micro-batch, append mode emits each batch's rows
+    * exactly once, and the accumulated output is gated against c24's
+    * batch oracle verbatim. Stateless — no watermark or sentinel needed. */
+  def qualityFileStream(spark: SparkSession, sfDir: String,
+                        augmented: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-quality")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try {
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(augmented.filter(pmod(col("doc_id"), lit(2)) === 0),
+          augmented.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val out = graft.operators.TextOps.gopherQuality(src)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var batches = 0
+      val q = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect()
+          buf.synchronized { buf ++= rows; if (rows.nonEmpty) batches += 1 }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.toList.asJava, out.schema)
+    } finally deleteRecursively(dir)
+  }
 }

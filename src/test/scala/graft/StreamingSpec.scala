@@ -233,6 +233,15 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st13 driver: streamed quality gate equals the batch c24 result") {
+    val streamed = SparkEntry.queries("st13_quality_stream")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(7))).toSet
+    val batch = SparkEntry.queries("c24_quality_rules")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(7))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty && batch.exists(_._3 == 0) && batch.exists(_._3 == 1))
+  }
+
   test("st11 driver: streamed CDC apply equals the batch q44 result") {
     val streamed = graft.streaming.StreamDrivers
       .cdcFileStream(spark, "/root/testdata/sf0.001").collect()
