@@ -167,6 +167,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d16_dup_spans" -> Seq("doc_id", "start_pos"),
+    "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -284,6 +285,18 @@ object SparkEntry {
     // substring-level dedup: maximal repeated 8-token spans (cross- or
     // within-doc), interval-island merged — fully relational, full oracle
     "d16_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
+    // incremental substring dedup: even-id batch probes the odd-id
+    // corpus's persisted shingle-count table (localCheckpoint models the
+    // persisted artifact); == dupSpans(corpus ∪ batch) restricted to the
+    // batch, spec-asserted — and the oracle replays it relationally
+    "d17_dupspan_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusShingles = Dedup
+        .dupSpanShingles(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .localCheckpoint()
+      Dedup.dupSpansIncremental(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusShingles)
+    }),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
     // scalar-quantized ANN: per-dim [min,max] → 0..255 codes → s1's
@@ -1186,6 +1199,32 @@ object SparkEntry {
           dup AS (SELECT doc_id, p FROM
                   (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
                   WHERE c > 1),
+          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
+                  FROM dup),
+          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS g FROM brk)
+          SELECT doc_id, CAST(g + 1 AS INTEGER) AS span_id,
+            CAST(min(p) AS INTEGER) AS start_pos,
+            CAST(max(p) + 7 AS INTEGER) AS end_pos,
+            count(*) AS n_windows,
+            CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
+          FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
+    // d17: the d16 window/island replay with the corpus restricted to a
+    // (sh, cnt) key table and duplicate marking split into within-batch
+    // count OR corpus membership
+    "d17_dupspan_incremental" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
+                  for i in generate_series(1, len(t)-7)], recursive := true)
+                FROM d WHERE len(t) >= 8),
+          co AS (SELECT sh, count(*) AS cnt FROM o WHERE doc_id % 2 = 1 GROUP BY 1),
+          bo AS (SELECT doc_id, p, sh FROM o WHERE doc_id % 2 = 0),
+          dup AS (SELECT b.doc_id, b.p FROM
+                  (SELECT doc_id, p, sh,
+                   count(*) OVER (PARTITION BY sh) AS bc FROM bo) b
+                  LEFT JOIN co ON co.sh = b.sh
+                  WHERE b.bc > 1 OR co.cnt IS NOT NULL),
           brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
                     (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
                   FROM dup),

@@ -775,9 +775,10 @@ object Dedup {
     * shuffle xxhash64(shingle) instead of the string (8 bytes vs ~10·w,
     * same plan, collision odds 2^-64 per pair — the standard trade); the
     * string key is kept here for engine-exact oracle replay. */
-  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val occ = documents
+  /** (doc_id, p, sh): every w-token window of every document, 1-based
+    * start position, shingle = space-joined window tokens. */
+  private def windowOccurrences(documents: DataFrame, w: Int): DataFrame =
+    documents
       .withColumn("toks", tokens(col("text")))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= w)
@@ -785,10 +786,11 @@ object Dedup {
         sequence(lit(1), col("n") - (w - 1)),
         i => concat_ws(" ", slice(col("toks"), i, lit(w))))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
-    val dup = occ
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("c") > 1)
-      .select(col("doc_id"), col("p"))
+
+  /** Merge duplicate window positions (doc_id, p) into maximal spans —
+    * windows at p and p' overlap-or-touch iff p' ≤ p + w. */
+  private def mergeIslands(dup: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     dup
       .withColumn("brk",
@@ -804,5 +806,41 @@ object Dedup {
         col("end_pos").cast("int").as("end_pos"),
         col("n_windows"),
         (col("end_pos") - col("start_pos") + 1).cast("int").as("n_span_tokens"))
+  }
+
+  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = windowOccurrences(documents, w)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("p"))
+    mergeIslands(dup, w)
+  }
+
+  /** Persistable shingle-count artifact for incremental span dedup:
+    * (sh, cnt) over the corpus's windows — the substring-layer analogue
+    * of [[minhashSignatures]]/[[simhashSignatures]]. Write it once
+    * (bucketed on sh at scale); each ingest batch probes it. */
+  def dupSpanShingles(documents: DataFrame, w: Int = 8): DataFrame =
+    windowOccurrences(documents, w)
+      .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+
+  /** Incremental repeated-span detection of a new batch against a
+    * persisted corpus shingle table: a batch window is duplicated if its
+    * shingle repeats WITHIN the batch or exists ANYWHERE in the corpus —
+    * exactly [[dupSpans]] over corpus ∪ batch restricted to batch
+    * documents (spec-asserted), without ever re-windowing the corpus.
+    * Plan: batch windows left-join the (sh, cnt) key table on the
+    * shingle + the same count-over-shingle within the batch; the corpus
+    * side is a key scan, never re-derived — the d12 ingest posture. */
+  def dupSpansIncremental(batch: DataFrame, corpusShingles: DataFrame,
+                          w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = windowOccurrences(batch, w)
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .join(corpusShingles.select(col("sh"), col("cnt")), Seq("sh"), "left")
+      .filter(col("bc") > 1 || col("cnt").isNotNull)
+      .select(col("doc_id"), col("p"))
+    mergeIslands(dup, w)
   }
 }

@@ -48,6 +48,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       selfOut.forall(_.getAs[Int]("n_span_tokens") === 12))
   }
 
+  test("incremental dup spans equal the full recompute restricted to the batch") {
+    val docs = table("documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_id"),
+        r.getAs[Int]("start_pos"), r.getAs[Int]("end_pos"),
+        r.getAs[Long]("n_windows"), r.getAs[Int]("n_span_tokens"))).toSet
+    val inc = rows(Dedup.dupSpansIncremental(batch, Dedup.dupSpanShingles(corpus)))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = rows(Dedup.dupSpans(docs)).filter(t => batchIds.contains(t._1))
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("quantized ANN: codes are 0..255 integers, recall vs exact holds") {
     val emb = table("embeddings")
     val codes = Similarity.quantize(emb, Similarity.quantStats(emb))
