@@ -168,6 +168,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d16_dup_spans" -> Seq("doc_id", "start_pos"),
     "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
+    "d18_span_scrub" -> Seq("doc_id"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -297,6 +298,9 @@ object SparkEntry {
       Dedup.dupSpansIncremental(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusShingles)
     }),
+    // the remediation half of d16: documents rewritten with every
+    // duplicated span's tokens dropped — detect → remove, full oracle
+    "d18_span_scrub" -> ((s, d) => Dedup.scrubDupSpans(t(s, d, "documents"))),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
     // scalar-quantized ANN: per-dim [min,max] → 0..255 codes → s1's
@@ -1236,6 +1240,36 @@ object SparkEntry {
             count(*) AS n_windows,
             CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
           FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
+    // d18: the d16 span replay + ordered token positions; kept tokens are
+    // the NOT-EXISTS complement of span containment, re-assembled with an
+    // ORDER BY position string_agg; every doc survives the LEFT JOIN
+    "d18_span_scrub" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
+                  for i in generate_series(1, len(t)-7)], recursive := true)
+                FROM d WHERE len(t) >= 8),
+          dup AS (SELECT doc_id, p FROM
+                  (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
+                  WHERE c > 1),
+          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
+                  FROM dup),
+          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS g FROM brk),
+          sp AS (SELECT doc_id, min(p) AS start_pos, max(p) + 7 AS end_pos
+                 FROM isl GROUP BY doc_id, g),
+          tk AS (SELECT doc_id, unnest([{'p': i, 'tok': t[i]}
+                   for i in generate_series(1, len(t))], recursive := true)
+                 FROM d),
+          kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk WHERE NOT EXISTS
+                   (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id
+                    AND tk.p BETWEEN sp.start_pos AND sp.end_pos)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                  count(*) AS kept FROM kept GROUP BY 1)
+          SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+            CAST(len(d.t) AS INTEGER) AS n_tokens,
+            CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
+          FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
     "d4_ngram_jaccard" ->
       s"""WITH tok AS ($shingleTok),
           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -843,4 +843,39 @@ object Dedup {
       .select(col("doc_id"), col("p"))
     mergeIslands(dup, w)
   }
+
+  /** The remediation half of substring dedup: rewrite each document with
+    * every [[dupSpans]] token dropped (the aggressive variant of Lee et
+    * al.'s removal — deterministic, no occurrence election needed; pair
+    * with [[dupSpansIncremental]] at ingest so only NEW repeats of
+    * already-stored content get cut). Every document survives — span-free
+    * docs pass through verbatim (token-normalized: single-space joined).
+    * Plan: the span table is doc-keyed and tiny relative to the corpus;
+    * tokens anti-join it on (doc_id, containment) and re-assemble in one
+    * doc-keyed aggregate — one exchange for the join side beyond the
+    * span derivation itself. */
+  def scrubDupSpans(documents: DataFrame, w: Int = 8): DataFrame = {
+    val spans = dupSpans(documents, w)
+      .select(col("doc_id").as("s_doc"), col("start_pos"), col("end_pos"))
+    val toks = documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(spans,
+        toks("doc_id") === spans("s_doc") &&
+          col("p").between(col("start_pos"), col("end_pos")), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .cast("int").as("n_tokens_removed"))
+  }
 }

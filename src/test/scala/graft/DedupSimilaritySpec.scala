@@ -63,6 +63,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(inc.nonEmpty)
   }
 
+  test("span scrub: duplicated tokens cut, clean docs normalized, counts reconcile") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aaa bbb $shared ccc ddd"),
+      (2L, s"xxx $shared yyy zzz www"),
+      (3L, "u1 u2  u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, w = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_tokens"),
+          r.getAs[Int]("n_tokens_removed")))).toMap
+    assert(out(1L) === (("aaa bbb ccc ddd", 16, 12)))
+    assert(out(2L) === (("xxx yyy zzz www", 16, 12)))
+    // span-free doc passes through token-normalized (double space collapsed)
+    assert(out(3L) === (("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 10, 0)))
+    // removal is consistent with the span table on the real corpus
+    val corpus = table("documents")
+    val removed = Dedup.scrubDupSpans(corpus).agg(sum("n_tokens_removed"))
+      .collect()(0).getLong(0)
+    val spanTokens = Dedup.dupSpans(corpus).agg(sum("n_span_tokens"))
+      .collect()(0).getLong(0)
+    assert(removed === spanTokens && removed > 0)
+  }
+
   test("quantized ANN: codes are 0..255 integers, recall vs exact holds") {
     val emb = table("embeddings")
     val codes = Similarity.quantize(emb, Similarity.quantStats(emb))
