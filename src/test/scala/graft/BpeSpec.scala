@@ -108,7 +108,7 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
   test("merge table round-trips through parquet with identical segmentation") {
     val docs = table("documents")
     val merges = TextOps.bpeLearn(docs, numMerges = 25)
-    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model")
+    val dir = tempDir("graft-bpe-model")
     try {
       TextOps.bpeMergesDF(spark, merges).write.mode("overwrite")
         .parquet(s"$dir/merges")

@@ -29,7 +29,7 @@ class BucketingSpec extends AnyFunSuite with SharedSpark {
 
   test("z-ordered layout keeps per-file bounding boxes tight in BOTH dimensions") {
     val ev = table("events").select("event_id", "user_id", "value")
-    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-spec")
+    val dir = tempDir("graft-zorder-spec")
     try {
       val zPath = s"$dir/z"; val linPath = s"$dir/lin"
       Sources.writeZOrdered(ev, zPath, "user_id", "value", numFiles = 16)

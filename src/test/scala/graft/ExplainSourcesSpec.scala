@@ -245,7 +245,7 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("csv and json round-trip with explicit schemas") {
-    val dir = Files.createTempDirectory("graft-sources").toString
+    val dir = tempDir("graft-sources").toString
     val df = table("nation")
     df.write.option("header", "true").mode("overwrite").csv(s"$dir/nation_csv")
     df.write.mode("overwrite").json(s"$dir/nation_json")
@@ -260,7 +260,7 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("orc round-trips with an explicit schema and pushes filters") {
-    val dir = Files.createTempDirectory("graft-orc").toString
+    val dir = tempDir("graft-orc").toString
     val df = table("orders")
     Sources.writeOrc(df, s"$dir/orders_orc")
     val schema = df.schema
@@ -278,7 +278,7 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
 
   test("avro round-trips with an explicit schema (cancels without spark-avro)") {
     assume(Sources.avroAvailable(spark), "spark-avro connector not on this classpath")
-    val dir = Files.createTempDirectory("graft-avro").toString
+    val dir = tempDir("graft-avro").toString
     val df = table("nation")
     Sources.writeAvro(df, s"$dir/nation_avro")
     val back = Sources.avro(spark, s"$dir/nation_avro", df.schema)
@@ -305,7 +305,7 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("compaction rewrites a many-small-files dataset into few files") {
-    val dir = Files.createTempDirectory("graft-compact").toString
+    val dir = tempDir("graft-compact").toString
     val in = s"$dir/in"; val out = s"$dir/out"
     table("orders").repartition(50).write.mode("overwrite").parquet(in)
     def parquetFiles(p: String): Int =
@@ -317,7 +317,7 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("partitioned write prunes partitions on read") {
-    val dir = Files.createTempDirectory("graft-part").toString
+    val dir = tempDir("graft-part").toString
     Sources.writePartitioned(table("orders"), s"$dir/orders",
       partitionCols = Seq("o_orderstatus"), sortCols = Seq("o_orderdate"))
     val back = spark.read.parquet(s"$dir/orders").filter(col("o_orderstatus") === "F")

@@ -11,8 +11,7 @@ object SharedSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", tempDir("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate())
@@ -20,9 +19,24 @@ object SharedSpark {
   val sfDir = "/root/testdata/sf0.001"
 
   def table(name: String): DataFrame = Tables.load(spark, sfDir, name)
+
+  /** Test-scoped temp dir, deleted when the test JVM exits — specs must
+    * not leave /tmp litter across runs (the q39 scratch lesson applies
+    * to the test tree too). */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p
+  }
 }
 
 trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession = SharedSpark.spark
   def table(name: String): DataFrame = SharedSpark.table(name)
+  def tempDir(prefix: String): java.nio.file.Path = SharedSpark.tempDir(prefix)
 }

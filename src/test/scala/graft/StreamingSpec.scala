@@ -153,7 +153,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
   test("file readStream → watermarked agg → checkpointed parquet writeStream") {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = tempDir("graft-stream").toString
     val (in, out, chk) = (s"$dir/in", s"$dir/out", s"$dir/chk")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
@@ -312,7 +312,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // spec makes it fail loudly instead.
     import spark.implicits._
     import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stale")
+    val dir = tempDir("graft-stale")
     try {
       val in = s"$dir/in"
       val evs = eventData().take(50)
