@@ -84,6 +84,53 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(ds.map(_.getAs[Long]("n_docs")).sum === 6)
   }
 
+  test("dup spans: sub-window docs drop out, exact-window duplicates span fully") {
+    import spark.implicits._
+    // edgeDocs has no doc with >= 8 tokens except doc 6 (exactly 8) —
+    // and doc 6 is unique, so the default-w span set is empty
+    assert(Dedup.dupSpans(edgeDocs).collect().isEmpty)
+    // two docs that ARE the same single window: one span covering all 8
+    // tokens, one window each
+    val twins = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(twins).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_pos"),
+        r.getAs[Int]("end_pos"), r.getAs[Long]("n_windows"))).sorted
+    assert(spans.toSeq === Seq((1L, 1, 8, 1L), (2L, 1, 8, 1L)))
+    // scrub of the twins removes everything; sub-window docs untouched
+    val scrub = Dedup.scrubDupSpans(twins).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_tokens_removed")))).toMap
+    assert(scrub === Map(1L -> (("", 8)), 2L -> (("", 8))))
+    val es = Dedup.scrubDupSpans(edgeDocs).collect()
+    assert(es.length === 6 && es.forall(_.getAs[Int]("n_tokens_removed") === 0))
+    // incremental probe of an empty corpus artifact: only within-batch
+    // repeats fire
+    val inc = Dedup.dupSpansIncremental(twins,
+      Dedup.dupSpanShingles(edgeDocs.filter(lit(false))))
+    assert(inc.count() === 2)
+  }
+
+  test("quantization handles constant dimensions and degenerate vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 5.0f, 2.0f)),
+      (1L, Array(3.0f, 5.0f, 8.0f)),
+      (2L, Array(2.0f, 5.0f, 4.0f))).toDF("vec_id", "embedding")
+    val codes = graft.operators.Similarity
+      .quantize(vecs, graft.operators.Similarity.quantStats(vecs))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("codes")).toMap
+    // constant dim 2 (all 5.0) codes to 0 in every vector, no div-by-zero
+    assert(codes.values.forall(_(1) === 0.0))
+    // range endpoints land exactly on 0 and 255
+    assert(codes(0L)(0) === 0.0 && codes(1L)(0) === 255.0)
+    assert(codes(0L)(2) === 0.0 && codes(1L)(2) === 255.0)
+    // interior value rounds deterministically: (2-1)*255/2 = 127.5 → 128
+    assert(codes(2L)(0) === 128.0)
+  }
+
   test("round-6 operators survive degenerate inputs") {
     import spark.implicits._
     import graft.operators.{Relational, Similarity}
