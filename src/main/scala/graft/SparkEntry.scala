@@ -813,6 +813,34 @@ object SparkEntry {
     s"CAST(CAST(CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS DOUBLE)"
   private val toks =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+  // Shared d16/d17/d18 span-dedup oracle fragments (w=8 fixed: the +7 /
+  // +8 literals are w-1 / w — change them HERE, in one place, with the
+  // Scala default). spanWinCtes derives every window occurrence,
+  // spanDupAllCte marks corpus-wide duplicates, spanIslCtes merges
+  // positions into islands, spanSelect is the span-table output shape.
+  private lazy val spanWinCtes =
+    s"""d AS (SELECT doc_id, $toks AS t FROM documents),
+          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
+                  for i in generate_series(1, len(t)-7)], recursive := true)
+                FROM d WHERE len(t) >= 8)"""
+  private lazy val spanDupAllCte =
+    """dup AS (SELECT doc_id, p FROM
+                  (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
+                  WHERE c > 1)"""
+  private lazy val spanIslCtes =
+    """brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
+                  FROM dup),
+          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS g FROM brk)"""
+  private lazy val spanSelect =
+    """SELECT doc_id, CAST(g + 1 AS INTEGER) AS span_id,
+            CAST(min(p) AS INTEGER) AS start_pos,
+            CAST(max(p) + 7 AS INTEGER) AS end_pos,
+            count(*) AS n_windows,
+            CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
+          FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos"""
+
   // shared by c24 (batch) and st13 (the same computation through a file
   // stream): the aug CTE mirrors plantQualityViolations, the rule algebra
   // mirrors TextOps.gopherQuality
@@ -1196,32 +1224,15 @@ object SparkEntry {
     // on token positions — w=8, so windows at p and p' overlap-or-touch
     // iff p' <= p + 8 and the span tail is max(p) + 7
     "d16_dup_spans" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
-          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
-                  for i in generate_series(1, len(t)-7)], recursive := true)
-                FROM d WHERE len(t) >= 8),
-          dup AS (SELECT doc_id, p FROM
-                  (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
-                  WHERE c > 1),
-          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
-                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
-                  FROM dup),
-          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                    ROWS UNBOUNDED PRECEDING) AS g FROM brk)
-          SELECT doc_id, CAST(g + 1 AS INTEGER) AS span_id,
-            CAST(min(p) AS INTEGER) AS start_pos,
-            CAST(max(p) + 7 AS INTEGER) AS end_pos,
-            count(*) AS n_windows,
-            CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
-          FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
+      s"""WITH $spanWinCtes,
+          $spanDupAllCte,
+          $spanIslCtes
+          $spanSelect""",
     // d17: the d16 window/island replay with the corpus restricted to a
     // (sh, cnt) key table and duplicate marking split into within-batch
     // count OR corpus membership
     "d17_dupspan_incremental" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
-          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
-                  for i in generate_series(1, len(t)-7)], recursive := true)
-                FROM d WHERE len(t) >= 8),
+      s"""WITH $spanWinCtes,
           co AS (SELECT sh, count(*) AS cnt FROM o WHERE doc_id % 2 = 1 GROUP BY 1),
           bo AS (SELECT doc_id, p, sh FROM o WHERE doc_id % 2 = 0),
           dup AS (SELECT b.doc_id, b.p FROM
@@ -1229,33 +1240,15 @@ object SparkEntry {
                    count(*) OVER (PARTITION BY sh) AS bc FROM bo) b
                   LEFT JOIN co ON co.sh = b.sh
                   WHERE b.bc > 1 OR co.cnt IS NOT NULL),
-          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
-                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
-                  FROM dup),
-          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                    ROWS UNBOUNDED PRECEDING) AS g FROM brk)
-          SELECT doc_id, CAST(g + 1 AS INTEGER) AS span_id,
-            CAST(min(p) AS INTEGER) AS start_pos,
-            CAST(max(p) + 7 AS INTEGER) AS end_pos,
-            count(*) AS n_windows,
-            CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
-          FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
+          $spanIslCtes
+          $spanSelect""",
     // d18: the d16 span replay + ordered token positions; kept tokens are
     // the NOT-EXISTS complement of span containment, re-assembled with an
     // ORDER BY position string_agg; every doc survives the LEFT JOIN
     "d18_span_scrub" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
-          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
-                  for i in generate_series(1, len(t)-7)], recursive := true)
-                FROM d WHERE len(t) >= 8),
-          dup AS (SELECT doc_id, p FROM
-                  (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
-                  WHERE c > 1),
-          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
-                    (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
-                  FROM dup),
-          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                    ROWS UNBOUNDED PRECEDING) AS g FROM brk),
+      s"""WITH $spanWinCtes,
+          $spanDupAllCte,
+          $spanIslCtes,
           sp AS (SELECT doc_id, min(p) AS start_pos, max(p) + 7 AS end_pos
                  FROM isl GROUP BY doc_id, g),
           tk AS (SELECT doc_id, unnest([{'p': i, 'tok': t[i]}
@@ -1539,11 +1532,13 @@ object SparkEntry {
          mm AS (SELECT d, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
          c AS (SELECT vec_id, d,
                CASE WHEN mm.mx > mm.mn THEN
-                 CAST(round(CAST((val - mm.mn) * CAST(255 AS DOUBLE) / (mm.mx - mm.mn)
-                   AS DECIMAL(38,6)), 0) AS DOUBLE)
+                 least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                   CAST(round(CAST((val - mm.mn) * CAST(255 AS DOUBLE) / (mm.mx - mm.mn)
+                     AS DECIMAL(38,6)), 0) AS DOUBLE)))
                ELSE CAST(0 AS DOUBLE) END AS code
                FROM x JOIN mm USING (d)),
-         n AS (SELECT vec_id, sqrt(sum(code * code)) AS nrm FROM c GROUP BY 1),
+         n AS (SELECT vec_id, sqrt(sum(code * code)) AS nrm FROM c GROUP BY 1
+               HAVING sqrt(sum(code * code)) > 0),
          dp AS (SELECT q.vec_id AS q_id, b.vec_id AS id_b, sum(q.code * b.code) AS dp
                 FROM c q JOIN c b ON q.d = b.d AND q.vec_id < 10 AND b.vec_id <> q.vec_id
                 GROUP BY 1, 2),

@@ -818,12 +818,16 @@ object Dedup {
   }
 
   /** Persistable shingle-count artifact for incremental span dedup:
-    * (sh, cnt) over the corpus's windows — the substring-layer analogue
-    * of [[minhashSignatures]]/[[simhashSignatures]]. Write it once
-    * (bucketed on sh at scale); each ingest batch probes it. */
+    * (sh, cnt, w) over the corpus's windows — the substring-layer
+    * analogue of [[minhashSignatures]]/[[simhashSignatures]]. Write it
+    * once (bucketed on sh at scale); each ingest batch probes it. The
+    * window width rides along so [[dupSpansIncremental]] can refuse an
+    * artifact built at a different w (mismatched shingles would never
+    * collide and corpus membership would silently stop firing). */
   def dupSpanShingles(documents: DataFrame, w: Int = 8): DataFrame =
     windowOccurrences(documents, w)
       .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", lit(w))
 
   /** Incremental repeated-span detection of a new batch against a
     * persisted corpus shingle table: a batch window is duplicated if its
@@ -836,6 +840,13 @@ object Dedup {
   def dupSpansIncremental(batch: DataFrame, corpusShingles: DataFrame,
                           w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // artifact-compatibility gate: a limit-1 probe (cheap, and the w
+    // column is constant by construction) — NOT a silent empty join
+    if (corpusShingles.columns.contains("w"))
+      corpusShingles.select(col("w")).head(1).foreach { r =>
+        require(r.getInt(0) == w,
+          s"corpus shingle artifact was built with w=${r.getInt(0)}, probe uses w=$w")
+      }
     val dup = windowOccurrences(batch, w)
       .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .join(corpusShingles.select(col("sh"), col("cnt")), Seq("sh"), "left")

@@ -450,7 +450,11 @@ object Similarity {
     * 64-row stats table collapses to a one-row sorted array, broadcast
     * onto a single corpus scan — quantization itself never shuffles the
     * corpus. Codes stay array<double> (exact small integers) so the
-    * native graft_dot path scores them unchanged. */
+    * native graft_dot path scores them unchanged. Codes clamp to
+    * [0, 255]: a LATER batch quantized against persisted stats (the
+    * documented model-artifact use) can carry values outside the
+    * learned [mn, mx], and an unclamped round would emit out-of-range
+    * codes whose sign flips cosine contributions. */
   def quantize(embeddings: DataFrame, stats: DataFrame): DataFrame = {
     val marr = stats.agg(array_sort(collect_list(
       struct(col("dim"), col("mn"), col("mx")))).as("ms"))
@@ -458,10 +462,11 @@ object Similarity {
       .crossJoin(broadcast(marr))
       .withColumn("codes", zip_with(col("v"), col("ms"), (x, m) =>
         when(m.getField("mx") > m.getField("mn"),
-          round(((x - m.getField("mn")) * lit(255.0) /
-            (m.getField("mx") - m.getField("mn")))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-            .cast("double"))
+          least(lit(255.0), greatest(lit(0.0),
+            round(((x - m.getField("mn")) * lit(255.0) /
+              (m.getField("mx") - m.getField("mn")))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+              .cast("double"))))
           .otherwise(lit(0.0))))
       .select(col("vec_id"), col("codes"))
   }
@@ -474,8 +479,13 @@ object Similarity {
     * ranking is spec-asserted). Plan shape is bruteTopK's: broadcast
     * queries, one candidate scan, per-partition partial top-k. */
   def quantizedTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    // quantization can produce an all-zero code vector from a nonzero
+    // float vector (every coordinate within half a quantization step of
+    // its per-dim min); excluding zero norms keeps the cosine NaN-free
+    // in BOTH engines (the oracle mirrors the nrm > 0 filter)
     val qv = quantize(embeddings, quantStats(embeddings))
       .withColumn("nrm", norm(col("codes")))
+      .filter(col("nrm") > 0)
     val q = qv.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("codes").as("cq"), col("nrm").as("nq"))
     val pairs = qv.select(col("vec_id").as("id_b"), col("codes").as("cb"), col("nrm").as("nb"))

@@ -636,8 +636,9 @@ object StreamDrivers {
           buf.synchronized { buf ++= rows; if (rows.nonEmpty) batches += 1 }; ()
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
+      // stop in finally: a failed micro-batch must not leave the query
+      // running while the outer finally deletes its dirs from under it
+      try q.processAllAvailable() finally q.stop()
       require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.toList.asJava, out.schema)

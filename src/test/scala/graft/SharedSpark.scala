@@ -22,15 +22,26 @@ object SharedSpark {
 
   /** Test-scoped temp dir, deleted when the test JVM exits — specs must
     * not leave /tmp litter across runs (the q39 scratch lesson applies
-    * to the test tree too). */
-  def tempDir(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    * to the test tree too). ONE shutdown hook drains a registry (not a
+    * hook per dir), and each deletion swallows races: JVM shutdown hooks
+    * run concurrently, so Spark's own hooks may still be touching e.g.
+    * the warehouse dir — a lost race just leaves that dir for the next
+    * run's hook, same as before cleanup existed. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      tempDirs.asScala.foreach { p =>
+        try if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
+      }
     }
+  }
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
     p
   }
 }
