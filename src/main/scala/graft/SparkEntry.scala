@@ -199,6 +199,7 @@ object SparkEntry {
     "c2_tfidf" -> Seq("doc_id", "term"),
     "c25_bm25" -> Seq("term", "rank"),
     "c3_hash_split" -> Seq("doc_id"),
+    "c26_leakage_split" -> Seq("doc_id"),
     "c4_stratified_sample" -> Seq("lang"),
     "c5_length_buckets" -> Seq("bucket"),
     "c6_boilerplate" -> Seq("doc_id"),
@@ -352,6 +353,17 @@ object SparkEntry {
     // classic IR ranking, fully relational, full oracle
     "c25_bm25" -> ((s, d) => Curation.bm25TopK(t(s, d, "documents"))),
     "c3_hash_split" -> ((s, d) => Curation.hashSplit(t(s, d, "documents"))),
+    // c3's hash split keyed on the d10 near-dup cluster id: duplicate
+    // groups move to ONE split, closing the near-dup train→test leak
+    "c26_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.duplicateClustersFrom(
+        docs.select(col("doc_id").as("vec_id")),
+        Dedup.ngramJaccardPairs(docs)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      Curation.leakageSafeSplit(clusters)
+    }),
     "c4_stratified_sample" -> ((s, d) => Curation.stratifiedSample(t(s, d, "documents"))),
     "c5_length_buckets" -> ((s, d) => Curation.lengthBuckets(t(s, d, "documents"))),
     "q23_funnel" -> ((s, d) => TimeJoins.funnel(t(s, d, "events"))),
@@ -1875,6 +1887,25 @@ object SparkEntry {
     // d10 = connected components over the d4 exact-Jaccard pair graph
     // (doc-id domain); the same recursive-reachability oracle as d6/d9,
     // seeded by the d4 pair SQL. Singleton docs label themselves.
+    // c26: the d10 cluster replay + c3's split CASE keyed on cluster_id
+    "c26_leakage_split" ->
+      s"""WITH RECURSIVE tok AS ($shingleTok),
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+         cl AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab ON lab.n = d.doc_id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN ((cluster_id % 1000003) * 2654435761 + 104729) % 100 < 90 THEN 'train'
+                WHEN ((cluster_id % 1000003) * 2654435761 + 104729) % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM cl ORDER BY doc_id""",
     "d10_text_clusters" ->
       s"""WITH RECURSIVE tok AS ($shingleTok),
          e AS (SELECT a.doc_id AS a, b.doc_id AS b

@@ -118,6 +118,27 @@ object Curation {
           .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe train/valid/test split: [[hashSplit]]'s hash applied
+    * to the NEAR-DUP CLUSTER id instead of the document id — every
+    * member of a duplicate cluster lands in the same split, so a
+    * near-duplicate of a training document can never surface in
+    * valid/test (the contamination mode a whole-corpus per-doc hash
+    * split misses entirely). Input is a (doc_id, cluster_id) labeling —
+    * d10's text clusters in the gated query; singletons carry
+    * cluster_id = doc_id, so assignment is exactly [[hashSplit]] for
+    * them and only genuine near-dup groups move together. Pure
+    * projection over the cluster table — the clustering pass is where
+    * the work (and the scale posture, see connectedComponents) lives. */
+  def leakageSafeSplit(clusters: DataFrame,
+                       trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    val bucket =
+      pmod(pmod(col("cluster_id"), lit(1000003L)) * 2654435761L + 104729L, lit(100L))
+    clusters.select(col("doc_id"), col("cluster_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-stratum counts after a deterministic stratified sample: a
     * seeded per-row hash gate admits ~`fraction` of each stratum.
     * Unlike `sampleBy` (whose rand(seed) depends on partition layout,

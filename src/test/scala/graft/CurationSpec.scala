@@ -90,6 +90,33 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(t.toSeq === Seq(("apple", 1L, 1), ("apple", 2L, 2)))
   }
 
+  test("leakage-safe split: near-dup pairs never straddle splits, singletons match c3") {
+    val docs = table("documents")
+    val clusters = graft.operators.Dedup.duplicateClustersFrom(
+      docs.select(col("doc_id").as("vec_id")),
+      graft.operators.Dedup.ngramJaccardPairs(docs)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val out = Curation.leakageSafeSplit(clusters).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("split")))
+    assert(out.length === docs.count())
+    val splitOf = out.map(t => t._1 -> t._3).toMap
+    // every near-dup pair shares a split (THE property this op exists for)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    // a singleton's cluster_id is its own doc_id → same split as c3
+    val c3 = Curation.hashSplit(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    out.filter(t => t._1 == t._2).foreach { case (id, _, s) =>
+      assert(c3(id) === s)
+    }
+  }
+
   test("hash split: deterministic, partitions the corpus, ~90/5/5") {
     val a = Curation.hashSplit(table("documents")).collect()
     val b = Curation.hashSplit(table("documents")).collect()
