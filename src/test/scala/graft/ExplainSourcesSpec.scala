@@ -218,6 +218,18 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bm25: query terms and corpus stats broadcast; no sort-merge join") {
+    val df = graft.operators.Curation.bm25TopK(table("documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the qt join is broadcast-hash, the two one-row stat tables ride as
+    // broadcast nested loops — scoring must never shuffle-join the
+    // candidate rows against a tiny side
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a tiny side reached a shuffle join in:\n$p")
+  }
+
   test("dup spans: two keyed exchanges (shingle, doc), no join anywhere") {
     val df = graft.operators.Dedup.dupSpans(table("documents"))
     df.collect()
