@@ -225,7 +225,8 @@ object SparkEntry {
     "m3_frame_dedup" -> Seq("bucket"),
     "m5_wav_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
-    "m7_video_meta" -> Seq("doc_id"))
+    "m7_video_meta" -> Seq("doc_id"),
+    "m8_gif_meta" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -347,6 +348,9 @@ object SparkEntry {
     // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
     // timescale/duration; synthetic fallback mirrors the image path
     "m7_video_meta" -> ((s, d) => Multimodal.mp4MetaPlanted(s, t(s, d, "documents"))),
+    // real GIF screen-descriptor parsing over planted GIF89a payloads —
+    // LE dims, packed GCT flags, full-table length check, map-only
+    "m8_gif_meta" -> ((s, d) => Multimodal.gifMetaPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -1673,6 +1677,24 @@ object SparkEntry {
          ORDER BY doc_id, frame_id""",
     // m5: planted rows replay the real header fields from the plant
     // formula; text rows replay the synthetic fallback from byte length
+    // m8: planted rows replay the screen-descriptor fields from the
+    // plant formula (gct_entries = 2^((id%8)+1)); text rows replay the
+    // synthetic fallback from byte length
+    "m8_gif_meta" ->
+      """SELECT doc_id, 1 AS is_gif,
+           CAST(16 + doc_id % 241 AS INTEGER) AS width,
+           CAST(16 + doc_id % 199 AS INTEGER) AS height,
+           CAST(power(2, (doc_id % 8) + 1) AS INTEGER) AS gct_entries,
+           CAST(doc_id % 7 AS INTEGER) AS bg_index
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_gif,
+           CAST(32 + (octet_length(encode(text)) * 3) % 613 AS INTEGER) AS width,
+           CAST(32 + (octet_length(encode(text)) * 11) % 479 AS INTEGER) AS height,
+           0 AS gct_entries,
+           CAST(octet_length(encode(text)) % 256 AS INTEGER) AS bg_index
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     "m5_wav_meta" ->
       """SELECT doc_id, 1 AS is_wav,
            CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,

@@ -264,6 +264,48 @@ object Multimodal {
     }
   }
 
+  /** Deterministic planted GIF payloads for m8's gate: every `every`-th
+    * doc_id gets a valid GIF89a whose logical-screen-descriptor fields
+    * are pure functions of doc_id — `width = 16 + id%241`,
+    * `height = 16 + id%199`, GCT present with `2^((id%8)+1)` entries,
+    * `bg = id%7` — followed by the full global color table and the
+    * trailer byte, so the screen-descriptor parse (and its length
+    * check) exercises a variable-size real layout. */
+  object PlantedGifs {
+    val Every = 8
+
+    def craftedGif(docId: Long): Array[Byte] = {
+      val w = (16 + docId % 241).toInt
+      val h = (16 + docId % 199).toInt
+      val bits = (docId % 8).toInt
+      val entries = 2 << bits // 2^(bits+1)
+      val out = java.nio.ByteBuffer.allocate(13 + 3 * entries + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("GIF89a".getBytes("US-ASCII"))
+        .putShort(w.toShort).putShort(h.toShort)
+        .put((0x80 | (bits << 4) | bits).toByte) // GCT flag + color res + GCT size
+        .put((docId % 7).toByte)                 // background color index
+        .put(0.toByte)                           // pixel aspect ratio
+      var i = 0
+      while (i < 3 * entries) { out.put(((docId * 11 + i * 5) % 256).toByte); i += 1 }
+      out.put(0x3B.toByte)                       // trailer
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-GIF payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedGifMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedGifs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedGifs.craftedGif(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Documents with planted real-MP4 payloads on every `every`-th
     * doc_id (text bytes otherwise). */
   def plantedMp4Media(spark: SparkSession, documents: DataFrame,
@@ -375,6 +417,50 @@ object Multimodal {
   def wavFramesPlanted(spark: SparkSession, documents: DataFrame,
                        every: Int = PlantedWavs.Every): DataFrame =
     decodedMedia(plantedWavMedia(spark, documents, every), AutoDecoder)
+
+  /** REAL GIF metadata from the binary payload — pure column exprs, the
+    * GIF87a/89a analogue of [[wavMeta]]: magic validation, little-endian
+    * logical-screen width/height, the packed flags byte (global-color-
+    * table flag + size exponent), background index, and a length check
+    * covering header + full GCT + trailer. `complete` requires both
+    * dims ≥ 1 so planted/real files always parse and truncated ones
+    * fall back to deterministic synthetic metadata — the same contract
+    * as every other media path. */
+  def gifMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val magic = hex(p.substr(lit(1), lit(6)))
+    val isGif = magic === "474946383961" || magic === "474946383761" // GIF89a | GIF87a
+    val staged = media
+      .withColumn("_w", leUint(p, 7, 2))
+      .withColumn("_h", leUint(p, 9, 2))
+      .withColumn("_packed", beUint(p, lit(11L), 1))
+      .withColumn("_bg", beUint(p, lit(12L), 1))
+    val hasGct = col("_packed") >= 128 // bit 7
+    val entries = when(hasGct,
+      pow(lit(2.0), (pmod(col("_packed"), lit(8L)) + 1).cast("double")).cast("int"))
+      .otherwise(lit(0))
+    val withE = staged.withColumn("_entries", entries)
+    val complete = coalesce(isGif, lit(false)) &&
+      coalesce(col("_w") >= 1 && col("_h") >= 1, lit(false)) &&
+      coalesce(len >= lit(13) + lit(3) * col("_entries") + 1, lit(false))
+    withE.select(
+      col("doc_id"),
+      complete.cast("int").as("is_gif"),
+      when(complete, col("_w").cast("int"))
+        .otherwise((lit(32) + pmod(len * 3, lit(613))).cast("int")).as("width"),
+      when(complete, col("_h").cast("int"))
+        .otherwise((lit(32) + pmod(len * 11, lit(479))).cast("int")).as("height"),
+      when(complete, col("_entries")).otherwise(lit(0)).as("gct_entries"),
+      when(complete, col("_bg").cast("int"))
+        .otherwise(pmod(len, lit(256)).cast("int")).as("bg_index"))
+  }
+
+  /** The m8 gate: GIF screen-descriptor metadata over the planted-GIF
+    * corpus. */
+  def gifMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedGifs.Every): DataFrame =
+    gifMeta(plantedGifMedia(spark, documents, every).toDF())
 
   /** REAL video-container metadata from the binary payload — pure
     * column exprs, the ISO-BMFF (MP4) analogue of [[mediaMeta]]'s JPEG

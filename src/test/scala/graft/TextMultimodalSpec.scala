@@ -381,6 +381,26 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(4L).getAs[Int]("is_mp4") === 0)
   }
 
+  test("gif meta: real screen descriptor parses; truncated-GCT and non-gif fall back") {
+    import spark.implicits._
+    val gif = Multimodal.PlantedGifs.craftedGif(24L) // w 40, h 40, bits 0 → 2 entries
+    val text = "not an image".getBytes("UTF-8")
+    val cutGct = gif.dropRight(4)            // trailer + part of the GCT missing
+    val gif87 = gif.clone(); gif87(4) = '7'.toByte // GIF87a variant, same fields
+    val out = Multimodal.gifMeta(
+      Seq((1L, gif), (2L, text), (3L, cutGct), (4L, gif87))
+        .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("is_gif") === 1)
+    assert(out(1L).getAs[Int]("width") === 40 && out(1L).getAs[Int]("height") === 40)
+    assert(out(1L).getAs[Int]("gct_entries") === 2)
+    assert(out(1L).getAs[Int]("bg_index") === 24 % 7)
+    assert(out(2L).getAs[Int]("is_gif") === 0)
+    assert(out(2L).getAs[Int]("width") === 32 + (text.length * 3) % 613)
+    assert(out(3L).getAs[Int]("is_gif") === 0) // length check catches the cut table
+    assert(out(4L).getAs[Int]("is_gif") === 1) // 87a accepted
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
