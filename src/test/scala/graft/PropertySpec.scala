@@ -82,4 +82,41 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     half.foreach { case (id, split) => assert(full(id) === split) }
     assert(half.nonEmpty)
   }
+
+  /** Driver-side reference for repeated-span detection: brute-force
+    * window shingles → duplicate positions → linear island merge. */
+  private def refSpans(docs: Seq[(Long, String)], w: Int): Set[(Long, Int, Int)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val occ = toks.flatMap { case (id, ts) =>
+      (0 to ts.length - w).map(i => (id, i + 1, ts.slice(i, i + w).mkString(" "))) }
+    val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = occ.filter(o => counts(o._3) > 1).map(o => (o._1, o._2))
+    dup.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val islands = sorted.tail.foldLeft(List((sorted.head, sorted.head))) {
+        case ((s, e) :: rest, p) =>
+          if (p > e + w) (p, p) :: (s, e) :: rest else (s, p) :: rest
+        case (Nil, p) => List((p, p))
+      }
+      islands.map { case (s, last) => (id, s, last + w - 1) }
+    }.toSet
+  }
+
+  test("dup spans equal a brute-force reference on random small corpora") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (round <- 1 to 5) {
+      val w = 2 + rnd.nextInt(3) // 2..4
+      // tiny vocab + short docs force genuine cross- and within-doc repeats
+      val docs = (1L to (3 + rnd.nextInt(5)).toLong).map { id =>
+        id -> List.fill(w + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), w).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_pos"),
+          r.getAs[Int]("end_pos"))).toSet
+      assert(got === refSpans(docs, w), s"round $round w=$w docs=$docs")
+    }
+  }
 }
