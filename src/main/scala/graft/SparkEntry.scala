@@ -46,9 +46,15 @@ object SparkEntry {
     * __GRAFT_STAGE__ placeholder when dumping oracle_sql.json), and the
     * fixed per-dataset path means a later run overwrites instead of
     * accumulating — bounded, unlike the per-run temp dirs q39 once
-    * leaked. */
+    * leaked. The raw-path hash suffix keeps DISTINCT dataset dirs that
+    * sanitize identically (e.g. `/data/sf0.1` vs `/data_sf0.1`) from
+    * sharing a stage root. Known single-host assumption: two concurrent
+    * Verify runs against the SAME dataset share the root (the driver's
+    * gate is sequential; a parallel-CI setup should point TMPDIR-style
+    * isolation at separate containers). */
   private[graft] def stageDir(sfDir: String): String =
-    "/tmp/graft-stage/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft-stage/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "-" + (sfDir.hashCode & 0x7fffffff).toString
 
   /** Deterministic planted quality-rule violations for the c24/st13
     * gates: the synthetic corpus is uniform clean prose, so each Gopher
@@ -271,18 +277,21 @@ object SparkEntry {
     // algebra the oracle replays over the staged tables
     "d2_dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sigs = Dedup.minhashSignatures(docs)
+      // ONE shingle+sign pass: the checkpoint feeds both staging writes
+      // AND the pair derivation (was three full recomputes)
+      val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
       sigs.select(col("doc_id"), col("hsh"), col("shn"))
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d2_sigs")
       Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d2_banded")
-      Dedup.minhashPairs(docs)
+      Dedup.minhashPairsFromSigs(sigs)
     }),
     "d3_dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Dedup.simhashSignatures(docs).coalesce(1).write.mode("overwrite")
+      val sigs = Dedup.simhashSignatures(docs).localCheckpoint()
+      sigs.coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d3_sigs")
-      Dedup.simhashPairs(docs)
+      Dedup.simhashPairsFromSigs(sigs)
     }),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"))),
     // substring-level dedup: maximal repeated 8-token spans (cross- or
@@ -629,15 +638,18 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d14_sigs")
       Dedup.bandedSigs(msigs).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d14_banded")
-      Dedup.simhashSignatures(docs).coalesce(1).write.mode("overwrite")
+      val ssigs = Dedup.simhashSignatures(docs).localCheckpoint()
+      ssigs.coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d14_simhash")
       val pair = (df: DataFrame, a: String, b: String) =>
         df.select(col(a).as("a"), col(b).as("b"))
+      // pair sources read the checkpointed signature tables — the
+      // corpus is shingled/signed once per family, not once per consumer
       Dedup.duplicateClustersFrom(
         docs.select(col("doc_id").as("vec_id")),
         pair(Dedup.ngramJaccardPairs(docs), "doc_a", "doc_b")
-          .union(pair(Dedup.minhashPairs(docs), "doc_a", "doc_b"))
-          .union(pair(Dedup.simhashPairs(docs), "doc_a", "doc_b")).distinct())
+          .union(pair(Dedup.minhashPairsFromSigs(msigs), "doc_a", "doc_b"))
+          .union(pair(Dedup.simhashPairsFromSigs(ssigs), "doc_a", "doc_b")).distinct())
         .select(col("vec_id").as("doc_id"), col("cluster_id"))
     }),
     "d7_canonical" -> ((s, d) => Dedup.canonical(t(s, d, "documents"))),

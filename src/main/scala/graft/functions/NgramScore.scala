@@ -25,6 +25,8 @@ object NgramScores {
   def parse(arr: ArrayData): (java.util.HashMap[String, Array[Int]], Int, Int) = {
     require(arr.numElements() >= 1, "graft_ngram_score profiles need a header entry")
     val head = arr.getUTF8String(0).toString.split(" ")
+    require(head.length == 2 && head.forall(_.matches("-?\\d+")),
+      s"graft_ngram_score header ('${arr.getUTF8String(0)}') is not 'nLangs n'")
     val nLangs = head(0).toInt
     val n = head(1).toInt
     require(nLangs >= 1 && n >= 1, s"bad graft_ngram_score header: nLangs=$nLangs n=$n")
@@ -33,9 +35,25 @@ object NgramScores {
     while (i < arr.numElements()) {
       val e = arr.getUTF8String(i).toString
       val s1 = e.indexOf(' ')
-      val s2 = e.indexOf(' ', s1 + 1)
-      val li = e.substring(0, s1).toInt
-      val wt = e.substring(s1 + 1, s2).toInt
+      val s2 = if (s1 < 0) -1 else e.indexOf(' ', s1 + 1)
+      // clear errors, not raw index/number exceptions: the function is
+      // registered for external SQL, so a malformed hand-written profile
+      // must fail with a message naming the entry (checkInputDataTypes
+      // surfaces this at analysis time)
+      require(s2 > s1 && s1 > 0,
+        s"graft_ngram_score profile entry $i ('$e') is not 'langIdx weight gram'")
+      val li =
+        try e.substring(0, s1).toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft_ngram_score profile entry $i ('$e'): langIdx is not an int") }
+      val wt =
+        try e.substring(s1 + 1, s2).toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft_ngram_score profile entry $i ('$e'): weight is not an int") }
+      require(li >= 0 && li < nLangs,
+        s"graft_ngram_score profile entry $i ('$e'): langIdx $li outside [0, $nLangs)")
       val g = e.substring(s2 + 1)
       val w = m.computeIfAbsent(g, _ => new Array[Int](nLangs))
       w(li) = wt
@@ -82,7 +100,13 @@ case class NgramScore(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(s"$prettyName profiles must be a literal (foldable) table")
     else if (right.eval(null) == null)
       TypeCheckResult.TypeCheckFailure(s"$prettyName profiles literal must not be null")
-    else TypeCheckResult.TypeCheckSuccess
+    else
+      // surface a malformed profile as a clean analysis error (the
+      // function is public SQL surface): parse failures here would
+      // otherwise escape later as raw exceptions from planning/codegen
+      try { NgramScores.parse(right.eval(null).asInstanceOf[ArrayData]); TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage) }
 
   private lazy val (table, nLangs, n) =
     NgramScores.parse(right.eval(null).asInstanceOf[ArrayData])

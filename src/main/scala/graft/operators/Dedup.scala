@@ -143,15 +143,20 @@ object Dedup {
     * buckets (degenerate content, e.g. empty docs) are capped to keep the
     * candidate join skew-free at scale. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
-                   maxBucket: Int = 1000): DataFrame = {
-    // staged once: feeds signature banding + both verify join-backs
-    // (see ngramJaccardPairs for the measurement)
-    val sh = shingled(documents).select(col("doc_id"), col("hsh"), col("shn"))
-      .localCheckpoint()
-    val sig = sh.withColumn("sig", call_function("graft_minhash64", col("hsh")))
-    // single banding definition shared with minhashIncremental — the
-    // incremental==full-recompute equality depends on these being one code path
-    val banded = bandedSigs(sig)
+                   maxBucket: Int = 1000): DataFrame =
+    // staged once: the signature table feeds the banding + both verify
+    // join-backs (see ngramJaccardPairs for the measurement)
+    minhashPairsFromSigs(minhashSignatures(documents).localCheckpoint(),
+      threshold, maxBucket)
+
+  /** [[minhashPairs]] over an ALREADY-MATERIALIZED signature table (the
+    * [[minhashSignatures]] artifact) — callers that also persist/stage
+    * the table reuse one computation instead of re-shingling the corpus
+    * per consumer. Banding stays the single [[bandedSigs]] code path the
+    * incremental==full-recompute equality depends on. */
+  def minhashPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedSigs(sigs)
     // skew guard: drop degenerate buckets (> maxBucket members)
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(
@@ -165,8 +170,8 @@ object Dedup {
     // verify candidates with exact Jaccard on the shingle sets
     jaccFiltered(
       cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"), col("shn").as("na")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"), col("shn").as("nb")), "doc_b"),
+        .join(sigs.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"), col("shn").as("na")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"), col("shn").as("nb")), "doc_b"),
       threshold)
   }
 
@@ -285,10 +290,13 @@ object Dedup {
     * hitting the cap has near-identical docs better removed by exact
     * dedup BEFORE simhash. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
-    val sg = documents
-      .withColumn("_hs", transform(array_distinct(tokens(col("text"))), t => xxhash64(t)))
-      .select(col("doc_id"), call_function("graft_simhash64", col("_hs")).as("sig"))
+                   maxBucket: Int = 1000): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(documents), maxDist, maxBucket)
+
+  /** [[simhashPairs]] over an already-materialized [[simhashSignatures]]
+    * table — same reuse rationale as [[minhashPairsFromSigs]]. */
+  def simhashPairsFromSigs(sg: DataFrame, maxDist: Int = 3,
+                           maxBucket: Int = 1000): DataFrame = {
     val banded = sg.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))

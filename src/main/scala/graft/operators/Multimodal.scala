@@ -54,12 +54,42 @@ object Multimodal {
       (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
       (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
 
+    /** Decompression-bomb bound: a crafted header can declare e.g.
+      * 30000×30000 (a ~3.6 GB BufferedImage from a few hundred payload
+      * bytes) and the resulting OutOfMemoryError is an Error — it would
+      * sail past a `catch Exception` fallback and kill the executor.
+      * So dimensions are read from the HEADER ONLY (ImageReader
+      * getWidth/getHeight decode no pixels) and anything above this
+      * pixel cap degrades to the stub tier BEFORE any allocation. 64 M
+      * pixels ≈ 256 MB ARGB — far above any sane planted/real payload,
+      * far below executor-killing. */
+    private val MaxPixels = 64L * 1024 * 1024
+
+    private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
     def frames(m: MediaIn): Iterator[FrameFeature] = {
       // cheap magic gate first: the overwhelmingly common case at scale
       // is a non-image payload, which must not pay an ImageIO attempt
       if (!looksDecodable(m.payload)) return StubDecoder.frames(m)
+      val sane = headerDims(m.payload).exists { case (w, h) =>
+        w >= 1 && h >= 1 && w.toLong * h <= MaxPixels
+      }
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        if (!sane) null
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         catch { case _: Exception => null }
       if (img == null) StubDecoder.frames(m)
       else {
@@ -474,7 +504,15 @@ object Multimodal {
     * `complete` additionally requires timescale ≥ 1 so the duration
     * division can never hit an ANSI divide-by-zero; anything
     * unparseable falls back to deterministic synthetic metadata,
-    * mirroring the image/audio paths' contract. */
+    * mirroring the image/audio paths' contract.
+    *
+    * Canonical-layout restriction (same honesty note as
+    * [[WavPcmDecoder]]): only plain 32-bit box sizes are walked —
+    * `size == 1` (64-bit largesize, used by >4 GB mdat boxes) and
+    * `size == 0` (box-to-EOF) are treated as walk-enders, and `mvhd`
+    * must be `moov`'s first child (the overwhelmingly common layout,
+    * though the spec permits any order). Files outside this canon
+    * fall back to synthetic metadata rather than misparse. */
   def mp4Meta(media: DataFrame, maxBoxes: Int = 6): DataFrame = {
     val p = col("payload")
     val len = octet_length(p)

@@ -188,7 +188,11 @@ object TextOps {
       predLangFromScores(langOrder.map(l => l -> col(s"ng_score_$l"))))
   }
 
-  /** Gated t14: learn the profiles on the corpus, score the corpus. */
+  /** Learn-and-score in one call (the composable convenience; the t14
+    * GATE instead goes through SparkEntry's per-dataset profile cache so
+    * repeated gate invocations in a sweep share one fit — callers who
+    * score many batches should do the same: fit once via
+    * [[charNgramProfiles]], reuse the model). */
   def langIdNgramFit(documents: DataFrame, n: Int = 3, topK: Int = 40): DataFrame =
     langIdNgram(documents, charNgramProfiles(documents, n, topK), n, topK)
 

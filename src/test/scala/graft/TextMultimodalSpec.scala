@@ -50,6 +50,12 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(gated.length === table("documents").count())
     val allowed = (TextOps.langOrder :+ "und").toSet
     gated.foreach(r => assert(allowed.contains(r.getAs[String]("pred_lang"))))
+    // the one-call convenience composes fit + score identically
+    val oneCall = TextOps.langIdNgramFit(corpus, topK = 20).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("pred_lang"))).toSet
+    val twoStep = TextOps.langIdNgram(corpus, prof, topK = 20).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("pred_lang"))).toSet
+    assert(oneCall === twoStep)
   }
 
   test("quality: ratios bounded, score in 0..3") {
@@ -291,6 +297,19 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     val t = Multimodal.MediaIn(6L, "not an image".getBytes("UTF-8"))
     assert(Multimodal.ImageIoDecoder.frames(t).toSeq ===
       Multimodal.StubDecoder.frames(t).toSeq)
+    // decompression bomb: a valid PNG whose IHDR DECLARES 40000×40000
+    // (1.6e9 pixels from a few hundred bytes) must hit the header-dims
+    // cap and degrade to stub BEFORE any BufferedImage allocation —
+    // the OOM it would otherwise raise is an Error, not an Exception
+    val bomb = Multimodal.PlantedImages.craftedPng(8L).clone()
+    val dim = 40000
+    Seq(16, 20).foreach { off =>
+      bomb(off) = ((dim >> 24) & 0xFF).toByte; bomb(off + 1) = ((dim >> 16) & 0xFF).toByte
+      bomb(off + 2) = ((dim >> 8) & 0xFF).toByte; bomb(off + 3) = (dim & 0xFF).toByte
+    }
+    val b = Multimodal.MediaIn(7L, bomb)
+    assert(Multimodal.ImageIoDecoder.frames(b).toSeq ===
+      Multimodal.StubDecoder.frames(b).toSeq)
   }
 
   test("media meta: PNG dims >= 2^31 fall back to synthetic instead of ANSI overflow") {
