@@ -66,25 +66,44 @@ object Bench {
     // transient host-contention window, so take a third and keep the
     // global min. (BENCH_r02 was poisoned by exactly such a window: five
     // alphabetically-consecutive queries 3-6× slow, unreproducible.)
+    // Ambient-load accounting (the BENCH_r08 lesson: a 298 s artifact
+    // from a host under external load looked like a 3.5× regression the
+    // round actually didn't have): 1-minute load average is sampled at
+    // sweep start/end and per key; a key whose BOTH timings landed in a
+    // high-load window (load > cores) gets one extra attempt, and the
+    // emitted JSON carries the load stats so a hot-host sweep is
+    // self-identifying instead of masquerading as a code regression.
+    // SPARK_GRAFT_BENCH_REPEAT=N forces N base runs per key (min kept).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = osBean.getSystemLoadAverage
+    val nCpus = cpus.toInt
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
+    val loadStart = loadAvg()
+    var loadPeak = loadStart
     val results = names.map { n =>
-      val t1 = run(n)
-      val t2 = run(n)
+      val ts = Seq.fill(repeat) { val l = loadAvg(); loadPeak = math.max(loadPeak, l); (run(n), l) }
+      val ok = ts.map(_._1).filter(_ >= 0)
       val best =
-        if (t1 < 0 || t2 < 0) math.max(t1, t2)
-        else if (math.max(t1, t2) > 1.3 * math.min(t1, t2))
-          (Seq(t1, t2, run(n)).filter(_ >= 0)).min
-        else math.min(t1, t2)
+        if (ok.isEmpty) -1.0
+        else if (ok.size < ts.size) ok.min
+        else if (ok.max > 1.3 * ok.min || ts.forall(_._2 > nCpus))
+          (ok :+ run(n)).filter(_ >= 0).min
+        else ok.min
       n -> best
     }
+    val loadEnd = loadAvg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val loadJson =
+      s""""load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"load_avg_peak":${f2(loadPeak)}"""
     // fat line first (per-query detail for humans), then a short (<200 B)
     // FINAL line: the driver captures a bounded tail of stdout, and the
     // ~3 KB per-query line overflows it — its head gets truncated and the
     // JSON parse fails (every BENCH_r0*.json landed "parsed": null). The
     // last complete line is what the tail parse sees, so keep it tiny.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

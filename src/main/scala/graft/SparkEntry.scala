@@ -162,6 +162,7 @@ object SparkEntry {
     "d10_text_clusters" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "st9_ingest_dedup_stream" -> Seq("doc_id"),
+    "st14_neardup_stream" -> Seq("doc_a", "doc_b"),
     "q35_type_concat" -> Seq("user_id"),
     "q36_modal_type" -> Seq("user_id"),
     "q37_asof_exec" -> Seq("event_id"),
@@ -175,6 +176,7 @@ object SparkEntry {
     "d16_dup_spans" -> Seq("doc_id", "start_pos"),
     "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
     "d18_span_scrub" -> Seq("doc_id"),
+    "d20_char_spans" -> Seq("doc_id", "start_pos"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -297,6 +299,9 @@ object SparkEntry {
     // substring-level dedup: maximal repeated 8-token spans (cross- or
     // within-doc), interval-island merged — fully relational, full oracle
     "d16_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
+    // char-window tier of d16: 20-char substring windows catch repeats
+    // shorter than 8 tokens and across token boundaries
+    "d20_char_spans" -> ((s, d) => Dedup.dupSpansChars(t(s, d, "documents"))),
     // incremental substring dedup: even-id batch probes the odd-id
     // corpus's persisted shingle-count table (localCheckpoint models the
     // persisted artifact); == dupSpans(corpus ∪ batch) restricted to the
@@ -670,6 +675,21 @@ object SparkEntry {
       graft.streaming.StreamDrivers.tumblingFileStream(Tables.tune(s), d)),
     "st9_ingest_dedup_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.ingestDedupFileStream(Tables.tune(s), d)),
+    // streaming NEAR-dup ingest: per-micro-batch minhashIncremental
+    // probe + signature append (the st12 reload-artifact pattern at the
+    // near-dup layer); == the d11 batch recompute, so its oracle gates
+    // this verbatim — the signature/banded staging is re-derived here
+    // (deterministic seeded hashing) so the key is self-contained
+    "st14_neardup_stream" -> ((s, d) => {
+      val ss = Tables.tune(s)
+      val docs = t(s, d, "documents")
+      val sigsAll = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigsAll.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st14_sigs")
+      Dedup.bandedSigs(sigsAll).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/st14_banded")
+      graft.streaming.StreamDrivers.minhashIngestFileStream(ss, d)
+    }),
     // streaming BPE token-budget ledger: merge table persisted and
     // reloaded (bpeMergesDF → bpeMergesFrom — the model-artifact path),
     // per-doc counts staged for the oracle's batch-aggregate replay
@@ -813,6 +833,11 @@ object SparkEntry {
          vv AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM v),
          vx AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos FROM v),
          ct0 AS (SELECT sd.cid, u.pos, u.x AS cx FROM sd JOIN vx u ON u.vec_id = sd.vec_id)"""
+    // scale bound: sum * 1e12 must fit DECIMAL(38,12), i.e. a per-
+    // (cluster, dim) coordinate sum below 1e14 — for unit-scale
+    // embeddings that is 1e14 members per cluster, far past any sf this
+    // gate runs at; past it DuckDB errors loudly (and the Spark side
+    // null-guards its own 1e26 decimal bound in kmeansCentroids)
     val loop = (0 until iters).map { i =>
       s""",
          ${assign(i.toString, s"ct$i")},
@@ -839,8 +864,13 @@ object SparkEntry {
       "), 2) AS DOUBLE)"
   private def davg(x: String) =
     s"CAST(CAST(CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS DOUBLE)"
+  // Mirrors ColumnFns.tokens: CJK codepoints spaced into single tokens
+  // (RE2 \p{Han} == Java \p{IsHan}, both the Unicode Script property),
+  // then an ASCII-ws + U+3000 split. Identity on pure-ASCII text.
+  private val segText =
+    "regexp_replace(text, '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g')"
   private val toks =
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    s"list_filter(string_split_regex(lower(trim($segText)), '[\\s　]+'), x -> x <> '')"
   // Shared d16/d17/d18 span-dedup oracle fragments (w=8 fixed: the +7 /
   // +8 literals are w-1 / w — change them HERE, in one place, with the
   // Scala default). spanWinCtes derives every window occurrence,
@@ -1256,6 +1286,29 @@ object SparkEntry {
           $spanDupAllCte,
           $spanIslCtes
           $spanSelect""",
+    // d20: the d16 algebra over 20-char substring windows on RAW text —
+    // duplicate marking and island merge identical, positions are
+    // 1-based codepoints (substring() is codepoint-indexed in both
+    // engines; corpus text is BMP so Java's UTF-16 length agrees)
+    "d20_char_spans" ->
+      """WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+          o AS (SELECT doc_id, unnest([{'p': i, 'sh': substring(s, i, 20)}
+                  for i in generate_series(1, n - 19)], recursive := true)
+                FROM d WHERE n >= 20),
+          dup AS (SELECT doc_id, p FROM
+                  (SELECT doc_id, p, count(*) OVER (PARTITION BY sh) AS c FROM o)
+                  WHERE c > 1),
+          brk AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+                    (PARTITION BY doc_id ORDER BY p) + 20 THEN 1 ELSE 0 END AS b
+                  FROM dup),
+          isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS g FROM brk)
+          SELECT doc_id, CAST(g + 1 AS INTEGER) AS span_id,
+            CAST(min(p) AS INTEGER) AS start_pos,
+            CAST(max(p) + 19 AS INTEGER) AS end_pos,
+            count(*) AS n_windows,
+            CAST(max(p) + 19 - min(p) + 1 AS INTEGER) AS n_span_chars
+          FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos""",
     // d17: the d16 window/island replay with the corpus restricted to a
     // (sh, cnt) key table and duplicate marking split into within-batch
     // count OR corpus membership
@@ -1341,6 +1394,31 @@ object SparkEntry {
            WHERE p.doc_id % 2 = 0),
          sh AS (SELECT doc_id, hsh, shn
            FROM read_parquet('__GRAFT_STAGE__/d11_sigs/*.parquet')),
+         v AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+               / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // st14: the d11 replay over st14's own (re-derived, deterministic)
+    // staged signature tables — the streaming union of per-micro-batch
+    // probes equals the batch recompute (see minhashIngestFileStream)
+    "st14_neardup_stream" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/st14_banded/*.parquet')),
+         bsz AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+         admitted AS (SELECT b.doc_id, b.band, b.bh
+           FROM banded b JOIN bsz ON b.band = bsz.band AND b.bh = bsz.bh
+           WHERE bsz.n <= 1000),
+         cand AS (
+           SELECT DISTINCT least(p.doc_id, a.doc_id) AS doc_a,
+             greatest(p.doc_id, a.doc_id) AS doc_b
+           FROM banded p JOIN admitted a
+             ON p.band = a.band AND p.bh = a.bh AND p.doc_id <> a.doc_id
+           WHERE p.doc_id % 2 = 0),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/st14_sigs/*.parquet')),
          v AS (
            SELECT c.doc_a, c.doc_b,
              CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)

@@ -57,9 +57,32 @@ object ColumnFns {
   /** Epoch seconds (floor), matching DuckDB CAST(floor(epoch(ts)) AS BIGINT). */
   def epochSec(c: Column): Column = unix_timestamp(c)
 
-  /** Lower-cased whitespace tokens, empties dropped. */
+  /** Script-aware pre-segmentation: Han / Hiragana / Katakana / Hangul
+    * text carries no whitespace word boundaries, so a whitespace split
+    * collapses a whole CJK line into ONE degenerate token — poisoning
+    * token counts, BPE pre-segmentation, span dedup and packing budgets.
+    * Each such codepoint is spaced out into its own token before the
+    * split (the standard per-codepoint granularity for dedup/counting;
+    * Korean is space-delimited but per-syllable tokens are used for the
+    * same granularity). Both engines key the class off the Unicode
+    * Script property (Java `\p{IsHan}` == RE2 `\p{Han}`), so the oracle
+    * (SparkEntry's `toks` SQL) segments identically; codepoints added
+    * after Unicode 13 (Java 17's table) are the one disagreement window
+    * and never appear in the test corpora. Pure ASCII is a fixed point:
+    * the regex matches nothing and the result is the old whitespace
+    * split bit-for-bit. */
+  private val CjkSeg =
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
+
+  def segmentScripts(text: Column): Column =
+    regexp_replace(text, CjkSeg, " $1 ")
+
+  /** Lower-cased, script-segmented whitespace tokens, empties dropped.
+    * The split class includes U+3000 (ideographic space, script=Common —
+    * not caught by the CJK class and not matched by either engine's
+    * ASCII-only `\s`). */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(segmentScripts(text))), "[\\s　]+"), t => t =!= "")
 
   /** Distinct word n-gram shingles over a MATERIALIZED token-array column.
     *

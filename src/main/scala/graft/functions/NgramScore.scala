@@ -103,8 +103,12 @@ case class NgramScore(left: Expression, right: Expression)
     else
       // surface a malformed profile as a clean analysis error (the
       // function is public SQL surface): parse failures here would
-      // otherwise escape later as raw exceptions from planning/codegen
-      try { NgramScores.parse(right.eval(null).asInstanceOf[ArrayData]); TypeCheckResult.TypeCheckSuccess }
+      // otherwise escape later as raw exceptions from planning/codegen.
+      // Forcing the lazy val (not a fresh parse) memoizes the work: the
+      // analyzer calls this on every pass, and a successful parse is
+      // shared with eval/codegen; a FAILED lazy init is un-cached by
+      // Scala semantics, so the failure path still reports cleanly.
+      try { table; TypeCheckResult.TypeCheckSuccess }
       catch { case e: IllegalArgumentException =>
         TypeCheckResult.TypeCheckFailure(e.getMessage) }
 

@@ -825,6 +825,36 @@ object Dedup {
     mergeIslands(dup, w)
   }
 
+  /** Character-window variant of [[dupSpans]] — catches repeats SHORTER
+    * than the token tier's w=8 windows and repeats that cross token
+    * boundaries (sub-token suffixes, unsegmented scripts), the coverage
+    * Lee et al.'s suffix-array formulation gets from its ≥50-char
+    * threshold. Same algebra over 1-based CODEPOINT positions: every
+    * w-char substring is a shingle, windows whose exact substring occurs
+    * more than once in the corpus mark duplicate positions, and the q42
+    * island merge produces maximal spans. Matching is over RAW text (no
+    * lowercase/normalize — byte-exact repeats are the memorization
+    * signal). The token tier stays the default scale path: char windows
+    * emit one ~w-char shingle per CHARACTER (≈5× the token tier's
+    * per-token emission at w=8), so run this tier with the same
+    * xxhash64-the-shingle swap at 100 TB and expect ~w× the token
+    * tier's shuffle bytes; the plan is still one keyed exchange plus the
+    * doc-keyed island sort, linear in corpus size. */
+  def dupSpansChars(documents: DataFrame, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = documents
+      .withColumn("n", length(col("text")))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), col("n") - (w - 1)),
+        i => col("text").substr(i, lit(w)))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("p"))
+    mergeIslands(dup, w).withColumnRenamed("n_span_tokens", "n_span_chars")
+  }
+
   /** Persistable shingle-count artifact for incremental span dedup:
     * (sh, cnt, w) over the corpus's windows — the substring-layer
     * analogue of [[minhashSignatures]]/[[simhashSignatures]]. Write it

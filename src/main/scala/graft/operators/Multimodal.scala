@@ -66,18 +66,25 @@ object Multimodal {
     private val MaxPixels = 64L * 1024 * 1024
 
     private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // the stream creation itself can throw (file-cache temp dir
+      // unwritable) or return null (no SPI) — both must degrade to the
+      // stub tier like every other failure, so it lives INSIDE the try
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        if (iis == null) None
         else {
-          val r = readers.next()
-          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
-          finally r.dispose()
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
         }
       } catch { case _: Exception => None }
-      finally iis.close()
+      finally if (iis != null) iis.close()
     }
 
     def frames(m: MediaIn): Iterator[FrameFeature] = {

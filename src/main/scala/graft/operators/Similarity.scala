@@ -303,9 +303,16 @@ object Similarity {
         .collect()
       val next = cents.map(_.clone()) // empty cluster keeps its centroid
       sums.foreach { r =>
-        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
-          r.getAs[JBD]("sx").divide(new JBD(r.getAs[Long]("n")), 12, RoundingMode.HALF_UP)
-            .doubleValue()
+        val sx = r.getAs[JBD]("sx")
+        // a DecimalType(38,12) sum overflow (|Σx| ≥ 1e26 per
+        // cluster-coordinate — unreachable for unit-scale embeddings at
+        // any real corpus size, and the DuckDB replay errors loudly at
+        // its own 1e14 bound long before) yields null under non-ANSI
+        // mode; keep the previous centroid instead of NPE-ing the loop
+        if (sx != null)
+          next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+            sx.divide(new JBD(r.getAs[Long]("n")), 12, RoundingMode.HALF_UP)
+              .doubleValue()
       }
       cents = next
     }

@@ -103,6 +103,42 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }.toSet
   }
 
+  /** Char-level reference: same island algebra over codepoint positions
+    * and raw (non-normalized) w-char substrings. */
+  private def refCharSpans(docs: Seq[(Long, String)], w: Int): Set[(Long, Int, Int)] = {
+    val occ = docs.flatMap { case (id, s) =>
+      (0 to s.length - w).map(i => (id, i + 1, s.substring(i, i + w))) }
+    val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = occ.filter(o => counts(o._3) > 1).map(o => (o._1, o._2))
+    dup.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val islands = sorted.tail.foldLeft(List((sorted.head, sorted.head))) {
+        case ((s, e) :: rest, p) =>
+          if (p > e + w) (p, p) :: (s, e) :: rest else (s, p) :: rest
+        case (Nil, p) => List((p, p))
+      }
+      islands.map { case (s, last) => (id, s, last + w - 1) }
+    }.toSet
+  }
+
+  test("char spans equal a brute-force reference on random small corpora") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val alpha = "abcd "
+    for (round <- 1 to 5) {
+      val w = 3 + rnd.nextInt(4) // 3..6
+      // tiny alphabet + short docs force genuine repeats, incl. repeats
+      // crossing token (space) boundaries — the coverage d16 lacks
+      val docs = (1L to (3 + rnd.nextInt(4)).toLong).map { id =>
+        id -> List.fill(w + rnd.nextInt(20))(alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val got = Dedup.dupSpansChars(docs.toDF("doc_id", "text"), w).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_pos"),
+          r.getAs[Int]("end_pos"))).toSet
+      assert(got === refCharSpans(docs, w), s"round $round w=$w docs=$docs")
+    }
+  }
+
   test("dup spans equal a brute-force reference on random small corpora") {
     import spark.implicits._
     val rnd = new Random(17)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamOps
-import graft.operators.{Relational, TimeJoins}
+import graft.operators.{Dedup, Relational, TimeJoins}
 import java.sql.Timestamp
 
 class StreamingSpec extends AnyFunSuite with SharedSpark {
@@ -240,6 +240,30 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(7))).toSet
     assert(streamed === batch)
     assert(batch.nonEmpty && batch.exists(_._3 == 0) && batch.exists(_._3 == 1))
+  }
+
+  test("st14 driver: streamed near-dup ingest equals the batch d11 recompute") {
+    val streamed = graft.streaming.StreamDrivers
+      .minhashIngestFileStream(spark, SharedSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch recompute: minhashIncremental over the WHOLE even half at
+    // once — the streamed union of per-micro-batch probes must equal it
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val corpusSigs = Dedup
+      .minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .localCheckpoint()
+    val batch = Dedup
+      .minhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jacc"))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // genuinely cross-micro-batch content: at least one pair whose docs
+    // landed in DIFFERENT halves of the streamed batch split (%4 = 0 vs
+    // %4 = 2) — the pair only a post-probe signature append can find
+    assert(streamed.exists { case (a, b, _) =>
+      (a % 2 == 0 && b % 2 == 0) && (a % 4 != b % 4) })
   }
 
   test("st11 driver: streamed CDC apply equals the batch q44 result") {
