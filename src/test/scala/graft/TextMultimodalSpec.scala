@@ -327,7 +327,8 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("wav decoder: planted PCM decodes to exact frame features; corrupt falls back") {
-    Seq(0L, 8L, 16L, 63L, 127L).foreach { id =>
+    // 8-bit mono canonical tier (id % 16 != 0)
+    Seq(8L, 24L, 63L, 127L).foreach { id =>
       val ns = (64 + id % 64).toInt
       val f = Multimodal.WavPcmDecoder.frames(
         Multimodal.MediaIn(id, Multimodal.PlantedWavs.craftedWav(id))).toSeq
@@ -339,6 +340,25 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
         assert(fr.frame_id === fi)
         assert(fr.feat_dim === len)
         assert(fr.feat_mean === sum.toDouble / (128.0 * len), s"doc $id frame $fi")
+      }
+    }
+    // 16-bit stereo + LIST chunk tier (id % 16 == 0): the chunk walk
+    // must skip LIST, and the feature is the channel-sum deviation
+    Seq(0L, 16L, 32L, 80L).foreach { id =>
+      val ns = (40 + (id / 16) % 37).toInt
+      val f = Multimodal.WavPcmDecoder.frames(
+        Multimodal.MediaIn(id, Multimodal.PlantedWavs.craftedWav(id))).toSeq
+      assert(f.length === (ns + 31) / 32, s"doc $id frame count")
+      f.zipWithIndex.foreach { case (fr, fi) =>
+        val len = math.min(32, ns - fi * 32)
+        var sum = 0L
+        for (i <- 0 until len)
+          sum += math.abs(
+            Multimodal.PlantedWavs.sample16(id, fi * 32 + i, 0).toLong +
+            Multimodal.PlantedWavs.sample16(id, fi * 32 + i, 1))
+        assert(fr.frame_id === fi)
+        assert(fr.feat_dim === len)
+        assert(fr.feat_mean === sum.toDouble / (65536.0 * len), s"doc $id frame $fi")
       }
     }
     // truncated WAV (header claims more data than present) → stub tier
@@ -376,8 +396,23 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L).getAs[Int]("is_wav") === 0) // header cut mid-fmt: fallback
   }
 
+  test("wav meta: chunk walk finds fmt/data behind a LIST chunk (16-bit stereo)") {
+    import spark.implicits._
+    // id 48: k=3 → rate 20000, 43 sample frames, LIST pad 6
+    val wav = Multimodal.PlantedWavs.craftedWav(48L)
+    val out = Multimodal.wavMeta(Seq((1L, wav)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(out.getAs[Int]("is_wav") === 1)
+    assert(out.getAs[Int]("sample_rate") === 20000)
+    assert(out.getAs[Int]("n_channels") === 2)
+    assert(out.getAs[Int]("bits") === 16)
+    assert(out.getAs[Long]("n_samples") === 43L)
+    assert(out.getAs[Long]("duration_ms") === 43L * 4 * 1000 / (20000 * 4))
+  }
+
   test("mp4 meta: real box walk parses mvhd; corrupt/truncated/non-mp4 fall back") {
     import spark.implicits._
+    // id 16 → %16==0: LARGESIZE mdat + version-1 mvhd branch
     val mp4 = Multimodal.PlantedMp4s.craftedMp4(16L) // ts 600+300=900, dur 1200+16*7
     val text = "not a video".getBytes("UTF-8")
     val truncated = mp4.take(40)            // dies inside the free box
@@ -398,6 +433,13 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(2L).getAs[Int]("timescale") === 600 + (text.length % 7) * 150)
     assert(out(3L).getAs[Int]("is_mp4") === 0)
     assert(out(4L).getAs[Int]("is_mp4") === 0)
+    // all-32-bit + version-0 branch (id % 16 != 0) still parses
+    val v0 = Multimodal.mp4Meta(
+      Seq((1L, Multimodal.PlantedMp4s.craftedMp4(8L)))
+        .toDF("doc_id", "payload")).collect().head
+    assert(v0.getAs[Int]("is_mp4") === 1)
+    assert(v0.getAs[Int]("timescale") === 600 + (8 % 5) * 300)
+    assert(v0.getAs[Long]("duration") === 1200L + 8 * 7)
   }
 
   test("gif meta: real screen descriptor parses; truncated-GCT and non-gif fall back") {
