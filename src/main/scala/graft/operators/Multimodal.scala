@@ -84,7 +84,8 @@ object Multimodal {
           }
         }
       } catch { case _: Exception => None }
-      finally if (iis != null) iis.close()
+      // close() flushes the file-cache stream and can throw on its own
+      finally if (iis != null) { try iis.close() catch { case _: Exception => () } }
     }
 
     def frames(m: MediaIn): Iterator[FrameFeature] = {

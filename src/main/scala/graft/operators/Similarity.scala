@@ -92,44 +92,52 @@ object Similarity {
       .orderBy(col("hk"), col("vec_id")).limit(nPivots)
       .select(col("vec_id").as("pivot_id"))
 
-  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-              nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
-    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    // one-row table carrying ALL pivots as an array<struct> — the
-    // broadcast unit for the projection-side argmin below (pivot vectors
-    // rejoined from the shared id derivation, so the gate's staged table
-    // and this plan can never pick different pivots)
-    val parr = v
-      .join(broadcast(ivfPivotIds(embeddings, nPivots)),
+  /** One-row table carrying ALL pivots as an array<struct> — the
+    * broadcast unit for the projection-side cell argmin (pivot vectors
+    * rejoined from the shared id derivation, so the gate's staged table
+    * and the plans built on this can never pick different pivots).
+    * `v` must carry (vec_id, v, nrm). Shared by s3's [[ivfTopK]] and
+    * s12's [[ivfPqTopK]]. */
+  private def ivfPivotArr(v: DataFrame, embeddings: DataFrame,
+                          nPivots: Int): DataFrame =
+    v.join(broadcast(ivfPivotIds(embeddings, nPivots)),
         col("vec_id") === col("pivot_id"))
       .agg(collect_list(struct(col("pivot_id"), col("v").as("pv"),
         col("nrm").as("pnrm"))).as("pvs"))
-    // Per-row scored pivot array: struct(-cos6, pivot_id), so the NATURAL
-    // struct ordering (ascending lexicographic) ranks best-cosine first
-    // with ties to the smallest pivot id — array_min IS the argmax.
-    // The score is decimal-6-rounded (the repo's standard boundary)
-    // BEFORE the argmin: raw-double cell assignment would hinge on the
-    // engines' dot-product summation shapes agreeing to the last ulp,
-    // while rounded scores make the assignment engine-independent (the
-    // same discipline topK applies to the final ranking).
-    // `v`/`nrm` are materialized attributes, so the lambda re-evaluates
-    // nothing upstream (see SURVEY §5 on HOF materialization).
+
+  /** Nearest-cell assignment as a PURE PROJECTION over the broadcast
+    * pivot array. Per-row scored pivot array: struct(-cos6, pivot_id),
+    * so the NATURAL struct ordering (ascending lexicographic) ranks
+    * best-cosine first with ties to the smallest pivot id — array_min
+    * IS the argmax. The score is decimal-6-rounded (the repo's standard
+    * boundary) BEFORE the argmin: raw-double cell assignment would hinge
+    * on the engines' dot-product summation shapes agreeing to the last
+    * ulp, while rounded scores make the assignment engine-independent
+    * (the same discipline topK applies to the final ranking).
+    * `v`/`nrm` are materialized attributes, so the lambda re-evaluates
+    * nothing upstream (see SURVEY §5 on HOF materialization). */
+  private def ivfNearestCells(side: DataFrame, parr: DataFrame,
+                              n: Int): DataFrame = {
     def scored: Column = transform(col("pvs"), p =>
       struct(decRound(dot(col("v"), p.getField("pv")) * -1.0 /
         (col("nrm") * p.getField("pnrm")), 6).as("negcos"),
         p.getField("pivot_id").as("pivot_id")))
-    def nearestCells(side: DataFrame, n: Int): DataFrame = {
-      val base = side.crossJoin(broadcast(parr))
-      val cell =
-        if (n == 1) array_min(scored).getField("pivot_id")
-        else explode(transform(slice(array_sort(scored), 1, n),
-          s => s.getField("pivot_id")))
-      base.select(col("vec_id"), col("v"), col("nrm"), cell.as("cell"))
-    }
-    val corpus = nearestCells(v, 1)
+    val base = side.crossJoin(broadcast(parr))
+    val cell =
+      if (n == 1) array_min(scored).getField("pivot_id")
+      else explode(transform(slice(array_sort(scored), 1, n),
+        s => s.getField("pivot_id")))
+    base.select(col("vec_id"), col("v"), col("nrm"), cell.as("cell"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val parr = ivfPivotArr(v, embeddings, nPivots)
+    val corpus = ivfNearestCells(v, parr, 1)
       .select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
-    val q = nearestCells(v.filter(col("vec_id") < numQueries), nProbe)
+    val q = ivfNearestCells(v.filter(col("vec_id") < numQueries), parr, nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
         col("cell").as("qcell"))
     val pairs = corpus
@@ -530,14 +538,23 @@ object Similarity {
     * no shuffle. Subvectors materialize per subspace (`_sv$j`) before
     * the centroid lambda so nothing re-slices per element (SURVEY §5's
     * HOF materialization rule). */
-  def pqCodes(embeddings: DataFrame, codebooks: DataFrame): DataFrame = {
+  def pqCodes(embeddings: DataFrame, codebooks: DataFrame): DataFrame =
+    withPqCodes(
+      embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
+      codebooks).select(col("vec_id"), col("codes"))
+
+  /** Adds `codes` (the per-subspace argmin centroid ids) to any frame
+    * carrying a `v: array<double>` column, preserving the frame's other
+    * columns — so cell assignment and code assignment can share ONE
+    * corpus scan (the s12 IVF-PQ shape) instead of joining two
+    * derivations of the corpus back together. */
+  private def withPqCodes(df: DataFrame, codebooks: DataFrame): DataFrame = {
     val meta = codebooks.agg(max(col("subsp")), max(size(col("c")))).head()
     val m = meta.getInt(0) + 1
     val sub = meta.getInt(1)
-    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    var df = v.crossJoin(broadcast(cbNested(codebooks)))
+    var out = df.crossJoin(broadcast(cbNested(codebooks)))
     for (j <- 0 until m) {
-      df = df
+      out = out
         .withColumn(s"_sv$j", slice(col("v"), j * sub + 1, sub))
         .withColumn(s"_c$j",
           array_min(transform(element_at(col("cbs"), j + 1).getField("cents"), ct =>
@@ -547,8 +564,22 @@ object Similarity {
                 lit(0.0), (acc, x) => acc + x), 6).as("d"),
               ct.getField("cid").as("cid")))).getField("cid"))
     }
-    df.select(col("vec_id"), array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
+    out.withColumn("codes", array((0 until m).map(j => col(s"_c$j")): _*))
+      .drop("cbs" +: (0 until m).flatMap(j => Seq(s"_sv$j", s"_c$j")): _*)
   }
+
+  /** Adds the PQ reconstruction — `rv` (each code replaced by its
+    * centroid, concatenated) and its norm `rn` — to a frame carrying
+    * `codes`. Rows whose reconstruction is all-zero are dropped (they
+    * would NaN a cosine in both engines — same guard and oracle mirror
+    * as s10's). Map-only: one broadcast nested-codebook literal. */
+  private def withPqRecon(coded: DataFrame, codebooks: DataFrame): DataFrame =
+    coded.crossJoin(broadcast(cbNested(codebooks)))
+      .withColumn("rv", flatten(zip_with(col("codes"), col("cbs"), (c, cb) =>
+        element_at(cb.getField("cents"), c + 1).getField("c"))))
+      .withColumn("rn", norm(col("rv")))
+      .filter(col("rn") > 0)
+      .drop("cbs")
 
   /** s1's top-k with the corpus in the PQ domain — ASYMMETRIC scoring
     * (the standard ADC form): raw queries score against RECONSTRUCTED
@@ -563,19 +594,42 @@ object Similarity {
              numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val recon = pqCodes(embeddings, codebooks)
-      .crossJoin(broadcast(cbNested(codebooks)))
-      .withColumn("rv", flatten(zip_with(col("codes"), col("cbs"), (c, cb) =>
-        element_at(cb.getField("cents"), c + 1).getField("c"))))
-      .withColumn("rn", norm(col("rv")))
-      // an all-centroid-zero reconstruction would NaN the cosine in
-      // both engines — same guard and oracle mirror as s10's
-      .filter(col("rn") > 0)
+    val recon = withPqRecon(pqCodes(embeddings, codebooks), codebooks)
       .select(col("vec_id").as("id_b"), col("rv"), col("rn"))
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
     val pairs = recon
       .join(broadcast(q), col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("rv")) / (col("nq") * col("rn")))
+    topK(pairs, k)
+  }
+
+  /** IVF-PQ (s12): the two index structures composed the way a 100 TB
+    * ANN deployment actually lays them out (Jégou et al. 2011's IVFADC)
+    * — the IVF cells PARTITION the corpus (queries touch ~nProbe/nPivots
+    * of it), PQ codes COMPRESS what each cell stores (20 B/vector here
+    * vs 512 raw), and scoring is asymmetric ADC: the raw query against
+    * the candidate's reconstruction, so compression error applies once,
+    * on the corpus side. Cell assignment and code assignment share ONE
+    * corpus scan (both are projections against broadcast literals — no
+    * self-join rejoining two corpus derivations); the only corpus-wide
+    * shuffle is the cell-keyed candidate join, exactly s3's plan. Full
+    * oracle: staged pivot ids + staged codebooks replay cell choice,
+    * code choice, reconstruction and ranking relationally. */
+  def ivfPqTopK(embeddings: DataFrame, codebooks: DataFrame,
+                numQueries: Int = 10, k: Int = 5,
+                nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val parr = ivfPivotArr(v, embeddings, nPivots)
+    val corpus = withPqRecon(
+        withPqCodes(ivfNearestCells(v, parr, 1), codebooks), codebooks)
+      .select(col("vec_id").as("id_b"), col("cell"), col("rv"), col("rn"))
+    val q = ivfNearestCells(v.filter(col("vec_id") < numQueries), parr, nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+        col("cell").as("qcell"))
+    val pairs = corpus
+      .join(q, col("cell") === col("qcell") && col("id_b") =!= col("q_id"))
       .withColumn("cos", dot(col("vq"), col("rv")) / (col("nq") * col("rn")))
     topK(pairs, k)
   }

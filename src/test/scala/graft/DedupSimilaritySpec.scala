@@ -123,6 +123,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.4, s"PQ recall $recall below floor")
   }
 
+  test("IVF-PQ: candidates come from probed cells only, recall vs exact holds") {
+    val emb = table("embeddings")
+    val cb = Similarity.pqCodebooks(emb)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sets(Similarity.bruteTopK(emb))
+    val ivfpq = sets(Similarity.ivfPqTopK(emb, cb))
+    // the IVF probe restricts candidates on TOP of PQ's lossy scoring,
+    // so recall can only be ≤ plain PQ's — but with 8/32 cells probed
+    // on this corpus the cell filter rarely drops a true neighbor, so
+    // the floor stays at s11's
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall below floor")
+    // every result must be reachable: candidate in a query-probed cell
+    // (subset of the s3 candidate universe restricted by PQ's rn>0)
+    val ivf = sets(Similarity.ivfTopK(emb, k = 499))
+    assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a pair outside the probed cells")
+  }
+
   test("minhash LSH recall: finds every exact pair at its threshold") {
     // exact pairs within the same blocking key, threshold 0.5
     val exact = Dedup.ngramJaccardPairs(table("documents"), 0.5).collect()
