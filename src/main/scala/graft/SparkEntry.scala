@@ -186,6 +186,7 @@ object SparkEntry {
     "s10_quantized_ann" -> Seq("q_id", "rank"),
     "s11_pq_ann" -> Seq("q_id", "rank"),
     "s12_ivf_pq" -> Seq("q_id", "rank"),
+    "d21_semdedup" -> Seq("vec_id"),
     "s2_ann_lsh" -> Seq("q_id", "rank"),
     "s3_ann_ivf" -> Seq("q_id", "rank"),
     "t1_lang_id" -> Seq("doc_id"),
@@ -758,6 +759,16 @@ object SparkEntry {
         .parquet(stageDir(d) + "/s6_seeds")
       Similarity.kmeans(emb)
     }),
+    // d21 SemDeDup, FULL oracle: the staged seed table replays the
+    // k-means partition (kmeansCtes), then within-cluster decimal-6
+    // cosine pairs, recursive-reachability components, and the
+    // most-central-keeps window all replay relationally
+    "d21_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d21_seeds")
+      Dedup.semDedup(emb)
+    }),
     // cluster-stratified coreset selection, FULL oracle: the s6 replay
     // plus a per-cluster centrality rank (decimal-6 distance, id ties)
     "s9_diversity_sample" -> ((s, d) => {
@@ -850,7 +861,7 @@ object SparkEntry {
                         + c.cc AS DECIMAL(38,6)) AS d6
                    FROM vv w CROSS JOIN cb$i c) z$i)"""
     val head =
-      s"""WITH sd AS (SELECT CAST(cid AS INTEGER) AS cid, vec_id
+      s"""WITH RECURSIVE sd AS (SELECT CAST(cid AS INTEGER) AS cid, vec_id
            FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          vv AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM v),
@@ -1777,6 +1788,29 @@ object SparkEntry {
     "s6_kmeans" ->
       s"""${kmeansCtes("s6_seeds")}
          SELECT vec_id, cid AS cluster FROM fa WHERE rk = 1 ORDER BY vec_id""",
+    // d21: the s6 clustering replay (staged seeds), then SemDeDup's
+    // within-cluster decimal-6 cosine pairs → recursive-reachability
+    // components → keep = most-central member (d6 from fa, vec_id ties)
+    "d21_semdedup" ->
+      s"""${kmeansCtes("d21_seeds")},
+         asg AS (SELECT vec_id, cid AS cluster, d6 FROM fa WHERE rk = 1),
+         e AS (SELECT x.vec_id AS a, y.vec_id AS b
+               FROM asg x JOIN asg y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
+               JOIN v ea ON ea.vec_id = x.vec_id
+               JOIN v eb ON eb.vec_id = y.vec_id
+               WHERE CAST(list_cosine_similarity(ea.v, eb.v) AS DECIMAL(38,6)) >= 0.45),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS comp FROM reach GROUP BY n),
+         cmp AS (SELECT asg.vec_id, asg.cluster, asg.d6,
+                 coalesce(lab.comp, asg.vec_id) AS comp_id
+                 FROM asg LEFT JOIN lab ON lab.n = asg.vec_id),
+         rk2 AS (SELECT vec_id, cluster, comp_id, row_number() OVER
+                 (PARTITION BY comp_id ORDER BY d6, vec_id) AS r FROM cmp)
+         SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, comp_id,
+           (r = 1) AS keep FROM rk2 ORDER BY vec_id""",
     // s9: the s6 replay + per-cluster centrality rank (decimal-6
     // distance, vec_id ties), top 10 per cluster
     "s9_diversity_sample" ->

@@ -665,6 +665,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — the public method):
+    * semantic near-dup pruning whose pair search runs WITHIN k-means
+    * clusters only. That cluster restriction is the entire scale story —
+    * the quadratic cosine check touches Σ|cluster|² pairs instead of
+    * n², and each cluster's pair join is an independent shuffle key, so
+    * at 100 TB the work parallelizes per cluster and a cluster cap (k
+    * sized so n/k stays bounded) keeps every bucket's quadratic local.
+    * Cross-cluster near-dups are deliberately invisible — the documented
+    * SemDeDup approximation (the paper's recall knob is k itself).
+    *
+    * Within a cluster, pairs at decimal-6 cosine ≥ `tau` (the
+    * [[embeddingPairs]] accept discipline) connect into components
+    * (shared [[connectedComponents]] machinery); each component KEEPS
+    * exactly one member — the most central (smallest decimal-6 squared
+    * distance to its centroid, vec_id ties), the paper's
+    * keep-low-centroid-distance variant made deterministic. Singletons
+    * keep themselves. Output (vec_id, cluster, comp_id, keep) — `keep =
+    * false` rows are the semantic-dup prune set.
+    *
+    * Full oracle: the staged k-means seed table replays the clustering
+    * (the s6 kmeansCtes), the pair/CC/keep algebra replays relationally
+    * (the d6 recursive-reachability shape + a centrality window). */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+               tau: Double = 0.45): DataFrame = {
+    val asg = Similarity.kmeansAssignment(embeddings, k, iters)
+      .localCheckpoint() // feeds the pair join twice + the final labeling
+    val a = asg.select(col("cluster").as("cl_a"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cluster").as("cl_b"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("cl_a") === col("cl_b") && col("a") < col("b"))
+      .filter(cosAtLeast(col("va"), col("na"), col("vb"), col("nb"), tau))
+      .select(col("a"), col("b"))
+    val labels = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp_id")).orderBy(col("d6"), col("vec_id"))
+    asg.select(col("vec_id"), col("cluster"), col("d6"))
+      .join(labels, col("vec_id") === col("n"), "left")
+      .withColumn("comp_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cluster"), col("comp_id"), col("keep"))
+  }
+
   /** Banded sign-LSH near-dup pairs over the embedding corpus — the
     * sub-quadratic candidate stage for [[embeddingPairs]]: `numPlanes`
     * seeded hyperplane sign bits per vector, grouped into bands of

@@ -277,6 +277,20 @@ object Similarity {
       .drop("m", "vv")
   }
 
+  /** k-means assignment WITH the per-vector working data the SemDeDup
+    * pipeline needs downstream of the partition: (vec_id, v, nrm,
+    * cluster, d6) — d6 is the decimal-6 squared distance to the won
+    * centroid (the [[diversitySample]] centrality measure, reused as
+    * SemDeDup's keep-the-most-central tie-break). */
+  private[graft] def kmeansAssignment(embeddings: DataFrame, k: Int,
+                                      iters: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint()
+    assignToCentroids(v, kmeansCentroids(v, k, iters))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"), col("d6"))
+  }
+
   /** Deterministic k-means seed set with cluster indices: cid i = the
     * vector with the i-th smallest (xxhash64(vec_id), vec_id) — the IVF
     * pivot idiom. Exposed (and staged by the s6/s9 gates) so the DuckDB

@@ -142,6 +142,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a pair outside the probed cells")
   }
 
+  test("SemDeDup: identical-vector group prunes to one keeper, singles survive") {
+    import spark.implicits._
+    // identical vectors co-assign in ANY clustering (identical distances,
+    // identical tie-breaks) and have cosine 1 — a guaranteed prune group;
+    // one-hot vectors on distinct axes are pairwise orthogonal — never pruned
+    def oneHot(axis: Int, id: Long) =
+      (id, Array.tabulate(8)(i => if (i == axis) 1.0f else 0.0f))
+    val emb = (Seq(100L, 101L, 102L).map(oneHot(7, _)) ++
+      (1 to 5).map(a => oneHot(a, a.toLong))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, k = 2, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("comp_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(100L) === ((100L, true)))
+    assert(out(101L) === ((100L, false)))
+    assert(out(102L) === ((100L, false)))
+    (1 to 5).foreach(a => assert(out(a.toLong) === ((a.toLong, true))))
+    // real corpus: one row per vector, exactly one keeper per component,
+    // and pruned rows only ever come from multi-member components
+    val real = Dedup.semDedup(table("embeddings")).collect()
+    assert(real.length.toLong === table("embeddings").count())
+    val byComp = real.groupBy(_.getAs[Long]("comp_id"))
+    assert(byComp.values.forall(_.count(_.getAs[Boolean]("keep")) === 1))
+  }
+
   test("minhash LSH recall: finds every exact pair at its threshold") {
     // exact pairs within the same blocking key, threshold 0.5
     val exact = Dedup.ngramJaccardPairs(table("documents"), 0.5).collect()
