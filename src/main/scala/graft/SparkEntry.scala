@@ -187,6 +187,7 @@ object SparkEntry {
     "s11_pq_ann" -> Seq("q_id", "rank"),
     "s12_ivf_pq" -> Seq("q_id", "rank"),
     "d21_semdedup" -> Seq("vec_id"),
+    "s13_rand_proj" -> Seq("vec_id", "pos"),
     "s2_ann_lsh" -> Seq("q_id", "rank"),
     "s3_ann_ivf" -> Seq("q_id", "rank"),
     "t1_lang_id" -> Seq("doc_id"),
@@ -759,6 +760,11 @@ object SparkEntry {
         .parquet(stageDir(d) + "/s6_seeds")
       Similarity.kmeans(emb)
     }),
+    // s13 sign random projection, FULL oracle from SQL text alone: the
+    // hash-derived sign matrix and the decimal-sum/÷4 scaling are pure
+    // engine-independent algebra — nothing staged, nothing seeded
+    "s13_rand_proj" -> ((s, d) =>
+      Similarity.randomProjectionRows(t(s, d, "embeddings"))),
     // d21 SemDeDup, FULL oracle: the staged seed table replays the
     // k-means partition (kmeansCtes), then within-cluster decimal-6
     // cosine pairs, recursive-reachability components, and the
@@ -1699,6 +1705,24 @@ object SparkEntry {
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5
          ORDER BY q_id, rank""",
+    // s13: the sign is the c3 mod-prime hash of (i, j) — identical
+    // integer algebra; round(x·4096) is exact-binary scaling + the
+    // ties-away-from-zero double round both engines share (a decimal
+    // cast is NOT tie-stable — see the randomProjection scaladoc);
+    // signed sums are pure BIGINT, /16384 exact power-of-two scaling
+    "s13_rand_proj" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT vec_id, i - 1 AS i,
+               CAST(round(v[i] * 4096) AS BIGINT) AS q
+               FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         pr AS (SELECT vec_id, j,
+                CAST(sum(q *
+                  (((((i * 8191 + j) % 1000003) * 2654435761 + 104729)
+                    % 1000003) % 2 * 2 - 1)) AS DOUBLE) / 16384 AS val
+                FROM x, unnest(generate_series(0, 15)) AS u(j)
+                GROUP BY 1, 2)
+         SELECT vec_id, CAST(j AS INTEGER) AS pos, val FROM pr
+         ORDER BY vec_id, pos""",
     // s12: s3's cell replay (staged pivots → decimal-6 argmin cell,
     // 8-cell query probe) composed with s11's PQ replay (staged
     // codebooks → decimal-6 L2 argmin codes → reconstruction) — the

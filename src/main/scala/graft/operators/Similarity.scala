@@ -500,6 +500,65 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
   }
 
+  // --- Random projection (s13) -----------------------------------------
+
+  /** Sign random projection (Achlioptas 2003 / Johnson–Lindenstrauss,
+    * public method): d-dim embeddings → `r`-dim sketches via y_j =
+    * (1/√r)·Σᵢ xᵢ·s(i,j), s(i,j) ∈ {−1,+1} — the cheap dimensionality
+    * reduction every 100 TB embedding pipeline wants in front of its
+    * index (4× fewer bytes shuffled/stored at r=16 from d=64, distances
+    * preserved within the JL distortion). Two deliberate choices make it
+    * an ENGINE-INDEPENDENT operator rather than a seeded one:
+    *
+    *  - the sign matrix is never materialized: s(i,j) derives from the
+    *    c3 multiplicative mod-prime hash of (i,j) — pure 64-bit-safe
+    *    integer algebra both engines evaluate identically (the two mod-p
+    *    reductions keep every product ≤ 1e6·2.7e9 ≪ Long.Max under
+    *    ANSI, and a·z mod p wraps ~2654× per z step so the parity bit
+    *    decorrelates from z — a Lehmer-generator low bit);
+    *  - inputs quantize to the INTEGER domain first — qᵢ =
+    *    round(xᵢ·4096), a power-of-two scaling that is exact in binary,
+    *    rounded ties-away-from-zero identically in both engines (a
+    *    double→DECIMAL(·,12) cast is NOT engine-stable: float-origin
+    *    values that are odd multiples of 2⁻¹³ land exactly on the
+    *    half-ulp boundary, where Spark's HALF_UP and DuckDB's cast
+    *    disagree — observed on real corpus data, 1-ulp sum drift). The
+    *    signed sums are then pure 64-bit integer algebra and the single
+    *    /(4096·√r) division is exact power-of-two scaling. The 2⁻¹²
+    *    quantization granularity (~4e-4 relative here) is noise next to
+    *    the JL distortion itself.
+    *
+    * Map-only: one projection per row against in-row arithmetic — no
+    * shuffle, no broadcast, nothing to stage; the oracle replays the
+    * whole operator from the SQL text alone. Returns (vec_id, rvec). */
+  def randomProjection(embeddings: DataFrame, r: Int = 16): DataFrame = {
+    val root = math.sqrt(r.toDouble).round.toInt
+    require(r > 0 && root * root == r,
+      s"r = $r: use a perfect square so the 1/sqrt(r) scale is an exact " +
+        "integer divisor (one deterministic IEEE division in any engine)")
+    val sign: (Column, Column) => Column = (i, j) =>
+      pmod(pmod(i.cast("long") * 8191L + j.cast("long"), lit(1000003L)) *
+        2654435761L + 104729L, lit(1000003L)) % 2L * 2L - 1L
+    val rvec = transform(sequence(lit(0), lit(r - 1)), j =>
+      aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, i) => {
+          val xq = round(x * lit(4096.0)).cast("long")
+          when(sign(i, j) === 1L, xq).otherwise(-xq)
+        }),
+        lit(0L),
+        (acc, t) => acc + t)
+        .cast("double") / lit(4096.0 * root))
+    embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .select(col("vec_id"), rvec.as("rvec"))
+  }
+
+  /** [[randomProjection]] exploded to (vec_id, pos, val) rows — the
+    * gate-comparable form (scalar columns hash across engines; the
+    * array form is the production surface). */
+  def randomProjectionRows(embeddings: DataFrame, r: Int = 16): DataFrame =
+    randomProjection(embeddings, r)
+      .select(col("vec_id"), posexplode(col("rvec")).as(Seq("pos", "val")))
+
   // --- Product quantization (s11) --------------------------------------
 
   /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product

@@ -142,6 +142,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a pair outside the probed cells")
   }
 
+  test("random projection: 16-dim sketches preserve pairwise distances") {
+    import graft.functions.ColumnFns
+    val emb = table("embeddings")
+    val proj = Similarity.randomProjection(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(proj.values.forall(_.length === 16))
+    val orig = emb.select(col("vec_id"), ColumnFns.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // JL: sketch distances track original distances up to the r=16
+    // distortion (sd ≈ sqrt(2/r) ≈ 0.35 per pair); deterministic
+    // operator, so these bounds are exact regression pins, not flaky
+    val ratios = (0L until 40L).map(i =>
+      dist(proj(i), proj(i + 1)) / dist(orig(i), orig(i + 1)))
+    assert(ratios.forall(r => r > 0.3 && r < 2.5),
+      s"distortion out of range: min ${ratios.min}, max ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.3, s"mean distortion $mean off unity")
+  }
+
   test("SemDeDup: identical-vector group prunes to one keeper, singles survive") {
     import spark.implicits._
     // identical vectors co-assign in ANY clustering (identical distances,
