@@ -201,6 +201,7 @@ object SparkEntry {
     "t14_lang_ngram" -> Seq("doc_id"),
     "st12_token_budget_stream" -> Seq("source"),
     "st13_quality_stream" -> Seq("doc_id"),
+    "st15_contamination_stream" -> Seq("doc_id"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
@@ -733,6 +734,11 @@ object SparkEntry {
     "st13_quality_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.qualityFileStream(Tables.tune(s), d,
         plantQualityViolations(t(s, d, "documents")))),
+    // benchmark decontamination as a streaming ingest gate: per
+    // micro-batch c12 against the static benchmark table; doc-disjoint
+    // batches make the union the batch result — c12's oracle verbatim
+    "st15_contamination_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.contaminationFileStream(Tables.tune(s), d)),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
     // rolled up by the same batch merge (rows-only: sketch estimates;
     // streaming==batch equality spec-asserted in the sparse regime)
@@ -942,6 +948,18 @@ object SparkEntry {
   // shared by c24 (batch) and st13 (the same computation through a file
   // stream): the aug CTE mirrors plantQualityViolations, the rule algebra
   // mirrors TextOps.gopherQuality
+  private lazy val contaminationSql =
+    s"""WITH tok AS ($shingleTok),
+        bm AS (SELECT DISTINCT s FROM
+               (SELECT unnest(sh) AS s FROM tok WHERE doc_id % 97 = 0)),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM tok)
+        SELECT ex.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+          CAST(CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / count(*) AS contam_ratio
+        FROM ex LEFT JOIN bm ON ex.s = bm.s
+        GROUP BY ex.doc_id ORDER BY ex.doc_id"""
   private lazy val qualityRulesSql =
     s"""WITH aug AS (SELECT doc_id, text ||
            CASE WHEN doc_id % 4 = 0 THEN ' # text ## mark ...' ELSE '' END ||
@@ -2461,18 +2479,10 @@ object SparkEntry {
       """SELECT ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
-    "c12_contamination" ->
-      s"""WITH tok AS ($shingleTok),
-          bm AS (SELECT DISTINCT s FROM
-                 (SELECT unnest(sh) AS s FROM tok WHERE doc_id % 97 = 0)),
-          ex AS (SELECT doc_id, unnest(sh) AS s FROM tok)
-          SELECT ex.doc_id, count(*) AS n_shingles,
-            CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_contaminated,
-            CAST(CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS DOUBLE) / count(*) AS contam_ratio
-          FROM ex LEFT JOIN bm ON ex.s = bm.s
-          GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "c12_contamination" -> contaminationSql,
+    // st15 is the SAME computation driven through a file stream in
+    // doc-disjoint micro-batches — the gate is c12's oracle verbatim
+    "st15_contamination_stream" -> contaminationSql,
     "t9_stop_strip" ->
       s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents),
           top AS (SELECT term FROM tk GROUP BY term

@@ -491,6 +491,63 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st15: benchmark decontamination as a streaming ingest gate — the
+    * deployment shape a pre-training pipeline actually wants (score
+    * documents against the FIXED eval-benchmark shingle table AS THEY
+    * ARRIVE; the benchmark is small static state, the corpus is the
+    * stream — so eval leakage is caught before a doc ever lands in a
+    * shard, not in a nightly sweep). The batch operator runs unchanged
+    * inside foreachBatch: its per-document aggregate needs no
+    * cross-batch state (a document's shingles live entirely in its own
+    * row) and the benchmark side re-broadcasts per batch from the
+    * localCheckpoint'ed table (the persisted-artifact reload pattern,
+    * st9's static side). Micro-batches are doc-disjoint, so the
+    * accumulated output IS the c12 batch result and c12's oracle gates
+    * this driver verbatim. The collect is the oracle-gate harness; a
+    * production foreachBatch body appends the scored rows to a table. */
+  def contaminationFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-contam")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val benchmark = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .localCheckpoint()
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var batches = 0
+      var outSchema: StructType = null
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val scored = graft.operators.Curation.contamination(b.toDF(), benchmark)
+          val rows = scored.collect()
+          buf.synchronized {
+            buf ++= rows
+            if (rows.nonEmpty) batches += 1
+            outSchema = scored.schema
+          }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.toList.asJava, outSchema)
+    } finally deleteRecursively(dir)
+  }
+
   /** st14: streaming NEAR-dup ingest — the substring of the ingest
     * posture st9 covers exactly, at the MinHash layer: even-id docs
     * staged as two doc_id-halves (maxFilesPerTrigger=1 ⇒ two genuine

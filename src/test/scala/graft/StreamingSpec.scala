@@ -242,6 +242,16 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty && batch.exists(_._3 == 0) && batch.exists(_._3 == 1))
   }
 
+  test("st15 driver: streamed contamination gate equals the batch c12 result") {
+    val streamed = SparkEntry.queries("st15_contamination_stream")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("c12_contamination")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // non-vacuous: the benchmark docs themselves are fully contaminated
+    assert(batch.exists(t => t._3 > 0L))
+  }
+
   test("st14 driver: streamed near-dup ingest equals the batch d11 recompute") {
     val streamed = graft.streaming.StreamDrivers
       .minhashIngestFileStream(spark, SharedSpark.sfDir).collect()
