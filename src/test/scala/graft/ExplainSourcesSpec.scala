@@ -242,6 +242,30 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(exchanges === 2, s"expected shingle + doc exchanges, got $exchanges in:\n$p")
   }
 
+  test("random projection is a pure map: no join, no exchange") {
+    val df = graft.operators.Similarity.randomProjection(table("embeddings"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the sign matrix is in-row hash algebra and the sums are in-row
+    // folds — the corpus must neither join nor shuffle for a projection
+    assert(!p.contains("Join"), s"projection introduced a join in:\n$p")
+    assert(!p.contains("Exchange"), s"projection shuffled in:\n$p")
+  }
+
+  test("IVF-PQ corpus side: cells and codes assigned without a shuffle join") {
+    val emb = table("embeddings")
+    val df = graft.operators.Similarity.ivfPqTopK(emb,
+      graft.operators.Similarity.pqCodebooks(emb))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // pivot array, codebooks and the query set all broadcast; the only
+    // shuffle-eligible join is the cell-keyed candidate join, and at
+    // this scale AQE broadcasts that too — a SortMergeJoin anywhere
+    // means a corpus derivation got self-joined
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus derivation reached a shuffle join in:\n$p")
+  }
+
   test("bpe learn touches only the word aggregate: one exchange, top-k no global sort") {
     // the fit's distributed part — word count + deterministic vocab cap
     val wc = table("documents")
