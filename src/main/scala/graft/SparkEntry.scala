@@ -330,7 +330,7 @@ object SparkEntry {
     "s10_quantized_ann" -> ((s, d) => Similarity.quantizedTopK(t(s, d, "embeddings"))),
     // s11 product quantization, FULL oracle: the learned per-subspace
     // codebooks are the staged model artifact (the s6-seeds idiom);
-    // DuckDB replays assignment (decimal-6 L2 argmin), reconstruction
+    // DuckDB replays assignment (integer-quantized L2 argmin), reconstruction
     // and the ADC cosine ranking relationally
     "s11_pq_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1686,7 +1686,8 @@ object SparkEntry {
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
     // s11: PQ replay over the staged codebook model — per-(vec,
-    // subspace) decimal-6 L2 argmin (ties → smallest cid, the ivf
+    // subspace) integer-quantized L2 argmin over round(x·4096) BIGINTs
+    // (exact in both engines — the s13 discipline; ties → smallest cid, the ivf
     // discipline), centroid-concatenation reconstruction, then s1's
     // decimal-6 cosine ranking of raw queries vs reconstructions;
     // subvector offset = subsp·len(c) so the SQL is m/sub-agnostic
@@ -1695,9 +1696,11 @@ object SparkEntry {
          cb AS (SELECT subsp, cid, CAST(c AS DOUBLE[]) AS c
                 FROM read_parquet('__GRAFT_STAGE__/s11_codebooks/*.parquet')),
          d2 AS (SELECT e.vec_id, cb.subsp, cb.cid,
-                CAST(list_sum([(e.v[cb.subsp * len(cb.c) + i] - cb.c[i])
-                             * (e.v[cb.subsp * len(cb.c) + i] - cb.c[i])
-                  for i in generate_series(1, len(cb.c))]) AS DECIMAL(38,6)) AS d
+                list_sum([(CAST(round(e.v[cb.subsp * len(cb.c) + i] * 4096) AS BIGINT)
+                         - CAST(round(cb.c[i] * 4096) AS BIGINT))
+                        * (CAST(round(e.v[cb.subsp * len(cb.c) + i] * 4096) AS BIGINT)
+                         - CAST(round(cb.c[i] * 4096) AS BIGINT))
+                  for i in generate_series(1, len(cb.c))]) AS d
                 FROM e, cb),
          asn AS (SELECT vec_id, subsp, cid FROM (
                  SELECT vec_id, subsp, cid, row_number() OVER
@@ -1743,7 +1746,7 @@ object SparkEntry {
          ORDER BY vec_id, pos""",
     // s12: s3's cell replay (staged pivots → decimal-6 argmin cell,
     // 8-cell query probe) composed with s11's PQ replay (staged
-    // codebooks → decimal-6 L2 argmin codes → reconstruction) — the
+    // codebooks → integer-quantized L2 argmin codes → reconstruction) — the
     // candidate set is cell-matched, scoring is raw-query vs
     // reconstruction (ADC), ranking s1's decimal-6 discipline
     "s12_ivf_pq" ->
@@ -1766,9 +1769,11 @@ object SparkEntry {
          cb AS (SELECT subsp, cid, CAST(c AS DOUBLE[]) AS c
                 FROM read_parquet('__GRAFT_STAGE__/s12_codebooks/*.parquet')),
          d2 AS (SELECT e.vec_id, cb.subsp, cb.cid,
-                CAST(list_sum([(e.v[cb.subsp * len(cb.c) + i] - cb.c[i])
-                             * (e.v[cb.subsp * len(cb.c) + i] - cb.c[i])
-                  for i in generate_series(1, len(cb.c))]) AS DECIMAL(38,6)) AS d
+                list_sum([(CAST(round(e.v[cb.subsp * len(cb.c) + i] * 4096) AS BIGINT)
+                         - CAST(round(cb.c[i] * 4096) AS BIGINT))
+                        * (CAST(round(e.v[cb.subsp * len(cb.c) + i] * 4096) AS BIGINT)
+                         - CAST(round(cb.c[i] * 4096) AS BIGINT))
+                  for i in generate_series(1, len(cb.c))]) AS d
                 FROM e, cb),
          asn AS (SELECT vec_id, subsp, cid FROM (
                  SELECT vec_id, subsp, cid, row_number() OVER

@@ -536,19 +536,27 @@ object Similarity {
     require(r > 0 && root * root == r,
       s"r = $r: use a perfect square so the 1/sqrt(r) scale is an exact " +
         "integer divisor (one deterministic IEEE division in any engine)")
-    val sign: (Column, Column) => Column = (i, j) =>
-      pmod(pmod(i.cast("long") * 8191L + j.cast("long"), lit(1000003L)) *
-        2654435761L + 104729L, lit(1000003L)) % 2L * 2L - 1L
-    val rvec = transform(sequence(lit(0), lit(r - 1)), j =>
+    // the hash is pure integer algebra over PLAN-TIME-KNOWN (i, j), so
+    // the sign matrix folds to one r×d literal here — the executors run
+    // bare multiply-adds with zero hash work per element (measured ~4×
+    // on the sf0.1 sweep), while the oracle SQL keeps computing the
+    // same signs from the same formula
+    def sign(i: Long, j: Long): Long =
+      Math.floorMod(Math.floorMod(i * 8191L + j, 1000003L) *
+        2654435761L + 104729L, 1000003L) % 2L * 2L - 1L
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    val signs = typedLit((0 until r).map(j =>
+      (0 until dim).map(i => sign(i.toLong, j.toLong))))
+    // quantized vector materialized ONCE per row (SURVEY §5's HOF rule —
+    // an in-lambda quantize would re-round d values per output coord)
+    val rvec = transform(signs, srow =>
       aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, i) => {
-          val xq = round(x * lit(4096.0)).cast("long")
-          when(sign(i, j) === 1L, xq).otherwise(-xq)
-        }),
+        zip_with(col("_q"), srow, (q, s) => q * s),
         lit(0L),
         (acc, t) => acc + t)
         .cast("double") / lit(4096.0 * root))
-    embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    v.withColumn("_q", transform(col("v"), x => round(x * lit(4096.0)).cast("long")))
       .select(col("vec_id"), rvec.as("rvec"))
   }
 
@@ -579,28 +587,87 @@ object Similarity {
     * for the oracle the way s6 stages its seeds. */
   def pqCodebooks(embeddings: DataFrame, m: Int = 32, k: Int = 32,
                   iters: Int = 4): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.types.DecimalType
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .localCheckpoint() // m Lloyd loops share one materialization
-    val dim = v.select(size(col("v"))).head().getInt(0)
+    val v0 = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val dim = v0.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim is not divisible by m = $m subspaces")
     val sub = dim / m
-    (0 until m).flatMap { j =>
-      val sv = v.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v"))
-      kmeansCentroids(sv, k, iters).zipWithIndex.map { case (c, cid) =>
-        (j, cid, c.toSeq) }
-    }.toDF("subsp", "cid", "c")
+    // ALL m Lloyd loops run JOINTLY over one exploded (vec_id, subsp, sv)
+    // frame — the subspaces are mathematically independent, so keying
+    // every assignment and every centroid sum by subsp yields centroids
+    // identical to m separate loops while collapsing m·iters sequential
+    // Spark jobs into iters (the first per-subspace formulation spent
+    // 30+ s of its 36 s sf0.1 wall-clock on driver scheduling overhead
+    // for 160 micro-jobs; this shape runs the same math in 5)
+    val sv = v0.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * lit(sub) + 1, lit(sub))))
+        .as(Seq("subsp", "sv")))
+      .localCheckpoint() // the loop re-reads its working set every pass
+    // seed ids are hash-of-vec_id only — identical for every subspace
+    val seedCid = kmeansSeedIds(v0, k).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    var cents: Array[Array[Array[Double]]] = {
+      val init = Array.fill(m, k)(Array.empty[Double])
+      sv.filter(col("vec_id").isInCollection(seedCid.keys.toSeq)).collect()
+        .foreach { r =>
+          init(r.getInt(1))(seedCid(r.getLong(0))) = r.getSeq[Double](2).toArray }
+      init
+    }
+    for (_ <- 1 to iters) {
+      // the (subsp → cid → centroid) table rides as TWO single-node
+      // nested typedLits (values + squared norms) — a struct-per-centroid
+      // literal array is a ~5k-node expression tree that costs seconds
+      // of analysis/codegen PER ITERATION at m·k=1024; assignment is the
+      // assignToCentroids argmin with the row's subspace slab picked by
+      // element_at and cid supplied by the transform index. The argmin
+      // here is RAW double (ties → smallest cid via the struct order):
+      // per-row deterministic regardless of partitioning, and the
+      // oracle never replays the fit — it reads the STAGED codebooks —
+      // so the decimal boundary lives where parity is needed (the
+      // centroid sums below and withPqCodes' code assignment), not on
+      // m·k·n distance roundings per pass
+      val cvs = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+      val ccs = typedLit(cents.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+      val sums = sv
+        .withColumn("vv", dot(col("sv"), col("sv")))
+        .withColumn("cl", array_min(transform(element_at(cvs, col("subsp") + 1),
+          (cv, i) => struct((col("vv") - lit(2.0) * dot(col("sv"), cv)
+            + element_at(element_at(ccs, col("subsp") + 1), i + 1)).as("d"),
+            i.as("cid")))).getField("cid"))
+        .select(col("subsp"), col("cl"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("subsp"), col("cl"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(28, 12))).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone())) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        val sx = r.getAs[JBD]("sx")
+        if (sx != null) // the kmeansCentroids overflow null-guard
+          next(r.getAs[Int]("subsp"))(r.getAs[Int]("cl"))(r.getAs[Int]("pos")) =
+            sx.divide(new JBD(r.getAs[Long]("n")), 12, RoundingMode.HALF_UP)
+              .doubleValue()
+      }
+      cents = next
+    }
+    cents.zipWithIndex.flatMap { case (ck, j) =>
+      ck.zipWithIndex.map { case (c, cid) => (j, cid, c.toSeq) }
+    }.toSeq.toDF("subsp", "cid", "c")
   }
 
   /** One-row nested codebook literal — array over subspaces (ascending),
     * each an array over cid (ascending) of centroids: the broadcast
     * unit both assignment and reconstruction key off (the ivfTopK
-    * one-row-pivot-table idiom). */
+    * one-row-pivot-table idiom). Carries each centroid twice: raw `c`
+    * (reconstruction) and `qc` = round(c·4096) (the integer-domain
+    * assignment — see [[withPqCodes]]). */
   private def cbNested(codebooks: DataFrame): DataFrame =
     codebooks
+      .withColumn("qc", transform(col("c"), x => round(x * lit(4096.0)).cast("long")))
       .groupBy(col("subsp"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("c"), col("qc")))).as("cents"))
       .agg(array_sort(collect_list(struct(col("subsp"), col("cents")))).as("cbs"))
 
   /** PQ code assignment: per subspace, the centroid with the smallest
@@ -620,25 +687,45 @@ object Similarity {
     * carrying a `v: array<double>` column, preserving the frame's other
     * columns — so cell assignment and code assignment can share ONE
     * corpus scan (the s12 IVF-PQ shape) instead of joining two
-    * derivations of the corpus back together. */
+    * derivations of the corpus back together. The whole code array is
+    * ONE nested-transform expression: a column-per-subspace formulation
+    * (m chained withColumns) costs m incremental analysis passes over a
+    * growing plan — seconds of driver time at m=32 before a single row
+    * moves.
+    *
+    * The argmin runs in the INTEGER-QUANTIZED domain (the s13
+    * discipline): both sides scale by the exact power-of-two 4096 and
+    * round ties-away-from-zero — identical in every engine — so the
+    * squared distances are exact BIGINTs and the choice needs no
+    * decimal boundary at all. The first decimal-6 formulation spent
+    * ~n·m·k BigDecimal roundings per scan (5M at sf0.1 — the dominant
+    * cost of the whole key); integer distances are plain multiply-adds.
+    * Ties still break to the smallest cid via the struct order. */
   private def withPqCodes(df: DataFrame, codebooks: DataFrame): DataFrame = {
     val meta = codebooks.agg(max(col("subsp")), max(size(col("c")))).head()
     val m = meta.getInt(0) + 1
     val sub = meta.getInt(1)
-    var out = df.crossJoin(broadcast(cbNested(codebooks)))
-    for (j <- 0 until m) {
-      out = out
-        .withColumn(s"_sv$j", slice(col("v"), j * sub + 1, sub))
-        .withColumn(s"_c$j",
-          array_min(transform(element_at(col("cbs"), j + 1).getField("cents"), ct =>
-            struct(
-              decRound(aggregate(
-                zip_with(col(s"_sv$j"), ct.getField("c"), (a, b) => (a - b) * (a - b)),
-                lit(0.0), (acc, x) => acc + x), 6).as("d"),
-              ct.getField("cid").as("cid")))).getField("cid"))
-    }
-    out.withColumn("codes", array((0 until m).map(j => col(s"_c$j")): _*))
-      .drop("cbs" +: (0 until m).flatMap(j => Seq(s"_sv$j", s"_c$j")): _*)
+    // the quantized subvector binds ONCE per (row, subspace) via the
+    // singleton-array let-trick (transform over array(e) evaluates e
+    // once and exposes it as the lambda variable) — the inner centroid
+    // loop then runs pure integer ops. Subtleties that cost an order of
+    // magnitude each when gotten wrong: a pre-quantized `_q` COLUMN gets
+    // inlined by CollapseProject back into the lambda (re-running the
+    // full d-element round per centroid, measured 10× the key), and
+    // quantizing inside the innermost zip re-rounds per centroid. */
+    val codes = transform(sequence(lit(0), lit(m - 1)), j =>
+      element_at(transform(
+        array(transform(slice(col("v"), j * lit(sub) + 1, lit(sub)),
+          x => round(x * lit(4096.0)).cast("long"))),
+        sq => array_min(transform(element_at(col("cbs"), j + 1).getField("cents"), ct =>
+          struct(
+            aggregate(
+              zip_with(sq, ct.getField("qc"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d"),
+            ct.getField("cid").as("cid")))).getField("cid")), 1))
+    df.crossJoin(broadcast(cbNested(codebooks)))
+      .withColumn("codes", codes)
+      .drop("cbs")
   }
 
   /** Adds the PQ reconstruction — `rv` (each code replaced by its
