@@ -131,6 +131,45 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(codes(2L)(0) === 128.0)
   }
 
+  test("PQ / random projection / SemDeDup degenerate inputs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f, 0.0f)),
+      (1L, Array(0.0f, 3.0f, 0.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // dim not divisible by m refuses loudly instead of mis-slicing
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqCodebooks(vecs, m = 3, k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    // tiny corpus, k > n: every vector still gets m valid codes — the
+    // all-zero INPUT is fine as long as its RECONSTRUCTION (a centroid
+    // concatenation, generally nonzero) is, and the ranking is
+    // well-formed with no NaN rows
+    val cb = graft.operators.Similarity.pqCodebooks(vecs, m = 2, k = 2, iters = 1)
+    val codes = graft.operators.Similarity.pqCodes(vecs, cb).collect()
+    assert(codes.length === 3 &&
+      codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 2)))
+    val top = graft.operators.Similarity.pqTopK(vecs, cb, numQueries = 2, k = 2)
+      .collect()
+    assert(top.nonEmpty)
+    assert(top.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L)))
+    assert(top.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 2))
+    // non-square r refuses; projection of a zero vector is all zeros
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.randomProjection(vecs, r = 3)
+    }
+    assert(e2.getMessage.contains("perfect square"))
+    val rp = graft.operators.Similarity.randomProjection(vecs, r = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rp(2L).forall(_ === 0.0) && rp.values.forall(_.length === 4))
+    // SemDeDup on a pair-free corpus: everyone is their own kept singleton
+    val out = Dedup.semDedup(vecs.filter(col("vec_id") < 2), k = 2, iters = 1)
+      .collect()
+    assert(out.length === 2 && out.forall(_.getAs[Boolean]("keep")))
+    assert(out.forall(r => r.getAs[Long]("comp_id") === r.getAs[Long]("vec_id")))
+  }
+
   test("round-6 operators survive degenerate inputs") {
     import spark.implicits._
     import graft.operators.{Relational, Similarity}
