@@ -32,6 +32,16 @@ object Tables {
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The synthetic tables have carried timestamps as INT64 TIMESTAMP(NANOS)
+    // (handled via nanosAsLong + the ts re-cast in load) and, since the
+    // 2026-08-13 regeneration, as UNTAGGED TIMESTAMP(MICROS). Untagged micros
+    // infer TIMESTAMP_NTZ on Spark 4 — a type whose collected rows are
+    // LocalDateTime (breaking Row.getTimestamp consumers) and whose watermark
+    // arithmetic diverges from the operators' assumptions. With the session
+    // timezone pinned to UTC, classic TIMESTAMP reads the same wall-clock
+    // values the file stores and DuckDB's naive reads agree — so disable the
+    // inference and keep one timestamp type across every source vintage.
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Constraint propagation infers isnotnull(...) filters by INLINING the
     // full defining expression of every referenced alias. On expression-
     // heavy pipelines (shingling, hashing) those inferred per-row filters
