@@ -169,6 +169,7 @@ object SparkEntry {
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
+    "d19_cluster_maintenance" -> Seq("doc_id"),
     "d12_incremental_exact" -> Seq("doc_id"),
     "d13_embed_incremental" -> Seq("id_a", "id_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -205,6 +206,7 @@ object SparkEntry {
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
+    "c27_perplexity_gate" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -469,6 +471,33 @@ object SparkEntry {
       val corpusSigs = sigsAll.filter(pmod(col("doc_id"), lit(2)) === 1)
       Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
     }),
+    // d19: incremental CLUSTER maintenance — the d11 probe's pairs folded
+    // into a persisted (doc_id, cluster_id) assignment without re-running
+    // components over untouched clusters. Prior assignment = minhash-pair
+    // clusters over the odd-id corpus (staged, the persisted artifact);
+    // batch = even-id docs; FULL oracle: the d11 staging idiom replays the
+    // probe, then recursive CC over star edges ∪ new pairs relabels only
+    // the affected clusters (untouched labels pass through by CASE)
+    "d19_cluster_maintenance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigsAll = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigsAll.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d19_sigs")
+      Dedup.bandedSigs(sigsAll).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d19_banded")
+      val corpusSigs = sigsAll.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val assign = Dedup.duplicateClustersFrom(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id").as("vec_id")),
+        Dedup.minhashPairsFromSigs(corpusSigs)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("vec_id").as("doc_id"), col("cluster_id")).localCheckpoint()
+      assign.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d19_assign")
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      Dedup.clusterMaintenance(assign, batch.select(col("doc_id")),
+        Dedup.minhashIncremental(batch, corpusSigs))
+    }),
     // embedding analogue of d11: even-vec_id batch probed against the
     // persisted sign-code table of the odd-vec_id corpus; full oracle
     // because the seeded 1-bit banding has full recall at this θ (d8's
@@ -652,6 +681,7 @@ object SparkEntry {
     "q37_asof_exec" -> ((s, d) => TimeJoins.asofJoinExec(t(Tables.tune(s), d, "events"))),
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
+    "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
     "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
     "c22_temperature_mix" -> ((s, d) => Curation.temperatureMix(t(s, d, "documents"))),
@@ -1459,6 +1489,56 @@ object SparkEntry {
            FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d19: the d11 probe replay produces the new-pair set; recursive CC
+    // over star edges (member → old label, preserving each affected
+    // cluster's connectivity) ∪ new pairs relabels the affected subgraph;
+    // untouched clusters keep their staged labels via the CASE — the
+    // relational mirror of Dedup.clusterMaintenance
+    "d19_cluster_maintenance" ->
+      """WITH RECURSIVE banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d19_banded/*.parquet')),
+         bsz AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+         admitted AS (SELECT b.doc_id, b.band, b.bh
+           FROM banded b JOIN bsz ON b.band = bsz.band AND b.bh = bsz.bh
+           WHERE bsz.n <= 1000),
+         cand AS (
+           SELECT DISTINCT least(p.doc_id, a.doc_id) AS doc_a,
+             greatest(p.doc_id, a.doc_id) AS doc_b
+           FROM banded p JOIN admitted a
+             ON p.band = a.band AND p.bh = a.bh AND p.doc_id <> a.doc_id
+           WHERE p.doc_id % 2 = 0),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/d19_sigs/*.parquet')),
+         np AS (
+           SELECT c.doc_a AS a, c.doc_b AS b
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b
+           WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+             / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) >= 0.5),
+         assign AS (SELECT doc_id, cluster_id
+           FROM read_parquet('__GRAFT_STAGE__/d19_assign/*.parquet')),
+         touched AS (SELECT a AS n FROM np UNION SELECT b AS n FROM np),
+         aff AS (SELECT DISTINCT s.cluster_id FROM assign s
+           JOIN touched t ON s.doc_id = t.n),
+         am AS (SELECT s.doc_id, s.cluster_id FROM assign s
+           JOIN aff ON s.cluster_id = aff.cluster_id),
+         e AS (SELECT doc_id AS a, cluster_id AS b FROM am
+               WHERE doc_id <> cluster_id
+               UNION SELECT a, b FROM np),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+         pop AS (SELECT doc_id, cluster_id AS old_cl, 1 AS corp FROM assign
+                 UNION ALL
+                 SELECT doc_id, doc_id AS old_cl, 0 AS corp FROM documents
+                 WHERE doc_id % 2 = 0)
+         SELECT p.doc_id,
+           CASE WHEN p.corp = 1 AND p.old_cl NOT IN (SELECT cluster_id FROM aff)
+                THEN p.old_cl ELSE coalesce(lab.cluster_id, p.doc_id) END
+             AS cluster_id
+         FROM pop p LEFT JOIN lab ON lab.n = p.doc_id ORDER BY p.doc_id""",
     // st14: the d11 replay over st14's own (re-derived, deterministic)
     // staged signature tables — the streaming union of per-micro-batch
     // probes equals the batch recompute (see minhashIngestFileStream)
@@ -2653,6 +2733,27 @@ object SparkEntry {
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
+    // c27: the t7 decimal discipline with a REFERENCE-slice Laplace LM
+    // (ln of an exact rational → decimal-6 → exact decimal sum → negated
+    // decimal-4 average) and an integer gate on the rounded score — the
+    // threshold compares decimal-4 values, so it cannot flip cross-engine
+    "c27_perplexity_gate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+          rtk AS (SELECT unnest($toks) AS term FROM documents
+                  WHERE source = 'src0'),
+          tf AS (SELECT term, count(*) AS rtf FROM rtk GROUP BY 1),
+          st AS (SELECT count(*) AS rtotal, count(DISTINCT term) AS rv FROM rtk),
+          sc AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(CAST(-CAST(sum(CAST(CAST(ln(CAST(coalesce(tf.rtf, 0) + 1
+                 AS DOUBLE) / (st.rtotal + st.rv + 1)) AS DECIMAL(38,6))
+                 AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS cross_entropy
+            FROM tk LEFT JOIN tf ON tk.term = tf.term, st
+            GROUP BY doc_id)
+          SELECT doc_id, n_tokens, cross_entropy,
+            CAST(CASE WHEN cross_entropy <= 3.42 THEN 1 ELSE 0 END AS INTEGER)
+              AS kept
+          FROM sc ORDER BY doc_id""",
     // c20: the ES clock replayed exactly — same integer hash, same IEEE
     // double into ln, decimal-6 rounded clock, (clock, doc_id) ranking
     "c20_weighted_sample" ->

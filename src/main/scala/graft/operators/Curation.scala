@@ -454,6 +454,50 @@ object Curation {
         decRound(col("_sll").cast("double") / col("n_bigrams"), 4).as("avg_ll"))
   }
 
+  /** CCNet-style perplexity gate: score every document's cross-entropy
+    * (nats/token) under a Laplace-smoothed unigram LM fit on a CLEAN
+    * REFERENCE SLICE of the corpus (CCNet fits KenLM on Wikipedia; here
+    * the reference is a source partition), then gate on an absolute
+    * threshold — documents whose token mix diverges from the reference
+    * (gibberish, boilerplate, wrong-language residue) score high and are
+    * dropped. Differs from t7 (corpus-self-fit, no smoothing, no gate):
+    * the LM here is FOREIGN to most documents, so OOV mass matters —
+    * Laplace `(c(w)+1)/(N+V+1)` gives unseen tokens the floor probability
+    * `1/(N+V+1)` without a separate OOV branch.
+    *
+    * Scale shape: the reference LM is vocabulary-sized (a pushed-down
+    * source filter → one hash aggregation), its totals a broadcast
+    * one-row frame; scoring is one explode + one vocabulary join (AQE
+    * broadcasts it when small) + one per-doc aggregation. Same decimal
+    * discipline as t7/c21: per-token log-probs are exact-rational inputs
+    * rounded at 6, per-doc sums exact decimal, final division rounded at
+    * 4 — engine-stable, so the gate cannot flip cross-engine. */
+  def perplexityGate(documents: DataFrame, refSource: String = "src0",
+                     maxNats: Double = 3.42): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .select(col("doc_id"), col("term"))
+    val refToks = documents.filter(col("source") === refSource)
+      .withColumn("term", explode(tokens(col("text"))))
+      .select(col("term"))
+    val tf = refToks.groupBy(col("term")).agg(count(lit(1)).as("rtf"))
+    val stats = refToks.agg(count(lit(1)).as("rtotal"),
+      countDistinct(col("term")).as("rv"))
+    toks.join(tf, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp",
+        decRound(log((coalesce(col("rtf"), lit(0L)) + 1).cast("double") /
+          (col("rtotal") + col("rv") + 1)), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp").cast(DecimalType(28, 6))).as("_slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        decRound(negate(col("_slp").cast("double")) / col("n_tokens"), 4)
+          .as("cross_entropy"))
+      .withColumn("kept", (col("cross_entropy") <= maxNats).cast("int"))
+  }
+
   /** End-to-end curation funnel: survivor counts after each stage of the
     * standard pre-training pipeline (language gate → quality gate →
     * length band → exact dedup). Computed as a SINGLE conditional

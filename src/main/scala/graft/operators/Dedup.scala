@@ -531,6 +531,48 @@ object Dedup {
       embeddingLshPairs(embeddings, threshold, numPlanes, bitsPerBand, maxBucket)
         .select(col("id_a").as("a"), col("id_b").as("b")), maxIter)
 
+  /** Incremental maintenance of a persisted near-dup clustering: fold a
+    * new batch into an existing `(doc_id, cluster_id)` assignment given
+    * only the pairs that TOUCH the batch (any incremental pair source —
+    * [[minhashIncremental]], [[simhashIncremental]],
+    * [[embeddingLshIncremental]] — produces exactly that set). Old-old
+    * pairs cannot appear or change (the corpus did not), so two existing
+    * clusters can only merge through a batch-doc bridge — restricting the
+    * component recomputation to AFFECTED clusters is lossless:
+    *
+    *  1. touched docs  = endpoints of `newPairs`
+    *  2. affected clusters = clusters owning a touched doc
+    *  3. re-cluster the affected subgraph: star edges `(member →
+    *     cluster_id)` preserve each old component's connectivity, new
+    *     pairs add the bridges; min-label CC relabels the merge
+    *  4. untouched clusters pass through WITHOUT being read into the
+    *     component loop at all
+    *
+    * Output: `(doc_id, cluster_id)` over corpus ∪ batch, identical to the
+    * full recompute over the union pair graph (spec-asserted). At 100 TB
+    * the work is proportional to |new pairs| + |affected members| — the
+    * corpus-sized assignment table is touched only by two hash joins
+    * (affected-cluster semi-join + anti-join), never by the iterative
+    * loop. */
+  def clusterMaintenance(assignments: DataFrame, batch: DataFrame,
+                         newPairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val pairs = newPairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val touched = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val affCl = assignments.join(touched, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val affected = assignments.join(affCl, Seq("cluster_id"))
+    val untouched = assignments.join(affCl, Seq("cluster_id"), "left_anti")
+    val nodes = affected.select(col("doc_id").as("vec_id"))
+      .union(batch.select(col("doc_id").as("vec_id"))).distinct()
+    val edges = affected.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+      .union(pairs)
+    duplicateClustersFrom(nodes, edges, maxIter)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      .union(untouched.select(col("doc_id"), col("cluster_id")))
+  }
+
   /** Decimal-guarded cosine threshold filter shared by the exact and LSH
     * pair generators. The raw-double guard short-circuits first —
     * decRound(c,6) >= θ implies c >= θ-5e-7 — so the per-value decimal

@@ -7,6 +7,25 @@ import graft.operators.Curation
 
 class CurationSpec extends AnyFunSuite with SharedSpark {
 
+  test("perplexity gate: reference fit, Laplace OOV floor, threshold gate") {
+    import spark.implicits._
+    // reference slice = src0: tokens {alpha×2, beta×2} → N=4, V=2,
+    // p(seen) = 3/7, p(OOV) = 1/7. Doc 2 is all-reference vocabulary
+    // (CE = -ln(3/7) ≈ 0.8473), doc 3 all-OOV (CE = ln 7 ≈ 1.9459) —
+    // the 1.0-nat gate keeps the former and drops the latter.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "src0"),
+      (2L, "alpha beta", "srcX"),
+      (3L, "zzz qqq www vvv", "srcX")).toDF("doc_id", "text", "source")
+    val out = Curation.perplexityGate(docs, "src0", maxNats = 1.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out(1L) === ((4L, 0.8473, 1)))
+    assert(out(2L) === ((2L, 0.8473, 1)))
+    assert(out(3L) === ((4L, 1.9459, 0)))
+  }
+
   test("gopher rules: crafted docs score exactly; keep matches the rule conjunction") {
     import spark.implicits._
     val crafted = Seq(

@@ -215,6 +215,55 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(inc.forall(p => p._1 >= 10000 || p._2 >= 10000))
   }
 
+  test("cluster maintenance: batch bridge merges clusters, untouched clusters pass through") {
+    import spark.implicits._
+    // three existing clusters; the batch doc pairs with a member of
+    // {1,2} AND a member of {3,4} — it must BRIDGE them into one
+    // component (min label 1) while {5,6} passes through the anti-join
+    // untouched. Pairs are explicit: the subject is the fold, not the
+    // probabilistic LSH probe (which the equality test below exercises
+    // on real data end-to-end).
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val batch = Seq(Tuple1(7L), Tuple1(8L)).toDF("doc_id")
+    val pairs = Seq((2L, 7L), (7L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterMaintenance(assign, batch, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 8 found no pairs → its own singleton cluster
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 1L, 8L -> 8L))
+  }
+
+  test("cluster maintenance equals the full recluster over the union pair graph") {
+    // the d19 gate shape on real data: odd-id corpus assignment + the
+    // even-id batch's incremental pairs must reproduce the one-shot
+    // clustering of everything
+    val docs = table("documents")
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+    val corpusSigs = sigs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val assign = Dedup.duplicateClustersFrom(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id").as("vec_id")),
+      Dedup.minhashPairsFromSigs(corpusSigs)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val pairs = Dedup.minhashIncremental(batch, corpusSigs)
+    val inc = Dedup.clusterMaintenance(assign, batch.select(col("doc_id")), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.duplicateClustersFrom(
+      docs.select(col("doc_id").as("vec_id")),
+      Dedup.minhashPairsFromSigs(sigs)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc === full)
+    // non-vacuous: the probe found cross-boundary pairs, so some batch
+    // doc joined an existing cluster (label ≠ itself)
+    assert(pairs.count() > 0)
+    assert(inc.exists { case (d, c) => d % 2 == 0 && c != d })
+  }
+
   test("incremental simhash dedup equals the full recompute restricted to the batch") {
     // identical-text copies ⇒ hamming distance 0 ⇒ guaranteed pairs
     val corpus = table("documents")
