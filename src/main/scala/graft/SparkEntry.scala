@@ -160,6 +160,7 @@ object SparkEntry {
     "s7_pagerank" -> Seq("vec_id"),
     "s8_label_prop" -> Seq("vec_id"),
     "d10_text_clusters" -> Seq("doc_id"),
+    "c28_softdedup_weights" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "st9_ingest_dedup_stream" -> Seq("doc_id"),
     "st14_neardup_stream" -> Seq("doc_a", "doc_b"),
@@ -203,6 +204,7 @@ object SparkEntry {
     "st12_token_budget_stream" -> Seq("source"),
     "st13_quality_stream" -> Seq("doc_id"),
     "st15_contamination_stream" -> Seq("doc_id"),
+    "st16_perplexity_stream" -> Seq("doc_id"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
@@ -769,6 +771,11 @@ object SparkEntry {
     // batches make the union the batch result — c12's oracle verbatim
     "st15_contamination_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.contaminationFileStream(Tables.tune(s), d)),
+    // the c27 perplexity gate per micro-batch against the static
+    // reference LM; doc-disjoint batches union to the batch result —
+    // c27's oracle verbatim
+    "st16_perplexity_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.perplexityFileStream(Tables.tune(s), d)),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
     // rolled up by the same batch merge (rows-only: sketch estimates;
     // streaming==batch equality spec-asserted in the sparse regime)
@@ -856,6 +863,10 @@ object SparkEntry {
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("vec_id").as("doc_id"), col("cluster_id"))
     }),
+    // soft dedup: d10's clusters reduced to per-doc sampling weights
+    // (1/|cluster| — reweight instead of remove); raw IEEE double
+    "c28_softdedup_weights" -> ((s, d) =>
+      Dedup.softDedupWeights(t(s, d, "documents"))),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -974,6 +985,29 @@ object SparkEntry {
             count(*) AS n_windows,
             CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
           FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos"""
+
+  // shared by c27 (batch) and st16 (the same scoring per micro-batch
+  // against the static reference LM): the t7 decimal discipline with a
+  // REFERENCE-slice Laplace LM (ln of an exact rational → decimal-6 →
+  // exact decimal sum → negated decimal-4 average) and an integer gate on
+  // the rounded score — decimal-4 comparison cannot flip cross-engine
+  private lazy val perplexitySql =
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+        rtk AS (SELECT unnest($toks) AS term FROM documents
+                WHERE source = 'src0'),
+        tf AS (SELECT term, count(*) AS rtf FROM rtk GROUP BY 1),
+        st AS (SELECT count(*) AS rtotal, count(DISTINCT term) AS rv FROM rtk),
+        sc AS (SELECT doc_id, count(*) AS n_tokens,
+          CAST(CAST(-CAST(sum(CAST(CAST(ln(CAST(coalesce(tf.rtf, 0) + 1
+               AS DOUBLE) / (st.rtotal + st.rv + 1)) AS DECIMAL(38,6))
+               AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+               AS DECIMAL(38,4)) AS DOUBLE) AS cross_entropy
+          FROM tk LEFT JOIN tf ON tk.term = tf.term, st
+          GROUP BY doc_id)
+        SELECT doc_id, n_tokens, cross_entropy,
+          CAST(CASE WHEN cross_entropy <= 3.42 THEN 1 ELSE 0 END AS INTEGER)
+            AS kept
+        FROM sc ORDER BY doc_id"""
 
   // shared by c24 (batch) and st13 (the same computation through a file
   // stream): the aug CTE mirrors plantQualityViolations, the rule algebra
@@ -2343,6 +2377,26 @@ object SparkEntry {
          lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
          SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
          FROM documents d LEFT JOIN lab ON lab.n = d.doc_id ORDER BY 1""",
+    // c28: d10's recursive clustering extended by per-cluster counts and
+    // the 1/n reweighting — weight stays a raw IEEE double (identical
+    // division in both engines, no rounding boundary to disagree on)
+    "c28_softdedup_weights" ->
+      s"""WITH RECURSIVE tok AS ($shingleTok),
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+         cl AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab ON lab.n = d.doc_id),
+         sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1)
+         SELECT cl.doc_id, cl.cluster_id, sz.n_members,
+           CAST(1.0 AS DOUBLE) / sz.n_members AS weight
+         FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id ORDER BY cl.doc_id""",
     // d14: all three pair sources replayed (exact Jaccard from the text,
     // minhash + simhash over the staged signature tables) unioned into
     // the same recursive connected-components as d10
@@ -2733,27 +2787,10 @@ object SparkEntry {
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
-    // c27: the t7 decimal discipline with a REFERENCE-slice Laplace LM
-    // (ln of an exact rational → decimal-6 → exact decimal sum → negated
-    // decimal-4 average) and an integer gate on the rounded score — the
-    // threshold compares decimal-4 values, so it cannot flip cross-engine
-    "c27_perplexity_gate" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-          rtk AS (SELECT unnest($toks) AS term FROM documents
-                  WHERE source = 'src0'),
-          tf AS (SELECT term, count(*) AS rtf FROM rtk GROUP BY 1),
-          st AS (SELECT count(*) AS rtotal, count(DISTINCT term) AS rv FROM rtk),
-          sc AS (SELECT doc_id, count(*) AS n_tokens,
-            CAST(CAST(-CAST(sum(CAST(CAST(ln(CAST(coalesce(tf.rtf, 0) + 1
-                 AS DOUBLE) / (st.rtotal + st.rv + 1)) AS DECIMAL(38,6))
-                 AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-                 AS DECIMAL(38,4)) AS DOUBLE) AS cross_entropy
-            FROM tk LEFT JOIN tf ON tk.term = tf.term, st
-            GROUP BY doc_id)
-          SELECT doc_id, n_tokens, cross_entropy,
-            CAST(CASE WHEN cross_entropy <= 3.42 THEN 1 ELSE 0 END AS INTEGER)
-              AS kept
-          FROM sc ORDER BY doc_id""",
+    "c27_perplexity_gate" -> perplexitySql,
+    // st16 is the SAME scoring driven per micro-batch against the static
+    // reference LM — the batch oracle gates the streamed union verbatim
+    "st16_perplexity_stream" -> perplexitySql,
     // c20: the ES clock replayed exactly — same integer hash, same IEEE
     // double into ln, decimal-6 rounded clock, (clock, doc_id) ranking
     "c20_weighted_sample" ->

@@ -473,12 +473,23 @@ object Curation {
     * rounded at 6, per-doc sums exact decimal, final division rounded at
     * 4 — engine-stable, so the gate cannot flip cross-engine. */
   def perplexityGate(documents: DataFrame, refSource: String = "src0",
-                     maxNats: Double = 3.42): DataFrame = {
+                     maxNats: Double = 3.42): DataFrame =
+    perplexityGateAgainst(documents,
+      documents.filter(col("source") === refSource), maxNats)
+
+  /** [[perplexityGate]] against an EXPLICIT reference corpus — the form a
+    * streaming deployment uses: the LM side is a static, persisted table
+    * (fit once over the clean slice), each arriving batch is scored and
+    * gated against it independently. Per-document scoring depends only
+    * on the reference, so a doc-partitioned union of batch results
+    * equals the batch run (st16 gates on exactly that equality). */
+  def perplexityGateAgainst(documents: DataFrame, reference: DataFrame,
+                            maxNats: Double = 3.42): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = documents
       .withColumn("term", explode(tokens(col("text"))))
       .select(col("doc_id"), col("term"))
-    val refToks = documents.filter(col("source") === refSource)
+    val refToks = reference
       .withColumn("term", explode(tokens(col("text"))))
       .select(col("term"))
     val tf = refToks.groupBy(col("term")).agg(count(lit(1)).as("rtf"))

@@ -531,6 +531,33 @@ object Dedup {
       embeddingLshPairs(embeddings, threshold, numPlanes, bitsPerBand, maxBucket)
         .select(col("id_a").as("a"), col("id_b").as("b")), maxIter)
 
+  /** Soft deduplication (the public SoftDeDup idea — reweight instead of
+    * remove): every document keeps its tokens, but its SAMPLING weight
+    * becomes `1 / |near-dup cluster|`, so each unique content unit
+    * contributes one unit of mass to the training mix regardless of how
+    * many near-copies exist. This is the expectation of uniform sampling
+    * over hard-deduped data without discarding any document — the weight
+    * column feeds the existing sampling layer (c20/c22) directly.
+    *
+    * Pair source: the exact n-gram Jaccard generator (the d4/d10 source,
+    * so the c28 oracle replays it verbatim); production corpora swap in
+    * [[minhashPairs]]/[[minhashPairsFromSigs]] — the clustering and
+    * weighting are pair-source-agnostic. Weight is a raw IEEE double
+    * `1.0 / n` (identical division both engines, no rounding boundary).
+    * One clustering pass + one cluster-keyed window — the corpus never
+    * self-joins here beyond the pair generator itself. */
+  def softDedupWeights(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val clusters = duplicateClustersFrom(
+      documents.select(col("doc_id").as("vec_id")),
+      ngramJaccardPairs(documents, threshold)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    clusters
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .select(col("vec_id").as("doc_id"), col("cluster_id"), col("n_members"),
+        (lit(1.0) / col("n_members")).as("weight"))
+  }
+
   /** Incremental maintenance of a persisted near-dup clustering: fold a
     * new batch into an existing `(doc_id, cluster_id)` assignment given
     * only the pairs that TOUCH the batch (any incremental pair source —

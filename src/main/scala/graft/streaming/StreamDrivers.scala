@@ -548,6 +548,58 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st16: the c27 perplexity gate as a streaming ingest filter. The
+    * Laplace unigram LM is fit ONCE on the static reference slice (the
+    * persisted artifact a production pipeline ships to its ingest tier);
+    * each micro-batch is scored and gated against it independently via
+    * [[graft.operators.Curation.perplexityGateAgainst]]. Per-document
+    * scores depend only on the static LM, so the union of doc-disjoint
+    * batch results equals the batch c27 run — c27's oracle gates this
+    * driver verbatim. Stateless like st13/st15: no watermark needed. */
+  def perplexityFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-ppl")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val reference = docs.filter(col("source") === "src0").localCheckpoint()
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var batches = 0
+      var outSchema: StructType = null
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val scored = graft.operators.Curation.perplexityGateAgainst(
+            b.toDF(), reference)
+          val rows = scored.collect()
+          buf.synchronized {
+            buf ++= rows
+            if (rows.nonEmpty) batches += 1
+            outSchema = scored.schema
+          }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.toList.asJava, outSchema)
+    } finally deleteRecursively(dir)
+  }
+
   /** st14: streaming NEAR-dup ingest — the substring of the ingest
     * posture st9 covers exactly, at the MinHash layer: even-id docs
     * staged as two doc_id-halves (maxFilesPerTrigger=1 ⇒ two genuine

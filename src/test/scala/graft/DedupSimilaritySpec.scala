@@ -235,6 +235,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       5L -> 5L, 6L -> 5L, 7L -> 1L, 8L -> 8L))
   }
 
+  test("soft dedup weights: 1/cluster-size, total mass = cluster count") {
+    import spark.implicits._
+    // {1,2,3} near-identical (Jaccard 1 on trigram sets), {4} unique:
+    // triplet members weigh 1/3 each, the singleton keeps full mass
+    val docs = Seq(
+      (1L, "a b c d e", "s"), (2L, "a b c d e", "s"), (3L, "a b c d e", "s"),
+      (4L, "p q r s t", "s")).toDF("doc_id", "text", "source")
+    val out = Dedup.softDedupWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    assert(out.toSet === Set((1L, 1L, 3L, 1.0 / 3), (2L, 1L, 3L, 1.0 / 3),
+      (3L, 1L, 3L, 1.0 / 3), (4L, 4L, 1L, 1.0)))
+  }
+
+  test("soft dedup on real data: weight * n_members == 1, mass == cluster count") {
+    val out = Dedup.softDedupWeights(
+      table("documents").select(col("doc_id"), col("text"), col("source")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === table("documents").count())
+    assert(out.forall { case (_, _, n, w) => w == 1.0 / n })
+    val nClusters = out.map(_._2).distinct.length
+    val mass = out.map(_._4).sum
+    assert(math.abs(mass - nClusters) < 1e-6)
+    // non-vacuous: the corpus has real near-dup clusters (n > 1 exists)
+    assert(out.exists(_._3 > 1L))
+  }
+
   test("cluster maintenance equals the full recluster over the union pair graph") {
     // the d19 gate shape on real data: odd-id corpus assignment + the
     // even-id batch's incremental pairs must reproduce the one-shot

@@ -252,6 +252,16 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.exists(t => t._3 > 0L))
   }
 
+  test("st16 driver: streamed perplexity gate equals the batch c27 result") {
+    val streamed = SparkEntry.queries("st16_perplexity_stream")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batch = SparkEntry.queries("c27_perplexity_gate")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed === batch)
+    // non-vacuous: the gate separates docs (both outcomes present)
+    assert(batch.exists(_._4 == 1) && batch.exists(_._4 == 0))
+  }
+
   test("st14 driver: streamed near-dup ingest equals the batch d11 recompute") {
     val streamed = graft.streaming.StreamDrivers
       .minhashIngestFileStream(spark, SharedSpark.sfDir).collect()
