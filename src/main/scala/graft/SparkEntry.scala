@@ -161,6 +161,7 @@ object SparkEntry {
     "s8_label_prop" -> Seq("vec_id"),
     "d10_text_clusters" -> Seq("doc_id"),
     "c28_softdedup_weights" -> Seq("doc_id"),
+    "c30_quality_classifier" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "st9_ingest_dedup_stream" -> Seq("doc_id"),
     "st14_neardup_stream" -> Seq("doc_a", "doc_b"),
@@ -867,6 +868,19 @@ object SparkEntry {
     // (1/|cluster| — reweight instead of remove); raw IEEE double
     "c28_softdedup_weights" -> ((s, d) =>
       Dedup.softDedupWeights(t(s, d, "documents"))),
+    // model-based quality gate: balanced logistic regression over hashed
+    // bag-of-words, trained in-Spark by unrolled decimal-summed GD; the
+    // learned weight vector is STAGED so the oracle replays featurize →
+    // dot → sigmoid → decimal-6 gate from SQL alone
+    "c30_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val w = QualityModel.fit(docs)
+      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
+        .toDF("pos", "wv").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/c30_weights")
+      QualityModel.score(docs, w)
+    }),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -2397,6 +2411,37 @@ object SparkEntry {
          SELECT cl.doc_id, cl.cluster_id, sz.n_members,
            CAST(1.0 AS DOUBLE) / sz.n_members AS weight
          FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id ORDER BY cl.doc_id""",
+    // c30: the scoring path replayed from the STAGED weight vector alone
+    // — Horner char hash (t4 idiom; the outer % 1000003 covers DuckDB's
+    // no-init reduce on single-codepoint terms), histogram features,
+    // left-to-right reduce dot product (same IEEE order as the Spark
+    // in-row aggregate), sigmoid in double, decimal-6 rounded gate
+    "c30_quality_classifier" ->
+      s"""WITH wl AS (SELECT list(wv ORDER BY pos) AS w
+            FROM read_parquet('__GRAFT_STAGE__/c30_weights/*.parquet')),
+          tk AS (SELECT doc_id, source, $toks AS t FROM documents),
+          ftk AS (SELECT doc_id, source, len(t) AS n, unnest(t) AS term
+                  FROM tk WHERE len(t) > 0),
+          bkt AS (SELECT doc_id, source, n,
+                  (list_reduce([ord(c) for c in string_split(term, '')],
+                    (a, b) -> (a * 31 + b) % 1000003) % 1000003) % 128 AS b
+                  FROM ftk),
+          mp AS (SELECT doc_id, source, n, histogram(b) AS m
+                 FROM bkt GROUP BY 1, 2, 3),
+          xv AS (SELECT doc_id, source,
+                 [CAST(coalesce(element_at(m, i)[1], 0) AS DOUBLE) / n
+                  for i in generate_series(0, 127)]
+                   || [CAST(1.0 AS DOUBLE)] AS x
+                 FROM mp),
+          sc AS (SELECT doc_id,
+                 CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label,
+                 CAST(CAST(1.0 / (1.0 + exp(-list_reduce(
+                   [x[i+1] * w[i+1] for i in generate_series(0, 128)],
+                   (a, b) -> a + b))) AS DECIMAL(38,6)) AS DOUBLE) AS score
+                 FROM xv, wl)
+          SELECT doc_id, CAST(label AS INTEGER) AS label, score,
+            CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS kept
+          FROM sc ORDER BY doc_id""",
     // d14: all three pair sources replayed (exact Jaccard from the text,
     // minhash + simhash over the staged signature tables) unioned into
     // the same recursive connected-components as d10

@@ -26,6 +26,56 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L) === ((4L, 1.9459, 0)))
   }
 
+  test("quality classifier: separable crafted corpus trains to a confident gate") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // disjoint vocabularies: the reference slice and the junk slice
+    // share no feature buckets, so 10 balanced GD steps separate them
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "src0"),
+      (2L, "beta gamma alpha beta", "src0"),
+      (3L, "gamma alpha delta gamma", "src0"),
+      (4L, "zzz qqq www vvv", "srcX"),
+      (5L, "qqq zzz vvv qqq", "srcX"),
+      (6L, "alpha beta gamma delta", "srcX")).toDF("doc_id", "text", "source")
+    val w = QualityModel.fit(docs)
+    val out = QualityModel.score(docs, w).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    // reference docs score high, junk low; doc 6 has reference
+    // vocabulary under a junk label — the features, not the label,
+    // must drive its score (in-sample it drags doc 1's twin down,
+    // but junk vocab still lands clearly below)
+    (1L to 3L).foreach(i => assert(out(i)._2 > 0.5 && out(i)._3 == 1, s"doc $i: ${out(i)}"))
+    Seq(4L, 5L).foreach(i => assert(out(i)._2 < 0.5 && out(i)._3 == 0, s"doc $i: ${out(i)}"))
+    assert(out(6L)._2 == out(1L)._2, "identical text must get the identical score")
+    assert(out(6L)._1 == 0 && out(1L)._1 == 1)
+  }
+
+  test("quality classifier on real data: in-sample reference-vs-rest separation") {
+    import graft.operators.QualityModel
+    val docs = table("documents")
+    val w = QualityModel.fit(docs)
+    assert(w.length === QualityModel.Dim + 1)
+    val out = QualityModel.score(docs, w).collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    val pos = out.filter(_._1 == 1).map(_._2)
+    val neg = out.filter(_._1 == 0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.sum / pos.length > neg.sum / neg.length,
+      s"mean(pos)=${pos.sum / pos.length} mean(neg)=${neg.sum / neg.length}")
+  }
+
+  test("term bucket stays in range and is codepoint-derived") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val terms = Seq("a", "alpha", "中文词", "😀", "x" * 200).toDF("term")
+    val bs = terms.select(QualityModel.termBucket(col("term")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(bs.forall(b => b >= 0 && b < QualityModel.Dim))
+    // distinct inputs land on distinct buckets here (no degenerate hash)
+    assert(bs.distinct.length === bs.length)
+  }
+
   test("gopher rules: crafted docs score exactly; keep matches the rule conjunction") {
     import spark.implicits._
     val crafted = Seq(
