@@ -61,6 +61,19 @@ object SparkEntry {
     * rule is tripped on a doc_id-keyed slice (symbols, digit runs,
     * ellipsis lines, bullet lists — %21 docs cross the 90% bullet-line
     * bar) to make every rule's firing observable in the oracle. */
+  /** Deterministic planted sentence terminators for the t15 gate — the
+    * synthetic corpus carries none, so without planting the gate would
+    * be a degenerate one-sentence-per-doc identity (the c24/st13 plant
+    * idiom; the oracle replays the same CASE concatenation). */
+  private[graft] def plantSentenceBreaks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("Planted lead. ")).otherwise(lit("")),
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("! Planted tail? done.")).otherwise(lit(""))
+    ).as("text"))
+
   private[graft] def plantQualityViolations(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       col("text"),
@@ -207,6 +220,7 @@ object SparkEntry {
     "st15_contamination_stream" -> Seq("doc_id"),
     "st16_perplexity_stream" -> Seq("doc_id"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
+    "t15_sentences" -> Seq("doc_id", "sent_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "c27_perplexity_gate" -> Seq("doc_id"),
@@ -241,6 +255,7 @@ object SparkEntry {
     "m4_media_text_gate" -> Seq("doc_id"),
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"),
+    "m9_image_phash" -> Seq("doc_id"),
     "m5_wav_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -383,6 +398,10 @@ object SparkEntry {
     // stub fallback on the text payloads — both branches full-oracle
     "m2_media_features" -> ((s, d) => Multimodal.mediaFramesPlanted(s, t(s, d, "documents"))),
     "m3_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, t(s, d, "documents"))),
+    // perceptual dHash signature table: REAL ImageIO decode of planted
+    // PNGs (lossless gradient pixels → the oracle replays the hash from
+    // the plant formula), stub tier for text payloads; two 32-bit halves
+    "m9_image_phash" -> ((s, d) => Multimodal.imagePhash(s, t(s, d, "documents"))),
     // real RIFF/WAV header parsing over planted 8-bit PCM payloads
     // (every 8th doc_id); synthetic fallback rows mirror the image path
     "m5_wav_meta" -> ((s, d) => Multimodal.wavMetaPlanted(s, t(s, d, "documents"))),
@@ -529,6 +548,8 @@ object SparkEntry {
     "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
     "t5_scrub" -> ((s, d) => TextOps.scrubNumbers(t(s, d, "events"))),
     "t13_chunking" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
+    "t15_sentences" -> ((s, d) =>
+      TextOps.sentences(plantSentenceBreaks(t(s, d, "documents")))),
     // PII breadth gate: the synthetic corpus carries no PII, so the query
     // plants deterministic email/URL/phone strings derived from doc_id
     // (identically in the oracle SQL) and scrubs them back out — the
@@ -968,10 +989,12 @@ object SparkEntry {
   // Mirrors ColumnFns.tokens: CJK codepoints spaced into single tokens
   // (RE2 \p{Han} == Java \p{IsHan}, both the Unicode Script property),
   // then an ASCII-ws + U+3000 split. Identity on pure-ASCII text.
-  private val segText =
-    "regexp_replace(text, '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g')"
-  private val toks =
-    s"list_filter(string_split_regex(lower(trim($segText)), '[\\s　]+'), x -> x <> '')"
+  private def segTextOf(c: String) =
+    s"regexp_replace($c, '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g')"
+  private def toksOf(c: String) =
+    s"list_filter(string_split_regex(lower(trim(${segTextOf(c)})), '[\\s　]+'), x -> x <> '')"
+  private val segText = segTextOf("text")
+  private val toks = toksOf("text")
   // Shared d16/d17/d18 span-dedup oracle fragments (w=8 fixed: the +7 /
   // +8 literals are w-1 / w — change them HERE, in one place, with the
   // Scala default). spanWinCtes derives every window occurrence,
@@ -2071,6 +2094,42 @@ object SparkEntry {
     // planted rows (doc_id % 16 = 0) replay the REAL decode: the planted
     // PNG is a lossless gray gradient, so mean luminance = avg over the
     // gradient — a single IEEE division of integer sums in both engines
+    // m9: planted rows replay the dHash from the gradient plant formula
+    // (nearest-neighbor 9×8 sample, right-neighbor comparison); text
+    // rows replay the stub bit formula; both pack bits into two 32-bit
+    // halves (1 << 63 overflows checked engines; halves replay anywhere)
+    "m9_image_phash" ->
+      """WITH px AS (
+           SELECT doc_id, x, y,
+                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 4 AS BIGINT) AS h
+           FROM documents,
+             unnest(generate_series(0, 7)) AS xs(x),
+             unnest(generate_series(0, 7)) AS ys(y)
+           WHERE doc_id % 16 = 0),
+         bits AS (
+           SELECT doc_id, x, y,
+             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
+                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+           FROM px),
+         re AS (
+           SELECT doc_id, 1 AS is_real,
+             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS phash_lo
+           FROM bits GROUP BY doc_id),
+         st AS (
+           SELECT doc_id, 0 AS is_real,
+             CAST(SUM(CASE WHEN i >= 32
+               THEN CAST(((doc_id*31 + i*7) % 997) % 2 AS BIGINT) << (i-32)
+               ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN i < 32
+               THEN CAST(((doc_id*31 + i*7) % 997) % 2 AS BIGINT) << i
+               ELSE 0 END) AS BIGINT) AS phash_lo
+           FROM documents, unnest(generate_series(0, 63)) AS t(i)
+           WHERE doc_id % 16 <> 0 GROUP BY doc_id)
+         SELECT doc_id, CAST(is_real AS INTEGER) AS is_real, phash_hi, phash_lo
+         FROM (SELECT * FROM re UNION ALL SELECT * FROM st) ORDER BY doc_id""",
     "m2_media_features" ->
       """WITH planted AS (
            SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
@@ -2522,6 +2581,27 @@ object SparkEntry {
     // t13: windows of 64 tokens at stride 48; DuckDB list slicing is
     // 1-based inclusive [a : b], Spark's slice(start, length) truncates
     // at the array end — least() mirrors that
+    // t15: the same extraction regex (RE2 and java.util.regex agree on
+    // literal char classes; extraction instead of split because RE2 has
+    // no lookbehind), trim-filter, 0-based ordinal, token count via the
+    // shared script-aware tokenizer applied to each sentence
+    "t15_sentences" ->
+      s"""WITH aug AS (SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'Planted lead. ' ELSE '' END ||
+            text ||
+            CASE WHEN doc_id % 3 = 0 THEN '! Planted tail? done.' ELSE '' END
+              AS text FROM documents),
+          r AS (SELECT doc_id,
+            regexp_extract_all(text, '[^.!?。！？]+[.!?。！？]*') AS raw
+            FROM aug),
+          f AS (SELECT doc_id,
+            list_filter([trim(x) for x in raw], x -> x <> '') AS s FROM r),
+          u AS (SELECT doc_id, unnest(generate_series(1, len(s))) AS i, s
+            FROM f)
+          SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_id,
+            s[i] AS sentence,
+            CAST(len(${toksOf("s[i]")}) AS INTEGER) AS n_tokens
+          FROM u ORDER BY doc_id, sent_id""",
     "t13_chunking" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
           s AS (SELECT doc_id, t,

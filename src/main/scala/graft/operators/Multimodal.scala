@@ -88,17 +88,45 @@ object Multimodal {
       finally if (iis != null) { try iis.close() catch { case _: Exception => () } }
     }
 
-    def frames(m: MediaIn): Iterator[FrameFeature] = {
+    /** Guarded decode shared by [[frames]] and the perceptual-hash path:
+      * magic gate → header-dims bomb cap → ImageIO read; null on any
+      * failure (the callers' stub-tier signal). */
+    private[graft] def decodeSane(payload: Array[Byte]): java.awt.image.BufferedImage = {
       // cheap magic gate first: the overwhelmingly common case at scale
       // is a non-image payload, which must not pay an ImageIO attempt
-      if (!looksDecodable(m.payload)) return StubDecoder.frames(m)
-      val sane = headerDims(m.payload).exists { case (w, h) =>
+      if (!looksDecodable(payload)) return null
+      val sane = headerDims(payload).exists { case (w, h) =>
         w >= 1 && h >= 1 && w.toLong * h <= MaxPixels
       }
-      val img =
-        if (!sane) null
-        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        catch { case _: Exception => null }
+      if (!sane) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    }
+
+    /** Integer luminance grid `[row][col] = (r+g+b)/3` of a decodable
+      * payload — None degrades to the caller's stub tier. */
+    private[graft] def decodeGray(payload: Array[Byte]): Option[Array[Array[Int]]] = {
+      val img = decodeSane(payload)
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val g = Array.ofDim[Int](h, w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            g(y)(x) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Some(g)
+      }
+    }
+
+    def frames(m: MediaIn): Iterator[FrameFeature] = {
+      val img = decodeSane(m.payload)
       if (img == null) StubDecoder.frames(m)
       else {
         val w = img.getWidth
@@ -866,4 +894,66 @@ object Multimodal {
       .select(floor(col("feat_mean") * buckets).cast("int").as("bucket"), col("doc_id"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_frames"), countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Difference-hash (dHash, the public perceptual-hash family) of one
+    * payload: REAL tier decodes the image through the same
+    * magic-gate → header-dims bomb guard → ImageIO path as
+    * [[ImageIoDecoder]], reduces to integer luminance `(r+g+b)/3`,
+    * nearest-neighbor samples a 9×8 grid and emits bit `y·8+x` = 1 iff
+    * the right neighbor is brighter — near-identical images land within
+    * a few Hamming bits. Undecodable payloads take the deterministic
+    * stub tier (`((id·31 + i·7) % 997) % 2`) — degrade, never abort.
+    * The 64 bits are packed as two 32-bit halves in BIGINTs: a single
+    * `1 << 63` overflows engines that check shifts, two halves replay
+    * everywhere and Hamming distance is `bit_count(hi⊕hi') +
+    * bit_count(lo⊕lo')`. Returns (is_real, hi, lo). */
+  private[graft] def phashBits(docId: Long,
+                                   payload: Array[Byte]): (Int, Long, Long) = {
+    val gray = ImageIoDecoder.decodeGray(payload)
+    var hi = 0L; var lo = 0L
+    gray match {
+      case Some(g) =>
+        val h = g.length; val w = g(0).length
+        def d(x: Int, y: Int): Int = g((y * h) / 8)((x * w) / 9)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (d(x + 1, y) > d(x, y)) {
+              val idx = y * 8 + x
+              if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (1, hi, lo)
+      case None =>
+        var i = 0
+        while (i < 64) {
+          if (((docId * 31 + i * 7) % 997) % 2 == 1) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (0, hi, lo)
+    }
+  }
+
+  /** Per-document perceptual hash table over the planted-media corpus —
+    * the image-side analogue of the MinHash signature table: persist it
+    * once, then near-dup pairs are a band-bucket join over hash chunks
+    * (the [[graft.operators.Dedup]] SimHash idiom) plus a Hamming
+    * verify, never an image-by-image compare. Typed map — one decode
+    * per payload, no shuffle. */
+  def imagePhash(spark: SparkSession, documents: DataFrame,
+                 every: Int = PlantedImages.Every): DataFrame = {
+    import spark.implicits._
+    plantedMedia(spark, documents, every)
+      .map { m =>
+        val (r, hi, lo) = phashBits(m.doc_id, m.payload)
+        (m.doc_id, r, hi, lo)
+      }
+      .toDF("doc_id", "is_real", "phash_hi", "phash_lo")
+  }
 }

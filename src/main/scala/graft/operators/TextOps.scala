@@ -434,6 +434,24 @@ object TextOps {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** Sentence segmentation: extract maximal runs of non-terminator
+    * characters with their trailing terminators — ASCII `.!?` plus the
+    * CJK full-width `。！？` — via one `regexp_extract_all` pass (an
+    * EXTRACTION, not a split: RE2 has no lookbehind, so a
+    * keep-the-delimiter split cannot be replayed cross-engine; the
+    * extraction form uses only literal char classes both dialects agree
+    * on). Whitespace-only fragments are dropped after trimming; a doc
+    * with no terminator is one sentence. Map-only — no shuffle; feeds
+    * chunking (t13) and per-sentence scoring at any scale. */
+  def sentences(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("_raw", regexp_extract_all(col("text"),
+        lit("[^.!?。！？]+[.!?。！？]*"), lit(0)))
+      .withColumn("_sents",
+        filter(transform(col("_raw"), s => trim(s)), s => s =!= ""))
+      .select(col("doc_id"), posexplode(col("_sents")).as(Seq("sent_id", "sentence")))
+      .withColumn("n_tokens", size(tokens(col("sentence"))))
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

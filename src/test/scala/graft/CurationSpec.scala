@@ -76,6 +76,28 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(bs.distinct.length === bs.length)
   }
 
+  test("sentences: terminators split, CJK full-width splits, no-terminator doc is one sentence") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "Hello world. Second one! Third?"),
+      (2L, "no terminator here"),
+      (3L, "句子一。句子二！"),
+      (4L, "   "),
+      (5L, "dot.attached next")).toDF("doc_id", "text")
+    val out = TextOps.sentences(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._3).toSeq === Seq("Hello world.", "Second one!", "Third?"))
+    assert(byDoc(1L).map(_._4).toSeq === Seq(2, 2, 1))
+    assert(byDoc(2L).map(_._3).toSeq === Seq("no terminator here"))
+    // per-codepoint CJK tokens + the spaced-off terminator: 4 each
+    assert(byDoc(3L).map(_._3).toSeq === Seq("句子一。", "句子二！"))
+    assert(byDoc(3L).map(_._4).toSeq === Seq(4, 4))
+    assert(!byDoc.contains(4L), "whitespace-only doc yields no sentences")
+    assert(byDoc(5L).map(_._3).toSeq === Seq("dot.", "attached next"))
+  }
+
   test("gopher rules: crafted docs score exactly; keep matches the rule conjunction") {
     import spark.implicits._
     val crafted = Seq(

@@ -462,6 +462,59 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(4L).getAs[Int]("is_gif") === 1) // 87a accepted
   }
 
+  test("image phash: planted PNG matches the plant-formula dHash; stub matches its formula") {
+    // real tier: recompute the expected hash from the gradient formula
+    // (the oracle's algebra) and require bit-exact agreement
+    val id = 16L
+    val (isReal, hi, lo) = Multimodal.phashBits(id, Multimodal.PlantedImages.craftedPng(id))
+    assert(isReal === 1)
+    val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+    def g(x: Int, y: Int): Long = (id * 31 + ((x * w) / 9) * 7 + ((y * h) / 8) * 13) % 256
+    var ehi = 0L; var elo = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      if (g(x + 1, y) > g(x, y)) {
+        val idx = y * 8 + x
+        if (idx < 32) elo |= 1L << idx else ehi |= 1L << (idx - 32)
+      }
+    }
+    assert((hi, lo) === ((ehi, elo)))
+    // stub tier: non-image payload takes the deterministic bit formula
+    val (sr, shi, slo) = Multimodal.phashBits(3L, "not an image".getBytes("UTF-8"))
+    assert(sr === 0)
+    var xhi = 0L; var xlo = 0L
+    for (i <- 0 until 64) {
+      if (((3L * 31 + i * 7) % 997) % 2 == 1) {
+        if (i < 32) xlo |= 1L << i else xhi |= 1L << (i - 32)
+      }
+    }
+    assert((shi, slo) === ((xhi, xlo)))
+  }
+
+  test("image phash: identical pixels hash identically, near-identical within a few bits") {
+    import java.awt.image.BufferedImage
+    def png(mod: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = math.min(255, math.max(0, x * 16 + mod(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val base = png((_, _) => 0)
+    val same = png((_, _) => 0)
+    val near = png((x, y) => if (x == 5 && y == 5) 40 else 0)
+    val inverted = png((x, _) => 240 - 2 * x * 16)
+    def hash(b: Array[Byte]) = { val (r, hi, lo) = Multimodal.phashBits(0L, b); assert(r === 1); (hi, lo) }
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(hash(base) === hash(same))
+    assert(hamming(hash(base), hash(near)) <= 4)
+    // opposite gradient flips most comparison bits — far in Hamming space
+    assert(hamming(hash(base), hash(inverted)) > 16)
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
