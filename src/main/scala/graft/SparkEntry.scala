@@ -256,6 +256,7 @@ object SparkEntry {
     "m2_media_features" -> Seq("doc_id", "frame_id"),
     "m3_frame_dedup" -> Seq("bucket"),
     "m9_image_phash" -> Seq("doc_id"),
+    "d22_phash_pairs" -> Seq("doc_a", "doc_b"),
     "m5_wav_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -402,6 +403,10 @@ object SparkEntry {
     // PNGs (lossless gradient pixels → the oracle replays the hash from
     // the plant formula), stub tier for text payloads; two 32-bit halves
     "m9_image_phash" -> ((s, d) => Multimodal.imagePhash(s, t(s, d, "documents"))),
+    // visual near-dup pairs over the m9 signature table: 4-chunk banding
+    // (full recall to Hamming 3 by pigeonhole) + exact popcount verify
+    "d22_phash_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.imagePhash(s, t(s, d, "documents")))),
     // real RIFF/WAV header parsing over planted 8-bit PCM payloads
     // (every 8th doc_id); synthetic fallback rows mirror the image path
     "m5_wav_meta" -> ((s, d) => Multimodal.wavMetaPlanted(s, t(s, d, "documents"))),
@@ -2130,6 +2135,36 @@ object SparkEntry {
            WHERE doc_id % 16 <> 0 GROUP BY doc_id)
          SELECT doc_id, CAST(is_real AS INTEGER) AS is_real, phash_hi, phash_lo
          FROM (SELECT * FROM re UNION ALL SELECT * FROM st) ORDER BY doc_id""",
+    // d22: the m9 planted-tier replay joined brute-force — the 4-chunk
+    // banding is full-recall at Hamming ≤ 3 (pigeonhole), so the
+    // operator's banded+verified pair set equals this exhaustive filter
+    "d22_phash_pairs" ->
+      """WITH px AS (
+           SELECT doc_id, x, y,
+                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 4 AS BIGINT) AS h
+           FROM documents,
+             unnest(generate_series(0, 7)) AS xs(x),
+             unnest(generate_series(0, 7)) AS ys(y)
+           WHERE doc_id % 16 = 0),
+         bits AS (
+           SELECT doc_id, x, y,
+             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
+                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+           FROM px),
+         re AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.hi::BIT, b.hi::BIT)) +
+                  bit_count(xor(a.lo::BIT, b.lo::BIT)) AS INTEGER) AS hamming
+           FROM re a JOIN re b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pr
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "m2_media_features" ->
       """WITH planted AS (
            SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,

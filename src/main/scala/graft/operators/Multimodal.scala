@@ -956,4 +956,43 @@ object Multimodal {
       }
       .toDF("doc_id", "is_real", "phash_hi", "phash_lo")
   }
+
+  /** Near-duplicate image pairs over an [[imagePhash]] signature table:
+    * the 64-bit hash splits into four 16-bit chunks; by pigeonhole, two
+    * hashes within Hamming distance 3 share at least one chunk
+    * UNCHANGED, so a chunk-keyed equi-join (the SimHash banding idiom)
+    * has FULL recall at `maxHamming` ≤ 3 — candidates then verify by
+    * exact popcount. Only real-decode rows participate (stub-tier bit
+    * patterns are id arithmetic, not content). Shuffle is on (chunk id,
+    * chunk value); no image-by-image compare, no n² — the 100 TB shape
+    * of visual dedup. */
+  def phashPairs(phashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall to Hamming 3")
+    val sigs = phashes.filter(col("is_real") === 1)
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
+    val chunks = sigs.select(col("doc_id"), explode(array(
+        struct(lit(0).as("c"),
+          shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("v")),
+        struct(lit(1).as("c"), col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("v")),
+        struct(lit(2).as("c"),
+          shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)).as("v")),
+        struct(lit(3).as("c"), col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("v"))))
+        .as("ch"))
+      .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val cand = chunks.join(
+        chunks.select(col("doc_id").as("doc_b"), col("c").as("c2"), col("v").as("v2")),
+        col("c") === col("c2") && col("v") === col("v2") &&
+        col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("phash_hi").as("ha"), col("phash_lo").as("la")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("phash_hi").as("hb"), col("phash_lo").as("lb")), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+         bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -515,6 +515,25 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(hamming(hash(base), hash(inverted)) > 16)
   }
 
+  test("phash pairs: banding equals brute force at Hamming 3; stub rows excluded") {
+    val ph = Multimodal.imagePhash(spark, table("documents")).localCheckpoint()
+    val banded = Multimodal.phashPairs(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the real tier only
+    val sigs = ph.filter(col("is_real") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val brute = (for {
+      (a, ha, la) <- sigs; (b, hb, lb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "planted gradient images must yield near-dup pairs")
+    // no stub-tier doc may appear in any pair
+    val stubs = ph.filter(col("is_real") === 0).collect().map(_.getLong(0)).toSet
+    assert(banded.forall { case (a, b, _) => !stubs(a) && !stubs(b) })
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
