@@ -199,6 +199,7 @@ object SparkEntry {
     "d8_embed_lsh_pairs" -> Seq("id_a", "id_b"),
     "d9_lsh_clusters" -> Seq("vec_id"),
     "s1_ann_brute" -> Seq("q_id", "rank"),
+    "s14_mips" -> Seq("q_id", "rank"),
     "s10_quantized_ann" -> Seq("q_id", "rank"),
     "s11_pq_ann" -> Seq("q_id", "rank"),
     "s12_ivf_pq" -> Seq("q_id", "rank"),
@@ -345,6 +346,10 @@ object SparkEntry {
     "d18_span_scrub" -> ((s, d) => Dedup.scrubDupSpans(t(s, d, "documents"))),
     "d5_embed_neardup" -> ((s, d) => Dedup.embeddingPairs(t(s, d, "embeddings"))),
     "s1_ann_brute" -> ((s, d) => Similarity.bruteTopK(t(s, d, "embeddings"))),
+    // exact MIPS: rank by raw inner product (decimal-6, id tie-break) —
+    // the retrieval-model scoring shape; the augmented-LSH scale path
+    // (norm augmentation → sign-LSH buckets) is spec-gated on recall
+    "s14_mips" -> ((s, d) => Similarity.mipsTopK(t(s, d, "embeddings"))),
     // scalar-quantized ANN: per-dim [min,max] → 0..255 codes → s1's
     // ranking in the quantized domain; integer dots are exact in both
     // engines, so this is a FULL oracle end to end
@@ -1832,6 +1837,16 @@ object SparkEntry {
         }.mkString}
          SELECT id AS vec_id, CAST(CAST(rank AS DECIMAL(38,12)) AS DOUBLE) AS rank
          FROM r10 ORDER BY vec_id""",
+    // s14: s1's ranking discipline on the RAW inner product
+    "s14_mips" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_inner_product(q.v, c.v) AS ip
+               FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(ip AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
     "s1_ann_brute" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,

@@ -457,6 +457,62 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS — the retrieval-model
+    * scoring shape: rank by RAW dot product, not cosine; a long vector
+    * legitimately beats a well-aligned short one). Same structure and
+    * determinism discipline as [[bruteTopK]]: queries broadcast, one dot
+    * per pair, decimal-6 rounded score ordering with id tie-break. */
+  def mipsTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .join(broadcast(q), col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("vb")))
+    topK(pairs, k)
+  }
+
+  /** 65-dim hyperplanes for the norm-augmented space — independent of
+    * [[planes]] (the augmented coordinate needs its own coefficient). */
+  private lazy val planesAug: Seq[Seq[Double]] = {
+    val r = new scala.util.Random(4242)
+    Seq.fill(numPlanes)(Seq.fill(65)(r.nextGaussian()))
+  }
+  private def lshCodeAug(v: Column): Column =
+    planesAug.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** MIPS at scale via the public norm-augmentation reduction
+    * (Bachrach et al. / Shrivastava & Li): candidates append
+    * `sqrt(M² − ‖x‖²)` (M = corpus max norm) so every augmented
+    * candidate has norm exactly M; queries append 0. Cosine in the
+    * augmented space then orders exactly like the raw inner product, so
+    * sign-LSH bucketing (hamming-1 multi-probe, the [[lshTopK]] shape)
+    * applies to a problem it otherwise couldn't touch. Final ranking
+    * uses the decimal-6 RAW dot product of the probed candidates —
+    * the augmentation exists only to bucket. Recall vs [[mipsTopK]] is
+    * corpus-dependent (spec-asserted floor); the candidate join touches
+    * ~probes/2^bits of the corpus per query. */
+  def mipsLshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+      .localCheckpoint()
+    val m2 = v.agg(max(col("nrm2"))).collect()(0).getDouble(0)
+    val cand = v.withColumn("code", lshCodeAug(
+        concat(col("v"), array(sqrt(greatest(lit(0.0), lit(m2) - col("nrm2")))))))
+      .select(col("vec_id").as("id_b"), col("v").as("vb"), col("code"))
+    val probeCodes = array((lit(0) +: (0 until numPlanes).map(i => lit(1 << i))): _*)
+    val q = v.filter(col("vec_id") < numQueries)
+      .withColumn("code", lshCodeAug(concat(col("v"), array(lit(0.0)))))
+      .select(col("vec_id").as("q_id"), col("v").as("vq"),
+        explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
+    val pairs = cand
+      .join(broadcast(q), col("code") === col("probe") && col("id_b") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("vb")))
+    topK(pairs, k)
+  }
+
   /** Per-dimension [min, max] of the embedding column — the scalar-
     * quantization model artifact (persist it like the k-means centroids;
     * a later batch quantizes against the SAME ranges). Partial-agg

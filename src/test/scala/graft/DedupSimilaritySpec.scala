@@ -235,6 +235,56 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       5L -> 5L, 6L -> 5L, 7L -> 1L, 8L -> 8L))
   }
 
+  test("mips: exact top-k ranks by raw inner product; augmented LSH clears the recall floor") {
+    val emb = table("embeddings")
+    val exact = Similarity.mipsTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // the test corpus is unit-normalized (MIPS degenerates to cosine
+    // there), so magnitude-sensitivity is asserted on a crafted corpus:
+    // b=(2,2) wins on raw IP, a=(0.9,0.436) wins on cosine
+    locally {
+      import spark.implicits._
+      val crafted = Seq(
+        (0L, Seq(1.0, 0.0)), (10L, Seq(0.9, 0.436)), (11L, Seq(2.0, 2.0)))
+        .toDF("vec_id", "embedding")
+      val mipsTop = Similarity.mipsTopK(crafted, 1, 1).collect()
+      assert(mipsTop.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 11L)))
+      val cosTop = Similarity.bruteTopK(crafted, 1, 1).collect()
+      assert(cosTop.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 10L)))
+    }
+    val approx = Similarity.mipsLshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the synthetic corpus is ISOTROPIC and unit-norm — the sign-LSH
+    // worst case (see the knn-graph spec above; measured 0.06 here), so
+    // this floor only guards against bucketing regressions; the
+    // clustered-corpus test below is the operating-regime check
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.04, s"augmented-LSH MIPS recall $recall below floor")
+  }
+
+  test("mips augmented LSH: high recall on a clustered magnitude-diverse corpus") {
+    import spark.implicits._
+    // 8 tight direction clusters × varying magnitudes — the regime MIPS
+    // indexes serve (retrieval scores = raw IP over clustered corpora)
+    val rows = (0 until 160).map { i =>
+      val dir = i % 8
+      val mag = 1.0 + (i % 5)
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 8 == dir) 1.0 else 0.0
+        mag * (base + 0.03 * (((i * 31 + d * 7) % 11) - 5) / 5.0)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.mipsTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.mipsLshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"clustered-corpus MIPS recall $recall below floor")
+  }
+
   test("soft dedup weights: 1/cluster-size, total mass = cluster count") {
     import spark.implicits._
     // {1,2,3} near-identical (Jaccard 1 on trigram sets), {4} unique:
