@@ -220,6 +220,7 @@ object SparkEntry {
     "st13_quality_stream" -> Seq("doc_id"),
     "st15_contamination_stream" -> Seq("doc_id"),
     "st16_perplexity_stream" -> Seq("doc_id"),
+    "st17_classifier_stream" -> Seq("doc_id"),
     "t13_chunking" -> Seq("doc_id", "chunk_id"),
     "t15_sentences" -> Seq("doc_id", "sent_id"),
     "t6_normalize" -> Seq("doc_id"),
@@ -808,6 +809,19 @@ object SparkEntry {
     // c27's oracle verbatim
     "st16_perplexity_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.perplexityFileStream(Tables.tune(s), d)),
+    // the c30 classifier per micro-batch: the model is fit ONCE on the
+    // static corpus (partitioning-independent, so this gate's staged
+    // weight copy is bit-identical to c30's), scoring is a pure map —
+    // doc-disjoint batches union to the batch result
+    "st17_classifier_stream" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val w = QualityModel.fit(docs)
+      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
+        .toDF("pos", "wv").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/st17_weights")
+      graft.streaming.StreamDrivers.classifierFileStream(Tables.tune(s), d, w)
+    }),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
     // rolled up by the same batch merge (rows-only: sketch estimates;
     // streaming==batch equality spec-asserted in the sparse regime)
@@ -1054,6 +1068,40 @@ object SparkEntry {
         SELECT doc_id, n_tokens, cross_entropy,
           CAST(CASE WHEN cross_entropy <= 3.42 THEN 1 ELSE 0 END AS INTEGER)
             AS kept
+        FROM sc ORDER BY doc_id"""
+
+  // shared by c30 (batch) and st17 (the same scoring per micro-batch
+  // against the static fitted model, each gate staging its own —
+  // bit-identical, the fit is partitioning-independent — weight copy):
+  // Horner char hash (t4 idiom; the outer % 1000003 covers DuckDB's
+  // no-init reduce on single-codepoint terms), histogram features,
+  // left-to-right reduce dot product (same IEEE order as the Spark
+  // in-row aggregate), sigmoid in double, decimal-6 rounded gate
+  private def classifierSql(stage: String) =
+    s"""WITH wl AS (SELECT list(wv ORDER BY pos) AS w
+          FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
+        tk AS (SELECT doc_id, source, $toks AS t FROM documents),
+        ftk AS (SELECT doc_id, source, len(t) AS n, unnest(t) AS term
+                FROM tk WHERE len(t) > 0),
+        bkt AS (SELECT doc_id, source, n,
+                (list_reduce([ord(c) for c in string_split(term, '')],
+                  (a, b) -> (a * 31 + b) % 1000003) % 1000003) % 128 AS b
+                FROM ftk),
+        mp AS (SELECT doc_id, source, n, histogram(b) AS m
+               FROM bkt GROUP BY 1, 2, 3),
+        xv AS (SELECT doc_id, source,
+               [CAST(coalesce(element_at(m, i)[1], 0) AS DOUBLE) / n
+                for i in generate_series(0, 127)]
+                 || [CAST(1.0 AS DOUBLE)] AS x
+               FROM mp),
+        sc AS (SELECT doc_id,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label,
+               CAST(CAST(1.0 / (1.0 + exp(-list_reduce(
+                 [x[i+1] * w[i+1] for i in generate_series(0, 128)],
+                 (a, b) -> a + b))) AS DECIMAL(38,6)) AS DOUBLE) AS score
+               FROM xv, wl)
+        SELECT doc_id, CAST(label AS INTEGER) AS label, score,
+          CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS kept
         FROM sc ORDER BY doc_id"""
 
   // shared by c24 (batch) and st13 (the same computation through a file
@@ -2525,32 +2573,11 @@ object SparkEntry {
     // no-init reduce on single-codepoint terms), histogram features,
     // left-to-right reduce dot product (same IEEE order as the Spark
     // in-row aggregate), sigmoid in double, decimal-6 rounded gate
-    "c30_quality_classifier" ->
-      s"""WITH wl AS (SELECT list(wv ORDER BY pos) AS w
-            FROM read_parquet('__GRAFT_STAGE__/c30_weights/*.parquet')),
-          tk AS (SELECT doc_id, source, $toks AS t FROM documents),
-          ftk AS (SELECT doc_id, source, len(t) AS n, unnest(t) AS term
-                  FROM tk WHERE len(t) > 0),
-          bkt AS (SELECT doc_id, source, n,
-                  (list_reduce([ord(c) for c in string_split(term, '')],
-                    (a, b) -> (a * 31 + b) % 1000003) % 1000003) % 128 AS b
-                  FROM ftk),
-          mp AS (SELECT doc_id, source, n, histogram(b) AS m
-                 FROM bkt GROUP BY 1, 2, 3),
-          xv AS (SELECT doc_id, source,
-                 [CAST(coalesce(element_at(m, i)[1], 0) AS DOUBLE) / n
-                  for i in generate_series(0, 127)]
-                   || [CAST(1.0 AS DOUBLE)] AS x
-                 FROM mp),
-          sc AS (SELECT doc_id,
-                 CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label,
-                 CAST(CAST(1.0 / (1.0 + exp(-list_reduce(
-                   [x[i+1] * w[i+1] for i in generate_series(0, 128)],
-                   (a, b) -> a + b))) AS DECIMAL(38,6)) AS DOUBLE) AS score
-                 FROM xv, wl)
-          SELECT doc_id, CAST(label AS INTEGER) AS label, score,
-            CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS kept
-          FROM sc ORDER BY doc_id""",
+    "c30_quality_classifier" -> classifierSql("c30_weights"),
+    // st17 is the SAME scoring driven per micro-batch against the static
+    // fitted model; the partitioning-independent fit guarantees its own
+    // staged copy of the weights is bit-identical to c30's
+    "st17_classifier_stream" -> classifierSql("st17_weights"),
     // d14: all three pair sources replayed (exact Jaccard from the text,
     // minhash + simhash over the staged signature tables) unioned into
     // the same recursive connected-components as d10

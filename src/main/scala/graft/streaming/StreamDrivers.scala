@@ -600,6 +600,57 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st17: the c30 model-based quality gate as a streaming ingest
+    * filter — the production deployment shape of a trained classifier:
+    * the model is a persisted artifact (here: the weight vector the
+    * caller fit on the static corpus), scoring is a broadcast-literal
+    * pure map, so it composes onto micro-batches unchanged. Per-doc
+    * scores depend only on the weights, so doc-disjoint batches union
+    * to the batch c30 result — c30's oracle (on this gate's own staged
+    * weight copy) gates the streamed union verbatim. */
+  def classifierFileStream(spark: SparkSession, sfDir: String,
+                           w: Array[Double]): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-clf")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var batches = 0
+      var outSchema: StructType = null
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val scored = graft.operators.QualityModel.score(b.toDF(), w)
+          val rows = scored.collect()
+          buf.synchronized {
+            buf ++= rows
+            if (rows.nonEmpty) batches += 1
+            outSchema = scored.schema
+          }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.toList.asJava, outSchema)
+    } finally deleteRecursively(dir)
+  }
+
   /** st14: streaming NEAR-dup ingest — the substring of the ingest
     * posture st9 covers exactly, at the MinHash layer: even-id docs
     * staged as two doc_id-halves (maxFilesPerTrigger=1 ⇒ two genuine

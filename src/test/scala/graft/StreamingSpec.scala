@@ -262,6 +262,18 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.exists(_._4 == 1) && batch.exists(_._4 == 0))
   }
 
+  test("st17 driver: streamed classifier gate equals the batch c30 result") {
+    val docs = graft.Tables.load(spark, SharedSpark.sfDir, "documents")
+    val w = graft.operators.QualityModel.fit(docs)
+    val streamed = graft.streaming.StreamDrivers
+      .classifierFileStream(spark, SharedSpark.sfDir, w).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet
+    val batch = graft.operators.QualityModel.score(docs, w).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("st14 driver: streamed near-dup ingest equals the batch d11 recompute") {
     val streamed = graft.streaming.StreamDrivers
       .minhashIngestFileStream(spark, SharedSpark.sfDir).collect()
