@@ -965,12 +965,20 @@ object Multimodal {
     * exact popcount. Only real-decode rows participate (stub-tier bit
     * patterns are id arithmetic, not content). Shuffle is on (chunk id,
     * chunk value); no image-by-image compare, no n² — the 100 TB shape
-    * of visual dedup. */
-  def phashPairs(phashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * of visual dedup.
+    *
+    * Skew at scale: near-constant images (flat color, black frames)
+    * all carry chunk value 0, and that one bucket quadratically
+    * dominates the candidate join — `maxBucket` > 0 drops buckets
+    * above the cap (the MinHash skew-guard idiom; costs recall ONLY
+    * on what it drops). The gate runs uncapped: the planted corpus has
+    * no degenerate buckets, so the brute-force oracle equality holds. */
+  def phashPairs(phashes: DataFrame, maxHamming: Int = 3,
+                 maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall to Hamming 3")
     val sigs = phashes.filter(col("is_real") === 1)
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
-    val chunks = sigs.select(col("doc_id"), explode(array(
+    val allChunks = sigs.select(col("doc_id"), explode(array(
         struct(lit(0).as("c"),
           shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("v")),
         struct(lit(1).as("c"), col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("v")),
@@ -979,6 +987,13 @@ object Multimodal {
         struct(lit(3).as("c"), col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("v"))))
         .as("ch"))
       .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val chunks =
+      if (maxBucket <= 0) allChunks
+      else allChunks
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("c"), col("v"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
     val cand = chunks.join(
         chunks.select(col("doc_id").as("doc_b"), col("c").as("c2"), col("v").as("v2")),
         col("c") === col("c2") && col("v") === col("v2") &&

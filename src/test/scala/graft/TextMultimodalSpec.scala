@@ -534,6 +534,23 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(banded.forall { case (a, b, _) => !stubs(a) && !stubs(b) })
   }
 
+  test("phash pairs: bucket cap drops only degenerate buckets") {
+    import spark.implicits._
+    // five flat images (hash 0 — every chunk lands in the 0 bucket) and
+    // one distinctive near-pair; cap 4 kills the flat bucket (size 5)
+    // in all four chunk positions but leaves the pair's buckets (size 2)
+    val ph = (
+      (0L until 5L).map(i => (i, 1, 0L, 0L)) ++
+      Seq((10L, 1, 0x12345678L, 0x0BCDEF01L), (11L, 1, 0x12345678L, 0x0BCDEF01L)))
+      .toDF("doc_id", "is_real", "phash_hi", "phash_lo")
+    val uncapped = Multimodal.phashPairs(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.size === 11) // C(5,2)+1
+    val capped = Multimodal.phashPairs(ph, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((10L, 11L)))
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
