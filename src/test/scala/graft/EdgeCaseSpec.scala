@@ -208,6 +208,52 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(pr.values.forall(v => math.abs(v - 0.25) < 1e-9)) // symmetric graph
   }
 
+  test("continuation operators survive degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{QualityModel, Multimodal, Similarity}
+    // sentences: empty/whitespace/no-terminator/only-terminators —
+    // terminators after a whitespace run survive as bare-punctuation
+    // "sentences" (the non-terminator run is the space; trim keeps the
+    // punctuation): orphan punctuation is content, not a crash
+    val s = TextOps.sentences(Seq((1L, ""), (2L, " . ! "), (3L, "plain"))
+      .toDF("doc_id", "text")).collect()
+    assert(s.map(_.getLong(0)).toSet === Set(2L, 3L))
+    assert(s.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet === Set(".", "!"))
+    // perplexity gate with an empty reference slice: OOV floor only,
+    // every doc scores ln(1/(0+0+1)) = 0 nats and passes
+    val pg = Curation.perplexityGate(
+      Seq((1L, "a b", "srcX")).toDF("doc_id", "text", "source"), "src0")
+      .collect()
+    assert(pg.length === 1 && pg(0).getDouble(2) === 0.0 && pg(0).getInt(3) === 1)
+    // classifier featurize drops token-less docs; fit refuses one-class
+    val oneClass = Seq((1L, "a b", "srcX"), (2L, "c d", "srcX"))
+      .toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException](QualityModel.fit(oneClass))
+    // soft dedup on a corpus with no pairs: every doc its own cluster
+    val sw = Dedup.softDedupWeights(
+      Seq((1L, "aa bb cc dd", "s"), (2L, "ee ff gg hh", "s"))
+        .toDF("doc_id", "text", "source")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(sw.toSet === Set((1L, 1L, 1.0), (2L, 1L, 1.0)))
+    // cluster maintenance with an empty pair set: pure pass-through +
+    // batch singletons
+    val cm = Dedup.clusterMaintenance(
+      Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id"),
+      Seq(Tuple1(9L)).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cm === Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    // phash pairs with no real-tier rows: empty, no error
+    assert(Multimodal.phashPairs(
+      Seq((1L, 0, 1L, 2L)).toDF("doc_id", "is_real", "phash_hi", "phash_lo"))
+      .collect().isEmpty)
+    // mips with k beyond corpus size ranks everything
+    val mt = Similarity.mipsTopK(
+      Seq((0L, Seq(1.0, 0.0)), (10L, Seq(0.5, 0.5))).toDF("vec_id", "embedding"),
+      numQueries = 1, k = 5).collect()
+    assert(mt.length === 1 && mt(0).getLong(1) === 10L && mt(0).getInt(2) === 1)
+  }
+
   test("connected components on an empty edge set labels every node itself") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
