@@ -261,6 +261,7 @@ object SparkEntry {
     "d22_phash_pairs" -> Seq("doc_a", "doc_b"),
     "m5_wav_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
+    "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"))
 
@@ -419,6 +420,9 @@ object SparkEntry {
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
+    // audio exact-dup pairs: per-doc decoded feature-sequence signature,
+    // signature-keyed equi-join (the d22 exact tier for the audio side)
+    "m10_audio_dup" -> ((s, d) => Multimodal.audioDupPairs(s, t(s, d, "documents"))),
     // real ISO-BMFF (MP4) container parsing over planted payloads
     // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
     // timescale/duration; synthetic fallback mirrors the image path
@@ -1046,6 +1050,50 @@ object SparkEntry {
             count(*) AS n_windows,
             CAST(max(p) + 7 - min(p) + 1 AS INTEGER) AS n_span_tokens
           FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos"""
+
+  // shared by m6 (the frame table) and m10 (feature-sequence dedup over
+  // it): real 8-bit (doc_id % 16 = 8) and 16-bit stereo (% 16 = 0)
+  // planted-WAV frame features from the plant formulas, stub fallback
+  // for text rows — every value integer-derived, bit-identical to the
+  // Spark decode (m6's hash-green is the proof)
+  private lazy val wavFramesSql =
+    """WITH planted AS (
+           SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS ns
+           FROM documents WHERE doc_id % 16 = 8),
+         fr AS (
+           SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
+           FROM planted,
+             unnest(generate_series(0, (ns + 31) // 32 - 1)) AS t(f)),
+         sm AS (
+           SELECT doc_id, f, flen,
+             sum(abs((doc_id * 7 + (f * 32 + i) * 13) % 256 - 128)) AS s
+           FROM fr, unnest(generate_series(0, flen - 1)) AS u(i)
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST(s AS DOUBLE) / (128.0 * flen) AS feat_mean,
+           CAST(flen AS INTEGER) AS feat_dim
+         FROM sm
+         UNION ALL
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST(s AS DOUBLE) / (65536.0 * flen) AS feat_mean,
+           CAST(flen AS INTEGER) AS feat_dim
+         FROM (
+           SELECT doc_id, f, flen,
+             sum(abs(((doc_id * 31 + (f * 32 + i) * 17) % 65536 - 32768)
+                   + ((doc_id * 31 + (f * 32 + i) * 17 + 7919) % 65536 - 32768))) AS s
+           FROM (
+             SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
+             FROM (SELECT doc_id, CAST(40 + (doc_id // 16) % 37 AS INTEGER) AS ns
+                   FROM documents WHERE doc_id % 16 = 0),
+               unnest(generate_series(0, (ns + 31) // 32 - 1)) AS t(f)),
+             unnest(generate_series(0, flen - 1)) AS u(i)
+           GROUP BY 1, 2, 3)
+         UNION ALL
+         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+           CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,
+           64 AS feat_dim
+         FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
+         WHERE doc_id % 8 <> 0"""
 
   // shared by c27 (batch) and st16 (the same scoring per micro-batch
   // against the static reference LM): the t7 decimal discipline with a
@@ -2322,45 +2370,20 @@ object SparkEntry {
     // normalizer == the channel-mean deviation, integer-exact; the
     // 65536.0·flen denominator is a power-of-two times a small int, so
     // the single division matches the Scala decoder's bit-for-bit)
-    "m6_wav_frames" ->
-      """WITH planted AS (
-           SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS ns
-           FROM documents WHERE doc_id % 16 = 8),
-         fr AS (
-           SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
-           FROM planted,
-             unnest(generate_series(0, (ns + 31) // 32 - 1)) AS t(f)),
-         sm AS (
-           SELECT doc_id, f, flen,
-             sum(abs((doc_id * 7 + (f * 32 + i) * 13) % 256 - 128)) AS s
-           FROM fr, unnest(generate_series(0, flen - 1)) AS u(i)
-           GROUP BY 1, 2, 3)
-         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
-           CAST(s AS DOUBLE) / (128.0 * flen) AS feat_mean,
-           CAST(flen AS INTEGER) AS feat_dim
-         FROM sm
-         UNION ALL
-         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
-           CAST(s AS DOUBLE) / (65536.0 * flen) AS feat_mean,
-           CAST(flen AS INTEGER) AS feat_dim
-         FROM (
-           SELECT doc_id, f, flen,
-             sum(abs(((doc_id * 31 + (f * 32 + i) * 17) % 65536 - 32768)
-                   + ((doc_id * 31 + (f * 32 + i) * 17 + 7919) % 65536 - 32768))) AS s
-           FROM (
-             SELECT doc_id, ns, f, least(32, ns - f * 32) AS flen
-             FROM (SELECT doc_id, CAST(40 + (doc_id // 16) % 37 AS INTEGER) AS ns
-                   FROM documents WHERE doc_id % 16 = 0),
-               unnest(generate_series(0, (ns + 31) // 32 - 1)) AS t(f)),
-             unnest(generate_series(0, flen - 1)) AS u(i)
-           GROUP BY 1, 2, 3)
-         UNION ALL
-         SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
-           CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean,
-           64 AS feat_dim
-         FROM documents, unnest(generate_series(0, octet_length(encode(text)) % 5)) AS t(f)
-         WHERE doc_id % 8 <> 0
-         ORDER BY doc_id, frame_id""",
+    "m6_wav_frames" -> s"$wavFramesSql ORDER BY doc_id, frame_id",
+    // m10: per-doc feature-sequence signature (frame order, exact
+    // doubles — both engines derive them from the same integer
+    // formulas, m6-verified bit-identical) self-joined on equality —
+    // the audio analogue of d22's exact tier
+    "m10_audio_dup" ->
+      s"""WITH sig AS (
+           SELECT doc_id, count(*) AS n_frames,
+             list(ROW(frame_id, feat_mean, feat_dim) ORDER BY frame_id) AS sig
+           FROM ($wavFramesSql) GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(a.n_frames AS INTEGER) AS n_frames
+         FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
     "m3_frame_dedup" ->
       """WITH fr AS (SELECT doc_id,
            CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean

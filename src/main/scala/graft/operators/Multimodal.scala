@@ -631,6 +631,30 @@ object Multimodal {
                        every: Int = PlantedWavs.Every): DataFrame =
     decodedMedia(plantedWavMedia(spark, documents, every), AutoDecoder)
 
+  /** Audio exact-duplicate pairs over decoded frame features — the audio
+    * analogue of [[phashPairs]]' exact tier: each document's signature is
+    * its full (frame_id, feat_mean, feat_dim) sequence in frame order,
+    * and two documents pair iff the sequences are IDENTICAL (same decoded
+    * content under the feature lens; re-encoded/renamed copies collapse,
+    * which is what audio dedup at corpus scale means at the exact level).
+    * One aggregation + one signature-keyed equi-join — the join shuffles
+    * on a hash of the sequence, never on audio bytes, and no n² compare
+    * exists. Feature doubles derive from integer sample formulas
+    * identically in both engines (m6's hash-green run is the proof), so
+    * array equality is exact. */
+  def audioDupPairs(spark: SparkSession, documents: DataFrame,
+                    every: Int = PlantedWavs.Every): DataFrame = {
+    val fr = wavFramesPlanted(spark, documents, every)
+    val sig = fr.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("frame_id"), col("feat_mean"),
+        col("feat_dim")))).as("sig"), count(lit(1)).as("n_frames"))
+    sig.select(col("doc_id").as("doc_a"), col("sig"), col("n_frames"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig2")),
+        col("sig") === col("sig2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_frames").cast("int").as("n_frames"))
+  }
+
   /** REAL GIF metadata from the binary payload — pure column exprs, the
     * GIF87a/89a analogue of [[wavMeta]]: magic validation, little-endian
     * logical-screen width/height, the packed flags byte (global-color-

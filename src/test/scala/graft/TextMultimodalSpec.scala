@@ -551,6 +551,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(capped === Set((10L, 11L)))
   }
 
+  test("audio dup pairs: planted 8-bit copies pair, sequences verified equal") {
+    val pairs = Multimodal.audioDupPairs(spark, table("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the 8-bit plant formula repeats at doc_id + 256 (7*256 ≡ 0 mod 256
+    // and ns shares mod 64) — every planted 8-bit doc with its +256
+    // sibling in range must pair
+    val planted8 = table("documents").collect().map(_.getLong(0))
+      .filter(_ % 16 == 8).toSet
+    val expected = planted8.filter(d => planted8.contains(d + 256)).map(d => (d, d + 256))
+    assert(expected.nonEmpty)
+    assert(expected.subsetOf(pairs.map(p => (p._1, p._2)).toSet))
+    // every reported pair must have identical frame sequences
+    val fr = Multimodal.wavFramesPlanted(spark, table("documents")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getDouble(2), r.getInt(3))).sortBy(_._1).toSeq)
+      .toMap
+    pairs.foreach { case (a, b, n) =>
+      assert(fr(a) === fr(b), s"pair ($a,$b) sequences differ")
+      assert(fr(a).length === n)
+    }
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
