@@ -259,6 +259,7 @@ object SparkEntry {
     "m3_frame_dedup" -> Seq("bucket"),
     "m9_image_phash" -> Seq("doc_id"),
     "d22_phash_pairs" -> Seq("doc_a", "doc_b"),
+    "d23_phash_incremental" -> Seq("doc_a", "doc_b"),
     "m5_wav_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
@@ -414,6 +415,15 @@ object SparkEntry {
     // (full recall to Hamming 3 by pigeonhole) + exact popcount verify
     "d22_phash_pairs" -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.imagePhash(s, t(s, d, "documents")))),
+    // incremental visual dedup: the odd half of the planted tier (by
+    // doc_id/16 parity) is the persisted corpus, the even half the new
+    // batch — the d11 ingest posture over phash signatures
+    "d23_phash_incremental" -> ((s, d) => {
+      val ph = Multimodal.imagePhash(s, t(s, d, "documents")).localCheckpoint()
+      Multimodal.phashIncremental(
+        ph.filter(pmod(col("doc_id"), lit(32)) === 16),
+        ph.filter(pmod(col("doc_id"), lit(32)) === 0))
+    }),
     // real RIFF/WAV header parsing over planted 8-bit PCM payloads
     // (every 8th doc_id); synthetic fallback rows mirror the image path
     "m5_wav_meta" -> ((s, d) => Multimodal.wavMetaPlanted(s, t(s, d, "documents"))),
@@ -2276,6 +2286,37 @@ object SparkEntry {
            FROM re a JOIN re b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming FROM pr
          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    // d23: the d22 brute-force replay RESTRICTED to batch-touching pairs
+    // (batch = the doc_id/16-even half of the planted tier) — equality
+    // with the banded incremental probe licensed by the recall guarantee
+    "d23_phash_incremental" ->
+      """WITH px AS (
+           SELECT doc_id, x, y,
+                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 4 AS BIGINT) AS h
+           FROM documents,
+             unnest(generate_series(0, 7)) AS xs(x),
+             unnest(generate_series(0, 7)) AS ys(y)
+           WHERE doc_id % 16 = 0),
+         bits AS (
+           SELECT doc_id, x, y,
+             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
+                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+           FROM px),
+         re AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.hi::BIT, b.hi::BIT)) +
+                  bit_count(xor(a.lo::BIT, b.lo::BIT)) AS INTEGER) AS hamming
+           FROM re a JOIN re b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pr
+         WHERE hamming <= 3 AND (doc_a % 32 = 0 OR doc_b % 32 = 0)
+         ORDER BY doc_a, doc_b""",
     "m2_media_features" ->
       """WITH planted AS (
            SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,

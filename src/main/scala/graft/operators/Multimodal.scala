@@ -997,12 +997,14 @@ object Multimodal {
     * above the cap (the MinHash skew-guard idiom; costs recall ONLY
     * on what it drops). The gate runs uncapped: the planted corpus has
     * no degenerate buckets, so the brute-force oracle equality holds. */
-  def phashPairs(phashes: DataFrame, maxHamming: Int = 3,
-                 maxBucket: Int = 0): DataFrame = {
-    require(maxHamming <= 3, "4-chunk banding only guarantees recall to Hamming 3")
-    val sigs = phashes.filter(col("is_real") === 1)
+  /** Real-tier (doc_id, hi, lo) projection shared by the pair ops. */
+  private def realSigs(phashes: DataFrame): DataFrame =
+    phashes.filter(col("is_real") === 1)
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
-    val allChunks = sigs.select(col("doc_id"), explode(array(
+
+  /** 16-bit chunk rows (doc_id, c, v) of a signature frame. */
+  private def phashChunks(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
         struct(lit(0).as("c"),
           shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("v")),
         struct(lit(1).as("c"), col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("v")),
@@ -1011,6 +1013,26 @@ object Multimodal {
         struct(lit(3).as("c"), col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("v"))))
         .as("ch"))
       .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+
+  /** Hamming verify of a candidate pair set against a signature frame. */
+  private def hammingVerified(cand: DataFrame, sigs: DataFrame,
+                              maxHamming: Int): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("phash_hi").as("ha"), col("phash_lo").as("la")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("phash_hi").as("hb"), col("phash_lo").as("lb")), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+         bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  def phashPairs(phashes: DataFrame, maxHamming: Int = 3,
+                 maxBucket: Int = 0): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall to Hamming 3")
+    val sigs = realSigs(phashes)
+    val allChunks = phashChunks(sigs)
     val chunks =
       if (maxBucket <= 0) allChunks
       else allChunks
@@ -1023,15 +1045,35 @@ object Multimodal {
         col("c") === col("c2") && col("v") === col("v2") &&
         col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"),
-        col("phash_hi").as("ha"), col("phash_lo").as("la")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"),
-        col("phash_hi").as("hb"), col("phash_lo").as("lb")), "doc_b")
-      .withColumn("hamming",
-        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-         bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    hammingVerified(cand, sigs, maxHamming)
+  }
+
+  /** Incremental visual dedup — the ingest posture of [[phashPairs]]
+    * (the d11 MinHash shape brought to the image side): a NEW batch of
+    * signatures probes the PERSISTED corpus phash table, returning
+    * exactly the [[phashPairs]] result of corpus ∪ batch RESTRICTED to
+    * pairs touching the batch (batch-vs-corpus and batch-vs-batch;
+    * corpus-internal pairs were found when the corpus was built —
+    * spec-asserted equality). The corpus is never re-decoded and never
+    * self-joined: its stored signatures are chunk-exploded (a
+    * projection) and probed by the batch's chunks only. Doc ids must be
+    * globally unique — the append-only id contract. */
+  def phashIncremental(corpusPhashes: DataFrame, batchPhashes: DataFrame,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall to Hamming 3")
+    val cs = realSigs(corpusPhashes)
+    val bs = realSigs(batchPhashes)
+    val allSigs = cs.union(bs)
+    val probe = phashChunks(bs)
+    val build = phashChunks(allSigs)
+    val cand = probe.select(col("c"), col("v"), col("doc_id").as("probe_id"))
+      .join(build.select(col("c").as("c2"), col("v").as("v2"),
+          col("doc_id").as("build_id")),
+        col("c") === col("c2") && col("v") === col("v2") &&
+        col("probe_id") =!= col("build_id"))
+      .select(least(col("probe_id"), col("build_id")).as("doc_a"),
+        greatest(col("probe_id"), col("build_id")).as("doc_b"))
+      .distinct()
+    hammingVerified(cand, allSigs, maxHamming)
   }
 }

@@ -573,6 +573,19 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("phash incremental equals the full pair set restricted to the batch") {
+    val ph = Multimodal.imagePhash(spark, table("documents")).localCheckpoint()
+    val corpus = ph.filter(pmod(col("doc_id"), lit(32)) === 16)
+    val batch = ph.filter(pmod(col("doc_id"), lit(32)) === 0)
+    val inc = Multimodal.phashIncremental(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Multimodal.phashPairs(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => p._1 % 32 == 0 || p._2 % 32 == 0).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "the planted tier must yield batch-touching pairs")
+  }
+
   test("frame dedup: buckets cover all frames, bucket ids in range") {
     val frames = Multimodal.mediaFrames(spark, table("documents")).count()
     val out = Multimodal.frameDedup(spark, table("documents")).collect()
