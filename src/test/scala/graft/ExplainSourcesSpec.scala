@@ -242,6 +242,36 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(exchanges === 2, s"expected shingle + doc exchanges, got $exchanges in:\n$p")
   }
 
+  test("sentences and image phash are pure maps: no join, no exchange") {
+    val s = plan(graft.operators.TextOps.sentences(table("documents")))
+    assert(!s.contains("Join") && !s.contains("Exchange"),
+      s"sentence segmentation must not shuffle:\n$s")
+    val ph = graft.operators.Multimodal
+      .imagePhash(spark, table("documents")).queryExecution.executedPlan.toString
+    assert(!ph.contains("Join") && !ph.contains("Exchange"),
+      s"phash table build must not shuffle:\n$ph")
+  }
+
+  test("mips: queries broadcast, no sort-merge join") {
+    val p = plan(graft.operators.Similarity.mipsTopK(table("embeddings")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast query side in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
+  test("classifier scoring after the staged featurize is map-only") {
+    // the production apply shape: weights are a literal; everything
+    // after the (checkpointed) feature frame must be a projection
+    val docs = table("documents")
+    val w = Array.fill(graft.operators.QualityModel.Dim + 1)(0.01)
+    val df = graft.operators.QualityModel.score(docs, w)
+    val p = plan(df)
+    // featurize ends at the localCheckpoint scan; scoring adds no
+    // join and no further exchange on top of it
+    assert(!p.contains("Join"), s"scoring joined:\n$p")
+    assert(!p.contains("Exchange"), s"scoring shuffled:\n$p")
+  }
+
   test("random projection is a pure map: no join, no exchange") {
     val df = graft.operators.Similarity.randomProjection(table("embeddings"))
     df.collect()
