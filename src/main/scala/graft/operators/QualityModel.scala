@@ -96,9 +96,19 @@ object QualityModel {
     val wPos = nDocs / (2.0 * nPos)
     val wNeg = nDocs / (2.0 * (nDocs - nPos))
     var w = Array.fill(Dim + 1)(0.0)
+    val session = f.sparkSession
+    import session.implicits._
     for (_ <- 1 to iters) {
+      // weights travel as a broadcast ONE-ROW frame, not a literal: the
+      // per-iteration plan stays structurally identical, so codegen is
+      // compiled once and reused across all iterations (a literal array
+      // changes the expression tree every pass — measured as the
+      // dominant fit cost, same lesson as the s11/s12 joint fit)
+      val wDf = Seq(Tuple1(w.toSeq)).toDF("wv_arr")
       val grads = f
-        .withColumn("z", dotLit(col("x"), w))
+        .crossJoin(broadcast(wDf))
+        .withColumn("z", aggregate(zip_with(col("x"), col("wv_arr"),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(negate(col("z")))))
         .withColumn("ew", when(col("y") === 1, lit(wPos)).otherwise(lit(wNeg)))
         .select(col("p"), col("y"), col("ew"),
