@@ -98,6 +98,27 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(byDoc(5L).map(_._3).toSeq === Seq("dot.", "attached next"))
   }
 
+  test("perplexity gate composes into the curation funnel as a stage") {
+    val docs = table("documents")
+    val gate = Curation.perplexityGate(docs).localCheckpoint()
+    // the gate separates on this corpus (both outcomes present)
+    val keptIds = gate.filter(col("kept") === 1).select(col("doc_id"))
+    val nKept = keptIds.count()
+    assert(nKept > 0 && nKept < docs.count())
+    def stages(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Curation.curationFunnel(d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ungated = stages(docs)
+    val gated = stages(docs.join(keptIds, "doc_id"))
+    // the gate slots in front of the funnel: its stage-0 population is
+    // the kept set, and every downstream survivor count is monotonely
+    // dominated by the ungated funnel (pure filter composition — no
+    // stage can gain documents from an upstream gate)
+    assert(gated("0_all") === nKept)
+    ungated.keys.foreach { s => assert(gated(s) <= ungated(s), s"stage $s grew") }
+    assert(gated("4_dedup") > 0, "composed funnel must keep something")
+  }
+
   test("gopher rules: crafted docs score exactly; keep matches the rule conjunction") {
     import spark.implicits._
     val crafted = Seq(
