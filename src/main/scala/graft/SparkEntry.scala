@@ -174,6 +174,7 @@ object SparkEntry {
     "s8_label_prop" -> Seq("vec_id"),
     "d10_text_clusters" -> Seq("doc_id"),
     "c28_softdedup_weights" -> Seq("doc_id"),
+    "c31_dedup_aware_mix" -> Seq("source"),
     "c30_quality_classifier" -> Seq("doc_id"),
     "st7_tumbling_stream" -> Seq("window_start", "event_type"),
     "st9_ingest_dedup_stream" -> Seq("doc_id"),
@@ -927,6 +928,10 @@ object SparkEntry {
     // (1/|cluster| — reweight instead of remove); raw IEEE double
     "c28_softdedup_weights" -> ((s, d) =>
       Dedup.softDedupWeights(t(s, d, "documents"))),
+    // dedup-aware mixing: c22's temperature algebra over c28's
+    // effective (near-dup-discounted) source sizes
+    "c31_dedup_aware_mix" -> ((s, d) =>
+      Curation.dedupAwareMix(t(s, d, "documents"))),
     // model-based quality gate: balanced logistic regression over hashed
     // bag-of-words, trained in-Spark by unrolled decimal-summed GD; the
     // learned weight vector is STAGED so the oracle replays featurize →
@@ -2632,6 +2637,42 @@ object SparkEntry {
          SELECT cl.doc_id, cl.cluster_id, sz.n_members,
            CAST(1.0 AS DOUBLE) / sz.n_members AS weight
          FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id ORDER BY cl.doc_id""",
+    // c31: c28's recursive clustering → decimal-12-summed per-source
+    // effective sizes → c22's √-temperature algebra and mod-hash gate
+    "c31_dedup_aware_mix" ->
+      s"""WITH RECURSIVE tok AS ($shingleTok),
+         e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         bidir AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+         cl AS (SELECT d.doc_id, d.source,
+                coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab ON lab.n = d.doc_id),
+         sz AS (SELECT cluster_id, count(*) AS nm FROM cl GROUP BY 1),
+         wdoc AS (SELECT cl.doc_id, cl.source,
+                CAST(CAST(1.0 AS DOUBLE) / sz.nm AS DECIMAL(28,12)) AS wq
+                FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id),
+         c AS (SELECT source, count(*) AS n, CAST(sum(wq) AS DOUBLE) AS e
+               FROM wdoc GROUP BY 1),
+         w AS (SELECT CAST(sum(CAST(sqrt(e) AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+               FROM c),
+         r AS (SELECT source, n, e,
+             CAST(CAST(least(1.0, 300 * sqrt(e) / (wsum * e)) AS DECIMAL(38,6))
+               AS DOUBLE) AS rate
+           FROM c, w)
+         SELECT d.source, max(r.n) AS n_docs,
+           CAST(CAST(max(r.e) AS DECIMAL(38,4)) AS DOUBLE) AS eff_docs,
+           max(r.rate) AS rate,
+           count(*) FILTER (WHERE
+             ((d.doc_id % 1000003) * 2246822519 + 104729) % 1000000
+               < CAST(floor(r.rate * 1000000.0) AS BIGINT)) AS n_kept
+         FROM documents d JOIN r ON d.source = r.source
+         GROUP BY 1 ORDER BY 1""",
     // c30: the scoring path replayed from the STAGED weight vector alone
     // — Horner char hash (t4 idiom; the outer % 1000003 covers DuckDB's
     // no-init reduce on single-codepoint terms), histogram features,

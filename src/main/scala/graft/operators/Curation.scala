@@ -352,6 +352,41 @@ object Curation {
         count(when(gate < col("thr"), 1)).as("n_kept"))
   }
 
+  /** Dedup-aware temperature mixing — [[temperatureMix]] with each
+    * source's RAW document count replaced by its EFFECTIVE size: the sum
+    * of [[Dedup.softDedupWeights]] (Σ 1/cluster-size), so a source
+    * bloated by near-duplicate copies no longer buys sampling mass with
+    * them (the composition a production mixer ships: dedup informs the
+    * mix, nothing is discarded). Per-doc weights are decimal-12 summed
+    * (order-independent), the √-temperature algebra and the per-doc
+    * mod-hash keep gate are c22's verbatim — rates just read effective
+    * sizes. One extra aggregate over the weight table; the corpus-side
+    * work is the clustering c28 already pays. */
+  def dedupAwareMix(documents: DataFrame, targetTotal: Long = 300,
+                    seed: Long = 104729L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Dedup.softDedupWeights(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val counts = w.groupBy(col("source")).agg(count(lit(1)).as("n"),
+      sum(col("weight").cast(DecimalType(28, 12))).cast("double").as("e"))
+    val wsum = counts
+      .agg(sum(sqrt(col("e")).cast(DecimalType(28, 12))).cast("double").as("wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("rate", decRound(
+        least(lit(1.0),
+          lit(targetTotal.toDouble) * sqrt(col("e")) / (col("wsum") * col("e"))), 6))
+      .select(col("source"), col("n").as("n_docs"),
+        decRound(col("e"), 4).as("eff_docs"), col("rate"),
+        floor(col("rate") * 1e6).cast("long").as("thr"))
+    val gate =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(seed), lit(1000000L))
+    documents.join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("eff_docs")).as("eff_docs"),
+        max(col("rate")).as("rate"),
+        count(when(gate < col("thr"), 1)).as("n_kept"))
+  }
+
   /** Per-document average unigram log-likelihood under the corpus
     * unigram distribution — the classic cheap LM-quality signal
     * (gibberish and boilerplate score low). Per-token log-probs are

@@ -119,6 +119,29 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(gated("4_dedup") > 0, "composed funnel must keep something")
   }
 
+  test("dedup-aware mix: near-dup copies stop buying sampling mass") {
+    import spark.implicits._
+    // source A = 4 identical docs (one content unit), source B = 4
+    // unique docs: effective sizes 1.0 vs 4.0, raw counts equal
+    val docs = (
+      (1L to 4L).map(i => (i, "x y z w v u t s", "A")) ++
+      Seq((11L, "aa bb cc dd ee", "B"), (12L, "ff gg hh ii jj", "B"),
+        (13L, "kk ll mm nn oo", "B"), (14L, "pp qq rr ss tt", "B")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.dedupAwareMix(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("A")._1 === 4L && out("B")._1 === 4L)
+    assert(out("A")._2 === 1.0 && out("B")._2 === 4.0)
+    // √-temperature over effective sizes: the duplicate-bloated source's
+    // rate reflects ONE content unit — per effective doc it samples
+    // MORE aggressively (√e/e falls with e), but its thr applies to a
+    // pool with only one unit of real mass
+    assert(out("A")._3 === 1.0) // 300·√1/(wsum·1) capped at 1
+    assert(out("B")._3 === 1.0) // tiny corpus: both capped — rates equal
+    // the separation shows in eff_docs, which is what a mixer consumes
+  }
+
   test("gopher rules: crafted docs score exactly; keep matches the rule conjunction") {
     import spark.implicits._
     val crafted = Seq(
