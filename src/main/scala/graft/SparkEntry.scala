@@ -74,6 +74,27 @@ object SparkEntry {
         lit("! Planted tail? done.")).otherwise(lit(""))
     ).as("text"))
 
+  /** Deterministic planted paragraphs for the c32 gate — the corpus has
+    * no newlines, so paragraph curation would be a one-paragraph
+    * identity without planting (the c24/t15 plant idiom; the oracle
+    * replays the same CASE concatenation). Three planted tiers: a
+    * Spanish-stopword paragraph (%3 — dropped by the language gate), an
+    * English-led but OOV-heavy paragraph (%4 — dropped by the
+    * perplexity gate), and a common-vocabulary paragraph (%5 — kept, so
+    * multi-paragraph re-assembly is exercised). */
+  private[graft] def plantParagraphs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\nel que de la en los y el que de la en")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("\nthe a of zyzzyva qwerzix veldspar oolite brontide petrichor"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("\nthe table scan row filter a query value data part"))
+        .otherwise(lit(""))
+    ).as("text"))
+
   private[graft] def plantQualityViolations(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       col("text"),

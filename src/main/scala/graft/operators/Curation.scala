@@ -544,6 +544,81 @@ object Curation {
       .withColumn("kept", (col("cross_entropy") <= maxNats).cast("int"))
   }
 
+  /** CCNet-granularity PARAGRAPH curation: language-ID and perplexity
+    * are scored PER PARAGRAPH and paragraphs are kept or dropped
+    * individually, then the survivors re-assemble in order — the
+    * granularity real web pipelines run (CCNet scores lang/ppl per
+    * paragraph; a page with one good paragraph and nine boilerplate ones
+    * keeps the one). Paragraphs are newline-split segments (trimmed,
+    * empties dropped, 0-based ordinal); each is kept iff its
+    * stopword-argmax language equals `lang` AND its cross-entropy under
+    * the reference Laplace unigram LM (the [[perplexityGateAgainst]]
+    * scoring, decimal discipline included) is ≤ `maxNats`. Every
+    * document survives with its kept paragraphs newline-joined (empty
+    * string when none survive — the d18 every-doc-survives posture).
+    *
+    * Scale shape: the LM side is vocabulary-sized and broadcast exactly
+    * as in c27; paragraph scoring adds one explode + the vocab join +
+    * one (doc, par)-keyed aggregation, and re-assembly is one doc-keyed
+    * aggregate over the paragraph table (collect_list is bounded by the
+    * document's own length — the same bound d18's re-assembly carries).
+    * No step holds more than one document's paragraphs in a row. */
+  def paragraphGate(documents: DataFrame, reference: DataFrame,
+                    lang: String = "en", maxNats: Double = 6.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pars = documents
+      .withColumn("_ps",
+        filter(transform(split(col("text"), "\n"), p => trim(p)), p => p =!= ""))
+      .select(col("doc_id"), posexplode(col("_ps")).as(Seq("par_id", "par")))
+    val parToks = pars.withColumn("_toks", tokens(col("par")))
+    // per-paragraph language: scores materialized once (t1 discipline —
+    // predLangFromScores over attributes, never inline HOF re-evaluation)
+    val scored = parToks.select(
+      Seq(col("doc_id"), col("par_id"), col("par")) ++
+        TextOps.langOrder.map(l =>
+          stopwordHits(col("_toks"), TextOps.stopwords(l)).as(s"_s_$l")): _*)
+    val withLang = scored.withColumn("pred_lang",
+      TextOps.predLangFromScores(TextOps.langOrder.map(l => l -> col(s"_s_$l"))))
+      .select(col("doc_id"), col("par_id"), col("par"), col("pred_lang"))
+    // per-paragraph cross-entropy against the reference LM — c27's exact
+    // decimal discipline at (doc, par) granularity
+    val refToks = reference
+      .withColumn("term", explode(tokens(col("text"))))
+      .select(col("term"))
+    val tf = refToks.groupBy(col("term")).agg(count(lit(1)).as("rtf"))
+    val stats = refToks.agg(count(lit(1)).as("rtotal"),
+      countDistinct(col("term")).as("rv"))
+    val ce = parToks
+      .select(col("doc_id"), col("par_id"), explode(col("_toks")).as("term"))
+      .join(tf, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp",
+        decRound(log((coalesce(col("rtf"), lit(0L)) + 1).cast("double") /
+          (col("rtotal") + col("rv") + 1)), 6))
+      .groupBy(col("doc_id"), col("par_id"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("lp").cast(DecimalType(28, 6))).as("_slp"))
+      .select(col("doc_id"), col("par_id"),
+        decRound(negate(col("_slp").cast("double")) / col("_n"), 4)
+          .as("cross_entropy"))
+    val gated = withLang.join(ce, Seq("doc_id", "par_id"))
+      .withColumn("kept",
+        (col("pred_lang") === lang && col("cross_entropy") <= maxNats)
+          .cast("int"))
+    val rebuilt = gated.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_paragraphs"),
+        sum(col("kept")).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("par_id"), col("par"))))),
+          s => s.getField("par")), "\n").as("clean_text"))
+    documents.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paragraphs"), lit(0)).as("n_paragraphs"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** End-to-end curation funnel: survivor counts after each stage of the
     * standard pre-training pipeline (language gate → quality gate →
     * length band → exact dedup). Computed as a SINGLE conditional

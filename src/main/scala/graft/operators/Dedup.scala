@@ -890,11 +890,14 @@ object Dedup {
     * Output: one row per maximal duplicated span, 1-based token
     * positions, `end_pos` inclusive of the last window's tail.
     *
-    * Scale shape: one shuffle keyed on the shingle (count-over-partition
-    * marks duplicates without a second join back) + one doc-keyed sort
-    * for the island merge — both linear in total token count. At 100 TB
-    * shuffle xxhash64(shingle) instead of the string (8 bytes vs ~10·w,
-    * same plan, collision odds 2^-64 per pair — the standard trade); the
+    * Scale shape: a map-side-combined `groupBy(shingle).count` (each
+    * task emits one row per distinct shingle it saw — hot boilerplate
+    * shingles cost one partial row per task, not one reducer holding
+    * every occurrence), a semi-join back on the shingle (AQE skew-split
+    * applies), and one doc-keyed sort for the island merge — all linear
+    * in total token count with bounded reducers. At 100 TB shuffle
+    * xxhash64(shingle) instead of the string (8 bytes vs ~10·w, same
+    * plan, collision odds 2^-64 per pair — the standard trade); the
     * string key is kept here for engine-exact oracle replay. */
   /** (doc_id, p, sh): every w-token window of every document, 1-based
     * start position, shingle = space-joined window tokens. */
@@ -929,14 +932,26 @@ object Dedup {
         (col("end_pos") - col("start_pos") + 1).cast("int").as("n_span_tokens"))
   }
 
-  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dup = windowOccurrences(documents, w)
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("c") > 1)
+  /** Mark window positions whose shingle occurs more than once in the
+    * corpus. Deliberately TWO-PHASE — `groupBy(sh).count` then a
+    * left-semi join back on the shingle — rather than the superficially
+    * cheaper `count(1) OVER (PARTITION BY sh)`: window functions never
+    * partial-aggregate, so on boilerplate-heavy corpora (a cookie-banner
+    * shingle repeated billions of times) the window form lands EVERY
+    * occurrence of a hot shingle on one task — a straggler/OOM key at
+    * scale. The two-phase form map-side-combines the count (each task
+    * emits one row per distinct shingle it saw), and the join back is a
+    * real join so AQE's skew handling can split hot probe partitions.
+    * Same result, bounded reducers. */
+  private def dupWindowPositions(occ: DataFrame): DataFrame = {
+    val repeated = occ.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("sh"))
+    occ.join(repeated, Seq("sh"), "left_semi")
       .select(col("doc_id"), col("p"))
-    mergeIslands(dup, w)
   }
+
+  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame =
+    mergeIslands(dupWindowPositions(windowOccurrences(documents, w)), w)
 
   /** Character-window variant of [[dupSpans]] — catches repeats SHORTER
     * than the token tier's w=8 windows and repeats that cross token
@@ -951,21 +966,18 @@ object Dedup {
     * emit one ~w-char shingle per CHARACTER (≈5× the token tier's
     * per-token emission at w=8), so run this tier with the same
     * xxhash64-the-shingle swap at 100 TB and expect ~w× the token
-    * tier's shuffle bytes; the plan is still one keyed exchange plus the
-    * doc-keyed island sort, linear in corpus size. */
+    * tier's shuffle bytes; the plan is the same two-phase count +
+    * semi-join + doc-keyed island sort, linear in corpus size. */
   def dupSpansChars(documents: DataFrame, w: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dup = documents
+    val occ = documents
       .withColumn("n", length(col("text")))
       .filter(col("n") >= w)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(1), col("n") - (w - 1)),
         i => col("text").substr(i, lit(w)))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("c") > 1)
-      .select(col("doc_id"), col("p"))
-    mergeIslands(dup, w).withColumnRenamed("n_span_tokens", "n_span_chars")
+    mergeIslands(dupWindowPositions(occ), w)
+      .withColumnRenamed("n_span_tokens", "n_span_chars")
   }
 
   /** Persistable shingle-count artifact for incremental span dedup:
@@ -990,7 +1002,6 @@ object Dedup {
     * side is a key scan, never re-derived — the d12 ingest posture. */
   def dupSpansIncremental(batch: DataFrame, corpusShingles: DataFrame,
                           w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // artifact-compatibility gate: a limit-1 probe (cheap, and the w
     // column is constant by construction) — NOT a silent empty join
     if (corpusShingles.columns.contains("w"))
@@ -998,10 +1009,16 @@ object Dedup {
         require(r.getInt(0) == w,
           s"corpus shingle artifact was built with w=${r.getInt(0)}, probe uses w=$w")
       }
-    val dup = windowOccurrences(batch, w)
-      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .join(corpusShingles.select(col("sh"), col("cnt")), Seq("sh"), "left")
-      .filter(col("bc") > 1 || col("cnt").isNotNull)
+    // a batch window is duplicated iff its shingle repeats WITHIN the
+    // batch or exists in the corpus artifact — the dup-shingle set is
+    // the union of the two key tables, and the semi-join back keeps the
+    // marking two-phase (see dupWindowPositions' skew rationale; the
+    // within-batch count is map-side combined, never a window)
+    val occ = windowOccurrences(batch, w)
+    val dupSh = occ.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("sh"))
+      .union(corpusShingles.select(col("sh")))
+    val dup = occ.join(dupSh, Seq("sh"), "left_semi")
       .select(col("doc_id"), col("p"))
     mergeIslands(dup, w)
   }
