@@ -248,6 +248,7 @@ object SparkEntry {
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "c27_perplexity_gate" -> Seq("doc_id"),
+    "c32_paragraph_gate" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -753,6 +754,15 @@ object SparkEntry {
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
+    // CCNet paragraph granularity: planted multi-language / OOV-heavy
+    // paragraphs (the corpus has none), language+perplexity scored PER
+    // PARAGRAPH, survivors re-assembled in order; the reference LM is
+    // the UNPLANTED src0 slice (c27's reference posture)
+    "c32_paragraph_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.paragraphGate(plantParagraphs(docs),
+        docs.filter(col("source") === "src0"))
+    }),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
     "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
     "c22_temperature_mix" -> ((s, d) => Curation.temperatureMix(t(s, d, "documents"))),
@@ -3116,6 +3126,61 @@ object SparkEntry {
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
     "c27_perplexity_gate" -> perplexitySql,
+    // c32: the plantParagraphs CASE concatenation, newline split →
+    // per-paragraph stopword-argmax language (the t1 fragments over the
+    // paragraph's tokens) + per-paragraph cross-entropy (c27's decimal
+    // chain at (doc, par) grain against the UNPLANTED src0 LM), keep =
+    // lang match AND ce <= 6.0, ordered FILTERed list re-assembly
+    "c32_paragraph_gate" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'el que de la en los y el que de la en'
+              ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'the a of zyzzyva qwerzix veldspar oolite brontide petrichor'
+              ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'the table scan row filter a query value data part'
+              ELSE '' END AS text
+            FROM documents),
+          sp AS (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, chr(10))],
+              x -> x <> '') AS ps FROM aug),
+          par AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS par_id, ps[i] AS par
+            FROM sp, unnest(generate_series(1, len(ps))) AS u(i)),
+          ptk AS (SELECT doc_id, par_id, par, ${toksOf("par")} AS t FROM par),
+          lsc AS (SELECT doc_id, par_id, par,
+            ${TextOps.langOrder.map(l => s"${stopHits(l)} AS score_$l").mkString(",\n            ")}
+            FROM ptk),
+          lng AS (SELECT doc_id, par_id, par, $predLangCase AS pred_lang FROM lsc),
+          rtk AS (SELECT unnest($toks) AS term FROM documents
+                  WHERE source = 'src0'),
+          tf AS (SELECT term, count(*) AS rtf FROM rtk GROUP BY 1),
+          st AS (SELECT count(*) AS rtotal, count(DISTINCT term) AS rv FROM rtk),
+          ptm AS (SELECT doc_id, par_id, unnest(t) AS term FROM ptk),
+          ce AS (SELECT doc_id, par_id,
+            CAST(CAST(-CAST(sum(CAST(CAST(ln(CAST(coalesce(tf.rtf, 0) + 1
+                 AS DOUBLE) / (st.rtotal + st.rv + 1)) AS DECIMAL(38,6))
+                 AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS cross_entropy
+            FROM ptm LEFT JOIN tf ON ptm.term = tf.term, st
+            GROUP BY doc_id, par_id),
+          g AS (SELECT l.doc_id, l.par_id, l.par,
+            CASE WHEN l.pred_lang = 'en' AND c.cross_entropy <= 6.0
+              THEN 1 ELSE 0 END AS kept
+            FROM lng l JOIN ce c
+              ON l.doc_id = c.doc_id AND l.par_id = c.par_id),
+          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_paragraphs,
+            CAST(sum(kept) AS INTEGER) AS n_kept,
+            coalesce(array_to_string(
+              list(par ORDER BY par_id) FILTER (WHERE kept = 1), chr(10)),
+              '') AS clean_text
+            FROM g GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(a.n_paragraphs, 0) AS n_paragraphs,
+            coalesce(a.n_kept, 0) AS n_kept,
+            coalesce(a.clean_text, '') AS clean_text
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          ORDER BY d.doc_id""",
     // st16 is the SAME scoring driven per micro-batch against the static
     // reference LM — the batch oracle gates the streamed union verbatim
     "st16_perplexity_stream" -> perplexitySql,

@@ -119,6 +119,44 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(gated("4_dedup") > 0, "composed funnel must keep something")
   }
 
+  test("paragraph gate: per-paragraph lang+ppl keep/drop with ordered reassembly") {
+    import spark.implicits._
+    val ref = Seq((100L, "the data table scan query of and to in is a"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // par0 kept (en, in-vocab), par1 dropped (es), par2 kept → rejoin order
+      (1L, "the data table scan\nel que de la en los\nthe data query scan"),
+      // en-led but OOV-heavy: lang passes, perplexity gate drops it
+      (2L, "the a of zyx qqq www"),
+      // single clean paragraph: identity
+      (3L, "the data of query")).toDF("doc_id", "text")
+    val out = Curation.paragraphGate(docs, ref, maxNats = 2.6).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((3, 2, "the data table scan\nthe data query scan")))
+    assert(out(2L) === ((1, 0, "")))
+    assert(out(3L) === ((1, 1, "the data of query")))
+  }
+
+  test("paragraph gate slots in front of the curation funnel") {
+    val docs = table("documents")
+    val planted = SparkEntry.plantParagraphs(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val gate = Curation.paragraphGate(planted,
+      docs.filter(col("source") === "src0")).localCheckpoint()
+    // the gate separates at paragraph grain: some doc loses a paragraph
+    // but no doc disappears
+    assert(gate.filter(col("n_kept") < col("n_paragraphs")).count() > 0)
+    assert(gate.count() === docs.count())
+    // clean_text feeds the funnel as a drop-in documents frame
+    val cleaned = gate.select(col("doc_id"), col("clean_text").as("text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val stages = Curation.curationFunnel(cleaned).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("0_all") === docs.count())
+    assert(stages("4_dedup") > 0, "funnel over cleaned paragraphs kept nothing")
+  }
+
   test("dedup-aware mix: near-dup copies stop buying sampling mass") {
     import spark.implicits._
     // source A = 4 identical docs (one content unit), source B = 4
