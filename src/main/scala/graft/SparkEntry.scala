@@ -95,6 +95,27 @@ object SparkEntry {
         .otherwise(lit(""))
     ).as("text"))
 
+  /** Deterministic planted HTML wrapper for the t16 gate — the corpus is
+    * plain text, so markup extraction needs planted markup (same idiom).
+    * Covers every extractor rule: head/title + style block (style content
+    * must vanish, title text must survive), a %3 script block whose CODE
+    * carries entities (must vanish before decode), a %4 div with the five
+    * entities (tag drops, decoded text survives), attribute-bearing and
+    * self-closing tags. */
+  private[graft] def plantHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { color: red; }</style></head><body><p>"),
+      col("text"), lit("</p><br/>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<script type=\"text/javascript\">var x = 1 &amp;&amp; 2; if (x &lt; 3) { x = 4; }</script>"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("<div class=\"note\">extra &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;tick&#39; a&nbsp;b</div>"))
+        .otherwise(lit("")),
+      lit("</body></html>")
+    ).as("text"))
+
   private[graft] def plantQualityViolations(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       col("text"),
@@ -249,6 +270,7 @@ object SparkEntry {
     "t7_unigram_ll" -> Seq("doc_id"),
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
+    "t16_html_extract" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -763,6 +785,10 @@ object SparkEntry {
       Curation.paragraphGate(plantParagraphs(docs),
         docs.filter(col("source") === "src0"))
     }),
+    // the web-corpus front door: markup planted (the corpus is plain
+    // text), script/style dropped, tags stripped, entities decoded
+    "t16_html_extract" -> ((s, d) =>
+      TextOps.htmlExtract(plantHtml(t(s, d, "documents")))),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
     "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
     "c22_temperature_mix" -> ((s, d) => Curation.temperatureMix(t(s, d, "documents"))),
@@ -3126,7 +3152,41 @@ object SparkEntry {
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
     "c27_perplexity_gate" -> perplexitySql,
-    // c32: the plantParagraphs CASE concatenation, newline split →
+    // t16: the plantHtml concatenation, then the same four extractor
+    // stages — lazy dot-all script/style drop (RE2 and java.util.regex
+    // agree on (?is) + lazy quantifiers), tag→space, the six plain
+    // replaces with &amp; last, whitespace collapse
+    "t16_html_extract" ->
+      """WITH aug AS (SELECT doc_id,
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+            '</title><style>p { color: red; }</style></head><body><p>' ||
+            text || '</p><br/>' ||
+            CASE WHEN doc_id % 3 = 0
+              THEN '<script type="text/javascript">var x = 1 &amp;&amp; 2; if (x &lt; 3) { x = 4; }</script>'
+              ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+              THEN '<div class="note">extra &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;tick&#39; a&nbsp;b</div>'
+              ELSE '' END ||
+            '</body></html>' AS text
+            FROM documents),
+          s1 AS (SELECT doc_id,
+            regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+            FROM aug),
+          s2 AS (SELECT doc_id,
+            regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+            FROM s1),
+          s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+            FROM s2),
+          s4 AS (SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(t,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&nbsp;', ' '), '&amp;', '&') AS t
+            FROM s3),
+          s5 AS (SELECT doc_id,
+            trim(regexp_replace(t, '[\s　]+', ' ', 'g')) AS t FROM s4)
+          SELECT doc_id, t AS clean_text,
+            CAST(length(t) AS INTEGER) AS n_chars
+          FROM s5 ORDER BY doc_id""",
     // per-paragraph stopword-argmax language (the t1 fragments over the
     // paragraph's tokens) + per-paragraph cross-entropy (c27's decimal
     // chain at (doc, par) grain against the UNPLANTED src0 LM), keep =

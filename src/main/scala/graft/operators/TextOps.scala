@@ -452,6 +452,36 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("_sents")).as(Seq("sent_id", "sentence")))
       .withColumn("n_tokens", size(tokens(col("sentence"))))
 
+  /** HTML→text extraction — the front door of a web-corpus funnel: real
+    * crawls arrive as markup, and every downstream text operator assumes
+    * extracted plain text. Naive-extractor semantics (the C4 starting
+    * point, not a DOM parser): (1) `<script>`/`<style>` blocks drop WITH
+    * their content (code/CSS is not prose — two lazy dot-all passes, so
+    * a mismatched `<script>…</style>` pair cannot cross-swallow);
+    * (2) every remaining tag is replaced by a space (content of title/
+    * div/p survives — tag-boundary spacing keeps adjacent words from
+    * fusing); (3) the five ubiquitous character entities + `&amp;`
+    * decode via plain `replace`, ampersand LAST so `&amp;lt;` decodes to
+    * the literal `&lt;` and not `<` (the standard single-pass order);
+    * decoded angle brackets are NOT re-stripped — entity decode happens
+    * after tag removal on purpose; (4) whitespace collapses to single
+    * spaces and trims. All patterns are literal-class RE2-safe regexes
+    * with lazy quantifiers both engines implement identically; map-only,
+    * no shuffle — composes in front of t1/c24/c32 at any scale. */
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val clean = trim(regexp_replace(decoded, "[\\s　]+", " "))
+    documents.select(col("doc_id"), clean.as("clean_text"),
+      length(clean).cast("int").as("n_chars"))
+  }
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

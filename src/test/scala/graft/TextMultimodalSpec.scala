@@ -19,6 +19,38 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("html extract: script/style dropped, tags stripped, entities decoded, ws collapsed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><head><title>T</title><style>h1 {x: y;}</style></head>" +
+        "<body><p>hello</p><b>world</b><script>var a = 1 &lt; 2;</script></body></html>"),
+      (2L, "no markup at all"),
+      (3L, "a &amp; b &lt;c&gt; &quot;d&quot; e&nbsp;f &#39;g&#39;"),
+      // &amp;lt; must decode to the literal string &lt;, not <
+      (4L, "x &amp;lt; y"),
+      (5L, "<div\nclass='m'>multi\nline</div><br/><hr />tail")).toDF("doc_id", "text")
+    val out = TextOps.htmlExtract(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L)._1 === "T hello world")
+    assert(out(2L)._1 === "no markup at all")
+    assert(out(3L)._1 === "a & b <c> \"d\" e f 'g'")
+    assert(out(4L)._1 === "x &lt; y")
+    assert(out(5L)._1 === "multi line tail")
+    out.values.foreach { case (t, n) => assert(n === t.length) }
+  }
+
+  test("curation funnel accepts raw-HTML input through the t16 front door") {
+    val docs = table("documents")
+    val html = SparkEntry.plantHtml(docs)
+    val extracted = TextOps.htmlExtract(html)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("n_chars").cast("long").as("n_chars"))
+    val stages = graft.operators.Curation.curationFunnel(extracted).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("0_all") === docs.count())
+    assert(stages("4_dedup") > 0, "funnel over extracted HTML kept nothing")
+  }
+
   test("ngram lang-id: profiles deterministic, unseen docs classified, short docs und") {
     import spark.implicits._
     // crafted labeled corpus with distinctive trigram morphology
