@@ -116,6 +116,26 @@ object SparkEntry {
       lit("</body></html>")
     ).as("text"))
 
+  /** Deterministic planted URLs for the c33 gate (the corpus has none):
+    * a mixed-case blocked domain (%11 — normalization must fire before
+    * the blocklist), a www-prefixed mixed-case .com (%2 — strip + 3-label
+    * host), a two-label-TLD host (%3 — registered domain is three
+    * labels), and a small sharded .org family (else) big enough to trip
+    * the per-domain cap. CASE order resolves overlaps; the oracle
+    * mirrors it. */
+  private[graft] def plantUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("HTTPS://Spam.Example/track?id="), col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("https://WWW.News.Example.COM/articles/"), col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("http://blog.example.co.uk/post/"), col("doc_id").cast("string")))
+      .otherwise(
+        concat(lit("https://data"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example.org/item/"), col("doc_id").cast("string")))
+      .as("url"))
+
   private[graft] def plantQualityViolations(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       col("text"),
@@ -271,6 +291,7 @@ object SparkEntry {
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
+    "c33_url_gate" -> Seq("doc_id"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -789,6 +810,10 @@ object SparkEntry {
     // text), script/style dropped, tags stripped, entities decoded
     "t16_html_extract" -> ((s, d) =>
       TextOps.htmlExtract(plantHtml(t(s, d, "documents")))),
+    // the layer BEFORE text: URL normalize → registered domain →
+    // blocklist + rate-gate domain cap over planted URLs
+    "c33_url_gate" -> ((s, d) =>
+      Curation.urlDomainGate(plantUrls(t(s, d, "documents")))),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
     "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
     "c22_temperature_mix" -> ((s, d) => Curation.temperatureMix(t(s, d, "documents"))),
@@ -3152,6 +3177,52 @@ object SparkEntry {
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
     "c27_perplexity_gate" -> perplexitySql,
+    // c33: plantUrls CASE replay → scheme/host regex parse + lowercase +
+    // www-strip → list-sliced registered domain with the two-label-TLD
+    // table → blocklist flag → per-domain count + c22's decimal-6 rate
+    // and mod-hash gate
+    "c33_url_gate" ->
+      """WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0
+              THEN 'HTTPS://Spam.Example/track?id=' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 2 = 0
+              THEN 'https://WWW.News.Example.COM/articles/' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 3 = 0
+              THEN 'http://blog.example.co.uk/post/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://data' || CAST(doc_id % 5 AS VARCHAR) ||
+              '.example.org/item/' || CAST(doc_id AS VARCHAR) END AS url
+            FROM documents),
+          p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host
+            FROM u),
+          l AS (SELECT doc_id, scheme, host, string_split(host, '.') AS ls
+            FROM p),
+          r2 AS (SELECT doc_id, scheme, host, ls,
+            CASE WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.')
+              ELSE host END AS last2
+            FROM l),
+          dm AS (SELECT doc_id, scheme, host,
+            CASE WHEN len(ls) >= 3 AND
+                list_contains(['co.uk','ac.uk','com.au','co.jp'], last2)
+              THEN array_to_string(ls[-3:], '.') ELSE last2 END AS reg_domain
+            FROM r2),
+          b AS (SELECT doc_id, scheme, host, reg_domain,
+            CAST(list_contains(['spam.example','ads.example'], reg_domain)
+              AS INTEGER) AS blocked
+            FROM dm),
+          c AS (SELECT reg_domain, count(*) AS n_domain_docs,
+            CAST(CAST(least(1.0, 100.0 / count(*)) AS DECIMAL(38,6)) AS DOUBLE)
+              AS keep_rate
+            FROM b GROUP BY 1)
+          SELECT b.doc_id, b.scheme, b.host, b.reg_domain, b.blocked,
+            c.n_domain_docs, c.keep_rate,
+            CAST(CASE WHEN b.blocked = 0 AND
+              ((b.doc_id % 1000003) * 2246822519 + 104729) % 1000000
+                < CAST(floor(c.keep_rate * 1000000.0) AS BIGINT)
+              THEN 1 ELSE 0 END AS INTEGER) AS kept
+          FROM b JOIN c USING (reg_domain) ORDER BY b.doc_id""",
     // t16: the plantHtml concatenation, then the same four extractor
     // stages — lazy dot-all script/style drop (RE2 and java.util.regex
     // agree on (?is) + lazy quantifiers), tag→space, the six plain

@@ -544,6 +544,60 @@ object Curation {
       .withColumn("kept", (col("cross_entropy") <= maxNats).cast("int"))
   }
 
+  /** URL/domain-layer curation — the C4/RefinedWeb step BEFORE any text
+    * operator touches a byte of body text: parse and normalize the URL,
+    * extract the registered domain, gate on a domain blocklist, and cap
+    * any one domain's share of the corpus. URL algebra is pure columns
+    * (scheme/host/path regexes over literal classes both engines share;
+    * host lowercased, one leading `www.` stripped); the registered
+    * domain is the host's last two labels — last three when the last
+    * two are a listed two-label public suffix (`co.uk` etc.; the full
+    * public-suffix list is data, not code — swap `twoLabelTlds` for it
+    * at deployment). The per-domain cap is deliberately NOT a
+    * row_number window (one reducer per hot domain — a crawl of
+    * wikipedia.org would straggle exactly like the span family's hot
+    * shingle): it is the c22 rate-gate — a map-side-combinable
+    * per-domain count, rate = min(1, cap/n), and a deterministic
+    * per-doc mod-hash against the rate — so a hot domain costs one
+    * partial-count row per task and the gate stays a pure map.
+    * `kept` = not blocked AND hash-gate passes. */
+  def urlDomainGate(documents: DataFrame, urlCol: String = "url",
+                    blocklist: Seq[String] = Seq("spam.example", "ads.example"),
+                    twoLabelTlds: Seq[String] = Seq("co.uk", "ac.uk", "com.au", "co.jp"),
+                    maxPerDomain: Long = 100, seed: Long = 104729L): DataFrame = {
+    val url = col(urlCol)
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(rawHost, "^www\\.", "")
+    val parsed = documents
+      .select(col("doc_id"), scheme.as("scheme"), host.as("host"))
+      .withColumn("_labels", split(col("host"), "\\."))
+      .withColumn("_n", size(col("_labels")))
+      .withColumn("_last2", when(col("_n") >= 2,
+        concat_ws(".", slice(col("_labels"), -2, 2))).otherwise(col("host")))
+      .withColumn("reg_domain",
+        when(col("_n") >= 3 &&
+            col("_last2").isInCollection(twoLabelTlds),
+          concat_ws(".", slice(col("_labels"), -3, 3)))
+          .otherwise(col("_last2")))
+      .withColumn("blocked",
+        col("reg_domain").isInCollection(blocklist).cast("int"))
+      .select(col("doc_id"), col("scheme"), col("host"),
+        col("reg_domain"), col("blocked"))
+    val counts = parsed.groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n_domain_docs"))
+      .withColumn("keep_rate", decRound(
+        least(lit(1.0), lit(maxPerDomain.toDouble) / col("n_domain_docs")), 6))
+      .withColumn("_thr", floor(col("keep_rate") * 1e6).cast("long"))
+    val gate =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(seed),
+        lit(1000000L))
+    parsed.join(counts, Seq("reg_domain"))
+      .select(col("doc_id"), col("scheme"), col("host"), col("reg_domain"),
+        col("blocked"), col("n_domain_docs"), col("keep_rate"),
+        (col("blocked") === 0 && gate < col("_thr")).cast("int").as("kept"))
+  }
+
   /** CCNet-granularity PARAGRAPH curation: language-ID and perplexity
     * are scored PER PARAGRAPH and paragraphs are kept or dropped
     * individually, then the survivors re-assemble in order — the

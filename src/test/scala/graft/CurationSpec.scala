@@ -157,6 +157,38 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(stages("4_dedup") > 0, "funnel over cleaned paragraphs kept nothing")
   }
 
+  test("url gate: normalize, registered domain, blocklist, rate-gated cap") {
+    import spark.implicits._
+    val docs = (
+      Seq((1L, "HTTPS://WWW.Example.COM/a?q=1"),
+        (2L, "https://sub.example.co.uk/path"),
+        (3L, "http://spam.example/landing"),
+        (4L, "https://one-label/x")) ++
+      (100L until 400L).map(i => (i, s"https://big.corpus.net/doc/$i")))
+      .toDF("doc_id", "url")
+    val out = Curation.urlDomainGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("scheme") === "https")
+    assert(out(1L).getAs[String]("host") === "example.com")
+    assert(out(1L).getAs[String]("reg_domain") === "example.com")
+    assert(out(2L).getAs[String]("reg_domain") === "example.co.uk")
+    assert(out(3L).getAs[Int]("blocked") === 1 && out(3L).getAs[Int]("kept") === 0)
+    assert(out(4L).getAs[String]("reg_domain") === "one-label")
+    // hot domain: 300 docs against cap 100 → rate 1/3, kept strictly
+    // between 0 and all, deterministic across runs and partitionings
+    val hot = out.values.filter(_.getAs[String]("reg_domain") === "corpus.net")
+    assert(hot.size === 300)
+    assert(hot.forall(_.getAs[Double]("keep_rate") === 0.333333))
+    val kept = hot.count(_.getAs[Int]("kept") === 1)
+    assert(kept > 0 && kept < 300)
+    val again = Curation.urlDomainGate(docs.repartition(7)).collect()
+      .count(r => r.getAs[Int]("kept") === 1)
+    assert(again === out.values.count(_.getAs[Int]("kept") === 1))
+    // the cap is a rate gate, not a per-domain window: no Window operator
+    val p = Curation.urlDomainGate(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"domain cap regressed to a window:\n$p")
+  }
+
   test("dedup-aware mix: near-dup copies stop buying sampling mass") {
     import spark.implicits._
     // source A = 4 identical docs (one content unit), source B = 4
