@@ -292,6 +292,7 @@ object SparkEntry {
     "c32_paragraph_gate" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
+    "c34_hybrid_rrf" -> Seq("q_id", "rank"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -814,6 +815,15 @@ object SparkEntry {
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
       Curation.urlDomainGate(plantUrls(t(s, d, "documents")))),
+    // hybrid retrieval: s1's dense cosine list + the BM25-vs-query-doc
+    // sparse list, fused by reciprocal rank (doc_id ≡ vec_id; the two
+    // indexes cover different id ranges — RRF's normal regime)
+    "c34_hybrid_rrf" -> ((s, d) => {
+      val dense = Similarity.bruteTopK(t(s, d, "embeddings"), 10, 10)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Curation.rrfFuse(dense,
+        Curation.bm25QueryDocRanking(t(s, d, "documents")))
+    }),
     "c21_bigram_ll" -> ((s, d) => Curation.bigramLogLik(t(s, d, "documents"))),
     "t10_vocab_coverage" -> ((s, d) => Curation.vocabCoverage(t(s, d, "documents"))),
     "c22_temperature_mix" -> ((s, d) => Curation.temperatureMix(t(s, d, "documents"))),
@@ -3177,6 +3187,62 @@ object SparkEntry {
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
     "c27_perplexity_gate" -> perplexitySql,
+    // c34: s1's dense cosine list at k=10 ∪ the BM25-vs-query-doc
+    // sparse list (c25's scoring algebra per (q,doc) with the decimal-6
+    // round → exact decimal sum discipline), FULL OUTER on (q_id,
+    // doc_id), RRF = Σ 1/(60+rank) with missing lists contributing 0,
+    // decimal-6, re-ranked with the id tie-break
+    "c34_hybrid_rrf" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          dp AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+                list_cosine_similarity(q.v, c.v) AS cos
+                FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          da AS (SELECT q_id, doc_id, rank_a FROM (
+                SELECT q_id, doc_id, CAST(row_number() OVER
+                  (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC,
+                   doc_id) AS INTEGER) AS rank_a FROM dp)
+                WHERE rank_a <= 10),
+          terms AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+            GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+          dlen AS (SELECT doc_id, sum(tf) AS dl FROM terms GROUP BY 1),
+          st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                        (SELECT sum(tf) FROM terms) AS tt),
+          qt AS (SELECT doc_id AS q_id, term AS qterm FROM terms
+                 WHERE doc_id < 10),
+          sp AS (SELECT qt.q_id, t.doc_id,
+                 CAST(CAST((ln(CAST(1 AS DOUBLE) +
+                        ((CAST(st.n AS DOUBLE) - dfreq.df) + CAST(0.5 AS DOUBLE))
+                        / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                      * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))))
+                   / (t.tf + CAST(1.2 AS DOUBLE) *
+                      ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                       (CAST(0.75 AS DOUBLE) * d.dl) /
+                       (CAST(st.tt AS DOUBLE) / CAST(st.n AS DOUBLE))))
+                 AS DECIMAL(38,6)) AS DECIMAL(28,6)) AS c
+                 FROM terms t
+                 JOIN qt ON t.term = qt.qterm AND t.doc_id <> qt.q_id
+                 JOIN dfreq ON t.term = dfreq.term
+                 JOIN dlen d ON d.doc_id = t.doc_id CROSS JOIN st),
+          sb AS (SELECT q_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+                 FROM sp GROUP BY 1, 2),
+          db AS (SELECT q_id, doc_id, rank_b FROM (
+                SELECT q_id, doc_id, CAST(row_number() OVER
+                  (PARTITION BY q_id ORDER BY score DESC, doc_id)
+                  AS INTEGER) AS rank_b FROM sb)
+                WHERE rank_b <= 10),
+          fu AS (SELECT q_id, doc_id,
+                CAST(CAST(
+                  coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), CAST(0 AS DOUBLE)) +
+                  coalesce(CAST(1 AS DOUBLE) / (60 + rank_b), CAST(0 AS DOUBLE))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS rrf_score
+                FROM da FULL OUTER JOIN db USING (q_id, doc_id)),
+          fr AS (SELECT q_id, doc_id, rrf_score, CAST(row_number() OVER
+                  (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id)
+                  AS INTEGER) AS rank FROM fu)
+          SELECT q_id, doc_id, rrf_score, rank FROM fr WHERE rank <= 10
+          ORDER BY q_id, rank""",
     // c33: plantUrls CASE replay → scheme/host regex parse + lowercase +
     // www-strip → list-sliced registered domain with the two-label-TLD
     // table → blocklist flag → per-domain count + c22's decimal-6 rate

@@ -544,6 +544,77 @@ object Curation {
       .withColumn("kept", (col("cross_entropy") <= maxNats).cast("int"))
   }
 
+  /** BM25 ranking of the corpus against QUERY DOCUMENTS (doc_id <
+    * numQueries) — the sparse half of hybrid retrieval: each query doc's
+    * distinct terms score every corpus document sharing a term (standard
+    * presence-weighted BM25 query form; query-side tf deliberately
+    * ignored), self-matches excluded. Per-(query,term,doc) contributions
+    * are decimal-6 rounded then exact-decimal summed (the t7 discipline
+    * — engine-stable regardless of join order), ranked per query with
+    * the id tie-break. Scale shape: corpus stats are c25's (term-keyed
+    * hash aggs, map-side combined); the query term table is numQueries
+    * docs' vocabulary — broadcast; scoring is one broadcast join + one
+    * (q,doc)-keyed aggregation; the rank window partitions on q_id
+    * (bounded by numQueries, each holding candidate rows only). */
+  def bm25QueryDocRanking(documents: DataFrame, numQueries: Int = 10,
+                          k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dlen = terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val tt = terms.agg(sum(col("tf")).as("tt"))
+    val avgdl = col("tt").cast("double") / col("n").cast("double")
+    val qterms = terms.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("q_id"), col("term").as("qterm"))
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    val scored = terms
+      .join(broadcast(qterms),
+        col("term") === col("qterm") && col("doc_id") =!= col("q_id"))
+      .join(dfreq, "term").join(dlen, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tt))
+      .withColumn("c", decRound(contrib, 6))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c").cast(DecimalType(28, 6))).as("_s"))
+      .withColumn("score", col("_s").cast("double"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings over the same (q_id, doc_id)
+    * key — the public hybrid-retrieval combiner (Cormack et al.'s RRF):
+    * `rrf = Σ 1/(kRrf + rank)` over the lists the item appears in
+    * (missing from a list = no contribution — asymmetric coverage of
+    * the two indexes is the normal case). Rank-only fusion, so the two
+    * scorers' incomparable score scales never meet; kRrf=60 is the
+    * paper's constant. Both inputs are top-k tables (bounded per
+    * query), so the full-outer join and the re-rank window are
+    * query-bounded — the fusion step's cost is independent of corpus
+    * size no matter how big the indexes behind the lists are. */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame,
+              kRrf: Int = 60, k: Int = 10): DataFrame = {
+    val a = dense.select(col("q_id"), col("doc_id"), col("rank").as("rank_a"))
+    val b = sparse.select(col("q_id"), col("doc_id"), col("rank").as("rank_b"))
+    val fused = a.join(b, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", decRound(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rrf_score"), col("rank"))
+  }
+
   /** URL/domain-layer curation — the C4/RefinedWeb step BEFORE any text
     * operator touches a byte of body text: parse and normalize the URL,
     * extract the registered domain, gate on a domain blocklist, and cap

@@ -157,6 +157,40 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(stages("4_dedup") > 0, "funnel over cleaned paragraphs kept nothing")
   }
 
+  test("rrf fusion: exact scores, full-outer coverage, fused beats either alone") {
+    import spark.implicits._
+    // ground truth: doc 50 is the one relevant item; each ranker alone
+    // puts a (different) distractor first, so precision@1 is 0 for both
+    // — but only doc 50 appears in BOTH lists, so RRF ranks it first
+    val dense = Seq((0L, 10L, 1), (0L, 50L, 2), (0L, 11L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val sparse = Seq((0L, 20L, 1), (0L, 50L, 2), (0L, 21L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val out = Curation.rrfFuse(dense, sparse).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    // 1/62 + 1/62 = 0.032258 (decimal-6); singles: 1/61 = 0.016393
+    assert(out(50L) === ((0.032258, 1)), "both-list doc must fuse to the top")
+    assert(out(10L)._1 === 0.016393 && out(20L)._1 === 0.016393)
+    // rank-1 singles (1/61) outrank rank-3 singles (1/63); ties among
+    // equals break on doc_id ascending
+    assert(out(10L)._2 === 2 && out(20L)._2 === 3)
+    assert(out(11L)._2 === 4 && out(21L)._2 === 5)
+  }
+
+  test("hybrid rrf end-to-end: both rankers contribute on the real tables") {
+    val out = SparkEntry.queries("c34_hybrid_rrf")(spark, SharedSpark.sfDir)
+      .localCheckpoint()
+    val n = out.count()
+    assert(n > 0 && n <= 100) // ≤ k per query
+    // fused scores are in the RRF range and every query has a rank-1 hit
+    val top = out.filter(col("rank") === 1)
+    assert(top.count() > 0)
+    // at least one fused item carries contributions from both lists
+    // (score > max single-list contribution 1/61)
+    assert(out.filter(col("rrf_score") > 0.0164).count() > 0,
+      "no item appeared in both rankers' lists")
+  }
+
   test("url gate: normalize, registered domain, blocklist, rate-gated cap") {
     import spark.implicits._
     val docs = (
