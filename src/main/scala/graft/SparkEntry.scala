@@ -293,6 +293,7 @@ object SparkEntry {
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
+    "st18_phash_stream" -> Seq("doc_a", "doc_b"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -878,6 +879,11 @@ object SparkEntry {
     // near-dup layer); == the d11 batch recompute, so its oracle gates
     // this verbatim — the signature/banded staging is re-derived here
     // (deterministic seeded hashing) so the key is self-contained
+    // streaming visual ingest: per-micro-batch in-stream dHash + probe
+    // against the growing corpus phash state (the st14 posture at the
+    // visual layer); == the d23 batch recompute, gated by its oracle
+    "st18_phash_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.phashIngestFileStream(Tables.tune(s), d)),
     "st14_neardup_stream" -> ((s, d) => {
       val ss = Tables.tune(s)
       val docs = t(s, d, "documents")
@@ -1207,6 +1213,45 @@ object SparkEntry {
   // REFERENCE-slice Laplace LM (ln of an exact rational → decimal-6 →
   // exact decimal sum → negated decimal-4 average) and an integer gate on
   // the rounded score — decimal-4 comparison cannot flip cross-engine
+  // Shared m9/d22/d23/st18 dHash plant-replay fragments (the wavFramesSql
+  // factoring applied to the image side — ADVICE r9): px derives the
+  // planted 8×8 comparison grid, bits the dHash comparisons, re the
+  // packed 2×32-bit signature halves. A plant-formula or sampling-index
+  // change now edits ONE place.
+  private lazy val phashPlantCtes =
+    """px AS (
+           SELECT doc_id, x, y,
+                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 4 AS BIGINT) AS h
+           FROM documents,
+             unnest(generate_series(0, 7)) AS xs(x),
+             unnest(generate_series(0, 7)) AS ys(y)
+           WHERE doc_id % 16 = 0),
+         bits AS (
+           SELECT doc_id, x, y,
+             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
+                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+           FROM px),
+         re AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id)"""
+
+  /** Brute-force Hamming-pair replay over the planted dHash tier, with an
+    * optional extra WHERE clause (d23/st18 restrict to batch-touching
+    * pairs). */
+  private def phashPairsSql(extraWhere: String) =
+    s"""WITH $phashPlantCtes,
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.hi::BIT, b.hi::BIT)) +
+                  bit_count(xor(a.lo::BIT, b.lo::BIT)) AS INTEGER) AS hamming
+           FROM re a JOIN re b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pr
+         WHERE hamming <= 3$extraWhere ORDER BY doc_a, doc_b"""
+
   private lazy val perplexitySql =
     s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
         rtk AS (SELECT unnest($toks) AS term FROM documents
@@ -2322,25 +2367,7 @@ object SparkEntry {
     // rows replay the stub bit formula; both pack bits into two 32-bit
     // halves (1 << 63 overflows checked engines; halves replay anywhere)
     "m9_image_phash" ->
-      """WITH px AS (
-           SELECT doc_id, x, y,
-                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
-                  CAST(3 + doc_id % 4 AS BIGINT) AS h
-           FROM documents,
-             unnest(generate_series(0, 7)) AS xs(x),
-             unnest(generate_series(0, 7)) AS ys(y)
-           WHERE doc_id % 16 = 0),
-         bits AS (
-           SELECT doc_id, x, y,
-             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
-                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
-                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
-           FROM px),
-         re AS (
-           SELECT doc_id, 1 AS is_real,
-             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS phash_hi,
-             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS phash_lo
-           FROM bits GROUP BY doc_id),
+      s"""WITH $phashPlantCtes,
          st AS (
            SELECT doc_id, 0 AS is_real,
              CAST(SUM(CASE WHEN i >= 32
@@ -2352,68 +2379,22 @@ object SparkEntry {
            FROM documents, unnest(generate_series(0, 63)) AS t(i)
            WHERE doc_id % 16 <> 0 GROUP BY doc_id)
          SELECT doc_id, CAST(is_real AS INTEGER) AS is_real, phash_hi, phash_lo
-         FROM (SELECT * FROM re UNION ALL SELECT * FROM st) ORDER BY doc_id""",
+         FROM (SELECT doc_id, 1 AS is_real, hi AS phash_hi, lo AS phash_lo
+               FROM re UNION ALL SELECT * FROM st) ORDER BY doc_id""",
     // d22: the m9 planted-tier replay joined brute-force — the 4-chunk
     // banding is full-recall at Hamming ≤ 3 (pigeonhole), so the
     // operator's banded+verified pair set equals this exhaustive filter
-    "d22_phash_pairs" ->
-      """WITH px AS (
-           SELECT doc_id, x, y,
-                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
-                  CAST(3 + doc_id % 4 AS BIGINT) AS h
-           FROM documents,
-             unnest(generate_series(0, 7)) AS xs(x),
-             unnest(generate_series(0, 7)) AS ys(y)
-           WHERE doc_id % 16 = 0),
-         bits AS (
-           SELECT doc_id, x, y,
-             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
-                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
-                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
-           FROM px),
-         re AS (
-           SELECT doc_id,
-             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS hi,
-             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS lo
-           FROM bits GROUP BY doc_id),
-         pr AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.hi::BIT, b.hi::BIT)) +
-                  bit_count(xor(a.lo::BIT, b.lo::BIT)) AS INTEGER) AS hamming
-           FROM re a JOIN re b ON a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, hamming FROM pr
-         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "d22_phash_pairs" -> phashPairsSql(""),
     // d23: the d22 brute-force replay RESTRICTED to batch-touching pairs
     // (batch = the doc_id/16-even half of the planted tier) — equality
     // with the banded incremental probe licensed by the recall guarantee
     "d23_phash_incremental" ->
-      """WITH px AS (
-           SELECT doc_id, x, y,
-                  CAST(4 + doc_id % 5 AS BIGINT) AS w,
-                  CAST(3 + doc_id % 4 AS BIGINT) AS h
-           FROM documents,
-             unnest(generate_series(0, 7)) AS xs(x),
-             unnest(generate_series(0, 7)) AS ys(y)
-           WHERE doc_id % 16 = 0),
-         bits AS (
-           SELECT doc_id, x, y,
-             CASE WHEN (doc_id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256 >
-                       (doc_id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
-                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
-           FROM px),
-         re AS (
-           SELECT doc_id,
-             CAST(SUM(CASE WHEN y*8+x >= 32 THEN b << (y*8+x-32) ELSE 0 END) AS BIGINT) AS hi,
-             CAST(SUM(CASE WHEN y*8+x < 32 THEN b << (y*8+x) ELSE 0 END) AS BIGINT) AS lo
-           FROM bits GROUP BY doc_id),
-         pr AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.hi::BIT, b.hi::BIT)) +
-                  bit_count(xor(a.lo::BIT, b.lo::BIT)) AS INTEGER) AS hamming
-           FROM re a JOIN re b ON a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, hamming FROM pr
-         WHERE hamming <= 3 AND (doc_a % 32 = 0 OR doc_b % 32 = 0)
-         ORDER BY doc_a, doc_b""",
+      phashPairsSql(" AND (doc_a % 32 = 0 OR doc_b % 32 = 0)"),
+    // st18: the streamed union over micro-batches equals the batch d23
+    // result (probe state grows batch by batch — the st14 posture), so
+    // the same restricted brute-force replay gates it
+    "st18_phash_stream" ->
+      phashPairsSql(" AND (doc_a % 32 = 0 OR doc_b % 32 = 0)"),
     "m2_media_features" ->
       """WITH planted AS (
            SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,

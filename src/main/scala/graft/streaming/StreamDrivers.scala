@@ -721,6 +721,72 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st18: streaming VISUAL ingest — the st14 probe-then-append posture
+    * at the phash layer, closing the last asymmetric cell of the
+    * streaming×incremental matrix: the planted-image batch tier
+    * (doc_id % 32 = 0) staged as two doc-halves (maxFilesPerTrigger=1 ⇒
+    * two genuine micro-batches), each micro-batch's documents dHashed
+    * IN-STREAM ([[graft.operators.Multimodal.imagePhash]] on the batch
+    * frame — decode work proportional to the batch, the corpus is never
+    * re-decoded), probed against the persisted corpus phash table via
+    * [[graft.operators.Multimodal.phashIncremental]], then APPENDED to
+    * the state so cross-micro-batch visual pairs surface in the later
+    * batch's probe. Union over micro-batches = the d23 batch recompute
+    * (same disjointness argument as st14: the probe side is always the
+    * current micro-batch only), so d23's restricted brute-force oracle
+    * gates this driver verbatim — licensed by the Hamming-3 full-recall
+    * banding. In production the state is a chunk-bucketed phash table
+    * appended per batch; the collect is the oracle-gate harness. */
+  def phashIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-phash")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      // the persisted corpus phash artifact (the d23 corpus half)
+      var corpusSigs = graft.operators.Multimodal
+        .imagePhash(spark, docs.filter(pmod(col("doc_id"), lit(32)) === 16))
+        .localCheckpoint()
+      val stamper = new MtimeStamper
+      var first = true
+      val batchDocs = docs.filter(pmod(col("doc_id"), lit(32)) === 0)
+      Seq(batchDocs.filter(pmod(col("doc_id"), lit(64)) === 0),
+          batchDocs.filter(pmod(col("doc_id"), lit(64)) === 32)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val batchSigs = graft.operators.Multimodal
+            .imagePhash(spark, b.localCheckpoint()).localCheckpoint()
+          val found = graft.operators.Multimodal
+            .phashIncremental(corpusSigs, batchSigs)
+            .collect()
+            .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+              r.getAs[Int]("hamming")))
+          pairs.synchronized { pairs ++= found }
+          // ingest: the batch's signatures join the corpus before the
+          // next micro-batch probes (deterministic dHash, so re-hashing
+          // here equals what a persisted append would hold)
+          corpusSigs = corpusSigs.union(batchSigs).localCheckpoint()
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      pairs.toSeq.toDF("doc_a", "doc_b", "hamming")
+    } finally deleteRecursively(dir)
+  }
+
   /** st12: streaming BPE token-budget accounting driven end-to-end —
     * the corpus staged as two doc_id-halves (maxFilesPerTrigger=1 ⇒ two
     * micro-batches), tokenized IN-STREAM with the persisted merge table

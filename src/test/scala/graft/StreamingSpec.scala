@@ -298,6 +298,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       (a % 2 == 0 && b % 2 == 0) && (a % 4 != b % 4) })
   }
 
+  test("st18 driver: streamed visual ingest equals the batch d23 recompute") {
+    val streamed = graft.streaming.StreamDrivers
+      .phashIngestFileStream(spark, SharedSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch recompute: phashIncremental over the WHOLE batch tier at once
+    val ph = graft.operators.Multimodal
+      .imagePhash(spark, table("documents")).localCheckpoint()
+    val batch = graft.operators.Multimodal
+      .phashIncremental(
+        ph.filter(pmod(col("doc_id"), lit(32)) === 16),
+        ph.filter(pmod(col("doc_id"), lit(32)) === 0))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // genuinely cross-micro-batch content: a pair whose docs landed in
+    // different streamed halves (%64 = 0 vs %64 = 32) — only the
+    // post-probe phash-state append can find it
+    assert(streamed.exists { case (a, b, _) =>
+      (a % 32 == 0 && b % 32 == 0) && (a % 64 != b % 64) })
+  }
+
   test("st11 driver: streamed CDC apply equals the batch q44 result") {
     val streamed = graft.streaming.StreamDrivers
       .cdcFileStream(spark, "/root/testdata/sf0.001").collect()
