@@ -2493,12 +2493,14 @@ object SparkEntry {
     // m10: per-doc feature-sequence signature (frame order, exact
     // doubles — both engines derive them from the same integer
     // formulas, m6-verified bit-identical) self-joined on equality —
-    // the audio analogue of d22's exact tier
+    // the audio analogue of d22's exact tier. Restricted to the
+    // real-decode tier (doc_id % 8 = 0, the planted WAVs) like d22's
+    // is_real gate: stub rows would pair on id arithmetic, not content.
     "m10_audio_dup" ->
       s"""WITH sig AS (
            SELECT doc_id, count(*) AS n_frames,
              list(ROW(frame_id, feat_mean, feat_dim) ORDER BY frame_id) AS sig
-           FROM ($wavFramesSql) GROUP BY doc_id)
+           FROM ($wavFramesSql) WHERE doc_id % 8 = 0 GROUP BY doc_id)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(a.n_frames AS INTEGER) AS n_frames
          FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id

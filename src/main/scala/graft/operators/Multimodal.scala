@@ -641,10 +641,18 @@ object Multimodal {
     * on a hash of the sequence, never on audio bytes, and no n² compare
     * exists. Feature doubles derive from integer sample formulas
     * identically in both engines (m6's hash-green run is the proof), so
-    * array equality is exact. */
+    * array equality is exact.
+    *
+    * Pairing is restricted to the REAL-decode tier (the planted WAVs,
+    * `doc_id % every == 0`) — the same tier policy as [[phashPairs]]'
+    * `is_real = 1` gate: stub-fallback rows carry id-arithmetic
+    * features, so letting them pair would report "duplicates" that are
+    * artifacts of the stub formula's period (doc_ids 997 apart with
+    * equal `len % 5`), not of any audio content. */
   def audioDupPairs(spark: SparkSession, documents: DataFrame,
                     every: Int = PlantedWavs.Every): DataFrame = {
     val fr = wavFramesPlanted(spark, documents, every)
+      .filter(pmod(col("doc_id"), lit(every.toLong)) === 0)
     val sig = fr.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("frame_id"), col("feat_mean"),
         col("feat_dim")))).as("sig"), count(lit(1)).as("n_frames"))

@@ -498,7 +498,14 @@ object Similarity {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm2", dot(col("v"), col("v")))
       .localCheckpoint()
-    val m2 = v.agg(max(col("nrm2"))).collect()(0).getDouble(0)
+    // one-row aggregate over a frame that may be EMPTY: max() of zero
+    // rows is NULL — degrade to the empty result like mipsTopK/bruteTopK
+    // do, instead of NPE-ing on the driver
+    val m2Row = v.agg(max(col("nrm2"))).collect()(0)
+    if (m2Row.isNullAt(0))
+      return v.sparkSession.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0L).as("neighbor_id"), lit(0).as("rank"))
+    val m2 = m2Row.getDouble(0)
     val cand = v.withColumn("code", lshCodeAug(
         concat(col("v"), array(sqrt(greatest(lit(0.0), lit(m2) - col("nrm2")))))))
       .select(col("vec_id").as("id_b"), col("v").as("vb"), col("code"))

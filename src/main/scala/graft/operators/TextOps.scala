@@ -441,8 +441,15 @@ object TextOps {
     * keep-the-delimiter split cannot be replayed cross-engine; the
     * extraction form uses only literal char classes both dialects agree
     * on). Whitespace-only fragments are dropped after trimming; a doc
-    * with no terminator is one sentence. Map-only — no shuffle; feeds
-    * chunking (t13) and per-sentence scoring at any scale. */
+    * with no terminator is one sentence. LEADING terminator runs are
+    * dropped by construction: the pattern requires a non-terminator
+    * first, so `"...abc."` yields `"abc."` (the orphan `...` is lost)
+    * and a terminators-only doc (`"!!!"`) emits no rows at all —
+    * pinned by spec, identical in both engines (orphan leading
+    * punctuation is markup noise, not sentence content; terminators
+    * AFTER any non-terminator, including whitespace, survive as the
+    * edge-case spec shows). Map-only — no shuffle; feeds chunking
+    * (t13) and per-sentence scoring at any scale. */
   def sentences(documents: DataFrame): DataFrame =
     documents
       .withColumn("_raw", regexp_extract_all(col("text"),

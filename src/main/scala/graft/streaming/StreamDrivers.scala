@@ -185,6 +185,67 @@ object StreamDrivers {
     files.foreach(f => Files.deleteIfExists(f))
   }
 
+  /** Shared drive for the STATELESS document-gate streams (st13/st15/
+    * st16/st17): stage `docs` as two doc_id-half parquet files
+    * (maxFilesPerTrigger=1 ⇒ two genuine micro-batches, mtime-stamped so
+    * arrival order is pinned), score each micro-batch independently, and
+    * return the accumulated union. Each caller's scorer is per-document
+    * pure with respect to STATIC state only (a persisted model artifact,
+    * a reference slice, a rule algebra), so the union of doc-disjoint
+    * batch results equals the batch run — the caller's batch oracle
+    * gates the streamed union verbatim, and no watermark is needed.
+    *
+    * Two hook points, because the gates come in two shapes:
+    * `onStream` applies to the streaming DataFrame itself (pure
+    * projections — st13's rule algebra composes onto a stream
+    * UNCHANGED, which is that driver's point); `onBatch` applies inside
+    * foreachBatch (scorers that join/aggregate against static frames —
+    * st15/st16 — or replay a fit artifact — st17 — are batch-relational
+    * and run per micro-batch). The driver-side buffer is an
+    * oracle-harness shape: production deployments write a checkpointed
+    * sink instead. */
+  private def statelessDocStream(spark: SparkSession, prefix: String,
+      docs: DataFrame,
+      onStream: DataFrame => DataFrame = identity,
+      onBatch: DataFrame => DataFrame = identity): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft-stream-$prefix")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try {
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var batches = 0
+      var outSchema: StructType = null
+      val q = onStream(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val scored = onBatch(b.toDF())
+          val rows = scored.collect()
+          buf.synchronized {
+            buf ++= rows
+            if (rows.nonEmpty) batches += 1
+            outSchema = scored.schema
+          }; ()
+        }
+        .start()
+      // stop in finally: a failed micro-batch must not leave the query
+      // running while the outer finally deletes its dirs from under it
+      try q.processAllAvailable() finally q.stop()
+      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.toList.asJava, outSchema)
+    } finally deleteRecursively(dir)
+  }
+
   /** q15's result through the streaming path: file source →
     * StreamOps.sessionize (flatMapGroupsWithState) → foreachBatch
     * accumulation → per-user session_id numbering. Column contract ==
@@ -506,46 +567,12 @@ object StreamDrivers {
     * this driver verbatim. The collect is the oracle-gate harness; a
     * production foreachBatch body appends the scored rows to a table. */
   def contaminationFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-stream-contam")
-    val in = s"$dir/in"; val chk = s"$dir/chk"
-    try {
-      val docs = graft.Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text"))
-      val benchmark = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .localCheckpoint()
-      val stamper = new MtimeStamper
-      var first = true
-      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
-        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
-        first = false
-        stamper.stamp(in)
-      }
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType)))
-      val src = spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      var batches = 0
-      var outSchema: StructType = null
-      val q = src.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val scored = graft.operators.Curation.contamination(b.toDF(), benchmark)
-          val rows = scored.collect()
-          buf.synchronized {
-            buf ++= rows
-            if (rows.nonEmpty) batches += 1
-            outSchema = scored.schema
-          }; ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(buf.toList.asJava, outSchema)
-    } finally deleteRecursively(dir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val benchmark = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .localCheckpoint()
+    statelessDocStream(spark, "contam", docs,
+      onBatch = b => graft.operators.Curation.contamination(b, benchmark))
   }
 
   /** st16: the c27 perplexity gate as a streaming ingest filter. The
@@ -557,47 +584,11 @@ object StreamDrivers {
     * batch results equals the batch c27 run — c27's oracle gates this
     * driver verbatim. Stateless like st13/st15: no watermark needed. */
   def perplexityFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-stream-ppl")
-    val in = s"$dir/in"; val chk = s"$dir/chk"
-    try {
-      val docs = graft.Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text"), col("source"))
-      val reference = docs.filter(col("source") === "src0").localCheckpoint()
-      val stamper = new MtimeStamper
-      var first = true
-      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
-        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
-        first = false
-        stamper.stamp(in)
-      }
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("source", StringType)))
-      val src = spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      var batches = 0
-      var outSchema: StructType = null
-      val q = src.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val scored = graft.operators.Curation.perplexityGateAgainst(
-            b.toDF(), reference)
-          val rows = scored.collect()
-          buf.synchronized {
-            buf ++= rows
-            if (rows.nonEmpty) batches += 1
-            outSchema = scored.schema
-          }; ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(buf.toList.asJava, outSchema)
-    } finally deleteRecursively(dir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val reference = docs.filter(col("source") === "src0").localCheckpoint()
+    statelessDocStream(spark, "ppl", docs,
+      onBatch = b => graft.operators.Curation.perplexityGateAgainst(b, reference))
   }
 
   /** st17: the c30 model-based quality gate as a streaming ingest
@@ -610,45 +601,10 @@ object StreamDrivers {
     * weight copy) gates the streamed union verbatim. */
   def classifierFileStream(spark: SparkSession, sfDir: String,
                            w: Array[Double]): DataFrame = {
-    val dir = Files.createTempDirectory("graft-stream-clf")
-    val in = s"$dir/in"; val chk = s"$dir/chk"
-    try {
-      val docs = graft.Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text"), col("source"))
-      val stamper = new MtimeStamper
-      var first = true
-      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
-        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
-        first = false
-        stamper.stamp(in)
-      }
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("source", StringType)))
-      val src = spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      var batches = 0
-      var outSchema: StructType = null
-      val q = src.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val scored = graft.operators.QualityModel.score(b.toDF(), w)
-          val rows = scored.collect()
-          buf.synchronized {
-            buf ++= rows
-            if (rows.nonEmpty) batches += 1
-            outSchema = scored.schema
-          }; ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(buf.toList.asJava, outSchema)
-    } finally deleteRecursively(dir)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    statelessDocStream(spark, "clf", docs,
+      onBatch = b => graft.operators.QualityModel.score(b, w))
   }
 
   /** st14: streaming NEAR-dup ingest — the substring of the ingest
@@ -905,39 +861,10 @@ object StreamDrivers {
     * exactly once, and the accumulated output is gated against c24's
     * batch oracle verbatim. Stateless — no watermark or sentinel needed. */
   def qualityFileStream(spark: SparkSession, sfDir: String,
-                        augmented: DataFrame): DataFrame = {
-    val dir = Files.createTempDirectory("graft-stream-quality")
-    val in = s"$dir/in"; val chk = s"$dir/chk"
-    try {
-      val stamper = new MtimeStamper
-      var first = true
-      Seq(augmented.filter(pmod(col("doc_id"), lit(2)) === 0),
-          augmented.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
-        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
-        first = false
-        stamper.stamp(in)
-      }
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType)))
-      val src = spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      val out = graft.operators.TextOps.gopherQuality(src)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      var batches = 0
-      val q = out.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val rows = b.collect()
-          buf.synchronized { buf ++= rows; if (rows.nonEmpty) batches += 1 }; ()
-        }
-        .start()
-      // stop in finally: a failed micro-batch must not leave the query
-      // running while the outer finally deletes its dirs from under it
-      try q.processAllAvailable() finally q.stop()
-      require(batches >= 2, s"expected >=2 data micro-batches, saw $batches")
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(buf.toList.asJava, out.schema)
-    } finally deleteRecursively(dir)
-  }
+                        augmented: DataFrame): DataFrame =
+    // the rule algebra is a pure projection, so it composes onto the
+    // STREAMING DataFrame itself (onStream) — that composition is this
+    // driver's demonstration, unlike the batch-relational st15-st17
+    statelessDocStream(spark, "quality", augmented,
+      onStream = graft.operators.TextOps.gopherQuality)
 }

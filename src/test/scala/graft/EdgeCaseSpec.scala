@@ -219,6 +219,13 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .toDF("doc_id", "text")).collect()
     assert(s.map(_.getLong(0)).toSet === Set(2L, 3L))
     assert(s.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet === Set(".", "!"))
+    // LEADING terminator runs drop by construction (the pattern needs a
+    // non-terminator first): '...abc.' loses the orphan '...', and a
+    // terminators-only doc vanishes entirely — the documented contract
+    val lead = TextOps.sentences(Seq((4L, "...abc."), (5L, "!!!"))
+      .toDF("doc_id", "text")).collect()
+    assert(lead.map(_.getLong(0)).toSet === Set(4L))
+    assert(lead.map(_.getString(2)).toSeq === Seq("abc."))
     // perplexity gate with an empty reference slice: OOV floor only,
     // every doc scores ln(1/(0+0+1)) = 0 nats and passes
     val pg = Curation.perplexityGate(
@@ -252,6 +259,10 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       Seq((0L, Seq(1.0, 0.0)), (10L, Seq(0.5, 0.5))).toDF("vec_id", "embedding"),
       numQueries = 1, k = 5).collect()
     assert(mt.length === 1 && mt(0).getLong(1) === 10L && mt(0).getInt(2) === 1)
+    // mips LSH on an EMPTY corpus: max-norm aggregate is NULL — degrade
+    // to the empty frame like mipsTopK/bruteTopK, never NPE
+    val emptyEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.mipsLshTopK(emptyEmb).collect().isEmpty)
   }
 
   test("connected components on an empty edge set labels every node itself") {

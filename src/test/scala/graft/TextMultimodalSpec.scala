@@ -603,6 +603,12 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(fr(a) === fr(b), s"pair ($a,$b) sequences differ")
       assert(fr(a).length === n)
     }
+    // tier policy (the d22 is_real contract brought to audio): every
+    // reported pair is real-decode tier — stub rows never pair, so the
+    // stub formula's doc_id-997 period can't fabricate "duplicates"
+    pairs.foreach { case (a, b, _) =>
+      assert(a % 8 === 0 && b % 8 === 0, s"stub-tier doc in pair ($a,$b)")
+    }
   }
 
   test("phash incremental equals the full pair set restricted to the batch") {
