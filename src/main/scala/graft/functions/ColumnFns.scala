@@ -78,10 +78,20 @@ object ColumnFns {
     regexp_replace(text, CjkSeg, " $1 ")
 
   /** Lower-cased, script-segmented whitespace tokens, empties dropped.
-    * The split class includes U+3000 (ideographic space, script=Common —
-    * not caught by the CJK class and not matched by either engine's
-    * ASCII-only `\s`). */
-  def tokens(text: Column): Column =
+    * Evaluated by the single-pass native expression ([[graft.functions
+    * .Tokenize]], registered as `graft_tokens`) — one scan, no regex,
+    * no intermediate strings; [[tokensAlgebra]] is the four-stage
+    * column-algebra SPEC it is parity-tested against. */
+  def tokens(text: Column): Column = call_function("graft_tokens", text)
+
+  /** The column-algebra reference form of [[tokens]] — 2 regex scans +
+    * 3 intermediates per row, kept as the executable spec the native
+    * expression is asserted token-for-token equal to
+    * (UnicodeTokensSpec), and as the direct mirror of the DuckDB
+    * oracle's `toks` fragment. The split class includes U+3000
+    * (ideographic space, script=Common — not caught by the CJK class
+    * and not matched by either engine's ASCII-only `\s`). */
+  def tokensAlgebra(text: Column): Column =
     filter(split(lower(trim(segmentScripts(text))), "[\\s　]+"), t => t =!= "")
 
   /** Distinct word n-gram shingles over a MATERIALIZED token-array column.

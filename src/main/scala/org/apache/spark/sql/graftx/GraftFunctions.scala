@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, NfkcNormalize, NgramScore, RollingFingerprint, SimHash, SortedIntersectCount}
+import graft.functions.{BpeSegment, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, NfkcNormalize, NgramScore, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -34,6 +34,11 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction("graft_nfkc",
       FnArity.checked("graft_nfkc", 1)(args => NfkcNormalize(args(0))),
+      "built-in")
+    // single-pass script-aware tokenization (the t-family's hot loop —
+    // fuses segmentScripts+trim+lower+split+filter into one scan)
+    registry.createOrReplaceTempFunction("graft_tokens",
+      FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0))),
       "built-in")
     // rank-weighted char-n-gram profile scoring (t14's hot loop);
     // args: (text, array<string> profile table — see NgramScores.parse)

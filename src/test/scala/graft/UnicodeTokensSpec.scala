@@ -61,6 +61,38 @@ class UnicodeTokensSpec extends AnyFunSuite with SharedSpark {
     assert(counts(2L) == 4)
   }
 
+  test("native graft_tokens == the column-algebra spec, token for token") {
+    // the single-pass expression must reproduce the four-stage algebra
+    // (segmentScripts→trim→lower→split→filter) EXACTLY — this corpus
+    // pins every edge the fusion argument leans on:
+    val nasty = Seq(
+      "Spark处理大规模数据的引擎",          // Han + embedded ASCII
+      "GPU加速Computing",                   // case folding around CJK
+      "これはテストです", "カーナビ",        // kana (ー isolated by neighbors)
+      "한국어 텍스트 처리",                  // Hangul + real spaces
+      "机器学习　模型训练",                  // U+3000 ideographic space
+      "Hello   World", "  a\tb\nc  ",       // ASCII whitespace runs
+      "", " \t\n ", "　",                   // empty / separator-only
+      "ΑΣ ΒΑΣΙΣ ΣΟΦΟΣ",                    // Greek final sigma (context rule)
+      "ΑΣ漢 ΣΑ",                           // sigma adjacent to CJK boundary
+      "ﬁﬂ ＡＢＣ",                          // compat chars pass through (no NFKC here)
+      "𠀀𠀁 plain",     // CJK Ext-B (supplementary Han)
+      "mixed日本語and한국어text",            // three scripts fused in one run
+      "ab\fc\rd"                      // VT / FF / CR separators
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = nasty.toDF("id", "text")
+    val both = df.select(
+        tokens(col("text")).as("nat"), tokensAlgebra(col("text")).as("alg"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.zip(nasty).foreach { case ((nat, alg), (_, t)) =>
+      assert(nat === alg, s"native != algebra on <$t>")
+    }
+    // null propagates like the algebra's (null in → null out)
+    val nulls = Seq((1L, null: String)).toDF("id", "text")
+      .select(tokens(col("text")).as("t")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("span dedup sees sub-line CJK repeats (token windows now exist)") {
     // 10-codepoint repeated run inside otherwise-distinct zh lines:
     // with whitespace-only tokens each doc was ONE token and d16 was
