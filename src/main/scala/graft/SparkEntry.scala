@@ -266,6 +266,7 @@ object SparkEntry {
     "s10_quantized_ann" -> Seq("q_id", "rank"),
     "s11_pq_ann" -> Seq("q_id", "rank"),
     "s12_ivf_pq" -> Seq("q_id", "rank"),
+    "s15_ivfadc" -> Seq("q_id", "rank"),
     "d21_semdedup" -> Seq("vec_id"),
     "s13_rand_proj" -> Seq("vec_id", "pos"),
     "s2_ann_lsh" -> Seq("q_id", "rank"),
@@ -464,6 +465,21 @@ object SparkEntry {
       val cb = Similarity.pqCodebooks(emb)
       cb.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/s12_codebooks")
       Similarity.ivfPqTopK(emb, cb)
+    }),
+    // s15 residual IVF-PQ (the paper's §IV IVFADC proper), FULL oracle:
+    // codes quantize v − pivot(cell), codebooks are fit on the
+    // residuals, candidates reconstruct as pivot + decoded residual.
+    // Shipped ALONGSIDE s12's raw-code form because the better encoding
+    // is a corpus property, not a universal: measured 0.18 vs 0.72
+    // top-5 recall on these isotropic test embeddings, decisively
+    // reversed on clustered corpora (see the ivfPqTopK scaladoc + spec)
+    "s15_ivfadc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPivotIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s15_pivots")
+      val cb = Similarity.pqCodebooks(Similarity.ivfResiduals(emb))
+      cb.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/s15_codebooks")
+      Similarity.ivfPqTopK(emb, cb, residual = true)
     }),
     "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
@@ -2200,6 +2216,72 @@ object SparkEntry {
                  WHERE rn = 1),
          recon AS (SELECT a.vec_id, a.subsp * len(cb.c) + i AS pos, cb.c[i] AS val
                    FROM asn a JOIN cb ON cb.subsp = a.subsp AND cb.cid = a.cid,
+                   unnest(generate_series(1, len(cb.c))) AS t(i)),
+         rn AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM recon GROUP BY 1
+                HAVING sqrt(sum(val * val)) > 0),
+         qx AS (SELECT vec_id AS q_id, unnest([{'pos': i, 'val': v[i]}
+                  for i in generate_series(1, len(v))], recursive := true)
+                FROM e WHERE vec_id < 10),
+         qn AS (SELECT q_id, sqrt(sum(val * val)) AS nrm FROM qx GROUP BY 1),
+         cand AS (SELECT q.q_id, c.id_b FROM qc q
+                  JOIN corp c ON c.cell = q.cell AND c.id_b <> q.q_id),
+         dp AS (SELECT cd.q_id, cd.id_b, sum(q.val * r.val) AS dp
+                FROM cand cd
+                JOIN qx q ON q.q_id = cd.q_id
+                JOIN recon r ON r.vec_id = cd.id_b AND r.pos = q.pos
+                GROUP BY 1, 2),
+         p AS (SELECT dp.q_id, dp.id_b, dp.dp / (qn.nrm * rnn.nrm) AS cos
+               FROM dp JOIN qn ON qn.q_id = dp.q_id
+               JOIN rn rnn ON rnn.vec_id = dp.id_b),
+         r AS (SELECT q_id, id_b, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS INTEGER) AS rank FROM p)
+         SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    // s15: s12's replay with the RESIDUAL (IVFADC-proper) encoding —
+    // the staged codebooks were fit on v − pivot(cell), so the code
+    // argmin quantizes the residual (one IEEE subtract per coordinate,
+    // bit-identical both engines, then the shared round(x·4096) integer
+    // domain) and reconstruction is pivot + decoded residual
+    "s15_ivfadc" ->
+      """WITH pid AS (SELECT pivot_id
+           FROM read_parquet('__GRAFT_STAGE__/s15_pivots/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pv AS (SELECT pid.pivot_id, e.v AS pvec FROM pid
+                JOIN e ON e.vec_id = pid.pivot_id),
+         sc AS (SELECT e.vec_id, pv.pivot_id,
+                CAST((list_inner_product(e.v, pv.pvec) * CAST(-1 AS DOUBLE)) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(pv.pvec, pv.pvec)))
+                     AS DECIMAL(38,6)) AS negcos
+                FROM e CROSS JOIN pv),
+         rkc AS (SELECT vec_id, pivot_id, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY negcos, pivot_id) AS rk FROM sc),
+         corp AS (SELECT vec_id AS id_b, pivot_id AS cell FROM rkc WHERE rk = 1),
+         qc AS (SELECT vec_id AS q_id, pivot_id AS cell FROM rkc
+                WHERE vec_id < 10 AND rk <= 8),
+         cb AS (SELECT subsp, cid, CAST(c AS DOUBLE[]) AS c
+                FROM read_parquet('__GRAFT_STAGE__/s15_codebooks/*.parquet')),
+         d2 AS (SELECT e.vec_id, cb.subsp, cb.cid,
+                list_sum([(CAST(round((e.v[cb.subsp * len(cb.c) + i]
+                                     - cp.pvec[cb.subsp * len(cb.c) + i]) * 4096) AS BIGINT)
+                         - CAST(round(cb.c[i] * 4096) AS BIGINT))
+                        * (CAST(round((e.v[cb.subsp * len(cb.c) + i]
+                                     - cp.pvec[cb.subsp * len(cb.c) + i]) * 4096) AS BIGINT)
+                         - CAST(round(cb.c[i] * 4096) AS BIGINT))
+                  for i in generate_series(1, len(cb.c))]) AS d
+                FROM e
+                JOIN corp ON corp.id_b = e.vec_id
+                JOIN pv cp ON cp.pivot_id = corp.cell, cb),
+         asn AS (SELECT vec_id, subsp, cid FROM (
+                 SELECT vec_id, subsp, cid, row_number() OVER
+                   (PARTITION BY vec_id, subsp ORDER BY d, cid) AS rn FROM d2)
+                 WHERE rn = 1),
+         recon AS (SELECT a.vec_id, a.subsp * len(cb.c) + i AS pos,
+                   cp.pvec[a.subsp * len(cb.c) + i] + cb.c[i] AS val
+                   FROM asn a JOIN cb ON cb.subsp = a.subsp AND cb.cid = a.cid
+                   JOIN corp ON corp.id_b = a.vec_id
+                   JOIN pv cp ON cp.pivot_id = corp.cell,
                    unnest(generate_series(1, len(cb.c))) AS t(i)),
          rn AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM recon GROUP BY 1
                 HAVING sqrt(sum(val * val)) > 0),

@@ -827,26 +827,99 @@ object Similarity {
     topK(pairs, k)
   }
 
-  /** IVF-PQ (s12): the two index structures composed the way a 100 TB
-    * ANN deployment actually lays them out (Jégou et al. 2011's IVFADC)
+  /** Nearest-cell assignment that ALSO carries the winning pivot's
+    * vector — the n=1 [[ivfNearestCells]] with `pv` kept, so residual
+    * encoding ([[ivfResiduals]], [[ivfPqTopK]]) needs no join back to
+    * the pivot table: the struct argmin (same (negcos, pivot_id)
+    * ordering, so the same cell choice) just carries the vector along.
+    * One array_min pass per row, still a pure broadcast projection. */
+  private def ivfNearestCellWithPivot(side: DataFrame, parr: DataFrame): DataFrame = {
+    val best = array_min(transform(col("pvs"), p =>
+      struct(decRound(dot(col("v"), p.getField("pv")) * -1.0 /
+        (col("nrm") * p.getField("pnrm")), 6).as("negcos"),
+        p.getField("pivot_id").as("pivot_id"),
+        p.getField("pv").as("pv"))))
+    side.crossJoin(broadcast(parr))
+      .withColumn("_best", best)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("_best").getField("pivot_id").as("cell"),
+        col("_best").getField("pv").as("pv"))
+  }
+
+  /** Per-vector IVF residuals, `(vec_id, embedding = v − pivot(cell))`
+    * — the frame IVFADC codebooks are FIT on: within a cell the
+    * residuals are centered near zero with far less spread than the
+    * raw vectors, so the same m·k codebook budget spends its centroids
+    * on a tighter distribution and reconstruction error drops at
+    * identical bytes (Jégou et al. 2011, §IV's IVFADC). Cell choice is
+    * the decimal-6 argmin over the deterministic pivot set, so the
+    * staged pivots replay this frame relationally; the subtraction is
+    * one IEEE op per coordinate, identical in every engine. */
+  def ivfResiduals(embeddings: DataFrame, nPivots: Int = 32): DataFrame = {
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val parr = ivfPivotArr(v, embeddings, nPivots)
+    ivfNearestCellWithPivot(v, parr)
+      .select(col("vec_id"),
+        zip_with(col("v"), col("pv"), (a, b) => a - b).as("embedding"))
+  }
+
+  /** IVF-PQ (s12/s15): the two index structures composed the way a
+    * 100 TB ANN deployment actually lays them out (Jégou et al. 2011)
     * — the IVF cells PARTITION the corpus (queries touch ~nProbe/nPivots
     * of it), PQ codes COMPRESS what each cell stores (20 B/vector here
     * vs 512 raw), and scoring is asymmetric ADC: the raw query against
     * the candidate's reconstruction, so compression error applies once,
-    * on the corpus side. Cell assignment and code assignment share ONE
-    * corpus scan (both are projections against broadcast literals — no
-    * self-join rejoining two corpus derivations); the only corpus-wide
-    * shuffle is the cell-keyed candidate join, exactly s3's plan. Full
-    * oracle: staged pivot ids + staged codebooks replay cell choice,
-    * code choice, reconstruction and ranking relationally. */
+    * on the corpus side.
+    *
+    * Two encodings, selected by `residual`:
+    *
+    *  - `false` (s12): codes quantize the RAW vector; a candidate
+    *    reconstructs as its concatenated centroids. The right choice on
+    *    ISOTROPIC corpora — see below.
+    *  - `true` (s15, the paper's §IV IVFADC): codes quantize the
+    *    residual v − pivot(cell) — pass codebooks fit on
+    *    [[ivfResiduals]] — and a candidate reconstructs as
+    *    pivot + decoded residual.
+    *
+    * MEASURED corpus-dependence (the s14 unit-norm lesson repeated at
+    * the index layer): on the structure-free test embeddings the
+    * residual form's top-5 recall is 0.18 vs 0.72 raw — random-sample
+    * pivots on an isotropic sphere sit far from their members, so the
+    * residual's per-coordinate spread is ~2× the raw vector's and the
+    * same m·k centroid budget quantizes WORSE. On a clustered corpus
+    * (members tight around their pivot — the regime web-scale
+    * embedding corpora are in, and the one the paper assumes) the
+    * residual is the small noise term and the ordering flips decisively
+    * — both regimes pinned in DedupSimilaritySpec. Residual encoding is
+    * a bet on cluster structure, not a free win.
+    *
+    * Cell assignment, (optional) residual computation and code
+    * assignment share ONE corpus scan (all are projections against
+    * broadcast literals — no self-join rejoining two corpus
+    * derivations); the only corpus-wide shuffle is the cell-keyed
+    * candidate join, exactly s3's plan. Full oracle either way: staged
+    * pivot ids + staged codebooks replay cell choice, residual, code
+    * choice, reconstruction and ranking relationally. */
   def ivfPqTopK(embeddings: DataFrame, codebooks: DataFrame,
                 numQueries: Int = 10, k: Int = 5,
-                nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
+                nPivots: Int = 32, nProbe: Int = 8,
+                residual: Boolean = false): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val parr = ivfPivotArr(v, embeddings, nPivots)
-    val corpus = withPqRecon(
-        withPqCodes(ivfNearestCells(v, parr, 1), codebooks), codebooks)
+    val corpus = (if (residual) {
+      val cells = ivfNearestCellWithPivot(v, parr)
+        .withColumn("vres", zip_with(col("v"), col("pv"), (a, b) => a - b))
+      withPqCodes(cells.drop("v").withColumnRenamed("vres", "v"), codebooks)
+        .crossJoin(broadcast(cbNested(codebooks)))
+        .withColumn("rres", flatten(zip_with(col("codes"), col("cbs"), (c, cb) =>
+          element_at(cb.getField("cents"), c + 1).getField("c"))))
+        .withColumn("rv", zip_with(col("pv"), col("rres"), (a, b) => a + b))
+        .withColumn("rn", norm(col("rv")))
+        .filter(col("rn") > 0)
+    } else
+      withPqRecon(withPqCodes(ivfNearestCells(v, parr, 1), codebooks), codebooks))
       .select(col("vec_id").as("id_b"), col("cell"), col("rv"), col("rn"))
     val q = ivfNearestCells(v.filter(col("vec_id") < numQueries), parr, nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
