@@ -116,6 +116,22 @@ object SparkEntry {
       lit("</body></html>")
     ).as("text"))
 
+  /** Deterministic planted contamination for the c35 gate: at w=8 the
+    * corpus shares NO genuine 8-token window across the %97 benchmark
+    * split (measured at sf0.01), so the gate plants an 8-token canary
+    * suffix into every benchmark doc AND every %13==5 doc — the
+    * leaked-benchmark-sentence shape span decontamination exists for.
+    * Junction windows (original tail + canary head) differ per doc and
+    * never match the benchmark set, so exactly the canary's 8 positions
+    * are covered and cut. The oracle replays the same CASE concat. */
+  private[graft] def plantContam(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(97)) === 0 ||
+           pmod(col("doc_id"), lit(13)) === 5,
+        concat(col("text"),
+          lit(" qa canary alpha beta gamma delta epsilon zeta")))
+      .otherwise(col("text")).as("text"))
+
   /** Deterministic planted URLs for the c33 gate (the corpus has none):
     * a mixed-case blocked domain (%11 — normalization must fire before
     * the blocklist), a www-prefixed mixed-case .com (%2 — strip + 3-label
@@ -291,6 +307,7 @@ object SparkEntry {
     "t7_unigram_ll" -> Seq("doc_id"),
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
+    "c35_decontam_scrub" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -832,6 +849,15 @@ object SparkEntry {
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
       Curation.urlDomainGate(plantUrls(t(s, d, "documents")))),
+    // c12's remediation half: contaminated 8-token SPANS cut, the rest
+    // of each doc kept; canary contamination planted (the corpus shares
+    // no genuine 8-token window across the benchmark split)
+    "c35_decontam_scrub" -> ((s, d) => {
+      val aug = plantContam(t(s, d, "documents"))
+      Curation.decontamScrub(
+        aug.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        aug.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     // hybrid retrieval: s1's dense cosine list + the BM25-vs-query-doc
     // sparse list, fused by reciprocal rank (doc_id ≡ vec_id; the two
     // indexes cover different id ranges — RRF's normal regime)
@@ -1777,6 +1803,38 @@ object SparkEntry {
             CAST(len(d.t) AS INTEGER) AS n_tokens,
             CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
           FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
+    // c35: the d18 scrub replay with coverage coming from BENCHMARK
+    // membership instead of corpus-wide duplication — planted canary
+    // suffixes (the CASE concat both engines share) are the only
+    // 8-token windows crossing the %97 split, so they are exactly what
+    // gets cut; every non-benchmark doc survives the LEFT JOIN
+    "c35_decontam_scrub" ->
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 5
+                  THEN text || ' qa canary alpha beta gamma delta epsilon zeta'
+                  ELSE text END AS text FROM documents),
+          d AS (SELECT doc_id, $toks AS t FROM aug),
+          o AS (SELECT doc_id, unnest([{'p': i, 'sh': array_to_string(t[i:i+7], ' ')}
+                  for i in generate_series(1, len(t)-7)], recursive := true)
+                FROM d WHERE len(t) >= 8),
+          bm AS (SELECT DISTINCT sh FROM o WHERE doc_id % 97 = 0),
+          cov AS (SELECT DISTINCT o.doc_id, u.p2 AS p
+                  FROM o JOIN bm USING (sh),
+                    unnest(generate_series(o.p, o.p + 7)) AS u(p2)
+                  WHERE o.doc_id % 97 <> 0),
+          tk AS (SELECT doc_id, unnest([{'p': i, 'tok': t[i]}
+                   for i in generate_series(1, len(t))], recursive := true)
+                 FROM d WHERE doc_id % 97 <> 0),
+          kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk WHERE NOT EXISTS
+                   (SELECT 1 FROM cov WHERE cov.doc_id = tk.doc_id
+                    AND cov.p = tk.p)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                  count(*) AS kept FROM kept GROUP BY 1)
+          SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+            CAST(len(d.t) AS INTEGER) AS n_tokens,
+            CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
+          FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
     "d4_ngram_jaccard" ->
       s"""WITH tok AS ($shingleTok),
           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -819,6 +819,53 @@ object Curation {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Span-level benchmark decontamination — [[contamination]]'s
+    * REMEDIATION half: where c12 scores and drops whole documents, this
+    * removes exactly the contaminated w-token spans and keeps the rest
+    * of the document (what production pipelines actually ship:
+    * discarding a 10k-token doc over one leaked benchmark sentence
+    * wastes the other 99.9%). Every w-token window of `documents` whose
+    * shingle appears as ANY w-token window of `benchmark` marks its
+    * positions covered; covered tokens are cut and survivors re-join in
+    * document order — the d18 scrub contract ((doc_id, clean_text,
+    * n_tokens, n_tokens_removed), every doc survives, empty string when
+    * nothing does).
+    *
+    * Plan shape: the benchmark shingle set is DISTINCT and broadcast
+    * (eval suites are small next to the corpus — c12's call); matched
+    * windows explode to ≤ w positions each, so the covered-position
+    * frame scales with CONTAMINATION VOLUME, not corpus size; the
+    * re-assembly is d18's doc-keyed aggregate, bounded by each doc's
+    * own length. No corpus-wide shuffle except the final doc-keyed
+    * aggregation. */
+  def decontamScrub(documents: DataFrame, benchmark: DataFrame,
+                    w: Int = 8): DataFrame = {
+    val bmSh = Dedup.windowOccurrences(benchmark, w)
+      .select(col("sh").as("bsh")).distinct()
+    val covered = Dedup.windowOccurrences(documents, w)
+      .join(broadcast(bmSh), col("sh") === col("bsh"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (w - 1))).as("p"))
+      .distinct()
+    val toksTbl = documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toksTbl.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .cast("int").as("n_tokens_removed"))
+  }
+
   /** DSIR-style importance weight: average per-token log-likelihood RATIO
     * between a target-domain unigram LM and the corpus unigram LM — the
     * cheap data-selection score (positive ⇒ doc looks more like the

@@ -901,7 +901,7 @@ object Dedup {
     * string key is kept here for engine-exact oracle replay. */
   /** (doc_id, p, sh): every w-token window of every document, 1-based
     * start position, shingle = space-joined window tokens. */
-  private def windowOccurrences(documents: DataFrame, w: Int): DataFrame =
+  private[operators] def windowOccurrences(documents: DataFrame, w: Int): DataFrame =
     documents
       .withColumn("toks", tokens(col("text")))
       .withColumn("n", size(col("toks")))

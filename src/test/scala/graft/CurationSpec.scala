@@ -835,6 +835,57 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       s"bloom FP rate ${fpShingles.toDouble / totShingles}")
   }
 
+  test("decontam scrub: only benchmark spans cut, clean docs normalized, counts reconcile") {
+    import spark.implicits._
+    val canary = "leak one two three four five six seven"       // 8 tokens
+    val benchmark = Seq((100L, s"question prompt $canary answer choice"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"aaa bbb $canary ccc ddd"),       // mid-document leak → span cut
+      (2L, canary),                           // fully contaminated → empty
+      (3L, "u1 u2  u3 u4 u5 u6 u7 u8"),       // clean → token-normalized
+      (4L, "short doc")                       // < w tokens → untouched
+    ).toDF("doc_id", "text")
+    val out = Curation.decontamScrub(docs, benchmark).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === (("aaa bbb ccc ddd", 12, 8)))
+    assert(out(2L) === (("", 8, 8)))
+    assert(out(3L) === (("u1 u2 u3 u4 u5 u6 u7 u8", 8, 0)))
+    assert(out(4L) === (("short doc", 2, 0)))
+    // a TWO-window leak (9 shared tokens) covers 9 positions, not 16 —
+    // overlapping windows union their coverage
+    val bm2 = Seq((200L, s"$canary eight")).toDF("doc_id", "text")
+    val out2 = Curation.decontamScrub(
+      Seq((5L, s"xx $canary eight yy")).toDF("doc_id", "text"), bm2).collect()
+    assert(out2.head.getString(1) === "xx yy" && out2.head.getInt(3) === 9)
+    // gate-shape invariants on the real corpus: every planted %13==5
+    // canary is cut (possibly with junction extension when the doc's
+    // original tail matches a benchmark doc's tail — doc 5 at sf0.001
+    // loses 9); unplanted docs lose tokens ONLY through genuine
+    // benchmark overlap, which exists at sf0.001 (doc 50 is an exact
+    // duplicate of a benchmark doc and is scrubbed whole — the very
+    // leak decontamination exists for); every non-benchmark doc
+    // survives as a row
+    val aug = SparkEntry.plantContam(table("documents"))
+    val nonBench = aug.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val gate = Curation.decontamScrub(
+      nonBench,
+      aug.filter(pmod(col("doc_id"), lit(97)) === 0)).collect()
+    assert(gate.length.toLong === nonBench.count())
+    gate.foreach { r =>
+      val id = r.getLong(0); val rm = r.getInt(3)
+      assert(rm >= 0 && rm <= r.getInt(2), s"doc $id removed $rm of ${r.getInt(2)}")
+      if (id % 13 == 5) {
+        assert(rm >= 8, s"planted doc $id removed only $rm")
+        assert(!r.getString(1).contains("canary"), s"doc $id kept the canary")
+      }
+    }
+    assert(gate.count(r => r.getLong(0) % 13 != 5 && r.getInt(3) === 0) > 0,
+      "some unplanted doc must pass untouched")
+    assert(gate.count(r => r.getLong(0) % 13 != 5 && r.getInt(3) > 0) > 0,
+      "the genuine duplicate-of-benchmark leak must be scrubbed")
+  }
+
   test("GraftExtensions registers functions in an extension-built session") {
     // newSession() builds a FRESH SessionState (no Tables.tune ran on it),
     // so graft_dot resolving here proves the extensions path works.
