@@ -308,6 +308,7 @@ object SparkEntry {
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
     "c35_decontam_scrub" -> Seq("doc_id"),
+    "c36_token_budget_mix" -> Seq("source"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -849,6 +850,13 @@ object SparkEntry {
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
       Curation.urlDomainGate(plantUrls(t(s, d, "documents")))),
+    // epoch-capped water-filling over per-source token counts; weights
+    // derive from the source's numeric suffix so caps genuinely bind
+    // for the heavy-weight sources and surplus redistributes
+    "c36_token_budget_mix" -> ((s, d) =>
+      Curation.tokenBudgetMix(t(s, d, "documents"), budgetPct = 60,
+        weightExpr = regexp_extract(col("source"), "([0-9]+)$", 1)
+          .cast("long") % 7 + 1)),
     // c12's remediation half: contaminated 8-token SPANS cut, the rest
     // of each doc kept; canary contamination planted (the corpus shares
     // no genuine 8-token window across the benchmark split)
@@ -1803,6 +1811,39 @@ object SparkEntry {
             CAST(len(d.t) AS INTEGER) AS n_tokens,
             CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
           FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
+    // c36: water-filling replay — same double cap/weight sort key with
+    // the source tie-break, strict-prefix running sums, the
+    // cross-multiplied all-integer capped test, floor-division fill
+    "c36_token_budget_mix" ->
+      s"""WITH st AS (SELECT source, sum(len($toks)) AS n_tokens,
+             CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 7 + 1 AS weight
+             FROM documents GROUP BY source),
+          st2 AS (SELECT source, n_tokens, weight, n_tokens * 1 AS cap FROM st),
+          tot AS (SELECT CAST(floor(CAST(sum(n_tokens) * 60 AS DOUBLE) / 100)
+                    AS BIGINT) AS budget,
+                  sum(weight) AS tot_w FROM st2),
+          rk AS (SELECT st2.*, tot.budget, tot.tot_w,
+                 coalesce(sum(cap) OVER w, 0) AS pre_cap,
+                 coalesce(sum(weight) OVER w, 0) AS pre_w
+                 FROM st2, tot
+                 WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / weight, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          cp AS (SELECT *,
+                 (weight * (budget - pre_cap) >= cap * (tot_w - pre_w)) AS capped
+                 FROM rk),
+          fl AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS cap_sum,
+                 sum(CASE WHEN NOT capped THEN weight ELSE 0 END) AS w_unc FROM cp),
+          al AS (SELECT cp.source, cp.n_tokens, cp.weight, cp.cap, cp.capped,
+                 CASE WHEN cp.capped THEN cp.cap
+                      ELSE CAST(floor(CAST(cp.weight * (cp.budget - fl.cap_sum)
+                        AS DOUBLE) / greatest(fl.w_unc, 1)) AS BIGINT)
+                 END AS allocated
+                 FROM cp, fl)
+          SELECT source, n_tokens, weight, cap, allocated,
+            CAST(CAST(CAST(allocated AS DOUBLE) / n_tokens AS DECIMAL(38,4))
+              AS DOUBLE) AS epochs,
+            CAST(capped AS INTEGER) AS capped
+          FROM al ORDER BY source""",
     // c35: the d18 scrub replay with coverage coming from BENCHMARK
     // membership instead of corpus-wide duplication — planted canary
     // suffixes (the CASE concat both engines share) are the only

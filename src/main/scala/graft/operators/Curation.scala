@@ -387,6 +387,74 @@ object Curation {
         count(when(gate < col("thr"), 1)).as("n_kept"))
   }
 
+  /** Epoch-capped token-budget allocation — the published data-recipe
+    * problem (Llama/GPT-class mixes): split a total token budget B
+    * across sources proportionally to per-source weights, but never
+    * allocate any source more than `maxEpochs` passes over its own
+    * tokens (repeating a small source beyond a few epochs degrades the
+    * model, so its surplus must flow to the others). That is exact
+    * WATER-FILLING, solved relationally:
+    *
+    * sort sources by cap/weight ascending (the order in which caps
+    * bind; an IEEE double ratio — one division, bit-identical in both
+    * engines — with the source name as total-order tie-break), take
+    * running sums of cap and weight over the strict prefix, and source
+    * i is capped iff its fair share at that point already exceeds its
+    * cap: `w_i · (B − Σ_prefix cap) ≥ cap_i · (W − Σ_prefix w)` — a
+    * cross-multiplied ALL-INTEGER test, no division on the decision
+    * path. Capped sources take exactly their cap; the rest split the
+    * remaining budget by weight (floor division, both engines floor the
+    * same IEEE quotient). Standard water-filling gives the capped set
+    * as a prefix of this order, so one window pass decides every
+    * source.
+    *
+    * Plan: per-source token counts are one map-side-combinable
+    * aggregate over the corpus; everything after runs on #sources rows
+    * (the window is source-count-sized — at 100 TB this is dozens of
+    * rows, not a data-sized shuffle). Weights come from `weightExpr`
+    * (a per-source column; default uniform). */
+  def tokenBudgetMix(documents: DataFrame,
+                     budgetPct: Int = 100, maxEpochs: Int = 1,
+                     weightExpr: Column = lit(1L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = documents
+      .withColumn("_n", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_tokens"))
+      .withColumn("weight", weightExpr.cast("long"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    // floor() explicitly before the long cast: Spark's double→long cast
+    // truncates while DuckDB's ROUNDS — floor+cast agrees everywhere
+    val totals = stats.agg(
+      floor((sum(col("n_tokens")) * budgetPct).cast("double") / 100)
+        .cast("long").as("budget"),
+      sum(col("weight")).as("tot_w"))
+    val ord = Window.orderBy(
+      (col("cap").cast("double") / col("weight")).asc, col("source").asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = stats.crossJoin(broadcast(totals))
+      .withColumn("pre_cap", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("pre_w", coalesce(sum(col("weight")).over(pre), lit(0L)))
+      .withColumn("capped",
+        col("weight") * (col("budget") - col("pre_cap")) >=
+          col("cap") * (col("tot_w") - col("pre_w")))
+    val fill = ranked.agg(
+      sum(when(col("capped"), col("cap")).otherwise(lit(0L))).as("cap_sum"),
+      sum(when(!col("capped"), col("weight")).otherwise(lit(0L))).as("w_unc"))
+    ranked.crossJoin(broadcast(fill))
+      // greatest(w_unc, 1): when EVERY source caps, w_unc is 0 and the
+      // otherwise-branch is dead — but ANSI would still throw on the
+      // Infinity→long cast it computes
+      .withColumn("allocated",
+        when(col("capped"), col("cap")).otherwise(
+          floor((col("weight") * (col("budget") - col("cap_sum"))).cast("double")
+            / greatest(col("w_unc"), lit(1L))).cast("long")))
+      .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
+        col("allocated"),
+        decRound(col("allocated").cast("double") / col("n_tokens"), 4).as("epochs"),
+        col("capped").cast("int").as("capped"))
+  }
+
   /** Per-document average unigram log-likelihood under the corpus
     * unigram distribution — the classic cheap LM-quality signal
     * (gibberish and boilerplate score low). Per-token log-probs are

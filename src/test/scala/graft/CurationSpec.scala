@@ -835,6 +835,41 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       s"bloom FP rate ${fpShingles.toDouble / totShingles}")
   }
 
+  test("token budget mix: water-filling caps bind, surplus redistributes, budget holds") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "), src)
+    // hand-checkable: A(10 tok, w=1) fair share 1.2 → uncapped;
+    // B(10 tok, w=9) fair share 10.8 > cap 10 → capped; A then takes
+    // floor(1·(12−10)/1) = 2 of the surplus
+    val docs = Seq(doc(1, "a", 10), doc(2, "b", 10))
+      .toDF("doc_id", "text", "source")
+    val w = when(col("source") === "b", lit(9L)).otherwise(lit(1L))
+    val out = Curation.tokenBudgetMix(docs, budgetPct = 60, maxEpochs = 1,
+        weightExpr = w).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getInt(6)))).toMap
+    assert(out("b") === ((10L, 1)))
+    assert(out("a") === ((2L, 0)))
+    // budget ≥ total capacity → every source caps at exactly maxEpochs
+    val all = Curation.tokenBudgetMix(docs, budgetPct = 300, maxEpochs = 2)
+      .collect()
+    all.foreach { r =>
+      assert(r.getInt(6) === 1 && r.getLong(4) === r.getLong(3))
+      assert(r.getDouble(5) === 2.0)
+    }
+    // corpus-level invariants: Σallocated ≤ budget, epochs ≤ maxEpochs,
+    // capped ⟺ allocated == cap
+    val corpus = Curation.tokenBudgetMix(table("documents"), budgetPct = 60,
+      weightExpr = regexp_extract(col("source"), "([0-9]+)$", 1)
+        .cast("long") % 7 + 1).collect()
+    val totTok = corpus.map(_.getLong(1)).sum
+    assert(corpus.map(_.getLong(4)).sum <= totTok * 60 / 100)
+    corpus.foreach { r =>
+      assert(r.getDouble(5) <= 1.0 + 1e-9)
+      assert((r.getInt(6) === 1) === (r.getLong(4) === r.getLong(3)))
+    }
+  }
+
   test("decontam scrub: only benchmark spans cut, clean docs normalized, counts reconcile") {
     import spark.implicits._
     val canary = "leak one two three four five six seven"       // 8 tokens
