@@ -309,6 +309,7 @@ object SparkEntry {
     "c32_paragraph_gate" -> Seq("doc_id"),
     "c35_decontam_scrub" -> Seq("doc_id"),
     "c36_token_budget_mix" -> Seq("source"),
+    "c37_source_relative_gate" -> Seq("source"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -850,6 +851,10 @@ object SparkEntry {
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
       Curation.urlDomainGate(plantUrls(t(s, d, "documents")))),
+    // per-source top-30% token-count gate: thresholds are partial-agg
+    // percentiles per source, broadcast back, decimal-6 boundary
+    "c37_source_relative_gate" -> ((s, d) =>
+      Curation.sourceRelativeGate(t(s, d, "documents"))),
     // epoch-capped water-filling over per-source token counts; weights
     // derive from the source's numeric suffix so caps genuinely bind
     // for the heavy-weight sources and surplus redistributes
@@ -1811,6 +1816,20 @@ object SparkEntry {
             CAST(len(d.t) AS INTEGER) AS n_tokens,
             CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
           FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
+    // c37: per-source quantile thresholds (quantile_cont == Spark
+    // percentile, c14's proven pairing), decimal-6 boundary both sides
+    "c37_source_relative_gate" ->
+      s"""WITH sc AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS score
+             FROM documents),
+          th AS (SELECT source, quantile_cont(score, 0.7) AS thr,
+                 count(*) AS n_docs FROM sc GROUP BY 1),
+          k AS (SELECT sc.source, sc.score, th.thr, th.n_docs
+                FROM sc JOIN th USING (source)
+                WHERE sc.score >= CAST(CAST(th.thr AS DECIMAL(38,6)) AS DOUBLE))
+          SELECT source, max(n_docs) AS n_docs,
+            CAST(CAST(max(thr) AS DECIMAL(38,6)) AS DOUBLE) AS thr,
+            count(*) AS n_kept, min(score) AS min_score_kept
+          FROM k GROUP BY source ORDER BY source""",
     // c36: water-filling replay — same double cap/weight sort key with
     // the source tie-break, strict-prefix running sums, the
     // cross-multiplied all-integer capped test, floor-division fill

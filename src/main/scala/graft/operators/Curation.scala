@@ -1019,6 +1019,33 @@ object Curation {
         max(col("n_chars")).as("max_chars"))
   }
 
+  /** Per-source relative quality gate — the calibration posture real
+    * multilingual/multi-domain pipelines need: an ABSOLUTE quality
+    * threshold mis-gates across sources (a good Thai doc scores
+    * differently from a good English doc under any fixed rule), so each
+    * source keeps its own top `keepPct` percent by score. [[percentileGate]]'s
+    * shape with the quantile computed PER SOURCE: thresholds via the
+    * partial-aggregating percentile (NOT a per-source rank window — one
+    * reducer per hot source is the d16 straggler lesson; the percentile
+    * buffer merges map-side), broadcast back, filter in the decimal-6
+    * domain (c14's boundary discipline). Boundary ties all keep —
+    * count-exact top-k is not the contract, calibrated thresholds are.
+    * `scoreExpr` is any per-row score; default token count. */
+  def sourceRelativeGate(documents: DataFrame, keepPct: Int = 30,
+                         scoreExpr: Column =
+                           size(tokens(col("text"))).cast("long")): DataFrame = {
+    val scored = documents.withColumn("_score", scoreExpr)
+    val q = 1.0 - keepPct / 100.0
+    val thr = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(_score, $q)").as("thr"), count(lit(1)).as("n_docs"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("_score") >= decRound(col("thr"), 6))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        decRound(max(col("thr")), 6).as("thr"),
+        count(lit(1)).as("n_kept"), min(col("_score")).as("min_score_kept"))
+  }
+
   /** Deterministic sequence packing: documents are packed into fixed
     * token-budget groups (the sample-packing step that turns a corpus
     * into fixed-length training sequences). Next-fit in doc_id order

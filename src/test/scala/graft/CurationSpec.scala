@@ -835,6 +835,35 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       s"bloom FP rate ${fpShingles.toDouble / totShingles}")
   }
 
+  test("source-relative gate: each source keeps its own top slice, scales never mix") {
+    import spark.implicits._
+    // source a scores 1..10, source b scores 101..110: an absolute
+    // threshold would keep ALL of b and none of a — the per-source
+    // quantile keeps the top 30% of EACH (scores ≥ p70 within source)
+    val docs = ((1 to 10).map(i => (i.toLong, "a", i.toLong)) ++
+        (1 to 10).map(i => (100L + i, "b", 100L + i.toLong)))
+      .toDF("doc_id", "source", "score")
+    val out = Curation.sourceRelativeGate(docs, keepPct = 30,
+        scoreExpr = col("score")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // p70 of 1..10 interpolates to 7.3 → kept {8, 9, 10} in both sources
+    assert(out("a") === ((3L, 8L)))
+    assert(out("b") === ((3L, 108L)))
+    // boundary ties ALL keep: constant scores → threshold == score →
+    // every doc kept (the documented tie contract)
+    val ties = (1 to 6).map(i => (i.toLong, "c", 5L)).toDF("doc_id", "source", "score")
+    val tout = Curation.sourceRelativeGate(ties, keepPct = 30,
+      scoreExpr = col("score")).collect()
+    assert(tout.length === 1 && tout.head.getLong(3) === 6L)
+    // corpus gate: every source keeps between 30% and 45% (ties can
+    // only add), and the default token-count score is non-degenerate
+    val corpus = Curation.sourceRelativeGate(table("documents")).collect()
+    corpus.foreach { r =>
+      val frac = r.getLong(3).toDouble / r.getLong(1)
+      assert(frac >= 0.3 - 1e-9 && frac <= 0.45, s"${r.getString(0)} kept $frac")
+    }
+  }
+
   test("token budget mix: water-filling caps bind, surplus redistributes, budget holds") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) =
