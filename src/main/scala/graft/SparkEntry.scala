@@ -310,6 +310,7 @@ object SparkEntry {
     "c35_decontam_scrub" -> Seq("doc_id"),
     "c36_token_budget_mix" -> Seq("source"),
     "c37_source_relative_gate" -> Seq("source"),
+    "t17_lexical_diversity" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -503,6 +504,8 @@ object SparkEntry {
     "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "t17_lexical_diversity" -> ((s, d) =>
+      TextOps.lexicalDiversity(t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "m4_media_text_gate" -> ((s, d) => Multimodal.mediaTextGate(t(s, d, "documents"))),
@@ -1816,6 +1819,22 @@ object SparkEntry {
             CAST(len(d.t) AS INTEGER) AS n_tokens,
             CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
           FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
+    // t17: exact per-doc counts, integer/integer divisions decimal-6
+    "t17_lexical_diversity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+          tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+          ag AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+                 max(c) AS max_c
+                 FROM tc GROUP BY 1)
+          SELECT doc_id, n_tokens, n_types,
+            CAST(CAST(CAST(n_types AS DOUBLE) / n_tokens AS DECIMAL(38,6))
+              AS DOUBLE) AS ttr,
+            CAST(CAST(CAST(n_hapax AS DOUBLE) / n_types AS DECIMAL(38,6))
+              AS DOUBLE) AS hapax_ratio,
+            CAST(CAST(CAST(max_c AS DOUBLE) / n_tokens AS DECIMAL(38,6))
+              AS DOUBLE) AS top_ratio
+          FROM ag ORDER BY doc_id""",
     // c37: per-source quantile thresholds (quantile_cont == Spark
     // percentile, c14's proven pairing), decimal-6 boundary both sides
     "c37_source_relative_gate" ->

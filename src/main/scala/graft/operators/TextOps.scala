@@ -251,6 +251,34 @@ object TextOps {
           .as("re_tokens"),
         ceil(length(col("text")).cast("double") / 4).cast("long").as("approx_bpe"))
 
+  /** Per-document lexical diversity — the vocabulary-richness signals
+    * quality pipelines read alongside the c24 rules (template spam and
+    * keyword stuffing score low on type/token diversity even when the
+    * c24 length/punct rules pass):
+    *
+    *  - `ttr` = distinct tokens / tokens (type-token ratio);
+    *  - `hapax_ratio` = once-occurring tokens / distinct tokens
+    *    (natural prose is hapax-heavy; generated boilerplate is not);
+    *  - `top_ratio` = most-frequent token's share of the doc (the
+    *    single-token concentration c7's shingle repetition misses).
+    *
+    * All three are integer/integer divisions of exact counts (one IEEE
+    * op, engine-identical) rounded decimal-6. Zero-token docs have no
+    * defined ratios and are absent (the t7 contract). Two shuffles —
+    * (doc, token) then doc — both map-side combinable. */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("_maxc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        decRound(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        decRound(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"),
+        decRound(col("_maxc").cast("double") / col("n_tokens"), 6).as("top_ratio"))
+
   /** Canonical text normalization: Unicode NFKC first (ligatures,
     * full-width forms, compatibility variants → canonical — the
     * graft_nfkc codegen expression), then lowercase, trim, strip

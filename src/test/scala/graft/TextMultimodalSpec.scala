@@ -583,6 +583,27 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(capped === Set((10L, 11L)))
   }
 
+  test("lexical diversity: exact ratios on crafted docs, CJK per-codepoint types") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a a a b c"),            // 5 tok, 3 types, hapax {b,c}, top a=3
+      (2L, "x y z"),                // all hapax, uniform
+      (3L, "spam spam spam spam"),  // degenerate: 1 type, 0 hapax, top 1.0
+      (4L, ""),                     // zero tokens → absent
+      (5L, "日日本")                 // CJK: tokens 日,日,本 → 2 types
+    ).toDF("doc_id", "text")
+    val out = TextOps.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(!out.contains(4L))
+    // decimal-6 rounding: 2/3 → 0.666667, 1/3 → 0.333333
+    assert(out(1L) === ((5L, 3L, 0.6, 0.666667, 0.6)))
+    assert(out(2L) === ((3L, 3L, 1.0, 1.0, 0.333333)))
+    assert(out(3L) === ((4L, 1L, 0.25, 0.0, 1.0)))
+    assert(out(5L)._1 === 3L && out(5L)._2 === 2L)
+  }
+
   test("audio dup pairs: planted 8-bit copies pair, sequences verified equal") {
     val pairs = Multimodal.audioDupPairs(spark, table("documents")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
