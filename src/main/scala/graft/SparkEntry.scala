@@ -132,6 +132,32 @@ object SparkEntry {
           lit(" qa canary alpha beta gamma delta epsilon zeta")))
       .otherwise(col("text")).as("text"))
 
+  /** Deterministic planted URL VARIANTS for the d24 gate: four
+    * spellings of the same canonical page (site = doc_id % 50,
+    * page = doc_id % 7 ⇒ one canonical group per doc_id % 350), chosen
+    * so every canonicalization rule fires — scheme/host case, www.,
+    * the :443 default port, a trailing slash, parameter order, utm_*
+    * tracking params, a fragment. Path case ('/Page/') is identical in
+    * all four: paths are case-SENSITIVE and must survive untouched. */
+  private[graft] def plantUrlVariants(docs: DataFrame): DataFrame = {
+    val site = pmod(col("doc_id"), lit(50)).cast("string")
+    val page = pmod(col("doc_id"), lit(7)).cast("string")
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("https://site"), site, lit(".example/Page/"), page,
+          lit("?a=1&b=2")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("HTTPS://WWW.Site"), site, lit(".Example:443/Page/"), page,
+          lit("?b=2&a=1&utm_source=x")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://site"), site, lit(".example/Page/"), page,
+          lit("/?a=1&b=2")))
+      .otherwise(
+        concat(lit("https://site"), site, lit(".example/Page/"), page,
+          lit("?a=1&utm_campaign=z&b=2#frag")))
+      .as("url"))
+  }
+
   /** Deterministic planted URLs for the c33 gate (the corpus has none):
     * a mixed-case blocked domain (%11 — normalization must fire before
     * the blocklist), a www-prefixed mixed-case .com (%2 — strip + 3-label
@@ -311,6 +337,7 @@ object SparkEntry {
     "c36_token_budget_mix" -> Seq("source"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
+    "d24_url_dedup" -> Seq("canon_url"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -854,6 +881,10 @@ object SparkEntry {
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
       Curation.urlDomainGate(plantUrls(t(s, d, "documents")))),
+    // the FIRST dedup a web pipeline runs: canonical-URL collapse over
+    // four planted spellings of the same page
+    "d24_url_dedup" -> ((s, d) =>
+      Dedup.urlDedup(plantUrlVariants(t(s, d, "documents")))),
     // per-source top-30% token-count gate: thresholds are partial-agg
     // percentiles per source, broadcast back, decimal-6 boundary
     "c37_source_relative_gate" -> ((s, d) =>
@@ -1819,6 +1850,39 @@ object SparkEntry {
             CAST(len(d.t) AS INTEGER) AS n_tokens,
             CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
           FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
+    // d24: the same plant CASE + the same canonicalization regex chain
+    // (scheme/host lower, :443 and www. strip, trailing-slash strip,
+    // sorted non-utm params, fragment drop), d1's group-by shape
+    "d24_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'https://site' || (doc_id % 50) || '.example/Page/'
+                         || (doc_id % 7) || '?a=1&b=2'
+             WHEN 1 THEN 'HTTPS://WWW.Site' || (doc_id % 50) || '.Example:443/Page/'
+                         || (doc_id % 7) || '?b=2&a=1&utm_source=x'
+             WHEN 2 THEN 'https://site' || (doc_id % 50) || '.example/Page/'
+                         || (doc_id % 7) || '/?a=1&b=2'
+             ELSE 'https://site' || (doc_id % 50) || '.example/Page/'
+                         || (doc_id % 7) || '?a=1&utm_campaign=z&b=2#frag'
+           END AS url FROM documents),
+         q AS (SELECT doc_id, url,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS plist
+               FROM u),
+         c AS (SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               || '://' ||
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 ':(80|443)$', ''), '^www\.', '')
+               || regexp_replace(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                 '/+$', '')
+               || CASE WHEN plist <> '' THEN '?' || plist ELSE '' END AS canon_url
+               FROM q)
+         SELECT min(doc_id) AS doc_id, canon_url, count(*) AS dup_count
+         FROM c GROUP BY canon_url ORDER BY canon_url""",
     // t17: exact per-doc counts, integer/integer divisions decimal-6
     "t17_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

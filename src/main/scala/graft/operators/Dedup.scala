@@ -22,6 +22,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("dup_count"))
 
+  /** URL-level dedup — the FIRST dedup a web pipeline runs, before any
+    * byte of body text is fetched or compared: the same page arrives
+    * under many spellings (scheme/host case, `www.`, default ports,
+    * trailing slashes, parameter order, tracking parameters, fragments),
+    * and canonicalizing the URL collapses them for free. Canonical form:
+    * lowercase scheme; host lowercased, default `:80`/`:443` port and
+    * one leading `www.` stripped; path with trailing slashes removed
+    * (case PRESERVED — URL paths are case-sensitive); query parameters
+    * sorted, `utm_*` tracking parameters and empties dropped; fragment
+    * discarded. Pure column algebra (shared literal-class regexes —
+    * c33's parse), then [[exact]]'s shape keyed on the canonical URL:
+    * one map + one map-side-combinable aggregate, no join, no window —
+    * the cheapest possible 100 TB plan. */
+  def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame = {
+    val url = col(urlCol)
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(
+      regexp_replace(rawHost, ":(80|443)$", ""), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+    documents.select(col("doc_id"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("canon_url"), col("dup_count"))
+  }
+
   /** Incremental EXACT dedup of a new batch against an existing corpus:
     * the surviving batch documents — texts unseen in the corpus — one
     * row per distinct batch text with the smallest batch id and the

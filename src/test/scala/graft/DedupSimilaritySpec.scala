@@ -13,6 +13,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out.agg(sum("dup_count")).collect()(0).getLong(0) === docs.count())
   }
 
+  test("url dedup: spelling variants collapse, genuine differences survive") {
+    import spark.implicits._
+    val urls = Seq(
+      // five spellings of one page — every rule fires
+      (1L, "https://site.example/A/b?x=1&y=2"),
+      (2L, "HTTPS://WWW.Site.Example/A/b?y=2&x=1"),
+      (3L, "https://site.example:443/A/b/?x=1&y=2"),
+      (4L, "https://site.example/A/b?x=1&utm_source=s&y=2#frag"),
+      (5L, "https://www.site.example/A/b?utm_campaign=c&x=1&y=2"),
+      // genuine differences must NOT collapse:
+      (6L, "https://site.example/a/b?x=1&y=2"),    // path case differs
+      (7L, "https://site.example/A/b?x=1&y=3"),    // param value differs
+      (8L, "https://site.example:8080/A/b?x=1&y=2"), // non-default port
+      (9L, "http://site.example/A/b?x=1&y=2")      // scheme differs
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(urls).collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    assert(out("https://site.example/A/b?x=1&y=2") === ((1L, 5L)))
+    assert(out("https://site.example/a/b?x=1&y=2") === ((6L, 1L)))
+    assert(out("https://site.example/A/b?x=1&y=3") === ((7L, 1L)))
+    assert(out("https://site.example:8080/A/b?x=1&y=2") === ((8L, 1L)))
+    assert(out("http://site.example/A/b?x=1&y=2") === ((9L, 1L)))
+    assert(out.size === 5)
+    // bare-host URL: empty path, empty query — canonical is scheme://host
+    val bare = Dedup.urlDedup(Seq(
+      (10L, "https://Host.Example/"), (11L, "https://host.example")
+    ).toDF("doc_id", "url")).collect()
+    assert(bare.length === 1 && bare.head.getString(1) === "https://host.example"
+      && bare.head.getLong(2) === 2L)
+  }
+
   test("ngram jaccard pairs: similarity in (0,1], pairs ordered") {
     val out = Dedup.ngramJaccardPairs(table("documents"), 0.3).collect()
     out.foreach { r =>
