@@ -338,6 +338,7 @@ object SparkEntry {
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
+    "q46_pit_join" -> Seq("event_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -834,6 +835,9 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"))
     }),
     "q40_scd2" -> ((s, d) => Relational.scd2(t(s, d, "events"))),
+    // the query SCD2 exists for: each purchase joined to the dimension
+    // version valid AT PURCHASE TIME, not the current one
+    "q46_pit_join" -> ((s, d) => Relational.pitJoin(t(s, d, "events"))),
     "q42_interval_islands" -> ((s, d) => Relational.intervalIslands(t(s, d, "events"))),
     "q45_unpivot" -> ((s, d) => Relational.unpivotCounts(t(s, d, "events"))),
     // incremental SimHash vs a persisted signature table (rows-only like
@@ -1618,6 +1622,30 @@ object SparkEntry {
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    // q46: q40's dimension CTEs restricted to non-purchase activity,
+    // purchases joined on user + the half-open [valid_from, valid_to)
+    // string-interval containment
+    "q46_pit_join" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events WHERE event_type <> 'purchase'),
+         changes AS (
+           SELECT * FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type),
+         dim AS (
+           SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS state_version,
+             event_type AS state_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to
+           FROM changes
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+               FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ts, dim.state_type, dim.state_version
+         FROM f JOIN dim ON dim.user_id = f.user_id
+           AND f.ts >= dim.valid_from
+           AND (dim.valid_to IS NULL OR f.ts < dim.valid_to)
+         ORDER BY f.event_id""",
     "q45_unpivot" ->
       """WITH p AS (
            SELECT user_id,

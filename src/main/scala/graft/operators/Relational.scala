@@ -464,6 +464,36 @@ object Relational {
         when(col("valid_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
   }
 
+  /** Point-in-time (bitemporal) lookup against the [[scd2]] dimension —
+    * the query SCD2 exists to answer: join each fact row to the
+    * dimension version that was valid WHEN THE FACT HAPPENED, not the
+    * current one (rating an old purchase against the customer's current
+    * segment is the classic silent warehouse bug). Facts are the
+    * purchase events; the dimension is [[scd2]] over the NON-purchase
+    * activity, so each purchase picks up the activity regime the user
+    * was in at purchase time via `valid_from ≤ ts < valid_to`
+    * (open-ended current version matches everything after its start).
+    * Intervals are half-open on second-formatted strings, so a version
+    * whose start and end fall in the same second is zero-length and
+    * can never double-match — the lookup is unique by construction.
+    * Purchases before a user's first version have no valid state and
+    * drop (inner join). Plan: the user-keyed equi-join carries the
+    * range predicate as a post-join filter — both sides shuffle once on
+    * user_id, the dimension side is versions-per-user-sized. */
+  def pitJoin(events: DataFrame): DataFrame = {
+    val dim = scd2(events.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("version").as("state_version"),
+        col("event_type").as("state_type"),
+        col("valid_from"), col("valid_to"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"))
+      .join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("state_type"), col("state_version"))
+  }
+
   /** Robust per-group outlier detection: median/MAD gate (|x − med| >
     * k·MAD), the rank-based outlier test that a long-tailed `value`
     * domain needs — mean/stddev would let the outliers drag their own

@@ -245,6 +245,38 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("pit join: each purchase sees the state valid at purchase time, uniquely") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, sec: Long, user: Long, tpe: String) =
+      (id, new Timestamp(1700000000000L + sec * 1000), user, tpe, 0.0, "{}")
+    val events = Seq(
+      ev(1, 0, 7, "signup"),      // version 1: signup [t0, t100)
+      ev(2, 100, 7, "click"),     // version 2: click  [t100, t500)
+      ev(3, 500, 7, "error"),     // version 3: error  [t500, ∞)
+      ev(10, 50, 7, "purchase"),  // inside v1
+      ev(11, 100, 7, "purchase"), // AT the v2 boundary → belongs to v2
+      ev(12, 600, 7, "purchase"), // open-ended current version
+      ev(20, 5, 8, "purchase")    // user 8 has no state yet → dropped
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.pitJoin(events).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getInt(4)))).toMap
+    assert(out === Map(
+      10L -> (("signup", 1)), 11L -> (("click", 2)), 12L -> (("error", 3))))
+    // corpus-level: every matched purchase matches EXACTLY one version,
+    // and its state interval truly contains the purchase second
+    val corpus = Relational.pitJoin(table("events")).collect()
+    assert(corpus.map(_.getLong(0)).distinct.length === corpus.length)
+    val dim = Relational.scd2(
+        table("events").filter(col("event_type") =!= "purchase")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) ->
+        ((r.getAs[String]("valid_from"), Option(r.getAs[String]("valid_to"))))).toMap
+    corpus.foreach { r =>
+      val (from, to) = dim((r.getLong(1), r.getInt(4)))
+      assert(r.getString(2) >= from && to.forall(r.getString(2) < _))
+    }
+  }
+
   test("robust outliers: gate matches a driver-side median/MAD recompute") {
     val out = Relational.robustOutliers(table("events")).collect()
     val vals = table("events").select("event_type", "value").collect()
