@@ -381,7 +381,8 @@ object SparkEntry {
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
-    "m8_gif_meta" -> Seq("doc_id"))
+    "m8_gif_meta" -> Seq("doc_id"),
+    "m11_bmp_meta" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -574,6 +575,7 @@ object SparkEntry {
     // real GIF screen-descriptor parsing over planted GIF89a payloads —
     // LE dims, packed GCT flags, full-table length check, map-only
     "m8_gif_meta" -> ((s, d) => Multimodal.gifMetaPlanted(s, t(s, d, "documents"))),
+    "m11_bmp_meta" -> ((s, d) => Multimodal.bmpMetaPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -2745,6 +2747,21 @@ object SparkEntry {
            CAST(32 + (octet_length(encode(text)) * 11) % 479 AS INTEGER) AS height,
            0 AS gct_entries,
            CAST(octet_length(encode(text)) % 256 AS INTEGER) AS bg_index
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m11: planted rows replay the BMP plant formulas (24-bpp
+    // bottom-up), text rows the synthetic fallback from byte length
+    "m11_bmp_meta" ->
+      """SELECT doc_id, 1 AS is_bmp,
+           CAST(4 + doc_id % 61 AS INTEGER) AS width,
+           CAST(4 + doc_id % 47 AS INTEGER) AS height,
+           24 AS bpp, 0 AS top_down
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_bmp,
+           CAST(16 + (octet_length(encode(text)) * 5) % 509 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 389 AS INTEGER) AS height,
+           24 AS bpp, 0 AS top_down
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m5: two planted layouts — %16=0 docs carry the generalized

@@ -469,6 +469,46 @@ object Multimodal {
     }
   }
 
+  object PlantedBmps {
+    val Every = 8
+
+    /** Minimal BITMAPINFOHEADER 24-bpp bottom-up BMP: 14-byte file
+      * header + 40-byte DIB + BI_RGB pixel rows padded to 4 bytes, all
+      * dims deterministic in doc_id so the oracle replays them. */
+    def craftedBmp(docId: Long): Array[Byte] = {
+      val w = (4 + docId % 61).toInt
+      val h = (4 + docId % 47).toInt
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val dataSize = rowBytes * h
+      val fileSize = 54 + dataSize
+      val out = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putShort(0).putShort(0).putInt(54)  // reserved ×2, pixel offset
+        .putInt(40)                          // BITMAPINFOHEADER
+        .putInt(w).putInt(h)
+        .putShort(1).putShort(24)            // planes, bpp
+        .putInt(0)                           // BI_RGB
+        .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var i = 0
+      while (i < dataSize) { out.put(((docId * 7 + i * 3) % 256).toByte); i += 1 }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-BMP payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedBmpMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedBmps.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedBmps.craftedBmp(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Documents with planted real-GIF payloads on every `every`-th
     * doc_id (text bytes otherwise). */
   def plantedGifMedia(spark: SparkSession, documents: DataFrame,
@@ -700,6 +740,52 @@ object Multimodal {
       when(complete, col("_bg").cast("int"))
         .otherwise(pmod(len, lit(256)).cast("int")).as("bg_index"))
   }
+
+  /** REAL BMP metadata from the binary payload — pure column exprs, the
+    * Windows-bitmap analogue of [[gifMeta]]: `BM` magic, the 40-byte
+    * BITMAPINFOHEADER (the overwhelmingly common DIB — other DIB sizes
+    * fall back rather than misparse), little-endian width, SIGNED
+    * little-endian height (negative height is the canon top-down row
+    * order — reported as `top_down` with the magnitude as `height`),
+    * plane/bpp validation, and a length check against the pixel-data
+    * offset. Incomplete/non-BMP rows degrade to deterministic synthetic
+    * metadata — the same contract as every media path. */
+  def bmpMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isBm = hex(p.substr(lit(1), lit(2))) === "424D"
+    val staged = media
+      .withColumn("_off", leUint(p, 11, 4))
+      .withColumn("_dib", leUint(p, 15, 4))
+      .withColumn("_w", leUint(p, 19, 4))
+      .withColumn("_hraw", leUint(p, 23, 4))
+      .withColumn("_planes", leUint(p, 27, 2))
+      .withColumn("_bpp", leUint(p, 29, 2))
+      .withColumn("_h", when(col("_hraw") > 2147483647L,
+        col("_hraw") - 4294967296L).otherwise(col("_hraw")))
+    val complete = coalesce(isBm, lit(false)) &&
+      coalesce(col("_dib") === 40, lit(false)) &&
+      coalesce(col("_w").between(1, 65535), lit(false)) &&
+      coalesce(abs(col("_h")).between(1, 65535), lit(false)) &&
+      coalesce(col("_planes") === 1, lit(false)) &&
+      coalesce(col("_bpp").isInCollection(Seq(1L, 4L, 8L, 16L, 24L, 32L)),
+        lit(false)) &&
+      coalesce(len >= col("_off"), lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_bmp"),
+      when(complete, col("_w").cast("int"))
+        .otherwise((lit(16) + pmod(len * 5, lit(509))).cast("int")).as("width"),
+      when(complete, abs(col("_h")).cast("int"))
+        .otherwise((lit(16) + pmod(len * 7, lit(389))).cast("int")).as("height"),
+      when(complete, col("_bpp").cast("int")).otherwise(lit(24)).as("bpp"),
+      when(complete, (col("_h") < 0).cast("int")).otherwise(lit(0)).as("top_down"))
+  }
+
+  /** The m11 gate: BMP header metadata over the planted-BMP corpus. */
+  def bmpMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedBmps.Every): DataFrame =
+    bmpMeta(plantedBmpMedia(spark, documents, every).toDF())
 
   /** The m8 gate: GIF screen-descriptor metadata over the planted-GIF
     * corpus. */

@@ -583,6 +583,37 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(capped === Set((10L, 11L)))
   }
 
+  test("bmp meta: planted dims round-trip; top-down, foreign DIB, truncation handled") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // planted corpus: every real BMP parses with the plant dims
+    val planted = Multimodal.bmpMetaPlanted(spark, table("documents")).collect()
+    planted.filter(_.getLong(0) % 8 == 0).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 1 && r.getInt(2) === (4 + id % 61).toInt &&
+        r.getInt(3) === (4 + id % 47).toInt && r.getInt(4) === 24 &&
+        r.getInt(5) === 0)
+    }
+    assert(planted.filter(_.getLong(0) % 8 != 0).forall(_.getInt(1) === 0))
+    // crafted variants: negative height = canon top-down; a V5-style
+    // 124-byte DIB and a truncated file must fall back, not misparse
+    def patched(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = Multimodal.PlantedBmps.craftedBmp(0L)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(bb); b
+    }
+    val topDown = patched(bb => bb.putInt(22, -(4 + 0)))   // height := −4
+    val v5 = patched(bb => bb.putInt(14, 124))             // DIB size := 124
+    val truncated = Multimodal.PlantedBmps.craftedBmp(0L).take(30)
+    val out = Multimodal.bmpMeta(Seq(
+        (1L, topDown), (2L, v5), (3L, truncated))
+      .toDF("doc_id", "payload")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getInt(5)))).toMap
+    assert(out(1L) === ((1, 4, 1)), "top-down BMP must parse with |height|")
+    assert(out(2L)._1 === 0, "foreign DIB size must fall back")
+    assert(out(3L)._1 === 0, "truncated header must fall back")
+  }
+
   test("lexical diversity: exact ratios on crafted docs, CJK per-codepoint types") {
     import spark.implicits._
     import graft.operators.TextOps
