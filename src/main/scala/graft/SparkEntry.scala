@@ -339,6 +339,7 @@ object SparkEntry {
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
+    "s16_ann_eval" -> Seq("q_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -493,6 +494,14 @@ object SparkEntry {
       Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/s2_codes")
       Similarity.lshTopK(emb)
+    }),
+    // s16 recall monitoring as an operator: per-query overlap of the
+    // staged-code LSH ranking against the exact s1 ranking
+    "s16_ann_eval" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s16_codes")
+      Similarity.annEval(emb)
     }),
     // s3 FULL oracle: the deterministic pivot set (smallest xxhash64 —
     // the one non-ANSI step) is staged; cell assignment (decimal-6
@@ -2270,6 +2279,42 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s16: s1's exact CTE joined against s2's staged-code approx CTE,
+    // per-query overlap → recall (bigint/bigint division, decimal-6)
+    "s16_ann_eval" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pe AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(q.v, c.v) AS cos
+               FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ex AS (SELECT q_id, id_b FROM (
+                SELECT q_id, id_b, row_number() OVER
+                  (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+                  AS rank FROM pe) WHERE rank <= 5),
+         cd AS (SELECT vec_id, code
+           FROM read_parquet('__GRAFT_STAGE__/s16_codes/*.parquet')),
+         pa AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM cd q JOIN cd c
+                 ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+                 AND bit_count(xor(q.code, c.code)) <= 1
+               JOIN v qv ON qv.vec_id = q.vec_id
+               JOIN v cv ON cv.vec_id = c.vec_id),
+         ap AS (SELECT q_id, id_b FROM (
+                SELECT q_id, id_b, row_number() OVER
+                  (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+                  AS rank FROM pa) WHERE rank <= 5),
+         hit AS (SELECT ex.q_id, count(*) AS n_exact,
+                 count(ap.id_b) AS n_hit
+                 FROM ex LEFT JOIN ap
+                   ON ap.q_id = ex.q_id AND ap.id_b = ex.id_b
+                 GROUP BY 1),
+         an AS (SELECT q_id, count(*) AS n_approx FROM ap GROUP BY 1)
+         SELECT hit.q_id, hit.n_exact, coalesce(an.n_approx, 0) AS n_approx,
+           hit.n_hit,
+           CAST(CAST(CAST(hit.n_hit AS DOUBLE) / hit.n_exact AS DECIMAL(38,6))
+             AS DOUBLE) AS recall
+         FROM hit LEFT JOIN an ON an.q_id = hit.q_id
+         ORDER BY hit.q_id""",
     // s5: same staged-code replay, every vector a query, k = 3
     "s5_knn_lsh_graph" ->
       """WITH cd AS (SELECT vec_id, code

@@ -520,6 +520,34 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Per-query ANN quality evaluation — recall@k of the sign-LSH index
+    * ([[lshTopK]]) against the exact ranking ([[bruteTopK]]), as an
+    * OPERATOR: production ANN deployments monitor index recall
+    * continuously on sampled queries (index drift after re-builds /
+    * distribution shift is silent otherwise), so the evaluation is
+    * pipeline work, not notebook work. Per query: exact top-k size, the
+    * approx result size (the LSH probe can return FEWER than k on
+    * sparse buckets — that shortfall is itself the signal), the overlap
+    * and recall = overlap / k-exact. Cost is the two index runs (both
+    * broadcast-query shapes) + a query-keyed join of two ≤k-row-per-
+    * query tables — evaluation adds nothing data-sized. */
+  def annEval(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = bruteTopK(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lshTopK(embeddings, numQueries, k)
+      .select(col("q_id").as("aq"), col("neighbor_id").as("an"))
+    exact
+      .join(approx, col("q_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hit"))
+      .join(approx.groupBy(col("aq")).agg(count(lit(1)).as("n_approx")),
+        col("q_id") === col("aq"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"), col("n_hit"),
+        decRound(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Per-dimension [min, max] of the embedding column — the scalar-
     * quantization model artifact (persist it like the k-means centroids;
     * a later batch quantizes against the SAME ranges). Partial-agg

@@ -238,6 +238,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.05, s"residual isotropic recall $recall below the floor")
   }
 
+  test("ann eval: recall matches a driver-side recompute of the two rankings") {
+    val emb = table("embeddings")
+    val out = Similarity.annEval(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size === 10)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteTopK(emb))
+    val approx = sets(Similarity.lshTopK(emb))
+    out.foreach { case (q, (nExact, nApprox, nHit, recall)) =>
+      assert(nExact === exact(q).size.toLong)
+      assert(nApprox === approx.getOrElse(q, Set.empty[Long]).size.toLong)
+      assert(nHit ===
+        exact(q).intersect(approx.getOrElse(q, Set.empty[Long])).size.toLong)
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-6)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("random projection: 16-dim sketches preserve pairwise distances") {
     import graft.functions.ColumnFns
     val emb = table("embeddings")
