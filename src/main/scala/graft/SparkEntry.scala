@@ -340,6 +340,8 @@ object SparkEntry {
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
+    "st19_url_stream" -> Seq("doc_id"),
+    "st20_paragraph_stream" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -988,6 +990,10 @@ object SparkEntry {
     // visual layer); == the d23 batch recompute, gated by its oracle
     "st18_phash_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.phashIngestFileStream(Tables.tune(s), d)),
+    "st19_url_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.urlGateFileStream(Tables.tune(s), d)),
+    "st20_paragraph_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.paragraphGateFileStream(Tables.tune(s), d)),
     "st14_neardup_stream" -> ((s, d) => {
       val ss = Tables.tune(s)
       val docs = t(s, d, "documents")
@@ -1373,6 +1379,105 @@ object SparkEntry {
           CAST(CASE WHEN cross_entropy <= 3.42 THEN 1 ELSE 0 END AS INTEGER)
             AS kept
         FROM sc ORDER BY doc_id"""
+
+  // shared by c33 (batch) and st19 (the same gate per micro-batch against
+  // the static domain-rate table) — identical SQL by the stateless-union
+  // argument
+  private lazy val urlGateSql =
+    """WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0
+              THEN 'HTTPS://Spam.Example/track?id=' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 2 = 0
+              THEN 'https://WWW.News.Example.COM/articles/' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 3 = 0
+              THEN 'http://blog.example.co.uk/post/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://data' || CAST(doc_id % 5 AS VARCHAR) ||
+              '.example.org/item/' || CAST(doc_id AS VARCHAR) END AS url
+            FROM documents),
+          p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host
+            FROM u),
+          l AS (SELECT doc_id, scheme, host, string_split(host, '.') AS ls
+            FROM p),
+          r2 AS (SELECT doc_id, scheme, host, ls,
+            CASE WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.')
+              ELSE host END AS last2
+            FROM l),
+          dm AS (SELECT doc_id, scheme, host,
+            CASE WHEN len(ls) >= 3 AND
+                list_contains(['co.uk','ac.uk','com.au','co.jp'], last2)
+              THEN array_to_string(ls[-3:], '.') ELSE last2 END AS reg_domain
+            FROM r2),
+          b AS (SELECT doc_id, scheme, host, reg_domain,
+            CAST(list_contains(['spam.example','ads.example'], reg_domain)
+              AS INTEGER) AS blocked
+            FROM dm),
+          c AS (SELECT reg_domain, count(*) AS n_domain_docs,
+            CAST(CAST(least(1.0, 100.0 / count(*)) AS DECIMAL(38,6)) AS DOUBLE)
+              AS keep_rate
+            FROM b GROUP BY 1)
+          SELECT b.doc_id, b.scheme, b.host, b.reg_domain, b.blocked,
+            c.n_domain_docs, c.keep_rate,
+            CAST(CASE WHEN b.blocked = 0 AND
+              ((b.doc_id % 1000003) * 2246822519 + 104729) % 1000000
+                < CAST(floor(c.keep_rate * 1000000.0) AS BIGINT)
+              THEN 1 ELSE 0 END AS INTEGER) AS kept
+          FROM b JOIN c USING (reg_domain) ORDER BY b.doc_id"""
+
+  // shared by c32 (batch) and st20 (per micro-batch against the static
+  // src0 reference LM)
+  private lazy val paragraphGateSql =
+    s"""WITH aug AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'el que de la en los y el que de la en'
+              ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'the a of zyzzyva qwerzix veldspar oolite brontide petrichor'
+              ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'the table scan row filter a query value data part'
+              ELSE '' END AS text
+            FROM documents),
+          sp AS (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, chr(10))],
+              x -> x <> '') AS ps FROM aug),
+          par AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS par_id, ps[i] AS par
+            FROM sp, unnest(generate_series(1, len(ps))) AS u(i)),
+          ptk AS (SELECT doc_id, par_id, par, ${toksOf("par")} AS t FROM par),
+          lsc AS (SELECT doc_id, par_id, par,
+            ${TextOps.langOrder.map(l => s"${stopHits(l)} AS score_$l").mkString(",\n            ")}
+            FROM ptk),
+          lng AS (SELECT doc_id, par_id, par, $predLangCase AS pred_lang FROM lsc),
+          rtk AS (SELECT unnest($toks) AS term FROM documents
+                  WHERE source = 'src0'),
+          tf AS (SELECT term, count(*) AS rtf FROM rtk GROUP BY 1),
+          st AS (SELECT count(*) AS rtotal, count(DISTINCT term) AS rv FROM rtk),
+          ptm AS (SELECT doc_id, par_id, unnest(t) AS term FROM ptk),
+          ce AS (SELECT doc_id, par_id,
+            CAST(CAST(-CAST(sum(CAST(CAST(ln(CAST(coalesce(tf.rtf, 0) + 1
+                 AS DOUBLE) / (st.rtotal + st.rv + 1)) AS DECIMAL(38,6))
+                 AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS cross_entropy
+            FROM ptm LEFT JOIN tf ON ptm.term = tf.term, st
+            GROUP BY doc_id, par_id),
+          g AS (SELECT l.doc_id, l.par_id, l.par,
+            CASE WHEN l.pred_lang = 'en' AND c.cross_entropy <= 6.0
+              THEN 1 ELSE 0 END AS kept
+            FROM lng l JOIN ce c
+              ON l.doc_id = c.doc_id AND l.par_id = c.par_id),
+          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_paragraphs,
+            CAST(sum(kept) AS INTEGER) AS n_kept,
+            coalesce(array_to_string(
+              list(par ORDER BY par_id) FILTER (WHERE kept = 1), chr(10)),
+              '') AS clean_text
+            FROM g GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(a.n_paragraphs, 0) AS n_paragraphs,
+            coalesce(a.n_kept, 0) AS n_kept,
+            coalesce(a.clean_text, '') AS clean_text
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          ORDER BY d.doc_id"""
 
   // shared by c30 (batch) and st17 (the same scoring per micro-batch
   // against the static fitted model, each gate staging its own —
@@ -3603,48 +3708,12 @@ object SparkEntry {
     // www-strip → list-sliced registered domain with the two-label-TLD
     // table → blocklist flag → per-domain count + c22's decimal-6 rate
     // and mod-hash gate
-    "c33_url_gate" ->
-      """WITH u AS (SELECT doc_id,
-            CASE WHEN doc_id % 11 = 0
-              THEN 'HTTPS://Spam.Example/track?id=' || CAST(doc_id AS VARCHAR)
-            WHEN doc_id % 2 = 0
-              THEN 'https://WWW.News.Example.COM/articles/' || CAST(doc_id AS VARCHAR)
-            WHEN doc_id % 3 = 0
-              THEN 'http://blog.example.co.uk/post/' || CAST(doc_id AS VARCHAR)
-            ELSE 'https://data' || CAST(doc_id % 5 AS VARCHAR) ||
-              '.example.org/item/' || CAST(doc_id AS VARCHAR) END AS url
-            FROM documents),
-          p AS (SELECT doc_id,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            regexp_replace(lower(regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host
-            FROM u),
-          l AS (SELECT doc_id, scheme, host, string_split(host, '.') AS ls
-            FROM p),
-          r2 AS (SELECT doc_id, scheme, host, ls,
-            CASE WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.')
-              ELSE host END AS last2
-            FROM l),
-          dm AS (SELECT doc_id, scheme, host,
-            CASE WHEN len(ls) >= 3 AND
-                list_contains(['co.uk','ac.uk','com.au','co.jp'], last2)
-              THEN array_to_string(ls[-3:], '.') ELSE last2 END AS reg_domain
-            FROM r2),
-          b AS (SELECT doc_id, scheme, host, reg_domain,
-            CAST(list_contains(['spam.example','ads.example'], reg_domain)
-              AS INTEGER) AS blocked
-            FROM dm),
-          c AS (SELECT reg_domain, count(*) AS n_domain_docs,
-            CAST(CAST(least(1.0, 100.0 / count(*)) AS DECIMAL(38,6)) AS DOUBLE)
-              AS keep_rate
-            FROM b GROUP BY 1)
-          SELECT b.doc_id, b.scheme, b.host, b.reg_domain, b.blocked,
-            c.n_domain_docs, c.keep_rate,
-            CAST(CASE WHEN b.blocked = 0 AND
-              ((b.doc_id % 1000003) * 2246822519 + 104729) % 1000000
-                < CAST(floor(c.keep_rate * 1000000.0) AS BIGINT)
-              THEN 1 ELSE 0 END AS INTEGER) AS kept
-          FROM b JOIN c USING (reg_domain) ORDER BY b.doc_id""",
+    "c33_url_gate" -> urlGateSql,
+    // st19: the streamed union over doc-disjoint batches against the
+    // static rate table equals the batch gate — same SQL
+    "st19_url_stream" -> urlGateSql,
+    // st20: same argument against the static reference LM
+    "st20_paragraph_stream" -> paragraphGateSql,
     // t16: the plantHtml concatenation, then the same four extractor
     // stages — lazy dot-all script/style drop (RE2 and java.util.regex
     // agree on (?is) + lazy quantifiers), tag→space, the six plain
@@ -3684,56 +3753,7 @@ object SparkEntry {
     // paragraph's tokens) + per-paragraph cross-entropy (c27's decimal
     // chain at (doc, par) grain against the UNPLANTED src0 LM), keep =
     // lang match AND ce <= 6.0, ordered FILTERed list re-assembly
-    "c32_paragraph_gate" ->
-      s"""WITH aug AS (SELECT doc_id, text ||
-            CASE WHEN doc_id % 3 = 0
-              THEN chr(10) || 'el que de la en los y el que de la en'
-              ELSE '' END ||
-            CASE WHEN doc_id % 4 = 0
-              THEN chr(10) || 'the a of zyzzyva qwerzix veldspar oolite brontide petrichor'
-              ELSE '' END ||
-            CASE WHEN doc_id % 5 = 0
-              THEN chr(10) || 'the table scan row filter a query value data part'
-              ELSE '' END AS text
-            FROM documents),
-          sp AS (SELECT doc_id,
-            list_filter([trim(x) for x in string_split(text, chr(10))],
-              x -> x <> '') AS ps FROM aug),
-          par AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS par_id, ps[i] AS par
-            FROM sp, unnest(generate_series(1, len(ps))) AS u(i)),
-          ptk AS (SELECT doc_id, par_id, par, ${toksOf("par")} AS t FROM par),
-          lsc AS (SELECT doc_id, par_id, par,
-            ${TextOps.langOrder.map(l => s"${stopHits(l)} AS score_$l").mkString(",\n            ")}
-            FROM ptk),
-          lng AS (SELECT doc_id, par_id, par, $predLangCase AS pred_lang FROM lsc),
-          rtk AS (SELECT unnest($toks) AS term FROM documents
-                  WHERE source = 'src0'),
-          tf AS (SELECT term, count(*) AS rtf FROM rtk GROUP BY 1),
-          st AS (SELECT count(*) AS rtotal, count(DISTINCT term) AS rv FROM rtk),
-          ptm AS (SELECT doc_id, par_id, unnest(t) AS term FROM ptk),
-          ce AS (SELECT doc_id, par_id,
-            CAST(CAST(-CAST(sum(CAST(CAST(ln(CAST(coalesce(tf.rtf, 0) + 1
-                 AS DOUBLE) / (st.rtotal + st.rv + 1)) AS DECIMAL(38,6))
-                 AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-                 AS DECIMAL(38,4)) AS DOUBLE) AS cross_entropy
-            FROM ptm LEFT JOIN tf ON ptm.term = tf.term, st
-            GROUP BY doc_id, par_id),
-          g AS (SELECT l.doc_id, l.par_id, l.par,
-            CASE WHEN l.pred_lang = 'en' AND c.cross_entropy <= 6.0
-              THEN 1 ELSE 0 END AS kept
-            FROM lng l JOIN ce c
-              ON l.doc_id = c.doc_id AND l.par_id = c.par_id),
-          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_paragraphs,
-            CAST(sum(kept) AS INTEGER) AS n_kept,
-            coalesce(array_to_string(
-              list(par ORDER BY par_id) FILTER (WHERE kept = 1), chr(10)),
-              '') AS clean_text
-            FROM g GROUP BY doc_id)
-          SELECT d.doc_id, coalesce(a.n_paragraphs, 0) AS n_paragraphs,
-            coalesce(a.n_kept, 0) AS n_kept,
-            coalesce(a.clean_text, '') AS clean_text
-          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-          ORDER BY d.doc_id""",
+    "c32_paragraph_gate" -> paragraphGateSql,
     // st16 is the SAME scoring driven per micro-batch against the static
     // reference LM — the batch oracle gates the streamed union verbatim
     "st16_perplexity_stream" -> perplexitySql,

@@ -703,27 +703,43 @@ object Curation {
   def urlDomainGate(documents: DataFrame, urlCol: String = "url",
                     blocklist: Seq[String] = Seq("spam.example", "ads.example"),
                     twoLabelTlds: Seq[String] = Seq("co.uk", "ac.uk", "com.au", "co.jp"),
+                    maxPerDomain: Long = 100, seed: Long = 104729L): DataFrame =
+    urlDomainGateAgainst(documents, documents, urlCol, blocklist,
+      twoLabelTlds, maxPerDomain, seed)
+
+  /** [[urlDomainGate]] with the per-domain rate table built from a
+    * SEPARATE static corpus — the st16/st17 deployment split: the
+    * domain counts (the only corpus-wide state in the gate) come from
+    * the persisted crawl inventory, and each ingest batch is parsed,
+    * blocklisted and rate-gated against them as a pure map. With
+    * `corpus == batch` this IS [[urlDomainGate]]. Batch domains absent
+    * from the corpus keep rate 1 (nothing known to cap against). */
+  def urlDomainGateAgainst(batch: DataFrame, corpus: DataFrame,
+                    urlCol: String = "url",
+                    blocklist: Seq[String] = Seq("spam.example", "ads.example"),
+                    twoLabelTlds: Seq[String] = Seq("co.uk", "ac.uk", "com.au", "co.jp"),
                     maxPerDomain: Long = 100, seed: Long = 104729L): DataFrame = {
-    val url = col(urlCol)
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val host = regexp_replace(rawHost, "^www\\.", "")
-    val parsed = documents
-      .select(col("doc_id"), scheme.as("scheme"), host.as("host"))
-      .withColumn("_labels", split(col("host"), "\\."))
-      .withColumn("_n", size(col("_labels")))
-      .withColumn("_last2", when(col("_n") >= 2,
-        concat_ws(".", slice(col("_labels"), -2, 2))).otherwise(col("host")))
-      .withColumn("reg_domain",
-        when(col("_n") >= 3 &&
-            col("_last2").isInCollection(twoLabelTlds),
-          concat_ws(".", slice(col("_labels"), -3, 3)))
-          .otherwise(col("_last2")))
-      .withColumn("blocked",
-        col("reg_domain").isInCollection(blocklist).cast("int"))
-      .select(col("doc_id"), col("scheme"), col("host"),
-        col("reg_domain"), col("blocked"))
-    val counts = parsed.groupBy(col("reg_domain"))
+    def parse(df: DataFrame): DataFrame = {
+      val url = col(urlCol)
+      val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+      val host = regexp_replace(rawHost, "^www\\.", "")
+      df.select(col("doc_id"), scheme.as("scheme"), host.as("host"))
+        .withColumn("_labels", split(col("host"), "\\."))
+        .withColumn("_n", size(col("_labels")))
+        .withColumn("_last2", when(col("_n") >= 2,
+          concat_ws(".", slice(col("_labels"), -2, 2))).otherwise(col("host")))
+        .withColumn("reg_domain",
+          when(col("_n") >= 3 &&
+              col("_last2").isInCollection(twoLabelTlds),
+            concat_ws(".", slice(col("_labels"), -3, 3)))
+            .otherwise(col("_last2")))
+        .withColumn("blocked",
+          col("reg_domain").isInCollection(blocklist).cast("int"))
+        .select(col("doc_id"), col("scheme"), col("host"),
+          col("reg_domain"), col("blocked"))
+    }
+    val counts = parse(corpus).groupBy(col("reg_domain"))
       .agg(count(lit(1)).as("n_domain_docs"))
       .withColumn("keep_rate", decRound(
         least(lit(1.0), lit(maxPerDomain.toDouble) / col("n_domain_docs")), 6))
@@ -731,10 +747,13 @@ object Curation {
     val gate =
       pmod(pmod(col("doc_id"), lit(1000003L)) * 2246822519L + lit(seed),
         lit(1000000L))
-    parsed.join(counts, Seq("reg_domain"))
+    parse(batch).join(counts, Seq("reg_domain"), "left")
       .select(col("doc_id"), col("scheme"), col("host"), col("reg_domain"),
-        col("blocked"), col("n_domain_docs"), col("keep_rate"),
-        (col("blocked") === 0 && gate < col("_thr")).cast("int").as("kept"))
+        col("blocked"),
+        coalesce(col("n_domain_docs"), lit(0L)).as("n_domain_docs"),
+        coalesce(col("keep_rate"), lit(1.0)).as("keep_rate"),
+        (col("blocked") === 0 &&
+          gate < coalesce(col("_thr"), lit(1000000L))).cast("int").as("kept"))
   }
 
   /** CCNet-granularity PARAGRAPH curation: language-ID and perplexity

@@ -583,6 +583,36 @@ object StreamDrivers {
     * scores depend only on the static LM, so the union of doc-disjoint
     * batch results equals the batch c27 run — c27's oracle gates this
     * driver verbatim. Stateless like st13/st15: no watermark needed. */
+  /** st19: the c33 URL/domain gate as a streaming ingest filter — the
+    * production split: the per-domain rate table (the gate's only
+    * corpus-wide state) is built ONCE from the static crawl inventory,
+    * and each micro-batch is parsed, blocklisted and rate-gated against
+    * it as a pure map ([[graft.operators.Curation.urlDomainGateAgainst]]).
+    * Per-doc outcomes depend only on the static rates, so doc-disjoint
+    * batches union to the batch c33 run — c33's oracle gates the
+    * streamed union verbatim. Stateless like st13/st15-st17. */
+  def urlGateFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.SparkEntry.plantUrls(
+      graft.Tables.load(spark, sfDir, "documents"))
+    val corpus = docs.localCheckpoint()
+    statelessDocStream(spark, "urlgate", docs,
+      onBatch = b => graft.operators.Curation.urlDomainGateAgainst(b, corpus))
+  }
+
+  /** st20: the c32 paragraph gate as a streaming ingest filter — the
+    * CCNet granularity at ingest time: the reference LM slice is
+    * static (c27/st16's posture), each micro-batch's documents are
+    * paragraph-scored, gated and re-assembled independently. Per-doc
+    * results depend only on the reference, so the streamed union equals
+    * the batch c32 run and its oracle gates this driver verbatim. */
+  def paragraphGateFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+    val docs = graft.SparkEntry.plantParagraphs(raw)
+    val reference = raw.filter(col("source") === "src0").localCheckpoint()
+    statelessDocStream(spark, "pargate", docs,
+      onBatch = b => graft.operators.Curation.paragraphGate(b, reference))
+  }
+
   def perplexityFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))

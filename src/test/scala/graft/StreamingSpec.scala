@@ -262,6 +262,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.exists(_._4 == 1) && batch.exists(_._4 == 0))
   }
 
+  test("st19 driver: streamed URL gate equals the batch c33 result") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getInt(4), r.getInt(7))).toSet
+    val streamed = rows("st19_url_stream")
+    val batch = rows("c33_url_gate")
+    assert(streamed === batch)
+    // non-vacuous: blocked, capped-out and kept docs all present
+    assert(batch.exists(_._3 == 1) && batch.exists(t => t._3 == 0 && t._4 == 0)
+      && batch.exists(_._4 == 1))
+  }
+
+  test("st20 driver: streamed paragraph gate equals the batch c32 result") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val streamed = rows("st20_paragraph_stream")
+    val batch = rows("c32_paragraph_gate")
+    assert(streamed === batch)
+    // non-vacuous: some paragraph was dropped somewhere
+    assert(batch.exists(t => t._3 < t._2))
+  }
+
   test("st17 driver: streamed classifier gate equals the batch c30 result") {
     val docs = graft.Tables.load(spark, SharedSpark.sfDir, "documents")
     val w = graft.operators.QualityModel.fit(docs)
