@@ -342,6 +342,8 @@ object SparkEntry {
     "s16_ann_eval" -> Seq("q_id"),
     "st19_url_stream" -> Seq("doc_id"),
     "st20_paragraph_stream" -> Seq("doc_id"),
+    "c38_line_dedup" -> Seq("doc_id"),
+    "q47_growth_accounting" -> Seq("day"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -879,6 +881,8 @@ object SparkEntry {
     // Strategy → sorted-merge SparkPlan, result == the q16 window form
     "q37_asof_exec" -> ((s, d) => TimeJoins.asofJoinExec(t(Tables.tune(s), d, "events"))),
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
+    "q47_growth_accounting" -> ((s, d) =>
+      Relational.growthAccounting(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     // CCNet paragraph granularity: planted multi-language / OOV-heavy
@@ -906,6 +910,11 @@ object SparkEntry {
     // percentiles per source, broadcast back, decimal-6 boundary
     "c37_source_relative_gate" -> ((s, d) =>
       Curation.sourceRelativeGate(t(s, d, "documents"))),
+    // C4's repeated-line removal over the paragraph-planted corpus:
+    // planted paragraphs repeat corpus-wide and drop everywhere, each
+    // doc's own (mostly unique) body line survives
+    "c38_line_dedup" -> ((s, d) =>
+      Curation.lineDedup(plantParagraphs(t(s, d, "documents")))),
     // epoch-capped water-filling over per-source token counts; weights
     // derive from the source's numeric suffix so caps genuinely bind
     // for the heavy-weight sources and surplus redistributes
@@ -1426,10 +1435,10 @@ object SparkEntry {
               THEN 1 ELSE 0 END AS INTEGER) AS kept
           FROM b JOIN c USING (reg_domain) ORDER BY b.doc_id"""
 
-  // shared by c32 (batch) and st20 (per micro-batch against the static
-  // src0 reference LM)
-  private lazy val paragraphGateSql =
-    s"""WITH aug AS (SELECT doc_id, text ||
+  // the c32/st20/c38 paragraph-plant CTE (mirrors plantParagraphs) —
+  // one definition so a plant change cannot desynchronize the oracles
+  private lazy val parPlantCte =
+    """aug AS (SELECT doc_id, text ||
             CASE WHEN doc_id % 3 = 0
               THEN chr(10) || 'el que de la en los y el que de la en'
               ELSE '' END ||
@@ -1439,7 +1448,12 @@ object SparkEntry {
             CASE WHEN doc_id % 5 = 0
               THEN chr(10) || 'the table scan row filter a query value data part'
               ELSE '' END AS text
-            FROM documents),
+            FROM documents)"""
+
+  // shared by c32 (batch) and st20 (per micro-batch against the static
+  // src0 reference LM)
+  private lazy val paragraphGateSql =
+    s"""WITH $parPlantCte,
           sp AS (SELECT doc_id,
             list_filter([trim(x) for x in string_split(text, chr(10))],
               x -> x <> '') AS ps FROM aug),
@@ -1738,6 +1752,27 @@ object SparkEntry {
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    // q47: distinct (user, day) → per-user prev/next window → the four
+    // growth classes; churn lands on day+1 capped at the corpus max day
+    "q47_growth_accounting" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         m AS (SELECT user_id, day,
+               lag(day) OVER w AS prev_day, lead(day) OVER w AS next_day
+               FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         mx AS (SELECT max(day) AS max_day FROM daily),
+         act AS (SELECT day, CASE WHEN prev_day IS NULL THEN 'new'
+                      WHEN day - prev_day = 1 THEN 'retained'
+                      ELSE 'resurrected' END AS cls FROM m),
+         ch AS (SELECT day + 1 AS day, 'churned' AS cls FROM m, mx
+                WHERE (next_day IS NULL OR next_day - day > 1)
+                  AND day + 1 <= mx.max_day),
+         u AS (SELECT * FROM act UNION ALL SELECT * FROM ch)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE cls = 'new') AS n_new,
+           count(*) FILTER (WHERE cls = 'retained') AS n_retained,
+           count(*) FILTER (WHERE cls = 'resurrected') AS n_resurrected,
+           count(*) FILTER (WHERE cls = 'churned') AS n_churned
+         FROM u GROUP BY 1 ORDER BY 1""",
     // q46: q40's dimension CTEs restricted to non-purchase activity,
     // purchases joined on user + the half-open [valid_from, valid_to)
     // string-interval containment
@@ -2043,6 +2078,25 @@ object SparkEntry {
             CAST(CAST(CAST(max_c AS DOUBLE) / n_tokens AS DECIMAL(38,6))
               AS DOUBLE) AS top_ratio
           FROM ag ORDER BY doc_id""",
+    // c38: the plant CTE shared with c32, then C4's rule — two-phase
+    // line count, cnt=1 survivors, ordered re-assembly (d18 idiom)
+    "c38_line_dedup" ->
+      s"""WITH $parPlantCte,
+          sp AS (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, chr(10))],
+              x -> x <> '') AS ls FROM aug),
+          ln AS (SELECT doc_id, i AS p, ls[i] AS line
+                 FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+          ct AS (SELECT line, count(*) AS cnt FROM ln GROUP BY 1),
+          kept AS (SELECT ln.doc_id, ln.p, ln.line
+                   FROM ln JOIN ct USING (line) WHERE ct.cnt = 1),
+          agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+                  count(*) AS k FROM kept GROUP BY 1)
+          SELECT sp.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+            CAST(len(sp.ls) AS INTEGER) AS n_lines,
+            CAST(len(sp.ls) - coalesce(agg.k, 0) AS INTEGER) AS n_lines_removed
+          FROM sp LEFT JOIN agg ON agg.doc_id = sp.doc_id
+          ORDER BY sp.doc_id""",
     // c37: per-source quantile thresholds (quantile_cont == Spark
     // percentile, c14's proven pairing), decimal-6 boundary both sides
     "c37_source_relative_gate" ->

@@ -906,6 +906,46 @@ object Curation {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Corpus-wide repeated-line removal — C4's documented cleanup step
+    * (Raffel et al. 2020 §2.2: any line occurring more than once in the
+    * corpus is boilerplate — cookie notices, nav bars, license headers
+    * — and is dropped EVERYWHERE, keeping the rest of each page):
+    * lines are newline-split trimmed non-empty segments; a line whose
+    * exact text occurs >1 time corpus-wide (within a doc or across
+    * docs) is cut; survivors re-join in document order, every doc
+    * surviving (d18's contract — empty string when nothing does).
+    *
+    * Duplicate marking is the TWO-PHASE shape the span family
+    * standardized on after the hot-shingle lesson: `groupBy(line)
+    * .count` (map-side combinable, AQE skew-split applies) left-joined
+    * back — never a count-over-line window, which would put one
+    * reducer behind every cookie banner at crawl scale. Re-assembly is
+    * one doc-keyed aggregate bounded by the doc's own length. */
+  def lineDedup(documents: DataFrame): DataFrame = {
+    val lines = documents
+      .withColumn("_ls",
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= ""))
+      .select(col("doc_id"), posexplode(col("_ls")).as(Seq("p", "line")))
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+    val kept = lines.join(counts, Seq("line"))
+      .filter(col("cnt") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .withColumn("_n", size(filter(transform(split(col("text"), "\n"),
+        l => trim(l)), l => l =!= "")))
+      .select(col("doc_id"), col("_n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("_n").cast("int").as("n_lines"),
+        (col("_n") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_lines_removed"))
+  }
+
   /** Span-level benchmark decontamination — [[contamination]]'s
     * REMEDIATION half: where c12 scores and drops whole documents, this
     * removes exactly the contaminated w-token spans and keeps the rest

@@ -348,6 +348,42 @@ object Relational {
     * per-cohort scans, no self-join of the event log. Both engines
     * truncate weeks to ISO Monday, so offsets are exact multiples of 7
     * days and the integer division is engine-exact. */
+  /** Daily growth accounting — the product-analytics decomposition of
+    * every day's active users into `new` (first day ever), `retained`
+    * (also active the previous day) and `resurrected` (returning after
+    * a gap), plus `churned` (active the previous day, absent today) —
+    * the four numbers DAU movement is actually explained with. Churn is
+    * attributed to the day AFTER the user's last activity in a streak,
+    * capped at the corpus's final day (the open edge has no observation
+    * to churn against). One distinct (user, day) table, one per-user
+    * window for prev/next day, one day-keyed combinable aggregate. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val marked = daily
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    val active = marked.select(col("day"),
+      when(col("prev_day").isNull, "new")
+        .when(datediff(col("day"), col("prev_day")) === 1, "retained")
+        .otherwise("resurrected").as("cls"))
+    val churned = marked.crossJoin(broadcast(maxDay))
+      .filter(col("next_day").isNull || datediff(col("next_day"), col("day")) > 1)
+      .withColumn("cday", date_add(col("day"), 1))
+      .filter(col("cday") <= col("max_day"))
+      .select(col("cday").as("day"), lit("churned").as("cls"))
+    active.union(churned)
+      .groupBy(col("day"))
+      .agg(count(when(col("cls") === "new", 1)).as("n_new"),
+        count(when(col("cls") === "retained", 1)).as("n_retained"),
+        count(when(col("cls") === "resurrected", 1)).as("n_resurrected"),
+        count(when(col("cls") === "churned", 1)).as("n_churned"))
+      .select(fmtDate(col("day")).as("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+  }
+
   def cohortRetention(events: DataFrame): DataFrame = {
     val userWeeks = events
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))

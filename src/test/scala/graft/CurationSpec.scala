@@ -899,6 +899,36 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("line dedup: corpus-repeated lines drop everywhere, unique lines survive in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nunique gamma"),
+      (3L, "solo line here"),
+      (4L, "self\nself"),            // within-doc repetition also counts
+      (5L, "")                       // empty doc: 0 lines, survives
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === (("unique alpha\nunique beta", 3, 1)))
+    assert(out(2L) === (("unique gamma", 2, 1)))
+    assert(out(3L) === (("solo line here", 1, 0)))
+    assert(out(4L) === (("", 2, 2)))
+    assert(out(5L) === (("", 0, 0)))
+    // gate shape on the planted corpus: every planted paragraph repeats
+    // corpus-wide and is removed from every doc carrying it
+    val gate = Curation.lineDedup(
+      SparkEntry.plantParagraphs(table("documents"))).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    gate.foreach { case (id, (clean, removed)) =>
+      assert(!clean.contains("el que de la en"))
+      assert(!clean.contains("zyzzyva"))
+      assert(!clean.contains("the table scan row"))
+      val planted = Seq(3, 4, 5).count(m => id % m == 0)
+      assert(removed >= planted, s"doc $id removed $removed < $planted")
+    }
+  }
+
   test("decontam scrub: only benchmark spans cut, clean docs normalized, counts reconcile") {
     import spark.implicits._
     val canary = "leak one two three four five six seven"       // 8 tokens

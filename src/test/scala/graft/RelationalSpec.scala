@@ -245,6 +245,37 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("growth accounting: the four classes partition DAU movement") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, day: Int, user: Long) =
+      (id, new Timestamp(1700000000000L + day * 86400000L), user, "view", 0.0, "{}")
+    // user 1: d0, d1, d3  → new@d0, retained@d1, churn@d2, resurrected@d3
+    // user 2: d1         → new@d1, churn@d2
+    // user 3: d3         → new@d3 (last corpus day: no churn emitted)
+    val events = Seq(ev(1, 0, 1), ev(2, 1, 1), ev(3, 3, 1),
+      ev(4, 1, 2), ev(5, 3, 3), ev(6, 0, 1) /* same-day dup collapses */)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.growthAccounting(events).collect()
+      .map(r => r.getString(0).takeRight(2) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val days = out.keys.toSeq.sorted
+    assert(days.length === 4)
+    assert(out(days(0)) === ((1L, 0L, 0L, 0L)))  // d0: user1 new
+    assert(out(days(1)) === ((1L, 1L, 0L, 0L)))  // d1: user2 new, user1 retained
+    assert(out(days(2)) === ((0L, 0L, 0L, 2L)))  // d2: users 1,2 churn
+    assert(out(days(3)) === ((1L, 0L, 1L, 0L)))  // d3: user3 new, user1 resurrected
+    // corpus invariant: per day, new+retained+resurrected == that day's DAU
+    val dau = table("events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .groupBy(date_format(col("day"), "yyyy-MM-dd")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.growthAccounting(table("events")).collect().foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) ===
+        dau.getOrElse(r.getString(0), 0L), s"day ${r.getString(0)}")
+    }
+  }
+
   test("pit join: each purchase sees the state valid at purchase time, uniquely") {
     import spark.implicits._
     import java.sql.Timestamp
