@@ -344,6 +344,7 @@ object SparkEntry {
     "st20_paragraph_stream" -> Seq("doc_id"),
     "c38_line_dedup" -> Seq("doc_id"),
     "q47_growth_accounting" -> Seq("day"),
+    "d25_containment" -> Seq("doc_a", "doc_b"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -906,6 +907,14 @@ object SparkEntry {
     // four planted spellings of the same page
     "d24_url_dedup" -> ((s, d) =>
       Dedup.urlDedup(plantUrlVariants(t(s, d, "documents")))),
+    // asymmetric containment over the df-capped inverted index; the
+    // shingle table stages so candidates AND verify replay relationally
+    "d25_containment" -> ((s, d) => {
+      val sh = Dedup.shingleTable(t(s, d, "documents"))
+      sh.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d25_shingles")
+      Dedup.containmentFromShingles(sh)
+    }),
     // per-source top-30% token-count gate: thresholds are partial-agg
     // percentiles per source, broadcast back, decimal-6 boundary
     "c37_source_relative_gate" -> ((s, d) =>
@@ -2029,6 +2038,26 @@ object SparkEntry {
             CAST(len(d.t) AS INTEGER) AS n_tokens,
             CAST(len(d.t) - coalesce(agg.kept, 0) AS INTEGER) AS n_tokens_removed
           FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
+    // d25: full relational replay from the staged shingle table — the
+    // df-capped inverted index, the >= minShared pair count, and the
+    // list_intersect verify with the decimal-6 containment gate
+    "d25_containment" ->
+      """WITH sh AS (SELECT doc_id, shn, hsh
+           FROM read_parquet('__GRAFT_STAGE__/d25_shingles/*.parquet')),
+         inv AS (SELECT doc_id, unnest(hsh) AS h FROM sh),
+         rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM inv GROUP BY 1)
+                  WHERE df <= 100 AND df >= 2),
+         hits AS (SELECT inv.doc_id, inv.h FROM inv JOIN rare USING (h)),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+         v AS (SELECT c.doc_a, c.doc_b, sa.shn AS na, sb.shn AS nb,
+               CAST(CAST(CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                 / least(sa.shn, sb.shn) AS DECIMAL(38,6)) AS DOUBLE) AS containment
+               FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, na, nb, containment
+         FROM v WHERE containment >= 0.8 ORDER BY doc_a, doc_b""",
     // d24: the same plant CASE + the same canonicalization regex chain
     // (scheme/host lower, :443 and www. strip, trailing-slash strip,
     // sorted non-utm params, fragment drop), d1's group-by shape

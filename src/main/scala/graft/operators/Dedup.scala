@@ -105,6 +105,69 @@ object Dedup {
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
 
+  /** Asymmetric CONTAINMENT near-dup pairs — `|A∩B| / min(|A|,|B|)`:
+    * catches a document embedded inside a much bigger one (syndicated
+    * article + commentary, quoted posts, concatenated files), which
+    * symmetric Jaccard structurally MISSES: J ≤ min/max, so a 10×
+    * wrapper caps J at 0.1 however perfect the containment — and the
+    * same inequality makes d4's size-band blocking useless here
+    * (qualifying pairs live in FAR-APART bands by definition).
+    * Candidates therefore come from a DF-CAPPED INVERTED INDEX over
+    * hashed shingles: shingles with corpus document frequency > dfCap
+    * are dropped (boilerplate — the hot keys that would explode
+    * quadratically; the d22 maxBucket discipline), docs sharing ≥
+    * `minShared` surviving shingles become candidates via a map-side-
+    * combinable pair count, and candidates verify with the exact
+    * sorted-merge intersection, gated on decimal-6 containment.
+    *
+    * RECALL CONTRACT (deliberate, documented): a qualifying pair is
+    * found iff it shares ≥ minShared shingles of df ≤ dfCap — a pair
+    * whose entire overlap is corpus-wide boilerplate is invisible
+    * (removing boilerplate is d16/c38's job; containment is about
+    * distinctive content). Candidate work is Σ_h df² with df ≤ dfCap —
+    * bounded per shingle, independent of corpus². */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.8,
+                       dfCap: Int = 100, minShared: Int = 2): DataFrame =
+    containmentFromShingles(shingleTable(documents), threshold, dfCap, minShared)
+
+  /** The `(doc_id, shn, hsh)` shingle table as a persistable artifact —
+    * the staging surface the containment gate writes for its oracle
+    * (and the natural corpus-side state for incremental probes). */
+  def shingleTable(documents: DataFrame): DataFrame =
+    shingled(documents).select(col("doc_id"), col("shn"), col("hsh"))
+      .localCheckpoint()
+
+  /** [[containmentPairs]] over a persisted/staged `(doc_id, shn, hsh)`
+    * shingle table — split out so the gate stages the table and the
+    * oracle replays candidates AND verification relationally from it
+    * (the d2 staged-signature posture). */
+  def containmentFromShingles(sh: DataFrame, threshold: Double = 0.8,
+                              dfCap: Int = 100, minShared: Int = 2): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("hsh")).as("h"))
+    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") >= 2)
+    val hits = inv.join(rare.select(col("h")), "h")
+    val pairs = hits.select(col("doc_id").as("doc_a"), col("h"))
+      .join(hits.select(col("doc_id").as("doc_b"), col("h").as("h2")),
+        col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= minShared)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shn").as("na"),
+        col("hsh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shn").as("nb"),
+        col("hsh").as("sh_b")), "doc_b")
+      // the jaccFiltered Generate barrier: keep the intersection out of
+      // the join condition / constraint inference
+      .withColumn("inter",
+        explode(array(call_function("graft_intersect_n", col("sh_a"), col("sh_b")))))
+      .withColumn("containment",
+        decRound(col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("containment"))
+  }
+
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     // materialize the shingle table once: it feeds candidate generation
     // AND both verify join-backs, and each DataFrame reference would

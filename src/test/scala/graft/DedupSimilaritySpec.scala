@@ -44,6 +44,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       && bare.head.getLong(2) === 2L)
   }
 
+  test("containment: embedded docs found where Jaccard is blind, boilerplate invisible") {
+    import spark.implicits._
+    val core = (1 to 30).map(i => s"core$i").mkString(" ")
+    val wrapper = (1 to 300).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, core, "s0"),                         // the embedded original
+      (2L, s"$wrapper $core", "s0"),            // 10× wrapper around it
+      (3L, "totally different words here x y z a b c d e f", "s0")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // the small doc is (almost) fully contained: every core shingle of
+    // doc 1 appears in doc 2 except the two junction shingles at the
+    // wrapper boundary do NOT affect doc 1's side — containment of the
+    // smaller set is 1.0
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+    assert(out.head._3 === 1.0)
+    // symmetric Jaccard at its own default threshold is blind to the
+    // same pair (J ≤ min/max ≈ 0.09) — the gap this operator exists for
+    val jac = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // recall contract: a pair whose entire overlap exceeds the df cap
+    // (planted in >cap docs) is deliberately invisible
+    val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+    val many = (0L until 120L).map(i => (10L + i, s"$boiler filler$i", "s0"))
+    val bdocs = (many :+ ((500L, boiler, "s0"))).toDF("doc_id", "text", "source")
+    val bout = Dedup.containmentPairs(bdocs, dfCap = 100).collect()
+    assert(bout.isEmpty, "boilerplate-only overlap must stay invisible")
+  }
+
   test("ngram jaccard pairs: similarity in (0,1], pairs ordered") {
     val out = Dedup.ngramJaccardPairs(table("documents"), 0.3).collect()
     out.foreach { r =>
