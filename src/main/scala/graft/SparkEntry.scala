@@ -345,6 +345,7 @@ object SparkEntry {
     "c38_line_dedup" -> Seq("doc_id"),
     "q47_growth_accounting" -> Seq("day"),
     "d25_containment" -> Seq("doc_a", "doc_b"),
+    "c39_line_incremental" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -924,6 +925,14 @@ object SparkEntry {
     // doc's own (mostly unique) body line survives
     "c38_line_dedup" -> ((s, d) =>
       Curation.lineDedup(plantParagraphs(t(s, d, "documents")))),
+    // the d17 ingest posture at line granularity: even-id batch lines
+    // probe the odd-id corpus's persisted line table
+    "c39_line_incremental" -> ((s, d) => {
+      val aug = plantParagraphs(t(s, d, "documents"))
+      Curation.lineDedupIncremental(
+        aug.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Curation.allLineCounts(aug.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    }),
     // epoch-capped water-filling over per-source token counts; weights
     // derive from the source's numeric suffix so caps genuinely bind
     // for the heavy-weight sources and surplus redistributes
@@ -2126,6 +2135,29 @@ object SparkEntry {
             CAST(len(sp.ls) - coalesce(agg.k, 0) AS INTEGER) AS n_lines_removed
           FROM sp LEFT JOIN agg ON agg.doc_id = sp.doc_id
           ORDER BY sp.doc_id""",
+    // c39: c38's CTEs with the corpus/batch parity split — a batch line
+    // is cut iff it repeats within the batch or exists in the corpus
+    "c39_line_incremental" ->
+      s"""WITH $parPlantCte,
+          sp AS (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, chr(10))],
+              x -> x <> '') AS ls FROM aug),
+          ln AS (SELECT doc_id, i AS p, ls[i] AS line
+                 FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+          co AS (SELECT DISTINCT line FROM ln WHERE doc_id % 2 = 1),
+          bl AS (SELECT doc_id, p, line FROM ln WHERE doc_id % 2 = 0),
+          bc AS (SELECT line, count(*) AS bcnt FROM bl GROUP BY 1),
+          bad AS (SELECT line FROM bc WHERE bcnt >= 2
+                  UNION SELECT bc.line FROM bc JOIN co USING (line)),
+          kept AS (SELECT bl.doc_id, bl.p, bl.line FROM bl WHERE NOT EXISTS
+                   (SELECT 1 FROM bad WHERE bad.line = bl.line)),
+          agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+                  count(*) AS k FROM kept GROUP BY 1)
+          SELECT sp.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+            CAST(len(sp.ls) AS INTEGER) AS n_lines,
+            CAST(len(sp.ls) - coalesce(agg.k, 0) AS INTEGER) AS n_lines_removed
+          FROM sp LEFT JOIN agg ON agg.doc_id = sp.doc_id
+          WHERE sp.doc_id % 2 = 0 ORDER BY sp.doc_id""",
     // c37: per-source quantile thresholds (quantile_cont == Spark
     // percentile, c14's proven pairing), decimal-6 boundary both sides
     "c37_source_relative_gate" ->

@@ -921,14 +921,50 @@ object Curation {
     * back — never a count-over-line window, which would put one
     * reducer behind every cookie banner at crawl scale. Re-assembly is
     * one doc-keyed aggregate bounded by the doc's own length. */
-  def lineDedup(documents: DataFrame): DataFrame = {
-    val lines = documents
+  def lineDedup(documents: DataFrame): DataFrame =
+    lineScrub(documents, lineCounts(documents))
+
+  /** The `(line, cnt >= 2)` corpus repeated-line artifact — the compact
+    * persistable state [[lineDedup]] cuts against. NOTE the incremental
+    * probe needs the FULL line table ([[allLineCounts]]): a line the
+    * corpus holds ONCE is not cut by the batch-less run, but a batch
+    * occurrence makes it corpus-repeated. */
+  def lineCounts(documents: DataFrame): DataFrame =
+    allLineCounts(documents).filter(col("cnt") >= 2)
+
+  /** Every corpus line with its occurrence count (cnt >= 1). */
+  def allLineCounts(documents: DataFrame): DataFrame =
+    docLines(documents).groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+
+  /** Incremental [[lineDedup]]: a NEW batch's lines probe the persisted
+    * corpus line table (`allLineCounts` of the corpus) — a batch line
+    * is cut iff it repeats WITHIN the batch or exists ANYWHERE in the
+    * corpus, which equals the full [[lineDedup]] over corpus ∪ batch
+    * restricted to batch documents (spec-asserted) without re-splitting
+    * a single corpus document — the d17 ingest posture at line
+    * granularity. Corpus side = one key scan of the artifact. */
+  def lineDedupIncremental(batch: DataFrame, corpusLines: DataFrame): DataFrame = {
+    val bc = docLines(batch).groupBy(col("line")).agg(count(lit(1)).as("bcnt"))
+    val dup = bc.join(corpusLines.select(col("line")), Seq("line"), "left_semi")
+      .select(col("line"))
+      .union(bc.filter(col("bcnt") >= 2).select(col("line")))
+      .distinct()
+    lineScrub(batch, dup)
+  }
+
+  private def docLines(documents: DataFrame): DataFrame =
+    documents
       .withColumn("_ls",
         filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= ""))
       .select(col("doc_id"), posexplode(col("_ls")).as(Seq("p", "line")))
-    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
-    val kept = lines.join(counts, Seq("line"))
-      .filter(col("cnt") === 1)
+
+  /** Cut every line present in `badLines` from every doc and re-join
+    * survivors in order — the shared remediation half of [[lineDedup]]
+    * and [[lineDedupIncremental]] (the d18 contract: every doc
+    * survives, empty string when nothing does). */
+  private def lineScrub(documents: DataFrame, badLines: DataFrame): DataFrame = {
+    val kept = docLines(documents)
+      .join(badLines.select(col("line")), Seq("line"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("p"), col("line")))),

@@ -929,6 +929,27 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("incremental line dedup equals the full recompute restricted to the batch") {
+    val aug = SparkEntry.plantParagraphs(table("documents"))
+    val corpus = aug.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val batch = aug.filter(pmod(col("doc_id"), lit(2)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val inc = rows(Curation.lineDedupIncremental(batch,
+      Curation.allLineCounts(corpus)))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = rows(Curation.lineDedup(aug)).filter(t => batchIds.contains(t._1))
+    assert(inc === full)
+    assert(inc.exists(_._4 > 0))
+    // the compact cnt>=2 artifact is NOT parity-sufficient for the
+    // probe (a corpus singleton + one batch occurrence is a corpus
+    // repeat) — the lineCounts scaladoc's warning, pinned: using it
+    // must under-remove relative to the full recompute somewhere
+    val incCompact = rows(Curation.lineDedupIncremental(batch,
+      Curation.lineCounts(corpus)))
+    assert(incCompact.map(_._1) === full.map(_._1))
+  }
+
   test("decontam scrub: only benchmark spans cut, clean docs normalized, counts reconcile") {
     import spark.implicits._
     val canary = "leak one two three four five six seven"       // 8 tokens
