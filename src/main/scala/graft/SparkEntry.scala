@@ -346,6 +346,7 @@ object SparkEntry {
     "q47_growth_accounting" -> Seq("day"),
     "d25_containment" -> Seq("doc_a", "doc_b"),
     "c39_line_incremental" -> Seq("doc_id"),
+    "q48_basket_lift" -> Seq("brand_a", "brand_b"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -885,6 +886,8 @@ object SparkEntry {
     "q34_retention" -> ((s, d) => Relational.cohortRetention(t(s, d, "events"))),
     "q47_growth_accounting" -> ((s, d) =>
       Relational.growthAccounting(t(s, d, "events"))),
+    "q48_basket_lift" -> ((s, d) =>
+      Relational.basketLift(t(s, d, "lineitem"), t(s, d, "part"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     // CCNet paragraph granularity: planted multi-language / OOV-heavy
@@ -1770,6 +1773,23 @@ object SparkEntry {
          FROM changes
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    // q48: distinct (order, brand) sets → per-order brand-pair counts →
+    // lift = n_both·N / (n_a·n_b), exact integer products, decimal-6
+    "q48_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+         per AS (SELECT brand, count(*) AS n_brand FROM ob GROUP BY 1),
+         pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+                FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+                GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT pr.brand_a, pr.brand_b, pr.n_both,
+           pa.n_brand AS n_a, pb.n_brand AS n_b,
+           CAST(CAST(CAST(pr.n_both * tot.n_orders AS DOUBLE)
+             / (pa.n_brand * pb.n_brand) AS DECIMAL(38,6)) AS DOUBLE) AS lift
+         FROM pr JOIN per pa ON pa.brand = pr.brand_a
+              JOIN per pb ON pb.brand = pr.brand_b, tot
+         ORDER BY brand_a, brand_b""",
     // q47: distinct (user, day) → per-user prev/next window → the four
     // growth classes; churn lands on day+1 capped at the corpus max day
     "q47_growth_accounting" ->

@@ -245,6 +245,27 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("basket lift: hand-checkable lifts, support floor, duplicate items collapse") {
+    import spark.implicits._
+    // orders: 1{A,B} 2{A,B} 3{A,C} 4{B} 5{C} 6{C} — order 1 carries A
+    // twice (two parts of the same brand must count ONCE)
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 20L), (2L, 10L), (2L, 20L),
+        (3L, 10L), (3L, 30L), (4L, 20L), (5L, 30L), (6L, 31L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "A"), (11L, "A"), (20L, "B"), (30L, "C"), (31L, "C"))
+      .toDF("p_partkey", "p_brand")
+    val out = Relational.basketLift(li, part, minSupport = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // N=6; A in {1,2,3}, B in {1,2,4}, C in {3,5,6}
+    assert(out(("A", "B")) === ((2L, 3L, 3L, 1.333333)))          // decimal-6
+    assert(out(("A", "C")) === ((1L, 3L, 3L, 0.666667)))
+    assert(!out.contains(("B", "C")))                             // never co-occur
+    // support floor prunes the weak pair
+    val sup = Relational.basketLift(li, part, minSupport = 2).collect()
+    assert(sup.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("A", "B")))
+  }
+
   test("growth accounting: the four classes partition DAU movement") {
     import spark.implicits._
     import java.sql.Timestamp
