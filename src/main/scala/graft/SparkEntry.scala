@@ -116,6 +116,22 @@ object SparkEntry {
       lit("</body></html>")
     ).as("text"))
 
+  /** Deterministic planted code documents for the t18 gate: the corpus
+    * is prose, so code detection needs planted code (the plant idiom) —
+    * every %9==0 doc becomes a small deterministic pseudo-C block
+    * (declarations, a guarded return, a for loop) whose id-derived
+    * variable names keep payloads distinct. The oracle replays the
+    * same CASE concat. */
+  private[graft] def plantCode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit("int v"), pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(" = "), pmod(col("doc_id"), lit(43)).cast("string"),
+          lit("; if (v"), pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(" < 7) { return v"), pmod(col("doc_id"), lit(97)).cast("string"),
+          lit("; } for (int i = 0; i < 10; i++) { theSum += i; }")))
+      .otherwise(col("text")).as("text"))
+
   /** Deterministic planted contamination for the c35 gate: at w=8 the
     * corpus shares NO genuine 8-token window across the %97 benchmark
     * split (measured at sf0.01), so the gate plants an 8-token canary
@@ -347,6 +363,7 @@ object SparkEntry {
     "d25_containment" -> Seq("doc_a", "doc_b"),
     "c39_line_incremental" -> Seq("doc_id"),
     "q48_basket_lift" -> Seq("brand_a", "brand_b"),
+    "t18_code_detect" -> Seq("doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -551,6 +568,9 @@ object SparkEntry {
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "t17_lexical_diversity" -> ((s, d) =>
       TextOps.lexicalDiversity(t(s, d, "documents"))),
+    // code-vs-prose routing over planted code docs (%9==0)
+    "t18_code_detect" -> ((s, d) =>
+      TextOps.codeDetect(plantCode(t(s, d, "documents")))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "m4_media_text_gate" -> ((s, d) => Multimodal.mediaTextGate(t(s, d, "documents"))),
@@ -2120,6 +2140,35 @@ object SparkEntry {
                FROM q)
          SELECT min(doc_id) AS doc_id, canon_url, count(*) AS dup_count
          FROM c GROUP BY canon_url ORDER BY canon_url""",
+    // t18: plant replay + symbol-class strip length diff + camelCase
+    // extraction count + keyword hits over the shared toks fragment;
+    // the two-signal rule in the decimal-6 domain
+    "t18_code_detect" ->
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+               THEN 'int v' || (doc_id % 97) || ' = ' || (doc_id % 43)
+                 || '; if (v' || (doc_id % 97) || ' < 7) { return v'
+                 || (doc_id % 97)
+                 || '; } for (int i = 0; i < 10; i++) { theSum += i; }'
+               ELSE text END AS text FROM documents),
+          m AS (SELECT doc_id, length(text) AS n,
+                length(text) - length(regexp_replace(text,
+                  '[{}\\[\\]();=<>]', '', 'g')) AS sym,
+                len(regexp_extract_all(text, '[a-z][A-Z]')) AS camel,
+                len(list_filter(${toksOf("text")}, t -> t IN
+                  ('int','if','for','return','var','def','function',
+                   'while','else','void'))) AS kw
+                FROM aug),
+          r AS (SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+                CASE WHEN n > 0 THEN
+                  CAST(CAST(CAST(sym AS DOUBLE) / n AS DECIMAL(38,6)) AS DOUBLE)
+                ELSE 0.0 END AS symbol_ratio,
+                CAST(camel AS INTEGER) AS camel_hits,
+                CAST(kw AS INTEGER) AS keyword_hits FROM m)
+          SELECT doc_id, n_chars, symbol_ratio, camel_hits, keyword_hits,
+            CAST(CASE WHEN symbol_ratio >= 0.05 AND keyword_hits >= 2
+              THEN 1 ELSE 0 END AS INTEGER) AS is_code
+          FROM r ORDER BY doc_id""",
     // t17: exact per-doc counts, integer/integer divisions decimal-6
     "t17_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

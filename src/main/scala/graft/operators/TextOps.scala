@@ -279,6 +279,38 @@ object TextOps {
         decRound(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"),
         decRound(col("_maxc").cast("double") / col("n_tokens"), 6).as("top_ratio"))
 
+  /** Code-vs-prose detection — the routing signal a mixed crawl needs
+    * before text curation (code documents fail every prose quality rule
+    * yet are valuable training data; they must be ROUTED, not dropped):
+    * structural-symbol density (`{}[]();=<>` per char — prose
+    * punctuation barely touches this class), camelCase transitions, and
+    * programming-keyword hits over the token stream. `is_code` fires on
+    * symbol density ≥ threshold AND ≥ minKeywords keyword tokens — the
+    * two-signal rule so a C-heavy math text (symbols, no keywords) or a
+    * prose mention of "if" (keywords, no symbols) doesn't trip it.
+    * Map-only column algebra; every count is exact and the one division
+    * is decimal-6. */
+  def codeDetect(documents: DataFrame, symbolThreshold: Double = 0.05,
+                 minKeywords: Int = 2): DataFrame = {
+    val keywords = Seq("int", "if", "for", "return", "var", "def",
+      "function", "while", "else", "void")
+    val n = length(col("text"))
+    val sym = n - length(regexp_replace(col("text"), "[{}\\[\\]();=<>]", ""))
+    val df = documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("n_chars", n.cast("int"))
+      .withColumn("symbol_ratio",
+        when(n > 0, decRound(sym.cast("double") / n, 6)).otherwise(lit(0.0)))
+      .withColumn("camel_hits",
+        size(expr("regexp_extract_all(text, '[a-z][A-Z]', 0)")).cast("int"))
+      .withColumn("keyword_hits",
+        stopwordHits(col("_toks"), keywords).cast("int"))
+    df.select(col("doc_id"), col("n_chars"), col("symbol_ratio"),
+      col("camel_hits"), col("keyword_hits"),
+      (col("symbol_ratio") >= symbolThreshold &&
+        col("keyword_hits") >= minKeywords).cast("int").as("is_code"))
+  }
+
   /** Canonical text normalization: Unicode NFKC first (ligatures,
     * full-width forms, compatibility variants → canonical — the
     * graft_nfkc codegen expression), then lowercase, trim, strip

@@ -583,6 +583,32 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(capped === Set((10L, 11L)))
   }
 
+  test("code detect: two-signal rule — symbols alone or keywords alone never fire") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "def apply(x): return x if x else None"),       // keywords, few symbols? has (): = — check
+      (2L, "if the weather holds, if not, we return home"),// prose keywords, no symbols
+      (3L, "a = (b < c); d = {e}; f[g] = <h>;"),           // symbols, no keywords
+      (4L, "int main() { for (int i = 0; i < 3; i++) { } return 0; }"), // both
+      (5L, "plain prose with no markers at all"),
+      (6L, "")                                             // zero chars: ratio 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(4), r.getInt(5)))).toMap
+    assert(out(2L)._3 === 0, "prose keywords without symbols must not fire")
+    assert(out(3L)._3 === 0, "symbols without keywords must not fire")
+    assert(out(4L)._3 === 1, "real code must fire")
+    assert(out(5L)._3 === 0 && out(6L)._3 === 0)
+    assert(out(6L)._1 === 0.0)
+    // the corpus gate: exactly the planted %9 tier fires
+    val gate = TextOps.codeDetect(
+      SparkEntry.plantCode(table("documents"))).collect()
+    gate.foreach { r =>
+      assert((r.getInt(5) === 1) === (r.getLong(0) % 9 === 0), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("bmp meta: planted dims round-trip; top-down, foreign DIB, truncation handled") {
     import spark.implicits._
     import graft.operators.Multimodal
