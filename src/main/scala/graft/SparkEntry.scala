@@ -363,7 +363,13 @@ object SparkEntry {
     "d25_containment" -> Seq("doc_a", "doc_b"),
     "c39_line_incremental" -> Seq("doc_id"),
     "q48_basket_lift" -> Seq("brand_a", "brand_b"),
+    "q49_rfm" -> Seq("o_custkey"),
+    "q50_path_trigrams" -> Seq("e1", "e2", "e3"),
+    "q51_daily_anomaly" -> Seq("day"),
     "t18_code_detect" -> Seq("doc_id"),
+    "t19_readability" -> Seq("doc_id"),
+    "c40_pmi_phrases" -> Seq("term_a", "term_b"),
+    "c41_phrase_search" -> Seq("phrase", "doc_id"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -908,6 +914,11 @@ object SparkEntry {
       Relational.growthAccounting(t(s, d, "events"))),
     "q48_basket_lift" -> ((s, d) =>
       Relational.basketLift(t(s, d, "lineitem"), t(s, d, "part"))),
+    "q49_rfm" -> ((s, d) => Relational.rfmSegments(t(s, d, "orders"))),
+    "q50_path_trigrams" -> ((s, d) =>
+      Relational.pathTrigrams(t(s, d, "events"))),
+    "q51_daily_anomaly" -> ((s, d) =>
+      Relational.dailyAnomaly(t(s, d, "events"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     // CCNet paragraph granularity: planted multi-language / OOV-heavy
@@ -1810,6 +1821,87 @@ object SparkEntry {
          FROM pr JOIN per pa ON pa.brand = pr.brand_a
               JOIN per pb ON pb.brand = pr.brand_b, tot
          ORDER BY brand_a, brand_b""",
+    // q49: per-customer R/F/M base → corpus quintile boundaries via
+    // quantile_cont (percentile's partial-agg pair) → boundary-strict
+    // scores in the decimal-6 domain; recency inverted (recent = 5)
+    "q49_rfm" ->
+      """WITH pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+             count(*) AS frequency,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+         base AS (SELECT o_custkey,
+             CAST(mx.max_day - pc.last_day AS BIGINT) AS recency_days,
+             frequency, monetary FROM pc, mx),
+         b AS (SELECT
+             quantile_cont(recency_days, 0.2) AS r1, quantile_cont(recency_days, 0.4) AS r2,
+             quantile_cont(recency_days, 0.6) AS r3, quantile_cont(recency_days, 0.8) AS r4,
+             quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+             quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+             quantile_cont(monetary, 0.2) AS m1, quantile_cont(monetary, 0.4) AS m2,
+             quantile_cont(monetary, 0.6) AS m3, quantile_cont(monetary, 0.8) AS m4
+           FROM base),
+         sc AS (SELECT base.*,
+             CAST(6 - (1
+               + CASE WHEN recency_days > CAST(CAST(r1 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN recency_days > CAST(CAST(r2 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN recency_days > CAST(CAST(r3 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN recency_days > CAST(CAST(r4 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END) AS INTEGER) AS r_score,
+             CAST(1
+               + CASE WHEN frequency > CAST(CAST(f1 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN frequency > CAST(CAST(f2 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN frequency > CAST(CAST(f3 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN frequency > CAST(CAST(f4 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER) AS f_score,
+             CAST(1
+               + CASE WHEN monetary > CAST(CAST(m1 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN monetary > CAST(CAST(m2 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN monetary > CAST(CAST(m3 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN monetary > CAST(CAST(m4 AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER) AS m_score
+           FROM base, b)
+         SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+         FROM sc ORDER BY o_custkey""",
+    // q50: per-user (ts, event_id)-ordered trigram window → combinable
+    // counts with distinct-user support → deterministic top-20
+    "q50_path_trigrams" ->
+      """WITH tri AS (SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1, e2, e3, count(*) AS n_paths,
+           count(DISTINCT user_id) AS n_users
+         FROM tri WHERE e3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""",
+    // q51: daily counts → trailing 7-row exact integer sums → mean/sd by
+    // the SAME IEEE op order as the Spark side → decimal-6 z
+    "q51_daily_anomaly" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+             FROM events GROUP BY 1),
+         w AS (SELECT day, n_events,
+             count(n_events) OVER win AS n_base,
+             sum(n_events) OVER win AS s1,
+             sum(n_events * n_events) OVER win AS s2
+           FROM d
+           WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT day, n_events, n_base,
+             CAST(s1 AS DOUBLE) / n_base AS mu,
+             sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_base)
+               / (n_base - 1)) AS sd
+           FROM w),
+         o AS (SELECT day, n_events,
+             CASE WHEN n_base >= 7
+               THEN CAST(CAST(mu AS DECIMAL(38,6)) AS DOUBLE) END AS mean_base,
+             CASE WHEN n_base >= 7 AND sd > 0
+               THEN CAST(CAST((n_events - mu) / sd AS DECIMAL(38,6)) AS DOUBLE) END AS z
+           FROM z)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_events, mean_base, z,
+           CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+         FROM o ORDER BY day""",
     // q47: distinct (user, day) → per-user prev/next window → the four
     // growth classes; churn lands on day+1 capped at the corpus max day
     "q47_growth_accounting" ->

@@ -1328,4 +1328,86 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"))
       .withColumn("contaminated", (col("n_flagged") > 0).cast("int"))
+
+  /** The (doc, position, token) posting substrate shared by PMI mining
+    * and phrase search — one tokenize, 1-based positions. */
+  private def positionalTokens(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("_toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("term"))
+
+  /** PMI collocation mining — the phrase-vocabulary step (word2vec's
+    * phrase pass, tokenizer multi-word entries): adjacent token bigrams
+    * scored by pointwise mutual information
+    * `pmi = ln(c_ab·N_u² / (N_b·c_a·c_b))` — how much more often the
+    * pair occurs than its unigram frequencies predict. A raw-frequency
+    * top list (c1) surfaces "of the"; PMI surfaces "san francisco".
+    * `minCount` suppresses the classic PMI pathology (a hapax pair of
+    * two hapax words scores arbitrarily high). All counts are exact
+    * combinable aggregates; the two unigram joins key on the bigram's
+    * OWN terms (vocabulary-sized, never broadcast — the c2 rationale);
+    * the product is computed in DOUBLE with a fixed op order (the
+    * integer product c_ab·N_u² overflows BIGINT at corpus scale and
+    * ANSI would throw), one ln, decimal-6, deterministic top-k. */
+  def pmiPhrases(documents: DataFrame, minCount: Long = 5,
+                 topK: Int = 20): DataFrame = {
+    // bigrams are a MAP-ONLY array transform over the materialized token
+    // column (never a posting-table self-join on (doc, p) — that shuffles
+    // the whole corpus twice for pairs that are adjacent in the array we
+    // already hold); unigram/bigram totals fold out of the count tables
+    val uni = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_term"))
+    val totals = broadcast(uni.agg(sum(col("c_term")).as("n_uni")))
+    val big = documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("n", size(col("_toks")))
+      .filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("n") - 1),
+        i => struct(element_at(col("_toks"), i).as("term_a"),
+          element_at(col("_toks"), i + 1).as("term_b")))).as("bg"))
+      .select(col("bg.term_a").as("term_a"), col("bg.term_b").as("term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("n_ab"))
+    val totB = broadcast(big.agg(sum(col("n_ab")).as("n_big")))
+    big
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("term").as("term_a"), col("c_term").as("n_a")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("c_term").as("n_b")), "term_b")
+      .crossJoin(totals).crossJoin(totB)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"), col("n_b"),
+        decRound(log(
+          col("n_ab").cast("double") * col("n_uni") * col("n_uni")
+            / (col("n_big").cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
+  /** Exact phrase search from the positional index — retrieval beyond
+    * bag-of-words (c25's BM25 cannot distinguish "new york" from "york
+    * new"): for each query bigram, the documents containing the exact
+    * adjacent sequence, with occurrence counts. The query set here is
+    * [[pmiPhrases]]' top collocations — the end-to-end composition
+    * (mine phrases → verify where they live) with no driver round-trip:
+    * the phrase table is a k-row broadcast, postings are SEMI-JOINED
+    * down to query terms before the position join (the corpus-wide
+    * posting table never self-joins — only the filtered slivers do),
+    * and the position match `p_b = p_a + 1` is an equi-join after the
+    * doc+term keys. One tokenize shared via [[positionalTokens]]. */
+  def phraseSearch(documents: DataFrame, phrases: DataFrame): DataFrame = {
+    val occ = positionalTokens(documents)
+    val ph = broadcast(phrases.select(col("term_a"), col("term_b")))
+    val occA = occ.join(ph.select(col("term_a").as("term")), Seq("term"), "left_semi")
+    val occB = occ.join(ph.select(col("term_b").as("term")), Seq("term"), "left_semi")
+    occA.select(col("doc_id"), col("p"), col("term").as("term_a"))
+      .join(ph, "term_a")
+      .join(occB.select(col("doc_id").as("doc_b"), col("p").as("p_b"),
+          col("term").as("term_b2")),
+        col("doc_b") === col("doc_id") && col("term_b2") === col("term_b") &&
+          col("p_b") === col("p") + 1)
+      .groupBy(col("term_a"), col("term_b"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(concat_ws(" ", col("term_a"), col("term_b")).as("phrase"),
+        col("doc_id"), col("n_matches"))
+  }
 }

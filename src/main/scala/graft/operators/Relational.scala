@@ -633,6 +633,120 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** RFM customer segmentation — the classic marketing partition of a
+    * customer base by Recency (days from last order to the corpus's
+    * final order date), Frequency (order count) and Monetary (exact
+    * decimal-summed lifetime spend), each scored 1-5 by corpus-wide
+    * quintile. Scores come from QUANTILE BOUNDARIES, not a rank window:
+    * `ntile(5)` over all customers is a single global sort landing on
+    * one task (the d16 straggler shape), while the partial-aggregating
+    * `percentile` reduces map-side, broadcasts 12 doubles, and scoring
+    * is a pure map — the c14/c37 calibration posture. Boundary
+    * comparisons happen in the decimal-6 domain (c14's ulp discipline);
+    * ties score LOW (strict `>` against each boundary), so a customer
+    * sitting exactly on a quintile edge lands in the lower bucket in
+    * both engines. Recency is inverted (recent = 5). */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+    val maxDay = orders.agg(max(col("o_orderdate").cast("date")).as("max_day"))
+    val base = perCust.crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex
+    val boundCols =
+      qs.map { case (q, i) => expr(s"percentile(recency_days, $q)").as(s"r_$i") } ++
+      qs.map { case (q, i) => expr(s"percentile(frequency, $q)").as(s"f_$i") } ++
+      qs.map { case (q, i) => expr(s"percentile(monetary, $q)").as(s"m_$i") }
+    val bounds = base.agg(boundCols.head, boundCols.tail: _*)
+    def scoreAsc(v: Column, pfx: String): Column =
+      qs.map { case (_, i) => when(v > decRound(col(s"$pfx$i"), 6), 1).otherwise(0) }
+        .reduce(_ + _) + 1
+    base.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(6) - scoreAsc(col("recency_days"), "r_")).cast("int").as("r_score"),
+        scoreAsc(col("frequency"), "f_").cast("int").as("f_score"),
+        scoreAsc(col("monetary"), "m_").cast("int").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  /** Top event-type PATHS: the order-3 behavioral n-grams product
+    * analytics mines for "what do users actually do in sequence".
+    * Per-user event streams ordered by (ts, event_id) — the total order
+    * every windowed op in this repo uses, so concurrent events cannot
+    * flip between engines — sliding trigrams via two leads, counted
+    * corpus-wide with distinct-user support. Plan: one user-keyed
+    * window (bounded per user, no global sort), then a combinable
+    * count; at 100 TB the window partitions by user across executors
+    * and the trigram count map-side-combines — no single hot reducer
+    * unless one PATH dominates, and that is a 20-row output key, not a
+    * per-event one. */
+  def pathTrigrams(events: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+    tri.groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topK)
+  }
+
+  /** Rolling z-score anomaly detection over the daily event-count
+    * series — the ops-dashboard question "which days were abnormal
+    * against their own trailing baseline". Daily counts (one combinable
+    * aggregate collapses the event log to ~hundreds of rows), then a
+    * trailing `windowDays`-row mean/stddev EXCLUDING the current day
+    * (an anomaly must not suppress its own detection), z = (count −
+    * mean)/stddev in the decimal-6 domain. The window runs over the
+    * post-aggregate day series — thousands of rows at ANY corpus scale,
+    * so the unpartitioned ordered window is bounded by the calendar,
+    * not the data (the one case where a global window is the right
+    * plan). Days with fewer than `windowDays` predecessors emit a null
+    * z (no baseline), never a fabricated one. */
+  def dailyAnomaly(events: DataFrame, windowDays: Int = 7,
+                   zThreshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day")).rowsBetween(-windowDays, -1)
+    // mean/stddev from EXACT integer window sums (s1, s2 are long sums of
+    // longs), then a fixed IEEE op order both engines share — the built-in
+    // stddev aggregates are Welford loops whose accumulation order is an
+    // engine implementation detail, while cast→multiply→subtract→sqrt on
+    // exact integers is bit-deterministic everywhere
+    daily
+      .withColumn("n_base", count(col("n_events")).over(w))
+      .withColumn("s1", sum(col("n_events")).over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      // divisions sit INSIDE the n_base guard: ANSI mode errors on any
+      // zero divisor (n_base = 0 on day one, n_base − 1 = 0 on day two),
+      // and CASE WHEN short-circuits in both engines
+      .withColumn("mu", when(col("n_base") >= windowDays,
+        col("s1").cast("double") / col("n_base")))
+      .withColumn("sd", when(col("n_base") >= windowDays, sqrt(
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n_base"))
+          / (col("n_base") - 1))))
+      .select(fmtDate(col("day")).as("day"), col("n_events"),
+        when(col("n_base") >= windowDays, decRound(col("mu"), 6)).as("mean_base"),
+        when(col("n_base") >= windowDays && col("sd") > 0,
+          decRound((col("n_events") - col("mu")) / col("sd"), 6)).as("z"))
+      .withColumn("is_anomaly",
+        (col("z").isNotNull && abs(col("z")) > lit(zThreshold)).cast("int"))
+  }
+
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val custGeo = customer

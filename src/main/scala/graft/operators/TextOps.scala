@@ -557,4 +557,43 @@ object TextOps {
     documents
       .select(col("doc_id"),
         call_function("graft_fingerprint", col("text")).as("fp"))
+
+  /** Readability scoring via the two standard SYLLABLE-FREE formulas —
+    * Coleman-Liau (`0.0588·L − 0.296·S − 15.8`, L/S = letters/sentences
+    * per 100 words) and the Automated Readability Index
+    * (`4.71·chars/word + 0.5·words/sentence − 21.43`) — the grade-level
+    * gate a curation funnel uses to target or exclude reading levels.
+    * Syllable-based formulas (Flesch) need a hyphenation dictionary;
+    * these two are pure counts, which is why they are the ones
+    * large-scale pipelines actually compute. Counts: letters = ASCII
+    * alphabetics (the formulas are calibrated for English; CJK docs get
+    * near-zero letter counts and null-safe scores), chars = letters +
+    * digits (ARI's definition), words = the shared token stream,
+    * sentences = t15's extraction-regex runs. Scores only for docs with
+    * ≥1 word AND ≥1 sentence (divisions inside the ANSI guard — a
+    * formula without a denominator is null, never a fabricated grade);
+    * fixed IEEE op order, decimal-6. Map-only, no shuffle. */
+  def readability(documents: DataFrame): DataFrame = {
+    val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val chars = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+    val words = size(tokens(col("text")))
+    val sents = size(filter(
+      transform(regexp_extract_all(col("text"),
+        lit("[^.!?。！？]+[.!?。！？]*"), lit(0)), s => trim(s)),
+      s => s =!= ""))
+    documents
+      .select(col("doc_id"),
+        letters.cast("int").as("n_letters"),
+        chars.cast("int").as("n_chars_an"),
+        words.cast("int").as("n_words"),
+        sents.cast("int").as("n_sentences"))
+      .withColumn("cli", when(col("n_words") > 0 && col("n_sentences") > 0,
+        decRound(lit(0.0588) * (lit(100.0) * col("n_letters") / col("n_words"))
+          - lit(0.296) * (lit(100.0) * col("n_sentences") / col("n_words"))
+          - lit(15.8), 6)))
+      .withColumn("ari", when(col("n_words") > 0 && col("n_sentences") > 0,
+        decRound(lit(4.71) * (col("n_chars_an").cast("double") / col("n_words"))
+          + lit(0.5) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(21.43), 6)))
+  }
 }

@@ -388,4 +388,92 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
         ((expected(u)._3, expected(u)._2)))
     }
   }
+
+  test("rfm: hand-checkable quintile scores, recency inverted") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // customer k (1..5): k orders, last order (k-1)*10 days before the
+    // corpus max date, order price 100·k ⇒ monetary 100·k². Every metric
+    // takes 5 distinct values, so quintile boundaries (1.8/2.6/3.4/4.2
+    // pattern) put customer k exactly in bucket k — recency INVERTED.
+    val day0 = 1700000000000L
+    val orders = (1 to 5).flatMap { k =>
+      (1 to k).map { i =>
+        (k.toLong, new Timestamp(day0 - (k - 1) * 10L * 86400000L - (i - 1) * 86400000L),
+          100.0 * k)
+      }
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rfmSegments(orders).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    (1 to 5).foreach { k =>
+      val r = out(k.toLong)
+      assert(r.getAs[Long]("recency_days") === (k - 1) * 10L)
+      assert(r.getAs[Long]("frequency") === k.toLong)
+      assert(r.getAs[Double]("monetary") === 100.0 * k * k)
+      assert(r.getAs[Int]("r_score") === 6 - k)
+      assert(r.getAs[Int]("f_score") === k)
+      assert(r.getAs[Int]("m_score") === k)
+      assert(r.getAs[String]("segment") === s"${6 - k}$k$k")
+    }
+  }
+
+  test("rfm: a value sitting exactly on a quintile boundary scores LOW") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 6 customers, frequency 1..6: (n−1)·q is integral for every
+    // quintile, so the boundaries ARE the data values 2/3/4/5 — strict >
+    // means frequency 2 ties boundary 2 and stays in bucket 1
+    val ts = new Timestamp(1700000000000L)
+    val orders = (1 to 6).flatMap { k =>
+      (1 to k).map(_ => (k.toLong, ts, 10.0))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val f = Relational.rfmSegments(orders).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Int]("f_score")).toMap
+    assert(f === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 6L -> 5))
+  }
+
+  test("path trigrams: per-user ordered windows, distinct-user support") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, sec: Int, typ: String) =
+      (id, new Timestamp(1700000000000L + sec * 1000L), user, typ, 0.0, "{}")
+    val events = Seq(
+      ev(1, 1, 0, "A"), ev(2, 1, 1, "B"), ev(3, 1, 2, "C"), ev(4, 1, 3, "D"),
+      ev(5, 2, 0, "A"), ev(6, 2, 1, "B"), ev(7, 2, 2, "C"),
+      // user 3: two events only — no trigram
+      ev(8, 3, 0, "A"), ev(9, 3, 1, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.pathTrigrams(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(("A", "B", "C") -> ((2L, 2L)), ("B", "C", "D") -> ((1L, 1L))))
+  }
+
+  test("daily anomaly: no baseline for the first window, spike flagged") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val counts = Seq(10, 12, 11, 13, 10, 12, 11, 13, 50)
+    val events = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i =>
+        ((d * 1000 + i).toLong, new Timestamp(1700000000000L + d * 86400000L + i * 1000L),
+          1L, "view", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.dailyAnomaly(events).collect().sortBy(_.getString(0))
+    assert(out.length === 9)
+    // days 0-6 have fewer than 7 predecessors: null baseline, never flagged
+    out.take(7).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("z")) && r.getAs[Int]("is_anomaly") === 0)
+    }
+    // day 7 (count 13) has the full 7-day baseline but is within 2σ
+    val d7 = out(7)
+    assert(!d7.isNullAt(d7.fieldIndex("z")) && d7.getAs[Int]("is_anomaly") === 0)
+    // day 8's spike of 50 vs baseline days 1-7 (mean ≈ 11.71) is flagged
+    val d8 = out(8)
+    val base = counts.slice(1, 8).map(_.toDouble)
+    val mu = base.sum / base.size
+    assert(math.abs(d8.getAs[Double]("mean_base") - mu) < 1e-6)
+    val sd = math.sqrt(base.map(x => (x - mu) * (x - mu)).sum / (base.size - 1))
+    assert(math.abs(d8.getAs[Double]("z") - (50 - mu) / sd) < 1e-4)
+    assert(d8.getAs[Int]("is_anomaly") === 1)
+  }
 }
