@@ -577,6 +577,16 @@ object SparkEntry {
     // code-vs-prose routing over planted code docs (%9==0)
     "t18_code_detect" -> ((s, d) =>
       TextOps.codeDetect(plantCode(t(s, d, "documents")))),
+    "t19_readability" -> ((s, d) =>
+      TextOps.readability(t(s, d, "documents"))),
+    "c40_pmi_phrases" -> ((s, d) =>
+      Curation.pmiPhrases(t(s, d, "documents"))),
+    // phrase retrieval gated on c40's top collocations — the mine→search
+    // composition stays fully relational (no driver round-trip)
+    "c41_phrase_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.phraseSearch(docs, Curation.pmiPhrases(docs, topK = 3))
+    }),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
     "m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "m4_media_text_gate" -> ((s, d) => Multimodal.mediaTextGate(t(s, d, "documents"))),
@@ -1307,6 +1317,23 @@ object SparkEntry {
     s"list_filter(string_split_regex(lower(trim(${segTextOf(c)})), '[\\s　]+'), x -> x <> '')"
   private val segText = segTextOf("text")
   private val toks = toksOf("text")
+  // Shared c40/c41 PMI oracle fragments: token arrays, unigram/bigram
+  // count tables with their totals, and the minCount=5 filtered bigram
+  // set — c41 re-derives c40's top-3 from the same text so the two
+  // oracles cannot drift
+  private lazy val pmiCtes =
+    s"""d AS (SELECT doc_id, $toks AS t FROM documents),
+          uni AS (SELECT term, count(*) AS c_term FROM
+                    (SELECT unnest(t) AS term FROM d) GROUP BY 1),
+          tu AS (SELECT sum(c_term) AS n_uni FROM uni),
+          bg AS (SELECT a AS term_a, b AS term_b FROM
+                   (SELECT unnest([{'a': t[i], 'b': t[i+1]}
+                      for i in generate_series(1, len(t)-1)], recursive := true)
+                    FROM d WHERE len(t) >= 2)),
+          big AS (SELECT term_a, term_b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+          tb AS (SELECT sum(n_ab) AS n_big FROM big),
+          f AS (SELECT term_a, term_b, n_ab FROM big WHERE n_ab >= 5)"""
+
   // Shared d16/d17/d18 span-dedup oracle fragments (w=8 fixed: the +7 /
   // +8 literals are w-1 / w — change them HERE, in one place, with the
   // Scala default). spanWinCtes derives every window occurrence,
@@ -2261,6 +2288,70 @@ object SparkEntry {
             CAST(CASE WHEN symbol_ratio >= 0.05 AND keyword_hits >= 2
               THEN 1 ELSE 0 END AS INTEGER) AS is_code
           FROM r ORDER BY doc_id""",
+    // t19: syllable-free readability — exact counts, each formula an
+    // exact integer RATIONAL rounded half-away at 1e-6 in HUGEINT (the
+    // double-arithmetic form hit the shortest-repr-vs-binary decimal
+    // cast divergence on true halves), null without a denominator
+    "t19_readability" ->
+      s"""WITH b AS (SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_chars_an,
+             CAST(len($toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter([trim(x) for x in
+               regexp_extract_all(text, '[^.!?。！？]+[.!?。！？]*')],
+               x -> x <> '')) AS BIGINT) AS n_sentences
+           FROM documents),
+         n AS (SELECT doc_id, n_letters, n_chars_an, n_words, n_sentences,
+             588 * n_letters - 2960 * n_sentences - 1580 * n_words AS cn,
+             100 * n_words AS cd,
+             471 * n_chars_an * n_sentences + 50 * n_words * n_words
+               - 2143 * n_words * n_sentences AS an,
+             100 * n_words * n_sentences AS ad
+           FROM b)
+         SELECT doc_id, n_letters, n_chars_an, n_words, n_sentences,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             CAST(CAST((abs(CAST(cn AS HUGEINT)) * 2000000 + cd)
+                 // (2 * CAST(cd AS HUGEINT)) AS BIGINT)
+               * (CASE WHEN cn < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+               / 1000000.0 END AS cli,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             CAST(CAST((abs(CAST(an AS HUGEINT)) * 2000000 + ad)
+                 // (2 * CAST(ad AS HUGEINT)) AS BIGINT)
+               * (CASE WHEN an < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+               / 1000000.0 END AS ari
+         FROM n ORDER BY doc_id""",
+    // c40: adjacent-bigram PMI — exact combinable counts, the product in
+    // DOUBLE with Spark's op order (the integer form overflows BIGINT at
+    // scale), one ln, decimal-6, deterministic top-20
+    "c40_pmi_phrases" ->
+      s"""WITH $pmiCtes
+         SELECT f.term_a, f.term_b, f.n_ab, ua.c_term AS n_a, ub.c_term AS n_b,
+           CAST(CAST(ln(CAST(f.n_ab AS DOUBLE) * tu.n_uni * tu.n_uni
+             / (CAST(tb.n_big AS DOUBLE) * ua.c_term * ub.c_term))
+             AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+         FROM f JOIN uni ua ON ua.term = f.term_a
+                JOIN uni ub ON ub.term = f.term_b, tu, tb
+         ORDER BY pmi DESC, f.term_a, f.term_b LIMIT 20""",
+    // c41: c40's top-3 collocations re-derived verbatim, then the exact
+    // adjacent-position match from the positional posting table
+    "c41_phrase_search" ->
+      s"""WITH $pmiCtes,
+          ph AS (SELECT f.term_a, f.term_b,
+               CAST(CAST(ln(CAST(f.n_ab AS DOUBLE) * tu.n_uni * tu.n_uni
+                 / (CAST(tb.n_big AS DOUBLE) * ua.c_term * ub.c_term))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+             FROM f JOIN uni ua ON ua.term = f.term_a
+                    JOIN uni ub ON ub.term = f.term_b, tu, tb
+             ORDER BY pmi DESC, f.term_a, f.term_b LIMIT 3),
+          occ AS (SELECT doc_id, unnest([{'p': i, 'term': t[i]}
+               for i in generate_series(1, len(t))], recursive := true)
+             FROM d)
+         SELECT p.term_a || ' ' || p.term_b AS phrase, a.doc_id,
+           count(*) AS n_matches
+         FROM occ a JOIN ph p ON a.term = p.term_a
+              JOIN occ b ON b.doc_id = a.doc_id AND b.term = p.term_b
+                AND b.p = a.p + 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // t17: exact per-doc counts, integer/integer divisions decimal-6
     "t17_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

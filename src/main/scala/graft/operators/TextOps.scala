@@ -570,9 +570,8 @@ object TextOps {
     * near-zero letter counts and null-safe scores), chars = letters +
     * digits (ARI's definition), words = the shared token stream,
     * sentences = t15's extraction-regex runs. Scores only for docs with
-    * ≥1 word AND ≥1 sentence (divisions inside the ANSI guard — a
-    * formula without a denominator is null, never a fabricated grade);
-    * fixed IEEE op order, decimal-6. Map-only, no shuffle. */
+    * ≥1 word AND ≥1 sentence (a formula without a denominator is null,
+    * never a fabricated grade). Map-only, no shuffle. */
   def readability(documents: DataFrame): DataFrame = {
     val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
     val chars = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
@@ -581,19 +580,36 @@ object TextOps {
       transform(regexp_extract_all(col("text"),
         lit("[^.!?。！？]+[.!?。！？]*"), lit(0)), s => trim(s)),
       s => s =!= ""))
+    // Both scores are EXACT RATIONALS of the counts (each formula
+    // multiplied through by its denominator: cli = (588L − 2960S −
+    // 1580W)/100W, ari = (471C·S + 50W² − 2143W·S)/100W·S), rounded
+    // half-away-from-zero at 1e-6 by integer arithmetic in
+    // DECIMAL(38,0): 0.5·W/S lands on TRUE decimal halves constantly
+    // (any W ≡ 2S·k/… pattern), exactly where double→decimal casts
+    // disagree across engines (Spark rounds the shortest repr, DuckDB
+    // the binary value — the decRound scaladoc's trap, hit 2/500 docs
+    // on the first double-arithmetic cut). The single double op left is
+    // the final scale-down of an exact integer.
+    def ratScore(numSql: String, denSql: String): Column =
+      expr(
+        s"""CAST(CAST((abs(CAST(($numSql) AS DECIMAL(38,0))) * 2000000
+              + ($denSql)) div (2 * CAST(($denSql) AS DECIMAL(38,0)))
+            AS BIGINT)
+            * (CASE WHEN ($numSql) < 0 THEN -1 ELSE 1 END)
+            AS DOUBLE) / 1000000.0""")
     documents
       .select(col("doc_id"),
-        letters.cast("int").as("n_letters"),
-        chars.cast("int").as("n_chars_an"),
-        words.cast("int").as("n_words"),
-        sents.cast("int").as("n_sentences"))
+        letters.cast("long").as("n_letters"),
+        chars.cast("long").as("n_chars_an"),
+        words.cast("long").as("n_words"),
+        sents.cast("long").as("n_sentences"))
       .withColumn("cli", when(col("n_words") > 0 && col("n_sentences") > 0,
-        decRound(lit(0.0588) * (lit(100.0) * col("n_letters") / col("n_words"))
-          - lit(0.296) * (lit(100.0) * col("n_sentences") / col("n_words"))
-          - lit(15.8), 6)))
+        ratScore("588 * n_letters - 2960 * n_sentences - 1580 * n_words",
+          "100 * n_words")))
       .withColumn("ari", when(col("n_words") > 0 && col("n_sentences") > 0,
-        decRound(lit(4.71) * (col("n_chars_an").cast("double") / col("n_words"))
-          + lit(0.5) * (col("n_words").cast("double") / col("n_sentences"))
-          - lit(21.43), 6)))
+        ratScore(
+          "471 * n_chars_an * n_sentences + 50 * n_words * n_words" +
+            " - 2143 * n_words * n_sentences",
+          "100 * n_words * n_sentences")))
   }
 }

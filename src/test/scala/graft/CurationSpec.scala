@@ -1034,4 +1034,55 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(r3.getBoolean(0))
     assert(!r3.getBoolean(1))
   }
+
+  test("pmi phrases: collocations beat frequent-but-independent pairs") {
+    import spark.implicits._
+    // "san francisco" always co-occurs; "the" is everywhere but pairs
+    // with many different successors — PMI must rank the collocation
+    // first even though "the X" bigrams are more frequent in total
+    val docs = Seq(
+      (1L, "san francisco is the city by the bay"),
+      (2L, "the weather in san francisco is the best"),
+      (3L, "san francisco has the bridge and the fog"),
+      (4L, "the city and the bay and the fog"),
+      // extra "is" occurrences: without them ("francisco","is") TIES
+      // ("san","francisco") at ratio 1/3 and wins the alphabetic break
+      (5L, "it is what it is"))
+      .toDF("doc_id", "text")
+    val out = Curation.pmiPhrases(docs, minCount = 2, topK = 10).collect()
+    val top = (out.head.getString(0), out.head.getString(1))
+    assert(top === (("san", "francisco")))
+    // driver-side exact recompute of every emitted PMI
+    val toks = docs.collect().map(_.getString(1).split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigs = toks.flatMap(t => t.zip(t.tail))
+    val bigC = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum.toDouble
+    val nBig = bigs.size.toDouble
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val exp = math.log(bigC((a, b)) * nUni * nUni / (nBig * uni(a) * uni(b)))
+      assert(math.abs(r.getAs[Double]("pmi") - exp) < 1e-5)
+      assert(r.getAs[Long]("n_ab") === bigC((a, b)))
+    }
+    // minCount prunes hapax pairs (the PMI pathology)
+    assert(out.forall(_.getAs[Long]("n_ab") >= 2))
+  }
+
+  test("phrase search: adjacency required, direction respected, overlaps counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york is not york new"),   // forward once, reversed ignored
+      (2L, "a new york new york story"),  // two occurrences
+      (3L, "new and york but never adjacent"),
+      (4L, "go go go"))                   // overlapping self-phrase
+      .toDF("doc_id", "text")
+    val phrases = Seq(("new", "york"), ("go", "go")).toDF("term_a", "term_b")
+    val out = Curation.phraseSearch(docs, phrases).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("n_matches")).toMap
+    assert(out === Map(
+      ("new york", 1L) -> 1L,
+      ("new york", 2L) -> 2L,
+      ("go go", 4L) -> 2L))
+  }
 }

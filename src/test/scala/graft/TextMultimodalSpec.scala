@@ -743,4 +743,55 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       rows.foreach(r => assert(r.getAs[Double]("feat_mean") >= 0 && r.getAs[Double]("feat_mean") < 1))
     }
   }
+
+  test("readability: hand-checked CLI/ARI, null without a denominator") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps. It runs!"),
+      (2L, ""),            // no words, no sentences -> null scores
+      (3L, "!!!"))         // terminator-only: tokens but ZERO sentences
+      .toDF("doc_id", "text")
+    val out = TextOps.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    // letters 27, words 7, sentences 2:
+    // cli = (588·27 − 2960·2 − 1580·7)/700 = −1104/700 = −1.577142857…
+    // ari = (471·27·2 + 50·49 − 2143·14)/1400 = −2118/1400 = −1.512857142…
+    assert(d1.getAs[Long]("n_letters") === 27L)
+    assert(d1.getAs[Long]("n_chars_an") === 27L)
+    assert(d1.getAs[Long]("n_words") === 7L)
+    assert(d1.getAs[Long]("n_sentences") === 2L)
+    assert(d1.getAs[Double]("cli") === -1.577143)
+    assert(d1.getAs[Double]("ari") === -1.512857)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("cli")))
+    assert(out(3L).getAs[Long]("n_sentences") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("ari")))
+  }
+
+  test("readability: scores equal an exact BigDecimal rational replay on the corpus") {
+    // pins the half-away-from-zero 1e-6 rounding (the cross-engine trap
+    // the integer form exists for) against java.math.BigDecimal — on
+    // every sf0.001 doc, not just crafted cases
+    val rows = TextOps.readability(table("documents")).collect()
+    assert(rows.length > 0)
+    def expected(num: BigInt, den: BigInt): Double = {
+      val bd = new java.math.BigDecimal(new java.math.BigInteger(num.toString))
+        .divide(new java.math.BigDecimal(new java.math.BigInteger(den.toString)),
+          6, java.math.RoundingMode.HALF_UP)
+      bd.doubleValue
+    }
+    rows.foreach { r =>
+      val (l, c, w, s) = (BigInt(r.getAs[Long]("n_letters")),
+        BigInt(r.getAs[Long]("n_chars_an")), BigInt(r.getAs[Long]("n_words")),
+        BigInt(r.getAs[Long]("n_sentences")))
+      if (w > 0 && s > 0) {
+        assert(r.getAs[Double]("cli") ===
+          expected(588 * l - 2960 * s - 1580 * w, 100 * w))
+        assert(r.getAs[Double]("ari") ===
+          expected(471 * c * s + 50 * w * w - 2143 * w * s, 100 * w * s))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("cli")) && r.isNullAt(r.fieldIndex("ari")))
+      }
+    }
+  }
 }
