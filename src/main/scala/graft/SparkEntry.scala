@@ -174,6 +174,23 @@ object SparkEntry {
       .as("url"))
   }
 
+  /** Deterministic recrawl snapshot for the d26 gate: %11==3 pages
+    * vanish (deleted), %7==2 pages get a re-crawl marker appended
+    * (changed), %13==4 pages reappear under a fresh id (added).
+    * Deletion wins over change — a deleted page cannot also be
+    * re-crawled; the oracle mirrors the same filter-then-modify order. */
+  private[graft] def plantRecrawl(docs: DataFrame): DataFrame = {
+    val kept = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" [recrawled]")))
+          .otherwise(col("text")).as("text"))
+    val fresh = docs.filter(pmod(col("doc_id"), lit(13)) === 4)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("fresh page "), col("doc_id").cast("string")).as("text"))
+    kept.unionByName(fresh)
+  }
+
   /** Deterministic planted URLs for the c33 gate (the corpus has none):
     * a mixed-case blocked domain (%11 — normalization must fire before
     * the blocklist), a www-prefixed mixed-case .com (%2 — strip + 3-label
@@ -292,6 +309,9 @@ object SparkEntry {
     "s9_diversity_sample" -> Seq("cluster", "rank"),
     "s7_pagerank" -> Seq("vec_id"),
     "s8_label_prop" -> Seq("vec_id"),
+    "s17_triangles" -> Seq("vec_id"),
+    "s18_silhouette" -> Seq("cluster"),
+    "d26_snapshot_diff" -> Seq("doc_id"),
     "d10_text_clusters" -> Seq("doc_id"),
     "c28_softdedup_weights" -> Seq("doc_id"),
     "c31_dedup_aware_mix" -> Seq("source"),
@@ -1180,6 +1200,32 @@ object SparkEntry {
       Similarity.pageRank(
         Similarity.knnGraphLsh(emb)
           .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    }),
+    // per-node triangle counts over the same sub-quadratic edge source
+    // — degree-oriented compact-forward, all-integer. FULL oracle:
+    // staged-code edge replay + the identical orientation in SQL
+    "s17_triangles" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s17_codes")
+      Similarity.triangleCounts(
+        Similarity.knnGraphLsh(emb)
+          .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    }),
+    // simplified-silhouette cluster quality over the s6 partition.
+    // FULL oracle: the kmeansCtes replay already carries ALL k
+    // distances per vector (fa at rk 1 and 2 are exactly a and b)
+    "s18_silhouette" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s18_seeds")
+      Similarity.silhouette(emb)
+    }),
+    // snapshot diff over the planted recrawl — text never shuffles,
+    // only (doc_id, digest)
+    "d26_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.snapshotDiff(docs, plantRecrawl(docs))
     }),
     // label-propagation communities over the same sub-quadratic edge
     // source. FULL oracle: staged-code edge replay + the synchronous
@@ -2803,6 +2849,72 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+    // s17: the s5 edge replay, canonicalized + degree-oriented exactly
+    // as the Spark side, wedges closed at the lowest-order vertex,
+    // every triangle credited to all three corners — all integers
+    "s17_triangles" ->
+      s"""${lshEdgeCtes("s17_codes")},
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM e WHERE src <> dst),
+         dg AS (SELECT id, count(*) AS deg FROM
+                (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) x
+                GROUP BY 1),
+         ori AS (SELECT
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                   THEN u.a ELSE u.b END AS u,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                   THEN u.b ELSE u.a END AS v,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                   THEN db.deg ELSE da.deg END AS dv
+                 FROM und u JOIN dg da ON da.id = u.a JOIN dg db ON db.id = u.b),
+         tri AS (SELECT e1.u, e1.v AS y, e2.v AS z
+                 FROM ori e1 JOIN ori e2 ON e2.u = e1.u
+                   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+                 WHERE EXISTS (SELECT 1 FROM ori c
+                   WHERE c.u = e1.v AND c.v = e2.v))
+         SELECT id AS vec_id, count(*) AS n_triangles FROM
+           (SELECT u AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) t
+         GROUP BY 1 ORDER BY 1""",
+    // s18: fa's rk-1/rk-2 distances ARE a and b; sqrt of the clamped
+    // decimal-6 square, decimal-6 s, exact-decimal cluster mean
+    "s18_silhouette" ->
+      s"""${kmeansCtes("s18_seeds")},
+         ab AS (SELECT a.vec_id, a.cid AS cluster,
+                sqrt(greatest(CAST(a.d6 AS DOUBLE), CAST(0 AS DOUBLE))) AS sa,
+                sqrt(greatest(CAST(b.d6 AS DOUBLE), CAST(0 AS DOUBLE))) AS sb
+                FROM fa a JOIN fa b ON b.vec_id = a.vec_id AND b.rk = 2
+                WHERE a.rk = 1),
+         si AS (SELECT vec_id, cluster,
+                CASE WHEN greatest(sa, sb) > 0 THEN
+                  CAST(CAST((sb - sa) / greatest(sa, sb) AS DECIMAL(38,6)) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS s
+                FROM ab)
+         SELECT cluster, count(*) AS n_points,
+           CAST(CAST(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+             AS DECIMAL(38,6)) AS DOUBLE) AS mean_silhouette
+         FROM si GROUP BY 1 ORDER BY 1""",
+    // d26: the planted recrawl replayed (deletion wins over change),
+    // then digest-only full-outer accounting
+    "d26_snapshot_diff" ->
+      """WITH nxt AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN text || ' [recrawled]'
+               ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             'fresh page ' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents WHERE doc_id % 13 = 4),
+         a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+         b AS (SELECT doc_id, md5(text) AS h_b FROM nxt)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'deleted'
+                WHEN h_a = h_b THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id""",
     // s8: the s5 edge replay feeding the label-propagation rounds
     // unrolled as CTEs — labels and counts are integers, the per-round
     // argmax is rank-by-(count DESC, label ASC), so the replay is exact

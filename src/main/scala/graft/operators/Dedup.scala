@@ -1153,4 +1153,30 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L)))
           .cast("int").as("n_tokens_removed"))
   }
+
+  /** Snapshot diff — recrawl accounting, the first question every
+    * periodic-crawl pipeline asks before any dedup runs: which pages
+    * are `added` / `deleted` / `changed` / `unchanged` between two
+    * corpus snapshots. Each side collapses to (doc_id, content hash)
+    * in one map pass, and the full-outer join ships 32-char digests
+    * keyed on doc_id — document text NEVER crosses the shuffle, so the
+    * exchange is O(corpus keys), not O(corpus bytes); at 100 TB both
+    * snapshot scans prune to the two columns and the join key is the
+    * natural bucketing key of any doc store (bucket both snapshots on
+    * doc_id and the join is co-located, zero shuffle). md5 is the
+    * hash because both engines compute identical lowercase-hex UTF-8
+    * digests — swap xxhash64 for cheaper hashing where cross-engine
+    * replay is not needed (collision odds are irrelevant here either
+    * way: a false "unchanged" needs a same-id collision). */
+  def snapshotDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text").cast("binary")).as("h_a"))
+    val b = next.select(col("doc_id").as("id_b"),
+      md5(col("text").cast("binary")).as("h_b"))
+    a.join(b, col("doc_id") === col("id_b"), "full_outer")
+      .select(coalesce(col("doc_id"), col("id_b")).as("doc_id"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "deleted")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -919,4 +919,72 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     lsh.foreach(r => assert(ids.contains(r.getAs[Long]("neighbor_id"))))
     assert(brute.nonEmpty)
   }
+
+  test("snapshot diff: all four statuses, text identity decides changed") {
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+      .toDF("doc_id", "text")
+    val next = Seq((2L, "bravo"), (3L, "charlie updated"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(prev, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "deleted", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("triangle counts: known graph, direction and duplicates ignored") {
+    import spark.implicits._
+    // triangles {1,2,3} and {2,3,4}; edge (4,5) closes nothing; edges
+    // arrive directed, reversed and duplicated — canonicalization must
+    // collapse all of that before counting
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (2L, 4L),
+        (3L, 4L), (4L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Similarity.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_triangles")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // node 5 participates in no triangle and is absent
+    assert(!out.contains(5L))
+  }
+
+  test("silhouette: exact parity with a driver-side recompute, bounded values") {
+    import graft.functions.ColumnFns
+    val emb = table("embeddings")
+    val out = Similarity.silhouette(emb).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Double]("mean_silhouette")))).toMap
+    val n = emb.count()
+    assert(out.values.map(_._1).sum === n)
+    out.values.foreach { case (_, s) => assert(s >= -1.0 && s <= 1.0) }
+    // driver replay: same centroids, same decimal-6 argmin/second-best,
+    // same sqrt/clamp/ratio rounding, same exact-decimal mean
+    val v = emb.select(col("vec_id"),
+      ColumnFns.toDoubleVec(col("embedding")).as("v"))
+    val cents = Similarity.kmeansCentroids(v.localCheckpoint(), 8, 5)
+    def d6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    val acc = collection.mutable.Map[Int, (Long, java.math.BigDecimal)]()
+    v.collect().foreach { r =>
+      val vec = r.getSeq[Double](1).toArray
+      val ds = cents.zipWithIndex.map { case (c, i) =>
+        val vv = vec.map(x => x * x).sum
+        val cc = c.map(x => x * x).sum
+        val dt = vec.zip(c).map { case (a, b) => a * b }.sum
+        (d6(vv - 2.0 * dt + cc), i)
+      }.sorted
+      val (a6, cid) = ds(0)
+      val b6 = ds(1)._1
+      val (sa, sb) = (math.sqrt(math.max(a6, 0)), math.sqrt(math.max(b6, 0)))
+      val s = if (math.max(sa, sb) > 0) d6((sb - sa) / math.max(sa, sb)) else 0.0
+      val (cnt, sum) = acc.getOrElse(cid, (0L, java.math.BigDecimal.ZERO))
+      acc(cid) = (cnt + 1,
+        sum.add(new java.math.BigDecimal(s).setScale(6, java.math.RoundingMode.HALF_UP)))
+    }
+    acc.foreach { case (cid, (cnt, ssum)) =>
+      val mean = d6(ssum.doubleValue / cnt)
+      assert(out(cid)._1 === cnt)
+      assert(out(cid)._2 === mean, s"cluster $cid")
+    }
+  }
 }
