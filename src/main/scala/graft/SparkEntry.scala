@@ -378,6 +378,7 @@ object SparkEntry {
     "s16_ann_eval" -> Seq("q_id"),
     "st19_url_stream" -> Seq("doc_id"),
     "st20_paragraph_stream" -> Seq("doc_id"),
+    "st21_line_stream" -> Seq("doc_id"),
     "c38_line_dedup" -> Seq("doc_id"),
     "q47_growth_accounting" -> Seq("day"),
     "d25_containment" -> Seq("doc_a", "doc_b"),
@@ -433,7 +434,8 @@ object SparkEntry {
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"),
-    "m11_bmp_meta" -> Seq("doc_id"))
+    "m11_bmp_meta" -> Seq("doc_id"),
+    "m12_tiff_meta" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -648,6 +650,7 @@ object SparkEntry {
     // LE dims, packed GCT flags, full-table length check, map-only
     "m8_gif_meta" -> ((s, d) => Multimodal.gifMetaPlanted(s, t(s, d, "documents"))),
     "m11_bmp_meta" -> ((s, d) => Multimodal.bmpMetaPlanted(s, t(s, d, "documents"))),
+    "m12_tiff_meta" -> ((s, d) => Multimodal.tiffMetaPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -1085,6 +1088,10 @@ object SparkEntry {
       graft.streaming.StreamDrivers.urlGateFileStream(Tables.tune(s), d)),
     "st20_paragraph_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.paragraphGateFileStream(Tables.tune(s), d)),
+    // the line-layer boilerplate gate at ingest: frozen odd-id corpus
+    // line artifact, even-id docs streamed through lineScrubAgainst
+    "st21_line_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.lineGateFileStream(Tables.tune(s), d)),
     "st14_neardup_stream" -> ((s, d) => {
       val ss = Tables.tune(s)
       val docs = t(s, d, "documents")
@@ -2435,6 +2442,27 @@ object SparkEntry {
           ORDER BY sp.doc_id""",
     // c39: c38's CTEs with the corpus/batch parity split — a batch line
     // is cut iff it repeats within the batch or exists in the corpus
+    // st21: c39's corpus/batch split with the FROZEN-artifact gate —
+    // no within-batch clause (lineScrubAgainst's documented trade), so
+    // bad = corpus lines only
+    "st21_line_stream" ->
+      s"""WITH $parPlantCte,
+          sp AS (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, chr(10))],
+              x -> x <> '') AS ls FROM aug),
+          ln AS (SELECT doc_id, i AS p, ls[i] AS line
+                 FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+          co AS (SELECT DISTINCT line FROM ln WHERE doc_id % 2 = 1),
+          bl AS (SELECT doc_id, p, line FROM ln WHERE doc_id % 2 = 0),
+          kept AS (SELECT bl.doc_id, bl.p, bl.line FROM bl WHERE NOT EXISTS
+                   (SELECT 1 FROM co WHERE co.line = bl.line)),
+          agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+                  count(*) AS k FROM kept GROUP BY 1)
+          SELECT sp.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+            CAST(len(sp.ls) AS INTEGER) AS n_lines,
+            CAST(len(sp.ls) - coalesce(agg.k, 0) AS INTEGER) AS n_lines_removed
+          FROM sp LEFT JOIN agg ON agg.doc_id = sp.doc_id
+          WHERE sp.doc_id % 2 = 0 ORDER BY sp.doc_id""",
     "c39_line_incremental" ->
       s"""WITH $parPlantCte,
           sp AS (SELECT doc_id,
@@ -3380,6 +3408,23 @@ object SparkEntry {
          ORDER BY doc_id""",
     // m11: planted rows replay the BMP plant formulas (24-bpp
     // bottom-up), text rows the synthetic fallback from byte length
+    // m12: the plant formulas replayed — endianness itself is a planted
+    // datum ((doc_id // 8) % 2), which is the point of the TIFF gate
+    "m12_tiff_meta" ->
+      """SELECT doc_id, 1 AS is_tiff,
+           CAST(CASE WHEN (doc_id // 8) % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS little_endian,
+           CAST(16 + doc_id % 53 AS INTEGER) AS width,
+           CAST(16 + doc_id % 41 AS INTEGER) AS height,
+           8 AS bits_per_sample
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_tiff, 0 AS little_endian,
+           CAST(16 + (octet_length(encode(text)) * 3) % 521 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) * 5) % 431 AS INTEGER) AS height,
+           8 AS bits_per_sample
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     "m11_bmp_meta" ->
       """SELECT doc_id, 1 AS is_bmp,
            CAST(4 + doc_id % 61 AS INTEGER) AS width,

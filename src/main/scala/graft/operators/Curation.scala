@@ -952,6 +952,20 @@ object Curation {
     lineScrub(batch, dup)
   }
 
+  /** The FROZEN-boilerplate ingest gate: cut from `batch` every line
+    * present ANYWHERE in the persisted corpus line artifact
+    * ([[allLineCounts]]), survivors re-assembled in order. This is
+    * [[lineDedupIncremental]] WITHOUT the within-batch repeat clause —
+    * deliberately: a per-document result depending only on the static
+    * artifact composes onto doc-disjoint micro-batches unchanged (the
+    * st19/st20 stateless-gate posture), so a streamed union equals the
+    * batch run verbatim; within-batch repeats settle at the next
+    * compaction (the full [[lineDedup]] rerun) — the trade every
+    * frozen-blocklist ingest gate makes, and the delta the st21 spec
+    * demonstrates against [[lineDedupIncremental]]. */
+  def lineScrubAgainst(batch: DataFrame, corpusLines: DataFrame): DataFrame =
+    lineScrub(batch, corpusLines.select(col("line")))
+
   private def docLines(documents: DataFrame): DataFrame =
     documents
       .withColumn("_ls",

@@ -496,6 +496,60 @@ object Multimodal {
     }
   }
 
+  object PlantedTiffs {
+    val Every = 8
+
+    /** Minimal baseline TIFF: 8-byte header (byte-order mark, magic 42,
+      * IFD offset 8), one IFD with four SHORT entries (ImageWidth 256,
+      * ImageLength 257, BitsPerSample 258, SamplesPerPixel 277), zero
+      * next-IFD pointer, and a small strip of deterministic bytes.
+      * BYTE ORDER ALTERNATES per planted file ((doc_id / every) % 2 = 0
+      * → II little-endian, else MM big-endian) — TIFF is the format
+      * whose header endianness is data, which is exactly what this
+      * plant exists to pin. SHORT values are left-justified in the
+      * 4-byte value field per the spec, which `putShort(v); putShort(0)`
+      * produces under either ByteOrder. */
+    def craftedTiff(docId: Long): Array[Byte] = {
+      val le = (docId / Every) % 2 == 0
+      val w = (16 + docId % 53).toInt
+      val h = (16 + docId % 41).toInt
+      val nEntries = 4
+      val size = 8 + 2 + nEntries * 12 + 4 + 16
+      val out = java.nio.ByteBuffer.allocate(size).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      if (le) out.put(0x49.toByte).put(0x49.toByte)
+      else out.put(0x4D.toByte).put(0x4D.toByte)
+      out.putShort(42).putInt(8)
+      out.putShort(nEntries.toShort)
+      def entryShort(tag: Int, v: Int): Unit = {
+        out.putShort(tag.toShort).putShort(3).putInt(1)
+        out.putShort(v.toShort).putShort(0)
+      }
+      entryShort(256, w)
+      entryShort(257, h)
+      entryShort(258, 8)
+      entryShort(277, 1)
+      out.putInt(0)
+      var i = 0
+      while (i < 16) { out.put(((docId * 7 + i * 3) % 256).toByte); i += 1 }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-TIFF payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedTiffMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedTiffs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedTiffs.craftedTiff(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Documents with planted real-BMP payloads on every `every`-th
     * doc_id (text bytes otherwise). */
   def plantedBmpMedia(spark: SparkSession, documents: DataFrame,
@@ -781,6 +835,72 @@ object Multimodal {
       when(complete, col("_bpp").cast("int")).otherwise(lit(24)).as("bpp"),
       when(complete, (col("_h") < 0).cast("int")).otherwise(lit(0)).as("top_down"))
   }
+
+  /** REAL TIFF metadata from the binary payload — pure column exprs,
+    * and the one media format whose HEADER DECLARES ITS OWN ENDIANNESS
+    * (`II` little / `MM` big): every multi-byte read below dispatches
+    * per row on the byte-order mark, where BMP/GIF/WAV are fixed-LE and
+    * PNG/MP4 fixed-BE. The walk: endian magic 42, 4-byte IFD offset
+    * (TIFF offsets are 0-based — +1 everywhere for 1-based substr),
+    * entry count, then an unrolled scan of up to `maxEntries` 12-byte
+    * IFD entries extracting ImageWidth(256) / ImageLength(257) /
+    * BitsPerSample(258); SHORT values read from the left-justified
+    * first two bytes of the value field, LONG values from all four —
+    * both in the file's declared order. `complete` requires the magic,
+    * ≥1 entry, the full IFD + next-pointer in range, and sane dims;
+    * anything else (truncated, text bytes, width tag past the unrolled
+    * window) degrades to deterministic synthetic metadata — the
+    * standard media-path contract. */
+  def tiffMeta(media: DataFrame, maxEntries: Int = 8): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val bo = hex(p.substr(lit(1), lit(2)))
+    val isLE = bo === "4949"
+    val isBE = bo === "4D4D"
+    def u2(pos: org.apache.spark.sql.Column) =
+      when(isLE, leUintAt(p, pos, 2)).otherwise(beUint(p, pos, 2))
+    def u4(pos: org.apache.spark.sql.Column) =
+      when(isLE, leUintAt(p, pos, 4)).otherwise(beUint(p, pos, 4))
+    val staged = media
+      .withColumn("_magic", u2(lit(3L)))
+      .withColumn("_ifd", u4(lit(5L)))
+      .withColumn("_cnt", u2(col("_ifd") + 1))
+    val withTags = (0 until maxEntries).foldLeft(staged) { (df, i) =>
+      val base = col("_ifd") + 3 + i * 12
+      df.withColumn(s"_tag$i", when(lit(i) < col("_cnt"), u2(base)))
+        .withColumn(s"_val$i", when(lit(i) < col("_cnt"),
+          when(u2(base + 2) === 3, u2(base + 8))
+            .when(u2(base + 2) === 4, u4(base + 8))))
+    }
+    def tagVal(tag: Int): org.apache.spark.sql.Column =
+      coalesce((0 until maxEntries).map(i =>
+        when(col(s"_tag$i") === tag, col(s"_val$i"))): _*)
+    val parsed = withTags
+      .withColumn("_w", tagVal(256))
+      .withColumn("_h", tagVal(257))
+      .withColumn("_bits", coalesce(tagVal(258), lit(1L))) // TIFF default 1
+    val complete = coalesce(isLE || isBE, lit(false)) &&
+      coalesce(col("_magic") === 42, lit(false)) &&
+      coalesce(col("_cnt") >= 1, lit(false)) &&
+      coalesce(len >= col("_ifd") + 2 + col("_cnt") * 12 + 4, lit(false)) &&
+      coalesce(col("_w").between(1, 1000000) &&
+        col("_h").between(1, 1000000), lit(false))
+    parsed.select(
+      col("doc_id"),
+      complete.cast("int").as("is_tiff"),
+      when(complete, isLE.cast("int")).otherwise(lit(0)).as("little_endian"),
+      when(complete, col("_w").cast("int"))
+        .otherwise((lit(16) + pmod(len * 3, lit(521))).cast("int")).as("width"),
+      when(complete, col("_h").cast("int"))
+        .otherwise((lit(16) + pmod(len * 5, lit(431))).cast("int")).as("height"),
+      when(complete, col("_bits").cast("int")).otherwise(lit(8)).as("bits_per_sample"))
+  }
+
+  /** The m12 gate: endian-aware TIFF metadata over the planted-TIFF
+    * corpus. */
+  def tiffMetaPlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedTiffs.Every): DataFrame =
+    tiffMeta(plantedTiffMedia(spark, documents, every).toDF())
 
   /** The m11 gate: BMP header metadata over the planted-BMP corpus. */
   def bmpMetaPlanted(spark: SparkSession, documents: DataFrame,

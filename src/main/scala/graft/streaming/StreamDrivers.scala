@@ -207,14 +207,16 @@ object StreamDrivers {
   private def statelessDocStream(spark: SparkSession, prefix: String,
       docs: DataFrame,
       onStream: DataFrame => DataFrame = identity,
-      onBatch: DataFrame => DataFrame = identity): DataFrame = {
+      onBatch: DataFrame => DataFrame = identity,
+      // two-half split; override when `docs` is single-parity (st21
+      // streams only even ids, which the default would put in one half)
+      splitBy: org.apache.spark.sql.Column = pmod(col("doc_id"), lit(2))): DataFrame = {
     val dir = Files.createTempDirectory(s"graft-stream-$prefix")
     val in = s"$dir/in"; val chk = s"$dir/chk"
     try {
       val stamper = new MtimeStamper
       var first = true
-      Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+      Seq(docs.filter(splitBy === 0), docs.filter(splitBy === 1)).foreach { h =>
         h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
         first = false
         stamper.stamp(in)
@@ -611,6 +613,28 @@ object StreamDrivers {
     val reference = raw.filter(col("source") === "src0").localCheckpoint()
     statelessDocStream(spark, "pargate", docs,
       onBatch = b => graft.operators.Curation.paragraphGate(b, reference))
+  }
+
+  /** st21: the line-layer boilerplate gate as a streaming ingest filter
+    * — C4's repeated-line rule at ingest time against a FROZEN corpus
+    * line artifact (built once from the odd-id slice, the c39 split):
+    * each micro-batch's documents are scrubbed of every line the corpus
+    * already holds and re-assembled independently. The gate is
+    * [[graft.operators.Curation.lineScrubAgainst]], whose per-doc
+    * result depends only on the static artifact, so the streamed union
+    * equals the batch run and one oracle gates both. Even-id docs are
+    * the stream; the split key is (doc_id div 2) % 2 because the
+    * default parity split would land the whole single-parity stream in
+    * one micro-batch. */
+  def lineGateFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = graft.SparkEntry.plantParagraphs(
+      graft.Tables.load(spark, sfDir, "documents"))
+    val corpus = graft.operators.Curation.allLineCounts(
+      aug.filter(pmod(col("doc_id"), lit(2)) === 1)).localCheckpoint()
+    statelessDocStream(spark, "linegate",
+      aug.filter(pmod(col("doc_id"), lit(2)) === 0),
+      onBatch = b => graft.operators.Curation.lineScrubAgainst(b, corpus),
+      splitBy = pmod(expr("doc_id div 2"), lit(2)))
   }
 
   def perplexityFileStream(spark: SparkSession, sfDir: String): DataFrame = {

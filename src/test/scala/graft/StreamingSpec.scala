@@ -285,6 +285,42 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.exists(t => t._3 < t._2))
   }
 
+  test("st21 driver: streamed line gate equals the batch frozen-artifact run") {
+    import org.apache.spark.sql.functions._
+    val aug = SparkEntry.plantParagraphs(
+      graft.Tables.load(spark, SharedSpark.sfDir, "documents"))
+    val corpus = graft.operators.Curation.allLineCounts(
+      aug.filter(pmod(col("doc_id"), lit(2)) === 1))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val streamed = asSet(
+      SparkEntry.queries("st21_line_stream")(spark, SharedSpark.sfDir))
+    val batch = asSet(graft.operators.Curation.lineScrubAgainst(
+      aug.filter(pmod(col("doc_id"), lit(2)) === 0), corpus))
+    assert(streamed === batch)
+    // non-vacuous: planted paragraphs were cut somewhere, others survive
+    assert(batch.exists(_._4 > 0) && batch.exists(_._4 === 0))
+  }
+
+  test("frozen line gate vs incremental dedup: exactly the within-batch clause apart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "shared" lives in the corpus; "batchdup" repeats ONLY within the
+    // batch — the frozen gate must keep it, the incremental dedup cut it
+    val corpusDocs = Seq((1L, "shared\nunique corpus line")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "shared\nbatchdup\nown line two"),
+      (4L, "batchdup\nown line four")).toDF("doc_id", "text")
+    val lines = graft.operators.Curation.allLineCounts(corpusDocs)
+    val frozen = graft.operators.Curation.lineScrubAgainst(batch, lines)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val incr = graft.operators.Curation.lineDedupIncremental(batch, lines)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(frozen === Map(2L -> "batchdup\nown line two",
+      4L -> "batchdup\nown line four"))
+    assert(incr === Map(2L -> "own line two", 4L -> "own line four"))
+  }
+
   test("st17 driver: streamed classifier gate equals the batch c30 result") {
     val docs = graft.Tables.load(spark, SharedSpark.sfDir, "documents")
     val w = graft.operators.QualityModel.fit(docs)

@@ -640,6 +640,43 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L)._1 === 0, "truncated header must fall back")
   }
 
+  test("tiff meta: BOTH endiannesses parse, LONG values read, truncation falls back") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // planted corpus: dims round-trip under the alternating byte order
+    val planted = Multimodal.tiffMetaPlanted(spark, table("documents")).collect()
+    planted.filter(_.getLong(0) % 8 == 0).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 1, s"doc $id must parse")
+      assert(r.getInt(2) === (if ((id / 8) % 2 == 0) 1 else 0), s"doc $id endianness")
+      assert(r.getInt(3) === (16 + id % 53).toInt && r.getInt(4) === (16 + id % 41).toInt)
+      assert(r.getInt(5) === 8)
+    }
+    assert(planted.filter(_.getLong(0) % 8 != 0).forall(_.getInt(1) === 0))
+    // crafted LONG-typed (type 4) width entry — big-endian file
+    def tiffLong(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + 2 + 2 * 12 + 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.put(0x4D.toByte).put(0x4D.toByte).putShort(42).putInt(8)
+      out.putShort(2)
+      out.putShort(256.toShort).putShort(4).putInt(1).putInt(w)
+      out.putShort(257.toShort).putShort(4).putInt(1).putInt(h)
+      out.putInt(0)
+      out.array()
+    }
+    val truncated = Multimodal.PlantedTiffs.craftedTiff(0L).take(20)
+    val out = Multimodal.tiffMeta(Seq(
+        (1L, tiffLong(70000, 3)), (2L, truncated),
+        (3L, "II plain text that is not a tiff".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // 70000 needs the 4-byte read: a SHORT read of the same field differs
+    assert(out(1L) === ((1, 0, 70000, 3)), "LONG-typed dims must parse big-endian")
+    assert(out(2L)._1 === 0, "truncated IFD must fall back")
+    assert(out(3L)._1 === 0, "an II prefix without magic 42 must fall back")
+  }
+
   test("lexical diversity: exact ratios on crafted docs, CJK per-codepoint types") {
     import spark.implicits._
     import graft.operators.TextOps
