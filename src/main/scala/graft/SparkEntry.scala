@@ -387,6 +387,8 @@ object SparkEntry {
     "q49_rfm" -> Seq("o_custkey"),
     "q50_path_trigrams" -> Seq("e1", "e2", "e3"),
     "q51_daily_anomaly" -> Seq("day"),
+    "q52_gap_fill" -> Seq("day", "event_type"),
+    "q53_abc_pareto" -> Seq("l_partkey"),
     "t18_code_detect" -> Seq("doc_id"),
     "t19_readability" -> Seq("doc_id"),
     "c40_pmi_phrases" -> Seq("term_a", "term_b"),
@@ -952,6 +954,8 @@ object SparkEntry {
       Relational.pathTrigrams(t(s, d, "events"))),
     "q51_daily_anomaly" -> ((s, d) =>
       Relational.dailyAnomaly(t(s, d, "events"))),
+    "q52_gap_fill" -> ((s, d) => Relational.gapFill(t(s, d, "events"))),
+    "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     // CCNet paragraph granularity: planted multi-language / OOV-heavy
@@ -1982,6 +1986,55 @@ object SparkEntry {
          SELECT strftime(day, '%Y-%m-%d') AS day, n_events, mean_base, z,
            CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
          FROM o ORDER BY day""",
+    // q52: (day × type) spine from the corpus's own bounds, zero-filled
+    // counts, LOCF averages via IGNORE NULLS in day order
+    "q52_gap_fill" ->
+      """WITH pre AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS k4
+           FROM events GROUP BY 1, 2),
+         daily AS (SELECT day, event_type, n_events,
+             CAST(CAST((abs(k4) * 20000 + n_events * 10000)
+                 // (2 * CAST(n_events * 10000 AS HUGEINT)) AS BIGINT)
+               * (CASE WHEN k4 < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+               / 10000.0 AS avg_value
+           FROM pre),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         ty AS (SELECT DISTINCT event_type FROM daily),
+         sp AS (SELECT CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                  AS DATE) AS day, ty.event_type FROM b, ty),
+         j AS (SELECT sp.day, sp.event_type,
+             COALESCE(d.n_events, 0) AS n_events, d.avg_value
+           FROM sp LEFT JOIN daily d
+             ON d.day = sp.day AND d.event_type = sp.event_type)
+         SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n_events,
+           avg_value,
+           last_value(avg_value IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS avg_value_filled
+         FROM j ORDER BY 1, 2""",
+    // q53: exact decimal revenue, catalog-bounded cumulative window,
+    // cross-multiplied integer class cuts, t19's HUGEINT share rounding
+    "q53_abc_pareto" ->
+      """WITH rv AS (SELECT l_partkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DECIMAL(38,2)) AS rev
+           FROM lineitem GROUP BY 1),
+         tt AS (SELECT CAST(sum(rev) AS DECIMAL(38,2)) AS total FROM rv),
+         cm AS (SELECT l_partkey, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS cum
+           FROM rv)
+         SELECT cm.l_partkey, CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) AS cum_revenue,
+           CAST(CAST((CAST(cum * 100 AS HUGEINT) * 2000000
+               + CAST(total * 100 AS HUGEINT))
+             // (2 * CAST(total * 100 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS cum_share,
+           CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM cm, tt ORDER BY cm.l_partkey""",
     // q47: distinct (user, day) → per-user prev/next window → the four
     // growth classes; churn lands on day+1 capped at the corpus max day
     "q47_growth_accounting" ->

@@ -46,9 +46,33 @@ object ColumnFns {
     factors.foldLeft(price.cast(DecimalType(12, 4)))(
       (acc, f) => acc * f.cast(DecimalType(8, 4)))
 
-  /** Exact-sum average, rounded to 4 decimals. */
+  /** Exact-sum average, rounded to 4 decimals. NOTE: the final decRound
+    * rounds a DOUBLE quotient, which diverges across engines when the
+    * true rational lands on an exact decimal half (the t19/q52 finding —
+    * Spark rounds the shortest repr, DuckDB the binary value). Keys that
+    * can hit halves (sums of 2-decimal inputs over small counts) should
+    * use [[ratRound]] on the exact integer numerator instead; this form
+    * stays for the keys whose oracles already pin it. */
   def decAvg(c: Column): Column =
     decRound(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)
+
+  /** Round-half-away-from-zero of the exact integer rational
+    * `(numSql)/(denSql)` (den > 0) at 10^-scale, entirely in integer
+    * arithmetic (DECIMAL(38,0) products, one `div`, one final exact
+    * scale-down of an integer) — bit-deterministic in every engine,
+    * immune to the double→decimal half-tie divergence decRound carries.
+    * Operands are SQL fragments naming in-scope columns (expr-built, so
+    * the same text replays in a DuckDB oracle with HUGEINT in place of
+    * DECIMAL(38,0) and `//` for `div`). */
+  def ratRound(numSql: String, denSql: String, scale: Int): Column = {
+    val f = "1" + "0" * scale
+    expr(
+      s"""CAST(CAST((abs(CAST(($numSql) AS DECIMAL(38,0))) * (2 * $f)
+            + ($denSql)) div (2 * CAST(($denSql) AS DECIMAL(38,0)))
+          AS BIGINT)
+          * (CASE WHEN ($numSql) < 0 THEN -1 ELSE 1 END)
+          AS DOUBLE) / $f.0""")
+  }
 
   /** Timestamp → stable string forms (hash-identical across engines). */
   def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")

@@ -747,6 +747,85 @@ object Relational {
         (col("z").isNotNull && abs(col("z")) > lit(zThreshold)).cast("int"))
   }
 
+  /** Date-spine gap filling + last-observation-carried-forward — the
+    * time-series repair every dashboard/feature pipeline runs before
+    * any rolling computation (q51's windows silently mis-shift on a
+    * series with holes): the full (day × event_type) spine is generated
+    * from the corpus's own min/max day, missing cells join in as
+    * n_events = 0, and the per-type average value forward-fills with
+    * `last(ignoreNulls)` in day order (null until a type's first
+    * observation — never a fabricated leading value). The spine is
+    * calendar × type-dimension sized — bounded regardless of corpus
+    * scale, so the cross join and the per-type ordered windows run on a
+    * frame the planner can keep tiny while the event log itself only
+    * ever passes through one combinable aggregate. */
+  def gapFill(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // the average is ratRound on the exact scale-4 integer numerator —
+    // the double-quotient decAvg hit a true decimal half on this corpus
+    // (1/500 cells) and split the engines
+    val daily = events
+      .groupBy(col("ts").cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(DecimalType(18, 4))) * 10000)
+          .cast(DecimalType(38, 0)).as("_k4"))
+      // _k4 is already in 1e-4 units, so the rational is _k4/(n·10⁴)
+      .withColumn("avg_value", ratRound("_k4", "n_events * 10000", 4))
+      .drop("_k4")
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = daily.select(col("event_type")).distinct()
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(broadcast(types))
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("avg_value_filled",
+        last(col("avg_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .select(fmtDate(col("day")).as("day"), col("event_type"),
+        col("n_events"), col("avg_value"), col("avg_value_filled"))
+  }
+
+  /** ABC / Pareto classification of parts by revenue — the inventory
+    * 80/15/5 cut: per-part revenue (exact decimal), descending
+    * cumulative share, class A while the running share is ≤ 80%, B to
+    * 95%, C beyond. Class boundaries are CROSS-MULTIPLIED INTEGER
+    * comparisons in the decimal domain (`5·cum ≤ 4·total`,
+    * `20·cum ≤ 19·total`) — no float share ever exists, so a part
+    * sitting exactly on 80.000% classifies identically everywhere.
+    * The corpus-wide work is one combinable part-keyed aggregate; the
+    * ordered cumulative window then runs over the PART CATALOG, whose
+    * size is a dimension bound (thousands), not a fact-table bound —
+    * the same post-aggregate justification as q51's calendar window.
+    * `cum_share` is emitted decimal-6 for reporting; classification
+    * never reads it. */
+  def abcPareto(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(decProd(col("l_extendedprice"), lit(1) - col("l_discount")))
+        .cast(DecimalType(38, 2)).as("rev"))
+    val total = rev.agg(sum(col("rev")).cast(DecimalType(38, 2)).as("total"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum(col("rev")).over(w).cast(DecimalType(38, 2)))
+      .crossJoin(broadcast(total))
+      // cum/total is a true rational of cents that CAN land on an exact
+      // 1e-6 half — t19's integer-rational rounding, not a double divide
+      .withColumn("_k", (col("cum") * 100).cast(DecimalType(38, 0)))
+      .withColumn("_m", (col("total") * 100).cast(DecimalType(38, 0)))
+      .select(col("l_partkey"),
+        col("rev").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"),
+        (expr("CAST((_k * 2000000 + _m) div (2 * _m) AS BIGINT)").cast("double")
+          / lit(1000000.0)).as("cum_share"),
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   def revenueCube(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val custGeo = customer

@@ -591,12 +591,7 @@ object TextOps {
     // on the first double-arithmetic cut). The single double op left is
     // the final scale-down of an exact integer.
     def ratScore(numSql: String, denSql: String): Column =
-      expr(
-        s"""CAST(CAST((abs(CAST(($numSql) AS DECIMAL(38,0))) * 2000000
-              + ($denSql)) div (2 * CAST(($denSql) AS DECIMAL(38,0)))
-            AS BIGINT)
-            * (CASE WHEN ($numSql) < 0 THEN -1 ELSE 1 END)
-            AS DOUBLE) / 1000000.0""")
+      ratRound(numSql, denSql, 6)
     documents
       .select(col("doc_id"),
         letters.cast("long").as("n_letters"),

@@ -449,6 +449,44 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out === Map(("A", "B", "C") -> ((2L, 2L)), ("B", "C", "D") -> ((1L, 1L))))
   }
 
+  test("gap fill: spine complete, zeros for holes, LOCF never leads the first value") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, day: Int, typ: String, v: Double) =
+      (id, new Timestamp(1700000000000L + day * 86400000L), 1L, typ, v, "{}")
+    // A observed on days 0 and 2 (hole on day 1); B only on day 1
+    val events = Seq(ev(1, 0, "A", 10.0), ev(2, 2, "A", 30.0), ev(3, 1, "B", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.gapFill(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 6) // 3-day spine × 2 types
+    val days = out.keys.map(_._1).toSeq.distinct.sorted
+    val aHole = out((days(1), "A"))
+    assert(aHole.getAs[Long]("n_events") === 0L)
+    assert(aHole.isNullAt(aHole.fieldIndex("avg_value")))
+    assert(aHole.getAs[Double]("avg_value_filled") === 10.0) // carried forward
+    val bLead = out((days(0), "B"))
+    assert(bLead.getAs[Long]("n_events") === 0L)
+    assert(bLead.isNullAt(bLead.fieldIndex("avg_value_filled")),
+      "LOCF must not fabricate a value before the first observation")
+    assert(out((days(2), "B")).getAs[Double]("avg_value_filled") === 7.0)
+  }
+
+  test("abc pareto: boundary-exact classes, cumulative order deterministic") {
+    import spark.implicits._
+    // revenues 80/15/4/1 → cumulative shares exactly 80%, 95%, 99%, 100%
+    val li = Seq((1L, 80.0), (2L, 15.0), (3L, 4.0), (4L, 1.0))
+      .map { case (p, r) => (p, r, 0.0) }
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Relational.abcPareto(li).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("cum_share"),
+        r.getAs[String]("abc_class")))).toMap
+    assert(out(1L) === ((0.8, "A")), "exactly 80% is still class A")
+    assert(out(2L) === ((0.95, "B")), "exactly 95% is still class B")
+    assert(out(3L) === ((0.99, "C")))
+    assert(out(4L) === ((1.0, "C")))
+  }
+
   test("daily anomaly: no baseline for the first window, spike flagged") {
     import spark.implicits._
     import java.sql.Timestamp
