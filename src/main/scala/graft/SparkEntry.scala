@@ -174,6 +174,25 @@ object SparkEntry {
       .as("url"))
   }
 
+  /** Deterministic planted keyphrases for the c42 RAKE gate: the
+    * synthetic corpus is a ~30-word uniform vocabulary that the
+    * corpus-adaptive top-30 stoplist swallows whole, leaving no
+    * multi-word candidates — so repeated keyword phrases are planted,
+    * each WRAPPED in base-vocabulary words ("the…fast" / "a…slow") that
+    * are guaranteed stoplist members on this corpus, so the candidate
+    * run is exactly the planted phrase regardless of what the carrier
+    * doc ends with. Planted words occur ~100× each — far below the
+    * ~850+ base-word counts, so they can never crack the stoplist. */
+  private[graft] def plantKeyphrases(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit(" the neural retrieval index improves ranking quality fast"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit(" a semantic search cache accelerates lookup speed slow"))
+        .otherwise(lit(""))).as("text"))
+
   /** Deterministic recrawl snapshot for the d26 gate: %11==3 pages
     * vanish (deleted), %7==2 pages get a re-crawl marker appended
     * (changed), %13==4 pages reappear under a fresh id (added).
@@ -311,6 +330,7 @@ object SparkEntry {
     "s8_label_prop" -> Seq("vec_id"),
     "s17_triangles" -> Seq("vec_id"),
     "s18_silhouette" -> Seq("cluster"),
+    "s19_mmr_rerank" -> Seq("q_id", "rank"),
     "d26_snapshot_diff" -> Seq("doc_id"),
     "d10_text_clusters" -> Seq("doc_id"),
     "c28_softdedup_weights" -> Seq("doc_id"),
@@ -393,6 +413,7 @@ object SparkEntry {
     "t19_readability" -> Seq("doc_id"),
     "c40_pmi_phrases" -> Seq("term_a", "term_b"),
     "c41_phrase_search" -> Seq("phrase", "doc_id"),
+    "c42_rake_keywords" -> Seq("phrase"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -605,6 +626,10 @@ object SparkEntry {
       TextOps.readability(t(s, d, "documents"))),
     "c40_pmi_phrases" -> ((s, d) =>
       Curation.pmiPhrases(t(s, d, "documents"))),
+    // planted keyphrases (the corpus's uniform vocabulary IS the
+    // adaptive stoplist — nothing multi-word survives unplanted)
+    "c42_rake_keywords" -> ((s, d) =>
+      Curation.rakeKeywords(plantKeyphrases(t(s, d, "documents")))),
     // phrase retrieval gated on c40's top collocations — the mine→search
     // composition stays fully relational (no driver round-trip)
     "c41_phrase_search" -> ((s, d) => {
@@ -1232,6 +1257,10 @@ object SparkEntry {
         .parquet(stageDir(d) + "/s18_seeds")
       Similarity.silhouette(emb)
     }),
+    // MMR diversity reranking over the s1 query slate — greedy rounds
+    // unrolled relationally, all-integer micro-cosine scores
+    "s19_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(t(s, d, "embeddings"))),
     // snapshot diff over the planted recrawl — text never shuffles,
     // only (doc_id, digest)
     "d26_snapshot_diff" -> ((s, d) => {
@@ -2458,6 +2487,49 @@ object SparkEntry {
               JOIN occ b ON b.doc_id = a.doc_id AND b.term = p.term_b
                 AND b.p = a.p + 1
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // c42: corpus-adaptive stoplist (t9's tie-break), phrase islands via
+    // the lag/sum window pair, deg/freq in the HUGEINT rational form,
+    // exact decimal phrase sums, deterministic top-20
+    "c42_rake_keywords" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+              (CASE WHEN doc_id % 5 = 0
+                THEN ' the neural retrieval index improves ranking quality fast'
+                ELSE '' END) ||
+              (CASE WHEN doc_id % 7 = 0
+                THEN ' a semantic search cache accelerates lookup speed slow'
+                ELSE '' END) AS text FROM documents),
+          d AS (SELECT doc_id, ${toksOf("text")} AS t FROM aug),
+          occ AS (SELECT doc_id, unnest([{'p': i, 'term': t[i]}
+                for i in generate_series(1, len(t))], recursive := true)
+              FROM d),
+          sl AS (SELECT term FROM (SELECT term, count(*) AS tf FROM occ
+                 GROUP BY 1 ORDER BY tf DESC, term LIMIT 30)),
+          ns AS (SELECT doc_id, p, term FROM occ
+                 WHERE term NOT IN (SELECT term FROM sl)),
+          mk AS (SELECT doc_id, p, term,
+                 CASE WHEN p <> lag(p) OVER w + 1 THEN 1 ELSE 0 END AS brk
+                 FROM ns WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+          gg AS (SELECT doc_id, p, term, sum(brk) OVER
+                 (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+                 FROM mk),
+          wl AS (SELECT doc_id, p, term, g,
+                 count(*) OVER (PARTITION BY doc_id, g) AS len FROM gg),
+          ws AS (SELECT term, count(*) AS freq, sum(len) AS deg
+                 FROM wl GROUP BY 1),
+          wsc AS (SELECT term,
+                 CAST(CAST((abs(CAST(deg AS HUGEINT)) * 2000000 + freq)
+                     // (2 * CAST(freq AS HUGEINT)) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS wscore FROM ws),
+          it AS (SELECT doc_id, g, string_agg(term, ' ' ORDER BY p) AS phrase
+                 FROM wl GROUP BY 1, 2),
+          pt AS (SELECT phrase, count(*) AS n_occurrences FROM it
+                 GROUP BY 1 HAVING count(*) >= 3),
+          px AS (SELECT pt.phrase, pt.n_occurrences,
+                 unnest(string_split(pt.phrase, ' ')) AS term FROM pt)
+          SELECT px.phrase, px.n_occurrences,
+            CAST(sum(CAST(wsc.wscore AS DECIMAL(28,6))) AS DOUBLE) AS score
+          FROM px JOIN wsc USING (term)
+          GROUP BY 1, 2 ORDER BY score DESC, phrase LIMIT 20""",
     // t17: exact per-doc counts, integer/integer divisions decimal-6
     "t17_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
@@ -2930,6 +3002,45 @@ object SparkEntry {
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS INTEGER) AS rank FROM p)
          SELECT q_id, id_b AS neighbor_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+    // s19: the s1 slate cut at decimal-6 micro-units, candidate-pair
+    // cosines, then the 4 greedy MMR rounds unrolled — every score is
+    // the INTEGER 7·c6 − 3·m6, so no float tie can split engines
+    "s19_mmr_rerank" -> {
+      val rounds = (2 to 5).map { r =>
+        s""",
+         ms$r AS (SELECT cp.q_id, cp.a, max(cp.p6) AS m6 FROM cp
+                  JOIN pp${r - 1} p ON p.q_id = cp.q_id AND p.id_b = cp.b
+                  GROUP BY 1, 2),
+         sel$r AS (SELECT c.q_id, c.id_b, row_number() OVER
+                  (PARTITION BY c.q_id
+                   ORDER BY (7 * c.c6 - 3 * m.m6) DESC, c.id_b) AS rk
+                  FROM cand c JOIN ms$r m ON m.q_id = c.q_id AND m.a = c.id_b
+                  WHERE NOT EXISTS (SELECT 1 FROM pp${r - 1} p
+                    WHERE p.q_id = c.q_id AND p.id_b = c.id_b)),
+         p$r AS (SELECT q_id, id_b, $r AS rank FROM sel$r WHERE rk = 1),
+         pp$r AS (SELECT * FROM pp${r - 1} UNION ALL SELECT * FROM p$r)"""
+      }.mkString
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pr AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+              CAST(CAST(list_cosine_similarity(q.v, c.v) AS DECIMAL(38,6))
+                * 1000000 AS BIGINT) AS c6
+              FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         cand AS (SELECT q_id, id_b, c6 FROM
+              (SELECT q_id, id_b, c6, row_number() OVER
+               (PARTITION BY q_id ORDER BY c6 DESC, id_b) AS rk FROM pr) z
+              WHERE rk <= 20),
+         cp AS (SELECT x.q_id, x.id_b AS a, y.id_b AS b,
+              CAST(CAST(list_cosine_similarity(va.v, vb.v) AS DECIMAL(38,6))
+                * 1000000 AS BIGINT) AS p6
+              FROM cand x JOIN cand y ON y.q_id = x.q_id AND y.id_b <> x.id_b
+              JOIN v va ON va.vec_id = x.id_b JOIN v vb ON vb.vec_id = y.id_b),
+         p1x AS (SELECT q_id, id_b FROM
+              (SELECT q_id, id_b, row_number() OVER
+               (PARTITION BY q_id ORDER BY c6 DESC, id_b) AS rk FROM cand) z
+              WHERE rk = 1),
+         pp1 AS (SELECT q_id, id_b, 1 AS rank FROM p1x)$rounds
+         SELECT q_id, id_b AS neighbor_id, rank FROM pp5 ORDER BY q_id, rank"""
+    },
     // s17: the s5 edge replay, canonicalized + degree-oriented exactly
     // as the Spark side, wedges closed at the lowest-order vertex,
     // every triangle credited to all three corners — all integers

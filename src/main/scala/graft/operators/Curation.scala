@@ -1397,6 +1397,63 @@ object Curation {
       .limit(topK)
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010 — the standard
+    * unsupervised multi-word keyword miner): candidate phrases are the
+    * maximal runs of NON-stopword tokens (stopwords act as phrase
+    * delimiters), each word scores deg/freq over the candidate set
+    * (deg = Σ lengths of the phrases it appears in — favors words that
+    * live in long collocations), and a phrase scores the sum of its
+    * words' scores. The stoplist is CORPUS-ADAPTIVE (t9's recipe: top
+    * `nStop` tokens by frequency, count-desc/term tie-break) — no
+    * language-specific word list, so it works on any corpus the token
+    * stream covers. `minOcc` keeps the corpus-wide top list to phrases
+    * that actually repeat (classic RAKE is per-document; aggregated
+    * over a corpus, score ∝ length makes every unique sentence-minus-
+    * stopwords a top candidate without it). Plan: one tokenize, the
+    * stoplist broadcast, the phrase-island merge a doc-keyed window,
+    * the per-phrase length window bounded by RUN LENGTH (stopwords cap
+    * runs — no hot key exists), word stats combinable, deg/freq via
+    * ratRound (exact rational — freq can reach corpus scale where the
+    * double quotient hits halves), phrase scores exact decimal sums. */
+  def rakeKeywords(documents: DataFrame, nStop: Int = 30, minOcc: Int = 3,
+                   topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val occ = positionalTokens(documents)
+    val stop = occ.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(nStop)
+      .agg(collect_list(col("term")).as("stoplist"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val phr = occ.crossJoin(broadcast(stop))
+      .filter(!array_contains(col("stoplist"), col("term")))
+      .select(col("doc_id"), col("p"), col("term"))
+      .withColumn("brk",
+        when(col("p") =!= lag(col("p"), 1).over(byDoc) + 1, 1).otherwise(0))
+      .withColumn("g", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("len",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("g"))))
+    val wstats = phr.groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore", ratRound("deg", "freq", 6))
+    val inst = phr.groupBy(col("doc_id"), col("g"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("term")))),
+        s => s.getField("term")), " ").as("phrase"))
+    val ptab = inst.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minOcc)
+    ptab
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("term"))
+      .join(wstats.select(col("term"), col("wscore")), "term")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(sum(col("wscore").cast(DecimalType(28, 6))).as("_s"))
+      .select(col("phrase"), col("n_occurrences"),
+        col("_s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Exact phrase search from the positional index — retrieval beyond
     * bag-of-words (c25's BM25 cannot distinguish "new york" from "york
     * new"): for each query bigram, the documents containing the exact

@@ -1026,6 +1026,71 @@ object Similarity {
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Maximal-Marginal-Relevance reranking (Carbonell & Goldstein 1998)
+    * of each query's ANN candidates — the diversity pass a retrieval
+    * stack runs so the top-k is not five paraphrases of one hit: picks
+    * greedily maximize `λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)`.
+    * The greedy loop is inherently sequential in k, so it UNROLLS as k
+    * relational rounds (the s7/s6 iteration idiom) over the
+    * per-query candidate slate: slate and candidate-pair cosines are
+    * computed ONCE (localCheckpoint'ed — both sides of every round's
+    * join), each round is an anti-join (not yet picked) + a max over
+    * pairs into the picked set + one per-query argmax window (bounded
+    * by the slate, never the corpus). ALL score arithmetic is integer:
+    * cosines land as decimal-6 MICRO-UNITS (×10⁶ longs) and the score
+    * is `7·c6 − 3·m6` in 10⁻⁷ units — λ = 0.7 with no float op, so no
+    * half-tie can split engines (the mixed λ-combination is exactly
+    * where the t19 trap would fire). Work: O(queries · slate²),
+    * corpus-independent once the slate is cut. */
+  def mmrRerank(embeddings: DataFrame, k: Int = 5, nCand: Int = 20,
+                nQueries: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def micro(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(38, 6)) * 1000000).cast("long")
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val byQ = Window.partitionBy(col("q_id"))
+    val cand = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      .join(broadcast(q), col("id_b") =!= col("q_id"))
+      .withColumn("c6", micro(dot(col("vq"), col("vb")) / (col("nq") * col("nb"))))
+      .withColumn("rk", row_number().over(byQ.orderBy(col("c6").desc, col("id_b"))))
+      .filter(col("rk") <= nCand)
+      .select(col("q_id"), col("id_b"), col("c6"), col("vb"), col("nb"))
+      .localCheckpoint()
+    val cp = cand.select(col("q_id"), col("id_b").as("a"),
+        col("vb").as("va"), col("nb").as("na2"))
+      .join(cand.select(col("q_id").as("q2"), col("id_b").as("b"),
+          col("vb").as("vb2"), col("nb").as("nb2")),
+        col("q_id") === col("q2") && col("a") =!= col("b"))
+      .withColumn("p6", micro(dot(col("va"), col("vb2")) / (col("na2") * col("nb2"))))
+      .select(col("q_id"), col("a"), col("b"), col("p6"))
+      .localCheckpoint()
+    val slate = cand.select(col("q_id"), col("id_b"), col("c6"))
+    var picked = slate
+      .withColumn("rk", row_number().over(byQ.orderBy(col("c6").desc, col("id_b"))))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("id_b"), lit(1).as("rank"))
+    for (r <- 2 to k) {
+      val pickedIds = picked.select(col("q_id"), col("id_b"))
+      val maxSim = cp
+        .join(pickedIds.select(col("q_id"), col("id_b").as("b")), Seq("q_id", "b"), "left_semi")
+        .groupBy(col("q_id"), col("a")).agg(max(col("p6")).as("m6"))
+      val next = slate
+        .join(pickedIds, Seq("q_id", "id_b"), "left_anti")
+        .join(maxSim.select(col("q_id"), col("a").as("id_b"), col("m6")),
+          Seq("q_id", "id_b"))
+        .withColumn("score10", lit(7L) * col("c6") - lit(3L) * col("m6"))
+        .withColumn("rk", row_number().over(
+          byQ.orderBy(col("score10").desc, col("id_b"))))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("id_b"), lit(r).as("rank"))
+      picked = picked.unionByName(next)
+    }
+    picked.select(col("q_id"), col("id_b").as("neighbor_id"), col("rank"))
+  }
+
   /** Simplified-silhouette cluster quality over the [[kmeans]] partition
     * — the evaluation number a clustering-driven curation step (SemDeDup
     * cells, IVF lists, s9 coresets) reports to decide k: per point,

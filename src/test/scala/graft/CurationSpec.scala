@@ -1069,6 +1069,23 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out.forall(_.getAs[Long]("n_ab") >= 2))
   }
 
+  test("rake keywords: deg/freq scoring favors long collocations, minOcc prunes") {
+    import spark.implicits._
+    // stoplist (nStop=1) = {of}; candidates per doc: "deep neural net",
+    // "deep net", "red apple"; doc 11's phrase occurs once → pruned
+    val docs = ((1 to 10).map(i =>
+        (i.toLong, "of deep neural net of deep net of red apple")) :+
+      (11L, "of unique singleton phrase")).toDF("doc_id", "text")
+    val out = Curation.rakeKeywords(docs, nStop = 1, minOcc = 2, topK = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getAs[Double]("score")))).toMap
+    // deg/freq: deep 50/20=2.5, neural 30/10=3, net 50/20=2.5, red 2, apple 2
+    assert(out === Map(
+      "deep neural net" -> ((10L, 8.0)),
+      "deep net" -> ((10L, 5.0)),
+      "red apple" -> ((10L, 4.0))))
+  }
+
   test("phrase search: adjacency required, direction respected, overlaps counted") {
     import spark.implicits._
     val docs = Seq(

@@ -947,6 +947,40 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(!out.contains(5L))
   }
 
+  test("mmr rerank: redundant near-duplicate demoted below a diverse hit") {
+    import spark.implicits._
+    // q = e_x; A1/A2 nearly identical (cos ≈ 1), both most relevant;
+    // B slightly less relevant but nearly orthogonal to A1.
+    // Pure relevance ranks [A1, A2, B]; MMR must rank [A1, B, A2].
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.8f, 0.6f, 0.0f), 0),     // A1: cos(q)=0.8
+      (2L, Seq(0.79f, 0.613f, 0.0f), 0),  // A2: cos(q)≈0.79, cos(A1)≈1
+      (3L, Seq(0.78f, -0.62f, 0.0f), 0))  // B:  cos(q)≈0.78, cos(A1)≈0.25
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrRerank(emb, k = 3, nQueries = 1).collect()
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(out === Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
+  }
+
+  test("mmr rerank: full rank ladder per query, no repeats, rank-1 is the brute top-1") {
+    val emb = table("embeddings")
+    val out = Similarity.mmrRerank(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to 5))
+      assert(rows.map(_._3).distinct.length === 5)
+    }
+    val brute = Similarity.bruteTopK(emb, numQueries = 10, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.find(_._2 == 1).get._3 === brute(q))
+    }
+  }
+
   test("silhouette: exact parity with a driver-side recompute, bounded values") {
     import graft.functions.ColumnFns
     val emb = table("embeddings")
