@@ -193,6 +193,19 @@ object SparkEntry {
         lit(" a semantic search cache accelerates lookup speed slow"))
         .otherwise(lit(""))).as("text"))
 
+  /** Deterministic planted mojibake for the t21 gate: %6==0 docs get a
+    * damaged suffix (the UTF-8-as-Latin-1 digraph forms), %6==3 docs
+    * the CORRECTLY-encoded same words — the control the repair must
+    * pass through untouched. */
+  private[graft] def plantMojibake(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        lit(" cafÃ© rÃ©sumÃ© naÃ¯ve jalapeÃ±o"))
+      .when(pmod(col("doc_id"), lit(6)) === 3,
+        lit(" café résumé naïve jalapeño"))
+      .otherwise(lit(""))).as("text"))
+
   /** Deterministic recrawl snapshot for the d26 gate: %11==3 pages
     * vanish (deleted), %7==2 pages get a re-crawl marker appended
     * (changed), %13==4 pages reappear under a fresh id (added).
@@ -409,8 +422,10 @@ object SparkEntry {
     "q51_daily_anomaly" -> Seq("day"),
     "q52_gap_fill" -> Seq("day", "event_type"),
     "q53_abc_pareto" -> Seq("l_partkey"),
+    "q54_schema_merge" -> Seq("o_orderkey"),
     "t18_code_detect" -> Seq("doc_id"),
     "t19_readability" -> Seq("doc_id"),
+    "t21_mojibake" -> Seq("doc_id"),
     "c40_pmi_phrases" -> Seq("term_a", "term_b"),
     "c41_phrase_search" -> Seq("phrase", "doc_id"),
     "c42_rake_keywords" -> Seq("phrase"),
@@ -624,6 +639,9 @@ object SparkEntry {
       TextOps.codeDetect(plantCode(t(s, d, "documents")))),
     "t19_readability" -> ((s, d) =>
       TextOps.readability(t(s, d, "documents"))),
+    // mojibake repair over planted damage + a correctly-encoded control
+    "t21_mojibake" -> ((s, d) =>
+      TextOps.fixMojibake(plantMojibake(t(s, d, "documents")))),
     "c40_pmi_phrases" -> ((s, d) =>
       Curation.pmiPhrases(t(s, d, "documents"))),
     // planted keyphrases (the corpus's uniform vocabulary IS the
@@ -937,6 +955,24 @@ object SparkEntry {
       s.read.parquet(out)
         .filter(col("user_id").between(3, 7) && col("value").between(20.0, 80.0))
         .select(col("event_id"), col("user_id"), col("value"))
+    }),
+    // schema evolution: two staged batches whose schemas diverged
+    // (batch 2 added o_orderpriority), reconciled at read by mergeSchema
+    // — old rows null-fill the late column; the oracle reads the SAME
+    // staged files with union_by_name
+    "q54_schema_merge" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val root = stageDir(d) + "/q54_evo"
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), lit(1).as("batch"), col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(root + "/b1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), lit(2).as("batch"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .coalesce(1).write.mode("overwrite").parquet(root + "/b2")
+      graft.sources.Sources.readEvolved(s, root + "/b1", root + "/b2")
+        .select(col("o_orderkey"), col("batch"), col("o_totalprice"),
+          col("o_orderpriority"))
     }),
     "q40_scd2" -> ((s, d) => Relational.scd2(t(s, d, "events"))),
     // the query SCD2 exists for: each purchase joined to the dimension
@@ -2015,6 +2051,14 @@ object SparkEntry {
          SELECT strftime(day, '%Y-%m-%d') AS day, n_events, mean_base, z,
            CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
          FROM o ORDER BY day""",
+    // q54: the staged evolved batches read back with union_by_name —
+    // DuckDB's spelling of mergeSchema
+    "q54_schema_merge" ->
+      """SELECT o_orderkey, batch, o_totalprice, o_orderpriority
+         FROM read_parquet(['__GRAFT_STAGE__/q54_evo/b1/*.parquet',
+                            '__GRAFT_STAGE__/q54_evo/b2/*.parquet'],
+           union_by_name = true)
+         ORDER BY o_orderkey""",
     // q52: (day × type) spine from the corpus's own bounds, zero-filled
     // counts, LOCF averages via IGNORE NULLS in day order
     "q52_gap_fill" ->
@@ -2530,6 +2574,20 @@ object SparkEntry {
             CAST(sum(CAST(wsc.wscore AS DECIMAL(28,6))) AS DOUBLE) AS score
           FROM px JOIN wsc USING (term)
           GROUP BY 1, 2 ORDER BY score DESC, phrase LIMIT 20""",
+    // t21: the replace chain is BUILT from TextOps.MojibakePairs, so
+    // operator and oracle share one damage table by construction
+    "t21_mojibake" -> {
+      val fixedSql = TextOps.MojibakePairs.foldLeft("text") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      s"""WITH aug AS (SELECT doc_id, text ||
+            (CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© rÃ©sumÃ© naÃ¯ve jalapeÃ±o'
+                  WHEN doc_id % 6 = 3 THEN ' café résumé naïve jalapeño'
+                  ELSE '' END) AS text FROM documents)
+         SELECT doc_id, $fixedSql AS fixed_text,
+           CAST(length(text) - length($fixedSql) AS INTEGER) AS n_fixed
+         FROM aug ORDER BY doc_id"""
+    },
     // t17: exact per-doc counts, integer/integer divisions decimal-6
     "t17_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

@@ -558,6 +558,44 @@ object TextOps {
       .select(col("doc_id"),
         call_function("graft_fingerprint", col("text")).as("fp"))
 
+  /** The common UTF-8-decoded-as-Latin-1 mojibake digraphs: each target
+    * char's UTF-8 bytes are 0xC3 followed by (codepoint − 0x40), so the
+    * damage reads as Ã (U+00C3) + one Latin-1 symbol. PUBLIC so the
+    * oracle builds its replace chain from the SAME table — the two
+    * sides cannot drift. Pairs are (damaged digraph, repaired char). */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ãª" -> "ê", // ê
+    "Ã§" -> "ç", // ç
+    "Ã±" -> "ñ", // ñ
+    "Ã¶" -> "ö", // ö
+    "Ã¼" -> "ü", // ü
+    "Ã¯" -> "ï", // ï
+    "Ã¡" -> "á", // á
+    "Ã³" -> "ó", // ó
+    "Ãº" -> "ú", // ú
+    "Ã¤" -> "ä") // ä
+
+  /** Mojibake repair — the ftfy step every web-crawl pipeline runs:
+    * text that went UTF-8 → bytes → wrongly-decoded-as-Latin-1 carries
+    * the damage as two-char digraphs (Ã + symbol), and THIS is how it
+    * arrives in real crawls (the original bytes are long gone). Each
+    * [[MojibakePairs]] digraph collapses back to its character via a
+    * literal `replace` chain (htmlExtract's entity idiom — RE2-free,
+    * map-only, no shuffle); digraph second-chars are pairwise distinct
+    * so the chain is order-independent, and correctly-encoded text
+    * (including bare accented chars without the Ã prefix) passes
+    * through untouched. `n_fixed` = codepoints removed = number of
+    * repairs (each collapses 2 → 1). */
+  def fixMojibake(documents: DataFrame): DataFrame = {
+    val fixed = MojibakePairs.foldLeft(col("text")) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    documents.select(col("doc_id"), fixed.as("fixed_text"),
+      (length(col("text")) - length(fixed)).cast("int").as("n_fixed"))
+  }
+
   /** Readability scoring via the two standard SYLLABLE-FREE formulas —
     * Coleman-Liau (`0.0588·L − 0.296·S − 15.8`, L/S = letters/sentences
     * per 100 words) and the Automated Readability Index

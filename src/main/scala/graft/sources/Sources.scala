@@ -100,6 +100,19 @@ object Sources {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Schema-evolution read: union parquet batches whose schemas
+    * DIVERGED over time (columns added by later writers) into one
+    * frame — `mergeSchema` reconciles by NAME across every footer, and
+    * rows from batches that predate a column null-fill it. This is the
+    * lakehouse posture: a growing schema must never force a rewrite of
+    * petabytes of old files, and a reader pinned to one batch's schema
+    * silently drops the new columns. (mergeSchema footer-merging costs
+    * a pass over file metadata — at very large file counts, prefer a
+    * table format's tracked schema; within a parquet-directory world
+    * this is the correct tool.) */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Streaming parquet-directory source (schema-explicit — streaming
     * sources cannot infer, and shouldn't at scale anyway; file listing
     * is incremental per micro-batch). Feed into any StreamOps transform

@@ -418,4 +418,22 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("PartitionFilters: [") && p.contains("o_orderstatus"),
       s"partition pruning missing in:\n$p")
   }
+
+  test("schema-evolution read: merged columns, old rows null-fill the late column") {
+    import spark.implicits._
+    val root = SharedSpark.tempDir("graft-evolve").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .write.mode("overwrite").parquet(s"$root/b1")
+    Seq((3L, 30.0, "HIGH"), (4L, 40.0, "LOW")).toDF("id", "price", "priority")
+      .write.mode("overwrite").parquet(s"$root/b2")
+    val merged = graft.sources.Sources.readEvolved(spark, s"$root/b1", s"$root/b2")
+    assert(merged.columns.toSet === Set("id", "price", "priority"))
+    val rows = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows.size === 4)
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("priority")))
+    assert(rows(3L).getAs[String]("priority") === "HIGH")
+    // a reader pinned to ONE batch's schema silently drops the column —
+    // the failure mode readEvolved exists to prevent
+    assert(!spark.read.parquet(s"$root/b1").columns.contains("priority"))
+  }
 }

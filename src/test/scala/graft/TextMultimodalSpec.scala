@@ -781,6 +781,20 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("mojibake repair: damage collapses, clean accents untouched, counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafÃ© naÃ¯ve jalapeÃ±o"),      // 3 digraphs → 3 repairs
+      (2L, "café naïve jalapeño"),          // already correct → untouched
+      (3L, "Ã followed by plain x Ã"))      // bare Ã not in the table
+      .toDF("doc_id", "text")
+    val out = TextOps.fixMojibake(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("café naïve jalapeño", 3)))
+    assert(out(2L) === (("café naïve jalapeño", 0)))
+    assert(out(3L) === (("Ã followed by plain x Ã", 0)))
+  }
+
   test("readability: hand-checked CLI/ARI, null without a denominator") {
     import spark.implicits._
     val docs = Seq(
