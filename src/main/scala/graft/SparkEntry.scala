@@ -357,6 +357,7 @@ object SparkEntry {
     "q37_asof_exec" -> Seq("event_id"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
+    "d27_minhash_eval" -> Seq("doc_a", "doc_b"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
     "d19_cluster_maintenance" -> Seq("doc_id"),
     "d12_incremental_exact" -> Seq("doc_id"),
@@ -526,6 +527,16 @@ object SparkEntry {
       Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d2_banded")
       Dedup.minhashPairsFromSigs(sigs)
+    }),
+    // estimator-vs-exact calibration over the SAME candidate machinery;
+    // its own staging so the d2 and d27 gates stay order-independent
+    "d27_minhash_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigs.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d27_sigs")
+      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d27_banded")
+      Dedup.minhashEvalFromSigs(sigs)
     }),
     "d3_dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -2778,6 +2789,33 @@ object SparkEntry {
            FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d27: the d2 candidate replay + component-match estimate vs exact
+    // Jaccard — all single IEEE ops on exact integers, no rounding
+    "d27_minhash_eval" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d27_banded/*.parquet')),
+         sized AS (SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sized a JOIN sized b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sh AS (SELECT doc_id, hsh, shn, sig
+           FROM read_parquet('__GRAFT_STAGE__/d27_sigs/*.parquet')),
+         v AS (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.hsh, sb.hsh)) AS inter,
+             sa.shn + sb.shn AS tot,
+             len([i for i in generate_series(1, 64)
+                  if sa.sig[i] = sb.sig[i]]) AS m
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b,
+           CAST(m AS DOUBLE) / 64.0 AS est_jaccard,
+           CAST(inter AS DOUBLE) / (tot - inter) AS exact_jaccard,
+           abs(CAST(m AS DOUBLE) / 64.0
+             - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
+         FROM v ORDER BY 1, 2""",
     // d11: the incremental probe replayed — union-bucket cap, UNCAPPED
     // batch probe joining the capped build side, (min,max) pair
     // normalization, exact-Jaccard verify over the staged signatures

@@ -1154,6 +1154,52 @@ object Dedup {
           .cast("int").as("n_tokens_removed"))
   }
 
+  /** MinHash-estimator calibration — the dedup-quality monitor (s16's
+    * posture at the dedup layer): for every LSH candidate pair, the
+    * textbook signature estimate `matches/k` (the fraction of the 64
+    * MinHash components that agree — an unbiased Jaccard estimator with
+    * σ = √(J(1−J)/64) ≈ 0.06) against the EXACT shingle-set Jaccard the
+    * d2 verify step computes anyway, plus the absolute error. Run this
+    * on a sample before trusting a threshold moved closer to the LSH
+    * banding's S-curve edge. Every number is a single IEEE division or
+    * subtraction of exact integers (matches/64 is even dyadic) — no
+    * rounding discipline needed. Candidate generation is byte-identical
+    * to [[minhashPairsFromSigs]] (same banding, same bucket cap), so
+    * the evaluated population IS the population dedup actually sees. */
+  def minhashEvalFromSigs(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedSigs(sigs)
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= maxBucket)
+    val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("band").as("band2"), col("bh").as("bh2"),
+          col("doc_id").as("doc_b")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"),
+        col("shn").as("na"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"),
+        col("shn").as("nb"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("inter",
+        explode(array(call_function("graft_intersect_n", col("sh_a"), col("sh_b")))))
+      .withColumn("exact_jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .withColumn("matches", size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .withColumn("est_jaccard", col("matches").cast("double") / lit(64.0))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("exact_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+  }
+
+  /** [[minhashEvalFromSigs]] from raw documents (one shingle+sign pass,
+    * shared via the signature table). */
+  def minhashEval(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
+    minhashEvalFromSigs(minhashSignatures(documents).localCheckpoint(), maxBucket)
+
   /** Snapshot diff — recrawl accounting, the first question every
     * periodic-crawl pipeline asks before any dedup runs: which pages
     * are `added` / `deleted` / `changed` / `unchanged` between two

@@ -920,6 +920,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(brute.nonEmpty)
   }
 
+  test("minhash eval: identical docs estimate 1.0 exactly, errors are consistent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"))  // near dup
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashEval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // identical shingle sets ⇒ identical signatures ⇒ estimate exactly 1
+    val (e12, x12, err12) = out((1L, 2L))
+    assert(e12 === 1.0 && x12 === 1.0 && err12 === 0.0)
+    out.values.foreach { case (est, exact, err) =>
+      assert(est >= 0.0 && est <= 1.0 && exact > 0.0 && exact <= 1.0)
+      assert(err === math.abs(est - exact))
+      assert(math.round(est * 64) === est * 64, "estimate must be k/64 dyadic")
+    }
+    // the corpus population: every pair d2 reports must be evaluated
+    val evalPairs = Dedup.minhashEval(table("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2Pairs = Dedup.minhashPairs(table("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2Pairs.subsetOf(evalPairs))
+  }
+
   test("snapshot diff: all four statuses, text identity decides changed") {
     import spark.implicits._
     val prev = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
