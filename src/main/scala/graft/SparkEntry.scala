@@ -358,6 +358,8 @@ object SparkEntry {
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d27_minhash_eval" -> Seq("doc_a", "doc_b"),
+    "d28_fuzzy_join" -> Seq("dirty_id"),
+    "c43_hashed_embeddings" -> Seq("doc_id", "dim"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
     "d19_cluster_maintenance" -> Seq("doc_id"),
     "d12_incremental_exact" -> Seq("doc_id"),
@@ -538,6 +540,21 @@ object SparkEntry {
         .parquet(stageDir(d) + "/d27_banded")
       Dedup.minhashEvalFromSigs(sigs)
     }),
+    // entity resolution: a planted dirty feed (first-word typos) fuzzy-
+    // matched to the part catalog; the last-word block carries recall
+    "d28_fuzzy_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val dirty = p.select(col("p_partkey").as("dirty_id"),
+        when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(lit("x"), substring(col("p_name"), 2, 1000)))
+        .when(pmod(col("p_partkey"), lit(3)) === 1,
+          concat(lit("z"), col("p_name")))
+        .otherwise(col("p_name")).as("name"))
+      Dedup.fuzzyNameJoin(dirty,
+        p.select(col("p_partkey").as("cat_id"), col("p_name").as("name")))
+    }),
+    "c43_hashed_embeddings" -> ((s, d) =>
+      Curation.hashedEmbeddings(t(s, d, "documents"))),
     "d3_dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val sigs = Dedup.simhashSignatures(docs).localCheckpoint()
@@ -2816,6 +2833,43 @@ object SparkEntry {
            abs(CAST(m AS DOUBLE) / 64.0
              - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
          FROM v ORDER BY 1, 2""",
+    // d28: plant replay + last-token block + levenshtein verify + the
+    // block-bounded best-match window — both engines' levenshtein is
+    // the standard unit-cost edit distance
+    "d28_fuzzy_join" ->
+      """WITH dirty AS (SELECT p_partkey AS dirty_id,
+             CASE WHEN p_partkey % 3 = 0 THEN 'x' || substr(p_name, 2)
+                  WHEN p_partkey % 3 = 1 THEN 'z' || p_name
+                  ELSE p_name END AS dname FROM part),
+         dn AS (SELECT dirty_id, dname,
+                string_split(dname, ' ')[-1] AS blk FROM dirty),
+         cn AS (SELECT p_partkey AS cat_id, p_name AS cname,
+                string_split(p_name, ' ')[-1] AS blk FROM part),
+         cand AS (SELECT dn.dirty_id, dn.dname, cn.cat_id, cn.cname,
+                levenshtein(dn.dname, cn.cname) AS lev
+              FROM dn JOIN cn USING (blk)
+              WHERE levenshtein(dn.dname, cn.cname) <= 2),
+         r AS (SELECT *, row_number() OVER
+                (PARTITION BY dirty_id ORDER BY lev, cat_id) AS rk FROM cand)
+         SELECT dirty_id, dname AS dirty_name, cat_id AS matched_id,
+           cname AS matched_name, CAST(lev AS INTEGER) AS lev
+         FROM r WHERE rk = 1 ORDER BY dirty_id""",
+    // c43: the c30 Horner bucket at dim 32, combinable counts, sqrt
+    // norm, decimal-6 weights — sparse rows only
+    "c43_hashed_embeddings" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         bk AS (SELECT doc_id,
+              (list_reduce([ord(c) for c in string_split(term, '')],
+                (a, b) -> (a * 31 + b) % 1000003) % 1000003) % 32 AS dim
+            FROM tk),
+         ct AS (SELECT doc_id, dim, count(*) AS cnt FROM bk GROUP BY 1, 2),
+         nm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+            FROM ct GROUP BY 1)
+         SELECT ct.doc_id, CAST(ct.dim AS INTEGER) AS dim, ct.cnt,
+           CAST(CAST(CAST(ct.cnt AS DOUBLE) / nm.nrm AS DECIMAL(38,6))
+             AS DOUBLE) AS weight
+         FROM ct JOIN nm ON nm.doc_id = ct.doc_id
+         ORDER BY ct.doc_id, ct.dim""",
     // d11: the incremental probe replayed — union-bucket cap, UNCAPPED
     // batch probe joining the capped build side, (min,max) pair
     // normalization, exact-Jaccard verify over the staged signatures

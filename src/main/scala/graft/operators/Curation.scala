@@ -1397,6 +1397,34 @@ object Curation {
       .limit(topK)
   }
 
+  /** Feature-hashed document embeddings — the hashing trick
+    * (Weinberger et al. 2009): every token folds into one of `dim`
+    * buckets by the c30 Horner char hash (engine-replayable, unlike
+    * xxhash64), bucket counts L2-normalize into a fixed-width sparse
+    * vector per document. This is the zero-vocabulary text→vector
+    * bridge: no dictionary to build, ship or keep consistent across
+    * batches — the property that makes it the standard first featurizer
+    * at crawl scale — and its output plugs the documents table into the
+    * whole s-family (ANN, k-means, SemDeDup) without a model. One
+    * explode→combinable aggregate, one tiny per-doc norm join; emitted
+    * sparse (only occupied dims — exploding empty cells would ×dim the
+    * output for zeros). */
+  def hashedEmbeddings(documents: DataFrame, dim: Int = 32): DataFrame = {
+    val bucket = pmod(aggregate(
+      transform(split(col("term"), ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000003L))), lit(dim.toLong))
+    val b = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .withColumn("dim", bucket)
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+    val nrm = b.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    b.join(nrm, "doc_id")
+      .select(col("doc_id"), col("dim").cast("int").as("dim"), col("cnt"),
+        decRound(col("cnt").cast("double") / col("nrm"), 6).as("weight"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010 — the standard
     * unsupervised multi-word keyword miner): candidate phrases are the
     * maximal runs of NON-stopword tokens (stopwords act as phrase

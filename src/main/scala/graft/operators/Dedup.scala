@@ -1200,6 +1200,35 @@ object Dedup {
   def minhashEval(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
     minhashEvalFromSigs(minhashSignatures(documents).localCheckpoint(), maxBucket)
 
+  /** Blocked fuzzy string join — entity resolution's workhorse: match a
+    * DIRTY feed (typo'd names) back to a clean catalog by edit
+    * distance, never O(n·m). Candidates come from an equi-join on a
+    * BLOCKING KEY (here the last whitespace token), `levenshtein`
+    * verifies within the block, and one block-bounded window picks the
+    * best match per dirty row (min distance, then min catalog id).
+    * RECALL CONTRACT, stated not hidden: an edit that touches the
+    * blocking key makes the pair invisible — production resolvers run
+    * several redundant blockings (phonetic, q-gram, other fields) and
+    * union candidates; this operator is one such pass. Cost: Σ block²
+    * verify work, bounded by the largest block, zero corpus self-join. */
+  def fuzzyNameJoin(dirty: DataFrame, catalog: DataFrame,
+                    maxDist: Int = 2): DataFrame = {
+    def blockKey(c: Column): Column = element_at(split(c, " "), -1)
+    val dn = dirty.select(col("dirty_id"), col("name").as("dname"))
+      .withColumn("blk", blockKey(col("dname")))
+    val cn = catalog.select(col("cat_id"), col("name").as("cname"))
+      .withColumn("blk", blockKey(col("cname")))
+    val cand = dn.join(cn, "blk")
+      .withColumn("lev", levenshtein(col("dname"), col("cname")))
+      .filter(col("lev") <= maxDist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dirty_id")).orderBy(col("lev"), col("cat_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("dirty_id"), col("dname").as("dirty_name"),
+        col("cat_id").as("matched_id"), col("cname").as("matched_name"),
+        col("lev").cast("int").as("lev"))
+  }
+
   /** Snapshot diff — recrawl accounting, the first question every
     * periodic-crawl pipeline asks before any dedup runs: which pages
     * are `added` / `deleted` / `changed` / `unchanged` between two

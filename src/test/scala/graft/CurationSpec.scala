@@ -1069,6 +1069,26 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out.forall(_.getAs[Long]("n_ab") >= 2))
   }
 
+  test("hashed embeddings: unit norm, bucket determinism, sparse rows only") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = Curation.hashedEmbeddings(docs).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // L2 norm of each doc's weights ≈ 1 (decimal-6 per component)
+    byDoc.foreach { case (_, rows) =>
+      val s = rows.map(r => math.pow(r.getAs[Double]("weight"), 2)).sum
+      assert(math.abs(s - 1.0) < 1e-4)
+    }
+    // same token → same bucket in every doc (hash is content-only)
+    val alphaDim1 = byDoc(1L).filter(_.getAs[Long]("cnt") == 2L).head.getAs[Int]("dim")
+    assert(byDoc(3L).head.getAs[Int]("dim") === alphaDim1)
+    // doc 1 has two distinct tokens: at most 2 occupied dims, no zero rows
+    assert(byDoc(1L).length <= 2 && out.forall(_.getAs[Long]("cnt") > 0L))
+    // doc 2: single token → weight exactly 1.0
+    assert(byDoc(2L).head.getAs[Double]("weight") === 1.0)
+  }
+
   test("rake keywords: deg/freq scoring favors long collocations, minOcc prunes") {
     import spark.implicits._
     // stoplist (nStop=1) = {of}; candidates per doc: "deep neural net",

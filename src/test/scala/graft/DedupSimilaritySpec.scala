@@ -920,6 +920,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(brute.nonEmpty)
   }
 
+  test("fuzzy join: typos within the block match best, cross-block edits invisible") {
+    import spark.implicits._
+    val catalog = Seq((1L, "small ring"), (2L, "red widget"), (3L, "blue bolt"),
+        (4L, "smell ring"))
+      .toDF("cat_id", "name")
+    val dirty = Seq(
+      (10L, "smalL ring"),   // 1 sub → best = cat 1 (lev 1 beats cat 4's lev 2)
+      (11L, "red widget"),   // exact → lev 0
+      (12L, "xyzzy bolt"),   // lev 4 from "blue bolt" → above maxDist, dropped
+      (13L, "small rung"))   // edit in the BLOCKING token → invisible (contract)
+      .toDF("dirty_id", "name")
+    val out = Dedup.fuzzyNameJoin(dirty, catalog).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("matched_id"), r.getAs[Int]("lev")))).toMap
+    assert(out === Map(10L -> ((1L, 1)), 11L -> ((2L, 0))))
+  }
+
   test("minhash eval: identical docs estimate 1.0 exactly, errors are consistent") {
     import spark.implicits._
     val docs = Seq(
