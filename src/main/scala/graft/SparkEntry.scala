@@ -426,6 +426,8 @@ object SparkEntry {
     "q52_gap_fill" -> Seq("day", "event_type"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
+    "q55_corrupt_json" -> Seq("doc_id", "raw"),
+    "c44_model_lift" -> Seq("decile"),
     "t18_code_detect" -> Seq("doc_id"),
     "t19_readability" -> Seq("doc_id"),
     "t21_mojibake" -> Seq("doc_id"),
@@ -1374,6 +1376,44 @@ object SparkEntry {
         .write.mode("overwrite").parquet(stageDir(d) + "/c30_weights")
       QualityModel.score(docs, w)
     }),
+    // the model-eval report over the same fit — its own staged weight
+    // copy (bit-identical: the fit is partitioning-independent) keeps
+    // the gates order-independent
+    "c44_model_lift" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val w = QualityModel.fit(docs)
+      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
+        .toDF("pos", "wv").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/c44_weights")
+      QualityModel.modelLift(QualityModel.score(docs, w))
+    }),
+    // ingestion robustness: a planted JSONL feed with malformed lines
+    // (%13) read under PERMISSIVE with a corrupt-record column — bad
+    // lines surface as data, never kill the job, and the raw line is
+    // preserved for the quarantine queue
+    "q55_corrupt_json" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val js = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      val lines = docs.select(
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          js.substr(lit(1), length(js) - 1))   // drop the closing brace
+          .otherwise(js).as("value"))
+      val dir = zorderDir() + "/jsonl"
+      lines.coalesce(1).write.mode("overwrite").text(dir)
+      graft.sources.Sources.jsonLinesPermissive(s, dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_corrupt_record").isNotNull.cast("int").as("is_corrupt"),
+          col("_corrupt_record").as("raw"))
+    }),
     "g1_entry" -> ((s, d) => Relational.revenueCube(t(s, d, "region"), t(s, d, "nation"),
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")))
   )
@@ -1729,7 +1769,9 @@ object SparkEntry {
   // no-init reduce on single-codepoint terms), histogram features,
   // left-to-right reduce dot product (same IEEE order as the Spark
   // in-row aggregate), sigmoid in double, decimal-6 rounded gate
-  private def classifierSql(stage: String) =
+  // the CTE chain through `sc` (doc_id, label, score) — shared by the
+  // c30/st17 gate selects AND c44's lift table over the same scores
+  private def classifierCtes(stage: String) =
     s"""WITH wl AS (SELECT list(wv ORDER BY pos) AS w
           FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
         tk AS (SELECT doc_id, source, $toks AS t FROM documents),
@@ -1751,7 +1793,10 @@ object SparkEntry {
                CAST(CAST(1.0 / (1.0 + exp(-list_reduce(
                  [x[i+1] * w[i+1] for i in generate_series(0, 128)],
                  (a, b) -> a + b))) AS DECIMAL(38,6)) AS DOUBLE) AS score
-               FROM xv, wl)
+               FROM xv, wl)"""
+
+  private def classifierSql(stage: String) =
+    s"""${classifierCtes(stage)}
         SELECT doc_id, CAST(label AS INTEGER) AS label, score,
           CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS kept
         FROM sc ORDER BY doc_id"""
@@ -2833,6 +2878,42 @@ object SparkEntry {
            abs(CAST(m AS DOUBLE) / 64.0
              - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
          FROM v ORDER BY 1, 2""",
+    // c44: the classifier score replay (shared CTEs), quantile-boundary
+    // deciles (ties low), HUGEINT rational pos_rate and cross-multiplied
+    // lift — mirrors QualityModel.modelLift op for op
+    "c44_model_lift" ->
+      s"""${classifierCtes("c44_weights")},
+         b AS (SELECT ${(1 to 9).map(i =>
+            s"quantile_cont(score, 0.$i) AS b_$i").mkString(", ")} FROM sc),
+         dd AS (SELECT doc_id, label, score,
+             CAST(1 ${(1 to 9).map(i =>
+               s"+ (CASE WHEN score > CAST(CAST(b_$i AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" ")}
+             AS INTEGER) AS decile
+           FROM sc, b),
+         ag AS (SELECT decile, count(*) AS n_docs,
+                CAST(sum(label) AS BIGINT) AS n_pos FROM dd GROUP BY 1),
+         tt AS (SELECT count(*) AS nn, CAST(sum(label) AS BIGINT) AS pp FROM dd)
+         SELECT decile, n_docs, n_pos,
+           CAST(CAST((abs(CAST(n_pos AS HUGEINT)) * 2000000 + n_docs)
+               // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS pos_rate,
+           CAST(CAST((abs(CAST(n_pos * nn AS HUGEINT)) * 2000000 + n_docs * pp)
+               // (2 * CAST(n_docs * pp AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS lift
+         FROM ag, tt ORDER BY decile""",
+    // q55: the plant replayed — parsed rows pass through, malformed
+    // lines (%13, truncated brace) surface as all-null + the raw line
+    "q55_corrupt_json" ->
+      """SELECT doc_id, lang, n_chars, 0 AS is_corrupt,
+           CAST(NULL AS VARCHAR) AS raw
+         FROM documents WHERE doc_id % 13 <> 0
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT) AS n_chars, 1 AS is_corrupt,
+           '{"doc_id":' || doc_id || ',"lang":"' || lang
+             || '","n_chars":' || n_chars AS raw
+         FROM documents WHERE doc_id % 13 = 0
+         ORDER BY doc_id, raw""",
     // d28: plant replay + last-token block + levenshtein verify + the
     // block-bounded best-match window — both engines' levenshtein is
     // the standard unit-cost edit distance

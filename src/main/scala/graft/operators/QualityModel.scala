@@ -142,4 +142,39 @@ object QualityModel {
         decRound(lit(1.0) / (lit(1.0) + exp(negate(col("z")))), 6))
       .select(col("doc_id"), col("y").as("label"), col("score"),
         (col("score") >= threshold).cast("int").as("kept"))
+
+  /** Decile lift/gains table over a [[score]] result — THE model-eval
+    * report a ranking model ships with: documents bucketed by
+    * corpus-wide score decile, each decile's positive rate compared to
+    * the base rate (`lift = pos_rate / base_rate` — a well-calibrated
+    * model shows lift ≫ 1 in the top decile, ~0 at the bottom).
+    * Deciles come from QUANTILE BOUNDARIES (the q49/c14 partial-agg
+    * posture, never a global ntile sort), ties bucket LOW; identical
+    * scores (near-duplicate docs) can merge boundary deciles — the
+    * calibrated-not-count-exact contract, same as q49. pos_rate and
+    * lift are exact integer rationals via ratRound (lift cross-
+    * multiplies to `n_pos·N / (n_docs·P)` — no float until the final
+    * exact scale-down). Requires ≥1 positive in the corpus (P = 0 has
+    * no base rate to lift against). */
+  def modelLift(scored: DataFrame): DataFrame = {
+    val qs = (1 to 9).map(i => (i / 10.0, i))
+    val boundCols = qs.map { case (q, i) =>
+      expr(s"percentile(score, $q)").as(s"b_$i")
+    }
+    val bounds = scored.agg(boundCols.head, boundCols.tail: _*)
+    val dd = scored.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (qs.map { case (_, i) =>
+          when(col("score") > decRound(col(s"b_$i"), 6), 1).otherwise(0)
+        }.reduce(_ + _) + 1).cast("int"))
+    val tot = dd.agg(count(lit(1)).as("nn"),
+      sum(col("label")).cast("long").as("pp"))
+    dd.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        ratRound("n_pos", "n_docs", 6).as("pos_rate"),
+        ratRound("n_pos * nn", "n_docs * pp", 6).as("lift"))
+  }
 }

@@ -100,6 +100,20 @@ object Sources {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** PERMISSIVE JSON-lines read with a corrupt-record column: malformed
+    * lines become DATA — all schema fields null, the raw line preserved
+    * in `_corrupt_record` for the quarantine queue — instead of killing
+    * a multi-hour ingest (FAILFAST) or silently vanishing (DROPMALFORMED).
+    * At crawl scale some malformed input is a certainty; the pipeline
+    * posture is route-and-count, not crash. */
+  def jsonLinesPermissive(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Schema-evolution read: union parquet batches whose schemas
     * DIVERGED over time (columns added by later writers) into one
     * frame — `mergeSchema` reconciles by NAME across every footer, and

@@ -1069,6 +1069,45 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out.forall(_.getAs[Long]("n_ab") >= 2))
   }
 
+  test("model lift: hand-checked gains table, positives concentrate in the top decile") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // 20 distinct scores 0.01..0.20; only the top two are positive
+    // → decile 10: pos_rate 1.0, lift = 2·20/(2·2) = 10; others lift 0
+    val scored = (1 to 20).map(i =>
+        (i.toLong, if (i >= 19) 1 else 0, i / 100.0, 0))
+      .toDF("doc_id", "label", "score", "kept")
+    val out = QualityModel.modelLift(scored).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("pos_rate"), r.getAs[Double]("lift")))).toMap
+    assert(out.keySet === (1 to 10).toSet)
+    assert(out.values.map(_._1).sum === 20L)
+    assert(out(10) === ((2L, 2L, 1.0, 10.0)))
+    (1 to 9).foreach(d => assert(out(d)._4 === 0.0, s"decile $d"))
+  }
+
+  test("permissive json read: malformed lines survive as quarantine rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = SharedSpark.tempDir("graft-json").toString
+    Seq("""{"id":1,"v":"ok"}""", """{"id":2,"v":"also"}""",
+        """{"id":3,"v":"broken""", "not json at all")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val out = graft.sources.Sources.jsonLinesPermissive(spark, dir, schema)
+    val rows = out.collect()
+    assert(rows.length === 4)
+    val bad = rows.filter(!_.isNullAt(rows.head.fieldIndex("_corrupt_record")))
+    assert(bad.length === 2)
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("id"))))
+    assert(bad.map(_.getAs[String]("_corrupt_record")).toSet ===
+      Set("""{"id":3,"v":"broken""", "not json at all"))
+    val good = rows.filter(_.isNullAt(rows.head.fieldIndex("_corrupt_record")))
+    assert(good.map(_.getAs[Long]("id")).sorted.sameElements(Seq(1L, 2L)))
+  }
+
   test("hashed embeddings: unit norm, bucket determinism, sparse rows only") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, "alpha"))
