@@ -428,6 +428,7 @@ object SparkEntry {
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
     "c44_model_lift" -> Seq("decile"),
+    "c45_model_metrics" -> Seq("tp"),
     "t18_code_detect" -> Seq("doc_id"),
     "t19_readability" -> Seq("doc_id"),
     "t21_mojibake" -> Seq("doc_id"),
@@ -1387,6 +1388,16 @@ object SparkEntry {
         .toDF("pos", "wv").coalesce(1)
         .write.mode("overwrite").parquet(stageDir(d) + "/c44_weights")
       QualityModel.modelLift(QualityModel.score(docs, w))
+    }),
+    // the confusion-matrix report over the same fit, own weight copy
+    "c45_model_metrics" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val w = QualityModel.fit(docs)
+      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
+        .toDF("pos", "wv").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/c45_weights")
+      QualityModel.modelMetrics(QualityModel.score(docs, w))
     }),
     // ingestion robustness: a planted JSONL feed with malformed lines
     // (%13) read under PERMISSIVE with a corrupt-record column — bad
@@ -2901,6 +2912,36 @@ object SparkEntry {
                // (2 * CAST(n_docs * pp AS HUGEINT)) AS BIGINT) AS DOUBLE)
              / 1000000.0 AS lift
          FROM ag, tt ORDER BY decile""",
+    // c45: the shared classifier CTEs → kept at 0.5 → one aggregate →
+    // guarded HUGEINT rationals (F1 in its single-fraction form)
+    "c45_model_metrics" ->
+      s"""${classifierCtes("c45_weights")},
+         kk AS (SELECT label,
+              CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS kept FROM sc),
+         ag AS (SELECT
+              CAST(sum(CASE WHEN label = 1 AND kept = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN label = 0 AND kept = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN label = 1 AND kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN label = 0 AND kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM kk)
+         SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(CAST((CAST(tp AS HUGEINT) * 2000000 + (tp + fp))
+               // (2 * CAST(tp + fp AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             CAST(CAST((CAST(tp AS HUGEINT) * 2000000 + (tp + fn))
+               // (2 * CAST(tp + fn AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             CAST(CAST((CAST(2 * tp AS HUGEINT) * 2000000 + (2 * tp + fp + fn))
+               // (2 * CAST(2 * tp + fp + fn AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS f1,
+           CASE WHEN tp + fp + fn + tn > 0 THEN
+             CAST(CAST((CAST(tp + tn AS HUGEINT) * 2000000 + (tp + fp + fn + tn))
+               // (2 * CAST(tp + fp + fn + tn AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS accuracy
+         FROM ag""",
     // q55: the plant replayed — parsed rows pass through, malformed
     // lines (%13, truncated brace) surface as all-null + the raw line
     "q55_corrupt_json" ->

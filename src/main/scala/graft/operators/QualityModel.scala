@@ -156,6 +156,30 @@ object QualityModel {
     * multiplies to `n_pos·N / (n_docs·P)` — no float until the final
     * exact scale-down). Requires ≥1 positive in the corpus (P = 0 has
     * no base rate to lift against). */
+  /** Threshold metrics over a [[score]] result — the confusion-matrix
+    * row every deployed gate is monitored by: TP/FP/FN/TN plus
+    * precision, recall, F1 and accuracy, each an exact integer rational
+    * (ratRound — F1 via its single-fraction form 2TP/(2TP+FP+FN), no
+    * intermediate float P·R composition). Degenerate denominators emit
+    * null, never a fabricated 0 or 1 (a gate that kept nothing has no
+    * precision to report). One combinable aggregate over the scored
+    * frame — corpus-scale cost is the scoring pass itself. */
+  def modelMetrics(scored: DataFrame): DataFrame = {
+    def cnt(l: Int, k: Int) =
+      sum(when(col("label") === l && col("kept") === k, 1L).otherwise(0L))
+    scored.agg(cnt(1, 1).as("tp"), cnt(0, 1).as("fp"),
+        cnt(1, 0).as("fn"), cnt(0, 0).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          ratRound("tp", "tp + fp", 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          ratRound("tp", "tp + fn", 6)).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          ratRound("2 * tp", "2 * tp + fp + fn", 6)).as("f1"),
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          ratRound("tp + tn", "tp + fp + fn + tn", 6)).as("accuracy"))
+  }
+
   def modelLift(scored: DataFrame): DataFrame = {
     val qs = (1 to 9).map(i => (i / 10.0, i))
     val boundCols = qs.map { case (q, i) =>

@@ -1087,6 +1087,30 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     (1 to 9).foreach(d => assert(out(d)._4 === 0.0, s"decile $d"))
   }
 
+  test("model metrics: hand-checked confusion matrix, degenerate denominators null") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // tp=2 fp=1 fn=1 tn=6 → precision 2/3, recall 2/3, f1 2/3, acc 0.8
+    val scored = Seq(
+      (1L, 1, 0.9, 1), (2L, 1, 0.8, 1), (3L, 0, 0.7, 1), (4L, 1, 0.2, 0),
+      (5L, 0, 0.1, 0), (6L, 0, 0.1, 0), (7L, 0, 0.1, 0), (8L, 0, 0.1, 0),
+      (9L, 0, 0.1, 0), (10L, 0, 0.1, 0))
+      .toDF("doc_id", "label", "score", "kept")
+    val r = QualityModel.modelMetrics(scored).collect()(0)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) === ((2L, 1L, 1L, 6L)))
+    assert(r.getAs[Double]("precision") === 0.666667)
+    assert(r.getAs[Double]("recall") === 0.666667)
+    assert(r.getAs[Double]("f1") === 0.666667)
+    assert(r.getAs[Double]("accuracy") === 0.8)
+    // nothing kept → precision undefined (null), recall 0
+    val none = Seq((1L, 1, 0.1, 0), (2L, 0, 0.1, 0))
+      .toDF("doc_id", "label", "score", "kept")
+    val r2 = QualityModel.modelMetrics(none).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("precision")))
+    assert(r2.getAs[Double]("recall") === 0.0)
+  }
+
   test("permissive json read: malformed lines survive as quarantine rows") {
     import spark.implicits._
     import org.apache.spark.sql.types._
