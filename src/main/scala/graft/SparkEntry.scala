@@ -479,7 +479,8 @@ object SparkEntry {
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"),
     "m11_bmp_meta" -> Seq("doc_id"),
-    "m12_tiff_meta" -> Seq("doc_id"))
+    "m12_tiff_meta" -> Seq("doc_id"),
+    "m13_id3_meta" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -727,6 +728,7 @@ object SparkEntry {
     "m8_gif_meta" -> ((s, d) => Multimodal.gifMetaPlanted(s, t(s, d, "documents"))),
     "m11_bmp_meta" -> ((s, d) => Multimodal.bmpMetaPlanted(s, t(s, d, "documents"))),
     "m12_tiff_meta" -> ((s, d) => Multimodal.tiffMetaPlanted(s, t(s, d, "documents"))),
+    "m13_id3_meta" -> ((s, d) => Multimodal.id3MetaPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -3844,6 +3846,18 @@ object SparkEntry {
          ORDER BY doc_id""",
     // m11: planted rows replay the BMP plant formulas (24-bpp
     // bottom-up), text rows the synthetic fallback from byte length
+    // m13: plant replay — version alternates, tag sizes all ≥ 128 so a
+    // non-syncsafe read could never stay green
+    "m13_id3_meta" ->
+      """SELECT doc_id, 1 AS is_id3,
+           CAST(3 + (doc_id // 8) % 2 AS INTEGER) AS version,
+           CAST(128 + doc_id % 900 AS INTEGER) AS tag_size
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_id3, 0 AS version,
+           CAST(64 + (octet_length(encode(text)) * 9) % 887 AS INTEGER) AS tag_size
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     // m12: the plant formulas replayed — endianness itself is a planted
     // datum ((doc_id // 8) % 2), which is the point of the TIFF gate
     "m12_tiff_meta" ->

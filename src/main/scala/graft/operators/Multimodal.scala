@@ -537,6 +537,43 @@ object Multimodal {
     }
   }
 
+  object PlantedId3s {
+    val Every = 8
+
+    /** Minimal ID3v2 tag ahead of filler audio bytes: "ID3", version
+      * (2.3 / 2.4 alternating per file), zero flags, and the tag size
+      * as a SYNCSAFE integer — 7 bits per byte, high bit always clear
+      * (the MP3 framing trick that keeps tag bytes from faking a frame
+      * sync). Sizes are chosen ≥ 128 so a naive big-endian read gives a
+      * DIFFERENT number — the plant detects a parser that skipped the
+      * syncsafe decode. */
+    def craftedId3(docId: Long): Array[Byte] = {
+      val ver = (3 + (docId / Every) % 2).toInt
+      val size = (128 + docId % 900).toInt
+      val out = java.nio.ByteBuffer.allocate(10 + size + 24)
+      out.put('I'.toByte).put('D'.toByte).put('3'.toByte)
+      out.put(ver.toByte).put(0.toByte).put(0.toByte)
+      out.put(((size >> 21) & 0x7f).toByte).put(((size >> 14) & 0x7f).toByte)
+      out.put(((size >> 7) & 0x7f).toByte).put((size & 0x7f).toByte)
+      var i = 0
+      while (i < size + 24) { out.put(((docId * 11 + i * 5) % 256).toByte); i += 1 }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-ID3v2 payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedId3Media(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedId3s.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedId3s.craftedId3(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Documents with planted real-TIFF payloads on every `every`-th
     * doc_id (text bytes otherwise). */
   def plantedTiffMedia(spark: SparkSession, documents: DataFrame,
@@ -895,6 +932,48 @@ object Multimodal {
         .otherwise((lit(16) + pmod(len * 5, lit(431))).cast("int")).as("height"),
       when(complete, col("_bits").cast("int")).otherwise(lit(8)).as("bits_per_sample"))
   }
+
+  /** REAL ID3v2 (MP3 tag) metadata from the binary payload — pure
+    * column exprs, and the format whose size field is a SYNCSAFE
+    * integer: 7 bits per byte with the high bit always clear, so a
+    * naive 4-byte big-endian read MISPARSES every tag ≥ 128 bytes (the
+    * plant's sizes all are — the gate would go red if the decode were
+    * skipped). Walk: "ID3" magic, version/revision/flags bytes, the
+    * four size bytes each validated < 128 then recombined as
+    * b₁·2²¹ + b₂·2¹⁴ + b₃·2⁷ + b₄, and a length check covering header
+    * + tag body. Non-ID3 / truncated rows fall back to deterministic
+    * synthetic metadata — the media contract. */
+  def id3Meta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isId3 = hex(p.substr(lit(1), lit(3))) === "494433"
+    val staged = media
+      .withColumn("_ver", beUint(p, lit(4L), 1))
+      .withColumn("_b1", beUint(p, lit(7L), 1))
+      .withColumn("_b2", beUint(p, lit(8L), 1))
+      .withColumn("_b3", beUint(p, lit(9L), 1))
+      .withColumn("_b4", beUint(p, lit(10L), 1))
+    val syncOk = col("_b1") < 128 && col("_b2") < 128 &&
+      col("_b3") < 128 && col("_b4") < 128
+    val size = col("_b1") * 2097152 + col("_b2") * 16384 +
+      col("_b3") * 128 + col("_b4")
+    val withSize = staged.withColumn("_sz", size)
+    val complete = coalesce(isId3, lit(false)) &&
+      coalesce(col("_ver").between(2, 4), lit(false)) &&
+      coalesce(syncOk, lit(false)) &&
+      coalesce(len >= lit(10) + col("_sz"), lit(false))
+    withSize.select(
+      col("doc_id"),
+      complete.cast("int").as("is_id3"),
+      when(complete, col("_ver").cast("int")).otherwise(lit(0)).as("version"),
+      when(complete, col("_sz").cast("int"))
+        .otherwise((lit(64) + pmod(len * 9, lit(887))).cast("int")).as("tag_size"))
+  }
+
+  /** The m13 gate: ID3v2 syncsafe metadata over the planted corpus. */
+  def id3MetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedId3s.Every): DataFrame =
+    id3Meta(plantedId3Media(spark, documents, every).toDF())
 
   /** The m12 gate: endian-aware TIFF metadata over the planted-TIFF
     * corpus. */

@@ -781,6 +781,31 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("id3 meta: syncsafe sizes decode, a naive BE reading would differ, fallbacks") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val planted = Multimodal.id3MetaPlanted(spark, table("documents")).collect()
+    planted.filter(_.getLong(0) % 8 == 0).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 1)
+      assert(r.getInt(2) === (3 + (id / 8) % 2).toInt)
+      val size = (128 + id % 900).toInt
+      assert(r.getInt(3) === size)
+      // the syncsafe point: a naive 4-byte BE read of the same bytes
+      // gives a DIFFERENT number for every planted size
+      val naive = ((size >> 21) << 24) | (((size >> 14) & 0x7f) << 16) |
+        (((size >> 7) & 0x7f) << 8) | (size & 0x7f)
+      assert(naive !== size)
+    }
+    assert(planted.filter(_.getLong(0) % 8 != 0).forall(_.getInt(1) === 0))
+    // a high-bit size byte breaks the syncsafe contract → fallback
+    val bad = Multimodal.PlantedId3s.craftedId3(0L)
+    bad(6) = 0x80.toByte
+    val out = Multimodal.id3Meta(Seq((1L, bad)).toDF("doc_id", "payload"))
+      .collect()(0)
+    assert(out.getInt(1) === 0, "non-syncsafe size byte must fall back")
+  }
+
   test("mojibake repair: damage collapses, clean accents untouched, counts exact") {
     import spark.implicits._
     val docs = Seq(
