@@ -174,6 +174,27 @@ object SparkEntry {
       .as("url"))
   }
 
+  /** One classifier fit per dataset dir, shared by the four gates that
+    * deploy the model (c30/st17/c44/c45). Safe to memoize: the fit is
+    * partitioning-independent and deterministic (spec-asserted), so
+    * every caller would compute the bit-identical vector — each gate
+    * still STAGES ITS OWN COPY, so gate order and the per-gate oracle
+    * contract are unchanged; only the redundant 10-job GD reruns go. */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def fittedWeights(s: SparkSession, d: String): Array[Double] =
+    fitCache.computeIfAbsent(d, _ => QualityModel.fit(t(s, d, "documents")))
+
+  /** Stage a weight vector as the (pos, wv) table the classifier
+    * oracles read — one shared writer for the four deploying gates. */
+  private def stageWeights(s: SparkSession, d: String, name: String,
+                           w: Array[Double]): Unit = {
+    import s.implicits._
+    w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
+      .toDF("pos", "wv").coalesce(1)
+      .write.mode("overwrite").parquet(stageDir(d) + s"/$name")
+  }
+
   /** Deterministic planted keyphrases for the c42 RAKE gate: the
     * synthetic corpus is a ~30-word uniform vocabulary that the
     * corpus-adaptive top-30 stoplist swallows whole, leaving no
@@ -1233,12 +1254,8 @@ object SparkEntry {
     // weight copy is bit-identical to c30's), scoring is a pure map —
     // doc-disjoint batches union to the batch result
     "st17_classifier_stream" -> ((s, d) => {
-      import s.implicits._
-      val docs = t(s, d, "documents")
-      val w = QualityModel.fit(docs)
-      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
-        .toDF("pos", "wv").coalesce(1)
-        .write.mode("overwrite").parquet(stageDir(d) + "/st17_weights")
+      val w = fittedWeights(s, d)
+      stageWeights(s, d, "st17_weights", w)
       graft.streaming.StreamDrivers.classifierFileStream(Tables.tune(s), d, w)
     }),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
@@ -1371,34 +1388,25 @@ object SparkEntry {
     // learned weight vector is STAGED so the oracle replays featurize →
     // dot → sigmoid → decimal-6 gate from SQL alone
     "c30_quality_classifier" -> ((s, d) => {
-      import s.implicits._
       val docs = t(s, d, "documents")
-      val w = QualityModel.fit(docs)
-      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
-        .toDF("pos", "wv").coalesce(1)
-        .write.mode("overwrite").parquet(stageDir(d) + "/c30_weights")
+      val w = fittedWeights(s, d)
+      stageWeights(s, d, "c30_weights", w)
       QualityModel.score(docs, w)
     }),
     // the model-eval report over the same fit — its own staged weight
     // copy (bit-identical: the fit is partitioning-independent) keeps
     // the gates order-independent
     "c44_model_lift" -> ((s, d) => {
-      import s.implicits._
       val docs = t(s, d, "documents")
-      val w = QualityModel.fit(docs)
-      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
-        .toDF("pos", "wv").coalesce(1)
-        .write.mode("overwrite").parquet(stageDir(d) + "/c44_weights")
+      val w = fittedWeights(s, d)
+      stageWeights(s, d, "c44_weights", w)
       QualityModel.modelLift(QualityModel.score(docs, w))
     }),
     // the confusion-matrix report over the same fit, own weight copy
     "c45_model_metrics" -> ((s, d) => {
-      import s.implicits._
       val docs = t(s, d, "documents")
-      val w = QualityModel.fit(docs)
-      w.zipWithIndex.map { case (wv, pos) => (pos, wv) }.toSeq
-        .toDF("pos", "wv").coalesce(1)
-        .write.mode("overwrite").parquet(stageDir(d) + "/c45_weights")
+      val w = fittedWeights(s, d)
+      stageWeights(s, d, "c45_weights", w)
       QualityModel.modelMetrics(QualityModel.score(docs, w))
     }),
     // ingestion robustness: a planted JSONL feed with malformed lines

@@ -920,6 +920,16 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(brute.nonEmpty)
   }
 
+  test("fuzzy join plan: a real equi-join on the block key, never a nested loop") {
+    import spark.implicits._
+    val cat = table("part").select(col("p_partkey").as("cat_id"),
+      col("p_name").as("name"))
+    val dirty = cat.select(col("cat_id").as("dirty_id"), col("name"))
+    val p = Dedup.fuzzyNameJoin(dirty, cat).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy join degenerated to an unblocked compare:\n$p")
+  }
+
   test("fuzzy join: typos within the block match best, cross-block edits invisible") {
     import spark.implicits._
     val catalog = Seq((1L, "small ring"), (2L, "red widget"), (3L, "blue bolt"),

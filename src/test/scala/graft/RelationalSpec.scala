@@ -449,6 +449,33 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out === Map(("A", "B", "C") -> ((2L, 2L)), ("B", "C", "D") -> ((1L, 1L))))
   }
 
+  test("plan shapes: boundary scoring never builds a global rank window") {
+    // q49: quintiles come from a broadcast boundary row — a regression
+    // to ntile(5) would add an unpartitioned Window holding every
+    // customer on one task
+    val rfm = Relational.rfmSegments(table("orders"))
+    val rfmPlan = rfm.queryExecution.executedPlan.toString
+    assert(!rfmPlan.contains("Window"),
+      s"rfm regressed to a rank window:\n$rfmPlan")
+    assert(rfmPlan.contains("BroadcastExchange") ||
+      rfmPlan.contains("BroadcastNestedLoopJoin"),
+      "rfm boundaries must arrive by broadcast")
+    // q50: the trigram window must be PARTITIONED (by user), never global
+    val tri = Relational.pathTrigrams(table("events"))
+    val triPlan = tri.queryExecution.executedPlan.toString
+    val winLines = triPlan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("user_id")),
+      s"trigram window lost its user partition:\n$triPlan")
+    // q53: the cumulative window's input is the POST-AGGREGATE part
+    // frame — the aggregate must sit below the window in the plan text
+    val abc = Relational.abcPareto(table("lineitem"))
+    val abcPlan = abc.queryExecution.executedPlan.toString
+    val wIdx = abcPlan.indexOf("Window")
+    assert(wIdx >= 0 &&
+      abcPlan.indexOf("HashAggregate", wIdx) >= 0,
+      s"pareto window must run over the aggregated catalog:\n$abcPlan")
+  }
+
   test("gap fill: spine complete, zeros for holes, LOCF never leads the first value") {
     import spark.implicits._
     import java.sql.Timestamp
