@@ -165,8 +165,11 @@ object QualityModel {
     * precision to report). One combinable aggregate over the scored
     * frame — corpus-scale cost is the scoring pass itself. */
   def modelMetrics(scored: DataFrame): DataFrame = {
-    def cnt(l: Int, k: Int) =
-      sum(when(col("label") === l && col("kept") === k, 1L).otherwise(0L))
+    // coalesce: an EMPTY scored frame sums to null — the report row
+    // must carry real zeros (and null metrics), not throw on read
+    def cnt(l: Int, k: Int) = coalesce(
+      sum(when(col("label") === l && col("kept") === k, 1L).otherwise(0L)),
+      lit(0L))
     scored.agg(cnt(1, 1).as("tp"), cnt(0, 1).as("fp"),
         cnt(1, 0).as("fn"), cnt(0, 0).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),

@@ -275,4 +275,44 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     assert(out.length === 20)
   }
+
+  test("round-10 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.{QualityModel, Relational, Similarity}
+    val noOrders = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    assert(Relational.rfmSegments(noOrders).isEmpty)
+    val noEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Relational.pathTrigrams(noEvents).isEmpty)
+    assert(Relational.dailyAnomaly(noEvents).isEmpty)
+    assert(Relational.gapFill(noEvents).isEmpty)
+    val oneEvent = Seq((1L, new Timestamp(1700000000000L), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // single day: no trigram, no baseline, a one-cell spine — no throws
+    assert(Relational.pathTrigrams(oneEvent).isEmpty)
+    assert(Relational.dailyAnomaly(oneEvent).collect()
+      .forall(r => r.isNullAt(r.fieldIndex("z"))))
+    assert(Relational.gapFill(oneEvent).count() === 1)
+    val noLi = Seq.empty[(Long, Double, Double)]
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    assert(Relational.abcPareto(noLi).isEmpty)
+    // edge docs through the new text/curation ops
+    assert(TextOps.readability(edgeDocs).count() === 6)
+    assert(TextOps.fixMojibake(edgeDocs).count() === 6)
+    assert(Curation.pmiPhrases(edgeDocs, minCount = 1).count() >= 0)
+    assert(Curation.rakeKeywords(edgeDocs, nStop = 1, minOcc = 1).count() >= 0)
+    assert(Curation.hashedEmbeddings(edgeDocs).collect()
+      .forall(_.getAs[Long]("cnt") > 0))
+    val emptyDocs = edgeDocs.filter(lit(false))
+    assert(Dedup.snapshotDiff(emptyDocs, emptyDocs).isEmpty)
+    assert(Dedup.minhashEval(emptyDocs).isEmpty)
+    assert(Similarity.triangleCounts(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+    // a gate that kept nothing / an empty scored frame
+    val emptyScored = Seq.empty[(Long, Int, Double, Int)]
+      .toDF("doc_id", "label", "score", "kept")
+    assert(QualityModel.modelMetrics(emptyScored).collect()(0).getLong(0) === 0L)
+  }
 }
