@@ -460,6 +460,7 @@ object SparkEntry {
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
     "st18_phash_stream" -> Seq("doc_a", "doc_b"),
+    "st22_embed_stream" -> Seq("id_a", "id_b"),
     "c21_bigram_ll" -> Seq("doc_id"),
     "t10_vocab_coverage" -> Seq("pct"),
     "c22_temperature_mix" -> Seq("source"),
@@ -1201,6 +1202,10 @@ object SparkEntry {
     // streaming visual ingest: per-micro-batch in-stream dHash + probe
     // against the growing corpus phash state (the st14 posture at the
     // visual layer); == the d23 batch recompute, gated by its oracle
+    // streaming embedding ingest: micro-batches probe + append the
+    // sign-code state — the last asymmetric cell of the matrix
+    "st22_embed_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.embedIngestFileStream(Tables.tune(s), d)),
     "st18_phash_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.phashIngestFileStream(Tables.tune(s), d)),
     "st19_url_stream" -> ((s, d) =>
@@ -1528,6 +1533,16 @@ object SparkEntry {
     s"list_filter(string_split_regex(lower(trim(${segTextOf(c)})), '[\\s　]+'), x -> x <> '')"
   private val segText = segTextOf("text")
   private val toks = toksOf("text")
+  // Shared d13/st22 oracle: brute-force threshold pairs excluding
+  // corpus-internal (odd-odd) pairs — the incremental contract
+  private lazy val embedIncrementalSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
+         AND NOT (a.vec_id % 2 = 1 AND b.vec_id % 2 = 1)
+       ORDER BY 1, 2"""
+
   // Shared c40/c41 PMI oracle fragments: token arrays, unigram/bigram
   // count tables with their totals, and the minCount=5 filtered bigram
   // set — c41 re-derives c40's top-3 from the same text so the two
@@ -3165,13 +3180,11 @@ object SparkEntry {
     // odd-id corpus's internal pairs are excluded — found at corpus-build
     // time); full oracle by d8's full-recall argument for the seeded
     // 1-bit banding at θ=0.45.
-    "d13_embed_incremental" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                    CAST(b.embedding AS DOUBLE[])) AS DECIMAL(38,6)) >= 0.45
-           AND NOT (a.vec_id % 2 = 1 AND b.vec_id % 2 = 1)
-         ORDER BY 1, 2""",
+    "d13_embed_incremental" -> embedIncrementalSql,
+    // st22: the streamed union over micro-batches equals the batch d13
+    // run (probe state grows batch by batch — the st14 posture), so the
+    // same brute-force replay gates it
+    "st22_embed_stream" -> embedIncrementalSql,
     // q37 = the q16 oracle verbatim: the custom sorted-merge as-of
     // SparkPlan must reproduce the window formulation exactly.
     "q37_asof_exec" ->

@@ -747,6 +747,55 @@ object StreamDrivers {
     * gates this driver verbatim — licensed by the Hamming-3 full-recall
     * banding. In production the state is a chunk-bucketed phash table
     * appended per batch; the collect is the oracle-gate harness. */
+  /** st22: streaming EMBEDDING near-dup ingest — the st14/st18 probe-
+    * and-append posture at the vector layer, closing the last
+    * asymmetric cell of the streaming×incremental dedup matrix: each
+    * micro-batch's vectors probe the growing sign-code state
+    * (d13's embeddingLshIncremental — batch-batch pairs included) and
+    * append their own codes before the next batch fires. Every pair's
+    * LATER element probes a state holding the earlier one, so the
+    * streamed union equals the batch d13 run and its oracle gates this
+    * driver verbatim. */
+  def embedIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-embed")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      var corpusCodes = graft.operators.Dedup
+        .embeddingSignCodes(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .localCheckpoint()
+      val stamper = new MtimeStamper
+      var first = true
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      Seq(batch.filter(pmod(col("vec_id"), lit(4)) === 0),
+          batch.filter(pmod(col("vec_id"), lit(4)) === 2)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val src = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val bdf = b.toDF().localCheckpoint()
+          val found = graft.operators.Dedup
+            .embeddingLshIncremental(bdf, corpusCodes)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          pairs.synchronized { pairs ++= found }
+          corpusCodes = corpusCodes.union(
+            graft.operators.Dedup.embeddingSignCodes(bdf)).localCheckpoint()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      pairs.toSeq.toDF("id_a", "id_b")
+    } finally deleteRecursively(dir)
+  }
+
   def phashIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-phash")

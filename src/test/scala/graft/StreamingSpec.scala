@@ -285,6 +285,20 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.exists(t => t._3 < t._2))
   }
 
+  test("st22 driver: streamed embedding ingest equals the batch d13 recompute") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("st22_embed_stream")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.Tables.load(spark, SharedSpark.sfDir, "embeddings")
+    val batch = graft.operators.Dedup.embeddingLshIncremental(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        graft.operators.Dedup.embeddingSignCodes(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "vacuous corpus: no near-dup pairs to stream")
+  }
+
   test("st21 driver: streamed line gate equals the batch frozen-artifact run") {
     import org.apache.spark.sql.functions._
     val aug = SparkEntry.plantParagraphs(
