@@ -456,6 +456,7 @@ object SparkEntry {
     "c40_pmi_phrases" -> Seq("term_a", "term_b"),
     "c41_phrase_search" -> Seq("phrase", "doc_id"),
     "c42_rake_keywords" -> Seq("phrase"),
+    "c46_fertility" -> Seq("lang"),
     "t16_html_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
@@ -949,6 +950,17 @@ object SparkEntry {
     // algorithm itself gated by independent driver parity. The fit is
     // memoized per sfDir so t11 and c23 share one word-count job +
     // driver merge loop per sweep (it's a pure function of the dir)
+    // tokenizer fertility per language over the SAME learned merges —
+    // per-doc counts staged (the c23 idiom) so the ratios replay
+    "c46_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = TextOps.bpeTokenize(docs, bpeFit(s, d))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .localCheckpoint()
+      counts.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c46_counts")
+      TextOps.bpeFertility(docs, counts)
+    }),
     "t11_bpe_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val merges = bpeFit(s, d)
@@ -4525,6 +4537,29 @@ object SparkEntry {
     // onto the corpus relationally: ordered token positions via a struct
     // comprehension, subword counts summed, bpe_text re-assembled with an
     // ORDER BY position string_agg; token-less docs survive the LEFT JOIN
+    // c46: staged per-doc BPE counts joined back for lang + raw bytes,
+    // ratios in the HUGEINT rational form, zero-denominator langs null
+    "c46_fertility" ->
+      """WITH c AS (SELECT doc_id, n_words, n_bpe_tokens
+             FROM read_parquet('__GRAFT_STAGE__/c46_counts/*.parquet')),
+         j AS (SELECT d.lang, c.n_words, c.n_bpe_tokens,
+               octet_length(encode(d.text)) AS nb
+             FROM documents d JOIN c ON c.doc_id = d.doc_id),
+         ag AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(nb) AS BIGINT) AS n_bytes
+             FROM j GROUP BY 1)
+         SELECT lang, n_docs, n_words, n_bpe_tokens, n_bytes,
+           CASE WHEN n_words > 0 THEN
+             CAST(CAST((CAST(n_bpe_tokens AS HUGEINT) * 2000000 + n_words)
+               // (2 * CAST(n_words AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS fertility,
+           CASE WHEN n_bpe_tokens > 0 THEN
+             CAST(CAST((CAST(n_bytes AS HUGEINT) * 2000000 + n_bpe_tokens)
+               // (2 * CAST(n_bpe_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS bytes_per_token
+         FROM ag ORDER BY lang""",
     "t11_bpe_tokens" ->
       s"""WITH d AS (SELECT doc_id, $toks AS a FROM documents),
           w AS (SELECT doc_id, unnest([{'i': i, 'w': a[i]}

@@ -160,4 +160,27 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(graft.functions.Bpe.encodeWord("aaa",
       graft.functions.Bpe.ranksOf(Seq(("a", "a")))).toSeq === Seq("aa", "a"))
   }
+
+  test("fertility: per-language ratios exact, zero-denominator lang null") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "ab cd", "en"), (2L, "wxyz", "en"),
+      (3L, "foo", "zh"),
+      (4L, "", "xx"))                            // empty: zero words
+      .toDF("doc_id", "text", "lang")
+    val counts = Seq((1L, 2L, 4L), (2L, 1L, 2L), (3L, 1L, 3L), (4L, 0L, 0L))
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+    val out = TextOps.bpeFertility(docs, counts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // en: 6 subwords / 3 words = 2.0; bytes "ab cd"+"wxyz" = 9 → 9/6 = 1.5
+    val en = out("en")
+    assert(en.getAs[Long]("n_bytes") === 9L)
+    assert(en.getAs[Double]("fertility") === 2.0)
+    assert(en.getAs[Double]("bytes_per_token") === 1.5)
+    assert(out("zh").getAs[Double]("fertility") === 3.0)
+    val xx = out("xx")
+    assert(xx.isNullAt(xx.fieldIndex("fertility")) &&
+      xx.isNullAt(xx.fieldIndex("bytes_per_token")))
+  }
 }
