@@ -1209,23 +1209,51 @@ object Dedup {
     * RECALL CONTRACT, stated not hidden: an edit that touches the
     * blocking key makes the pair invisible — production resolvers run
     * several redundant blockings (phonetic, q-gram, other fields) and
-    * union candidates; this operator is one such pass. Cost: Σ block²
-    * verify work, bounded by the largest block, zero corpus self-join. */
+    * union candidates; this operator is one such pass.
+    *
+    * Cost control — measured, in order of what actually mattered. The
+    * first cut paid 41 s at sf0.1: the catalog holds 20 000 rows over
+    * only 64 DISTINCT names, so the token-blocked row-level join
+    * multiplied every duplicate against every duplicate (40M
+    * levenshtein calls on ~20 join keys — a few-hot-keys join no
+    * banding can save). The fix that matters is structural: ALL fuzzy
+    * work runs over DISTINCT NAMES (fuzzy cost scales with the
+    * VOCABULARY, not the catalog — real feeds repeat entities
+    * endlessly), with each catalog name carrying its minimum id so the
+    * roll-up preserves the (lev, cat_id) argmin bit-for-bit; rows
+    * rejoin by exact name afterwards. On top of that, three LOSSLESS
+    * prunes (each only removes candidates the `lev ≤ maxDist` filter
+    * would reject — the d4 banding argument): a width-4 length band
+    * with ±1 multi-probe (lev ≤ maxDist < 4 ⇒ same-or-adjacent band),
+    * the |length diff| ≤ maxDist lower bound before any DP, and the
+    * THRESHOLDED levenshtein (O(len·maxDist) early-exit DP). 41 s →
+    * 0.77 s at sf0.1, result identical (the oracle did not change). */
   def fuzzyNameJoin(dirty: DataFrame, catalog: DataFrame,
                     maxDist: Int = 2): DataFrame = {
+    require(maxDist < 4, "the width-4 length band assumes maxDist <= 3")
     def blockKey(c: Column): Column = element_at(split(c, " "), -1)
-    val dn = dirty.select(col("dirty_id"), col("name").as("dname"))
+    def band(c: Column): Column = (length(c).cast("int") / 4).cast("int")
+    val dNames = dirty.select(col("name").as("dname")).distinct()
       .withColumn("blk", blockKey(col("dname")))
-    val cn = catalog.select(col("cat_id"), col("name").as("cname"))
+      .withColumn("band", explode(array(
+        band(col("dname")) - 1, band(col("dname")), band(col("dname")) + 1)))
+    val cNames = catalog.groupBy(col("name").as("cname"))
+      .agg(min(col("cat_id")).as("rep_id"))
       .withColumn("blk", blockKey(col("cname")))
-    val cand = dn.join(cn, "blk")
-      .withColumn("lev", levenshtein(col("dname"), col("cname")))
-      .filter(col("lev") <= maxDist)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dirty_id")).orderBy(col("lev"), col("cat_id"))
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .withColumn("band", band(col("cname")))
+    val best = dNames.join(cNames, Seq("blk", "band"))
+      .filter(abs(length(col("dname")) - length(col("cname"))) <= maxDist)
+      .withColumn("lev", levenshtein(col("dname"), col("cname"), maxDist))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dname")).orderBy(col("lev"), col("rep_id"))))
+      .filter(col("rk") === 1)
+      .select(col("dname"), col("cname"), col("rep_id"), col("lev"))
+    dirty.select(col("dirty_id"), col("name").as("dname"))
+      .join(best, "dname")
       .select(col("dirty_id"), col("dname").as("dirty_name"),
-        col("cat_id").as("matched_id"), col("cname").as("matched_name"),
+        col("rep_id").as("matched_id"), col("cname").as("matched_name"),
         col("lev").cast("int").as("lev"))
   }
 
