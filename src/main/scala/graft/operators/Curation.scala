@@ -1492,7 +1492,10 @@ object Curation {
     * down to query terms before the position join (the corpus-wide
     * posting table never self-joins — only the filtered slivers do),
     * and the position match `p_b = p_a + 1` is an equi-join after the
-    * doc+term keys. One tokenize shared via [[positionalTokens]]. */
+    * doc+term keys. The posting projection evaluates once per join
+    * side (twice total — a cheap codegen scan; materializing the
+    * corpus-wide posting table to save the second pass costs more than
+    * it buys, the d8 recompute-beats-checkpoint measurement). */
   def phraseSearch(documents: DataFrame, phrases: DataFrame): DataFrame = {
     val occ = positionalTokens(documents)
     val ph = broadcast(phrases.select(col("term_a"), col("term_b")))
