@@ -453,6 +453,7 @@ object SparkEntry {
     "t18_code_detect" -> Seq("doc_id"),
     "t19_readability" -> Seq("doc_id"),
     "t21_mojibake" -> Seq("doc_id"),
+    "t22_truncate_middle" -> Seq("doc_id"),
     "c40_pmi_phrases" -> Seq("term_a", "term_b"),
     "c41_phrase_search" -> Seq("phrase", "doc_id"),
     "c42_rake_keywords" -> Seq("phrase"),
@@ -697,6 +698,8 @@ object SparkEntry {
     // mojibake repair over planted damage + a correctly-encoded control
     "t21_mojibake" -> ((s, d) =>
       TextOps.fixMojibake(plantMojibake(t(s, d, "documents")))),
+    "t22_truncate_middle" -> ((s, d) =>
+      TextOps.truncateMiddle(t(s, d, "documents"))),
     "c40_pmi_phrases" -> ((s, d) =>
       Curation.pmiPhrases(t(s, d, "documents"))),
     // planted keyphrases (the corpus's uniform vocabulary IS the
@@ -2695,6 +2698,18 @@ object SparkEntry {
             CAST(sum(CAST(wsc.wscore AS DECIMAL(28,6))) AS DOUBLE) AS score
           FROM px JOIN wsc USING (term)
           GROUP BY 1, 2 ORDER BY score DESC, phrase LIMIT 20""",
+    // t22: pure array slicing over the shared token stream; head 64 +
+    // tail 32 + ' ... ' marker, exact drop accounting
+    "t22_truncate_middle" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents)
+         SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+           CASE WHEN len(t) <= 96 THEN array_to_string(t, ' ')
+             ELSE array_to_string(t[1:64], ' ') || ' ... '
+               || array_to_string(t[len(t)-31:len(t)], ' ') END
+             AS truncated_text,
+           CAST(greatest(len(t) - 96, 0) AS INTEGER) AS n_dropped,
+           CAST(CASE WHEN len(t) > 96 THEN 1 ELSE 0 END AS INTEGER) AS truncated
+         FROM d ORDER BY doc_id""",
     // t21: the replace chain is BUILT from TextOps.MojibakePairs, so
     // operator and oracle share one damage table by construction
     "t21_mojibake" -> {

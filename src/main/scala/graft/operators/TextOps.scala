@@ -437,6 +437,35 @@ object TextOps {
         size(col("_bpe")).as("n_bpe_tokens"),
         array_join(col("_bpe"), " ").as("bpe_text"))
 
+  /** Head+tail token-budget truncation — the long-document policy
+    * context-bounded training actually ships: keep the first
+    * `headTokens` and last `tailTokens` tokens and drop the middle
+    * (document leads carry topic/boilerplate signal, tails carry
+    * conclusions/signatures; a head-only cut loses everything a tail
+    * states — the shape behind "lost in the middle" dataset policies).
+    * Within-budget docs pass through token-normalized (single-space
+    * joined, same as every scrub in this repo); over-budget docs get
+    * head + " ... " marker + tail, an exact dropped-token count and a
+    * truncated flag. Pure array slicing over the shared token column —
+    * map-only, no shuffle, composes anywhere in the funnel. */
+  def truncateMiddle(documents: DataFrame, headTokens: Int = 64,
+                     tailTokens: Int = 32): DataFrame = {
+    require(headTokens > 0 && tailTokens > 0, "head and tail must be positive")
+    val budget = headTokens + tailTokens
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("n", size(col("_toks")))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        when(col("n") <= budget, array_join(col("_toks"), " "))
+          .otherwise(concat(
+            array_join(slice(col("_toks"), 1, headTokens), " "),
+            lit(" ... "),
+            array_join(slice(col("_toks"), -tailTokens, tailTokens), " ")))
+          .as("truncated_text"),
+        greatest(col("n") - budget, lit(0)).cast("int").as("n_dropped"),
+        (col("n") > budget).cast("int").as("truncated"))
+  }
+
   /** Per-language tokenizer fertility — the QA table every tokenizer
     * build is judged by: subword tokens per word (`fertility` — the
     * multilingual-equity number: a tokenizer trained on English spends

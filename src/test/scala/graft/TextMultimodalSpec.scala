@@ -806,6 +806,24 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out.getInt(1) === 0, "non-syncsafe size byte must fall back")
   }
 
+  test("truncate middle: head and tail survive, budget boundary exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // over a 3+2 budget
+      (2L, "a b c d e"),                              // exactly at budget
+      (3L, "a b"),                                    // under
+      (4L, ""))                                       // empty
+      .toDF("doc_id", "text")
+    val out = TextOps.truncateMiddle(docs, headTokens = 3, tailTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_tokens"), r.getString(2), r.getAs[Int]("n_dropped"),
+          r.getAs[Int]("truncated")))).toMap
+    assert(out(1L) === ((10, "w1 w2 w3 ... w9 w10", 5, 1)))
+    assert(out(2L) === ((5, "a b c d e", 0, 0)), "exactly at budget: untouched")
+    assert(out(3L) === ((2, "a b", 0, 0)))
+    assert(out(4L) === ((0, "", 0, 0)))
+  }
+
   test("mojibake repair: damage collapses, clean accents untouched, counts exact") {
     import spark.implicits._
     val docs = Seq(
