@@ -231,7 +231,11 @@ object SparkEntry {
     * vanish (deleted), %7==2 pages get a re-crawl marker appended
     * (changed), %13==4 pages reappear under a fresh id (added).
     * Deletion wins over change — a deleted page cannot also be
-    * re-crawled; the oracle mirrors the same filter-then-modify order. */
+    * re-crawled; the oracle mirrors the same filter-then-modify order.
+    * Fresh ids live in the NEGATIVE id space (−doc_id − 1): disjoint
+    * from any kept id at ANY corpus size — a fixed +offset collides
+    * once the corpus outgrows it, silently multiplying rows out of the
+    * d26 full outer join on both engines at once. */
   private[graft] def plantRecrawl(docs: DataFrame): DataFrame = {
     val kept = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
       .select(col("doc_id"),
@@ -239,7 +243,7 @@ object SparkEntry {
           concat(col("text"), lit(" [recrawled]")))
           .otherwise(col("text")).as("text"))
     val fresh = docs.filter(pmod(col("doc_id"), lit(13)) === 4)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((negate(col("doc_id")) - 1L).as("doc_id"),
         concat(lit("fresh page "), col("doc_id").cast("string")).as("text"))
     kept.unionByName(fresh)
   }
@@ -2724,7 +2728,9 @@ object SparkEntry {
            CAST(length(text) - length($fixedSql) AS INTEGER) AS n_fixed
          FROM aug ORDER BY doc_id"""
     },
-    // t17: exact per-doc counts, integer/integer divisions decimal-6
+    // t17: exact per-doc counts; all three ratios are HUGEINT exact
+    // rationals (half-away at 1e-6) — the ratRound replay, never a
+    // double quotient (the round-10 half-tie FAIL)
     "t17_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -2733,12 +2739,15 @@ object SparkEntry {
                  max(c) AS max_c
                  FROM tc GROUP BY 1)
           SELECT doc_id, n_tokens, n_types,
-            CAST(CAST(CAST(n_types AS DOUBLE) / n_tokens AS DECIMAL(38,6))
-              AS DOUBLE) AS ttr,
-            CAST(CAST(CAST(n_hapax AS DOUBLE) / n_types AS DECIMAL(38,6))
-              AS DOUBLE) AS hapax_ratio,
-            CAST(CAST(CAST(max_c AS DOUBLE) / n_tokens AS DECIMAL(38,6))
-              AS DOUBLE) AS top_ratio
+            CAST(CAST((CAST(n_types AS HUGEINT) * 2000000 + n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS ttr,
+            CAST(CAST((CAST(n_hapax AS HUGEINT) * 2000000 + n_types)
+                // (2 * CAST(n_types AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS hapax_ratio,
+            CAST(CAST((CAST(max_c AS HUGEINT) * 2000000 + n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS top_ratio
           FROM ag ORDER BY doc_id""",
     // c38: the plant CTE shared with c32, then C4's rule — two-phase
     // line count, cnt=1 survivors, ordered re-assembly (d18 idiom)
@@ -2817,9 +2826,11 @@ object SparkEntry {
             CAST(CAST(max(thr) AS DECIMAL(38,6)) AS DOUBLE) AS thr,
             count(*) AS n_kept, min(score) AS min_score_kept
           FROM k GROUP BY source ORDER BY source""",
-    // c36: water-filling replay — same double cap/weight sort key with
-    // the source tie-break, strict-prefix running sums, the
-    // cross-multiplied all-integer capped test, floor-division fill
+    // c36: water-filling replay — the EXACT integer (cap·1e12)//weight
+    // sort key with the source tie-break, strict-prefix running sums,
+    // the cross-multiplied all-integer capped test, floor-division
+    // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
+    // half-tie FAIL was epochs through a double quotient)
     "c36_token_budget_mix" ->
       s"""WITH st AS (SELECT source, sum(len($toks)) AS n_tokens,
              CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 7 + 1 AS weight
@@ -2832,7 +2843,7 @@ object SparkEntry {
                  coalesce(sum(cap) OVER w, 0) AS pre_cap,
                  coalesce(sum(weight) OVER w, 0) AS pre_w
                  FROM st2, tot
-                 WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / weight, source
+                 WINDOW w AS (ORDER BY (CAST(cap AS HUGEINT) * 1000000000000) // weight, source
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
           cp AS (SELECT *,
                  (weight * (budget - pre_cap) >= cap * (tot_w - pre_w)) AS capped
@@ -2846,8 +2857,9 @@ object SparkEntry {
                  END AS allocated
                  FROM cp, fl)
           SELECT source, n_tokens, weight, cap, allocated,
-            CAST(CAST(CAST(allocated AS DOUBLE) / n_tokens AS DECIMAL(38,4))
-              AS DOUBLE) AS epochs,
+            CAST(CAST((CAST(allocated AS HUGEINT) * 20000 + n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 10000.0 AS epochs,
             CAST(capped AS INTEGER) AS capped
           FROM al ORDER BY source""",
     // c35: the d18 scrub replay with coverage coming from BENCHMARK
@@ -2942,17 +2954,21 @@ object SparkEntry {
              - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
          FROM v ORDER BY 1, 2""",
     // c44: the classifier score replay (shared CTEs), quantile-boundary
-    // deciles (ties low), HUGEINT rational pos_rate and cross-multiplied
-    // lift — mirrors QualityModel.modelLift op for op
+    // deciles in integer micro-units (score×1e6 as BIGINT — boundaries
+    // interpolate between integers, comparisons never round; ties low),
+    // HUGEINT rational pos_rate and cross-multiplied lift — mirrors
+    // QualityModel.modelLift op for op
     "c44_model_lift" ->
       s"""${classifierCtes("c44_weights")},
+         mi AS (SELECT doc_id, label,
+             CAST(round(score * 1000000) AS BIGINT) AS micro FROM sc),
          b AS (SELECT ${(1 to 9).map(i =>
-            s"quantile_cont(score, 0.$i) AS b_$i").mkString(", ")} FROM sc),
-         dd AS (SELECT doc_id, label, score,
+            s"quantile_cont(micro, 0.$i) AS b_$i").mkString(", ")} FROM mi),
+         dd AS (SELECT doc_id, label, micro,
              CAST(1 ${(1 to 9).map(i =>
-               s"+ (CASE WHEN score > CAST(CAST(b_$i AS DECIMAL(38,6)) AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" ")}
+               s"+ (CASE WHEN micro > b_$i THEN 1 ELSE 0 END)").mkString(" ")}
              AS INTEGER) AS decile
-           FROM sc, b),
+           FROM mi, b),
          ag AS (SELECT decile, count(*) AS n_docs,
                 CAST(sum(label) AS BIGINT) AS n_pos FROM dd GROUP BY 1),
          tt AS (SELECT count(*) AS nn, CAST(sum(label) AS BIGINT) AS pp FROM dd)
@@ -2960,9 +2976,10 @@ object SparkEntry {
            CAST(CAST((abs(CAST(n_pos AS HUGEINT)) * 2000000 + n_docs)
                // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS DOUBLE)
              / 1000000.0 AS pos_rate,
-           CAST(CAST((abs(CAST(n_pos * nn AS HUGEINT)) * 2000000 + n_docs * pp)
-               // (2 * CAST(n_docs * pp AS HUGEINT)) AS BIGINT) AS DOUBLE)
-             / 1000000.0 AS lift
+           CASE WHEN pp > 0 THEN
+             CAST(CAST((abs(CAST(n_pos * nn AS HUGEINT)) * 2000000 + n_docs * pp)
+                 // (2 * CAST(n_docs * pp AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 END AS lift
          FROM ag, tt ORDER BY decile""",
     // c45: the shared classifier CTEs → kept at 0.5 → one aggregate →
     // guarded HUGEINT rationals (F1 in its single-fraction form)
@@ -3417,7 +3434,7 @@ object SparkEntry {
                ELSE text END AS text
            FROM documents WHERE doc_id % 11 <> 3
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id,
+           SELECT -doc_id - 1 AS doc_id,
              'fresh page ' || CAST(doc_id AS VARCHAR) AS text
            FROM documents WHERE doc_id % 13 = 4),
          a AS (SELECT doc_id, md5(text) AS h_a FROM documents),

@@ -396,8 +396,11 @@ object Curation {
     * WATER-FILLING, solved relationally:
     *
     * sort sources by cap/weight ascending (the order in which caps
-    * bind; an IEEE double ratio — one division, bit-identical in both
-    * engines — with the source name as total-order tie-break), take
+    * bind) — keyed on the EXACT integer `(cap · 10^12) div weight`
+    * (floor division in DECIMAL(38,0) / HUGEINT, never an IEEE
+    * quotient on the decision path; distinct small-weight rationals
+    * differ by ≥ 1/w² ≫ 10^-12, so the scaled floor preserves the true
+    * order) with the source name as total-order tie-break — take
     * running sums of cap and weight over the strict prefix, and source
     * i is capped iff its fair share at that point already exceeds its
     * cap: `w_i · (B − Σ_prefix cap) ≥ cap_i · (W − Σ_prefix w)` — a
@@ -430,7 +433,8 @@ object Curation {
         .cast("long").as("budget"),
       sum(col("weight")).as("tot_w"))
     val ord = Window.orderBy(
-      (col("cap").cast("double") / col("weight")).asc, col("source").asc)
+      expr("(CAST(cap AS DECIMAL(38,0)) * 1000000000000) div weight").asc,
+      col("source").asc)
     val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
     val ranked = stats.crossJoin(broadcast(totals))
       .withColumn("pre_cap", coalesce(sum(col("cap")).over(pre), lit(0L)))
@@ -451,7 +455,7 @@ object Curation {
             / greatest(col("w_unc"), lit(1L))).cast("long")))
       .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
         col("allocated"),
-        decRound(col("allocated").cast("double") / col("n_tokens"), 4).as("epochs"),
+        ratRound("allocated", "n_tokens", 4).as("epochs"),
         col("capped").cast("int").as("capped"))
   }
 

@@ -460,26 +460,29 @@ object Dedup {
   /** Canonical-document selection: one survivor per exact-duplicate text
     * group, preferring the highest quality score and then the smallest
     * id — the keep-best completion of the dedup pipeline (real pipelines
-    * keep the best copy, not an arbitrary one). The quality join is
-    * doc-keyed; both window functions share the one shuffle on the text
-    * key (at 100 TB: on xxhash64(text), comparing full text only within
-    * a hash bucket — same plan shape). */
-  def canonical(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("text"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    val wg = Window.partitionBy(col("text"))
-    // quality score computed inline (pure column expression) — one scan,
-    // then the single shuffle on the text key for both windows
+    * keep the best copy, not an arbitrary one). TWO-PHASE, never a
+    * window: `groupBy(text).agg(max_by(…), count)` partial-aggregates
+    * map-side, so a hyper-duplicated document (the exact regime this
+    * operator exists for — millions of copies of one boilerplate page)
+    * combines down to one row per map task BEFORE the shuffle instead
+    * of landing every copy on one reducer, the same hot-key shape the
+    * d16/c38 two-phase rewrite removed. The argmax key is the
+    * (quality, −doc_id) struct, reproducing the old quality-desc /
+    * id-asc window order bit-for-bit (doc_id is unique, so the order is
+    * total). At 100 TB: group on xxhash64(text) and compare full text
+    * only within a hash bucket — same combinable plan shape. */
+  def canonical(documents: DataFrame): DataFrame =
     documents
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), col("text"),
         TextOps.qualityScoreCol(col("text"), col("_toks")).as("quality_score"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(wg))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("quality_score"), col("dup_count"))
-  }
+      .groupBy(col("text"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), negate(col("doc_id")))).as("_w"),
+        count(lit(1)).as("dup_count"))
+      .select(col("_w.doc_id").as("doc_id"),
+        col("_w.quality_score").as("quality_score"), col("dup_count"))
 
   /** Distributed connected components over an (a, b) edge list — the
     * clustering stage that turns near-dup PAIRS into dedup GROUPS (keep

@@ -143,19 +143,6 @@ object QualityModel {
       .select(col("doc_id"), col("y").as("label"), col("score"),
         (col("score") >= threshold).cast("int").as("kept"))
 
-  /** Decile lift/gains table over a [[score]] result — THE model-eval
-    * report a ranking model ships with: documents bucketed by
-    * corpus-wide score decile, each decile's positive rate compared to
-    * the base rate (`lift = pos_rate / base_rate` — a well-calibrated
-    * model shows lift ≫ 1 in the top decile, ~0 at the bottom).
-    * Deciles come from QUANTILE BOUNDARIES (the q49/c14 partial-agg
-    * posture, never a global ntile sort), ties bucket LOW; identical
-    * scores (near-duplicate docs) can merge boundary deciles — the
-    * calibrated-not-count-exact contract, same as q49. pos_rate and
-    * lift are exact integer rationals via ratRound (lift cross-
-    * multiplies to `n_pos·N / (n_docs·P)` — no float until the final
-    * exact scale-down). Requires ≥1 positive in the corpus (P = 0 has
-    * no base rate to lift against). */
   /** Threshold metrics over a [[score]] result — the confusion-matrix
     * row every deployed gate is monitored by: TP/FP/FN/TN plus
     * precision, recall, F1 and accuracy, each an exact integer rational
@@ -183,16 +170,38 @@ object QualityModel {
           ratRound("tp + tn", "tp + fp + fn + tn", 6)).as("accuracy"))
   }
 
+  /** Decile lift/gains table over a [[score]] result — THE model-eval
+    * report a ranking model ships with: documents bucketed by
+    * corpus-wide score decile, each decile's positive rate compared to
+    * the base rate (`lift = pos_rate / base_rate` — a well-calibrated
+    * model shows lift ≫ 1 in the top decile, ~0 at the bottom).
+    * Deciles come from QUANTILE BOUNDARIES (the q49/c14 partial-agg
+    * posture, never a global ntile sort), ties bucket LOW; identical
+    * scores (near-duplicate docs) can merge boundary deciles — the
+    * calibrated-not-count-exact contract, same as q49. Boundaries and
+    * comparisons run in INTEGER MICRO-UNITS (score × 1e6 as long, the
+    * s19 posture): scores are decimal-6 multiples, so the long is
+    * exact, and a boundary interpolated exactly halfway between two
+    * adjacent scores stays a clean x.5 compared against integers —
+    * never pushed through a double→decimal-6 cast whose true-half
+    * rounding is where engines split. pos_rate and lift are exact
+    * integer rationals via ratRound (lift cross-multiplies to
+    * `n_pos·N / (n_docs·P)` — no float until the final exact
+    * scale-down); an all-negative corpus (P = 0) has no base rate, so
+    * lift is null there, the modelMetrics degenerate-denominator
+    * posture. */
   def modelLift(scored: DataFrame): DataFrame = {
     val qs = (1 to 9).map(i => (i / 10.0, i))
+    val micro = scored.withColumn("micro",
+      expr("CAST(round(score * 1000000) AS BIGINT)"))
     val boundCols = qs.map { case (q, i) =>
-      expr(s"percentile(score, $q)").as(s"b_$i")
+      expr(s"percentile(micro, $q)").as(s"b_$i")
     }
-    val bounds = scored.agg(boundCols.head, boundCols.tail: _*)
-    val dd = scored.crossJoin(broadcast(bounds))
+    val bounds = micro.agg(boundCols.head, boundCols.tail: _*)
+    val dd = micro.crossJoin(broadcast(bounds))
       .withColumn("decile",
         (qs.map { case (_, i) =>
-          when(col("score") > decRound(col(s"b_$i"), 6), 1).otherwise(0)
+          when(col("micro") > col(s"b_$i"), 1).otherwise(0)
         }.reduce(_ + _) + 1).cast("int"))
     val tot = dd.agg(count(lit(1)).as("nn"),
       sum(col("label")).cast("long").as("pp"))
@@ -202,6 +211,7 @@ object QualityModel {
       .crossJoin(broadcast(tot))
       .select(col("decile"), col("n_docs"), col("n_pos"),
         ratRound("n_pos", "n_docs", 6).as("pos_rate"),
-        ratRound("n_pos * nn", "n_docs * pp", 6).as("lift"))
+        when(col("pp") > 0,
+          ratRound("n_pos * nn", "n_docs * pp", 6)).as("lift"))
   }
 }

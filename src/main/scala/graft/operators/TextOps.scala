@@ -262,8 +262,11 @@ object TextOps {
     *  - `top_ratio` = most-frequent token's share of the doc (the
     *    single-token concentration c7's shingle repetition misses).
     *
-    * All three are integer/integer divisions of exact counts (one IEEE
-    * op, engine-identical) rounded decimal-6. Zero-token docs have no
+    * All three ratios are exact integer rationals rounded decimal-6 via
+    * ratRound — never a double quotient through decRound, whose
+    * shortest-repr-vs-binary half-tie is exactly where Spark and DuckDB
+    * split (the round-10 driver FAIL on this key: counts like 1/80
+    * produce true decimal halves at 1e-7). Zero-token docs have no
     * defined ratios and are absent (the t7 contract). Two shuffles —
     * (doc, token) then doc — both map-side combinable. */
   def lexicalDiversity(documents: DataFrame): DataFrame =
@@ -275,9 +278,9 @@ object TextOps {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
         max(col("c")).as("_maxc"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        decRound(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
-        decRound(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"),
-        decRound(col("_maxc").cast("double") / col("n_tokens"), 6).as("top_ratio"))
+        ratRound("n_types", "n_tokens", 6).as("ttr"),
+        ratRound("n_hapax", "n_types", 6).as("hapax_ratio"),
+        ratRound("_maxc", "n_tokens", 6).as("top_ratio"))
 
   /** Code-vs-prose detection — the routing signal a mixed crawl needs
     * before text curation (code documents fail every prose quality rule

@@ -9,10 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite with SharedSpark {
 
   private val row = """\|\s*\d+\s*\|\s*`([a-z0-9_]+)`\s*\|[^|]*\|\s*(full|rows)\s*\|""".r
+  private val rowStatus =
+    """\|\s*\d+\s*\|\s*`([a-z0-9_]+)`\s*\|[^|]*\|\s*(?:full|rows)\s*\|\s*([^|]*?)\s*\|""".r
 
   private lazy val surveyRows: Map[String, String] =
     scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
       .flatMap(l => row.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2)))
+      .toMap
+
+  private lazy val surveyStatus: Map[String, String] =
+    scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
+      .flatMap(l => rowStatus.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2)))
       .toMap
 
   test("SURVEY §2 keys exactly match SparkEntry.queries") {
@@ -46,6 +53,32 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
       spark.sql("SELECT graft_bpe_segment('ab')").collect()
     }
     assert(e2.getMessage.contains("graft_bpe_segment"))
+  }
+
+  test("SURVEY status tracks the newest driver CORRECTNESS artifact") {
+    // The round-10 lesson: builder-local oracle green masked a driver
+    // hash FAIL for two rounds because SURVEY's status column tracked
+    // the LOCAL gate. The status column must track the DRIVER artifact:
+    // any key the newest CORRECTNESS_r*.json marks hash_match=false may
+    // not sit in §2 as a plain "done" — it must carry an explicit
+    // pending/weak/fixed marker until a newer driver artifact clears it.
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    if (arts.isEmpty) cancel("no driver CORRECTNESS artifact present")
+    val newest = arts.maxBy(f =>
+      "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val txt = scala.io.Source.fromFile(newest, "UTF-8").mkString
+    val block = """"([a-z0-9_]+)":\s*\{([^}]*)\}""".r
+    val driverRed = block.findAllMatchIn(txt).collect {
+      case m if m.group(2).contains("\"hash_match\": false") => m.group(1)
+    }.toSet
+    driverRed.foreach { k =>
+      val st = surveyStatus.getOrElse(k, "")
+      assert(st != "done",
+        s"$k is hash-red in ${newest.getName} but SURVEY §2 marks it plain " +
+        "\"done\" — the status cell must say pending/weak/fixed until a " +
+        "newer driver artifact is green")
+    }
   }
 
   test("rows-only set is exactly the documented engine-specific operators") {

