@@ -227,6 +227,23 @@ object SparkEntry {
         lit(" café résumé naïve jalapeño"))
       .otherwise(lit(""))).as("text"))
 
+  /** Deterministic planted compressibility tails for the c47 gate: the
+    * synthetic corpus spans ratio 0.39–0.91 (natural prose), so both
+    * cut tails are planted — %23==1 docs REPLACED by a 32-char md5 hex
+    * string (short high-entropy junk: DEFLATE overhead pushes the
+    * ratio ≥ 1.0, the noise tail), %9==0 docs get a 40× repeated
+    * template block appended (ratio falls ≤ 0.16, the boilerplate
+    * tail). Replacement wins over append (CASE order); md5 hex and
+    * repeat() are engine-identical so the oracle replays the plant. */
+  private[graft] def plantCompressibility(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(23)) === 1,
+        md5(col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), lit(" "),
+          repeat(lit("lorem template spam block "), 40)))
+      .otherwise(col("text")).as("text"))
+
   /** Deterministic recrawl snapshot for the d26 gate: %11==3 pages
     * vanish (deleted), %7==2 pages get a re-crawl marker appended
     * (changed), %13==4 pages reappear under a fresh id (added).
@@ -432,6 +449,7 @@ object SparkEntry {
     "c32_paragraph_gate" -> Seq("doc_id"),
     "c35_decontam_scrub" -> Seq("doc_id"),
     "c36_token_budget_mix" -> Seq("source"),
+    "c47_compression_gate" -> Seq("doc_id"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
@@ -1138,6 +1156,20 @@ object SparkEntry {
       Curation.lineDedupIncremental(
         aug.filter(pmod(col("doc_id"), lit(2)) === 0),
         Curation.allLineCounts(aug.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    }),
+    // compression-ratio quality gate (zlib compressibility, the
+    // Gopher/RedPajama cheap signal): pure map via the native
+    // graft_deflate_len codegen expression; planted template-spam and
+    // hex-noise tails make both cuts observable. FULL oracle via the
+    // c23 staged-count idiom — the DEFLATE byte counts are
+    // zlib-build-specific, so they stage as parquet and DuckDB replays
+    // the ratio + cross-multiplied integer gate relationally over them
+    "c47_compression_gate" -> ((s, d) => {
+      val gate = Curation.compressionGate(
+        plantCompressibility(t(s, d, "documents")))
+      gate.select(col("doc_id"), col("comp_len")).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/c47_comp")
+      gate
     }),
     // epoch-capped water-filling over per-source token counts; weights
     // derive from the source's numeric suffix so caps genuinely bind
@@ -2831,6 +2863,27 @@ object SparkEntry {
     // the cross-multiplied all-integer capped test, floor-division
     // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
     // half-tie FAIL was epochs through a double quotient)
+    // c47: plant replay (md5-hex replacement wins over the repeated
+    // template append), staged DEFLATE counts joined back by doc_id,
+    // ratio = HUGEINT exact rational, gate = cross-multiplied integers
+    "c47_compression_gate" ->
+      """WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 23 = 1 THEN md5(CAST(doc_id AS VARCHAR))
+                  WHEN doc_id % 9 = 0
+                    THEN text || ' ' || repeat('lorem template spam block ', 40)
+                  ELSE text END AS text FROM documents),
+          st AS (SELECT doc_id, comp_len
+                 FROM read_parquet('__GRAFT_STAGE__/c47_comp/*.parquet')),
+          j AS (SELECT a.doc_id, CAST(strlen(a.text) AS BIGINT) AS raw_len,
+                  st.comp_len
+                FROM aug a JOIN st USING (doc_id) WHERE strlen(a.text) > 0)
+          SELECT doc_id, raw_len, comp_len,
+            CAST(CAST((CAST(comp_len AS HUGEINT) * 2000000 + raw_len)
+                // (2 * CAST(raw_len AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS ratio,
+            CAST((comp_len * 1000 >= 250 * raw_len
+              AND comp_len * 1000 <= 950 * raw_len) AS INTEGER) AS kept
+          FROM j ORDER BY doc_id""",
     "c36_token_budget_mix" ->
       s"""WITH st AS (SELECT source, sum(len($toks)) AS n_tokens,
              CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 7 + 1 AS weight

@@ -1516,4 +1516,36 @@ object Curation {
       .select(concat_ws(" ", col("term_a"), col("term_b")).as("phrase"),
         col("doc_id"), col("n_matches"))
   }
+
+  /** Compression-ratio quality gate — the Gopher/RedPajama-class
+    * compressibility signal: per-document `DEFLATE bytes / raw UTF-8
+    * bytes`. Templated spam compresses far below prose (repetition is
+    * DEFLATE's whole job — this catches boilerplate that passes c24's
+    * rules and t17's token ratios because the repetition spans lines,
+    * not tokens); random noise compresses above it. Both tails are cut:
+    * kept iff `minPm ≤ 1000·comp/raw ≤ maxPm`, decided ENTIRELY in
+    * integer arithmetic (`comp·1000` vs `pm·raw` cross-multiplication —
+    * the c36 no-division-on-the-decision-path posture); the reported
+    * `ratio` column is the exact integer rational via ratRound,
+    * informational only. Zero-byte documents have no ratio and are
+    * dropped (the t7 zero-token contract).
+    *
+    * Plan: pure map over the corpus (the deflate loop runs inside
+    * whole-stage codegen via `graft_deflate_len`, O(1) memory per doc)
+    * — no shuffle at all; at 100 TB this is the cheapest quality signal
+    * per byte in the pipeline. The byte count itself is zlib-build
+    *-specific, so oracle replay stages the counts (c23 idiom) and
+    * replays the ratio + gate relationally. */
+  def compressionGate(documents: DataFrame,
+                      minPm: Int = 250, maxPm: Int = 950): DataFrame =
+    documents
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("raw_len"),
+        call_function("graft_deflate_len", col("text")).as("comp_len"))
+      .filter(col("raw_len") > 0)
+      .select(col("doc_id"), col("raw_len"), col("comp_len"),
+        ratRound("comp_len", "raw_len", 6).as("ratio"),
+        (col("comp_len") * 1000 >= lit(minPm.toLong) * col("raw_len") &&
+         col("comp_len") * 1000 <= lit(maxPm.toLong) * col("raw_len"))
+          .cast("int").as("kept"))
 }

@@ -1224,4 +1224,43 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       ("new york", 2L) -> 2L,
       ("go go", 4L) -> 2L))
   }
+
+  test("compression gate: template spam and hex noise cut, prose kept, map-only plan") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over a lazy dog while rain " +
+      "falls on the old stone bridge and children watch from narrow windows"
+    val docs = Seq(
+      (1L, ("lorem template spam block " * 40).trim), // pure repetition
+      (2L, prose),
+      (3L, "a1d0c6e83f027327d8461063f4ac58a6"),       // 32-char hex noise
+      (4L, "")                                         // zero bytes → absent
+    ).toDF("doc_id", "text")
+    val out = Curation.compressionGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    val spam = out(1L)
+    assert(spam.getAs[Long]("comp_len") * 1000 <
+      250 * spam.getAs[Long]("raw_len"), spam.toString)
+    assert(spam.getAs[Int]("kept") === 0)
+    assert(out(2L).getAs[Int]("kept") === 1)
+    val noise = out(3L)
+    assert(noise.getAs[Long]("comp_len") * 1000 >
+      950 * noise.getAs[Long]("raw_len"), noise.toString)
+    assert(noise.getAs[Int]("kept") === 0)
+    // ratio is the exact integer rational comp/raw at decimal-6
+    out.values.foreach { r =>
+      val exact = BigDecimal(r.getAs[Long]("comp_len")) /
+        BigDecimal(r.getAs[Long]("raw_len"))
+      assert(math.abs(r.getAs[Double]("ratio") - exact.toDouble) < 1e-6)
+    }
+    // raw_len counts UTF-8 BYTES, not characters
+    val cjk = Curation.compressionGate(Seq((9L, "日本語テキスト"))
+      .toDF("doc_id", "text")).collect().head
+    assert(cjk.getAs[Long]("raw_len") === 21L)
+    // pure map: the deflate signal must plan with no Exchange at all —
+    // at 100 TB this operator's whole cost is the scan itself
+    val plan = Curation.compressionGate(table("documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
