@@ -244,6 +244,25 @@ object SparkEntry {
           repeat(lit("lorem template spam block "), 40)))
       .otherwise(col("text")).as("text"))
 
+  /** Deterministic planted governance metadata for the c48 gate (the
+    * corpus carries none): license class cycles over (doc_id div 7)%5
+    * — div-then-mod DECORRELATES license from source (source is
+    * doc_id%20-keyed, so a plain doc_id%5 would give every source one
+    * license and an audit with no mixture) — (two
+    * permissive, one share-alike, one reserved, one unknown — unknown
+    * must NOT pass: governance defaults closed), opt-out on %17==2
+    * (crossing every license class, so the audit shows opt-outs inside
+    * allowed classes being dropped — the case that matters legally).
+    * The oracle replays both CASEs. */
+  private[graft] def plantGovernance(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"),
+      when(expr("(doc_id div 7) % 5") === 0, lit("cc0"))
+        .when(expr("(doc_id div 7) % 5") === 1, lit("cc-by"))
+        .when(expr("(doc_id div 7) % 5") === 2, lit("cc-by-sa"))
+        .when(expr("(doc_id div 7) % 5") === 3, lit("all-rights-reserved"))
+        .otherwise(lit("unknown")).as("license"),
+      (pmod(col("doc_id"), lit(17)) === 2).as("opt_out"))
+
   /** Deterministic recrawl snapshot for the d26 gate: %11==3 pages
     * vanish (deleted), %7==2 pages get a re-crawl marker appended
     * (changed), %13==4 pages reappear under a fresh id (added).
@@ -450,6 +469,7 @@ object SparkEntry {
     "c35_decontam_scrub" -> Seq("doc_id"),
     "c36_token_budget_mix" -> Seq("source"),
     "c47_compression_gate" -> Seq("doc_id"),
+    "c48_license_gate" -> Seq("source", "license"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
@@ -1157,6 +1177,11 @@ object SparkEntry {
         aug.filter(pmod(col("doc_id"), lit(2)) === 0),
         Curation.allLineCounts(aug.filter(pmod(col("doc_id"), lit(2)) === 1)))
     }),
+    // license/opt-out governance audit: per-(source, license) doc and
+    // token accounting under the allowlist + opt-out policy — planted
+    // metadata (corpus has none), fully relational oracle
+    "c48_license_gate" -> ((s, d) =>
+      Curation.licenseGate(plantGovernance(t(s, d, "documents")))),
     // compression-ratio quality gate (zlib compressibility, the
     // Gopher/RedPajama cheap signal): pure map via the native
     // graft_deflate_len codegen expression; planted template-spam and
@@ -2863,6 +2888,23 @@ object SparkEntry {
     // the cross-multiplied all-integer capped test, floor-division
     // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
     // half-tie FAIL was epochs through a double quotient)
+    // c48: governance plant replay (license cycle + opt-out flag), the
+    // same allowlist/opt-out predicate, one grouped aggregate
+    "c48_license_gate" ->
+      s"""WITH aug AS (SELECT doc_id, source, text,
+             CASE (doc_id // 7) % 5 WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                  WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'all-rights-reserved'
+                  ELSE 'unknown' END AS license,
+             doc_id % 17 = 2 AS opt_out FROM documents),
+          k AS (SELECT source, license, opt_out, len($toks) AS n,
+                  (license IN ('cc0', 'cc-by', 'cc-by-sa') AND NOT opt_out)
+                    AS kept
+                FROM aug)
+          SELECT source, license, count(*) AS n_docs,
+            CAST(sum(CASE WHEN opt_out THEN 1 ELSE 0 END) AS BIGINT) AS n_opt_out,
+            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(sum(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+          FROM k GROUP BY source, license ORDER BY source, license""",
     // c47: plant replay (md5-hex replacement wins over the repeated
     // template append), staged DEFLATE counts joined back by doc_id,
     // ratio = HUGEINT exact rational, gate = cross-multiplied integers

@@ -1517,6 +1517,41 @@ object Curation {
         col("doc_id"), col("n_matches"))
   }
 
+  /** License/opt-out governance gate — the filter a real crawl pipeline
+    * runs BEFORE any text operator spends a cycle: only documents whose
+    * license class is on the allowlist AND whose creator has not opted
+    * out of training use may proceed. Returns the per-(source, license)
+    * AUDIT table — doc counts, opt-out counts, kept counts and kept
+    * token mass — the compliance artifact every dataset release ships
+    * (the c33 URL-gate shape one governance layer up). Pair with
+    * [[licenseFilter]] for the doc-level stream into the rest of the
+    * pipeline.
+    *
+    * Plan: one map-side-combinable aggregate over the corpus keyed on
+    * (source, license) — dimension-bounded output (#sources × #license
+    * classes), a dozens-of-rows table at 100 TB. The allowlist is a
+    * driver-side constant folded into the predicate: no join, no
+    * broadcast, no shuffle beyond the one aggregation. */
+  def licenseGate(documents: DataFrame,
+                  allow: Seq[String] = Seq("cc0", "cc-by", "cc-by-sa"))
+      : DataFrame = {
+    val kept = col("license").isin(allow: _*) && !col("opt_out")
+    documents
+      .withColumn("_n", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("source"), col("license"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("opt_out"), 1L).otherwise(0L)).as("n_opt_out"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("_n")).otherwise(0L)).as("kept_tokens"))
+  }
+
+  /** Doc-level half of the governance gate: the allowed, non-opted-out
+    * documents — pure filter, pushes down to the scan. */
+  def licenseFilter(documents: DataFrame,
+                    allow: Seq[String] = Seq("cc0", "cc-by", "cc-by-sa"))
+      : DataFrame =
+    documents.filter(col("license").isin(allow: _*) && !col("opt_out"))
+
   /** Compression-ratio quality gate — the Gopher/RedPajama-class
     * compressibility signal: per-document `DEFLATE bytes / raw UTF-8
     * bytes`. Templated spam compresses far below prose (repetition is

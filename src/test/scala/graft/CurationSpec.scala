@@ -1225,6 +1225,30 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       ("go go", 4L) -> 2L))
   }
 
+  test("license gate: allowlist + opt-out accounting, unknown defaults closed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "one two three", "cc-by", false),      // kept, 3 tokens
+      (2L, "s1", "four five", "cc-by", true),           // opt-out inside allowed
+      (3L, "s1", "six", "unknown", false),              // unknown → closed
+      (4L, "s2", "seven eight nine ten", "cc0", false), // kept, 4 tokens
+      (5L, "s2", "x", "all-rights-reserved", false))    // reserved → blocked
+      .toDF("doc_id", "source", "text", "license", "opt_out")
+    val out = Curation.licenseGate(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("s1", "cc-by")) === ((2L, 1L, 1L, 3L)))
+    assert(out(("s1", "unknown")) === ((1L, 0L, 0L, 0L)))
+    assert(out(("s2", "cc0")) === ((1L, 0L, 1L, 4L)))
+    assert(out(("s2", "all-rights-reserved")) === ((1L, 0L, 0L, 0L)))
+    // doc-level half agrees with the audit's kept counts
+    assert(Curation.licenseFilter(docs).collect().map(_.getLong(0)).toSet
+      === Set(1L, 4L))
+    // the filter must push down to the scan, not run post-shuffle
+    val plan = Curation.licenseFilter(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("compression gate: template spam and hex noise cut, prose kept, map-only plan") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over a lazy dog while rain " +
