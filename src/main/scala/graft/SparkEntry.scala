@@ -470,6 +470,7 @@ object SparkEntry {
     "c36_token_budget_mix" -> Seq("source"),
     "c47_compression_gate" -> Seq("doc_id"),
     "c48_license_gate" -> Seq("source", "license"),
+    "c49_datasheet" -> Seq("source"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
@@ -1177,6 +1178,11 @@ object SparkEntry {
         aug.filter(pmod(col("doc_id"), lit(2)) === 0),
         Curation.allLineCounts(aug.filter(pmod(col("doc_id"), lit(2)) === 1)))
     }),
+    // corpus datasheet: the per-source release report (lang mix ×
+    // quality × dup exposure × scale) in two shuffles; every input is
+    // already oracle-replayable so the composition is too
+    "c49_datasheet" -> ((s, d) =>
+      Curation.datasheet(t(s, d, "documents"))),
     // license/opt-out governance audit: per-(source, license) doc and
     // token accounting under the allowlist + opt-out policy — planted
     // metadata (corpus has none), fully relational oracle
@@ -2888,6 +2894,45 @@ object SparkEntry {
     // the cross-multiplied all-integer capped test, floor-division
     // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
     // half-tie FAIL was epochs through a double quotient)
+    // c49: copy counts on the text key, per-(source, lang) partials
+    // with the shared quality-score fragment, dominant lang by
+    // (n DESC, lang) rank, HUGEINT exact rationals for the two ratios
+    "c49_datasheet" ->
+      s"""WITH cp AS (SELECT text, count(*) AS copies FROM documents GROUP BY 1),
+          dt AS (SELECT doc_id, source, lang, n_chars, text,
+                   len($toks) AS nt FROM documents),
+          en AS (SELECT dt.source, dt.lang, dt.n_chars, dt.nt,
+                   q.quality_score AS q,
+                   CASE WHEN cp.copies > 1 THEN 1 ELSE 0 END AS dup
+                 FROM dt
+                 JOIN cp ON cp.text = dt.text
+                 JOIN ($qualityScoreSql) q ON q.doc_id = dt.doc_id),
+          pl AS (SELECT source, lang, count(*) AS n,
+                   CAST(sum(nt) AS BIGINT) AS tk,
+                   CAST(sum(n_chars) AS BIGINT) AS ch,
+                   CAST(sum(q) AS BIGINT) AS qs,
+                   CAST(sum(dup) AS BIGINT) AS du
+                 FROM en GROUP BY 1, 2),
+          top AS (SELECT source, lang AS top_lang, n AS top_lang_docs FROM
+                  (SELECT source, lang, n, row_number() OVER
+                     (PARTITION BY source ORDER BY n DESC, lang) AS rn
+                   FROM pl) WHERE rn = 1),
+          ag AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(tk) AS BIGINT) AS n_tokens,
+                   CAST(sum(ch) AS BIGINT) AS n_chars,
+                   CAST(sum(qs) AS BIGINT) AS qsum,
+                   CAST(sum(du) AS BIGINT) AS n_dup_docs
+                 FROM pl GROUP BY 1)
+          SELECT ag.source, n_docs, n_tokens, n_chars, top_lang,
+            top_lang_docs,
+            CAST(CAST((CAST(qsum AS HUGEINT) * 2000000 + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS mean_quality,
+            n_dup_docs,
+            CAST(CAST((CAST(n_dup_docs AS HUGEINT) * 2000000 + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS dup_ratio
+          FROM ag JOIN top ON top.source = ag.source ORDER BY ag.source""",
     // c48: governance plant replay (license cycle + opt-out flag), the
     // same allowlist/opt-out predicate, one grouped aggregate
     "c48_license_gate" ->

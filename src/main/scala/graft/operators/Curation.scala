@@ -1517,6 +1517,49 @@ object Curation {
         col("doc_id"), col("n_matches"))
   }
 
+  /** Corpus datasheet — the per-source release report every dataset
+    * ships (Datasheets for Datasets, Gebru et al. 2018): language mix
+    * (dominant language + its doc count), scale (docs / tokens /
+    * chars), quality (mean rule score — the t2 integer score averaged
+    * as an EXACT integer rational), and exact-duplicate exposure
+    * (corpus-wide: a doc whose text also appears under another source
+    * counts as duplicated HERE — dup clusters cross sources, which is
+    * why this is one corpus-level report and not per-source runs).
+    *
+    * Plan: one shuffle on the text key for corpus-wide copy counts (at
+    * 100 TB: group on xxhash64(text) digests, the d26 ship-digests
+    * posture), one aggregation to (source, lang) — everything after
+    * runs on the dimension-bounded (source × lang) table. The dominant
+    * language is a TWO-PHASE min_by over struct(−n, lang) (highest
+    * count, then lexicographic tie-break) — the d7 lesson: never a
+    * window over a corpus-keyed partition. */
+  def datasheet(documents: DataFrame): DataFrame = {
+    val copies = documents.groupBy(col("text"))
+      .agg(count(lit(1)).as("copies"))
+    val perLang = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("source"), col("lang"), col("text"),
+        size(col("_toks")).cast("long").as("_nt"),
+        col("n_chars"),
+        TextOps.qualityScoreCol(col("text"), col("_toks")).as("_q"))
+      .join(copies, "text")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("_nt")).as("tk"),
+        sum(col("n_chars")).as("ch"), sum(col("_q")).as("qs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("du"))
+    perLang.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"), sum(col("qs")).as("_qsum"),
+        sum(col("du")).as("n_dup_docs"),
+        min_by(col("lang"), struct(negate(col("n")), col("lang"))).as("top_lang"),
+        max(col("n")).as("top_lang_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("top_lang"), col("top_lang_docs"),
+        ratRound("_qsum", "n_docs", 6).as("mean_quality"),
+        col("n_dup_docs"),
+        ratRound("n_dup_docs", "n_docs", 6).as("dup_ratio"))
+  }
+
   /** License/opt-out governance gate — the filter a real crawl pipeline
     * runs BEFORE any text operator spends a cycle: only documents whose
     * license class is on the allowlist AND whose creator has not opted

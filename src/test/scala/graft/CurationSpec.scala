@@ -1225,6 +1225,39 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       ("go go", 4L) -> 2L))
   }
 
+  test("datasheet: lang mix, quality, cross-source dup exposure per source") {
+    import spark.implicits._
+    // s1: 2 en + 1 de (top en); one en doc duplicated INTO s2 — the
+    // cross-source case: both copies must count as duplicated
+    val docs = Seq(
+      (1L, "the cat sat on a mat and the dog ran off.", "en", "s1", 41L),
+      (2L, "the cat sat on a mat and the dog ran off.", "en", "s2", 41L),
+      (3L, "a bird in the hand is worth two in a bush today.", "en", "s1", 48L),
+      (4L, "der hund lief schnell durch den park heute.", "de", "s1", 43L),
+      (5L, "completely original second-source text here now.", "en", "s2", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.datasheet(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") === 3L)
+    assert(s1.getAs[String]("top_lang") === "en")
+    assert(s1.getAs[Long]("top_lang_docs") === 2L)
+    assert(s1.getAs[Long]("n_dup_docs") === 1L)
+    assert(s1.getAs[Double]("dup_ratio") === 0.333333)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_dup_docs") === 1L)
+    assert(s2.getAs[Double]("dup_ratio") === 0.5)
+    // quality: the en docs score 3; the de doc scores 2 (its stopword
+    // rule reads the en list) → mean 8/3 rounded half-away at 1e-6
+    assert(s1.getAs[Double]("mean_quality") === 2.666667)
+    // token totals are the script-aware token counts
+    assert(s1.getAs[Long]("n_tokens") === 11L + 12L + 8L)
+    // plan: no Window anywhere — dominant-lang is a two-phase min_by
+    val plan = Curation.datasheet(table("documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("license gate: allowlist + opt-out accounting, unknown defaults closed") {
     import spark.implicits._
     val docs = Seq(
