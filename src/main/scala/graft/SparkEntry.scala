@@ -611,12 +611,16 @@ object SparkEntry {
         .parquet(stageDir(d) + "/d27_banded")
       Dedup.minhashEvalFromSigs(sigs)
     }),
-    // entity resolution: a planted dirty feed (first-word typos) fuzzy-
-    // matched to the part catalog; the last-word block carries recall
+    // entity resolution: a planted dirty feed fuzzy-matched to the part
+    // catalog under the UNION of last- and first-token blockings — the
+    // %5 case edits the LAST token (the old single-blocking known-miss,
+    // now carried by the first-token pass), the %3 cases edit the first
     "d28_fuzzy_join" -> ((s, d) => {
       val p = t(s, d, "part")
       val dirty = p.select(col("p_partkey").as("dirty_id"),
-        when(pmod(col("p_partkey"), lit(3)) === 0,
+        when(pmod(col("p_partkey"), lit(5)) === 2,
+          concat(col("p_name"), lit("q")))
+        .when(pmod(col("p_partkey"), lit(3)) === 0,
           concat(lit("x"), substring(col("p_name"), 2, 1000)))
         .when(pmod(col("p_partkey"), lit(3)) === 1,
           concat(lit("z"), col("p_name")))
@@ -3167,21 +3171,32 @@ object SparkEntry {
     // d28: plant replay + last-token block + levenshtein verify + the
     // block-bounded best-match window — both engines' levenshtein is
     // the standard unit-cost edit distance
+    // d28: plant appends 'q' to the %5 rows (LAST-token edit), then the
+    // union of last-token and first-token blockings (tagged, DISTINCT
+    // candidate pairs) — the thresholded-DP/length-band prunes are
+    // lossless so the oracle needs only the plain levenshtein filter
     "d28_fuzzy_join" ->
       """WITH dirty AS (SELECT p_partkey AS dirty_id,
-             CASE WHEN p_partkey % 3 = 0 THEN 'x' || substr(p_name, 2)
+             CASE WHEN p_partkey % 5 = 2 THEN p_name || 'q'
+                  WHEN p_partkey % 3 = 0 THEN 'x' || substr(p_name, 2)
                   WHEN p_partkey % 3 = 1 THEN 'z' || p_name
                   ELSE p_name END AS dname FROM part),
-         dn AS (SELECT dirty_id, dname,
-                string_split(dname, ' ')[-1] AS blk FROM dirty),
-         cn AS (SELECT p_partkey AS cat_id, p_name AS cname,
-                string_split(p_name, ' ')[-1] AS blk FROM part),
-         cand AS (SELECT dn.dirty_id, dn.dname, cn.cat_id, cn.cname,
-                levenshtein(dn.dname, cn.cname) AS lev
-              FROM dn JOIN cn USING (blk)
-              WHERE levenshtein(dn.dname, cn.cname) <= 2),
+         dn AS (SELECT dirty_id, dname, 0 AS tag,
+                string_split(dname, ' ')[-1] AS blk FROM dirty
+                UNION ALL
+                SELECT dirty_id, dname, 1,
+                string_split(dname, ' ')[1] FROM dirty),
+         cn AS (SELECT p_partkey AS cat_id, p_name AS cname, 0 AS tag,
+                string_split(p_name, ' ')[-1] AS blk FROM part
+                UNION ALL
+                SELECT p_partkey, p_name, 1,
+                string_split(p_name, ' ')[1] FROM part),
+         cand AS (SELECT DISTINCT dn.dirty_id, dn.dname, cn.cat_id, cn.cname
+              FROM dn JOIN cn USING (tag, blk)),
+         lv AS (SELECT *, levenshtein(dname, cname) AS lev FROM cand
+                WHERE levenshtein(dname, cname) <= 2),
          r AS (SELECT *, row_number() OVER
-                (PARTITION BY dirty_id ORDER BY lev, cat_id) AS rk FROM cand)
+                (PARTITION BY dirty_id ORDER BY lev, cat_id) AS rk FROM lv)
          SELECT dirty_id, dname AS dirty_name, cat_id AS matched_id,
            cname AS matched_name, CAST(lev AS INTEGER) AS lev
          FROM r WHERE rk = 1 ORDER BY dirty_id""",

@@ -1205,14 +1205,18 @@ object Dedup {
 
   /** Blocked fuzzy string join — entity resolution's workhorse: match a
     * DIRTY feed (typo'd names) back to a clean catalog by edit
-    * distance, never O(n·m). Candidates come from an equi-join on a
-    * BLOCKING KEY (here the last whitespace token), `levenshtein`
-    * verifies within the block, and one block-bounded window picks the
-    * best match per dirty row (min distance, then min catalog id).
-    * RECALL CONTRACT, stated not hidden: an edit that touches the
-    * blocking key makes the pair invisible — production resolvers run
-    * several redundant blockings (phonetic, q-gram, other fields) and
-    * union candidates; this operator is one such pass.
+    * distance, never O(n·m). Candidates come from TWO REDUNDANT
+    * BLOCKINGS — an equi-join on the last whitespace token and one on
+    * the first — unioned and deduplicated BEFORE any DP runs (the
+    * production multi-blocking idiom, the d14 multi-signal shape at
+    * the entity layer); `levenshtein` verifies within the union, and
+    * one block-bounded window picks the best match per dirty row (min
+    * distance, then min catalog id). Each blocking is tagged so first
+    * tokens can never equi-match last tokens. RECALL CONTRACT, stated
+    * not hidden: a pair is invisible only when edits touch BOTH the
+    * first and last tokens (single-token names: that one token) — one
+    * redundant blocking shrank the miss surface from any-one-token to
+    * all-of-them; add a phonetic or q-gram pass for more.
     *
     * Cost control — measured, in order of what actually mattered. The
     * first cut paid 41 s at sf0.1: the catalog holds 20 000 rows over
@@ -1234,18 +1238,27 @@ object Dedup {
   def fuzzyNameJoin(dirty: DataFrame, catalog: DataFrame,
                     maxDist: Int = 2): DataFrame = {
     require(maxDist < 4, "the width-4 length band assumes maxDist <= 3")
-    def blockKey(c: Column): Column = element_at(split(c, " "), -1)
+    // the two redundant blockings, tagged so they cannot cross-match
+    def blockKeys(c: Column): Column = array(
+      struct(lit(0).as("tag"), element_at(split(c, " "), -1).as("blk")),
+      struct(lit(1).as("tag"), element_at(split(c, " "), 1).as("blk")))
     def band(c: Column): Column = (length(c).cast("int") / 4).cast("int")
     val dNames = dirty.select(col("name").as("dname")).distinct()
-      .withColumn("blk", blockKey(col("dname")))
+      .withColumn("kb", explode(blockKeys(col("dname"))))
+      .select(col("dname"), col("kb.tag").as("tag"), col("kb.blk").as("blk"))
       .withColumn("band", explode(array(
         band(col("dname")) - 1, band(col("dname")), band(col("dname")) + 1)))
     val cNames = catalog.groupBy(col("name").as("cname"))
       .agg(min(col("cat_id")).as("rep_id"))
-      .withColumn("blk", blockKey(col("cname")))
+      .withColumn("kb", explode(blockKeys(col("cname"))))
+      .select(col("cname"), col("rep_id"),
+        col("kb.tag").as("tag"), col("kb.blk").as("blk"))
       .withColumn("band", band(col("cname")))
-    val best = dNames.join(cNames, Seq("blk", "band"))
+    // candidate UNION: a pair found by both blockings must run the DP
+    // once, not twice — dedup on the name pair before any levenshtein
+    val best = dNames.join(cNames, Seq("tag", "blk", "band"))
       .filter(abs(length(col("dname")) - length(col("cname"))) <= maxDist)
+      .select(col("dname"), col("cname"), col("rep_id")).distinct()
       .withColumn("lev", levenshtein(col("dname"), col("cname"), maxDist))
       .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .withColumn("rk", row_number().over(

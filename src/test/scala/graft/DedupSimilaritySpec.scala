@@ -942,7 +942,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       s"fuzzy join degenerated to an unblocked compare:\n$p")
   }
 
-  test("fuzzy join: typos within the block match best, cross-block edits invisible") {
+  test("fuzzy join: union blocking matches last-token edits, both-token edits invisible") {
     import spark.implicits._
     val catalog = Seq((1L, "small ring"), (2L, "red widget"), (3L, "blue bolt"),
         (4L, "smell ring"), (5L, "ab gear"))
@@ -951,13 +951,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       (10L, "smalL ring"),   // 1 sub → best = cat 1 (lev 1 beats cat 4's lev 2)
       (11L, "red widget"),   // exact → lev 0
       (12L, "xyzzy bolt"),   // lev 4 from "blue bolt" → above maxDist, dropped
-      (13L, "small rung"),   // edit in the BLOCKING token → invisible (contract)
-      (14L, "zab gear"))     // insertion CROSSES a length band (7→8 chars):
+      (13L, "small rung"),   // edit in the LAST token — the old single-
+                             // blocking miss, now carried by the
+                             // first-token pass → cat 1 at lev 1
+      (14L, "zab gear"),     // insertion CROSSES a length band (7→8 chars):
                              // only the ±1 multi-probe keeps it visible
+      (15L, "xmall rinx"))   // edits touch BOTH block tokens → invisible
+                             // (the residual recall contract)
       .toDF("dirty_id", "name")
     val out = Dedup.fuzzyNameJoin(dirty, catalog).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("matched_id"), r.getAs[Int]("lev")))).toMap
-    assert(out === Map(10L -> ((1L, 1)), 11L -> ((2L, 0)), 14L -> ((5L, 1))))
+    assert(out === Map(10L -> ((1L, 1)), 11L -> ((2L, 0)), 13L -> ((1L, 1)),
+      14L -> ((5L, 1))))
   }
 
   test("minhash eval: identical docs estimate 1.0 exactly, errors are consistent") {
