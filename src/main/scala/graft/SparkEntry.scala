@@ -471,6 +471,7 @@ object SparkEntry {
     "c47_compression_gate" -> Seq("doc_id"),
     "c48_license_gate" -> Seq("source", "license"),
     "c49_datasheet" -> Seq("source"),
+    "c50_curriculum_shards" -> Seq("shard"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
@@ -1182,6 +1183,11 @@ object SparkEntry {
         aug.filter(pmod(col("doc_id"), lit(2)) === 0),
         Curation.allLineCounts(aug.filter(pmod(col("doc_id"), lit(2)) === 1)))
     }),
+    // curriculum-ordered sharding: c44's micro-unit quality deciles ×
+    // c11's deterministic hash sub-shards, decile-major shard ids — the
+    // manifest a curriculum schedule reads in id order
+    "c50_curriculum_shards" -> ((s, d) =>
+      Curation.curriculumShards(t(s, d, "documents"))),
     // corpus datasheet: the per-source release report (lang mix ×
     // quality × dup exposure × scale) in two shuffles; every input is
     // already oracle-replayable so the composition is too
@@ -2898,6 +2904,36 @@ object SparkEntry {
     // the cross-multiplied all-integer capped test, floor-division
     // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
     // half-tie FAIL was epochs through a double quotient)
+    // c50: ttr micro-units (HUGEINT floor division), quantile_cont
+    // boundaries with ties-low bucketing (the c44 micro replay), the
+    // c11-form shard hash with c50's own seed, decile-major ids,
+    // HUGEINT-rational mean
+    "c50_curriculum_shards" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS t FROM documents),
+          sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+                 FROM tt WHERE len(t) > 0),
+          mi AS (SELECT doc_id, n_tokens,
+                   (CAST(n_types AS HUGEINT) * 1000000) // n_tokens AS micro
+                 FROM sc),
+          b AS (SELECT ${(1 to 9).map(i =>
+             s"quantile_cont(micro, 0.$i) AS b_$i").mkString(", ")} FROM mi),
+          dd AS (SELECT doc_id, n_tokens, micro,
+              CAST(1 ${(1 to 9).map(i =>
+                s"+ (CASE WHEN micro > b_$i THEN 1 ELSE 0 END)").mkString(" ")}
+              AS INTEGER) AS decile
+            FROM mi, b),
+          sh AS (SELECT *, CAST(((doc_id % 1000003) * 3266489917 + 7919) % 4
+                   AS INTEGER) AS sub FROM dd)
+          SELECT (decile - 1) * 4 + sub AS shard, decile, sub,
+            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(min(micro) AS BIGINT) AS lo_micro,
+            CAST(max(micro) AS BIGINT) AS hi_micro,
+            CAST(CAST((CAST(sum(micro) AS HUGEINT) * 2000000
+                  + count(*) * 1000000)
+                // (2 * CAST(count(*) * 1000000 AS HUGEINT)) AS BIGINT)
+              AS DOUBLE) / 1000000.0 AS mean_ttr
+          FROM sh GROUP BY 1, 2, 3 ORDER BY shard""",
     // c49: copy counts on the text key, per-(source, lang) partials
     // with the shared quality-score fragment, dominant lang by
     // (n DESC, lang) rank, HUGEINT exact rationals for the two ratios

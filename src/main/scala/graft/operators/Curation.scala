@@ -1107,6 +1107,58 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Curriculum-ordered sharding — the composition of c11's
+    * deterministic shard hash and c44's quantile-boundary deciles that
+    * curriculum training schedules actually consume: every document is
+    * bucketed by corpus-wide QUALITY DECILE (here the exact type-token
+    * ratio in integer micro-units — the c44/s19 posture: boundaries
+    * interpolate between integers, comparisons never round), then
+    * hash-assigned to one of `nSub` sub-shards WITHIN its decile, and
+    * the final shard id is decile-major (`(decile−1)·nSub + sub`) — so
+    * a scheduler reading shards in id order replays the corpus
+    * low-quality → high-quality (or reversed), while each shard stays
+    * an unbiased hash sample of its decile. Zero-token docs have no
+    * ratio and are absent (the t7 contract).
+    *
+    * Plan: one exact-percentile aggregate broadcasts 9 boundaries; the
+    * decile + shard assignment is then a pure map; one combinable
+    * aggregate emits the (shard, decile, sub) manifest — at 100 TB the
+    * only corpus-wide work is the scan and the boundary aggregate,
+    * never a global sort by score (ntile would shuffle everything to
+    * rank it; boundary bucketing is the partial-agg form). Identical
+    * scores merge boundary deciles — the c44 calibrated-not-count-exact
+    * contract. */
+  def curriculumShards(documents: DataFrame, nSub: Int = 4,
+                       seed: Long = 7919L): DataFrame = {
+    val scored = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_types"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("micro", expr(
+        "CAST((CAST(n_types AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+    val qs = (1 to 9).map(i => (i / 10.0, i))
+    val boundCols = qs.map { case (q, i) =>
+      expr(s"percentile(micro, $q)").as(s"b_$i")
+    }
+    val bounds = scored.agg(boundCols.head, boundCols.tail: _*)
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (qs.map { case (_, i) =>
+          when(col("micro") > col(s"b_$i"), 1).otherwise(0)
+        }.reduce(_ + _) + 1).cast("int"))
+      .withColumn("sub", shardCol(nSub, seed).cast("int"))
+      .withColumn("shard", (col("decile") - 1) * nSub + col("sub"))
+      .groupBy(col("shard"), col("decile"), col("sub"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("micro")).as("lo_micro"), max(col("micro")).as("hi_micro"),
+        sum(col("micro")).as("_sm"))
+      .select(col("shard"), col("decile"), col("sub"), col("n_docs"),
+        col("n_tokens"), col("lo_micro"), col("hi_micro"),
+        ratRound("_sm", "n_docs * 1000000", 6).as("mean_ttr"))
+  }
+
   /** Global-quantile-driven length gate: keep documents whose length
     * falls inside the corpus's [lo, hi] percentile band — the adaptive
     * form of fixed-threshold length filtering (thresholds track the

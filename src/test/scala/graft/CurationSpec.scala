@@ -1225,6 +1225,39 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       ("go go", 4L) -> 2L))
   }
 
+  test("curriculum shards: decile-major ids, non-interleaved quality ranges") {
+    val out = Curation.curriculumShards(table("documents")).collect()
+    assert(out.nonEmpty)
+    // shard id is exactly decile-major: (decile−1)·nSub + sub, sub < 4
+    out.foreach { r =>
+      val (sh, de, su) = (r.getAs[Int]("shard"), r.getAs[Int]("decile"),
+        r.getAs[Int]("sub"))
+      assert(su >= 0 && su < 4 && sh === (de - 1) * 4 + su, r.toString)
+      assert(r.getAs[Long]("lo_micro") <= r.getAs[Long]("hi_micro"))
+    }
+    // every nonzero-token doc lands in exactly one shard
+    val total = Curation
+      .curriculumShards(table("documents")).agg(sum(col("n_docs"))).collect()
+      .head.getLong(0)
+    val expected = table("documents")
+      .filter(size(graft.functions.ColumnFns.tokens(col("text"))) > 0).count()
+    assert(total === expected)
+    // curriculum ORDER: quality ranges of successive deciles never
+    // interleave (ties-low boundary bucketing ⇒ max(d) ≤ min(d+1))
+    val byDecile = out.groupBy(_.getAs[Int]("decile")).map { case (d, rs) =>
+      d -> ((rs.map(_.getAs[Long]("lo_micro")).min,
+        rs.map(_.getAs[Long]("hi_micro")).max))
+    }
+    byDecile.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byDecile(a)._2 <= byDecile(b)._1,
+        s"decile $a range ${byDecile(a)} interleaves $b ${byDecile(b)}")
+      case _ => ()
+    }
+    // deterministic: a re-run assigns identical manifests
+    val again = Curation.curriculumShards(table("documents")).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("datasheet: lang mix, quality, cross-source dup exposure per source") {
     import spark.implicits._
     // s1: 2 en + 1 de (top en); one en doc duplicated INTO s2 — the
