@@ -472,6 +472,8 @@ object SparkEntry {
     "c48_license_gate" -> Seq("source", "license"),
     "c49_datasheet" -> Seq("source"),
     "c50_curriculum_shards" -> Seq("shard"),
+    "st23_compression_stream" -> Seq("doc_id"),
+    "st24_license_stream" -> Seq("doc_id"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
@@ -1336,6 +1338,21 @@ object SparkEntry {
     "st13_quality_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.qualityFileStream(Tables.tune(s), d,
         plantQualityViolations(t(s, d, "documents")))),
+    // the c47 compression gate composed onto the stream itself (the
+    // deflate expression is a pure projection); the streamed result's
+    // counts stage for the same relational oracle replay as c47
+    "st23_compression_stream" -> ((s, d) => {
+      val out = graft.streaming.StreamDrivers.compressionFileStream(
+        Tables.tune(s), d, plantCompressibility(t(s, d, "documents")))
+      out.select(col("doc_id"), col("comp_len")).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/st23_comp")
+      out
+    }),
+    // the c48 governance filter as a streaming ingest predicate —
+    // stateless pure map, doc-disjoint batches union to the batch run
+    "st24_license_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.licenseFileStream(Tables.tune(s), d,
+        plantGovernance(t(s, d, "documents")))),
     // benchmark decontamination as a streaming ingest gate: per
     // micro-batch c12 against the static benchmark table; doc-disjoint
     // batches make the union the batch result — c12's oracle verbatim
@@ -2012,6 +2029,28 @@ object SparkEntry {
   private val predLangCase = predCaseOver("score_")
   private def predLangSql =
     s"SELECT doc_id, $predLangCase AS pred_lang FROM ($langScoresSql)"
+  // shared by c47 (batch) and st23 (the same gate composed onto the
+  // stream): the plant replay + staged-count join + integer gate, the
+  // stage dir being the only difference
+  private def compressionGateSql(stage: String) =
+    s"""WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 23 = 1 THEN md5(CAST(doc_id AS VARCHAR))
+                WHEN doc_id % 9 = 0
+                  THEN text || ' ' || repeat('lorem template spam block ', 40)
+                ELSE text END AS text FROM documents),
+        st AS (SELECT doc_id, comp_len
+               FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
+        j AS (SELECT a.doc_id, CAST(strlen(a.text) AS BIGINT) AS raw_len,
+                st.comp_len
+              FROM aug a JOIN st USING (doc_id) WHERE strlen(a.text) > 0)
+        SELECT doc_id, raw_len, comp_len,
+          CAST(CAST((CAST(comp_len AS HUGEINT) * 2000000 + raw_len)
+              // (2 * CAST(raw_len AS HUGEINT)) AS BIGINT) AS DOUBLE)
+            / 1000000.0 AS ratio,
+          CAST((comp_len * 1000 >= 250 * raw_len
+            AND comp_len * 1000 <= 950 * raw_len) AS INTEGER) AS kept
+        FROM j ORDER BY doc_id"""
+
   private def qualityBaseSql =
     s"""SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words, punct_cnt,
         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
@@ -2993,24 +3032,17 @@ object SparkEntry {
     // c47: plant replay (md5-hex replacement wins over the repeated
     // template append), staged DEFLATE counts joined back by doc_id,
     // ratio = HUGEINT exact rational, gate = cross-multiplied integers
-    "c47_compression_gate" ->
-      """WITH aug AS (SELECT doc_id,
-             CASE WHEN doc_id % 23 = 1 THEN md5(CAST(doc_id AS VARCHAR))
-                  WHEN doc_id % 9 = 0
-                    THEN text || ' ' || repeat('lorem template spam block ', 40)
-                  ELSE text END AS text FROM documents),
-          st AS (SELECT doc_id, comp_len
-                 FROM read_parquet('__GRAFT_STAGE__/c47_comp/*.parquet')),
-          j AS (SELECT a.doc_id, CAST(strlen(a.text) AS BIGINT) AS raw_len,
-                  st.comp_len
-                FROM aug a JOIN st USING (doc_id) WHERE strlen(a.text) > 0)
-          SELECT doc_id, raw_len, comp_len,
-            CAST(CAST((CAST(comp_len AS HUGEINT) * 2000000 + raw_len)
-                // (2 * CAST(raw_len AS HUGEINT)) AS BIGINT) AS DOUBLE)
-              / 1000000.0 AS ratio,
-            CAST((comp_len * 1000 >= 250 * raw_len
-              AND comp_len * 1000 <= 950 * raw_len) AS INTEGER) AS kept
-          FROM j ORDER BY doc_id""",
+    "c47_compression_gate" -> compressionGateSql("c47_comp"),
+    "st23_compression_stream" -> compressionGateSql("st23_comp"),
+    // st24: the doc-level governance filter replay (plant + predicate)
+    "st24_license_stream" ->
+      """SELECT doc_id, source,
+           CASE (doc_id // 7) % 5 WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'all-rights-reserved'
+                ELSE 'unknown' END AS license
+         FROM documents
+         WHERE (doc_id // 7) % 5 IN (0, 1, 2) AND doc_id % 17 <> 2
+         ORDER BY doc_id""",
     "c36_token_budget_mix" ->
       s"""WITH st AS (SELECT source, sum(len($toks)) AS n_tokens,
              CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 7 + 1 AS weight

@@ -970,4 +970,30 @@ object StreamDrivers {
     // driver's demonstration, unlike the batch-relational st15-st17
     statelessDocStream(spark, "quality", augmented,
       onStream = graft.operators.TextOps.gopherQuality)
+
+  /** st23: the c47 compression-ratio gate as a streaming ingest filter.
+    * The native `graft_deflate_len` expression is a pure projection, so
+    * the WHOLE gate (deflate count, exact-rational ratio, integer
+    * cross-multiplied cut) composes onto the streaming DataFrame itself
+    * (the st13 posture — demonstrated here because compressibility is
+    * precisely the signal an ingest tier wants before paying any
+    * storage for a spam-heavy feed). Stateless, per-doc: doc-disjoint
+    * micro-batches union to the batch c47 result verbatim. */
+  def compressionFileStream(spark: SparkSession, sfDir: String,
+                            planted: DataFrame): DataFrame =
+    statelessDocStream(spark, "compress", planted,
+      onStream = graft.operators.Curation.compressionGate(_))
+
+  /** st24: the c48 governance gate's doc-level half as a streaming
+    * ingest filter — allowlist + opt-out is a pure pushdown predicate,
+    * the stateless extreme of the deployed-gate family (the
+    * per-(source, license) audit stays a periodic batch rollup over
+    * the kept stream: aggregation has no append-mode streaming form
+    * without a watermark, and governance audits are snapshot reports
+    * anyway). Doc-disjoint batches union to the batch filter result. */
+  def licenseFileStream(spark: SparkSession, sfDir: String,
+                        planted: DataFrame): DataFrame =
+    statelessDocStream(spark, "license", planted,
+      onStream = df => graft.operators.Curation.licenseFilter(df)
+        .select(col("doc_id"), col("source"), col("license")))
 }

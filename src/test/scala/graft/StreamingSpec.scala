@@ -242,6 +242,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty && batch.exists(_._3 == 0) && batch.exists(_._3 == 1))
   }
 
+  test("st23 driver: streamed compression gate equals the batch c47 result") {
+    val cols = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("raw_len"),
+        r.getAs[Long]("comp_len"), r.getAs[Double]("ratio"),
+        r.getAs[Int]("kept"))
+    val streamed = SparkEntry.queries("st23_compression_stream")(spark, SharedSpark.sfDir)
+      .collect().map(cols).toSet
+    val batch = SparkEntry.queries("c47_compression_gate")(spark, SharedSpark.sfDir)
+      .collect().map(cols).toSet
+    assert(streamed === batch)
+    // non-vacuous: both planted tails are cut, prose is kept
+    assert(batch.exists(_._5 == 0) && batch.exists(_._5 == 1))
+  }
+
+  test("st24 driver: streamed license filter equals the batch doc-level gate") {
+    val streamed = SparkEntry.queries("st24_license_stream")(spark, SharedSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = graft.operators.Curation.licenseFilter(
+        SparkEntry.plantGovernance(
+          graft.Tables.load(spark, SharedSpark.sfDir, "documents")))
+      .select(col("doc_id"), col("source"), col("license"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    // non-vacuous: the stream dropped reserved/unknown/opt-out docs
+    assert(batch.nonEmpty && streamed.size < graft.Tables
+      .load(spark, SharedSpark.sfDir, "documents").count())
+  }
+
   test("st15 driver: streamed contamination gate equals the batch c12 result") {
     val streamed = SparkEntry.queries("st15_contamination_stream")(spark, SharedSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
