@@ -476,6 +476,7 @@ object SparkEntry {
     "st24_license_stream" -> Seq("doc_id"),
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
+    "t20_card_scrub" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -944,6 +945,21 @@ object SparkEntry {
     // plants deterministic email/URL/phone strings derived from doc_id
     // (identically in the oracle SQL) and scrubs them back out — the
     // operator under test is the per-pattern-counting sequential scrub
+    // payment-card PII with Luhn VERIFICATION: the valid plants redact,
+    // the checksum-failing near-card survives — the two-stage contract
+    "t20_card_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 1,
+          lit(" card 4539 1488 0343 6467 on file")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 3,
+          lit(" pay 5555-5555-5555-4444 now")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 4,
+          lit(" ref 4539 1488 0343 6468 code")).otherwise(lit(""))
+      ).as("text"))
+      TextOps.scrubCards(aug)
+    }),
     "t12_pii_scrub" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val aug = docs.select(col("doc_id"), concat(
@@ -4612,6 +4628,40 @@ object SparkEntry {
     // three sequential pattern passes (RE2 and java.util.regex agree on
     // this regex subset); counts taken against the pre-replace text of
     // each stage, exactly like TextOps.scrubCounted
+    // t20: plant replay, RE2 candidate extraction, Luhn replayed as
+    // pure integer arithmetic per candidate (double-every-second from
+    // the right, subtract 9 over 9), sorted-distinct literal fold
+    "t20_card_scrub" ->
+      """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 6 = 1 THEN ' card 4539 1488 0343 6467 on file' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 3 THEN ' pay 5555-5555-5555-4444 now' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 4 THEN ' ref 4539 1488 0343 6468 code' ELSE '' END
+               AS text FROM documents),
+         cd AS (SELECT doc_id, text,
+                regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b') AS cs
+                FROM aug),
+         ex AS (SELECT doc_id, unnest(cs) AS c FROM cd),
+         dg AS (SELECT doc_id, c,
+                replace(replace(c, ' ', ''), '-', '') AS d FROM ex),
+         ok AS (SELECT doc_id, c FROM dg WHERE
+                list_sum([CASE WHEN (length(d) - i) % 2 = 1 THEN
+                    CASE WHEN 2 * CAST(d[i] AS INTEGER) > 9
+                         THEN 2 * CAST(d[i] AS INTEGER) - 9
+                         ELSE 2 * CAST(d[i] AS INTEGER) END
+                  ELSE CAST(d[i] AS INTEGER) END
+                  for i in generate_series(1, length(d))]) % 10 = 0),
+         okl AS (SELECT doc_id, list_sort(list_distinct(list(c))) AS oks,
+                 count(*) AS n_cards FROM ok GROUP BY 1),
+         cnt AS (SELECT doc_id, count(*) AS n_candidates FROM ex GROUP BY 1)
+         SELECT cd.doc_id,
+           CASE WHEN okl.oks IS NULL THEN cd.text
+                ELSE list_reduce(list_prepend(cd.text, okl.oks),
+                       (a, b) -> replace(a, b, '<CARD>')) END AS scrubbed,
+           CAST(coalesce(cnt.n_candidates, 0) AS INTEGER) AS n_candidates,
+           CAST(coalesce(okl.n_cards, 0) AS INTEGER) AS n_cards
+         FROM cd LEFT JOIN cnt ON cnt.doc_id = cd.doc_id
+         LEFT JOIN okl ON okl.doc_id = cd.doc_id
+         ORDER BY cd.doc_id""",
     "t12_pii_scrub" ->
       """WITH aug AS (SELECT doc_id, text ||
            CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||

@@ -386,6 +386,36 @@ object TextOps {
                textCol: String = "text"): DataFrame =
     scrubCounted(documents, idCol, textCol, piiPatterns)
 
+  /** Payment-card PII scrub — the two-stage detect-then-VERIFY
+    * redaction a regex alone cannot express: 13–19-digit candidates
+    * (optional space/dash grouping) are matched by pattern, then only
+    * those passing the Luhn checksum (the native `graft_luhn`
+    * expression) are redacted — order ids and tracking numbers that
+    * merely LOOK like cards survive, so the scrub destroys no training
+    * signal it doesn't have to. Both counts are reported (candidates
+    * vs verified) — the audit ratio a privacy review reads first.
+    * Verified candidates are folded over the text as literal
+    * replacements in SORTED DISTINCT order, so the rewrite is
+    * deterministic on any engine and partitioning. Pure map, codegen'd,
+    * no shuffle — the t12 scale posture. */
+  val cardCandidatePattern = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  def scrubCards(documents: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    documents
+      // lit() pattern, NOT an expr() SQL literal: the SQL parser's
+      // escape handling would eat the \b/\d backslashes
+      .withColumn("_cands",
+        regexp_extract_all(col(textCol), lit(cardCandidatePattern), lit(0)))
+      .withColumn("_ok",
+        filter(col("_cands"), c => call_function("graft_luhn", c)))
+      .select(col(idCol),
+        aggregate(array_sort(array_distinct(col("_ok"))), col(textCol),
+          (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+          .as("scrubbed"),
+        size(col("_cands")).as("n_candidates"),
+        size(col("_ok")).as("n_cards"))
+
   /** Corpus-adaptive stopword stripping: the corpus's top-k most
     * frequent tokens are removed from every document, order preserved —
     * the vocabulary-driven rewrite used before indexing / n-gram

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, MinHashSignature, NfkcNormalize, NgramScore, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
+import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -37,6 +37,10 @@ object GraftFunctions {
       "built-in")
     // single-pass script-aware tokenization (the t-family's hot loop —
     // fuses segmentScripts+trim+lower+split+filter into one scan)
+    // Luhn checksum validity (payment-card PII verification — see Luhn)
+    registry.createOrReplaceTempFunction("graft_luhn",
+      FnArity.checked("graft_luhn", 1)(args => LuhnValid(args(0))),
+      "built-in")
     // compressed-size quality signal (DEFLATE byte count — see Compress)
     registry.createOrReplaceTempFunction("graft_deflate_len",
       FnArity.checked("graft_deflate_len", 1)(args => DeflateLen(args(0))),

@@ -716,6 +716,35 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Double]("top_ratio") === 0.996875)
   }
 
+  test("card scrub: Luhn-valid numbers redact, near-cards and short runs survive") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "pay 4539 1488 0343 6467 now"),         // valid, spaced
+      (2L, "ref 5555-5555-5555-4444 thanks"),      // valid, dashed
+      (3L, "order 4539 1488 0343 6468 shipped"),   // checksum fails → kept
+      (4L, "call 555-0100 today"),                 // 7 digits → no candidate
+      (5L, "amex 378282246310005 ok"),             // valid, 15 digits bare
+      (6L, "two 4539 1488 0343 6467 and 4539 1488 0343 6467 twice"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scrubCards(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === (("pay <CARD> now", 1, 1)))
+    assert(out(2L) === (("ref <CARD> thanks", 1, 1)))
+    assert(out(3L) === (("order 4539 1488 0343 6468 shipped", 1, 0)))
+    assert(out(4L) === (("call 555-0100 today", 0, 0)))
+    assert(out(5L) === (("amex <CARD> ok", 1, 1)))
+    // occurrence counts, single distinct replacement clears both copies
+    assert(out(6L) === (("two <CARD> and <CARD> twice", 2, 2)))
+    // the native checksum expression: classic truth table
+    val luhn = (s: String) => spark.sql(s"SELECT graft_luhn('$s')")
+      .collect().head.getBoolean(0)
+    assert(luhn("4539148803436467") && luhn("378282246310005"))
+    assert(!luhn("4539148803436468") && !luhn("1234567890123456"))
+    assert(!luhn("0")) // degenerate single digit never valid
+    assert(luhn("4539 1488 0343 6467")) // separators skipped in place
+  }
+
   test("audio dup pairs: planted 8-bit copies pair, sequences verified equal") {
     val pairs = Multimodal.audioDupPairs(spark, table("documents")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
