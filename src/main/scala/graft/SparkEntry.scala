@@ -227,6 +227,26 @@ object SparkEntry {
         lit(" café résumé naïve jalapeño"))
       .otherwise(lit(""))).as("text"))
 
+  /** Deterministic planted within-doc repetition for the t23 gate: the
+    * corpus is newline-free non-stuttering prose, so each signal gets
+    * its own slice — %4==1 docs repeat a planted line twice (duplicate
+    * LINE fractions), %5==2 docs get a token stutter (top-2-gram
+    * spike), %7==3 docs repeat a 5-token phrase twice (duplicate
+    * 5-gram coverage). Slices overlap freely — concatenation order is
+    * fixed and the oracle replays it. */
+  private[graft] def plantRepetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        lit("\nrepeat me exactly once more\nrepeat me exactly once more"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 2,
+        lit(" spark spark spark spark spark spark")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 3,
+        lit(" alpha beta gamma delta epsilon alpha beta gamma delta epsilon"))
+        .otherwise(lit(""))
+    ).as("text"))
+
   /** Deterministic planted compressibility tails for the c47 gate: the
     * synthetic corpus spans ratio 0.39–0.91 (natural prose), so both
     * cut tails are planted — %23==1 docs REPLACED by a 32-char md5 hex
@@ -477,6 +497,7 @@ object SparkEntry {
     "c37_source_relative_gate" -> Seq("source"),
     "t17_lexical_diversity" -> Seq("doc_id"),
     "t20_card_scrub" -> Seq("doc_id"),
+    "t23_rep_signals" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -945,6 +966,10 @@ object SparkEntry {
     // plants deterministic email/URL/phone strings derived from doc_id
     // (identically in the oracle SQL) and scrubs them back out — the
     // operator under test is the per-pattern-counting sequential scrub
+    // within-doc Gopher repetition signals over the planted stutters;
+    // fully relational oracle (lines, 2-grams, 5-gram coverage)
+    "t23_rep_signals" -> ((s, d) =>
+      TextOps.repetitionSignals(plantRepetition(t(s, d, "documents")))),
     // payment-card PII with Luhn VERIFICATION: the valid plants redact,
     // the checksum-failing near-card survives — the two-stage contract
     "t20_card_scrub" -> ((s, d) => {
@@ -4628,6 +4653,82 @@ object SparkEntry {
     // three sequential pattern passes (RE2 and java.util.regex agree on
     // this regex subset); counts taken against the pre-replace text of
     // each stage, exactly like TextOps.scrubCounted
+    // t23: plant replay, then each signal relationally — trimmed
+    // nonempty line counts, 2-gram argmax by (count DESC, gram) with
+    // chars = len(g) − 1 a pure function of the gram, 5-gram coverage
+    // as a DISTINCT position union (the c35 idiom), token-char masses,
+    // HUGEINT exact rationals throughout
+    "t23_rep_signals" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 1
+               THEN chr(10) || 'repeat me exactly once more' ||
+                    chr(10) || 'repeat me exactly once more' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 2
+               THEN ' spark spark spark spark spark spark' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 3
+               THEN ' alpha beta gamma delta epsilon alpha beta gamma delta epsilon'
+               ELSE '' END AS text FROM documents),
+         bs AS (SELECT doc_id, text, $toks AS t FROM aug),
+         bn AS (SELECT doc_id, text, t, len(t) AS n FROM bs WHERE len(t) > 0),
+         tc AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+                    AS tok_chars FROM bn),
+         ln AS (SELECT doc_id, trim(l) AS line FROM
+                  (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                   FROM bn)
+                WHERE trim(l) <> ''),
+         lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+         ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS n_dup_lines,
+                  CAST(sum(length(line) * c) AS BIGINT) AS line_chars,
+                  CAST(sum(CASE WHEN c >= 2 THEN length(line) * c ELSE 0 END)
+                    AS BIGINT) AS dup_line_chars
+                FROM lc GROUP BY 1),
+         g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g,
+                  length(t[i]) + length(t[i+1]) AS chars
+                FROM bn, unnest(generate_series(1, n - 1)) AS u(i)
+                WHERE n >= 2),
+         g2c AS (SELECT doc_id, g, count(*) AS c, max(chars) AS chars
+                 FROM g2 GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, CAST(c * chars AS BIGINT) AS top2_chars FROM
+                (SELECT *, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY c DESC, g) AS rk FROM g2c)
+                WHERE rk = 1),
+         o5 AS (SELECT doc_id, i AS p, array_to_string(t[i:i+4], ' ') AS g
+                FROM bn, unnest(generate_series(1, n - 4)) AS u(i)
+                WHERE n >= 5),
+         d5 AS (SELECT doc_id, g FROM o5 GROUP BY doc_id, g
+                HAVING count(*) >= 2),
+         cv AS (SELECT DISTINCT o5.doc_id, u.cp
+                FROM o5 JOIN d5 ON d5.doc_id = o5.doc_id AND d5.g = o5.g,
+                  unnest(generate_series(o5.p, o5.p + 4)) AS u(cp)),
+         tp AS (SELECT doc_id, i AS cp, length(t[i]) AS len
+                FROM bn, unnest(generate_series(1, n)) AS u(i)),
+         d5c AS (SELECT cv.doc_id, CAST(sum(tp.len) AS BIGINT) AS dup5_chars
+                 FROM cv JOIN tp ON tp.doc_id = cv.doc_id AND tp.cp = cv.cp
+                 GROUP BY 1)
+         SELECT bn.doc_id, CAST(bn.n AS BIGINT) AS n_tokens,
+           CAST(ls.n_lines AS INTEGER) AS n_lines,
+           CAST(CAST((CAST(ls.n_dup_lines AS HUGEINT) * 2000000 + ls.n_lines)
+                // (2 * CAST(ls.n_lines AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS dup_line_frac,
+           CAST(CAST((CAST(ls.dup_line_chars AS HUGEINT) * 2000000 + ls.line_chars)
+                // (2 * CAST(ls.line_chars AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 AS dup_line_char_frac,
+           CASE WHEN t2.top2_chars IS NOT NULL THEN
+             CAST(CAST((CAST(t2.top2_chars AS HUGEINT) * 2000000 + tc.tok_chars)
+                // (2 * CAST(tc.tok_chars AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0 END AS top2_char_frac,
+           CAST(CAST((CAST(coalesce(d5c.dup5_chars, 0) AS HUGEINT) * 2000000 + tc.tok_chars)
+                // (2 * CAST(tc.tok_chars AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000.0
+             AS dup5_char_frac
+         FROM bn JOIN tc ON tc.doc_id = bn.doc_id
+         JOIN ls ON ls.doc_id = bn.doc_id
+         LEFT JOIN t2 ON t2.doc_id = bn.doc_id
+         LEFT JOIN d5c ON d5c.doc_id = bn.doc_id
+         ORDER BY bn.doc_id""",
     // t20: plant replay, RE2 candidate extraction, Luhn replayed as
     // pure integer arithmetic per candidate (double-every-second from
     // the right, subtract 9 over 9), sorted-distinct literal fold

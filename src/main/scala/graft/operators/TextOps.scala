@@ -416,6 +416,105 @@ object TextOps {
         size(col("_cands")).as("n_candidates"),
         size(col("_ok")).as("n_cards"))
 
+  /** Within-document repetition signals — the Gopher repetition-rule
+    * family (Rae et al. 2021, Table A1), the standard published
+    * complement to c7's corpus-shingle ratio and c38's corpus-level
+    * line dedup: all four signals are WITHIN one document, so a page
+    * that stutters its own content is caught even when that content is
+    * globally unique. Per document:
+    *
+    *  - `dup_line_frac` — fraction of lines occurring ≥2× in the doc
+    *    (lines = trimmed nonempty newline splits, the c38 convention);
+    *  - `dup_line_char_frac` — character mass of those duplicated
+    *    lines over all line characters;
+    *  - `top2_char_frac` — the most frequent word 2-gram's occurrence
+    *    count × its token character length, over total token
+    *    characters (ties: lexicographically smallest 2-gram; null when
+    *    the doc has <2 tokens);
+    *  - `dup5_char_frac` — token character mass COVERED by at least
+    *    one word 5-gram occurring ≥2× in the doc (interval UNION over
+    *    positions — the d16/c35 coverage idiom, no double counting),
+    *    over total token characters; 0 when nothing repeats.
+    *
+    * Character masses count token characters only (separators excluded
+    * on both sides of every ratio — self-consistent, the convention
+    * the oracle replays). All ratios are exact integer rationals via
+    * ratRound. Zero-token docs are absent (t7 contract).
+    *
+    * Plan: three doc-keyed explode→aggregate passes (lines, 2-grams,
+    * 5-grams), each map-side combinable, joined back on doc_id — the
+    * d16 family's shape: linear in corpus size, no key hotter than one
+    * document's own windows (the 5-gram repeat count partitions on
+    * (doc_id, gram) — bounded by a single document, not a corpus hot
+    * key). Top-2-gram selection is a two-phase min_by over
+    * struct(−count, gram), never a corpus-keyed window. */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val base = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), col("text"), col("_toks"),
+        size(col("_toks")).as("n"))
+      .filter(col("n") > 0)
+    val tokChars = base.select(col("doc_id"),
+        explode(col("_toks")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("tok")).cast("long")).as("tok_chars"))
+    val lstat = base.select(col("doc_id"),
+        explode(filter(transform(split(col("text"), "\n"), l => trim(l)),
+          l => l =!= "")).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_lines"),
+        sum(length(col("line")).cast("long") * col("c")).as("line_chars"),
+        sum(when(col("c") >= 2, length(col("line")).cast("long") * col("c"))
+          .otherwise(0L)).as("dup_line_chars"))
+    val top2 = base.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n - 1), i -> struct(" +
+          "concat_ws(' ', _toks[i-1], _toks[i]) AS g, " +
+          "length(_toks[i-1]) + length(_toks[i]) AS chars))")).as("x"))
+      .groupBy(col("doc_id"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"), max(col("x.chars")).cast("long").as("chars"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("c") * col("chars"),
+        struct(negate(col("c")), col("g"))).as("top2_chars"))
+    val occ5 = base.filter(col("n") >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n - 4), i -> struct(" +
+          "i AS p, concat_ws(' ', slice(_toks, i, 5)) AS g))")).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+    // repeat counts partition on (doc_id, gram) — bounded by ONE doc's
+    // windows, so this window is not the d7 corpus-hot-key shape
+    val cov5 = occ5
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("g"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("cp"))
+      .distinct()
+    val dup5 = cov5
+      .join(base.select(col("doc_id"),
+          posexplode(col("_toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("cp"),
+          length(col("tok")).cast("long").as("len")),
+        Seq("doc_id", "cp"))
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("dup5_chars"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(tokChars, "doc_id")
+      .join(lstat, "doc_id")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_lines").cast("int").as("n_lines"),
+        ratRound("n_dup_lines", "n_lines", 6).as("dup_line_frac"),
+        ratRound("dup_line_chars", "line_chars", 6).as("dup_line_char_frac"),
+        when(col("top2_chars").isNotNull,
+          ratRound("top2_chars", "tok_chars", 6)).as("top2_char_frac"),
+        ratRound("coalesce(dup5_chars, 0)", "tok_chars", 6)
+          .as("dup5_char_frac"))
+  }
+
   /** Corpus-adaptive stopword stripping: the corpus's top-k most
     * frequent tokens are removed from every document, order preserved —
     * the vocabulary-driven rewrite used before indexing / n-gram

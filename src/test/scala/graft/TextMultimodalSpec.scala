@@ -716,6 +716,38 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Double]("top_ratio") === 0.996875)
   }
 
+  test("repetition signals: line dups, 2-gram spike, 5-gram coverage exact") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b\nx y z\nx y z"),      // duplicated line, tied top 2-gram
+      (2L, "go go go go go go"),      // stutter: overlapping 2/5-grams
+      (3L, "hello"),                  // single token: top2 undefined
+      (4L, ""))                       // zero tokens → absent
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    val d1 = out(1L)
+    assert(d1.getAs[Int]("n_lines") === 3)
+    assert(d1.getAs[Double]("dup_line_frac") === 0.666667)      // 2/3
+    assert(d1.getAs[Double]("dup_line_char_frac") === 0.769231) // 10/13
+    // 2-grams: "x y" and "y z" both occur twice — smallest gram wins;
+    // top2 = 2 occurrences × 2 chars over 8 token chars
+    assert(d1.getAs[Double]("top2_char_frac") === 0.5)
+    // all four 5-grams distinct → no coverage
+    assert(d1.getAs[Double]("dup5_char_frac") === 0.0)
+    val d2 = out(2L)
+    // "go go" ×5 → 5·4/12 — overlapping stutters exceed 1 (the Gopher
+    // count-based convention); coverage is a UNION and caps at 1
+    assert(d2.getAs[Double]("top2_char_frac") === 1.666667)
+    assert(d2.getAs[Double]("dup5_char_frac") === 1.0)
+    assert(d2.getAs[Double]("dup_line_frac") === 0.0)
+    val d3 = out(3L)
+    assert(d3.isNullAt(d3.fieldIndex("top2_char_frac")))
+    assert(d3.getAs[Double]("dup5_char_frac") === 0.0)
+  }
+
   test("card scrub: Luhn-valid numbers redact, near-cards and short runs survive") {
     import spark.implicits._
     import graft.operators.TextOps
