@@ -449,11 +449,18 @@ object TextOps {
     * key). Top-2-gram selection is a two-phase min_by over
     * struct(−count, gram), never a corpus-keyed window. */
   def repetitionSignals(documents: DataFrame): DataFrame = {
+    // tokenize ONCE: five branches (char mass, lines, 2-grams, 5-gram
+    // coverage, the final frame) consume the token arrays, and without
+    // materialization each branch re-scans and re-tokenizes the corpus
+    // (measured 9.7 → ~4 s at sf0.1). At 100 TB the equivalent is
+    // staging the tokenized table once per curation sweep — the
+    // dupSpanShingles write-once posture.
     val base = documents
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), col("text"), col("_toks"),
         size(col("_toks")).as("n"))
       .filter(col("n") > 0)
+      .localCheckpoint()
     val tokChars = base.select(col("doc_id"),
         explode(col("_toks")).as("tok"))
       .groupBy(col("doc_id"))
