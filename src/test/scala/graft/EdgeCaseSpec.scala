@@ -315,4 +315,39 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .toDF("doc_id", "label", "score", "kept")
     assert(QualityModel.modelMetrics(emptyScored).collect()(0).getLong(0) === 0L)
   }
+
+  test("round-11 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, TextOps}
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Curation.compressionGate(noDocs).isEmpty)
+    assert(Curation.datasheet(noDocs).isEmpty)
+    assert(Curation.curriculumShards(noDocs).isEmpty)
+    assert(TextOps.scrubCards(noDocs).isEmpty)
+    assert(TextOps.repetitionSignals(noDocs).isEmpty)
+    val noGov = Seq.empty[(Long, String, String, String, Boolean)]
+      .toDF("doc_id", "source", "text", "license", "opt_out")
+    assert(Curation.licenseGate(noGov).isEmpty)
+    assert(Curation.licenseFilter(noGov).isEmpty)
+    // whitespace-only and single-char docs flow through without throwing
+    val weird = Seq((1L, "   "), (2L, "x"), (3L, "\n\n\n"), (4L, "7"))
+      .toDF("doc_id", "text")
+    assert(TextOps.scrubCards(weird).count() === 4)
+    assert(TextOps.repetitionSignals(weird).count() === 2) // only x and 7
+    // compressionGate keeps zero-byte docs out but tiny docs in
+    assert(Curation.compressionGate(weird).count() === 4)
+    // all-capped / empty-source budget mix (the c36 family) on one doc
+    assert(Curation.tokenBudgetMix(
+      Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source"),
+      budgetPct = 500, maxEpochs = 3).collect()
+      .forall(_.getAs[Double]("epochs") === 3.0))
+    // fuzzy join with empty dirty/catalog sides
+    val noNames = Seq.empty[(Long, String)].toDF("dirty_id", "name")
+    val cat = Seq((1L, "small ring")).toDF("cat_id", "name")
+    assert(Dedup.fuzzyNameJoin(noNames, cat).isEmpty)
+    assert(Dedup.fuzzyNameJoin(
+      Seq((1L, "small ring")).toDF("dirty_id", "name"),
+      Seq.empty[(Long, String)].toDF("cat_id", "name")).isEmpty)
+  }
 }
