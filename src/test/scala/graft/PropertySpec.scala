@@ -155,4 +155,55 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       assert(got === refSpans(docs, w), s"round $round w=$w docs=$docs")
     }
   }
+
+  test("ratRound equals BigDecimal half-away rounding on random rationals") {
+    import spark.implicits._
+    // ratRound is the backbone of every cross-engine ratio in the suite
+    // (t17/c36/c44/c47/c49/c50/t23...): pin it against an independent
+    // BigDecimal HALF_UP reference over random numerator/denominator
+    // pairs, including systematic true-half ties at every scale used.
+    val rnd = new Random(13)
+    val cases = Seq.fill(300) {
+      val scale = Seq(4, 6)(rnd.nextInt(2))
+      val den = 1L + rnd.nextInt(1000000)
+      val num = rnd.nextInt(2000000).toLong
+      (num, den, scale)
+    } ++ Seq( // exact decimal halves (binary-inexact denominators)
+      (3L, 640L, 6), (3L, 160L, 4), (1L, 2000000L, 6), (7L, 32L, 4))
+    val df = cases.toDF("num", "den", "scale")
+    val out = df.select(col("num"), col("den"), col("scale"),
+        when(col("scale") === 4,
+          graft.functions.ColumnFns.ratRound("num", "den", 4))
+          .otherwise(graft.functions.ColumnFns.ratRound("num", "den", 6))
+          .as("r"))
+      .collect()
+    out.foreach { r =>
+      val (num, den, sc) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val expected = (BigDecimal(num) / BigDecimal(den))
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === expected, s"$num/$den @ $sc")
+    }
+  }
+
+  test("graft_luhn equals a reference checksum on random digit strings") {
+    import spark.implicits._
+    def ref(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).map(_ - '0')
+      ds.length >= 2 && ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val rnd = new Random(17)
+    val samples = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(20)
+      val sep = Seq("", " ", "-")(rnd.nextInt(3))
+      (1 to n).map(_ => rnd.nextInt(10)).mkString(sep)
+    }
+    val out = samples.toDF("s")
+      .select(col("s"), call_function("graft_luhn", col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    samples.foreach(s => assert(out(s) === ref(s), s))
+    // ~10% of random 16-digit strings are valid — both outcomes occur
+    assert(out.values.exists(identity) || samples.forall(s => !ref(s)))
+  }
 }
