@@ -423,6 +423,7 @@ object SparkEntry {
     "s7_pagerank" -> Seq("vec_id"),
     "s8_label_prop" -> Seq("vec_id"),
     "s17_triangles" -> Seq("vec_id"),
+    "s21_kcore" -> Seq("vec_id"),
     "s18_silhouette" -> Seq("cluster"),
     "s19_mmr_rerank" -> Seq("q_id", "rank"),
     "d26_snapshot_diff" -> Seq("doc_id"),
@@ -1517,6 +1518,16 @@ object SparkEntry {
       Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/s8_codes")
       Similarity.labelPropagation(
+        Similarity.knnGraphLsh(emb)
+          .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    }),
+    // k-core density screen over the same staged-code edge replay: its
+    // own staging copy keeps the s-family gates order-independent
+    "s21_kcore" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s21_codes")
+      Similarity.kCore(
         Similarity.knnGraphLsh(emb)
           .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
     }),
@@ -3728,6 +3739,61 @@ object SparkEntry {
                  GROUP BY u.dst, l.label) g WHERE rn = 1)"""
         }.mkString}
          SELECT id AS vec_id, label FROM l5 ORDER BY vec_id""",
+    // s21: the same staged-code edge replay, canonical undirected
+    // edges, then 8 synchronous peeling rounds unrolled (degree count +
+    // both-endpoint filter per round — integer arithmetic throughout).
+    // Every round CTE is MATERIALIZED: each level references the
+    // previous one several times, so un-materialized inlining expands
+    // the base scan ~5^8-fold and DuckDB falls over re-globbing the
+    // staged parquet (observed as a spurious "No files found")
+    "s21_kcore" ->
+      s"""${lshEdgeCtes("s21_codes")},
+         e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+         d0 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
+                 JOIN d0 da ON da.n = e0.a AND da.c >= 3
+                 JOIN d0 db ON db.n = e0.b AND db.c >= 3),
+         d1 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+         e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
+                 JOIN d1 da ON da.n = e1.a AND da.c >= 3
+                 JOIN d1 db ON db.n = e1.b AND db.c >= 3),
+         d2 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+         e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
+                 JOIN d2 da ON da.n = e2.a AND da.c >= 3
+                 JOIN d2 db ON db.n = e2.b AND db.c >= 3),
+         d3 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+         e4 AS MATERIALIZED (SELECT e3.a, e3.b FROM e3
+                 JOIN d3 da ON da.n = e3.a AND da.c >= 3
+                 JOIN d3 db ON db.n = e3.b AND db.c >= 3),
+         d4 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+         e5 AS MATERIALIZED (SELECT e4.a, e4.b FROM e4
+                 JOIN d4 da ON da.n = e4.a AND da.c >= 3
+                 JOIN d4 db ON db.n = e4.b AND db.c >= 3),
+         d5 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
+         e6 AS MATERIALIZED (SELECT e5.a, e5.b FROM e5
+                 JOIN d5 da ON da.n = e5.a AND da.c >= 3
+                 JOIN d5 db ON db.n = e5.b AND db.c >= 3),
+         d6 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1),
+         e7 AS MATERIALIZED (SELECT e6.a, e6.b FROM e6
+                 JOIN d6 da ON da.n = e6.a AND da.c >= 3
+                 JOIN d6 db ON db.n = e6.b AND db.c >= 3),
+         d7 AS MATERIALIZED (SELECT n, count(*) AS c FROM
+                 (SELECT a AS n FROM e7 UNION ALL SELECT b FROM e7) GROUP BY 1),
+         e8 AS MATERIALIZED (SELECT e7.a, e7.b FROM e7
+                 JOIN d7 da ON da.n = e7.a AND da.c >= 3
+                 JOIN d7 db ON db.n = e7.b AND db.c >= 3)
+         SELECT n AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+         FROM (SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8)
+         GROUP BY 1 ORDER BY 1""",
     // s7: same edge replay, then the 10 damped power iterations
     // unrolled — rank/deg and the damping update are single IEEE double
     // ops on both engines, the inflow sum is exact DECIMAL(38,18) (the

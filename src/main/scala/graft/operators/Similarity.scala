@@ -403,6 +403,48 @@ object Similarity {
     ranks.select(col("id").as("vec_id"), decRound(col("rank"), 12).as("rank"))
   }
 
+  /** k-core decomposition membership — the density layer of the
+    * k-NN-graph analytics family (components = connectivity, PageRank =
+    * centrality, LPA = communities, triangles = local density, k-core =
+    * GLOBAL density): the k-core is the maximal subgraph where every
+    * node keeps ≥ k neighbours, the standard screen for "dense blob of
+    * near-duplicates" vs "chain of borderline pairs" before spending
+    * cluster-canonicalization work. Computed by SYNCHRONOUS peeling:
+    * each round drops every edge incident to a node whose CURRENT
+    * degree is < k (both endpoint tests against the same round's
+    * degrees — no update races, both engines replay the identical
+    * round sequence); after `rounds` rounds the surviving nodes and
+    * their in-core degrees are emitted. Equals the exact k-core
+    * whenever peeling reaches fixpoint within the round budget — the
+    * spec asserts fixpoint on the gate corpus (the s8 fixed-iteration
+    * contract; adversarial peel chains longer than the budget yield
+    * the deterministic partial peel on BOTH engines).
+    *
+    * Per round: one (node)-keyed partial-agg degree count + two
+    * semi-joins, edges localCheckpoint'ed (O(1) lineage) — cost is
+    * rounds × O(|E|), never node-quadratic; partitions by node/edge
+    * keys only. */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    var und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("a").as("n"))
+        .union(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val keep = deg.filter(col("c") >= k).select(col("n"))
+      und = und
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_degree"))
+      .select(col("n").as("vec_id"), col("core_degree"))
+  }
+
   /** Synchronous label propagation (community detection) over an edge
     * list — completes the k-NN-graph analytics family (connected
     * components = connectivity, PageRank = centrality, LPA = community

@@ -1018,6 +1018,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(!out.contains(5L))
   }
 
+  test("k-core: clique survives, chains cascade out, fixpoint within budget") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} is the 3-core; a pendant chain 4-10-11 and a
+    // triangle {20,21,22} (all degrees 2) peel away. Node 10 starts at
+    // degree 2 and node 11 at 1 — the CASCADE: 11 goes in round 1,
+    // which cannot resurrect 10 (synchronous rounds). Directed and
+    // duplicated edges canonicalize first.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 3L), (4L, 10L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("src", "dst")
+    val out = Similarity.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k = 2 keeps the triangle too, still drops the chain
+    val out2 = Similarity.kCore(edges, k = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(out2 === Set(1L, 2L, 3L, 4L, 20L, 21L, 22L))
+    // gate-corpus fixpoint: one more round changes nothing (the
+    // fixed-round contract is exact on this graph)
+    val g = Similarity.knnGraphLsh(table("embeddings"))
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val r8 = Similarity.kCore(g, rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r9 = Similarity.kCore(g, rounds = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r8 === r9)
+  }
+
   test("mmr rerank: redundant near-duplicate demoted below a diverse hit") {
     import spark.implicits._
     // q = e_x; A1/A2 nearly identical (cos ≈ 1), both most relevant;
