@@ -227,6 +227,22 @@ object SparkEntry {
         lit(" café résumé naïve jalapeño"))
       .otherwise(lit(""))).as("text"))
 
+  /** Deterministic planted invisible characters for the t24 gate: the
+    * corpus is clean ASCII, so %5==1 docs get a zero-width-wedged
+    * blockword + a bidi mark (removal must rejoin "spam"), %5==3 docs
+    * get an NBSP-separated pair + a soft-hyphenated word (NBSP becomes
+    * a real space, the soft hyphen vanishes), everything else passes
+    * through untouched (the control). The oracle replays the plant via
+    * chr() codepoints so no literal invisible bytes live in SQL text. */
+  private[graft] def plantInvisible(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 1,
+        lit(" sp\u200bam wedge\u200f here")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 3,
+        lit(" non\u00a0breaking co\u00adoperate")).otherwise(lit(""))
+    ).as("text"))
+
   /** Deterministic planted within-doc repetition for the t23 gate: the
     * corpus is newline-free non-stuttering prose, so each signal gets
     * its own slice — %4==1 docs repeat a planted line twice (duplicate
@@ -499,6 +515,7 @@ object SparkEntry {
     "t17_lexical_diversity" -> Seq("doc_id"),
     "t20_card_scrub" -> Seq("doc_id"),
     "t23_rep_signals" -> Seq("doc_id"),
+    "t24_invisible_scrub" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -967,6 +984,10 @@ object SparkEntry {
     // plants deterministic email/URL/phone strings derived from doc_id
     // (identically in the oracle SQL) and scrubs them back out — the
     // operator under test is the per-pattern-counting sequential scrub
+    // invisible-character hygiene over planted zero-width/NBSP text;
+    // pure-map scrub, fully relational oracle via chr() codepoints
+    "t24_invisible_scrub" -> ((s, d) =>
+      TextOps.scrubInvisible(plantInvisible(t(s, d, "documents")))),
     // within-doc Gopher repetition signals over the planted stutters;
     // fully relational oracle (lines, 2-grams, 5-gram coverage)
     "t23_rep_signals" -> ((s, d) =>
@@ -4719,6 +4740,26 @@ object SparkEntry {
     // three sequential pattern passes (RE2 and java.util.regex agree on
     // this regex subset); counts taken against the pre-replace text of
     // each stage, exactly like TextOps.scrubCounted
+    // t24: plant replay via chr() codepoints, the same \x{...} regex
+    // classes (java.util.regex and RE2 parse them identically)
+    "t24_invisible_scrub" ->
+      """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 1
+               THEN ' sp' || chr(8203) || 'am wedge' || chr(8207) || ' here'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 3
+               THEN ' non' || chr(160) || 'breaking co' || chr(173) || 'operate'
+               ELSE '' END AS text FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '[\x{200B}-\x{200F}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+             '\x{00A0}', ' ', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[\x{200B}-\x{200F}\x{2060}\x{FEFF}\x{00AD}]')) AS INTEGER)
+             AS n_invisible,
+           CAST(len(regexp_extract_all(text, '\x{00A0}')) AS INTEGER)
+             AS n_nbsp
+         FROM aug ORDER BY doc_id""",
     // t23: plant replay, then each signal relationally — trimmed
     // nonempty line counts, 2-gram argmax by (count DESC, gram) with
     // chars = len(g) − 1 a pure function of the gram, 5-gram coverage

@@ -522,6 +522,34 @@ object TextOps {
           .as("dup5_char_frac"))
   }
 
+  /** Invisible-character scrub — the encoding-hygiene pass between
+    * mojibake repair (t21, wrong bytes) and NFKC (t6, compatibility
+    * variants): characters that RENDER as nothing but break every
+    * downstream equality — zero-width space/joiners and bidi marks
+    * (U+200B–U+200F), word joiner (U+2060), BOM-as-text (U+FEFF) and
+    * soft hyphen (U+00AD) are REMOVED (spam wedges them inside
+    * blockwords to evade filters, and they split tokens, poison
+    * shingles and defeat exact dedup); non-breaking space (U+00A0) is
+    * a different class — visible width, wrong identity — and maps to a
+    * regular space. Both counts are reported (the evasion-rate signal:
+    * a corpus slice with high invisible density is adversarial, not
+    * accidental). Pure map, codegen regex, no shuffle; \x{...}
+    * classes parse identically in java.util.regex and RE2, so the
+    * oracle replays the same pattern text. */
+  val invisiblePattern = "[\\x{200B}-\\x{200F}\\x{2060}\\x{FEFF}\\x{00AD}]"
+
+  def scrubInvisible(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("_inv",
+        size(regexp_extract_all(col("text"), lit(invisiblePattern), lit(0))))
+      .withColumn("_nb",
+        size(regexp_extract_all(col("text"), lit("\\x{00A0}"), lit(0))))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), invisiblePattern, ""),
+          "\\x{00A0}", " ").as("clean_text"),
+        col("_inv").as("n_invisible"), col("_nb").as("n_nbsp"))
+
   /** Corpus-adaptive stopword stripping: the corpus's top-k most
     * frequent tokens are removed from every document, order preserved —
     * the vocabulary-driven rewrite used before indexing / n-gram

@@ -716,6 +716,24 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Double]("top_ratio") === 0.996875)
   }
 
+  test("invisible scrub: zero-width wedges rejoin words, NBSP becomes space") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "sp\u200bam and vi\u00adag\u00adra here"), // wedged blockwords
+      (2L, "price\u00a0100 now"),                        // NBSP
+      (3L, "plain text"),                                // control
+      (4L, "bidi \u200e\u200f marks \ufeff bom \u2060 wj"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scrubInvisible(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // the whole point: the blockword is whole again for downstream gates
+    assert(out(1L) === (("spam and viagra here", 3, 0)))
+    assert(out(2L) === (("price 100 now", 0, 1)))
+    assert(out(3L) === (("plain text", 0, 0)))
+    assert(out(4L) === (("bidi  marks  bom  wj", 4, 0)))
+  }
+
   test("repetition signals: line dups, 2-gram spike, 5-gram coverage exact") {
     import spark.implicits._
     import graft.operators.TextOps
