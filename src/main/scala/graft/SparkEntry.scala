@@ -509,6 +509,7 @@ object SparkEntry {
     "c48_license_gate" -> Seq("source", "license"),
     "c49_datasheet" -> Seq("source"),
     "c50_curriculum_shards" -> Seq("shard"),
+    "c52_shard_write" -> Seq("shard"),
     "st23_compression_stream" -> Seq("doc_id"),
     "st24_license_stream" -> Seq("doc_id"),
     "c37_source_relative_gate" -> Seq("source"),
@@ -1247,6 +1248,17 @@ object SparkEntry {
       Curation.lineDedupIncremental(
         aug.filter(pmod(col("doc_id"), lit(2)) === 0),
         Curation.allLineCounts(aug.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    }),
+    // training-shard write + release manifest: docs land in shard=N/
+    // partition dirs by the c11 hash, the manifest is computed from the
+    // READ-BACK files, and the DuckDB oracle reads the SAME written
+    // bytes (hive partitioning) — write round-trip, placement and
+    // manifest algebra all verified at once
+    "c52_shard_write" -> ((s, d) => {
+      val out = stageDir(d) + "/c52_shards"
+      graft.sources.Sources.writeSharded(
+        t(s, d, "documents").select(col("doc_id"), col("text")), out)
+      Curation.shardManifest(s.read.parquet(out))
     }),
     // curriculum-ordered sharding: c44's micro-unit quality deciles ×
     // c11's deterministic hash sub-shards, decile-major shard ids — the
@@ -3016,6 +3028,24 @@ object SparkEntry {
     // the cross-multiplied all-integer capped test, floor-division
     // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
     // half-tie FAIL was epochs through a double quotient)
+    // c52: the oracle reads the ACTUAL written shard files (hive
+    // partitioning recovers the shard dir value), recomputes the
+    // manifest and the placement check from the same hash replay
+    "c52_shard_write" ->
+      s"""WITH w AS (SELECT doc_id, text, CAST(shard AS BIGINT) AS shard
+             FROM read_parquet('__GRAFT_STAGE__/c52_shards/*/*.parquet',
+               hive_partitioning = true)),
+          m AS (SELECT doc_id, text, shard,
+                  ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS expect,
+                  len($toks) AS nt FROM w)
+          SELECT shard, count(*) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+            CAST(sum(CAST(doc_id AS HUGEINT) * doc_id) AS VARCHAR)
+              AS id_checksum,
+            CAST(sum(CASE WHEN shard <> expect THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_misplaced
+          FROM m GROUP BY shard ORDER BY shard""",
     // c50: ttr micro-units (HUGEINT floor division), quantile_cont
     // boundaries with ties-low bucketing (the c44 micro replay), the
     // c11-form shard hash with c50's own seed, decile-major ids,

@@ -1095,6 +1095,12 @@ object Curation {
     * [[tokenPacking]] — overflow-safe (doc_id is reduced mod 1000003
     * before the multiply) and engine-independent; the c11/c15 oracle SQL
     * mirrors these constants verbatim, so change them in lockstep. */
+  /** Public form of the shard hash for write-layout callers
+    * ([[shardManifest]] / Sources.writeSharded / the c52 gate) — same
+    * constants as the c11/c15 oracle replays. */
+  def shardIdCol(nShards: Int, seed: Long = 104729L): Column =
+    shardCol(nShards, seed)
+
   private def shardCol(nShards: Int, seed: Long): Column =
     pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
 
@@ -1106,6 +1112,34 @@ object Curation {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
+
+  /** Per-shard release MANIFEST over a written-and-read-back shard
+    * layout — the artifact a dataset release ships next to its files
+    * (and the check that the write actually landed where the hash says
+    * it should): per shard, document and token counts, the doc_id
+    * span, an order-independent id checksum (Σ doc_id² in exact
+    * DECIMAL(38,0) — overflow-safe at any corpus size; a manifest
+    * integrity check, not a cryptographic digest), and `n_misplaced` —
+    * rows whose partition value disagrees with the shard hash
+    * recomputed from their doc_id (0 in a correct layout; nonzero
+    * means the write path corrupted placement). One map-side
+    * combinable aggregate over the read-back files. */
+  def shardManifest(written: DataFrame, nShards: Int = 8,
+                    seed: Long = 104729L): DataFrame =
+    written
+      .withColumn("_expect", shardCol(nShards, seed))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        // exact DECIMAL(38,0) internally, emitted as STRING: the digits
+        // survive any corpus scale on any engine (a double would round
+        // past 2^53; the gate compares the digit string)
+        sum((col("doc_id").cast("decimal(19,0)") * col("doc_id"))
+          .cast("decimal(38,0)")).cast("string").as("id_checksum"),
+        sum(when(col("shard") =!= col("_expect"), 1L).otherwise(0L))
+          .as("n_misplaced"))
 
   /** Curriculum-ordered sharding — the composition of c11's
     * deterministic shard hash and c44's quantile-boundary deciles that

@@ -150,6 +150,18 @@ object Sources {
       .parquet(path)
   }
 
+  /** Training-shard write: the release layout — documents land in
+    * `shard=N/` directories keyed by the deterministic c11 hash (stable
+    * under corpus growth and re-runs: a doc's shard never changes), one
+    * partition directory per shard so any shard subset scans with full
+    * pruning. Pair with Curation.shardManifest over the read-back
+    * dataset for the release manifest + placement check. */
+  def writeSharded(df: DataFrame, path: String, nShards: Int = 8,
+                   seed: Long = 104729L): Unit =
+    df.withColumn("shard",
+        graft.operators.Curation.shardIdCol(nShards, seed))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Plain single-dataset write (overwrite). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

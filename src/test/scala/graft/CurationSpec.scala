@@ -1225,6 +1225,34 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       ("go go", 4L) -> 2L))
   }
 
+  test("shard write: round-trip manifest covers every doc, placement check fires") {
+    import spark.implicits._
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft-c52-spec").toString
+    graft.sources.Sources.writeSharded(docs, out)
+    val back = spark.read.parquet(out)
+    val manifest = Curation.shardManifest(back).collect()
+    // every doc in exactly one shard; checksum digits match a driver
+    // recompute; nothing misplaced
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(manifest.forall(_.getAs[Long]("n_misplaced") === 0L))
+    val ids = docs.collect().map(_.getLong(0))
+    val expected = ids.map(i => BigInt(i) * BigInt(i)).sum
+    assert(manifest.map(r => BigInt(r.getAs[String]("id_checksum"))).sum
+      === expected)
+    // partition pruning: a one-shard read scans ONE partition directory
+    val plan = back.filter(col("shard") === 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter") || plan.contains("PartitionFilters"),
+      plan.take(1500))
+    // a corrupted layout (doc moved to the wrong dir) is caught
+    val tampered = back.withColumn("shard",
+      when(col("doc_id") === ids.head, (col("shard") + 1) % 8)
+        .otherwise(col("shard")))
+    assert(Curation.shardManifest(tampered).collect()
+      .map(_.getAs[Long]("n_misplaced")).sum === 1L)
+  }
+
   test("curriculum shards: decile-major ids, non-interleaved quality ranges") {
     val out = Curation.curriculumShards(table("documents")).collect()
     assert(out.nonEmpty)
