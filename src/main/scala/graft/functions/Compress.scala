@@ -21,22 +21,29 @@ object Compress {
     * speed/density balance. */
   val Level = 6
 
+  // One Deflater + scratch buffer per executor thread, reset between
+  // documents: constructing a Deflater allocates a native zlib stream,
+  // and doing that per ROW would dominate short-document cost at
+  // corpus scale. Never call end() on these — thread death reclaims
+  // the native state via the JDK cleaner.
+  private val local =
+    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+      (new java.util.zip.Deflater(Level, true), new Array[Byte](8192)))
+
   /** Compressed byte length of a document's UTF-8 bytes under raw
     * DEFLATE (nowrap — no zlib header/checksum: the 6 wrapper bytes are
     * constant noise that would bias short documents). Streams through a
-    * fixed 8 KiB buffer — the compressed output is never materialized,
-    * only counted, so memory per call is O(1) regardless of document
-    * size. */
+    * fixed per-thread 8 KiB buffer — the compressed output is never
+    * materialized, only counted, so memory per call is O(1) regardless
+    * of document size. */
   def deflateLen(s: UTF8String): Long = {
-    val d = new java.util.zip.Deflater(Level, true)
-    try {
-      d.setInput(s.getBytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 
