@@ -3080,14 +3080,15 @@ object SparkEntry {
     // with the shared quality-score fragment, dominant lang by
     // (n DESC, lang) rank, HUGEINT exact rationals for the two ratios
     "c49_datasheet" ->
-      s"""WITH cp AS (SELECT text, count(*) AS copies FROM documents GROUP BY 1),
-          dt AS (SELECT doc_id, source, lang, n_chars, text,
+      s"""WITH cp AS (SELECT md5(text) AS h, count(*) AS copies
+                 FROM documents GROUP BY 1),
+          dt AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h,
                    len($toks) AS nt FROM documents),
           en AS (SELECT dt.source, dt.lang, dt.n_chars, dt.nt,
                    q.quality_score AS q,
                    CASE WHEN cp.copies > 1 THEN 1 ELSE 0 END AS dup
                  FROM dt
-                 JOIN cp ON cp.text = dt.text
+                 JOIN cp ON cp.h = dt.h
                  JOIN ($qualityScoreSql) q ON q.doc_id = dt.doc_id),
           pl AS (SELECT source, lang, count(*) AS n,
                    CAST(sum(nt) AS BIGINT) AS tk,

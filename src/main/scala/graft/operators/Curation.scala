@@ -1612,23 +1612,28 @@ object Curation {
     * counts as duplicated HERE — dup clusters cross sources, which is
     * why this is one corpus-level report and not per-source runs).
     *
-    * Plan: one shuffle on the text key for corpus-wide copy counts (at
-    * 100 TB: group on xxhash64(text) digests, the d26 ship-digests
-    * posture), one aggregation to (source, lang) — everything after
-    * runs on the dimension-bounded (source × lang) table. The dominant
-    * language is a TWO-PHASE min_by over struct(−n, lang) (highest
-    * count, then lexicographic tie-break) — the d7 lesson: never a
-    * window over a corpus-keyed partition. */
+    * Plan: copy counting keys on md5 DIGESTS, never raw text — both
+    * the count shuffle and the join back ship 32-char digests instead
+    * of document bodies (the d26 ship-digests posture; md5 because
+    * both engines compute identical hex, and a false dup needs a
+    * same-digest collision — the d26 argument), one aggregation to
+    * (source, lang) — everything after runs on the dimension-bounded
+    * (source × lang) table. The dominant language is a TWO-PHASE
+    * min_by over struct(−n, lang) (highest count, then lexicographic
+    * tie-break) — the d7 lesson: never a window over a corpus-keyed
+    * partition. */
   def datasheet(documents: DataFrame): DataFrame = {
-    val copies = documents.groupBy(col("text"))
+    val digested = documents
+      .withColumn("_h", md5(col("text").cast("binary")))
+    val copies = digested.groupBy(col("_h"))
       .agg(count(lit(1)).as("copies"))
-    val perLang = documents
+    val perLang = digested
       .withColumn("_toks", tokens(col("text")))
-      .select(col("source"), col("lang"), col("text"),
+      .select(col("source"), col("lang"), col("_h"),
         size(col("_toks")).cast("long").as("_nt"),
         col("n_chars"),
         TextOps.qualityScoreCol(col("text"), col("_toks")).as("_q"))
-      .join(copies, "text")
+      .join(copies, "_h")
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("_nt")).as("tk"),
         sum(col("n_chars")).as("ch"), sum(col("_q")).as("qs"),
