@@ -2632,17 +2632,20 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    // d1/d12/d7 group on md5 DIGESTS (the ship-digests posture) — the
+    // oracle mirrors the digest key so the stated semantics match
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
-         GROUP BY text ORDER BY 1""",
+         GROUP BY md5(text) ORDER BY 1""",
     // d12 = d1 restricted to the even-id batch, minus texts the odd-id
     // corpus already holds — incremental ingest dedup, fully relational
     "d12_incremental_exact" ->
       """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          c AS (SELECT text FROM documents WHERE doc_id % 2 = 1)
          SELECT min(doc_id) AS doc_id, count(*) AS dup_count
-         FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.text = b.text)
-         GROUP BY text ORDER BY 1""",
+         FROM b WHERE NOT EXISTS
+           (SELECT 1 FROM c WHERE md5(c.text) = md5(b.text))
+         GROUP BY md5(text) ORDER BY 1""",
     // d16: window shingles with ordered positions (struct comprehension),
     // duplicate marking by count-over-shingle, then the q42 island merge
     // on token positions — w=8, so windows at p and p' overlap-or-touch
@@ -5401,9 +5404,9 @@ object SparkEntry {
           j AS (SELECT d.doc_id, d.text, q.quality_score
                 FROM documents d JOIN q ON d.doc_id = q.doc_id),
           r AS (SELECT doc_id, quality_score,
-                CAST(row_number() OVER (PARTITION BY text
+                CAST(row_number() OVER (PARTITION BY md5(text)
                   ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rn,
-                count(*) OVER (PARTITION BY text) AS dup_count FROM j)
+                count(*) OVER (PARTITION BY md5(text)) AS dup_count FROM j)
           SELECT doc_id, quality_score, CAST(dup_count AS BIGINT) AS dup_count
           FROM r WHERE rn = 1 ORDER BY doc_id""",
     "c10_funnel" ->

@@ -13,12 +13,16 @@ import graft.functions.ColumnFns._
   */
 object Dedup {
 
-  /** Exact dedup: hash-groupBy on content, keep the smallest id.
-    * One shuffle on the (hashed) text key; at 100 TB you'd group on
-    * xxhash64(text) first and only compare full text within a hash
-    * bucket — same plan shape. */
+  /** Exact dedup: hash-groupBy on content DIGESTS, keep the smallest
+    * id. The group key is md5(text), not text — the output carries no
+    * text, so only 16-byte digests ever cross the shuffle (the d26
+    * ship-digests posture; a wrong merge needs an md5 collision, and
+    * both engines compute identical digests so the oracle replays the
+    * same grouping). Map-side combinable. */
   def exact(documents: DataFrame): DataFrame =
-    documents.groupBy(col("text"))
+    documents
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+      .groupBy(col("_h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("dup_count"))
 
@@ -61,17 +65,19 @@ object Dedup {
     * within-batch duplicate count. The exact-dedup analogue of
     * [[minhashIncremental]] (every production ingest dedups the new
     * batch against what's already stored, not the union from scratch).
-    * Plan shape: one left-anti join on the text key (at 100 TB: on
-    * xxhash64(text), comparing full text only within a hash bucket —
-    * the [[exact]] shape) + the [[exact]] group-by on the surviving
-    * batch rows only. The corpus side is a single key scan — never
-    * grouped, never self-joined; with the corpus text-key table
-    * bucket-written (`Sources.writeBucketed`) the anti join needs no
-    * corpus-side shuffle at all. */
+    * Plan shape: one left-anti join on md5 DIGESTS (the [[exact]]
+    * key — both sides ship 16-byte digests, never text) + the
+    * [[exact]] group-by on the surviving batch rows only. The corpus
+    * side is a single key scan — never grouped, never self-joined;
+    * with the corpus digest table bucket-written
+    * (`Sources.writeBucketed`) the anti join needs no corpus-side
+    * shuffle at all. */
   def exactIncremental(batch: DataFrame, corpus: DataFrame): DataFrame =
     batch
-      .join(corpus.select(col("text")), Seq("text"), "left_anti")
-      .groupBy(col("text"))
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+      .join(corpus.select(md5(col("text").cast("binary")).as("_h")),
+        Seq("_h"), "left_anti")
+      .groupBy(col("_h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("dup_count"))
 
@@ -469,14 +475,14 @@ object Dedup {
     * d16/c38 two-phase rewrite removed. The argmax key is the
     * (quality, −doc_id) struct, reproducing the old quality-desc /
     * id-asc window order bit-for-bit (doc_id is unique, so the order is
-    * total). At 100 TB: group on xxhash64(text) and compare full text
-    * only within a hash bucket — same combinable plan shape. */
+    * total). The group key is md5(text) — the output carries no text,
+    * so only digests cross the shuffle (the [[exact]]/d26 posture). */
   def canonical(documents: DataFrame): DataFrame =
     documents
       .withColumn("_toks", tokens(col("text")))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("_h"),
         TextOps.qualityScoreCol(col("text"), col("_toks")).as("quality_score"))
-      .groupBy(col("text"))
+      .groupBy(col("_h"))
       .agg(
         max_by(struct(col("doc_id"), col("quality_score")),
           struct(col("quality_score"), negate(col("doc_id")))).as("_w"),
