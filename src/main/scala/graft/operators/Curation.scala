@@ -237,25 +237,31 @@ object Curation {
   }
 
   /** Corpus-boilerplate detection (the shingle generalization of
-    * CCNet-style line dedup): an n-gram shingle is boilerplate when it
-    * appears in ≥ `minDf` distinct documents; each document reports how
-    * much of it is boilerplate. Plan shape: explode distinct shingles →
-    * one shuffle to count document frequency → join back on the shingle
-    * key → per-doc aggregate. At 100 TB the df table is itself huge, so
-    * the join stays a shuffle join on the shingle hash (never broadcast),
-    * with map-side combine on both aggregations. */
+    * CCNet-style line dedup): an n-gram shingle is boilerplate when its
+    * corpus occurrence count is ≥ `minDf`; each document reports how
+    * much of it is boilerplate. TWO-PHASE, never a shingle-partitioned
+    * window (the d16/d7 lesson, applied here where it matters MOST: a
+    * boilerplate shingle is by definition the hottest key in the
+    * corpus — a window would land every one of its millions of
+    * occurrences on one reducer just to count them, while
+    * `groupBy(sh).count` partial-aggregates the hot shingle down to
+    * one row per map task and AQE skew-split covers the join back).
+    * The exploded shingle stream is materialized once and feeds all
+    * three passes (count, per-doc total, semi-join) — the
+    * repetitionSignals staging posture. */
   def boilerplate(documents: DataFrame, n: Int = 3, minDf: Long = 2): DataFrame = {
     val sh = documents
       .withColumn("_toks", tokens(col("text")))
       .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), n)).as("sh"))
-    // document frequency via a window over the shingle key: ONE shuffle of
-    // the exploded rows (a df-aggregate + join back would shuffle them on
-    // the same key AND re-run the explode pipeline for the second side)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    sh.withColumn("df", count(lit(1)).over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .localCheckpoint()
+    val boiler = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("sh"))
+    val total = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val nb = sh.join(boiler, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    total.join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
       // exact bigint/bigint division — bit-identical across engines
       .withColumn("boiler_ratio",
         col("n_boiler").cast("double") / col("n_shingles"))
