@@ -64,7 +64,14 @@ object Curation {
     * the tiny query-term and corpus-stat tables broadcast, so scoring
     * is a map over the candidate rows (docs containing a query term)
     * plus one doc-keyed join for lengths — no corpus-wide sort, and the
-    * per-term top-k is a window over candidates only. All constants
+    * per-term top-k is SALTED TWO-PHASE (top-k within (term, doc-hash
+    * salt) partitions, then the final rank over ≤ 32·k survivors per
+    * term): the query terms are the HIGHEST-df tokens by construction,
+    * so a single term-partitioned window would funnel the corpus's
+    * hottest posting lists each onto one reducer — the d16/d7 hot-key
+    * shape; per-salt top-k is exact (every global top-k row is in its
+    * salt's top-k under the total (score desc, doc_id) order), so the
+    * result is bit-identical. All constants
     * enter as single IEEE ops (k1+1 computed the same way in the
     * oracle), and the one `ln` carries the same negligible cross-engine
     * ulp risk c20's note documents. */
@@ -87,12 +94,17 @@ object Curation {
     val denom = col("tf") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
     val score = idf * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    val wSalt = Window.partitionBy(col("term"), col("salt"))
+      .orderBy(col("score").desc, col("doc_id"))
     val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
     terms.join(broadcast(qt.withColumnRenamed("term", "qterm")),
         col("term") === col("qterm"))
       .join(dlen, "doc_id")
       .crossJoin(broadcast(n)).crossJoin(broadcast(tt))
       .withColumn("score", decRound(score, 6))
+      .withColumn("salt", pmod(col("doc_id"), lit(32L)))
+      .withColumn("rk1", row_number().over(wSalt))
+      .filter(col("rk1") <= k)
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("term"), col("rank"), col("doc_id"), col("score"))
