@@ -259,11 +259,15 @@ object Dedup {
   def minhashPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
                            maxBucket: Int = 1000): DataFrame = {
     val banded = bandedSigs(sigs)
-    // skew guard: drop degenerate buckets (> maxBucket members)
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bsz") <= maxBucket)
+    // skew guard: drop degenerate buckets (> maxBucket members) —
+    // TWO-PHASE (groupBy + semi-join), never a bucket-partitioned
+    // window: the buckets this guard exists for (thousands of copies
+    // of one page sharing every band hash) are exactly the ones a
+    // window would funnel onto one reducer just to count
+    val admitted = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
+    val sized = banded.join(admitted, Seq("band", "bh"), "left_semi")
     val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(sized.select(col("band").as("band2"), col("bh").as("bh2"), col("doc_id").as("doc_b")),
         col("band") === col("band2") && col("bh") === col("bh2") &&
@@ -399,12 +403,14 @@ object Dedup {
     * table — same reuse rationale as [[minhashPairsFromSigs]]. */
   def simhashPairsFromSigs(sg: DataFrame, maxDist: Int = 3,
                            maxBucket: Int = 1000): DataFrame = {
-    val banded = sg.select(col("doc_id"), col("sig"),
+    val banded0 = sg.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("c"), col("chunk"))))
-      .filter(col("bsz") <= maxBucket)
+    // two-phase skew guard (see minhashPairsFromSigs)
+    val admitted = banded0.groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select(col("c"), col("chunk"))
+    val banded = banded0.join(admitted, Seq("c", "chunk"), "left_semi")
     val cand = banded.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(banded.select(col("c").as("c2"), col("chunk").as("chunk2"),
           col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -1177,10 +1183,12 @@ object Dedup {
     * the evaluated population IS the population dedup actually sees. */
   def minhashEvalFromSigs(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val banded = bandedSigs(sigs)
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bsz") <= maxBucket)
+    // two-phase skew guard, byte-identical admitted set to
+    // minhashPairsFromSigs (the shared-population contract)
+    val admitted = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
+    val sized = banded.join(admitted, Seq("band", "bh"), "left_semi")
     val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(sized.select(col("band").as("band2"), col("bh").as("bh2"),
           col("doc_id").as("doc_b")),
