@@ -1283,8 +1283,11 @@ object SparkEntry {
     // zlib-build-specific, so they stage as parquet and DuckDB replays
     // the ratio + cross-multiplied integer gate relationally over them
     "c47_compression_gate" -> ((s, d) => {
+      // localCheckpoint: the staging write AND the returned result both
+      // consume the gate — without materialization the corpus is
+      // DEFLATED twice (the deflate loop is this gate's entire cost)
       val gate = Curation.compressionGate(
-        plantCompressibility(t(s, d, "documents")))
+        plantCompressibility(t(s, d, "documents"))).localCheckpoint()
       gate.select(col("doc_id"), col("comp_len")).coalesce(1)
         .write.mode("overwrite").parquet(stageDir(d) + "/c47_comp")
       gate
@@ -1417,6 +1420,8 @@ object SparkEntry {
     // deflate expression is a pure projection); the streamed result's
     // counts stage for the same relational oracle replay as c47
     "st23_compression_stream" -> ((s, d) => {
+      // the stream driver already materializes per-batch rows into a
+      // local frame, so no checkpoint is needed before staging
       val out = graft.streaming.StreamDrivers.compressionFileStream(
         Tables.tune(s), d, plantCompressibility(t(s, d, "documents")))
       out.select(col("doc_id"), col("comp_len")).coalesce(1)
@@ -3026,8 +3031,9 @@ object SparkEntry {
             CAST(CAST(max(thr) AS DECIMAL(38,6)) AS DOUBLE) AS thr,
             count(*) AS n_kept, min(score) AS min_score_kept
           FROM k GROUP BY source ORDER BY source""",
-    // c36: water-filling replay — the EXACT integer (cap·1e12)//weight
-    // sort key with the source tie-break, strict-prefix running sums,
+    // c36: water-filling replay — the (cap//weight, double quotient,
+    // source) sort key (exact integer part, IEEE refiner — overflow-
+    // free at any corpus size), strict-prefix running sums,
     // the cross-multiplied all-integer capped test, floor-division
     // fill, HUGEINT-rational epochs (the ratRound replay — the round-10
     // half-tie FAIL was epochs through a double quotient)
@@ -3035,7 +3041,7 @@ object SparkEntry {
     // partitioning recovers the shard dir value), recomputes the
     // manifest and the placement check from the same hash replay
     "c52_shard_write" ->
-      s"""WITH w AS (SELECT doc_id, text, CAST(shard AS BIGINT) AS shard
+      s"""WITH w AS (SELECT doc_id, text, CAST(shard AS INTEGER) AS shard
              FROM read_parquet('__GRAFT_STAGE__/c52_shards/*/*.parquet',
                hive_partitioning = true)),
           m AS (SELECT doc_id, text, shard,
@@ -3162,7 +3168,8 @@ object SparkEntry {
                  coalesce(sum(cap) OVER w, 0) AS pre_cap,
                  coalesce(sum(weight) OVER w, 0) AS pre_w
                  FROM st2, tot
-                 WINDOW w AS (ORDER BY (CAST(cap AS HUGEINT) * 1000000000000) // weight, source
+                 WINDOW w AS (ORDER BY cap // weight,
+                     CAST(cap AS DOUBLE) / weight, source
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
           cp AS (SELECT *,
                  (weight * (budget - pre_cap) >= cap * (tot_w - pre_w)) AS capped

@@ -414,11 +414,17 @@ object Curation {
     * WATER-FILLING, solved relationally:
     *
     * sort sources by cap/weight ascending (the order in which caps
-    * bind) — keyed on the EXACT integer `(cap · 10^12) div weight`
-    * (floor division in DECIMAL(38,0) / HUGEINT, never an IEEE
-    * quotient on the decision path; distinct small-weight rationals
-    * differ by ≥ 1/w² ≫ 10^-12, so the scaled floor preserves the true
-    * order) with the source name as total-order tie-break — take
+    * bind) — keyed on `(cap div weight, cap/weight as double, source)`:
+    * the exact long integer part first (plain long division — never
+    * overflows, unlike a scaled `cap·10^k div weight` whose quotient
+    * exceeds Long past cap/weight ≈ 9.2·10^(18−k)), the IEEE double
+    * quotient as the within-integer refiner (both engines IEEE-divide
+    * the same two integers, so the bits — and the order — are
+    * identical), and the source name as total-order tie-break. Two
+    * sources whose true rationals differ only beyond double precision
+    * order by name — deterministically and identically on both
+    * engines (the allocation DECISIONS stay all-integer regardless) —
+    * take
     * running sums of cap and weight over the strict prefix, and source
     * i is capped iff its fair share at that point already exceeds its
     * cap: `w_i · (B − Σ_prefix cap) ≥ cap_i · (W − Σ_prefix w)` — a
@@ -451,7 +457,8 @@ object Curation {
         .cast("long").as("budget"),
       sum(col("weight")).as("tot_w"))
     val ord = Window.orderBy(
-      expr("(CAST(cap AS DECIMAL(38,0)) * 1000000000000) div weight").asc,
+      expr("cap div weight").asc,
+      (col("cap").cast("double") / col("weight")).asc,
       col("source").asc)
     val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
     val ranked = stats.crossJoin(broadcast(totals))
@@ -1146,6 +1153,10 @@ object Curation {
                     seed: Long = 104729L): DataFrame =
     written
       .withColumn("_expect", shardCol(nShards, seed))
+      // pin the partition column's type: hive-style inference types the
+      // read-back shard=N value by magnitude, and the manifest schema
+      // must not depend on how many shards the layout happens to have
+      .withColumn("shard", col("shard").cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),

@@ -256,18 +256,27 @@ object Dedup {
     * the table reuse one computation instead of re-shingling the corpus
     * per consumer. Banding stays the single [[bandedSigs]] code path the
     * incremental==full-recompute equality depends on. */
+  /** Shared two-phase bucket skew guard: rows of `df` whose bucket
+    * (the `keys` tuple) holds ≤ maxBucket members. GroupBy + semi-join,
+    * never a bucket-partitioned window — the over-full buckets being
+    * dropped are exactly the hottest keys (thousands of copies of one
+    * page sharing every band hash), and a window would funnel each onto
+    * one reducer just to count it; the combinable count partial-
+    * aggregates map-side and AQE skew-split covers the join back. One
+    * definition for every LSH pair path, so the d2/d27 byte-identical-
+    * admitted-set contract cannot drift. */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame = {
+    val admitted = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(keys.map(col): _*)
+    df.join(admitted, keys, "left_semi")
+  }
+
   def minhashPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
                            maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedSigs(sigs)
-    // skew guard: drop degenerate buckets (> maxBucket members) —
-    // TWO-PHASE (groupBy + semi-join), never a bucket-partitioned
-    // window: the buckets this guard exists for (thousands of copies
-    // of one page sharing every band hash) are exactly the ones a
-    // window would funnel onto one reducer just to count
-    val admitted = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
-    val sized = banded.join(admitted, Seq("band", "bh"), "left_semi")
+    val sized = capBuckets(bandedSigs(sigs), Seq("band", "bh"), maxBucket)
     val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(sized.select(col("band").as("band2"), col("bh").as("bh2"), col("doc_id").as("doc_b")),
         col("band") === col("band2") && col("bh") === col("bh2") &&
@@ -403,14 +412,11 @@ object Dedup {
     * table — same reuse rationale as [[minhashPairsFromSigs]]. */
   def simhashPairsFromSigs(sg: DataFrame, maxDist: Int = 3,
                            maxBucket: Int = 1000): DataFrame = {
-    val banded0 = sg.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("(sig >> (c * 16)) & 65535"))
-    // two-phase skew guard (see minhashPairsFromSigs)
-    val admitted = banded0.groupBy(col("c"), col("chunk"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket).select(col("c"), col("chunk"))
-    val banded = banded0.join(admitted, Seq("c", "chunk"), "left_semi")
+    val banded = capBuckets(
+      sg.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk", expr("(sig >> (c * 16)) & 65535")),
+      Seq("c", "chunk"), maxBucket)
     val cand = banded.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(banded.select(col("c").as("c2"), col("chunk").as("chunk2"),
           col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -1182,13 +1188,9 @@ object Dedup {
     * to [[minhashPairsFromSigs]] (same banding, same bucket cap), so
     * the evaluated population IS the population dedup actually sees. */
   def minhashEvalFromSigs(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedSigs(sigs)
-    // two-phase skew guard, byte-identical admitted set to
-    // minhashPairsFromSigs (the shared-population contract)
-    val admitted = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket).select(col("band"), col("bh"))
-    val sized = banded.join(admitted, Seq("band", "bh"), "left_semi")
+    // the SAME capBuckets call as minhashPairsFromSigs — the admitted
+    // set (and so the evaluated population) is identical by definition
+    val sized = capBuckets(bandedSigs(sigs), Seq("band", "bh"), maxBucket)
     val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(sized.select(col("band").as("band2"), col("bh").as("bh2"),
           col("doc_id").as("doc_b")),

@@ -1328,15 +1328,7 @@ object Multimodal {
     val allChunks = phashChunks(sigs)
     val chunks =
       if (maxBucket <= 0) allChunks
-      else {
-        // two-phase skew guard (the minhashPairsFromSigs shape): the
-        // over-full buckets being dropped are the hottest keys — count
-        // them with a combinable groupBy, never a bucket window
-        val admitted = allChunks.groupBy(col("c"), col("v"))
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= maxBucket).select(col("c"), col("v"))
-        allChunks.join(admitted, Seq("c", "v"), "left_semi")
-      }
+      else Dedup.capBuckets(allChunks, Seq("c", "v"), maxBucket)
     val cand = chunks.join(
         chunks.select(col("doc_id").as("doc_b"), col("c").as("c2"), col("v").as("v2")),
         col("c") === col("c2") && col("v") === col("v2") &&

@@ -37,6 +37,9 @@ object GraftFunctions {
       "built-in")
     // single-pass script-aware tokenization (the t-family's hot loop —
     // fuses segmentScripts+trim+lower+split+filter into one scan)
+    registry.createOrReplaceTempFunction("graft_tokens",
+      FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0))),
+      "built-in")
     // Luhn checksum validity (payment-card PII verification — see Luhn)
     registry.createOrReplaceTempFunction("graft_luhn",
       FnArity.checked("graft_luhn", 1)(args => LuhnValid(args(0))),
@@ -44,9 +47,6 @@ object GraftFunctions {
     // compressed-size quality signal (DEFLATE byte count — see Compress)
     registry.createOrReplaceTempFunction("graft_deflate_len",
       FnArity.checked("graft_deflate_len", 1)(args => DeflateLen(args(0))),
-      "built-in")
-    registry.createOrReplaceTempFunction("graft_tokens",
-      FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0))),
       "built-in")
     // rank-weighted char-n-gram profile scoring (t14's hot loop);
     // args: (text, array<string> profile table — see NgramScores.parse)

@@ -67,11 +67,24 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
     if (arts.isEmpty) cancel("no driver CORRECTNESS artifact present")
     val newest = arts.maxBy(f =>
       "\\d+".r.findFirstIn(f.getName).get.toInt)
-    val txt = scala.io.Source.fromFile(newest, "UTF-8").mkString
-    val block = """"([a-z0-9_]+)":\s*\{([^}]*)\}""".r
-    val driverRed = block.findAllMatchIn(txt).collect {
-      case m if m.group(2).contains("\"hash_match\": false") => m.group(1)
-    }.toSet
+    // real JSON parse (json4s ships with Spark) — a regex over the
+    // serialized form would silently match nothing under a different
+    // driver formatting and leave this guard vacuously green, which is
+    // the exact failure mode it exists to prevent
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(
+      scala.io.Source.fromFile(newest, "UTF-8").mkString)
+    val driverRed = parsed match {
+      case JObject(fields) => fields.collect {
+        case (key, JObject(kv))
+          if kv.exists { case (n, v) =>
+            n == "hash_match" && v == JBool(false) } => key
+      }.toSet
+      case _ => fail(s"${newest.getName} is not a JSON object")
+    }
+    assert(driverRed.subsetOf(SparkEntry.queries.keySet) || driverRed.isEmpty,
+      s"driver artifact names unknown keys: ${driverRed -- SparkEntry.queries.keySet}")
     driverRed.foreach { k =>
       val st = surveyStatus.getOrElse(k, "")
       assert(st != "done",
