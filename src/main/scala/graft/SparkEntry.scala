@@ -243,6 +243,38 @@ object SparkEntry {
         lit(" non\u00a0breaking co\u00adoperate")).otherwise(lit(""))
     ).as("text"))
 
+  /** Deterministic planted multi-script text for the t25 gate: the
+    * corpus is ASCII English (every script count but Latin would be
+    * zero), so both tails are planted — REPLACE slices where a
+    * non-Latin script dominates (%31==4 docs become pure Cyrillic,
+    * %37==6 pure CJK with a kana tail — exercising the argmax away
+    * from Latin and the zero-Latin share) and APPEND slices (mixed
+    * documents, Latin still dominant): Cyrillic %6==1, CJK %6==2
+    * (disjoint), Greek %10==3, Arabic %14==5, Hangul %22==7, Hebrew
+    * %26==9 — the moduli overlap so some docs carry several scripts.
+    * Replacement wins over appends (CASE order); the oracle replays
+    * the CASE verbatim (visible UTF-8 literals — the t21 precedent). */
+  private[graft] def plantScripts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(31)) === 4,
+        lit("данные поток движок обработка данных"))
+      .when(pmod(col("doc_id"), lit(37)) === 6,
+        lit("数据处理引擎 データ処理"))
+      .otherwise(concat(col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 1,
+          lit(" привет мир данные")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 2,
+          lit(" 数据处理引擎テスト")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(10)) === 3,
+          lit(" δεδομένα ροή")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(14)) === 5,
+          lit(" بيانات ضخمة")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(22)) === 7,
+          lit(" 한국어 데이터")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(26)) === 9,
+          lit(" נתונים גדולים")).otherwise(lit(""))))
+        .as("text"))
+
   /** Deterministic planted within-doc repetition for the t23 gate: the
     * corpus is newline-free non-stuttering prose, so each signal gets
     * its own slice — %4==1 docs repeat a planted line twice (duplicate
@@ -517,6 +549,7 @@ object SparkEntry {
     "t20_card_scrub" -> Seq("doc_id"),
     "t23_rep_signals" -> Seq("doc_id"),
     "t24_invisible_scrub" -> Seq("doc_id"),
+    "t25_script_mix" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -989,6 +1022,10 @@ object SparkEntry {
     // pure-map scrub, fully relational oracle via chr() codepoints
     "t24_invisible_scrub" -> ((s, d) =>
       TextOps.scrubInvisible(plantInvisible(t(s, d, "documents")))),
+    // Unicode-script routing profile over planted multi-script text;
+    // pure-map seven-class histogram, fully relational oracle
+    "t25_script_mix" -> ((s, d) =>
+      TextOps.scriptMix(plantScripts(t(s, d, "documents")))),
     // within-doc Gopher repetition signals over the planted stutters;
     // fully relational oracle (lines, 2-grams, 5-gram coverage)
     "t23_rep_signals" -> ((s, d) =>
@@ -4801,6 +4838,68 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '\x{00A0}')) AS INTEGER)
              AS n_nbsp
          FROM aug ORDER BY doc_id""",
+    // t25: plant replay (visible UTF-8 literals, the t21 precedent),
+    // the same fixed codepoint-range classes (\x{...} ranges parse
+    // identically in java.util.regex and RE2), dominant via parallel
+    // unnest + row_number (count DESC, name ASC — the struct-greatest
+    // tie order), latin share as the exact HUGEINT rational
+    "t25_script_mix" ->
+      """WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 31 = 4
+                    THEN 'данные поток движок обработка данных'
+                  WHEN doc_id % 37 = 6 THEN '数据处理引擎 データ処理'
+                  ELSE text ||
+               CASE WHEN doc_id % 6 = 1 THEN ' привет мир данные'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 6 = 2 THEN ' 数据处理引擎テスト'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 10 = 3 THEN ' δεδομένα ροή'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 14 = 5 THEN ' بيانات ضخمة'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 22 = 7 THEN ' 한국어 데이터'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 26 = 9 THEN ' נתונים גדולים'
+                    ELSE '' END
+             END AS text FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]'))
+               AS BIGINT) AS n_arabic,
+             CAST(len(regexp_extract_all(text,
+               '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS BIGINT) AS n_cjk,
+             CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]'))
+               AS BIGINT) AS n_cyrillic,
+             CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]'))
+               AS BIGINT) AS n_greek,
+             CAST(len(regexp_extract_all(text,
+               '[\x{AC00}-\x{D7A3}\x{1100}-\x{11FF}]')) AS BIGINT) AS n_hangul,
+             CAST(len(regexp_extract_all(text, '[\x{0590}-\x{05FF}]'))
+               AS BIGINT) AS n_hebrew,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]'))
+               AS BIGINT) AS n_latin
+           FROM aug),
+         tot AS (SELECT *, n_arabic + n_cjk + n_cyrillic + n_greek
+               + n_hangul + n_hebrew + n_latin AS n_script FROM c),
+         u AS (SELECT doc_id,
+             unnest(['arabic','cjk','cyrillic','greek',
+                     'hangul','hebrew','latin']) AS name,
+             unnest([n_arabic, n_cjk, n_cyrillic, n_greek,
+                     n_hangul, n_hebrew, n_latin]) AS cnt FROM tot),
+         dm AS (SELECT doc_id, name FROM (
+             SELECT doc_id, name, row_number() OVER
+               (PARTITION BY doc_id ORDER BY cnt DESC, name) AS rk FROM u)
+           WHERE rk = 1)
+         SELECT t.doc_id, t.n_script, t.n_arabic, t.n_cjk, t.n_cyrillic,
+           t.n_greek, t.n_hangul, t.n_hebrew, t.n_latin,
+           CASE WHEN t.n_script > 0 THEN dm.name ELSE 'none' END
+             AS dominant_script,
+           CASE WHEN t.n_script > 0 THEN
+             CAST(CAST((CAST(t.n_latin AS HUGEINT) * 2000000 + t.n_script)
+                 // (2 * CAST(t.n_script AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0
+           END AS latin_share
+         FROM tot t JOIN dm USING (doc_id) ORDER BY t.doc_id""",
     // t23: plant replay, then each signal relationally — trimmed
     // nonempty line counts, 2-gram argmax by (count DESC, gram) with
     // chars = len(g) − 1 a pure function of the gram, 5-gram coverage

@@ -869,4 +869,66 @@ object TextOps {
             " - 2143 * n_words * n_sentences",
           "100 * n_words * n_sentences")))
   }
+
+  /** Unicode-script classes for [[scriptMix]], name → character class,
+    * names in ALPHABETICAL order (the dominant-script tie order).
+    * FIXED codepoint ranges, not `\p{IsXxx}` script properties: ranges
+    * are identical byte-for-byte in java.util.regex and RE2 and cannot
+    * drift between the JVM's and the oracle engine's Unicode tables
+    * (the [[graft.functions.ColumnFns.segmentScripts]] scaladoc's
+    * post-Unicode-13 disagreement window does not exist here). The
+    * Latin class is ASCII letters + Latin-1/Extended-A/B letters with
+    * the two stray math signs in that block (× U+00D7, ÷ U+00F7)
+    * excluded; CJK is Han + Hiragana + Katakana (one routing class —
+    * they share a tokenizer path); Hangul is syllables + jamo. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "arabic"   -> "[\\x{0600}-\\x{06FF}]",
+    "cjk"      -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek"    -> "[\\x{0370}-\\x{03FF}]",
+    "hangul"   -> "[\\x{AC00}-\\x{D7A3}\\x{1100}-\\x{11FF}]",
+    "hebrew"   -> "[\\x{0590}-\\x{05FF}]",
+    "latin"    -> ("[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}" +
+      "\\x{00F8}-\\x{024F}]"))
+
+  /** Unicode-script mix profile — the ROUTING layer ahead of language
+    * ID: t1/t14 assume one writing system (stopword lists and trigram
+    * profiles are per-language models), so a multilingual crawl slice
+    * must be split by SCRIPT before any tokenizer or LM choice, and
+    * mixed-script documents (spam wedging Cyrillic look-alikes into
+    * Latin words, code-switched text) are a curation signal in their
+    * own right. Per document: the seven [[scriptClasses]] counts,
+    * their total `n_script`, the DOMINANT script (max count, ties to
+    * the alphabetically first name — engine-deterministic; `"none"`
+    * when no script letter occurs), and the Latin share as an exact
+    * rational ([[graft.functions.ColumnFns.ratRound]] — integer-ratio
+    * quotients through a double boundary are the banned half-tie
+    * trap). Plan shape: pure map — seven codegen regex scans, no
+    * shuffle, no UDF, no explode; the argmax is a `greatest()` over
+    * (count, priority, name) structs evaluated per row. At 100 TB this
+    * is a single embarrassingly-parallel pass fused into whatever scan
+    * feeds it. */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    val names = scriptClasses.map(_._1)
+    val counted = scriptClasses.foldLeft(documents) { case (df, (nm, pat)) =>
+      df.withColumn(s"n_$nm",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    val total = names.map(nm => col(s"n_$nm")).reduce(_ + _)
+    // struct comparison is field-order lexicographic: max count first,
+    // then max priority = alphabetically FIRST name (priority reverses
+    // the alphabetical index); the name field is carried, never compared
+    val dominant = greatest(names.zipWithIndex.map { case (nm, i) =>
+      struct(col(s"n_$nm").as("cnt"),
+        lit(names.size - 1 - i).as("pri"), lit(nm).as("name"))
+    }: _*).getField("name")
+    counted
+      .withColumn("n_script", total)
+      .select(col("doc_id") +: col("n_script") +:
+        names.map(nm => col(s"n_$nm")) :+
+        when(col("n_script") > 0, dominant).otherwise(lit("none"))
+          .as("dominant_script") :+
+        when(col("n_script") > 0, ratRound("n_latin", "n_script", 6))
+          .as("latin_share"): _*)
+  }
 }
