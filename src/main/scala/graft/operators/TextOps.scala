@@ -880,7 +880,21 @@ object TextOps {
     * Latin class is ASCII letters + Latin-1/Extended-A/B letters with
     * the two stray math signs in that block (× U+00D7, ÷ U+00F7)
     * excluded; CJK is Han + Hiragana + Katakana (one routing class —
-    * they share a tokenizer path); Hangul is syllables + jamo. */
+    * they share a tokenizer path); Hangul is syllables + jamo.
+    *
+    * DELIBERATELY NARROW contract (fixed-range stability beats recall
+    * here, and both sides of the oracle share the same boundary):
+    * Latin ends at U+024F, so Latin Extended Additional letters
+    * (U+1E00–U+1EFF, e.g. Vietnamese precomposed vowels) count as NO
+    * script — a mostly-precomposed-Vietnamese doc can route to `none`
+    * or a minority script; the CJK class also omits the ideographic
+    * iteration mark U+3005 and Katakana Phonetic Extensions
+    * (U+31F0–U+31FF), which the broader `\p{IsHan}`/`\p{IsKatakana}`
+    * classes in [[graft.functions.ColumnFns.segmentScripts]] DO cover
+    * — the two CJK notions intentionally differ (routing wants a
+    * version-stable fixed range; segmentation wants per-char
+    * property coverage). Widening any class must change this Seq and
+    * the t25 oracle regex in the SAME commit. */
   val scriptClasses: Seq[(String, String)] = Seq(
     "arabic"   -> "[\\x{0600}-\\x{06FF}]",
     "cjk"      -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
