@@ -661,16 +661,20 @@ object Dedup {
     * [[minhashPairs]]/[[minhashPairsFromSigs]] — the clustering and
     * weighting are pair-source-agnostic. Weight is a raw IEEE double
     * `1.0 / n` (identical division both engines, no rounding boundary).
-    * One clustering pass + one cluster-keyed window — the corpus never
-    * self-joins here beyond the pair generator itself. */
+    * One clustering pass + one TWO-PHASE cluster-size count (map-side
+    * combinable `groupBy.count` joined back, the d7/c6 posture — never a
+    * cluster-keyed window: the hottest cluster is by definition the
+    * hyper-duplicated page, exactly the key a window would funnel
+    * through one task; the count join is AQE-splittable). The corpus
+    * never self-joins here beyond the pair generator itself. */
   def softDedupWeights(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val clusters = duplicateClustersFrom(
       documents.select(col("doc_id").as("vec_id")),
       ngramJaccardPairs(documents, threshold)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
-    clusters
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    clusters.join(sizes, Seq("cluster_id"))
       .select(col("vec_id").as("doc_id"), col("cluster_id"), col("n_members"),
         (lit(1.0) / col("n_members")).as("weight"))
   }
@@ -949,21 +953,22 @@ object Dedup {
     // right trade.
     val v = embeddingSignCodes(embeddings, numPlanes)
     val banded = codeBandRows(v, numPlanes, bitsPerBand)
-    // optional skew guard (see Scaladoc: opt-in, b ≥ 8 regime only)
-    val guarded = if (!capped) banded else banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("chunk"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    // optional skew guard (see Scaladoc: opt-in, b ≥ 8 regime only) —
+    // the shared two-phase capBuckets, same as every other LSH path:
+    // the buckets being dropped are exactly the hottest keys, so a
+    // bucket-keyed count window would funnel each onto one reducer
+    // just to count what it's about to discard
+    val guarded = if (!capped) banded
+                  else capBuckets(banded, Seq("band", "chunk"), maxBucket)
     // Explicit bucket-key repartition: exactly the exchange the shuffled
     // self-join needs (so free at scale), and it pins the probe's
     // parallelism to shuffle.partitions regardless of input file layout —
     // without it, AQE broadcasts the small banded side and the 16M-pair
     // probe runs at the parquet scan's partition count (1 for a small
-    // file: measured 2.4× on d8 at sf0.1). The capped branch already
-    // hash-shuffles on (band, chunk) for the skew-guard window, so
-    // repartitioning there would add a second identical exchange.
-    val sized = if (capped) guarded else guarded.repartition(col("band"), col("chunk"))
+    // file: measured 2.4× on d8 at sf0.1). Both branches repartition:
+    // capBuckets' count shuffle feeds an aggregate, not the self-join's
+    // exchange, so the capped branch needs the explicit exchange too.
+    val sized = guarded.repartition(col("band"), col("chunk"))
     val a = sized.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("code").as("code_a"))
     val b = sized.select(col("band").as("band2"), col("chunk").as("chunk2"),
@@ -1014,8 +1019,13 @@ object Dedup {
     * applies), and one doc-keyed sort for the island merge — all linear
     * in total token count with bounded reducers. At 100 TB shuffle
     * xxhash64(shingle) instead of the string (8 bytes vs ~10·w, same
-    * plan, collision odds 2^-64 per pair — the standard trade); the
-    * string key is kept here for engine-exact oracle replay. */
+    * plan, collision odds 2^-64 per pair — the standard trade):
+    * `hashKeys = true` (the DEFAULT — production posture) rewrites the
+    * key column to the 64-bit hash before the count + semi-join, so
+    * only 8-byte keys ever cross the shuffle; the OUTPUT (doc-keyed
+    * span positions) is identical modulo astronomically-unlikely hash
+    * collisions, which is why the string-replaying oracle still gates
+    * the hashed path (HashedSpanSpec pins the on/off equality). */
   /** (doc_id, p, sh): every w-token window of every document, 1-based
     * start position, shingle = space-joined window tokens. */
   private[operators] def windowOccurrences(documents: DataFrame, w: Int): DataFrame =
@@ -1027,6 +1037,11 @@ object Dedup {
         sequence(lit(1), col("n") - (w - 1)),
         i => concat_ws(" ", slice(col("toks"), i, lit(w))))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+
+  /** Swap the string shingle key for its xxhash64 when `hashKeys` —
+    * the 100 TB shuffle-byte posture shared by the span tiers. */
+  private def keyedOcc(occ: DataFrame, hashKeys: Boolean): DataFrame =
+    if (hashKeys) occ.withColumn("sh", xxhash64(col("sh"))) else occ
 
   /** Merge duplicate window positions (doc_id, p) into maximal spans —
     * windows at p and p' overlap-or-touch iff p' ≤ p + w. */
@@ -1067,8 +1082,10 @@ object Dedup {
       .select(col("doc_id"), col("p"))
   }
 
-  def dupSpans(documents: DataFrame, w: Int = 8): DataFrame =
-    mergeIslands(dupWindowPositions(windowOccurrences(documents, w)), w)
+  def dupSpans(documents: DataFrame, w: Int = 8,
+               hashKeys: Boolean = true): DataFrame =
+    mergeIslands(dupWindowPositions(
+      keyedOcc(windowOccurrences(documents, w), hashKeys)), w)
 
   /** Character-window variant of [[dupSpans]] — catches repeats SHORTER
     * than the token tier's w=8 windows and repeats that cross token
@@ -1082,10 +1099,12 @@ object Dedup {
     * signal). The token tier stays the default scale path: char windows
     * emit one ~w-char shingle per CHARACTER (≈5× the token tier's
     * per-token emission at w=8), so run this tier with the same
-    * xxhash64-the-shingle swap at 100 TB and expect ~w× the token
-    * tier's shuffle bytes; the plan is the same two-phase count +
-    * semi-join + doc-keyed island sort, linear in corpus size. */
-  def dupSpansChars(documents: DataFrame, w: Int = 20): DataFrame = {
+    * xxhash64-the-shingle swap at 100 TB (the default `hashKeys`) and
+    * expect ~w× the token tier's shuffle bytes; the plan is the same
+    * two-phase count + semi-join + doc-keyed island sort, linear in
+    * corpus size. */
+  def dupSpansChars(documents: DataFrame, w: Int = 20,
+                    hashKeys: Boolean = true): DataFrame = {
     val occ = documents
       .withColumn("n", length(col("text")))
       .filter(col("n") >= w)
@@ -1093,7 +1112,7 @@ object Dedup {
         sequence(lit(1), col("n") - (w - 1)),
         i => col("text").substr(i, lit(w)))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
-    mergeIslands(dupWindowPositions(occ), w)
+    mergeIslands(dupWindowPositions(keyedOcc(occ, hashKeys)), w)
       .withColumnRenamed("n_span_tokens", "n_span_chars")
   }
 
@@ -1103,9 +1122,15 @@ object Dedup {
     * once (bucketed on sh at scale); each ingest batch probes it. The
     * window width rides along so [[dupSpansIncremental]] can refuse an
     * artifact built at a different w (mismatched shingles would never
-    * collide and corpus membership would silently stop firing). */
-  def dupSpanShingles(documents: DataFrame, w: Int = 8): DataFrame =
-    windowOccurrences(documents, w)
+    * collide and corpus membership would silently stop firing).
+    * `hashKeys` (default on, the production posture) keys the artifact
+    * by xxhash64(shingle) — 8-byte keys in the persisted table AND in
+    * every ingest probe's shuffle; the probe side detects the keying
+    * from the artifact's `sh` column TYPE, so a string artifact and a
+    * hashed probe can never silently join to empty. */
+  def dupSpanShingles(documents: DataFrame, w: Int = 8,
+                      hashKeys: Boolean = true): DataFrame =
+    keyedOcc(windowOccurrences(documents, w), hashKeys)
       .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
       .withColumn("w", lit(w))
 
@@ -1126,12 +1151,18 @@ object Dedup {
         require(r.getInt(0) == w,
           s"corpus shingle artifact was built with w=${r.getInt(0)}, probe uses w=$w")
       }
+    // probe keying FOLLOWS the artifact: a hashed artifact (LongType sh,
+    // the production default) hashes the batch windows identically; a
+    // string artifact keeps strings — the two can never silently join
+    // to empty on mismatched key forms
+    val hashed = corpusShingles.schema("sh").dataType ==
+      org.apache.spark.sql.types.LongType
     // a batch window is duplicated iff its shingle repeats WITHIN the
     // batch or exists in the corpus artifact — the dup-shingle set is
     // the union of the two key tables, and the semi-join back keeps the
     // marking two-phase (see dupWindowPositions' skew rationale; the
     // within-batch count is map-side combined, never a window)
-    val occ = windowOccurrences(batch, w)
+    val occ = keyedOcc(windowOccurrences(batch, w), hashed)
     val dupSh = occ.groupBy(col("sh")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("sh"))
       .union(corpusShingles.select(col("sh")))

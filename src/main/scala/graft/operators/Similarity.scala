@@ -307,17 +307,50 @@ object Similarity {
       .select(col("cid"), col("vec_id"))
   }
 
+  /** Uniform seedless FIT sample: when `v` holds more than `cap` rows,
+    * keep the rows whose `xxhash64(vec_id)` falls in the smallest
+    * cap/n slice of the hash space (one count to size the threshold,
+    * one filter — no global sort, no seed, engine-independent like
+    * every other hash idiom here), materialized so iterative fits scan
+    * ~cap rows per pass instead of the corpus. At gate scale (n ≤ cap)
+    * this is the IDENTITY — the relational oracles that replay fits
+    * over the full frame stay byte-identical — while at 100 TB a
+    * k-means/PQ codebook is a ~20 KB artifact whose quality saturates
+    * long before 10⁵ training vectors (Jégou et al. fit on ~100k), so
+    * scanning the corpus iters× to fit it is pure waste. `cap ≤ 0`
+    * disables sampling. Threshold membership is a prefix of the hash
+    * order, so the smallest-hash seed/pivot ids are always inside the
+    * sample whenever it holds ≥ k rows. */
+  private[graft] def fitSample(v: DataFrame, cap: Int): DataFrame = {
+    if (cap <= 0) return v
+    val n = v.count()
+    if (n <= cap) v
+    else {
+      val thr = (BigInt(Long.MinValue) +
+        (BigInt(cap) * (BigInt(1) << 64)) / BigInt(n)).toLong
+      v.filter(xxhash64(col("vec_id")) < lit(thr)).localCheckpoint()
+    }
+  }
+
+  /** Default fit-sample cap shared by the iterative index fits. */
+  private[graft] val FitCap = 100000
+
   /** The Lloyd iteration loop, returning the final centroids (the
     * persistable model artifact). `v` must be a materialized
-    * (vec_id, v: array<double>) frame. */
-  private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    * (vec_id, v: array<double>) frame. The ITERATION sums run over a
+    * [[fitSample]] (identity at gate scale, ~`fitCap` rows at corpus
+    * scale — the centroid artifact needs a sample, not the corpus);
+    * seeds always come from the full frame's smallest-hash order. */
+  private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int,
+                                     fitCap: Int = FitCap): Array[Array[Double]] = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     var cents: Array[Array[Double]] = kmeansSeedIds(v, k)
       .join(v, "vec_id").orderBy(col("cid"))
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    val fit = fitSample(v, fitCap)
     for (_ <- 1 to iters) {
-      val sums = assignToCentroids(v, cents)
+      val sums = assignToCentroids(fit, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("sx"),
@@ -717,9 +750,17 @@ object Similarity {
     * centroids measured 2× the top-5 recall of 8-dim ones at the same
     * k. Returns the persistable (subsp, cid, c) model artifact — a
     * LocalRelation (centroids are driver state, like s6's), staged
-    * for the oracle the way s6 stages its seeds. */
+    * for the oracle the way s6 stages its seeds.
+    *
+    * The Lloyd passes train on a [[fitSample]] (identity at gate
+    * scale; ~`fitCap` vectors at corpus scale): the oracle never
+    * replays the fit — it reads the STAGED codebooks — so sampling
+    * the fit is invisible to the correctness gate at any scale, and
+    * at 100 TB it cuts the fit from iters full-corpus scans to one
+    * count + iters sample scans for an artifact whose quality
+    * saturates at ~10⁵ training vectors. */
   def pqCodebooks(embeddings: DataFrame, m: Int = 32, k: Int = 32,
-                  iters: Int = 4): DataFrame = {
+                  iters: Int = 4, fitCap: Int = FitCap): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.types.DecimalType
     val spark = embeddings.sparkSession
@@ -735,12 +776,16 @@ object Similarity {
     // Spark jobs into iters (the first per-subspace formulation spent
     // 30+ s of its 36 s sf0.1 wall-clock on driver scheduling overhead
     // for 160 micro-jobs; this shape runs the same math in 5)
-    val sv = v0.select(col("vec_id"), posexplode(
+    // fit-sampled BEFORE the explode (whole vectors in or out, so every
+    // subspace trains on the same membership); identity at gate scale
+    val sv = fitSample(v0, fitCap).select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("v"), j * lit(sub) + 1, lit(sub))))
         .as(Seq("subsp", "sv")))
       .localCheckpoint() // the loop re-reads its working set every pass
-    // seed ids are hash-of-vec_id only — identical for every subspace
+    // seed ids are hash-of-vec_id only — identical for every subspace;
+    // threshold-sample membership is a prefix of the same hash order,
+    // so the k smallest-hash seeds are always inside the sampled sv
     val seedCid = kmeansSeedIds(v0, k).collect()
       .map(r => r.getLong(1) -> r.getInt(0)).toMap
     var cents: Array[Array[Array[Double]]] = {

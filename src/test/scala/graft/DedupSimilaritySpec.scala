@@ -456,6 +456,52 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(mass - nClusters) < 1e-6)
     // non-vacuous: the corpus has real near-dup clusters (n > 1 exists)
     assert(out.exists(_._3 > 1L))
+    // PLAN: cluster size must be the two-phase groupBy+join, never a
+    // cluster_id-keyed count window — the hottest cluster is by
+    // definition the hyper-duplicated page (the d7/c6 rule)
+    val plan = Dedup.softDedupWeights(
+      table("documents").select(col("doc_id"), col("text"), col("source")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition(cluster_id")),
+      s"cluster-keyed window regressed into:\n${plan.take(2000)}")
+  }
+
+  test("sampled index fits: binding cap trains on the hash-prefix sample only") {
+    // a binding fitCap must equal fitting directly on the explicit
+    // hash-threshold subset (fit-sampling is pure membership, not a
+    // different algorithm), and the identity branch must equal cap=0
+    val emb = table("embeddings")
+    val v = emb.select(col("vec_id"),
+      graft.functions.ColumnFns.toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val n = v.count()
+    val cap = 200
+    assert(n > cap, "corpus must exceed the cap for a binding test")
+    val thr = (BigInt(Long.MinValue) +
+      (BigInt(cap) * (BigInt(1) << 64)) / BigInt(n)).toLong
+    val sampled = v.filter(xxhash64(col("vec_id")) < lit(thr)).localCheckpoint()
+    val sn = sampled.count()
+    assert(sn > 0 && sn < n, s"threshold admitted $sn of $n")
+    // k-means: seeds are the k smallest hashes — a PREFIX of the same
+    // hash order, so full-frame seeding == sample-frame seeding and the
+    // two fits must produce bit-identical centroids
+    val viaCap = Similarity.kmeansCentroids(v, 8, 3, fitCap = cap)
+    val viaSubset = Similarity.kmeansCentroids(sampled, 8, 3, fitCap = 0)
+    assert(viaCap.map(_.toSeq).toSeq === viaSubset.map(_.toSeq).toSeq)
+    // identity branch: a non-binding cap changes nothing
+    val full = Similarity.kmeansCentroids(v, 8, 3, fitCap = 0)
+    val slack = Similarity.kmeansCentroids(v, 8, 3, fitCap = (n + 1).toInt)
+    assert(full.map(_.toSeq).toSeq === slack.map(_.toSeq).toSeq)
+    // PQ codebooks: same membership argument at the subspace layer
+    val cbCap = Similarity.pqCodebooks(emb, m = 8, k = 8, iters = 2,
+        fitCap = cap).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val embSub = emb.filter(xxhash64(col("vec_id")) < lit(thr))
+    val cbSubset = Similarity.pqCodebooks(embSub, m = 8, k = 8, iters = 2,
+        fitCap = 0).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cbCap === cbSubset)
   }
 
   test("cluster maintenance equals the full recluster over the union pair graph") {
@@ -609,10 +655,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     val exact = Dedup.embeddingPairs(table("embeddings"), 0.45).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // a non-binding cap routes through the distinct branch — same result
-    val cappedOut = Dedup.embeddingLshPairs(table("embeddings"), 0.45,
-        maxBucket = 100000).collect()
+    val cappedDf = Dedup.embeddingLshPairs(table("embeddings"), 0.45,
+      maxBucket = 100000)
+    val cappedOut = cappedDf.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cappedOut === exact)
+    // PLAN: the cap is the shared two-phase capBuckets, never a
+    // (band, chunk)-keyed count window — the buckets being dropped are
+    // exactly the hottest keys (the c28/d7 rule, r11 verdict item 3)
+    val cplan = cappedDf.queryExecution.executedPlan.toString
+    assert(!cplan.contains("Window ["),
+      s"bucket-keyed window regressed into the capped branch:\n${cplan.take(2000)}")
     // wider bands prune harder; the exact-cosine verify keeps output ⊆ truth
     val wide = Dedup.embeddingLshPairs(table("embeddings"), 0.45,
         numPlanes = 16, bitsPerBand = 2).collect()
