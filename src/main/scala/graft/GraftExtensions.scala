@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
+import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfkc"),
       new ExpressionInfo(classOf[NfkcNormalize].getName, "graft_nfkc"),
       FnArity.checked("graft_nfkc", 1)(args => NfkcNormalize(args(0)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_porter"),
+      new ExpressionInfo(classOf[PorterStem].getName, "graft_porter"),
+      FnArity.checked("graft_porter", 1)(args => PorterStem(args(0)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_luhn"),
       new ExpressionInfo(classOf[LuhnValid].getName, "graft_luhn"),

@@ -254,6 +254,21 @@ object SparkEntry {
     * %26==9 — the moduli overlap so some docs carry several scripts.
     * Replacement wins over appends (CASE order); the oracle replays
     * the CASE verbatim (visible UTF-8 literals — the t21 precedent). */
+  /** Inflection families appended so t26's stemming has real conflation
+    * work (the 31-word synthetic vocabulary is mostly uninflected):
+    * %4==1 the "process" family, %4==2 "merge" + "relation(al)", %4==3
+    * "query" + "connect" families — ASCII literals the oracle replays
+    * verbatim (the t24/t25 plant idiom). */
+  private[graft] def plantInflections(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        lit(" processing processed processes process")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 2,
+        lit(" merges merged merging relational relations")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 3,
+        lit(" querying queried queries connection connected")).otherwise(lit("")))
+      .as("text"))
+
   private[graft] def plantScripts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(31)) === 4,
@@ -1026,6 +1041,15 @@ object SparkEntry {
     // pure-map seven-class histogram, fully relational oracle
     "t25_script_mix" -> ((s, d) =>
       TextOps.scriptMix(plantScripts(t(s, d, "documents")))),
+    // Porter-stem conflation stats over planted inflection families;
+    // the word→stem vocabulary is staged (t11's idiom) so the oracle
+    // replays the stemmed aggregation relationally
+    "t26_stems" -> ((s, d) => {
+      val docs = plantInflections(t(s, d, "documents"))
+      TextOps.porterVocab(docs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/t26_vocab")
+      TextOps.topStems(docs)
+    }),
     // within-doc Gopher repetition signals over the planted stutters;
     // fully relational oracle (lines, 2-grams, 5-gram coverage)
     "t23_rep_signals" -> ((s, d) =>
@@ -4900,6 +4924,25 @@ object SparkEntry {
                / 1000000.0
            END AS latin_share
          FROM tot t JOIN dm USING (doc_id) ORDER BY t.doc_id""",
+    // t26: plant replay + the STAGED word→stem vocabulary (the t11
+    // staging idiom — the five-step Porter cascade is JVM-only, the
+    // stemmed aggregation replays relationally over the staged table)
+    "t26_stems" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 1
+               THEN ' processing processed processes process' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 2
+               THEN ' merges merged merging relational relations' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 3
+               THEN ' querying queried queries connection connected' ELSE '' END
+             AS text FROM documents),
+         st AS (SELECT word, stem
+           FROM read_parquet('__GRAFT_STAGE__/t26_vocab/*.parquet')),
+         tok AS (SELECT doc_id, unnest($toks) AS word FROM aug)
+         SELECT s.stem, count(DISTINCT t.doc_id) AS df,
+           count(DISTINCT t.word) AS n_forms, count(*) AS tf
+         FROM tok t JOIN st s ON s.word = t.word
+         GROUP BY s.stem ORDER BY df DESC, s.stem LIMIT 50""",
     // t23: plant replay, then each signal relationally — trimmed
     // nonempty line counts, 2-gram argmax by (count DESC, gram) with
     // chars = len(g) − 1 a pure function of the gram, 5-gram coverage

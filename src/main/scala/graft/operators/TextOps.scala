@@ -945,4 +945,40 @@ object TextOps {
         when(col("n_script") > 0, ratRound("n_latin", "n_script", 6))
           .as("latin_share"): _*)
   }
+
+  /** Distinct (word → Porter stem) vocabulary table — the persistable
+    * model artifact of [[topStems]] and the unit the gate STAGES so the
+    * relational oracle can replay stemmed aggregation without
+    * reimplementing the five-step cascade in SQL (the t11 BPE staging
+    * idiom: deterministic JVM-only computation → staged parquet →
+    * oracle replays everything downstream relationally). Cost is one
+    * distinct over the token vocabulary — bounded by vocabulary size,
+    * not corpus size, which is why a 100 TB pipeline materializes
+    * word→stem ONCE and joins, rather than stemming every token
+    * occurrence in place. */
+  def porterVocab(documents: DataFrame): DataFrame =
+    documents.select(explode(tokens(col("text"))).as("word")).distinct()
+      .withColumn("stem", call_function("graft_porter", col("word")))
+
+  /** Stem-conflated corpus term statistics — the view stemming exists
+    * for: per Porter stem, document frequency, the number of distinct
+    * SURFACE FORMS the stem unified (`n_forms` > 1 is the conflation
+    * payoff — process/processing/processed counting as one term for
+    * BM25/TF-IDF-style retrieval), and total occurrences; top-k by
+    * (df desc, stem) — a deterministic TakeOrdered, never a global
+    * sort. Stemming itself is the native [[graft.functions.Porter]]
+    * codegen expression fused into the token explode — one corpus
+    * scan, one combinable aggregate, no joins (the staged-vocab join
+    * shape in [[porterVocab]]'s scaladoc is the ORACLE's replay path,
+    * not this operator's). */
+  def topStems(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .withColumn("stem", call_function("graft_porter", col("word")))
+      .groupBy(col("stem"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        countDistinct(col("word")).as("n_forms"),
+        count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("stem"))
+      .limit(k)
 }

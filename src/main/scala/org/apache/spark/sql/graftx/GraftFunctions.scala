@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
+import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -41,6 +41,9 @@ object GraftFunctions {
       FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0))),
       "built-in")
     // Luhn checksum validity (payment-card PII verification — see Luhn)
+    registry.createOrReplaceTempFunction("graft_porter",
+      FnArity.checked("graft_porter", 1)(args => PorterStem(args(0))),
+      "built-in")
     registry.createOrReplaceTempFunction("graft_luhn",
       FnArity.checked("graft_luhn", 1)(args => LuhnValid(args(0))),
       "built-in")
