@@ -639,7 +639,8 @@ object SparkEntry {
     "m8_gif_meta" -> Seq("doc_id"),
     "m11_bmp_meta" -> Seq("doc_id"),
     "m12_tiff_meta" -> Seq("doc_id"),
-    "m13_id3_meta" -> Seq("doc_id"))
+    "m13_id3_meta" -> Seq("doc_id"),
+    "m14_warc_records" -> Seq("doc_id", "rec_idx"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -894,6 +895,10 @@ object SparkEntry {
     "m11_bmp_meta" -> ((s, d) => Multimodal.bmpMetaPlanted(s, t(s, d, "documents"))),
     "m12_tiff_meta" -> ((s, d) => Multimodal.tiffMetaPlanted(s, t(s, d, "documents"))),
     "m13_id3_meta" -> ((s, d) => Multimodal.id3MetaPlanted(s, t(s, d, "documents"))),
+    // WARC container framing: planted two-record crawl files, cursor
+    // walk verified by exact byte arithmetic in the oracle replay
+    "m14_warc_records" -> ((s, d) =>
+      Multimodal.warcRecordsPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -4366,6 +4371,37 @@ object SparkEntry {
     // bottom-up), text rows the synthetic fallback from byte length
     // m13: plant replay — version alternates, tag sizes all ≥ 128 so a
     // non-syncsafe read could never stay green
+    // m14: the plant's framing replayed as pure byte arithmetic — each
+    // record's absolute payload offset is version line (10) + type line
+    // (21/20) + uri line (19+len(uri)) + length line (18+len(digits)) +
+    // blank line (2) past its record start, and record 1's start is
+    // record 0's offset + Content-Length + the trailing CRLF CRLF
+    "m14_warc_records" ->
+      """WITH w AS (SELECT doc_id,
+             'http://w' || CAST(doc_id AS VARCHAR) || '.example.com/p' ||
+               CAST(doc_id % 7 AS VARCHAR) AS uri,
+             40 + doc_id % 100 AS cl0, 20 + doc_id % 50 AS cl1
+           FROM documents WHERE doc_id % 4 = 0),
+         w2 AS (SELECT doc_id, uri, cl0, cl1, length(uri) AS lu,
+             length(CAST(cl0 AS VARCHAR)) AS l0,
+             length(CAST(cl1 AS VARCHAR)) AS l1 FROM w),
+         r0 AS (SELECT doc_id, 0 AS rec_idx, 1 AS is_warc,
+             'response' AS warc_type, uri AS target_uri,
+             CAST(cl0 AS INTEGER) AS content_length,
+             CAST(71 + lu + l0 AS INTEGER) AS payload_off FROM w2),
+         r1 AS (SELECT doc_id, 1 AS rec_idx, 1 AS is_warc,
+             'request' AS warc_type, uri AS target_uri,
+             CAST(cl1 AS INTEGER) AS content_length,
+             CAST(71 + lu + l0 + cl0 + 73 + lu + l1 AS INTEGER)
+               AS payload_off FROM w2),
+         fb AS (SELECT doc_id, 0 AS rec_idx, 0 AS is_warc,
+             'none' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+             CAST(32 + (octet_length(encode(text)) * 7) % 997 AS INTEGER)
+               AS content_length, 0 AS payload_off
+           FROM documents WHERE doc_id % 4 <> 0)
+         SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+                        UNION ALL SELECT * FROM fb)
+         ORDER BY doc_id, rec_idx""",
     "m13_id3_meta" ->
       """SELECT doc_id, 1 AS is_id3,
            CAST(3 + (doc_id // 8) % 2 AS INTEGER) AS version,

@@ -561,6 +561,133 @@ object Multimodal {
     }
   }
 
+  object PlantedWarcs {
+    val Every = 4
+
+    /** A minimal two-record WARC file (ISO 28500 framing): each record
+      * is a version line, three named headers (WARC-Type,
+      * WARC-Target-URI, Content-Length), the blank line, Content-Length
+      * payload bytes, and the mandated trailing CRLF CRLF. TWO
+      * concatenated records — a response then a request for the same
+      * target — so the gate proves the cursor advances across record
+      * boundaries by exact byte arithmetic (record 1 only parses if
+      * record 0's framing consumed precisely header+payload+4 bytes).
+      * All bytes ASCII, every field a formula of doc_id, so the oracle
+      * replays both records' fields AND absolute payload offsets
+      * relationally. */
+    def craftedWarc(docId: Long): Array[Byte] = {
+      val uri = s"http://w$docId.example.com/p${docId % 7}"
+      def rec(typ: String, cl: Int): String = {
+        val body = (0 until cl)
+          .map(i => ('a' + ((docId * 7 + i * 3) % 26)).toChar).mkString
+        s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: $cl\r\n\r\n$body\r\n\r\n"
+      }
+      (rec("response", (40 + docId % 100).toInt) +
+        rec("request", (20 + docId % 50).toInt))
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+
+  /** Documents with planted two-record WARC payloads on every
+    * `every`-th doc_id (text bytes otherwise). */
+  def plantedWarcMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedWarcs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedWarcs.craftedWarc(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL WARC (ISO 28500) record framing from the binary payload — the
+    * CONTAINER layer ahead of t16's HTML extraction: every web-scale
+    * pipeline starts from crawl containers, not a pre-extracted
+    * documents table, and the first operation is always "split the
+    * container into records and read each record's headers". Pure
+    * column exprs, the m7 box-walk posture at the record layer: an
+    * unrolled cursor walk (up to `maxRecords` per payload — the same
+    * fixed-unroll contract as the MP4 top-level walk) where each step
+    * (1) reads a bounded `hdrWin`-byte header window at the cursor,
+    * (2) validates the `WARC/1.0\r\n` version line and locates the
+    * blank line, (3) extracts WARC-Type / WARC-Target-URI /
+    * Content-Length with CRLF-anchored regexes over the header region
+    * only, and (4) advances the cursor past header + Content-Length
+    * payload + the trailing CRLF CRLF. A record only parses if every
+    * prior record's framing was exact, so the emitted prefix is
+    * self-verifying. Offsets are byte-exact for ASCII headers (the
+    * spec's own header charset; multi-byte UTF-8 in a header value
+    * shifts only that record's reported offset, never the framing,
+    * which runs on the raw bytes). Non-WARC payloads emit one
+    * `is_warc = 0` fallback row with deterministic synthetic metadata
+    * — the media-family contract. One scan, no shuffle, no UDF;
+    * at 100 TB this is the embarrassingly-parallel ingest map that
+    * feeds everything else. */
+  def warcRecords(media: DataFrame, maxRecords: Int = 3,
+                  hdrWin: Int = 512): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p).cast("long")
+    var df = media.withColumn("_c0", lit(1L))
+    for (i <- 0 until maxRecords) {
+      val c = col(s"_c$i")
+      df = df
+        .withColumn(s"_w$i", p.substr(c, lit(hdrWin)).cast("string"))
+        .withColumn(s"_he$i", instr(col(s"_w$i"), "\r\n\r\n").cast("long"))
+        // header region: version line through the final header's CRLF
+        .withColumn(s"_h$i",
+          col(s"_w$i").substr(lit(1), (col(s"_he$i") + 1).cast("int")))
+        .withColumn(s"_cl$i", regexp_extract(col(s"_h$i"),
+          "\r\nContent-Length: ([0-9]{1,10})\r\n", 1))
+        .withColumn(s"_n$i",
+          when(col(s"_cl$i") =!= "", col(s"_cl$i").cast("long")))
+        .withColumn(s"_type$i", regexp_extract(col(s"_h$i"),
+          "\r\nWARC-Type: ([^\r]+)\r\n", 1))
+        .withColumn(s"_uri$i", regexp_extract(col(s"_h$i"),
+          "\r\nWARC-Target-URI: ([^\r]+)\r\n", 1))
+        .withColumn(s"_ok$i",
+          col(s"_w$i").startsWith("WARC/1.0\r\n") && col(s"_he$i") > 0 &&
+            col(s"_type$i") =!= "" && col(s"_n$i").isNotNull &&
+            len >= c + col(s"_he$i") + col(s"_n$i") + 6)
+        .withColumn(s"_po$i", c + col(s"_he$i") + lit(3L))
+        .withColumn(s"_c${i + 1}",
+          when(col(s"_ok$i"), col(s"_po$i") + col(s"_n$i") + 4)
+            .otherwise(len + 1))
+    }
+    // int casts gated on ok: the ok length-check bounds every value by
+    // the payload size, so a crafted 10-digit Content-Length can never
+    // reach an ANSI overflow on the cast
+    val recs = array((0 until maxRecords).map(i => struct(
+      col(s"_ok$i").as("ok"),
+      lit(1).as("is_warc"),
+      col(s"_type$i").as("warc_type"),
+      when(col(s"_uri$i") =!= "", col(s"_uri$i")).as("target_uri"),
+      when(col(s"_ok$i"), col(s"_n$i").cast("int")).as("content_length"),
+      when(col(s"_ok$i"), col(s"_po$i").cast("int")).as("payload_off"))): _*)
+    val kept = filter(recs, r => r.getField("ok"))
+    val fallback = array(struct(
+      lit(true).as("ok"),
+      lit(0).as("is_warc"),
+      lit("none").as("warc_type"),
+      lit(null).cast("string").as("target_uri"),
+      (lit(32L) + pmod(len * 7, lit(997L))).cast("int").as("content_length"),
+      lit(0).as("payload_off")))
+    df.select(col("doc_id"),
+        posexplode(when(size(kept) > 0, kept).otherwise(fallback)))
+      .select(col("doc_id"), col("pos").cast("int").as("rec_idx"),
+        col("col.is_warc").as("is_warc"),
+        col("col.warc_type").as("warc_type"),
+        col("col.target_uri").as("target_uri"),
+        col("col.content_length").as("content_length"),
+        col("col.payload_off").as("payload_off"))
+  }
+
+  /** The m14 gate: WARC record framing over the planted corpus. */
+  def warcRecordsPlanted(spark: SparkSession, documents: DataFrame,
+                         every: Int = PlantedWarcs.Every): DataFrame =
+    warcRecords(plantedWarcMedia(spark, documents, every).toDF())
+
   /** Documents with planted real-ID3v2 payloads on every `every`-th
     * doc_id (text bytes otherwise). */
   def plantedId3Media(spark: SparkSession, documents: DataFrame,

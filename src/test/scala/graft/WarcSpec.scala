@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaIn
+
+/** WARC record framing: exact offsets, cursor advance across records,
+  * truncation/corruption fallbacks, and the unroll bound. */
+class WarcSpec extends AnyFunSuite with SharedSpark {
+
+  private def rec(typ: String, uri: String, body: String): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+
+  private def run(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    Multimodal.warcRecords(
+      rows.map { case (id, b) => MediaIn(id, b) }.toDS().toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3), Option(r.getAs[String]("target_uri")),
+          r.getInt(5), r.getInt(6)))).toMap
+  }
+
+  test("two records parse with byte-exact absolute payload offsets") {
+    val b0 = "hello crawl body"
+    val b1 = "req"
+    val bytes = (rec("response", "http://a.example/x", b0) +
+      rec("request", "http://a.example/x", b1))
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = run(1L -> bytes)
+    val (_, _, _, cl0, po0) = out((1L, 0))
+    assert(out((1L, 0))._1 === 1 && out((1L, 0))._2 === "response")
+    assert(cl0 === b0.length)
+    // the reported offset really is where the body bytes sit
+    assert(new String(bytes, po0 - 1, cl0) === b0)
+    val (_, typ1, uri1, cl1, po1) = out((1L, 1))
+    assert(typ1 === "request" && uri1.contains("http://a.example/x"))
+    assert(new String(bytes, po1 - 1, cl1) === b1)
+    assert(out.size === 2)
+  }
+
+  test("truncation and corruption reject the record, never misparse") {
+    val good = rec("response", "http://b.example/", "0123456789")
+    val truncated = good.dropRight(6) // cuts into body + trailing CRLFs
+    val badLen = good.replace("Content-Length: 10", "Content-Length: 99")
+    val out = run(
+      1L -> truncated.getBytes("US-ASCII"),
+      2L -> badLen.getBytes("US-ASCII"),
+      3L -> "just some plain text".getBytes("UTF-8"))
+    // all three fall back to the single synthetic non-WARC row
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out((id, 0))._1 === 0 && out((id, 0))._2 === "none", id)
+      assert(out.keySet.count(_._1 == id) === 1, id)
+    }
+  }
+
+  test("a bad second record keeps the valid first record's row") {
+    val bytes = (rec("response", "http://c.example/", "body one") +
+      "GARBAGE NOT A RECORD").getBytes("US-ASCII")
+    val out = run(1L -> bytes)
+    assert(out.keySet === Set((1L, 0)))
+    assert(out((1L, 0))._2 === "response")
+  }
+
+  test("the unroll bound caps emitted records at maxRecords") {
+    val four = (0 until 4).map(i =>
+      rec("response", s"http://d.example/$i", s"body$i")).mkString
+    val out = run(1L -> four.getBytes("US-ASCII"))
+    assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2)))
+    assert(out((1L, 2))._3.contains("http://d.example/2"))
+  }
+}
