@@ -269,6 +269,22 @@ object SparkEntry {
         lit(" querying queried queries connection connected")).otherwise(lit("")))
       .as("text"))
 
+  /** Page chrome wrapped around every %3==0 document for c53: nav and
+    * aside blocks that are nearly all anchor text (link-density drops),
+    * a footer whose prose is too short (min-words drop), and the real
+    * text in a div (the survivor). ASCII literals replayed verbatim by
+    * the oracle. */
+  private[graft] def plantHtmlBlocks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav><div>"),
+        col("text"),
+        lit("</div><aside><a href=\"/x\">Ad one</a> promo</aside>" +
+          "<footer>Copyright 2026 <a href=\"/t\">Terms</a></footer>" +
+          "</body></html>")))
+      .otherwise(col("text")).as("text"))
+
   private[graft] def plantScripts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(31)) === 4,
@@ -640,7 +656,8 @@ object SparkEntry {
     "m11_bmp_meta" -> Seq("doc_id"),
     "m12_tiff_meta" -> Seq("doc_id"),
     "m13_id3_meta" -> Seq("doc_id"),
-    "m14_warc_records" -> Seq("doc_id", "rec_idx"))
+    "m14_warc_records" -> Seq("doc_id", "rec_idx"),
+    "c53_main_content" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1282,6 +1299,10 @@ object SparkEntry {
     // text), script/style dropped, tags stripped, entities decoded
     "t16_html_extract" -> ((s, d) =>
       TextOps.htmlExtract(plantHtml(t(s, d, "documents")))),
+    // the boilerplate-REMOVAL layer t16 lacks: per-block link-density +
+    // min-words classification, survivors re-assembled in order
+    "c53_main_content" -> ((s, d) =>
+      Curation.mainContent(plantHtmlBlocks(t(s, d, "documents")))),
     // the layer BEFORE text: URL normalize → registered domain →
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
@@ -5476,6 +5497,44 @@ object SparkEntry {
     "st19_url_stream" -> urlGateSql,
     // st20: same argument against the static reference LM
     "st20_paragraph_stream" -> paragraphGateSql,
+    // c53: the plantHtmlBlocks concatenation, the same closing-tag
+    // block split (parallel unnest+range for ordinals), per-block
+    // anchor-text mass + tag-strip + whitespace collapse, the identical
+    // integer classification cascade, and ordered string_agg re-assembly
+    "c53_main_content" ->
+      """WITH aug AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN
+              '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav><div>'
+              || text ||
+              '</div><aside><a href="/x">Ad one</a> promo</aside><footer>Copyright 2026 <a href="/t">Terms</a></footer></body></html>'
+            ELSE text END AS text FROM documents),
+          blk AS (SELECT doc_id, unnest(bs) AS b,
+              unnest(range(len(bs))) AS ord
+            FROM (SELECT doc_id, string_split_regex(text,
+              '</(p|div|li|h1|h2|h3|nav|footer|header|aside)>') AS bs
+              FROM aug)),
+          sc AS (SELECT doc_id, ord,
+              coalesce(list_aggregate(list_transform(
+                regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                x -> length(x)), 'sum'), 0) AS l,
+              trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                '[\s　]+', ' ', 'g')) AS btext
+            FROM blk),
+          cl AS (SELECT doc_id, ord, btext,
+              CASE WHEN length(btext) = 0 THEN 'empty'
+                   WHEN 3 * l > length(btext) THEN 'link'
+                   WHEN len(list_filter(string_split(btext, ' '),
+                            x -> x <> '')) < 5 THEN 'short'
+                   ELSE 'keep' END AS cls
+            FROM sc)
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN cls = 'keep' THEN btext END,
+              ' ' ORDER BY ord), '') AS clean_text,
+            count(CASE WHEN cls <> 'empty' THEN 1 END) AS n_blocks,
+            count(CASE WHEN cls = 'keep' THEN 1 END) AS n_kept,
+            count(CASE WHEN cls = 'link' THEN 1 END) AS n_drop_link,
+            count(CASE WHEN cls = 'short' THEN 1 END) AS n_drop_short
+          FROM cl GROUP BY doc_id ORDER BY doc_id""",
     // t16: the plantHtml concatenation, then the same four extractor
     // stages — lazy dot-all script/style drop (RE2 and java.util.regex
     // agree on (?is) + lazy quantifiers), tag→space, the six plain

@@ -804,6 +804,55 @@ object Curation {
     * aggregate over the paragraph table (collect_list is bounded by the
     * document's own length — the same bound d18's re-assembly carries).
     * No step holds more than one document's paragraphs in a row. */
+  /** Main-content extraction — the boilerplate-REMOVAL layer between
+    * t16 (strip every tag, keep ALL text — nav and footer included) and
+    * c32 (LM-score paragraphs of already-clean text): the
+    * trafilatura/jusText-family heuristic every production crawl
+    * pipeline runs, reduced to its load-bearing core. The raw HTML
+    * splits into BLOCKS at closing block-level tags; each block is
+    * classified by two integer signals — LINK DENSITY (3·anchor-text
+    * chars > block-text chars ⇒ navigation/listing chrome; the
+    * comparison is cross-multiplied, no float) and MINIMUM PROSE LENGTH
+    * (fewer than `minWords` words ⇒ captions/copyright lines) — and the
+    * survivors re-assemble in document order. Per doc: the extracted
+    * `clean_text` plus the block audit (total/kept/dropped-by-reason)
+    * a curation review reads first.
+    *
+    * Classification precedence is fixed (empty → link → short → keep)
+    * so the audit counts partition the blocks deterministically. Tag
+    * stripping inside a block is t16's regex posture (no entity decode
+    * here — run t21/t6 downstream). Plan: one explode + per-block maps
+    * + ONE doc-keyed combinable aggregate whose collect_list is bounded
+    * by a single document's blocks (the d18/c32 re-assembly bound) —
+    * one shuffle on doc_id, linear at any corpus scale. */
+  def mainContent(documents: DataFrame, minWords: Int = 5): DataFrame = {
+    val blockSplit = "</(p|div|li|h1|h2|h3|nav|footer|header|aside)>"
+    val blocks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), blockSplit)).as(Seq("ord", "b")))
+    val scored = blocks
+      .withColumn("_links",
+        regexp_extract_all(col("b"), lit("<a [^>]*>([^<]*)</a>"), lit(1)))
+      .withColumn("_l", coalesce(aggregate(transform(col("_links"),
+        x => length(x)), lit(0), (acc, x) => acc + x), lit(0)))
+      .withColumn("_btext", trim(regexp_replace(
+        regexp_replace(col("b"), "<[^>]*>", " "), "[\\s　]+", " ")))
+      .withColumn("_t", length(col("_btext")))
+      .withColumn("_nw", when(col("_btext") === "", lit(0))
+        .otherwise(size(split(col("_btext"), " "))))
+      .withColumn("_cls", when(col("_t") === 0, lit("empty"))
+        .when(col("_l") * 3 > col("_t"), lit("link"))
+        .when(col("_nw") < minWords, lit("short"))
+        .otherwise(lit("keep")))
+    scored.groupBy(col("doc_id")).agg(
+      array_join(transform(array_sort(collect_list(
+        when(col("_cls") === "keep", struct(col("ord"), col("_btext"))))),
+        s => s.getField("_btext")), " ").as("clean_text"),
+      sum(when(col("_cls") =!= "empty", 1).otherwise(0)).as("n_blocks"),
+      sum(when(col("_cls") === "keep", 1).otherwise(0)).as("n_kept"),
+      sum(when(col("_cls") === "link", 1).otherwise(0)).as("n_drop_link"),
+      sum(when(col("_cls") === "short", 1).otherwise(0)).as("n_drop_short"))
+  }
+
   def paragraphGate(documents: DataFrame, reference: DataFrame,
                     lang: String = "en", maxNats: Double = 6.0): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -1381,4 +1381,46 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("main content: chrome blocks drop by the right reason, prose survives") {
+    import spark.implicits._
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<div>this is the real article body with plenty of prose words</div>" +
+      "<aside><a href=\"/x\">Ad block one</a> tiny</aside>" +
+      "<footer>Copyright 2026 Terms</footer>" +
+      "</body></html>"
+    val docs = Seq(
+      (1L, page),
+      (2L, "plain text document with more than five words here"),
+      (3L, "short doc"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Curation.mainContent(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    // nav (all anchors) → link drop; aside (anchor-heavy) → link drop;
+    // footer (3 words) → short drop; the div prose survives alone
+    assert(d1.getAs[String]("clean_text") ===
+      "this is the real article body with plenty of prose words")
+    assert(d1.getAs[Long]("n_blocks") === 4L)
+    assert(d1.getAs[Long]("n_kept") === 1L)
+    assert(d1.getAs[Long]("n_drop_link") === 2L)
+    assert(d1.getAs[Long]("n_drop_short") === 1L)
+    // tagless docs: one block, kept iff it clears minWords
+    assert(out(2L).getAs[Long]("n_kept") === 1L)
+    assert(out(2L).getAs[String]("clean_text") ===
+      "plain text document with more than five words here")
+    assert(out(3L).getAs[Long]("n_drop_short") === 1L &&
+      out(3L).getAs[String]("clean_text") === "")
+    assert(out(4L).getAs[Long]("n_blocks") === 0L &&
+      out(4L).getAs[String]("clean_text") === "")
+    // kept blocks re-assemble in DOCUMENT order
+    val multi = Curation.mainContent(Seq((9L,
+      "<div>first real paragraph with enough words here</div>" +
+      "<div>second real paragraph with enough words too</div>"))
+      .toDF("doc_id", "text")).collect().head
+    assert(multi.getAs[String]("clean_text") ===
+      "first real paragraph with enough words here " +
+      "second real paragraph with enough words too")
+  }
 }
