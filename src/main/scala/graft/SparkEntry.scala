@@ -403,6 +403,31 @@ object SparkEntry {
           lit(".example.org/item/"), col("doc_id").cast("string")))
       .as("url"))
 
+  /** In-band opt-out signals for c54: meta-robots tags inside the HTML
+    * (mixed case on %5==2 — the gate is case-insensitive per spec) and
+    * X-Robots-Tag response headers, with `noai` planted on both
+    * channels and `none` exercising its noindex+nofollow expansion. */
+  private[graft] def plantRobots(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("<html><head>"),
+        when(pmod(col("doc_id"), lit(5)) === 1,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          lit("<META NAME=\"ROBOTS\" CONTENT=\"index, NOFOLLOW\">"))
+        .when(pmod(col("doc_id"), lit(7)) === 3,
+          lit("<meta name=\"robots\" content=\"noai, noimageai\">"))
+        .when(pmod(col("doc_id"), lit(17)) === 4,
+          lit("<meta name=\"robots\" content=\"none\">"))
+        .otherwise(lit("")),
+        lit("</head><body>"), col("text"), lit("</body></html>"))
+        .as("html"),
+      when(pmod(col("doc_id"), lit(11)) === 4,
+        lit("Content-Type: text/html\r\nX-Robots-Tag: noindex"))
+      .when(pmod(col("doc_id"), lit(13)) === 6,
+        lit("X-Robots-Tag: noai\r\nCache-Control: no-store"))
+      .otherwise(lit("Content-Type: text/html"))
+        .as("http_headers"))
+
   private[graft] def plantQualityViolations(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       col("text"),
@@ -657,7 +682,8 @@ object SparkEntry {
     "m12_tiff_meta" -> Seq("doc_id"),
     "m13_id3_meta" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
-    "c53_main_content" -> Seq("doc_id"))
+    "c53_main_content" -> Seq("doc_id"),
+    "c54_robots_gate" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1303,6 +1329,10 @@ object SparkEntry {
     // min-words classification, survivors re-assembled in order
     "c53_main_content" -> ((s, d) =>
       Curation.mainContent(plantHtmlBlocks(t(s, d, "documents")))),
+    // the IN-BAND governance tier (meta robots + X-Robots-Tag with the
+    // noai opt-out) over planted two-channel signals; pure-map oracle
+    "c54_robots_gate" -> ((s, d) =>
+      Curation.robotsGate(plantRobots(t(s, d, "documents")))),
     // the layer BEFORE text: URL normalize → registered domain →
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
@@ -5497,6 +5527,53 @@ object SparkEntry {
     "st19_url_stream" -> urlGateSql,
     // st20: same argument against the static reference LM
     "st20_paragraph_stream" -> paragraphGateSql,
+    // c54: the two-channel plant replayed, the same case-insensitive
+    // extracts, list merge/dedup/sort, and flag algebra (none expands
+    // to noindex+nofollow; eligibility excludes noindex/none/noai)
+    "c54_robots_gate" ->
+      """WITH aug AS (SELECT doc_id,
+            '<html><head>' ||
+            CASE WHEN doc_id % 5 = 1
+                 THEN '<meta name="robots" content="noindex, follow">'
+                 WHEN doc_id % 5 = 2
+                 THEN '<META NAME="ROBOTS" CONTENT="index, NOFOLLOW">'
+                 WHEN doc_id % 7 = 3
+                 THEN '<meta name="robots" content="noai, noimageai">'
+                 WHEN doc_id % 17 = 4
+                 THEN '<meta name="robots" content="none">'
+                 ELSE '' END ||
+            '</head><body>' || text || '</body></html>' AS html,
+            CASE WHEN doc_id % 11 = 4
+                 THEN 'Content-Type: text/html' || chr(13) || chr(10) ||
+                      'X-Robots-Tag: noindex'
+                 WHEN doc_id % 13 = 6
+                 THEN 'X-Robots-Tag: noai' || chr(13) || chr(10) ||
+                      'Cache-Control: no-store'
+                 ELSE 'Content-Type: text/html' END AS hdrs
+           FROM documents),
+          ex AS (SELECT doc_id,
+            lower(regexp_extract(html,
+              '(?i)<meta name="robots" content="([^"]*)"', 1)) AS mc,
+            lower(regexp_extract(hdrs,
+              '(?i)x-robots-tag: ([^\r]*)', 1)) AS hc FROM aug),
+          dd AS (SELECT doc_id, list_sort(list_distinct(list_filter(
+              list_transform(string_split_regex(mc, ',\s*') ||
+                string_split_regex(hc, ',\s*'), x -> trim(x)),
+              x -> x <> ''))) AS dirs FROM ex)
+          SELECT doc_id, coalesce(array_to_string(dirs, ','), '') AS directives,
+            CASE WHEN list_contains(dirs, 'noindex')
+                   OR list_contains(dirs, 'none') THEN 1 ELSE 0 END
+              AS noindex,
+            CASE WHEN list_contains(dirs, 'nofollow')
+                   OR list_contains(dirs, 'none') THEN 1 ELSE 0 END
+              AS nofollow,
+            CASE WHEN list_contains(dirs, 'noai') THEN 1 ELSE 0 END
+              AS noai,
+            CASE WHEN list_contains(dirs, 'noindex')
+                   OR list_contains(dirs, 'none')
+                   OR list_contains(dirs, 'noai') THEN 0 ELSE 1 END
+              AS eligible
+          FROM dd ORDER BY doc_id""",
     // c53: the plantHtmlBlocks concatenation, the same closing-tag
     // block split (parallel unnest+range for ordinals), per-block
     // anchor-text mass + tag-strip + whitespace collapse, the identical

@@ -1744,6 +1744,42 @@ object Curation {
     * classes), a dozens-of-rows table at 100 TB. The allowlist is a
     * driver-side constant folded into the predicate: no join, no
     * broadcast, no shuffle beyond the one aggregation. */
+  /** In-band robots/opt-out gate — the crawl-governance layer c48
+    * cannot see: c48 gates on license METADATA columns, but the
+    * signals a publisher actually controls arrive IN BAND — a
+    * `<meta name="robots">` tag inside the HTML and an `X-Robots-Tag`
+    * response header — and a pipeline that ignores them trains on
+    * content whose owner said no. Per document: the merged,
+    * deduplicated, sorted directive set from BOTH channels
+    * (case-insensitive per the robots spec; `none` expands to
+    * noindex+nofollow per its documented semantics), the three flags a
+    * governance review reads (`noindex`, `nofollow`, `noai` — the
+    * emerging AI-training opt-out directive), and the training
+    * eligibility verdict (`noindex` or `noai` excludes; `nofollow`
+    * constrains link-following, not content use — reported, never
+    * gated on). Pure map — two codegen regex extracts + array algebra,
+    * no shuffle, fused into the feeding scan at any corpus scale;
+    * composes with c48 (metadata layer) and c33 (URL layer) as the
+    * third governance tier. */
+  def robotsGate(documents: DataFrame, htmlCol: String = "html",
+                 headersCol: String = "http_headers"): DataFrame = {
+    val mc = lower(regexp_extract(col(htmlCol),
+      "(?i)<meta name=\"robots\" content=\"([^\"]*)\"", 1))
+    val hc = lower(regexp_extract(col(headersCol),
+      "(?i)x-robots-tag: ([^\r]*)", 1))
+    val dirs = array_sort(array_distinct(filter(
+      transform(concat(split(mc, ",\\s*"), split(hc, ",\\s*")),
+        x => trim(x)), x => x =!= "")))
+    def has(d: String) = array_contains(dirs, d)
+    documents.select(col("doc_id"),
+      array_join(dirs, ",").as("directives"),
+      (has("noindex") || has("none")).cast("int").as("noindex"),
+      (has("nofollow") || has("none")).cast("int").as("nofollow"),
+      has("noai").cast("int").as("noai"),
+      (!(has("noindex") || has("none") || has("noai")))
+        .cast("int").as("eligible"))
+  }
+
   def licenseGate(documents: DataFrame,
                   allow: Seq[String] = Seq("cc0", "cc-by", "cc-by-sa"))
       : DataFrame = {

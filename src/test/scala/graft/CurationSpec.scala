@@ -1382,6 +1382,34 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("robots gate: two channels merge, none expands, noai excludes") {
+    import spark.implicits._
+    val docs = Seq(
+      // meta noindex + header noai: both channels contribute
+      (1L, "<html><head><meta name=\"robots\" content=\"noindex, follow\">" +
+        "</head><body>x</body></html>", "X-Robots-Tag: noai"),
+      // mixed case meta, harmless directives only
+      (2L, "<html><head><META NAME=\"ROBOTS\" CONTENT=\"index, NOFOLLOW\">" +
+        "</head></html>", "Content-Type: text/html"),
+      // none expands to noindex + nofollow
+      (3L, "<html><head><meta name=\"robots\" content=\"none\"></head></html>",
+        ""),
+      // no signals at all
+      (4L, "<html><body>clean</body></html>", "Content-Type: text/html"))
+      .toDF("doc_id", "html", "http_headers")
+    val out = Curation.robotsGate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    // merged, deduped, sorted directive set; noai + noindex both exclude
+    assert(out(1L) === (("follow,noai,noindex", 1, 0, 1, 0)))
+    assert(out(2L) === (("index,nofollow", 0, 1, 0, 1)))
+    assert(out(3L) === (("none", 1, 1, 0, 0)))
+    assert(out(4L) === (("", 0, 0, 0, 1)))
+    // pure map: no Exchange — this is an ingest-scan predicate
+    val plan = Curation.robotsGate(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("main content: chrome blocks drop by the right reason, prose survives") {
     import spark.implicits._
     val page = "<html><body>" +
