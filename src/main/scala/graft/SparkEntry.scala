@@ -683,7 +683,8 @@ object SparkEntry {
     "m13_id3_meta" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
-    "c54_robots_gate" -> Seq("doc_id"))
+    "c54_robots_gate" -> Seq("doc_id"),
+    "m15_exif_gps" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -942,6 +943,11 @@ object SparkEntry {
     // walk verified by exact byte arithmetic in the oracle replay
     "m14_warc_records" -> ((s, d) =>
       Multimodal.warcRecordsPlanted(s, t(s, d, "documents"))),
+    // EXIF GPS audit + in-place redaction: the m12 IFD walk inside
+    // JPEG APP1, GPS sub-IFD followed to the coordinate rationals,
+    // scrub audited by re-reading the cleaned bytes
+    "m15_exif_gps" -> ((s, d) =>
+      Multimodal.exifGpsScrubPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -4422,6 +4428,32 @@ object SparkEntry {
     // bottom-up), text rows the synthetic fallback from byte length
     // m13: plant replay — version alternates, tag sizes all ≥ 128 so a
     // non-syncsafe read could never stay green
+    // m15: the plant formulas replayed — %4==0 docs are EXIF, %8==0 of
+    // those carry GPS (3 IFD entries vs 2), coordinates are doc_id
+    // moduli, the scrub zeroes 12+30+48=90 bytes and gps_after is 0
+    "m15_exif_gps" ->
+      """SELECT doc_id, 1 AS is_exif,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 3 ELSE 2 END AS INTEGER)
+             AS n_entries,
+           CAST(16 + doc_id % 53 AS INTEGER) AS width,
+           CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS has_gps,
+           CASE WHEN doc_id % 8 = 0 THEN CAST(doc_id % 90 AS BIGINT) END
+             AS gps_lat_deg,
+           CASE WHEN doc_id % 8 = 0 THEN CAST(doc_id % 180 AS BIGINT) END
+             AS gps_lon_deg,
+           0 AS gps_after,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 90 ELSE 0 END AS BIGINT)
+             AS n_zeroed
+         FROM documents WHERE doc_id % 4 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_exif, 0 AS n_entries,
+           CAST(16 + (octet_length(encode(text)) * 3) % 521 AS INTEGER)
+             AS width,
+           0 AS has_gps, CAST(NULL AS BIGINT) AS gps_lat_deg,
+           CAST(NULL AS BIGINT) AS gps_lon_deg, 0 AS gps_after,
+           CAST(0 AS BIGINT) AS n_zeroed
+         FROM documents WHERE doc_id % 4 <> 0
+         ORDER BY doc_id""",
     // m14: the plant's framing replayed as pure byte arithmetic — each
     // record's absolute payload offset is version line (10) + type line
     // (21/20) + uri line (19+len(uri)) + length line (18+len(digits)) +

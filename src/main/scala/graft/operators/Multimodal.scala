@@ -561,6 +561,196 @@ object Multimodal {
     }
   }
 
+  object PlantedExifs {
+    val Every = 4
+
+    /** Minimal real JPEG/APP1/EXIF carrier: SOI, an APP1 segment whose
+      * body is `Exif\0\0` + a little-endian TIFF block — IFD0 with
+      * width/height SHORT entries and (on %8==0 docs) the GPSInfo
+      * LONG-offset entry (tag 34853) pointing at a GPS IFD whose
+      * GPSLatitude/GPSLongitude RATIONAL triples live in trailing
+      * value blocks — then filler "image" bytes and EOI. Every value a
+      * formula of doc_id so the oracle replays the parse relationally;
+      * the GPS coordinates are the PII the m15 scrub half exists to
+      * remove. */
+    def craftedExif(docId: Long): Array[Byte] = {
+      val hasGps = docId % 8 == 0
+      val nEntries = if (hasGps) 3 else 2
+      val tiffLen = if (hasGps) 128 else 38
+      val app1Len = 2 + 6 + tiffLen
+      val out = java.nio.ByteBuffer.allocate(4 + 2 + 6 + tiffLen + 10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(0xFF.toByte).put(0xD8.toByte)            // SOI
+      out.put(0xFF.toByte).put(0xE1.toByte)            // APP1
+      out.put((app1Len >> 8).toByte).put((app1Len & 0xFF).toByte) // BE len
+      out.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      // TIFF header (LE)
+      out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+      // IFD0
+      out.putShort(nEntries.toShort)
+      def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+        out.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+        if (typ == 3) { out.putShort(value.toShort).putShort(0.toShort) }
+        else out.putInt(value)
+      }
+      entry(256, 3, 1, (16 + docId % 53).toInt)        // width SHORT
+      entry(257, 3, 1, (16 + docId % 41).toInt)        // height SHORT
+      if (hasGps) entry(34853, 4, 1, 50)               // GPSInfo → off 50
+      out.putInt(0)                                    // next-IFD ptr
+      if (hasGps) {
+        out.putShort(2.toShort)                        // GPS IFD at off 50
+        entry(2, 5, 3, 80)                             // GPSLatitude → 80
+        entry(4, 5, 3, 104)                            // GPSLongitude → 104
+        out.putInt(0)
+        // rational triples (num, den) — deg/min/sec
+        out.putInt((docId % 90).toInt).putInt(1)
+        out.putInt((docId % 60).toInt).putInt(1)
+        out.putInt((docId % 6000).toInt).putInt(100)
+        out.putInt((docId % 180).toInt).putInt(1)
+        out.putInt(((docId * 3) % 60).toInt).putInt(1)
+        out.putInt(((docId * 7) % 6000).toInt).putInt(100)
+      }
+      var i = 0
+      while (i < 8) { out.put(((docId * 13 + i * 7) % 256).toByte); i += 1 }
+      out.put(0xFF.toByte).put(0xD9.toByte)            // EOI
+      out.array()
+    }
+  }
+
+  /** Documents with planted JPEG/EXIF payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedExifMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedExifs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedExifs.craftedExif(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** Overwrite `n` bytes of a binary column at 1-based `pos` with
+    * zeros — the in-place redaction primitive (offsets of everything
+    * else are untouched, so a redacted file stays structurally valid).
+    * Identity when pos/n are null. */
+  private def zeroRegion(p: org.apache.spark.sql.Column,
+                         pos: org.apache.spark.sql.Column,
+                         n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pos.isNotNull && n.isNotNull,
+      concat(p.substr(lit(1), (pos - 1).cast("int")),
+        unhex(call_function("repeat", lit("00"), (n * 2).cast("int"))),
+        p.substr((pos + n).cast("int"), octet_length(p))))
+      .otherwise(p)
+
+  /** REAL EXIF GPS detection AND redaction from the binary payload —
+    * the privacy operator that is the visual-side twin of t12/t20
+    * (geotagged uploads leak home addresses into image corpora; the
+    * standard remediation is to strip the GPS IFD before training):
+    * m12's endian-aware TIFF IFD walk run INSIDE the JPEG APP1
+    * segment (SOI → APP1 marker → `Exif\0\0` → TIFF header at a fixed
+    * base → IFD0 entry walk), the GPSInfo pointer (tag 34853) followed
+    * to the GPS sub-IFD, and the GPSLatitude/GPSLongitude RATIONAL
+    * offsets followed to the degree numerators. The scrub half zeroes
+    * — IN PLACE, no byte moves, file stays structurally valid — the
+    * GPS pointer entry, the GPS IFD block, and both 24-byte rational
+    * blocks, then RE-READS the pointer slot from the cleaned bytes
+    * (`gps_after`, 0 on every scrubbed row — the operator audits its
+    * own output, and the spec feeds cleaned payloads back through the
+    * full parser). Pure column exprs, one scan, no shuffle/UDF; the
+    * fallback tiers are the media contract. */
+  def exifGpsScrub(media: DataFrame, maxEntries: Int = 4): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p).cast("long")
+    def at(off: org.apache.spark.sql.Column) = lit(13L) + off
+    val isJpegApp1 = hex(p.substr(lit(1), lit(4))) === "FFD8FFE1" &&
+      hex(p.substr(lit(7), lit(6))) === "457869660000"
+    val bo = hex(p.substr(at(lit(0L)), lit(2)))
+    val isLE = bo === "4949"
+    val isBE = bo === "4D4D"
+    def u2(off: org.apache.spark.sql.Column) =
+      when(isLE, leUintAt(p, at(off), 2)).otherwise(beUint(p, at(off), 2))
+    def u4(off: org.apache.spark.sql.Column) =
+      when(isLE, leUintAt(p, at(off), 4)).otherwise(beUint(p, at(off), 4))
+    val staged = media
+      .withColumn("_magic", u2(lit(2L)))
+      .withColumn("_ifd", u4(lit(4L)))
+      .withColumn("_cnt", u2(col("_ifd")))
+    // IFD0 walk: value decoded by type (SHORT inline, LONG inline)
+    val withTags = (0 until maxEntries).foldLeft(staged) { (df, i) =>
+      val base = col("_ifd") + 2 + i * 12
+      df.withColumn(s"_tag$i", when(lit(i) < col("_cnt"), u2(base)))
+        .withColumn(s"_val$i", when(lit(i) < col("_cnt"),
+          when(u2(base + 2) === 3, u2(base + 8))
+            .when(u2(base + 2) === 4, u4(base + 8))))
+        .withColumn(s"_pos$i", at(base)) // absolute entry position
+    }
+    def tagVal(tag: Int) = coalesce((0 until maxEntries).map(i =>
+      when(col(s"_tag$i") === tag, col(s"_val$i"))): _*)
+    def tagPos(tag: Int) = coalesce((0 until maxEntries).map(i =>
+      when(col(s"_tag$i") === tag, col(s"_pos$i"))): _*)
+    // GPS sub-IFD walk (same entry shape; RATIONAL values are offsets)
+    val withGps = withTags
+      .withColumn("_goff", tagVal(34853))
+      .withColumn("_gcnt", when(col("_goff").isNotNull, u2(col("_goff"))))
+    val withGpsTags = (0 until maxEntries).foldLeft(withGps) { (df, i) =>
+      val base = col("_goff") + 2 + i * 12
+      df.withColumn(s"_gtag$i", when(lit(i) < col("_gcnt"), u2(base)))
+        .withColumn(s"_gval$i", when(lit(i) < col("_gcnt"), u4(base + 8)))
+    }
+    def gtagVal(tag: Int) = coalesce((0 until maxEntries).map(i =>
+      when(col(s"_gtag$i") === tag, col(s"_gval$i"))): _*)
+    val parsed = withGpsTags
+      .withColumn("_latOff", gtagVal(2))
+      .withColumn("_lonOff", gtagVal(4))
+      .withColumn("_exif", coalesce(isJpegApp1, lit(false)) &&
+        coalesce(isLE || isBE, lit(false)) &&
+        coalesce(col("_magic") === 42, lit(false)) &&
+        coalesce(col("_cnt").between(1, maxEntries), lit(false)) &&
+        coalesce(len >= col("_ifd") + 2 + col("_cnt") * 12 + 4 + 12,
+          lit(false)))
+      .withColumn("_gps", col("_exif") && col("_goff").isNotNull &&
+        coalesce(col("_latOff").isNotNull && col("_lonOff").isNotNull,
+          lit(false)))
+    // the scrub: zero the pointer entry, the GPS IFD block, and both
+    // rational blocks — positions only, bytes never move
+    val gifdLen = lit(2L) + col("_gcnt") * 12 + 4
+    val cleaned = parsed.withColumn("_clean",
+      when(col("_gps"),
+        zeroRegion(zeroRegion(zeroRegion(zeroRegion(p,
+          tagPos(34853), lit(12L)),
+          at(col("_goff")), gifdLen),
+          at(col("_latOff")), lit(24L)),
+          at(col("_lonOff")), lit(24L)))
+        .otherwise(p))
+    // audit: RE-READ the pointer slot from the cleaned bytes
+    def u2c(off: org.apache.spark.sql.Column) =
+      when(isLE, leUintAt(col("_clean"), at(off), 2))
+        .otherwise(beUint(col("_clean"), at(off), 2))
+    val gpsAfter = coalesce((0 until maxEntries).map(i =>
+      when(lit(i) < col("_cnt") &&
+        u2c(col("_ifd") + 2 + i * 12) === 34853, lit(1))): _*)
+    cleaned.select(
+      col("doc_id"),
+      col("_exif").cast("int").as("is_exif"),
+      when(col("_exif"), col("_cnt").cast("int")).otherwise(lit(0))
+        .as("n_entries"),
+      when(col("_exif"), tagVal(256).cast("int"))
+        .otherwise((lit(16) + pmod(len * 3, lit(521))).cast("int"))
+        .as("width"),
+      col("_gps").cast("int").as("has_gps"),
+      when(col("_gps"), u4(col("_latOff"))).as("gps_lat_deg"),
+      when(col("_gps"), u4(col("_lonOff"))).as("gps_lon_deg"),
+      coalesce(when(col("_exif"), gpsAfter), lit(0)).as("gps_after"),
+      when(col("_gps"), lit(12L) + gifdLen + 48).otherwise(lit(0L))
+        .as("n_zeroed"))
+  }
+
+  /** The m15 gate: EXIF GPS audit + scrub over the planted corpus. */
+  def exifGpsScrubPlanted(spark: SparkSession, documents: DataFrame,
+                          every: Int = PlantedExifs.Every): DataFrame =
+    exifGpsScrub(plantedExifMedia(spark, documents, every).toDF())
+
   object PlantedWarcs {
     val Every = 4
 
