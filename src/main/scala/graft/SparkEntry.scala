@@ -684,7 +684,8 @@ object SparkEntry {
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "c54_robots_gate" -> Seq("doc_id"),
-    "m15_exif_gps" -> Seq("doc_id"))
+    "m15_exif_gps" -> Seq("doc_id"),
+    "c55_warc_ingest" -> Seq("doc_id", "rec_idx"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -948,6 +949,11 @@ object SparkEntry {
     // scrub audited by re-reading the cleaned bytes
     "m15_exif_gps" -> ((s, d) =>
       Multimodal.exifGpsScrubPlanted(s, t(s, d, "documents"))),
+    // the crawl front door END-TO-END: WARC framing + response payload
+    // slice + the t16 extraction chain in one scan; requests and
+    // non-WARC payloads emit nothing
+    "c55_warc_ingest" -> ((s, d) =>
+      Multimodal.warcIngestPlanted(s, t(s, d, "documents"))),
     "c1_top_ngrams" -> ((s, d) => Curation.topNgrams(t(s, d, "documents"))),
     "c2_tfidf" -> ((s, d) => Curation.tfidf(t(s, d, "documents"))),
     // BM25 top-k retrieval for the corpus's highest-df terms — the
@@ -4428,6 +4434,23 @@ object SparkEntry {
     // bottom-up), text rows the synthetic fallback from byte length
     // m13: plant replay — version alternates, tag sizes all ≥ 128 so a
     // non-syncsafe read could never stay green
+    // c55: the planted page replayed through the same extraction chain
+    // (tag strip + whitespace collapse; the entity replaces are
+    // identities on this corpus — no '&' in the generated text); only
+    // %4==0 docs are containers, only their response record emits
+    "c55_warc_ingest" ->
+      """WITH ext AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
+               '</title></head><body><p>' || text ||
+               '</p><footer>(c) 2026</footer></body></html>',
+               '<[^>]*>', ' ', 'g'), '[\s　]+', ' ', 'g')) AS ct
+           FROM documents WHERE doc_id % 4 = 0)
+         SELECT doc_id, 0 AS rec_idx,
+           'http://ingest' || CAST(doc_id AS VARCHAR) || '.example.com/'
+             AS target_uri,
+           ct AS clean_text, CAST(length(ct) AS INTEGER) AS n_chars
+         FROM ext ORDER BY doc_id""",
     // m15: the plant formulas replayed — %4==0 docs are EXIF, %8==0 of
     // those carry GPS (3 IFD entries vs 2), coordinates are doc_id
     // moduli, the scrub zeroes 12+30+48=90 bytes and gps_after is 0

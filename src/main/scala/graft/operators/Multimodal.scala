@@ -815,8 +815,10 @@ object Multimodal {
     * — the media-family contract. One scan, no shuffle, no UDF;
     * at 100 TB this is the embarrassingly-parallel ingest map that
     * feeds everything else. */
-  def warcRecords(media: DataFrame, maxRecords: Int = 3,
-                  hdrWin: Int = 512): DataFrame = {
+  /** The shared record walk: annotates `media` with per-record
+    * `_ok/_type/_uri/_n/_po` columns (see [[warcRecords]]). */
+  private def warcWalk(media: DataFrame, maxRecords: Int,
+                       hdrWin: Int): DataFrame = {
     val p = col("payload")
     val len = octet_length(p).cast("long")
     var df = media.withColumn("_c0", lit(1L))
@@ -845,6 +847,14 @@ object Multimodal {
           when(col(s"_ok$i"), col(s"_po$i") + col(s"_n$i") + 4)
             .otherwise(len + 1))
     }
+    df
+  }
+
+  def warcRecords(media: DataFrame, maxRecords: Int = 3,
+                  hdrWin: Int = 512): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p).cast("long")
+    val df = warcWalk(media, maxRecords, hdrWin)
     // int casts gated on ok: the ok length-check bounds every value by
     // the payload size, so a crafted 10-digit Content-Length can never
     // reach an ANSI overflow on the cast
@@ -877,6 +887,79 @@ object Multimodal {
   def warcRecordsPlanted(spark: SparkSession, documents: DataFrame,
                          every: Int = PlantedWarcs.Every): DataFrame =
     warcRecords(plantedWarcMedia(spark, documents, every).toDF())
+
+  /** The crawl FRONT DOOR end-to-end (c55): [[warcRecords]]' framing +
+    * response-payload extraction + [[graft.operators.TextOps.cleanHtml]]
+    * in ONE scan — container bytes in, clean training text out, which
+    * is the composition every real pipeline runs before any t/c/d
+    * operator can even start. Only `response` records yield documents
+    * (requests/metadata are crawl bookkeeping); each emitted row keeps
+    * its container record index and target URI so provenance survives
+    * into the corpus (c33/d24 compose downstream on the URI). The
+    * payload slice is a substr at the walk's byte-exact offset — no
+    * re-scan, no join back to a second copy of the container; a
+    * non-WARC or malformed payload yields NO rows (an ingest emits
+    * documents, not fallbacks — the audit view of the same bytes is
+    * m14). Pure map + explode, no shuffle at any corpus scale. */
+  def warcIngest(media: DataFrame, maxRecords: Int = 3,
+                 hdrWin: Int = 512): DataFrame = {
+    val p = col("payload")
+    val df = warcWalk(media, maxRecords, hdrWin)
+    val recs = array((0 until maxRecords).map(i => struct(
+      (col(s"_ok$i") && col(s"_type$i") === "response").as("ok"),
+      lit(i).as("rec_idx"),
+      when(col(s"_uri$i") =!= "", col(s"_uri$i")).as("target_uri"),
+      when(col(s"_ok$i") && col(s"_type$i") === "response",
+        p.substr(col(s"_po$i").cast("int"),
+          col(s"_n$i").cast("int")).cast("string")).as("body"))): _*)
+    val kept = filter(recs, r => r.getField("ok"))
+    val clean = graft.operators.TextOps.cleanHtml(col("r.body"))
+    df.select(col("doc_id"), explode(kept).as("r"))
+      .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+        col("r.target_uri").as("target_uri"), clean.as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("int"))
+  }
+
+  /** The c55 gate: end-to-end WARC→text ingest over planted containers
+    * whose response bodies are real HTML pages. */
+  def warcIngestPlanted(spark: SparkSession, documents: DataFrame,
+                        every: Int = PlantedWarcHtmls.Every): DataFrame =
+    warcIngest(plantedWarcHtmlMedia(spark, documents, every).toDF())
+
+  object PlantedWarcHtmls {
+    val Every = 4
+
+    /** WARC container whose record 0 response body is a REAL HTML page
+      * wrapping the document's text (title + paragraph + footer — tags
+      * the extraction chain must strip), record 1 a request (ingest
+      * must skip it). ASCII throughout; the oracle replays the
+      * extracted clean text from the same concatenation. */
+    def craftedWarcHtml(docId: Long, text: String): Array[Byte] = {
+      val uri = s"http://ingest$docId.example.com/"
+      val html = s"<html><head><title>Page $docId</title></head>" +
+        s"<body><p>$text</p><footer>(c) 2026</footer></body></html>"
+      def rec(typ: String, body: String): String =
+        s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+      (rec("response", html) + rec("request", ""))
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+
+  /** Documents as planted WARC-with-HTML containers on every `every`-th
+    * doc_id (raw text bytes otherwise — warcIngest must emit nothing
+    * for those). */
+  def plantedWarcHtmlMedia(spark: SparkSession, documents: DataFrame,
+                           every: Int = PlantedWarcHtmls.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0)
+          MediaIn(id, PlantedWarcHtmls.craftedWarcHtml(id, text))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
 
   /** Documents with planted real-ID3v2 payloads on every `every`-th
     * doc_id (text bytes otherwise). */

@@ -759,8 +759,12 @@ object TextOps {
     * spaces and trims. All patterns are literal-class RE2-safe regexes
     * with lazy quantifiers both engines implement identically; map-only,
     * no shuffle — composes in front of t1/c24/c32 at any scale. */
-  def htmlExtract(documents: DataFrame): DataFrame = {
-    val noScript = regexp_replace(col("text"),
+  /** The t16 extraction chain as a reusable column: script/style drop,
+    * tag strip, the six entity replaces (&amp; last), whitespace
+    * collapse. Shared with the c55 WARC-ingest composition so the two
+    * extraction surfaces cannot drift. */
+  def cleanHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style>", " ")
@@ -768,7 +772,11 @@ object TextOps {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
-    val clean = trim(regexp_replace(decoded, "[\\s　]+", " "))
+    trim(regexp_replace(decoded, "[\\s　]+", " "))
+  }
+
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    val clean = cleanHtml(col("text"))
     documents.select(col("doc_id"), clean.as("clean_text"),
       length(clean).cast("int").as("n_chars"))
   }

@@ -63,6 +63,29 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(out((1L, 0))._2 === "response")
   }
 
+  test("warc ingest: responses become clean documents, requests vanish") {
+    import spark.implicits._
+    val container = (
+      rec("response", "http://e.example/1",
+        "<html><body><p>first page body</p></body></html>") +
+      rec("request", "http://e.example/1", "") +
+      rec("response", "http://e.example/2",
+        "<html><body><b>second</b> page &amp; more</body></html>"))
+      .getBytes("US-ASCII")
+    val out = Multimodal.warcIngest(
+      Seq(MediaIn(1L, container),
+        MediaIn(2L, "not a warc at all".getBytes("UTF-8"))).toDS().toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getInt(4))))
+      .toMap
+    // rec_idx keeps CONTAINER positions (0 and 2); the request is gone
+    assert(out.keySet === Set((1L, 0), (1L, 2)))
+    assert(out((1L, 0)) === (("http://e.example/1", "first page body", 15)))
+    // the full t16 chain runs: tags stripped AND entities decoded
+    assert(out((1L, 2)) === (("http://e.example/2", "second page & more", 18)))
+  }
+
   test("the unroll bound caps emitted records at maxRecords") {
     val four = (0 until 4).map(i =>
       rec("response", s"http://d.example/$i", s"body$i")).mkString
