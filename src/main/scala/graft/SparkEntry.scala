@@ -685,7 +685,8 @@ object SparkEntry {
     "c53_main_content" -> Seq("doc_id"),
     "c54_robots_gate" -> Seq("doc_id"),
     "m15_exif_gps" -> Seq("doc_id"),
-    "c55_warc_ingest" -> Seq("doc_id", "rec_idx"))
+    "c55_warc_ingest" -> Seq("doc_id", "rec_idx"),
+    "st25_robots_stream" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1557,6 +1558,10 @@ object SparkEntry {
         .write.mode("overwrite").parquet(stageDir(d) + "/st23_comp")
       out
     }),
+    // the c54 in-band robots gate as a streaming ingest predicate —
+    // zero-state pure map of each doc's own bytes; batch-c54 oracle
+    "st25_robots_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.robotsFileStream(Tables.tune(s), d)),
     // the c48 governance filter as a streaming ingest predicate —
     // stateless pure map, doc-disjoint batches union to the batch run
     "st24_license_stream" -> ((s, d) =>
@@ -2025,6 +2030,53 @@ object SparkEntry {
   // shared by c33 (batch) and st19 (the same gate per micro-batch against
   // the static domain-rate table) — identical SQL by the stateless-union
   // argument
+  // shared by c54 (batch) and st25 (the same zero-state gate per
+  // micro-batch): one SQL, two surfaces
+  private lazy val robotsGateSql =
+    """WITH aug AS (SELECT doc_id,
+            '<html><head>' ||
+            CASE WHEN doc_id % 5 = 1
+                 THEN '<meta name="robots" content="noindex, follow">'
+                 WHEN doc_id % 5 = 2
+                 THEN '<META NAME="ROBOTS" CONTENT="index, NOFOLLOW">'
+                 WHEN doc_id % 7 = 3
+                 THEN '<meta name="robots" content="noai, noimageai">'
+                 WHEN doc_id % 17 = 4
+                 THEN '<meta name="robots" content="none">'
+                 ELSE '' END ||
+            '</head><body>' || text || '</body></html>' AS html,
+            CASE WHEN doc_id % 11 = 4
+                 THEN 'Content-Type: text/html' || chr(13) || chr(10) ||
+                      'X-Robots-Tag: noindex'
+                 WHEN doc_id % 13 = 6
+                 THEN 'X-Robots-Tag: noai' || chr(13) || chr(10) ||
+                      'Cache-Control: no-store'
+                 ELSE 'Content-Type: text/html' END AS hdrs
+           FROM documents),
+          ex AS (SELECT doc_id,
+            lower(regexp_extract(html,
+              '(?i)<meta name="robots" content="([^"]*)"', 1)) AS mc,
+            lower(regexp_extract(hdrs,
+              '(?i)x-robots-tag: ([^\r]*)', 1)) AS hc FROM aug),
+          dd AS (SELECT doc_id, list_sort(list_distinct(list_filter(
+              list_transform(string_split_regex(mc, ',\s*') ||
+                string_split_regex(hc, ',\s*'), x -> trim(x)),
+              x -> x <> ''))) AS dirs FROM ex)
+          SELECT doc_id, coalesce(array_to_string(dirs, ','), '') AS directives,
+            CASE WHEN list_contains(dirs, 'noindex')
+                   OR list_contains(dirs, 'none') THEN 1 ELSE 0 END
+              AS noindex,
+            CASE WHEN list_contains(dirs, 'nofollow')
+                   OR list_contains(dirs, 'none') THEN 1 ELSE 0 END
+              AS nofollow,
+            CASE WHEN list_contains(dirs, 'noai') THEN 1 ELSE 0 END
+              AS noai,
+            CASE WHEN list_contains(dirs, 'noindex')
+                   OR list_contains(dirs, 'none')
+                   OR list_contains(dirs, 'noai') THEN 0 ELSE 1 END
+              AS eligible
+          FROM dd ORDER BY doc_id"""
+
   private lazy val urlGateSql =
     """WITH u AS (SELECT doc_id,
             CASE WHEN doc_id % 11 = 0
@@ -5585,50 +5637,10 @@ object SparkEntry {
     // c54: the two-channel plant replayed, the same case-insensitive
     // extracts, list merge/dedup/sort, and flag algebra (none expands
     // to noindex+nofollow; eligibility excludes noindex/none/noai)
-    "c54_robots_gate" ->
-      """WITH aug AS (SELECT doc_id,
-            '<html><head>' ||
-            CASE WHEN doc_id % 5 = 1
-                 THEN '<meta name="robots" content="noindex, follow">'
-                 WHEN doc_id % 5 = 2
-                 THEN '<META NAME="ROBOTS" CONTENT="index, NOFOLLOW">'
-                 WHEN doc_id % 7 = 3
-                 THEN '<meta name="robots" content="noai, noimageai">'
-                 WHEN doc_id % 17 = 4
-                 THEN '<meta name="robots" content="none">'
-                 ELSE '' END ||
-            '</head><body>' || text || '</body></html>' AS html,
-            CASE WHEN doc_id % 11 = 4
-                 THEN 'Content-Type: text/html' || chr(13) || chr(10) ||
-                      'X-Robots-Tag: noindex'
-                 WHEN doc_id % 13 = 6
-                 THEN 'X-Robots-Tag: noai' || chr(13) || chr(10) ||
-                      'Cache-Control: no-store'
-                 ELSE 'Content-Type: text/html' END AS hdrs
-           FROM documents),
-          ex AS (SELECT doc_id,
-            lower(regexp_extract(html,
-              '(?i)<meta name="robots" content="([^"]*)"', 1)) AS mc,
-            lower(regexp_extract(hdrs,
-              '(?i)x-robots-tag: ([^\r]*)', 1)) AS hc FROM aug),
-          dd AS (SELECT doc_id, list_sort(list_distinct(list_filter(
-              list_transform(string_split_regex(mc, ',\s*') ||
-                string_split_regex(hc, ',\s*'), x -> trim(x)),
-              x -> x <> ''))) AS dirs FROM ex)
-          SELECT doc_id, coalesce(array_to_string(dirs, ','), '') AS directives,
-            CASE WHEN list_contains(dirs, 'noindex')
-                   OR list_contains(dirs, 'none') THEN 1 ELSE 0 END
-              AS noindex,
-            CASE WHEN list_contains(dirs, 'nofollow')
-                   OR list_contains(dirs, 'none') THEN 1 ELSE 0 END
-              AS nofollow,
-            CASE WHEN list_contains(dirs, 'noai') THEN 1 ELSE 0 END
-              AS noai,
-            CASE WHEN list_contains(dirs, 'noindex')
-                   OR list_contains(dirs, 'none')
-                   OR list_contains(dirs, 'noai') THEN 0 ELSE 1 END
-              AS eligible
-          FROM dd ORDER BY doc_id""",
+    "c54_robots_gate" -> robotsGateSql,
+    // st25: the streamed union over doc-disjoint batches against the
+    // zero-state gate equals batch c54 — same SQL
+    "st25_robots_stream" -> robotsGateSql,
     // c53: the plantHtmlBlocks concatenation, the same closing-tag
     // block split (parallel unnest+range for ordinals), per-block
     // anchor-text mass + tag-strip + whitespace collapse, the identical

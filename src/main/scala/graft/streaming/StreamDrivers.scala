@@ -996,4 +996,18 @@ object StreamDrivers {
     statelessDocStream(spark, "license", planted,
       onStream = df => graft.operators.Curation.licenseFilter(df)
         .select(col("doc_id"), col("source"), col("license")))
+
+  /** st25: the c54 in-band robots/noai gate as a streaming ingest
+    * predicate — the purest deployment in the whole st-family: the
+    * governance decision is a function of each document's OWN bytes
+    * (both signal channels ride with the row), so the gate needs no
+    * state, no artifact, no reference table — it composes onto
+    * micro-batches unchanged, and doc-disjoint batches union to the
+    * batch c54 run, whose oracle gates the streamed union verbatim. */
+  def robotsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.SparkEntry.plantRobots(
+      graft.Tables.load(spark, sfDir, "documents"))
+    statelessDocStream(spark, "robots", docs,
+      onStream = df => graft.operators.Curation.robotsGate(df))
+  }
 }
