@@ -403,6 +403,24 @@ object SparkEntry {
           lit(".example.org/item/"), col("doc_id").cast("string")))
       .as("url"))
 
+  /** Anchors for t27: absolute + relative links with attribute noise
+    * before href (%3==1) and a class-attributed absolute link (%7==2);
+    * double-spaced anchor text exercises the whitespace normalize. */
+  private[graft] def plantAnchors(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("<p>"), col("text"), lit("</p>"),
+        when(pmod(col("doc_id"), lit(3)) === 1, concat(
+          lit("<a href=\"https://ref"),
+          pmod(col("doc_id"), lit(9)).cast("string"),
+          lit(".example.com/a\">data  pipeline docs</a><a href=\"/rel/"),
+          col("doc_id").cast("string"),
+          lit("\">local link</a>"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 2, concat(
+          lit("<a class=\"x\" href=\"https://w"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example.org/b?q=1\">engine internals</a>")))
+          .otherwise(lit(""))).as("html"))
+
   /** In-band opt-out signals for c54: meta-robots tags inside the HTML
     * (mixed case on %5==2 — the gate is case-insensitive per spec) and
     * X-Robots-Tag response headers, with `noai` planted on both
@@ -686,7 +704,8 @@ object SparkEntry {
     "c54_robots_gate" -> Seq("doc_id"),
     "m15_exif_gps" -> Seq("doc_id"),
     "c55_warc_ingest" -> Seq("doc_id", "rec_idx"),
-    "st25_robots_stream" -> Seq("doc_id"))
+    "st25_robots_stream" -> Seq("doc_id"),
+    "t27_links" -> Seq("doc_id", "link_idx"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1346,6 +1365,10 @@ object SparkEntry {
     // noai opt-out) over planted two-channel signals; pure-map oracle
     "c54_robots_gate" -> ((s, d) =>
       Curation.robotsGate(plantRobots(t(s, d, "documents")))),
+    // the LINK layer: every anchor → (href, anchor_text) row over
+    // planted absolute/relative/attribute-noise anchors
+    "t27_links" -> ((s, d) =>
+      TextOps.linkGraph(plantAnchors(t(s, d, "documents")))),
     // the layer BEFORE text: URL normalize → registered domain →
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
@@ -5634,6 +5657,34 @@ object SparkEntry {
     "st19_url_stream" -> urlGateSql,
     // st20: same argument against the static reference LM
     "st20_paragraph_stream" -> paragraphGateSql,
+    // t27: plant replay, the same two-group pattern extracted twice
+    // (group 1 hrefs, group 2 texts) and zipped positionally via
+    // parallel unnest + range — the kmeansCtes vx idiom
+    "t27_links" ->
+      """WITH aug AS (SELECT doc_id, '<p>' || text || '</p>' ||
+            CASE WHEN doc_id % 3 = 1
+              THEN '<a href="https://ref' || CAST(doc_id % 9 AS VARCHAR) ||
+                   '.example.com/a">data  pipeline docs</a><a href="/rel/' ||
+                   CAST(doc_id AS VARCHAR) || '">local link</a>'
+              ELSE '' END ||
+            CASE WHEN doc_id % 7 = 2
+              THEN '<a class="x" href="https://w' ||
+                   CAST(doc_id % 5 AS VARCHAR) ||
+                   '.example.org/b?q=1">engine internals</a>'
+              ELSE '' END AS html FROM documents),
+          ex AS (SELECT doc_id,
+            regexp_extract_all(html,
+              '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS h,
+            regexp_extract_all(html,
+              '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS t2
+            FROM aug),
+          u AS (SELECT doc_id, unnest(range(len(h))) AS link_idx,
+            unnest(h) AS href, unnest(t2) AS atext FROM ex)
+          SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, href,
+            trim(regexp_replace(atext, '[\s　]+', ' ', 'g')) AS anchor_text,
+            CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+              THEN 1 ELSE 0 END AS is_absolute
+          FROM u ORDER BY doc_id, link_idx""",
     // c54: the two-channel plant replayed, the same case-insensitive
     // extracts, list merge/dedup/sort, and flag algebra (none expands
     // to noindex+nofollow; eligibility excludes noindex/none/noai)

@@ -954,6 +954,36 @@ object TextOps {
           .as("latin_share"): _*)
   }
 
+  /** Anchor/link extraction — the LINK layer of the web corpus (the
+    * signal t16/c53 throw away): every `<a href>` yields one
+    * (doc_id, link_idx, href, anchor_text) row, the raw material for
+    * the two classic uses — anchor-text corpora (the link text
+    * pointing AT a page describes it better than the page itself — the
+    * original web-search insight, reused for page-quality signals in
+    * crawl curation) and the hyperlink graph (URLs normalize via c33's
+    * layer, then the s7/s8/s17/s21 graph family runs on the edges).
+    * `is_absolute` separates graph-usable absolute links from
+    * same-site relative ones. Pure map + explode — two codegen regex
+    * scans zipped positionally, no shuffle; documents without anchors
+    * emit no rows (link tables are sparse — the c55 ingest posture,
+    * not the fallback-row media posture). */
+  def linkGraph(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val pat = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val pairs = zip_with(
+      regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(pat), lit(2)),
+      (h, a) => struct(h.as("href"), a.as("atext")))
+    documents
+      .select(col("doc_id"), posexplode(pairs).as(Seq("link_idx", "lk")))
+      .select(col("doc_id"), col("link_idx").cast("int").as("link_idx"),
+        col("lk.href").as("href"),
+        trim(regexp_replace(col("lk.atext"), "[\\s　]+", " "))
+          .as("anchor_text"),
+        (col("lk.href").startsWith("http://") ||
+          col("lk.href").startsWith("https://")).cast("int")
+          .as("is_absolute"))
+  }
+
   /** Distinct (word → Porter stem) vocabulary table — the persistable
     * model artifact of [[topStems]] and the unit the gate STAGES so the
     * relational oracle can replay stemmed aggregation without

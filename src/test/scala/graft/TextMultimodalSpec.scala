@@ -716,6 +716,24 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Double]("top_ratio") === 0.996875)
   }
 
+  test("link graph: hrefs + anchor texts extracted in order, noise survives") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "<p>x</p><a href=\"https://a.example/1\">first  link</a>" +
+        "<a class=\"nav\" href=\"/rel\">second</a>" +
+        "<a href=\"http://b.example/2\" rel=\"nofollow\">third</a>"),
+      (2L, "<p>no links here</p>")).toDF("doc_id", "html")
+    val out = TextOps.linkGraph(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getInt(4)))).toMap
+    assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2)))
+    // anchor whitespace normalizes; attribute noise before/after href ok
+    assert(out((1L, 0)) === (("https://a.example/1", "first link", 1)))
+    assert(out((1L, 1)) === (("/rel", "second", 0)))
+    assert(out((1L, 2)) === (("http://b.example/2", "third", 1)))
+  }
+
   test("invisible scrub: zero-width wedges rejoin words, NBSP becomes space") {
     import spark.implicits._
     import graft.operators.TextOps
