@@ -705,7 +705,8 @@ object SparkEntry {
     "m15_exif_gps" -> Seq("doc_id"),
     "c55_warc_ingest" -> Seq("doc_id", "rec_idx"),
     "st25_robots_stream" -> Seq("doc_id"),
-    "t27_links" -> Seq("doc_id", "link_idx"))
+    "t27_links" -> Seq("doc_id", "link_idx"),
+    "c56_epoch_order" -> Seq("epoch", "shard", "pos"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1369,6 +1370,10 @@ object SparkEntry {
     // planted absolute/relative/attribute-noise anchors
     "t27_links" -> ((s, d) =>
       TextOps.linkGraph(plantAnchors(t(s, d, "documents")))),
+    // the DATALOADER layer: deterministic per-epoch training order,
+    // pure function of (doc_id, epoch, seed) — resumable anywhere
+    "c56_epoch_order" -> ((s, d) =>
+      Curation.epochOrder(t(s, d, "documents"))),
     // the layer BEFORE text: URL normalize → registered domain →
     // blocklist + rate-gate domain cap over planted URLs
     "c33_url_gate" -> ((s, d) =>
@@ -5657,6 +5662,22 @@ object SparkEntry {
     "st19_url_stream" -> urlGateSql,
     // st20: same argument against the static reference LM
     "st20_paragraph_stream" -> paragraphGateSql,
+    // c56: the two integer hashes + per-(epoch, shard) row_number
+    // replayed verbatim — every term fits a BIGINT (1000003 * 2^32-ish
+    // products stay < 2^63), so both engines compute identical keys
+    "c56_epoch_order" ->
+      """WITH e AS (SELECT doc_id, unnest(range(2)) AS epoch
+             FROM documents),
+          k AS (SELECT doc_id, epoch,
+            ((doc_id % 1000003) * 3266489917 + 104729) % 8 AS shard,
+            (((doc_id + epoch * 7919) % 1000003) * 2654435761 + 104729)
+              % 999999937 AS okey FROM e)
+          SELECT CAST(epoch AS INTEGER) AS epoch,
+            CAST(shard AS INTEGER) AS shard,
+            CAST(row_number() OVER (PARTITION BY epoch, shard
+              ORDER BY okey, doc_id) AS INTEGER) AS pos,
+            doc_id
+          FROM k ORDER BY epoch, shard, pos""",
     // t27: plant replay, the same two-group pattern extracted twice
     // (group 1 hrefs, group 2 texts) and zipped positionally via
     // parallel unnest + range — the kmeansCtes vx idiom

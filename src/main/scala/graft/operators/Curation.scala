@@ -1178,6 +1178,37 @@ object Curation {
   private def shardCol(nShards: Int, seed: Long): Column =
     pmod(pmod(col("doc_id"), lit(1000003L)) * 3266489917L + lit(seed), lit(nShards.toLong))
 
+  /** Deterministic per-epoch training order — the DATALOADER layer
+    * after c50 (curriculum gives ONE global order) and c52 (shards fix
+    * placement): pretraining visits the corpus once per epoch in a
+    * DIFFERENT pseudorandom order each time, and that order must be a
+    * pure function of (doc_id, epoch, seed) so any worker can resume
+    * mid-epoch from a position counter alone — no shuffle files, no
+    * stored permutation, identical on re-run at any parallelism. Order
+    * key = the repo's engine-independent integer hash with the epoch
+    * mixed in (distinct epochs → distinct permutations, spec-pinned);
+    * position = row_number within (epoch, shard) ordered by
+    * (okey, doc_id) — the per-shard window is bounded by corpus/nShards
+    * (shard count is the parallelism knob, the c15 packing posture; at
+    * 100 TB nShards is thousands, so no reducer holds more than one
+    * shard-epoch of ids — and only ids + two longs cross the shuffle,
+    * never text). */
+  def epochOrder(documents: DataFrame, nEpochs: Int = 2,
+                 nShards: Int = 8, seed: Long = 104729L): DataFrame = {
+    val okey = pmod(
+      pmod(col("doc_id") + col("epoch") * 7919L, lit(1000003L)) *
+        2654435761L + lit(seed), lit(999999937L))
+    documents
+      .select(col("doc_id"), shardCol(nShards, seed).as("shard"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(nEpochs - 1L))))
+      .withColumn("okey", okey)
+      .withColumn("pos", row_number().over(Window
+        .partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("okey"), col("doc_id"))).cast("int"))
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard").cast("int").as("shard"), col("pos"), col("doc_id"))
+  }
+
   def shardAssign(documents: DataFrame, nShards: Int = 8,
                   seed: Long = 104729L): DataFrame = {
     val shard = shardCol(nShards, seed)

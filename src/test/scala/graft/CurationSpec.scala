@@ -1382,6 +1382,35 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("epoch order: deterministic resumable permutations, distinct per epoch") {
+    val docs = table("documents")
+    val out = Curation.epochOrder(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val n = docs.count()
+    // every (epoch, doc) appears exactly once
+    assert(out.length === 2 * n)
+    assert(out.map(r => (r._1, r._4)).distinct.length === out.length)
+    // positions are contiguous 1..k within each (epoch, shard)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // a doc's shard never changes across epochs (placement is fixed;
+    // only the visit ORDER reshuffles)
+    out.groupBy(_._4).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length === 1)
+    }
+    // epochs are genuinely different permutations
+    val ord0 = out.filter(r => r._1 == 0 && r._2 == 0).sortBy(_._3).map(_._4)
+    val ord1 = out.filter(r => r._1 == 1 && r._2 == 0).sortBy(_._3).map(_._4)
+    assert(ord0.toSet === ord1.toSet)
+    assert(ord0.toSeq !== ord1.toSeq)
+    // pure function of (doc_id, epoch, seed): identical under any
+    // partitioning — the mid-epoch resume contract
+    val re = Curation.epochOrder(docs.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(re === out.toSet)
+  }
+
   test("robots gate: two channels merge, none expands, noai excludes") {
     import spark.implicits._
     val docs = Seq(
