@@ -76,9 +76,19 @@ object Curation {
     * oracle), and the one `ln` carries the same negligible cross-engine
     * ulp risk c20's note documents. */
   def bm25TopK(documents: DataFrame, nTerms: Int = 5, k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               // stem = true conflates inflections via graft_porter
+               // BEFORE any counting (the t26 layer wired in, as a
+               // retrieval stack actually deploys it) — tf/df/ranking
+               // algebra and plan shape identical, terms become stems;
+               // the gate runs stem = false so the oracle replays
+               // surface tokens (stemmed parity is spec-gated against
+               // a pre-stemmed corpus instead)
+               stem: Boolean = false): DataFrame = {
     val terms = documents
-      .withColumn("term", explode(tokens(col("text"))))
+      .withColumn("_tok", explode(tokens(col("text"))))
+      .withColumn("term",
+        if (stem) call_function("graft_porter", col("_tok")) else col("_tok"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -1382,6 +1382,30 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("stemmed bm25 equals plain bm25 over a pre-stemmed corpus") {
+    import spark.implicits._
+    // inflected corpus: stemming conflates process/processing/processed
+    val docs = Seq(
+      (1L, "processing data processing engines"),
+      (2L, "processed data process"),
+      (3L, "query engines process data"),
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    // reference: the same corpus with every token stemmed up front
+    val preStemmed = docs.select(col("doc_id"),
+      array_join(transform(graft.functions.ColumnFns.tokens(col("text")),
+        t => call_function("graft_porter", t)), " ").as("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val stemmed = Curation.bm25TopK(docs, nTerms = 3, k = 3, stem = true)
+    assert(rows(stemmed) ===
+      rows(Curation.bm25TopK(preStemmed, nTerms = 3, k = 3)))
+    // and the conflation is real: "process" ranks doc 1 (tf 2 via two
+    // inflections) which plain bm25 cannot see as one term
+    val terms = stemmed.collect().map(_.getString(0)).toSet
+    assert(terms.contains("process"))
+  }
+
   test("epoch order: deterministic resumable permutations, distinct per epoch") {
     val docs = table("documents")
     val out = Curation.epochOrder(docs).collect()
