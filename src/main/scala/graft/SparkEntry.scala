@@ -403,6 +403,22 @@ object SparkEntry {
           lit(".example.org/item/"), col("doc_id").cast("string")))
       .as("url"))
 
+  /** Markdown chrome around every %3==0 document for t28: ATX header,
+    * bold + inline code, a fenced code block, a link + an image, and a
+    * blockquote — each construct the extractor must unwrap or drop. */
+  private[graft] def plantMarkdown(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(
+        lit("# Doc "), col("doc_id").cast("string"),
+        lit("\n\n**Summary** with `inline code` here\n\n```\nval x = "),
+        col("doc_id").cast("string"), lit("\n```\n\n"), col("text"),
+        lit("\n\n[read more](https://more.example/"),
+        col("doc_id").cast("string"),
+        lit(") ![fig](https://img.example/"),
+        col("doc_id").cast("string"),
+        lit(".png)\n\n> quoted line")))
+      .otherwise(col("text")).as("text"))
+
   /** Anchors for t27: absolute + relative links with attribute noise
     * before href (%3==1) and a class-attributed absolute link (%7==2);
     * double-spaced anchor text exercises the whitespace normalize. */
@@ -706,7 +722,8 @@ object SparkEntry {
     "c55_warc_ingest" -> Seq("doc_id", "rec_idx"),
     "st25_robots_stream" -> Seq("doc_id"),
     "t27_links" -> Seq("doc_id", "link_idx"),
-    "c56_epoch_order" -> Seq("epoch", "shard", "pos"))
+    "c56_epoch_order" -> Seq("epoch", "shard", "pos"),
+    "t28_markdown" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1370,6 +1387,10 @@ object SparkEntry {
     // planted absolute/relative/attribute-noise anchors
     "t27_links" -> ((s, d) =>
       TextOps.linkGraph(plantAnchors(t(s, d, "documents")))),
+    // markdown→text: the t16 sibling for the README/forum surface,
+    // RE2-safe chain replayed verbatim
+    "t28_markdown" -> ((s, d) =>
+      TextOps.markdownExtract(plantMarkdown(t(s, d, "documents")))),
     // the DATALOADER layer: deterministic per-epoch training order,
     // pure function of (doc_id, epoch, seed) — resumable anywhere
     "c56_epoch_order" -> ((s, d) =>
@@ -5662,6 +5683,46 @@ object SparkEntry {
     "st19_url_stream" -> urlGateSql,
     // st20: same argument against the static reference LM
     "st20_paragraph_stream" -> paragraphGateSql,
+    // t28: plant replay + the same seven-stage chain (DuckDB backrefs
+    // are \1 where java.util.regex uses $1 — same semantics); counts
+    // from the RAW text, links = bracket matches minus image matches
+    // (RE2 has no lookbehind — the subtraction IS the contract)
+    "t28_markdown" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+            '# Doc ' || CAST(doc_id AS VARCHAR) ||
+            E'\n\n**Summary** with `inline code` here\n\n```\nval x = ' ||
+            CAST(doc_id AS VARCHAR) || E'\n```\n\n' || text ||
+            E'\n\n[read more](https://more.example/' ||
+            CAST(doc_id AS VARCHAR) || E') ![fig](https://img.example/' ||
+            CAST(doc_id AS VARCHAR) || E'.png)\n\n> quoted line'
+            ELSE text END AS text FROM documents),
+          s1 AS (SELECT doc_id, text AS raw,
+            regexp_replace(text, '(?s)```.*?```', ' ', 'g') AS t FROM aug),
+          s2 AS (SELECT doc_id, raw,
+            regexp_replace(t, '`([^`]*)`', '\1', 'g') AS t FROM s1),
+          s3 AS (SELECT doc_id, raw,
+            regexp_replace(t, '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS t
+            FROM s2),
+          s4 AS (SELECT doc_id, raw,
+            regexp_replace(t, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS t
+            FROM s3),
+          s5 AS (SELECT doc_id, raw,
+            regexp_replace(t, '(\*\*|__|\*)', '', 'g') AS t FROM s4),
+          s6 AS (SELECT doc_id, raw,
+            regexp_replace(t, '(?m)^#{1,6} ', '', 'g') AS t FROM s5),
+          s7 AS (SELECT doc_id, raw,
+            regexp_replace(t, '(?m)^> ', '', 'g') AS t FROM s6),
+          s8 AS (SELECT doc_id, raw,
+            trim(regexp_replace(t, '[\s　]+', ' ', 'g')) AS t FROM s7)
+          SELECT doc_id, t AS clean_text,
+            CAST(length(t) AS INTEGER) AS n_chars,
+            CAST(len(regexp_extract_all(raw, '(?s)```.*?```')) AS INTEGER)
+              AS n_code_blocks,
+            CAST(len(regexp_extract_all(raw,
+                   '\[([^\]]*)\]\(([^)]*)\)')) -
+                 len(regexp_extract_all(raw,
+                   '!\[([^\]]*)\]\(([^)]*)\)')) AS INTEGER) AS n_links
+          FROM s8 ORDER BY doc_id""",
     // c56: the two integer hashes + per-(epoch, shard) row_number
     // replayed verbatim — every term fits a BIGINT (1000003 * 2^32-ish
     // products stay < 2^63), so both engines compute identical keys

@@ -954,6 +954,41 @@ object TextOps {
           .as("latin_share"): _*)
   }
 
+  /** Markdown→text extraction — t16's sibling for the OTHER big crawl
+    * surface (READMEs, forums, docs sites — much of a code-adjacent
+    * corpus arrives as markdown, and training on raw markup teaches
+    * the model to emit stray `**` and fence lines): code fences
+    * dropped whole (code belongs in a code corpus, not prose — the
+    * count is reported so a code-routing layer like t18 can reclaim
+    * them), inline code unwrapped, images → alt text, links → link
+    * text, bold/italic markers stripped, ATX headers and blockquote
+    * prefixes unwrapped, whitespace collapsed. Order is load-bearing
+    * (fences before inline backticks, images before links — `![` is a
+    * prefix of the link pattern) and every pattern is RE2-safe (no
+    * lookbehind: image-vs-link counting is total-minus-image, not a
+    * `(?<!!)` assertion), so the oracle replays the chain verbatim.
+    * Pure map, codegen regex, no shuffle. */
+  def markdownExtract(documents: DataFrame): DataFrame = {
+    val fencePat = "(?s)```.*?```"
+    val imgPat = "!\\[([^\\]]*)\\]\\(([^)]*)\\)"
+    val linkPat = "\\[([^\\]]*)\\]\\(([^)]*)\\)"
+    val noFence = regexp_replace(col("text"), fencePat, " ")
+    val noInline = regexp_replace(noFence, "`([^`]*)`", "$1")
+    val noImg = regexp_replace(noInline, imgPat, "$1")
+    val noLink = regexp_replace(noImg, linkPat, "$1")
+    val noEmph = regexp_replace(noLink, "(\\*\\*|__|\\*)", "")
+    val noHead = regexp_replace(noEmph, "(?m)^#{1,6} ", "")
+    val noQuote = regexp_replace(noHead, "(?m)^> ", "")
+    val clean = trim(regexp_replace(noQuote, "[\\s　]+", " "))
+    documents.select(col("doc_id"), clean.as("clean_text"),
+      length(clean).cast("int").as("n_chars"),
+      size(regexp_extract_all(col("text"), lit(fencePat), lit(0)))
+        .as("n_code_blocks"),
+      (size(regexp_extract_all(col("text"), lit(linkPat), lit(0))) -
+        size(regexp_extract_all(col("text"), lit(imgPat), lit(0))))
+        .as("n_links"))
+  }
+
   /** Anchor/link extraction — the LINK layer of the web corpus (the
     * signal t16/c53 throw away): every `<a href>` yields one
     * (doc_id, link_idx, href, anchor_text) row, the raw material for

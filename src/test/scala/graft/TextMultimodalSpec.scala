@@ -716,6 +716,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Double]("top_ratio") === 0.996875)
   }
 
+  test("markdown extract: constructs unwrap or drop, counts from raw text") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val md = "# Title\n\n**bold** and _kept_ `code span` here\n\n" +
+      "```\nsecret code body\n```\n\n" +
+      "See [the docs](https://d.example) and ![alt text](https://i.example)\n\n" +
+      "> a quote\n\nplain *star* tail"
+    val out = TextOps.markdownExtract(Seq((1L, md), (2L, "no markdown"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    // fence body is GONE; code span, link text and alt text survive;
+    // header/emphasis/quote markers stripped (single _ left alone)
+    assert(d1.getAs[String]("clean_text") ===
+      "Title bold and _kept_ code span here " +
+      "See the docs and alt text a quote plain star tail")
+    assert(d1.getAs[Int]("n_code_blocks") === 1)
+    assert(d1.getAs[Int]("n_links") === 1)
+    assert(out(2L).getAs[String]("clean_text") === "no markdown")
+    assert(out(2L).getAs[Int]("n_code_blocks") === 0)
+  }
+
   test("link graph: hrefs + anchor texts extracted in order, noise survives") {
     import spark.implicits._
     import graft.operators.TextOps
