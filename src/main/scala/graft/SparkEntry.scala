@@ -723,7 +723,8 @@ object SparkEntry {
     "st25_robots_stream" -> Seq("doc_id"),
     "t27_links" -> Seq("doc_id", "link_idx"),
     "c56_epoch_order" -> Seq("epoch", "shard", "pos"),
-    "t28_markdown" -> Seq("doc_id"))
+    "t28_markdown" -> Seq("doc_id"),
+    "q56_profile" -> Seq("col_name"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1391,6 +1392,14 @@ object SparkEntry {
     // RE2-safe chain replayed verbatim
     "t28_markdown" -> ((s, d) =>
       TextOps.markdownExtract(plantMarkdown(t(s, d, "documents")))),
+    // ingest data-quality profiler over a planted-null frame: one agg
+    // pass, long-format unpivot, string-rendered extrema
+    "q56_profile" -> ((s, d) => Relational.profile(
+      t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars")),
+      Seq("doc_id", "lang", "source", "n_chars"))),
     // the DATALOADER layer: deterministic per-epoch training order,
     // pure function of (doc_id, epoch, seed) — resumable anywhere
     "c56_epoch_order" -> ((s, d) =>
@@ -5683,6 +5692,33 @@ object SparkEntry {
     "st19_url_stream" -> urlGateSql,
     // st20: same argument against the static reference LM
     "st20_paragraph_stream" -> paragraphGateSql,
+    // q56: the same single-pass statistics + four-branch unpivot
+    "q56_profile" ->
+      """WITH aug AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+            source, n_chars FROM documents),
+          a AS (SELECT count(*) AS n,
+            count(doc_id) AS c1, count(DISTINCT doc_id) AS d1,
+            CAST(min(doc_id) AS VARCHAR) AS m1,
+            CAST(max(doc_id) AS VARCHAR) AS x1,
+            count(lang) AS c2, count(DISTINCT lang) AS d2,
+            CAST(min(lang) AS VARCHAR) AS m2,
+            CAST(max(lang) AS VARCHAR) AS x2,
+            count(source) AS c3, count(DISTINCT source) AS d3,
+            CAST(min(source) AS VARCHAR) AS m3,
+            CAST(max(source) AS VARCHAR) AS x3,
+            count(n_chars) AS c4, count(DISTINCT n_chars) AS d4,
+            CAST(min(n_chars) AS VARCHAR) AS m4,
+            CAST(max(n_chars) AS VARCHAR) AS x4
+          FROM aug)
+          SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+          FROM (
+            SELECT 'doc_id' AS col_name, n AS n_rows, n - c1 AS n_nulls,
+              d1 AS n_distinct, m1 AS min_val, x1 AS max_val FROM a
+            UNION ALL SELECT 'lang', n, n - c2, d2, m2, x2 FROM a
+            UNION ALL SELECT 'source', n, n - c3, d3, m3, x3 FROM a
+            UNION ALL SELECT 'n_chars', n, n - c4, d4, m4, x4 FROM a)
+          ORDER BY col_name""",
     // t28: plant replay + the same seven-stage chain (DuckDB backrefs
     // are \1 where java.util.regex uses $1 — same semantics); counts
     // from the RAW text, links = bracket matches minus image matches

@@ -845,4 +845,35 @@ object Relational {
           .cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
   }
+
+  /** Column profiler — the data-quality pass every ingest runs BEFORE
+    * trusting a new batch (null spikes, cardinality collapse, and
+    * range drift are the three classic upstream-broke-something
+    * signals): per profiled column, row count, null count, exact
+    * distinct count, and min/max rendered as strings (one uniform
+    * long-format schema regardless of column types; callers profile
+    * integer/date/string columns — float formatting is
+    * engine-ambiguous and belongs behind a decimal cast if needed).
+    * ONE aggregate pass over the data computes every statistic
+    * (count/min/max partial-aggregate map-side; each countDistinct
+    * expands to its own distinct aggregate — cost scales with the
+    * PROFILED column list, a caller choice, never with row count
+    * beyond the shared scan), then a dimension-sized explode unpivots
+    * the single result row to long format. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"_cnt_$c"),
+      countDistinct(col(c)).as(s"_dst_$c"),
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c")))
+    df.agg(count(lit(1)).as("_n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"_cnt_$c")).as("n_nulls"),
+        col(s"_dst_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_val"),
+        col(s"_max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
 }

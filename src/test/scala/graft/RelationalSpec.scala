@@ -6,6 +6,28 @@ import graft.operators.Relational
 
 class RelationalSpec extends AnyFunSuite with SharedSpark {
 
+  test("profile: nulls, cardinality and string-rendered extrema per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("en"), 10),
+      (2L, None, 20),
+      (3L, Some("de"), 20),
+      (4L, None, 5)).toDF("id", "lang", "n")
+    val out = graft.operators.Relational.profile(df, Seq("id", "lang", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(out("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(out("lang") === ((4L, 2L, 2L, "de", "en")))
+    assert(out("n") === ((4L, 0L, 3L, "5", "20")))
+    // single shared scan: profiling must not re-read per column — the
+    // plan has exactly one scan of the input relation
+    val plan = graft.operators.Relational.profile(
+      table("documents"), Seq("doc_id", "source"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("Relation ").length - 1 <= 1, plan.take(1500))
+  }
+
   test("q1 pricing summary: groups and exact-sum invariants") {
     val out = Relational.pricingSummary(table("lineitem")).collect()
     assert(out.length === 6) // 3 returnflags × 2 linestatuses in the data
