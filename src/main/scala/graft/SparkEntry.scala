@@ -724,7 +724,8 @@ object SparkEntry {
     "t27_links" -> Seq("doc_id", "link_idx"),
     "c56_epoch_order" -> Seq("epoch", "shard", "pos"),
     "t28_markdown" -> Seq("doc_id"),
-    "q56_profile" -> Seq("col_name"))
+    "q56_profile" -> Seq("col_name"),
+    "st26_warc_stream" -> Seq("doc_id", "rec_idx"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -1620,6 +1621,9 @@ object SparkEntry {
     // zero-state pure map of each doc's own bytes; batch-c54 oracle
     "st25_robots_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.robotsFileStream(Tables.tune(s), d)),
+    // the c55 WARC front door as the STREAM SOURCE; batch-c55 oracle
+    "st26_warc_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.warcIngestFileStream(Tables.tune(s), d)),
     // the c48 governance filter as a streaming ingest predicate —
     // stateless pure map, doc-disjoint batches union to the batch run
     "st24_license_stream" -> ((s, d) =>
@@ -2134,6 +2138,22 @@ object SparkEntry {
                    OR list_contains(dirs, 'noai') THEN 0 ELSE 1 END
               AS eligible
           FROM dd ORDER BY doc_id"""
+
+  // shared by c55 (batch) and st26 (the same zero-state front door per
+  // micro-batch)
+  private lazy val warcIngestSql =
+    """WITH ext AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
+               '</title></head><body><p>' || text ||
+               '</p><footer>(c) 2026</footer></body></html>',
+               '<[^>]*>', ' ', 'g'), '[\s　]+', ' ', 'g')) AS ct
+           FROM documents WHERE doc_id % 4 = 0)
+         SELECT doc_id, 0 AS rec_idx,
+           'http://ingest' || CAST(doc_id AS VARCHAR) || '.example.com/'
+             AS target_uri,
+           ct AS clean_text, CAST(length(ct) AS INTEGER) AS n_chars
+         FROM ext ORDER BY doc_id"""
 
   private lazy val urlGateSql =
     """WITH u AS (SELECT doc_id,
@@ -4548,19 +4568,9 @@ object SparkEntry {
     // (tag strip + whitespace collapse; the entity replaces are
     // identities on this corpus — no '&' in the generated text); only
     // %4==0 docs are containers, only their response record emits
-    "c55_warc_ingest" ->
-      """WITH ext AS (SELECT doc_id,
-             trim(regexp_replace(regexp_replace(
-               '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
-               '</title></head><body><p>' || text ||
-               '</p><footer>(c) 2026</footer></body></html>',
-               '<[^>]*>', ' ', 'g'), '[\s　]+', ' ', 'g')) AS ct
-           FROM documents WHERE doc_id % 4 = 0)
-         SELECT doc_id, 0 AS rec_idx,
-           'http://ingest' || CAST(doc_id AS VARCHAR) || '.example.com/'
-             AS target_uri,
-           ct AS clean_text, CAST(length(ct) AS INTEGER) AS n_chars
-         FROM ext ORDER BY doc_id""",
+    "c55_warc_ingest" -> warcIngestSql,
+    // st26: container-disjoint micro-batches union to batch c55
+    "st26_warc_stream" -> warcIngestSql,
     // m15: the plant formulas replayed — %4==0 docs are EXIF, %8==0 of
     // those carry GPS (3 IFD entries vs 2), coordinates are doc_id
     // moduli, the scrub zeroes 12+30+48=90 bytes and gps_after is 0

@@ -1010,4 +1010,21 @@ object StreamDrivers {
     statelessDocStream(spark, "robots", docs,
       onStream = df => graft.operators.Curation.robotsGate(df))
   }
+
+  /** st26: the c55 WARC→text front door AS THE STREAM SOURCE — the
+    * production topology: crawl containers land as files, the ingest
+    * is a zero-state pure map of each container's own bytes, so the
+    * streamed union over container-disjoint micro-batches equals the
+    * batch c55 run and its oracle gates both surfaces. Containers
+    * whose record framing fails emit nothing in either deployment. */
+  def warcIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = graft.operators.Multimodal.plantedWarcHtmlMedia(
+      spark, graft.Tables.load(spark, sfDir, "documents")).toDF()
+    // every container id is ≡0 (mod 4), so the default parity split
+    // would land ALL of them in one micro-batch (the st21 lesson);
+    // split on doc_id/4 parity so both batches carry containers
+    statelessDocStream(spark, "warc", media,
+      onStream = df => graft.operators.Multimodal.warcIngest(df),
+      splitBy = pmod(expr("doc_id div 4"), lit(2)))
+  }
 }
