@@ -638,8 +638,12 @@ object Multimodal {
                          pos: org.apache.spark.sql.Column,
                          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(pos.isNotNull && n.isNotNull,
+      // n repetitions of the two-hex-char byte "00" unhex to exactly n
+      // zero BYTES (an n*2 repeat count would write 2n bytes, growing
+      // the file and shifting every later offset — the r12 self-review
+      // catch, now pinned by ExifSpec's emitPayload byte-image check)
       concat(p.substr(lit(1), (pos - 1).cast("int")),
-        unhex(call_function("repeat", lit("00"), (n * 2).cast("int"))),
+        unhex(call_function("repeat", lit("00"), n.cast("int"))),
         p.substr((pos + n).cast("int"), octet_length(p))))
       .otherwise(p)
 
@@ -659,7 +663,13 @@ object Multimodal {
     * own output, and the spec feeds cleaned payloads back through the
     * full parser). Pure column exprs, one scan, no shuffle/UDF; the
     * fallback tiers are the media contract. */
-  def exifGpsScrub(media: DataFrame, maxEntries: Int = 4): DataFrame = {
+  def exifGpsScrub(media: DataFrame, maxEntries: Int = 4,
+                   // emitPayload = true appends the scrubbed BYTES as
+                   // clean_payload — the production output (write these
+                   // files); the gate runs false because the oracle
+                   // compares relational fields, and the byte image is
+                   // spec-verified against an independent reconstruction
+                   emitPayload: Boolean = false): DataFrame = {
     val p = col("payload")
     val len = octet_length(p).cast("long")
     def at(off: org.apache.spark.sql.Column) = lit(13L) + off
@@ -730,7 +740,7 @@ object Multimodal {
     val gpsAfter = coalesce((0 until maxEntries).map(i =>
       when(lit(i) < col("_cnt") &&
         u2c(col("_ifd") + 2 + i * 12) === 34853, lit(1))): _*)
-    cleaned.select(
+    cleaned.select(Seq(
       col("doc_id"),
       col("_exif").cast("int").as("is_exif"),
       when(col("_exif"), col("_cnt").cast("int")).otherwise(lit(0))
@@ -743,7 +753,9 @@ object Multimodal {
       when(col("_gps"), u4(col("_lonOff"))).as("gps_lon_deg"),
       coalesce(when(col("_exif"), gpsAfter), lit(0)).as("gps_after"),
       when(col("_gps"), lit(12L) + gifdLen + 48).otherwise(lit(0L))
-        .as("n_zeroed"))
+        .as("n_zeroed")) ++
+      (if (emitPayload) Seq(col("_clean").as("clean_payload"))
+       else Seq.empty): _*)
   }
 
   /** The m15 gate: EXIF GPS audit + scrub over the planted corpus. */
@@ -807,10 +819,11 @@ object Multimodal {
     * only, and (4) advances the cursor past header + Content-Length
     * payload + the trailing CRLF CRLF. A record only parses if every
     * prior record's framing was exact, so the emitted prefix is
-    * self-verifying. Offsets are byte-exact for ASCII headers (the
-    * spec's own header charset; multi-byte UTF-8 in a header value
-    * shifts only that record's reported offset, never the framing,
-    * which runs on the raw bytes). Non-WARC payloads emit one
+    * self-verifying. Offsets are BYTE-exact even with multi-byte UTF-8
+    * header values (the spec allows them in e.g. WARC-Target-URI): the
+    * blank line is located in the decoded window but its position is
+    * converted back to a byte offset before any cursor arithmetic or
+    * payload slice. Non-WARC payloads emit one
     * `is_warc = 0` fallback row with deterministic synthetic metadata
     * — the media-family contract. One scan, no shuffle, no UDF;
     * at 100 TB this is the embarrassingly-parallel ingest map that
@@ -826,10 +839,21 @@ object Multimodal {
       val c = col(s"_c$i")
       df = df
         .withColumn(s"_w$i", p.substr(c, lit(hdrWin)).cast("string"))
-        .withColumn(s"_he$i", instr(col(s"_w$i"), "\r\n\r\n").cast("long"))
+        // _hc: CHARACTER index of the blank line in the decoded window
+        // (for the regex region); _he: its BYTE offset — octet_length
+        // of the character prefix — because every cursor/length below
+        // is byte arithmetic and a multi-byte UTF-8 header value (a
+        // non-ASCII WARC-Target-URI, common in real crawls) makes the
+        // two diverge: mixing them mis-slices the payload and silently
+        // drops every later record (the r12 self-review catch,
+        // spec-pinned with a multi-byte-URI container)
+        .withColumn(s"_hc$i", instr(col(s"_w$i"), "\r\n\r\n").cast("long"))
+        .withColumn(s"_he$i", when(col(s"_hc$i") > 0, octet_length(
+          col(s"_w$i").substr(lit(1), (col(s"_hc$i") - 1).cast("int")))
+          .cast("long") + 1).otherwise(lit(0L)))
         // header region: version line through the final header's CRLF
         .withColumn(s"_h$i",
-          col(s"_w$i").substr(lit(1), (col(s"_he$i") + 1).cast("int")))
+          col(s"_w$i").substr(lit(1), (col(s"_hc$i") + 1).cast("int")))
         .withColumn(s"_cl$i", regexp_extract(col(s"_h$i"),
           "\r\nContent-Length: ([0-9]{1,10})\r\n", 1))
         .withColumn(s"_n$i",

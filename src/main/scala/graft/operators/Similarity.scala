@@ -344,6 +344,11 @@ object Similarity {
   private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int,
                                      fitCap: Int = FitCap): Array[Array[Double]] = {
     import java.math.{BigDecimal => JBD, RoundingMode}
+    // a cap near k would let the binomial sample dip below the seed
+    // count, and a sample missing a seed silently degrades the fit —
+    // fail fast instead (the r12 self-review guard)
+    require(fitCap <= 0 || fitCap >= 10 * k,
+      s"fitCap $fitCap is too close to k = $k for a safe sample; use >= ${10 * k} or <= 0")
     var cents: Array[Array[Double]] = kmeansSeedIds(v, k)
       .join(v, "vec_id").orderBy(col("cid"))
       .select(col("v")).collect()
@@ -762,6 +767,11 @@ object Similarity {
   def pqCodebooks(embeddings: DataFrame, m: Int = 32, k: Int = 32,
                   iters: Int = 4, fitCap: Int = FitCap): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
+    // see kmeansCentroids: a near-k cap risks a sample without every
+    // smallest-hash seed — empty init centroids would join the argmin
+    // at distance vv and silently corrupt the codebooks
+    require(fitCap <= 0 || fitCap >= 10 * k,
+      s"fitCap $fitCap is too close to k = $k for a safe sample; use >= ${10 * k} or <= 0")
     import org.apache.spark.sql.types.DecimalType
     val spark = embeddings.sparkSession
     import spark.implicits._

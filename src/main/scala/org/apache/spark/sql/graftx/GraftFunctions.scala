@@ -40,10 +40,11 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_tokens",
       FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0))),
       "built-in")
-    // Luhn checksum validity (payment-card PII verification — see Luhn)
+    // classic Porter 1980 stemming (t26's per-token hot loop)
     registry.createOrReplaceTempFunction("graft_porter",
       FnArity.checked("graft_porter", 1)(args => PorterStem(args(0))),
       "built-in")
+    // Luhn checksum validity (payment-card PII verification — see Luhn)
     registry.createOrReplaceTempFunction("graft_luhn",
       FnArity.checked("graft_luhn", 1)(args => LuhnValid(args(0))),
       "built-in")

@@ -502,6 +502,14 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
         fitCap = 0).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
     assert(cbCap === cbSubset)
+    // a cap too close to k risks a sample missing a seed → fail fast,
+    // never a silently degraded fit
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(v, 8, 1, fitCap = 20)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, m = 8, k = 8, iters = 1, fitCap = 20)
+    }
   }
 
   test("cluster maintenance equals the full recluster over the union pair graph") {

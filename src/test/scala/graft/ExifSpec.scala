@@ -55,6 +55,16 @@ class ExifSpec extends AnyFunSuite with SharedSpark {
     assert(out.getAs[Int]("has_gps") === 0, "GPS must be unreadable")
     assert(out.getAs[Int]("width") === (16 + 16 % 53), "image meta intact")
     assert(out.getAs[Long]("n_zeroed") === 0L)
+    // the OPERATOR's own scrubbed bytes must equal this independent
+    // reconstruction byte-for-byte — same length, zeros in place (the
+    // r12 self-review catch: a doubled zero run grows the file and
+    // shifts every later offset; only a byte-image compare sees it)
+    val produced = Multimodal.exifGpsScrub(media(16L -> raw),
+        emitPayload = true).collect().head
+      .getAs[Array[Byte]]("clean_payload")
+    assert(produced.length === raw.length, "scrub must not change length")
+    assert(produced.toSeq === cleaned.toSeq,
+      "operator bytes must match the independent zeroing")
     // and the operator's own audit on the original agrees byte-for-byte:
     // only the four documented regions differ between raw and cleaned
     val diffs = raw.indices.filter(i => raw(i) != cleaned(i))

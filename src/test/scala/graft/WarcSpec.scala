@@ -86,6 +86,24 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(out((1L, 2)) === (("http://e.example/2", "second page & more", 18)))
   }
 
+  test("multi-byte UTF-8 header values keep byte-exact framing") {
+    // a non-ASCII target URI: char positions and byte offsets diverge
+    // inside record 0's header, and record 1 only parses if the cursor
+    // advanced by BYTES (the r12 self-review catch)
+    val uri = "http://é.example/ü-path" // 2 two-byte chars
+    val b0 = "first body"
+    val bytes = (rec("response", uri, b0) +
+      rec("request", "http://plain.example/", ""))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = run(1L -> bytes)
+    assert(out.keySet === Set((1L, 0), (1L, 1)), out.keySet)
+    val (_, _, uri0, cl0, po0) = out((1L, 0))
+    assert(uri0.contains(uri))
+    // the reported offset is a BYTE offset: slicing there yields the body
+    assert(new String(bytes, po0 - 1, cl0, "UTF-8") === b0)
+    assert(out((1L, 1))._2 === "request")
+  }
+
   test("the unroll bound caps emitted records at maxRecords") {
     val four = (0 until 4).map(i =>
       rec("response", s"http://d.example/$i", s"body$i")).mkString
