@@ -111,4 +111,18 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2)))
     assert(out((1L, 2))._3.contains("http://d.example/2"))
   }
+
+  test("framing and ingest are pure maps: no Exchange in either plan") {
+    import spark.implicits._
+    val media = Seq(MediaIn(1L, rec("response", "http://x/", "b")
+      .getBytes("US-ASCII"))).toDS().toDF()
+    val p1 = Multimodal.warcRecords(media)
+      .queryExecution.executedPlan.toString
+    val p2 = Multimodal.warcIngest(media)
+      .queryExecution.executedPlan.toString
+    val p3 = Multimodal.exifGpsScrub(media)
+      .queryExecution.executedPlan.toString
+    Seq(p1, p2, p3).foreach(p =>
+      assert(!p.contains("Exchange"), p.take(1500)))
+  }
 }
