@@ -725,7 +725,8 @@ object SparkEntry {
     "c56_epoch_order" -> Seq("epoch", "shard", "pos"),
     "t28_markdown" -> Seq("doc_id"),
     "q56_profile" -> Seq("col_name"),
-    "st26_warc_stream" -> Seq("doc_id", "rec_idx"))
+    "st26_warc_stream" -> Seq("doc_id", "rec_idx"),
+    "m16_png_gps" -> Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (k, f) =>
@@ -989,6 +990,10 @@ object SparkEntry {
     // scrub audited by re-reading the cleaned bytes
     "m15_exif_gps" -> ((s, d) =>
       Multimodal.exifGpsScrubPlanted(s, t(s, d, "documents"))),
+    // the SAME GPS walk + scrub over the OTHER real image container:
+    // PNG's eXIf chunk found by a length-driven chunk walk
+    "m16_png_gps" -> ((s, d) =>
+      Multimodal.pngGpsScrubPlanted(s, t(s, d, "documents"))),
     // the crawl front door END-TO-END: WARC framing + response payload
     // slice + the t16 extraction chain in one scan; requests and
     // non-WARC payloads emit nothing
@@ -4574,8 +4579,8 @@ object SparkEntry {
     // m15: the plant formulas replayed — %4==0 docs are EXIF, %8==0 of
     // those carry GPS (3 IFD entries vs 2), coordinates are doc_id
     // moduli, the scrub zeroes 12+30+48=90 bytes and gps_after is 0
-    "m15_exif_gps" ->
-      """SELECT doc_id, 1 AS is_exif,
+    "m16_png_gps" ->
+      """SELECT doc_id, 1 AS is_exif, 'png' AS container,
            CAST(CASE WHEN doc_id % 8 = 0 THEN 3 ELSE 2 END AS INTEGER)
              AS n_entries,
            CAST(16 + doc_id % 53 AS INTEGER) AS width,
@@ -4589,7 +4594,30 @@ object SparkEntry {
              AS n_zeroed
          FROM documents WHERE doc_id % 4 = 0
          UNION ALL
-         SELECT doc_id, 0 AS is_exif, 0 AS n_entries,
+         SELECT doc_id, 0 AS is_exif, 'none' AS container, 0 AS n_entries,
+           CAST(16 + (octet_length(encode(text)) * 3) % 521 AS INTEGER)
+             AS width,
+           0 AS has_gps, CAST(NULL AS BIGINT) AS gps_lat_deg,
+           CAST(NULL AS BIGINT) AS gps_lon_deg, 0 AS gps_after,
+           CAST(0 AS BIGINT) AS n_zeroed
+         FROM documents WHERE doc_id % 4 <> 0
+         ORDER BY doc_id""",
+    "m15_exif_gps" ->
+      """SELECT doc_id, 1 AS is_exif, 'jpeg' AS container,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 3 ELSE 2 END AS INTEGER)
+             AS n_entries,
+           CAST(16 + doc_id % 53 AS INTEGER) AS width,
+           CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS has_gps,
+           CASE WHEN doc_id % 8 = 0 THEN CAST(doc_id % 90 AS BIGINT) END
+             AS gps_lat_deg,
+           CASE WHEN doc_id % 8 = 0 THEN CAST(doc_id % 180 AS BIGINT) END
+             AS gps_lon_deg,
+           0 AS gps_after,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 90 ELSE 0 END AS BIGINT)
+             AS n_zeroed
+         FROM documents WHERE doc_id % 4 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_exif, 'none' AS container, 0 AS n_entries,
            CAST(16 + (octet_length(encode(text)) * 3) % 521 AS INTEGER)
              AS width,
            0 AS has_gps, CAST(NULL AS BIGINT) AS gps_lat_deg,

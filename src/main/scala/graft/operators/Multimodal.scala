@@ -573,20 +573,15 @@ object Multimodal {
       * formula of doc_id so the oracle replays the parse relationally;
       * the GPS coordinates are the PII the m15 scrub half exists to
       * remove. */
-    def craftedExif(docId: Long): Array[Byte] = {
+    /** The shared little-endian TIFF block (header + IFD0 + optional
+      * GPS sub-IFD + rationals) both crafted containers wrap. */
+    def tiffBlock(docId: Long): Array[Byte] = {
       val hasGps = docId % 8 == 0
       val nEntries = if (hasGps) 3 else 2
       val tiffLen = if (hasGps) 128 else 38
-      val app1Len = 2 + 6 + tiffLen
-      val out = java.nio.ByteBuffer.allocate(4 + 2 + 6 + tiffLen + 10)
+      val out = java.nio.ByteBuffer.allocate(tiffLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      out.put(0xFF.toByte).put(0xD8.toByte)            // SOI
-      out.put(0xFF.toByte).put(0xE1.toByte)            // APP1
-      out.put((app1Len >> 8).toByte).put((app1Len & 0xFF).toByte) // BE len
-      out.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
-      // TIFF header (LE)
       out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
-      // IFD0
       out.putShort(nEntries.toShort)
       def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
         out.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
@@ -610,11 +605,59 @@ object Multimodal {
         out.putInt(((docId * 3) % 60).toInt).putInt(1)
         out.putInt(((docId * 7) % 6000).toInt).putInt(100)
       }
+      out.array()
+    }
+
+    def craftedExif(docId: Long): Array[Byte] = {
+      val tiff = tiffBlock(docId)
+      val app1Len = 2 + 6 + tiff.length
+      val out = java.nio.ByteBuffer.allocate(4 + 2 + 6 + tiff.length + 10)
+      out.put(0xFF.toByte).put(0xD8.toByte)            // SOI
+      out.put(0xFF.toByte).put(0xE1.toByte)            // APP1
+      out.put((app1Len >> 8).toByte).put((app1Len & 0xFF).toByte) // BE len
+      out.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      out.put(tiff)
       var i = 0
       while (i < 8) { out.put(((docId * 13 + i * 7) % 256).toByte); i += 1 }
       out.put(0xFF.toByte).put(0xD9.toByte)            // EOI
       out.array()
     }
+
+    /** Minimal real PNG carrier with the SAME TIFF block inside an
+      * `eXIf` chunk (PNG 1.2 extension; the second container real
+      * image corpora deliver GPS metadata in): signature, an IHDR
+      * chunk, the eXIf chunk, IEND. CRCs are filler — the walk is
+      * length-driven, as in every chunk-tolerant reader. */
+    def craftedPngExif(docId: Long): Array[Byte] = {
+      val tiff = tiffBlock(docId)
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + tiff.length + 12)
+      out.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      out.putInt(13).put("IHDR".getBytes("US-ASCII"))  // IHDR: 13 data
+      out.putInt((32 + docId % 97).toInt)              // png width
+      out.putInt((32 + docId % 89).toInt)              // png height
+      out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte)
+      out.putInt(0)                                    // crc filler
+      out.putInt(tiff.length).put("eXIf".getBytes("US-ASCII"))
+      out.put(tiff)
+      out.putInt(0)                                    // crc filler
+      out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+      out.array()
+    }
+  }
+
+  /** Documents with planted PNG/eXIf payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedPngExifMedia(spark: SparkSession, documents: DataFrame,
+                          every: Int = PlantedExifs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedExifs.craftedPngExif(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
   }
 
   /** Documents with planted JPEG/EXIF payloads on every `every`-th
@@ -669,20 +712,40 @@ object Multimodal {
                    // files); the gate runs false because the oracle
                    // compares relational fields, and the byte image is
                    // spec-verified against an independent reconstruction
-                   emitPayload: Boolean = false): DataFrame = {
+                   emitPayload: Boolean = false,
+                   // PNG eXIf discovery walks this many chunks
+                   maxChunks: Int = 4): DataFrame = {
     val p = col("payload")
     val len = octet_length(p).cast("long")
-    def at(off: org.apache.spark.sql.Column) = lit(13L) + off
     val isJpegApp1 = hex(p.substr(lit(1), lit(4))) === "FFD8FFE1" &&
       hex(p.substr(lit(7), lit(6))) === "457869660000"
-    val bo = hex(p.substr(at(lit(0L)), lit(2)))
+    // PNG container: signature, then length-driven chunks — the eXIf
+    // chunk (PNG 1.2 extension) holds the very same TIFF block JPEG
+    // carries in APP1, so ONE IFD/GPS walk serves both containers once
+    // the TIFF base position is found (m12 → m15 → m16 reuse ladder)
+    val isPng = hex(p.substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    var m0 = media.withColumn("_pk0", lit(9L))
+    for (j <- 0 until maxChunks) {
+      m0 = m0
+        .withColumn(s"_pct$j",
+          p.substr((col(s"_pk$j") + 4).cast("int"), lit(4)).cast("string"))
+        .withColumn(s"_pcl$j", beUint(p, col(s"_pk$j"), 4))
+        .withColumn(s"_pk${j + 1}",
+          col(s"_pk$j") + 12 + coalesce(col(s"_pcl$j"), lit(0L)))
+    }
+    val pngExifPos = coalesce((0 until maxChunks).map(j =>
+      when(col(s"_pct$j") === "eXIf", col(s"_pk$j") + 8)): _*)
+    val media2 = m0.withColumn("_tbase",
+      when(isJpegApp1, lit(13L)).otherwise(when(isPng, pngExifPos)))
+    def at(off: org.apache.spark.sql.Column) = col("_tbase") + off
+    val bo = hex(p.substr(at(lit(0L)).cast("int"), lit(2)))
     val isLE = bo === "4949"
     val isBE = bo === "4D4D"
     def u2(off: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(p, at(off), 2)).otherwise(beUint(p, at(off), 2))
     def u4(off: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(p, at(off), 4)).otherwise(beUint(p, at(off), 4))
-    val staged = media
+    val staged = media2
       .withColumn("_magic", u2(lit(2L)))
       .withColumn("_ifd", u4(lit(4L)))
       .withColumn("_cnt", u2(col("_ifd")))
@@ -713,7 +776,7 @@ object Multimodal {
     val parsed = withGpsTags
       .withColumn("_latOff", gtagVal(2))
       .withColumn("_lonOff", gtagVal(4))
-      .withColumn("_exif", coalesce(isJpegApp1, lit(false)) &&
+      .withColumn("_exif", col("_tbase").isNotNull &&
         coalesce(isLE || isBE, lit(false)) &&
         coalesce(col("_magic") === 42, lit(false)) &&
         coalesce(col("_cnt").between(1, maxEntries), lit(false)) &&
@@ -743,6 +806,9 @@ object Multimodal {
     cleaned.select(Seq(
       col("doc_id"),
       col("_exif").cast("int").as("is_exif"),
+      when(col("_exif") && isJpegApp1, lit("jpeg"))
+        .when(col("_exif") && isPng, lit("png"))
+        .otherwise(lit("none")).as("container"),
       when(col("_exif"), col("_cnt").cast("int")).otherwise(lit(0))
         .as("n_entries"),
       when(col("_exif"), tagVal(256).cast("int"))
@@ -757,6 +823,11 @@ object Multimodal {
       (if (emitPayload) Seq(col("_clean").as("clean_payload"))
        else Seq.empty): _*)
   }
+
+  /** The m16 gate: the SAME GPS audit + scrub over PNG/eXIf carriers. */
+  def pngGpsScrubPlanted(spark: SparkSession, documents: DataFrame,
+                         every: Int = PlantedExifs.Every): DataFrame =
+    exifGpsScrub(plantedPngExifMedia(spark, documents, every).toDF())
 
   /** The m15 gate: EXIF GPS audit + scrub over the planted corpus. */
   def exifGpsScrubPlanted(spark: SparkSession, documents: DataFrame,

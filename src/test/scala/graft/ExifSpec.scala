@@ -74,6 +74,33 @@ class ExifSpec extends AnyFunSuite with SharedSpark {
     assert(diffs.nonEmpty)
   }
 
+  test("PNG eXIf: same GPS walk, chunk-walk discovery, scrub verified") {
+    val raw = Multimodal.PlantedExifs.craftedPngExif(8L)
+    val out = Multimodal.exifGpsScrub(media(
+      8L -> raw,
+      4L -> Multimodal.PlantedExifs.craftedPngExif(4L),
+      3L -> "plain".getBytes("UTF-8")), emitPayload = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = out(8L)
+    assert(g.getAs[String]("container") === "png")
+    assert(g.getAs[Int]("has_gps") === 1)
+    assert(g.getAs[Long]("gps_lat_deg") === 8L % 90)
+    assert(g.getAs[Int]("gps_after") === 0)
+    assert(out(4L).getAs[String]("container") === "png" &&
+      out(4L).getAs[Int]("has_gps") === 0)
+    assert(out(3L).getAs[String]("container") === "none")
+    // scrub byte-image: same length, zeros only in the four documented
+    // TIFF-relative regions (base = 8 + 25 + 8 = PNG eXIf data start)
+    val produced = g.getAs[Array[Byte]]("clean_payload")
+    assert(produced.length === raw.length)
+    val base = 8 + 25 + 8 // sig + IHDR chunk + eXIf len/type
+    val expected = ((base + 8 + 2 + 24) until (base + 8 + 2 + 36)) ++
+      ((base + 50) until (base + 80)) ++ ((base + 80) until (base + 128))
+    val diffs = raw.indices.filter(i => raw(i) != produced(i))
+    assert(diffs.nonEmpty && diffs.forall(expected.contains),
+      s"unexpected diffs: ${diffs.take(20)}")
+  }
+
   test("truncated carrier rejects instead of misparsing") {
     val raw = Multimodal.PlantedExifs.craftedExif(8L)
     val out = Multimodal.exifGpsScrub(media(
