@@ -655,6 +655,8 @@ object SparkEntry {
     "q50_path_trigrams" -> Seq("e1", "e2", "e3"),
     "q51_daily_anomaly" -> Seq("day"),
     "q52_gap_fill" -> Seq("day", "event_type"),
+    "q57_hierarchy" -> Seq("s_suppkey"),
+    "q58_range_frame" -> Seq("day", "priority"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -1366,6 +1368,12 @@ object SparkEntry {
     "q51_daily_anomaly" -> ((s, d) =>
       Relational.dailyAnomaly(t(s, d, "events"))),
     "q52_gap_fill" -> ((s, d) => Relational.gapFill(t(s, d, "events"))),
+    // WITH RECURSIVE class: pointer-jumping transitive closure over the
+    // supplier decimal-trie forest — O(log depth) self-joins
+    "q57_hierarchy" -> ((s, d) => Relational.hierarchy(t(s, d, "supplier"))),
+    // RANGE (calendar-distance) window frame — gap-correct moving
+    // revenue, the ROWS-frame pitfall made explicit
+    "q58_range_frame" -> ((s, d) => Relational.rangeFrame(t(s, d, "orders"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
@@ -2702,6 +2710,49 @@ object SparkEntry {
                 WHEN cum * 20 <= total * 19 THEN 'B'
                 ELSE 'C' END AS abc_class
          FROM cm, tt ORDER BY cm.l_partkey""",
+    // q57: the SAME decimal-trie forest walked with a REAL recursive
+    // CTE — one engine recursing parent-at-a-time and one pointer-
+    // jumping agreeing bit-for-bit is the correctness argument for the
+    // jump algebra (dist additivity + root fixed points)
+    "q57_hierarchy" ->
+      """WITH RECURSIVE base AS (SELECT s_suppkey,
+             CASE WHEN s_suppkey < 10 THEN s_suppkey
+                  ELSE s_suppkey // 10 END AS parent_key FROM supplier),
+         walk AS (
+           SELECT s_suppkey, parent_key, s_suppkey AS root_key, 0 AS depth
+             FROM base WHERE s_suppkey = parent_key
+           UNION ALL
+           SELECT b.s_suppkey, b.parent_key, w.root_key, w.depth + 1
+             FROM base b JOIN walk w ON b.parent_key = w.s_suppkey
+             WHERE b.s_suppkey <> b.parent_key),
+         sz AS (SELECT root_key, count(*) AS tree_size
+                FROM walk GROUP BY root_key)
+         SELECT w.s_suppkey, w.parent_key, w.root_key,
+           CAST(w.depth AS INTEGER) AS depth, sz.tree_size
+         FROM walk w JOIN sz USING (root_key) ORDER BY w.s_suppkey""",
+    // q58: identical daily decimal aggregate, then a REAL RANGE frame
+    // over epoch-day integers; the moving average replays ratRound on
+    // the exact cent numerator (q52's HUGEINT idiom)
+    "q58_range_frame" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             o_orderpriority AS priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DECIMAL(38,2)) AS rev
+           FROM orders GROUP BY 1, 2),
+         d2 AS (SELECT day, priority, rev,
+             day - DATE '1970-01-01' AS day_num FROM daily),
+         w AS (SELECT day, priority, rev,
+             CAST(sum(rev) OVER win AS DECIMAL(38,2)) AS mv_rev,
+             count(*) OVER win AS n_days
+           FROM d2 WINDOW win AS (PARTITION BY priority ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT strftime(day, '%Y-%m-%d') AS day, priority,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(mv_rev AS DOUBLE) AS mv_revenue, n_days,
+           CAST(CAST((CAST(mv_rev * 100 AS HUGEINT) * 200 + n_days * 100)
+               // (2 * CAST(n_days * 100 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 100.0 AS mv_avg_revenue
+         FROM w ORDER BY day, priority""",
     // q47: distinct (user, day) → per-user prev/next window → the four
     // growth classes; churn lands on day+1 capped at the corpus max day
     "q47_growth_accounting" ->

@@ -846,6 +846,90 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Recursive hierarchy traversal (root + depth per node) — the
+    * org-chart / BOM-explosion / category-tree query class SQL answers
+    * with `WITH RECURSIVE` and Spark has no native operator for. The
+    * forest is derived deterministically from the supplier catalog
+    * (parent(k) = k div 10, root when k < 10 — a digits-deep decimal
+    * trie, so depth grows with log10 of the key space and the shape is
+    * reproducible in any engine from the keys alone).
+    *
+    * Spark-first: POINTER JUMPING, not row-at-a-time recursion — each
+    * round joins the frame to itself on the current ancestor pointer,
+    * doubling the ancestor distance covered: (anc, dist) ← (anc(anc),
+    * dist + dist(anc)), with roots as fixed points (anc = self,
+    * dist = 0). After r rounds every node ≤ 2^r deep has resolved its
+    * root and exact depth, so `rounds = 6` covers depth 64 — far past
+    * any 64-bit decimal trie (max depth 19) and, unlike a
+    * parent-at-a-time loop, the shuffle count is O(log depth), never
+    * O(depth). At 100 TB this is the difference between 6 key-hashed
+    * self-joins (AQE-sizeable, combinable) and a 19-stage sequential
+    * chain. The per-root tree size is the two-phase groupBy + join-back
+    * (house rule: no corpus-keyed count window). Oracle: DuckDB replays
+    * the same forest with a real `WITH RECURSIVE` walk — one engine
+    * recursing and one pointer-jumping agreeing bit-for-bit IS the
+    * correctness argument for the jump algebra. */
+  def hierarchy(supplier: DataFrame, rounds: Int = 6): DataFrame = {
+    val base = supplier.select(
+      col("s_suppkey"),
+      when(col("s_suppkey") < 10, col("s_suppkey"))
+        .otherwise(expr("s_suppkey div 10")).as("parent_key"))
+    val init = base.select(
+      col("s_suppkey"),
+      col("parent_key").as("anc"),
+      when(col("s_suppkey") === col("parent_key"), lit(0L))
+        .otherwise(lit(1L)).as("dist"))
+    val resolved = (1 to rounds).foldLeft(init) { (cur, _) =>
+      val hop = cur.select(col("s_suppkey").as("_j_key"),
+        col("anc").as("_j_anc"), col("dist").as("_j_dist"))
+      cur.join(hop, col("anc") === col("_j_key"))
+        .select(col("s_suppkey"), col("_j_anc").as("anc"),
+          (col("dist") + col("_j_dist")).as("dist"))
+    }
+    val sizes = resolved.groupBy(col("anc")).agg(count(lit(1)).as("tree_size"))
+    resolved
+      .join(base, Seq("s_suppkey"))
+      .join(sizes, Seq("anc"))
+      .select(col("s_suppkey"), col("parent_key"),
+        col("anc").as("root_key"), col("dist").cast("int").as("depth"),
+        col("tree_size"))
+  }
+
+  /** Time-valued RANGE window frame — the moving aggregate that stays
+    * correct over a day series WITH HOLES: `ROWS BETWEEN 6 PRECEDING`
+    * silently widens its time span across gaps (the q51 family's
+    * standing caveat), while `RANGE BETWEEN 6 PRECEDING AND CURRENT
+    * ROW` over an integer day number keys the frame on calendar
+    * distance, so a day following a 3-day gap averages only the days
+    * actually inside its week. Per-priority daily revenue is the one
+    * corpus-scale aggregate (combinable, key-hashed); the RANGE window
+    * then runs over the calendar × priority frame — dimension-bounded,
+    * the q51/q53 post-aggregate justification. Sums are exact decimal;
+    * the moving average is ratRound on the exact cent numerator (cents
+    * over day counts can land on true decimal halves — the q52
+    * lesson). Day numbers are epoch-day integers in both engines
+    * (`datediff` here, `day - DATE '1970-01-01'` in DuckDB). */
+  def rangeFrame(orders: DataFrame, spanDays: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"),
+        col("o_orderpriority").as("priority"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(38, 2)).as("rev"))
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy(col("priority")).orderBy(col("day_num"))
+      .rangeBetween(-spanDays, 0)
+    daily
+      .withColumn("mv_rev", sum(col("rev")).over(w).cast(DecimalType(38, 2)))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("_cents", (col("mv_rev") * 100).cast(DecimalType(38, 0)))
+      .select(fmtDate(col("day")).as("day"), col("priority"),
+        col("rev").cast("double").as("day_revenue"),
+        col("mv_rev").cast("double").as("mv_revenue"),
+        col("n_days"),
+        ratRound("_cents", "n_days * 100", 2).as("mv_avg_revenue"))
+  }
+
   /** Column profiler — the data-quality pass every ingest runs BEFORE
     * trusting a new batch (null spikes, cardinality collapse, and
     * range drift are the three classic upstream-broke-something

@@ -563,4 +563,59 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(d8.getAs[Double]("z") - (50 - mu) / sd) < 1e-4)
     assert(d8.getAs[Int]("is_anomaly") === 1)
   }
+
+  test("hierarchy: pointer jumping resolves exact depth, root and tree size") {
+    import spark.implicits._
+    // keys closed under k div 10 — a 4-level chain, a 2-level chain and
+    // two singleton roots, so every depth from 0 to 3 appears
+    val sup = Seq(1L, 2L, 5L, 12L, 57L, 123L, 1234L)
+      .toDF("s_suppkey")
+      .withColumn("s_name", concat(lit("s"), col("s_suppkey")))
+    val out = Relational.hierarchy(sup).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((1L, 1L, 0, 4L)))      // root of the deep tree
+    assert(out(12L) === ((1L, 1L, 1, 4L)))
+    assert(out(123L) === ((12L, 1L, 2, 4L)))
+    assert(out(1234L) === ((123L, 1L, 3, 4L)))
+    assert(out(5L) === ((5L, 5L, 0, 2L)))
+    assert(out(57L) === ((5L, 5L, 1, 2L)))
+    assert(out(2L) === ((2L, 2L, 0, 1L)))      // singleton root fixed point
+    // real catalog: depth is digits−1 in the decimal trie, roots are
+    // single-digit keys, and tree sizes partition the catalog
+    val real = Relational.hierarchy(table("supplier")).collect()
+    real.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getInt(3) === k.toString.length - 1, s"depth of $k")
+      assert(r.getLong(2) < 10, s"root of $k")
+    }
+    val n = real.length
+    assert(real.groupBy(_.getLong(2)).map(_._2.head.getLong(4)).sum === n)
+  }
+
+  test("range frame: calendar-distance window excludes days beyond the gap") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(day: Int) = new Timestamp(1577836800000L + day * 86400000L) // 2020-01-01 + day
+    // P: days 0, 1, then a >6-day hole to day 9 — a ROWS frame would
+    // wrongly pull days 0-1 into day 9's average; Q: a same-day pair
+    // that must aggregate before the window sees it
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, d(0), "P"),
+      (2L, 1L, "O", 50.0, d(1), "P"),
+      (3L, 1L, "O", 70.0, d(9), "P"),
+      (4L, 1L, "O", 10.0, d(0), "Q"),
+      (5L, 1L, "O", 30.0, d(0), "Q")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = Relational.rangeFrame(orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("day_revenue"), r.getAs[Double]("mv_revenue"),
+          r.getAs[Long]("n_days"), r.getAs[Double]("mv_avg_revenue")))).toMap
+    assert(out(("2020-01-01", "P")) === ((100.0, 100.0, 1L, 100.0)))
+    assert(out(("2020-01-02", "P")) === ((50.0, 150.0, 2L, 75.0)))
+    // the post-gap day sees ONLY itself — the RANGE-vs-ROWS contract
+    assert(out(("2020-01-10", "P")) === ((70.0, 70.0, 1L, 70.0)))
+    assert(out(("2020-01-01", "Q")) === ((40.0, 40.0, 1L, 40.0)))
+  }
 }
