@@ -285,6 +285,42 @@ object SparkEntry {
           "</body></html>")))
       .otherwise(col("text")).as("text"))
 
+  /** Entity mentions appended for the t29 gazetteer gate (the synthetic
+    * vocabulary contains no gazetteer term): %5==1 a person + place,
+    * %7==2 a person + two-word org + two-word place (the bigram tier),
+    * %9==4 a one-word org + two places, %11==3 the same place twice
+    * (n_mentions > 1). Slices overlap; concatenation order is fixed and
+    * never forms an accidental cross-boundary gazetteer bigram, and
+    * mixed case proves the tokenizer's case fold. */
+  private[graft] def plantEntities(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 1,
+        lit(" Alan Turing visited London")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 2,
+        lit(" Grace Hopper joined Acme Corp in New York")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 4,
+        lit(" the UN met in Paris and London")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 3,
+        lit(" london calling london again")).otherwise(lit("")))
+      .as("text"))
+
+  /** Confusable text planted for the t30 gate: %6==1 and %8==3 docs
+    * carry SPOOFED tokens (Latin words with Cyrillic а/е/о/с/і/р
+    * letters swapped in — the filter-evasion shape), %10==7 docs a
+    * genuinely-Cyrillic tail whose words are PURE Cyrillic: its
+    * confusable chars count but its spoof-token count stays zero —
+    * the false positive the mixed-script signal exists to avoid.
+    * Visible UTF-8 literals, replayed verbatim (the t21/t25 idiom). */
+  private[graft] def plantConfusables(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(6)) === 1,
+        lit(" frее dаtа dоwnlоаd")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(8)) === 3,
+        lit(" сlісk hеrе nоw")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(10)) === 7,
+        lit(" привет мир")).otherwise(lit("")))
+      .as("text"))
+
   private[graft] def plantScripts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(31)) === 4,
@@ -640,6 +676,8 @@ object SparkEntry {
     "t23_rep_signals" -> Seq("doc_id"),
     "t24_invisible_scrub" -> Seq("doc_id"),
     "t25_script_mix" -> Seq("doc_id"),
+    "t29_entities" -> Seq("doc_id", "entity"),
+    "t30_confusables" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -1148,6 +1186,14 @@ object SparkEntry {
     // pure-map seven-class histogram, fully relational oracle
     "t25_script_mix" -> ((s, d) =>
       TextOps.scriptMix(plantScripts(t(s, d, "documents")))),
+    // dictionary NER tier: broadcast gazetteer over shared tokens,
+    // unigram + adjacent-bigram match, sparse per-mention output
+    "t29_entities" -> ((s, d) =>
+      TextOps.gazetteerTag(plantEntities(t(s, d, "documents")))),
+    // homoglyph hygiene: skeleton fold + the mixed-script spoof-token
+    // signal (pure-Cyrillic prose scores zero)
+    "t30_confusables" -> ((s, d) =>
+      TextOps.confusableScrub(plantConfusables(t(s, d, "documents")))),
     // Porter-stem conflation stats over planted inflection families;
     // the word→stem vocabulary is staged (t11's idiom) so the oracle
     // replays the stemmed aggregation relationally
@@ -5284,6 +5330,56 @@ object SparkEntry {
            count(DISTINCT t.word) AS n_forms, count(*) AS tf
          FROM tok t JOIN st s ON s.word = t.word
          GROUP BY s.stem ORDER BY df DESC, s.stem LIMIT 50""",
+    // t29: plant replay + the same two match tiers — unigrams unnest
+    // directly, bigrams via 1-based list_transform over range(1, len)
+    // (empty for one-token docs), gazetteer as a VALUES dictionary
+    "t29_entities" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 1
+               THEN ' Alan Turing visited London' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 2
+               THEN ' Grace Hopper joined Acme Corp in New York' ELSE '' END ||
+             CASE WHEN doc_id % 9 = 4
+               THEN ' the UN met in Paris and London' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 3
+               THEN ' london calling london again' ELSE '' END
+             AS text FROM documents),
+         d AS (SELECT doc_id, $toks AS t FROM aug),
+         uni AS (SELECT doc_id, unnest(t) AS gram FROM d),
+         bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS gram FROM d),
+         g AS (SELECT * FROM (VALUES
+             ('alan turing', 'person'), ('grace hopper', 'person'),
+             ('ada', 'person'), ('london', 'place'), ('paris', 'place'),
+             ('new york', 'place'), ('acme corp', 'org'), ('un', 'org'))
+           AS v(entity, etype)),
+         m AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+         SELECT m.doc_id, g.entity, g.etype, count(*) AS n_mentions
+         FROM m JOIN g ON m.gram = g.entity
+         GROUP BY 1, 2, 3 ORDER BY m.doc_id, g.entity""",
+    // t30: plant replay + the same translate fold and mixed-script
+    // token filter (visible UTF-8 literals in both engines)
+    "t30_confusables" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 6 = 1
+               THEN ' frее dаtа dоwnlоаd' ELSE '' END ||
+             CASE WHEN doc_id % 8 = 3
+               THEN ' сlісk hеrе nоw' ELSE '' END ||
+             CASE WHEN doc_id % 10 = 7
+               THEN ' привет мир' ELSE '' END
+             AS text FROM documents),
+         d AS (SELECT doc_id, text, $toks AS t FROM aug)
+         SELECT doc_id,
+           translate(text, 'аеорсхуіѕοι', 'aeopcxyisoi') AS skeleton,
+           CAST(length(text) - length(translate(text, 'аеорсхуіѕοι', ''))
+             AS INTEGER) AS n_confusable,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')
+               AND regexp_matches(x, '[аеорсхуіѕοι]')))
+             AS INTEGER) AS n_spoof_words,
+           CASE WHEN len(list_filter(t, x -> regexp_matches(x, '[a-z]')
+               AND regexp_matches(x, '[аеорсхуіѕοι]'))) > 0
+             THEN 1 ELSE 0 END AS spoofed
+         FROM d ORDER BY doc_id""",
     // t23: plant replay, then each signal relationally — trimmed
     // nonempty line counts, 2-gram argmax by (count DESC, gram) with
     // chars = len(g) − 1 a pure function of the gram, 5-gram coverage

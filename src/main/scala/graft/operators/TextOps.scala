@@ -1054,4 +1054,89 @@ object TextOps {
         count(lit(1)).as("tf"))
       .orderBy(col("df").desc, col("stem"))
       .limit(k)
+
+  /** Default entity gazetteer for [[gazetteerTag]] — a fixed
+    * three-type dictionary (person/place/org) mixing one- and two-word
+    * entries so both match tiers are exercised. Production swaps in a
+    * real gazetteer table; the algebra is entry-count-independent. */
+  val defaultGazetteer: Seq[(String, String)] = Seq(
+    "alan turing" -> "person", "grace hopper" -> "person",
+    "ada" -> "person",
+    "london" -> "place", "paris" -> "place", "new york" -> "place",
+    "acme corp" -> "org", "un" -> "org")
+
+  /** Dictionary (gazetteer) entity tagging — the corpus-scale NER tier
+    * every curation pipeline can actually afford at 100 TB (model NER
+    * is GPU work; dictionary matching over tokens is a broadcast join):
+    * per document, every gazetteer mention with its entity type and
+    * occurrence count. Matching is over the SHARED lower-cased
+    * script-segmented tokenizer — one-word entries match single
+    * tokens, two-word entries match adjacent token BIGRAMS (positions
+    * built array-side before the explode, so no self-join and no
+    * doc-keyed window; an entry's constituent words are not themselves
+    * entries, so tiers never double-count). Docs without mentions emit
+    * no rows (the c55 sparse posture).
+    *
+    * Scale shape: the gazetteer is dictionary-sized and BROADCAST —
+    * the corpus-side work is one token/bigram explode + broadcast
+    * hash join + one map-side-combinable (doc, entity) count; nothing
+    * data-sized ever shuffles on text except the matched mentions
+    * themselves (work ∝ mention density, not corpus size). */
+  def gazetteerTag(documents: DataFrame,
+                   gazetteer: Seq[(String, String)] = defaultGazetteer): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val gaz = gazetteer.toDF("entity", "etype")
+      .withColumn("n_words", size(split(col("entity"), " ")))
+    val toksDf = documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val grams = toksDf.select(col("doc_id"), explode(concat(
+      col("toks"),
+      when(size(col("toks")) >= 2, transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>")))).as("gram"))
+    grams
+      .join(broadcast(gaz), col("gram") === col("entity"))
+      .groupBy(col("doc_id"), col("entity"), col("etype"))
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
+  /** Confusable map for [[confusableScrub]]: the high-frequency
+    * IDN-spoofing homoglyphs — Cyrillic а е о р с х у і ѕ and Greek
+    * ο ι mapped to their Latin skeletons (a deliberate lowercase-only
+    * subset of UTS #39's confusables table; the full table is data,
+    * not code — the c33 PSL posture). */
+  private val confusableFrom = "аеорсхуіѕοι"
+  private val confusableTo = "aeopcxyisoi"
+
+  /** Homoglyph / confusable-character hygiene — the adversarial twin
+    * of t24's invisible scrub (spam and filter-evasion text swaps
+    * Latin letters for Cyrillic/Greek lookalikes; left in a corpus the
+    * spoofed forms poison dedup keys, token counts and every
+    * dictionary join): per document, the SKELETON text (confusables
+    * folded to Latin via one translate pass), the confusable-char
+    * count, and the count of MIXED-SCRIPT tokens (a token carrying
+    * both a Latin letter and a confusable — the actual spoof signal:
+    * genuinely-Cyrillic prose scores zero here because its words are
+    * PURE Cyrillic, which is exactly the false-positive pure
+    * skeleton-diffing would flag). `spoofed` gates on mixed tokens
+    * only. Pure column map (translate + one filtered size over the
+    * shared tokenizer) — no shuffle, no UDF; composes in front of the
+    * dedup family the same way t6/t21/t24 do. */
+  def confusableScrub(documents: DataFrame): DataFrame = {
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        translate(col("text"), confusableFrom, confusableTo).as("skeleton"),
+        (length(col("text")) -
+          length(translate(col("text"), confusableFrom, ""))).cast("int")
+          .as("n_confusable"),
+        size(filter(col("toks"), t =>
+          t.rlike("[a-z]") && t.rlike(s"[$confusableFrom]")))
+          .as("n_spoof_words"))
+      .withColumn("spoofed", (col("n_spoof_words") > 0).cast("int"))
+  }
 }

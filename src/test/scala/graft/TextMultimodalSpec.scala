@@ -1025,4 +1025,50 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("gazetteer tag: case fold, bigram tier, counts, sparse output") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "Alan Turing met Grace Hopper in LONDON"), // bigrams + case fold
+      (2L, "london calling london again"),            // count > 1
+      (3L, "new york new york"),                      // overlapping bigram repeats
+      (4L, "nothing to see here"),                    // no mentions → no rows
+      (5L, "yorkshire newish words"))                 // substrings must NOT match
+      .toDF("doc_id", "text")
+    val out = TextOps.gazetteerTag(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((1L, "alan turing")) === (("person", 1L)))
+    assert(out((1L, "grace hopper")) === (("person", 1L)))
+    assert(out((1L, "london")) === (("place", 1L)))
+    assert(out((2L, "london")) === (("place", 2L)))
+    // "new york new york": bigrams at positions 1,3 match; the middle
+    // "york new" does not — 2 mentions
+    assert(out((3L, "new york")) === (("place", 2L)))
+    assert(!out.keySet.exists(_._1 == 4L))
+    assert(!out.keySet.exists(_._1 == 5L))
+  }
+
+  test("confusable scrub: skeleton folds, pure-Cyrillic prose is not spoofed") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "frее dоwnlоаd now"),   // Cyrillic е/о/а inside Latin words
+      (2L, "привет мир"),           // genuine Russian: е and р are confusable chars
+      (3L, "plain ascii text"),
+      (4L, "сlісk"))                // с/і Cyrillic, l/k Latin
+      .toDF("doc_id", "text")
+    val out = TextOps.confusableScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // the whole point: skeletons are clean Latin again
+    assert(out(1L) === (("free download now", 5, 2, 1)))
+    // confusable chars present (е, р ×2 in привет/мир) but words are
+    // pure Cyrillic → zero spoof tokens, NOT flagged
+    assert(out(2L)._2 === 3)
+    assert(out(2L)._3 === 0 && out(2L)._4 === 0)
+    assert(out(3L) === (("plain ascii text", 0, 0, 0)))
+    assert(out(4L) === (("click", 3, 1, 1)))
+  }
 }
