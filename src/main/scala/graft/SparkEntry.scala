@@ -726,6 +726,7 @@ object SparkEntry {
     "c6_boilerplate" -> Seq("doc_id"),
     "c7_repetition" -> Seq("doc_id"),
     "c8_domain_stats" -> Seq("source"),
+    "c57_source_diversity" -> Seq("source"),
     "c9_source_mix" -> Seq("source"),
     "c10_funnel" -> Seq("stage"),
     "c11_shards" -> Seq("shard"),
@@ -755,6 +756,7 @@ object SparkEntry {
     "m11_bmp_meta" -> Seq("doc_id"),
     "m12_tiff_meta" -> Seq("doc_id"),
     "m13_id3_meta" -> Seq("doc_id"),
+    "m17_jpeg_dqt" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "c54_robots_gate" -> Seq("doc_id"),
@@ -1021,6 +1023,9 @@ object SparkEntry {
     "m11_bmp_meta" -> ((s, d) => Multimodal.bmpMetaPlanted(s, t(s, d, "documents"))),
     "m12_tiff_meta" -> ((s, d) => Multimodal.tiffMetaPlanted(s, t(s, d, "documents"))),
     "m13_id3_meta" -> ((s, d) => Multimodal.id3MetaPlanted(s, t(s, d, "documents"))),
+    // JPEG DQT quality estimation: length-driven segment walk to the
+    // quant tables, integer quant-sum quality bands, exact-rational mean
+    "m17_jpeg_dqt" -> ((s, d) => Multimodal.jpegDqtPlanted(s, t(s, d, "documents"))),
     // WARC container framing: planted two-record crawl files, cursor
     // walk verified by exact byte arithmetic in the oracle replay
     "m14_warc_records" -> ((s, d) =>
@@ -1170,6 +1175,10 @@ object SparkEntry {
     "c6_boilerplate" -> ((s, d) => Curation.boilerplate(t(s, d, "documents"))),
     "c7_repetition" -> ((s, d) => Curation.repetition(t(s, d, "documents"))),
     "c8_domain_stats" -> ((s, d) => Curation.domainStats(t(s, d, "documents"))),
+    // the diversity profile the size-keyed mixing layer is blind to:
+    // entropy/TTR/hapax per source, exact decimal ln sums
+    "c57_source_diversity" -> ((s, d) =>
+      Curation.sourceDiversity(t(s, d, "documents"))),
     "t5_scrub" -> ((s, d) => TextOps.scrubNumbers(t(s, d, "events"))),
     "t13_chunking" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
     "t15_sentences" -> ((s, d) =>
@@ -4753,6 +4762,41 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m17: the plant formulas replayed — quant list rebuilt via
+    // list_transform over the doc_id-chosen modulus, mean as the
+    // ratRound HUGEINT rational over the integer quant sum, bands as
+    // integer sum cuts
+    "m17_jpeg_dqt" ->
+      """WITH f AS (SELECT doc_id, 4 + (doc_id % 3) * 30 AS m
+           FROM documents WHERE doc_id % 8 = 0),
+         q AS (SELECT doc_id,
+             list_transform(range(64),
+               i -> 1 + (doc_id * 7 + i * 3) % m) AS ql FROM f),
+         s AS (SELECT doc_id, list_sum(ql) AS qsum, list_min(ql) AS qmin,
+             list_max(ql) AS qmax FROM q)
+         SELECT doc_id, 1 AS is_jpeg,
+           CAST(CASE WHEN doc_id % 16 = 0 THEN 2 ELSE 1 END AS INTEGER)
+             AS n_dqt,
+           CAST(24 + doc_id % 43 AS INTEGER) AS width,
+           CAST(24 + doc_id % 37 AS INTEGER) AS height,
+           CAST(CAST((CAST(qsum AS HUGEINT) * 20000 + 64) // 128
+             AS BIGINT) AS DOUBLE) / 10000.0 AS q_mean,
+           CAST(qmin AS INTEGER) AS q_min, CAST(qmax AS INTEGER) AS q_max,
+           CASE WHEN qsum <= 512 THEN 'high'
+                WHEN qsum <= 1536 THEN 'medium' ELSE 'low' END AS band
+         FROM s
+         UNION ALL
+         SELECT doc_id, 0 AS is_jpeg, 0 AS n_dqt,
+           CAST(24 + (octet_length(encode(text)) * 3) % 433 AS INTEGER)
+             AS width,
+           CAST(24 + (octet_length(encode(text)) * 5) % 389 AS INTEGER)
+             AS height,
+           CAST(1 + octet_length(encode(text)) % 50 AS DOUBLE) AS q_mean,
+           CAST(1 + octet_length(encode(text)) % 50 AS INTEGER) AS q_min,
+           CAST(1 + octet_length(encode(text)) % 50 AS INTEGER) AS q_max,
+           'none' AS band
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     "m13_id3_meta" ->
       """SELECT doc_id, 1 AS is_id3,
            CAST(3 + (doc_id // 8) % 2 AS INTEGER) AS version,
@@ -5176,6 +5220,44 @@ object SparkEntry {
             CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
             1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio
           FROM r ORDER BY doc_id""",
+    // c57: the same two-aggregate chain — per-(source, term) counts,
+    // decimal-6-rounded c·ln c summed exactly, entropy via the
+    // ln N − S/N identity, ratios as HUGEINT rationals
+    "c57_source_diversity" ->
+      s"""WITH tk AS (SELECT source, unnest($toks) AS term FROM documents),
+         tf AS (SELECT source, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         ds AS (SELECT source, count(*) AS n_docs FROM documents
+                GROUP BY 1),
+         ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             max(c) AS top_c,
+             sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS slc
+           FROM tf GROUP BY 1),
+         j AS (SELECT ag.source, ds.n_docs, n_tokens, vocab, n_hapax,
+             top_c,
+             CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE))
+                 AS DECIMAL(38,6)) AS DOUBLE)
+               - CAST(slc AS DOUBLE) / n_tokens AS DECIMAL(38,6))
+               AS DOUBLE) AS h
+           FROM ag JOIN ds USING (source))
+         SELECT source, n_docs, n_tokens, vocab, n_hapax,
+           CAST(CAST((CAST(vocab AS HUGEINT) * 2000000 + n_tokens)
+             // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS ttr,
+           CAST(CAST((CAST(n_hapax AS HUGEINT) * 2000000 + vocab)
+             // (2 * CAST(vocab AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS hapax_share,
+           CAST(CAST((CAST(top_c AS HUGEINT) * 2000000 + n_tokens)
+             // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS top_share,
+           h AS entropy,
+           CASE WHEN vocab > 1 THEN
+             CAST(CAST(h / CAST(CAST(ln(CAST(vocab AS DOUBLE))
+               AS DECIMAL(38,6)) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+           END AS norm_entropy
+         FROM j ORDER BY source""",
     "c8_domain_stats" ->
       """WITH lc AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
          top AS (SELECT source, lang AS top_lang FROM

@@ -1872,4 +1872,55 @@ object Curation {
         (col("comp_len") * 1000 >= lit(minPm.toLong) * col("raw_len") &&
          col("comp_len") * 1000 <= lit(maxPm.toLong) * col("raw_len"))
           .cast("int").as("kept"))
+
+  /** Per-source corpus diversity profile — the signal the mixing layer
+    * (c22/c31/c36) is blind to: those weight sources by SIZE, but a
+    * source can be huge and still be one template stamped a million
+    * times. Per source: doc/token/vocab counts, type-token ratio,
+    * hapax share (once-occurring terms over vocab — natural prose is
+    * hapax-heavy, generated boilerplate is not; t17's per-doc signal
+    * lifted to the source level), top-token share, Shannon token
+    * entropy in nats (H = ln N − (Σ c·ln c)/N — the identity that
+    * needs no per-term probability column), and entropy normalized by
+    * ln(vocab) (1.0 = perfectly uniform usage; the cross-source
+    * comparable number). Determinism: each c·ln c term is rounded
+    * decimal-6 then summed EXACTLY in the decimal domain (the t7/c2
+    * ln idiom — partitioning cannot perturb the sum), ratios are exact
+    * integer rationals via ratRound, and the two ln(·) finals are
+    * decimal-6 rounded before the arithmetic both engines replay.
+    *
+    * Scale shape: two map-side-combinable aggregates — (source, term)
+    * counts, then source — plus a doc-count aggregate joined on the
+    * handful of sources; nothing shuffles but term counts. The same
+    * plan at 100 TB: term-key cardinality is vocabulary-bounded, and
+    * no window or driver collect anywhere. */
+  def sourceDiversity(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = documents
+      .withColumn("term", explode(tokens(col("text"))))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val docStats = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val agg = tf.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      max(col("c")).as("top_c"),
+      sum((col("c").cast("double") * log(col("c").cast("double")))
+        .cast(DecimalType(38, 6))).cast(DecimalType(38, 6)).as("_slc"))
+    agg.join(docStats, Seq("source"))
+      .withColumn("_h", decRound(
+        decRound(log(col("n_tokens").cast("double")), 6) -
+          col("_slc").cast("double") / col("n_tokens"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("vocab"), col("n_hapax"),
+        ratRound("vocab", "n_tokens", 6).as("ttr"),
+        ratRound("n_hapax", "vocab", 6).as("hapax_share"),
+        ratRound("top_c", "n_tokens", 6).as("top_share"),
+        col("_h").as("entropy"),
+        when(col("vocab") > 1, decRound(
+          col("_h") / decRound(log(col("vocab").cast("double")), 6), 6))
+          .as("norm_entropy"))
+  }
 }

@@ -1860,4 +1860,134 @@ object Multimodal {
       .distinct()
     hammingVerified(cand, allSigs, maxHamming)
   }
+
+  object PlantedJpegs {
+    val Every = 8
+
+    /** Minimal real JPEG: SOI, JFIF APP0, a luminance DQT whose 64
+      * quant values are a doc_id formula over a doc_id-chosen modulus
+      * (4/34/64 by doc_id%3 — spreading the quant MEAN across all
+      * three quality bands), a second chroma DQT on %16==0 docs (the
+      * n_dqt=2 case), a 3-component SOF0 with big-endian dims, EOI.
+      * Everything a formula of doc_id so the oracle replays the parse
+      * relationally (the m11/m12/m13 plant contract). */
+    def craftedJpeg(docId: Long): Array[Byte] = {
+      val twoTables = docId % 16 == 0
+      val m = (4 + (docId % 3) * 30).toInt
+      val size = 2 + 18 + 69 + (if (twoTables) 69 else 0) + 19 + 2
+      val out = java.nio.ByteBuffer.allocate(size) // BE — JPEG's order
+      out.put(0xFF.toByte).put(0xD8.toByte)             // SOI
+      out.put(0xFF.toByte).put(0xE0.toByte).putShort(16.toShort) // APP0
+      out.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      out.put(1.toByte).put(1.toByte).put(0.toByte)     // ver 1.1, units
+      out.putShort(1.toShort).putShort(1.toShort)       // densities
+      out.put(0.toByte).put(0.toByte)                   // no thumbnail
+      def dqt(tq: Int, f: Int => Int): Unit = {
+        out.put(0xFF.toByte).put(0xDB.toByte).putShort(67.toShort)
+        out.put(tq.toByte)                              // Pq=0 | Tq
+        (0 until 64).foreach(i => out.put(f(i).toByte))
+      }
+      dqt(0, i => 1 + ((docId * 7 + i * 3) % m).toInt)
+      if (twoTables) dqt(1, i => 1 + ((docId * 5 + i * 11) % 80).toInt)
+      out.put(0xFF.toByte).put(0xC0.toByte).putShort(17.toShort) // SOF0
+      out.put(8.toByte)                                 // precision
+      out.putShort((24 + docId % 37).toShort)           // height BE
+      out.putShort((24 + docId % 43).toShort)           // width BE
+      out.put(3.toByte)                                 // 3 components
+      out.put(1.toByte).put(0x22.toByte).put(0.toByte)  // Y  → table 0
+      out.put(2.toByte).put(0x11.toByte).put(1.toByte)  // Cb → table 1
+      out.put(3.toByte).put(0x11.toByte).put(1.toByte)  // Cr → table 1
+      out.put(0xFF.toByte).put(0xD9.toByte)             // EOI
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-JPEG (DQT/SOF0) payloads on every
+    * `every`-th doc_id (text bytes otherwise). */
+  def plantedJpegMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedJpegs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedJpegs.craftedJpeg(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** JPEG quantization-table (DQT) quality estimation — the compression
+    * -quality gate of an image-corpus pipeline (re-saved thumbnails and
+    * meme-grade recompressions are the visual analogue of boilerplate;
+    * the quant tables ARE the quality record the encoder left behind —
+    * smaller quant values = finer coefficient quantization = higher
+    * fidelity, the invariant every JPEG quality estimator keys on):
+    * a length-driven SEGMENT walk (marker, BE u16 length, cursor +=
+    * 2+len — the mp4Meta box-walk idiom at the JPEG layer) over up to
+    * `maxSegs` segments locates every DQT (0xFFDB) and the SOF0 frame
+    * header; the FIRST (luminance) table yields min/max/mean quant
+    * value — 64 single-byte reads summed as one column expression,
+    * mean via the exact integer rational (ratRound/HUGEINT) — and the
+    * quality band cuts on the integer quant SUM (never a float mean):
+    * ≤512 high (mean ≤8), ≤1536 medium (mean ≤24), else low. SOF0
+    * supplies pixel dims. Non-JPEG payloads degrade to deterministic
+    * synthetic metadata (the media-tier contract). Pure column exprs,
+    * one scan, no shuffle, no UDF. */
+  def jpegDqt(media: DataFrame, maxSegs: Int = 5): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isJpeg = hex(p.substr(lit(1), lit(2))) === "FFD8"
+    var m0 = media.withColumn("_k0", lit(3L))
+    for (j <- 0 until maxSegs) {
+      m0 = m0
+        .withColumn(s"_mk$j", hex(p.substr(col(s"_k$j").cast("int"), lit(2))))
+        .withColumn(s"_ln$j", beUint(p, col(s"_k$j") + 2, 2))
+        .withColumn(s"_k${j + 1}", col(s"_k$j") + 2 + col(s"_ln$j"))
+    }
+    val dqtPos = coalesce((0 until maxSegs).map(j =>
+      when(col(s"_mk$j") === "FFDB", col(s"_k$j"))): _*)
+    val nDqt = (0 until maxSegs).map(j =>
+      coalesce((col(s"_mk$j") === "FFDB").cast("int"), lit(0)))
+      .reduce(_ + _)
+    val sofPos = coalesce((0 until maxSegs).map(j =>
+      when(col(s"_mk$j") === "FFC0", col(s"_k$j"))): _*)
+    val staged = m0
+      .withColumn("_dqt", dqtPos)
+      .withColumn("_ndqt", nDqt)
+      .withColumn("_sof", sofPos)
+      .withColumn("_pqtq", beUint(p, col("_dqt") + 4, 1))
+    val qBytes = (0 until 64).map(i => beUint(p, col("_dqt") + 5 + i, 1))
+    val withQ = staged
+      .withColumn("_qsum", qBytes.reduce(_ + _))
+      .withColumn("_qmin", least(qBytes: _*))
+      .withColumn("_qmax", greatest(qBytes: _*))
+      .withColumn("_h", beUint(p, col("_sof") + 5, 2))
+      .withColumn("_w", beUint(p, col("_sof") + 7, 2))
+    val complete = isJpeg &&
+      col("_dqt").isNotNull && col("_qsum").isNotNull &&
+      col("_sof").isNotNull && col("_h").isNotNull &&
+      coalesce(col("_pqtq") < 16, lit(false)) // Pq=0: 8-bit tables only
+    val synth = (lit(1) + pmod(len, lit(50))).cast("int")
+    withQ.select(
+      col("doc_id"),
+      complete.cast("int").as("is_jpeg"),
+      when(complete, col("_ndqt")).otherwise(lit(0)).cast("int").as("n_dqt"),
+      when(complete, col("_w").cast("int"))
+        .otherwise((lit(24) + pmod(len * 3, lit(433))).cast("int")).as("width"),
+      when(complete, col("_h").cast("int"))
+        .otherwise((lit(24) + pmod(len * 5, lit(389))).cast("int")).as("height"),
+      when(complete, graft.functions.ColumnFns.ratRound("_qsum", "64", 4))
+        .otherwise(synth.cast("double")).as("q_mean"),
+      when(complete, col("_qmin").cast("int")).otherwise(synth).as("q_min"),
+      when(complete, col("_qmax").cast("int")).otherwise(synth).as("q_max"),
+      when(complete,
+        when(col("_qsum") <= 512, "high")
+          .when(col("_qsum") <= 1536, "medium")
+          .otherwise("low"))
+        .otherwise(lit("none")).as("band"))
+  }
+
+  /** The m17 gate: DQT quality estimation over the planted-JPEG corpus. */
+  def jpegDqtPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedJpegs.Every): DataFrame =
+    jpegDqt(plantedJpegMedia(spark, documents, every).toDF())
 }

@@ -1504,4 +1504,36 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       "first real paragraph with enough words here " +
       "second real paragraph with enough words too")
   }
+
+  test("source diversity: uniform source hits 1.0, degenerate hits 0, hapax exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "uniform"),     // 4 terms × 1 → max entropy
+      (2L, "x x x x", "degenerate"),  // 1 term × 4 → zero entropy
+      (3L, "a a b", "mixed"))         // 2/3 vs 1/3
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceDiversity(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("uniform")
+    assert(u.getAs[Long]("n_tokens") === 4L && u.getAs[Long]("vocab") === 4L)
+    assert(u.getAs[Long]("n_hapax") === 4L)
+    assert(u.getAs[Double]("hapax_share") === 1.0)
+    assert(u.getAs[Double]("norm_entropy") === 1.0) // uniform usage
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(4)) < 1e-5)
+    val d = out("degenerate")
+    assert(d.getAs[Long]("vocab") === 1L)
+    assert(d.getAs[Double]("entropy") === 0.0)
+    assert(d.isNullAt(d.fieldIndex("norm_entropy"))) // ln(1) denominator
+    assert(d.getAs[Double]("top_share") === 1.0)
+    assert(d.getAs[Double]("ttr") === 0.25)
+    val m = out("mixed")
+    assert(m.getAs[Long]("n_hapax") === 1L)
+    assert(m.getAs[Double]("hapax_share") === 0.5)
+    assert(m.getAs[Double]("ttr") === 0.666667)
+    assert(m.getAs[Double]("top_share") === 0.666667)
+    // H = ln 3 − (2·ln 2)/3, then normalized by ln 2
+    val h = math.log(3) - 2 * math.log(2) / 3
+    assert(math.abs(m.getAs[Double]("entropy") - h) < 1e-5)
+    assert(math.abs(m.getAs[Double]("norm_entropy") - h / math.log(2)) < 1e-5)
+  }
 }

@@ -1071,4 +1071,40 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L) === (("plain ascii text", 0, 0, 0)))
     assert(out(4L) === (("click", 3, 1, 1)))
   }
+
+  test("jpeg dqt: quant stats match the plant formulas, truncation degrades") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((8L, "x"), (16L, "y"), (3L, "plain text doc"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.jpegDqt(
+      Multimodal.plantedJpegMedia(spark, docs).toDF()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def expected(id: Long) = {
+      val m = (4 + (id % 3) * 30).toInt
+      (0 until 64).map(i => 1 + ((id * 7 + i * 3) % m).toInt)
+    }
+    // doc 8: one table, modulus 34 (8%3=2)
+    val q8 = expected(8L)
+    val r8 = out(8L)
+    assert(r8.getAs[Int]("is_jpeg") === 1 && r8.getAs[Int]("n_dqt") === 1)
+    assert(r8.getAs[Int]("width") === (24 + 8 % 43).toInt)
+    assert(r8.getAs[Int]("height") === (24 + 8 % 37).toInt)
+    assert(r8.getAs[Int]("q_min") === q8.min && r8.getAs[Int]("q_max") === q8.max)
+    assert(math.abs(r8.getAs[Double]("q_mean") - q8.sum / 64.0) < 1e-3)
+    // doc 16: %16==0 → second chroma table counted
+    assert(out(16L).getAs[Int]("n_dqt") === 2)
+    // band from the integer sum cut
+    val band8 = if (q8.sum <= 512) "high" else if (q8.sum <= 1536) "medium" else "low"
+    assert(r8.getAs[String]("band") === band8)
+    // doc 3: text payload → synthetic fallback tier
+    val r3 = out(3L)
+    assert(r3.getAs[Int]("is_jpeg") === 0 && r3.getAs[Int]("n_dqt") === 0 &&
+      r3.getAs[String]("band") === "none")
+    // truncated JPEG (cut mid-DQT, before SOF0) degrades, never misparses
+    val cut = Multimodal.PlantedJpegs.craftedJpeg(8L).take(40)
+    val tr = Multimodal.jpegDqt(
+      Seq(Multimodal.MediaIn(99L, cut)).toDS().toDF()).collect().head
+    assert(tr.getAs[Int]("is_jpeg") === 0 && tr.getAs[String]("band") === "none")
+  }
 }
