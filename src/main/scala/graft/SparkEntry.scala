@@ -759,6 +759,7 @@ object SparkEntry {
     "m17_jpeg_dqt" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
+    "st27_content_stream" -> Seq("doc_id"),
     "c54_robots_gate" -> Seq("doc_id"),
     "m15_exif_gps" -> Seq("doc_id"),
     "c55_warc_ingest" -> Seq("doc_id", "rec_idx"),
@@ -1645,6 +1646,10 @@ object SparkEntry {
     // line artifact, even-id docs streamed through lineScrubAgainst
     "st21_line_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.lineGateFileStream(Tables.tune(s), d)),
+    // the c53 block-layer extractor at ingest: zero-state pure map,
+    // streamed union == batch run, one shared SQL gates both
+    "st27_content_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.mainContentFileStream(Tables.tune(s), d)),
     "st14_neardup_stream" -> ((s, d) => {
       val ss = Tables.tune(s)
       val docs = t(s, d, "documents")
@@ -2280,6 +2285,43 @@ object SparkEntry {
               THEN chr(10) || 'the table scan row filter a query value data part'
               ELSE '' END AS text
             FROM documents)"""
+
+  // shared by c53 (batch) and st27 (per micro-batch — block
+  // classification is a pure function of each doc's own markup)
+  private lazy val mainContentSql =
+    """WITH aug AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN
+              '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav><div>'
+              || text ||
+              '</div><aside><a href="/x">Ad one</a> promo</aside><footer>Copyright 2026 <a href="/t">Terms</a></footer></body></html>'
+            ELSE text END AS text FROM documents),
+          blk AS (SELECT doc_id, unnest(bs) AS b,
+              unnest(range(len(bs))) AS ord
+            FROM (SELECT doc_id, string_split_regex(text,
+              '</(p|div|li|h1|h2|h3|nav|footer|header|aside)>') AS bs
+              FROM aug)),
+          sc AS (SELECT doc_id, ord,
+              coalesce(list_aggregate(list_transform(
+                regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                x -> length(x)), 'sum'), 0) AS l,
+              trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                '[\s　]+', ' ', 'g')) AS btext
+            FROM blk),
+          cl AS (SELECT doc_id, ord, btext,
+              CASE WHEN length(btext) = 0 THEN 'empty'
+                   WHEN 3 * l > length(btext) THEN 'link'
+                   WHEN len(list_filter(string_split(btext, ' '),
+                            x -> x <> '')) < 5 THEN 'short'
+                   ELSE 'keep' END AS cls
+            FROM sc)
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN cls = 'keep' THEN btext END,
+              ' ' ORDER BY ord), '') AS clean_text,
+            count(CASE WHEN cls <> 'empty' THEN 1 END) AS n_blocks,
+            count(CASE WHEN cls = 'keep' THEN 1 END) AS n_kept,
+            count(CASE WHEN cls = 'link' THEN 1 END) AS n_drop_link,
+            count(CASE WHEN cls = 'short' THEN 1 END) AS n_drop_short
+          FROM cl GROUP BY doc_id ORDER BY doc_id"""
 
   // shared by c32 (batch) and st20 (per micro-batch against the static
   // src0 reference LM)
@@ -6081,40 +6123,10 @@ object SparkEntry {
     // block split (parallel unnest+range for ordinals), per-block
     // anchor-text mass + tag-strip + whitespace collapse, the identical
     // integer classification cascade, and ordered string_agg re-assembly
-    "c53_main_content" ->
-      """WITH aug AS (SELECT doc_id,
-            CASE WHEN doc_id % 3 = 0 THEN
-              '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav><div>'
-              || text ||
-              '</div><aside><a href="/x">Ad one</a> promo</aside><footer>Copyright 2026 <a href="/t">Terms</a></footer></body></html>'
-            ELSE text END AS text FROM documents),
-          blk AS (SELECT doc_id, unnest(bs) AS b,
-              unnest(range(len(bs))) AS ord
-            FROM (SELECT doc_id, string_split_regex(text,
-              '</(p|div|li|h1|h2|h3|nav|footer|header|aside)>') AS bs
-              FROM aug)),
-          sc AS (SELECT doc_id, ord,
-              coalesce(list_aggregate(list_transform(
-                regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
-                x -> length(x)), 'sum'), 0) AS l,
-              trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
-                '[\s　]+', ' ', 'g')) AS btext
-            FROM blk),
-          cl AS (SELECT doc_id, ord, btext,
-              CASE WHEN length(btext) = 0 THEN 'empty'
-                   WHEN 3 * l > length(btext) THEN 'link'
-                   WHEN len(list_filter(string_split(btext, ' '),
-                            x -> x <> '')) < 5 THEN 'short'
-                   ELSE 'keep' END AS cls
-            FROM sc)
-          SELECT doc_id,
-            coalesce(string_agg(CASE WHEN cls = 'keep' THEN btext END,
-              ' ' ORDER BY ord), '') AS clean_text,
-            count(CASE WHEN cls <> 'empty' THEN 1 END) AS n_blocks,
-            count(CASE WHEN cls = 'keep' THEN 1 END) AS n_kept,
-            count(CASE WHEN cls = 'link' THEN 1 END) AS n_drop_link,
-            count(CASE WHEN cls = 'short' THEN 1 END) AS n_drop_short
-          FROM cl GROUP BY doc_id ORDER BY doc_id""",
+    "c53_main_content" -> mainContentSql,
+    // st27: the SAME SQL — block classification is a pure function of
+    // each doc's own markup, so the streamed union equals the batch run
+    "st27_content_stream" -> mainContentSql,
     // t16: the plantHtml concatenation, then the same four extractor
     // stages — lazy dot-all script/style drop (RE2 and java.util.regex
     // agree on (?is) + lazy quantifiers), tag→space, the six plain

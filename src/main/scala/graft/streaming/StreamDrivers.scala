@@ -637,6 +637,19 @@ object StreamDrivers {
       splitBy = pmod(expr("doc_id div 2"), lit(2)))
   }
 
+  /** st27: the c53 main-content extractor as a streaming ingest step —
+    * the boilerplate-block layer at ingest time. The purest gate shape
+    * after st25: block scoring is a function of each document's OWN
+    * markup (no reference table, no state), so it composes onto
+    * micro-batches unchanged, doc-disjoint batches union to the batch
+    * c53 run, and ONE shared SQL (mainContentSql) gates both surfaces. */
+  def mainContentFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.SparkEntry.plantHtmlBlocks(
+      graft.Tables.load(spark, sfDir, "documents"))
+    statelessDocStream(spark, "maincontent", docs,
+      onBatch = b => graft.operators.Curation.mainContent(b))
+  }
+
   def perplexityFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))

@@ -313,6 +313,18 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.exists(t => t._3 < t._2))
   }
 
+  test("st27 driver: streamed main-content gate equals the batch c53 result") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
+        .map(_.toSeq.toList).toSet
+    val streamed = rows("st27_content_stream")
+    val batch = rows("c53_main_content")
+    assert(streamed === batch)
+    // non-vacuous: both drop reasons fire somewhere in the corpus
+    assert(batch.exists(r => r(4).asInstanceOf[Long] > 0L) &&
+      batch.exists(r => r(5).asInstanceOf[Long] > 0L))
+  }
+
   test("st22 driver: streamed embedding ingest equals the batch d13 recompute") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st22_embed_stream")(spark, SharedSpark.sfDir)
