@@ -757,6 +757,7 @@ object SparkEntry {
     "m12_tiff_meta" -> Seq("doc_id"),
     "m13_id3_meta" -> Seq("doc_id"),
     "m17_jpeg_dqt" -> Seq("doc_id"),
+    "m18_webp_meta" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "st27_content_stream" -> Seq("doc_id"),
@@ -1027,6 +1028,10 @@ object SparkEntry {
     // JPEG DQT quality estimation: length-driven segment walk to the
     // quant tables, integer quant-sum quality bands, exact-rational mean
     "m17_jpeg_dqt" -> ((s, d) => Multimodal.jpegDqtPlanted(s, t(s, d, "documents"))),
+    // WebP container dispatch: RIFF/WEBP magic, VP8X extended header
+    // (flag bits, 24-bit LE canvas) vs VP8 lossy header (sync-checked
+    // 14-bit dims); VP8L degrades — never misparses
+    "m18_webp_meta" -> ((s, d) => Multimodal.webpMetaPlanted(s, t(s, d, "documents"))),
     // WARC container framing: planted two-record crawl files, cursor
     // walk verified by exact byte arithmetic in the oracle replay
     "m14_warc_records" -> ((s, d) =>
@@ -4804,6 +4809,30 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m18: the plant formulas replayed across the three branches —
+    // the lossy simple format, the extended VP8X header with its flag
+    // bits, and the synthetic fallback
+    "m18_webp_meta" ->
+      """SELECT doc_id, 1 AS is_webp, 'VP8 ' AS format,
+           CAST(32 + doc_id % 300 AS INTEGER) AS width,
+           CAST(32 + doc_id % 280 AS INTEGER) AS height,
+           0 AS has_alpha, 0 AS has_exif
+         FROM documents WHERE doc_id % 16 = 0
+         UNION ALL
+         SELECT doc_id, 1, 'VP8X',
+           CAST(32 + doc_id % 211 AS INTEGER),
+           CAST(32 + doc_id % 191 AS INTEGER),
+           CAST((doc_id // 8) % 2 AS INTEGER),
+           CAST(CASE WHEN (doc_id // 8) % 3 = 0 THEN 1 ELSE 0 END
+             AS INTEGER)
+         FROM documents WHERE doc_id % 8 = 0 AND doc_id % 16 <> 0
+         UNION ALL
+         SELECT doc_id, 0, 'none',
+           CAST(16 + (octet_length(encode(text)) * 7) % 367 AS INTEGER),
+           CAST(16 + (octet_length(encode(text)) * 11) % 347 AS INTEGER),
+           0, 0
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     // m17: the plant formulas replayed — quant list rebuilt via
     // list_transform over the doc_id-chosen modulus, mean as the
     // ratRound HUGEINT rational over the integer quant sum, bands as

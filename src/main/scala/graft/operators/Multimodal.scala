@@ -1902,6 +1902,108 @@ object Multimodal {
     }
   }
 
+  object PlantedWebps {
+    val Every = 8
+
+    /** Minimal real WebP: RIFF header + either the extended `VP8X`
+      * chunk (flags byte with the spec's alpha 0x10 / EXIF 0x08 bits,
+      * 24-bit little-endian canvas dims, the %16!=0 case) or the lossy
+      * simple-format `VP8 ` chunk (frame tag, 9D 01 2A sync code,
+      * 14-bit LE dims, the %16==0 case). Every value a doc_id formula
+      * (flag bits keyed off doc_id/8 so they vary across the planted
+      * slice, whose ids are all even). */
+    def craftedWebp(docId: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      out.put("WEBP".getBytes("US-ASCII"))
+      if (docId % 16 == 0) {
+        out.put("VP8 ".getBytes("US-ASCII")).putInt(10)
+        out.put(0.toByte).put(0.toByte).put(0.toByte)   // frame tag
+        out.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte) // sync
+        out.putShort((32 + docId % 300).toShort)        // 14-bit width
+        out.putShort((32 + docId % 280).toShort)        // 14-bit height
+      } else {
+        val flags = (((docId / 8) % 2) * 16 +
+          (if ((docId / 8) % 3 == 0) 8 else 0)).toInt
+        out.put("VP8X".getBytes("US-ASCII")).putInt(10)
+        out.put(flags.toByte)
+        out.put(0.toByte).put(0.toByte).put(0.toByte)   // reserved
+        val w = (32 + docId % 211 - 1).toInt             // stored minus-one
+        val h = (32 + docId % 191 - 1).toInt
+        out.put((w & 0xFF).toByte).put(((w >> 8) & 0xFF).toByte)
+          .put(((w >> 16) & 0xFF).toByte)
+        out.put((h & 0xFF).toByte).put(((h >> 8) & 0xFF).toByte)
+          .put(((h >> 16) & 0xFF).toByte)
+      }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-WebP payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedWebpMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedWebps.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedWebps.craftedWebp(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL WebP container metadata from the binary column — the OTHER
+    * big crawled-image format next to PNG/JPEG (a modern crawl's image
+    * mix is heavily WebP) and the m5/m6 RIFF idiom reused at the image
+    * layer: RIFF magic + `WEBP` form type, then the FIRST chunk
+    * dispatches the format — the extended `VP8X` header (flags byte
+    * with the spec's alpha 0x10 / EXIF 0x08 bits, 24-bit LE minus-one
+    * canvas dims) or the lossy simple-format `VP8 ` bitstream header
+    * (the 9D 01 2A sync check a real parser performs, then 14-bit LE
+    * dims). Lossless `VP8L` and anything else degrades to the
+    * deterministic synthetic tier (the media contract: degrade, never
+    * misparse). Pure column exprs, one scan, no shuffle, no UDF. */
+  def webpMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isRiffWebp = p.substr(lit(1), lit(4)).cast("string") === "RIFF" &&
+      p.substr(lit(9), lit(4)).cast("string") === "WEBP"
+    val fourcc = p.substr(lit(13), lit(4)).cast("string")
+    val isX = fourcc === "VP8X"
+    val isLossy = fourcc === "VP8 "
+    val staged = media
+      .withColumn("_flags", leUint(p, 21, 1))
+      .withColumn("_xw", leUint(p, 25, 3) + 1)
+      .withColumn("_xh", leUint(p, 28, 3) + 1)
+      .withColumn("_sync", hex(p.substr(lit(24), lit(3))))
+      .withColumn("_lw", pmod(leUint(p, 27, 2), lit(16384L)))
+      .withColumn("_lh", pmod(leUint(p, 29, 2), lit(16384L)))
+    val completeX = isRiffWebp && isX &&
+      col("_flags").isNotNull && col("_xw").isNotNull && col("_xh").isNotNull
+    val completeLossy = isRiffWebp && isLossy &&
+      coalesce(col("_sync") === "9D012A", lit(false)) &&
+      col("_lw").isNotNull && col("_lh").isNotNull
+    staged.select(
+      col("doc_id"),
+      (completeX || completeLossy).cast("int").as("is_webp"),
+      when(completeX, lit("VP8X")).when(completeLossy, lit("VP8 "))
+        .otherwise(lit("none")).as("format"),
+      when(completeX, col("_xw")).when(completeLossy, col("_lw"))
+        .otherwise(lit(16) + pmod(len * 7, lit(367))).cast("int").as("width"),
+      when(completeX, col("_xh")).when(completeLossy, col("_lh"))
+        .otherwise(lit(16) + pmod(len * 11, lit(347))).cast("int").as("height"),
+      when(completeX, (expr("_flags div 16") % 2).cast("int"))
+        .otherwise(lit(0)).as("has_alpha"),
+      when(completeX, (expr("_flags div 8") % 2).cast("int"))
+        .otherwise(lit(0)).as("has_exif"))
+  }
+
+  /** The m18 gate: WebP container metadata over the planted corpus. */
+  def webpMetaPlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedWebps.Every): DataFrame =
+    webpMeta(plantedWebpMedia(spark, documents, every).toDF())
+
   /** Documents with planted real-JPEG (DQT/SOF0) payloads on every
     * `every`-th doc_id (text bytes otherwise). */
   def plantedJpegMedia(spark: SparkSession, documents: DataFrame,

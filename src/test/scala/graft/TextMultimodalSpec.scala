@@ -1107,4 +1107,30 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       Seq(Multimodal.MediaIn(99L, cut)).toDS().toDF()).collect().head
     assert(tr.getAs[Int]("is_jpeg") === 0 && tr.getAs[String]("band") === "none")
   }
+
+  test("webp meta: format dispatch, flag bits, corrupt sync degrades") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 16 → VP8 simple; 8 → VP8X (8/8=1: alpha=1, exif=0); 24 → VP8X
+    // (24/8=3: alpha=1, exif=1); 48 → VP8 ; 3 → text fallback
+    val docs = Seq((16L, "a"), (8L, "b"), (24L, "c"), (48L, "d"), (3L, "plain"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.webpMeta(
+      Multimodal.plantedWebpMedia(spark, docs).toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("is_webp"), r.getAs[String]("format"),
+          r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("has_alpha"), r.getAs[Int]("has_exif")))).toMap
+    assert(out(16L) === ((1, "VP8 ", 48, 48, 0, 0)))
+    assert(out(8L) === ((1, "VP8X", 40, 40, 1, 0)))
+    assert(out(24L) === ((1, "VP8X", 56, 56, 1, 1)))
+    assert(out(48L) === ((1, "VP8 ", 80, 80, 0, 0)))
+    assert(out(3L)._1 === 0 && out(3L)._2 === "none")
+    // corrupt the VP8 sync code → the parser must degrade, not misparse
+    val bad = Multimodal.PlantedWebps.craftedWebp(16L)
+    bad(23) = 0x00.toByte // sync first byte (0-based 23 = 1-based 24)
+    val br = Multimodal.webpMeta(
+      Seq(Multimodal.MediaIn(77L, bad)).toDS().toDF()).collect().head
+    assert(br.getAs[Int]("is_webp") === 0 && br.getAs[String]("format") === "none")
+  }
 }
