@@ -321,6 +321,38 @@ object SparkEntry {
         lit(" привет мир")).otherwise(lit("")))
       .as("text"))
 
+  /** Date mentions planted for the t31 gate (the synthetic prose
+    * carries none): %6==1 an ISO date, %7==2 a US slash date, %9==5 an
+    * English month-name date — every field a doc_id formula so the
+    * oracle replays the concatenation, and overlapping slices give
+    * multi-date docs whose min/max span is non-trivial. */
+  private[graft] def plantDates(docs: DataFrame): DataFrame = {
+    val monthArr = array(Seq("January", "February", "March", "April",
+      "May", "June", "July", "August", "September", "October",
+      "November", "December").map(lit): _*)
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(6)) === 1,
+        concat(lit(" published "), format_string("%04d-%02d-%02d",
+          lit(2000) + pmod(col("doc_id"), lit(20)),
+          lit(1) + pmod(col("doc_id"), lit(12)),
+          lit(1) + pmod(col("doc_id"), lit(28))))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 2,
+        concat(lit(" updated on "),
+          (lit(1) + pmod(col("doc_id"), lit(12))).cast("string"), lit("/"),
+          (lit(1) + pmod(col("doc_id"), lit(28))).cast("string"), lit("/"),
+          (lit(1980) + pmod(col("doc_id"), lit(40))).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 5,
+        concat(lit(" Posted "),
+          element_at(monthArr,
+            (lit(1) + pmod(col("doc_id"), lit(12))).cast("int")),
+          lit(" "), (lit(1) + pmod(col("doc_id"), lit(28))).cast("string"),
+          lit(", "),
+          (lit(1990) + pmod(col("doc_id"), lit(30))).cast("string")))
+        .otherwise(lit("")))
+      .as("text"))
+  }
+
   private[graft] def plantScripts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(31)) === 4,
@@ -678,6 +710,7 @@ object SparkEntry {
     "t25_script_mix" -> Seq("doc_id"),
     "t29_entities" -> Seq("doc_id", "entity"),
     "t30_confusables" -> Seq("doc_id"),
+    "t31_dates" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -1209,6 +1242,10 @@ object SparkEntry {
     // signal (pure-Cyrillic prose scores zero)
     "t30_confusables" -> ((s, d) =>
       TextOps.confusableScrub(plantConfusables(t(s, d, "documents")))),
+    // temporal-metadata recovery: three date surface forms normalized
+    // to ISO so min/max give the doc's date span string-side
+    "t31_dates" -> ((s, d) =>
+      TextOps.dateExtract(plantDates(t(s, d, "documents")))),
     // Porter-stem conflation stats over planted inflection families;
     // the word→stem vocabulary is staged (t11's idiom) so the oracle
     // replays the stemmed aggregation relationally
@@ -5510,6 +5547,62 @@ object SparkEntry {
          SELECT m.doc_id, g.entity, g.etype, count(*) AS n_mentions
          FROM m JOIN g ON m.gram = g.entity
          GROUP BY 1, 2, 3 ORDER BY m.doc_id, g.entity""",
+    // t31: plant replay (printf/list-index date building), then the
+    // same three patterns with per-match group rebuilds — ISO strings
+    // order lexicographically = chronologically, so list_min/list_max
+    // replay array_min/array_max
+    "t31_dates" ->
+      """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 6 = 1 THEN ' published ' ||
+               printf('%04d-%02d-%02d', 2000 + doc_id % 20,
+                 1 + doc_id % 12, 1 + doc_id % 28) ELSE '' END ||
+             CASE WHEN doc_id % 7 = 2 THEN ' updated on ' ||
+               CAST(1 + doc_id % 12 AS VARCHAR) || '/' ||
+               CAST(1 + doc_id % 28 AS VARCHAR) || '/' ||
+               CAST(1980 + doc_id % 40 AS VARCHAR) ELSE '' END ||
+             CASE WHEN doc_id % 9 = 5 THEN ' Posted ' ||
+               ['January','February','March','April','May','June','July',
+                'August','September','October','November','December']
+                 [CAST(1 + doc_id % 12 AS INT)] || ' ' ||
+               CAST(1 + doc_id % 28 AS VARCHAR) || ', ' ||
+               CAST(1990 + doc_id % 30 AS VARCHAR) ELSE '' END AS text
+           FROM documents),
+         d AS (SELECT doc_id,
+             regexp_extract_all(text,
+               '\b(19|20)\d{2}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])\b',
+               0) ||
+             list_transform(regexp_extract_all(text,
+                 '\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/((19|20)\d{2})\b',
+                 0),
+               x -> regexp_extract(x,
+                 '\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/((19|20)\d{2})\b',
+                 3) || '-' || lpad(regexp_extract(x,
+                 '\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/((19|20)\d{2})\b',
+                 1), 2, '0') || '-' || lpad(regexp_extract(x,
+                 '\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/((19|20)\d{2})\b',
+                 2), 2, '0')) ||
+             list_transform(regexp_extract_all(text,
+                 '(?i)\b(january|february|march|april|may|june|july|august|september|october|november|december) (0?[1-9]|[12]\d|3[01]), ((19|20)\d{2})\b',
+                 0),
+               x -> regexp_extract(x,
+                 '(?i)\b(january|february|march|april|may|june|july|august|september|october|november|december) (0?[1-9]|[12]\d|3[01]), ((19|20)\d{2})\b',
+                 3) || '-' ||
+                 CASE lower(regexp_extract(x,
+                   '(?i)\b(january|february|march|april|may|june|july|august|september|october|november|december) (0?[1-9]|[12]\d|3[01]), ((19|20)\d{2})\b',
+                   1))
+                   WHEN 'january' THEN '01' WHEN 'february' THEN '02'
+                   WHEN 'march' THEN '03' WHEN 'april' THEN '04'
+                   WHEN 'may' THEN '05' WHEN 'june' THEN '06'
+                   WHEN 'july' THEN '07' WHEN 'august' THEN '08'
+                   WHEN 'september' THEN '09' WHEN 'october' THEN '10'
+                   WHEN 'november' THEN '11' WHEN 'december' THEN '12'
+                 END || '-' || lpad(regexp_extract(x,
+                 '(?i)\b(january|february|march|april|may|june|july|august|september|october|november|december) (0?[1-9]|[12]\d|3[01]), ((19|20)\d{2})\b',
+                 2), 2, '0')) AS ds
+           FROM aug)
+         SELECT doc_id, CAST(len(ds) AS INTEGER) AS n_dates,
+           list_min(ds) AS first_date, list_max(ds) AS last_date
+         FROM d ORDER BY doc_id""",
     // t30: plant replay + the same translate fold and mixed-script
     // token filter (visible UTF-8 literals in both engines)
     "t30_confusables" ->

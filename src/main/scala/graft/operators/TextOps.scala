@@ -1104,6 +1104,59 @@ object TextOps {
       .agg(count(lit(1)).as("n_mentions"))
   }
 
+  /** The three date surface forms [[dateExtract]] recognizes. Shared
+    * with the oracle replay; group numbers are part of the contract
+    * (us: 1=month 2=day 3=year; mon: 1=name 2=day 3=year). Day-first
+    * European forms are deliberately out of contract (ambiguous
+    * against month-first without locale evidence). */
+  private[operators] val isoDatePat =
+    "\\b(19|20)\\d{2}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])\\b"
+  private[operators] val usDatePat =
+    "\\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\\d|3[01])/((19|20)\\d{2})\\b"
+  private[operators] val monDatePat =
+    "(?i)\\b(january|february|march|april|may|june|july|august|" +
+      "september|october|november|december) (0?[1-9]|[12]\\d|3[01])," +
+      " ((19|20)\\d{2})\\b"
+  private[operators] val monthNames = Seq("january", "february", "march",
+    "april", "may", "june", "july", "august", "september", "october",
+    "november", "december")
+
+  /** Publication-date extraction — the temporal-metadata recovery step
+    * every crawl pipeline runs (freshness gates, time-sliced training
+    * cuts, and knowledge-cutoff-aware decontamination all need a
+    * per-document date, and crawls rarely deliver one out of band):
+    * three surface forms — ISO (2024-03-15), US slash (3/15/2024) and
+    * English month-name (March 15, 2024, case-insensitive) — all
+    * NORMALIZED to ISO strings, where lexicographic order IS
+    * chronological order, so min/max give the document's date span
+    * with no date type in the pipeline. Per doc: mention count, first
+    * (earliest) and last (latest) date, null/0 when none. Pure map —
+    * three codegen regex scans + per-match group rebuilds on
+    * match-sized strings; no shuffle, no UDF. */
+  def dateExtract(documents: DataFrame): DataFrame = {
+    val iso = regexp_extract_all(col("text"), lit(isoDatePat), lit(0))
+    val us = transform(
+      regexp_extract_all(col("text"), lit(usDatePat), lit(0)),
+      x => concat(regexp_extract(x, usDatePat, 3), lit("-"),
+        lpad(regexp_extract(x, usDatePat, 1), 2, "0"), lit("-"),
+        lpad(regexp_extract(x, usDatePat, 2), 2, "0")))
+    val mon = transform(
+      regexp_extract_all(col("text"), lit(monDatePat), lit(0)),
+      x => concat(regexp_extract(x, monDatePat, 3), lit("-"),
+        lpad(monthNames.zipWithIndex.foldLeft(lit("00")) {
+          case (acc, (m, i)) =>
+            when(lower(regexp_extract(x, monDatePat, 1)) === m,
+              lit(f"${i + 1}%02d")).otherwise(acc)
+        }, 2, "0"), lit("-"),
+        lpad(regexp_extract(x, monDatePat, 2), 2, "0")))
+    documents
+      .withColumn("_dates", concat(iso, us, mon))
+      .select(col("doc_id"),
+        size(col("_dates")).as("n_dates"),
+        array_min(col("_dates")).as("first_date"),
+        array_max(col("_dates")).as("last_date"))
+  }
+
   /** Confusable map for [[confusableScrub]]: the high-frequency
     * IDN-spoofing homoglyphs — Cyrillic а е о р с х у і ѕ and Greek
     * ο ι mapped to their Latin skeletons (a deliberate lowercase-only

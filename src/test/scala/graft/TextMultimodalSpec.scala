@@ -1133,4 +1133,26 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       Seq(Multimodal.MediaIn(77L, bad)).toDS().toDF()).collect().head
     assert(br.getAs[Int]("is_webp") === 0 && br.getAs[String]("format") === "none")
   }
+
+  test("date extract: three forms normalize to ISO, span ordering, none-case") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "released 2021-07-04 and again on 3/15/2024 ok"),
+      (2L, "Posted March 5, 1999 then updated December 31, 2001"),
+      (3L, "no dates here, just 12345 and 99/99/9999 and 2021-13-01"),
+      (4L, "JANUARY 1, 2000 lowercase january 2, 2000"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dateExtract(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    // ISO + US in one doc: min/max across forms
+    assert(out(1L) === ((2, Some("2021-07-04"), Some("2024-03-15"))))
+    // month names map and zero-pad; span ordered chronologically
+    assert(out(2L) === ((2, Some("1999-03-05"), Some("2001-12-31"))))
+    // invalid month (13), invalid day (99) and bare numbers never match
+    assert(out(3L) === ((0, None, None)))
+    // case-insensitive month names
+    assert(out(4L) === ((2, Some("2000-01-01"), Some("2000-01-02"))))
+  }
 }
