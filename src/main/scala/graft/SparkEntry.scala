@@ -592,6 +592,7 @@ object SparkEntry {
     "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
     "q16_asof_join" -> Seq("event_id"),
+    "q59_asof_forward" -> Seq("event_id"),
     "q17_range_join" -> Seq("o_orderkey"),
     "q18_set_ops" -> Seq("nationkey"),
     "q19_json_extract" -> Seq("event_id"),
@@ -833,6 +834,9 @@ object SparkEntry {
     "q38_percentiles_approx" -> ((s, d) => Relational.percentilesApprox(t(s, d, "events"))),
     "q15_sessionize" -> ((s, d) => TimeJoins.sessionize(t(s, d, "events"))),
     "q16_asof_join" -> ((s, d) => TimeJoins.asofJoin(t(s, d, "events"))),
+    // the labeling join: first outcome at-or-after each feature row,
+    // with the time-to-outcome column; reverse-order single carry
+    "q59_asof_forward" -> ((s, d) => TimeJoins.asofForward(t(s, d, "events"))),
     "q17_range_join" -> ((s, d) => TimeJoins.rangeJoin(t(s, d, "orders"), t(s, d, "lineitem"))),
     "q18_set_ops" -> ((s, d) =>
       Relational.setOps(t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
@@ -3053,6 +3057,23 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_value FROM e)
          SELECT event_id, user_id, se, value, ref_value FROM f
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    // q59: q16's carry reversed — both carried fields select from the
+    // SAME physical row (nullness keyed on event_type alone)
+    "q59_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events
+           WHERE event_type IN ('purchase', 'signup')),
+         f AS (SELECT *,
+           last_value(CASE WHEN event_type = 'signup' THEN value END
+             IGNORE NULLS) OVER w AS next_value,
+           last_value(CASE WHEN event_type = 'signup' THEN se END
+             IGNORE NULLS) OVER w AS next_se
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY se DESC, event_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, se, value, next_value,
+           next_se - se AS wait_sec
+         FROM f WHERE event_type = 'purchase' ORDER BY event_id""",
     "q17_range_join" ->
       s"""SELECT o_orderkey, count(*) AS n_items,
           ${dprod("l_extendedprice", "1 - l_discount")} AS revenue

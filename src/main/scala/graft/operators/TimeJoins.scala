@@ -81,6 +81,41 @@ object TimeJoins {
       .select(col("event_id"), col("user_id"), col("se"), col("value"), col("ref_value"))
   }
 
+  /** FORWARD as-of join — the labeling join of a training pipeline
+    * (each feature row picks up the FIRST outcome at-or-after its
+    * timestamp: churn labels, conversion labels, next-price targets
+    * all have this shape), where [[asofJoin]] looks backward. Same
+    * single-carry algebra run in REVERSE (se, event_id) order, so the
+    * carried reference is the tuple-minimal ref at-or-after the hit —
+    * one shuffle on the key, linear per partition, no point-in-time
+    * cross product. Tie contract: reference selection is total-ordered
+    * by (se, event_id) exactly like the backward form, so a ref
+    * sharing the hit's second with a SMALLER event_id is "before" it
+    * — deterministic in both engines, documented rather than hidden.
+    * `wait_sec` (time-to-outcome) is the label-delay column a
+    * survival/propensity pipeline trains on; null = censored (no
+    * outcome yet — the rows a production run routes to the
+    * still-waiting cohort). */
+  def asofForward(events: DataFrame,
+                  hitType: String = "purchase", refType: String = "signup"): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("se").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(hitType, refType))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochSec(col("ts")).as("se"))
+      .withColumn("next_value",
+        last(when(col("event_type") === refType, col("value")),
+          ignoreNulls = true).over(ord))
+      .withColumn("next_se",
+        last(when(col("event_type") === refType, col("se")),
+          ignoreNulls = true).over(ord))
+      .filter(col("event_type") === hitType)
+      .select(col("event_id"), col("user_id"), col("se"), col("value"),
+        col("next_value"), (col("next_se") - col("se")).as("wait_sec"))
+  }
+
   /** General as-of merge through the custom operator: every left row ++
     * the right payload (right minus its key/time) of the LAST right row
     * with `rightTime ≤ leftTime` on the same key, null-padded when none.

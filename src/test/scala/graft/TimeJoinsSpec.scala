@@ -49,6 +49,31 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("forward as-of: next outcome per row, wait times, censored tail") {
+    val out = TimeJoins.asofForward(table("events")).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(r.fieldIndex("next_value"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("wait_sec"))).map(_.asInstanceOf[Long]))))
+      .toMap
+    // naive recompute on the driver (fine at sf0.001): the tuple-order
+    // contract — first signup with (se, id) >= (se, id) of the purchase
+    val evs = table("events").select("event_id", "user_id", "event_type", "value", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getTimestamp(4).getTime / 1000))
+    val purchases = evs.filter(_._3 == "purchase")
+    var censored = 0
+    purchases.foreach { case (id, user, _, _, se) =>
+      val expected = evs.filter(e => e._2 == user && e._3 == "signup" &&
+          (e._5 > se || (e._5 == se && e._1 >= id)))
+        .sortBy(e => (e._5, e._1)).headOption
+      assert(out(id)._1 === expected.map(_._4), s"event $id")
+      assert(out(id)._2 === expected.map(_._5 - se), s"wait for $id")
+      if (expected.isEmpty) censored += 1
+    }
+    assert(out.values.exists(_._2.exists(_ >= 0)), "no labeled rows — vacuous")
+    assert(censored > 0, "every purchase has a later signup — censoring untested")
+  }
+
   test("whole-operator as-of join: exact parity with the window form, merge plan shape") {
     val win = TimeJoins.asofJoin(table("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
