@@ -321,6 +321,21 @@ object SparkEntry {
         lit(" привет мир")).otherwise(lit("")))
       .as("text"))
 
+  /** OCR artifacts planted for the t32 gate: %5==3 docs carry
+    * line-break hyphenation breaks (two joins → the repair fires and
+    * the ≥2-join flag trips), %8==5 a single-letter spray, %11==7
+    * digit-confused words (≥3 mixed tokens trips the flag). ASCII
+    * literals replayed verbatim. */
+  private[graft] def plantOcr(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 3,
+        lit(" exam- ple qual- ity data")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(8)) === 5,
+        lit(" a b c d e f g h")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 7,
+        lit(" w0rd m1xed t3xt perf0rm")).otherwise(lit("")))
+      .as("text"))
+
   /** Date mentions planted for the t31 gate (the synthetic prose
     * carries none): %6==1 an ISO date, %7==2 a US slash date, %9==5 an
     * English month-name date — every field a doc_id formula so the
@@ -712,6 +727,7 @@ object SparkEntry {
     "t29_entities" -> Seq("doc_id", "entity"),
     "t30_confusables" -> Seq("doc_id"),
     "t31_dates" -> Seq("doc_id"),
+    "t32_ocr_repair" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -1250,6 +1266,10 @@ object SparkEntry {
     // to ISO so min/max give the doc's date span string-side
     "t31_dates" -> ((s, d) =>
       TextOps.dateExtract(plantDates(t(s, d, "documents")))),
+    // OCR hygiene: hyphenation repair + letter-spray / digit-confusion
+    // signals, integer-threshold suspect flag
+    "t32_ocr_repair" -> ((s, d) =>
+      TextOps.ocrRepair(plantOcr(t(s, d, "documents")))),
     // Porter-stem conflation stats over planted inflection families;
     // the word→stem vocabulary is staged (t11's idiom) so the oracle
     // replays the stemmed aggregation relationally
@@ -5568,6 +5588,47 @@ object SparkEntry {
          SELECT m.doc_id, g.entity, g.etype, count(*) AS n_mentions
          FROM m JOIN g ON m.gram = g.entity
          GROUP BY 1, 2, 3 ORDER BY m.doc_id, g.entity""",
+    // t32: plant replay, the same rejoin rewrite (\1\2 vs $1$2 — same
+    // semantics), then the token signals over the REPAIRED text and
+    // the integer-threshold flag
+    "t32_ocr_repair" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 3
+               THEN ' exam- ple qual- ity data' ELSE '' END ||
+             CASE WHEN doc_id % 8 = 5
+               THEN ' a b c d e f g h' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 7
+               THEN ' w0rd m1xed t3xt perf0rm' ELSE '' END AS text
+           FROM documents),
+         r AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '([a-z])- ([a-z])', 0))
+               AS INTEGER) AS n_joins,
+             regexp_replace(text, '([a-z])- ([a-z])', '\\1\\2', 'g')
+               AS clean_text
+           FROM aug),
+         d AS (SELECT doc_id, n_joins, clean_text,
+             ${toksOf("clean_text")} AS t FROM r)
+         SELECT doc_id, clean_text, n_joins,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]$$')))
+             AS INTEGER) AS n_spray,
+           CAST(len(list_filter(t, x -> regexp_matches(x,
+             '^[a-z]*[0-9][a-z]+$$|^[a-z]+[0-9][a-z]*$$')))
+             AS INTEGER) AS n_mixed,
+           CASE WHEN len(t) > 0 THEN
+             CAST(CAST((CAST(len(list_filter(t,
+                 x -> regexp_matches(x, '^[a-z]$$'))) AS HUGEINT)
+                 * 2000000 + len(t))
+               // (2 * CAST(len(t) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0
+           END AS spray_share,
+           CASE WHEN len(list_filter(t, x -> regexp_matches(x, '^[a-z]$$')))
+                  * 5 > len(t)
+                 OR n_joins >= 2
+                 OR len(list_filter(t, x -> regexp_matches(x,
+                   '^[a-z]*[0-9][a-z]+$$|^[a-z]+[0-9][a-z]*$$'))) >= 3
+             THEN 1 ELSE 0 END AS is_suspect
+         FROM d ORDER BY doc_id""",
     // t31: plant replay (printf/list-index date building), then the
     // same three patterns with per-match group rebuilds — ISO strings
     // order lexicographically = chronologically, so list_min/list_max

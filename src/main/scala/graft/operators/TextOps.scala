@@ -1157,6 +1157,43 @@ object TextOps {
         array_max(col("_dates")).as("last_date"))
   }
 
+  /** OCR-artifact detection AND repair — the hygiene pass scanned-book
+    * and PDF-extraction corpora need before any token-level operator
+    * (OCR noise poisons the same downstream keys confusables do, at
+    * far higher volume in digitized archives): (1) line-break
+    * HYPHENATION REPAIR — `exam- ple` rejoins to `example` (lowercase
+    * letter, hyphen, space, lowercase letter — the PDF-extraction
+    * artifact; real compounds keep their hyphen because no space
+    * follows it), with the join count reported; (2) single-character
+    * token SPRAY share (broken-kerning OCR shatters words into letter
+    * soup — a high share is the classic scan-garbage signal);
+    * (3) digit-in-word tokens (`w0rd` — the O/0, l/1 confusion class).
+    * `is_suspect` gates on INTEGER cross-multiplied thresholds (spray
+    * share > 20%, ≥2 joins, or ≥3 mixed tokens — no float on the
+    * decision path). Pure map over the shared tokenizer + one
+    * codegen regex rewrite; no shuffle, no UDF; composes in front of
+    * the dedup/token family like t6/t21/t24/t30. */
+  def ocrRepair(documents: DataFrame): DataFrame = {
+    val hyphPat = "([a-z])- ([a-z])"
+    val mixedPat = "^[a-z]*[0-9][a-z]+$|^[a-z]+[0-9][a-z]*$"
+    documents
+      .withColumn("_nj", size(regexp_extract_all(col("text"), lit(hyphPat), lit(0))))
+      .withColumn("clean_text", regexp_replace(col("text"), hyphPat, "$1$2"))
+      .withColumn("_toks", tokens(col("clean_text")))
+      .withColumn("_nt", size(col("_toks")))
+      .withColumn("_nspray", size(filter(col("_toks"),
+        t => length(t) === 1 && t.rlike("^[a-z]$"))))
+      .withColumn("_nmixed", size(filter(col("_toks"), t => t.rlike(mixedPat))))
+      .select(col("doc_id"), col("clean_text"),
+        col("_nj").as("n_joins"),
+        col("_nt").as("n_tokens"),
+        col("_nspray").as("n_spray"),
+        col("_nmixed").as("n_mixed"),
+        when(col("_nt") > 0, ratRound("_nspray", "_nt", 6)).as("spray_share"),
+        (col("_nspray") * 5 > col("_nt") || col("_nj") >= 2 ||
+          col("_nmixed") >= 3).cast("int").as("is_suspect"))
+  }
+
   /** Confusable map for [[confusableScrub]]: the high-frequency
     * IDN-spoofing homoglyphs — Cyrillic а е о р с х у і ѕ and Greek
     * ο ι mapped to their Latin skeletons (a deliberate lowercase-only

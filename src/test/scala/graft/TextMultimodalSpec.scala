@@ -1155,4 +1155,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     // case-insensitive month names
     assert(out(4L) === ((2, Some("2000-01-01"), Some("2000-01-02"))))
   }
+
+  test("ocr repair: hyphen joins, spray and digit signals, per-clause flag") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "the exam- ple shows qual- ity work"),     // 2 joins → flag
+      (2L, "clean prose with several normal words"),  // nothing
+      (3L, "a b c d e f only noise"),                 // 6/8 spray → flag
+      (4L, "w0rd m1xed t3xt perf0rm fine"),           // 4 mixed → flag
+      (5L, "well-known state- of the art"),           // compound hyphen survives
+      (6L, "one join exam- ple only"))                // 1 join → NOT flagged
+      .toDF("doc_id", "text")
+    val out = TextOps.ocrRepair(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(4), r.getInt(5),
+          r.getAs[Int]("is_suspect")))).toMap
+    assert(out(1L) === (("the example shows quality work", 2, 0, 0, 1)))
+    assert(out(2L)._5 === 0)
+    assert(out(3L) === (("a b c d e f only noise", 0, 6, 0, 1)))
+    assert(out(4L) === (("w0rd m1xed t3xt perf0rm fine", 0, 0, 4, 1)))
+    // "well-known" untouched (no space after hyphen); "state- of" joins
+    assert(out(5L)._1 === "well-known stateof the art")
+    assert(out(6L)._2 === 1 && out(6L)._5 === 0)
+  }
 }
