@@ -777,6 +777,7 @@ object SparkEntry {
     "c7_repetition" -> Seq("doc_id"),
     "c8_domain_stats" -> Seq("source"),
     "c57_source_diversity" -> Seq("source"),
+    "s20_drift" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
     "c10_funnel" -> Seq("stage"),
     "c11_shards" -> Seq("shard"),
@@ -1813,6 +1814,16 @@ object SparkEntry {
       Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/s6_seeds")
       Similarity.kmeans(emb)
+    }),
+    // index drift monitoring: per-cell build-time vs batch occupancy
+    // against the FROZEN centroid fit, rate-shift flag in exact
+    // decimal cross-multiplication; odd ids play the monitored batch
+    "s20_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s20_seeds")
+      Similarity.centroidDrift(emb,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1))
     }),
     // s13 sign random projection, FULL oracle from SQL text alone: the
     // hash-derived sign matrix and the decimal-sum/÷4 scaling are pure
@@ -4614,6 +4625,37 @@ object SparkEntry {
     "s6_kmeans" ->
       s"""${kmeansCtes("s6_seeds")}
          SELECT vec_id, cid AS cluster FROM fa WHERE rk = 1 ORDER BY vec_id""",
+    // s20: the s6 clustering replay (own staged seed copy), then the
+    // parity-split cell occupancies over the FULL 0..k-1 spine, exact
+    // per-mille rates and the HUGEINT cross-multiplied rate-shift flag
+    "s20_drift" ->
+      s"""${kmeansCtes("s20_seeds")},
+         cc AS (SELECT cid, count(*) AS n_corpus FROM fa
+                WHERE rk = 1 GROUP BY cid),
+         bb AS (SELECT cid, count(*) AS n_batch FROM fa
+                WHERE rk = 1 AND vec_id % 2 = 1 GROUP BY cid),
+         sp AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS cluster),
+         tt AS (SELECT
+             CAST((SELECT count(*) FROM fa WHERE rk = 1) AS BIGINT) AS nc,
+             CAST((SELECT count(*) FROM fa
+                   WHERE rk = 1 AND vec_id % 2 = 1) AS BIGINT) AS nb),
+         jj AS (SELECT sp.cluster,
+             COALESCE(cc.n_corpus, 0) AS n_corpus,
+             COALESCE(bb.n_batch, 0) AS n_batch, tt.nc, tt.nb
+           FROM sp LEFT JOIN cc ON cc.cid = sp.cluster
+             LEFT JOIN bb ON bb.cid = sp.cluster, tt)
+         SELECT cluster, n_corpus, n_batch,
+           CAST(CAST((CAST(n_corpus AS HUGEINT) * 1000 * 20000 + nc)
+             // (2 * CAST(nc AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS corpus_pm,
+           CAST(CAST((CAST(n_batch AS HUGEINT) * 1000 * 20000 + nb)
+             // (2 * CAST(nb AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS batch_pm,
+           CASE WHEN abs(CAST(n_batch AS HUGEINT) * nc
+                 - CAST(n_corpus AS HUGEINT) * nb) * 1000
+               > 100 * CAST(nc AS HUGEINT) * nb
+             THEN 1 ELSE 0 END AS drifted
+         FROM jj ORDER BY cluster""",
     // d21: the s6 clustering replay (staged seeds), then SemDeDup's
     // within-cluster decimal-6 cosine pairs → recursive-reachability
     // components → keep = most-central member (d6 from fa, vec_id ties)

@@ -1231,4 +1231,55 @@ object Similarity {
       .select(col("cluster"), col("n_points"),
         decRound(col("_ss").cast("double") / col("n_points"), 6).as("mean_silhouette"))
   }
+
+  /** Index drift monitoring — the ANN-maintenance operator s16 (recall
+    * eval) pairs with: an IVF/k-means index is built ONCE over the
+    * corpus, then ingest/query traffic slowly stops looking like the
+    * build distribution, cells go hot or empty, and recall decays
+    * SILENTLY until someone re-fits. Per centroid cell: corpus
+    * occupancy at build time vs a monitored batch's occupancy, both as
+    * exact per-mille rates (ratRound), with a drift flag on the
+    * ABSOLUTE RATE SHIFT — |n_batch·Nc − n_corpus·Nb|·1000 >
+    * driftPm·Nc·Nb, the cross-multiplied integer form of
+    * |q_i − p_i| > driftPm/1000 computed entirely in DECIMAL(38,0)
+    * (counts at 100 TB overflow a Long product). The full 0..k-1 cell
+    * spine is emitted so an EMPTYING cell surfaces (an index cell no
+    * new data lands in is itself drift).
+    *
+    * Scale shape: one sampled centroid fit (the s6 path), two
+    * broadcast-literal assignment maps, two k-row aggregates, a k-row
+    * spine join — nothing data-sized shuffles except the two
+    * combinable cell counts. Monitoring adds nothing beyond what the
+    * index apply path already pays. */
+  def centroidDrift(corpus: DataFrame, batch: DataFrame,
+                    k: Int = 8, iters: Int = 5,
+                    driftPm: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val v = corpus.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cents = kmeansCentroids(v, k, iters)
+    val ca = assignToCentroids(v, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_corpus"))
+    val ba = assignToCentroids(
+        batch.select(col("vec_id"), toDoubleVec(col("embedding")).as("v")), cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_batch"))
+    val spine = corpus.sparkSession.range(k)
+      .select(col("id").cast("int").as("cluster"))
+    val totals = ca.agg(sum(col("n_corpus")).as("nc"))
+      .crossJoin(ba.agg(sum(col("n_batch")).as("nb")))
+    spine
+      .join(ca, Seq("cluster"), "left")
+      .join(ba, Seq("cluster"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("n_corpus", coalesce(col("n_corpus"), lit(0L)))
+      .withColumn("n_batch", coalesce(col("n_batch"), lit(0L)))
+      .select(col("cluster"), col("n_corpus"), col("n_batch"),
+        ratRound("n_corpus * 1000", "nc", 4).as("corpus_pm"),
+        ratRound("n_batch * 1000", "nb", 4).as("batch_pm"),
+        (abs(col("n_batch").cast(dec) * col("nc") -
+             col("n_corpus").cast(dec) * col("nb")) * 1000 >
+          lit(driftPm).cast(dec) * col("nc") * col("nb"))
+          .cast("int").as("drifted"))
+  }
 }

@@ -1183,4 +1183,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(out(cid)._2 === mean, s"cluster $cid")
     }
   }
+
+  test("centroid drift: identical batch is drift-free, spine complete, flag exact") {
+    import org.apache.spark.sql.functions._
+    val emb = table("embeddings")
+    // batch == corpus → every cell's rates match exactly, nothing drifts
+    val same = graft.operators.Similarity.centroidDrift(emb, emb).collect()
+    assert(same.length === 8) // full 0..k-1 spine
+    assert(same.map(_.getAs[Int]("cluster")).sorted.toSeq === (0 until 8))
+    same.foreach { r =>
+      assert(r.getAs[Long]("n_batch") === r.getAs[Long]("n_corpus"))
+      assert(r.getAs[Double]("batch_pm") === r.getAs[Double]("corpus_pm"))
+      assert(r.getAs[Int]("drifted") === 0)
+    }
+    assert(same.map(_.getAs[Long]("n_corpus")).sum === emb.count())
+    // skewed batch (odd ids): flags must equal the documented integer
+    // cross-multiplied formula applied to the returned counts
+    val out = graft.operators.Similarity.centroidDrift(emb,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)).collect()
+    val nc = out.map(_.getAs[Long]("n_corpus")).sum
+    val nb = out.map(_.getAs[Long]("n_batch")).sum
+    out.foreach { r =>
+      val expect = (BigInt(r.getAs[Long]("n_batch")) * nc -
+        BigInt(r.getAs[Long]("n_corpus")) * nb).abs * 1000 >
+        BigInt(100) * nc * nb
+      assert(r.getAs[Int]("drifted") === (if (expect) 1 else 0),
+        s"cell ${r.getAs[Int]("cluster")}")
+    }
+  }
 }
