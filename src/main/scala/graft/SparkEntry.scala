@@ -745,6 +745,7 @@ object SparkEntry {
     "q52_gap_fill" -> Seq("day", "event_type"),
     "q57_hierarchy" -> Seq("s_suppkey"),
     "q58_range_frame" -> Seq("day", "priority"),
+    "q60_skew_profile" -> Seq("rank"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -1497,6 +1498,9 @@ object SparkEntry {
     // RANGE (calendar-distance) window frame — gap-correct moving
     // revenue, the ROWS-frame pitfall made explicit
     "q58_range_frame" -> ((s, d) => Relational.rangeFrame(t(s, d, "orders"))),
+    // the pre-salting diagnostic: top hot keys, exact shares, and the
+    // times-the-mean skew factor with an integer-cross-multiplied bar
+    "q60_skew_profile" -> ((s, d) => Relational.skewProfile(t(s, d, "events"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
@@ -2927,6 +2931,31 @@ object SparkEntry {
                // (2 * CAST(n_days * 100 AS HUGEINT)) AS BIGINT) AS DOUBLE)
              / 100.0 AS mv_avg_revenue
          FROM w ORDER BY day, priority""",
+    // q60: same one-aggregate profile — top-20 by (n DESC, key), the
+    // k-row cumulative window, HUGEINT rationals and the integer bar
+    "q60_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                count(*) AS n_keys FROM c),
+         tp AS (SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+             sum(n) OVER (ORDER BY n DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS cum_n
+           FROM c ORDER BY n DESC, user_id LIMIT 20)
+         SELECT CAST(tp.rank AS INTEGER) AS rank, tp.user_id,
+           tp.n AS n_rows, tt.n_keys, tt.total,
+           CAST(CAST((CAST(tp.n AS HUGEINT) * 1000 * 20000 + tt.total)
+             // (2 * CAST(tt.total AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS share_pm,
+           CAST(CAST((CAST(tp.cum_n AS HUGEINT) * 1000 * 20000 + tt.total)
+             // (2 * CAST(tt.total AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS cum_pm,
+           CAST(CAST((CAST(tp.n AS HUGEINT) * tt.n_keys * 200 + tt.total)
+             // (2 * CAST(tt.total AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 100.0 AS skew_x,
+           CASE WHEN CAST(tp.n AS HUGEINT) * tt.n_keys
+               > 10 * CAST(tt.total AS HUGEINT) THEN 1 ELSE 0 END AS is_hot
+         FROM tp, tt ORDER BY rank""",
     // q47: distinct (user, day) → per-user prev/next window → the four
     // growth classes; churn lands on day+1 capped at the corpus max day
     "q47_growth_accounting" ->

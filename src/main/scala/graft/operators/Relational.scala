@@ -930,6 +930,46 @@ object Relational {
         ratRound("_cents", "n_days * 100", 2).as("mv_avg_revenue"))
   }
 
+  /** Join-key skew profiler — the diagnostic every Spark engineer runs
+    * BEFORE reaching for q27's salting or AQE skew hints: which keys
+    * are hot, how hot, and whether the heat justifies a mitigation.
+    * Per top-k key (by count desc, key — a deterministic TakeOrdered,
+    * never a global sort): its row count, exact per-mille share, the
+    * running cumulative share, and `skew_x` = count·n_keys/total — how
+    * many times the MEAN key this key weighs (the number a salting
+    * decision actually reads; >10× is the classic straggler bar,
+    * surfaced as `is_hot` via integer cross-multiplication). Global
+    * key count and total ride along on every row.
+    *
+    * Scale shape: ONE map-side-combinable key count over the fact
+    * table; the key-count table collapses to scalars + a top-k
+    * TakeOrdered; the cumulative window runs over k rows. Nothing
+    * about the diagnosis costs more than the aggregation the join
+    * itself would pay. */
+  def skewProfile(events: DataFrame, topK: Int = 20,
+                  hotX: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n").desc, col("user_id")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id"))))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("user_id"), col("n").as("n_rows"),
+        col("n_keys"), col("total"),
+        ratRound("n * 1000", "total", 4).as("share_pm"),
+        ratRound("cum_n * 1000", "total", 4).as("cum_pm"),
+        ratRound("n * n_keys", "total", 2).as("skew_x"),
+        (col("n").cast(DecimalType(38, 0)) * col("n_keys") >
+          lit(hotX).cast(DecimalType(38, 0)) * col("total"))
+          .cast("int").as("is_hot"))
+  }
+
   /** Column profiler — the data-quality pass every ingest runs BEFORE
     * trusting a new batch (null spikes, cardinality collapse, and
     * range drift are the three classic upstream-broke-something

@@ -618,4 +618,39 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out(("2020-01-10", "P")) === ((70.0, 70.0, 1L, 70.0)))
     assert(out(("2020-01-01", "Q")) === ((40.0, 40.0, 1L, 40.0)))
   }
+
+  test("skew profile: hand-checked shares, the 10x bar, deterministic ranks") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user 1: 55 rows; users 2..10: 5 rows each → total 100, 10 keys,
+    // mean 10; user 1 is 5.5x the mean (NOT hot at 10x), share 550pm
+    val evs = ((1 to 55).map(i => (i.toLong, 1L)) ++
+      (2 to 10).flatMap(u => (1 to 5).map(i => ((u * 100 + i).toLong, u.toLong))))
+      .map { case (id, u) =>
+        (id, new Timestamp(1700000000000L + id * 1000), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.skewProfile(evs).collect()
+    assert(out.length === 10)
+    val r1 = out.find(_.getAs[Int]("rank") === 1).get
+    assert(r1.getAs[Long]("user_id") === 1L && r1.getAs[Long]("n_rows") === 55L)
+    assert(r1.getAs[Double]("share_pm") === 550.0)
+    assert(r1.getAs[Double]("skew_x") === 5.5)
+    assert(r1.getAs[Int]("is_hot") === 0) // 5.5x < 10x
+    // equal-count keys rank by key ascending — deterministic
+    val ties = out.filter(_.getAs[Long]("n_rows") === 5L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("user_id")).toSeq
+    assert(ties === (2L to 10L))
+    // a genuinely hot key: 95 of 104 rows over 10 keys → 9.13x... make
+    // it 19 keys so 95·19 > 10·(95+18) clears the bar
+    val hot = ((1 to 95).map(i => (i.toLong, 1L)) ++
+      (2 to 19).map(u => ((u + 1000).toLong, u.toLong)))
+      .map { case (id, u) =>
+        (id, new Timestamp(1700000000000L + id * 1000), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val h1 = Relational.skewProfile(hot).collect()
+      .find(_.getAs[Int]("rank") === 1).get
+    assert(h1.getAs[Int]("is_hot") === 1)
+    // cumulative share of the last rank covers everything: 1000pm
+    assert(out.maxBy(_.getAs[Int]("rank")).getAs[Double]("cum_pm") === 1000.0)
+  }
 }
