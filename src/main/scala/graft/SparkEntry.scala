@@ -810,6 +810,7 @@ object SparkEntry {
     "m13_id3_meta" -> Seq("doc_id"),
     "m17_jpeg_dqt" -> Seq("doc_id"),
     "m18_webp_meta" -> Seq("doc_id"),
+    "m19_zip_meta" -> Seq("doc_id", "entry_idx"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "st27_content_stream" -> Seq("doc_id"),
@@ -1083,6 +1084,10 @@ object SparkEntry {
     // JPEG DQT quality estimation: length-driven segment walk to the
     // quant tables, integer quant-sum quality bands, exact-rational mean
     "m17_jpeg_dqt" -> ((s, d) => Multimodal.jpegDqtPlanted(s, t(s, d, "documents"))),
+    // ZIP local-file-header walk: the archive front door (EPUB/DOCX/
+    // dumps), streaming shape, per-entry rows with byte-exact data
+    // offsets; non-ZIP payloads emit nothing
+    "m19_zip_meta" -> ((s, d) => Multimodal.zipMetaPlanted(s, t(s, d, "documents"))),
     // WebP container dispatch: RIFF/WEBP magic, VP8X extended header
     // (flag bits, 24-bit LE canvas) vs VP8 lossy header (sync-checked
     // 14-bit dims); VP8L degrades — never misparses
@@ -4958,6 +4963,31 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m19: plant replay — entry fields as doc_id/ordinal formulas,
+    // data offsets as the running sum of prior entry sizes (pure
+    // arithmetic, the m14 byte-offset idiom)
+    "m19_zip_meta" ->
+      """WITH z AS (SELECT doc_id, unnest(range(
+             CASE WHEN doc_id % 16 = 0 THEN 3 ELSE 2 END)) AS i
+           FROM documents WHERE doc_id % 8 = 0),
+         e AS (SELECT doc_id, CAST(i AS INTEGER) AS entry_idx,
+             'doc' || CAST(doc_id AS VARCHAR) || '_' ||
+               CAST(i AS VARCHAR) || '.txt' AS name,
+             CAST(CASE WHEN i % 2 = 0 THEN 8 ELSE 0 END AS INTEGER)
+               AS method,
+             CAST(8 + (doc_id * 3 + i * 5) % 40 AS BIGINT) AS comp_size,
+             CAST(8 + (doc_id * 3 + i * 5) % 40 + doc_id % 30 AS BIGINT)
+               AS uncomp_size,
+             30 + length('doc' || CAST(doc_id AS VARCHAR) || '_' ||
+               CAST(i AS VARCHAR) || '.txt')
+               + 8 + (doc_id * 3 + i * 5) % 40 AS esize
+           FROM z)
+         SELECT doc_id, entry_idx, name, method, comp_size, uncomp_size,
+           CAST(1 + COALESCE(sum(esize) OVER (PARTITION BY doc_id
+               ORDER BY entry_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + 30 + length(name) AS BIGINT) AS data_offset
+         FROM e ORDER BY doc_id, entry_idx""",
     // m18: the plant formulas replayed across the three branches —
     // the lossy simple format, the extended VP8X header with its flag
     // bits, and the synthetic fallback

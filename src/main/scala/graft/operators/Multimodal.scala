@@ -1902,6 +1902,115 @@ object Multimodal {
     }
   }
 
+  object PlantedZips {
+    val Every = 8
+
+    /** Minimal real ZIP: a run of local-file-header entries (the PK0304
+      * signature, LE version/method/sizes/name-length fields, the name,
+      * then exactly comp_size filler data bytes). 2 entries, 3 on
+      * %16==0 docs; names, methods (stored/deflate alternating) and
+      * sizes are doc_id formulas. No central directory on purpose —
+      * the operator is the STREAMING local-header walk (see
+      * [[zipMeta]]'s scaladoc for why that is the contract). */
+    def craftedZip(docId: Long): Array[Byte] = {
+      val nEntries = if (docId % 16 == 0) 3 else 2
+      def name(i: Int) = s"doc${docId}_$i.txt"
+      def comp(i: Int) = (8 + (docId * 3 + i * 5) % 40).toInt
+      def uncomp(i: Int) = comp(i) + (docId % 30).toInt
+      val total = (0 until nEntries).map(i => 30 + name(i).length + comp(i)).sum
+      val out = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until nEntries).foreach { i =>
+        out.put(0x50.toByte).put(0x4B.toByte).put(0x03.toByte).put(0x04.toByte)
+        out.putShort(20.toShort)                         // version needed
+        out.putShort(0.toShort)                          // flags
+        out.putShort((if (i % 2 == 0) 8 else 0).toShort) // deflate/stored
+        out.putInt(0)                                    // modtime+date
+        out.putInt(0)                                    // crc (filler)
+        out.putInt(comp(i))
+        out.putInt(uncomp(i))
+        out.putShort(name(i).length.toShort)
+        out.putShort(0.toShort)                          // extra len
+        out.put(name(i).getBytes("US-ASCII"))
+        var b = 0
+        while (b < comp(i)) { out.put(((docId + i * 7 + b) % 256).toByte); b += 1 }
+      }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-ZIP payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedZipMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedZips.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedZips.craftedZip(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL ZIP container entry framing from the binary column — the
+    * archive front door of a document pipeline (EPUBs, DOCX, bulk
+    * exports and site dumps all ARRIVE as ZIP; the per-entry listing
+    * is what routes members to the right extractor): an unrolled
+    * LOCAL-FILE-HEADER walk — PK\\x03\\x04 signature, little-endian
+    * method/size/name-length fields, cursor += 30 + name + extra +
+    * comp_size — deliberately the STREAMING shape (reading the central
+    * directory needs the file END; a 100 TB archive feed is processed
+    * as bytes arrive, exactly like every streaming unzipper, at the
+    * documented cost of not seeing directory-only metadata). One row
+    * per entry: ordinal, member name, method (0 stored / 8 deflate),
+    * compressed/uncompressed sizes and the byte-exact DATA OFFSET
+    * (m14's provenance posture — a downstream extractor can substr
+    * the member without re-walking). Non-ZIP payloads emit no rows
+    * (the c55 sparse-ingest contract; m14 is the audit-view analogue).
+    * Pure column exprs + one struct-array explode; no shuffle, no
+    * UDF. Data-descriptor entries (flag bit 3: sizes AFTER the data)
+    * have comp_size 0 in the header and stop the walk — surfaced,
+    * never misparsed. */
+  def zipMeta(media: DataFrame, maxEntries: Int = 4): DataFrame = {
+    val p = col("payload")
+    var m0 = media.withColumn("_z0", lit(1L))
+    for (j <- 0 until maxEntries) {
+      val k = col(s"_z$j")
+      m0 = m0
+        .withColumn(s"_sig$j", hex(p.substr(k.cast("int"), lit(4))) === "504B0304")
+        .withColumn(s"_mth$j", leUintAt(p, k + 8, 2))
+        .withColumn(s"_cmp$j", leUintAt(p, k + 18, 4))
+        .withColumn(s"_unc$j", leUintAt(p, k + 22, 4))
+        .withColumn(s"_nln$j", leUintAt(p, k + 26, 2))
+        .withColumn(s"_xln$j", leUintAt(p, k + 28, 2))
+        .withColumn(s"_nm$j",
+          p.substr((k + 30).cast("int"), col(s"_nln$j").cast("int")).cast("string"))
+        .withColumn(s"_z${j + 1}",
+          k + 30 + col(s"_nln$j") + col(s"_xln$j") + col(s"_cmp$j"))
+    }
+    val entries = array((0 until maxEntries).map(j =>
+      when(coalesce(col(s"_sig$j"), lit(false)) &&
+           col(s"_cmp$j").isNotNull && col(s"_nm$j").isNotNull,
+        struct(col(s"_nm$j").as("name"),
+          col(s"_mth$j").cast("int").as("method"),
+          col(s"_cmp$j").as("comp_size"),
+          col(s"_unc$j").as("uncomp_size"),
+          (col(s"_z$j") + 30 + col(s"_nln$j") + col(s"_xln$j"))
+            .as("data_offset")))): _*)
+    m0.select(col("doc_id"), posexplode(filter(entries, e => e.isNotNull))
+        .as(Seq("entry_idx", "e")))
+      .select(col("doc_id"), col("entry_idx").cast("int").as("entry_idx"),
+        col("e.name").as("name"), col("e.method").as("method"),
+        col("e.comp_size").as("comp_size"),
+        col("e.uncomp_size").as("uncomp_size"),
+        col("e.data_offset").as("data_offset"))
+  }
+
+  /** The m19 gate: ZIP entry framing over the planted corpus. */
+  def zipMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedZips.Every): DataFrame =
+    zipMeta(plantedZipMedia(spark, documents, every).toDF())
+
   object PlantedWebps {
     val Every = 8
 

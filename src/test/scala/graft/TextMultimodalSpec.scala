@@ -1179,4 +1179,37 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(5L)._1 === "well-known stateof the art")
     assert(out(6L)._2 === 1 && out(6L)._5 === 0)
   }
+
+  test("zip meta: entry fields and byte offsets exact, truncation and non-zip emit nothing") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((8L, "a"), (16L, "b"), (3L, "plain text")).toDF("doc_id", "text")
+    val out = Multimodal.zipMeta(
+      Multimodal.plantedZipMedia(spark, docs).toDF()).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // doc 8: two entries; offsets verified against the payload bytes
+    val zip8 = Multimodal.PlantedZips.craftedZip(8L)
+    assert(out((8L, 0))._1 === "doc8_0.txt" && out((8L, 0))._2 === 8)
+    assert(out((8L, 0))._3 === (8 + (8 * 3 + 0) % 40).toLong)
+    // the data offset really points at the entry's first data byte:
+    // header(30) + name precedes it, and the byte there matches the
+    // plant's filler formula (docId + i*7 + 0) % 256
+    val off0 = out((8L, 0))._5.toInt
+    assert(zip8(off0 - 1) === ((8 + 0) % 256).toByte)
+    val off1 = out((8L, 1))._5.toInt
+    assert(out((8L, 1))._2 === 0) // second entry stored, not deflate
+    assert(zip8(off1 - 1) === ((8 + 7) % 256).toByte)
+    // doc 16: the three-entry case
+    assert((0 to 2).forall(i => out.contains((16L, i))))
+    // non-zip text emits nothing
+    assert(!out.keySet.exists(_._1 == 3L))
+    // truncated archive: cut inside entry 0's data — entry 0's header
+    // is intact so it still frames; the walk stops before entry 1
+    val cut = Multimodal.PlantedZips.craftedZip(8L).take(55)
+    val tr = Multimodal.zipMeta(
+      Seq(Multimodal.MediaIn(99L, cut.toArray)).toDS().toDF()).collect()
+    assert(tr.length === 1 && tr.head.getInt(1) === 0)
+  }
 }
