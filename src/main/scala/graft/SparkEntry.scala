@@ -746,6 +746,7 @@ object SparkEntry {
     "q57_hierarchy" -> Seq("s_suppkey"),
     "q58_range_frame" -> Seq("day", "priority"),
     "q60_skew_profile" -> Seq("rank"),
+    "q61_cohort_ltv" -> Seq("cohort", "offset"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -779,6 +780,7 @@ object SparkEntry {
     "c8_domain_stats" -> Seq("source"),
     "c57_source_diversity" -> Seq("source"),
     "s20_drift" -> Seq("cluster"),
+    "st28_drift_stream" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
     "c10_funnel" -> Seq("stage"),
     "c11_shards" -> Seq("shard"),
@@ -1506,6 +1508,9 @@ object SparkEntry {
     // the pre-salting diagnostic: top hot keys, exact shares, and the
     // times-the-mean skew factor with an integer-cross-multiplied bar
     "q60_skew_profile" -> ((s, d) => Relational.skewProfile(t(s, d, "events"))),
+    // q34's retention matrix with money in the cells: per-cohort
+    // cumulative revenue and per-member LTV, integer-month arithmetic
+    "q61_cohort_ltv" -> ((s, d) => Relational.cohortLtv(t(s, d, "orders"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
@@ -1726,6 +1731,14 @@ object SparkEntry {
     // streamed union == batch run, one shared SQL gates both
     "st27_content_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.mainContentFileStream(Tables.tune(s), d)),
+    // the s20 drift monitor at ingest: frozen centroid artifact,
+    // additive per-micro-batch cell counts, shared final algebra
+    "st28_drift_stream" -> ((s, d) => {
+      val s2 = Tables.tune(s)
+      Similarity.kmeansSeedIds(t(s2, d, "embeddings")).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/st28_seeds")
+      graft.streaming.StreamDrivers.driftFileStream(s2, d)
+    }),
     "st14_neardup_stream" -> ((s, d) => {
       val ss = Tables.tune(s)
       val docs = t(s, d, "documents")
@@ -2372,6 +2385,39 @@ object SparkEntry {
               ELSE '' END AS text
             FROM documents)"""
 
+  // shared by s20 (batch) and st28 (streaming) — each gate stages its
+  // OWN seed copy, so the two Verify entries never depend on each
+  // other's staging order; cell counts are additive across
+  // micro-batches, which is why one SQL gates both surfaces
+  private def driftSql(stage: String): String =
+    s"""${kmeansCtes(stage)},
+         cc AS (SELECT cid, count(*) AS n_corpus FROM fa
+                WHERE rk = 1 GROUP BY cid),
+         bb AS (SELECT cid, count(*) AS n_batch FROM fa
+                WHERE rk = 1 AND vec_id % 2 = 1 GROUP BY cid),
+         sp AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS cluster),
+         tt AS (SELECT
+             CAST((SELECT count(*) FROM fa WHERE rk = 1) AS BIGINT) AS nc,
+             CAST((SELECT count(*) FROM fa
+                   WHERE rk = 1 AND vec_id % 2 = 1) AS BIGINT) AS nb),
+         jj AS (SELECT sp.cluster,
+             COALESCE(cc.n_corpus, 0) AS n_corpus,
+             COALESCE(bb.n_batch, 0) AS n_batch, tt.nc, tt.nb
+           FROM sp LEFT JOIN cc ON cc.cid = sp.cluster
+             LEFT JOIN bb ON bb.cid = sp.cluster, tt)
+         SELECT cluster, n_corpus, n_batch,
+           CAST(CAST((CAST(n_corpus AS HUGEINT) * 1000 * 20000 + nc)
+             // (2 * CAST(nc AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS corpus_pm,
+           CAST(CAST((CAST(n_batch AS HUGEINT) * 1000 * 20000 + nb)
+             // (2 * CAST(nb AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS batch_pm,
+           CASE WHEN abs(CAST(n_batch AS HUGEINT) * nc
+                 - CAST(n_corpus AS HUGEINT) * nb) * 1000
+               > 100 * CAST(nc AS HUGEINT) * nb
+             THEN 1 ELSE 0 END AS drifted
+         FROM jj ORDER BY cluster"""
+
   // shared by c53 (batch) and st27 (per micro-batch — block
   // classification is a pure function of each doc's own markup)
   private lazy val mainContentSql =
@@ -2936,6 +2982,32 @@ object SparkEntry {
                // (2 * CAST(n_days * 100 AS HUGEINT)) AS BIGINT) AS DOUBLE)
              / 100.0 AS mv_avg_revenue
          FROM w ORDER BY day, priority""",
+    // q61: the same integer-month algebra — first-order aggregate,
+    // (cohort, offset) decimal revenue, cohort-partitioned cumulative
+    // window, ratRound LTV over exact cents
+    "q61_cohort_ltv" ->
+      """WITH om AS (SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             o_totalprice FROM orders),
+         fs AS (SELECT o_custkey, min(ym) AS cym FROM om GROUP BY 1),
+         sz AS (SELECT cym, count(*) AS n_custs FROM fs GROUP BY 1),
+         rv AS (SELECT f.cym, CAST(o.ym - f.cym AS INTEGER) AS "offset",
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+               AS DECIMAL(38,2)) AS rev
+           FROM om o JOIN fs f USING (o_custkey) GROUP BY 1, 2),
+         cm AS (SELECT cym, "offset", rev,
+             CAST(sum(rev) OVER (PARTITION BY cym ORDER BY "offset"
+               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS cum
+           FROM rv)
+         SELECT printf('%04d-%02d', (cym - 1) // 12, (cym - 1) % 12 + 1)
+             AS cohort,
+           "offset", sz.n_custs,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) AS cum_revenue,
+           CAST(CAST((CAST(cum * 100 AS HUGEINT) * 200 + sz.n_custs * 100)
+             // (2 * CAST(sz.n_custs * 100 AS HUGEINT)) AS BIGINT)
+             AS DOUBLE) / 100.0 AS ltv
+         FROM cm JOIN sz USING (cym) ORDER BY 1, 2""",
     // q60: same one-aggregate profile — top-20 by (n DESC, key), the
     // k-row cumulative window, HUGEINT rationals and the integer bar
     "q60_skew_profile" ->
@@ -4662,34 +4734,11 @@ object SparkEntry {
     // s20: the s6 clustering replay (own staged seed copy), then the
     // parity-split cell occupancies over the FULL 0..k-1 spine, exact
     // per-mille rates and the HUGEINT cross-multiplied rate-shift flag
-    "s20_drift" ->
-      s"""${kmeansCtes("s20_seeds")},
-         cc AS (SELECT cid, count(*) AS n_corpus FROM fa
-                WHERE rk = 1 GROUP BY cid),
-         bb AS (SELECT cid, count(*) AS n_batch FROM fa
-                WHERE rk = 1 AND vec_id % 2 = 1 GROUP BY cid),
-         sp AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS cluster),
-         tt AS (SELECT
-             CAST((SELECT count(*) FROM fa WHERE rk = 1) AS BIGINT) AS nc,
-             CAST((SELECT count(*) FROM fa
-                   WHERE rk = 1 AND vec_id % 2 = 1) AS BIGINT) AS nb),
-         jj AS (SELECT sp.cluster,
-             COALESCE(cc.n_corpus, 0) AS n_corpus,
-             COALESCE(bb.n_batch, 0) AS n_batch, tt.nc, tt.nb
-           FROM sp LEFT JOIN cc ON cc.cid = sp.cluster
-             LEFT JOIN bb ON bb.cid = sp.cluster, tt)
-         SELECT cluster, n_corpus, n_batch,
-           CAST(CAST((CAST(n_corpus AS HUGEINT) * 1000 * 20000 + nc)
-             // (2 * CAST(nc AS HUGEINT)) AS BIGINT) AS DOUBLE)
-             / 10000.0 AS corpus_pm,
-           CAST(CAST((CAST(n_batch AS HUGEINT) * 1000 * 20000 + nb)
-             // (2 * CAST(nb AS HUGEINT)) AS BIGINT) AS DOUBLE)
-             / 10000.0 AS batch_pm,
-           CASE WHEN abs(CAST(n_batch AS HUGEINT) * nc
-                 - CAST(n_corpus AS HUGEINT) * nb) * 1000
-               > 100 * CAST(nc AS HUGEINT) * nb
-             THEN 1 ELSE 0 END AS drifted
-         FROM jj ORDER BY cluster""",
+    "s20_drift" -> driftSql("s20_seeds"),
+    // st28: the SAME SQL over the stream gate's own staged seed copy —
+    // cell counts are additive across micro-batches, so the streamed
+    // monitor equals the batch monitor by construction
+    "st28_drift_stream" -> driftSql("st28_seeds"),
     // d21: the s6 clustering replay (staged seeds), then SemDeDup's
     // within-cluster decimal-6 cosine pairs → recursive-reachability
     // components → keep = most-central member (d6 from fa, vec_id ties)

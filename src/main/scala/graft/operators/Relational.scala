@@ -930,6 +930,44 @@ object Relational {
         ratRound("_cents", "n_days * 100", 2).as("mv_avg_revenue"))
   }
 
+  /** Cohort LTV (lifetime-value) curve — q34's retention matrix with
+    * MONEY in the cells: customers cohort by first-order month, and
+    * each (cohort, month-offset) cell reports that month's exact
+    * decimal revenue, the running cumulative revenue, and cumulative
+    * value PER COHORT MEMBER (the LTV number payback/CAC decisions
+    * read). Months are (year·12 + month) integers — offset arithmetic
+    * is exact and engine-identical, the cohort label rebuilt by
+    * integer div/mod. The corpus-scale work is one customer-keyed
+    * first-order aggregate + one (cohort, offset) revenue aggregate
+    * (both map-side-combinable); the cumulative window runs over the
+    * calendar² cohort×offset frame (q51's post-aggregate argument).
+    * LTV is ratRound on exact cents over the cohort headcount. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val om = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+      col("o_totalprice"))
+    val first = om.groupBy(col("o_custkey")).agg(min(col("ym")).as("cym"))
+    val sizes = first.groupBy(col("cym")).agg(count(lit(1)).as("n_custs"))
+    val rev = om.join(first, Seq("o_custkey"))
+      .groupBy(col("cym"), (col("ym") - col("cym")).cast("int").as("offset"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(38, 2)).as("rev"))
+    val w = Window.partitionBy(col("cym")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum(col("rev")).over(w).cast(DecimalType(38, 2)))
+      .join(sizes, Seq("cym"))
+      .withColumn("_cents", (col("cum") * 100).cast(DecimalType(38, 0)))
+      .select(
+        format_string("%04d-%02d", expr("(cym - 1) div 12"),
+          pmod(col("cym") - 1, lit(12)) + 1).as("cohort"),
+        col("offset"), col("n_custs"),
+        col("rev").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"),
+        ratRound("_cents", "n_custs * 100", 2).as("ltv"))
+  }
+
   /** Join-key skew profiler — the diagnostic every Spark engineer runs
     * BEFORE reaching for q27's salting or AQE skew hints: which keys
     * are hot, how hot, and whether the heat justifies a mitigation.

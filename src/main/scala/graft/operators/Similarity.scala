@@ -1254,23 +1254,49 @@ object Similarity {
   def centroidDrift(corpus: DataFrame, batch: DataFrame,
                     k: Int = 8, iters: Int = 5,
                     driftPm: Int = 100): DataFrame = {
+    val cents = fitCentroids(corpus, k, iters)
+    driftTable(corpus.sparkSession,
+      cellCounts(corpus, cents), cellCounts(batch, cents), k, driftPm)
+  }
+
+  /** The frozen centroid artifact [[centroidDrift]] and the st28
+    * streaming monitor share — fit ONCE on the corpus (the persisted-
+    * model posture of st16/st17), then apply anywhere as a broadcast
+    * literal. */
+  def fitCentroids(corpus: DataFrame, k: Int = 8,
+                   iters: Int = 5): Array[Array[Double]] =
+    kmeansCentroids(
+      corpus.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint(), k, iters)
+
+  /** Per-cell occupancy of `frame` under a frozen centroid fit — the
+    * map-side-combinable unit of the drift monitor (cell counts are
+    * ADDITIVE across disjoint batches, which is what lets the
+    * streaming monitor accumulate them per micro-batch and still equal
+    * the batch recompute exactly). */
+  def cellCounts(frame: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assignToCentroids(
+        frame.select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
+        cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+
+  /** The drift algebra over two cell-count frames (cluster, n) —
+    * spine join, exact per-mille rates, HUGEINT rate-shift flag.
+    * Factored out so the batch (s20) and streaming (st28) monitors
+    * compute the FINAL table through one code path. */
+  private[graft] def driftTable(spark: org.apache.spark.sql.SparkSession,
+                                ca: DataFrame, ba: DataFrame,
+                                k: Int, driftPm: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val v = corpus.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .localCheckpoint()
-    val cents = kmeansCentroids(v, k, iters)
-    val ca = assignToCentroids(v, cents)
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n_corpus"))
-    val ba = assignToCentroids(
-        batch.select(col("vec_id"), toDoubleVec(col("embedding")).as("v")), cents)
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n_batch"))
-    val spine = corpus.sparkSession.range(k)
-      .select(col("id").cast("int").as("cluster"))
-    val totals = ca.agg(sum(col("n_corpus")).as("nc"))
-      .crossJoin(ba.agg(sum(col("n_batch")).as("nb")))
+    val caN = ca.select(col("cluster"), col("n").as("n_corpus"))
+    val baN = ba.select(col("cluster"), col("n").as("n_batch"))
+    val spine = spark.range(k).select(col("id").cast("int").as("cluster"))
+    val totals = caN.agg(sum(col("n_corpus")).as("nc"))
+      .crossJoin(baN.agg(sum(col("n_batch")).as("nb")))
     spine
-      .join(ca, Seq("cluster"), "left")
-      .join(ba, Seq("cluster"), "left")
+      .join(caN, Seq("cluster"), "left")
+      .join(baN, Seq("cluster"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("n_corpus", coalesce(col("n_corpus"), lit(0L)))
       .withColumn("n_batch", coalesce(col("n_batch"), lit(0L)))

@@ -658,6 +658,30 @@ object StreamDrivers {
       onBatch = b => graft.operators.Curation.perplexityGateAgainst(b, reference))
   }
 
+  /** st28: the s20 index-drift monitor at the INGEST surface — the
+    * frozen centroid fit is the persisted model (the st16/st17
+    * posture); each micro-batch of arriving vectors is assigned
+    * in-stream and contributes its map-side-combinable CELL COUNTS —
+    * the additive unit: counts over disjoint batches sum to the batch
+    * occupancy exactly, so the final table (computed through the SAME
+    * driftTable code path as batch s20) equals the batch monitor and
+    * one shared SQL gates both. Streamed ids are all odd, so the
+    * micro-batch split keys on (vec_id div 2) parity — the st21
+    * single-parity-stream lesson. */
+  def driftFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.fitCentroids(emb)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val counts = statelessDocStream(spark, "drift", batch,
+      onBatch = b => Similarity.cellCounts(b, cents),
+      splitBy = pmod(expr("vec_id div 2"), lit(2)))
+    Similarity.driftTable(spark,
+      Similarity.cellCounts(emb, cents),
+      counts.groupBy(col("cluster")).agg(sum(col("n")).as("n")),
+      8, 100)
+  }
+
   /** st17: the c30 model-based quality gate as a streaming ingest
     * filter — the production deployment shape of a trained classifier:
     * the model is a persisted artifact (here: the weight vector the

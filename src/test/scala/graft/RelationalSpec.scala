@@ -653,4 +653,30 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     // cumulative share of the last rank covers everything: 1000pm
     assert(out.maxBy(_.getAs[Int]("rank")).getAs[Double]("cum_pm") === 1000.0)
   }
+
+  test("cohort ltv: hand-checked cells, monotone cum, headcount conserved") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int, d: Int) = Timestamp.valueOf(f"2020-$m%02d-$d%02d 00:00:00")
+    // cohort 2020-01: custs 1, 2. cust 1 buys 100 in Jan, 50 in Mar;
+    // cust 2 buys 30 in Jan. cohort 2020-02: cust 3 buys 70 in Feb.
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, ts(1, 5), "P"),
+      (2L, 2L, "O", 30.0, ts(1, 20), "P"),
+      (3L, 1L, "O", 50.0, ts(3, 10), "P"),
+      (4L, 3L, "O", 70.0, ts(2, 1), "P")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = Relational.cohortLtv(orders).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getAs[Double]("revenue"),
+          r.getAs[Double]("cum_revenue"), r.getAs[Double]("ltv")))).toMap
+    assert(out(("2020-01", 0)) === ((2L, 130.0, 130.0, 65.0)))
+    assert(out(("2020-01", 2)) === ((2L, 50.0, 180.0, 90.0)))
+    assert(out(("2020-02", 0)) === ((1L, 70.0, 70.0, 70.0)))
+    // no offset-1 cell for cohort 1 (nobody bought in Feb) — cells are
+    // observed months only; cum at offset 2 still carries the gap
+    assert(!out.contains(("2020-01", 1)))
+    assert(out.keySet.map(_._1) === Set("2020-01", "2020-02"))
+  }
 }

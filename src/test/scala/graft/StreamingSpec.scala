@@ -325,6 +325,16 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       batch.exists(r => r(5).asInstanceOf[Long] > 0L))
   }
 
+  test("st28 driver: streamed drift monitor equals the batch s20 table") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
+        .map(_.toSeq.toList).toSet
+    val streamed = rows("st28_drift_stream")
+    val batch = rows("s20_drift")
+    assert(streamed === batch)
+    assert(batch.size === 8, "cell spine incomplete")
+  }
+
   test("st22 driver: streamed embedding ingest equals the batch d13 recompute") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st22_embed_stream")(spark, SharedSpark.sfDir)
