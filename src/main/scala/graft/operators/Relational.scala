@@ -879,12 +879,20 @@ object Relational {
       col("parent_key").as("anc"),
       when(col("s_suppkey") === col("parent_key"), lit(0L))
         .otherwise(lit(1L)).as("dist"))
-    val resolved = (1 to rounds).foldLeft(init) { (cur, _) =>
+    // Per-round materialization is load-bearing, not a tweak: a lazy
+    // self-join doubles the UNRESOLVED plan every round (cur ⋈ cur
+    // inlines cur twice → 2^rounds join nodes; the ExplainSourcesSpec
+    // caught 34 joins in the executed plan), so each round re-executes
+    // all prior rounds twice. localCheckpoint cuts the lineage — the
+    // per-iteration posture the CC/PageRank/LPA family already uses —
+    // and the executed plan carries ONE join per round, spec-pinned.
+    val resolved = (1 to rounds).foldLeft(init.localCheckpoint()) { (cur, _) =>
       val hop = cur.select(col("s_suppkey").as("_j_key"),
         col("anc").as("_j_anc"), col("dist").as("_j_dist"))
       cur.join(hop, col("anc") === col("_j_key"))
         .select(col("s_suppkey"), col("_j_anc").as("anc"),
           (col("dist") + col("_j_dist")).as("dist"))
+        .localCheckpoint()
     }
     val sizes = resolved.groupBy(col("anc")).agg(count(lit(1)).as("tree_size"))
     resolved

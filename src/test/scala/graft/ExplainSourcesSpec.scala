@@ -440,4 +440,64 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     // the failure mode readEvolved exists to prevent
     assert(!spark.read.parquet(s"$root/b1").columns.contains("priority"))
   }
+
+  test("gazetteer tag: dictionary arrives by broadcast, no window anywhere") {
+    // planted corpus: zero matches would let AQE collapse the whole
+    // plan to EmptyRelation and erase the join being asserted on
+    val df = graft.operators.TextOps.gazetteerTag(
+      SparkEntry.plantEntities(table("documents")))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"gazetteer must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"corpus-sized shuffle or window crept into the tagger:\n$p")
+  }
+
+  test("skew profile and source diversity: one scan of the fact table each") {
+    // q60: the diagnosis must not cost more than the join's own agg —
+    // one scan of events, no window over anything data-sized (the
+    // top-20 window is fine; it follows a LIMIT)
+    val skew = Relational.skewProfile(table("events"))
+    skew.collect()
+    val sp = plan(skew).split("== Initial Plan ==")(0)
+    assert(sp.split("Scan parquet").length - 1 === 1,
+      s"skew profile re-scanned the fact table:\n$sp")
+    // c57: two combinable aggregates; the ln-sum must not introduce a
+    // window or a non-broadcast join (doc counts join on sources only)
+    val div = graft.operators.Curation.sourceDiversity(table("documents"))
+    div.collect()
+    val dp = plan(div).split("== Initial Plan ==")(0)
+    assert(!dp.contains("Window"), s"diversity grew a window:\n$dp")
+  }
+
+  test("hierarchy pointer jumping: log-depth joins, no window, no cartesian") {
+    val df = Relational.hierarchy(table("supplier"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"hierarchy grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pointer jump degenerated to a cross product:\n$p")
+    // per-round localCheckpoint cuts the lineage, so the FINAL plan
+    // carries only the base/size joins — without it the lazy self-join
+    // doubles the plan per round (34 joins observed before the fix)
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins <= 4, s"lineage not cut (expected <=4 joins, got $joins) in:\n$p")
+  }
+
+  test("date extract and ocr repair are pure maps: no exchange at all") {
+    Seq(graft.operators.TextOps.dateExtract(table("documents")),
+        graft.operators.TextOps.confusableScrub(table("documents")))
+      .foreach { df =>
+        val p = plan(df).split("== Initial Plan ==")(0)
+        assert(!p.contains("Exchange"), s"pure map grew a shuffle:\n$p")
+        assert(!p.contains("Join"), s"pure map grew a join:\n$p")
+      }
+    // t32 keeps its shuffle-free shape too (tokenizer + one rewrite)
+    val ocr = plan(graft.operators.TextOps.ocrRepair(table("documents")))
+      .split("== Initial Plan ==")(0)
+    assert(!ocr.contains("Exchange"), s"ocr repair grew a shuffle:\n$ocr")
+  }
 }
