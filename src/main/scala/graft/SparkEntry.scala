@@ -813,6 +813,7 @@ object SparkEntry {
     "m17_jpeg_dqt" -> Seq("doc_id"),
     "m18_webp_meta" -> Seq("doc_id"),
     "m19_zip_meta" -> Seq("doc_id", "entry_idx"),
+    "m20_charset_sniff" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "st27_content_stream" -> Seq("doc_id"),
@@ -1090,6 +1091,11 @@ object SparkEntry {
     // dumps), streaming shape, per-entry rows with byte-exact data
     // offsets; non-ZIP payloads emit nothing
     "m19_zip_meta" -> ((s, d) => Multimodal.zipMetaPlanted(s, t(s, d, "documents"))),
+    // charset sniff at the byte layer: BOM dispatch + UTF-8 validity
+    // via the decode-and-look-for-U+FFFD trick; char fields NULL for
+    // invalid payloads (replacement-char counts are no contract)
+    "m20_charset_sniff" -> ((s, d) =>
+      Multimodal.charsetSniffPlanted(s, t(s, d, "documents"))),
     // WebP container dispatch: RIFF/WEBP magic, VP8X extended header
     // (flag bits, 24-bit LE canvas) vs VP8 lossy header (sync-checked
     // 14-bit dims); VP8L degrades — never misparses
@@ -5012,6 +5018,35 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m20: plant replay across the four encoding branches + the plain
+    // corpus tier; char fields NULL where UTF-8 validity fails
+    "m20_charset_sniff" ->
+      """WITH pt AS (SELECT doc_id,
+             length('doc ' || CAST(doc_id AS VARCHAR) || ' data') AS L
+           FROM documents)
+         SELECT d.doc_id, 'none' AS bom, 1 AS valid_utf8,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CASE WHEN length(d.text) < octet_length(encode(d.text))
+             THEN 1 ELSE 0 END AS multibyte
+         FROM documents d WHERE d.doc_id % 8 <> 0
+         UNION ALL
+         SELECT doc_id, 'utf8-bom', 1, CAST(3 + L AS BIGINT),
+           CAST(1 + L AS BIGINT), 1
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 0
+         UNION ALL
+         SELECT doc_id, 'utf16le', 0, CAST(2 + 2 * L AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 1
+         UNION ALL
+         SELECT doc_id, 'utf16be', 0, CAST(2 + 2 * L AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 2
+         UNION ALL
+         SELECT doc_id, 'none', 0, CAST(1 + L AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 3
+         ORDER BY doc_id""",
     // m19: plant replay — entry fields as doc_id/ordinal formulas,
     // data offsets as the running sum of prior entry sizes (pure
     // arithmetic, the m14 byte-offset idiom)

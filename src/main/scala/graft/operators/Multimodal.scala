@@ -2011,6 +2011,82 @@ object Multimodal {
                      every: Int = PlantedZips.Every): DataFrame =
     zipMeta(plantedZipMedia(spark, documents, every).toDF())
 
+  object PlantedEncodings {
+    val Every = 8
+
+    /** Crafted byte payloads cycling four encodings by (doc_id/8)%4:
+      * UTF-8 with BOM, UTF-16LE with BOM, UTF-16BE with BOM, and
+      * BOM-less Latin-1 (one 0xE9 high byte — a standalone
+      * continuation byte, invalid as UTF-8). The char payload is a
+      * doc_id formula so every byte/char count replays relationally. */
+    def payloadText(docId: Long) = s"doc $docId data"
+    def craftedBytes(docId: Long): Array[Byte] = {
+      val t = payloadText(docId)
+      ((docId / 8) % 4) match {
+        case 0 => Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+          t.getBytes("UTF-8")
+        case 1 => Array(0xFF, 0xFE).map(_.toByte) ++
+          t.getBytes("UTF-16LE")
+        case 2 => Array(0xFE, 0xFF).map(_.toByte) ++
+          t.getBytes("UTF-16BE")
+        case _ => Array(0xE9.toByte) ++ t.getBytes("US-ASCII")
+      }
+    }
+  }
+
+  /** Documents with planted mixed-encoding payloads on every
+    * `every`-th doc_id (plain UTF-8 text bytes otherwise). */
+  def plantedEncodingMedia(spark: SparkSession, documents: DataFrame,
+                           every: Int = PlantedEncodings.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedEncodings.craftedBytes(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** Charset sniffing at the BYTE layer — the step a crawl ingest runs
+    * before any text exists (HTTP bodies arrive as bytes; assuming
+    * UTF-8 silently mangles the UTF-16 and legacy-8-bit minority, and
+    * mangled text then poisons every token/dedup key downstream): BOM
+    * detection (UTF-8 / UTF-16LE / UTF-16BE — checked longest-first),
+    * UTF-8 VALIDITY via Spark 4's native `is_valid_utf8` (NOTE: the
+    * tempting decode-and-look-for-U+FFFD trick does NOT work here —
+    * Spark's binary→string cast wraps the raw bytes in a UTF8String
+    * WITHOUT sanitizing, so invalid sequences survive the cast
+    * verbatim and no replacement char ever appears; caught by the
+    * spec's UTF-16 payloads), byte/char counts, and a multibyte
+    * flag (chars < bytes) for valid payloads. Char-level fields are
+    * NULL for invalid payloads — the replacement-char count is an
+    * implementation detail no cross-engine contract should read.
+    * Pure column map, one scan, no shuffle, no UDF. */
+  def charsetSniff(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val decoded = p.cast("string")
+    // the cast is byte-preserving (see scaladoc), so validating the
+    // cast string validates the raw payload bytes
+    val valid = expr("is_valid_utf8(cast(payload as string))")
+    media.select(
+      col("doc_id"),
+      when(hex(p.substr(lit(1), lit(3))) === "EFBBBF", "utf8-bom")
+        .when(hex(p.substr(lit(1), lit(2))) === "FFFE", "utf16le")
+        .when(hex(p.substr(lit(1), lit(2))) === "FEFF", "utf16be")
+        .otherwise("none").as("bom"),
+      valid.cast("int").as("valid_utf8"),
+      octet_length(p).cast("long").as("n_bytes"),
+      when(valid, length(decoded).cast("long")).as("n_chars"),
+      when(valid, (length(decoded) < octet_length(p)).cast("int"))
+        .as("multibyte"))
+  }
+
+  /** The m20 gate: charset sniffing over the planted mixed-encoding
+    * corpus. */
+  def charsetSniffPlanted(spark: SparkSession, documents: DataFrame,
+                          every: Int = PlantedEncodings.Every): DataFrame =
+    charsetSniff(plantedEncodingMedia(spark, documents, every).toDF())
+
   object PlantedWebps {
     val Every = 8
 

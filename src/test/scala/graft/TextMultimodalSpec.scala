@@ -1212,4 +1212,33 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       Seq(Multimodal.MediaIn(99L, cut.toArray)).toDS().toDF()).collect()
     assert(tr.length === 1 && tr.head.getInt(1) === 0)
   }
+
+  test("charset sniff: BOM dispatch, utf8 validity, null char-contract for invalid") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def m(id: Long, b: Array[Byte]) = Multimodal.MediaIn(id, b)
+    val rows = Seq(
+      m(1L, "plain ascii".getBytes("UTF-8")),
+      m(2L, Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "héllo".getBytes("UTF-8")),
+      m(3L, Array(0xFF, 0xFE).map(_.toByte) ++ "hi".getBytes("UTF-16LE")),
+      m(4L, Array(0xFE, 0xFF).map(_.toByte) ++ "hi".getBytes("UTF-16BE")),
+      m(5L, Array(0xE9.toByte) ++ "latin tail".getBytes("US-ASCII")),
+      m(6L, "naked 日本語 utf8".getBytes("UTF-8")))
+    val out = Multimodal.charsetSniff(rows.toDS().toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Int])))).toMap
+    assert(out(1L) === (("none", 1, 11L, Some(11L), Some(0))))
+    // BOM char counts as a char; é is 2 bytes → multibyte fires
+    assert(out(2L) === (("utf8-bom", 1, 9L, Some(6L), Some(1))))
+    assert(out(3L)._1 === "utf16le" && out(3L)._2 === 0 &&
+      out(3L)._4 === None && out(3L)._5 === None)
+    assert(out(4L)._1 === "utf16be" && out(4L)._2 === 0)
+    // bare continuation byte: no BOM, invalid as UTF-8
+    assert(out(5L) === (("none", 0, 11L, None, None)))
+    // BOM-less valid multibyte UTF-8 sniffs clean
+    val n6 = out(6L)
+    assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
+  }
 }
