@@ -779,6 +779,7 @@ object SparkEntry {
     "c7_repetition" -> Seq("doc_id"),
     "c8_domain_stats" -> Seq("source"),
     "c57_source_diversity" -> Seq("source"),
+    "c58_token_drift" -> Seq("rank"),
     "s20_drift" -> Seq("cluster"),
     "st28_drift_stream" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
@@ -1253,6 +1254,14 @@ object SparkEntry {
     // entropy/TTR/hapax per source, exact decimal ln sums
     "c57_source_diversity" -> ((s, d) =>
       Curation.sourceDiversity(t(s, d, "documents"))),
+    // crawl-over-crawl token drift: top shifted tokens by the exact
+    // integer cross-product, parity halves as the two crawls
+    "c58_token_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.tokenDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
     "t5_scrub" -> ((s, d) => TextOps.scrubNumbers(t(s, d, "events"))),
     "t13_chunking" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
     "t15_sentences" -> ((s, d) =>
@@ -5554,6 +5563,38 @@ object SparkEntry {
             CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
             1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio
           FROM r ORDER BY doc_id""",
+    // c58: the same parity split + full-outer token join — delta as a
+    // HUGEINT cross-product, rank window after the top-20 limit's
+    // ordering, the three per-mille rationals
+    "c58_token_drift" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         a AS (SELECT token, count(*) AS cnt_a FROM tk
+               WHERE doc_id % 2 = 0 GROUP BY 1),
+         b AS (SELECT token, count(*) AS cnt_b FROM tk
+               WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (SELECT COALESCE(a.token, b.token) AS token,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+           FROM a FULL OUTER JOIN b ON a.token = b.token),
+         tt AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+                CAST(sum(cnt_b) AS BIGINT) AS nb FROM j),
+         sc AS (SELECT token, cnt_a, cnt_b, na, nb,
+             abs(CAST(cnt_a AS HUGEINT) * nb - CAST(cnt_b AS HUGEINT) * na)
+               AS delta
+           FROM j, tt),
+         tp AS (SELECT *, row_number() OVER (ORDER BY delta DESC, token)
+               AS rank
+           FROM sc ORDER BY delta DESC, token LIMIT 20)
+         SELECT CAST(rank AS INTEGER) AS rank, token, cnt_a, cnt_b,
+           CAST(CAST((CAST(cnt_a AS HUGEINT) * 1000 * 20000 + na)
+             // (2 * CAST(na AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS share_a_pm,
+           CAST(CAST((CAST(cnt_b AS HUGEINT) * 1000 * 20000 + nb)
+             // (2 * CAST(nb AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS share_b_pm,
+           CAST(CAST((delta * 1000 * 20000 + CAST(na AS HUGEINT) * nb)
+             // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS shift_pm
+         FROM tp ORDER BY rank""",
     // c57: the same two-aggregate chain — per-(source, term) counts,
     // decimal-6-rounded c·ln c summed exactly, entropy via the
     // ln N − S/N identity, ratios as HUGEINT rationals

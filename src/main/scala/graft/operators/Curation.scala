@@ -1873,6 +1873,49 @@ object Curation {
          col("comp_len") * 1000 <= lit(maxPm.toLong) * col("raw_len"))
           .cast("int").as("kept"))
 
+  /** Crawl-over-crawl token-distribution DRIFT report — s20's monitor
+    * idea at the TEXT layer (a new crawl that quietly shifts topic,
+    * language or spam mix changes the token distribution first; every
+    * artifact fit on the old crawl — the c30 classifier, the c27 LM,
+    * t11's BPE merges — decays silently until someone re-fits): the
+    * top-k tokens by absolute share shift between a reference corpus
+    * and a new batch, ranked by the EXACT integer cross-product
+    * abs(cnt_a·Nb − cnt_b·Na) (no float touches the ordering, ties
+    * break on the token), with per-mille shares and the shift itself
+    * as ratRound rationals. Tokens missing from one side count 0 —
+    * appearing/vanishing vocabulary is the loudest drift signal and
+    * surfaces at the top.
+    *
+    * Scale shape: one combinable token count per side, a
+    * vocabulary-bounded full-outer join on the token key, scalar
+    * totals broadcast, top-k by deterministic TakeOrdered. The DELTA
+    * products run in DECIMAL(38,0) (count·total overflows a Long at
+    * corpus scale). */
+  def tokenDrift(corpus: DataFrame, batch: DataFrame,
+                 topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def counts(df: DataFrame, n: String) = df
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(n))
+    val j = counts(corpus, "cnt_a")
+      .join(counts(batch, "cnt_b"), Seq("token"), "full_outer")
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L)))
+    val tot = j.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+    val scored = j.crossJoin(broadcast(tot))
+      .withColumn("_delta", abs(col("cnt_a").cast(dec) * col("nb") -
+        col("cnt_b").cast(dec) * col("na")))
+      .withColumn("_nprod", col("na").cast(dec) * col("nb"))
+    scored.orderBy(col("_delta").desc, col("token")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_delta").desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt_a"), col("cnt_b"),
+        ratRound("cnt_a * 1000", "na", 4).as("share_a_pm"),
+        ratRound("cnt_b * 1000", "nb", 4).as("share_b_pm"),
+        ratRound("_delta * 1000", "_nprod", 4).as("shift_pm"))
+  }
+
   /** Per-source corpus diversity profile — the signal the mixing layer
     * (c22/c31/c36) is blind to: those weight sources by SIZE, but a
     * source can be huge and still be one template stamped a million

@@ -1536,4 +1536,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(m.getAs[Double]("entropy") - h) < 1e-5)
     assert(math.abs(m.getAs[Double]("norm_entropy") - h / math.log(2)) < 1e-5)
   }
+
+  test("token drift: vanish/appear dominate, shares exact, stable token stays low") {
+    import spark.implicits._
+    // crawl A: "old" appears 6/10 tokens; crawl B: "new" replaces it;
+    // "same" is stable at 4/10 on both sides
+    val a = Seq((1L, "old old old old old old same same same same"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "new new new new new new same same same same"))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenDrift(a, b).collect()
+      .map(r => r.getString(1) ->
+        ((r.getInt(0), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("share_a_pm"), r.getAs[Double]("share_b_pm"),
+          r.getAs[Double]("shift_pm")))).toMap
+    // vanished and appeared tokens tie on |delta| = 6·10 → token order
+    assert(out("new")._1 === 1 && out("old")._1 === 2) // 'new' < 'old'
+    assert(out("old") === ((2, 6L, 0L, 600.0, 0.0, 600.0)))
+    assert(out("new") === ((1, 0L, 6L, 0.0, 600.0, 600.0)))
+    // the stable token ranks last with zero shift
+    assert(out("same") === ((3, 4L, 4L, 400.0, 400.0, 0.0)))
+  }
 }
