@@ -321,6 +321,17 @@ object SparkEntry {
         lit(" привет мир")).otherwise(lit("")))
       .as("text"))
 
+  /** Blocklist hits planted for the c59 gate (the synthetic vocabulary
+    * contains no listed word): %7==3 one hit (any-hit drop), %13==6
+    * three hits incl. a repeat (count multiplicity). */
+  private[graft] def plantBadwords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 3,
+        lit(" blockedalpha")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 6,
+        lit(" blockedbeta blockedgamma blockedbeta")).otherwise(lit("")))
+      .as("text"))
+
   /** OCR artifacts planted for the t32 gate: %5==3 docs carry
     * line-break hyphenation breaks (two joins → the repair fires and
     * the ≥2-join flag trips), %8==5 a single-letter spray, %11==7
@@ -608,6 +619,7 @@ object SparkEntry {
     "q15_sessionize" -> Seq("user_id", "session_id"),
     "q16_asof_join" -> Seq("event_id"),
     "q59_asof_forward" -> Seq("event_id"),
+    "q62_asof_tolerance" -> Seq("event_id"),
     "q17_range_join" -> Seq("o_orderkey"),
     "q18_set_ops" -> Seq("nationkey"),
     "q19_json_extract" -> Seq("event_id"),
@@ -780,6 +792,7 @@ object SparkEntry {
     "c8_domain_stats" -> Seq("source"),
     "c57_source_diversity" -> Seq("source"),
     "c58_token_drift" -> Seq("rank"),
+    "c59_badwords_gate" -> Seq("doc_id"),
     "s20_drift" -> Seq("cluster"),
     "st28_drift_stream" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
@@ -860,6 +873,9 @@ object SparkEntry {
     // the labeling join: first outcome at-or-after each feature row,
     // with the time-to-outcome column; reverse-order single carry
     "q59_asof_forward" -> ((s, d) => TimeJoins.asofForward(t(s, d, "events"))),
+    // the feature-store as-of: matches older than the staleness bound
+    // are WORSE than no match and null out
+    "q62_asof_tolerance" -> ((s, d) => TimeJoins.asofTolerance(t(s, d, "events"))),
     "q17_range_join" -> ((s, d) => TimeJoins.rangeJoin(t(s, d, "orders"), t(s, d, "lineitem"))),
     "q18_set_ops" -> ((s, d) =>
       Relational.setOps(t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
@@ -1254,6 +1270,10 @@ object SparkEntry {
     // entropy/TTR/hapax per source, exact decimal ln sums
     "c57_source_diversity" -> ((s, d) =>
       Curation.sourceDiversity(t(s, d, "documents"))),
+    // the C4 badwords filter: exact-token blocklist (no substring
+    // Scunthorpe false positives), strict drop flag + soft-count rate
+    "c59_badwords_gate" -> ((s, d) =>
+      Curation.badwordsGate(plantBadwords(t(s, d, "documents")))),
     // crawl-over-crawl token drift: top shifted tokens by the exact
     // integer cross-product, parity halves as the two crawls
     "c58_token_drift" -> ((s, d) => {
@@ -3209,6 +3229,25 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_value FROM e)
          SELECT event_id, user_id, se, value, ref_value FROM f
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    // q62: q16's carry + the carried timestamp; the staleness CASE
+    // nulls both columns past the 7-day bound
+    "q62_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events
+           WHERE event_type IN ('purchase', 'signup')),
+         f AS (SELECT *,
+           last_value(CASE WHEN event_type = 'signup' THEN value END
+             IGNORE NULLS) OVER w AS rv,
+           last_value(CASE WHEN event_type = 'signup' THEN se END
+             IGNORE NULLS) OVER w AS rse
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY se, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, se, value,
+           CASE WHEN rse IS NOT NULL AND se - rse <= 604800
+             THEN rv END AS ref_value,
+           CASE WHEN rse IS NOT NULL AND se - rse <= 604800
+             THEN se - rse END AS age_sec
+         FROM f WHERE event_type = 'purchase' ORDER BY event_id""",
     // q59: q16's carry reversed — both carried fields select from the
     // SAME physical row (nullness keyed on event_type alone)
     "q59_asof_forward" ->
@@ -5563,6 +5602,30 @@ object SparkEntry {
             CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
             1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio
           FROM r ORDER BY doc_id""",
+    // c59: plant replay + the same exact-token IN filter and the
+    // per-mille rational; kept = the strict any-hit drop
+    "c59_badwords_gate" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 3 THEN ' blockedalpha' ELSE '' END ||
+             CASE WHEN doc_id % 13 = 6
+               THEN ' blockedbeta blockedgamma blockedbeta' ELSE '' END
+             AS text FROM documents),
+         d AS (SELECT doc_id, $toks AS t FROM aug)
+         SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(t, x -> x IN
+             ('blockedalpha', 'blockedbeta', 'blockedgamma')))
+             AS INTEGER) AS n_blocked,
+           CASE WHEN len(t) > 0 THEN
+             CAST(CAST((CAST(len(list_filter(t, x -> x IN
+                 ('blockedalpha', 'blockedbeta', 'blockedgamma')))
+                 AS HUGEINT) * 1000 * 20000 + len(t))
+               // (2 * CAST(len(t) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 10000.0
+           END AS blocked_pm,
+           CASE WHEN len(list_filter(t, x -> x IN
+             ('blockedalpha', 'blockedbeta', 'blockedgamma'))) = 0
+             THEN 1 ELSE 0 END AS kept
+         FROM d ORDER BY doc_id""",
     // c58: the same parity split + full-outer token join — delta as a
     // HUGEINT cross-product, rank window after the top-20 limit's
     // ordering, the three per-mille rationals

@@ -1873,6 +1873,36 @@ object Curation {
          col("comp_len") * 1000 <= lit(maxPm.toLong) * col("raw_len"))
           .cast("int").as("kept"))
 
+  /** Neutral stand-in blocklist for [[badwordsGate]] — the real C4
+    * deployment points this at the published badwords list; the list
+    * is DATA, not code (the c33 PSL posture), and the algebra is
+    * list-size-independent. */
+  val defaultBlocklist: Seq[String] = Seq(
+    "blockedalpha", "blockedbeta", "blockedgamma")
+
+  /** Word-blocklist gate — the C4 "bad words" filter, the single most
+    * widely replicated curation rule in published pipelines (C4 drops
+    * any document containing ANY listed word; later pipelines keep the
+    * doc but record the match count and threshold it — both contracts
+    * are served here: `kept` is the strict C4 drop-on-any, the counts
+    * and per-mille rate feed a softer gate). Matching is exact-token
+    * over the shared lower-cased tokenizer — deliberately NOT
+    * substring matching, whose false positives (the classic
+    * "Scunthorpe problem") are why naive grep-based filters
+    * over-delete. Pure map: the literal list folds into codegen for
+    * dictionary-scale lists; a corpus-sized list would switch to the
+    * t29 broadcast-join shape (documented, same semantics). */
+  def badwordsGate(documents: DataFrame,
+                   blocklist: Seq[String] = defaultBlocklist): DataFrame =
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        size(filter(col("_toks"), t => t.isin(blocklist: _*))).as("n_blocked"))
+      .withColumn("blocked_pm", when(col("n_tokens") > 0,
+        ratRound("n_blocked * 1000", "n_tokens", 4)))
+      .withColumn("kept", (col("n_blocked") === 0).cast("int"))
+
   /** Crawl-over-crawl token-distribution DRIFT report — s20's monitor
     * idea at the TEXT layer (a new crawl that quietly shifts topic,
     * language or spam mix changes the token distribution first; every

@@ -116,6 +116,39 @@ object TimeJoins {
         col("next_value"), (col("next_se") - col("se")).as("wait_sec"))
   }
 
+  /** Staleness-bounded as-of join — the FEATURE-STORE semantics
+    * ([[asofJoin]] with a max-age contract): a feature row may only
+    * use a reference value observed within `tolSec` seconds before it;
+    * an older match is WORSE than no match (training on stale features
+    * teaches the model to trust values production will not have). Same
+    * single carry, with the reference TIMESTAMP carried beside the
+    * value (both select the same physical row — nullness keys on
+    * event_type alone) so the staleness test is one subtraction;
+    * expired matches null out BOTH columns and `age_sec` reports the
+    * accepted match's age. One shuffle, linear per partition. */
+  def asofTolerance(events: DataFrame, hitType: String = "purchase",
+                    refType: String = "signup",
+                    tolSec: Long = 7 * 86400): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("se"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(hitType, refType))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochSec(col("ts")).as("se"))
+      .withColumn("_rv",
+        last(when(col("event_type") === refType, col("value")),
+          ignoreNulls = true).over(ord))
+      .withColumn("_rse",
+        last(when(col("event_type") === refType, col("se")),
+          ignoreNulls = true).over(ord))
+      .filter(col("event_type") === hitType)
+      .withColumn("_fresh",
+        col("_rse").isNotNull && col("se") - col("_rse") <= tolSec)
+      .select(col("event_id"), col("user_id"), col("se"), col("value"),
+        when(col("_fresh"), col("_rv")).as("ref_value"),
+        when(col("_fresh"), col("se") - col("_rse")).as("age_sec"))
+  }
+
   /** General as-of merge through the custom operator: every left row ++
     * the right payload (right minus its key/time) of the LAST right row
     * with `rightTime ≤ leftTime` on the same key, null-padded when none.

@@ -1557,4 +1557,21 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     // the stable token ranks last with zero shift
     assert(out("same") === ((3, 4L, 4L, 400.0, 400.0, 0.0)))
   }
+
+  test("badwords gate: any hit drops, counts carry multiplicity, no substring hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean prose with nothing listed"),
+      (2L, "one blockedalpha hit here"),
+      (3L, "blockedbeta twice blockedbeta and blockedgamma"),
+      (4L, "blockedalphabet is NOT a hit"))  // substring must not match
+      .toDF("doc_id", "text")
+    val out = Curation.badwordsGate(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getAs[Int]("kept")))).toMap
+    assert(out(1L)._2 === 0 && out(1L)._3 === 1)
+    assert(out(2L)._2 === 1 && out(2L)._3 === 0)   // strict any-hit drop
+    assert(out(3L)._2 === 3 && out(3L)._3 === 0)   // multiplicity
+    assert(out(4L)._2 === 0 && out(4L)._3 === 1)   // Scunthorpe guard
+  }
 }

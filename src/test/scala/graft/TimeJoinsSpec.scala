@@ -74,6 +74,30 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(censored > 0, "every purchase has a later signup — censoring untested")
   }
 
+  test("asof tolerance: fresh matches survive, stale and missing null out") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val tol = 100L
+    val events = Seq(
+      (1L, ts(1000), 1L, "signup", 5.0, "{}"),
+      (2L, ts(1050), 1L, "purchase", 9.0, "{}"),  // 50s old → fresh
+      (3L, ts(1200), 1L, "purchase", 9.0, "{}"),  // 200s old → stale
+      (4L, ts(500), 2L, "purchase", 7.0, "{}"),   // no prior ref
+      (5L, ts(2000), 2L, "signup", 6.0, "{}"),
+      (6L, ts(2100), 2L, "purchase", 7.0, "{}"))  // exactly tol → fresh
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.TimeJoins.asofTolerance(
+        events, tolSec = tol).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(2L) === ((Some(5.0), Some(50L))))
+    assert(out(3L) === ((None, None)))  // stale: worse than no match
+    assert(out(4L) === ((None, None)))  // censored: no prior ref at all
+    assert(out(6L) === ((Some(6.0), Some(100L)))) // boundary inclusive
+  }
+
   test("whole-operator as-of join: exact parity with the window form, merge plan shape") {
     val win = TimeJoins.asofJoin(table("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
