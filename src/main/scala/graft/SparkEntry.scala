@@ -828,6 +828,7 @@ object SparkEntry {
     "m18_webp_meta" -> Seq("doc_id"),
     "m19_zip_meta" -> Seq("doc_id", "entry_idx"),
     "m20_charset_sniff" -> Seq("doc_id"),
+    "m21_tar_meta" -> Seq("doc_id", "entry_idx"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "st27_content_stream" -> Seq("doc_id"),
@@ -1108,6 +1109,10 @@ object SparkEntry {
     // dumps), streaming shape, per-entry rows with byte-exact data
     // offsets; non-ZIP payloads emit nothing
     "m19_zip_meta" -> ((s, d) => Multimodal.zipMetaPlanted(s, t(s, d, "documents"))),
+    // TAR ustar walk: octal size fields via conv(_, 8, 10), 512-block
+    // padding arithmetic, magic-checked entries; zero end-blocks stop
+    // the walk naturally
+    "m21_tar_meta" -> ((s, d) => Multimodal.tarMetaPlanted(s, t(s, d, "documents"))),
     // charset sniff at the byte layer: BOM dispatch + UTF-8 validity
     // via the decode-and-look-for-U+FFFD trick; char fields NULL for
     // invalid payloads (replacement-char counts are no contract)
@@ -5066,6 +5071,27 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m21: plant replay — names/sizes/typeflags as formulas, data
+    // offsets as running sums of 512-padded entry sizes (the m19
+    // arithmetic with TAR's block rounding)
+    "m21_tar_meta" ->
+      """WITH z AS (SELECT doc_id, unnest(range(
+             CASE WHEN doc_id % 16 = 0 THEN 3 ELSE 2 END)) AS i
+           FROM documents WHERE doc_id % 8 = 0),
+         e AS (SELECT doc_id, CAST(i AS INTEGER) AS entry_idx,
+             'f' || CAST(doc_id AS VARCHAR) || '_' ||
+               CAST(i AS VARCHAR) || '.txt' AS name,
+             CAST(10 + (doc_id * 7 + i * 13) % 600 AS BIGINT) AS size,
+             '0' AS typeflag,
+             512 + ((10 + (doc_id * 7 + i * 13) % 600 + 511) // 512) * 512
+               AS esize
+           FROM z)
+         SELECT doc_id, entry_idx, name, size, typeflag,
+           CAST(1 + COALESCE(sum(esize) OVER (PARTITION BY doc_id
+               ORDER BY entry_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + 512 AS BIGINT) AS data_offset
+         FROM e ORDER BY doc_id, entry_idx""",
     // m20: plant replay across the four encoding branches + the plain
     // corpus tier; char fields NULL where UTF-8 validity fails
     "m20_charset_sniff" ->

@@ -2011,6 +2011,113 @@ object Multimodal {
                      every: Int = PlantedZips.Every): DataFrame =
     zipMeta(plantedZipMedia(spark, documents, every).toDF())
 
+  object PlantedTars {
+    val Every = 8
+    def entryName(docId: Long, i: Int) = s"f${docId}_$i.txt"
+    def entrySize(docId: Long, i: Int) = (10 + (docId * 7 + i * 13) % 600).toInt
+
+    /** Minimal real POSIX ustar archive: per entry a 512-byte header
+      * (NUL-padded name, OCTAL mode/uid/gid, the 11-octal-digit size
+      * field, typeflag '0', `ustar` magic at offset 257) followed by
+      * the data padded to the next 512 boundary; two zero end-blocks.
+      * 2 entries, 3 on %16==0 docs; names and sizes are doc_id
+      * formulas (sizes up to 609 bytes so multi-block data padding is
+      * exercised). Checksums are filler — the walk is length-driven
+      * (the PNG CRC posture). */
+    def craftedTar(docId: Long): Array[Byte] = {
+      val n = if (docId % 16 == 0) 3 else 2
+      def pad512(x: Int) = ((x + 511) / 512) * 512
+      val total = (0 until n).map(i => 512 + pad512(entrySize(docId, i))).sum + 1024
+      val out = java.nio.ByteBuffer.allocate(total) // zero-initialized
+      (0 until n).foreach { i =>
+        val hdr = new Array[Byte](512)
+        def put(off: Int, s: String): Unit = {
+          val b = s.getBytes("US-ASCII")
+          System.arraycopy(b, 0, hdr, off, b.length)
+        }
+        put(0, entryName(docId, i))
+        put(100, "0000644"); put(108, "0001750"); put(116, "0001750")
+        put(124, f"${entrySize(docId, i).toLong}%011o")
+        put(136, "00000000000")
+        put(148, "        ")          // checksum: filler, not validated
+        put(156, "0")                 // regular file
+        put(257, "ustar"); put(263, "00")
+        out.put(hdr)
+        val data = new Array[Byte](pad512(entrySize(docId, i)))
+        (0 until entrySize(docId, i)).foreach(b =>
+          data(b) = ((docId + i * 3 + b) % 256).toByte)
+        out.put(data)
+      }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-TAR payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedTarMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedTars.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedTars.craftedTar(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL TAR (POSIX ustar) entry framing from the binary column — the
+    * other half of the archive front door next to [[zipMeta]] (bulk
+    * corpus drops, HF dataset exports and crawl deliveries ship as
+    * .tar): an unrolled 512-byte-block header walk whose distinctive
+    * format reality is the OCTAL ASCII size field — parsed with
+    * `conv(digits, 8, 10)` after a leading-space/NUL-tolerant octal
+    * extract (a decimal read of `00000001750` would be off 552 bytes
+    * and desync every later entry — the m13 syncsafe lesson at the
+    * archive layer); entries validate on the `ustar` magic at header
+    * offset 257, the cursor advances 512 + data rounded UP to the next
+    * 512 boundary, and the two zero end-blocks fail the magic check
+    * and stop the walk naturally. One row per entry with the
+    * byte-exact data offset (the m14/m19 provenance posture); non-TAR
+    * payloads emit no rows. Pure column exprs + one struct-array
+    * explode; no shuffle, no UDF. */
+  def tarMeta(media: DataFrame, maxEntries: Int = 4): DataFrame = {
+    val p = col("payload")
+    var m0 = media.withColumn("_t0", lit(1L))
+    for (j <- 0 until maxEntries) {
+      val k = col(s"_t$j")
+      m0 = m0
+        .withColumn(s"_tm$j",
+          p.substr((k + 257).cast("int"), lit(5)).cast("string") === "ustar")
+        .withColumn(s"_tn$j", substring_index(
+          p.substr(k.cast("int"), lit(100)).cast("string"), "\u0000", 1))
+        .withColumn(s"_ts$j", conv(regexp_extract(
+          p.substr((k + 124).cast("int"), lit(12)).cast("string"),
+          "^ *([0-7]+)", 1), 8, 10).cast("long"))
+        .withColumn(s"_tf$j",
+          p.substr((k + 156).cast("int"), lit(1)).cast("string"))
+        .withColumn(s"_t${j + 1}",
+          k + 512 + expr(s"((_ts$j + 511) div 512) * 512"))
+    }
+    val entries = array((0 until maxEntries).map(j =>
+      when(coalesce(col(s"_tm$j"), lit(false)) &&
+           col(s"_ts$j").isNotNull && col(s"_tn$j") =!= "",
+        struct(col(s"_tn$j").as("name"),
+          col(s"_ts$j").as("size"),
+          col(s"_tf$j").as("typeflag"),
+          (col(s"_t$j") + 512).as("data_offset")))): _*)
+    m0.select(col("doc_id"), posexplode(filter(entries, e => e.isNotNull))
+        .as(Seq("entry_idx", "e")))
+      .select(col("doc_id"), col("entry_idx").cast("int").as("entry_idx"),
+        col("e.name").as("name"), col("e.size").as("size"),
+        col("e.typeflag").as("typeflag"),
+        col("e.data_offset").as("data_offset"))
+  }
+
+  /** The m21 gate: TAR entry framing over the planted corpus. */
+  def tarMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedTars.Every): DataFrame =
+    tarMeta(plantedTarMedia(spark, documents, every).toDF())
+
   object PlantedEncodings {
     val Every = 8
 

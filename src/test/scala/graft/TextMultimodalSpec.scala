@@ -1241,4 +1241,32 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     val n6 = out(6L)
     assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
   }
+
+  test("tar meta: octal sizes decode, offsets point at real data, end blocks stop") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((8L, "a"), (16L, "b"), (3L, "plain")).toDF("doc_id", "text")
+    val out = Multimodal.tarMeta(
+      Multimodal.plantedTarMedia(spark, docs).toDF()).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    val tar8 = Multimodal.PlantedTars.craftedTar(8L)
+    // entry 0 of doc 8: size 10 + 56%600 = 66, a decimal misread of the
+    // octal field (102) would differ — the conv(,8,10) is load-bearing
+    assert(out((8L, 0)) === (("f8_0.txt", 66L, "0", 513L)))
+    assert(tar8(513 - 1) === ((8 + 0) % 256).toByte) // first data byte
+    // entry 1 starts after 512 hdr + 512-padded data
+    val e1 = out((8L, 1))
+    assert(e1._1 === "f8_1.txt" && e1._2 === (10 + (8 * 7 + 13) % 600).toLong)
+    assert(e1._4 === (1 + 512 + 512 + 512).toLong)
+    assert(tar8(e1._4.toInt - 1) === ((8 + 3) % 256).toByte)
+    // %16 doc: three entries; plain text: none
+    assert((0 to 2).forall(i => out.contains((16L, i))))
+    assert(!out.keySet.exists(_._1 == 3L))
+    // truncation inside entry 1's header region → only entry 0 framed
+    val cut = tar8.take(1024 + 100)
+    val tr = Multimodal.tarMeta(
+      Seq(Multimodal.MediaIn(99L, cut)).toDS().toDF()).collect()
+    assert(tr.length === 1 && tr.head.getInt(1) === 0)
+  }
 }
