@@ -793,6 +793,8 @@ object SparkEntry {
     "c57_source_diversity" -> Seq("source"),
     "c58_token_drift" -> Seq("rank"),
     "c59_badwords_gate" -> Seq("doc_id"),
+    "st29_badwords_stream" -> Seq("doc_id"),
+    "q63_event_dedup" -> Seq("event_id"),
     "s20_drift" -> Seq("cluster"),
     "st28_drift_stream" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
@@ -1279,6 +1281,14 @@ object SparkEntry {
     // Scunthorpe false positives), strict drop flag + soft-count rate
     "c59_badwords_gate" -> ((s, d) =>
       Curation.badwordsGate(plantBadwords(t(s, d, "documents")))),
+    // the same gate at ingest: broadcast-literal pure map, streamed
+    // union == batch, one shared SQL
+    "st29_badwords_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.badwordsFileStream(Tables.tune(s), d)),
+    // telemetry double-fire cleanup: chain-semantics burst dedup per
+    // (user, type), audit view with kept flag + burst ordinal
+    "q63_event_dedup" -> ((s, d) =>
+      TimeJoins.eventDedup(t(s, d, "events"), gapSec = 3600)),
     // crawl-over-crawl token drift: top shifted tokens by the exact
     // integer cross-product, parity halves as the two crawls
     "c58_token_drift" -> ((s, d) => {
@@ -2457,6 +2467,31 @@ object SparkEntry {
                > 100 * CAST(nc AS HUGEINT) * nb
              THEN 1 ELSE 0 END AS drifted
          FROM jj ORDER BY cluster"""
+
+  // shared by c59 (batch) and st29 (streaming) — the gate reads only
+  // each document's own text, so the two surfaces can never drift
+  private lazy val badwordsSql =
+    s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 3 THEN ' blockedalpha' ELSE '' END ||
+             CASE WHEN doc_id % 13 = 6
+               THEN ' blockedbeta blockedgamma blockedbeta' ELSE '' END
+             AS text FROM documents),
+         d AS (SELECT doc_id, $toks AS t FROM aug)
+         SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(t, x -> x IN
+             ('blockedalpha', 'blockedbeta', 'blockedgamma')))
+             AS INTEGER) AS n_blocked,
+           CASE WHEN len(t) > 0 THEN
+             CAST(CAST((CAST(len(list_filter(t, x -> x IN
+                 ('blockedalpha', 'blockedbeta', 'blockedgamma')))
+                 AS HUGEINT) * 1000 * 20000 + len(t))
+               // (2 * CAST(len(t) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 10000.0
+           END AS blocked_pm,
+           CASE WHEN len(list_filter(t, x -> x IN
+             ('blockedalpha', 'blockedbeta', 'blockedgamma'))) = 0
+             THEN 1 ELSE 0 END AS kept
+         FROM d ORDER BY doc_id"""
 
   // shared by c53 (batch) and st27 (per micro-batch — block
   // classification is a pure function of each doc's own markup)
@@ -5630,28 +5665,29 @@ object SparkEntry {
           FROM r ORDER BY doc_id""",
     // c59: plant replay + the same exact-token IN filter and the
     // per-mille rational; kept = the strict any-hit drop
-    "c59_badwords_gate" ->
-      s"""WITH aug AS (SELECT doc_id, text ||
-             CASE WHEN doc_id % 7 = 3 THEN ' blockedalpha' ELSE '' END ||
-             CASE WHEN doc_id % 13 = 6
-               THEN ' blockedbeta blockedgamma blockedbeta' ELSE '' END
-             AS text FROM documents),
-         d AS (SELECT doc_id, $toks AS t FROM aug)
-         SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
-           CAST(len(list_filter(t, x -> x IN
-             ('blockedalpha', 'blockedbeta', 'blockedgamma')))
-             AS INTEGER) AS n_blocked,
-           CASE WHEN len(t) > 0 THEN
-             CAST(CAST((CAST(len(list_filter(t, x -> x IN
-                 ('blockedalpha', 'blockedbeta', 'blockedgamma')))
-                 AS HUGEINT) * 1000 * 20000 + len(t))
-               // (2 * CAST(len(t) AS HUGEINT)) AS BIGINT) AS DOUBLE)
-               / 10000.0
-           END AS blocked_pm,
-           CASE WHEN len(list_filter(t, x -> x IN
-             ('blockedalpha', 'blockedbeta', 'blockedgamma'))) = 0
+    "c59_badwords_gate" -> badwordsSql,
+    // st29: the SAME SQL — the gate is a pure function of each doc's
+    // own text, so the streamed union equals the batch run
+    "st29_badwords_stream" -> badwordsSql,
+    // q63: the same chain-semantics lag + running burst ordinal
+    "q63_event_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se
+           FROM events),
+         f AS (SELECT *,
+           lag(se) OVER (PARTITION BY user_id, event_type
+             ORDER BY se, event_id) AS prev
+           FROM e),
+         g AS (SELECT event_id, user_id, event_type, se,
+           CASE WHEN prev IS NULL OR se - prev > 3600
              THEN 1 ELSE 0 END AS kept
-         FROM d ORDER BY doc_id""",
+           FROM f)
+         SELECT event_id, user_id, event_type, se,
+           CAST(sum(kept) OVER (PARTITION BY user_id, event_type
+             ORDER BY se, event_id ROWS UNBOUNDED PRECEDING) AS INTEGER)
+             AS burst_id,
+           CAST(kept AS INTEGER) AS kept
+         FROM g ORDER BY event_id""",
     // c58: the same parity split + full-outer token join — delta as a
     // HUGEINT cross-product, rank window after the top-20 limit's
     // ordering, the three per-mille rationals

@@ -116,6 +116,34 @@ object TimeJoins {
         col("next_value"), (col("next_se") - col("se")).as("wait_sec"))
   }
 
+  /** Event-time burst dedup — the telemetry double-fire cleanup run
+    * before any funnel/retention query (client retries and at-least-
+    * once delivery fire the same logical event 2-3× within seconds;
+    * counting them inflates every downstream metric): within each
+    * (user, event_type) stream, an event is a DUPLICATE when it lands
+    * within `gapSec` of its predecessor — chain semantics (each echo
+    * within gap of the PREVIOUS echo extends the burst, the q15
+    * sessionization algebra at dedup granularity), so a burst of any
+    * length keeps exactly its first event. Emits every event with its
+    * burst ordinal and a kept flag — the audit view; the cleaned
+    * stream is `filter(kept = 1)`. One shuffle on (user, type), one
+    * linear window pass. */
+  def eventDedup(events: DataFrame, gapSec: Long = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("se"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochSec(col("ts")).as("se"))
+      .withColumn("_prev", lag(col("se"), 1).over(w))
+      .withColumn("kept",
+        (col("_prev").isNull || col("se") - col("_prev") > gapSec).cast("int"))
+      .withColumn("burst_id",
+        sum(col("kept")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("se"), col("burst_id"), col("kept"))
+  }
+
   /** Staleness-bounded as-of join — the FEATURE-STORE semantics
     * ([[asofJoin]] with a max-age contract): a feature row may only
     * use a reference value observed within `tolSec` seconds before it;

@@ -658,6 +658,18 @@ object StreamDrivers {
       onBatch = b => graft.operators.Curation.perplexityGateAgainst(b, reference))
   }
 
+  /** st29: the c59 C4 badwords filter as a streaming ingest predicate
+    * — like st25 a pure function of each document's own bytes (the
+    * list is a broadcast literal), so the gate composes onto
+    * micro-batches with no state and the streamed union equals the
+    * batch run; ONE shared SQL (badwordsSql) gates both surfaces. */
+  def badwordsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.SparkEntry.plantBadwords(
+      graft.Tables.load(spark, sfDir, "documents"))
+    statelessDocStream(spark, "badwords", docs,
+      onBatch = b => graft.operators.Curation.badwordsGate(b))
+  }
+
   /** st28: the s20 index-drift monitor at the INGEST surface — the
     * frozen centroid fit is the persisted model (the st16/st17
     * posture); each micro-batch of arriving vectors is assigned

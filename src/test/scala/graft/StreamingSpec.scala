@@ -325,6 +325,18 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       batch.exists(r => r(5).asInstanceOf[Long] > 0L))
   }
 
+  test("st29 driver: streamed badwords gate equals the batch c59 result") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
+        .map(_.toSeq.toList).toSet
+    val streamed = rows("st29_badwords_stream")
+    val batch = rows("c59_badwords_gate")
+    assert(streamed === batch)
+    // non-vacuous: both gate outcomes present
+    assert(batch.exists(r => r(4).asInstanceOf[Int] === 0) &&
+      batch.exists(r => r(4).asInstanceOf[Int] === 1))
+  }
+
   test("st28 driver: streamed drift monitor equals the batch s20 table") {
     def rows(name: String) =
       SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()

@@ -98,6 +98,34 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(out(6L) === ((Some(6.0), Some(100L)))) // boundary inclusive
   }
 
+  test("event dedup: chain bursts keep their first, gaps open new bursts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val events = Seq(
+      // user 1 view: burst of three chained echoes (5s, 9s apart —
+      // third is >10s from FIRST but <10s from its predecessor)
+      (1L, ts(100), 1L, "view", 0.0, "{}"),
+      (2L, ts(105), 1L, "view", 0.0, "{}"),
+      (3L, ts(114), 1L, "view", 0.0, "{}"),
+      // then a gap → new burst
+      (4L, ts(200), 1L, "view", 0.0, "{}"),
+      // same user, different type at the same time: independent stream
+      (5L, ts(100), 1L, "click", 0.0, "{}"),
+      // user 2: singleton
+      (6L, ts(100), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.TimeJoins.eventDedup(events, gapSec = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5)))).toMap // (burst_id, kept)
+    assert(out(1L) === ((1, 1)))
+    assert(out(2L) === ((1, 0))) // echo
+    assert(out(3L) === ((1, 0))) // chain: close to predecessor, not to head
+    assert(out(4L) === ((2, 1))) // new burst after the gap
+    assert(out(5L) === ((1, 1))) // other type unaffected
+    assert(out(6L) === ((1, 1)))
+  }
+
   test("whole-operator as-of join: exact parity with the window form, merge plan shape") {
     val win = TimeJoins.asofJoin(table("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
