@@ -206,4 +206,65 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     // ~10% of random 16-digit strings are valid — both outcomes occur
     assert(out.values.exists(identity) || samples.forall(s => !ref(s)))
   }
+
+  test("hierarchy pointer jump equals naive recursion on random div-10 forests") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (_ <- 1 to 4) {
+      // random key set, closed under k div 10 so every chain resolves
+      var keys = Set.empty[Long]
+      List.fill(12)(1L + rnd.nextInt(99999).toLong).foreach { k0 =>
+        var k = k0
+        while (k >= 1) { keys += k; k = if (k < 10) 0 else k / 10 }
+      }
+      def parent(k: Long) = if (k < 10) k else k / 10
+      // driver-side naive recursion: walk parents one at a time
+      def walk(k: Long): (Long, Int) = {
+        var cur = k; var d = 0
+        while (parent(cur) != cur) { cur = parent(cur); d += 1 }
+        (cur, d)
+      }
+      val ref = keys.map(k => k -> walk(k)).toMap
+      val sizes = ref.groupBy(_._2._1).map { case (r, m) => r -> m.size.toLong }
+      val out = graft.operators.Relational.hierarchy(
+          keys.toSeq.toDF("s_suppkey")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3), r.getLong(4))))
+        .toMap
+      keys.foreach { k =>
+        assert(out(k) === ((ref(k)._1, ref(k)._2, sizes(ref(k)._1))), s"key $k")
+      }
+    }
+  }
+
+  test("event burst dedup equals a naive sequential scan on random event streams") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new Random(13)
+    val gap = 10L
+    for (_ <- 1 to 4) {
+      val events = (1 to 60).map { i =>
+        (i.toLong, new Timestamp((1000 + rnd.nextInt(300)) * 1000L),
+          (1 + rnd.nextInt(3)).toLong,
+          if (rnd.nextBoolean()) "view" else "click", 0.0, "{}")
+      }
+      // naive per-(user, type) sequential scan in (se, id) order
+      val ref = events.groupBy(e => (e._3, e._4)).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime / 1000, e._1))
+        var prev = Long.MinValue
+        var burst = 0
+        sorted.map { e =>
+          val se = e._2.getTime / 1000
+          val kept = prev == Long.MinValue || se - prev > gap
+          if (kept) burst += 1
+          prev = se
+          e._1 -> ((burst, if (kept) 1 else 0))
+        }
+      }.toMap
+      val out = TimeJoins.eventDedup(
+          events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          gapSec = gap).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+      ref.foreach { case (id, exp) => assert(out(id) === exp, s"event $id") }
+    }
+  }
 }
