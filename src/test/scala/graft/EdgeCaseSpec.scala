@@ -350,4 +350,61 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       Seq((1L, "small ring")).toDF("dirty_id", "name"),
       Seq.empty[(Long, String)].toDF("cat_id", "name")).isEmpty)
   }
+
+  test("third-sitting operators survive degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{Relational, Similarity, TimeJoins, Multimodal}
+    // gazetteer/badwords/confusables/dates/ocr over the edge docs:
+    // no ANSI errors, empty docs flow through, sparse ops emit nothing
+    assert(TextOps.gazetteerTag(edgeDocs).collect().isEmpty)
+    val bw = Curation.badwordsGate(edgeDocs).collect()
+    assert(bw.length === 6 && bw.forall(_.getAs[Int]("kept") === 1))
+    // empty doc: zero tokens → NULL rate, not a divide error
+    assert(bw.find(_.getLong(0) == 1L).get
+      .isNullAt(bw.head.fieldIndex("blocked_pm")))
+    assert(TextOps.confusableScrub(edgeDocs).count() === 6)
+    val dt = TextOps.dateExtract(edgeDocs).collect()
+    assert(dt.forall(r => r.getInt(1) === 0 && r.isNullAt(2)))
+    assert(TextOps.ocrRepair(edgeDocs).count() === 6)
+    // diversity of an empty-token source: no row for it (tf is empty),
+    // and a single-token corpus yields the vocab=1 null branch
+    val dv = Curation.sourceDiversity(
+      Seq((1L, "", "empty"), (2L, "x x", "one")).toDF("doc_id", "text", "source"))
+      .collect()
+    assert(dv.map(_.getString(0)).toSet === Set("one"))
+    assert(dv.head.isNullAt(dv.head.fieldIndex("norm_entropy")))
+    // token drift where one side is empty: na = 0 would zero-divide —
+    // every reference token vanishes with share NULL-safe? contract:
+    // drift against an EMPTY side is meaningless; both sides nonempty
+    // here, one-token each, vanished+appeared rank deterministically
+    val td = Curation.tokenDrift(
+      Seq((1L, "aa", "s")).toDF("doc_id", "text", "source"),
+      Seq((2L, "bb", "s")).toDF("doc_id", "text", "source")).collect()
+    assert(td.map(_.getString(1)).toSeq === Seq("aa", "bb"))
+    // hierarchy of a single root and of an empty catalog
+    val h1 = Relational.hierarchy(Seq(3L).toDF("s_suppkey")).collect()
+    assert(h1.length === 1 && h1.head.getInt(3) === 0 && h1.head.getLong(4) === 1L)
+    assert(Relational.hierarchy(
+      Seq.empty[Long].toDF("s_suppkey")).collect().isEmpty)
+    // skew profile on an empty event set: no rows, no divide error
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Relational.skewProfile(noEvents).collect().isEmpty)
+    assert(TimeJoins.eventDedup(noEvents).collect().isEmpty)
+    assert(TimeJoins.asofTolerance(noEvents).collect().isEmpty)
+    // drift monitor where the BATCH is empty: nb = 0 — every cell's
+    // batch side must be 0/NULL-safe, spine still complete
+    val emb = table("embeddings")
+    val emptyB = emb.filter(lit(false))
+    val dr = Similarity.centroidDrift(emb, emptyB).collect()
+    assert(dr.length === 8 && dr.forall(_.getAs[Long]("n_batch") === 0L))
+    // media walks on an empty payload: no rows / fallback tier, no OOB
+    val nil = Seq(Multimodal.MediaIn(1L, Array.emptyByteArray)).toDS().toDF()
+    assert(Multimodal.zipMeta(nil).collect().isEmpty)
+    assert(Multimodal.tarMeta(nil).collect().isEmpty)
+    val cs = Multimodal.charsetSniff(nil).collect()
+    assert(cs.length === 1 && cs.head.getAs[Long]("n_bytes") === 0L)
+    assert(Multimodal.jpegDqt(nil).collect().head.getAs[Int]("is_jpeg") === 0)
+    assert(Multimodal.webpMeta(nil).collect().head.getAs[Int]("is_webp") === 0)
+  }
 }
