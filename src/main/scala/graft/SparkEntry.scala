@@ -321,6 +321,34 @@ object SparkEntry {
         lit(" привет мир")).otherwise(lit("")))
       .as("text"))
 
+  /** Cyrillic tails planted for the t33 gate (the corpus is ASCII):
+    * %6==1 a plain 1:1-letter phrase, %9==2 digraph-bearing words
+    * (ш/ч), %12==7 the ё/ж/ы/х cluster plus a silent-sign word —
+    * visible UTF-8 literals replayed verbatim (the t21/t25 idiom). */
+  private[graft] def plantCyrillic(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(6)) === 1,
+        lit(" привет мир")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 2,
+        lit(" машинное обучение")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(12)) === 7,
+        lit(" жёлтый хлеб объём")).otherwise(lit("")))
+      .as("text"))
+
+  /** Script twins planted for the d29 gate: every %17==4 doc gains a
+    * twin (id + 1,000,000 — far past any corpus id) whose text is the
+    * original passed through an ASCII→Cyrillic letter map chosen so
+    * romanization inverts it EXACTLY (each pair round-trips: s↔с,
+    * k↔к, …; unmapped ASCII letters stay ASCII — a mixed-script twin,
+    * the realistic shape of transliterated content). Raw-text md5
+    * dedup can never pair twin and original; romanized md5 must. */
+  private[graft] def plantCyrTwins(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(pmod(col("doc_id"), lit(17)) === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"),
+            "aeoskmtvdnilpgbzuf", "аеоскмтвднилпгбзуф").as("text")))
+
   /** Blocklist hits planted for the c59 gate (the synthetic vocabulary
     * contains no listed word): %7==3 one hit (any-hit drop), %13==6
     * three hits incl. a repeat (count multiplicity). */
@@ -740,6 +768,8 @@ object SparkEntry {
     "t30_confusables" -> Seq("doc_id"),
     "t31_dates" -> Seq("doc_id"),
     "t32_ocr_repair" -> Seq("doc_id"),
+    "t33_romanize" -> Seq("doc_id"),
+    "d29_translit_dedup" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -1329,6 +1359,15 @@ object SparkEntry {
     // signals, integer-threshold suspect flag
     "t32_ocr_repair" -> ((s, d) =>
       TextOps.ocrRepair(plantOcr(t(s, d, "documents")))),
+    // cross-script normalization: digraphs then 1:1 translate with
+    // silent signs dropped; identity on Latin docs
+    "t33_romanize" -> ((s, d) =>
+      TextOps.romanize(plantCyrillic(t(s, d, "documents")))),
+    // cross-script dedup: the d1 algebra over ROMANIZED text pairs
+    // each planted Cyrillic twin with its Latin original
+    "d29_translit_dedup" -> ((s, d) =>
+      Dedup.exact(TextOps.romanize(plantCyrTwins(t(s, d, "documents")))
+        .select(col("doc_id"), col("roman_text").as("text")))),
     // Porter-stem conflation stats over planted inflection families;
     // the word→stem vocabulary is staged (t11's idiom) so the oracle
     // replays the stemmed aggregation relationally
@@ -2467,6 +2506,18 @@ object SparkEntry {
                > 100 * CAST(nc AS HUGEINT) * nb
              THEN 1 ELSE 0 END AS drifted
          FROM jj ORDER BY cluster"""
+
+  // romanization chain GENERATED from the same digraph/letter tables
+  // the operator uses (TextOps.romanMulti/romanFrom/romanTo) — the
+  // t1 langOrder idiom: one source of truth, two engines
+  private def romanizeSqlOf(c: String): String = {
+    val inner = TextOps.romanMulti.foldLeft(c) {
+      case (acc, (k, v)) => s"regexp_replace($acc, '$k', '$v', 'g')"
+    }
+    s"translate($inner, '${TextOps.romanFrom}', '${TextOps.romanTo}')"
+  }
+  private lazy val allCyrSql =
+    TextOps.romanMulti.map(_._1).mkString + TextOps.romanFrom
 
   // shared by c59 (batch) and st29 (streaming) — the gate reads only
   // each document's own text, so the two surfaces can never drift
@@ -5939,6 +5990,30 @@ object SparkEntry {
          SELECT m.doc_id, g.entity, g.etype, count(*) AS n_mentions
          FROM m JOIN g ON m.gram = g.entity
          GROUP BY 1, 2, 3 ORDER BY m.doc_id, g.entity""",
+    // t33: plant replay + the generated romanize chain and the
+    // Cyrillic-codepoint count
+    "t33_romanize" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 6 = 1 THEN ' привет мир' ELSE '' END ||
+             CASE WHEN doc_id % 9 = 2
+               THEN ' машинное обучение' ELSE '' END ||
+             CASE WHEN doc_id % 12 = 7
+               THEN ' жёлтый хлеб объём' ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id, ${romanizeSqlOf("text")} AS roman_text,
+           CAST(length(text) - length(translate(text, '$allCyrSql', ''))
+             AS INTEGER) AS n_cyr
+         FROM aug ORDER BY doc_id""",
+    // d29: the twin plant + the same chain, then d1's md5 group algebra
+    // over the ROMANIZED text
+    "d29_translit_dedup" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000,
+             translate(text, 'aeoskmtvdnilpgbzuf', 'аеоскмтвднилпгбзуф')
+           FROM documents WHERE doc_id % 17 = 4),
+         r AS (SELECT doc_id, ${romanizeSqlOf("text")} AS rt FROM aug)
+         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM r GROUP BY md5(rt) ORDER BY 1""",
     // t32: plant replay, the same rejoin rewrite (\1\2 vs $1$2 — same
     // semantics), then the token signals over the REPAIRED text and
     // the integer-threshold flag

@@ -1157,6 +1157,43 @@ object TextOps {
         array_max(col("_dates")).as("last_date"))
   }
 
+  /** The two halves of the BGN/PCGN-style Cyrillic→Latin map
+    * [[romanize]] applies: multi-character digraphs first (each source
+    * char is distinct, so application order cannot interact), then the
+    * 1:1 tail via one translate — with the two silent signs (ъ ь)
+    * appended PAST the end of the `to` string so translate DROPS them
+    * (the documented deletion semantics both engines share). Lowercase
+    * only — the map feeds the lower-cased token pipeline. Exposed to
+    * SparkEntry so the oracle SQL is GENERATED from the same tables
+    * and the two engines cannot drift. */
+  private[graft] val romanMulti: Seq[(String, String)] = Seq(
+    "щ" -> "shch", "ж" -> "zh", "х" -> "kh", "ц" -> "ts",
+    "ч" -> "ch", "ш" -> "sh", "ю" -> "yu", "я" -> "ya", "ё" -> "yo")
+  private[graft] val romanFrom = "абвгдезийклмнопрстуфыэъь"
+  private[graft] val romanTo = "abvgdeziyklmnoprstufye"
+
+  /** Cyrillic→Latin romanization — the cross-script NORMALIZATION that
+    * makes transliterated duplicates visible (the same article syndicated
+    * in native script and in romanized form hashes identically after
+    * this pass; borrowed Latin words inside Cyrillic text pass through
+    * untouched, so mixed-script prose romanizes cleanly): the digraph
+    * table first (zh/kh/ts/ch/sh/shch/yu/ya/yo), then one translate for
+    * the 1:1 letters with the silent signs dropped. Reports the
+    * romanized text and the Cyrillic codepoint count (0 = the doc was
+    * already Latin and the pass was an identity). Pure map — nine
+    * literal replaces + one translate, all codegen; composes in front
+    * of [[graft.operators.Dedup.exact]] as the d29 cross-script dedup. */
+  def romanize(documents: DataFrame): DataFrame = {
+    val allCyr = romanMulti.map(_._1).mkString + romanFrom
+    val chain = romanMulti.foldLeft(col("text")) {
+      case (acc, (k, v)) => regexp_replace(acc, k, v)
+    }
+    documents.select(col("doc_id"),
+      translate(chain, romanFrom, romanTo).as("roman_text"),
+      (length(col("text")) -
+        length(translate(col("text"), allCyr, ""))).cast("int").as("n_cyr"))
+  }
+
   /** OCR-artifact detection AND repair — the hygiene pass scanned-book
     * and PDF-extraction corpora need before any token-level operator
     * (OCR noise poisons the same downstream keys confusables do, at

@@ -1242,6 +1242,32 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
   }
 
+  test("romanize: digraphs, silent signs drop, ascii identity, twins round-trip") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "привет мир"),
+      (2L, "машинное обучение"),
+      (3L, "жёлтый хлеб объём"),     // ё, ж, ы, х + silent ъ
+      (4L, "plain ascii text"),
+      (5L, "mixed причём data"))      // borrowed Latin stays put
+      .toDF("doc_id", "text")
+    val out = TextOps.romanize(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("privet mir", 9)))
+    assert(out(2L) === (("mashinnoe obuchenie", 16)))
+    assert(out(3L) === (("zhyoltyy khleb obyom", 15))) // ъ dropped
+    assert(out(4L) === (("plain ascii text", 0)))      // identity
+    assert(out(5L)._1 === "mixed prichyom data")
+    // the d29 twin map round-trips through romanization exactly
+    val twin = Seq((9L, "sample text with sdk tokens")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        translate(col("text"), "aeoskmtvdnilpgbzuf",
+          "аеоскмтвднилпгбзуф").as("text"))
+    val rt = TextOps.romanize(twin).collect().head.getString(1)
+    assert(rt === "sample text with sdk tokens")
+  }
+
   test("tar meta: octal sizes decode, offsets point at real data, end blocks stop") {
     import spark.implicits._
     import graft.operators.Multimodal
