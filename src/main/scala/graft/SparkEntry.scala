@@ -825,6 +825,7 @@ object SparkEntry {
     "c59_badwords_gate" -> Seq("doc_id"),
     "st29_badwords_stream" -> Seq("doc_id"),
     "q63_event_dedup" -> Seq("event_id"),
+    "q64_attribution" -> Seq("event_id"),
     "s20_drift" -> Seq("cluster"),
     "st28_drift_stream" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
@@ -1319,6 +1320,9 @@ object SparkEntry {
     // (user, type), audit view with kept flag + burst ordinal
     "q63_event_dedup" -> ((s, d) =>
       TimeJoins.eventDedup(t(s, d, "events"), gapSec = 3600)),
+    // first/last-touch attribution: RANGE lookback + packed-integer
+    // extremes (no struct ordering crosses engines)
+    "q64_attribution" -> ((s, d) => TimeJoins.attribution(t(s, d, "events"))),
     // crawl-over-crawl token drift: top shifted tokens by the exact
     // integer cross-product, parity halves as the two crawls
     "c58_token_drift" -> ((s, d) => {
@@ -5720,6 +5724,28 @@ object SparkEntry {
     // st29: the SAME SQL — the gate is a pure function of each doc's
     // own text, so the streamed union equals the batch run
     "st29_badwords_stream" -> badwordsSql,
+    // q64: the same RANGE lookback + packed extremes + div/mod decode
+    "q64_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se
+           FROM events),
+         p AS (SELECT *, CASE WHEN event_type = 'view' THEN se * 8 + 1
+             WHEN event_type = 'click' THEN se * 8 + 2 END AS packed
+           FROM e),
+         f AS (SELECT *,
+           min(packed) OVER w AS ft, max(packed) OVER w AS lt,
+           count(packed) OVER w AS nt
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY se
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, se,
+           CASE ft % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click' END
+             AS first_type,
+           ft // 8 AS first_se,
+           CASE lt % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click' END
+             AS last_type,
+           lt // 8 AS last_se,
+           CAST(nt AS INTEGER) AS n_touches
+         FROM f WHERE event_type = 'purchase' ORDER BY event_id""",
     // q63: the same chain-semantics lag + running burst ordinal
     "q63_event_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

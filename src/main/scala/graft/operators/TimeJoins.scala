@@ -116,6 +116,42 @@ object TimeJoins {
         col("next_value"), (col("next_se") - col("se")).as("wait_sec"))
   }
 
+  /** First/last-touch ATTRIBUTION — the marketing-warehouse query that
+    * motivated half of window-function SQL: each purchase credits the
+    * FIRST and the LAST touch event (view/click) inside its lookback
+    * window. The touches are found by a calendar-distance RANGE frame
+    * over epoch seconds (q58's gap-correct idiom — a ROWS frame would
+    * silently reach past the lookback across sparse users), and each
+    * extreme is ONE packed-integer min/max: touch encodes as
+    * se·8 + type_code, so min() IS earliest-then-lowest-code and the
+    * type/time decode is exact integer div/mod — no struct ordering
+    * semantics to align across engines (packing beats struct min/max
+    * precisely because struct comparison is the kind of
+    * engine-specific contract this codebase avoids). One shuffle on
+    * the user key, one window pass; nulls = unattributed purchase. */
+  def attribution(events: DataFrame, lookbackSec: Long = 7 * 86400): DataFrame = {
+    val code = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+    val packed = when(code.isNotNull, col("se") * 8 + code)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("se"))
+      .rangeBetween(-lookbackSec, 0)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochSec(col("ts")).as("se"))
+      .withColumn("_ft", min(packed).over(w))
+      .withColumn("_lt", max(packed).over(w))
+      .withColumn("_nt", count(packed).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("se"),
+        when(pmod(col("_ft"), lit(8)) === 1, "view")
+          .when(pmod(col("_ft"), lit(8)) === 2, "click").as("first_type"),
+        expr("_ft div 8").as("first_se"),
+        when(pmod(col("_lt"), lit(8)) === 1, "view")
+          .when(pmod(col("_lt"), lit(8)) === 2, "click").as("last_type"),
+        expr("_lt div 8").as("last_se"),
+        col("_nt").cast("int").as("n_touches"))
+  }
+
   /** Event-time burst dedup — the telemetry double-fire cleanup run
     * before any funnel/retention query (client retries and at-least-
     * once delivery fire the same logical event 2-3× within seconds;

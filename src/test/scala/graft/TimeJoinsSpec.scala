@@ -126,6 +126,32 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(out(6L) === ((1, 1)))
   }
 
+  test("attribution: first and last touch in window, out-of-window drops") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val L = 100L
+    val events = Seq(
+      (1L, ts(1000), 1L, "view", 0.0, "{}"),
+      (2L, ts(1040), 1L, "click", 0.0, "{}"),
+      (3L, ts(1080), 1L, "purchase", 0.0, "{}"), // both in window
+      (4L, ts(5000), 1L, "view", 0.0, "{}"),
+      (5L, ts(5200), 1L, "purchase", 0.0, "{}"), // view out of window
+      (6L, ts(9000), 2L, "purchase", 0.0, "{}"), // no touches at all
+      (7L, ts(9100), 2L, "click", 0.0, "{}"),    // AFTER the purchase
+      (8L, ts(700), 1L, "error", 0.0, "{}"))     // non-touch type ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.TimeJoins.attribution(events, lookbackSec = L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.getString(5)), Option(r.get(6)).map(_.asInstanceOf[Long]),
+          r.getInt(7)))).toMap
+    assert(out(3L) === ((Some("view"), Some(1000L),
+      Some("click"), Some(1040L), 2)))
+    assert(out(5L) === ((None, None, None, None, 0)))
+    assert(out(6L) === ((None, None, None, None, 0)))
+  }
+
   test("whole-operator as-of join: exact parity with the window form, merge plan shape") {
     val win = TimeJoins.asofJoin(table("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
