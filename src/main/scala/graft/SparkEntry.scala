@@ -827,6 +827,7 @@ object SparkEntry {
     "q63_event_dedup" -> Seq("event_id"),
     "q64_attribution" -> Seq("event_id"),
     "s20_drift" -> Seq("cluster"),
+    "s23_centroid_update" -> Seq("cluster", "pos"),
     "st28_drift_stream" -> Seq("cluster"),
     "c9_source_mix" -> Seq("source"),
     "c10_funnel" -> Seq("stage"),
@@ -1929,6 +1930,15 @@ object SparkEntry {
       Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/s6_seeds")
       Similarity.kmeans(emb)
+    }),
+    // the remediation half of s20: mini-batch centroid update — exact
+    // weighted mean folding the batch into the frozen fit
+    "s23_centroid_update" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s23_seeds")
+      Similarity.centroidUpdate(emb,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1))
     }),
     // index drift monitoring: per-cell build-time vs batch occupancy
     // against the FROZEN centroid fit, rate-shift flag in exact
@@ -4884,6 +4894,40 @@ object SparkEntry {
     // parity-split cell occupancies over the FULL 0..k-1 spine, exact
     // per-mille rates and the HUGEINT cross-multiplied rate-shift flag
     "s20_drift" -> driftSql("s20_seeds"),
+    // s23: the Lloyd replay's final ct5 centroid table + batch-side
+    // exact decimal sums, the same HALF_UP scale-12 integer division
+    // the fit itself uses
+    "s23_centroid_update" ->
+      s"""${kmeansCtes("s23_seeds")},
+         ncc AS (SELECT cid, count(*) AS n FROM fa
+                 WHERE rk = 1 GROUP BY cid),
+         bs AS (SELECT g.cid, u.pos,
+             sum(CAST(u.x AS DECIMAL(28,12))) AS s12, count(*) AS nb
+           FROM fa g JOIN vx u ON u.vec_id = g.vec_id
+           WHERE g.rk = 1 AND g.vec_id % 2 = 1 GROUP BY 1, 2),
+         up AS (SELECT c.cid AS cluster, CAST(c.pos AS INTEGER) AS pos,
+             c.cx AS old_cx,
+             CAST(COALESCE(n.n, 0) AS BIGINT) AS nc,
+             CAST(COALESCE(bs.nb, 0) AS BIGINT) AS nb,
+             COALESCE(bs.s12, CAST(0 AS DECIMAL(38,12))) AS s12
+           FROM ct5 c LEFT JOIN ncc n ON n.cid = c.cid
+             LEFT JOIN bs ON bs.cid = c.cid AND bs.pos = c.pos),
+         -- all-HUGEINT numerator: centroid coordinates are scale-12
+         -- values, so round(cx·1e12) recovers the exact unscaled
+         -- integer; the s12·1e12 shift is the proven sm-CTE idiom
+         nm AS (SELECT *,
+             CAST(round(old_cx * 1000000000000) AS HUGEINT) * nc
+               + CAST(s12 * 1000000000000 AS HUGEINT) AS n12
+           FROM up)
+         SELECT cluster, pos, old_cx,
+           CASE WHEN nc + nb > 0 THEN
+             CAST((CASE WHEN n12 < 0 THEN -1 ELSE 1 END) *
+               ((2 * abs(n12) + (nc + nb)) //
+                (2 * CAST(nc + nb AS HUGEINT))) AS DOUBLE)
+               / 1000000000000.0
+           ELSE old_cx END AS new_cx,
+           nc AS n_corpus, nb AS n_batch
+         FROM nm ORDER BY cluster, pos""",
     // st28: the SAME SQL over the stream gate's own staged seed copy —
     // cell counts are additive across micro-batches, so the streamed
     // monitor equals the batch monitor by construction

@@ -1280,6 +1280,72 @@ object Similarity {
         cents)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
+  /** Mini-batch centroid UPDATE — the REMEDIATION half of [[centroidDrift]]
+    * (monitoring says the index rotted; this is what you do about it
+    * without the full re-fit): fold an ingest batch into the frozen
+    * centroids as the exact weighted mean — new = (n_cell·c_old +
+    * Σ_batch x) / (n_cell + n_batch) per (cell, dimension) — which IS
+    * one Lloyd half-step over corpus ∪ batch with the corpus term
+    * collapsed to its sufficient statistics (count × centroid), the
+    * standard mini-batch k-means update with learning rate
+    * n_batch/(n_cell + n_batch). Arithmetic is the kmeans fit's own
+    * discipline: batch coordinate sums are exact DECIMAL(28,12), the
+    * corpus term re-enters the decimal domain exactly (centroids are
+    * scale-12 values by construction, so the double→decimal cast is
+    * lossless), and the mean division is the HALF_UP scale-12 integer
+    * form both engines replay digit-for-digit. Cells the batch never
+    * touched keep their coordinates; empty cells (no members either
+    * side) pass through. Output is the (k·dims)-row artifact table —
+    * model-sized, never data-sized; the corpus-scale work is one
+    * broadcast-literal assignment map + one combinable (cell, dim)
+    * aggregate over the BATCH only. */
+  def centroidUpdate(corpus: DataFrame, batch: DataFrame,
+                     k: Int = 8, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = fitCentroids(corpus, k, iters)
+    val centDf = cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
+    }.toSeq.toDF("cluster", "pos", "old_cx")
+    val nc = cellCounts(corpus, cents).select(col("cluster"), col("n").as("nc"))
+    val sums = assignToCentroids(
+        batch.select(col("vec_id"), toDoubleVec(col("embedding")).as("v")), cents)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("x").cast(DecimalType(28, 12))).as("s12"),
+        count(lit(1)).as("nb"))
+    // The weighted mean is computed DRIVER-SIDE over the model-sized
+    // (k·dims ≤ hundreds) joined frame — deliberately the same code
+    // path shape as kmeansCentroids' own update (collect bounded
+    // sufficient statistics, divide in java BigDecimal HALF_UP/12):
+    // a distributed decimal product old_cx·nc at scale 12 exceeds
+    // DECIMAL(38)'s precision and Spark silently SHRINKS THE SCALE
+    // (caught by this operator's spec disagreeing with the oracle at
+    // 1e-9) — the driver BigDecimal path has no such cliff, and the
+    // frame is an artifact, never data-sized.
+    val stats = centDf
+      .join(nc, Seq("cluster"), "left")
+      .join(sums, Seq("cluster", "pos"), "left")
+      .withColumn("nc", coalesce(col("nc"), lit(0L)))
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
+      .collect()
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = stats.map { r =>
+      val (nc0, nb0) = (r.getAs[Long]("nc"), r.getAs[Long]("nb"))
+      val old = r.getAs[Double]("old_cx")
+      val newCx = if (nc0 + nb0 == 0) old else {
+        val s12 = Option(r.getAs[JBD]("s12")).getOrElse(JBD.ZERO)
+        new JBD(old).setScale(12, RoundingMode.HALF_UP)
+          .multiply(JBD.valueOf(nc0)).add(s12)
+          .divide(JBD.valueOf(nc0 + nb0), 12, RoundingMode.HALF_UP)
+          .doubleValue()
+      }
+      (r.getAs[Int]("cluster"), r.getAs[Int]("pos"), old, newCx, nc0, nb0)
+    }.toSeq
+    rows.toDF("cluster", "pos", "old_cx", "new_cx", "n_corpus", "n_batch")
+  }
+
   /** The drift algebra over two cell-count frames (cluster, n) —
     * spine join, exact per-mille rates, HUGEINT rate-shift flag.
     * Factored out so the batch (s20) and streaming (st28) monitors

@@ -1184,6 +1184,52 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("centroid update: weighted means exact, untouched cells identical") {
+    import org.apache.spark.sql.functions._
+    val emb = table("embeddings")
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val out = graft.operators.Similarity.centroidUpdate(emb, batch).collect()
+    assert(out.length === 8 * 64)
+    // driver-side recompute: fit + assign + weighted mean in BigDecimal
+    val cents = graft.operators.Similarity.fitCentroids(emb)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cell(v: Array[Double]) = {
+      val vv = v.map(x => x * x).sum
+      cents.zipWithIndex.map { case (c, i) =>
+        val d = vv - 2.0 * v.zip(c).map(p => p._1 * p._2).sum + c.map(x => x * x).sum
+        (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP), i)
+      }.min._2
+    }
+    val assign = vecs.map { case (id, v) => id -> cell(v) }
+    val ncs = assign.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val bAssign = assign.filter(_._1 % 2 == 1)
+    out.foreach { r =>
+      val (c, pos) = (r.getAs[Int]("cluster"), r.getAs[Int]("pos"))
+      val nc = ncs.getOrElse(c, 0)
+      val bvs = bAssign.filter(_._2 == c).keys.map(vecs(_)(pos)).toSeq
+      assert(r.getAs[Long]("n_corpus") === nc.toLong, s"nc $c")
+      assert(r.getAs[Long]("n_batch") === bvs.size.toLong, s"nb $c")
+      if (nc + bvs.size > 0) {
+        val num = BigDecimal(cents(c)(pos)).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP) * nc +
+          bvs.map(x => BigDecimal(x).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP)).sum
+        val exp = num.bigDecimal.divide(
+          java.math.BigDecimal.valueOf((nc + bvs.size).toLong), 12,
+          java.math.RoundingMode.HALF_UP).doubleValue()
+        assert(r.getAs[Double]("new_cx") === exp, s"cell $c pos $pos")
+      } else {
+        assert(r.getAs[Double]("new_cx") === r.getAs[Double]("old_cx"))
+      }
+    }
+    // an empty batch leaves every coordinate exactly in place
+    val same = graft.operators.Similarity.centroidUpdate(
+      emb, emb.filter(lit(false))).collect()
+    assert(same.forall(r =>
+      r.getAs[Double]("new_cx") === r.getAs[Double]("old_cx")))
+  }
+
   test("centroid drift: identical batch is drift-free, spine complete, flag exact") {
     import org.apache.spark.sql.functions._
     val emb = table("embeddings")
