@@ -349,6 +349,18 @@ object SparkEntry {
           translate(col("text"),
             "aeoskmtvdnilpgbzuf", "аеоскмтвднилпгбзуф").as("text")))
 
+  /** Exact-duplicate copies planted for the c61 gate (the corpus has
+    * none): %23==5 docs gain one copy (dup_count 2), %46==28 a second
+    * copy (dup_count 3); copy ids sit at +2,000,000/+3,000,000. */
+  private[graft] def plantExactDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.filter(pmod(col("doc_id"), lit(23)) === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(46)) === 28)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+  }
+
   /** Blocklist hits planted for the c59 gate (the synthetic vocabulary
     * contains no listed word): %7==3 one hit (any-hit drop), %13==6
     * three hits incl. a repeat (count multiplicity). */
@@ -823,6 +835,8 @@ object SparkEntry {
     "c57_source_diversity" -> Seq("source"),
     "c58_token_drift" -> Seq("rank"),
     "c59_badwords_gate" -> Seq("doc_id"),
+    "c60_anchor_corpus" -> Seq("target"),
+    "c61_dup_profile" -> Seq("dup_count"),
     "st29_badwords_stream" -> Seq("doc_id"),
     "q63_event_dedup" -> Seq("event_id"),
     "q64_attribution" -> Seq("event_id"),
@@ -1309,6 +1323,15 @@ object SparkEntry {
     // entropy/TTR/hapax per source, exact decimal ln sums
     "c57_source_diversity" -> ((s, d) =>
       Curation.sourceDiversity(t(s, d, "documents"))),
+    // the anchor-text corpus: aggregated absolute-link anchors per
+    // target, sorted-order concatenation
+    "c60_anchor_corpus" -> ((s, d) =>
+      Curation.anchorCorpus(
+        TextOps.linkGraph(plantAnchors(t(s, d, "documents"))))),
+    // the datasheet duplication profile over the d1 group table on a
+    // planted-copies corpus
+    "c61_dup_profile" -> ((s, d) =>
+      Curation.dupProfile(Dedup.exact(plantExactDups(t(s, d, "documents"))))),
     // the C4 badwords filter: exact-token blocklist (no substring
     // Scunthorpe false positives), strict drop flag + soft-count rate
     "c59_badwords_gate" -> ((s, d) =>
@@ -6787,6 +6810,58 @@ object SparkEntry {
     // t27: plant replay, the same two-group pattern extracted twice
     // (group 1 hrefs, group 2 texts) and zipped positionally via
     // parallel unnest + range — the kmeansCtes vx idiom
+    // c60: the t27 extraction CTEs + absolute filter + per-target
+    // aggregation with ORDER BY inside string_agg (Spark's sorted
+    // collect_list is the same contract)
+    "c60_anchor_corpus" ->
+      """WITH aug AS (SELECT doc_id, '<p>' || text || '</p>' ||
+            CASE WHEN doc_id % 3 = 1
+              THEN '<a href="https://ref' || CAST(doc_id % 9 AS VARCHAR) ||
+                   '.example.com/a">data  pipeline docs</a><a href="/rel/' ||
+                   CAST(doc_id AS VARCHAR) || '">local link</a>'
+              ELSE '' END ||
+            CASE WHEN doc_id % 7 = 2
+              THEN '<a class="x" href="https://w' ||
+                   CAST(doc_id % 5 AS VARCHAR) ||
+                   '.example.org/b?q=1">engine internals</a>'
+              ELSE '' END AS html FROM documents),
+          ex AS (SELECT doc_id,
+            regexp_extract_all(html,
+              '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS h,
+            regexp_extract_all(html,
+              '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS t2
+            FROM aug),
+          u AS (SELECT doc_id, unnest(h) AS href, unnest(t2) AS atext
+            FROM ex),
+          l AS (SELECT doc_id, href,
+            trim(regexp_replace(atext, '[\s　]+', ' ', 'g')) AS anchor_text
+            FROM u
+            WHERE href LIKE 'http://%' OR href LIKE 'https://%')
+          SELECT href AS target, count(*) AS n_refs,
+            count(DISTINCT doc_id) AS n_docs,
+            string_agg(anchor_text, ' ' ORDER BY anchor_text) AS anchor_doc
+          FROM l GROUP BY href ORDER BY target""",
+    // c61: the copy plant + d1's group algebra + the multiplicity
+    // class table with HUGEINT excess rate
+    "c61_dup_profile" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 2000000, text FROM documents
+             WHERE doc_id % 23 = 5
+           UNION ALL SELECT doc_id + 3000000, text FROM documents
+             WHERE doc_id % 46 = 28),
+         g AS (SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+           FROM aug GROUP BY md5(text)),
+         cl AS (SELECT dup_count, count(*) AS n_groups,
+             CAST(sum(dup_count) AS BIGINT) AS n_docs
+           FROM g GROUP BY dup_count),
+         tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(sum(n_groups) AS BIGINT) AS total_groups FROM cl)
+         SELECT dup_count, n_groups, n_docs, total_docs, total_groups,
+           CAST(CAST(((total_docs - total_groups) * 1000 * 20000
+               + total_docs)
+             // (2 * CAST(total_docs AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS excess_pm
+         FROM cl, tt ORDER BY dup_count""",
     "t27_links" ->
       """WITH aug AS (SELECT doc_id, '<p>' || text || '</p>' ||
             CASE WHEN doc_id % 3 = 1

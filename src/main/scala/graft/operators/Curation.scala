@@ -1873,6 +1873,50 @@ object Curation {
          col("comp_len") * 1000 <= lit(maxPm.toLong) * col("raw_len"))
           .cast("int").as("kept"))
 
+  /** Anchor-text corpus construction — the USE of the t27 link layer
+    * (the original web-search insight, recycled by data pipelines: the
+    * text other pages use to link TO a page describes it better than
+    * the page describes itself, and the aggregated anchors form a
+    * clean synthetic document per target): absolute links only
+    * (relative hrefs have no cross-site target identity), grouped by
+    * target URL; each target's anchor texts concatenate in SORTED
+    * order (array_sort over the collected texts — collect order is
+    * partition-dependent, sorted order is not; the DuckDB side is
+    * string_agg ORDER BY, same contract) with referrer/mention counts.
+    * One explode + one target-keyed combinable aggregate; anchors are
+    * short strings, so the shuffle carries link-sized rows, never
+    * documents. */
+  def anchorCorpus(links: DataFrame): DataFrame =
+    links
+      .filter(col("is_absolute") === 1)
+      .groupBy(col("href").as("target"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        concat_ws(" ", array_sort(collect_list(col("anchor_text"))))
+          .as("anchor_doc"))
+
+  /** Duplication-rate PROFILE — the datasheet number every pipeline
+    * reports ("the corpus was X% exact duplicates") plus the shape
+    * behind it: over [[graft.operators.Dedup.exact]]'s group table, one
+    * row per duplicate-multiplicity class (dup_count, how many groups,
+    * how many documents), with corpus totals and the excess rate —
+    * (docs − groups)/docs, the fraction deleted by keep-one dedup —
+    * as an exact per-mille rational on every row. The class table is
+    * tiny (multiplicity classes grow ~log with corpus), totals are one
+    * more combinable aggregate — nothing beyond what d1 already pays. */
+  def dupProfile(groups: DataFrame): DataFrame = {
+    val classes = groups.groupBy(col("dup_count"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("dup_count")).as("n_docs"))
+    val totals = classes.agg(sum(col("n_docs")).as("total_docs"),
+      sum(col("n_groups")).as("total_groups"))
+    classes.crossJoin(broadcast(totals))
+      .select(col("dup_count"), col("n_groups"), col("n_docs"),
+        col("total_docs"), col("total_groups"),
+        ratRound("(total_docs - total_groups) * 1000", "total_docs", 4)
+          .as("excess_pm"))
+  }
+
   /** Neutral stand-in blocklist for [[badwordsGate]] — the real C4
     * deployment points this at the published badwords list; the list
     * is DATA, not code (the c33 PSL posture), and the algebra is

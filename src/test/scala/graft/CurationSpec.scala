@@ -1558,6 +1558,43 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out("same") === ((3, 4L, 4L, 400.0, 400.0, 0.0)))
   }
 
+  test("anchor corpus: per-target sorted concat, relative links excluded") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, 0, "https://t.example/a", "zebra docs", 1),
+      (2L, 0, "https://t.example/a", "alpha guide", 1),
+      (2L, 1, "https://t.example/a", "alpha guide", 1), // same doc twice
+      (3L, 0, "/relative/path", "ignored", 0),
+      (4L, 0, "https://t.example/b", "solo", 1))
+      .toDF("doc_id", "link_idx", "href", "anchor_text", "is_absolute")
+    val out = Curation.anchorCorpus(links).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 3 mentions, 2 distinct referrers, texts in sorted order
+    assert(out("https://t.example/a") ===
+      ((3L, 2L, "alpha guide alpha guide zebra docs")))
+    assert(out("https://t.example/b") === ((1L, 1L, "solo")))
+    assert(!out.contains("/relative/path"))
+  }
+
+  test("dup profile: class arithmetic and excess rate exact") {
+    import spark.implicits._
+    // 4 singleton groups + 2 pairs + 1 triple = 7 groups, 11 docs
+    val groups = ((1 to 4).map(i => (i.toLong, 1L)) ++
+      Seq((10L, 2L), (11L, 2L), (20L, 3L))).toDF("doc_id", "dup_count")
+    val out = Curation.dupProfile(groups).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("excess_pm")))).toMap
+    assert(out(1L)._1 === 4L && out(1L)._2 === 4L)
+    assert(out(2L)._1 === 2L && out(2L)._2 === 4L)
+    assert(out(3L)._1 === 1L && out(3L)._2 === 3L)
+    // excess = (11 - 7)/11 = 363.6364 pm on every row
+    out.values.foreach { v =>
+      assert(v._3 === 11L && v._4 === 7L && v._5 === 363.6364)
+    }
+  }
+
   test("badwords gate: any hit drops, counts carry multiplicity, no substring hits") {
     import spark.implicits._
     val docs = Seq(
