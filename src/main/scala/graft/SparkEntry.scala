@@ -877,6 +877,7 @@ object SparkEntry {
     "m19_zip_meta" -> Seq("doc_id", "entry_idx"),
     "m20_charset_sniff" -> Seq("doc_id"),
     "m21_tar_meta" -> Seq("doc_id", "entry_idx"),
+    "m22_mp3_frame" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "st27_content_stream" -> Seq("doc_id"),
@@ -1157,6 +1158,10 @@ object SparkEntry {
     // dumps), streaming shape, per-entry rows with byte-exact data
     // offsets; non-ZIP payloads emit nothing
     "m19_zip_meta" -> ((s, d) => Multimodal.zipMetaPlanted(s, t(s, d, "documents"))),
+    // MPEG frame header behind the ID3 tag: table-lookup bitrate and
+    // samplerate, the 144·br/sr+pad frame-length hop
+    "m22_mp3_frame" -> ((s, d) =>
+      Multimodal.mp3FramePlanted(s, t(s, d, "documents"))),
     // TAR ustar walk: octal size fields via conv(_, 8, 10), 512-block
     // padding arithmetic, magic-checked entries; zero end-blocks stop
     // the walk naturally
@@ -5228,6 +5233,36 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m22: plant replay — index formulas through the same published
+    // tables (1-based list indexing), the same integer frame-length
+    // formula, and the synthetic fallback
+    "m22_mp3_frame" ->
+      """WITH f AS (SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INTEGER) AS bri,
+             CAST(doc_id % 3 AS INTEGER) AS sri,
+             CAST(doc_id % 2 AS INTEGER) AS pad,
+             CAST(doc_id % 4 AS INTEGER) AS md
+           FROM documents WHERE doc_id % 8 = 0)
+         SELECT doc_id, 1 AS is_mp3,
+           ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bri]
+             AS bitrate_kbps,
+           ([44100,48000,32000])[sri + 1] AS sample_rate,
+           pad AS padding,
+           CASE md WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint'
+             WHEN 2 THEN 'dual' ELSE 'mono' END AS mode,
+           CAST((144000 * ([32,40,48,56,64,80,96,112,128,160,192,224,
+               256,320])[bri])
+             // (([44100,48000,32000])[sri + 1]) + pad AS BIGINT)
+             AS frame_len
+         FROM f
+         UNION ALL
+         SELECT doc_id, 0,
+           CAST(64 + (octet_length(encode(text)) * 7) % 257 AS INTEGER),
+           CAST(8064 + (octet_length(encode(text)) * 7) % 257 AS INTEGER),
+           0, 'none',
+           CAST(64 + (octet_length(encode(text)) * 7) % 257 AS BIGINT)
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     // m21: plant replay — names/sizes/typeflags as formulas, data
     // offsets as running sums of 512-padded entry sizes (the m19
     // arithmetic with TAR's block rounding)

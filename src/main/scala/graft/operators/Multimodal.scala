@@ -2118,6 +2118,114 @@ object Multimodal {
                      every: Int = PlantedTars.Every): DataFrame =
     tarMeta(plantedTarMedia(spark, documents, every).toDF())
 
+  object PlantedMp3s {
+    val Every = 8
+
+    /** Minimal real MP3: an ID3v2 header (syncsafe size, the m13
+      * contract) whose payload is filler, then the first MPEG-1
+      * Layer III audio frame — sync 0xFFFB, bitrate index 1..14,
+      * samplerate index 0..2 and the padding bit all doc_id formulas,
+      * channel-mode bits from doc_id%4 — plus a few data bytes. */
+    def craftedMp3(docId: Long): Array[Byte] = {
+      val tagSize = (40 + docId % 50).toInt
+      val bri = (1 + docId % 14).toInt
+      val sri = (docId % 3).toInt
+      val pad = (docId % 2).toInt
+      val mode = (docId % 4).toInt
+      val out = java.nio.ByteBuffer.allocate(10 + tagSize + 4 + 12)
+      out.put('I'.toByte).put('D'.toByte).put('3'.toByte)
+      out.put(3.toByte).put(0.toByte).put(0.toByte)
+      out.put(((tagSize >> 21) & 0x7f).toByte).put(((tagSize >> 14) & 0x7f).toByte)
+      out.put(((tagSize >> 7) & 0x7f).toByte).put((tagSize & 0x7f).toByte)
+      (0 until tagSize).foreach(i => out.put(((docId * 5 + i) % 256).toByte))
+      out.put(0xFF.toByte).put(0xFB.toByte)   // sync + MPEG1 + Layer III
+      out.put(((bri << 4) | (sri << 2) | (pad << 1)).toByte)
+      out.put((mode << 6).toByte)
+      (0 until 12).foreach(i => out.put(((docId * 3 + i) % 256).toByte))
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-MP3 payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedMp3Media(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedMp3s.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedMp3s.craftedMp3(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL MPEG audio FRAME header parsing — m13 stops at the ID3 tag;
+    * this reads the actual audio stream behind it, whose format
+    * reality is that bitrate and sample rate are INDEX LOOKUPS into
+    * published tables, not stored values (a parser that reads the
+    * nibble as kbps is off by an order of magnitude): skip the
+    * syncsafe-sized ID3v2 tag (or none — a bare stream starts at byte
+    * one), validate the 11-bit frame sync + MPEG-1 + Layer III bits,
+    * decode bitrate index → kbps and samplerate index → Hz through
+    * broadcast-literal arrays, and compute the frame byte length with
+    * the standard 144·bitrate/samplerate + padding integer formula —
+    * the number a streaming splitter uses to hop frame-to-frame
+    * without decoding audio. Invalid indices (0 or 15 bitrate,
+    * reserved samplerate) and non-MP3 payloads degrade to the
+    * synthetic tier. Pure column exprs, one scan, no shuffle/UDF. */
+  def mp3FrameMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val bitrates = typedLit(Seq(32, 40, 48, 56, 64, 80, 96, 112,
+      128, 160, 192, 224, 256, 320))
+    val rates = typedLit(Seq(44100, 48000, 32000))
+    val isId3 = hex(p.substr(lit(1), lit(3))) === "494433"
+    val tagSize = beUint(p, lit(7L), 1) * 2097152 + beUint(p, lit(8L), 1) * 16384 +
+      beUint(p, lit(9L), 1) * 128 + beUint(p, lit(10L), 1)
+    val base = when(isId3, tagSize + 11).otherwise(lit(1L))
+    val b0 = beUint(p, base, 1)
+    val b1 = beUint(p, base + 1, 1)
+    val b2 = beUint(p, base + 2, 1)
+    val b3 = beUint(p, base + 3, 1)
+    val syncOk = b0 === 255 && (b1.bitwiseAND(0xE0) === 0xE0)
+    val mpeg1Layer3 = b1.bitwiseAND(0x1E) === 0x1A // version 11, layer 01
+    val bri = (b2.bitwiseAND(0xF0) / 16).cast("int")
+    val sri = (b2.bitwiseAND(0x0C) / 4).cast("int")
+    val pad = (b2.bitwiseAND(0x02) / 2).cast("int")
+    val mode = (b3.bitwiseAND(0xC0) / 64).cast("int")
+    val complete = coalesce(syncOk && mpeg1Layer3 &&
+      bri.between(1, 14) && sri.between(0, 2), lit(false))
+    val br = element_at(bitrates, bri)         // 1-based: bri 1..14
+    val sr = element_at(rates, sri + 1)
+    val synth = (lit(64) + pmod(len * 7, lit(257))).cast("int")
+    media
+      .withColumn("_c", complete)
+      .withColumn("_br", when(complete, br))
+      .withColumn("_sr", when(complete, sr))
+      .withColumn("_pad", when(complete, pad))
+      .withColumn("_mode", when(complete, mode))
+      .select(
+        col("doc_id"),
+        col("_c").cast("int").as("is_mp3"),
+        when(col("_c"), col("_br")).otherwise(synth).as("bitrate_kbps"),
+        when(col("_c"), col("_sr")).otherwise(lit(8000) + synth)
+          .as("sample_rate"),
+        when(col("_c"), col("_pad")).otherwise(lit(0)).as("padding"),
+        when(col("_c"),
+          when(col("_mode") === 0, "stereo").when(col("_mode") === 1, "joint")
+            .when(col("_mode") === 2, "dual").otherwise("mono"))
+          .otherwise(lit("none")).as("mode"),
+        // integer floor division — a / here would be a DOUBLE divide
+        when(col("_c"),
+          expr("(144000 * CAST(_br AS BIGINT)) div _sr + _pad"))
+          .otherwise(synth.cast("long")).as("frame_len"))
+  }
+
+  /** The m22 gate: MPEG frame metadata over the planted corpus. */
+  def mp3FramePlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedMp3s.Every): DataFrame =
+    mp3FrameMeta(plantedMp3Media(spark, documents, every).toDF())
+
   object PlantedEncodings {
     val Every = 8
 

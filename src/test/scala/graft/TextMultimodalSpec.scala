@@ -1242,6 +1242,35 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
   }
 
+  test("mp3 frame: table lookups, frame-length hop, bare stream, corrupt sync") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((8L, "a"), (16L, "b"), (3L, "plain")).toDF("doc_id", "text")
+    val out = Multimodal.mp3FrameMeta(
+      Multimodal.plantedMp3Media(spark, docs).toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("is_mp3"), r.getAs[Int]("bitrate_kbps"),
+          r.getAs[Int]("sample_rate"), r.getAs[Int]("padding"),
+          r.getAs[String]("mode"), r.getAs[Long]("frame_len")))).toMap
+    // doc 8: bri=9 → 128kbps (the TABLE value, not the index), sri=2 →
+    // 32000, pad=0, mode 0; frame hop = 144000*128/32000 = 576
+    assert(out(8L) === ((1, 128, 32000, 0, "stereo", 576L)))
+    // doc 16: bri=3 → 48kbps, sri=1 → 48000, pad=0, mode 0 → 144
+    assert(out(16L) === ((1, 48, 48000, 0, "stereo", 144L)))
+    assert(out(3L)._1 === 0 && out(3L)._5 === "none")
+    // a BARE stream (no ID3 tag) parses from byte one
+    val bare = Multimodal.PlantedMp3s.craftedMp3(8L).drop(10 + (40 + 8 % 50).toInt)
+    val br = Multimodal.mp3FrameMeta(
+      Seq(Multimodal.MediaIn(70L, bare)).toDS().toDF()).collect().head
+    assert(br.getAs[Int]("is_mp3") === 1 && br.getAs[Int]("bitrate_kbps") === 128)
+    // corrupt the sync byte → degrade, not misparse
+    val bad = Multimodal.PlantedMp3s.craftedMp3(8L)
+    bad(10 + (40 + 8 % 50).toInt) = 0x00.toByte
+    val bd = Multimodal.mp3FrameMeta(
+      Seq(Multimodal.MediaIn(71L, bad)).toDS().toDF()).collect().head
+    assert(bd.getAs[Int]("is_mp3") === 0)
+  }
+
   test("romanize: digraphs, silent signs drop, ascii identity, twins round-trip") {
     import spark.implicits._
     import graft.operators.TextOps
