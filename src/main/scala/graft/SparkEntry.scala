@@ -782,6 +782,7 @@ object SparkEntry {
     "t32_ocr_repair" -> Seq("doc_id"),
     "t33_romanize" -> Seq("doc_id"),
     "d29_translit_dedup" -> Seq("doc_id"),
+    "d30_lsh_stats" -> Seq("band"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -949,6 +950,15 @@ object SparkEntry {
       Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d2_banded")
       Dedup.minhashPairsFromSigs(sigs)
+    }),
+    // LSH banding telemetry over its OWN staged banded table (gate
+    // order-independence, the d27 posture)
+    "d30_lsh_stats" -> ((s, d) => {
+      val banded = Dedup.bandedSigs(
+        Dedup.minhashSignatures(t(s, d, "documents"))).localCheckpoint()
+      banded.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d30_banded")
+      Dedup.lshBandStats(banded)
     }),
     // estimator-vs-exact calibration over the SAME candidate machinery;
     // its own staging so the d2 and d27 gates stay order-independent
@@ -6845,6 +6855,23 @@ object SparkEntry {
     // t27: plant replay, the same two-group pattern extracted twice
     // (group 1 hrefs, group 2 texts) and zipped positionally via
     // parallel unnest + range — the kmeansCtes vx idiom
+    // d30: pure relational rollup over the staged banded rows — the
+    // pair mass in HUGEINT, everything else combinable counts
+    "d30_lsh_stats" ->
+      """WITH b AS (SELECT band, bh, count(*) AS b FROM
+             read_parquet('__GRAFT_STAGE__/d30_banded/*.parquet')
+           GROUP BY 1, 2)
+         SELECT CAST(band AS INTEGER) AS band,
+           count(*) AS n_buckets,
+           CAST(sum(b) AS BIGINT) AS n_rows,
+           CAST(max(b) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(sum(CAST(b AS HUGEINT) * (b - 1)) // 2 AS BIGINT)
+             AS n_cand_pairs,
+           CAST(sum(CASE WHEN b > 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped
+         FROM b GROUP BY band ORDER BY band""",
     // c60: the t27 extraction CTEs + absolute filter + per-target
     // aggregation with ORDER BY inside string_agg (Spark's sorted
     // collect_list is the same contract)

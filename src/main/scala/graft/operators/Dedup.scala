@@ -1345,4 +1345,34 @@ object Dedup {
           .when(col("h_a") === col("h_b"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** LSH banding TELEMETRY — the tuning report read before choosing
+    * band counts and bucket caps (q60's skew profile at the LSH
+    * layer): per band, bucket count, row count, the hottest bucket,
+    * singleton buckets (rows that can never pair — the recall you are
+    * not getting), the CANDIDATE-PAIR mass Σ b·(b−1)/2 (quadratic in
+    * the hottest bucket — the number the cap exists to bound, and the
+    * direct predictor of the candidate join's cost), and how many
+    * buckets the given cap would trip. The pair mass accumulates in
+    * DECIMAL(38,0) (b² overflows a Long on a corpus-scale hot bucket)
+    * and lands as BIGINT — a corpus whose true pair mass exceeds 2^63
+    * has long since tripped every cap. Input is the persisted banded
+    * table ([[bandedSigs]]) — the report costs one skinny aggregate
+    * over rows the incremental probe already maintains. */
+  def lshBandStats(banded: DataFrame, maxBucket: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("b"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("b")).as("n_rows"),
+        max(col("b")).as("max_bucket"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum((col("b").cast(DecimalType(38, 0)) * (col("b") - 1)))
+          .as("_pm2"),
+        sum(when(col("b") > maxBucket, 1L).otherwise(0L)).as("n_capped"))
+      .select(col("band"), col("n_buckets"), col("n_rows"),
+        col("max_bucket"), col("n_singletons"),
+        expr("CAST(_pm2 div 2 AS BIGINT)").as("n_cand_pairs"),
+        col("n_capped"))
+  }
 }

@@ -1184,6 +1184,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("lsh band stats: hand-built buckets, pair mass, cap count") {
+    import spark.implicits._
+    // band 0: buckets of size 3, 2, 1, 1 → pairs 3+1 = 4, singles 2;
+    // band 1: one hot bucket of 5 → pairs 10, trips a cap of 4
+    val banded = (Seq.fill(3)((0, 100L)) ++ Seq.fill(2)((0, 200L)) ++
+      Seq((0, 300L), (0, 400L)) ++ Seq.fill(5)((1, 500L)))
+      .zipWithIndex.map { case ((band, bh), i) => (i.toLong, band, bh) }
+      .toDF("doc_id", "band", "bh")
+    val out = graft.operators.Dedup.lshBandStats(banded, maxBucket = 4)
+      .collect().map(r => r.getInt(1 - 1) -> r).toMap
+    val b0 = out(0)
+    assert(b0.getAs[Long]("n_buckets") === 4L)
+    assert(b0.getAs[Long]("n_rows") === 7L)
+    assert(b0.getAs[Long]("max_bucket") === 3L)
+    assert(b0.getAs[Long]("n_singletons") === 2L)
+    assert(b0.getAs[Long]("n_cand_pairs") === 4L)
+    assert(b0.getAs[Long]("n_capped") === 0L)
+    val b1 = out(1)
+    assert(b1.getAs[Long]("n_cand_pairs") === 10L)
+    assert(b1.getAs[Long]("n_capped") === 1L)
+  }
+
   test("centroid update: weighted means exact, untouched cells identical") {
     import org.apache.spark.sql.functions._
     val emb = table("embeddings")
