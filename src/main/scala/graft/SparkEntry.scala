@@ -877,6 +877,7 @@ object SparkEntry {
     "m18_webp_meta" -> Seq("doc_id"),
     "m19_zip_meta" -> Seq("doc_id", "entry_idx"),
     "m20_charset_sniff" -> Seq("doc_id"),
+    "st30_charset_stream" -> Seq("doc_id"),
     "m21_tar_meta" -> Seq("doc_id", "entry_idx"),
     "m22_mp3_frame" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
@@ -1176,11 +1177,13 @@ object SparkEntry {
     // padding arithmetic, magic-checked entries; zero end-blocks stop
     // the walk naturally
     "m21_tar_meta" -> ((s, d) => Multimodal.tarMetaPlanted(s, t(s, d, "documents"))),
-    // charset sniff at the byte layer: BOM dispatch + UTF-8 validity
-    // via the decode-and-look-for-U+FFFD trick; char fields NULL for
-    // invalid payloads (replacement-char counts are no contract)
+    // charset sniff at the byte layer: BOM dispatch + native UTF-8
+    // validity; char fields NULL for invalid payloads
     "m20_charset_sniff" -> ((s, d) =>
       Multimodal.charsetSniffPlanted(s, t(s, d, "documents"))),
+    // the same sniff routed at ingest: zero-state byte-layer pure map
+    "st30_charset_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.charsetFileStream(Tables.tune(s), d)),
     // WebP container dispatch: RIFF/WEBP magic, VP8X extended header
     // (flag bits, 24-bit LE canvas) vs VP8 lossy header (sync-checked
     // 14-bit dims); VP8L degrades — never misparses
@@ -2570,6 +2573,36 @@ object SparkEntry {
   }
   private lazy val allCyrSql =
     TextOps.romanMulti.map(_._1).mkString + TextOps.romanFrom
+
+  // shared by m20 (batch) and st30 (streaming) — the sniff reads
+  // only each payload's own bytes; one SQL, two surfaces
+  private lazy val charsetSql =
+    """WITH pt AS (SELECT doc_id,
+             length('doc ' || CAST(doc_id AS VARCHAR) || ' data') AS L
+           FROM documents)
+         SELECT d.doc_id, 'none' AS bom, 1 AS valid_utf8,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CASE WHEN length(d.text) < octet_length(encode(d.text))
+             THEN 1 ELSE 0 END AS multibyte
+         FROM documents d WHERE d.doc_id % 8 <> 0
+         UNION ALL
+         SELECT doc_id, 'utf8-bom', 1, CAST(3 + L AS BIGINT),
+           CAST(1 + L AS BIGINT), 1
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 0
+         UNION ALL
+         SELECT doc_id, 'utf16le', 0, CAST(2 + 2 * L AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 1
+         UNION ALL
+         SELECT doc_id, 'utf16be', 0, CAST(2 + 2 * L AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 2
+         UNION ALL
+         SELECT doc_id, 'none', 0, CAST(1 + L AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 3
+         ORDER BY doc_id"""
 
   // shared by c59 (batch) and st29 (streaming) — the gate reads only
   // each document's own text, so the two surfaces can never drift
@@ -5296,33 +5329,10 @@ object SparkEntry {
          FROM e ORDER BY doc_id, entry_idx""",
     // m20: plant replay across the four encoding branches + the plain
     // corpus tier; char fields NULL where UTF-8 validity fails
-    "m20_charset_sniff" ->
-      """WITH pt AS (SELECT doc_id,
-             length('doc ' || CAST(doc_id AS VARCHAR) || ' data') AS L
-           FROM documents)
-         SELECT d.doc_id, 'none' AS bom, 1 AS valid_utf8,
-           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-           CAST(length(d.text) AS BIGINT) AS n_chars,
-           CASE WHEN length(d.text) < octet_length(encode(d.text))
-             THEN 1 ELSE 0 END AS multibyte
-         FROM documents d WHERE d.doc_id % 8 <> 0
-         UNION ALL
-         SELECT doc_id, 'utf8-bom', 1, CAST(3 + L AS BIGINT),
-           CAST(1 + L AS BIGINT), 1
-         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 0
-         UNION ALL
-         SELECT doc_id, 'utf16le', 0, CAST(2 + 2 * L AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
-         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 1
-         UNION ALL
-         SELECT doc_id, 'utf16be', 0, CAST(2 + 2 * L AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
-         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 2
-         UNION ALL
-         SELECT doc_id, 'none', 0, CAST(1 + L AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
-         FROM pt WHERE doc_id % 8 = 0 AND (doc_id // 8) % 4 = 3
-         ORDER BY doc_id""",
+    "m20_charset_sniff" -> charsetSql,
+    // st30: the SAME SQL — the sniff reads only each payload's own
+    // bytes, so the streamed union equals the batch run
+    "st30_charset_stream" -> charsetSql,
     // m19: plant replay — entry fields as doc_id/ordinal formulas,
     // data offsets as the running sum of prior entry sizes (pure
     // arithmetic, the m14 byte-offset idiom)

@@ -670,6 +670,19 @@ object StreamDrivers {
       onBatch = b => graft.operators.Curation.badwordsGate(b))
   }
 
+  /** st30: the m20 charset sniff as a streaming ingest ROUTER — the
+    * byte-layer twin of st25/st29 (the decision is a pure function of
+    * each payload's own bytes; no state, no artifact), deployed where
+    * it runs in production: at the crawl ingest boundary, before any
+    * text exists. Payload-disjoint micro-batches union to the batch
+    * m20 run and ONE shared SQL gates both surfaces. */
+  def charsetFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = graft.operators.Multimodal.plantedEncodingMedia(
+      spark, graft.Tables.load(spark, sfDir, "documents")).toDF()
+    statelessDocStream(spark, "charset", media,
+      onBatch = b => graft.operators.Multimodal.charsetSniff(b))
+  }
+
   /** st28: the s20 index-drift monitor at the INGEST surface — the
     * frozen centroid fit is the persisted model (the st16/st17
     * posture); each micro-batch of arriving vectors is assigned

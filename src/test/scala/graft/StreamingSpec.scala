@@ -337,6 +337,19 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       batch.exists(r => r(4).asInstanceOf[Int] === 1))
   }
 
+  test("st30 driver: streamed charset sniff equals the batch m20 result") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
+        .map(_.toSeq.toList).toSet
+    val streamed = rows("st30_charset_stream")
+    val batch = rows("m20_charset_sniff")
+    assert(streamed === batch)
+    // non-vacuous: BOM'd, valid and invalid payloads all present
+    val boms = batch.map(r => r(1).asInstanceOf[String])
+    assert(boms.contains("utf8-bom") && boms.contains("utf16le"))
+    assert(batch.exists(r => r(2).asInstanceOf[Int] === 0))
+  }
+
   test("st28 driver: streamed drift monitor equals the batch s20 table") {
     def rows(name: String) =
       SparkEntry.queries(name)(spark, SharedSpark.sfDir).collect()
