@@ -880,6 +880,7 @@ object SparkEntry {
     "st30_charset_stream" -> Seq("doc_id"),
     "m21_tar_meta" -> Seq("doc_id", "entry_idx"),
     "m22_mp3_frame" -> Seq("doc_id"),
+    "m23_flac_meta" -> Seq("doc_id"),
     "m14_warc_records" -> Seq("doc_id", "rec_idx"),
     "c53_main_content" -> Seq("doc_id"),
     "st27_content_stream" -> Seq("doc_id"),
@@ -1169,6 +1170,11 @@ object SparkEntry {
     // dumps), streaming shape, per-entry rows with byte-exact data
     // offsets; non-ZIP payloads emit nothing
     "m19_zip_meta" -> ((s, d) => Multimodal.zipMetaPlanted(s, t(s, d, "documents"))),
+    // FLAC STREAMINFO: bit-packed fields unpacked with integer
+    // div/mod over byte-aligned reads (the 36-bit sample count splits
+    // across a nibble and a u32)
+    "m23_flac_meta" -> ((s, d) =>
+      Multimodal.flacMetaPlanted(s, t(s, d, "documents"))),
     // MPEG frame header behind the ID3 tag: table-lookup bitrate and
     // samplerate, the 144·br/sr+pad frame-length hop
     "m22_mp3_frame" -> ((s, d) =>
@@ -5276,6 +5282,26 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
                         UNION ALL SELECT * FROM fb)
          ORDER BY doc_id, rec_idx""",
+    // m23: the plant formulas replayed, duration as the same integer
+    // division; fallback duration is the exact 10000 identity
+    "m23_flac_meta" ->
+      """SELECT doc_id, 1 AS is_flac,
+           CAST(8000 + (doc_id % 50) * 800 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 8 AS INTEGER) AS channels,
+           CAST(8 + (doc_id % 3) * 8 AS INTEGER) AS bits_per_sample,
+           CAST(100000 + doc_id * 37 AS BIGINT) AS total_samples,
+           CAST(((100000 + doc_id * 37) * 1000)
+             // (8000 + (doc_id % 50) * 800) AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0,
+           CAST(8000 + (octet_length(encode(text)) * 13) % 4001 AS BIGINT),
+           1, 16,
+           CAST((8000 + (octet_length(encode(text)) * 13) % 4001) * 10
+             AS BIGINT),
+           CAST(10000 AS BIGINT)
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     // m22: plant replay — index formulas through the same published
     // tables (1-based list indexing), the same integer frame-length
     // formula, and the synthetic fallback

@@ -2226,6 +2226,98 @@ object Multimodal {
                       every: Int = PlantedMp3s.Every): DataFrame =
     mp3FrameMeta(plantedMp3Media(spark, documents, every).toDF())
 
+  object PlantedFlacs {
+    val Every = 8
+    def sampleRate(docId: Long) = (8000 + (docId % 50) * 800).toInt
+    def channels(docId: Long) = (1 + docId % 8).toInt
+    def bps(docId: Long) = (8 + (docId % 3) * 8).toInt
+    def totalSamples(docId: Long) = 100000L + docId * 37
+
+    /** Minimal real FLAC: `fLaC` magic + a last-flagged STREAMINFO
+      * metadata block whose tail 8 bytes BIT-PACK sample rate (20
+      * bits), channels−1 (3), bits-per-sample−1 (5) and total samples
+      * (36) — every field a doc_id formula. */
+    def craftedFlac(docId: Long): Array[Byte] = {
+      val sr = sampleRate(docId); val ch = channels(docId)
+      val b = bps(docId); val ts = totalSamples(docId)
+      val out = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 8)
+      out.put("fLaC".getBytes("US-ASCII"))
+      out.put(0x80.toByte)                       // last block, type 0
+      out.put(0.toByte).put(0.toByte).put(34.toByte)
+      out.putShort(4096.toShort).putShort(4096.toShort)  // block sizes
+      (0 until 6).foreach(_ => out.put(0.toByte))        // frame sizes
+      val u24 = sr * 16 + (ch - 1) * 2 + ((b - 1) / 16)
+      out.put(((u24 >> 16) & 0xFF).toByte).put(((u24 >> 8) & 0xFF).toByte)
+        .put((u24 & 0xFF).toByte)
+      out.put(((((b - 1) % 16) << 4) | ((ts >> 32) & 0xF).toInt).toByte)
+      out.putInt((ts & 0xFFFFFFFFL).toInt)
+      (0 until 16).foreach(_ => out.put(0.toByte))       // md5 filler
+      var i = 0
+      while (i < 8) { out.put(((docId * 9 + i) % 256).toByte); i += 1 }
+      out.array()
+    }
+  }
+
+  /** Documents with planted real-FLAC payloads on every `every`-th
+    * doc_id (text bytes otherwise). */
+  def plantedFlacMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedFlacs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedFlacs.craftedFlac(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL FLAC STREAMINFO parsing — the lossless-audio side of the
+    * m5/m22 family, whose format reality is BIT-PACKED fields: sample
+    * rate (20 bits), channels−1 (3), bits-per-sample−1 (5) and total
+    * samples (36) share bytes, so extraction is integer div/mod
+    * arithmetic over byte-aligned reads (a 36-bit count cannot even be
+    * read as one aligned integer — it splits across a nibble and a
+    * u32, exactly how the spec lays it out). Validates the `fLaC`
+    * magic + a type-0 first metadata block of length 34; reports the
+    * decoded fields and the derived duration_ms = samples·1000 div
+    * rate (the integer the catalog layer actually wants). Non-FLAC
+    * payloads degrade to the synthetic tier. Pure column exprs, one
+    * scan, no shuffle/UDF. */
+  def flacMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isFlac = p.substr(lit(1), lit(4)).cast("string") === "fLaC" &&
+      beUint(p, lit(5L), 1).bitwiseAND(0x7F) === 0 &&
+      beUint(p, lit(6L), 3) === 34
+    val synth = (lit(8000) + pmod(len * 13, lit(4001))).cast("long")
+    media
+      .withColumn("_u24", beUint(p, lit(19L), 3))
+      .withColumn("_u8", beUint(p, lit(22L), 1))
+      .withColumn("_u32", beUint(p, lit(23L), 4))
+      .withColumn("_c", coalesce(isFlac &&
+        expr("_u24 div 16") > 0 && col("_u32").isNotNull, lit(false)))
+      .select(
+        col("doc_id"),
+        col("_c").cast("int").as("is_flac"),
+        // bit unpacking is integer div/mod — a `/` would be a double
+        // divide (the m22 lesson, same cliff)
+        when(col("_c"), expr("_u24 div 16")).otherwise(synth)
+          .as("sample_rate"),
+        when(col("_c"), expr("CAST((_u24 div 2) % 8 + 1 AS INT)"))
+          .otherwise(lit(1)).as("channels"),
+        when(col("_c"), expr("CAST((_u24 % 2) * 16 + _u8 div 16 + 1 AS INT)"))
+          .otherwise(lit(16)).as("bits_per_sample"),
+        when(col("_c"), expr("(_u8 % 16) * 4294967296 + _u32"))
+          .otherwise(synth * 10).as("total_samples"))
+      .withColumn("duration_ms",
+        expr("(total_samples * 1000) div sample_rate"))
+  }
+
+  /** The m23 gate: FLAC STREAMINFO over the planted corpus. */
+  def flacMetaPlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedFlacs.Every): DataFrame =
+    flacMeta(plantedFlacMedia(spark, documents, every).toDF())
+
   object PlantedEncodings {
     val Every = 8
 

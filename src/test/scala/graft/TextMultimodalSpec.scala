@@ -1242,6 +1242,33 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
   }
 
+  test("flac streaminfo: bit-packed fields unpack exactly, non-flac degrades") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((8L, "a"), (16L, "b"), (3L, "plain")).toDF("doc_id", "text")
+    val out = Multimodal.flacMeta(
+      Multimodal.plantedFlacMedia(spark, docs).toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("is_flac"), r.getAs[Long]("sample_rate"),
+          r.getAs[Int]("channels"), r.getAs[Int]("bits_per_sample"),
+          r.getAs[Long]("total_samples"), r.getAs[Long]("duration_ms")))).toMap
+    // doc 8: sr 8000+8*800=14400, ch 1, bps 24, ts 100296 → 6964 ms
+    assert(out(8L) === ((1, 14400L, 1, 24, 100296L,
+      100296L * 1000 / 14400)))
+    // doc 16: sr 20800, ch 1, bps 16, ts 100592
+    assert(out(16L) === ((1, 20800L, 1, 16, 100592L,
+      100592L * 1000 / 20800)))
+    assert(out(3L)._1 === 0)
+    // a 36-bit sample count crossing the nibble boundary survives
+    val big = Multimodal.PlantedFlacs.craftedFlac(8L)
+    // overwrite the packed tail with ts = 5 * 2^32 + 7
+    big(21) = (((24 - 1) % 16) << 4 | 5).toByte
+    big(22) = 0; big(23) = 0; big(24) = 0; big(25) = 7
+    val rb = Multimodal.flacMeta(
+      Seq(Multimodal.MediaIn(80L, big)).toDS().toDF()).collect().head
+    assert(rb.getAs[Long]("total_samples") === 5L * 4294967296L + 7L)
+  }
+
   test("mp3 frame: table lookups, frame-length hop, bare stream, corrupt sync") {
     import spark.implicits._
     import graft.operators.Multimodal
