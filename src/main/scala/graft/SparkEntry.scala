@@ -321,6 +321,28 @@ object SparkEntry {
         lit(" привет мир")).otherwise(lit("")))
       .as("text"))
 
+  /** SRT cue blocks planted for the t34 gate: %5==2 docs gain two
+    * timed cues whose h/m/s/ms fields are doc_id formulas chosen so no
+    * field ever carries (s+2 ≤ 41, m+1 ≤ 50) — the concatenation and
+    * all timestamp arithmetic replay as pure lpad/printf algebra. */
+  private[graft] def plantSubtitles(docs: DataFrame): DataFrame = {
+    def two(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+    def three(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 3, "0")
+    val m1 = pmod(col("doc_id"), lit(50)); val s1 = pmod(col("doc_id"), lit(40))
+    val ms1 = pmod(col("doc_id"), lit(900))
+    val m2 = m1 + 1; val s2 = pmod(col("doc_id"), lit(30))
+    val ms2 = pmod(col("doc_id") * 7, lit(1000))
+    docs.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 2, concat(
+        lit("\n1\n00:"), two(m1), lit(":"), two(s1), lit(","), three(ms1),
+        lit(" --> 00:"), two(m1), lit(":"), two(s1 + 2), lit(","), three(ms1),
+        lit("\nhello caption line\n\n2\n00:"), two(m2), lit(":"), two(s2),
+        lit(","), three(ms2), lit(" --> 00:"), two(m2), lit(":"),
+        two(s2 + 3), lit(","), three(ms2),
+        lit("\nsecond caption text\n"))).otherwise(lit("")))
+      .as("text"))
+  }
+
   /** Cyrillic tails planted for the t33 gate (the corpus is ASCII):
     * %6==1 a plain 1:1-letter phrase, %9==2 digraph-bearing words
     * (ш/ч), %12==7 the ё/ж/ы/х cluster plus a silent-sign word —
@@ -781,6 +803,7 @@ object SparkEntry {
     "t31_dates" -> Seq("doc_id"),
     "t32_ocr_repair" -> Seq("doc_id"),
     "t33_romanize" -> Seq("doc_id"),
+    "t34_subtitles" -> Seq("doc_id"),
     "d29_translit_dedup" -> Seq("doc_id"),
     "d30_lsh_stats" -> Seq("band"),
     "d24_url_dedup" -> Seq("canon_url"),
@@ -1415,6 +1438,10 @@ object SparkEntry {
     // silent signs dropped; identity on Latin docs
     "t33_romanize" -> ((s, d) =>
       TextOps.romanize(plantCyrillic(t(s, d, "documents")))),
+    // caption-corpus temporal quality: cue spans in pure group
+    // arithmetic, reading speed as an exact rational
+    "t34_subtitles" -> ((s, d) =>
+      TextOps.subtitleCues(plantSubtitles(t(s, d, "documents")))),
     // cross-script dedup: the d1 algebra over ROMANIZED text pairs
     // each planted Cyrillic twin with its Latin original
     "d29_translit_dedup" -> ((s, d) =>
@@ -6164,6 +6191,61 @@ object SparkEntry {
          SELECT m.doc_id, g.entity, g.etype, count(*) AS n_mentions
          FROM m JOIN g ON m.gram = g.entity
          GROUP BY 1, 2, 3 ORDER BY m.doc_id, g.entity""",
+    // t34: the lpad plant replay, the same cue regex, per-group ms
+    // arithmetic via list_transform, speech span as the per-cue
+    // duration sum, cps as the HUGEINT rational
+    "t34_subtitles" ->
+      """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 2 THEN
+               chr(10) || '1' || chr(10) || '00:' ||
+               lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || ',' ||
+               lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0') ||
+               ' --> 00:' ||
+               lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 40 + 2 AS VARCHAR), 2, '0') || ',' ||
+               lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0') ||
+               chr(10) || 'hello caption line' || chr(10) || chr(10) ||
+               '2' || chr(10) || '00:' ||
+               lpad(CAST(doc_id % 50 + 1 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0') || ',' ||
+               lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+               ' --> 00:' ||
+               lpad(CAST(doc_id % 50 + 1 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 30 + 3 AS VARCHAR), 2, '0') || ',' ||
+               lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+               chr(10) || 'second caption text' || chr(10)
+             ELSE '' END AS text FROM documents),
+         d AS (SELECT doc_id, text, regexp_extract_all(text,
+             '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})',
+             0) AS cues FROM aug),
+         e AS (SELECT doc_id, text, cues,
+             list_transform(cues, x ->
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 1) AS BIGINT) * 3600000 +
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 2) AS BIGINT) * 60000 +
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 3) AS BIGINT) * 1000 +
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 4) AS BIGINT)) AS starts,
+             list_transform(cues, x ->
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 5) AS BIGINT) * 3600000 +
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 6) AS BIGINT) * 60000 +
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 7) AS BIGINT) * 1000 +
+               CAST(regexp_extract(x, '(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})', 8) AS BIGINT)) AS ends
+           FROM d),
+         f AS (SELECT doc_id, text, cues, starts, ends,
+             CAST(COALESCE(list_sum(list_transform(range(len(cues)),
+               i -> ends[i + 1] - starts[i + 1])), 0) AS BIGINT) AS speech,
+             CAST(length(text) - 29 * len(cues) AS BIGINT) AS txtchars
+           FROM e)
+         SELECT doc_id, CAST(len(cues) AS INTEGER) AS n_cues,
+           CASE WHEN len(cues) > 0 THEN list_min(starts) END AS first_ms,
+           CASE WHEN len(cues) > 0 THEN list_max(ends) END AS last_ms,
+           CASE WHEN len(cues) > 0 THEN speech END AS speech_ms,
+           CASE WHEN len(cues) > 0 AND speech > 0 THEN
+             CAST(CAST((CAST(txtchars * 1000 AS HUGEINT) * 200 + speech)
+               // (2 * CAST(speech AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 100.0
+           END AS cps
+         FROM f ORDER BY doc_id""",
     // t33: plant replay + the generated romanize chain and the
     // Cyrillic-codepoint count
     "t33_romanize" ->

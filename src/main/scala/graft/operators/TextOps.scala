@@ -1194,6 +1194,50 @@ object TextOps {
         length(translate(col("text"), allCyr, ""))).cast("int").as("n_cyr"))
   }
 
+  /** SRT subtitle-cue analysis — caption corpora (OpenSubtitles-class
+    * data) are a major dialogue source, and their quality signal is
+    * TEMPORAL: reading speed. Per document: cue count, the first/last
+    * cue timestamps (milliseconds via pure group arithmetic — h/m/s/ms
+    * fields extracted and combined, never a timestamp type), total
+    * SPEECH span (Σ per-cue durations — pauses between cues do not
+    * count as speech), and chars-per-second over that span as an exact
+    * rational — machine-generated or mis-synced captions show up as
+    * impossible reading speeds (>25 cps) long before any text signal
+    * fires. Documents without cues emit 0/null (the audit-friendly
+    * shape). Pure map — one timestamp-pair regex + element-wise
+    * arithmetic; no shuffle, no UDF. */
+  def subtitleCues(documents: DataFrame): DataFrame = {
+    val cuePat = "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> " +
+      "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})"
+    def ms(x: Column, hG: Int): Column =
+      regexp_extract(x, cuePat, hG).cast("long") * 3600000L +
+        regexp_extract(x, cuePat, hG + 1).cast("long") * 60000L +
+        regexp_extract(x, cuePat, hG + 2).cast("long") * 1000L +
+        regexp_extract(x, cuePat, hG + 3).cast("long")
+    documents
+      .withColumn("_cues", regexp_extract_all(col("text"), lit(cuePat), lit(0)))
+      .withColumn("_starts", transform(col("_cues"), x => ms(x, 1)))
+      .withColumn("_ends", transform(col("_cues"), x => ms(x, 5)))
+      .withColumn("_speech", aggregate(
+        zip_with(col("_ends"), col("_starts"), (e, s) => e - s),
+        lit(0L), (acc, d) => acc + d))
+      // caption text chars: everything that is not a cue line, index
+      // line or newline — approximated as chars outside cue matches
+      .withColumn("_cuechars", aggregate(
+        transform(col("_cues"), x => length(x).cast("long")),
+        lit(0L), (acc, d) => acc + d))
+      .withColumn("_txtchars",
+        (length(col("text")) - col("_cuechars")).cast("long"))
+      .select(col("doc_id"),
+        size(col("_cues")).as("n_cues"),
+        when(size(col("_cues")) > 0, array_min(col("_starts")))
+          .as("first_ms"),
+        when(size(col("_cues")) > 0, array_max(col("_ends"))).as("last_ms"),
+        when(size(col("_cues")) > 0, col("_speech")).as("speech_ms"),
+        when(size(col("_cues")) > 0 && col("_speech") > 0,
+          ratRound("_txtchars * 1000", "_speech", 2)).as("cps"))
+  }
+
   /** OCR-artifact detection AND repair — the hygiene pass scanned-book
     * and PDF-extraction corpora need before any token-level operator
     * (OCR noise poisons the same downstream keys confusables do, at

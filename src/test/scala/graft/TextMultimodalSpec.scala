@@ -1242,6 +1242,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
   }
 
+  test("subtitle cues: ms arithmetic, pause exclusion, reading speed, cue-less") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val srt = "1\n00:00:01,500 --> 00:00:03,500\nhello there\n\n" +
+      "2\n00:01:00,000 --> 00:01:04,000\nlong pause before this one\n"
+    val docs = Seq((1L, srt), (2L, "no cues in this plain doc")).toDF("doc_id", "text")
+    val out = TextOps.subtitleCues(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_cues") === 2)
+    assert(r1.getAs[Long]("first_ms") === 1500L)
+    assert(r1.getAs[Long]("last_ms") === 64000L)
+    // speech = 2000 + 4000, NOT the 62500 wall span — the pause is out
+    assert(r1.getAs[Long]("speech_ms") === 6000L)
+    // chars outside the two 29-char cue stamps: len - 58
+    val txt = srt.length - 58
+    assert(r1.getAs[Double]("cps") ===
+      math.round(txt * 1000.0 / 6000 * 100) / 100.0)
+    val r2 = out(2L)
+    assert(r2.getAs[Int]("n_cues") === 0 && r2.isNullAt(r2.fieldIndex("cps")))
+  }
+
   test("flac streaminfo: bit-packed fields unpack exactly, non-flac degrades") {
     import spark.implicits._
     import graft.operators.Multimodal
