@@ -806,6 +806,7 @@ object SparkEntry {
     "t34_subtitles" -> Seq("doc_id"),
     "d29_translit_dedup" -> Seq("doc_id"),
     "d30_lsh_stats" -> Seq("band"),
+    "d31_phash_clusters" -> Seq("doc_id"),
     "d24_url_dedup" -> Seq("canon_url"),
     "q46_pit_join" -> Seq("event_id"),
     "s16_ann_eval" -> Seq("q_id"),
@@ -1158,6 +1159,10 @@ object SparkEntry {
     // (full recall to Hamming 3 by pigeonhole) + exact popcount verify
     "d22_phash_pairs" -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.imagePhash(s, t(s, d, "documents")))),
+    // pairs→clusters for the VISUAL modality: the shared CC core over
+    // the Hamming-verified phash edge list
+    "d31_phash_clusters" -> ((s, d) =>
+      Multimodal.phashClusters(Multimodal.imagePhash(s, t(s, d, "documents")))),
     // incremental visual dedup: the odd half of the planted tier (by
     // doc_id/16 parity) is the persisted corpus, the even half the new
     // batch — the d11 ingest posture over phash signatures
@@ -5167,6 +5172,21 @@ object SparkEntry {
     // banding is full-recall at Hamming ≤ 3 (pigeonhole), so the
     // operator's banded+verified pair set equals this exhaustive filter
     "d22_phash_pairs" -> phashPairsSql(""),
+    // d31: the d22 edge set + the d10 recursive-reachability replay,
+    // labels joined back onto the real-tier signature rows
+    "d31_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPlantCtes,
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM re a JOIN re b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi::BIT, b.hi::BIT)) +
+                 bit_count(xor(a.lo::BIT, b.lo::BIT)) <= 3),
+         bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS n FROM bidir),
+         reach(n, m) AS (SELECT n, n FROM nodes UNION
+           SELECT bidir.a, reach.m FROM bidir JOIN reach ON reach.n = bidir.b),
+         lab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+         SELECT re.doc_id, coalesce(lab.cluster_id, re.doc_id) AS cluster_id
+         FROM re LEFT JOIN lab ON lab.n = re.doc_id ORDER BY 1""",
     // d23: the d22 brute-force replay RESTRICTED to batch-touching pairs
     // (batch = the doc_id/16-even half of the planted tier) — equality
     // with the banded incremental probe licensed by the recall guarantee

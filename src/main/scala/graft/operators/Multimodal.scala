@@ -1861,6 +1861,23 @@ object Multimodal {
     hammingVerified(cand, allSigs, maxHamming)
   }
 
+  /** Visual near-dup CLUSTERS — the pairs→clusters completion for the
+    * image modality (text and embedding pairs have had their cluster
+    * tables since d6/d9/d10; visual pairs stopped at d22): the
+    * Hamming-verified phash pair set becomes an edge list and the
+    * shared pair-source-agnostic connected-components core assigns
+    * every REAL-tier signature its component's min doc_id (stub-tier
+    * rows are id arithmetic, not content — they never pair and are
+    * not cluster members, the d22 contract). Everything downstream of
+    * the pair set is the same size-gated CC machinery every other
+    * modality uses — one code path, four modalities. */
+  def phashClusters(phashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.duplicateClustersFrom(
+        realSigs(phashes).select(col("doc_id").as("vec_id")),
+        phashPairs(phashes, maxHamming)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+
   object PlantedJpegs {
     val Every = 8
 

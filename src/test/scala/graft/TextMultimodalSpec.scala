@@ -1242,6 +1242,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(n6._1 === "none" && n6._2 === 1 && n6._5 === Some(1))
   }
 
+  test("phash clusters: pairs merge, singletons self-label, stubs excluded") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val sigs = Multimodal.imagePhash(spark, table("documents"))
+    val out = Multimodal.phashClusters(sigs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Multimodal.phashPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every paired doc shares its partner's cluster
+    pairs.foreach { case (a, b) => assert(out(a) === out(b), s"pair $a,$b") }
+    // cluster label is the component min (at minimum: ≤ both endpoints)
+    pairs.foreach { case (a, b) => assert(out(a) <= math.min(a, b)) }
+    // exactly the real-tier rows are clustered, stubs are absent
+    val real = sigs.filter(col("is_real") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.keySet === real)
+    // unpaired reals self-label
+    val pairedIds = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    (real -- pairedIds).foreach(id => assert(out(id) === id))
+    assert(pairs.nonEmpty, "no visual pairs at this sf — vacuous")
+  }
+
   test("subtitle cues: ms arithmetic, pause exclusion, reading speed, cue-less") {
     import spark.implicits._
     import graft.operators.TextOps
