@@ -865,6 +865,7 @@ object SparkEntry {
     "st29_badwords_stream" -> Seq("doc_id"),
     "q63_event_dedup" -> Seq("event_id"),
     "q64_attribution" -> Seq("event_id"),
+    "q65_interval_overlap" -> Seq("user_id", "session_id", "day"),
     "s20_drift" -> Seq("cluster"),
     "s23_centroid_update" -> Seq("cluster", "pos"),
     "st28_drift_stream" -> Seq("cluster"),
@@ -1399,6 +1400,9 @@ object SparkEntry {
     // first/last-touch attribution: RANGE lookback + packed-integer
     // extremes (no struct ordering crosses engines)
     "q64_attribution" -> ((s, d) => TimeJoins.attribution(t(s, d, "events"))),
+    // interval-overlap join: day-bucket banding makes it equi (and
+    // needs no dedup — one window per day), overlap as a post-filter
+    "q65_interval_overlap" -> ((s, d) => TimeJoins.intervalOverlap(t(s, d, "events"))),
     // crawl-over-crawl token drift: top shifted tokens by the exact
     // integer cross-product, parity halves as the two crawls
     "c58_token_drift" -> ((s, d) => {
@@ -5919,6 +5923,34 @@ object SparkEntry {
     // st29: the SAME SQL — the gate is a pure function of each doc's
     // own text, so the streamed union equals the batch run
     "st29_badwords_stream" -> badwordsSql,
+    // q65: the q15 session CTEs with both bounds, the corpus day
+    // spine × the fixed daily window, day-equi join + clamped overlap
+    "q65_interval_overlap" ->
+      """WITH e AS (SELECT event_id, user_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+          f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL
+                OR se - lag(se) OVER w > 1800
+                THEN 1 ELSE 0 END AS ns FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY se, event_id)),
+          g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                ORDER BY se, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_id FROM f),
+          sess AS (SELECT user_id, session_id, min(se) AS s_start,
+                max(se) AS s_end FROM g GROUP BY 1, 2),
+          b AS (SELECT min(s_start) // 86400 AS d0,
+                max(s_end) // 86400 AS d1 FROM sess),
+          w2 AS (SELECT CAST(day AS BIGINT) AS day,
+                day * 86400 + 21600 AS ws, day * 86400 + 64800 AS we
+            FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM b)),
+          j AS (SELECT s.user_id, s.session_id, w2.day, s.s_start,
+                s.s_end,
+                least(s.s_end, w2.we) - greatest(s.s_start, w2.ws) AS ov
+            FROM sess s JOIN w2 ON w2.day
+              BETWEEN s.s_start // 86400 AND s.s_end // 86400)
+          SELECT user_id, session_id, day, s_start, s_end,
+            CAST(ov AS BIGINT) AS overlap_sec
+          FROM j WHERE ov > 0 ORDER BY 1, 2, 3""",
     // q64: the same RANGE lookback + packed extremes + div/mod decode
     "q64_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -116,6 +116,55 @@ object TimeJoins {
         col("next_value"), (col("next_se") - col("se")).as("wait_sec"))
   }
 
+  /** Interval-OVERLAP join — the genomics/observability join class
+    * (which sessions overlapped which maintenance windows; which reads
+    * overlap which genes): naive interval joins are quadratic per key,
+    * so both sides band by CALENDAR DAY first — a session explodes to
+    * the days it spans, daily windows carry their own day — and the
+    * join becomes EQUI on the day bucket with the overlap predicate as
+    * a post-filter. Banding here needs NO dedup pass: each window
+    * belongs to exactly one day, so a multi-day session meets each
+    * window at most once (the reason this banding is cheaper than the
+    * generic overlap-banding that must distinct; documented because
+    * the distinction is easy to miss). Sessions come from q15's gap
+    * algebra with both bounds; windows are the corpus's own day spine
+    * × a fixed daily window. Emits positive-mass overlaps only
+    * (instantaneous sessions carry no time mass — the contract);
+    * `overlap_sec` is the clamped intersection length. One session
+    * aggregate + a dimension-sized spine join — no range join, no
+    * cross product at any scale. */
+  def intervalOverlap(events: DataFrame, gapSec: Long = 1800,
+                      winStartSec: Long = 6 * 3600,
+                      winLenSec: Long = 12 * 3600): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("se"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .select(col("event_id"), col("user_id"), epochSec(col("ts")).as("se"))
+      .withColumn("ns", when(lag(col("se"), 1).over(ord).isNull ||
+        col("se") - lag(col("se"), 1).over(ord) > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("ns")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("se")).as("s_start"), max(col("se")).as("s_end"))
+    val bounds = sessions.agg(
+      expr("min(s_start) div 86400").as("d0"),
+      expr("max(s_end) div 86400").as("d1"))
+    val windows = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"),
+        (col("day") * 86400 + winStartSec).as("w_start"),
+        (col("day") * 86400 + winStartSec + winLenSec).as("w_end"))
+    sessions
+      .withColumn("day", explode(sequence(
+        expr("s_start div 86400"), expr("s_end div 86400"))))
+      .join(broadcast(windows), Seq("day"))
+      .withColumn("overlap_sec",
+        least(col("s_end"), col("w_end")) -
+          greatest(col("s_start"), col("w_start")))
+      .filter(col("overlap_sec") > 0)
+      .select(col("user_id"), col("session_id"), col("day"),
+        col("s_start"), col("s_end"), col("overlap_sec"))
+  }
+
   /** First/last-touch ATTRIBUTION — the marketing-warehouse query that
     * motivated half of window-function SQL: each purchase credits the
     * FIRST and the LAST touch event (view/click) inside its lookback

@@ -126,6 +126,41 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(out(6L) === ((1, 1)))
   }
 
+  test("interval overlap: clamping, outside and instantaneous drop, multi-day") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val day0 = 86400L * 20000 // a fixed day, window [6h, 18h)
+    val base = Seq(
+      // user 1: session crossing INTO the window (05:00 → 07:00, gap-
+      // chained hourly events) → overlap clamps to [06:00, 07:00]
+      (1L, day0 + 5 * 3600, 1L), (2L, day0 + 6 * 3600, 1L),
+      (3L, day0 + 7 * 3600, 1L),
+      // user 2: fully inside (10:00 → 11:00)
+      (4L, day0 + 10 * 3600, 2L), (5L, day0 + 11 * 3600, 2L),
+      // user 3: fully outside (19:00 → 20:00) → no row
+      (6L, day0 + 19 * 3600, 3L), (7L, day0 + 20 * 3600, 3L),
+      // user 4: instantaneous (one event) → no time mass, no row
+      (8L, day0 + 12 * 3600, 4L))
+    // user 5: spans midnight into day+1 (17:00 → 07:00 next day,
+    // hourly chain) → one row per day, both clamped
+    val night = (9L to 23L).map(i =>
+      (i, day0 + 17 * 3600 + (i - 9) * 3600, 5L))
+    val events = (base ++ night)
+      .map { case (id, s, u) => (id, ts(s), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.TimeJoins.intervalOverlap(
+        events, gapSec = 3601).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(5)).toMap
+    val d = day0 / 86400
+    assert(out((1L, d)) === 3600L)          // clamped to one hour
+    assert(out((2L, d)) === 3600L)          // fully inside
+    assert(!out.keySet.exists(_._1 == 3L))  // outside
+    assert(!out.keySet.exists(_._1 == 4L))  // no time mass
+    assert(out((5L, d)) === 3600L)          // 17:00→18:00 of day 0
+    assert(out((5L, d + 1)) === 3600L)      // 06:00→07:00 of day 1
+  }
+
   test("attribution: first and last touch in window, out-of-window drops") {
     import spark.implicits._
     import java.sql.Timestamp
