@@ -826,6 +826,7 @@ object SparkEntry {
     "q58_range_frame" -> Seq("day", "priority"),
     "q60_skew_profile" -> Seq("rank"),
     "q61_cohort_ltv" -> Seq("cohort", "offset"),
+    "q66_growth_rate" -> Seq("month"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -1688,6 +1689,9 @@ object SparkEntry {
     // q34's retention matrix with money in the cells: per-cohort
     // cumulative revenue and per-member LTV, integer-month arithmetic
     "q61_cohort_ltv" -> ((s, d) => Relational.cohortLtv(t(s, d, "orders"))),
+    // month-over-month growth: calendar-frame lag, exact deltas, the
+    // per-mille rate NULL off a zero base
+    "q66_growth_rate" -> ((s, d) => Relational.growthRate(t(s, d, "orders"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
@@ -3235,6 +3239,27 @@ object SparkEntry {
                // (2 * CAST(n_days * 100 AS HUGEINT)) AS BIGINT) AS DOUBLE)
              / 100.0 AS mv_avg_revenue
          FROM w ORDER BY day, priority""",
+    // q66: the same integer-month aggregate, lag over the month frame,
+    // exact decimal deltas and the HUGEINT per-mille rate
+    "q66_growth_rate" ->
+      """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DECIMAL(38,2)) AS rev
+           FROM orders GROUP BY 1),
+         l AS (SELECT ym, rev, lag(rev) OVER (ORDER BY ym) AS prev FROM m)
+         SELECT printf('%04d-%02d', (ym - 1) // 12, (ym - 1) % 12 + 1)
+             AS month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(prev AS DOUBLE) AS prev_revenue,
+           CAST(rev - prev AS DOUBLE) AS delta,
+           CASE WHEN prev IS NOT NULL AND prev > 0 THEN
+             CAST((CASE WHEN rev < prev THEN -1 ELSE 1 END) *
+               CAST((abs(CAST((rev - prev) * 100 AS HUGEINT)) * 1000 * 200
+                 + CAST(prev * 100 AS HUGEINT))
+               // (2 * CAST(prev * 100 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 100.0
+           END AS growth_pm
+         FROM l ORDER BY month""",
     // q61: the same integer-month algebra — first-order aggregate,
     // (cohort, offset) decimal revenue, cohort-partitioned cumulative
     // window, ratRound LTV over exact cents

@@ -938,6 +938,40 @@ object Relational {
         ratRound("_cents", "n_days * 100", 2).as("mv_avg_revenue"))
   }
 
+  /** Period-over-period growth — the month-over-month revenue delta
+    * every BI layer reports: exact decimal monthly revenue, the prior
+    * month's value by lag over the CALENDAR frame (dimension-bounded —
+    * the q51/q53 post-aggregate window argument), the absolute delta
+    * in exact decimal, and growth in per-mille as the exact cent
+    * rational (delta·1000 / prev — HUGEINT form, NULL for the first
+    * month and after a zero month: a growth rate off a zero base is
+    * undefined, not infinite). Months are (year·12+month) integers so
+    * "prior month" is an integer predecessor, immune to calendar
+    * types. One map-side-combinable aggregate; the window runs over
+    * months. */
+  def growthRate(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val monthly = orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("ym"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(38, 2)).as("rev"))
+    val w = Window.orderBy(col("ym"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("_dc", ((col("rev") - col("prev")) * 100)
+        .cast(DecimalType(38, 0)))
+      .withColumn("_pc", (col("prev") * 100).cast(DecimalType(38, 0)))
+      .select(
+        format_string("%04d-%02d", expr("(ym - 1) div 12"),
+          pmod(col("ym") - 1, lit(12)) + 1).as("month"),
+        col("rev").cast("double").as("revenue"),
+        col("prev").cast("double").as("prev_revenue"),
+        (col("rev") - col("prev")).cast("double").as("delta"),
+        when(col("prev").isNotNull && col("prev") > 0,
+          ratRound("_dc * 1000", "_pc", 2)).as("growth_pm"))
+  }
+
   /** Cohort LTV (lifetime-value) curve — q34's retention matrix with
     * MONEY in the cells: customers cohort by first-order month, and
     * each (cohort, month-offset) cell reports that month's exact

@@ -654,6 +654,26 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out.maxBy(_.getAs[Int]("rank")).getAs[Double]("cum_pm") === 1000.0)
   }
 
+  test("growth rate: rise and fall per-mille exact, first month null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2020-$m%02d-15 00:00:00")
+    val orders = Seq(
+      (1L, 1L, "O", 200.0, ts(1), "P"),
+      (2L, 1L, "O", 300.0, ts(2), "P"),   // +50%
+      (3L, 1L, "O", 150.0, ts(3), "P"))   // -50%
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Relational.growthRate(orders).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("revenue"),
+          Option(r.get(r.fieldIndex("growth_pm")))
+            .map(_.asInstanceOf[Double])))).toMap
+    assert(out("2020-01") === ((200.0, None)))       // no prior month
+    assert(out("2020-02") === ((300.0, Some(500.0))))
+    assert(out("2020-03") === ((150.0, Some(-500.0))))
+  }
+
   test("cohort ltv: hand-checked cells, monotone cum, headcount conserved") {
     import spark.implicits._
     import java.sql.Timestamp
