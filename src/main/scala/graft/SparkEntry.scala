@@ -944,9 +944,27 @@ object SparkEntry {
     "q10_topn_group" -> ((s, d) => Relational.topNPerGroup(t(s, d, "part"))),
     "q11_window_running" -> ((s, d) => Relational.windowRunning(t(s, d, "events"))),
     "q12_distinct" -> ((s, d) => Relational.distinctUsers(t(s, d, "events"))),
-    "q13_approx_distinct" -> ((s, d) => Relational.approxDistinct(t(s, d, "events"))),
+    // r13 staged-artifact conversion (the c23/c47 idiom): the HLL++
+    // estimates — the only engine-specific values — stage as parquet
+    // the DuckDB oracle reads verbatim; the returned frame is the
+    // est-vs-exact error report, pure relational algebra both engines
+    // replay. Flipped from rows-only to FULL oracle.
+    "q13_approx_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Relational.approxDistinct(ev).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/q13_est")
+      Relational.approxDistinctEval(s.read.parquet(stageDir(d) + "/q13_est"), ev)
+    }),
     "q14_percentiles" -> ((s, d) => Relational.percentiles(t(s, d, "events"))),
-    "q38_percentiles_approx" -> ((s, d) => Relational.percentilesApprox(t(s, d, "events"))),
+    // r13 staged conversion: GK sketch estimates staged; the returned
+    // frame is the empirical rank-error report (the metric GK bounds),
+    // exact integer counting both engines replay. FULL oracle.
+    "q38_percentiles_approx" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Relational.percentilesApprox(ev).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/q38_est")
+      Relational.percentilesApproxEval(s.read.parquet(stageDir(d) + "/q38_est"), ev)
+    }),
     "q15_sessionize" -> ((s, d) => TimeJoins.sessionize(t(s, d, "events"))),
     "q16_asof_join" -> ((s, d) => TimeJoins.asofJoin(t(s, d, "events"))),
     // the labeling join: first outcome at-or-after each feature row,
@@ -1589,25 +1607,56 @@ object SparkEntry {
       Curation.tokenPackingBy(counts, col("n_bpe_tokens"))
     }),
     "c15_token_packing" -> ((s, d) => Curation.tokenPacking(t(s, d, "documents"))),
-    // mergeable HLL rollup (rows-only: DataSketches-specific estimates;
-    // merged==direct and error-vs-exact are spec-asserted)
-    "c16_sketch_rollup" -> ((s, d) => Curation.sketchRollup(t(s, d, "events"))),
-    // mergeable frequent-items rollup (rows-only: sketch internals are
-    // engine-specific; sparse-regime exactness is spec-asserted)
-    "c17_freq_rollup" -> ((s, d) => Curation.freqRollup(t(s, d, "documents"))),
+    // mergeable HLL rollup, r13 staged conversion: one sketch pass;
+    // the per-day and merged ESTIMATES stage as parquet (the only
+    // engine-specific values) and the returned frame is the rollup
+    // audit — day counts, daily band, union-vs-exact error — pure
+    // relational replay in both engines. FULL oracle (was rows-only;
+    // merged==direct and error bounds remain spec-asserted).
+    "c16_sketch_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sk = Curation.dailyUserSketches(ev)
+      sk.select(col("event_type"), col("day"),
+          hll_sketch_estimate(col("sk")).as("est_daily"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c16_daily")
+      sk.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c16_merged")
+      Curation.sketchRollupEval(s.read.parquet(stageDir(d) + "/c16_daily"),
+        s.read.parquet(stageDir(d) + "/c16_merged"), ev)
+    }),
+    // mergeable frequent-items rollup, r13 staged conversion: merged
+    // top-k estimates staged; returned frame joins each tracked token's
+    // EXACT global count (sparse-regime exactness now oracle-checked
+    // per row via is_exact, not just spec-asserted). FULL oracle.
+    "c17_freq_rollup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.freqRollup(docs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c17_est")
+      Curation.freqRollupEval(s.read.parquet(stageDir(d) + "/c17_est"), docs)
+    }),
     // deterministic weighted reservoir sample (FULL oracle: the
     // Efraimidis–Spirakis clock is decimal-6-rounded from an
     // engine-independent integer hash, so DuckDB replays the selection
     // exactly; exact driver parity additionally spec-asserted)
     "c20_weighted_sample" -> ((s, d) => Curation.weightedSample(t(s, d, "documents"))),
-    // bloom decontamination gate (rows-only: bit pattern is
-    // Spark-sketch-specific; the build's one driver-side head() IS the
-    // operator — the bounded filter artifact replaces an exact
-    // benchmark-shingle broadcast, see Curation.benchmarkBloom)
+    // bloom decontamination gate (the build's one driver-side head() IS
+    // the operator — the bounded filter artifact replaces an exact
+    // benchmark-shingle broadcast, see Curation.benchmarkBloom).
+    // r13 staged conversion: the per-doc bloom flag counts (the only
+    // sketch-specific values) stage as parquet; the returned frame is
+    // the one-sided-error audit against c12's exact contamination —
+    // false_pos replayed per doc, `missed` pinned to 0 by bloom
+    // construction. FULL oracle (was rows-only).
     "c18_bloom_gate" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Curation.bloomGate(docs,
-        Curation.benchmarkBloom(docs.filter(pmod(col("doc_id"), lit(97)) === 0)))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Curation.bloomGate(docs, Curation.benchmarkBloom(bench))
+        .select(col("doc_id"), col("n_flagged"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c18_flags")
+      Curation.bloomGateEval(s.read.parquet(stageDir(d) + "/c18_flags"),
+        docs, bench)
     }),
     // z-order round trip: write the events z-clustered on (user_id,
     // value), read back through the stats-pruned scan with a
@@ -1658,9 +1707,16 @@ object SparkEntry {
       val corpusSigs = sigsAll.filter(pmod(col("doc_id"), lit(2)) === 1)
       Dedup.simhashIncremental(docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSigs)
     }),
-    // mergeable KLL quantile rollup (rows-only: KLL compaction is
-    // randomized; rank-domain error bound spec-asserted)
-    "c19_quantile_rollup" -> ((s, d) => Curation.quantileRollup(t(s, d, "events"))),
+    // mergeable KLL quantile rollup, r13 staged conversion: the merged
+    // quantile estimates stage as parquet; the returned frame is the
+    // empirical rank-error report (the normalized-rank metric KLL
+    // bounds), exact counting both engines replay. FULL oracle.
+    "c19_quantile_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Curation.quantileRollup(ev).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c19_est")
+      Curation.quantileRollupEval(s.read.parquet(stageDir(d) + "/c19_est"), ev)
+    }),
     "q41_outliers" -> ((s, d) => Relational.robustOutliers(t(s, d, "events"))),
     "q30_cume_users" -> ((s, d) => Relational.cumulativeUsers(t(s, d, "events"))),
     "q31_histogram" -> ((s, d) => Relational.priceHistogram(t(s, d, "orders"))),
@@ -2000,10 +2056,16 @@ object SparkEntry {
       graft.streaming.StreamDrivers.classifierFileStream(Tables.tune(s), d, w)
     }),
     // the c16 sketch table written INCREMENTALLY by a watermarked stream,
-    // rolled up by the same batch merge (rows-only: sketch estimates;
-    // streaming==batch equality spec-asserted in the sparse regime)
-    "st10_sketch_stream" -> ((s, d) =>
-      graft.streaming.StreamDrivers.sketchRollupFileStream(Tables.tune(s), d)),
+    // rolled up by the same batch merge. r13 staged conversion: the
+    // stream's merged estimates stage as parquet; the returned frame is
+    // the est-vs-exact audit replayed relationally. FULL oracle (was
+    // rows-only; streaming==batch equality remains spec-asserted).
+    "st10_sketch_stream" -> ((s, d) => {
+      graft.streaming.StreamDrivers.sketchRollupFileStream(Tables.tune(s), d)
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st10_est")
+      Curation.sketchStreamEval(s.read.parquet(stageDir(d) + "/st10_est"),
+        t(s, d, "events"))
+    }),
     "s4_knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     // the sub-quadratic k-NN-graph scale path under the driver gate:
     // recall is corpus-dependent (rows-only; the recall floor vs s4's
@@ -3446,6 +3508,101 @@ object SparkEntry {
       """SELECT event_type, CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,4)) AS DOUBLE) AS p50,
          CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(38,4)) AS DOUBLE) AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
+    // r13 staged-artifact conversions of the former rows-only sketch
+    // keys: the engine-specific estimates are read verbatim from the
+    // staged parquet; every derived column is the same relational
+    // algebra the Spark side computes over the identical staged values.
+    "q13_approx_distinct" ->
+      """WITH est AS (SELECT event_type, approx_users
+           FROM read_parquet('__GRAFT_STAGE__/q13_est/*.parquet')),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 1)
+         SELECT est.event_type, est.approx_users, ex.exact_users,
+           CAST(CAST(CAST(abs(est.approx_users - ex.exact_users) AS DOUBLE)
+             / ex.exact_users AS DECIMAL(38,6)) AS DOUBLE) AS rel_err
+         FROM est JOIN ex ON ex.event_type = est.event_type ORDER BY 1""",
+    "q38_percentiles_approx" ->
+      """WITH est AS (SELECT event_type, p50, p90
+           FROM read_parquet('__GRAFT_STAGE__/q38_est/*.parquet')),
+         a AS (SELECT e.event_type, est.p50, est.p90, count(*) AS n,
+               sum(CASE WHEN e.value <= est.p50 THEN 1 ELSE 0 END) AS le50,
+               sum(CASE WHEN e.value <= est.p90 THEN 1 ELSE 0 END) AS le90
+               FROM events e JOIN est ON est.event_type = e.event_type
+               GROUP BY 1, 2, 3)
+         SELECT event_type, p50, p90,
+           CAST(CAST(abs(CAST(le50 AS DOUBLE) / n - 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS rank_err50,
+           CAST(CAST(abs(CAST(le90 AS DOUBLE) / n - 0.9) AS DECIMAL(38,6)) AS DOUBLE) AS rank_err90
+         FROM a ORDER BY 1""",
+    "c16_sketch_rollup" ->
+      """WITH dl AS (SELECT event_type, est_daily
+           FROM read_parquet('__GRAFT_STAGE__/c16_daily/*.parquet')),
+         ag AS (SELECT event_type, count(*) AS n_days,
+                max(est_daily) AS max_daily,
+                CAST(sum(est_daily) AS BIGINT) AS sum_daily
+                FROM dl GROUP BY 1),
+         mg AS (SELECT event_type, est_users
+                FROM read_parquet('__GRAFT_STAGE__/c16_merged/*.parquet')),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 1)
+         SELECT ag.event_type, ag.n_days, mg.est_users, ag.max_daily,
+           ag.sum_daily, ex.exact_users,
+           CAST(CAST(CAST(abs(mg.est_users - ex.exact_users) AS DOUBLE)
+             / ex.exact_users AS DECIMAL(38,6)) AS DOUBLE) AS rel_err,
+           CAST(mg.est_users >= ag.max_daily AND mg.est_users <= ag.sum_daily
+             AS INTEGER) AS bounded
+         FROM ag JOIN mg ON mg.event_type = ag.event_type
+         JOIN ex ON ex.event_type = ag.event_type ORDER BY 1""",
+    "c17_freq_rollup" ->
+      s"""WITH est AS (SELECT token, est_count
+           FROM read_parquet('__GRAFT_STAGE__/c17_est/*.parquet')),
+         tk AS (SELECT unnest($toks) AS token FROM documents),
+         ex AS (SELECT token, count(*) AS exact_count FROM tk GROUP BY 1)
+         SELECT est.token, est.est_count,
+           coalesce(ex.exact_count, 0) AS exact_count,
+           CAST(est.est_count = coalesce(ex.exact_count, 0) AS INTEGER) AS is_exact
+         FROM est LEFT JOIN ex ON ex.token = est.token
+         ORDER BY est.est_count DESC, est.token""",
+    "c18_bloom_gate" ->
+      s"""WITH tok AS ($shingleTok),
+         bm AS (SELECT DISTINCT s FROM
+                (SELECT unnest(sh) AS s FROM tok WHERE doc_id % 97 = 0)),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+         ct AS (SELECT ex.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated
+                FROM ex LEFT JOIN bm ON ex.s = bm.s GROUP BY 1),
+         fl AS (SELECT doc_id, n_flagged
+                FROM read_parquet('__GRAFT_STAGE__/c18_flags/*.parquet'))
+         SELECT ct.doc_id, ct.n_shingles, ct.n_contaminated, fl.n_flagged,
+           CAST(fl.n_flagged > 0 AS INTEGER) AS flagged,
+           CAST(ct.n_contaminated > 0 AS INTEGER) AS exact_hit,
+           CAST(fl.n_flagged > 0 AND ct.n_contaminated = 0 AS INTEGER) AS false_pos,
+           CAST(ct.n_contaminated > 0 AND fl.n_flagged = 0 AS INTEGER) AS missed
+         FROM ct JOIN fl ON fl.doc_id = ct.doc_id ORDER BY 1""",
+    "c19_quantile_rollup" ->
+      """WITH est AS (SELECT event_type, n_days, p50, p90, p99
+           FROM read_parquet('__GRAFT_STAGE__/c19_est/*.parquet')),
+         a AS (SELECT e.event_type, est.n_days, est.p50, est.p90, est.p99,
+               count(*) AS n,
+               sum(CASE WHEN e.value <= est.p50 THEN 1 ELSE 0 END) AS le50,
+               sum(CASE WHEN e.value <= est.p90 THEN 1 ELSE 0 END) AS le90,
+               sum(CASE WHEN e.value <= est.p99 THEN 1 ELSE 0 END) AS le99
+               FROM events e JOIN est ON est.event_type = e.event_type
+               GROUP BY 1, 2, 3, 4, 5)
+         SELECT event_type, n_days, p50, p90, p99,
+           CAST(CAST(abs(CAST(le50 AS DOUBLE) / n - 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS rank_err50,
+           CAST(CAST(abs(CAST(le90 AS DOUBLE) / n - 0.9) AS DECIMAL(38,6)) AS DOUBLE) AS rank_err90,
+           CAST(CAST(abs(CAST(le99 AS DOUBLE) / n - 0.99) AS DECIMAL(38,6)) AS DOUBLE) AS rank_err99
+         FROM a ORDER BY 1""",
+    "st10_sketch_stream" ->
+      """WITH est AS (SELECT event_type, n_days, est_users
+           FROM read_parquet('__GRAFT_STAGE__/st10_est/*.parquet')),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 1)
+         SELECT est.event_type, est.n_days, est.est_users, ex.exact_users,
+           CAST(CAST(CAST(abs(est.est_users - ex.exact_users) AS DOUBLE)
+             / ex.exact_users AS DECIMAL(38,6)) AS DOUBLE) AS rel_err
+         FROM est JOIN ex ON ex.event_type = est.event_type ORDER BY 1""",
     "q15_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, value,
             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),

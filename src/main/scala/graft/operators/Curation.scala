@@ -1552,6 +1552,112 @@ object Curation {
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"))
       .withColumn("contaminated", (col("n_flagged") > 0).cast("int"))
 
+  /** Full-oracle merge report over the STAGED daily/merged HLL estimate
+    * tables (the r13 staged-artifact conversion of the old rows-only
+    * c16 gate): the DataSketches estimates stage as parquet the oracle
+    * reads verbatim; the rollup algebra — day counts, daily min/max,
+    * the union-vs-exact relative error and the max-daily ≤ union ≤
+    * sum-daily sanity band — is engine-independent and replays
+    * relationally in both engines. The exact distinct count exists only
+    * at gate scale; production rolls up the sketch table alone. */
+  def sketchRollupEval(daily: DataFrame, merged: DataFrame,
+                       events: DataFrame): DataFrame = {
+    val agg = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("est_daily")).as("max_daily"),
+        sum(col("est_daily")).as("sum_daily"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    agg.join(merged, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("est_users"),
+        col("max_daily"), col("sum_daily"), col("exact_users"),
+        decRound(abs(col("est_users") - col("exact_users")).cast("double")
+          / col("exact_users"), 6).as("rel_err"),
+        (col("est_users") >= col("max_daily") &&
+          col("est_users") <= col("sum_daily")).cast("int").as("bounded"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Full-oracle accuracy report over the STAGED [[freqRollup]] top-k
+    * estimates: the frequent-items sketch contents are engine-specific
+    * (staged); each tracked token's EXACT global count is a plain
+    * token-explode aggregate both engines replay, and `is_exact` marks
+    * where the sparse-regime guarantee (estimate == exact while the
+    * tracked map never overflows) held. One wide shuffle on the token
+    * key for the exact side — gate-scale only; production reads the
+    * merged sketch. */
+  def freqRollupEval(est: DataFrame, documents: DataFrame): DataFrame = {
+    val exact = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        (col("est_count") === coalesce(col("exact_count"), lit(0L)))
+          .cast("int").as("is_exact"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
+  /** Full-oracle false-positive report over the STAGED [[bloomGate]]
+    * per-doc flag counts: the bloom bit pattern is engine-specific
+    * (its n_flagged column stages as parquet); the exact contamination
+    * side is [[contamination]]'s shingle semi-join replayed by both
+    * engines, and `false_pos` is the one-sided-error audit — a bloom
+    * may over-flag (false_pos = 1) but by construction never
+    * under-flags, so `exact_hit = 1 AND flagged = 0` cannot occur (the
+    * replayed `missed` column pins that at zero for every document). */
+  def bloomGateEval(flags: DataFrame, documents: DataFrame,
+                    benchmark: DataFrame, n: Int = 3): DataFrame =
+    contamination(documents, benchmark, n)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
+      .join(flags.select(col("doc_id"), col("n_flagged")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        col("n_flagged"),
+        (col("n_flagged") > 0).cast("int").as("flagged"),
+        (col("n_contaminated") > 0).cast("int").as("exact_hit"),
+        ((col("n_flagged") > 0) && col("n_contaminated") === 0)
+          .cast("int").as("false_pos"),
+        ((col("n_contaminated") > 0) && col("n_flagged") === 0)
+          .cast("int").as("missed"))
+      .orderBy(col("doc_id"))
+
+  /** Full-oracle rank-error report over the STAGED [[quantileRollup]]
+    * merged quantiles (p50/p90/p99): KLL estimates are randomized and
+    * engine-specific (staged); the empirical rank of each estimate and
+    * its distance from the target quantile — the normalized rank error
+    * KLL actually bounds — is exact counting both engines replay. */
+  def quantileRollupEval(est: DataFrame, events: DataFrame): DataFrame =
+    events.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_days"),
+        col("p50"), col("p90"), col("p99"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+      .select(col("event_type"), col("n_days"),
+        col("p50"), col("p90"), col("p99"),
+        decRound(abs(col("le50").cast("double") / col("n") - 0.5), 6).as("rank_err50"),
+        decRound(abs(col("le90").cast("double") / col("n") - 0.9), 6).as("rank_err90"),
+        decRound(abs(col("le99").cast("double") / col("n") - 0.99), 6).as("rank_err99"))
+      .orderBy(col("event_type"))
+
+  /** Full-oracle report over the STAGED streaming sketch rollup (st10):
+    * the watermark-driven incremental estimates stage as parquet; the
+    * exact per-type distinct count and relative error replay
+    * relationally — the same audit as [[sketchRollupEval]] minus the
+    * daily band (the stream emits only the merged rollup). */
+  def sketchStreamEval(merged: DataFrame, events: DataFrame): DataFrame = {
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("est_users"),
+        col("exact_users"),
+        decRound(abs(col("est_users") - col("exact_users")).cast("double")
+          / col("exact_users"), 6).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
   /** The (doc, position, token) posting substrate shared by PMI mining
     * and phrase search — one tokenize, 1-based positions. */
   private def positionalTokens(documents: DataFrame): DataFrame =

@@ -187,6 +187,43 @@ object Relational {
         decRound(expr(s"approx_percentile(value, 0.5, $accuracy)"), 4).as("p50"),
         decRound(expr(s"approx_percentile(value, 0.9, $accuracy)"), 4).as("p90"))
 
+  /** Full-oracle error report over STAGED [[approxDistinct]] estimates
+    * (the r13 staged-artifact conversion of the old rows-only gate): the
+    * HLL++ estimate itself is engine-specific and stages as a parquet
+    * the oracle reads verbatim; everything downstream — the exact
+    * per-type distinct count and the relative error — is engine-
+    * independent relational algebra both engines replay identically.
+    * The exact side shuffles once on the (low-cardinality) type key;
+    * at 100 TB the exact count exists only at gate scale — production
+    * reads the estimate alone. */
+  def approxDistinctEval(est: DataFrame, events: DataFrame): DataFrame = {
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        decRound(abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users"), 6).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Full-oracle RANK-error report over STAGED [[percentilesApprox]]
+    * estimates: GK sketch output is engine-specific (staged); the
+    * empirical rank of each estimate — |{v ≤ est}| / n — is exact
+    * integer counting both engines replay, and the reported error is
+    * the distance of that rank from the target quantile (the metric GK
+    * actually bounds: ≤ 1/accuracy). Broadcast of the per-type estimate
+    * row keeps the probe a map-side scan; one shuffle on the type key. */
+  def percentilesApproxEval(est: DataFrame, events: DataFrame): DataFrame =
+    events.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"), col("p50"), col("p90"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("event_type"), col("p50"), col("p90"),
+        decRound(abs(col("le50").cast("double") / col("n") - 0.5), 6).as("rank_err50"),
+        decRound(abs(col("le90").cast("double") / col("n") - 0.9), 6).as("rank_err90"))
+      .orderBy(col("event_type"))
+
   /** UNION / INTERSECT / EXCEPT composition on nation keys. */
   def setOps(customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
     val a = customer.filter(col("c_mktsegment") === "BUILDING")

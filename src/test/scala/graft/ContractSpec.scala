@@ -101,12 +101,12 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("rows-only set is exactly the documented engine-specific operators") {
+  test("rows-only set is empty: every key carries a full oracle") {
+    // r13: the last 7 rows-only sketch keys were converted to the
+    // staged-artifact idiom (estimates staged as parquet, downstream
+    // algebra oracle-replayed), so nothing is allowed to regress to a
+    // rows-only registration silently.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set(
-      "q13_approx_distinct",
-      "q38_percentiles_approx",
-      "c16_sketch_rollup", "c17_freq_rollup", "c18_bloom_gate",
-      "c19_quantile_rollup", "st10_sketch_stream"))
+    assert(rowsOnly === Set.empty[String])
   }
 }
