@@ -195,6 +195,19 @@ object SparkEntry {
       .write.mode("overwrite").parquet(stageDir(d) + s"/$name")
   }
 
+  /** Stage the two k-means model inputs the kmeansCtes oracle replays:
+    * the seed table (`<key>_seeds`, the smallest-hash id→cid map) and
+    * the Lloyd fit-sample membership (`<key>_fit` — identity at gate
+    * scale, the hash-threshold sample past FitCap) so the oracle's
+    * iteration sums run over the exact subset the Spark fit used at
+    * ANY scale factor. One shared writer for the seven k-means gates. */
+  private def stageKmeans(emb: DataFrame, d: String, key: String): Unit = {
+    Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
+      .parquet(stageDir(d) + s"/${key}_seeds")
+    Similarity.kmeansFitIds(emb).coalesce(1).write.mode("overwrite")
+      .parquet(stageDir(d) + s"/${key}_fit")
+  }
+
   /** Deterministic planted keyphrases for the c42 RAKE gate: the
     * synthetic corpus is a ~30-word uniform vocabulary that the
     * corpus-adaptive top-30 stoplist swallows whole, leaving no
@@ -608,6 +621,11 @@ object SparkEntry {
           lit("<meta name=\"robots\" content=\"noai, noimageai\">"))
         .when(pmod(col("doc_id"), lit(17)) === 4,
           lit("<meta name=\"robots\" content=\"none\">"))
+        // r13: MULTIPLE robots meta tags on one page — the multi-match
+        // channel the r12 advice flagged (first-match-only under-blocks)
+        .when(pmod(col("doc_id"), lit(19)) === 5,
+          lit("<meta name=\"robots\" content=\"noindex\">" +
+            "<meta name=\"robots\" content=\"noai\">"))
         .otherwise(lit("")),
         lit("</head><body>"), col("text"), lit("</body></html>"))
         .as("html"),
@@ -615,6 +633,10 @@ object SparkEntry {
         lit("Content-Type: text/html\r\nX-Robots-Tag: noindex"))
       .when(pmod(col("doc_id"), lit(13)) === 6,
         lit("X-Robots-Tag: noai\r\nCache-Control: no-store"))
+      // r13: REPEATED X-Robots-Tag response headers (legal per RFC 9110)
+      .when(pmod(col("doc_id"), lit(23)) === 7,
+        lit("X-Robots-Tag: noindex\r\nX-Robots-Tag: noai\r\n" +
+          "Content-Type: text/html"))
       .otherwise(lit("Content-Type: text/html"))
         .as("http_headers"))
 
@@ -1980,8 +2002,7 @@ object SparkEntry {
     // additive per-micro-batch cell counts, shared final algebra
     "st28_drift_stream" -> ((s, d) => {
       val s2 = Tables.tune(s)
-      Similarity.kmeansSeedIds(t(s2, d, "embeddings")).coalesce(1)
-        .write.mode("overwrite").parquet(stageDir(d) + "/st28_seeds")
+      stageKmeans(t(s2, d, "embeddings"), d, "st28")
       graft.streaming.StreamDrivers.driftFileStream(s2, d)
     }),
     "st14_neardup_stream" -> ((s, d) => {
@@ -2084,16 +2105,14 @@ object SparkEntry {
     // HALF_UP scale-12 mean division replayed in HUGEINT integer math
     "s6_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
-        .parquet(stageDir(d) + "/s6_seeds")
+      stageKmeans(emb, d, "s6")
       Similarity.kmeans(emb)
     }),
     // the remediation half of s20: mini-batch centroid update — exact
     // weighted mean folding the batch into the frozen fit
     "s23_centroid_update" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
-        .parquet(stageDir(d) + "/s23_seeds")
+      stageKmeans(emb, d, "s23")
       Similarity.centroidUpdate(emb,
         emb.filter(pmod(col("vec_id"), lit(2)) === 1))
     }),
@@ -2102,8 +2121,7 @@ object SparkEntry {
     // decimal cross-multiplication; odd ids play the monitored batch
     "s20_drift" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
-        .parquet(stageDir(d) + "/s20_seeds")
+      stageKmeans(emb, d, "s20")
       Similarity.centroidDrift(emb,
         emb.filter(pmod(col("vec_id"), lit(2)) === 1))
     }),
@@ -2118,16 +2136,14 @@ object SparkEntry {
     // most-central-keeps window all replay relationally
     "d21_semdedup" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
-        .parquet(stageDir(d) + "/d21_seeds")
+      stageKmeans(emb, d, "d21")
       Dedup.semDedup(emb)
     }),
     // cluster-stratified coreset selection, FULL oracle: the s6 replay
     // plus a per-cluster centrality rank (decimal-6 distance, id ties)
     "s9_diversity_sample" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
-        .parquet(stageDir(d) + "/s9_seeds")
+      stageKmeans(emb, d, "s9")
       Similarity.diversitySample(emb)
     }),
     // PageRank over the SUB-QUADRATIC k-NN graph (LSH edges — the whole
@@ -2161,8 +2177,7 @@ object SparkEntry {
     // distances per vector (fa at rk 1 and 2 are exactly a and b)
     "s18_silhouette" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansSeedIds(emb).coalesce(1).write.mode("overwrite")
-        .parquet(stageDir(d) + "/s18_seeds")
+      stageKmeans(emb, d, "s18")
       Similarity.silhouette(emb)
     }),
     // MMR diversity reranking over the s1 query slate — greedy rounds
@@ -2304,6 +2319,13 @@ object SparkEntry {
   // ten), so it equals BigDecimal.doubleValue. Empty clusters keep
   // their previous centroid (the LEFT JOIN + COALESCE).
   private def kmeansCtes(stage: String, iters: Int = 5): String = {
+    // the fit-sample membership staged next to the seed table: the
+    // iteration sums below run over exactly this subset, mirroring
+    // kmeansCentroids' fitSample (identity at gate scale, the
+    // hash-threshold sample past FitCap) — without the restriction the
+    // oracle would fit on the full frame and silently diverge from the
+    // sampled Spark fit once the corpus crosses the cap
+    val fitStage = stage.stripSuffix("_seeds") + "_fit"
     def assign(i: String, ct: String) =
       s"""ca$i AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM $ct GROUP BY cid),
          cb$i AS (SELECT cid, cv, list_inner_product(cv, cv) AS cc FROM ca$i),
@@ -2316,6 +2338,7 @@ object SparkEntry {
     val head =
       s"""WITH RECURSIVE sd AS (SELECT CAST(cid AS INTEGER) AS cid, vec_id
            FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
+         fs AS (SELECT vec_id FROM read_parquet('__GRAFT_STAGE__/$fitStage/*.parquet')),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          vv AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM v),
          vx AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos FROM v),
@@ -2332,6 +2355,7 @@ object SparkEntry {
                  CAST(sum(CAST(u.x AS DECIMAL(28,12))) * 1000000000000 AS HUGEINT) AS s,
                  CAST(count(*) AS HUGEINT) AS n
                  FROM asn$i g JOIN vx u ON u.vec_id = g.vec_id
+                 JOIN fs ON fs.vec_id = g.vec_id
                  WHERE g.rk = 1 GROUP BY g.cid, u.pos),
          ct${i + 1} AS (SELECT p.cid, p.pos,
                  COALESCE(CAST(sign(m.s) * ((2 * abs(m.s) + m.n) // (2 * m.n))
@@ -2537,6 +2561,9 @@ object SparkEntry {
                  THEN '<meta name="robots" content="noai, noimageai">'
                  WHEN doc_id % 17 = 4
                  THEN '<meta name="robots" content="none">'
+                 WHEN doc_id % 19 = 5
+                 THEN '<meta name="robots" content="noindex">' ||
+                      '<meta name="robots" content="noai">'
                  ELSE '' END ||
             '</head><body>' || text || '</body></html>' AS html,
             CASE WHEN doc_id % 11 = 4
@@ -2545,16 +2572,20 @@ object SparkEntry {
                  WHEN doc_id % 13 = 6
                  THEN 'X-Robots-Tag: noai' || chr(13) || chr(10) ||
                       'Cache-Control: no-store'
+                 WHEN doc_id % 23 = 7
+                 THEN 'X-Robots-Tag: noindex' || chr(13) || chr(10) ||
+                      'X-Robots-Tag: noai' || chr(13) || chr(10) ||
+                      'Content-Type: text/html'
                  ELSE 'Content-Type: text/html' END AS hdrs
            FROM documents),
           ex AS (SELECT doc_id,
-            lower(regexp_extract(html,
-              '(?i)<meta name="robots" content="([^"]*)"', 1)) AS mc,
-            lower(regexp_extract(hdrs,
-              '(?i)x-robots-tag: ([^\r]*)', 1)) AS hc FROM aug),
+            regexp_extract_all(html,
+              '(?i)<meta name="robots" content="([^"]*)"', 1) AS mcs,
+            regexp_extract_all(hdrs,
+              '(?i)x-robots-tag: ([^\r\n]*)', 1) AS hcs FROM aug),
           dd AS (SELECT doc_id, list_sort(list_distinct(list_filter(
-              list_transform(string_split_regex(mc, ',\s*') ||
-                string_split_regex(hc, ',\s*'), x -> trim(x)),
+              list_transform(flatten(list_transform(mcs || hcs,
+                m -> string_split_regex(lower(m), ',\s*'))), x -> trim(x)),
               x -> x <> ''))) AS dirs FROM ex)
           SELECT doc_id, coalesce(array_to_string(dirs, ','), '') AS directives,
             CASE WHEN list_contains(dirs, 'noindex')

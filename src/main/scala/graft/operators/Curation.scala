@@ -1910,13 +1910,18 @@ object Curation {
     * third governance tier. */
   def robotsGate(documents: DataFrame, htmlCol: String = "html",
                  headersCol: String = "http_headers"): DataFrame = {
-    val mc = lower(regexp_extract(col(htmlCol),
-      "(?i)<meta name=\"robots\" content=\"([^\"]*)\"", 1))
-    val hc = lower(regexp_extract(col(headersCol),
-      "(?i)x-robots-tag: ([^\r]*)", 1))
+    // ALL matches on both channels (r13 fix): a page may carry several
+    // <meta name="robots"> tags and a response several X-Robots-Tag
+    // headers (both legal and common — e.g. separate noindex and noai
+    // tags); reading only the first silently under-blocks an opt-out
+    // gate. Every match's comma-list flattens into one directive set.
+    val mcs = regexp_extract_all(col(htmlCol),
+      lit("(?i)<meta name=\"robots\" content=\"([^\"]*)\""), lit(1))
+    val hcs = regexp_extract_all(col(headersCol),
+      lit("(?i)x-robots-tag: ([^\r\n]*)"), lit(1))
     val dirs = array_sort(array_distinct(filter(
-      transform(concat(split(mc, ",\\s*"), split(hc, ",\\s*")),
-        x => trim(x)), x => x =!= "")))
+      transform(flatten(transform(concat(mcs, hcs),
+        m => split(lower(m), ",\\s*"))), x => trim(x)), x => x =!= "")))
     def has(d: String) = array_contains(dirs, d)
     documents.select(col("doc_id"),
       array_join(dirs, ",").as("directives"),

@@ -724,23 +724,38 @@ object Multimodal {
     // carries in APP1, so ONE IFD/GPS walk serves both containers once
     // the TIFF base position is found (m12 → m15 → m16 reuse ladder)
     val isPng = hex(p.substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    // positions derived from untrusted 4-byte fields are range-gated to
+    // the payload (the beUintInt posture): a corrupt chunk length or IFD
+    // offset near 2^32 must null out and fall into the fallback tiers,
+    // not overflow an int cast under ANSI and fail the job
+    def gatedPos(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(pos >= 1L && pos <= len, pos)
     var m0 = media.withColumn("_pk0", lit(9L))
     for (j <- 0 until maxChunks) {
       m0 = m0
         .withColumn(s"_pct$j",
           p.substr((col(s"_pk$j") + 4).cast("int"), lit(4)).cast("string"))
         .withColumn(s"_pcl$j", beUint(p, col(s"_pk$j"), 4))
-        .withColumn(s"_pk${j + 1}",
-          col(s"_pk$j") + 12 + coalesce(col(s"_pcl$j"), lit(0L)))
+        // range-gated hop: chunk length is untrusted; a cursor that
+        // can't fit another 12-byte chunk frame nulls out and the walk
+        // stops (every downstream read of a null cursor yields null)
+        .withColumn(s"_pk${j + 1}", {
+          val nxt = col(s"_pk$j") + 12 + coalesce(col(s"_pcl$j"), lit(0L))
+          when(nxt + 11 <= len, nxt)
+        })
     }
     val pngExifPos = coalesce((0 until maxChunks).map(j =>
       when(col(s"_pct$j") === "eXIf", col(s"_pk$j") + 8)): _*)
     val media2 = m0.withColumn("_tbase",
       when(isJpegApp1, lit(13L)).otherwise(when(isPng, pngExifPos)))
-    def at(off: org.apache.spark.sql.Column) = col("_tbase") + off
+    def at(off: org.apache.spark.sql.Column) = gatedPos(col("_tbase") + off)
     val bo = hex(p.substr(at(lit(0L)).cast("int"), lit(2)))
     val isLE = bo === "4949"
     val isBE = bo === "4D4D"
+    // IFD and rational offsets come from untrusted inline LONG values
+    // (u4, up to 2^32-1); at() gates every absolute position to the
+    // payload so a hostile offset reads as null instead of overflowing
+    // the substr int cast
     def u2(off: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(p, at(off), 2)).otherwise(beUint(p, at(off), 2))
     def u4(off: org.apache.spark.sql.Column) =
@@ -2002,8 +2017,16 @@ object Multimodal {
         .withColumn(s"_xln$j", leUintAt(p, k + 28, 2))
         .withColumn(s"_nm$j",
           p.substr((k + 30).cast("int"), col(s"_nln$j").cast("int")).cast("string"))
-        .withColumn(s"_z${j + 1}",
-          k + 30 + col(s"_nln$j") + col(s"_xln$j") + col(s"_cmp$j"))
+        // range-gated hop (the beUintInt posture): comp_size is an
+        // untrusted 4-byte field up to 2^32-1, so an adversarial header
+        // could push the cursor past Int.MaxValue and blow the next
+        // iteration's int cast under ANSI. A cursor beyond the payload
+        // can't host another 30-byte header anyway — null it and the
+        // walk degrades to no-more-entries instead of crashing the job.
+        .withColumn(s"_z${j + 1}", {
+          val nxt = k + 30 + col(s"_nln$j") + col(s"_xln$j") + col(s"_cmp$j")
+          when(nxt + 29 <= octet_length(p).cast("long"), nxt)
+        })
     }
     val entries = array((0 until maxEntries).map(j =>
       when(coalesce(col(s"_sig$j"), lit(false)) &&
@@ -2112,8 +2135,15 @@ object Multimodal {
           "^ *([0-7]+)", 1), 8, 10).cast("long"))
         .withColumn(s"_tf$j",
           p.substr((k + 156).cast("int"), lit(1)).cast("string"))
-        .withColumn(s"_t${j + 1}",
-          k + 512 + expr(s"((_ts$j + 511) div 512) * 512"))
+        // range-gated hop: the octal size field admits values up to
+        // 8^11-1 (~8.6e9), far past Int.MaxValue — a corrupt header
+        // would overflow the next iteration's int cast under ANSI. A
+        // cursor that can't fit another 512-byte header nulls out and
+        // the walk stops cleanly (corrupt entry → no rows, not a crash).
+        .withColumn(s"_t${j + 1}", {
+          val nxt = k + 512 + expr(s"((_ts$j + 511) div 512) * 512")
+          when(nxt + 511 <= octet_length(p).cast("long"), nxt)
+        })
     }
     val entries = array((0 until maxEntries).map(j =>
       when(coalesce(col(s"_tm$j"), lit(false)) &&

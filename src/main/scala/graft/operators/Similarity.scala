@@ -335,6 +335,17 @@ object Similarity {
   /** Default fit-sample cap shared by the iterative index fits. */
   private[graft] val FitCap = 100000
 
+  /** The vec_id membership of the Lloyd fit sample — [[fitSample]]
+    * applied to the id column alone (membership depends only on the
+    * row count and xxhash64(vec_id), so this reproduces exactly the
+    * subset [[kmeansCentroids]] trains on). Staged as a parquet next
+    * to the seed table so the relational k-means oracles replay the
+    * iteration sums over the IDENTICAL subset at every scale factor —
+    * without this the oracle fits on the full frame and silently
+    * diverges once the corpus crosses the cap (the r12 advice). */
+  def kmeansFitIds(embeddings: DataFrame, cap: Int = FitCap): DataFrame =
+    fitSample(embeddings.select(col("vec_id")), cap).select(col("vec_id"))
+
   /** The Lloyd iteration loop, returning the final centroids (the
     * persistable model artifact). `v` must be a materialized
     * (vec_id, v: array<double>) frame. The ITERATION sums run over a

@@ -1448,7 +1448,16 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       (3L, "<html><head><meta name=\"robots\" content=\"none\"></head></html>",
         ""),
       // no signals at all
-      (4L, "<html><body>clean</body></html>", "Content-Type: text/html"))
+      (4L, "<html><body>clean</body></html>", "Content-Type: text/html"),
+      // TWO meta tags on one page — the second must not be ignored
+      // (the r12 first-match-only under-block)
+      (5L, "<html><head><meta name=\"robots\" content=\"nofollow\">" +
+        "<meta name=\"robots\" content=\"noai\"></head></html>",
+        "Content-Type: text/html"),
+      // REPEATED X-Robots-Tag headers — all must merge
+      (6L, "<html><body>y</body></html>",
+        "X-Robots-Tag: nofollow\r\nX-Robots-Tag: noindex\r\n" +
+          "Content-Type: text/html"))
       .toDF("doc_id", "html", "http_headers")
     val out = Curation.robotsGate(docs).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
@@ -1458,6 +1467,8 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(2L) === (("index,nofollow", 0, 1, 0, 1)))
     assert(out(3L) === (("none", 1, 1, 0, 0)))
     assert(out(4L) === (("", 0, 0, 0, 1)))
+    assert(out(5L) === (("noai,nofollow", 0, 1, 1, 0)))
+    assert(out(6L) === (("nofollow,noindex", 1, 1, 0, 0)))
     // pure map: no Exchange — this is an ingest-scan predicate
     val plan = Curation.robotsGate(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))

@@ -502,6 +502,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
         fitCap = 0).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
     assert(cbCap === cbSubset)
+    // kmeansFitIds reproduces the exact membership the fit trained on
+    // — the staged table the relational oracles restrict their
+    // iteration sums to (r13: keeps Spark and DuckDB fitting on the
+    // identical subset once the corpus crosses the cap)
+    val fitIds = Similarity.kmeansFitIds(emb, cap)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val sampleIds = sampled.select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fitIds === sampleIds)
     // a cap too close to k risks a sample missing a seed → fail fast,
     // never a silently degraded fit
     intercept[IllegalArgumentException] {
