@@ -78,6 +78,19 @@ object Bench {
     def loadAvg(): Double = osBean.getSystemLoadAverage
     val nCpus = cpus.toInt
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
+    // Start gate (the r12 lesson, second round running: a sweep started
+    // at load ~8 produced apparent 2-3× regressions a quiet-window
+    // microbench then fully acquitted): if the 1-minute load average is
+    // above ~3 when the sweep would start, wait it out in 15 s steps up
+    // to 5 minutes — a bounded wait so a busy CI host still produces an
+    // artifact, with the wait (and any residual load) recorded in the
+    // JSON so the reader knows which regime the numbers come from.
+    val loadGate = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE")
+      .map(_.toDouble).getOrElse(3.0)
+    var loadWait = 0
+    while (loadAvg() > loadGate && loadWait < 300) {
+      Thread.sleep(15000); loadWait += 15
+    }
     val loadStart = loadAvg()
     var loadPeak = loadStart
     val results = names.map { n =>
@@ -96,7 +109,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val loadJson =
-      s""""load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"load_avg_peak":${f2(loadPeak)}"""
+      s""""load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"load_avg_peak":${f2(loadPeak)},"load_gate_wait_sec":$loadWait"""
     // fat line first (per-query detail for humans), then a short (<200 B)
     // FINAL line: the driver captures a bounded tail of stdout, and the
     // ~3 KB per-query line overflows it — its head gets truncated and the
