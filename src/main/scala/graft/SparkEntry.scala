@@ -1960,6 +1960,11 @@ object SparkEntry {
     "st2_sliding_window" -> ((s, d) => TimeJoins.slidingWindow(t(s, d, "events"))),
     "st3_sessionize_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.sessionizeFileStream(Tables.tune(s), d)),
+    // st31: the SAME stateful sessionizer through a broker-shaped
+    // in-memory source (rows-as-records, zero files) — proves the st*
+    // gate logic is source-agnostic; same q15-family oracle as st3
+    "st31_memory_source" -> ((s, d) =>
+      graft.streaming.StreamDrivers.sessionizeMemoryStream(Tables.tune(s), d)),
     "st4_latest_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.latestStateFileStream(Tables.tune(s), d)),
     "st5_interval_join_stream" -> ((s, d) =>
@@ -2898,6 +2903,19 @@ object SparkEntry {
   // shared by c24 (batch) and st13 (the same computation through a file
   // stream): the aug CTE mirrors plantQualityViolations, the rule algebra
   // mirrors TextOps.gopherQuality
+  // shared by st3 (file source) and st31 (in-memory broker-shaped
+  // source): one stateful sessionizer gate, two arrival harnesses
+  private lazy val sessionizeStreamSql =
+    s"""WITH e AS (SELECT event_id, user_id, value,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+        f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL OR se - lag(se) OVER w > 1800
+              THEN 1 ELSE 0 END AS ns FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY se, event_id)),
+        g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY se, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
+        ${dsum("value")} AS sum_value
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
   private lazy val contaminationSql =
     s"""WITH tok AS ($shingleTok),
         bm AS (SELECT DISTINCT s FROM
@@ -3647,18 +3665,10 @@ object SparkEntry {
           FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     // st3 drives the STATEFUL streaming sessionizer end-to-end (file
     // source → flatMapGroupsWithState → foreachBatch) and must land on
-    // the batch result exactly — the q15 oracle verbatim.
-    "st3_sessionize_stream" ->
-      s"""WITH e AS (SELECT event_id, user_id, value,
-            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
-          f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL OR se - lag(se) OVER w > 1800
-                THEN 1 ELSE 0 END AS ns FROM e
-                WINDOW w AS (PARTITION BY user_id ORDER BY se, event_id)),
-          g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY se, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
-          SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
-          ${dsum("value")} AS sum_value
-          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the batch result exactly — the q15 oracle verbatim. st31 is the
+    // identical gate through the broker-shaped in-memory source.
+    "st31_memory_source" -> sessionizeStreamSql,
+    "st3_sessionize_stream" -> sessionizeStreamSql,
     "q16_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events

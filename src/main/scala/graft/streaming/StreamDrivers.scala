@@ -175,6 +175,46 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** [[runOverEventFiles]]'s source-agnostic twin: the same
+    * time-midpoint halves and far-future watermark sentinel arrive
+    * through an in-memory MemoryStream — rows-as-records, the broker
+    * (Kafka-class) arrival shape, no files anywhere — proving the
+    * stateful gate logic composes onto a non-file source unchanged: a
+    * StreamOps transform only ever sees an unbounded Dataset, and the
+    * micro-batch boundaries the file twin drew with maxFilesPerTrigger
+    * are drawn here with addData + processAllAvailable. The per-half
+    * driver-side collect is harness shape (the halves feed a local
+    * in-memory source by definition); a production deployment points
+    * readStream at the broker and never materializes anything. */
+  private def runOverEventMemory(spark: SparkSession, sfDir: String,
+                                 sentinelOffsetSec: Option[Long])(
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val dir = Files.createTempDirectory("graft-stream-mem")
+    try withStatePartitions(spark, 8) {
+      import spark.implicits._
+      val evs = graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[StreamOps.Ev]
+      val bounds = evs.toDF().agg(min(col("ts")), max(col("ts"))).head()
+      val lastMs = bounds.getTimestamp(1).getTime
+      val mid = new Timestamp((bounds.getTimestamp(0).getTime + lastMs) / 2)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamOps.Ev](spark.sqlContext.sparkSession)
+      val q = start(ms.toDF(), s"$dir/chk")
+      // same time-ordered arrival contract as the file twin: batch 2's
+      // rows all sit above the watermark batch 1 established
+      Seq(evs.filter(col("ts") <= mid), evs.filter(col("ts") > mid))
+        .foreach { h => ms.addData(h.collect().toSeq); q.processAllAvailable() }
+      sentinelOffsetSec.foreach { off =>
+        ms.addData(Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + off * 1000),
+          SentinelUser, "view", 0.0)))
+        q.processAllAvailable()
+      }
+      q.stop()
+    } finally deleteRecursively(dir)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     // Files.walk holds directory handles open until the stream is closed
@@ -252,18 +292,40 @@ object StreamDrivers {
     * StreamOps.sessionize (flatMapGroupsWithState) → foreachBatch
     * accumulation → per-user session_id numbering. Column contract ==
     * TimeJoins.sessionize == the q15 oracle. */
-  def sessionizeFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionizeFileStream(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeCollect(spark)(
+      runOverEventFiles(spark, sfDir,
+        sentinelOffsetSec = Some(7200L + 1800L + 60L))(_))
+
+  /** The st3 sessionizer driven through the MEMORY (broker-shaped)
+    * source instead of files — the source-agnosticism proof the st*
+    * family needs: the gate logic (StreamOps.sessionize, the watermark,
+    * the state lifecycle, the result algebra) is byte-identical to
+    * [[sessionizeFileStream]]'s; only the arrival harness differs.
+    * Gated on the same q15 oracle (st31). */
+  def sessionizeMemoryStream(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeCollect(spark)(
+      runOverEventMemory(spark, sfDir,
+        sentinelOffsetSec = Some(7200L + 1800L + 60L))(_))
+
+  /** The sessionize gate shape shared by the file and memory drivers:
+    * stateful transform → foreachBatch accumulation → per-user
+    * session_id numbering. Column contract == TimeJoins.sessionize ==
+    * the q15 oracle. The source never appears here — `runner` hands in
+    * an unbounded DataFrame of whatever arrival shape it implements. */
+  private def sessionizeCollect(spark: SparkSession)(
+      runner: ((DataFrame, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit): DataFrame = {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[StreamOps.SessionOut]
-    runOverEventFiles(spark, sfDir, sentinelOffsetSec = Some(7200L + 1800L + 60L)) {
-      (src, chk) =>
-        StreamOps.sessionize(spark, src.as[StreamOps.Ev]).writeStream
-          .outputMode("append")
-          .option("checkpointLocation", chk)
-          .foreachBatch { (b: Dataset[StreamOps.SessionOut], _: Long) =>
-            val rows = b.collect(); buf.synchronized { buf ++= rows }; ()
-          }
-          .start()
+    runner { (src, chk) =>
+      StreamOps.sessionize(spark, src.as[StreamOps.Ev]).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[StreamOps.SessionOut], _: Long) =>
+          val rows = b.collect(); buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
     }
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
     buf.toSeq.filter(_.user_id != SentinelUser).toDF()

@@ -194,6 +194,22 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty)
   }
 
+  test("st31 driver: memory-sourced sessionization equals the batch result") {
+    // the source-agnosticism gate: identical stateful logic, broker-
+    // shaped arrival (rows-as-records, no files) — must land on the
+    // exact batch result like the file twin above
+    val streamed = graft.streaming.StreamDrivers
+      .sessionizeMemoryStream(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = TimeJoins.sessionize(table("events")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("session_start"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("st4 driver: file-sourced latest-state equals the batch result") {
     val streamed = graft.streaming.StreamDrivers
       .latestStateFileStream(spark, "/root/testdata/sf0.001").collect()
