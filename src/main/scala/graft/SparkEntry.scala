@@ -662,6 +662,13 @@ object SparkEntry {
     bpeFits.computeIfAbsent(d,
       dir => graft.operators.TextOps.bpeLearn(t(s, dir, "documents")))
 
+  // t35's unigram-LM piece table, cached per dataset like the BPE merges
+  private val unigramFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+  private def unigramFit(s: SparkSession, d: String): Seq[(String, Double)] =
+    unigramFits.computeIfAbsent(d,
+      dir => graft.operators.TextOps.unigramLearn(t(s, dir, "documents")))
+
   // t14's learned trigram profiles, cached per dataset like the BPE
   // merge table — fit once, model state reused across gate invocations
   private val ngramFits =
@@ -791,6 +798,7 @@ object SparkEntry {
     "t4_fingerprint" -> Seq("doc_id"),
     "t5_scrub" -> Seq("event_id"),
     "t11_bpe_tokens" -> Seq("doc_id"),
+    "t35_unigram_tokens" -> Seq("doc_id"),
     "t12_pii_scrub" -> Seq("doc_id"),
     "c24_quality_rules" -> Seq("doc_id"),
     "t14_lang_ngram" -> Seq("doc_id"),
@@ -1612,6 +1620,25 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/t11_wordseg")
       TextOps.bpeTokenize(docs, merges)
+    }),
+    // t35: the unigram-LM (SentencePiece-family) tokenizer, t11's exact
+    // staged-model idiom — the hard-EM fit + Viterbi segmentation are
+    // the one non-ANSI step, but both are pure functions of the WORD,
+    // so the gate stages the distinct-word → (segmentation, n_sub)
+    // table and DuckDB replays the document layer relationally
+    "t35_unigram_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = unigramFit(s, d)
+      val modelLit = lit(TextOps.unigramModelRows(model))
+      docs.select(explode(graft.functions.ColumnFns.tokens(col("text"))).as("word"))
+        .distinct()
+        .withColumn("_seg",
+          call_function("graft_unigram_segment", col("word"), modelLit))
+        .select(col("word"), array_join(col("_seg"), " ").as("seg"),
+          size(col("_seg")).as("n_sub"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/t35_wordseg")
+      TextOps.unigramTokenize(docs, model)
     }),
     // c15's packing re-gated on REAL tokenizer counts (t11's BPE) via
     // tokenPackingBy; packing algebra itself is the c15 full-oracle
@@ -7001,6 +7028,24 @@ object SparkEntry {
           SELECT d0.doc_id, coalesce(agg.n_words, 0) AS n_words,
             coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
             coalesce(agg.bpe_text, '') AS bpe_text
+          FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
+          ORDER BY d0.doc_id""",
+    // t35: t11's oracle shape over the unigram staged word table
+    "t35_unigram_tokens" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS a FROM documents),
+          w AS (SELECT doc_id, unnest([{'i': i, 'w': a[i]}
+                  for i in generate_series(1, len(a))], recursive := true)
+                FROM d),
+          j AS (SELECT w.doc_id, w.i, s.seg, s.n_sub
+                FROM w JOIN read_parquet('__GRAFT_STAGE__/t35_wordseg/*.parquet') s
+                  ON w.w = s.word),
+          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                  CAST(sum(n_sub) AS INTEGER) AS n_unigram_tokens,
+                  string_agg(seg, ' ' ORDER BY i) AS unigram_text
+                  FROM j GROUP BY 1)
+          SELECT d0.doc_id, coalesce(agg.n_words, 0) AS n_words,
+            coalesce(agg.n_unigram_tokens, 0) AS n_unigram_tokens,
+            coalesce(agg.unigram_text, '') AS unigram_text
           FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
           ORDER BY d0.doc_id""",
     "c23_bpe_packing" ->

@@ -604,6 +604,41 @@ object TextOps {
         size(col("_bpe")).as("n_bpe_tokens"),
         array_join(col("_bpe"), " ").as("bpe_text"))
 
+  /** Fit the unigram-LM (SentencePiece-family) piece table — [[bpeLearn]]'s
+    * twin for the other production tokenizer family: same vocab-bounded
+    * (word, count) aggregate feeds `Unigram.learn`'s hard-EM fit; the
+    * corpus is never collected, so the shape holds at 100 TB. */
+  def unigramLearn(documents: DataFrame, vocabSize: Int = 400,
+                   maxVocab: Int = 100000): Seq[(String, Double)] = {
+    val wc = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Unigram.learn(wc, vocabSize)
+  }
+
+  /** Serialize a fitted piece table to the literal rows
+    * graft_unigram_segment expects — raw log-prob bits, so the model
+    * round-trips exactly. */
+  def unigramModelRows(model: Seq[(String, Double)]): Array[String] =
+    model.map { case (p, lp) =>
+      s"$p ${java.lang.Double.doubleToLongBits(lp)}"
+    }.toArray
+
+  /** Apply a fitted unigram-LM model: map-only native codegen Viterbi
+    * segmentation per document (graft_unigram_segment), no shuffle —
+    * [[bpeTokenize]]'s column contract with the unigram names. */
+  def unigramTokenize(documents: DataFrame,
+                      model: Seq[(String, Double)]): DataFrame =
+    documents
+      .withColumn("_ug", call_function("graft_unigram_segment", col("text"),
+        lit(unigramModelRows(model))))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        size(col("_ug")).as("n_unigram_tokens"),
+        array_join(col("_ug"), " ").as("unigram_text"))
+
   /** Head+tail token-budget truncation — the long-document policy
     * context-bounded training actually ships: keep the first
     * `headTokens` and last `tailTokens` tokens and drop the middle

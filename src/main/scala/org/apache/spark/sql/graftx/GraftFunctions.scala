@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText}
+import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -61,6 +61,13 @@ object GraftFunctions {
     // (rank order); args: (text, array<string> of "a b" merge pairs)
     registry.createOrReplaceTempFunction("graft_bpe_segment",
       FnArity.checked("graft_bpe_segment", 2)(args => BpeSegment(args(0), args(1))),
+      "built-in")
+    // unigram-LM (SentencePiece-family) Viterbi segmentation against a
+    // literal fitted piece table; args: (text, array<string> of
+    // "<piece> <logp-bits>" rows)
+    registry.createOrReplaceTempFunction("graft_unigram_segment",
+      FnArity.checked("graft_unigram_segment", 2)(args =>
+        UnigramSegment(args(0), args(1))),
       "built-in")
     // Spark's own bloom-probe expression (the one InjectRuntimeFilter
     // plants): not SQL-registered upstream because runtime filtering
