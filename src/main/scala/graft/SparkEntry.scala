@@ -720,6 +720,7 @@ object SparkEntry {
     "q23_funnel" -> Seq("user_id"),
     "q43_conversion_window" -> Seq("user_id"),
     "q24_upsert" -> Seq("o_orderkey"),
+    "q67_tx_merge" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "q25_brand_revenue" -> Seq("p_brand"),
@@ -1326,6 +1327,28 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") * 2).as("o_totalprice"))
       graft.sources.Sources.upsert(cur, upd, "o_orderkey")
+    }),
+    // q67: q24's upsert driven through the STORAGE layer — the
+    // log-structured TxTable (Delta-protocol pattern: versioned commit
+    // log, atomic create-if-absent, per-file key stats): create the
+    // snapshot table, MERGE the update set as one commit that rewrites
+    // only key-range-intersecting files, compact, read the snapshot
+    // back. Oracle = the identical relational upsert — the ACID layer
+    // must be value-invisible. Isolation/time-travel/pruning semantics
+    // are TxTableSpec's.
+    "q67_tx_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val root = stageDir(d) + "/q67_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      graft.sources.TxTable.compact(s, root, "o_orderkey")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
     // ordered CDC changelog applied onto a snapshot: U@1 for even keys,
     // D@2 for %5 keys, I@3 for %21 keys — multi-change keys exercise the
@@ -2943,6 +2966,20 @@ object SparkEntry {
         SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
         ${dsum("value")} AS sum_value
         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+  // shared by q24 (DataFrame upsert) and q67 (the same upsert through
+  // the TxTable ACID storage layer — value-invisible by contract)
+  private lazy val upsertSql =
+    """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                    WHERE o_orderkey % 2 = 0),
+       upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+               FROM orders WHERE o_orderkey % 3 = 0)
+       SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+              ELSE c.o_orderstatus END AS o_orderstatus,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+              ELSE c.o_totalprice END AS o_totalprice
+       FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey
+       ORDER BY 1"""
   private lazy val contaminationSql =
     s"""WITH tok AS ($shingleTok),
         bm AS (SELECT DISTINCT s FROM
@@ -5964,18 +6001,9 @@ object SparkEntry {
             AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
           GROUP BY 1 ORDER BY 1""",
-    "q24_upsert" ->
-      """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-                      WHERE o_orderkey % 2 = 0),
-         upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
-                 FROM orders WHERE o_orderkey % 3 = 0)
-         SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
-           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
-                ELSE c.o_orderstatus END AS o_orderstatus,
-           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
-                ELSE c.o_totalprice END AS o_totalprice
-         FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey
-         ORDER BY 1""",
+    // q67 is the same relational result through the TxTable storage layer
+    "q67_tx_merge" -> upsertSql,
+    "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,
             (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900) * 900 AS base

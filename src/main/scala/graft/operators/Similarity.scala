@@ -36,6 +36,20 @@ object Similarity {
       when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** [[lshCode]] at an explicit plane count — the corpus-size lever the
+    * fixed 8-plane default lacks: expected bucket occupancy is
+    * n / 2^planes, and the hamming-1 candidate join touches
+    * (planes+1) · occupancy rows per query, so production sizes planes
+    * ≈ log2(n / targetOccupancy) (20-60 per bucket). planesFor's
+    * prefix-stability makes wider codes strict refinements — the first
+    * 8 bits never change. Bounded at 30 so `1 << i` stays in int. */
+  def lshCodeN(v: Column, nPlanes: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes $nPlanes out of [1,30]")
+    planesFor(nPlanes).zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
   /** Rank candidates per query. Ordering uses the cosine rounded to 6
     * decimals in the decimal domain (ties then break on id): float-exact
     * ordering is fragile across engines — sqrt/association differences of
@@ -217,18 +231,27 @@ object Similarity {
     * corpus-dependent (a true neighbour differing in ≥2 sign bits is
     * missed); SimilaritySpec measures it against [[knnGraph]] on the
     * test corpus. Per-vector top-k stays a window over candidates only. */
-  def knnGraphLsh(embeddings: DataFrame, k: Int = 3): DataFrame = {
+  def knnGraphLsh(embeddings: DataFrame, k: Int = 3,
+                  nPlanes: Int = numPlanes): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("code", lshCode(col("v")))
+      .withColumn("code", lshCodeN(col("v"), nPlanes))
       .withColumn("nrm", norm(col("v")))
-    val probeCodes = array((lit(0) +: (0 until numPlanes).map(i => lit(1 << i))): _*)
+    val probeCodes = array((lit(0) +: (0 until nPlanes).map(i => lit(1 << i))): _*)
     val q = v.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
       explode(transform(probeCodes, m => col("code").bitwiseXOR(m))).as("probe"))
     // no distinct, no join-backs: a (q, c) pair meets through EXACTLY one
     // probed bucket — the 9 probe masks are distinct and only
     // m = q.code XOR c.code satisfies c.code == q.code XOR m — so the
     // probe join is already duplicate-free and the payloads ride through
+    // the bucket join must NEVER broadcast: the probe side is
+    // (planes+1)·n rows and the data side is n rows with full vectors —
+    // both corpus-sized. Catalyst's size estimate on generated/narrow
+    // inputs can fall under the broadcast threshold and OOM the driver
+    // building a corpus-wide hash table (measured at 500k vectors in
+    // ScaleSmokeSpec); the merge hint pins the spill-safe sort-merge
+    // plan at every scale.
     val pairs = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("code"))
+      .hint("merge")
       .join(q, col("code") === col("probe") && col("id_b") =!= col("q_id"))
       .withColumn("cos", dot(col("vq"), col("vb")) / (col("nq") * col("nb")))
     topK(pairs, k)
