@@ -723,6 +723,8 @@ object SparkEntry {
     "q67_tx_merge" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
+    "st32_cdc_tx_sink" -> Seq("o_orderkey"),
+    "q68_time_travel" -> Seq("o_orderkey"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
@@ -1348,6 +1350,25 @@ object SparkEntry {
       graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
       graft.sources.TxTable.compact(s, root, "o_orderkey")
       graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+    // q68: time travel through the ACID log — q67's table read AS OF
+    // the pre-merge version (the reproducibility read a training
+    // pipeline needs: which exact rows did run N see?). Oracle = the
+    // untouched snapshot relationally; merge+compact happen AFTER the
+    // pinned version and must be invisible to it.
+    "q68_time_travel" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val root = stageDir(d) + "/q68_tx"
+      val v0 = graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      graft.sources.TxTable.compact(s, root, "o_orderkey")
+      graft.sources.TxTable.read(s, root, asOf = Some(v0))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
     // ordered CDC changelog applied onto a snapshot: U@1 for even keys,
@@ -2082,6 +2103,11 @@ object SparkEntry {
     }),
     "st11_cdc_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.cdcFileStream(Tables.tune(s), d)),
+    // st32: the same CDC stream with the PRODUCTION sink — every
+    // micro-batch commits into the TxTable (merge/delete as atomic
+    // versions); final snapshot == the batch applyCdc == q44's oracle
+    "st32_cdc_tx_sink" -> ((s, d) =>
+      graft.streaming.StreamDrivers.cdcTxSinkStream(Tables.tune(s), d)),
     // the Gopher quality gate as a streaming ingest filter — same
     // planted-violation input and rule algebra as c24, driven through a
     // two-batch file stream; gated on c24's oracle verbatim
@@ -3580,6 +3606,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q44_cdc_apply" -> cdcApplySql,
     "st11_cdc_stream" -> cdcApplySql,
+    "st32_cdc_tx_sink" -> cdcApplySql,
     "q42_interval_islands" ->
       """WITH iv AS (
            SELECT user_id, event_id, ts,
@@ -6003,6 +6030,11 @@ object SparkEntry {
           GROUP BY 1 ORDER BY 1""",
     // q67 is the same relational result through the TxTable storage layer
     "q67_tx_merge" -> upsertSql,
+    // q68: the AS-OF read pins the PRE-merge version — the oracle is
+    // the untouched snapshot (later commits must be invisible to it)
+    "q68_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey % 2 = 0 ORDER BY 1""",
     "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,

@@ -196,6 +196,30 @@ object TxTable {
     commit(root, key, adds, touched.map(_.name))
   }
 
+  /** Storage-level DELETE by key — the other half of a CDC sink: prune
+    * to the files whose key range intersects the delete set, rewrite
+    * them without those keys, one atomic commit. Delete-of-absent is a
+    * no-op (idempotent replay, the applyCdc contract). */
+  def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
+                 key: String): Long = {
+    import spark.implicits._
+    val files = snapshot(root, None)
+    val ranges = files.map(f => (f.name, f.kmin, f.kmax))
+      .toDF("name", "kmin", "kmax")
+    val touchedNames = keys.select(col(key).cast("long").as("k")).distinct()
+      .join(broadcast(ranges), col("k").between(col("kmin"), col("kmax")))
+      .select(col("name")).distinct().as[String].collect().toSet
+    val touched = files.filter(f => touchedNames.contains(f.name))
+    if (touched.isEmpty) return currentVersion(root)
+    val base = spark.read.parquet(touched.map(f =>
+      dataDir(root).resolve(f.name).toString): _*)
+    val remaining = base.join(keys.select(col(key)).distinct(),
+      Seq(key), "left_anti")
+    val v = currentVersion(root) + 1
+    val adds = writeFiles(spark, remaining, root, key, f"$v%010d-delete")
+    commit(root, key, adds, touched.map(_.name))
+  }
+
   /** Compaction as a commit: rewrite the current live set into
     * `numFiles` files, remove the originals — readers before/after see
     * exactly the same rows (spec-asserted), and time travel to the

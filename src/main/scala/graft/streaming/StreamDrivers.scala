@@ -565,6 +565,79 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st11's CDC pipeline with the PRODUCTION sink (st32): instead of
+    * the driver-side state map, every micro-batch's update-mode
+    * emission commits into a [[graft.sources.TxTable]] — upserts MERGE
+    * (file-pruned rewrite), deletes DELETE, each an atomic version.
+    * This is the "foreachBatch upserts into a table" posture the
+    * harness drivers document, made real: a crash between batches
+    * leaves a consistent committed snapshot plus the stream checkpoint,
+    * the exactly-once story a production CDC sink needs. Per key the
+    * final applied action is the max-seq action (cdcLatest state is
+    * monotone in seq; intermediate emissions are overwritten by later
+    * commits), so the final table equals the batch applyCdc — the q44
+    * oracle verbatim. */
+  def cdcTxSinkStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-cdctx")
+    val in = s"$dir/in"; val chk = s"$dir/chk"; val root = s"$dir/tx"
+    try withStatePartitions(spark, 8) {
+      val o = graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snap = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      graft.sources.TxTable.create(spark, snap, root, "o_orderkey")
+      val tiers = Seq(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"),
+            lit("U").as("op"), lit(1L).as("seq")),
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit("D").as("op"), lit(2L).as("seq")),
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey"), lit("NEW").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit("I").as("op"), lit(3L).as("seq")))
+      val stamper = new MtimeStamper
+      var first = true
+      tiers.foreach { tier =>
+        tier.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val chgSchema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("op", StringType),
+        StructField("seq", LongType)))
+      val src = spark.readStream.schema(chgSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = StreamOps.cdcLatest(spark, src.as[StreamOps.CdcChg]).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[StreamOps.CdcChg], _: Long) =>
+          val batch = b.toDF().persist()
+          try {
+            val ups = batch.filter(col("op").isin("I", "U"))
+              .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+            if (!ups.isEmpty)
+              graft.sources.TxTable.merge(spark, root, ups, "o_orderkey")
+            val dels = batch.filter(col("op") === "D").select(col("o_orderkey"))
+            if (!dels.isEmpty)
+              graft.sources.TxTable.deleteKeys(spark, root, dels, "o_orderkey")
+            ()
+          } finally { batch.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize off the table files before the temp dir is deleted
+      graft.sources.TxTable.read(spark, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →
