@@ -790,6 +790,7 @@ object SparkEntry {
     "s10_quantized_ann" -> Seq("q_id", "rank"),
     "s11_pq_ann" -> Seq("q_id", "rank"),
     "s12_ivf_pq" -> Seq("q_id", "rank"),
+    "s22_graph_ann" -> Seq("q_id", "rank"),
     "s15_ivfadc" -> Seq("q_id", "rank"),
     "d21_semdedup" -> Seq("vec_id"),
     "s13_rand_proj" -> Seq("vec_id", "pos"),
@@ -2178,6 +2179,15 @@ object SparkEntry {
       Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/s5_codes")
       Similarity.knnGraphLsh(emb)
+    }),
+    // s22: graph-based ANN (NSW-family beam search over the s5 graph).
+    // FULL oracle: staged codes replay the edges (lshEdgeCtes), then
+    // the beam rounds unroll as CTEs — decimal-6 cosine + id ranks
+    "s22_graph_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s22_codes")
+      Similarity.graphAnnTopK(emb)
     }),
     // distributed k-means, FULL oracle: stage the seed id/cid table
     // (smallest-xxhash64 — the one non-ANSI step), then the oracle
@@ -4869,6 +4879,50 @@ object SparkEntry {
          FROM hit LEFT JOIN an ON an.q_id = hit.q_id
          ORDER BY hit.q_id""",
     // s5: same staged-code replay, every vector a query, k = 3
+    // s22: staged-code edge replay (the s5 shape) + the 3 beam rounds
+    // unrolled — every rank is decimal-6 cosine + id, no float ties
+    "s22_graph_ann" -> {
+      val hops = (1 to 3).map { h =>
+        s""",
+         c$h AS (SELECT DISTINCT q_id, cand FROM (
+                 SELECT q_id, cand FROM f${h - 1}
+                 UNION ALL
+                 SELECT f.q_id, e.dst AS cand FROM f${h - 1} f JOIN e ON e.src = f.cand)),
+         s$h AS (SELECT q_id, cand, row_number() OVER
+                 (PARTITION BY q_id ORDER BY cos6 DESC, cand) AS rk FROM
+                 (SELECT c.q_id, c.cand,
+                  CAST(list_cosine_similarity(qv.vq, wv.v) AS DECIMAL(38,6)) AS cos6
+                  FROM c$h c JOIN qq qv ON qv.q_id = c.q_id
+                  JOIN v wv ON wv.vec_id = c.cand) z$h),
+         f$h AS (SELECT q_id, cand FROM s$h WHERE rk <= 8)"""
+      }.mkString
+      s"""WITH cd AS (SELECT vec_id, code
+           FROM read_parquet('__GRAFT_STAGE__/s22_codes/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM cd q JOIN cd c
+                 ON c.vec_id <> q.vec_id
+                 AND bit_count(xor(q.code, c.code)) <= 1
+               JOIN v qv ON qv.vec_id = q.vec_id
+               JOIN v cv ON cv.vec_id = c.vec_id),
+         rr AS (SELECT q_id, id_b, row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS rank FROM p),
+         e AS (SELECT q_id AS src, id_b AS dst FROM rr WHERE rank <= 3),
+         qq AS (SELECT vec_id AS q_id, v AS vq FROM v WHERE vec_id < 10),
+         en AS (SELECT vec_id AS cand FROM embeddings ORDER BY vec_id LIMIT 4),
+         c0 AS (SELECT q_id, cand FROM qq CROSS JOIN en),
+         s0 AS (SELECT q_id, cand, row_number() OVER
+               (PARTITION BY q_id ORDER BY cos6 DESC, cand) AS rk FROM
+               (SELECT c.q_id, c.cand,
+                CAST(list_cosine_similarity(qv.vq, wv.v) AS DECIMAL(38,6)) AS cos6
+                FROM c0 c JOIN qq qv ON qv.q_id = c.q_id
+                JOIN v wv ON wv.vec_id = c.cand) z0),
+         f0 AS (SELECT q_id, cand FROM s0 WHERE rk <= 8)$hops
+         SELECT q_id, cand AS neighbor_id, CAST(rk AS INTEGER) AS rank
+         FROM s3 WHERE rk <= 5 ORDER BY q_id, rank"""
+    },
     "s5_knn_lsh_graph" ->
       """WITH cd AS (SELECT vec_id, code
            FROM read_parquet('__GRAFT_STAGE__/s5_codes/*.parquet')),

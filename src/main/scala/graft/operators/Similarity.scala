@@ -553,6 +553,59 @@ object Similarity {
     embeddings.select(col("vec_id"),
       lshCode(toDoubleVec(col("embedding"))).as("code"))
 
+  /** Graph-based ANN — the navigable-small-world family's base layer
+    * (Malkov et al. 2014, the foundation HNSW stacks): greedy BEAM
+    * search over the sub-quadratic LSH k-NN graph. Per query: start
+    * from fixed entry points (the 4 smallest vec_ids — deterministic,
+    * oracle-replayable), then `hops` rounds of expand-frontier-by-edges
+    * → score → keep the beam, finishing with the final beam's top-k.
+    * Deterministic end to end: decimal-6 cosine + id tie-break at every
+    * rank (the house topK convention).
+    *
+    * Scale shape: the only corpus-scale work is building the k-NN graph
+    * once (s5's plan — production persists it as an artifact); each hop
+    * is frontier⋈edges where the frontier is queries×beam rows (tiny),
+    * a vector-payload join keyed on candidate id, and a bounded
+    * query-keyed window. Search cost is independent of corpus size —
+    * the property that makes graph ANN the production default. */
+  def graphAnnTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                   beam: Int = 8, hops: Int = 3): DataFrame = {
+    val edges = knnGraphLsh(embeddings)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val entries = v.select(col("vec_id")).orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cand"))
+    def scoreBeam(cands: DataFrame, lim: Int): DataFrame = {
+      val scored = cands
+        .join(v.select(col("vec_id").as("cand"), col("v").as("vb"),
+          col("nrm").as("nb")), Seq("cand"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos6",
+          decRound(dot(col("vq"), col("vb")) / (col("nq") * col("nb")), 6))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("cand"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= lim)
+        .select(col("q_id"), col("cand"), col("rank"))
+    }
+    var frontier = scoreBeam(
+      q.select(col("q_id")).crossJoin(entries), beam).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val expanded = frontier.select(col("q_id"), col("cand").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("q_id"), col("dst").as("cand"))
+      val cands = frontier.select(col("q_id"), col("cand"))
+        .union(expanded).distinct()
+      frontier = scoreBeam(cands, beam).localCheckpoint()
+    }
+    frontier.filter(col("rank") <= k)
+      .select(col("q_id"), col("cand").as("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k with hamming-1 multi-probe. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

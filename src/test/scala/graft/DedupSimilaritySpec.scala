@@ -288,6 +288,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("graph ANN: deterministic beam search, shaped output, useful recall") {
+    val emb = table("embeddings")
+    val out = Similarity.graphAnnTopK(emb).collect()
+    // shape: per query a dense 1..k rank prefix (the final beam always
+    // holds >= k candidates: 4 entries + 3 hops of top-3 expansions)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to 5))
+    }
+    // determinism: two runs identical
+    val again = Similarity.graphAnnTopK(emb).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // the walk must BEAT staying at the entry points: for most queries
+    // the final beam escapes the 4 entry ids (graph navigation works)
+    val escaped = byQ.values.count(_.exists(r => r.getLong(1) >= 4L))
+    assert(escaped >= 7, s"only $escaped/10 queries left the entry set")
+    // recall floor vs exact (self-hit excluded on both sides): graph
+    // ANN on isotropic vectors is approximate — require overlap, not
+    // perfection
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteTopK(emb))
+    val approx = sets(Similarity.graphAnnTopK(emb))
+    val hits = (0L until 10L).map(q =>
+      exact(q).intersect(approx(q) - q).size).sum
+    assert(hits >= 5, s"graph ANN found only $hits exact-top-5 hits across 10 queries")
+  }
+
   test("random projection: 16-dim sketches preserve pairwise distances") {
     import graft.functions.ColumnFns
     val emb = table("embeddings")
