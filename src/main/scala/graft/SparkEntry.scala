@@ -933,6 +933,7 @@ object SparkEntry {
     "m11_bmp_meta" -> Seq("doc_id"),
     "m12_tiff_meta" -> Seq("doc_id"),
     "m13_id3_meta" -> Seq("doc_id"),
+    "m24_pdf_meta" -> Seq("doc_id"),
     "m17_jpeg_dqt" -> Seq("doc_id"),
     "m18_webp_meta" -> Seq("doc_id"),
     "m19_zip_meta" -> Seq("doc_id", "entry_idx"),
@@ -1250,6 +1251,9 @@ object SparkEntry {
     "m11_bmp_meta" -> ((s, d) => Multimodal.bmpMetaPlanted(s, t(s, d, "documents"))),
     "m12_tiff_meta" -> ((s, d) => Multimodal.tiffMetaPlanted(s, t(s, d, "documents"))),
     "m13_id3_meta" -> ((s, d) => Multimodal.id3MetaPlanted(s, t(s, d, "documents"))),
+    // PDF structural metadata: header version, object census, pages
+    // /Count, info /Title, %%EOF truncation check
+    "m24_pdf_meta" -> ((s, d) => Multimodal.pdfMetaPlanted(s, t(s, d, "documents"))),
     // JPEG DQT quality estimation: length-driven segment walk to the
     // quant tables, integer quant-sum quality bands, exact-rational mean
     "m17_jpeg_dqt" -> ((s, d) => Multimodal.jpegDqtPlanted(s, t(s, d, "documents"))),
@@ -5868,6 +5872,21 @@ object SparkEntry {
            CAST(1 + octet_length(encode(text)) % 50 AS INTEGER) AS q_min,
            CAST(1 + octet_length(encode(text)) % 50 AS INTEGER) AS q_max,
            'none' AS band
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m24: the plant formulas replayed (version minor, page count, the
+    // object census = pages + catalog + pages-node + info, title)
+    "m24_pdf_meta" ->
+      """SELECT doc_id, 1 AS is_pdf,
+           '1.' || CAST((doc_id // 8) % 8 AS VARCHAR) AS version,
+           CAST(3 + (1 + doc_id % 4) AS INTEGER) AS n_objects,
+           CAST(1 + doc_id % 4 AS INTEGER) AS n_pages,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           1 AS has_eof
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_pdf, '' AS version, 0 AS n_objects,
+           0 AS n_pages, '' AS title, 0 AS has_eof
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     "m13_id3_meta" ->

@@ -537,6 +537,34 @@ object Multimodal {
     }
   }
 
+  object PlantedPdfs {
+    val Every = 8
+    def nPages(docId: Long): Int = (1 + docId % 4).toInt
+
+    /** Minimal structurally-real PDF: header with a doc_id-derived
+      * minor version, catalog → pages tree with an explicit /Count, one
+      * /Type /Page object per page, an /Info object carrying /Title,
+      * trailer + startxref + %%EOF. The /Count value and the number of
+      * page OBJECTS agree by construction — a parser reading either
+      * must land on the same page count. */
+    def craftedPdf(docId: Long): Array[Byte] = {
+      val minor = ((docId / Every) % 8).toInt
+      val pages = nPages(docId)
+      val sb = new StringBuilder
+      sb.append(s"%PDF-1.$minor\n")
+      sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      val kids = (0 until pages).map(i => s"${3 + i} 0 R").mkString(" ")
+      sb.append(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $pages >>\nendobj\n")
+      (0 until pages).foreach { i =>
+        sb.append(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n")
+      }
+      sb.append(s"${3 + pages} 0 obj\n<< /Title (Doc $docId) >>\nendobj\n")
+      sb.append(s"trailer\n<< /Size ${4 + pages} /Info ${3 + pages} 0 R >>\n")
+      sb.append("startxref\n0\n%%EOF")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+
   object PlantedId3s {
     val Every = 8
 
@@ -1073,6 +1101,51 @@ object Multimodal {
 
   /** Documents with planted real-ID3v2 payloads on every `every`-th
     * doc_id (text bytes otherwise). */
+  def plantedPdfMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedPdfs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedPdfs.craftedPdf(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL PDF document metadata from the binary payload — the last big
+    * document container the ingest front door meets (scanned books,
+    * papers, reports): `%PDF-` magic + version from the header line,
+    * object count from the `N 0 obj` markers, page count from the
+    * pages tree's declarative /Count (cross-checkable against the
+    * /Type /Page object census — both planted to agree), /Title from
+    * the info dictionary, and the %%EOF trailer presence a truncation
+    * check reads. Regexp extracts over the decoded byte string — PDF's
+    * skeleton is ASCII by spec (only stream payloads are binary), so
+    * the structural layer needs no byte walking; non-PDF payloads gate
+    * out at the magic check. Pure map, no shuffle. */
+  def pdfMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val s = p.cast("string")
+    val isPdf = hex(p.substr(lit(1), lit(5))) === "255044462D"
+    media.select(col("doc_id"),
+      isPdf.cast("int").as("is_pdf"),
+      when(isPdf, regexp_extract(s, "^%PDF-([0-9]+\\.[0-9]+)", 1))
+        .otherwise(lit("")).as("version"),
+      when(isPdf, size(regexp_extract_all(s, lit("(?m)^[0-9]+ 0 obj"), lit(0))))
+        .otherwise(lit(0)).cast("int").as("n_objects"),
+      when(isPdf, regexp_extract(s, "/Count ([0-9]+)", 1).cast("int"))
+        .otherwise(lit(0)).as("n_pages"),
+      when(isPdf, regexp_extract(s, "/Title \\(([^)]*)\\)", 1))
+        .otherwise(lit("")).as("title"),
+      when(isPdf, s.contains("%%EOF").cast("int")).otherwise(lit(0))
+        .as("has_eof"))
+  }
+
+  /** The m24 gate: PDF structural metadata over the planted corpus. */
+  def pdfMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedPdfs.Every): DataFrame =
+    pdfMeta(plantedPdfMedia(spark, documents, every).toDF())
+
   def plantedId3Media(spark: SparkSession, documents: DataFrame,
                       every: Int = PlantedId3s.Every): Dataset[MediaIn] = {
     import spark.implicits._

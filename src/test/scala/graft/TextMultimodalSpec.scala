@@ -943,6 +943,30 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out.getInt(1) === 0, "non-syncsafe size byte must fall back")
   }
 
+  test("pdf meta: header/census/count/title parse, truncation flagged, fallbacks") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val planted = Multimodal.pdfMetaPlanted(spark, table("documents")).collect()
+    planted.filter(_.getLong(0) % 8 == 0).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 1)
+      assert(r.getString(2) === s"1.${(id / 8) % 8}")
+      val pages = (1 + id % 4).toInt
+      assert(r.getInt(4) === pages)
+      assert(r.getInt(3) === 3 + pages) // catalog + pages node + info + pages
+      assert(r.getString(5) === s"Doc $id")
+      assert(r.getInt(6) === 1)
+    }
+    assert(planted.filter(_.getLong(0) % 8 != 0).forall(_.getInt(1) === 0))
+    // truncation: cut before %%EOF → still a PDF, has_eof = 0
+    val whole = Multimodal.PlantedPdfs.craftedPdf(8L)
+    val cut = whole.take(whole.length - 6)
+    val out = Multimodal.pdfMeta(Seq((1L, cut)).toDF("doc_id", "payload"))
+      .collect()(0)
+    assert(out.getInt(1) === 1 && out.getInt(6) === 0)
+    assert(out.getInt(4) === (1 + 8 % 4)) // /Count still readable
+  }
+
   test("truncate middle: head and tail survive, budget boundary exact") {
     import spark.implicits._
     val docs = Seq(
