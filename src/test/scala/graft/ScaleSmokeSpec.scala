@@ -161,6 +161,34 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("TxTable scale path: point merge into a 1M-row table rewrites one file") {
+    gated()
+    import spark.implicits._
+    timed("txtable_pruned_merge") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-tx").toString + "/tbl"
+      val base = spark.range(0, NDocs).select(col("id").as("k"),
+        concat(lit("v"), col("id").cast("string")).as("v"))
+        .repartitionByRange(8, col("k"))   // 8 files, disjoint key ranges
+      graft.sources.TxTable.create(spark, base, root, "k")
+      val before = graft.sources.TxTable.snapshot(root).map(_.name).toSet
+      assert(before.size === 8)
+      // 10k updates confined to one 125k-key range: the merge must
+      // read+rewrite ONE file, carrying the other seven over untouched
+      val upd = spark.range(0, 10000).select(col("id").as("k"),
+        lit("updated").as("v"))
+      graft.sources.TxTable.merge(spark, root, upd, "k")
+      val after = graft.sources.TxTable.snapshot(root).map(_.name).toSet
+      assert((before intersect after).size === 7,
+        s"pruned merge should keep 7 of 8 files: before=$before after=$after")
+      val n = graft.sources.TxTable.read(spark, root).count()
+      assert(n === NDocs)
+      val changed = graft.sources.TxTable.read(spark, root)
+        .filter(col("v") === "updated").count()
+      assert(changed === 10000L)
+    }
+  }
+
   test("q60 telemetry: skew profile sees the planted hot keys at 1M rows") {
     gated()
     timed("q60_skew_profile") {
