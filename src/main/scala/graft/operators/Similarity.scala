@@ -592,8 +592,10 @@ object Similarity {
         .filter(col("rank") <= lim)
         .select(col("q_id"), col("cand"), col("rank"))
     }
+    // queries × entry points: both sides bounded (numQueries × 4 rows)
+    // — the broadcast pins the trivially-correct plan at any corpus size
     var frontier = scoreBeam(
-      q.select(col("q_id")).crossJoin(entries), beam).localCheckpoint()
+      q.select(col("q_id")).crossJoin(broadcast(entries)), beam).localCheckpoint()
     for (_ <- 1 to hops) {
       val expanded = frontier.select(col("q_id"), col("cand").as("src"))
         .join(edges, Seq("src"))
