@@ -97,13 +97,21 @@ object TxTable {
       if (moved.isEmpty) return Seq.empty
       // one pass over the new files for per-file stats (the log never
       // stores data, only names + ranges)
+      // non-integral keys (strings, composites) cast to null: such a
+      // file records the FULL key range, so pruning degrades to
+      // touch-this-file-always instead of silently skipping it (the
+      // degrade-never-miss posture a MERGE must have)
       val stats = spark.read.parquet(moved.map(_.toString): _*)
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"),
-          min(col(key)).cast("long").as("kmin"),
-          max(col(key)).cast("long").as("kmax"))
+          min(expr(s"try_cast(`$key` AS BIGINT)")).as("kmin"),
+          max(expr(s"try_cast(`$key` AS BIGINT)")).as("kmax"))
         .collect()
-        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .map { r =>
+          val kmin = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
+          val kmax = if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)
+          (r.getString(0), (r.getLong(1), kmin, kmax))
+        }
         .toMap
       moved.map { p =>
         val (rows, kmin, kmax) = stats.collectFirst {
@@ -167,6 +175,25 @@ object TxTable {
       dataDir(root).resolve(f.name).toString): _*)
   }
 
+  /** Names of the live files whose key range intersects the update/
+    * delete key set — a broadcast range join over the (small) file-range
+    * table. Non-integral keys cast to null on the probe side, where a
+    * range test can never match — any null probe key therefore degrades
+    * to touch-ALL-files (a full rewrite is correct, a missed file is
+    * not), matching the writer side's full-range stats for such keys. */
+  private def touchedFileNames(spark: SparkSession, files: Seq[FileEntry],
+                               updates: DataFrame, key: String): Set[String] = {
+    import spark.implicits._
+    val ks = updates.select(expr(s"try_cast(`$key` AS BIGINT)").as("k"))
+      .distinct().localCheckpoint()
+    if (ks.filter(col("k").isNull).limit(1).count() > 0)
+      return files.map(_.name).toSet
+    val ranges = files.map(f => (f.name, f.kmin, f.kmax))
+      .toDF("name", "kmin", "kmax")
+    ks.join(broadcast(ranges), col("k").between(col("kmin"), col("kmax")))
+      .select(col("name")).distinct().as[String].collect().toSet
+  }
+
   /** Storage-level MERGE (upsert by `key`): only files whose key range
     * intersects the update keys are read and rewritten; every other
     * file carries over untouched — the file-level pruning that makes a
@@ -174,16 +201,9 @@ object TxTable {
     * not the table. One atomic commit swaps removed-for-rewritten. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String): Long = {
-    import spark.implicits._
     val files = snapshot(root, None)
-    val ranges = files.map(f => (f.name, f.kmin, f.kmax))
-      .toDF("name", "kmin", "kmax")
-    // files whose [kmin, kmax] contains at least one update key — a
-    // broadcast range join over the (small) file-range table
-    val touchedNames = updates.select(col(key).cast("long").as("k")).distinct()
-      .join(broadcast(ranges), col("k").between(col("kmin"), col("kmax")))
-      .select(col("name")).distinct().as[String].collect().toSet
-    val touched = files.filter(f => touchedNames.contains(f.name))
+    val touchedSet = touchedFileNames(spark, files, updates, key)
+    val touched = files.filter(f => touchedSet.contains(f.name))
     val base =
       if (touched.isEmpty) updates.limit(0)
       else spark.read.parquet(touched.map(f =>
@@ -202,14 +222,9 @@ object TxTable {
     * no-op (idempotent replay, the applyCdc contract). */
   def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
                  key: String): Long = {
-    import spark.implicits._
     val files = snapshot(root, None)
-    val ranges = files.map(f => (f.name, f.kmin, f.kmax))
-      .toDF("name", "kmin", "kmax")
-    val touchedNames = keys.select(col(key).cast("long").as("k")).distinct()
-      .join(broadcast(ranges), col("k").between(col("kmin"), col("kmax")))
-      .select(col("name")).distinct().as[String].collect().toSet
-    val touched = files.filter(f => touchedNames.contains(f.name))
+    val touchedSet = touchedFileNames(spark, files, keys, key)
+    val touched = files.filter(f => touchedSet.contains(f.name))
     if (touched.isEmpty) return currentVersion(root)
     val base = spark.read.parquet(touched.map(f =>
       dataDir(root).resolve(f.name).toString): _*)

@@ -86,6 +86,22 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(rows(TxTable.read(spark, root)) === rows(base))
   }
 
+  test("string keys: pruning degrades to full rewrite, never a missed file") {
+    import spark.implicits._
+    val root = tempDir("txt-strkey").toString + "/tbl"
+    val base = (0 until 100).map(i => (s"key$i", s"v$i")).toDF("k", "v")
+      .repartition(3)
+    TxTable.create(spark, base, root, "k")
+    // every string key casts to null on both sides: stats record the
+    // full range, probes touch every file — correct, just unpruned
+    TxTable.merge(spark, root, Seq(("key5", "changed")).toDF("k", "v"), "k")
+    val out = TxTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.size === 100 && out.contains(("key5", "changed")))
+    TxTable.deleteKeys(spark, root, Seq(Tuple1("key7")).toDF("k"), "k")
+    assert(TxTable.read(spark, root).count() === 99)
+  }
+
   test("optimistic concurrency: version collision retries past the winner") {
     import spark.implicits._
     val (root, _) = mkTable("txt-occ")
