@@ -1713,7 +1713,9 @@ object SparkEntry {
     // merged==direct and error bounds remain spec-asserted).
     "c16_sketch_rollup" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val sk = Curation.dailyUserSketches(ev)
+      // materialized: the daily sketch table feeds BOTH staged writes —
+      // without this the HLL aggregation over events runs twice
+      val sk = Curation.dailyUserSketches(ev).localCheckpoint()
       sk.select(col("event_type"), col("day"),
           hll_sketch_estimate(col("sk")).as("est_daily"))
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c16_daily")
@@ -3715,7 +3717,7 @@ object SparkEntry {
            coalesce(ex.exact_count, 0) AS exact_count,
            CAST(est.est_count = coalesce(ex.exact_count, 0) AS INTEGER) AS is_exact
          FROM est LEFT JOIN ex ON ex.token = est.token
-         ORDER BY est.est_count DESC, est.token""",
+         ORDER BY est.token""",
     "c18_bloom_gate" ->
       s"""WITH tok AS ($shingleTok),
          bm AS (SELECT DISTINCT s FROM

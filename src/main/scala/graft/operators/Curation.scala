@@ -1596,7 +1596,9 @@ object Curation {
         coalesce(col("exact_count"), lit(0L)).as("exact_count"),
         (col("est_count") === coalesce(col("exact_count"), lit(0L)))
           .cast("int").as("is_exact"))
-      .orderBy(col("est_count").desc, col("token"))
+      // token asc — the gate's presentation sort (gateSort) and the
+      // oracle's ORDER BY must agree; est_count-desc was only cosmetic
+      .orderBy(col("token"))
   }
 
   /** Full-oracle false-positive report over the STAGED [[bloomGate]]

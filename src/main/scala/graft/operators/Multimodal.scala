@@ -1133,7 +1133,11 @@ object Multimodal {
         .otherwise(lit("")).as("version"),
       when(isPdf, size(regexp_extract_all(s, lit("(?m)^[0-9]+ 0 obj"), lit(0))))
         .otherwise(lit(0)).cast("int").as("n_objects"),
-      when(isPdf, regexp_extract(s, "/Count ([0-9]+)", 1).cast("int"))
+      // empty-match guard: a truncated PDF without a /Count must yield
+      // 0, not throw CAST_INVALID_INPUT under ANSI (the same
+      // degrade-never-crash contract as the container walks)
+      when(isPdf && regexp_extract(s, "/Count ([0-9]+)", 1) =!= "",
+        regexp_extract(s, "/Count ([0-9]+)", 1).cast("int"))
         .otherwise(lit(0)).as("n_pages"),
       when(isPdf, regexp_extract(s, "/Title \\(([^)]*)\\)", 1))
         .otherwise(lit("")).as("title"),

@@ -30,11 +30,10 @@ object Similarity {
 
   private[graft] def planeLit(p: Seq[Double]): Column = typedLit(p)
 
-  /** Sign-bit LSH code of a double-vector column. */
-  def lshCode(v: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Sign-bit LSH code of a double-vector column (the 8-plane gate
+    * default — one body with [[lshCodeN]], so the bit convention can
+    * never fork between the gate and scale code paths). */
+  def lshCode(v: Column): Column = lshCodeN(v, numPlanes)
 
   /** [[lshCode]] at an explicit plane count — the corpus-size lever the
     * fixed 8-plane default lacks: expected bucket occupancy is

@@ -87,9 +87,14 @@ object TxTable {
       import scala.jdk.CollectionConverters._
       val listing = Files.list(tmp)
       val parts = try listing.iterator().asScala.toSeq finally listing.close()
+      // a random component makes names collision-free across CONCURRENT
+      // writers (two committers at the same guessed version must never
+      // rename onto each other's bytes — POSIX rename replaces silently);
+      // names are opaque, the log is the identity
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
       val moved = parts.filter(_.getFileName.toString.startsWith("part-"))
         .sortBy(_.getFileName.toString).zipWithIndex.map { case (p, i) =>
-          val dest = dataDir(root).resolve(s"$tag-$i.parquet")
+          val dest = dataDir(root).resolve(s"$tag-$nonce-$i.parquet")
           Files.createDirectories(dest.getParent)
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
           dest
@@ -129,25 +134,41 @@ object TxTable {
     }
   }
 
-  /** Atomic create-if-absent commit; retries on version collision (the
-    * optimistic-concurrency loop). Returns the committed version. */
-  private def commit(root: String, key: String, adds: Seq[FileEntry],
-                     removes: Seq[String]): Long = {
+  /** Atomic create-if-absent commit AT a specific version; false when
+    * another committer won that version. The caller (the OCC loop in
+    * [[occRetry]]) must then RE-DERIVE its diff from the new snapshot —
+    * blindly re-stamping a stale diff at the next version would re-add
+    * rewritten files whose originals a concurrent commit already
+    * replaced (a lost-update/duplicate-row corruption, caught in the
+    * r13 self-review). Orphaned data files from the losing attempt stay
+    * unreferenced — garbage for vacuum, never visible. */
+  private def tryCommit(root: String, key: String, v: Long,
+                        adds: Seq[FileEntry], removes: Seq[String]): Boolean = {
     Files.createDirectories(logDir(root))
-    var v = currentVersion(root) + 1
-    var done = false
-    while (!done) {
-      val rec = Serialization.write(Commit(v, key, adds, removes))
-      try {
-        val p = logDir(root).resolve(logName(v))
-        Files.write(p, rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        done = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
-      }
+    val rec = Serialization.write(Commit(v, key, adds, removes))
+    try {
+      Files.write(logDir(root).resolve(logName(v)),
+        rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
     }
-    v
+  }
+
+  /** The optimistic-concurrency loop: snapshot → derive → attempt the
+    * next version; on collision, re-derive from the NEW snapshot. */
+  private def occRetry(root: String, maxAttempts: Int = 20)(
+      attempt: Long => (Seq[FileEntry], Seq[String], String)): Long = {
+    var tries = 0
+    while (tries < maxAttempts) {
+      val v = currentVersion(root) + 1
+      val (adds, removes, key) = attempt(v)
+      if (tryCommit(root, key, v, adds, removes)) return v
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"TxTable at $root: lost the commit race $maxAttempts times")
   }
 
   /** Initialize (or fully replace) the table at `root` with `df`. */
@@ -161,8 +182,10 @@ object TxTable {
       files.foreach(Files.deleteIfExists(_))
     }
     Files.createDirectories(dataDir(root))
-    val adds = writeFiles(spark, df, root, key, "00000000001-base")
-    commit(root, key, adds, Seq.empty)
+    val adds = writeFiles(spark, df, root, key, "base")
+    require(tryCommit(root, key, 1L, adds, Seq.empty),
+      s"TxTable at $root: concurrent create detected")
+    1L
   }
 
   /** Snapshot read (optionally time-traveled to `asOf`). Reads ONLY the
@@ -200,7 +223,7 @@ object TxTable {
     * merge on a 100 TB state table proportional to the touched keys,
     * not the table. One atomic commit swaps removed-for-rewritten. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            key: String): Long = {
+            key: String): Long = occRetry(root) { v =>
     val files = snapshot(root, None)
     val touchedSet = touchedFileNames(spark, files, updates, key)
     val touched = files.filter(f => touchedSet.contains(f.name))
@@ -211,9 +234,8 @@ object TxTable {
     // ALL updates enter the rewrite: matched keys replace rows read
     // from the touched files, unmatched keys are pure inserts
     val merged = Sources.upsert(base, updates, key)
-    val v = currentVersion(root) + 1
-    val adds = writeFiles(spark, merged, root, key, f"$v%010d-merge")
-    commit(root, key, adds, touched.map(_.name))
+    (writeFiles(spark, merged, root, key, f"$v%010d-merge"),
+      touched.map(_.name), key)
   }
 
   /** Storage-level DELETE by key — the other half of a CDC sink: prune
@@ -222,17 +244,22 @@ object TxTable {
     * no-op (idempotent replay, the applyCdc contract). */
   def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
                  key: String): Long = {
-    val files = snapshot(root, None)
-    val touchedSet = touchedFileNames(spark, files, keys, key)
-    val touched = files.filter(f => touchedSet.contains(f.name))
-    if (touched.isEmpty) return currentVersion(root)
-    val base = spark.read.parquet(touched.map(f =>
-      dataDir(root).resolve(f.name).toString): _*)
-    val remaining = base.join(keys.select(col(key)).distinct(),
-      Seq(key), "left_anti")
-    val v = currentVersion(root) + 1
-    val adds = writeFiles(spark, remaining, root, key, f"$v%010d-delete")
-    commit(root, key, adds, touched.map(_.name))
+    if (touchedFileNames(spark, snapshot(root, None), keys, key).isEmpty)
+      return currentVersion(root)   // delete-of-absent: no-op
+    occRetry(root) { v =>
+      val files = snapshot(root, None)
+      val touchedSet = touchedFileNames(spark, files, keys, key)
+      val touched = files.filter(f => touchedSet.contains(f.name))
+      val base =
+        if (touched.isEmpty) // raced to a no-op: commit an empty diff
+          return currentVersion(root)
+        else spark.read.parquet(touched.map(f =>
+          dataDir(root).resolve(f.name).toString): _*)
+      val remaining = base.join(keys.select(col(key)).distinct(),
+        Seq(key), "left_anti")
+      (writeFiles(spark, remaining, root, key, f"$v%010d-delete"),
+        touched.map(_.name), key)
+    }
   }
 
   /** Compaction as a commit: rewrite the current live set into
@@ -241,11 +268,10 @@ object TxTable {
     * pre-compaction version still works because old files are only
     * DE-REFERENCED, never deleted (vacuum is a separate policy). */
   def compact(spark: SparkSession, root: String, key: String,
-              numFiles: Int = 4): Long = {
+              numFiles: Int = 4): Long = occRetry(root) { v =>
     val files = snapshot(root, None)
     val df = read(spark, root).repartition(numFiles)
-    val v = currentVersion(root) + 1
-    val adds = writeFiles(spark, df, root, key, f"$v%010d-compact")
-    commit(root, key, adds, files.map(_.name))
+    (writeFiles(spark, df, root, key, f"$v%010d-compact"),
+      files.map(_.name), key)
   }
 }
