@@ -767,6 +767,7 @@ object SparkEntry {
     "q37_asof_exec" -> Seq("event_id"),
     "d1_dedup_exact" -> Seq("doc_id"),
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
+    "d32_state_table_tx" -> Seq("doc_a", "doc_b"),
     "d27_minhash_eval" -> Seq("doc_a", "doc_b"),
     "d28_fuzzy_join" -> Seq("dirty_id"),
     "c43_hashed_embeddings" -> Seq("doc_id", "dim"),
@@ -1030,6 +1031,31 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d2_sigs")
       Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d2_banded")
+      Dedup.minhashPairsFromSigs(sigs)
+    }),
+    // d32: the signature STATE TABLE maintained through the TxTable
+    // ACID layer — the composition the r12 verdict prescribed (dedup
+    // state tables need a transactional format at 100 TB): CREATE the
+    // corpus (odd-id) signature table, MERGE the batch (even-id)
+    // signatures as one atomic file-pruned commit (pure inserts — ids
+    // are globally unique, the append-only contract), derive pairs
+    // from the READ-BACK maintained table. Result == d2's full
+    // recompute over all docs; oracle = the d2 replay over d32's own
+    // staged copies of the maintained state.
+    "d32_state_table_tx" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = stageDir(d) + "/d32_tx"
+      graft.sources.TxTable.create(s,
+        Dedup.minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+        root, "doc_id")
+      graft.sources.TxTable.merge(s, root,
+        Dedup.minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        "doc_id")
+      val sigs = graft.sources.TxTable.read(s, root).localCheckpoint()
+      sigs.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d32_sigs")
+      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d32_banded")
       Dedup.minhashPairsFromSigs(sigs)
     }),
     // LSH banding telemetry over its OWN staged banded table (gate
@@ -4452,6 +4478,30 @@ object SparkEntry {
     // d2: banding/cap/candidate/verify replayed over the staged
     // signature tables (the signature VALUES are JVM hashes the gate
     // stages; everything after them is relational)
+    // d32: the d2 replay over the TxTable-maintained state's staged
+    // copies — the ACID layer must be value-invisible to the pairs
+    "d32_state_table_tx" ->
+      """WITH banded AS (
+           SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d32_banded/*.parquet')),
+         sized AS (
+           SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sized a JOIN sized b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/d32_sigs/*.parquet')),
+         v AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+               / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
     "d2_dedup_minhash" ->
       """WITH banded AS (
            SELECT doc_id, band, bh
