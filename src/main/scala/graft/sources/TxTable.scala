@@ -262,6 +262,30 @@ object TxTable {
     }
   }
 
+  /** Vacuum: physically delete data files that are no longer live in
+    * ANY version newer than `keepVersions` back from the head — the
+    * retention policy that bounds storage while keeping recent time
+    * travel working. A file is deletable iff it is absent from the
+    * live set of EVERY retained version (the head and the
+    * `keepVersions` before it). Vacuum touches no log records, so the
+    * version history stays intact — a time-travel read past the
+    * horizon fails loudly on the missing file rather than lying.
+    * Returns the deleted file names. */
+  def vacuum(root: String, keepVersions: Int = 1): Seq[String] = {
+    val head = currentVersion(root)
+    val horizon = math.max(1L, head - keepVersions)
+    val retained = (horizon to head)
+      .flatMap(v => snapshot(root, Some(v)).map(_.name)).toSet
+    import scala.jdk.CollectionConverters._
+    val d = dataDir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val listing = Files.list(d)
+    val onDisk = try listing.iterator().asScala.toSeq finally listing.close()
+    val doomed = onDisk.filter(p => !retained.contains(p.getFileName.toString))
+    doomed.foreach(Files.deleteIfExists(_))
+    doomed.map(_.getFileName.toString)
+  }
+
   /** Compaction as a commit: rewrite the current live set into
     * `numFiles` files, remove the originals — readers before/after see
     * exactly the same rows (spec-asserted), and time travel to the

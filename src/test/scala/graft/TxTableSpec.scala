@@ -86,6 +86,28 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(rows(TxTable.read(spark, root)) === rows(base))
   }
 
+  test("vacuum: reclaims past-horizon files, keeps retained time travel") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-vac")           // v1
+    TxTable.merge(spark, root,
+      Seq((0L, "m1")).toDF("k", "v"), "k")          // v2
+    TxTable.compact(spark, root, "k", numFiles = 2) // v3
+    // keepVersions=1 retains v2+v3 live sets; v1's merged-away file
+    // (the one v2 rewrote) is in neither and must be reclaimed
+    val deleted = TxTable.vacuum(root, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    // head and the retained previous version still read perfectly
+    assert(rows(TxTable.read(spark, root)).size === 1000)
+    assert(rows(TxTable.read(spark, root, asOf = Some(2L)))
+      .contains((0L, "m1")))
+    // past the horizon the read fails LOUDLY (missing file), never lies
+    intercept[Exception] {
+      TxTable.read(spark, root, asOf = Some(1L)).collect()
+    }
+    // idempotent: nothing left to reclaim
+    assert(TxTable.vacuum(root, keepVersions = 1).isEmpty)
+  }
+
   test("string keys: pruning degrades to full rewrite, never a missed file") {
     import spark.implicits._
     val root = tempDir("txt-strkey").toString + "/tbl"
