@@ -267,4 +267,35 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       ref.foreach { case (id, exp) => assert(out(id) === exp, s"event $id") }
     }
   }
+
+  test("unigram tokenizer: lossless, total, deterministic on random dicts") {
+    // the t35 contract as a property: for ANY word dict and ANY probe
+    // word over the same-or-wider alphabet, Viterbi segmentation
+    // concatenates back to the word (losslessness incl. UNK chars),
+    // and a refit on the same dict is bit-identical
+    val rnd = new Random(13)
+    for (_ <- 1 to 5) {
+      val alpha = "abcdef".toCharArray
+      def word() = List.fill(1 + rnd.nextInt(10))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val dict = List.fill(5 + rnd.nextInt(20))(
+        (word(), 1L + rnd.nextInt(50))).groupBy(_._1)
+        .map { case (w, cs) => (w, cs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      val m1 = graft.functions.Unigram.learn(dict, vocabSize = 40)
+      val m2 = graft.functions.Unigram.learn(dict, vocabSize = 40)
+      assert(m1 === m2)
+      val lp = new java.util.HashMap[String, java.lang.Double]()
+      m1.foreach { case (pc, l) => lp.put(pc, java.lang.Double.valueOf(l)) }
+      val maxLen = m1.map(_._1.length).max
+      // dict words, random in-alphabet words, and out-of-alphabet words
+      val probes = dict.map(_._1) ++ List.fill(10)(word()) ++
+        List("zzz", "aqz", "xyzxyz")
+      probes.foreach { w =>
+        val seg = graft.functions.Unigram.viterbi(w, lp, maxLen)
+        assert(seg.mkString === w, s"lossy on $w: ${seg.toSeq}")
+        assert(seg.forall(_.nonEmpty))
+      }
+    }
+  }
+
 }
