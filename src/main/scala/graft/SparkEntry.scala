@@ -1040,8 +1040,9 @@ object SparkEntry {
     // signatures as one atomic file-pruned commit (pure inserts — ids
     // are globally unique, the append-only contract), derive pairs
     // from the READ-BACK maintained table. Result == d2's full
-    // recompute over all docs; oracle = the d2 replay over d32's own
-    // staged copies of the maintained state.
+    // recompute over all docs; oracle = the d2 replay over a FRESH
+    // direct-recompute staging (r14 — so ACID corruption cannot replay
+    // into both sides).
     "d32_state_table_tx" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val root = stageDir(d) + "/d32_tx"
@@ -1052,9 +1053,17 @@ object SparkEntry {
         Dedup.minhashSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
         "doc_id")
       val sigs = graft.sources.TxTable.read(s, root).localCheckpoint()
-      sigs.select(col("doc_id"), col("hsh"), col("shn"))
+      // r14: the ORACLE's inputs are staged from a FRESH direct
+      // recompute over the union — NOT the read-back — while the gate
+      // keeps reading the maintained table. A MERGE that dropped or
+      // duplicated signature rows now diverges the two sides, so the
+      // hash asserts ACID value-invisibility itself (the r13 staging
+      // fed both sides the read-back, which replayed any corruption
+      // into the oracle too)
+      val fresh = Dedup.minhashSignatures(docs).localCheckpoint()
+      fresh.select(col("doc_id"), col("hsh"), col("shn"))
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d32_sigs")
-      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+      Dedup.bandedSigs(fresh).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d32_banded")
       Dedup.minhashPairsFromSigs(sigs)
     }),
@@ -1201,11 +1210,11 @@ object SparkEntry {
     "t1_lang_id" -> ((s, d) => TextOps.langIdMetrics(t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityMetrics(t(s, d, "documents"))),
     "t3_tokens" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
-    // r13 re-registration of t17_lexical_diversity: implementation and
-    // oracle SQL unchanged (both independently re-verified green at
-    // sf0.01 + sf0.1 three rounds running); the old KEY was replaying a
-    // stale driver-side oracle from r10, so the operator moves to a
-    // fresh key to force a fresh oracle capture
+    // r14: the four-round hash-red root cause was an ORACLE TYPE bug,
+    // not a stale driver capture (the r13 re-key falsified that theory:
+    // fresh key, fresh SQL, still red). DuckDB sum() over integers is
+    // HUGEINT; the oracle's final SELECT leaked n_tokens uncast where
+    // Spark emits BIGINT — fixed with CAST(n_tokens AS BIGINT)
     "t17b_lexical_diversity" -> ((s, d) =>
       TextOps.lexicalDiversity(t(s, d, "documents"))),
     // code-vs-prose routing over planted code docs (%9==0)
@@ -2002,9 +2011,10 @@ object SparkEntry {
     // epoch-capped water-filling over per-source token counts; weights
     // derive from the source's numeric suffix so caps genuinely bind
     // for the heavy-weight sources and surplus redistributes.
-    // r13 re-registration of c36_token_budget_mix (same deadlock as
-    // t17b: unchanged implementation + oracle, stale driver-side oracle
-    // keyed by the old name — fresh key forces a fresh capture)
+    // r14: same oracle TYPE bug as t17b (DuckDB HUGEINT sums leaking
+    // into the final SELECT where Spark emits BIGINT) — n_tokens/cap/
+    // allocated now CAST AS BIGINT in the oracle; values were always
+    // equal, only the hashed dtype differed
     "c36b_token_budget_mix" -> ((s, d) =>
       Curation.tokenBudgetMix(t(s, d, "documents"), budgetPct = 60,
         weightExpr = regexp_extract(col("source"), "([0-9]+)$", 1)
@@ -4191,7 +4201,7 @@ object SparkEntry {
                  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
                  max(c) AS max_c
                  FROM tc GROUP BY 1)
-          SELECT doc_id, n_tokens, n_types,
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
             CAST(CAST((CAST(n_types AS HUGEINT) * 2000000 + n_tokens)
                 // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
               / 1000000.0 AS ttr,
@@ -4430,7 +4440,8 @@ object SparkEntry {
                         AS DOUBLE) / greatest(fl.w_unc, 1)) AS BIGINT)
                  END AS allocated
                  FROM cp, fl)
-          SELECT source, n_tokens, weight, cap, allocated,
+          SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+            CAST(cap AS BIGINT) AS cap, CAST(allocated AS BIGINT) AS allocated,
             CAST(CAST((CAST(allocated AS HUGEINT) * 20000 + n_tokens)
                 // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
               / 10000.0 AS epochs,
@@ -4478,8 +4489,9 @@ object SparkEntry {
     // d2: banding/cap/candidate/verify replayed over the staged
     // signature tables (the signature VALUES are JVM hashes the gate
     // stages; everything after them is relational)
-    // d32: the d2 replay over the TxTable-maintained state's staged
-    // copies — the ACID layer must be value-invisible to the pairs
+    // d32: the d2 replay over a FRESH direct-recompute staging while
+    // the gate reads the TxTable-maintained state — equality IS the
+    // ACID value-invisibility assertion (r14 de-tautologization)
     "d32_state_table_tx" ->
       """WITH banded AS (
            SELECT doc_id, band, bh

@@ -57,7 +57,28 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         fails.append((name, f"row count: spark={len(mine)} duckdb={len(ref)}"))
         continue
     a, b = canon(mine), canon(ref)
-    # dtype comparison: object vs numeric mismatch is a schema bug
+    # dtype-KIND parity gate (r14): the driver hashes the TYPED result,
+    # so an int-vs-float mismatch (e.g. a DuckDB HUGEINT sum leaking
+    # into the oracle's final SELECT where Spark emits BIGINT) is a red
+    # even when every value is numerically equal. This tool acquitted
+    # exactly that class for three rounds by coercing before comparing —
+    # fail on kind mismatch FIRST so the class can never hide again.
+    KIND = {"i": "int", "u": "int", "b": "bool", "f": "float",
+            "O": "obj", "M": "dt", "m": "td", "c": "cplx"}
+    kind_bad = []
+    for c in a.columns:
+        ka, kb = KIND.get(a[c].dtype.kind, a[c].dtype.kind), \
+                 KIND.get(b[c].dtype.kind, b[c].dtype.kind)
+        # pandas renders an all-null / nullable int parquet column as
+        # float64 on EITHER side; only flag when the underlying values
+        # disagree in kind too (an int col with nulls floats on both
+        # sides at once, so a one-sided float is a genuine type leak)
+        if ka != kb:
+            kind_bad.append(f"{c}: spark dtype={a[c].dtype}({ka}) "
+                            f"duckdb dtype={b[c].dtype}({kb})")
+    if kind_bad:
+        fails.append((name, "dtype-kind mismatch: " + "; ".join(kind_bad[:4])))
+        continue
     neq = []
     for c in a.columns:
         av, bv = a[c].values, b[c].values
