@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Minimal log-structured transactional table — the Delta-protocol
@@ -26,6 +27,28 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * paper's LogStore discussion). Readers list the log directory and
   * replay — no lock, no coordination.
   *
+  * Log checkpointing (the paper's §3.3, added r14): every
+  * [[CheckpointInterval]] commits the committer also writes a snapshot
+  * checkpoint (the full live file set + table schema as of that
+  * version) and an atomically-replaced `_last_checkpoint` pointer.
+  * Replay then reads ONE checkpoint plus at most an interval's worth of
+  * commit-record suffix, so commit cost is FLAT in table history —
+  * without it, a long-lived CDC stream committing per micro-batch
+  * (st32's posture) makes every commit O(total commits) on the driver,
+  * O(n²) cumulative over the stream's life. Checkpoints are derived
+  * data: losing one costs nothing (replay falls back to older
+  * checkpoints or the full log), and writing one can never fail a
+  * commit (best-effort, after the commit record exists).
+  *
+  * Schema evolution (r14): the table schema travels IN the log (each
+  * commit may carry a new schema; the latest at-or-below a version is
+  * that version's schema — the paper's metaData action). A MERGE whose
+  * updates carry ADDED columns commits the widened schema; untouched
+  * old files are simply read through the declared schema, their missing
+  * columns null (parquet read-by-name). A MERGE whose updates are
+  * MISSING table columns fails loudly — silent column drops corrupt a
+  * state table invisibly.
+  *
   * File-level pruning: every committed data file carries min/max stats
   * of the declared key column in its log record, so MERGE touches only
   * files whose key range intersects the updates (everything else
@@ -34,7 +57,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * tables at scale need a log-structured format.
   *
   * JSON is written/parsed with json4s (ships with Spark). Log records
-  * are tiny (file names + stats), never data. */
+  * are tiny (file names + stats); checkpoints are live-set metadata,
+  * never data. */
 object TxTable {
 
   import org.json4s._
@@ -43,37 +67,116 @@ object TxTable {
 
   case class FileEntry(name: String, rows: Long, kmin: Long, kmax: Long)
   case class Commit(version: Long, key: String,
-                    adds: Seq[FileEntry], removes: Seq[String])
+                    adds: Seq[FileEntry], removes: Seq[String],
+                    schema: Option[String] = None)
+  /** A materialized snapshot of the replay state at `version` — live
+    * file entries in replay order + the schema then in force. */
+  private case class Checkpoint(version: Long, key: String,
+                                schema: Option[String], live: Seq[FileEntry])
+
+  /** Commits between checkpoints; replay reads ≤ this many records. */
+  private val CheckpointInterval = 10
+  /** vacuum's default age guard: an unreferenced data file younger than
+    * this is presumed to belong to an in-flight committer (files land in
+    * data/ BEFORE their commit record — the crash-safety ordering) and
+    * is never deleted. Mirrors Delta's retention-horizon check. */
+  val DefaultVacuumRetentionMillis: Long = 10L * 60 * 1000
 
   private def logDir(root: String): Path = Paths.get(root, "_graft_log")
   private def dataDir(root: String): Path = Paths.get(root, "data")
   private def logName(v: Long): String = f"v$v%010d.json"
+  private def ckptName(v: Long): String = f"ckpt-v$v%010d.json"
 
-  /** All commits in version order (the snapshot replay input). */
-  private def commits(root: String): Seq[Commit] = {
-    val d = logDir(root)
+  private def listDir(d: Path): Seq[Path] = {
     if (!Files.isDirectory(d)) return Seq.empty
     import scala.jdk.CollectionConverters._
     val listing = Files.list(d)
-    val files = try listing.iterator().asScala.toSeq finally listing.close()
-    files.filter(_.getFileName.toString.matches("v\\d{10}\\.json"))
-      .sortBy(_.getFileName.toString)
-      .map(p => Serialization.read[Commit](
-        new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)))
+    try listing.iterator().asScala.toSeq finally listing.close()
+  }
+
+  private def readJson[T: Manifest](p: Path): T = Serialization.read[T](
+    new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Committed versions, from FILENAMES only — no record reads. */
+  private def logVersions(root: String): Seq[Long] =
+    listDir(logDir(root)).map(_.getFileName.toString)
+      .filter(_.matches("v\\d{10}\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
+
+  /** Newest checkpoint at or below `bound`: the `_last_checkpoint`
+    * pointer when it qualifies (the O(1) hot path), else a directory
+    * scan (time travel below the latest checkpoint). */
+  private def checkpointAtOrBelow(root: String, bound: Long): Option[Checkpoint] = {
+    val d = logDir(root)
+    val fromPointer =
+      try {
+        val p = d.resolve("_last_checkpoint")
+        if (Files.exists(p)) {
+          val v = new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          if (v <= bound) Some(readJson[Checkpoint](d.resolve(ckptName(v))))
+          else None
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromPointer.orElse {
+      listDir(d).map(_.getFileName.toString)
+        .filter(_.matches("ckpt-v\\d{10}\\.json"))
+        .map(_.stripPrefix("ckpt-v").stripSuffix(".json").toLong)
+        .filter(_ <= bound).sorted.lastOption
+        .flatMap { v =>
+          try Some(readJson[Checkpoint](d.resolve(ckptName(v))))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+    }
+  }
+
+  /** Replay to `asOf` (inclusive; None = latest): live file entries in
+    * insertion order + the schema in force. Reads one checkpoint plus
+    * only the commit-record suffix past it. */
+  private def replayState(root: String,
+                          asOf: Option[Long]): (Seq[FileEntry], Option[String]) = {
+    val bound = asOf.getOrElse(Long.MaxValue)
+    val ck = checkpointAtOrBelow(root, bound)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    var schema: Option[String] = None
+    ck.foreach { c => c.live.foreach(a => live.update(a.name, a)); schema = c.schema }
+    val from = ck.map(_.version).getOrElse(0L)
+    logVersions(root).filter(v => v > from && v <= bound).foreach { v =>
+      val c = readJson[Commit](logDir(root).resolve(logName(v)))
+      c.removes.foreach(live.remove)
+      c.adds.foreach(a => live.update(a.name, a))
+      if (c.schema.isDefined) schema = c.schema
+    }
+    (live.values.toSeq, schema)
   }
 
   /** Live file entries as of `asOf` (inclusive; None = latest). */
-  def snapshot(root: String, asOf: Option[Long] = None): Seq[FileEntry] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    commits(root).filter(c => asOf.forall(c.version <= _)).foreach { c =>
-      c.removes.foreach(live.remove)
-      c.adds.foreach(a => live.update(a.name, a))
-    }
-    live.values.toSeq
-  }
+  def snapshot(root: String, asOf: Option[Long] = None): Seq[FileEntry] =
+    replayState(root, asOf)._1
 
   def currentVersion(root: String): Long =
-    commits(root).lastOption.map(_.version).getOrElse(0L)
+    logVersions(root).lastOption.getOrElse(0L)
+
+  /** Best-effort checkpoint at `v` (called after the commit record for
+    * `v` exists). CREATE_NEW makes concurrent checkpointers of the same
+    * version harmless; the pointer flips via atomic rename; any failure
+    * is swallowed — a checkpoint is an accelerator, never correctness. */
+  private def maybeCheckpoint(root: String, v: Long, key: String): Unit = {
+    if (v % CheckpointInterval != 0) return
+    try {
+      val (live, schema) = replayState(root, Some(v))
+      val rec = Serialization.write(Checkpoint(v, key, schema, live))
+      val d = logDir(root)
+      try Files.write(d.resolve(ckptName(v)),
+        rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val tmp = Files.createTempFile(d, "_last_checkpoint", ".tmp")
+      Files.write(tmp, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve("_last_checkpoint"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Write `df` as data files under the table and return their log
     * entries (with per-file key min/max from one stats pass). The files
@@ -143,9 +246,10 @@ object TxTable {
     * r13 self-review). Orphaned data files from the losing attempt stay
     * unreferenced — garbage for vacuum, never visible. */
   private def tryCommit(root: String, key: String, v: Long,
-                        adds: Seq[FileEntry], removes: Seq[String]): Boolean = {
+                        adds: Seq[FileEntry], removes: Seq[String],
+                        schema: Option[String] = None): Boolean = {
     Files.createDirectories(logDir(root))
-    val rec = Serialization.write(Commit(v, key, adds, removes))
+    val rec = Serialization.write(Commit(v, key, adds, removes, schema))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -157,14 +261,24 @@ object TxTable {
   }
 
   /** The optimistic-concurrency loop: snapshot → derive → attempt the
-    * next version; on collision, re-derive from the NEW snapshot. */
+    * next version; on collision, re-derive from the NEW snapshot. An
+    * attempt returning None signals "raced to a no-op" — the loop exits
+    * with the current version, committing nothing (the sentinel replaces
+    * the r13 non-local return, which broke under any try/catch wrapper
+    * and is unsupported on Scala 3). */
   private def occRetry(root: String, maxAttempts: Int = 20)(
-      attempt: Long => (Seq[FileEntry], Seq[String], String)): Long = {
+      attempt: Long => Option[(Seq[FileEntry], Seq[String], String, Option[String])]): Long = {
     var tries = 0
     while (tries < maxAttempts) {
       val v = currentVersion(root) + 1
-      val (adds, removes, key) = attempt(v)
-      if (tryCommit(root, key, v, adds, removes)) return v
+      attempt(v) match {
+        case None => return currentVersion(root)
+        case Some((adds, removes, key, schema)) =>
+          if (tryCommit(root, key, v, adds, removes, schema)) {
+            maybeCheckpoint(root, v, key)
+            return v
+          }
+      }
       tries += 1
     }
     throw new IllegalStateException(
@@ -183,19 +297,33 @@ object TxTable {
     }
     Files.createDirectories(dataDir(root))
     val adds = writeFiles(spark, df, root, key, "base")
-    require(tryCommit(root, key, 1L, adds, Seq.empty),
+    require(tryCommit(root, key, 1L, adds, Seq.empty, Some(df.schema.json)),
       s"TxTable at $root: concurrent create detected")
     1L
   }
 
+  /** The table schema in force at `asOf` (None = latest); None only for
+    * pre-r14 logs that never recorded one. */
+  def schemaOf(root: String, asOf: Option[Long] = None): Option[StructType] =
+    replayState(root, asOf)._2
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
   /** Snapshot read (optionally time-traveled to `asOf`). Reads ONLY the
-    * live files — uncommitted or removed files are invisible. */
+    * live files — uncommitted or removed files are invisible. The read
+    * goes through the DECLARED schema of that version (read-by-name:
+    * old files predating a widening commit surface the added columns as
+    * null; no footer merge pass, stable column order). */
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None): DataFrame = {
-    val files = snapshot(root, asOf)
+    val (files, schemaJson) = replayState(root, asOf)
     require(files.nonEmpty, s"TxTable at $root has no live files")
-    spark.read.parquet(files.map(f =>
-      dataDir(root).resolve(f.name).toString): _*)
+    val paths = files.map(f => dataDir(root).resolve(f.name).toString)
+    schemaJson match {
+      case Some(j) =>
+        spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType])
+          .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Names of the live files whose key range intersects the update/
@@ -217,25 +345,63 @@ object TxTable {
       .select(col("name")).distinct().as[String].collect().toSet
   }
 
+  /** MERGE's one-row-per-key contract, enforced: Sources.upsert joins
+    * full_outer on the key, so duplicate update keys would FAN OUT into
+    * duplicate table rows — silent corruption of the one-row-per-key
+    * invariant. Fail loudly instead (Delta's MERGE throws on multiple
+    * source matches for the same reason). */
+  private def requireUniqueKeys(updates: DataFrame, key: String): Unit = {
+    val dup = updates.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"TxTable merge: updates carry duplicate key '${dup.head.get(0)}' — " +
+        "one row per key required (dedupe with an explicit latest-wins rule first)")
+  }
+
   /** Storage-level MERGE (upsert by `key`): only files whose key range
     * intersects the update keys are read and rewritten; every other
     * file carries over untouched — the file-level pruning that makes a
     * merge on a 100 TB state table proportional to the touched keys,
-    * not the table. One atomic commit swaps removed-for-rewritten. */
+    * not the table. One atomic commit swaps removed-for-rewritten.
+    *
+    * Schema evolution: updates may ADD columns (the widened schema is
+    * committed; carried-over files read through it with nulls) but must
+    * carry EVERY existing table column — a missing column fails loudly
+    * rather than silently nulling matched rows. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            key: String): Long = occRetry(root) { v =>
-    val files = snapshot(root, None)
-    val touchedSet = touchedFileNames(spark, files, updates, key)
-    val touched = files.filter(f => touchedSet.contains(f.name))
-    val base =
-      if (touched.isEmpty) updates.limit(0)
-      else spark.read.parquet(touched.map(f =>
-        dataDir(root).resolve(f.name).toString): _*)
-    // ALL updates enter the rewrite: matched keys replace rows read
-    // from the touched files, unmatched keys are pure inserts
-    val merged = Sources.upsert(base, updates, key)
-    (writeFiles(spark, merged, root, key, f"$v%010d-merge"),
-      touched.map(_.name), key)
+            key: String): Long = {
+    requireUniqueKeys(updates, key)
+    occRetry(root) { v =>
+      val (files, schemaJson) = replayState(root, None)
+      val tableSchema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      val tblCols = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      val missing = tblCols.filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"TxTable merge: updates missing table column(s) ${missing.mkString(", ")} — " +
+          "a merge must carry every existing column (schema can widen, never shrink)")
+      val added = updates.columns.toSeq.filterNot(c => tblCols.contains(c))
+        .filter(_ => tblCols.nonEmpty) // legacy no-schema logs: no evolution
+      val touchedSet = touchedFileNames(spark, files, updates, key)
+      val touched = files.filter(f => touchedSet.contains(f.name))
+      val base0 =
+        if (touched.isEmpty) updates.limit(0)
+        else spark.read.parquet(touched.map(f =>
+          dataDir(root).resolve(f.name).toString): _*)
+      // widen the rewrite side with the added columns (null for rows
+      // whose key the updates don't touch — by-name parquet reads of
+      // carried-over files do the same, so the widened schema is total)
+      val base = added.foldLeft(base0)((b, c) =>
+        b.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+      // ALL updates enter the rewrite: matched keys replace rows read
+      // from the touched files, unmatched keys are pure inserts
+      val merged = Sources.upsert(base, updates, key)
+      val newSchema =
+        if (added.isEmpty) None
+        else Some(StructType(tableSchema.get.fields ++
+          added.map(c => updates.schema(c))).json)
+      Some((writeFiles(spark, merged, root, key, f"$v%010d-merge"),
+        touched.map(_.name), key, newSchema))
+    }
   }
 
   /** Storage-level DELETE by key — the other half of a CDC sink: prune
@@ -250,15 +416,15 @@ object TxTable {
       val files = snapshot(root, None)
       val touchedSet = touchedFileNames(spark, files, keys, key)
       val touched = files.filter(f => touchedSet.contains(f.name))
-      val base =
-        if (touched.isEmpty) // raced to a no-op: commit an empty diff
-          return currentVersion(root)
-        else spark.read.parquet(touched.map(f =>
+      if (touched.isEmpty) None     // raced to a no-op: commit nothing
+      else {
+        val base = spark.read.parquet(touched.map(f =>
           dataDir(root).resolve(f.name).toString): _*)
-      val remaining = base.join(keys.select(col(key)).distinct(),
-        Seq(key), "left_anti")
-      (writeFiles(spark, remaining, root, key, f"$v%010d-delete"),
-        touched.map(_.name), key)
+        val remaining = base.join(keys.select(col(key)).distinct(),
+          Seq(key), "left_anti")
+        Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete"),
+          touched.map(_.name), key, None))
+      }
     }
   }
 
@@ -267,21 +433,28 @@ object TxTable {
     * retention policy that bounds storage while keeping recent time
     * travel working. A file is deletable iff it is absent from the
     * live set of EVERY retained version (the head and the
-    * `keepVersions` before it). Vacuum touches no log records, so the
-    * version history stays intact — a time-travel read past the
-    * horizon fails loudly on the missing file rather than lying.
-    * Returns the deleted file names. */
-  def vacuum(root: String, keepVersions: Int = 1): Seq[String] = {
+    * `keepVersions` before it) AND older than `minAgeMillis` — the age
+    * guard protects an in-flight committer, whose staged files land in
+    * data/ BEFORE their commit record exists (the crash-safety write
+    * order): without it, vacuum fired in that window would classify the
+    * winner's files as garbage and the commit would then reference
+    * vanished bytes. Pass 0 ONLY when no writer can be concurrent
+    * (single-writer test/maintenance windows). Vacuum touches no log
+    * records, so the version history stays intact — a time-travel read
+    * past the horizon fails loudly on the missing file rather than
+    * lying. Returns the deleted file names. */
+  def vacuum(root: String, keepVersions: Int = 1,
+             minAgeMillis: Long = DefaultVacuumRetentionMillis): Seq[String] = {
     val head = currentVersion(root)
     val horizon = math.max(1L, head - keepVersions)
     val retained = (horizon to head)
       .flatMap(v => snapshot(root, Some(v)).map(_.name)).toSet
-    import scala.jdk.CollectionConverters._
     val d = dataDir(root)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val listing = Files.list(d)
-    val onDisk = try listing.iterator().asScala.toSeq finally listing.close()
-    val doomed = onDisk.filter(p => !retained.contains(p.getFileName.toString))
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    val doomed = listDir(d).filter(p =>
+      Files.isRegularFile(p) &&
+        !retained.contains(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff)
     doomed.foreach(Files.deleteIfExists(_))
     doomed.map(_.getFileName.toString)
   }
@@ -295,7 +468,7 @@ object TxTable {
               numFiles: Int = 4): Long = occRetry(root) { v =>
     val files = snapshot(root, None)
     val df = read(spark, root).repartition(numFiles)
-    (writeFiles(spark, df, root, key, f"$v%010d-compact"),
-      files.map(_.name), key)
+    Some((writeFiles(spark, df, root, key, f"$v%010d-compact"),
+      files.map(_.name), key, None))
   }
 }

@@ -93,8 +93,10 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
       Seq((0L, "m1")).toDF("k", "v"), "k")          // v2
     TxTable.compact(spark, root, "k", numFiles = 2) // v3
     // keepVersions=1 retains v2+v3 live sets; v1's merged-away file
-    // (the one v2 rewrote) is in neither and must be reclaimed
-    val deleted = TxTable.vacuum(root, keepVersions = 1)
+    // (the one v2 rewrote) is in neither and must be reclaimed.
+    // minAgeMillis=0 opts out of the in-flight-writer age guard — valid
+    // here because this test IS the single-writer maintenance window
+    val deleted = TxTable.vacuum(root, keepVersions = 1, minAgeMillis = 0L)
     assert(deleted.nonEmpty)
     // head and the retained previous version still read perfectly
     assert(rows(TxTable.read(spark, root)).size === 1000)
@@ -105,7 +107,96 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
       TxTable.read(spark, root, asOf = Some(1L)).collect()
     }
     // idempotent: nothing left to reclaim
-    assert(TxTable.vacuum(root, keepVersions = 1).isEmpty)
+    assert(TxTable.vacuum(root, keepVersions = 1, minAgeMillis = 0L).isEmpty)
+  }
+
+  test("vacuum: age guard spares an in-flight committer's staged files") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val (root, _) = mkTable("txt-vacrace")            // v1
+    TxTable.merge(spark, root,
+      Seq((0L, "m1")).toDF("k", "v"), "k")            // v2 rewrote one file
+    // age v1's de-referenced file past the retention window
+    val live = TxTable.snapshot(root).map(_.name).toSet
+    val dd = Paths.get(root, "data")
+    val listing = Files.list(dd)
+    val unref = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.toSeq
+        .filter(p => !live.contains(p.getFileName.toString))
+    } finally listing.close()
+    assert(unref.nonEmpty)
+    unref.foreach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000)))
+    // a concurrent writer mid-commit: its data file is staged (moved
+    // into data/) but the commit record does NOT yet exist — the exact
+    // window between writeFiles and tryCommit
+    val staged = dd.resolve("merge-inflight-0.parquet")
+    Files.write(staged, Array[Byte](80, 65, 82, 49))
+    val deleted = TxTable.vacuum(root, keepVersions = 0)
+    assert(deleted.nonEmpty, "aged de-referenced file must be reclaimed")
+    assert(Files.exists(staged),
+      "vacuum deleted an in-flight committer's staged file — the commit " +
+        "that wins next would reference vanished bytes")
+    assert(!deleted.contains("merge-inflight-0.parquet"))
+  }
+
+  test("checkpointing: replay equals the full log and survives checkpoint loss") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val (root, _) = mkTable("txt-ckpt")               // v1
+    // 24 merges → versions 2..25: checkpoints due at v10 and v20
+    (1L to 24L).foreach(i => TxTable.merge(spark, root,
+      Seq((i, s"c$i")).toDF("k", "v"), "k"))
+    assert(TxTable.currentVersion(root) === 25L)
+    val ld = Paths.get(root, "_graft_log")
+    assert(Files.exists(ld.resolve("ckpt-v0000000020.json")))
+    assert(Files.exists(ld.resolve("_last_checkpoint")))
+    val head = rows(TxTable.read(spark, root))
+    assert(head.size === 1000 && head.contains((24L, "c24"))
+      && head.contains((999L, "v999")))
+    // time travel BELOW the earliest checkpoint replays the raw log
+    val at5 = rows(TxTable.read(spark, root, asOf = Some(5L)))
+    assert(at5.contains((4L, "c4")) && at5.contains((5L, "v5")))
+    // checkpoints are derived data: losing every one (and the pointer)
+    // must leave replay identical via the full-log fallback
+    Seq("ckpt-v0000000010.json", "ckpt-v0000000020.json", "_last_checkpoint")
+      .foreach(n => Files.deleteIfExists(ld.resolve(n)))
+    assert(rows(TxTable.read(spark, root)) === head)
+  }
+
+  test("schema evolution: added column widens; old files read null; shrink fails") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-schema")
+    val v1 = TxTable.currentVersion(root)
+    // one matched update (k=1), one insert (k=5000), both carrying a NEW column
+    val upd = Seq((1L, "u1", 0.9), (5000L, "new", 0.5)).toDF("k", "v", "score")
+    TxTable.merge(spark, root, upd, "k")
+    val df = TxTable.read(spark, root)
+    assert(df.columns.toSeq === Seq("k", "v", "score"))
+    val m = df.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(m.size === 1001)
+    assert(m(1L) === Some(0.9) && m(5000L) === Some(0.5))
+    assert(m(2L).isEmpty,   "rewritten-file row must carry null for the added column")
+    assert(m(900L).isEmpty, "UNTOUCHED old file must read the added column as null by-name")
+    // time travel to v1 keeps the original two-column schema
+    assert(TxTable.read(spark, root, asOf = Some(v1)).columns.toSeq === Seq("k", "v"))
+    // a merge MISSING an existing column is refused loudly, never a silent drop
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root, Seq(Tuple1(7L)).toDF("k"), "k")
+    }
+  }
+
+  test("merge refuses duplicate update keys (fan-out corruption guard)") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-dupkeys")
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "v"), "k")
+    }
+    // the failed merge committed nothing
+    assert(TxTable.currentVersion(root) === 1L)
   }
 
   test("string keys: pruning degrades to full rewrite, never a missed file") {
