@@ -725,6 +725,7 @@ object SparkEntry {
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
     "q68_time_travel" -> Seq("o_orderkey"),
+    "q69_tx_schema_evolve" -> Seq("o_orderkey"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
@@ -752,6 +753,7 @@ object SparkEntry {
     "s8_label_prop" -> Seq("vec_id"),
     "s17_triangles" -> Seq("vec_id"),
     "s21_kcore" -> Seq("vec_id"),
+    "s24_bfs_hops" -> Seq("vec_id"),
     "s18_silhouette" -> Seq("cluster"),
     "s19_mmr_rerank" -> Seq("q_id", "rank"),
     "d26_snapshot_diff" -> Seq("doc_id"),
@@ -781,6 +783,7 @@ object SparkEntry {
     "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
     "d18_span_scrub" -> Seq("doc_id"),
     "d20_char_spans" -> Seq("doc_id", "start_pos"),
+    "d33_cdc_chunks" -> Seq("doc_id", "chunk_idx"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -1116,6 +1119,12 @@ object SparkEntry {
     // substring-level dedup: maximal repeated 8-token spans (cross- or
     // within-doc), interval-island merged — fully relational, full oracle
     "d16_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
+    // d33 (r14): content-defined chunking (the LBFS divisor rule on a
+    // 4-token polynomial window) + corpus-wide chunk duplication counts
+    // — storage-shaped sub-document dedup identities; oracle replays
+    // the token values, rolling window, boundary rule, running chunk
+    // index, ordered re-assembly and the count join relationally
+    "d33_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(t(s, d, "documents"))),
     // char-window tier of d16: 20-char substring windows catch repeats
     // shorter than 8 tokens and across token boundaries
     "d20_char_spans" -> ((s, d) => Dedup.dupSpansChars(t(s, d, "documents"))),
@@ -1410,6 +1419,36 @@ object SparkEntry {
       graft.sources.TxTable.compact(s, root, "o_orderkey")
       graft.sources.TxTable.read(s, root, asOf = Some(v0))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+    // q69 (r14): schema evolution + log checkpointing through the ACID
+    // table, end-to-end. Eleven disjoint-key merges (o_orderkey%13 =
+    // 1..11) push the log past the checkpoint interval, so the final
+    // read replays ONE checkpoint + a record suffix; a twelfth merge
+    // WIDENS the schema (new c_len column), which the carried-over old
+    // files surface as null under the declared-schema read. Oracle =
+    // the whole history replayed relationally as one CASE over mod-13
+    // (the merges' key sets are disjoint by construction, so order is
+    // irrelevant and the replay is exact).
+    "q69_tx_schema_evolve" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val root = stageDir(d) + "/q69_tx"
+      graft.sources.TxTable.create(s,
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status")),
+        root, "o_orderkey")
+      (1 to 11).foreach { i =>
+        graft.sources.TxTable.merge(s, root,
+          orders.filter(pmod(col("o_orderkey"), lit(13)) === i)
+            .select(col("o_orderkey"),
+              concat(lit("U"), lit(i).cast("string")).as("status")),
+          "o_orderkey")
+      }
+      graft.sources.TxTable.merge(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(13)) === 12)
+          .select(col("o_orderkey"), lit("W").as("status"),
+            pmod(col("o_custkey"), lit(100)).cast("int").as("c_len")),
+        "o_orderkey")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("status"), col("c_len"))
     }),
     // ordered CDC changelog applied onto a snapshot: U@1 for even keys,
     // D@2 for %5 keys, I@3 for %21 keys — multi-change keys exercise the
@@ -2293,6 +2332,21 @@ object SparkEntry {
       Similarity.pageRank(
         Similarity.knnGraphLsh(emb)
           .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    }),
+    // s24 (r14): BFS reachability levels from a seed set over the SAME
+    // sub-quadratic LSH k-NN edge source as s7/s8/s17/s21 — the
+    // distance/propagation layer of the graph-analytics family (how far
+    // does a seed's influence spread, in how many hops). FULL oracle:
+    // the shared staged-code edge replay + a recursive-CTE
+    // level-synchronous BFS with min-hop collapse.
+    "s24_bfs_hops" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s24_codes")
+      Similarity.bfsHops(
+        Similarity.knnGraphLsh(emb)
+          .select(col("q_id").as("src"), col("neighbor_id").as("dst")),
+        emb.filter(col("vec_id") < 3).select(col("vec_id")))
     }),
     // per-node triangle counts over the same sub-quadratic edge source
     // — degree-oriented compact-forward, all-integer. FULL oracle:
@@ -3918,6 +3972,42 @@ object SparkEntry {
           $spanDupAllCte,
           $spanIslCtes
           $spanSelect""",
+    // d33: the LBFS divisor rule replayed — token value polynomial,
+    // 4-token rolling window (lag chain), boundary at h%16=0 or doc
+    // end, strict-prefix boundary sum = chunk index, ordered chunk
+    // re-assembly, corpus-wide duplication count join. Engine side
+    // counts over xxhash64(chunk) (the 8-byte shuffle posture); counts
+    // equal the string counts the replay computes.
+    "d33_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+          tk AS (SELECT doc_id, i AS p, t[i] AS tok, len(t) AS n
+                 FROM d, unnest(generate_series(1, len(t))) AS u(i)),
+          tv AS (SELECT doc_id, p, tok, n,
+                 length(tok) * 961 + ord(tok[1]) * 31 + ord(tok[-1]) AS v
+                 FROM tk),
+          hb AS (SELECT doc_id, p, tok, n,
+                 CASE WHEN p >= 4 THEN
+                   (lag(v, 3) OVER w) * 29791 + (lag(v, 2) OVER w) * 961
+                   + (lag(v, 1) OVER w) * 31 + v END AS h
+                 FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+          bd AS (SELECT doc_id, p, tok,
+                 CASE WHEN (p >= 4 AND h % 16 = 0) OR p = n THEN 1 ELSE 0 END
+                   AS isb FROM hb),
+          cx AS (SELECT doc_id, p, tok,
+                 coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx FROM bd),
+          ch AS (SELECT doc_id, chunk_idx, min(p) AS start_p, max(p) AS end_p,
+                 count(*) AS n_tokens,
+                 string_agg(tok, ' ' ORDER BY p) AS chunk_text
+                 FROM cx GROUP BY 1, 2),
+          dup AS (SELECT chunk_text, count(*) AS n_dup FROM ch GROUP BY 1)
+          SELECT ch.doc_id, CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
+            CAST(ch.start_p AS INTEGER) AS start_p,
+            CAST(ch.end_p AS INTEGER) AS end_p,
+            CAST(ch.n_tokens AS INTEGER) AS n_tokens, ch.chunk_text,
+            CAST(dup.n_dup AS BIGINT) AS n_dup
+          FROM ch JOIN dup USING (chunk_text) ORDER BY 1, 2""",
     // d20: the d16 algebra over 20-char substring windows on RAW text —
     // duplicate marking and island merge identical, positions are
     // 1-based codepoints (substring() is codepoint-indexed in both
@@ -5212,6 +5302,18 @@ object SparkEntry {
         }.mkString}
          SELECT id AS vec_id, CAST(CAST(rank AS DECIMAL(38,12)) AS DOUBLE) AS rank
          FROM r10 ORDER BY vec_id""",
+    // s24: the shared edge replay feeds a recursive-CTE BFS; UNION
+    // (deduping) recursion bounded by hop < 4, min-hop collapse makes
+    // the level a set property (order-independent on both engines)
+    "s24_bfs_hops" ->
+      s"""WITH RECURSIVE ${lshEdgeCtes("s24_codes").stripPrefix("WITH ")},
+         bfs AS (
+           SELECT CAST(s.vec_id AS BIGINT) AS vec_id, 0 AS hop
+           FROM (SELECT unnest(generate_series(0, 2)) AS vec_id) s
+           UNION
+           SELECT e.dst AS vec_id, bfs.hop + 1 AS hop
+           FROM bfs JOIN e ON e.src = bfs.vec_id WHERE bfs.hop < 4)
+         SELECT vec_id, min(hop) AS hop FROM bfs GROUP BY 1 ORDER BY 1""",
     // s14: s1's ranking discipline on the RAW inner product
     "s14_mips" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6172,6 +6274,19 @@ object SparkEntry {
     "q68_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderkey % 2 = 0 ORDER BY 1""",
+    // q69: the 12-merge history (11 status updates on disjoint mod-13
+    // key sets, then a schema-WIDENING merge adding c_len) replayed as
+    // one relational CASE; keys untouched by the widening merge carry
+    // null c_len — exactly what the declared-schema read of pre-widening
+    // files must produce
+    "q69_tx_schema_evolve" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 12 THEN 'W'
+                WHEN o_orderkey % 13 >= 1 THEN 'U' || CAST(o_orderkey % 13 AS VARCHAR)
+                ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 13 = 12
+                THEN CAST(o_custkey % 100 AS INTEGER) END AS c_len
+         FROM orders ORDER BY 1""",
     "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,

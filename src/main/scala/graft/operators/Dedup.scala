@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ColumnFns._
 
@@ -1133,6 +1134,73 @@ object Dedup {
     keyedOcc(windowOccurrences(documents, w), hashKeys)
       .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
       .withColumn("w", lit(w))
+
+  /** Content-defined chunking over the token stream — the storage-dedup
+    * boundary idiom (Muthitacharoen et al., "A Low-Bandwidth Network
+    * File System", SOSP 2001: a boundary falls wherever a fingerprint of
+    * the last few units ≡ 0 mod a divisor) lifted to corpus dedup: chunk
+    * boundaries are a pure function of LOCAL content, so an insertion or
+    * edit re-chunks only its own neighborhood while every downstream
+    * chunk survives byte-identical — the shift-resistance fixed-size
+    * chunking lacks, and the reason CDC is the dataset-versioning /
+    * delta-storage dedup default. (LBFS's min/max chunk-length guards
+    * are sequential-scan logic, deliberately omitted: the basic
+    * divisor-only scheme is the published core and stays fully
+    * relational.)
+    *
+    * Boundary rule: after token position p (p ≥ 4) iff the base-31
+    * polynomial of the 4-token window ending at p — each token reduced
+    * to `len·961 + ord(first)·31 + ord(last)` — is ≡ 0 (mod `divisor`);
+    * a forced boundary ends the document. Expected chunk length ≈
+    * `divisor` tokens. Output: one row per chunk with its token span,
+    * text, and corpus-wide duplication count (`n_dup` > 1 = the chunk
+    * is shared content — the sub-document dedup signal d16 finds via
+    * repeated windows, here with storage-shaped chunk identities).
+    *
+    * Scale shape: per-doc-keyed windows only (positions — the bounded
+    * class), one map-side-combinable count over chunk keys, one join
+    * back; `hashKeys` (default, the d16 posture) keys that count by
+    * xxhash64(chunk) so corpus-wide shuffles move 8-byte keys, never
+    * chunk text. */
+  def cdcChunks(documents: DataFrame, divisor: Int = 16,
+                hashKeys: Boolean = true): DataFrame = {
+    val tok = documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"), posexplode(col("toks")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("tok"))
+    // token value and window hash in LONG: the ×29791 term overflows
+    // int32 on astral-plane codepoints and ANSI mode throws
+    val v = length(col("tok")).cast("long") * 961 +
+      ascii(col("tok")).cast("long") * 31 +
+      ascii(substring(col("tok"), -1, 1)).cast("long")
+    val byP = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val withB = tok.withColumn("v", v)
+      .withColumn("h", lag(col("v"), 3).over(byP) * 29791 +
+        lag(col("v"), 2).over(byP) * 961 +
+        lag(col("v"), 1).over(byP) * 31 + col("v"))
+      .withColumn("isb", when((col("p") >= 4 &&
+        pmod(col("h"), lit(divisor)) === 0) || col("p") === col("n"), 1)
+        .otherwise(0))
+    val withIdx = withB.withColumn("chunk_idx",
+      coalesce(sum(col("isb"))
+        .over(byP.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+        .cast("int"))
+    val chunks = withIdx.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("p")).as("start_p"), max(col("p")).as("end_p"),
+        count(lit(1)).cast("int").as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_text"))
+      .withColumn("ck",
+        if (hashKeys) xxhash64(col("chunk_text")) else col("chunk_text"))
+    val dup = chunks.groupBy(col("ck")).agg(count(lit(1)).as("n_dup"))
+    chunks.join(dup, Seq("ck"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_p"), col("end_p"),
+        col("n_tokens"), col("chunk_text"), col("n_dup"))
+  }
 
   /** Incremental repeated-span detection of a new batch against a
     * persisted corpus shingle table: a batch window is duplicated if its

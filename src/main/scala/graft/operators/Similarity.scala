@@ -474,6 +474,38 @@ object Similarity {
     ranks.select(col("id").as("vec_id"), decRound(col("rank"), 12).as("rank"))
   }
 
+  /** BFS reachability levels from a seed set over a directed edge table
+    * — the distance/propagation layer of the k-NN-graph analytics
+    * family (how far does an influence/taint/topic seed spread, and in
+    * how many hops): each node reachable within `maxHops` gets its
+    * MINIMUM hop count, seeds at 0. Level-synchronous BFS makes the
+    * result deterministic by construction — a node's level is a set
+    * property (shortest distance), independent of traversal order.
+    *
+    * Scale shape: per hop, one src-keyed join (frontier ⋈ edges — the
+    * frontier is a bounded subset of nodes, never the corpus re-scanned)
+    * and one anti-join against the visited set, both partial-aggregable
+    * shuffles on node id; per-hop localCheckpoint keeps the plan linear
+    * in hops (the house iterative rule). maxHops bounds the work — the
+    * unbounded variant is connected components, which [[s8]]'s pointer
+    * jumping already covers in O(log n) rounds. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var visited = seeds.select(col("vec_id")).distinct()
+      .select(col("vec_id"), lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select(col("vec_id"))
+    for (h <- 1 to maxHops) {
+      val next = frontier.select(col("vec_id").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(visited, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), lit(h).as("hop")).localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("vec_id"))
+    }
+    visited
+  }
+
   /** k-core decomposition membership — the density layer of the
     * k-NN-graph analytics family (components = connectivity, PageRank =
     * centrality, LPA = communities, triangles = local density, k-core =
@@ -568,8 +600,12 @@ object Similarity {
     * query-keyed window. Search cost is independent of corpus size —
     * the property that makes graph ANN the production default. */
   def graphAnnTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-                   beam: Int = 8, hops: Int = 3): DataFrame = {
-    val edges = knnGraphLsh(embeddings)
+                   beam: Int = 8, hops: Int = 3,
+                   nPlanes: Int = numPlanes): DataFrame = {
+    // nPlanes sizes the underlying graph build's LSH occupancy exactly
+    // as s5's lever does (≈ log2(n/targetOccupancy)); the search hops
+    // are corpus-size-independent either way
+    val edges = knnGraphLsh(embeddings, nPlanes = nPlanes)
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
