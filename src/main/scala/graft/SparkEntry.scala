@@ -784,6 +784,8 @@ object SparkEntry {
     "d18_span_scrub" -> Seq("doc_id"),
     "d20_char_spans" -> Seq("doc_id", "start_pos"),
     "d33_cdc_chunks" -> Seq("doc_id", "chunk_idx"),
+    "d34_chunk_incremental" -> Seq("doc_id", "chunk_idx"),
+    "st33_chunk_stream" -> Seq("doc_id", "chunk_idx"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -1125,6 +1127,22 @@ object SparkEntry {
     // the token values, rolling window, boundary rule, running chunk
     // index, ordered re-assembly and the count join relationally
     "d33_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(t(s, d, "documents"))),
+    // d34: the d12/d17 ingest posture at the chunk layer — the even
+    // half probes the odd half's persisted chunk-count artifact;
+    // within-batch counts + corpus-membership flags, corpus never
+    // re-chunked
+    "d34_chunk_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = Dedup.cdcChunkCounts(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)).localCheckpoint()
+      Dedup.cdcChunksIncremental(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), corpus)
+    }),
+    // st33: d34's probe deployed as a STREAMING ingest (two micro-
+    // batches, state appended between them) — flags are as-of ingest
+    // time, which the oracle replays via the deterministic batch split
+    "st33_chunk_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.chunkIngestFileStream(Tables.tune(s), d)),
     // char-window tier of d16: 20-char substring windows catch repeats
     // shorter than 8 tokens and across token boundaries
     "d20_char_spans" -> ((s, d) => Dedup.dupSpansChars(t(s, d, "documents"))),
@@ -1430,7 +1448,9 @@ object SparkEntry {
     // (the merges' key sets are disjoint by construction, so order is
     // irrelevant and the replay is exact).
     "q69_tx_schema_evolve" -> ((s, d) => {
-      val orders = t(s, d, "orders")
+      // %5==0 subset keeps the 12 sequential rewrite commits bench-sane
+      // (commit COUNT, not table size, is what exercises checkpointing)
+      val orders = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(5)) === 0)
       val root = stageDir(d) + "/q69_tx"
       graft.sources.TxTable.create(s,
         orders.select(col("o_orderkey"), col("o_orderstatus").as("status")),
@@ -2478,6 +2498,33 @@ object SparkEntry {
   // non-ANSI step) → hamming≤1 candidate pairs → decimal-6 cosine
   // top-3 per vector. Parameterized on the stage key so each gate's
   // staged table stays self-contained.
+  // Shared d33/d34/st33 replay: token values, 4-token lag-chain rolling
+  // hash, LBFS boundary rule (h%16=0 or doc end), strict-prefix chunk
+  // index, ordered chunk re-assembly -> CTE `ch` (doc_id, chunk_idx,
+  // start_p, end_p, n_tokens, chunk_text)
+  private lazy val cdcChunkCtes: String =
+    s"""d AS (SELECT doc_id, $toks AS t FROM documents),
+          tk AS (SELECT doc_id, i AS p, t[i] AS tok, len(t) AS n
+                 FROM d, unnest(generate_series(1, len(t))) AS u(i)),
+          tv AS (SELECT doc_id, p, tok, n,
+                 length(tok) * 961 + ord(tok[1]) * 31 + ord(tok[-1]) AS v
+                 FROM tk),
+          hb AS (SELECT doc_id, p, tok, n,
+                 CASE WHEN p >= 4 THEN
+                   (lag(v, 3) OVER w) * 29791 + (lag(v, 2) OVER w) * 961
+                   + (lag(v, 1) OVER w) * 31 + v END AS h
+                 FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+          bd AS (SELECT doc_id, p, tok,
+                 CASE WHEN (p >= 4 AND h % 16 = 0) OR p = n THEN 1 ELSE 0 END
+                   AS isb FROM hb),
+          cx AS (SELECT doc_id, p, tok,
+                 coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx FROM bd),
+          ch AS (SELECT doc_id, chunk_idx, min(p) AS start_p, max(p) AS end_p,
+                 count(*) AS n_tokens,
+                 string_agg(tok, ' ' ORDER BY p) AS chunk_text
+                 FROM cx GROUP BY 1, 2)"""
   private def lshEdgeCtes(stage: String) =
     s"""WITH cd AS (SELECT vec_id, code
            FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
@@ -3979,28 +4026,7 @@ object SparkEntry {
     // counts over xxhash64(chunk) (the 8-byte shuffle posture); counts
     // equal the string counts the replay computes.
     "d33_cdc_chunks" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
-          tk AS (SELECT doc_id, i AS p, t[i] AS tok, len(t) AS n
-                 FROM d, unnest(generate_series(1, len(t))) AS u(i)),
-          tv AS (SELECT doc_id, p, tok, n,
-                 length(tok) * 961 + ord(tok[1]) * 31 + ord(tok[-1]) AS v
-                 FROM tk),
-          hb AS (SELECT doc_id, p, tok, n,
-                 CASE WHEN p >= 4 THEN
-                   (lag(v, 3) OVER w) * 29791 + (lag(v, 2) OVER w) * 961
-                   + (lag(v, 1) OVER w) * 31 + v END AS h
-                 FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
-          bd AS (SELECT doc_id, p, tok,
-                 CASE WHEN (p >= 4 AND h % 16 = 0) OR p = n THEN 1 ELSE 0 END
-                   AS isb FROM hb),
-          cx AS (SELECT doc_id, p, tok,
-                 coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY p
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS chunk_idx FROM bd),
-          ch AS (SELECT doc_id, chunk_idx, min(p) AS start_p, max(p) AS end_p,
-                 count(*) AS n_tokens,
-                 string_agg(tok, ' ' ORDER BY p) AS chunk_text
-                 FROM cx GROUP BY 1, 2),
+      s"""WITH $cdcChunkCtes,
           dup AS (SELECT chunk_text, count(*) AS n_dup FROM ch GROUP BY 1)
           SELECT ch.doc_id, CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
             CAST(ch.start_p AS INTEGER) AS start_p,
@@ -4008,6 +4034,42 @@ object SparkEntry {
             CAST(ch.n_tokens AS INTEGER) AS n_tokens, ch.chunk_text,
             CAST(dup.n_dup AS BIGINT) AS n_dup
           FROM ch JOIN dup USING (chunk_text) ORDER BY 1, 2""",
+    // d34: even half = ONE batch (within-batch counts over all evens),
+    // odd half = the corpus membership probe
+    "d34_chunk_incremental" ->
+      s"""WITH $cdcChunkCtes,
+          bb AS (SELECT * FROM ch WHERE doc_id % 2 = 0),
+          bc AS (SELECT chunk_text, count(*) AS n_dup_batch FROM bb GROUP BY 1),
+          cc AS (SELECT DISTINCT chunk_text FROM ch WHERE doc_id % 2 = 1)
+          SELECT bb.doc_id, CAST(bb.chunk_idx AS INTEGER) AS chunk_idx,
+            CAST(bb.start_p AS INTEGER) AS start_p,
+            CAST(bb.end_p AS INTEGER) AS end_p,
+            CAST(bb.n_tokens AS INTEGER) AS n_tokens, bb.chunk_text,
+            CAST(bc.n_dup_batch AS INTEGER) AS n_dup_batch,
+            CAST(CASE WHEN cc.chunk_text IS NOT NULL THEN 1 ELSE 0 END
+              AS INTEGER) AS in_corpus
+          FROM bb JOIN bc USING (chunk_text) LEFT JOIN cc USING (chunk_text)
+          ORDER BY 1, 2""",
+    // st33: flags as-of ingest time — %4=0 fires before %4=2, so a
+    // batch chunk's in_corpus sees odd-corpus ∪ the EARLIER batch only,
+    // and n_dup_batch counts within its OWN micro-batch
+    "st33_chunk_stream" ->
+      s"""WITH $cdcChunkCtes,
+          bb AS (SELECT *, doc_id % 4 AS g FROM ch WHERE doc_id % 2 = 0),
+          bc AS (SELECT g, chunk_text, count(*) AS n_dup_batch
+                 FROM bb GROUP BY 1, 2)
+          SELECT bb.doc_id, CAST(bb.chunk_idx AS INTEGER) AS chunk_idx,
+            CAST(bb.start_p AS INTEGER) AS start_p,
+            CAST(bb.end_p AS INTEGER) AS end_p,
+            CAST(bb.n_tokens AS INTEGER) AS n_tokens, bb.chunk_text,
+            CAST(bc.n_dup_batch AS INTEGER) AS n_dup_batch,
+            CAST(CASE WHEN EXISTS (SELECT 1 FROM ch c
+                   WHERE c.chunk_text = bb.chunk_text
+                     AND (c.doc_id % 2 = 1
+                          OR (bb.g = 2 AND c.doc_id % 4 = 0)))
+              THEN 1 ELSE 0 END AS INTEGER) AS in_corpus
+          FROM bb JOIN bc ON bc.g = bb.g AND bc.chunk_text = bb.chunk_text
+          ORDER BY 1, 2""",
     // d20: the d16 algebra over 20-char substring windows on RAW text —
     // duplicate marking and island merge identical, positions are
     // 1-based codepoints (substring() is codepoint-indexed in both
@@ -6286,7 +6348,7 @@ object SparkEntry {
                 ELSE o_orderstatus END AS status,
            CASE WHEN o_orderkey % 13 = 12
                 THEN CAST(o_custkey % 100 AS INTEGER) END AS c_len
-         FROM orders ORDER BY 1""",
+         FROM orders WHERE o_orderkey % 5 = 0 ORDER BY 1""",
     "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,

@@ -1162,8 +1162,12 @@ object Dedup {
     * back; `hashKeys` (default, the d16 posture) keys that count by
     * xxhash64(chunk) so corpus-wide shuffles move 8-byte keys, never
     * chunk text. */
-  def cdcChunks(documents: DataFrame, divisor: Int = 16,
-                hashKeys: Boolean = true): DataFrame = {
+  /** The per-document chunk table behind the CDC family: (doc_id,
+    * chunk_idx, start_p, end_p, n_tokens, chunk_text, ck) — `ck` is the
+    * duplication key (xxhash64 of the chunk under `hashKeys`, the 8-byte
+    * shuffle posture; the string itself otherwise). */
+  private def chunkTable(documents: DataFrame, divisor: Int,
+                         hashKeys: Boolean): DataFrame = {
     val tok = documents
       .withColumn("toks", tokens(col("text")))
       .withColumn("n", size(col("toks")))
@@ -1188,7 +1192,7 @@ object Dedup {
       coalesce(sum(col("isb"))
         .over(byP.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
         .cast("int"))
-    val chunks = withIdx.groupBy(col("doc_id"), col("chunk_idx"))
+    withIdx.groupBy(col("doc_id"), col("chunk_idx"))
       .agg(min(col("p")).as("start_p"), max(col("p")).as("end_p"),
         count(lit(1)).cast("int").as("n_tokens"),
         concat_ws(" ", transform(
@@ -1196,10 +1200,54 @@ object Dedup {
           s => s.getField("tok"))).as("chunk_text"))
       .withColumn("ck",
         if (hashKeys) xxhash64(col("chunk_text")) else col("chunk_text"))
+  }
+
+  def cdcChunks(documents: DataFrame, divisor: Int = 16,
+                hashKeys: Boolean = true): DataFrame = {
+    val chunks = chunkTable(documents, divisor, hashKeys)
     val dup = chunks.groupBy(col("ck")).agg(count(lit(1)).as("n_dup"))
     chunks.join(dup, Seq("ck"))
       .select(col("doc_id"), col("chunk_idx"), col("start_p"), col("end_p"),
         col("n_tokens"), col("chunk_text"), col("n_dup"))
+  }
+
+  /** Persistable chunk-count artifact for incremental CDC dedup:
+    * (ck, cnt, divisor) over the corpus — the chunk-layer analogue of
+    * [[dupSpanShingles]]. The divisor rides along so
+    * [[cdcChunksIncremental]] can refuse an artifact built under a
+    * different boundary rule (mismatched chunks would never collide and
+    * corpus membership would silently stop firing). */
+  def cdcChunkCounts(documents: DataFrame, divisor: Int = 16,
+                     hashKeys: Boolean = true): DataFrame =
+    chunkTable(documents, divisor, hashKeys)
+      .groupBy(col("ck")).agg(count(lit(1)).as("cnt"))
+      .withColumn("divisor", lit(divisor))
+
+  /** Incremental CDC-chunk dedup of a new batch against a persisted
+    * corpus chunk artifact — the d12/d17 ingest posture at the chunk
+    * layer: every batch chunk carries its within-batch duplication
+    * count and a corpus-membership flag; the corpus side is a key
+    * probe, never re-chunked. Probe keying FOLLOWS the artifact (a
+    * hashed artifact hashes the batch chunks identically), so the two
+    * can never silently join to empty on mismatched key forms. */
+  def cdcChunksIncremental(batch: DataFrame, corpusChunks: DataFrame,
+                           divisor: Int = 16): DataFrame = {
+    if (corpusChunks.columns.contains("divisor"))
+      corpusChunks.select(col("divisor")).head(1).foreach { r =>
+        require(r.getInt(0) == divisor,
+          s"corpus chunk artifact was built with divisor=${r.getInt(0)}, probe uses $divisor")
+      }
+    val hashed = corpusChunks.schema("ck").dataType ==
+      org.apache.spark.sql.types.LongType
+    val chunks = chunkTable(batch, divisor, hashed)
+    val batchCnt = chunks.groupBy(col("ck"))
+      .agg(count(lit(1)).cast("int").as("n_dup_batch"))
+    chunks.join(batchCnt, Seq("ck"))
+      .join(corpusChunks.select(col("ck")).distinct()
+        .withColumn("in_corpus", lit(1)), Seq("ck"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("start_p"), col("end_p"),
+        col("n_tokens"), col("chunk_text"), col("n_dup_batch"),
+        coalesce(col("in_corpus"), lit(0)).as("in_corpus"))
   }
 
   /** Incremental repeated-span detection of a new batch against a

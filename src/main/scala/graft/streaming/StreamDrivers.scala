@@ -879,6 +879,67 @@ object StreamDrivers {
     * In production the driver state here is a bucketed signatures table
     * (Sources.writeBucketed) appended per batch; the collect is the
     * oracle-gate harness, bounded by the pair count. */
+  /** st33: streaming CHUNK ingest — the st14 probe-and-append posture
+    * at the content-defined-chunk layer: the corpus chunk-count
+    * artifact (odd ids, d34's state) is probed by each micro-batch's
+    * chunks (chunking work ∝ batch, the corpus never re-chunked), and
+    * the batch's counts append to the state before the next micro-batch
+    * fires. Flags are AS-OF ingest time (the honest dedup-at-ingest
+    * contract): a chunk's `in_corpus` reflects corpus ∪ EARLIER batches
+    * only, and `n_dup_batch` counts within its OWN micro-batch — so the
+    * oracle replays the deterministic batch split (%4 = 0 fires before
+    * %4 = 2) rather than pretending order away. */
+  def chunkIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-chunk")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      var state = graft.operators.Dedup
+        .cdcChunkCounts(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .localCheckpoint()
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(4)) === 2)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val rows = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, Int, Int, Int, Int, String, Int, Int)]
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val batch = b.localCheckpoint()
+          val found = graft.operators.Dedup
+            .cdcChunksIncremental(batch, state).collect()
+            .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+              r.getAs[Int]("start_p"), r.getAs[Int]("end_p"),
+              r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text"),
+              r.getAs[Int]("n_dup_batch"), r.getAs[Int]("in_corpus")))
+          rows.synchronized { rows ++= found }
+          // append-before-next-batch: union of counts is a valid count
+          // table for the probe (membership is all the probe reads)
+          state = state
+            .union(graft.operators.Dedup.cdcChunkCounts(batch))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      rows.toSeq.toDF("doc_id", "chunk_idx", "start_p", "end_p",
+        "n_tokens", "chunk_text", "n_dup_batch", "in_corpus")
+    } finally deleteRecursively(dir)
+  }
+
   def minhashIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-neardup")
