@@ -726,6 +726,8 @@ object SparkEntry {
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
     "q68_time_travel" -> Seq("o_orderkey"),
     "q69_tx_schema_evolve" -> Seq("o_orderkey"),
+    "q70_incr_matview" -> Seq("ym"),
+    "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
@@ -1470,6 +1472,40 @@ object SparkEntry {
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("status"), col("c_len"))
     }),
+    // q70 (r14): incremental MATERIALIZED-VIEW maintenance through the
+    // ACID table — the warehouse pattern that never recomputes the
+    // corpus aggregate: the monthly revenue MV is created from the
+    // initial load, then a delta batch is aggregated ALONE and merged
+    // additively (read current values for affected keys, add, MERGE
+    // back — file-pruned, transactional). Sums ride as exact integer
+    // cents (associative, so incremental == recompute); oracle = the
+    // full recompute from raw orders.
+    "q70_incr_matview" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      val root = stageDir(d) + "/q70_mv"
+      graft.sources.TxTable.create(s,
+        aggOf(orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)), root, "ym")
+      val delta = aggOf(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        .localCheckpoint()
+      val cur = graft.sources.TxTable.read(s, root)
+      val upd = delta.as("d")
+        .join(cur.as("c"), Seq("ym"), "left")
+        .select(col("ym"),
+          (coalesce(col("c.rev_cents"), lit(0L)) + col("d.rev_cents"))
+            .as("rev_cents"),
+          (coalesce(col("c.n_orders"), lit(0L)) + col("d.n_orders"))
+            .as("n_orders"))
+      graft.sources.TxTable.merge(s, root, upd, "ym")
+      graft.sources.TxTable.read(s, root)
+        .select(col("ym"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("n_orders"))
+    }),
     // ordered CDC changelog applied onto a snapshot: U@1 for even keys,
     // D@2 for %5 keys, I@3 for %21 keys — multi-change keys exercise the
     // latest-wins collapse, D-after-U deletes, I-after-D resurrects
@@ -1499,6 +1535,41 @@ object SparkEntry {
     // the persisted corpus — the result must equal the full recompute
     // over everything, restricted to pairs touching the batch (rows-only:
     // seeded LSH banding; the restriction equality is spec-asserted)
+    // c62 (r14): FUZZY benchmark decontamination — c12/c35 catch exact
+    // 8-token windows; the published frontier-lab recipe also drops
+    // NEAR-copies (paraphrased/suffixed benchmark items), which is
+    // MinHash similarity against the benchmark set: corpus docs probe
+    // the benchmark signature table through the d11 banding (work ∝
+    // collisions, the benchmark side is tiny), exact-Jaccard verify at
+    // 0.5. Contamination is PLANTED (doc 97k+1 becomes its anchor
+    // benchmark doc's text + a suffix — high-J, not exact) and the
+    // oracle replays plant, banding, cap, cross-split candidates and
+    // verify over the staged signature tables.
+    "c62_fuzzy_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val aug = docs
+        .join(bench.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("btext")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(concat(col("btext"), lit(" near duplicate benchmark leak")),
+            col("text")).as("text"))
+      val corpus = aug.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val benchSigs = Dedup.minhashSignatures(bench).localCheckpoint()
+      val corpusSigs = Dedup.minhashSignatures(corpus).localCheckpoint()
+      val sigsAll = corpusSigs.union(benchSigs).localCheckpoint()
+      sigsAll.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c62_sigs")
+      Dedup.bandedSigs(sigsAll).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c62_banded")
+      val benchSide = pmod(col("doc_a"), lit(97)) === 0
+      Dedup.minhashIncremental(corpus, benchSigs)
+        .filter(benchSide =!= (pmod(col("doc_b"), lit(97)) === 0))
+        .select(
+          when(benchSide, col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+          when(benchSide, col("doc_a")).otherwise(col("doc_b")).as("bench_id"),
+          col("jacc"))
+    }),
     "d11_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // the corpus signature table is PERSISTED in production (written
@@ -4837,6 +4908,29 @@ object SparkEntry {
     // d11: the incremental probe replayed — union-bucket cap, UNCAPPED
     // batch probe joining the capped build side, (min,max) pair
     // normalization, exact-Jaccard verify over the staged signatures
+    // c62: plant replay is implicit in the STAGED sigs (the gate signed
+    // the augmented corpus); banding/cap/cross-split candidates/verify
+    // replayed relationally — the d11 idiom with the probe restricted
+    // to corpus docs and the build side to benchmark docs
+    "c62_fuzzy_contamination" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/c62_banded/*.parquet')),
+         bsz AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+         admitted AS (SELECT b.doc_id, b.band, b.bh
+           FROM banded b JOIN bsz ON b.band = bsz.band AND b.bh = bsz.bh
+           WHERE bsz.n <= 1000),
+         cand AS (SELECT DISTINCT p.doc_id AS doc_id, a.doc_id AS bench_id
+           FROM banded p JOIN admitted a
+             ON p.band = a.band AND p.bh = a.bh
+           WHERE p.doc_id % 97 <> 0 AND a.doc_id % 97 = 0),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/c62_sigs/*.parquet')),
+         v AS (SELECT c.doc_id, c.bench_id,
+           CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+             / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id
+             JOIN sh sb ON sb.doc_id = c.bench_id)
+         SELECT doc_id, bench_id, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
     "d11_incremental" ->
       """WITH banded AS (SELECT doc_id, band, bh
            FROM read_parquet('__GRAFT_STAGE__/d11_banded/*.parquet')),
@@ -6349,6 +6443,15 @@ object SparkEntry {
            CASE WHEN o_orderkey % 13 = 12
                 THEN CAST(o_custkey % 100 AS INTEGER) END AS c_len
          FROM orders WHERE o_orderkey % 5 = 0 ORDER BY 1""",
+    // q70: the MV equals the one-shot recompute because cent sums are
+    // associative integers — exactly the property the incremental
+    // maintenance relies on
+    "q70_incr_matview" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,
