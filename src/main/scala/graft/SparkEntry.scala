@@ -727,6 +727,7 @@ object SparkEntry {
     "q68_time_travel" -> Seq("o_orderkey"),
     "q69_tx_schema_evolve" -> Seq("o_orderkey"),
     "q70_incr_matview" -> Seq("ym"),
+    "st34_matview_stream" -> Seq("ym"),
     "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
@@ -1145,6 +1146,11 @@ object SparkEntry {
     // time, which the oracle replays via the deterministic batch split
     "st33_chunk_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.chunkIngestFileStream(Tables.tune(s), d)),
+    // st34: q70's additive MV maintenance per micro-batch through the
+    // transactional sink; cent-sum associativity makes the streamed MV
+    // equal the one-shot recompute, so q70's oracle gates it verbatim
+    "st34_matview_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.matviewFileStream(Tables.tune(s), d)),
     // char-window tier of d16: 20-char substring windows catch repeats
     // shorter than 8 tokens and across token boundaries
     "d20_char_spans" -> ((s, d) => Dedup.dupSpansChars(t(s, d, "documents"))),
@@ -2689,6 +2695,15 @@ object SparkEntry {
     s"list_filter(string_split_regex(lower(trim(${segTextOf(c)})), '[\\s　]+'), x -> x <> '')"
   private val segText = segTextOf("text")
   private val toks = toksOf("text")
+  // Shared q70/st34 oracle: the MV full recompute from raw orders —
+  // cent sums are associative integers, so incremental AND streamed
+  // maintenance must equal it exactly
+  private lazy val matviewSql =
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS revenue,
+         count(*) AS n_orders
+       FROM orders GROUP BY 1 ORDER BY 1"""
   // Shared d13/st22 oracle: brute-force threshold pairs excluding
   // corpus-internal (odd-odd) pairs — the incremental contract
   private lazy val embedIncrementalSql =
@@ -6446,12 +6461,10 @@ object SparkEntry {
     // q70: the MV equals the one-shot recompute because cent sums are
     // associative integers — exactly the property the incremental
     // maintenance relies on
-    "q70_incr_matview" ->
-      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-             AS revenue,
-           count(*) AS n_orders
-         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q70_incr_matview" -> matviewSql,
+    // st34: identical contract — batch split lives only in the driver,
+    // the cent-sum algebra erases it
+    "st34_matview_stream" -> matviewSql,
     "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,

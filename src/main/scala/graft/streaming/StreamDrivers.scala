@@ -638,6 +638,70 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st34: streaming MATERIALIZED-VIEW maintenance with the
+    * transactional sink — q70's additive-merge pattern per micro-batch:
+    * the monthly revenue MV is created from the initial load (%3 = 0),
+    * then each arriving micro-batch (%3 = 1, then %3 = 2) aggregates
+    * ALONE (work ∝ batch) and merges additively into the TxTable (read
+    * affected keys, add, file-pruned atomic commit — readers between
+    * batches always see a consistent MV). Cent sums are associative
+    * integers, so the streamed MV equals the one-shot recompute over
+    * ALL orders REGARDLESS of batch order — which is exactly q70's
+    * oracle, re-used verbatim. */
+  def matviewFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-matview")
+    val in = s"$dir/in"; val chk = s"$dir/chk"; val root = s"$dir/mv"
+    try withStatePartitions(spark, 8) {
+      val o = graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      def aggOf(df: DataFrame) = df.groupBy(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      graft.sources.TxTable.create(spark,
+        aggOf(o.filter(pmod(col("o_orderkey"), lit(3)) === 0)), root, "ym")
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(o.filter(pmod(col("o_orderkey"), lit(3)) === 1),
+          o.filter(pmod(col("o_orderkey"), lit(3)) === 2)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val oSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderdate", org.apache.spark.sql.types.TimestampType),
+        StructField("o_totalprice", DoubleType)))
+      val src = spark.readStream.schema(oSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val delta = aggOf(b.toDF()).localCheckpoint()
+          val cur = graft.sources.TxTable.read(spark, root)
+          val upd = delta.as("d")
+            .join(cur.as("c"), Seq("ym"), "left")
+            .select(col("ym"),
+              (coalesce(col("c.rev_cents"), lit(0L)) + col("d.rev_cents"))
+                .as("rev_cents"),
+              (coalesce(col("c.n_orders"), lit(0L)) + col("d.n_orders"))
+                .as("n_orders"))
+          graft.sources.TxTable.merge(spark, root, upd, "ym")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize off the table files before the temp dir is deleted
+      graft.sources.TxTable.read(spark, root)
+        .select(col("ym"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("n_orders"))
+        .localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →
