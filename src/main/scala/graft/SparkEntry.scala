@@ -782,6 +782,7 @@ object SparkEntry {
     "d13_embed_incremental" -> Seq("id_a", "id_b"),
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "d35_prefix_allpairs" -> Seq("doc_a", "doc_b"),
     "d16_dup_spans" -> Seq("doc_id", "start_pos"),
     "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
     "d18_span_scrub" -> Seq("doc_id"),
@@ -1121,6 +1122,17 @@ object SparkEntry {
       Dedup.simhashPairsFromSigs(sigs)
     }),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"))),
+    // d35 (r14): EXACT all-pairs Jaccard via prefix filtering (the
+    // AllPairs/PPJoin family) — zero false negatives over the WHOLE
+    // corpus (d4 compares same-source pairs only; d2 is probabilistic),
+    // sub-quadratic because candidates come from shared RARE-prefix
+    // tokens only; the staged shingle table lets the oracle replay
+    // df → global rank → prefix → candidates → exact verify
+    "d35_prefix_allpairs" -> ((s, d) => {
+      val sh = Dedup.shingleTable(t(s, d, "documents"))
+      sh.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d35_sh")
+      Dedup.prefixAllPairsFromShingles(sh, 0.5)
+    }),
     // substring-level dedup: maximal repeated 8-token spans (cross- or
     // within-doc), interval-island merged — fully relational, full oracle
     "d16_dup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
@@ -4724,6 +4736,31 @@ object SparkEntry {
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
                 FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d35: the AllPairs prefix-filter chain replayed relationally over
+    // the staged shingle table — df, (df, h) global rank, prefix
+    // length |d| − ⌈t·|d|⌉ + 1, shared-prefix-token candidates under
+    // the size filter, exact list-intersect Jaccard verify. Both
+    // engines rank by the SAME staged hashes, so the candidate sets
+    // (not just the final exact answer) match row for row.
+    "d35_prefix_allpairs" ->
+      """WITH sh AS (SELECT doc_id, shn, hsh
+           FROM read_parquet('__GRAFT_STAGE__/d35_sh/*.parquet')),
+         inv AS (SELECT doc_id, shn, unnest(hsh) AS h FROM sh),
+         dfq AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+         rk AS (SELECT doc_id, shn, h,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rnk
+                FROM inv JOIN dfq USING (h)),
+         pfx AS (SELECT doc_id, shn, h FROM rk
+                 WHERE rnk <= shn - CAST(ceil(0.5 * shn) AS INTEGER) + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+                    AND least(a.shn, b.shn) >= 0.5 * greatest(a.shn, b.shn)),
+         v AS (SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                   / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+               FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
     // d2: banding/cap/candidate/verify replayed over the staged
     // signature tables (the signature VALUES are JVM hashes the gate
     // stages; everything after them is relational)

@@ -218,6 +218,66 @@ object Dedup {
       threshold)
   }
 
+  /** Exact all-pairs similarity join via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW 2007; Xiao et al., WWW 2008): order
+    * every document's shingles by GLOBAL rarity (document frequency
+    * ascending, hash tie-break), index only each document's PREFIX —
+    * the first `|d| − ⌈t·|d|⌉ + 1` tokens — and generate candidates
+    * from shared prefix tokens. The prefix-filtering lemma guarantees
+    * ZERO false negatives: two sets with J ≥ t under any shared global
+    * order must collide in their prefixes (if they didn't, their
+    * overlap is at most min(⌈t·|a|⌉, ⌈t·|b|⌉) − 1, below what J ≥ t
+    * requires). So unlike LSH (d2 — probabilistic recall) and unlike
+    * d4's size-band blocking (same-source pairs only, a recall
+    * contract), this is EXACT over the whole corpus, sub-quadratically.
+    *
+    * Scale shape: the candidate join is an inverted-index self-join
+    * over prefix tokens only — work is Σ_h df_prefix(h)², and because
+    * the global order puts FREQUENT shingles at the end of every
+    * document, hot tokens structurally cannot enter short prefixes:
+    * the algorithm is self-skew-protecting (the published reason
+    * AllPairs beats naive inverted-index joins). The size filter
+    * (t·|a| ≤ |b|, valid for any qualifying pair) prunes candidates
+    * in the join condition on two ints. All shuffles move 8-byte
+    * hashes/ids; the per-doc rank window is doc-keyed (the bounded
+    * class). Verification is the exact sorted-merge intersection.
+    *
+    * The staged `(doc_id, shn, hsh)` shingle table makes the whole
+    * chain — df, global rank, prefix, candidates, verify — replayable
+    * relationally by the oracle (the d2 staged posture). */
+  def prefixAllPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    prefixAllPairsFromShingles(shingleTable(documents), threshold)
+
+  /** [[prefixAllPairs]] over an already-staged shingle table. */
+  def prefixAllPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+    val inv = sh.select(col("doc_id"), col("shn"), explode(col("hsh")).as("h"))
+    // global document frequency per shingle hash: map-side combinable
+    val dfq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = inv.join(dfq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      // prefix length |d| − ⌈t·|d|⌉ + 1 (⌈⌉ on an exact-in-binary
+      // product, so both engines land on the same integer)
+      .filter(col("rnk") <=
+        col("shn") - ceil(lit(threshold) * col("shn")).cast("int") + 1)
+      .select(col("doc_id"), col("shn"), col("h"))
+    val cand = ranked.select(col("doc_id").as("doc_a"), col("shn").as("na"), col("h"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("shn").as("nb"),
+          col("h").as("h2")),
+        col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+          least(col("na"), col("nb")).cast("double") >=
+            lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccFiltered(
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"),
+          col("shn").as("na")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"),
+          col("shn").as("nb")), "doc_b"),
+      threshold)
+  }
+
   // --- MinHash + LSH ---------------------------------------------------
 
   /** 64 seeded affine permutations over xxhash64(shingle). */

@@ -83,6 +83,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("prefix all-pairs: exact across sources, equals brute force, beats d4's blocking") {
+    import spark.implicits._
+    // cross-source near-dups d4's same-source blocking cannot see
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val extra = Seq(
+      (9001L, base, "sA"),
+      (9002L, s"$base tail1 tail2", "sB"), // cross-source near-dup of 9001
+      (9003L, "unrelated words entirely different content here now", "sC"))
+      .toDF("doc_id", "text", "source")
+    val docs = table("documents").select("doc_id", "text", "source").union(extra)
+    val out = Dedup.prefixAllPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1. the planted cross-source pair is found (d4 would miss it)
+    assert(out.exists { case (a, b, j) => a == 9001L && b == 9002L && j >= 0.5 })
+    val blocked = Dedup.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(!blocked.exists { case (a, b, _) => a == 9001L && b == 9002L })
+    // 2. restricted to same-source pairs, d35 == d4 exactly
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.filter { case (a, b, _) => srcOf(a) == srcOf(b) }.toSet === blocked)
+    // 3. exactness: equals the unblocked brute force on a small slice
+    val slice = docs.filter(col("doc_id") % 7 === 0 || col("doc_id") >= 9000L)
+    val fast = Dedup.prefixAllPairs(slice, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = slice.select(col("doc_id"),
+        array_sort(transform(graft.functions.ColumnFns.shinglesFromTokens(
+          graft.functions.ColumnFns.tokens(col("text")), 3), s => xxhash64(s))).as("hsh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = (sh(a) intersect sh(b)).size
+      denom = sh(a).size + sh(b).size - inter if denom > 0
+      j = inter.toDouble / denom if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(fast === brute)
+  }
+
   test("dup spans: planted repeat merges to one maximal island, unique docs absent") {
     import spark.implicits._
     // 12 shared tokens at different offsets in docs 1 and 2 → with w=4
