@@ -116,6 +116,38 @@ object SparkEntry {
       lit("</body></html>")
     ).as("text"))
 
+  /** Deterministic planted XML envelopes for the t36 gate — the corpus
+    * is plain text, so parsing real XML needs planted markup (the t16
+    * plant idiom). Exercises every from_xml surface the operator
+    * extracts: a root attribute (id), a self-closing child with two
+    * attributes (lang enum, a decimal score), entity-escaped text in
+    * the body (%3 docs — `&amp;`/`&lt;`/`&gt;` must decode), a
+    * repeated element collected into an array (0/1/2 tags by %3), and
+    * an optional element absent on most docs (%5 note, also
+    * entity-bearing). The oracle recomputes every expected value
+    * relationally from the raw columns the plant was built from, so a
+    * parser that mangled attributes, arrays, entities or nulls
+    * hash-fails. */
+  private[graft] def plantXml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<doc id=\""), col("doc_id").cast("string"), lit("\"><meta lang=\""),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("en"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("es"))
+        .otherwise(lit("de")),
+      lit("\" score=\""), pmod(col("doc_id"), lit(97)).cast("string"),
+      lit(".5\"/><body>"), col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" x &amp; y &lt;z&gt;")).otherwise(lit("")),
+      lit("</body>"),
+      when(pmod(col("doc_id"), lit(3)) >= 1, lit("<tag>alpha</tag>"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 2, lit("<tag>beta</tag>"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("<note>n&amp;m</note>"))
+        .otherwise(lit("")),
+      lit("</doc>")
+    ).as("xml"))
+
   /** Deterministic planted code documents for the t18 gate: the corpus
     * is prose, so code detection needs planted code (the plant idiom) —
     * every %9==0 doc becomes a small deterministic pseudo-C block
@@ -885,6 +917,7 @@ object SparkEntry {
     "c42_rake_keywords" -> Seq("phrase"),
     "c46_fertility" -> Seq("lang"),
     "t16_html_extract" -> Seq("doc_id"),
+    "t36_xml_extract" -> Seq("doc_id"),
     "c33_url_gate" -> Seq("doc_id"),
     "c34_hybrid_rrf" -> Seq("q_id", "rank"),
     "st18_phash_stream" -> Seq("doc_a", "doc_b"),
@@ -2052,6 +2085,12 @@ object SparkEntry {
     // text), script/style dropped, tags stripped, entities decoded
     "t16_html_extract" -> ((s, d) =>
       TextOps.htmlExtract(plantHtml(t(s, d, "documents")))),
+    // t36 (r14): the q19 twin for XML — Spark's native from_xml over
+    // planted envelopes; attributes, nested struct, repeated→array,
+    // entity decode and optional→null all come back typed, and the
+    // oracle recomputes every expected value from the raw plant inputs
+    "t36_xml_extract" -> ((s, d) =>
+      TextOps.xmlExtract(plantXml(t(s, d, "documents")))),
     // the boilerplate-REMOVAL layer t16 lacks: per-block link-density +
     // min-words classification, survivors re-assembled in order
     "c53_main_content" -> ((s, d) =>
@@ -7941,6 +7980,23 @@ object SparkEntry {
     // stages — lazy dot-all script/style drop (RE2 and java.util.regex
     // agree on (?is) + lazy quantifiers), tag→space, the six plain
     // replaces with &amp; last, whitespace collapse
+    // t36: the planted XML envelope was built from raw columns, so the
+    // oracle recomputes every extracted value directly — id attribute,
+    // lang enum, the exact N.5 score, entity-DECODED body suffix, the
+    // repeated-tag array as csv + count, and the optional note
+    "t36_xml_extract" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+             ELSE 'de' END AS lang,
+           (doc_id % 97) + 0.5 AS score,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' x & y <z>'
+             ELSE '' END AS body,
+           CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'alpha'
+             ELSE 'alpha,beta' END AS tags,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END
+             AS INTEGER) AS n_tags,
+           CASE WHEN doc_id % 5 = 0 THEN 'n&m' ELSE '' END AS note
+         FROM documents ORDER BY doc_id""",
     "t16_html_extract" ->
       """WITH aug AS (SELECT doc_id,
             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||

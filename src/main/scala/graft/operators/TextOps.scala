@@ -816,6 +816,40 @@ object TextOps {
       length(clean).cast("int").as("n_chars"))
   }
 
+  /** Semi-structured XML extraction — the q19 (JSON) twin for the other
+    * wire format a crawl/feed pipeline ingests (sitemaps, RSS/Atom,
+    * OAI-PMH dumps, MediaWiki exports): Spark 4's NATIVE `from_xml`
+    * parses each record string against a declared schema, exercising
+    * the parser surfaces that matter — attributes (the `_`-prefixed
+    * fields, here on the record root and on a self-closing child),
+    * nested structs, REPEATED elements collected into an array, XML
+    * entity decoding inside element text, and absent optional elements
+    * surfacing as null. Typed columns come out relationally; map-only,
+    * codegen-friendly, no shuffle — composes in front of any curation
+    * pass at 100 TB exactly like q19's JSON path. */
+  def xmlExtract(xmlDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("_lang", StringType),
+        StructField("_score", DoubleType)))),
+      StructField("body", StringType),
+      StructField("tag", ArrayType(StringType)),
+      StructField("note", StringType)))
+    xmlDocs.select(from_xml(col("xml"), schema).as("x"))
+      .select(
+        col("x._id").as("doc_id"),
+        col("x.meta._lang").as("lang"),
+        col("x.meta._score").as("score"),
+        col("x.body").as("body"),
+        when(col("x.tag").isNull, lit(""))
+          .otherwise(array_join(col("x.tag"), ",")).as("tags"),
+        when(col("x.tag").isNull, lit(0))
+          .otherwise(size(col("x.tag"))).as("n_tags"),
+        coalesce(col("x.note"), lit("")).as("note"))
+  }
+
   /** Rolling-hash winnowing fingerprint per document, via the one-pass
     * native graft_fingerprint expression (bit-identical to the composable
     * ColumnFns.fingerprintFromChars reference — spec-asserted — but one

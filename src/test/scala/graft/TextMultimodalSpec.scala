@@ -6,6 +6,29 @@ import graft.operators.{Multimodal, TextOps}
 
 class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
 
+  test("xml extract: attributes, nested struct, repeated→array, entities, optional→null") {
+    import spark.implicits._
+    val xml = Seq(
+      // two attrs on a self-closing child, entity-bearing body, 2 tags, note
+      (1L, "<doc id=\"1\"><meta lang=\"en\" score=\"7.5\"/><body>a &amp; b &lt;c&gt;</body>" +
+        "<tag>x</tag><tag>y</tag><note>n&amp;m</note></doc>"),
+      // no tags, no note: array and optional element must surface as empty
+      (2L, "<doc id=\"2\"><meta lang=\"de\" score=\"0.5\"/><body>plain</body></doc>")
+    ).toDF("doc_id", "xml")
+    val out = TextOps.xmlExtract(xml).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("lang") === "en")
+    assert(r1.getAs[Double]("score") === 7.5)
+    assert(r1.getAs[String]("body") === "a & b <c>") // entities decoded
+    assert(r1.getAs[String]("tags") === "x,y" && r1.getAs[Int]("n_tags") === 2)
+    assert(r1.getAs[String]("note") === "n&m")
+    val r2 = out(2L)
+    assert(r2.getAs[String]("tags") === "" && r2.getAs[Int]("n_tags") === 0)
+    assert(r2.getAs[String]("note") === "")
+    assert(r2.getAs[Double]("score") === 0.5)
+  }
+
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
