@@ -753,6 +753,7 @@ object SparkEntry {
     "q43_conversion_window" -> Seq("user_id"),
     "q24_upsert" -> Seq("o_orderkey"),
     "q67_tx_merge" -> Seq("o_orderkey"),
+    "q71_stats_scan" -> Seq("version"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
@@ -1471,6 +1472,32 @@ object SparkEntry {
       graft.sources.TxTable.compact(s, root, "o_orderkey")
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+    // q71 (r14): METADATA-ONLY table statistics through the ACID log —
+    // the Delta fast path for count(*)/min/max(key): every commit's
+    // file entries carry exact row counts + key ranges, so the stats
+    // of ANY version (create → merge-with-inserts → delete) are
+    // answered without opening a data file (the spec proves it by
+    // removing data/ and asking again). Oracle replays the key-set
+    // algebra relationally: v1 = even keys, v2 = v1 ∪ %3 keys (merge
+    // inserts the odd multiples of 3), v3 = v2 minus %7 keys.
+    "q71_stats_scan" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val dels = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"))
+      val root = stageDir(d) + "/q71_tx"
+      val v1 = graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      val v2 = graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      val v3 = graft.sources.TxTable.deleteKeys(s, root, dels, "o_orderkey")
+      import s.implicits._
+      Seq(v1, v2, v3).map(v => graft.sources.TxTable.stats(root, Some(v)))
+        .map(st => (st.version.toInt, st.numRows, st.keyMin, st.keyMax))
+        .toDF("version", "n_rows", "key_min", "key_max")
     }),
     // q68: time travel through the ACID log — q67's table read AS OF
     // the pre-merge version (the reproducibility read a training
@@ -6516,6 +6543,26 @@ object SparkEntry {
           GROUP BY 1 ORDER BY 1""",
     // q67 is the same relational result through the TxTable storage layer
     "q67_tx_merge" -> upsertSql,
+    // q71: the stats path is metadata-only on the engine side; the
+    // oracle replays the SEMANTICS — the key-set algebra of the three
+    // versions (create / merge-with-inserts / delete) — relationally,
+    // so a wrong row count or range in ANY log entry hash-fails
+    "q71_stats_scan" ->
+      """WITH cur AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+         v2 AS (SELECT o_orderkey FROM cur
+                UNION SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+         v3 AS (SELECT o_orderkey FROM v2 WHERE o_orderkey % 7 <> 0)
+         SELECT * FROM (
+           SELECT CAST(1 AS INTEGER) AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(o_orderkey) AS key_min, max(o_orderkey) AS key_max FROM cur
+           UNION ALL
+           SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+             min(o_orderkey), max(o_orderkey) FROM v2
+           UNION ALL
+           SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT),
+             min(o_orderkey), max(o_orderkey) FROM v3)
+         ORDER BY version""",
     // q68: the AS-OF read pins the PRE-merge version — the oracle is
     // the untouched snapshot (later commits must be invisible to it)
     "q68_time_travel" ->

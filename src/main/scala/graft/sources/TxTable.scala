@@ -428,6 +428,30 @@ object TxTable {
     }
   }
 
+  /** Metadata-only statistics of a snapshot. */
+  case class TableStats(version: Long, numFiles: Long, numRows: Long,
+                        keyMin: Long, keyMax: Long)
+
+  /** Metadata-only table statistics — row count, file count, global key
+    * range — answered from the LOG alone (every file entry carries its
+    * exact row count and key min/max from the write-time stats pass),
+    * never opening a data file: the Delta-style metadata fast path for
+    * `count(*)`/`min(key)`/`max(key)`, and the planning input a 100 TB
+    * merge/compaction scheduler reads constantly (it cannot afford a
+    * data scan to decide what to touch). Exact at every version: merges
+    * and deletes REWRITE the files they touch, so carried-over entries
+    * are always live rows (spec-asserted, including after the data
+    * directory is physically removed — the stats path provably reads no
+    * data). Key range is exact for integral keys; non-integral keys
+    * degrade to the full-range sentinels, the same posture as pruning. */
+  def stats(root: String, asOf: Option[Long] = None): TableStats = {
+    val v = asOf.getOrElse(currentVersion(root))
+    val files = snapshot(root, Some(v))
+    require(files.nonEmpty, s"TxTable at $root has no live files at v$v")
+    TableStats(v, files.size, files.map(_.rows).sum,
+      files.map(_.kmin).min, files.map(_.kmax).max)
+  }
+
   /** Vacuum: physically delete data files that are no longer live in
     * ANY version newer than `keepVersions` back from the head — the
     * retention policy that bounds storage while keeping recent time

@@ -76,6 +76,34 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(rows(TxTable.read(spark, root)) === rows(base))
   }
 
+  test("stats are metadata-only: exact at every version, alive after data/ is gone") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-stats")
+    val upd = ((500L until 520L) ++ (1000L until 1010L)) // 20 updates + 10 inserts
+      .map(k => (k, s"u$k")).toDF("k", "v")
+    TxTable.merge(spark, root, upd, "k")
+    TxTable.deleteKeys(spark, root, (0L until 5L).toDF("k"), "k")
+    // exact against a data recompute at every version
+    (1L to 3L).foreach { v =>
+      val st = TxTable.stats(root, Some(v))
+      val df = TxTable.read(spark, root, Some(v))
+      val (n, mn, mx) = df.agg(count(lit(1)), min("k"), max("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      assert((st.numRows, st.keyMin, st.keyMax) === ((n, mn, mx)), s"v$v")
+    }
+    assert(TxTable.stats(root).numRows === base.count() + 10 - 5)
+    // the metadata-only proof: physically remove EVERY data file — the
+    // stats path must still answer (it never opens data), the read must not
+    import scala.jdk.CollectionConverters._
+    val dd = java.nio.file.Paths.get(root, "data")
+    val walk = java.nio.file.Files.walk(dd)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    assert(TxTable.stats(root).numRows === base.count() + 10 - 5)
+    intercept[Exception] { TxTable.read(spark, root).collect() }
+  }
+
   test("orphaned data files are invisible (crash safety)") {
     import spark.implicits._
     val (root, base) = mkTable("txt-orphan")
