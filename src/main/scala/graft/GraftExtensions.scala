@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment}
+import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnigramSegment].getName, "graft_unigram_segment"),
       FnArity.checked("graft_unigram_segment", 2)(args =>
         UnigramSegment(args(0), args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wordpiece_segment"),
+      new ExpressionInfo(classOf[WordpieceSegment].getName, "graft_wordpiece_segment"),
+      FnArity.checked("graft_wordpiece_segment", 2)(args =>
+        WordpieceSegment(args(0), args(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),

@@ -694,6 +694,13 @@ object SparkEntry {
     bpeFits.computeIfAbsent(d,
       dir => graft.operators.TextOps.bpeLearn(t(s, dir, "documents")))
 
+  // t37's WordPiece vocabulary, cached per dataset like the BPE merges
+  private val wordpieceFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def wordpieceFit(s: SparkSession, d: String): Seq[String] =
+    wordpieceFits.computeIfAbsent(d,
+      dir => graft.operators.TextOps.wordpieceLearn(t(s, dir, "documents")))
+
   // t35's unigram-LM piece table, cached per dataset like the BPE merges
   private val unigramFits =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
@@ -846,6 +853,7 @@ object SparkEntry {
     "t5_scrub" -> Seq("event_id"),
     "t11_bpe_tokens" -> Seq("doc_id"),
     "t35_unigram_tokens" -> Seq("doc_id"),
+    "t37_wordpiece_tokens" -> Seq("doc_id"),
     "t12_pii_scrub" -> Seq("doc_id"),
     "c24_quality_rules" -> Seq("doc_id"),
     "t14_lang_ngram" -> Seq("doc_id"),
@@ -1918,6 +1926,27 @@ object SparkEntry {
     // the one non-ANSI step, but both are pure functions of the WORD,
     // so the gate stages the distinct-word → (segmentation, n_sub)
     // table and DuckDB replays the document layer relationally
+    // t37 (r14): WordPiece — the BERT tokenizer, completing the three
+    // production subword families (BPE t11, unigram-LM t35): greedy
+    // longest-match apply over the likelihood-fitted ##-marked vocab,
+    // with the whole-word [UNK] fallback surfaced as a coverage count.
+    // Same staged-word-segmentation oracle idiom as t35.
+    "t37_wordpiece_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = wordpieceFit(s, d)
+      val vocabLit = lit(vocab.toArray)
+      docs.select(explode(graft.functions.ColumnFns.tokens(col("text"))).as("word"))
+        .distinct()
+        .withColumn("_seg",
+          call_function("graft_wordpiece_segment", col("word"), vocabLit))
+        .select(col("word"), array_join(col("_seg"), " ").as("seg"),
+          size(col("_seg")).as("n_sub"),
+          size(filter(col("_seg"),
+            p => p === graft.functions.Wordpiece.Unk)).as("n_unk_w"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/t37_wordseg")
+      TextOps.wordpieceTokenize(docs, vocab)
+    }),
     "t35_unigram_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val model = unigramFit(s, d)
@@ -7644,6 +7673,27 @@ object SparkEntry {
           FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
           ORDER BY d0.doc_id""",
     // t35: t11's oracle shape over the unigram staged word table
+    // t37: t35's staged-word-segmentation replay with the WordPiece
+    // columns (+ the [UNK] coverage count summed from the word table)
+    "t37_wordpiece_tokens" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS a FROM documents),
+          w AS (SELECT doc_id, unnest([{'i': i, 'w': a[i]}
+                  for i in generate_series(1, len(a))], recursive := true)
+                FROM d),
+          j AS (SELECT w.doc_id, w.i, s.seg, s.n_sub, s.n_unk_w
+                FROM w JOIN read_parquet('__GRAFT_STAGE__/t37_wordseg/*.parquet') s
+                  ON w.w = s.word),
+          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                  CAST(sum(n_sub) AS INTEGER) AS n_wp_tokens,
+                  CAST(sum(n_unk_w) AS INTEGER) AS n_unk,
+                  string_agg(seg, ' ' ORDER BY i) AS wp_text
+                  FROM j GROUP BY 1)
+          SELECT d0.doc_id, coalesce(agg.n_words, 0) AS n_words,
+            coalesce(agg.n_wp_tokens, 0) AS n_wp_tokens,
+            coalesce(agg.n_unk, 0) AS n_unk,
+            coalesce(agg.wp_text, '') AS wp_text
+          FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
+          ORDER BY d0.doc_id""",
     "t35_unigram_tokens" ->
       s"""WITH d AS (SELECT doc_id, $toks AS a FROM documents),
           w AS (SELECT doc_id, unnest([{'i': i, 'w': a[i]}

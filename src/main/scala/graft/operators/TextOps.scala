@@ -639,6 +639,37 @@ object TextOps {
         size(col("_ug")).as("n_unigram_tokens"),
         array_join(col("_ug"), " ").as("unigram_text"))
 
+  /** Fit the WordPiece vocabulary — the THIRD tokenizer family
+    * ([[bpeLearn]]/[[unigramLearn]]'s sibling, the BERT tokenizer):
+    * same vocab-bounded (word, count) aggregate feeds
+    * `Wordpiece.learn`'s likelihood-scored merge loop; the corpus is
+    * never collected, so the shape holds at 100 TB. */
+  def wordpieceLearn(documents: DataFrame, numMerges: Int = 200,
+                     maxVocab: Int = 100000): Seq[String] = {
+    val wc = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Wordpiece.learn(wc, numMerges)
+  }
+
+  /** Apply a fitted WordPiece vocabulary: map-only native codegen
+    * greedy longest-match segmentation per document
+    * (graft_wordpiece_segment), no shuffle — [[bpeTokenize]]'s column
+    * contract with the WordPiece names (plus the corpus [UNK] rate's
+    * numerator, the coverage metric a tokenizer rollout watches). */
+  def wordpieceTokenize(documents: DataFrame, vocab: Seq[String]): DataFrame =
+    documents
+      .withColumn("_wp", call_function("graft_wordpiece_segment", col("text"),
+        lit(vocab.toArray)))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        size(col("_wp")).as("n_wp_tokens"),
+        size(filter(col("_wp"), p => p === graft.functions.Wordpiece.Unk))
+          .as("n_unk"),
+        array_join(col("_wp"), " ").as("wp_text"))
+
   /** Head+tail token-budget truncation — the long-document policy
     * context-bounded training actually ships: keep the first
     * `headTokens` and last `tailTokens` tokens and drop the middle

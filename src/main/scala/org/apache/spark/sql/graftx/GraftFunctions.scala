@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment}
+import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -68,6 +68,13 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_unigram_segment",
       FnArity.checked("graft_unigram_segment", 2)(args =>
         UnigramSegment(args(0), args(1))),
+      "built-in")
+    // WordPiece greedy longest-match segmentation against a literal
+    // fitted vocabulary; args: (text, array<string> of pieces with
+    // ##-prefixed continuations)
+    registry.createOrReplaceTempFunction("graft_wordpiece_segment",
+      FnArity.checked("graft_wordpiece_segment", 2)(args =>
+        WordpieceSegment(args(0), args(1))),
       "built-in")
     // Spark's own bloom-probe expression (the one InjectRuntimeFilter
     // plants): not SQL-registered upstream because runtime filtering
