@@ -753,6 +753,7 @@ object SparkEntry {
     "q17_range_join" -> Seq("o_orderkey"),
     "q18_set_ops" -> Seq("nationkey"),
     "q19_json_extract" -> Seq("event_id"),
+    "q72_nested" -> Seq("o_orderkey"),
     "q20_string_funcs" -> Seq("p_partkey"),
     "q21_date_series" -> Seq("month"),
     "q22_anti_join" -> Seq("c_custkey"),
@@ -1064,6 +1065,11 @@ object SparkEntry {
     "q18_set_ops" -> ((s, d) =>
       Relational.setOps(t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
     "q19_json_extract" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
+    // q72 (r14): nested array-of-struct analytics — fold lineitems into
+    // sorted per-order documents, then HOF-only stats (aggregate folds
+    // on exact cents, filter counts, positional access), never
+    // re-flattening; oracle replays the same stats relationally
+    "q72_nested" -> ((s, d) => Relational.nestedOrderStats(t(s, d, "lineitem"))),
     "q20_string_funcs" -> ((s, d) => Relational.stringFuncs(t(s, d, "part"))),
     "q21_date_series" -> ((s, d) => Relational.dateSeries(t(s, d, "orders"))),
     "q22_anti_join" -> ((s, d) => Relational.antiJoin(t(s, d, "customer"), t(s, d, "orders"))),
@@ -4173,6 +4179,28 @@ object SparkEntry {
          FROM events
          WHERE CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) > 50
          ORDER BY event_id""",
+    // q72: the nested-document stats replayed flat — the fold order is
+    // fixed by the sorted array but the sums are exact integers, so the
+    // relational group-by is the same value; first_line_qty = the
+    // min-linenumber item (arg_min), n_big = conditional count
+    "q72_nested" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         fl AS (SELECT l_orderkey, qty, row_number() OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, qty, cents) AS rn FROM li),
+         agg AS (SELECT l_orderkey AS o_orderkey,
+             CAST(count(*) AS INTEGER) AS n_items,
+             CAST(sum(qty) AS BIGINT) AS total_qty,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents,
+             CAST(sum(CASE WHEN qty >= 25 THEN 1 ELSE 0 END) AS INTEGER) AS n_big
+           FROM li GROUP BY 1)
+         SELECT agg.*, fl.qty AS first_line_qty
+         FROM agg JOIN fl ON fl.l_orderkey = agg.o_orderkey AND fl.rn = 1
+         ORDER BY 1""",
     "q20_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_u, split_part(p_type, ' ', 1) AS type_head,
          regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_n,

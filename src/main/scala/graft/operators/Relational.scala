@@ -241,6 +241,45 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k") > 50)
 
+  /** Nested document-style analytics — the denormalization pattern every
+    * document/feature-store export runs: fold a child table into a
+    * SORTED array-of-structs per parent key (one shuffle, bounded
+    * per-key arrays — lineitems per order are ≤7 by construction, the
+    * contract this shape needs), then compute over the nested form with
+    * HIGHER-ORDER functions only — `aggregate` folds (exact integer
+    * cents, so fold order is irrelevant anyway, though the sorted array
+    * fixes it), `filter` + `size` for conditional counts, positional
+    * `element_at` over the sort — never re-flattening, never re-joining.
+    * This is the capability class behind "compute on the nested export
+    * without exploding 100 TB back out": one wide scan, map-only after
+    * the single groupBy. */
+  def nestedOrderStats(lineitem: DataFrame): DataFrame = {
+    val nested = lineitem
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .as("item"))
+      .groupBy(col("l_orderkey"))
+      // array_sort on array<struct> orders by fields in declaration
+      // order — (ln, qty, cents) as a whole: ln alone is NOT unique in
+      // this data, but equal full structs are interchangeable, so the
+      // sorted array is value-deterministic
+      .agg(array_sort(collect_list(col("item"))).as("items"))
+    nested.select(
+      col("l_orderkey").as("o_orderkey"),
+      size(col("items")).as("n_items"),
+      aggregate(col("items"), lit(0L),
+        (acc, it) => acc + it.getField("qty")).as("total_qty"),
+      aggregate(col("items"), lit(0L),
+        (acc, it) => acc + it.getField("cents")).as("total_cents"),
+      aggregate(col("items"), lit(0L),
+        (acc, it) => greatest(acc, it.getField("cents"))).as("max_cents"),
+      size(filter(col("items"),
+        it => it.getField("qty") >= 25)).as("n_big"),
+      element_at(col("items"), 1).getField("qty").as("first_line_qty"))
+  }
+
   /** String transform battery over part. */
   def stringFuncs(part: DataFrame): DataFrame =
     part.select(

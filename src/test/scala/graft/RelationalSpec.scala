@@ -28,6 +28,28 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(plan.split("Relation ").length - 1 <= 1, plan.take(1500))
   }
 
+  test("nested order stats: HOF results equal the flat relational recompute") {
+    val li = table("lineitem")
+    val out = Relational.nestedOrderStats(li).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val flat = li.groupBy("l_orderkey").agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(col("l_quantity").cast("long")).as("tq"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("tc"),
+        max(round(col("l_extendedprice") * 100).cast("long")).as("mc"),
+        sum(when(col("l_quantity") >= 25, 1).otherwise(0)).cast("int").as("nb"))
+      .collect()
+    assert(out.size === flat.length)
+    flat.foreach { f =>
+      val r = out(f.getLong(0))
+      assert(r.getAs[Int]("n_items") === f.getAs[Int]("n"))
+      assert(r.getAs[Long]("total_qty") === f.getAs[Long]("tq"))
+      assert(r.getAs[Long]("total_cents") === f.getAs[Long]("tc"))
+      assert(r.getAs[Long]("max_cents") === f.getAs[Long]("mc"))
+      assert(r.getAs[Int]("n_big") === f.getAs[Int]("nb"))
+    }
+  }
+
   test("q1 pricing summary: groups and exact-sum invariants") {
     val out = Relational.pricingSummary(table("lineitem")).collect()
     assert(out.length === 6) // 3 returnflags × 2 linestatuses in the data
