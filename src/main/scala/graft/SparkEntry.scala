@@ -979,6 +979,7 @@ object SparkEntry {
     "d22_phash_pairs" -> Seq("doc_a", "doc_b"),
     "d23_phash_incremental" -> Seq("doc_a", "doc_b"),
     "m5_wav_meta" -> Seq("doc_id"),
+    "m25_avi_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -1365,6 +1366,11 @@ object SparkEntry {
     // real RIFF/WAV header parsing over planted 8-bit PCM payloads
     // (every 8th doc_id); synthetic fallback rows mirror the image path
     "m5_wav_meta" -> ((s, d) => Multimodal.wavMetaPlanted(s, t(s, d, "documents"))),
+    // m25 (r14): the RIFF container's VIDEO form — real avih main-header
+    // parse behind a real top-level chunk walk (planted JUNK chunk
+    // defeats fixed-offset readers); planted rows replay the plant
+    // formula, text rows the synthetic fallback
+    "m25_avi_meta" -> ((s, d) => Multimodal.aviMetaPlanted(s, t(s, d, "documents"))),
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
@@ -6454,6 +6460,26 @@ object SparkEntry {
            16 AS bits,
            CAST(64 + (octet_length(encode(text)) * 7) % 331 AS BIGINT) AS n_samples,
            CAST((octet_length(encode(text)) * 13) % 10000 AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m25: planted rows replay the avih fields from the plant formula;
+    // text rows replay the synthetic fallback from byte length
+    "m25_avi_meta" ->
+      """SELECT doc_id, 1 AS is_avi,
+           CAST(33333 + (doc_id % 5) * 8333 AS INTEGER) AS us_per_frame,
+           CAST(100 + doc_id % 400 AS INTEGER) AS n_frames,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_streams,
+           CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+           CAST(240 + (doc_id % 4) * 120 AS INTEGER) AS height,
+           CAST(((33333 + (doc_id % 5) * 8333) * (100 + doc_id % 400)) // 1000
+             AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_avi,
+           CAST(33333 + octet_length(encode(text)) % 777 AS INTEGER) AS us_per_frame,
+           CAST(1 + octet_length(encode(text)) % 100 AS INTEGER) AS n_frames,
+           1 AS n_streams, 320 AS width, 240 AS height,
+           CAST((octet_length(encode(text)) * 17) % 20000 AS BIGINT) AS duration_ms
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m7: planted rows replay the real mvhd fields from the plant

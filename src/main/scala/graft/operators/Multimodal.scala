@@ -378,6 +378,133 @@ object Multimodal {
     }
   }
 
+  /** Deterministic planted AVI payloads for m25's gate — the RIFF
+    * container's VIDEO form (the third RIFF form beside WAVE m5 and
+    * WEBP m18): every `every`-th doc gets a minimal valid AVI whose
+    * `avih` main-header fields are pure functions of doc_id, so the
+    * oracle replays them from the plant formula. Layout exercises a
+    * REAL top-level walk: id%16==0 inserts a variable-length JUNK
+    * chunk (pad = id%32, even) BEFORE `LIST hdrl`, so a fixed-offset
+    * reader misparses; the movi list tail varies too. */
+  object PlantedAvis {
+    val Every = 8
+
+    def craftedAvi(docId: Long): Array[Byte] = {
+      val usf = (33333 + (docId % 5) * 8333).toInt
+      val frames = (100 + docId % 400).toInt
+      val streams = (1 + docId % 2).toInt
+      val w = (320 + (docId % 4) * 160).toInt
+      val h = (240 + (docId % 4) * 120).toInt
+      val junkPad = if (docId % 16 == 0) (2 * ((docId / 16) % 12 + 1)).toInt else 0
+      val moviPad = (2 * (docId % 8)).toInt
+      val hdrlSz = 4 + 8 + 56              // "hdrl" + avih chunk
+      val moviSz = 4 + 8 + moviPad         // "movi" + one 00dc chunk
+      val junkBytes = if (junkPad > 0) 8 + junkPad else 0
+      val riffLen = 4 + junkBytes + (8 + hdrlSz) + (8 + moviSz)
+      val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("AVI ".getBytes("US-ASCII"))
+      if (junkPad > 0) {
+        out.put("JUNK".getBytes("US-ASCII")).putInt(junkPad)
+        var j = 0
+        while (j < junkPad) { out.put(0.toByte); j += 1 }
+      }
+      out.put("LIST".getBytes("US-ASCII")).putInt(hdrlSz)
+        .put("hdrl".getBytes("US-ASCII"))
+        .put("avih".getBytes("US-ASCII")).putInt(56)
+        .putInt(usf).putInt(0).putInt(0).putInt(0x10)  // usf, maxBps, pad, flags
+        .putInt(frames).putInt(0).putInt(streams).putInt(0)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)       // dwReserved[4]
+      out.put("LIST".getBytes("US-ASCII")).putInt(moviSz)
+        .put("movi".getBytes("US-ASCII"))
+        .put("00dc".getBytes("US-ASCII")).putInt(moviPad)
+      var i = 0
+      while (i < moviPad) { out.put(((docId + i) % 256).toByte); i += 1 }
+      out.array()
+    }
+  }
+
+  def plantedAviMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedAvis.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedAvis.craftedAvi(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL AVI (RIFF video container) metadata from the binary payload —
+    * the m5 chunk walk pointed at the third RIFF form: after the
+    * RIFF/`AVI ` magic, top-level chunks are walked (fourcc, LE size,
+    * even pad) to the `LIST` whose form is `hdrl`; the AVI spec pins
+    * `avih` as hdrl's FIRST chunk, so the main header's little-endian
+    * fields (µs/frame, total frames, stream count, width, height) read
+    * at fixed offsets from the FOUND list — never from a fixed file
+    * offset (the planted JUNK layout breaks fixed-offset readers).
+    * `complete` requires sane values (µs/frame ≥ 1 so the duration
+    * division cannot ANSI-throw); anything else falls back to
+    * deterministic synthetic metadata, the house multimodal contract.
+    * Pure column exprs, map-only — the 100 TB shape. */
+  def aviMeta(media: DataFrame, maxChunks: Int = 6): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isAvi = hex(p.substr(lit(1), lit(4))) === "52494646" &&
+      hex(p.substr(lit(9), lit(4))) === "41564920"
+    var df = media
+      .withColumn("_cur0", when(isAvi, lit(13L)))
+      .withColumn("_hdr0", lit(null).cast("long"))
+    for (i <- 1 to maxChunks) {
+      val cur = col(s"_cur${i - 1}")
+      val cid = hex(p.substr(cur, lit(4)))
+      val sz = leUintAt(p, cur + 4, 4)
+      val form = hex(p.substr(cur + 8, lit(4)))
+      df = df
+        .withColumn(s"_hdr$i",
+          coalesce(col(s"_hdr${i - 1}"),
+            when(cid === "4C495354" && form === "6864726C", cur + 12)))
+        .withColumn(s"_cur$i",
+          when(col(s"_hdr$i").isNotNull, cur)
+            .otherwise(when(coalesce(sz >= 0, lit(false)), {
+              // range-gated hop: untrusted size — see wavMeta
+              val nxt = cur + 8 + sz + pmod(sz, lit(2))
+              when(nxt + 7 <= len, nxt)
+            })))
+    }
+    val hdrl = col(s"_hdr$maxChunks")
+    // the avih chunk is hdrl's first child by spec; verify its fourcc
+    val avihOff = when(hex(p.substr(hdrl, lit(4))) === "61766968", hdrl + 8)
+    val staged = df
+      .withColumn("_usf", leUintAt(p, avihOff, 4))
+      .withColumn("_frames", leUintAt(p, avihOff + 16, 4))
+      .withColumn("_streams", leUintAt(p, avihOff + 24, 4))
+      .withColumn("_w", leUintAt(p, avihOff + 32, 4))
+      .withColumn("_h", leUintAt(p, avihOff + 36, 4))
+    val complete = coalesce(isAvi, lit(false)) &&
+      coalesce(col("_usf") >= 1 && col("_frames") >= 1 &&
+        col("_streams") >= 1 && col("_w") >= 1 && col("_h") >= 1, lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_avi"),
+      when(complete, col("_usf").cast("int"))
+        .otherwise((lit(33333) + pmod(len, lit(777))).cast("int")).as("us_per_frame"),
+      when(complete, col("_frames").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(100))).cast("int")).as("n_frames"),
+      when(complete, col("_streams").cast("int")).otherwise(lit(1)).as("n_streams"),
+      when(complete, col("_w").cast("int")).otherwise(lit(320)).as("width"),
+      when(complete, col("_h").cast("int")).otherwise(lit(240)).as("height"),
+      when(complete, expr("(_usf * _frames) div 1000"))
+        .otherwise(pmod(len * 17, lit(20000)).cast("long")).as("duration_ms"))
+  }
+
+  /** The m25 gate: AVI main-header metadata over the planted corpus. */
+  def aviMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedAvis.Every): DataFrame =
+    aviMeta(plantedAviMedia(spark, documents, every).toDF())
+
   /** Deterministic planted MP4 (ISO-BMFF) payloads for m7's gate: every
     * `every`-th doc_id gets a minimal valid MP4 whose header fields are
     * pure functions of doc_id — `timescale = 600 + (id%5)·300`,
@@ -1305,8 +1432,14 @@ object Multimodal {
           coalesce(col(s"_dsz${i - 1}"), when(cid === "64617461", sz)))
         .withColumn(s"_cur$i",
           when(col(s"_fmt$i").isNotNull && col(s"_dat$i").isNotNull, cur)
-            .otherwise(when(coalesce(sz >= 0, lit(false)),
-              cur + 8 + sz + pmod(sz, lit(2)))))
+            .otherwise(when(coalesce(sz >= 0, lit(false)), {
+              // range-gated hop (the eXIf-walk rule): the size field is
+              // untrusted — a next cursor that can't fit another 8-byte
+              // chunk frame nulls out instead of overflowing the substr
+              // int cast under ANSI
+              val nxt = cur + 8 + sz + pmod(sz, lit(2))
+              when(nxt + 7 <= len, nxt)
+            })))
     }
     val fmtOff = col(s"_fmt$maxChunks")
     val staged = df

@@ -29,6 +29,49 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r2.getAs[Double]("score") === 0.5)
   }
 
+  test("avi meta: chunk walk survives JUNK layout, corrupt size, truncation") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // the JUNK-bearing (%16==0) and plain layouts both parse exactly
+    val planted = Seq(0L, 8L, 16L, 24L).map(id =>
+      (id, Multimodal.PlantedAvis.craftedAvi(id)))
+    // corrupt size on a chunk the walk must SKIP (doc 0's JUNK): the
+    // cursor jumps past the payload, reads null out, and the row falls
+    // back — never an ANSI overflow/throw
+    val corrupt = {
+      val b = Multimodal.PlantedAvis.craftedAvi(0L).clone()
+      b(16) = 0xFF.toByte; b(17) = 0xFF.toByte
+      b(18) = 0xFF.toByte; b(19) = 0xFF.toByte
+      (1L, b)
+    }
+    val truncated = (2L, Multimodal.PlantedAvis.craftedAvi(8L).take(30))
+    val media = (planted :+ corrupt :+ truncated).toDF("doc_id", "payload")
+    val out = Multimodal.aviMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    planted.foreach { case (id, _) =>
+      val r = out(id)
+      assert(r.getAs[Int]("is_avi") === 1, s"doc $id not parsed")
+      assert(r.getAs[Int]("us_per_frame") === 33333 + (id % 5) * 8333)
+      assert(r.getAs[Int]("n_frames") === 100 + id % 400)
+      assert(r.getAs[Int]("width") === 320 + (id % 4) * 160)
+      assert(r.getAs[Int]("height") === 240 + (id % 4) * 120)
+    }
+    assert(out(1L).getAs[Int]("is_avi") === 0)
+    assert(out(2L).getAs[Int]("is_avi") === 0)
+    // the same corrupt-skipped-size attack on the WAV walk (the LIST
+    // chunk between fmt and data): falls back, never ANSI-throws —
+    // this pinned a latent ungated-cursor bug the AVI test surfaced
+    val badWav = {
+      val b = Multimodal.PlantedWavs.craftedWav(16L).clone()
+      b(40) = 0xFF.toByte; b(41) = 0xFF.toByte
+      b(42) = 0xFF.toByte; b(43) = 0xFF.toByte
+      (3L, b)
+    }
+    val wavOut = Multimodal.wavMeta(Seq(badWav).toDF("doc_id", "payload"))
+      .collect()
+    assert(wavOut.head.getAs[Int]("is_wav") === 0)
+  }
+
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
