@@ -855,6 +855,7 @@ object SparkEntry {
     "t11_bpe_tokens" -> Seq("doc_id"),
     "t35_unigram_tokens" -> Seq("doc_id"),
     "t37_wordpiece_tokens" -> Seq("doc_id"),
+    "c63_tokenizer_eval" -> Seq("family"),
     "t12_pii_scrub" -> Seq("doc_id"),
     "c24_quality_rules" -> Seq("doc_id"),
     "t14_lang_ngram" -> Seq("doc_id"),
@@ -1938,6 +1939,32 @@ object SparkEntry {
     // the one non-ANSI step, but both are pure functions of the WORD,
     // so the gate stages the distinct-word → (segmentation, n_sub)
     // table and DuckDB replays the document layer relationally
+    // c63 (r14): the tokenizer-SELECTION report over the three fitted
+    // families — distinct corpus words segmented once per family
+    // (vocab-bounded work), corpus-weighted by a count join; fertility
+    // as an exact ×1e6 integer; the staged per-word table lets the
+    // oracle replay counting, weighting and the rollup relationally
+    "c63_tokenizer_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpeLit = lit(bpeFit(s, d).map { case (a, b) => s"$a $b" }.toArray)
+      val ugLit = lit(TextOps.unigramModelRows(unigramFit(s, d)))
+      val wpLit = lit(wordpieceFit(s, d).toArray)
+      val segs = docs
+        .select(explode(graft.functions.ColumnFns.tokens(col("text"))).as("word"))
+        .distinct()
+        .withColumn("_b", call_function("graft_bpe_segment", col("word"), bpeLit))
+        .withColumn("_u", call_function("graft_unigram_segment", col("word"), ugLit))
+        .withColumn("_w", call_function("graft_wordpiece_segment", col("word"), wpLit))
+        .select(col("word"),
+          size(col("_b")).as("n_bpe"), size(col("_u")).as("n_ug"),
+          size(col("_w")).as("n_wp"),
+          size(filter(col("_w"),
+            p => p === graft.functions.Wordpiece.Unk)).as("n_unk_wp"))
+        .localCheckpoint()
+      segs.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c63_wordsegs")
+      Curation.tokenizerEval(docs, segs)
+    }),
     // t37 (r14): WordPiece — the BERT tokenizer, completing the three
     // production subword families (BPE t11, unigram-LM t35): greedy
     // longest-match apply over the likelihood-fitted ##-marked vocab,
@@ -7727,6 +7754,30 @@ object SparkEntry {
           FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
           ORDER BY d0.doc_id""",
     // t35: t11's oracle shape over the unigram staged word table
+    // c63: corpus word counts recomputed from documents, weighted
+    // against the staged per-word segment counts, rolled up per family
+    "c63_tokenizer_eval" ->
+      s"""WITH tk AS (SELECT unnest($toks) AS word FROM documents),
+          wc AS (SELECT word, count(*) AS cnt FROM tk GROUP BY 1),
+          j AS (SELECT wc.cnt, s.n_bpe, s.n_ug, s.n_wp, s.n_unk_wp
+                FROM wc JOIN read_parquet('__GRAFT_STAGE__/c63_wordsegs/*.parquet') s
+                  USING (word)),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nw,
+                  CAST(sum(cnt * n_bpe) AS BIGINT) AS tb,
+                  CAST(sum(cnt * n_ug) AS BIGINT) AS tu,
+                  CAST(sum(cnt * n_wp) AS BIGINT) AS tw,
+                  CAST(sum(cnt * n_unk_wp) AS BIGINT) AS tunk FROM j)
+          SELECT * FROM (
+            SELECT 'bpe' AS family, nw AS n_words, tb AS n_subwords,
+              CAST((tb * 1000000) // nw AS BIGINT) AS fertility_e6,
+              CAST(0 AS BIGINT) AS n_unk_words FROM tot
+            UNION ALL
+            SELECT 'unigram', nw, tu, CAST((tu * 1000000) // nw AS BIGINT),
+              CAST(0 AS BIGINT) FROM tot
+            UNION ALL
+            SELECT 'wordpiece', nw, tw, CAST((tw * 1000000) // nw AS BIGINT),
+              tunk FROM tot)
+          ORDER BY family""",
     // t37: t35's staged-word-segmentation replay with the WordPiece
     // columns (+ the [UNK] coverage count summed from the word table)
     "t37_wordpiece_tokens" ->

@@ -16,6 +16,38 @@ import graft.functions.ColumnFns._
   */
 object Curation {
 
+  /** Cross-family tokenizer evaluation — the selection report a
+    * pipeline runs before committing a tokenizer to a training corpus:
+    * BPE vs unigram-LM vs WordPiece over the SAME corpus, compared on
+    * total subword count, fertility (subwords per word, emitted as an
+    * exact ×1e6 integer so no float crosses engines) and WordPiece's
+    * [UNK] word count (the coverage risk the other families don't
+    * have). `wordSegs` carries per-DISTINCT-word subword counts —
+    * segmentation cost is vocab-bounded while corpus weighting is just
+    * a count join: the "tokenize the vocabulary, weight by the corpus"
+    * shape that makes this report affordable at 100 TB (the corpus is
+    * scanned once, for word counts only). */
+  def tokenizerEval(documents: DataFrame, wordSegs: DataFrame): DataFrame = {
+    val wc = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = wc.join(wordSegs, "word").agg(
+      sum(col("cnt")).as("nw"),
+      sum(col("cnt") * col("n_bpe")).as("tb"),
+      sum(col("cnt") * col("n_ug")).as("tu"),
+      sum(col("cnt") * col("n_wp")).as("tw"),
+      sum(col("cnt") * col("n_unk_wp")).as("tunk"))
+    def fam(name: String, sub: String, unk: Column) = tot.select(
+      lit(name).as("family"),
+      col("nw").as("n_words"),
+      col(sub).as("n_subwords"),
+      expr(s"($sub * 1000000) div nw").as("fertility_e6"),
+      unk.as("n_unk_words"))
+    fam("bpe", "tb", lit(0L))
+      .union(fam("unigram", "tu", lit(0L)))
+      .union(fam("wordpiece", "tw", col("tunk")))
+  }
+
   /** Global top-k token bigrams by document frequency — explode once,
     * two exact aggregations. */
   def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 20): DataFrame =

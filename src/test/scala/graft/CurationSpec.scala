@@ -7,6 +7,39 @@ import graft.operators.Curation
 
 class CurationSpec extends AnyFunSuite with SharedSpark {
 
+  test("tokenizer eval: per-family totals equal direct tokenization of the corpus") {
+    import graft.operators.TextOps
+    val docs = table("documents")
+    val bpe = TextOps.bpeLearn(docs, 60)
+    val ug = TextOps.unigramLearn(docs, 200)
+    val wp = TextOps.wordpieceLearn(docs, 60)
+    val segs = docs
+      .select(explode(graft.functions.ColumnFns.tokens(col("text"))).as("word"))
+      .distinct()
+      .withColumn("_b", call_function("graft_bpe_segment", col("word"),
+        lit(bpe.map { case (a, b) => s"$a $b" }.toArray)))
+      .withColumn("_u", call_function("graft_unigram_segment", col("word"),
+        lit(TextOps.unigramModelRows(ug))))
+      .withColumn("_w", call_function("graft_wordpiece_segment", col("word"),
+        lit(wp.toArray)))
+      .select(col("word"), size(col("_b")).as("n_bpe"), size(col("_u")).as("n_ug"),
+        size(col("_w")).as("n_wp"),
+        size(filter(col("_w"),
+          p => p === graft.functions.Wordpiece.Unk)).as("n_unk_wp"))
+    val out = Curation.tokenizerEval(docs, segs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("bpe", "unigram", "wordpiece"))
+    // the vocab-join total equals tokenizing every document directly
+    val directBpe = TextOps.bpeTokenize(docs, bpe)
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    assert(out("bpe").getAs[Long]("n_subwords") === directBpe)
+    out.values.foreach { r =>
+      // every word yields >= 1 subword, so fertility_e6 >= 1e6
+      assert(r.getAs[Long]("fertility_e6") >= 1000000L)
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+  }
+
   test("perplexity gate: reference fit, Laplace OOV floor, threshold gate") {
     import spark.implicits._
     // reference slice = src0: tokens {alpha×2, beta×2} → N=4, V=2,
