@@ -842,6 +842,7 @@ object SparkEntry {
     "s11_pq_ann" -> Seq("q_id", "rank"),
     "s12_ivf_pq" -> Seq("q_id", "rank"),
     "s22_graph_ann" -> Seq("q_id", "rank"),
+    "s25_routed_ann" -> Seq("q_id", "rank"),
     "s15_ivfadc" -> Seq("q_id", "rank"),
     "d21_semdedup" -> Seq("vec_id"),
     "s13_rand_proj" -> Seq("vec_id", "pos"),
@@ -2503,6 +2504,20 @@ object SparkEntry {
       Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/s5_codes")
       Similarity.knnGraphLsh(emb)
+    }),
+    // s25 (r14): hierarchically ROUTED ANN — the SPANN-style two-tier
+    // batch design: the hash-sampled routing tier (staged levels) is
+    // flat-scanned per query for query-adaptive entries, then s22's
+    // beam refines on the m=6 base graph. Oracle replays routing from
+    // staged levels, edges from staged codes, beam rounds as CTEs
+    "s25_routed_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s25_codes")
+      val lv = Similarity.hnswLevels(emb).localCheckpoint()
+      lv.coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s25_levels")
+      Similarity.routedAnnTopK(emb, lv)
     }),
     // s22: graph-based ANN (NSW-family beam search over the s5 graph).
     // FULL oracle: staged codes replay the edges (lshEdgeCtes), then
@@ -5403,6 +5418,52 @@ object SparkEntry {
     // s5: same staged-code replay, every vector a query, k = 3
     // s22: staged-code edge replay (the s5 shape) + the 3 beam rounds
     // unrolled — every rank is decimal-6 cosine + id, no float ties
+    // s25: routing replayed as a flat top-`entries` scan of the staged
+    // level ≥ 1 tier, base edges (m=6) from the staged codes, the 3
+    // beam rounds unrolled — decimal-6 cosine + id ranks throughout
+    "s25_routed_ann" -> {
+      val hops = (1 to 3).map { h =>
+        s""",
+         c$h AS (SELECT DISTINCT q_id, cand FROM (
+                 SELECT q_id, cand FROM f${h - 1}
+                 UNION ALL
+                 SELECT f.q_id, e.dst AS cand FROM f${h - 1} f JOIN e ON e.src = f.cand)),
+         s$h AS (SELECT q_id, cand, row_number() OVER
+                 (PARTITION BY q_id ORDER BY cos6 DESC, cand) AS rk FROM
+                 (SELECT c.q_id, c.cand,
+                  CAST(list_cosine_similarity(qv.vq, wv.v) AS DECIMAL(38,6)) AS cos6
+                  FROM c$h c JOIN qq qv ON qv.q_id = c.q_id
+                  JOIN v wv ON wv.vec_id = c.cand) w$h),
+         f$h AS (SELECT q_id, cand FROM s$h WHERE rk <= 8)"""
+      }.mkString
+      s"""WITH cd AS (SELECT vec_id, code
+           FROM read_parquet('__GRAFT_STAGE__/s25_codes/*.parquet')),
+         lv AS (SELECT vec_id, level
+           FROM read_parquet('__GRAFT_STAGE__/s25_levels/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT q.vec_id AS q_id, c.vec_id AS id_b,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+               FROM cd q JOIN cd c
+                 ON c.vec_id <> q.vec_id
+                 AND bit_count(xor(q.code, c.code)) <= 1
+               JOIN v qv ON qv.vec_id = q.vec_id
+               JOIN v cv ON cv.vec_id = c.vec_id),
+         rr AS (SELECT q_id, id_b, row_number() OVER
+               (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
+               AS rank FROM p),
+         e AS (SELECT q_id AS src, id_b AS dst FROM rr WHERE rank <= 6),
+         qq AS (SELECT vec_id AS q_id, v AS vq FROM v WHERE vec_id < 10),
+         rt AS (SELECT q_id, cand, row_number() OVER
+               (PARTITION BY q_id ORDER BY cos6 DESC, cand) AS rk FROM
+               (SELECT qv.q_id, s.vec_id AS cand,
+                CAST(list_cosine_similarity(qv.vq, wv.v) AS DECIMAL(38,6)) AS cos6
+                FROM lv s CROSS JOIN qq qv
+                JOIN v wv ON wv.vec_id = s.vec_id
+                WHERE s.level >= 1) z0),
+         f0 AS (SELECT q_id, cand FROM rt WHERE rk <= 4)$hops
+         SELECT q_id, cand AS neighbor_id, CAST(rk AS INTEGER) AS rank
+         FROM s3 WHERE rk <= 5 ORDER BY q_id, rank"""
+    },
     "s22_graph_ann" -> {
       val hops = (1 to 3).map { h =>
         s""",

@@ -355,6 +355,60 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(hits >= 5, s"graph ANN found only $hits exact-top-5 hits across 10 queries")
   }
 
+  test("routed ANN: geometric levels, deterministic, meets s22's recall bar") {
+    val emb = table("embeddings")
+    val lv = Similarity.hnswLevels(emb)
+    // geometric layer sizes: each level populated, upper ≪ lower
+    val byLevel = lv.groupBy("level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLevel.getOrElse(0, 0L) > byLevel.getOrElse(1, 0L))
+    assert(byLevel.getOrElse(1, 0L) > byLevel.getOrElse(2, 0L))
+    assert(byLevel.getOrElse(1, 0L) >= 1, "routing tier empty on this corpus")
+    val out = Similarity.routedAnnTopK(emb, lv).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to 5)))
+    // determinism: two runs identical
+    val again = Similarity.routedAnnTopK(emb, Similarity.hnswLevels(emb)).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // recall floor vs exact on the real (isotropic) corpus: the
+    // query-adaptive routed entries must do at least as well as s22's
+    // fixed-entry bar
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteTopK(emb))
+    val approx = sets(Similarity.routedAnnTopK(emb, lv))
+    val hits = (0L until 10L).map(q => exact(q).intersect(approx(q) - q).size).sum
+    assert(hits >= 5, s"routed ANN found only $hits exact-top-5 hits across 10 queries")
+  }
+
+  test("routed ANN on a clustered corpus: routing reaches the right region") {
+    import spark.implicits._
+    // 8 tight direction clusters (the regime real embedding corpora
+    // live in): the batch-built LSH k-NN graph fragments into cluster
+    // islands (intra-bucket edges only), so fixed or greedy-descended
+    // entries stay stuck in one island — the flat-scanned routing tier
+    // must place entries in each query's OWN cluster
+    val rows = (0 until 320).map { i =>
+      val dir = i % 8
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 8 == dir) 1.0 else 0.0
+        base + 0.05 * (((i * 31 + d * 7) % 11) - 5) / 5.0
+      }
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val lv = Similarity.hnswLevels(emb)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteTopK(emb))
+    val approx = sets(Similarity.routedAnnTopK(emb, lv))
+    val qs = exact.keySet
+    val recall = qs.toSeq.map(q =>
+      exact(q).intersect(approx(q) - q).size).sum.toDouble / (qs.size * 5)
+    assert(recall >= 0.6, s"clustered-corpus routed-ANN recall $recall below floor")
+  }
+
   test("random projection: 16-dim sketches preserve pairwise distances") {
     import graft.functions.ColumnFns
     val emb = table("embeddings")
