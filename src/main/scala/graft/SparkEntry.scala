@@ -762,6 +762,7 @@ object SparkEntry {
     "q24_upsert" -> Seq("o_orderkey"),
     "q67_tx_merge" -> Seq("o_orderkey"),
     "q71_stats_scan" -> Seq("version"),
+    "q73_clustered_compact" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
@@ -1520,6 +1521,26 @@ object SparkEntry {
       Seq(v1, v2, v3).map(v => graft.sources.TxTable.stats(root, Some(v)))
         .map(st => (st.version.toInt, st.numRows, st.keyMin, st.keyMax))
         .toDF("version", "n_rows", "key_min", "key_max")
+    }),
+    // q73 (r14): clustered compaction — q67's flow with a RANGE-
+    // clustered rewrite between create and merge: rows are value-
+    // invisible (q24's upsert oracle verbatim, the q67 posture) while
+    // the spec measures what the clustering buys — disjoint per-file
+    // key ranges, so the merge prunes to one file where a plain
+    // compaction's round-robin files would all be touched
+    "q73_clustered_compact" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val root = stageDir(d) + "/q73_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      graft.sources.TxTable.compactClustered(s, root, "o_orderkey", 8)
+      graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
     // q68: time travel through the ACID log — q67's table read AS OF
     // the pre-merge version (the reproducibility read a training
@@ -6714,6 +6735,9 @@ object SparkEntry {
           GROUP BY 1 ORDER BY 1""",
     // q67 is the same relational result through the TxTable storage layer
     "q67_tx_merge" -> upsertSql,
+    // q73: value-invisible like q67 — same relational upsert oracle;
+    // the pruning win is a physical property the spec measures
+    "q73_clustered_compact" -> upsertSql,
     // q71: the stats path is metadata-only on the engine side; the
     // oracle replays the SEMANTICS — the key-set algebra of the three
     // versions (create / merge-with-inserts / delete) — relationally,

@@ -495,4 +495,26 @@ object TxTable {
     Some((writeFiles(spark, df, root, key, f"$v%010d-compact"),
       files.map(_.name), key, None))
   }
+
+  /** CLUSTERED compaction — the pruning-preserving variant (Delta's
+    * OPTIMIZE ZORDER, one dimension): plain [[compact]]'s round-robin
+    * repartition makes EVERY output file span the full key range, so
+    * the per-file min/max stats that MERGE/point reads prune on go
+    * useless the moment a table is compacted — a merge after a plain
+    * compaction rewrites everything. Range-partitioning by the key
+    * instead gives the output files DISJOINT key ranges (spec-measured:
+    * a narrow-key merge after clustered compaction touches one file;
+    * after plain compaction it touches all), which is the difference
+    * between a merge proportional to touched keys and a merge
+    * proportional to the table at 100 TB. Same commit semantics as
+    * [[compact]]: rows identical, old files de-referenced. */
+  def compactClustered(spark: SparkSession, root: String, key: String,
+                       numFiles: Int = 4): Long = occRetry(root) { v =>
+    val files = snapshot(root, None)
+    val df = read(spark, root)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+    Some((writeFiles(spark, df, root, key, f"$v%010d-cluster"),
+      files.map(_.name), key, None))
+  }
 }

@@ -104,6 +104,43 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     intercept[Exception] { TxTable.read(spark, root).collect() }
   }
 
+  test("clustered compaction keeps pruning alive; plain compaction kills it") {
+    import spark.implicits._
+    def build(prefix: String, clustered: Boolean): String = {
+      val root = tempDir(prefix).toString + "/tbl"
+      // interleaved writes: every original file spans the whole key range
+      val base = (0L until 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(4)
+      TxTable.create(spark, base, root, "k")
+      if (clustered) TxTable.compactClustered(spark, root, "k", 4)
+      else TxTable.compact(spark, root, "k", 4)
+      root
+    }
+    val upd = (10L until 60L).map(k => (k, s"u$k")).toDF("k", "v")
+    // plain compaction: round-robin files all cover [0,999] — the
+    // narrow-key merge must rewrite everything
+    val plain = build("txt-cmp-plain", clustered = false)
+    val beforeP = TxTable.snapshot(plain).map(_.name).toSet
+    TxTable.merge(spark, plain, upd, "k")
+    val survivorsP = (beforeP intersect TxTable.snapshot(plain).map(_.name).toSet).size
+    assert(survivorsP === 0, s"expected full rewrite after plain compact, $survivorsP survived")
+    // clustered compaction: disjoint ranges — the same merge touches ONE file
+    val clus = build("txt-cmp-clus", clustered = true)
+    val beforeC = TxTable.snapshot(clus).map(_.name).toSet
+    // per-file ranges are disjoint after clustering
+    val ranges = TxTable.snapshot(clus).map(f => (f.kmin, f.kmax)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"overlapping ranges $a $b")
+      case _ =>
+    }
+    TxTable.merge(spark, clus, upd, "k")
+    val survivorsC = (beforeC intersect TxTable.snapshot(clus).map(_.name).toSet).size
+    assert(survivorsC === 3, s"expected 3 of 4 files untouched, got $survivorsC")
+    // rows identical either way
+    assert(TxTable.read(spark, plain).collect().map(_.toString).sorted.toSeq ===
+      TxTable.read(spark, clus).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("orphaned data files are invisible (crash safety)") {
     import spark.implicits._
     val (root, base) = mkTable("txt-orphan")
