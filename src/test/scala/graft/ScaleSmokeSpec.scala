@@ -136,6 +136,21 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("d35 scale path: prefix-filter exact all-pairs at 1M docs") {
+    gated()
+    timed("d35_prefix_allpairs") {
+      // the self-skew-protection claim, measured: banner shingles have
+      // df≈100k but sit at the END of the rarity order, so they never
+      // enter the ~20-shingle prefixes and the candidate join stays
+      // proportional to genuinely-shared rare shingles
+      val pairs = Dedup.prefixAllPairs(docs, 0.5)
+        .agg(count(lit(1)).as("n"), min(col("jacc")).as("mn")).collect().head
+      assert(pairs.getLong(0) > 5000L && pairs.getLong(0) < 100000L,
+        s"pair count ${pairs.getLong(0)}")
+      assert(pairs.getDouble(1) >= 0.5)
+    }
+  }
+
   test("s5 scale path: LSH k-NN graph at 500k vectors, planes sized to n") {
     gated()
     timed("s5_knn_lsh_16planes") {
