@@ -176,6 +176,18 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("s25 scale path: routed ANN over 500k vectors (62k routing tier)") {
+    gated()
+    timed("s25_routed_ann_500k") {
+      val lv = Similarity.hnswLevels(embeddings).localCheckpoint()
+      // routing tier ≈ n/8: the flat per-query scan is 10 × 62k dot
+      // products — the documented coverage-vs-cost lever at scale
+      val out = Similarity.routedAnnTopK(embeddings, lv, nPlanes = 16).collect()
+      assert(out.length === 10 * 5, s"got ${out.length} rows")
+      lv.unpersist()
+    }
+  }
+
   test("TxTable scale path: point merge into a 1M-row table rewrites one file") {
     gated()
     import spark.implicits._
