@@ -825,6 +825,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> Seq("doc_a", "doc_b"),
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d35_prefix_allpairs" -> Seq("doc_a", "doc_b"),
+    "d36_prefix_incremental" -> Seq("doc_a", "doc_b"),
     "d16_dup_spans" -> Seq("doc_id", "start_pos"),
     "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
     "d18_span_scrub" -> Seq("doc_id"),
@@ -1184,6 +1185,20 @@ object SparkEntry {
       val sh = Dedup.shingleTable(t(s, d, "documents"))
       sh.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d35_sh")
       Dedup.prefixAllPairsFromShingles(sh, 0.5)
+    }),
+    // d36 (r14): d35's exact prefix-filter join in the d11/d12 ingest
+    // posture — the even batch probes the odd corpus's persisted
+    // shingle + df artifact; the corpus-df global order is stale for
+    // batch-new shingles (rank df=0) and loses ZERO recall (the lemma
+    // needs only a consistent order); == the full recompute restricted
+    // to batch-touching pairs, spec-asserted
+    "d36_prefix_incremental" -> ((s, d) => {
+      val sh = Dedup.shingleTable(t(s, d, "documents"))
+      sh.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d36_sh")
+      val corpusSh = sh.filter(pmod(col("doc_id"), lit(2)) === 1).localCheckpoint()
+      val corpusDf = Dedup.prefixDfTable(corpusSh).localCheckpoint()
+      Dedup.prefixIncremental(
+        sh.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSh, corpusDf)
     }),
     // substring-level dedup: maximal repeated 8-token spans (cross- or
     // within-doc), interval-island merged — fully relational, full oracle
@@ -4947,6 +4962,34 @@ object SparkEntry {
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
                     AND least(a.shn, b.shn) >= 0.5 * greatest(a.shn, b.shn)),
+         v AS (SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                   / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+               FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    // d36: the incremental prefix chain replayed — corpus df from the
+    // odd rows only, both sides' prefixes under the (coalesce(df,0), h)
+    // order, batch-touching candidates, exact verify over the union
+    "d36_prefix_incremental" ->
+      """WITH sh AS (SELECT doc_id, shn, hsh
+           FROM read_parquet('__GRAFT_STAGE__/d36_sh/*.parquet')),
+         dfq AS (SELECT h, count(*) AS df FROM
+             (SELECT unnest(hsh) AS h FROM sh WHERE doc_id % 2 = 1)
+           GROUP BY 1),
+         inv AS (SELECT doc_id, shn, unnest(hsh) AS h FROM sh),
+         rk AS (SELECT i.doc_id, i.shn, i.h, row_number() OVER
+                  (PARTITION BY i.doc_id
+                   ORDER BY coalesce(dfq.df, 0), i.h) AS rnk
+                FROM inv i LEFT JOIN dfq USING (h)),
+         pfx AS (SELECT doc_id, shn, h FROM rk
+                 WHERE rnk <= shn - CAST(ceil(0.5 * shn) AS INTEGER) + 1),
+         cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                    greatest(x.doc_id, y.doc_id) AS doc_b
+                  FROM pfx x JOIN pfx y
+                    ON x.h = y.h AND x.doc_id <> y.doc_id
+                    AND x.doc_id % 2 = 0
+                    AND least(x.shn, y.shn) >= 0.5 * greatest(x.shn, y.shn)),
          v AS (SELECT c.doc_a, c.doc_b,
                  CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
                    / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc

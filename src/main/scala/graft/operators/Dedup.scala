@@ -249,19 +249,31 @@ object Dedup {
   def prefixAllPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
     prefixAllPairsFromShingles(shingleTable(documents), threshold)
 
-  /** [[prefixAllPairs]] over an already-staged shingle table. */
-  def prefixAllPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
-    val inv = sh.select(col("doc_id"), col("shn"), explode(col("hsh")).as("h"))
-    // global document frequency per shingle hash: map-side combinable
-    val dfq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val ranked = inv.join(dfq, "h")
+  /** Per-doc prefix rows (doc_id, shn, h) under the (df asc, hash)
+    * global order given by `dfq` — shingles ABSENT from `dfq` rank as
+    * df = 0 (rarest), which is what the incremental posture needs:
+    * batch-new shingles have no corpus df yet, and the prefix lemma
+    * only requires a CONSISTENT total order, not a current one (a
+    * stale order costs candidate efficiency, never recall). */
+  private def prefixRows(sh: DataFrame, dfq: DataFrame,
+                         threshold: Double): DataFrame =
+    sh.select(col("doc_id"), col("shn"), explode(col("hsh")).as("h"))
+      .join(dfq, Seq("h"), "left")
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+        Window.partitionBy(col("doc_id"))
+          .orderBy(coalesce(col("df"), lit(0L)), col("h"))))
       // prefix length |d| − ⌈t·|d|⌉ + 1 (⌈⌉ on an exact-in-binary
       // product, so both engines land on the same integer)
       .filter(col("rnk") <=
         col("shn") - ceil(lit(threshold) * col("shn")).cast("int") + 1)
       .select(col("doc_id"), col("shn"), col("h"))
+
+  /** [[prefixAllPairs]] over an already-staged shingle table. */
+  def prefixAllPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("hsh")).as("h"))
+    // global document frequency per shingle hash: map-side combinable
+    val dfq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = prefixRows(sh, dfq, threshold)
     val cand = ranked.select(col("doc_id").as("doc_a"), col("shn").as("na"), col("h"))
       .join(ranked.select(col("doc_id").as("doc_b"), col("shn").as("nb"),
           col("h").as("h2")),
@@ -277,6 +289,48 @@ object Dedup {
           col("shn").as("nb")), "doc_b"),
       threshold)
   }
+
+  /** Incremental prefix-filter dedup — [[prefixAllPairs]] in the
+    * d11/d12 ingest posture: the new batch probes the PERSISTED corpus
+    * artifact (shingle table + its document-frequency table — the
+    * prefix index a production pipeline keeps) and emits every J ≥ t
+    * pair touching the batch (batch-vs-corpus AND batch-vs-batch),
+    * which equals the full [[prefixAllPairs]] recompute over the union
+    * restricted to batch-touching pairs (spec-asserted). The global
+    * order is the CORPUS df (batch-new shingles rank df = 0): the
+    * prefix-filter lemma holds for any order both sides share, so a
+    * stale index loses zero recall — it only admits a few extra
+    * candidates until the index is refreshed, the exactness-under-
+    * staleness property LSH signatures don't have. Corpus work: one
+    * key-scan of the artifact, never a re-shingle. */
+  def prefixIncremental(batchSh: DataFrame, corpusSh: DataFrame,
+                        corpusDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val bp = prefixRows(batchSh, corpusDf, threshold)
+    val cp = prefixRows(corpusSh, corpusDf, threshold)
+    val cand = bp.select(col("doc_id").as("doc_x"), col("shn").as("nx"), col("h"))
+      .join(bp.union(cp).select(col("doc_id").as("doc_y"),
+          col("shn").as("ny"), col("h").as("h2")),
+        col("h") === col("h2") && col("doc_x") =!= col("doc_y") &&
+          least(col("nx"), col("ny")).cast("double") >=
+            lit(threshold) * greatest(col("nx"), col("ny")))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+    val all = corpusSh.union(batchSh)
+    jaccFiltered(
+      cand
+        .join(all.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"),
+          col("shn").as("na")), "doc_a")
+        .join(all.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"),
+          col("shn").as("nb")), "doc_b"),
+      threshold)
+  }
+
+  /** The corpus-side document-frequency artifact for
+    * [[prefixIncremental]] — persisted next to the shingle table. */
+  def prefixDfTable(corpusSh: DataFrame): DataFrame =
+    corpusSh.select(explode(col("hsh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
 
   // --- MinHash + LSH ---------------------------------------------------
 

@@ -121,6 +121,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(fast === brute)
   }
 
+  test("incremental prefix dedup equals the full recompute restricted to the batch") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"p$i").mkString(" ")
+    val extra = Seq(
+      (9001L, base, "sA"),                 // odd → corpus
+      (9002L, s"$base t1 t2", "sB"),       // even → batch: corpus near-dup
+      (9004L, s"$base t1 t2 t3", "sC"))    // even → batch: batch near-dup of 9002
+      .toDF("doc_id", "text", "source")
+    val docs = table("documents").select("doc_id", "text", "source").union(extra)
+    val sh = Dedup.shingleTable(docs)
+    val corpusSh = sh.filter(col("doc_id") % 2 === 1).localCheckpoint()
+    val corpusDf = Dedup.prefixDfTable(corpusSh).localCheckpoint()
+    val inc = Dedup.prefixIncremental(
+        sh.filter(col("doc_id") % 2 === 0), corpusSh, corpusDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // == the full exact recompute over the union, restricted to pairs
+    // touching at least one batch (even) doc
+    val full = Dedup.prefixAllPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 == 0 || b % 2 == 0 }.toSet
+    assert(inc === full)
+    // both planted shapes present: batch-vs-corpus and batch-vs-batch
+    assert(inc.exists { case (a, b, _) => a == 9001L && b == 9002L })
+    assert(inc.exists { case (a, b, _) => a == 9002L && b == 9004L })
+    // corpus-vs-corpus pairs are NOT the incremental op's business
+    assert(!inc.exists { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
+  }
+
   test("dup spans: planted repeat merges to one maximal island, unique docs absent") {
     import spark.implicits._
     // 12 shared tokens at different offsets in docs 1 and 2 → with w=4
