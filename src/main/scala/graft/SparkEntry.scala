@@ -833,6 +833,7 @@ object SparkEntry {
     "d33_cdc_chunks" -> Seq("doc_id", "chunk_idx"),
     "d34_chunk_incremental" -> Seq("doc_id", "chunk_idx"),
     "st33_chunk_stream" -> Seq("doc_id", "chunk_idx"),
+    "st35_late_audit" -> Seq("window_start"),
     "d5_embed_neardup" -> Seq("id_a", "id_b"),
     "d6_dup_clusters" -> Seq("vec_id"),
     "d7_canonical" -> Seq("doc_id"),
@@ -1225,6 +1226,13 @@ object SparkEntry {
     // time, which the oracle replays via the deterministic batch split
     "st33_chunk_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.chunkIngestFileStream(Tables.tune(s), d)),
+    // st35 (r14): late-data ACCOUNTING — out-of-order arrival by
+    // construction (parity micro-batches), watermark drops replayed
+    // exactly by the oracle (kept iff even-batch OR window_end >
+    // max(even ts) − 30 min), emitted counts reconciled against batch
+    // totals into the per-window data-loss report
+    "st35_late_audit" -> ((s, d) =>
+      graft.streaming.StreamDrivers.lateAuditFileStream(Tables.tune(s), d)),
     // st34: q70's additive MV maintenance per micro-batch through the
     // transactional sink; cent-sum associativity makes the streamed MV
     // equal the one-shot recompute, so q70's oracle gates it verbatim
@@ -6754,6 +6762,19 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // st35: the drop accounting replayed — the sealing marker's commit
+    // passes the watermark over every real window before the odd batch
+    // arrives, so a row survives iff it rode the even batch; emitted
+    // windows are those with ≥1 surviving row
+    "st35_late_audit" ->
+      """WITH w AS (SELECT event_id, date_trunc('hour', ts) AS ws FROM events),
+         agg AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stream
+                 FROM w GROUP BY 1)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_stream, n_total, CAST(n_total - n_stream AS BIGINT) AS n_dropped
+         FROM agg WHERE n_stream >= 1 ORDER BY 1""",
     "q23_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),

@@ -447,6 +447,71 @@ object StreamDrivers {
     * the file midpoint aggregate across micro-batches in state — the
     * cross-batch case the gate exists to pin. Column contract ==
     * TimeJoins.tumblingWindow == the st1 oracle. */
+  /** st35: late-data ACCOUNTING — the observability contract every
+    * production watermarked stream publishes: how many rows the stream
+    * counted per window vs batch ground truth, and how many the
+    * watermark DROPPED. Three micro-batches make the drop
+    * deterministic under Spark's one-batch watermark LAG (the wm used
+    * by batch N is computed from batch N−1, so a two-batch stream
+    * never drops anything — its "late" rows are absorbed before any
+    * window finalizes; found by measurement, pinned here): batch 1 =
+    * even event_ids over the full time range; batch 2 = one far-future
+    * sentinel-user marker, whose commit advances the watermark past
+    * every real window and EMITS+EVICTS them all with their even-only
+    * counts; batch 3 = the odd ids, every one of them now late into an
+    * evicted window — dropped by the aggregation, exactly what the
+    * oracle replays (kept iff even). The marker's own window is never
+    * emitted. The driver reconciles emitted counts against batch
+    * totals — (window_start, n_stream, n_total, n_dropped), the
+    * data-loss metric a production stream alerts on. */
+  def lateAuditFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-late")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val evs = graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val lastMs = evs.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val stamper = new MtimeStamper
+      evs.filter(pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      stamper.stamp(in)
+      val src = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = StreamOps.lateAuditCounts(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getString(0), r.getLong(1)))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      q.processAllAvailable()
+      // the sealing marker: 1 window + watermark delay + slack past the
+      // last event — its commit finalizes every real window
+      stamper.stageLive(
+        Seq(StreamOps.Ev(-1L, new Timestamp(lastMs + (3600 + 1800 + 60) * 1000L),
+          SentinelUser, "view", 0.0)).toDF(), in)
+      q.processAllAvailable()
+      // the late batch: every odd row's window is already evicted
+      stamper.stageLive(
+        evs.filter(pmod(col("event_id"), lit(2)) === 1), in)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = buf.toSeq.toDF("window_start", "n_stream")
+      val totals = evs
+        .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"))
+        .agg(count(lit(1)).as("n_total"))
+      streamed.join(totals, "window_start")
+        .select(col("window_start"), col("n_stream"), col("n_total"),
+          (col("n_total") - col("n_stream")).as("n_dropped"))
+        .orderBy(col("window_start"))
+    } finally deleteRecursively(dir)
+  }
+
   def tumblingFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]

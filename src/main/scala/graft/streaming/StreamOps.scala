@@ -32,6 +32,20 @@ object StreamOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked hourly counts for the st35 late-data AUDIT — the
+    * observability face of the watermark: what the stream COUNTED per
+    * window, to be reconciled against batch ground truth downstream
+    * (the driver joins totals and emits the dropped-row accounting a
+    * production stream publishes as its data-loss metric). */
+  def lateAuditCounts(events: DataFrame, windowLen: String = "1 hour",
+                      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_stream"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_stream"))
+
   /** Sliding-window rates (overlapping windows). */
   def slidingCounts(events: DataFrame,
                     windowLen: String = "1 hour", slide: String = "15 minutes",

@@ -129,6 +129,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(windows.nonEmpty)
   }
 
+  test("late-audit: watermark LAG means a 2-batch stream drops nothing; sealed windows drop all") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, offSec: Long) =
+      StreamOps.Ev(id, new Timestamp(t0 + offSec * 1000), 1L, "view", 1.0)
+    // phase 1: on-time batch, then a LATE row in the very next batch —
+    // the wm used by batch 2 comes from batch 1, but the t0-window is
+    // not yet finalized when the late row is absorbed, so it MERGES
+    // (the lag behavior that forced st35's three-phase design)
+    val m1 = MemoryStream[StreamOps.Ev]
+    val q1 = StreamOps.lateAuditCounts(m1.toDF()).writeStream
+      .format("memory").queryName("la_merge").outputMode("complete").start()
+    m1.addData(ev(1, 0), ev(2, 4 * 3600)); q1.processAllAvailable()
+    m1.addData(ev(3, 10)); q1.processAllAvailable() // late vs wm, window open
+    q1.stop()
+    val merged = spark.table("la_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w0 = java.time.Instant.ofEpochMilli(t0).toString.take(13).replace("T", " ") + ":00:00"
+    assert(merged(w0) === 2L, s"late-but-unsealed row must merge: $merged")
+    // phase 2: after a sealing batch advances the watermark past the
+    // window, the same late row is DROPPED (append semantics) — the
+    // st35 gate's contract
+    val m2 = MemoryStream[StreamOps.Ev]
+    val q2 = StreamOps.lateAuditCounts(m2.toDF()).writeStream
+      .format("memory").queryName("la_drop").outputMode("append").start()
+    m2.addData(ev(1, 0)); q2.processAllAvailable()
+    m2.addData(ev(2, 4 * 3600)); q2.processAllAvailable() // seals the t0 window
+    m2.addData(ev(3, 10)); q2.processAllAvailable()       // evicted window: dropped
+    q2.stop()
+    val out = spark.table("la_drop").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(w0) === 1L, s"sealed-window late row must drop: $out")
+  }
+
   test("streaming latest-state agrees with the batch latestEvent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
