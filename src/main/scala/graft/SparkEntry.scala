@@ -913,6 +913,7 @@ object SparkEntry {
     "q50_path_trigrams" -> Seq("e1", "e2", "e3"),
     "q51_daily_anomaly" -> Seq("day"),
     "q52_gap_fill" -> Seq("day", "event_type"),
+    "q74_interpolate" -> Seq("day", "event_type"),
     "q57_hierarchy" -> Seq("s_suppkey"),
     "q58_range_frame" -> Seq("day", "priority"),
     "q60_skew_profile" -> Seq("rank"),
@@ -2194,6 +2195,11 @@ object SparkEntry {
     "q51_daily_anomaly" -> ((s, d) =>
       Relational.dailyAnomaly(t(s, d, "events"))),
     "q52_gap_fill" -> ((s, d) => Relational.gapFill(t(s, d, "events"))),
+    // q74 (r14): q52's LOCF sibling — LINEAR interpolation between the
+    // nearest observed neighbours on a planted-gap daily series; exact
+    // integer-cent inputs make the IEEE interpolation bit-equal across
+    // engines with no rounding step
+    "q74_interpolate" -> ((s, d) => Relational.interpolate(t(s, d, "events"))),
     // WITH RECURSIVE class: pointer-jumping transitive closure over the
     // supplier decimal-trie forest — O(log depth) self-joins
     "q57_hierarchy" -> ((s, d) => Relational.hierarchy(t(s, d, "supplier"))),
@@ -3802,6 +3808,46 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     // q52: (day × type) spine from the corpus's own bounds, zero-filled
     // counts, LOCF averages via IGNORE NULLS in day order
+    // q74: the interpolation replayed — planted gaps (day-of-month % 3
+    // withheld), IGNORE-NULLS neighbour windows over the calendar ×
+    // type frame, the identical IEEE interpolation on exact scale-4
+    // integer units
+    "q74_interpolate" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+               AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         kn AS (SELECT * FROM daily WHERE date_part('day', day) % 3 <> 0),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         ty AS (SELECT DISTINCT event_type FROM daily),
+         sp AS (SELECT CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                  AS DATE) AS day, ty.event_type FROM b, ty),
+         j AS (SELECT sp.day, sp.event_type, k.cents
+               FROM sp LEFT JOIN kn k
+                 ON k.day = sp.day AND k.event_type = sp.event_type),
+         nb AS (SELECT day, event_type, cents,
+             last_value(cents IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(cents IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM j)
+         SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+                    (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                ELSE CAST(COALESCE(pv, nv) AS DOUBLE) END AS value_interp,
+           CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_interpolated
+         FROM nb ORDER BY 1, 2""",
     "q52_gap_fill" ->
       """WITH pre AS (SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n_events,

@@ -863,6 +863,53 @@ object Relational {
         col("n_events"), col("avg_value"), col("avg_value_filled"))
   }
 
+  /** Linear interpolation over a gapped daily series — [[gapFill]]'s
+    * (LOCF) sibling, the other production resampling policy: a missing
+    * day takes `prev + (next − prev) · (d − d_prev)/(d_next − d_prev)`
+    * between its nearest OBSERVED neighbours (edge days extend the
+    * nearest known value). The synthetic series is dense, so gaps are
+    * planted (days-of-month divisible by 3 are withheld — the t15/c24
+    * plant idiom). All inputs are exact integer cents; the
+    * interpolation is the identical IEEE expression on both engines
+    * (integer-valued doubles, one division, one multiply, one add), so
+    * the oracle hashes bit-equal without any rounding step. Plan
+    * shape: one combinable daily aggregate; the neighbour windows run
+    * over the CALENDAR × event-type frame — a dimension-bounded
+    * post-aggregate window, the sanctioned class (q51/q52). */
+  def interpolate(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // exact scale-4 integer units (the q52 idiom): value*100 rounding
+    // on arbitrary doubles could split engines; the decimal sum cannot
+    val daily = events
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("cents"))
+    val known = daily.filter(dayofmonth(col("day")) % 3 =!= 0)
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = daily.select(col("event_type")).distinct()
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(broadcast(types))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nb = spine.join(known, Seq("day", "event_type"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(w))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(w))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(fwd))
+    nb.select(
+      fmtDate(col("day")).as("day"), col("event_type"),
+      when(col("cents").isNotNull, col("cents").cast("double"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv").cast("double") + (col("nv") - col("pv")).cast("double") *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")))
+        .otherwise(coalesce(col("pv"), col("nv")).cast("double"))
+        .as("value_interp"),
+      col("cents").isNull.cast("int").as("is_interpolated"))
+  }
+
   /** ABC / Pareto classification of parts by revenue — the inventory
     * 80/15/5 cut: per-part revenue (exact decimal), descending
     * cumulative share, class A while the running share is ≤ 80%, B to

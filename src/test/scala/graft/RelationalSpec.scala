@@ -28,6 +28,31 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(plan.split("Relation ").length - 1 <= 1, plan.take(1500))
   }
 
+  test("interpolate: observed days exact, gaps strictly between neighbours, edges extend") {
+    val out = Relational.interpolate(table("events")).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(1))
+    byType.values.foreach { rows =>
+      val seq = rows.sortBy(_.getString(0))
+      seq.sliding(3).foreach {
+        case Array(a, b, c)
+          if b.getAs[Int]("is_interpolated") == 1 &&
+            a.getAs[Int]("is_interpolated") == 0 &&
+            c.getAs[Int]("is_interpolated") == 0 =>
+          // a one-day gap between observed neighbours: value lies in
+          // the closed interval they span
+          val (va, vb, vc) = (a.getDouble(2), b.getDouble(2), c.getDouble(2))
+          assert(vb >= math.min(va, vc) - 1e-9 && vb <= math.max(va, vc) + 1e-9,
+            s"interpolated $vb outside [$va, $vc]")
+        case _ =>
+      }
+    }
+    // gaps exist by construction (every %3 day withheld) and all
+    // interpolated rows are flagged
+    assert(out.exists(_.getAs[Int]("is_interpolated") == 1))
+    assert(out.forall(r => !r.isNullAt(2)))
+  }
+
   test("nested order stats: HOF results equal the flat relational recompute") {
     val li = table("lineitem")
     val out = Relational.nestedOrderStats(li).collect()
