@@ -826,6 +826,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "d35_prefix_allpairs" -> Seq("doc_a", "doc_b"),
     "d36_prefix_incremental" -> Seq("doc_a", "doc_b"),
+    "st36_prefix_stream" -> Seq("doc_a", "doc_b"),
     "d16_dup_spans" -> Seq("doc_id", "start_pos"),
     "d17_dupspan_incremental" -> Seq("doc_id", "start_pos"),
     "d18_span_scrub" -> Seq("doc_id"),
@@ -1227,6 +1228,17 @@ object SparkEntry {
     // time, which the oracle replays via the deterministic batch split
     "st33_chunk_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.chunkIngestFileStream(Tables.tune(s), d)),
+    // st36 (r14): d36's exact prefix-filter dedup as a STREAMING
+    // ingest — probe the growing shingle state under the FROZEN
+    // corpus-df order (stale order loses zero recall, so a frozen
+    // prefix index is valid across the stream's lifetime); pairs are
+    // symmetric so the drained set equals d36's batch answer and the
+    // same relational replay gates it (own staged copy of the table)
+    "st36_prefix_stream" -> ((s, d) => {
+      Dedup.shingleTable(t(s, d, "documents"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st36_sh")
+      graft.streaming.StreamDrivers.prefixIngestFileStream(Tables.tune(s), d)
+    }),
     // st35 (r14): late-data ACCOUNTING — out-of-order arrival by
     // construction (parity micro-batches), watermark drops replayed
     // exactly by the oracle (kept iff even-batch OR window_end >
@@ -3444,6 +3456,35 @@ object SparkEntry {
         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
   // shared by q24 (DataFrame upsert) and q67 (the same upsert through
   // the TxTable ACID storage layer — value-invisible by contract)
+  /** The d36/st36 shared replay: corpus df (odd rows), prefixes under
+    * the (coalesce(df,0), hash) order, batch-touching candidates under
+    * the size filter, exact list-intersect verify over the union. */
+  private def prefixIncSql(stage: String): String =
+    s"""WITH sh AS (SELECT doc_id, shn, hsh
+           FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
+         dfq AS (SELECT h, count(*) AS df FROM
+             (SELECT unnest(hsh) AS h FROM sh WHERE doc_id % 2 = 1)
+           GROUP BY 1),
+         inv AS (SELECT doc_id, shn, unnest(hsh) AS h FROM sh),
+         rk AS (SELECT i.doc_id, i.shn, i.h, row_number() OVER
+                  (PARTITION BY i.doc_id
+                   ORDER BY coalesce(dfq.df, 0), i.h) AS rnk
+                FROM inv i LEFT JOIN dfq USING (h)),
+         pfx AS (SELECT doc_id, shn, h FROM rk
+                 WHERE rnk <= shn - CAST(ceil(0.5 * shn) AS INTEGER) + 1),
+         cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                    greatest(x.doc_id, y.doc_id) AS doc_b
+                  FROM pfx x JOIN pfx y
+                    ON x.h = y.h AND x.doc_id <> y.doc_id
+                    AND x.doc_id % 2 = 0
+                    AND least(x.shn, y.shn) >= 0.5 * greatest(x.shn, y.shn)),
+         v AS (SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+                   / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+               FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2"""
+
   private lazy val upsertSql =
     """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
                     WHERE o_orderkey % 2 = 0),
@@ -5025,31 +5066,10 @@ object SparkEntry {
     // d36: the incremental prefix chain replayed — corpus df from the
     // odd rows only, both sides' prefixes under the (coalesce(df,0), h)
     // order, batch-touching candidates, exact verify over the union
-    "d36_prefix_incremental" ->
-      """WITH sh AS (SELECT doc_id, shn, hsh
-           FROM read_parquet('__GRAFT_STAGE__/d36_sh/*.parquet')),
-         dfq AS (SELECT h, count(*) AS df FROM
-             (SELECT unnest(hsh) AS h FROM sh WHERE doc_id % 2 = 1)
-           GROUP BY 1),
-         inv AS (SELECT doc_id, shn, unnest(hsh) AS h FROM sh),
-         rk AS (SELECT i.doc_id, i.shn, i.h, row_number() OVER
-                  (PARTITION BY i.doc_id
-                   ORDER BY coalesce(dfq.df, 0), i.h) AS rnk
-                FROM inv i LEFT JOIN dfq USING (h)),
-         pfx AS (SELECT doc_id, shn, h FROM rk
-                 WHERE rnk <= shn - CAST(ceil(0.5 * shn) AS INTEGER) + 1),
-         cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
-                    greatest(x.doc_id, y.doc_id) AS doc_b
-                  FROM pfx x JOIN pfx y
-                    ON x.h = y.h AND x.doc_id <> y.doc_id
-                    AND x.doc_id % 2 = 0
-                    AND least(x.shn, y.shn) >= 0.5 * greatest(x.shn, y.shn)),
-         v AS (SELECT c.doc_a, c.doc_b,
-                 CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
-                   / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
-               FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-                 JOIN sh sb ON sb.doc_id = c.doc_b)
-         SELECT doc_a, doc_b, jacc FROM v WHERE jacc >= 0.5 ORDER BY 1, 2""",
+    "d36_prefix_incremental" -> prefixIncSql("d36_sh"),
+    // st36: pairs are symmetric, so the drained stream set equals the
+    // d36 batch answer — the same replay over st36's own staged copy
+    "st36_prefix_stream" -> prefixIncSql("st36_sh"),
     // d2: banding/cap/candidate/verify replayed over the staged
     // signature tables (the signature VALUES are JVM hashes the gate
     // stages; everything after them is relational)

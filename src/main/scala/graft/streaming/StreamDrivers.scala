@@ -1069,6 +1069,62 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st36: d36's EXACT prefix-filter dedup at the streaming ingest
+    * surface (the st14 probe-and-append posture for the d35 family):
+    * each micro-batch shingles in-stream, probes the growing shingle
+    * state (corpus ∪ earlier batches) under the ORIGINAL corpus-df
+    * global order — the stale-order-loses-zero-recall property is
+    * exactly what makes a frozen prefix index valid across a stream's
+    * lifetime — and appends its own shingles before the next batch.
+    * Pairs are symmetric and every batch-touching pair is emitted when
+    * its later member arrives, so the drained output SET equals d36's
+    * batch answer and d36's oracle gates it verbatim. */
+  def prefixIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-prefix")
+    val in = s"$dir/in"; val chk = s"$dir/chk"
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpusSh = graft.operators.Dedup
+        .shingleTable(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val corpusDf = graft.operators.Dedup.prefixDfTable(corpusSh)
+        .localCheckpoint()
+      var state = corpusSh
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(4)) === 2)).foreach { h =>
+        h.select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val batchSh = graft.operators.Dedup
+            .shingleTable(b.localCheckpoint().toDF())
+          val found = graft.operators.Dedup
+            .prefixIncremental(batchSh, state, corpusDf).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          pairs.synchronized { pairs ++= found }
+          state = state.union(batchSh).localCheckpoint()
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      pairs.toSeq.toDF("doc_a", "doc_b", "jacc")
+    } finally deleteRecursively(dir)
+  }
+
   def minhashIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-neardup")
