@@ -987,6 +987,7 @@ object SparkEntry {
     "d23_phash_incremental" -> Seq("doc_a", "doc_b"),
     "m5_wav_meta" -> Seq("doc_id"),
     "m25_avi_meta" -> Seq("doc_id"),
+    "m26_ico_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -1410,6 +1411,10 @@ object SparkEntry {
     // defeats fixed-offset readers); planted rows replay the plant
     // formula, text rows the synthetic fallback
     "m25_avi_meta" -> ((s, d) => Multimodal.aviMetaPlanted(s, t(s, d, "documents"))),
+    // m26 (r14): REAL Windows-icon directory parse (the favicon asset):
+    // zero-means-256 dimension rule, every declared entry's
+    // offset+size span validated in-payload before `complete`
+    "m26_ico_meta" -> ((s, d) => Multimodal.icoMetaPlanted(s, t(s, d, "documents"))),
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
@@ -6706,6 +6711,26 @@ object SparkEntry {
            CAST(1 + octet_length(encode(text)) % 100 AS INTEGER) AS n_frames,
            1 AS n_streams, 320 AS width, 240 AS height,
            CAST((octet_length(encode(text)) * 17) % 20000 AS BIGINT) AS duration_ms
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m26: planted rows replay the directory fields from the plant
+    // formula (zero-means-256 included); text rows the fallback
+    "m26_ico_meta" ->
+      """SELECT doc_id, 1 AS is_ico,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_images,
+           CAST(CASE (doc_id // 8) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+             WHEN 2 THEN 48 ELSE 256 END AS INTEGER) AS width,
+           CAST(CASE (doc_id // 8) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+             WHEN 2 THEN 48 ELSE 256 END AS INTEGER) AS height,
+           CAST(CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 4
+             WHEN 2 THEN 8 ELSE 32 END AS INTEGER) AS bpp
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_ico,
+           CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS n_images,
+           CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS height,
+           32 AS bpp
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m7: planted rows replay the real mvhd fields from the plant

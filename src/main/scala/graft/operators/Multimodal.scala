@@ -505,6 +505,99 @@ object Multimodal {
                      every: Int = PlantedAvis.Every): DataFrame =
     aviMeta(plantedAviMedia(spark, documents, every).toDF())
 
+  /** Deterministic planted ICO payloads for m26's gate: every
+    * `every`-th doc gets a valid multi-image Windows icon whose
+    * directory fields are pure functions of doc_id — 1..3 entries,
+    * first entry dimensions cycling through the icon sizes INCLUDING
+    * the 256-pixel case that ICO encodes as a ZERO byte (the format's
+    * one trap — a parser that reads the byte raw reports 0px). */
+  object PlantedIcos {
+    val Every = 8
+
+    def craftedIco(docId: Long): Array[Byte] = {
+      val n = (1 + docId % 3).toInt
+      val dims = Array(16, 32, 48, 256)
+      val w0 = dims(((docId / 8) % 4).toInt)
+      val bpp = Array(1, 4, 8, 32)(((docId / 4) % 4).toInt)
+      val imgBytes = (8 + docId % 24).toInt    // tiny fake bitmap payloads
+      val out = java.nio.ByteBuffer.allocate(6 + 16 * n + imgBytes * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.putShort(0).putShort(1).putShort(n.toShort)
+      var off = 6 + 16 * n
+      var i = 0
+      while (i < n) {
+        val w = if (i == 0) w0 else dims(i % 4)
+        out.put((if (w == 256) 0 else w).toByte)   // 256 → 0, the ICO rule
+          .put((if (w == 256) 0 else w).toByte)
+          .put(0.toByte).put(0.toByte)
+          .putShort(1).putShort(bpp.toShort)
+          .putInt(imgBytes).putInt(off)
+        off += imgBytes
+        i += 1
+      }
+      var j = 0
+      while (j < imgBytes * n) { out.put(((docId + j) % 256).toByte); j += 1 }
+      out.array()
+    }
+  }
+
+  def plantedIcoMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedIcos.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedIcos.craftedIco(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL Windows-icon (ICO) directory metadata from the binary
+    * payload — the favicon/UI-asset container a web crawl actually
+    * carries: ICONDIR (reserved 0, type 1, LE image count) + 16-byte
+    * directory entries; the FIRST entry's dimensions and bit depth are
+    * decoded with the format's zero-means-256 rule, and `complete`
+    * additionally requires every declared entry's (offset, size) to
+    * lie INSIDE the payload — a truncated or hostile directory falls
+    * back instead of reporting phantom images. Pure column exprs,
+    * map-only (the m8/m11 fixed-layout family: the directory stride is
+    * fixed, so entry 0 needs no walk). */
+  def icoMeta(media: DataFrame, maxEntries: Int = 4): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isIco = hex(p.substr(lit(1), lit(4))) === "00000100"
+    val n = leUint(p, 5, 2)
+    // every declared entry (up to maxEntries — the gate plants ≤ 3)
+    // must fit: directory frame + its (offset, size) span in-payload
+    val entriesOk = (1 to maxEntries).map { i =>
+      val base = lit(7L + 16L * (i - 1))
+      when(n < i, lit(true)).otherwise(
+        coalesce(
+          leUintAt(p, base + 12, 4) + leUintAt(p, base + 8, 4) <= len &&
+            base + 15 <= len, lit(false)))
+    }.reduce(_ && _)
+    val w0 = leUint(p, 7, 1)
+    val h0 = leUint(p, 8, 1)
+    val bpp0 = leUint(p, 13, 2)
+    val complete = coalesce(isIco, lit(false)) &&
+      coalesce(n >= 1 && n <= maxEntries, lit(false)) && entriesOk
+    media.select(
+      col("doc_id"),
+      complete.cast("int").as("is_ico"),
+      when(complete, n.cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(3))).cast("int")).as("n_images"),
+      when(complete, when(w0 === 0, lit(256)).otherwise(w0).cast("int"))
+        .otherwise(lit(16) + pmod(len, lit(4)) * 16).as("width"),
+      when(complete, when(h0 === 0, lit(256)).otherwise(h0).cast("int"))
+        .otherwise(lit(16) + pmod(len, lit(4)) * 16).as("height"),
+      when(complete, bpp0.cast("int")).otherwise(lit(32)).as("bpp"))
+  }
+
+  /** The m26 gate: icon-directory metadata over the planted corpus. */
+  def icoMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedIcos.Every): DataFrame =
+    icoMeta(plantedIcoMedia(spark, documents, every).toDF())
+
   /** Deterministic planted MP4 (ISO-BMFF) payloads for m7's gate: every
     * `every`-th doc_id gets a minimal valid MP4 whose header fields are
     * pure functions of doc_id — `timescale = 600 + (id%5)·300`,

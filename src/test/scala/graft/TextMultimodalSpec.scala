@@ -72,6 +72,33 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(wavOut.head.getAs[Int]("is_wav") === 0)
   }
 
+  test("ico meta: zero-means-256 decoded; truncated or out-of-payload entries fall back") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val planted = Seq(0L, 8L, 16L, 24L).map(id =>
+      (id, Multimodal.PlantedIcos.craftedIco(id)))
+    // hostile entry: size field points past the payload → not complete
+    val hostile = {
+      val b = Multimodal.PlantedIcos.craftedIco(8L).clone()
+      b(6 + 8) = 0xFF.toByte; b(6 + 9) = 0xFF.toByte // entry 0 size = huge
+      (1L, b)
+    }
+    val truncated = (2L, Multimodal.PlantedIcos.craftedIco(8L).take(10))
+    val media = (planted :+ hostile :+ truncated).toDF("doc_id", "payload")
+    val out = Multimodal.icoMeta(media).collect().map(r => r.getLong(0) -> r).toMap
+    planted.foreach { case (id, _) =>
+      val r = out(id)
+      assert(r.getAs[Int]("is_ico") === 1, s"doc $id not parsed")
+      assert(r.getAs[Int]("n_images") === 1 + id % 3)
+      val w = Seq(16, 32, 48, 256)(((id / 8) % 4).toInt)
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === w)
+    }
+    // the 256-px zero byte decodes to 256, never 0
+    assert(out(24L).getAs[Int]("width") === 256)
+    assert(out(1L).getAs[Int]("is_ico") === 0)
+    assert(out(2L).getAs[Int]("is_ico") === 0)
+  }
+
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
