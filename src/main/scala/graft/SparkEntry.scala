@@ -744,6 +744,7 @@ object SparkEntry {
     "q11_window_running" -> Seq("user_id", "event_id"),
     "q12_distinct" -> Seq("event_type"),
     "q13_approx_distinct" -> Seq("event_type"),
+    "c64_overlap_sketch" -> Seq("type_a", "type_b"),
     "q14_percentiles" -> Seq("event_type"),
     "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
@@ -1046,6 +1047,17 @@ object SparkEntry {
     // the DuckDB oracle reads verbatim; the returned frame is the
     // est-vs-exact error report, pure relational algebra both engines
     // replay. Flipped from rows-only to FULL oracle.
+    // c64 (r14): cross-segment audience overlap via HLL inclusion–
+    // exclusion — answered from the sketch table alone (the corpus-
+    // join-free trick); estimates staged, audit algebra (exact
+    // overlap/union via the join the sketch path avoids, relative
+    // error vs the union) oracle-replayed — the q13 idiom
+    "c64_overlap_sketch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Curation.overlapSketch(ev).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c64_est")
+      Curation.overlapSketchEval(s.read.parquet(stageDir(d) + "/c64_est"), ev)
+    }),
     "q13_approx_distinct" -> ((s, d) => {
       val ev = t(s, d, "events")
       Relational.approxDistinct(ev).coalesce(1).write.mode("overwrite")
@@ -4188,6 +4200,26 @@ object SparkEntry {
     // keys: the engine-specific estimates are read verbatim from the
     // staged parquet; every derived column is the same relational
     // algebra the Spark side computes over the identical staged values.
+    // c64: staged pair estimates + the exact overlap/union join the
+    // sketch path avoids; rel_err replayed decimal-6 against the union
+    "c64_overlap_sketch" ->
+      """WITH est AS (SELECT type_a, type_b, est_overlap
+           FROM read_parquet('__GRAFT_STAGE__/c64_est/*.parquet')),
+         uu AS (SELECT DISTINCT event_type, user_id FROM events),
+         pt AS (SELECT event_type, count(*) AS nd FROM uu GROUP BY 1),
+         ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS BIGINT) AS exact_overlap
+                FROM uu a JOIN uu b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT est.type_a, est.type_b, est.est_overlap, ov.exact_overlap,
+           CAST(pa.nd + pb.nd - ov.exact_overlap AS BIGINT) AS exact_union,
+           CAST(CAST(CAST(abs(est.est_overlap - ov.exact_overlap) AS DOUBLE)
+             / (pa.nd + pb.nd - ov.exact_overlap) AS DECIMAL(38,6)) AS DOUBLE)
+             AS rel_err
+         FROM est JOIN ov ON ov.type_a = est.type_a AND ov.type_b = est.type_b
+           JOIN pt pa ON pa.event_type = est.type_a
+           JOIN pt pb ON pb.event_type = est.type_b
+         ORDER BY 1, 2""",
     "q13_approx_distinct" ->
       """WITH est AS (SELECT event_type, approx_users
            FROM read_parquet('__GRAFT_STAGE__/q13_est/*.parquet')),

@@ -1474,6 +1474,57 @@ object Curation {
     * Rows-only gate: the estimate is DataSketches-specific — DuckDB's
     * approx_count_distinct is a different HLL; the spec bounds the
     * error vs exact distinct counts instead. */
+  /** Cross-segment audience OVERLAP without a join — the HLL
+    * inclusion–exclusion identity |A∩B| ≈ est(A) + est(B) − est(A∪B):
+    * the warehouse trick that answers "how many users do these two
+    * segments share" from the per-segment sketch table ALONE — at
+    * 100 TB the per-type sketches are KB-sized mergeable state, the
+    * pairwise union is |segments|² sketch merges that never touch the
+    * corpus, while the exact answer would need a user-keyed self-join
+    * of the whole fact table (the audit below pays that join once, at
+    * gate scale, to bound the estimator). Estimates are staged (the
+    * q13 idiom: engine-specific sketch output as parquet) and the
+    * downstream audit algebra — exact overlap, exact union, relative
+    * error against the union — replays relationally. */
+  def overlapSketch(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val sk = events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .localCheckpoint()
+    sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("skb")),
+        col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
+  /** The c64 audit over the STAGED estimates: exact pairwise overlap
+    * and union by the user-keyed join the sketch path avoids, and the
+    * estimator's relative error against the exact UNION size (overlap
+    * itself can be 0; the union never is). */
+  def overlapSketchEval(est: DataFrame, events: DataFrame): DataFrame = {
+    val uu = events.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val perType = uu.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+    val ov = uu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(uu.select(col("event_type").as("type_b"), col("user_id").as("u2")),
+        col("user_id") === col("u2") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    est
+      .join(ov, Seq("type_a", "type_b"))
+      .join(perType.select(col("event_type").as("type_a"), col("nd").as("na")), "type_a")
+      .join(perType.select(col("event_type").as("type_b"), col("nd").as("nb")), "type_b")
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_overlap"))
+      .select(col("type_a"), col("type_b"),
+        col("est_overlap"), col("exact_overlap"), col("exact_union"),
+        decRound(abs(col("est_overlap") - col("exact_overlap")).cast("double")
+          / col("exact_union"), 6).as("rel_err"))
+  }
+
   def sketchRollup(events: DataFrame, lgK: Int = 12): DataFrame =
     dailyUserSketches(events, lgK)
       .groupBy(col("event_type"))

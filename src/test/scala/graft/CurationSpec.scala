@@ -7,6 +7,20 @@ import graft.operators.Curation
 
 class CurationSpec extends AnyFunSuite with SharedSpark {
 
+  test("overlap sketch: inclusion-exclusion estimate lands near the exact join answer") {
+    val ev = table("events")
+    val est = Curation.overlapSketch(ev)
+    val out = Curation.overlapSketchEval(est, ev).collect()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(out.length === (nTypes * (nTypes - 1) / 2).toInt)
+    out.foreach { r =>
+      // HLL at lgK=12 on thousands of users: a few percent of the union
+      assert(r.getAs[Double]("rel_err") <= 0.05,
+        s"${r.getString(0)}∩${r.getString(1)} rel_err ${r.getAs[Double]("rel_err")}")
+      assert(r.getAs[Long]("exact_overlap") <= r.getAs[Long]("exact_union"))
+    }
+  }
+
   test("tokenizer eval: per-family totals equal direct tokenization of the corpus") {
     import graft.operators.TextOps
     val docs = table("documents")
