@@ -483,9 +483,16 @@ object Multimodal {
       .withColumn("_streams", leUintAt(p, avihOff + 24, 4))
       .withColumn("_w", leUintAt(p, avihOff + 32, 4))
       .withColumn("_h", leUintAt(p, avihOff + 36, 4))
+    // upper bounds are part of `complete`, not cosmetics: a hostile
+    // avih with usf = frames = 0xFFFFFFFF passes the ≥1 checks and the
+    // duration PRODUCT overflows Long under ANSI — the crafted-field
+    // class the adversarial spec attacks. 1e8 µs/frame × 1e9 frames
+    // caps the product at 1e17 < 2^63.
     val complete = coalesce(isAvi, lit(false)) &&
-      coalesce(col("_usf") >= 1 && col("_frames") >= 1 &&
-        col("_streams") >= 1 && col("_w") >= 1 && col("_h") >= 1, lit(false))
+      coalesce(col("_usf").between(1, 100000000L) &&
+        col("_frames").between(1, 1000000000L) &&
+        col("_streams").between(1, 1024) &&
+        col("_w").between(1, 65536) && col("_h").between(1, 65536), lit(false))
     staged.select(
       col("doc_id"),
       complete.cast("int").as("is_avi"),

@@ -45,7 +45,17 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       (1L, b)
     }
     val truncated = (2L, Multimodal.PlantedAvis.craftedAvi(8L).take(30))
-    val media = (planted :+ corrupt :+ truncated).toDF("doc_id", "payload")
+    // hostile avih: usf and frames both 0xFFFFFFFF pass a naive ≥1
+    // check and their duration product overflows Long under ANSI —
+    // the sane-bounds gate must route this to the fallback, not a crash
+    val hostileHdr = {
+      val b = Multimodal.PlantedAvis.craftedAvi(8L).clone()
+      (32 until 36).foreach(i => b(i) = 0xFF.toByte)      // usf
+      (48 until 52).foreach(i => b(i) = 0xFF.toByte)      // frames
+      (4L, b)
+    }
+    val media = (planted :+ corrupt :+ truncated :+ hostileHdr)
+      .toDF("doc_id", "payload")
     val out = Multimodal.aviMeta(media).collect()
       .map(r => r.getLong(0) -> r).toMap
     planted.foreach { case (id, _) =>
@@ -58,6 +68,7 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
     assert(out(1L).getAs[Int]("is_avi") === 0)
     assert(out(2L).getAs[Int]("is_avi") === 0)
+    assert(out(4L).getAs[Int]("is_avi") === 0)
     // the same corrupt-skipped-size attack on the WAV walk (the LIST
     // chunk between fmt and data): falls back, never ANSI-throws —
     // this pinned a latent ungated-cursor bug the AVI test surfaced
