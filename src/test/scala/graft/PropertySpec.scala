@@ -268,6 +268,74 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("prefix all-pairs equals exhaustive Jaccard on random small corpora") {
+    import spark.implicits._
+    // the d35 exactness contract as a property: for ANY corpus and the
+    // fixed t=0.5, the prefix-filter join returns EXACTLY the pairs an
+    // exhaustive driver-side scan finds — zero false negatives from the
+    // prefix lemma, zero false positives from the verify
+    val rnd = new Random(29)
+    for (round <- 1 to 4) {
+      val vocab = (1 to 12).map(i => s"v$i")
+      def doc() = List.fill(4 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val docs = (1 to (8 + rnd.nextInt(12))).map(i =>
+        (i.toLong, doc(), s"s${i % 3}"))
+      val df = docs.toDF("doc_id", "text", "source")
+      val fast = Dedup.prefixAllPairs(df, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingles(t: String): Set[Seq[String]] =
+        t.split("\\s+").toSeq.sliding(3).filter(_.length == 3).map(_.toSeq).toSet
+      val sh = docs.map { case (id, t, _) => id -> shingles(t) }.toMap
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        inter = (sh(a) intersect sh(b)).size
+        denom = sh(a).size + sh(b).size - inter if denom > 0
+        if inter.toDouble / denom >= 0.5
+      } yield (a, b)).toSet
+      assert(fast === brute, s"round $round: fast=$fast brute=$brute")
+    }
+  }
+
+  test("wordpiece: lossless-or-UNK, greedy-maximal, deterministic on random dicts") {
+    // the t37 contract as a property: any fit is bit-identical on
+    // refit; any probe word either round-trips via strip(##)-concat or
+    // collapses to the single whole-word [UNK]; and every emitted
+    // piece is the longest vocab match at its position
+    val rnd = new Random(31)
+    for (_ <- 1 to 5) {
+      val alpha = "abcde".toCharArray
+      def word() = List.fill(1 + rnd.nextInt(8))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val dict = List.fill(5 + rnd.nextInt(15))(
+        (word(), 1L + rnd.nextInt(40))).groupBy(_._1)
+        .map { case (w, cs) => (w, cs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      val v1 = graft.functions.Wordpiece.learn(dict, numMerges = 20)
+      val v2 = graft.functions.Wordpiece.learn(dict, numMerges = 20)
+      assert(v1 === v2)
+      val vs = new java.util.HashSet[String](); v1.foreach(vs.add)
+      val maxLen = v1.map(graft.functions.Wordpiece.strip(_).length).max
+      val probes = dict.map(_._1) ++ List.fill(10)(word()) ++ List("zzz", "azb")
+      probes.foreach { w =>
+        val seg = graft.functions.Wordpiece.encodeWord(w, vs, maxLen)
+        if (seg.toSeq == Seq(graft.functions.Wordpiece.Unk)) ()
+        else {
+          assert(seg.map(graft.functions.Wordpiece.strip).mkString === w,
+            s"lossy on $w: ${seg.toSeq}")
+          var pos = 0
+          seg.foreach { p =>
+            val c = graft.functions.Wordpiece.strip(p)
+            ((c.length + 1) to (w.length - pos)).foreach { l =>
+              val cand = (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+              assert(!vs.contains(cand), s"$w@$pos: took $p but $cand in vocab")
+            }
+            pos += c.length
+          }
+        }
+      }
+    }
+  }
+
   test("unigram tokenizer: lossless, total, deterministic on random dicts") {
     // the t35 contract as a property: for ANY word dict and ANY probe
     // word over the same-or-wider alphabet, Viterbi segmentation
