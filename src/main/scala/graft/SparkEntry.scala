@@ -771,7 +771,10 @@ object SparkEntry {
     "q69_tx_schema_evolve" -> Seq("o_orderkey"),
     "q70_incr_matview" -> Seq("ym"),
     "st34_matview_stream" -> Seq("ym"),
+    "st37_idempotent_sink" -> Seq("ym"),
     "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
+    "q75_fk_audit" -> Seq("relation"),
+    "c65_domain_cap" -> Seq("doc_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
     "q28_latest_event" -> Seq("user_id"),
@@ -1264,6 +1267,13 @@ object SparkEntry {
     // equal the one-shot recompute, so q70's oracle gates it verbatim
     "st34_matview_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.matviewFileStream(Tables.tune(s), d)),
+    // st37 (r14): exactly-once table state from an at-least-once stream —
+    // every micro-batch deliberately applied TWICE plus a post-stream
+    // replay of the last batch; the TxTable txn watermark (the Delta txn
+    // action) no-ops the re-deliveries, and q70's full-recompute oracle
+    // hash-fails on any double-apply
+    "st37_idempotent_sink" -> ((s, d) =>
+      graft.streaming.StreamDrivers.matviewIdempotentFileStream(Tables.tune(s), d)),
     // char-window tier of d16: 20-char substring windows catch repeats
     // shorter than 8 tokens and across token boundaries
     "d20_char_spans" -> ((s, d) => Dedup.dupSpansChars(t(s, d, "documents"))),
@@ -2229,6 +2239,15 @@ object SparkEntry {
     // integer-cent inputs make the IEEE interpolation bit-equal across
     // engines with no rounding step
     "q74_interpolate" -> ((s, d) => Relational.interpolate(t(s, d, "events"))),
+    // q75 (r14): referential-integrity audit over the whole star —
+    // planted orphans (keyed FK remaps out of the parent key space),
+    // five join+aggregate pipelines, exact integer-ppm orphan rates
+    "q75_fk_audit" -> ((s, d) => Relational.fkAudit(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "part"))),
+    // c65 (r14): per-domain document cap (RefinedWeb-family anti-spam
+    // step) via the c20 two-level top-k — no single-reducer domain funnel
+    "c65_domain_cap" -> ((s, d) => Curation.domainCap(t(s, d, "documents"))),
     // WITH RECURSIVE class: pointer-jumping transitive closure over the
     // supplier decimal-trie forest — O(log depth) self-joins
     "q57_hierarchy" -> ((s, d) => Relational.hierarchy(t(s, d, "supplier"))),
@@ -3906,6 +3925,66 @@ object SparkEntry {
            CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INTEGER)
              AS is_interpolated
          FROM nb ORDER BY 1, 2""",
+    // q75: the five FK relations replayed with the same planted remaps;
+    // count(*) / conditional count / conditional distinct are BIGINT in
+    // both engines; the ppm rate is the exact half-away integer rational
+    // (HUGEINT mirror of ratRound)
+    "q75_fk_audit" ->
+      """WITH lo AS (SELECT CASE WHEN l_orderkey % 97 = 0
+               THEN l_orderkey + 1000000000 ELSE l_orderkey END AS k
+             FROM lineitem),
+         lp AS (SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 83 = 0
+               THEN l_partkey + 1000000000 ELSE l_partkey END AS k
+             FROM lineitem),
+         oc AS (SELECT CASE WHEN o_orderkey % 89 = 0
+               THEN o_custkey + 1000000000 ELSE o_custkey END AS k
+             FROM orders),
+         cn AS (SELECT CASE WHEN c_custkey % 71 = 0
+               THEN c_nationkey + 100 ELSE c_nationkey END AS k
+             FROM customer),
+         sn AS (SELECT CASE WHEN s_suppkey % 19 = 0
+               THEN s_nationkey + 100 ELSE s_nationkey END AS k
+             FROM supplier),
+         rel AS (
+           SELECT 'lineitem_orders' AS relation, c.k, p.pk
+             FROM lo c LEFT JOIN (SELECT DISTINCT o_orderkey AS pk
+               FROM orders) p ON c.k = p.pk
+           UNION ALL
+           SELECT 'lineitem_part', c.k, p.pk
+             FROM lp c LEFT JOIN (SELECT DISTINCT p_partkey AS pk
+               FROM part) p ON c.k = p.pk
+           UNION ALL
+           SELECT 'orders_customer', c.k, p.pk
+             FROM oc c LEFT JOIN (SELECT DISTINCT c_custkey AS pk
+               FROM customer) p ON c.k = p.pk
+           UNION ALL
+           SELECT 'customer_nation', c.k, p.pk
+             FROM cn c LEFT JOIN (SELECT DISTINCT n_nationkey AS pk
+               FROM nation) p ON c.k = p.pk
+           UNION ALL
+           SELECT 'supplier_nation', c.k, p.pk
+             FROM sn c LEFT JOIN (SELECT DISTINCT n_nationkey AS pk
+               FROM nation) p ON c.k = p.pk)
+         SELECT relation, count(*) AS n_child,
+           count(CASE WHEN pk IS NULL THEN 1 END) AS n_orphan,
+           count(DISTINCT CASE WHEN pk IS NULL THEN k END) AS n_orphan_keys,
+           CAST((CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS HUGEINT)
+               * 2000000 + count(*))
+             // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) AS orphan_ppm
+         FROM rel GROUP BY relation ORDER BY relation""",
+    // c65: the single-window replay of the two-level cap (global top-N
+    // per source is a subset of the union of salted-cell top-Ns, so the
+    // forms are identical — spec-asserted on the Spark side)
+    "c65_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+             CAST(length(text) AS INTEGER) AS text_len,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY length(text) DESC, doc_id) AS INTEGER) AS rn
+           FROM documents)
+         SELECT doc_id, source, text_len,
+           CASE WHEN rn <= 20 THEN rn END AS dom_rank,
+           CAST(CASE WHEN rn <= 20 THEN 1 ELSE 0 END AS INTEGER) AS kept
+         FROM r ORDER BY doc_id""",
     "q52_gap_fill" ->
       """WITH pre AS (SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n_events,
@@ -6970,6 +7049,9 @@ object SparkEntry {
     // st34: identical contract — batch split lives only in the driver,
     // the cent-sum algebra erases it
     "st34_matview_stream" -> matviewSql,
+    // st37: same MV contract — the txn guard is exactly what makes the
+    // double-applied stream still equal the one-shot recompute
+    "st37_idempotent_sink" -> matviewSql,
     "q24_upsert" -> upsertSql,
     "st2_sliding_window" ->
       s"""WITH e AS (SELECT event_type, value,

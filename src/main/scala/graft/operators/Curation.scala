@@ -281,6 +281,42 @@ object Curation {
         col("doc_id"), col("n_chars"))
   }
 
+  /** Per-domain document cap — the published web-curation anti-spam
+    * step (RefinedWeb/C4-family recipes): no single domain may
+    * contribute more than `cap` documents to the training mix, because
+    * a handful of template-heavy domains otherwise dominate any crawl.
+    * Within a domain the HIGHEST-QUALITY docs are kept (text length
+    * here as the stand-in quality signal with a doc_id tie-break; any
+    * deterministic score column composes the same way). Output: every
+    * doc with its kept flag and, for kept docs, the within-domain rank.
+    *
+    * Scale shape: the c20 TWO-LEVEL top-k — a single row_number over
+    * (partition by source) funnels each domain through ONE reducer, and
+    * the hottest domain is by definition the reason this gate exists;
+    * level 1 ranks per (source, 64-salt-cell) and keeps each cell's
+    * top-cap, level 2 ranks only the ≤ 64·cap survivors. The global
+    * top-cap is a subset of the union of cell top-caps, so the result
+    * is IDENTICAL to the single-window form (spec-asserted). The corpus
+    * is then flagged by one doc_id-keyed left join against the kept set
+    * (cap·|domains| rows — broadcastable at any realistic cap). */
+  def domainCap(documents: DataFrame, cap: Int = 20): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"),
+      length(col("text")).cast("int").as("text_len"))
+    val salt = pmod(xxhash64(col("doc_id"), lit(11)), lit(64))
+    val w1 = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("text_len").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("text_len").desc, col("doc_id"))
+    val kept = base.withColumn("salt", salt)
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= cap)
+      .withColumn("dom_rank", row_number().over(w2))
+      .filter(col("dom_rank") <= cap)
+      .select(col("doc_id"), col("dom_rank").cast("int").as("dom_rank"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("text_len"),
+        col("dom_rank"), col("dom_rank").isNotNull.cast("int").as("kept"))
+  }
+
   /** Uniform-fraction convenience form (every stratum keeps `fraction`). */
   def stratifiedSample(documents: DataFrame, fraction: Double = 0.5,
                        seed: Long = 42): DataFrame = {

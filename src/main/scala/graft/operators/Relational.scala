@@ -1203,4 +1203,66 @@ object Relational {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
+
+  /** One relation's audit row for [[fkAudit]]: parent collapses to
+    * DISTINCT keys (projection + partial agg; dims broadcast under AQE),
+    * one left join, one conditional aggregate — n_child / n_orphan /
+    * distinct orphan keys all partial-aggregate map-side, and the
+    * orphan rate is an exact integer ppm (ratRound — no doubles on the
+    * decision path). */
+  private def fkRelation(rel: String, child: DataFrame, childKey: Column,
+                         parent: DataFrame, parentKey: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("_pk")).distinct()
+    child.select(childKey.as("_ck"))
+      .join(pk, col("_ck") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("_pk").isNull, lit(1))).as("n_orphan"),
+        countDistinct(when(col("_pk").isNull, col("_ck"))).as("n_orphan_keys"))
+      .select(lit(rel).as("relation"), col("n_child"), col("n_orphan"),
+        col("n_orphan_keys"),
+        ratRound("n_orphan * 1000000", "n_child", 0)
+          .cast("bigint").as("orphan_ppm"))
+  }
+
+  /** Referential-integrity audit — the data-quality gate a warehouse
+    * runs at every ingest: for each FK relation of the star, how many
+    * child rows point at a MISSING parent (orphans), over how many
+    * distinct missing keys, at what rate. A broken upstream extract
+    * shows up here before it silently drops rows from every inner join
+    * downstream. The synthetic star is referentially clean by
+    * construction, so violations are PLANTED deterministically (the
+    * c24/t15 plant idiom): a keyed slice of each child's FK column is
+    * remapped out of the parent's key space, and the oracle replays the
+    * same remap — a wrong join, a dropped relation or a miscounted
+    * distinct all hash-fail.
+    *
+    * Plan shape: five independent join+aggregate pipelines (one per
+    * relation) unioned — no corpus-wide sort, no window; each relation
+    * is one shuffle on its key (or a broadcast for the dim-sized
+    * parents). At 100 TB the audit reads each fact table once per
+    * relation it anchors; orphan rate lands as exact integer ppm via
+    * the DECIMAL(38)-safe [[graft.functions.ColumnFns.ratRound]]. */
+  def fkAudit(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+              supplier: DataFrame, nation: DataFrame,
+              part: DataFrame): DataFrame = {
+    val plantedLo = when(pmod(col("l_orderkey"), lit(97)) === 0,
+      col("l_orderkey") + 1000000000L).otherwise(col("l_orderkey"))
+    val plantedLp = when(pmod(col("l_orderkey") * 7 + col("l_linenumber"),
+      lit(83)) === 0, col("l_partkey") + 1000000000L).otherwise(col("l_partkey"))
+    val plantedOc = when(pmod(col("o_orderkey"), lit(89)) === 0,
+      col("o_custkey") + 1000000000L).otherwise(col("o_custkey"))
+    val plantedCn = when(pmod(col("c_custkey"), lit(71)) === 0,
+      col("c_nationkey") + 100L).otherwise(col("c_nationkey"))
+    val plantedSn = when(pmod(col("s_suppkey"), lit(19)) === 0,
+      col("s_nationkey") + 100L).otherwise(col("s_nationkey"))
+    fkRelation("lineitem_orders", lineitem, plantedLo, orders, "o_orderkey")
+      .unionAll(fkRelation("lineitem_part", lineitem, plantedLp,
+        part, "p_partkey"))
+      .unionAll(fkRelation("orders_customer", orders, plantedOc,
+        customer, "c_custkey"))
+      .unionAll(fkRelation("customer_nation", customer, plantedCn,
+        nation, "n_nationkey"))
+      .unionAll(fkRelation("supplier_nation", supplier, plantedSn,
+        nation, "n_nationkey"))
+  }
 }

@@ -66,13 +66,32 @@ object TxTable {
   private implicit val fmts: Formats = DefaultFormats
 
   case class FileEntry(name: String, rows: Long, kmin: Long, kmax: Long)
+  /** Application-transaction marker (the Delta `txn` action, §4.2 of the
+    * VLDB'20 paper): a commit stamped (appId, version) records that the
+    * writer `appId` has durably applied ITS OWN version counter up to
+    * `version`. A structured-streaming sink passes its micro-batch id
+    * here; after a failure the engine re-delivers the same batch
+    * (foreachBatch is at-least-once), the re-apply sees its version
+    * already recorded, and the merge no-ops — at-least-once delivery ×
+    * idempotent commit = exactly-once table state. */
+  case class TxnAction(appId: String, version: Long)
   case class Commit(version: Long, key: String,
                     adds: Seq[FileEntry], removes: Seq[String],
-                    schema: Option[String] = None)
+                    schema: Option[String] = None,
+                    txn: Option[TxnAction] = None)
   /** A materialized snapshot of the replay state at `version` — live
-    * file entries in replay order + the schema then in force. */
+    * file entries in replay order, the schema then in force, and the
+    * per-app last-transaction watermarks (txns must survive the
+    * checkpoint: replay starts THERE, so an idempotence watermark only
+    * in pre-checkpoint commit records would silently vanish and a
+    * replayed batch would double-apply). */
   private case class Checkpoint(version: Long, key: String,
-                                schema: Option[String], live: Seq[FileEntry])
+                                schema: Option[String], live: Seq[FileEntry],
+                                txns: Option[Map[String, Long]] = None)
+  /** Replay result: live files in insertion order, schema in force,
+    * per-appId max recorded transaction version. */
+  private case class State(live: Seq[FileEntry], schema: Option[String],
+                           txns: Map[String, Long])
 
   /** Commits between checkpoints; replay reads ≤ this many records. */
   private val CheckpointInterval = 10
@@ -131,28 +150,42 @@ object TxTable {
   }
 
   /** Replay to `asOf` (inclusive; None = latest): live file entries in
-    * insertion order + the schema in force. Reads one checkpoint plus
-    * only the commit-record suffix past it. */
-  private def replayState(root: String,
-                          asOf: Option[Long]): (Seq[FileEntry], Option[String]) = {
+    * insertion order, the schema in force, and the per-app transaction
+    * watermarks. Reads one checkpoint plus only the commit-record
+    * suffix past it. */
+  private def replayState(root: String, asOf: Option[Long]): State = {
     val bound = asOf.getOrElse(Long.MaxValue)
     val ck = checkpointAtOrBelow(root, bound)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
     var schema: Option[String] = None
-    ck.foreach { c => c.live.foreach(a => live.update(a.name, a)); schema = c.schema }
+    ck.foreach { c =>
+      c.live.foreach(a => live.update(a.name, a))
+      schema = c.schema
+      c.txns.foreach(_.foreach { case (app, v) => txns.update(app, v) })
+    }
     val from = ck.map(_.version).getOrElse(0L)
     logVersions(root).filter(v => v > from && v <= bound).foreach { v =>
       val c = readJson[Commit](logDir(root).resolve(logName(v)))
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live.update(a.name, a))
       if (c.schema.isDefined) schema = c.schema
+      c.txn.foreach(t => txns.update(t.appId,
+        math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))))
     }
-    (live.values.toSeq, schema)
+    State(live.values.toSeq, schema, txns.toMap)
   }
 
   /** Live file entries as of `asOf` (inclusive; None = latest). */
   def snapshot(root: String, asOf: Option[Long] = None): Seq[FileEntry] =
-    replayState(root, asOf)._1
+    replayState(root, asOf).live
+
+  /** The last transaction version recorded for `appId` (None = never).
+    * The read half of the idempotent-writer protocol: a sink that
+    * stamps its merges with (appId, batchVersion) can also recover its
+    * own progress from the table alone after losing its checkpoint. */
+  def lastTxn(root: String, appId: String): Option[Long] =
+    replayState(root, None).txns.get(appId)
 
   def currentVersion(root: String): Long =
     logVersions(root).lastOption.getOrElse(0L)
@@ -164,8 +197,9 @@ object TxTable {
   private def maybeCheckpoint(root: String, v: Long, key: String): Unit = {
     if (v % CheckpointInterval != 0) return
     try {
-      val (live, schema) = replayState(root, Some(v))
-      val rec = Serialization.write(Checkpoint(v, key, schema, live))
+      val st = replayState(root, Some(v))
+      val rec = Serialization.write(Checkpoint(v, key, st.schema, st.live,
+        if (st.txns.isEmpty) None else Some(st.txns)))
       val d = logDir(root)
       try Files.write(d.resolve(ckptName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -247,9 +281,10 @@ object TxTable {
     * unreferenced — garbage for vacuum, never visible. */
   private def tryCommit(root: String, key: String, v: Long,
                         adds: Seq[FileEntry], removes: Seq[String],
-                        schema: Option[String] = None): Boolean = {
+                        schema: Option[String] = None,
+                        txn: Option[TxnAction] = None): Boolean = {
     Files.createDirectories(logDir(root))
-    val rec = Serialization.write(Commit(v, key, adds, removes, schema))
+    val rec = Serialization.write(Commit(v, key, adds, removes, schema, txn))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -267,14 +302,15 @@ object TxTable {
     * the r13 non-local return, which broke under any try/catch wrapper
     * and is unsupported on Scala 3). */
   private def occRetry(root: String, maxAttempts: Int = 20)(
-      attempt: Long => Option[(Seq[FileEntry], Seq[String], String, Option[String])]): Long = {
+      attempt: Long => Option[(Seq[FileEntry], Seq[String], String,
+        Option[String], Option[TxnAction])]): Long = {
     var tries = 0
     while (tries < maxAttempts) {
       val v = currentVersion(root) + 1
       attempt(v) match {
         case None => return currentVersion(root)
-        case Some((adds, removes, key, schema)) =>
-          if (tryCommit(root, key, v, adds, removes, schema)) {
+        case Some((adds, removes, key, schema, txn)) =>
+          if (tryCommit(root, key, v, adds, removes, schema, txn)) {
             maybeCheckpoint(root, v, key)
             return v
           }
@@ -305,7 +341,7 @@ object TxTable {
   /** The table schema in force at `asOf` (None = latest); None only for
     * pre-r14 logs that never recorded one. */
   def schemaOf(root: String, asOf: Option[Long] = None): Option[StructType] =
-    replayState(root, asOf)._2
+    replayState(root, asOf).schema
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
   /** Snapshot read (optionally time-traveled to `asOf`). Reads ONLY the
@@ -315,7 +351,9 @@ object TxTable {
     * null; no footer merge pass, stable column order). */
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None): DataFrame = {
-    val (files, schemaJson) = replayState(root, asOf)
+    val st = replayState(root, asOf)
+    val files = st.live
+    val schemaJson = st.schema
     require(files.nonEmpty, s"TxTable at $root has no live files")
     val paths = files.map(f => dataDir(root).resolve(f.name).toString)
     schemaJson match {
@@ -367,40 +405,54 @@ object TxTable {
     * Schema evolution: updates may ADD columns (the widened schema is
     * committed; carried-over files read through it with nulls) but must
     * carry EVERY existing table column — a missing column fails loudly
-    * rather than silently nulling matched rows. */
+    * rather than silently nulling matched rows.
+    *
+    * Idempotent writes (`txn`, the Delta txn action): when the caller
+    * passes (appId, version), the merge applies ONLY IF `version` is
+    * strictly greater than the last version recorded for that appId —
+    * otherwise it no-ops and returns the current table version. The
+    * guard re-evaluates inside the OCC loop against each fresh
+    * snapshot, so two racing re-deliveries of the same micro-batch
+    * linearize to exactly one application. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            key: String): Long = {
+            key: String, txn: Option[(String, Long)] = None): Long = {
     requireUniqueKeys(updates, key)
     occRetry(root) { v =>
-      val (files, schemaJson) = replayState(root, None)
-      val tableSchema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-      val tblCols = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
-      val missing = tblCols.filterNot(updates.columns.contains)
-      require(missing.isEmpty,
-        s"TxTable merge: updates missing table column(s) ${missing.mkString(", ")} — " +
-          "a merge must carry every existing column (schema can widen, never shrink)")
-      val added = updates.columns.toSeq.filterNot(c => tblCols.contains(c))
-        .filter(_ => tblCols.nonEmpty) // legacy no-schema logs: no evolution
-      val touchedSet = touchedFileNames(spark, files, updates, key)
-      val touched = files.filter(f => touchedSet.contains(f.name))
-      val base0 =
-        if (touched.isEmpty) updates.limit(0)
-        else spark.read.parquet(touched.map(f =>
-          dataDir(root).resolve(f.name).toString): _*)
-      // widen the rewrite side with the added columns (null for rows
-      // whose key the updates don't touch — by-name parquet reads of
-      // carried-over files do the same, so the widened schema is total)
-      val base = added.foldLeft(base0)((b, c) =>
-        b.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
-      // ALL updates enter the rewrite: matched keys replace rows read
-      // from the touched files, unmatched keys are pure inserts
-      val merged = Sources.upsert(base, updates, key)
-      val newSchema =
-        if (added.isEmpty) None
-        else Some(StructType(tableSchema.get.fields ++
-          added.map(c => updates.schema(c))).json)
-      Some((writeFiles(spark, merged, root, key, f"$v%010d-merge"),
-        touched.map(_.name), key, newSchema))
+      val st = replayState(root, None)
+      if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
+        None   // already applied: idempotent no-op (the occRetry sentinel)
+      else {
+        val files = st.live
+        val tableSchema = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+        val tblCols = tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+        val missing = tblCols.filterNot(updates.columns.contains)
+        require(missing.isEmpty,
+          s"TxTable merge: updates missing table column(s) ${missing.mkString(", ")} — " +
+            "a merge must carry every existing column (schema can widen, never shrink)")
+        val added = updates.columns.toSeq.filterNot(c => tblCols.contains(c))
+          .filter(_ => tblCols.nonEmpty) // legacy no-schema logs: no evolution
+        val touchedSet = touchedFileNames(spark, files, updates, key)
+        val touched = files.filter(f => touchedSet.contains(f.name))
+        val base0 =
+          if (touched.isEmpty) updates.limit(0)
+          else spark.read.parquet(touched.map(f =>
+            dataDir(root).resolve(f.name).toString): _*)
+        // widen the rewrite side with the added columns (null for rows
+        // whose key the updates don't touch — by-name parquet reads of
+        // carried-over files do the same, so the widened schema is total)
+        val base = added.foldLeft(base0)((b, c) =>
+          b.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+        // ALL updates enter the rewrite: matched keys replace rows read
+        // from the touched files, unmatched keys are pure inserts
+        val merged = Sources.upsert(base, updates, key)
+        val newSchema =
+          if (added.isEmpty) None
+          else Some(StructType(tableSchema.get.fields ++
+            added.map(c => updates.schema(c))).json)
+        Some((writeFiles(spark, merged, root, key, f"$v%010d-merge"),
+          touched.map(_.name), key, newSchema,
+          txn.map { case (app, tv) => TxnAction(app, tv) }))
+      }
     }
   }
 
@@ -423,7 +475,7 @@ object TxTable {
         val remaining = base.join(keys.select(col(key)).distinct(),
           Seq(key), "left_anti")
         Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete"),
-          touched.map(_.name), key, None))
+          touched.map(_.name), key, None, None))
       }
     }
   }
@@ -493,7 +545,7 @@ object TxTable {
     val files = snapshot(root, None)
     val df = read(spark, root).repartition(numFiles)
     Some((writeFiles(spark, df, root, key, f"$v%010d-compact"),
-      files.map(_.name), key, None))
+      files.map(_.name), key, None, None))
   }
 
   /** CLUSTERED compaction — the pruning-preserving variant (Delta's
@@ -515,6 +567,6 @@ object TxTable {
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
     Some((writeFiles(spark, df, root, key, f"$v%010d-cluster"),
-      files.map(_.name), key, None))
+      files.map(_.name), key, None, None))
   }
 }

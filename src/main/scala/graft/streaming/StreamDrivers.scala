@@ -767,6 +767,87 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st37: EXACTLY-ONCE table state from an at-least-once stream — the
+    * production failure mode st34 doesn't exercise: Spark's foreachBatch
+    * is at-least-once (a crash between sink write and offset commit
+    * re-delivers the whole micro-batch), and an ADDITIVE merge
+    * double-applies under re-delivery, silently double-counting the MV.
+    * The fix is the Delta txn action (TxTable.merge's `txn` param): each
+    * merge is stamped (appId, batchId); a version at-or-below the
+    * recorded watermark no-ops. The driver makes the failure mode REAL:
+    * every micro-batch is applied TWICE inside foreachBatch (the
+    * re-delivery), and after the stream stops the LAST batch is replayed
+    * once more from scratch (the restart-after-lost-offsets case, its
+    * delta recomputed exactly as a recovering sink would). Only the txn
+    * guard stands between those replays and a doubled MV — the q70
+    * full-recompute oracle hash-fails on any double-apply. */
+  def matviewIdempotentFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-matview-idem")
+    val in = s"$dir/in"; val chk = s"$dir/chk"; val root = s"$dir/mv"
+    val appId = "st37-matview"
+    try withStatePartitions(spark, 8) {
+      val o = graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      def aggOf(df: DataFrame) = df.groupBy(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      def applyDelta(delta: DataFrame, batchId: Long): Unit = {
+        val cur = graft.sources.TxTable.read(spark, root)
+        val upd = delta.as("d")
+          .join(cur.as("c"), Seq("ym"), "left")
+          .select(col("ym"),
+            (coalesce(col("c.rev_cents"), lit(0L)) + col("d.rev_cents"))
+              .as("rev_cents"),
+            (coalesce(col("c.n_orders"), lit(0L)) + col("d.n_orders"))
+              .as("n_orders"))
+        graft.sources.TxTable.merge(spark, root, upd, "ym",
+          txn = Some((appId, batchId)))
+        ()
+      }
+      graft.sources.TxTable.create(spark,
+        aggOf(o.filter(pmod(col("o_orderkey"), lit(3)) === 0)), root, "ym")
+      val stamper = new MtimeStamper
+      var first = true
+      val batch2 = o.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+      Seq(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), batch2).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val oSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderdate", org.apache.spark.sql.types.TimestampType),
+        StructField("o_totalprice", DoubleType)))
+      val src = spark.readStream.schema(oSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val delta = aggOf(b.toDF()).localCheckpoint()
+          // the stamped batchId starts ABOVE the create (txn versions
+          // must be monotone per app; foreachBatch ids start at 0)
+          applyDelta(delta, batchId + 1)
+          // in-flight re-delivery: same batch, same id — must no-op
+          applyDelta(delta, batchId + 1)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // restart-after-lost-offsets: a recovering sink recomputes the
+      // last batch's delta from the source and re-applies under the
+      // SAME txn id — the guard, not the checkpoint, must stop it
+      applyDelta(aggOf(batch2).localCheckpoint(), 2L)
+      graft.sources.TxTable.read(spark, root)
+        .select(col("ym"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("n_orders"))
+        .localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →

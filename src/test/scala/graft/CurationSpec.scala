@@ -7,6 +7,41 @@ import graft.operators.Curation
 
 class CurationSpec extends AnyFunSuite with SharedSpark {
 
+  test("domain cap: hand-checked keeps, ranks, ties and drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "xxxx"), (2L, "a", "xxx"), (3L, "a", "xx"),
+      (4L, "b", "x"),
+      (5L, "c", "yy"), (6L, "c", "yy"), (7L, "c", "yy"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.domainCap(docs, cap = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Int]), r.getInt(4)))).toMap
+    assert(out(1L) === ((Some(1), 1)))   // longest in a
+    assert(out(2L) === ((Some(2), 1)))
+    assert(out(3L) === ((None, 0)))      // over the cap
+    assert(out(4L) === ((Some(1), 1)))   // small domain all kept
+    assert(out(5L) === ((Some(1), 1)))   // equal lengths: doc_id breaks ties
+    assert(out(6L) === ((Some(2), 1)))
+    assert(out(7L) === ((None, 0)))
+  }
+
+  test("domain cap: two-level top-k equals the single-window form on the corpus") {
+    val docs = table("documents")
+    val twoLevel = Curation.domainCap(docs, cap = 3).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), r.getInt(4))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    val single = docs
+      .select(col("doc_id"), row_number().over(w).as("rn"))
+      .select(col("doc_id"),
+        when(col("rn") <= 3, col("rn")).as("dom_rank"),
+        (col("rn") <= 3).cast("int").as("kept"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    assert(twoLevel === single)
+  }
+
   test("overlap sketch: inclusion-exclusion estimate lands near the exact join answer") {
     val ev = table("events")
     val est = Curation.overlapSketch(ev)

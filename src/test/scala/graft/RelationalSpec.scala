@@ -721,6 +721,44 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out("2020-03") === ((150.0, Some(-500.0))))
   }
 
+  test("fk audit: hand-checked orphans per relation on a crafted star") {
+    import spark.implicits._
+    val nation = Seq(0L, 1L).toDF("n_nationkey")
+    val customer = Seq((1L, 0L), (2L, 1L), (71L, 0L))
+      .toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1L, 0L), (19L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((1L, 1L), (89L, 2L), (97L, 1L), (11L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    // (97,·,1): l_orderkey%97=0 → orders orphan; (11,·,6): 11·7+6=83 →
+    // part orphan; (1,·,2): clean on both relations
+    val lineitem = Seq((97L, 5L, 1), (11L, 6L, 6), (1L, 5L, 2))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val part = Seq(5L, 6L).toDF("p_partkey")
+    val out = Relational.fkAudit(lineitem, orders, customer, supplier,
+      nation, part).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("lineitem_orders") === ((3L, 1L, 1L, 333333L)))
+    assert(out("lineitem_part") === ((3L, 1L, 1L, 333333L)))
+    assert(out("orders_customer") === ((4L, 1L, 1L, 250000L)))
+    assert(out("customer_nation") === ((3L, 1L, 1L, 333333L)))
+    assert(out("supplier_nation") === ((2L, 1L, 1L, 500000L)))
+  }
+
+  test("fk audit: every planted relation fires on the real star") {
+    val out = Relational.fkAudit(table("lineitem"), table("orders"),
+      table("customer"), table("supplier"), table("nation"), table("part"))
+      .collect()
+    assert(out.length === 5)
+    // the plants guarantee a nonzero orphan rate on every relation (the
+    // remap target is outside each parent's key space by construction)
+    out.foreach { r =>
+      assert(r.getLong(2) > 0, s"relation ${r.getString(0)} has no orphans")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
   test("cohort ltv: hand-checked cells, monotone cum, headcount conserved") {
     import spark.implicits._
     import java.sql.Timestamp

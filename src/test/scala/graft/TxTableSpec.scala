@@ -253,6 +253,54 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("txn: a replayed (appId, version) no-ops; a higher version applies") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-txn")
+    val upd1 = Seq((1L, "b1")).toDF("k", "v")
+    val v1 = TxTable.merge(spark, root, upd1, "k", txn = Some(("app", 1L)))
+    assert(TxTable.lastTxn(root, "app") === Some(1L))
+    // re-delivery of the same batch: version unchanged, rows unchanged
+    val vReplay = TxTable.merge(spark, root,
+      Seq((1L, "DOUBLE")).toDF("k", "v"), "k", txn = Some(("app", 1L)))
+    assert(vReplay === v1)
+    assert(rows(TxTable.read(spark, root))
+      === rows(Sources.upsert(base, upd1, "k")))
+    // a LOWER version (late straggler) also no-ops
+    TxTable.merge(spark, root,
+      Seq((2L, "STALE")).toDF("k", "v"), "k", txn = Some(("app", 0L)))
+    assert(!rows(TxTable.read(spark, root)).contains((2L, "STALE")))
+    // the next batch applies; an unrelated app is not blocked
+    TxTable.merge(spark, root, Seq((2L, "b2")).toDF("k", "v"), "k",
+      txn = Some(("app", 2L)))
+    TxTable.merge(spark, root, Seq((3L, "other")).toDF("k", "v"), "k",
+      txn = Some(("other-app", 1L)))
+    val got = rows(TxTable.read(spark, root))
+    assert(got.contains((2L, "b2")) && got.contains((3L, "other")))
+    assert(TxTable.lastTxn(root, "app") === Some(2L))
+    assert(TxTable.lastTxn(root, "other-app") === Some(1L))
+    assert(TxTable.lastTxn(root, "never") === None)
+  }
+
+  test("txn: the watermark survives checkpointing (replay starts at the checkpoint)") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-txn-ckpt")
+    // the txn lands at v2, well BEFORE the checkpoint at v11 — if the
+    // checkpoint dropped watermarks, replay-from-checkpoint would
+    // forget it and the late replay below would double-apply
+    TxTable.merge(spark, root, Seq((7L, "applied")).toDF("k", "v"), "k",
+      txn = Some(("sink", 5L)))
+    (1 to 10).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((2000L + i, s"fill$i")).toDF("k", "v"), "k")
+    }
+    assert(TxTable.currentVersion(root) >= 11L)
+    assert(TxTable.lastTxn(root, "sink") === Some(5L),
+      "txn watermark lost across the checkpoint")
+    TxTable.merge(spark, root, Seq((7L, "REPLAYED")).toDF("k", "v"), "k",
+      txn = Some(("sink", 5L)))
+    assert(rows(TxTable.read(spark, root)).contains((7L, "applied")))
+  }
+
   test("merge refuses duplicate update keys (fan-out corruption guard)") {
     import spark.implicits._
     val (root, _) = mkTable("txt-dupkeys")
