@@ -992,6 +992,7 @@ object SparkEntry {
     "m5_wav_meta" -> Seq("doc_id"),
     "m25_avi_meta" -> Seq("doc_id"),
     "m26_ico_meta" -> Seq("doc_id"),
+    "m27_gzip_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -1437,6 +1438,10 @@ object SparkEntry {
     // zero-means-256 dimension rule, every declared entry's
     // offset+size span validated in-payload before `complete`
     "m26_ico_meta" -> ((s, d) => Multimodal.icoMetaPlanted(s, t(s, d, "documents"))),
+    // m27 (r14): RFC 1952 gzip member framing — FLG optional-field walk
+    // (variable FEXTRA + NUL-terminated FNAME) and the END-of-member
+    // trailer (CRC32/ISIZE); the crawl compression wrapper
+    "m27_gzip_meta" -> ((s, d) => Multimodal.gzipMetaPlanted(s, t(s, d, "documents"))),
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
@@ -6842,6 +6847,33 @@ object SparkEntry {
            CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS width,
            CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS height,
            32 AS bpp
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m27: planted rows replay every header/trailer field from the
+    // four-variant plant formula; text rows the synthetic fallback
+    "m27_gzip_meta" ->
+      """SELECT doc_id, 1 AS is_gzip,
+           CAST(1600000000 + doc_id % 100000 AS BIGINT) AS mtime,
+           CAST(doc_id % 14 AS INTEGER) AS os,
+           CAST(CASE WHEN (doc_id // 8) % 4 >= 2
+             THEN 4 + (doc_id % 6) * 2 ELSE 0 END AS INTEGER) AS n_extra,
+           CASE WHEN (doc_id // 8) % 4 >= 1
+             THEN 'f' || CAST(doc_id AS VARCHAR) || '.txt'
+             ELSE 'none' END AS fname,
+           CAST(CASE WHEN (doc_id // 8) % 4 = 3 THEN 1 ELSE 0 END
+             AS INTEGER) AS has_comment,
+           CAST(CASE WHEN (doc_id // 8) % 4 = 3 THEN 1 ELSE 0 END
+             AS INTEGER) AS has_hcrc,
+           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS crc32,
+           CAST(doc_id % 100000 + 50 AS BIGINT) AS isize
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_gzip,
+           CAST((octet_length(encode(text)) * 31) % 1000000 AS BIGINT) AS mtime,
+           255 AS os, 0 AS n_extra, 'none' AS fname,
+           0 AS has_comment, 0 AS has_hcrc,
+           CAST((octet_length(encode(text)) * 17) % 65536 AS BIGINT) AS crc32,
+           CAST(octet_length(encode(text)) AS BIGINT) AS isize
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m7: planted rows replay the real mvhd fields from the plant

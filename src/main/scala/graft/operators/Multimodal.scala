@@ -2475,6 +2475,134 @@ object Multimodal {
                      every: Int = PlantedTars.Every): DataFrame =
     tarMeta(plantedTarMedia(spark, documents, every).toDF())
 
+  /** Deterministic planted gzip members for m27's gate: every
+    * `every`-th doc gets a real RFC 1952 member whose header fields are
+    * pure doc_id formulas. Four variants by (doc_id/8)%4 cover the
+    * optional-field walk: 0 = bare header, 1 = FNAME, 2 = FEXTRA (a
+    * VARIABLE-length subfield that defeats fixed-offset name readers) +
+    * FNAME, 3 = FEXTRA + FNAME + FCOMMENT + FHCRC. The deflate body is
+    * opaque filler (the parser reports framing, never inflates); the
+    * trailer carries formula CRC32/ISIZE so a parser that misreads the
+    * member END (not just its head) hash-fails. */
+  object PlantedGzips {
+    val Every = 8
+
+    def craftedGzip(docId: Long): Array[Byte] = {
+      val v = ((docId / 8) % 4).toInt
+      val flg = Array(0, 8, 12, 30)(v)       // FNAME=8 FEXTRA=4 FCOMMENT=16 FHCRC=2
+      val xlen = (4 + docId % 6 * 2).toInt
+      val name = s"f$docId.txt"
+      val bodyN = (10 + docId % 20).toInt
+      val cap = 10 + (if (v >= 2) 2 + xlen else 0) +
+        (if (v >= 1) name.length + 1 else 0) +
+        (if (v == 3) 2 + 2 else 0) + bodyN + 8
+      val bb = java.nio.ByteBuffer.allocate(cap)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte).put(flg.toByte)
+      bb.putInt((1600000000L + docId % 100000).toInt)
+      bb.put(2.toByte).put((docId % 14).toByte)
+      if (v >= 2) {
+        bb.putShort(xlen.toShort)
+        (0 until xlen).foreach(j => bb.put(((docId + j) % 256).toByte))
+      }
+      if (v >= 1) {
+        bb.put(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.put(0.toByte)
+      }
+      if (v == 3) {
+        bb.put('c'.toByte).put(0.toByte)
+        bb.put((docId % 256).toByte).put(((docId / 256) % 256).toByte)
+      }
+      (0 until bodyN).foreach(j => bb.put(((docId * 7 + j) % 256).toByte))
+      // putInt of the wrapped unsigned value writes the same 4 LE bytes
+      bb.putInt(((docId * 2654435761L) % 4294967296L).toInt)
+      bb.putInt((docId % 100000 + 50).toInt)
+      bb.array()
+    }
+  }
+
+  def plantedGzipMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedGzips.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedGzips.craftedGzip(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL gzip (RFC 1952) member framing from the binary column — the
+    * compression wrapper a crawl actually ships (WARC payloads, .gz
+    * corpus drops, sitemap.xml.gz): magic/CM gate, the FLG bit walk
+    * over the OPTIONAL fields in their mandated order (FEXTRA's LE16
+    * length is the one exact skip; FNAME is a NUL-terminated scan —
+    * the TAR substring_index idiom), the member TRAILER read from the
+    * payload END (CRC32 + ISIZE, the uncompressed-size-mod-2³² field
+    * that lets a router budget inflation without inflating). Range
+    * gates everywhere a length field is untrusted: a hostile XLEN past
+    * the payload nulls the name cursor, a missing NUL nulls the name,
+    * reserved FLG bits refuse the member — all fall back to the
+    * deterministic synthetic tier instead of throwing (the m25 ANSI
+    * lesson). Pure column exprs, map-only; the deflate body is never
+    * touched. */
+  def gzipMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val staged = media
+      .withColumn("_len", octet_length(p).cast("long"))
+      .withColumn("_isgz", hex(p.substr(lit(1), lit(2))) === "1F8B" &&
+        hex(p.substr(lit(3), lit(1))) === "08")
+      .withColumn("_flg", leUint(p, 4, 1))
+      .withColumn("_mtime", leUint(p, 5, 4))
+      .withColumn("_os", leUint(p, 10, 1))
+      .withColumn("_fextra", pmod(expr("_flg div 4"), lit(2)) === 1)
+      .withColumn("_fname", pmod(expr("_flg div 8"), lit(2)) === 1)
+      .withColumn("_fcomment", pmod(expr("_flg div 16"), lit(2)) === 1)
+      .withColumn("_fhcrc", pmod(expr("_flg div 2"), lit(2)) === 1)
+      .withColumn("_xlen",
+        when(col("_fextra"), leUintAt(p, lit(11L), 2)).otherwise(lit(0L)))
+      // range-gated cursor to the FNAME region: an untrusted XLEN that
+      // pushes past the payload nulls out (never a wild substr)
+      .withColumn("_nc", {
+        val c = lit(11L) + when(col("_fextra"), col("_xlen") + 2).otherwise(lit(0L))
+        when(c <= col("_len"), c)
+      })
+      .withColumn("_nwin",
+        when(col("_fname") && col("_nc").isNotNull,
+          p.substr(col("_nc"), lit(256)).cast("string")))
+      .withColumn("_name",
+        when(instr(col("_nwin"), "\u0000") > 0,
+          substring_index(col("_nwin"), "\u0000", 1)))
+      .withColumn("_crc", leUintAt(p, col("_len") - 7, 4))
+      .withColumn("_isize", leUintAt(p, col("_len") - 3, 4))
+    val complete = coalesce(
+      col("_isgz") && col("_flg") < 32 && col("_len") >= 18 &&
+        col("_mtime").isNotNull &&
+        (!col("_fextra") || col("_nc").isNotNull) &&
+        (!col("_fname") || col("_name").isNotNull) &&
+        col("_crc").isNotNull && col("_isize").isNotNull,
+      lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_gzip"),
+      when(complete, col("_mtime"))
+        .otherwise(pmod(col("_len") * 31, lit(1000000L))).as("mtime"),
+      when(complete, col("_os").cast("int")).otherwise(lit(255)).as("os"),
+      when(complete, col("_xlen").cast("int")).otherwise(lit(0)).as("n_extra"),
+      when(complete && col("_fname"), col("_name"))
+        .otherwise(lit("none")).as("fname"),
+      when(complete, col("_fcomment").cast("int")).otherwise(lit(0)).as("has_comment"),
+      when(complete, col("_fhcrc").cast("int")).otherwise(lit(0)).as("has_hcrc"),
+      when(complete, col("_crc"))
+        .otherwise(pmod(col("_len") * 17, lit(65536L))).as("crc32"),
+      when(complete, col("_isize")).otherwise(col("_len")).as("isize"))
+  }
+
+  /** The m27 gate: gzip member framing over the planted corpus. */
+  def gzipMetaPlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedGzips.Every): DataFrame =
+    gzipMeta(plantedGzipMedia(spark, documents, every).toDF())
+
   object PlantedMp3s {
     val Every = 8
 

@@ -110,6 +110,56 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(2L).getAs[Int]("is_ico") === 0)
   }
 
+  test("gzip meta: optional-field walk, hostile XLEN, missing NUL and truncation fall back") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // the four FLG variants: bare / FNAME / FEXTRA+FNAME / all fields
+    val planted = Seq(0L, 8L, 16L, 24L).map(id =>
+      (id, Multimodal.PlantedGzips.craftedGzip(id)))
+    // hostile XLEN: FEXTRA length pushed past the payload → fall back
+    val hostileXlen = {
+      val b = Multimodal.PlantedGzips.craftedGzip(16L).clone()
+      b(10) = 0xFF.toByte; b(11) = 0xFF.toByte
+      (1L, b)
+    }
+    // FNAME with its NUL terminator overwritten (name runs off) → fall back
+    val noNul = {
+      val b = Multimodal.PlantedGzips.craftedGzip(8L).clone()
+      val payload = b.indexOfSlice("f8.txt".getBytes) + "f8.txt".length
+      b(payload) = 'x'.toByte
+      // also strip the trailer NULs that would rescue the scan: keep as-is;
+      // the 256-byte window may still find a later zero byte, so instead
+      // cut the payload right after the clobbered terminator
+      (2L, b.take(payload + 1))
+    }
+    val truncated = (3L, Multimodal.PlantedGzips.craftedGzip(0L).take(12))
+    // reserved FLG bit set → refuse the member
+    val reserved = {
+      val b = Multimodal.PlantedGzips.craftedGzip(0L).clone()
+      b(3) = 0x40.toByte
+      (4L, b)
+    }
+    val media = (planted ++ Seq(hostileXlen, noNul, truncated, reserved))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.gzipMeta(media).collect().map(r => r.getLong(0) -> r).toMap
+    planted.foreach { case (id, _) =>
+      val r = out(id)
+      assert(r.getAs[Int]("is_gzip") === 1, s"doc $id not parsed")
+      assert(r.getAs[Long]("mtime") === 1600000000L + id % 100000)
+      assert(r.getAs[Int]("os") === (id % 14).toInt)
+      assert(r.getAs[Long]("isize") === id % 100000 + 50)
+      assert(r.getAs[Long]("crc32") === (id * 2654435761L) % 4294967296L)
+    }
+    assert(out(0L).getAs[String]("fname") === "none")
+    assert(out(8L).getAs[String]("fname") === "f8.txt")
+    assert(out(16L).getAs[String]("fname") === "f16.txt") // past variable FEXTRA
+    assert(out(16L).getAs[Int]("n_extra") === (4 + 16 % 6 * 2))
+    assert(out(24L).getAs[Int]("has_comment") === 1)
+    assert(out(24L).getAs[Int]("has_hcrc") === 1)
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(out(id).getAs[Int]("is_gzip") === 0, s"hostile doc $id parsed"))
+  }
+
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
