@@ -774,6 +774,7 @@ object SparkEntry {
     "st37_idempotent_sink" -> Seq("ym"),
     "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
     "q75_fk_audit" -> Seq("relation"),
+    "c66_erasure_audit" -> Seq("source"),
     "c65_domain_cap" -> Seq("doc_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
@@ -1148,6 +1149,35 @@ object SparkEntry {
       Dedup.bandedSigs(fresh).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d32_banded")
       Dedup.minhashPairsFromSigs(sigs)
+    }),
+    // c66 (r14): right-to-be-forgotten ERASURE through the ACID layer —
+    // the GDPR/opt-out governance action a training-data corpus must
+    // support: the corpus lives in a TxTable, a deterministic revoked
+    // set (%13 = 5, the consent-withdrawal stand-in) is deleted as ONE
+    // file-pruned transactional commit, and the audit reports
+    // before/after per source (before via TIME TRAVEL to v1 — the
+    // erasure receipt a regulator reads). Oracle recomputes both sides
+    // from the RAW table, so the hash asserts deleteKeys' VALUE
+    // correctness: one surviving revoked row or one over-deleted row
+    // diverges a per-source count.
+    "c66_erasure_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val root = stageDir(d) + "/c66_tx"
+      graft.sources.TxTable.create(s, docs, root, "doc_id")
+      graft.sources.TxTable.deleteKeys(s, root,
+        docs.filter(pmod(col("doc_id"), lit(13)) === 5).select(col("doc_id")),
+        "doc_id")
+      val before = graft.sources.TxTable.read(s, root, asOf = Some(1L))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+      val after = graft.sources.TxTable.read(s, root)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"),
+          sum(col("n_chars")).as("chars_after"))
+      before.join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_revoked"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("chars_after"), lit(0L)).as("chars_after"))
     }),
     // LSH banding telemetry over its OWN staged banded table (gate
     // order-independence, the d27 posture)
@@ -3977,6 +4007,22 @@ object SparkEntry {
                * 2000000 + count(*))
              // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) AS orphan_ppm
          FROM rel GROUP BY relation ORDER BY relation""",
+    // c66: both sides recomputed from the RAW table — the gate reads
+    // the maintained TxTable (v1 via time travel, head after the
+    // delete), so equality asserts the transactional erasure removed
+    // exactly the revoked set and nothing else
+    "c66_erasure_audit" ->
+      """WITH b AS (SELECT source, count(*) AS n_before
+             FROM documents GROUP BY 1),
+         a AS (SELECT source, count(*) AS n_after,
+             CAST(sum(n_chars) AS BIGINT) AS chars_after
+           FROM documents WHERE doc_id % 13 <> 5 GROUP BY 1)
+         SELECT b.source, b.n_before,
+           b.n_before - COALESCE(a.n_after, 0) AS n_revoked,
+           COALESCE(a.n_after, 0) AS n_after,
+           COALESCE(a.chars_after, 0) AS chars_after
+         FROM b LEFT JOIN a ON a.source = b.source
+         ORDER BY b.source""",
     // c65: the single-window replay of the two-level cap (global top-N
     // per source is a subset of the union of salted-cell top-Ns, so the
     // forms are identical — spec-asserted on the Spark side)

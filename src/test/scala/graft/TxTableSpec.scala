@@ -253,6 +253,24 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("deleteKeys removes exactly the requested keys; delete-of-absent no-ops") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-del")
+    val doomed = (0L until 1000L by 13L).toDF("k")
+    val v = TxTable.deleteKeys(spark, root, doomed, "k")
+    assert(v === 2L)
+    val want = rows(base.join(doomed, Seq("k"), "left_anti"))
+    assert(rows(TxTable.read(spark, root)) === want)
+    // delete of keys outside every file's range: true no-op, no commit
+    val v2 = TxTable.deleteKeys(spark, root, Seq(999999L).toDF("k"), "k")
+    assert(v2 === 2L)
+    assert(rows(TxTable.read(spark, root)) === want)
+    // replaying the SAME delete is value-idempotent (keys already gone;
+    // in-range probes rewrite the touched files to identical contents)
+    TxTable.deleteKeys(spark, root, doomed, "k")
+    assert(rows(TxTable.read(spark, root)) === want)
+  }
+
   test("txn: a replayed (appId, version) no-ops; a higher version applies") {
     import spark.implicits._
     val (root, base) = mkTable("txt-txn")
