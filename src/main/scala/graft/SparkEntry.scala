@@ -775,6 +775,7 @@ object SparkEntry {
     "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
     "q75_fk_audit" -> Seq("relation"),
     "c66_erasure_audit" -> Seq("source"),
+    "q76_benford" -> Seq("digit"),
     "c65_domain_cap" -> Seq("doc_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
@@ -994,6 +995,7 @@ object SparkEntry {
     "m25_avi_meta" -> Seq("doc_id"),
     "m26_ico_meta" -> Seq("doc_id"),
     "m27_gzip_meta" -> Seq("doc_id"),
+    "m28_elf_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -1472,6 +1474,10 @@ object SparkEntry {
     // (variable FEXTRA + NUL-terminated FNAME) and the END-of-member
     // trailer (CRC32/ISIZE); the crawl compression wrapper
     "m27_gzip_meta" -> ((s, d) => Multimodal.gzipMetaPlanted(s, t(s, d, "documents"))),
+    // m28 (r14): ELF header metadata — class picks the 32/64 layout,
+    // EI_DATA picks the byte order of every later field (all four
+    // class×endian variants planted); the code-corpus binary router
+    "m28_elf_meta" -> ((s, d) => Multimodal.elfMetaPlanted(s, t(s, d, "documents"))),
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
@@ -2283,6 +2289,10 @@ object SparkEntry {
     // c65 (r14): per-domain document cap (RefinedWeb-family anti-spam
     // step) via the c20 two-level top-k — no single-reducer domain funnel
     "c65_domain_cap" -> ((s, d) => Curation.domainCap(t(s, d, "documents"))),
+    // q76 (r14): Benford first-digit fraud/data-quality audit — exact
+    // cent-string digit extraction, integer-ppm shares, literal
+    // expectations (no transcendental on the decision path)
+    "q76_benford" -> ((s, d) => Relational.benford(t(s, d, "orders"))),
     // WITH RECURSIVE class: pointer-jumping transitive closure over the
     // supplier decimal-trie forest — O(log depth) self-joins
     "q57_hierarchy" -> ((s, d) => Relational.hierarchy(t(s, d, "supplier"))),
@@ -3960,6 +3970,24 @@ object SparkEntry {
            CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INTEGER)
              AS is_interpolated
          FROM nb ORDER BY 1, 2""",
+    // q76: digit from the exact cent integer's decimal string; the
+    // expected-ppm CASE is the SAME generated text both engines run
+    "q76_benford" ->
+      s"""WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+               AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+         SELECT digit, n,
+           CAST((CAST(n AS HUGEINT) * 2000000 + total)
+             // (2 * CAST(total AS HUGEINT)) AS BIGINT) AS share_ppm,
+           CAST(${graft.operators.Relational.benfordCaseSql("digit")}
+             AS BIGINT) AS expected_ppm,
+           CAST((CAST(n AS HUGEINT) * 2000000 + total)
+             // (2 * CAST(total AS HUGEINT)) AS BIGINT)
+             - CAST(${graft.operators.Relational.benfordCaseSql("digit")}
+                 AS BIGINT) AS delta_ppm
+         FROM g, t ORDER BY digit""",
     // q75: the five FK relations replayed with the same planted remaps;
     // count(*) / conditional count / conditional distinct are BIGINT in
     // both engines; the ppm rate is the exact half-away integer rational
@@ -6893,6 +6921,28 @@ object SparkEntry {
            CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS width,
            CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS height,
            32 AS bpp
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m28: planted rows replay class/endian/osabi/type/machine/entry
+    // from the plant formulas; text rows the synthetic fallback
+    "m28_elf_meta" ->
+      """SELECT doc_id, 1 AS is_elf,
+           CAST(CASE (doc_id // 8) % 2 WHEN 0 THEN 32 ELSE 64 END
+             AS INTEGER) AS bits,
+           CASE (doc_id // 16) % 2 WHEN 0 THEN 'LE' ELSE 'BE' END AS endian,
+           CAST((doc_id % 4) * 3 AS INTEGER) AS osabi,
+           CAST(1 + doc_id % 4 AS INTEGER) AS e_type,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 40 WHEN 2 THEN 62
+             WHEN 3 THEN 183 ELSE 243 END AS INTEGER) AS machine,
+           CAST(4194304 + doc_id % 65536 AS BIGINT) AS entry
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_elf,
+           CAST(32 + (octet_length(encode(text)) % 2) * 32 AS INTEGER) AS bits,
+           'LE' AS endian, 255 AS osabi,
+           CAST(octet_length(encode(text)) % 5 AS INTEGER) AS e_type,
+           CAST(octet_length(encode(text)) % 300 AS INTEGER) AS machine,
+           CAST((octet_length(encode(text)) * 4096) % 16777216 AS BIGINT) AS entry
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m27: planted rows replay every header/trailer field from the

@@ -2603,6 +2603,114 @@ object Multimodal {
                       every: Int = PlantedGzips.Every): DataFrame =
     gzipMeta(plantedGzipMedia(spark, documents, every).toDF())
 
+  /** Deterministic planted ELF headers for m28's gate: every `every`-th
+    * doc gets a real ELF ident + header whose class (32/64-bit), byte
+    * order (LE/BE), OS ABI, object type, machine and entry point are
+    * doc_id formulas — all FOUR class×endian layouts occur, so a parser
+    * that assumes little-endian x86-64 (the only thing a laptop ever
+    * sees) hash-fails on the BE and 32-bit variants. */
+  object PlantedElfs {
+    val Every = 8
+
+    def craftedElf(docId: Long): Array[Byte] = {
+      val cls = (1 + (docId / 8) % 2).toInt
+      val dat = (1 + (docId / 16) % 2).toInt
+      val size = if (cls == 1) 52 else 64
+      val bb = java.nio.ByteBuffer.allocate(size)
+        .order(if (dat == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put(0x7f.toByte).put('E'.toByte).put('L'.toByte).put('F'.toByte)
+      bb.put(cls.toByte).put(dat.toByte).put(1.toByte)
+      bb.put((docId % 4 * 3).toByte)           // EI_OSABI
+      bb.position(16)                          // abiversion + pad stay 0
+      bb.putShort((1 + docId % 4).toShort)     // e_type: REL/EXEC/DYN/CORE
+      bb.putShort(Array(3, 40, 62, 183, 243)((docId % 5).toInt).toShort)
+      bb.putInt(1)                             // e_version
+      val entry = 0x400000L + docId % 65536
+      if (cls == 1) bb.putInt(entry.toInt) else bb.putLong(entry)
+      bb.array()                               // rest (phoff…shstrndx) zeroed
+    }
+  }
+
+  def plantedElfMedia(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedElfs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedElfs.craftedElf(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL ELF header metadata from the binary column — the
+    * executable/shared-object detector a CODE-corpus pipeline routes
+    * on (The-Stack-class curation drops compiled artifacts; a crawl
+    * carries them mislabeled as text): magic gate, then the format's
+    * defining reality — EI_CLASS picks the 32/64-bit layout and
+    * EI_DATA picks the BYTE ORDER of every multi-byte field after the
+    * ident, so e_type/e_machine/e_entry are read through an
+    * endian-dispatching pair (the TIFF m12 lesson at the executable
+    * layer) and the entry width itself follows the class. `complete`
+    * requires sane class/data/version bytes, a full-header payload and
+    * a range-gated entry (a hostile 8-byte entry must fall back, never
+    * overflow under ANSI); anything else gets the deterministic
+    * synthetic tier. Pure column exprs, map-only. */
+  def elfMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p).cast("long")
+    def rd(pos: Int, n: Int, isLe: org.apache.spark.sql.Column) =
+      when(isLe, leUint(p, pos, n)).otherwise(beUint(p, lit(pos.toLong), n))
+    val staged = media
+      .withColumn("_elf", hex(p.substr(lit(1), lit(4))) === "7F454C46")
+      .withColumn("_cls", leUint(p, 5, 1))
+      .withColumn("_le", leUint(p, 6, 1) === 1)
+      .withColumn("_be", leUint(p, 6, 1) === 2)
+      .withColumn("_eiv", leUint(p, 7, 1))
+      .withColumn("_osabi", leUint(p, 8, 1))
+      .withColumn("_etype", rd(17, 2, col("_le")))
+      .withColumn("_mach", rd(19, 2, col("_le")))
+      .withColumn("_ever", rd(21, 4, col("_le")))
+      // the 64-bit entry reads as two 4-byte halves (endian decides
+      // which is which) and requires the high half ZERO — conv of a
+      // full 16-hex-digit value exceeds Long and would ANSI-throw on a
+      // hostile payload (the adversarial-spec case); a real entry past
+      // 2³² falls back, matching the range gate below
+      .withColumn("_entry", when(col("_cls") === 1, rd(25, 4, col("_le")))
+        .otherwise({
+          val lo = when(col("_le"), leUintAt(p, lit(25L), 4))
+            .otherwise(beUint(p, lit(29L), 4))
+          val hi = when(col("_le"), leUintAt(p, lit(29L), 4))
+            .otherwise(beUint(p, lit(25L), 4))
+          when(hi === 0, lo)
+        }))
+    val complete = coalesce(
+      col("_elf") && (col("_cls") === 1 || col("_cls") === 2) &&
+        (col("_le") || col("_be")) && col("_eiv") === 1 &&
+        col("_ever") === 1 &&
+        len >= when(col("_cls") === 1, lit(52L)).otherwise(lit(64L)) &&
+        col("_entry").between(0L, 1L << 31),
+      lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_elf"),
+      when(complete, (col("_cls") * 32).cast("int"))
+        .otherwise((lit(32) + pmod(len, lit(2)) * 32).cast("int")).as("bits"),
+      when(complete && col("_be"), lit("BE")).otherwise(lit("LE")).as("endian"),
+      when(complete, col("_osabi").cast("int")).otherwise(lit(255)).as("osabi"),
+      when(complete, col("_etype").cast("int"))
+        .otherwise(pmod(len, lit(5)).cast("int")).as("e_type"),
+      when(complete, col("_mach").cast("int"))
+        .otherwise(pmod(len, lit(300)).cast("int")).as("machine"),
+      when(complete, col("_entry"))
+        .otherwise(pmod(len * 4096, lit(16777216L))).as("entry"))
+  }
+
+  /** The m28 gate: ELF header metadata over the planted corpus. */
+  def elfMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedElfs.Every): DataFrame =
+    elfMeta(plantedElfMedia(spark, documents, every).toDF())
+
   object PlantedMp3s {
     val Every = 8
 

@@ -1224,6 +1224,47 @@ object Relational {
           .cast("bigint").as("orphan_ppm"))
   }
 
+  /** Benford first-digit expectations in exact ppm (log10(1 + 1/d)
+    * rounded to a millionth — they sum to exactly 1,000,000). Entered
+    * as LITERALS on both engines: the law's constants are data, so no
+    * cross-engine transcendental ever runs on the decision path. */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** SQL CASE over the literal table — shared text between the Spark
+    * expression and the DuckDB oracle so the two can never diverge. */
+  private[graft] def benfordCaseSql(digitCol: String): String =
+    s"CASE $digitCol " +
+      BenfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ") +
+      " END"
+
+  /** Benford first-digit audit — the classic fraud / data-quality
+    * screen over a monetary column: naturally-grown amounts follow
+    * log10(1 + 1/d) first-digit frequencies, while fabricated or
+    * template-generated values don't. Output per leading digit:
+    * observed count, exact integer-ppm share (ratRound — no division
+    * on the decision path), the literal Benford expectation, and the
+    * signed deviation. Digit extraction goes through the exact cent
+    * integer's DECIMAL STRING (first char), never log10 of a double —
+    * bit-identical in any engine. Plan: one map + one 9-group
+    * aggregate; the 1-row total broadcasts back. */
+  def benford(orders: DataFrame): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = orders.filter(col("o_totalprice") > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    counts.join(broadcast(tot))
+      .withColumn("share_ppm",
+        ratRound("n * 1000000", "total", 0).cast("bigint"))
+      .withColumn("expected_ppm",
+        expr(benfordCaseSql("digit")).cast("bigint"))
+      .select(col("digit"), col("n"), col("share_ppm"), col("expected_ppm"),
+        (col("share_ppm") - col("expected_ppm")).as("delta_ppm"))
+  }
+
   /** Referential-integrity audit — the data-quality gate a warehouse
     * runs at every ingest: for each FK relation of the star, how many
     * child rows point at a MISSING parent (orphans), over how many

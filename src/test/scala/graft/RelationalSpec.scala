@@ -721,6 +721,28 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out("2020-03") === ((150.0, Some(-500.0))))
   }
 
+  test("benford: expectations sum to exactly 1e6 ppm; crafted digits counted exactly") {
+    import spark.implicits._
+    val orders = Seq(1.00, 1.50, 19.99, 2.00, 29.0, 300.0, 0.0, -5.0)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Relational.benford(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 6 positive rows: digits 1,1,1,2,2,3 (zero/negative excluded)
+    assert(out(1)._1 === 3L && out(2)._1 === 2L && out(3)._1 === 1L)
+    assert(out.keySet === Set(1, 2, 3))
+    assert(out(1)._2 === 500000L)               // 3/6 exactly
+    assert(out(1)._3 === 301030L)               // the literal expectation
+    // the generated expectation table is a probability distribution at
+    // ppm granularity — drift in any constant breaks the exact sum
+    val all9 = (1 to 9).map(d => (d.toLong, d.toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+    val w = Relational.benford(all9).collect()
+    assert(w.length === 9)
+    assert(w.map(_.getLong(3)).sum === 1000000L)
+    assert(w.map(_.getLong(2)).sum >= 999998L) // shares round-trip ±1 ppm/digit
+  }
+
   test("fk audit: hand-checked orphans per relation on a crafted star") {
     import spark.implicits._
     val nation = Seq(0L, 1L).toDF("n_nationkey")

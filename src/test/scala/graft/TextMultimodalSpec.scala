@@ -160,6 +160,41 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(out(id).getAs[Int]("is_gzip") === 0, s"hostile doc $id parsed"))
   }
 
+  test("elf meta: all four class×endian layouts parse; hostile entry and truncation fall back") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 0: 32-bit LE, 8: 64-bit LE, 16: 32-bit BE, 24: 64-bit BE
+    val planted = Seq(0L, 8L, 16L, 24L).map(id =>
+      (id, Multimodal.PlantedElfs.craftedElf(id)))
+    // hostile 64-bit entry = 0xFFFF… — must fall back, never ANSI-throw
+    val hostileEntry = {
+      val b = Multimodal.PlantedElfs.craftedElf(8L).clone()
+      (24 until 32).foreach(i => b(i) = 0xFF.toByte)
+      (1L, b)
+    }
+    val truncated = (2L, Multimodal.PlantedElfs.craftedElf(8L).take(30))
+    val badClass = {
+      val b = Multimodal.PlantedElfs.craftedElf(0L).clone()
+      b(4) = 9.toByte
+      (3L, b)
+    }
+    val media = (planted ++ Seq(hostileEntry, truncated, badClass))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.elfMeta(media).collect().map(r => r.getLong(0) -> r).toMap
+    planted.foreach { case (id, _) =>
+      val r = out(id)
+      assert(r.getAs[Int]("is_elf") === 1, s"doc $id not parsed")
+      assert(r.getAs[Int]("bits") === (if ((id / 8) % 2 == 0) 32 else 64))
+      assert(r.getAs[String]("endian") === (if ((id / 16) % 2 == 0) "LE" else "BE"))
+      assert(r.getAs[Int]("e_type") === (1 + id % 4).toInt)
+      assert(r.getAs[Int]("machine") ===
+        Seq(3, 40, 62, 183, 243)((id % 5).toInt))
+      assert(r.getAs[Long]("entry") === 0x400000L + id % 65536)
+    }
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(out(id).getAs[Int]("is_elf") === 0, s"hostile doc $id parsed"))
+  }
+
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
