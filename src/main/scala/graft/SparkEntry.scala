@@ -856,6 +856,7 @@ object SparkEntry {
     "s15_ivfadc" -> Seq("q_id", "rank"),
     "d21_semdedup" -> Seq("vec_id"),
     "s13_rand_proj" -> Seq("vec_id", "pos"),
+    "s26_pca" -> Seq("vec_id"),
     "s2_ann_lsh" -> Seq("q_id", "rank"),
     "s3_ann_ivf" -> Seq("q_id", "rank"),
     "t1_lang_id" -> Seq("doc_id"),
@@ -2701,6 +2702,23 @@ object SparkEntry {
     // s13 sign random projection, FULL oracle from SQL text alone: the
     // hash-derived sign matrix and the decimal-sum/÷4 scaling are pure
     // engine-independent algebra — nothing staged, nothing seeded
+    // s26 (r14): deterministic PCA — the data-DEPENDENT linear map
+    // beside s13's data-oblivious JL: exact-integer scatter fit, d×d
+    // driver power iteration, quantized components staged so the
+    // projection is a pure integer dot product the oracle replays
+    "s26_pca" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (muq, ws) = Similarity.pcaFit(emb)
+      import s.implicits._
+      muq.zipWithIndex.map { case (m, i) => (i, m) }.toSeq
+        .toDF("dim", "muq").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/s26_mu")
+      ws.zipWithIndex.flatMap { case (w, pc) =>
+        w.zipWithIndex.map { case (x, i) => (pc, i, x) } }.toSeq
+        .toDF("pc", "dim", "wq").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir(d) + "/s26_w")
+      Similarity.pcaProject(emb, muq, ws)
+    }),
     "s13_rand_proj" -> ((s, d) =>
       Similarity.randomProjectionRows(t(s, d, "embeddings"))),
     // d21 SemDeDup, FULL oracle: the staged seed table replays the
@@ -6137,6 +6155,30 @@ object SparkEntry {
     // ties-away-from-zero double round both engines share (a decimal
     // cast is NOT tie-stable — see the randomProjection scaladoc);
     // signed sums are pure BIGINT, /16384 exact power-of-two scaling
+    // s26: integer projection replay from the staged mean/component
+    // grids — the double forms are exact 2^-40 exponent shifts of the
+    // BIGINT numerators, identical in any IEEE engine
+    "s26_pca" ->
+      """WITH mu AS (SELECT dim, muq
+             FROM read_parquet('__GRAFT_STAGE__/s26_mu/*.parquet')),
+         w AS (SELECT pc, dim, wq
+             FROM read_parquet('__GRAFT_STAGE__/s26_w/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT vec_id, i - 1 AS dim,
+               CAST(round(v[i] * 1048576) AS BIGINT) AS qx
+               FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         pr AS (SELECT x.vec_id, w.pc,
+                CAST(sum((x.qx - mu.muq) * w.wq) AS BIGINT) AS num
+                FROM x JOIN mu ON mu.dim = x.dim JOIN w ON w.dim = x.dim
+                GROUP BY 1, 2)
+         SELECT vec_id,
+           max(CASE WHEN pc = 0 THEN num END) AS pc1_q,
+           max(CASE WHEN pc = 1 THEN num END) AS pc2_q,
+           CAST(max(CASE WHEN pc = 0 THEN num END) AS DOUBLE)
+             / 1099511627776 AS pc1,
+           CAST(max(CASE WHEN pc = 1 THEN num END) AS DOUBLE)
+             / 1099511627776 AS pc2
+         FROM pr GROUP BY vec_id ORDER BY vec_id""",
     "s13_rand_proj" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          x AS (SELECT vec_id, i - 1 AS i,

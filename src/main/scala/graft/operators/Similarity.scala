@@ -1574,4 +1574,117 @@ object Similarity {
           lit(driftPm).cast(dec) * col("nc") * col("nb"))
           .cast("int").as("drifted"))
   }
+
+  /** Quantization grid shared by the PCA fit and projection: 2^20 —
+    * exact binary scaling (the s13 tie-stability discipline), fine
+    * enough that the quantization error (~1e-6 per coordinate) is far
+    * below any embedding's signal. */
+  private val PcaQ = 1048576L           // 2^20
+  private val PcaQ2 = PcaQ * PcaQ       // 2^40, the projection denominator
+
+  /** Deterministic PCA fit — the DATA-DEPENDENT linear map missing
+    * beside the data-oblivious JL projection (s13) and the
+    * quantization families (s10/s11): mean + top-`nComponents`
+    * principal directions of the (fit-sampled) embedding corpus.
+    *
+    * Everything that AGGREGATES is exact integer/decimal (coordinates
+    * quantized to the 2^20 grid, centered products summed as
+    * DECIMAL(38,0) — order-independent, so the fit is bit-deterministic
+    * under any partitioning); the dim×dim scatter matrix then collapses
+    * to the DRIVER (d² values — 4 KB at d = 64; never the corpus) where
+    * power iteration with deflation runs in plain deterministic IEEE
+    * (fixed all-ones init, fixed iteration count, no convergence
+    * test — determinism over adaptivity). Returned mean and components
+    * are re-quantized to the grid, making every DOWNSTREAM projection a
+    * pure integer dot product that replays exactly in any engine.
+    *
+    * Scale shape: ONE corpus pass for the quantize + [[fitSample]]
+    * (identity at gate scale, ~cap rows at 100 TB — a d×d scatter
+    * saturates long before 10⁵ vectors, the s11 fit argument), one
+    * (i, j)-keyed partial-aggregated shuffle of d² keys for the
+    * scatter, zero iteration passes over data (iteration is on the
+    * driver's d×d matrix — the reason power iteration beats Lanczos
+    * here: no re-scan per step). */
+  private[graft] def pcaFit(embeddings: DataFrame, nComponents: Int = 2,
+                            iters: Int = 60, fitCap: Int = FitCap)
+      : (Array[Long], Seq[Array[Long]]) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val qx = transform(toDoubleVec(col("embedding")),
+      x => round(x * PcaQ).cast("long"))
+    val base = fitSample(
+      embeddings.select(col("vec_id"), qx.as("qx")), fitCap)
+      .localCheckpoint()
+    val n = base.count()
+    require(n > 1, "PCA fit needs at least 2 vectors")
+    // exact per-dim means on the quantized grid (HALF_UP to the grid)
+    val sums = base
+      .select(posexplode(col("qx")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val dim = sums.size
+    val muq = (0 until dim).map(i =>
+      sums(i).divide(new JBD(n), 0, RoundingMode.HALF_UP)
+        .longValueExact()).toArray
+    // centered scatter: d² exact integer sums, one skinny shuffle
+    val muLit = typedLit(muq.toSeq)
+    val cen = base.select(
+      zip_with(col("qx"), muLit, (a, b) => a - b).as("c"))
+    val p1 = cen.select(posexplode(col("c")).as(Seq("i", "ci")), col("c"))
+    val gram = p1
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("ci").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("cj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s"))
+      .collect()
+    val c = Array.ofDim[Double](dim, dim)
+    gram.foreach { r =>
+      c(r.getInt(0))(r.getInt(1)) =
+        r.getDecimal(2).doubleValue / n / PcaQ / PcaQ
+    }
+    // driver-side power iteration with deflation — d×d, deterministic
+    def matVec(m: Array[Array[Double]], v: Array[Double]) =
+      m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    def normalize(v: Array[Double]) = {
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0) v else v.map(_ / nn)
+    }
+    var m = c.map(_.clone())
+    val comps = (0 until nComponents).map { _ =>
+      var w = normalize(Array.fill(dim)(1.0))
+      (0 until iters).foreach(_ => w = normalize(matVec(m, w)))
+      val lambda = w.zip(matVec(m, w)).map { case (a, b) => a * b }.sum
+      for (i <- 0 until dim; j <- 0 until dim)
+        m(i)(j) -= lambda * w(i) * w(j)
+      w.map(x => math.round(x * PcaQ))
+    }
+    (muq, comps)
+  }
+
+  /** Projection onto staged PCA components: a pure in-row INTEGER dot
+    * product on the shared grid — exact, order-independent, replayed
+    * verbatim by the relational oracle from the staged mean/component
+    * tables. Emits both the exact BIGINT numerators and their double
+    * forms (numerator · 2^-40 — an exponent shift, exact in IEEE).
+    * Map-only; no shuffle. */
+  def pcaProject(embeddings: DataFrame, muq: Array[Long],
+                 comps: Seq[Array[Long]]): DataFrame = {
+    val qx = transform(toDoubleVec(col("embedding")),
+      x => round(x * PcaQ).cast("long"))
+    val base = embeddings.select(col("vec_id"), qx.as("qx"))
+    val muLit = typedLit(muq.toSeq)
+    val withC = base.withColumn("c", zip_with(col("qx"), muLit, (a, b) => a - b))
+    val nums = comps.zipWithIndex.map { case (w, k) =>
+      aggregate(zip_with(col("c"), typedLit(w.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"pc${k + 1}_q")
+    }
+    withC.select(col("vec_id") +: nums: _*)
+      .select(col("vec_id") +:
+        comps.indices.map(k => col(s"pc${k + 1}_q")) ++:
+        comps.indices.map(k =>
+          (col(s"pc${k + 1}_q").cast("double") / PcaQ2.toDouble)
+            .as(s"pc${k + 1}")): _*)
+  }
 }

@@ -1437,4 +1437,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
         s"cell ${r.getAs[Int]("cluster")}")
     }
   }
+
+  test("pca: recovers a planted dominant direction; components orthogonal; deterministic") {
+    import spark.implicits._
+    // crafted corpus: strong signal along (1,0,0,...) + weaker along
+    // (0,1,0,...) + tiny deterministic noise elsewhere
+    val dim = 8
+    val vecs = (0 until 200).map { i =>
+      val a = (i % 21 - 10) * 0.5          // dominant axis, var ~9.6
+      val b = (i % 7 - 3) * 0.3            // second axis, var ~0.36
+      val v = Array.tabulate(dim)(d =>
+        if (d == 0) a else if (d == 1) b
+        else ((i * 31 + d * 17) % 11 - 5) * 0.01)
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val (muq, ws) = Similarity.pcaFit(vecs, nComponents = 2)
+    val w1 = ws.head.map(_.toDouble / 1048576.0)
+    val w2 = ws(1).map(_.toDouble / 1048576.0)
+    assert(math.abs(w1(0)) > 0.99, s"pc1 not on the planted axis: ${w1.toSeq}")
+    assert(math.abs(w2(1)) > 0.99, s"pc2 not on the second axis: ${w2.toSeq}")
+    val dot = w1.zip(w2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.01, s"components not orthogonal: $dot")
+    // determinism: a second fit is bit-identical
+    val (muq2, ws2) = Similarity.pcaFit(vecs, nComponents = 2)
+    assert(muq.toSeq === muq2.toSeq)
+    assert(ws.map(_.toSeq) === ws2.map(_.toSeq))
+    // projections: pc1 numerators carry more spread than pc2
+    val proj = Similarity.pcaProject(vecs, muq, ws).collect()
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(proj.map(_.getAs[Double]("pc1")).toSeq)
+    val v2 = variance(proj.map(_.getAs[Double]("pc2")).toSeq)
+    assert(v1 > v2, s"pc1 variance $v1 not above pc2 $v2")
+    // the double forms are exact 2^-40 shifts of the integer numerators
+    proj.foreach { r =>
+      assert(r.getAs[Double]("pc1") ===
+        r.getAs[Long]("pc1_q").toDouble / 1099511627776.0)
+    }
+  }
 }
