@@ -775,6 +775,7 @@ object SparkEntry {
     "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
     "q75_fk_audit" -> Seq("relation"),
     "c66_erasure_audit" -> Seq("source"),
+    "st38_erasure_stream" -> Seq("source"),
     "q76_benford" -> Seq("digit"),
     "c65_domain_cap" -> Seq("doc_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
@@ -1308,6 +1309,12 @@ object SparkEntry {
     // hash-fails on any double-apply
     "st37_idempotent_sink" -> ((s, d) =>
       graft.streaming.StreamDrivers.matviewIdempotentFileStream(Tables.tune(s), d)),
+    // st38 (r14): c66's transactional erasure driven by a streaming
+    // consent-revocation feed — one file-pruned deleteKeys commit per
+    // micro-batch; delete-set-partition invariance makes the streamed
+    // result equal the one-shot delete, so c66's oracle gates it
+    "st38_erasure_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.erasureFileStream(Tables.tune(s), d)),
     // char-window tier of d16: 20-char substring windows catch repeats
     // shorter than 8 tokens and across token boundaries
     "d20_char_spans" -> ((s, d) => Dedup.dupSpansChars(t(s, d, "documents"))),
@@ -3020,6 +3027,23 @@ object SparkEntry {
   // Shared q70/st34 oracle: the MV full recompute from raw orders —
   // cent sums are associative integers, so incremental AND streamed
   // maintenance must equal it exactly
+  /** c66/st38 shared oracle: the erasure audit recomputed entirely from
+    * the RAW documents table (before = all rows, after = revoked %13=5
+    * removed) — the gates read the maintained TxTable instead, so the
+    * hash asserts transactional-delete value correctness. */
+  private lazy val erasureSql =
+    """WITH b AS (SELECT source, count(*) AS n_before
+           FROM documents GROUP BY 1),
+       a AS (SELECT source, count(*) AS n_after,
+           CAST(sum(n_chars) AS BIGINT) AS chars_after
+         FROM documents WHERE doc_id % 13 <> 5 GROUP BY 1)
+       SELECT b.source, b.n_before,
+         b.n_before - COALESCE(a.n_after, 0) AS n_revoked,
+         COALESCE(a.n_after, 0) AS n_after,
+         COALESCE(a.chars_after, 0) AS chars_after
+       FROM b LEFT JOIN a ON a.source = b.source
+       ORDER BY b.source"""
+
   private lazy val matviewSql =
     """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
@@ -4057,18 +4081,11 @@ object SparkEntry {
     // the maintained TxTable (v1 via time travel, head after the
     // delete), so equality asserts the transactional erasure removed
     // exactly the revoked set and nothing else
-    "c66_erasure_audit" ->
-      """WITH b AS (SELECT source, count(*) AS n_before
-             FROM documents GROUP BY 1),
-         a AS (SELECT source, count(*) AS n_after,
-             CAST(sum(n_chars) AS BIGINT) AS chars_after
-           FROM documents WHERE doc_id % 13 <> 5 GROUP BY 1)
-         SELECT b.source, b.n_before,
-           b.n_before - COALESCE(a.n_after, 0) AS n_revoked,
-           COALESCE(a.n_after, 0) AS n_after,
-           COALESCE(a.chars_after, 0) AS chars_after
-         FROM b LEFT JOIN a ON a.source = b.source
-         ORDER BY b.source""",
+    "c66_erasure_audit" -> erasureSql,
+    // st38: identical contract — deleteKeys is delete-set-partition
+    // invariant, so the two-batch streamed erasure equals c66's
+    // one-shot delete and the same raw-recompute oracle gates it
+    "st38_erasure_stream" -> erasureSql,
     // c65: the single-window replay of the two-level cap (global top-N
     // per source is a subset of the union of salted-cell top-Ns, so the
     // forms are identical — spec-asserted on the Spark side)

@@ -848,6 +848,60 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st38: CONTINUOUS-COMPLIANCE erasure — c66's right-to-be-forgotten
+    * action at the streaming surface, where real deletion requests
+    * arrive (a consent-revocation feed, not a quarterly batch): each
+    * micro-batch of revoked doc ids is applied to the corpus TxTable as
+    * one file-pruned transactional deleteKeys commit, so readers
+    * between batches always see a consistent (if not yet fully
+    * scrubbed) corpus and every request is durably applied when its
+    * batch commits. deleteKeys is delete-set-partition invariant
+    * (removing A then B == removing A ∪ B), so the two-batch stream
+    * equals c66's one-shot delete and the same raw-recompute oracle
+    * gates it — with `before` still read via time travel to v1. */
+  def erasureFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-erasure")
+    val in = s"$dir/in"; val chk = s"$dir/chk"; val root = s"$dir/corpus"
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.TxTable.create(spark, docs, root, "doc_id")
+      val revoked = docs.filter(pmod(col("doc_id"), lit(13)) === 5)
+        .select(col("doc_id"))
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(revoked.filter(pmod(col("doc_id"), lit(2)) === 0),
+          revoked.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.sources.TxTable.deleteKeys(spark, root, b.toDF(), "doc_id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val before = graft.sources.TxTable.read(spark, root, asOf = Some(1L))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+      val after = graft.sources.TxTable.read(spark, root)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"),
+          sum(col("n_chars")).as("chars_after"))
+      before.join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_revoked"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("chars_after"), lit(0L)).as("chars_after"))
+        .localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →
