@@ -777,6 +777,7 @@ object SparkEntry {
     "c66_erasure_audit" -> Seq("source"),
     "st38_erasure_stream" -> Seq("source"),
     "q76_benford" -> Seq("digit"),
+    "q77_moments" -> Seq("event_type"),
     "c65_domain_cap" -> Seq("doc_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
@@ -2301,6 +2302,9 @@ object SparkEntry {
     // cent-string digit extraction, integer-ppm shares, literal
     // expectations (no transcendental on the decision path)
     "q76_benford" -> ((s, d) => Relational.benford(t(s, d, "orders"))),
+    // q77 (r14): per-group distribution moments — exact centered power
+    // sums on the scale-4 grid, IEEE only in the final skew/kurt formulas
+    "q77_moments" -> ((s, d) => Relational.moments(t(s, d, "events"))),
     // WITH RECURSIVE class: pointer-jumping transitive closure over the
     // supplier decimal-trie forest — O(log depth) self-joins
     "q57_hierarchy" -> ((s, d) => Relational.hierarchy(t(s, d, "supplier"))),
@@ -4012,6 +4016,40 @@ object SparkEntry {
            CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INTEGER)
              AS is_interpolated
          FROM nb ORDER BY 1, 2""",
+    // q77: the centered power sums replay as exact HUGEINT integers
+    // about the SAME grid-rounded mean (the ratRound rational); the
+    // final skew/kurt doubles come from identical exact integers
+    // through identical expression shapes
+    "q77_moments" ->
+      """WITH b AS (SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS u
+           FROM events),
+         s AS (SELECT event_type, count(*) AS n, sum(u) AS su
+               FROM b GROUP BY 1),
+         mu AS (SELECT event_type, n,
+             CAST((abs(su) * 2 + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+               * (CASE WHEN su < 0 THEN -1 ELSE 1 END) AS mean_u
+           FROM s),
+         c AS (SELECT b.event_type, mu.n, mu.mean_u,
+             b.u - mu.mean_u AS c
+           FROM b JOIN mu ON mu.event_type = b.event_type),
+         m AS (SELECT event_type, n, mean_u,
+             sum(c*c) AS sc2, sum(c*c*c) AS sc3, sum(c*c*c*c) AS sc4
+           FROM c GROUP BY 1, 2, 3)
+         SELECT event_type, n,
+           CAST(mean_u AS DOUBLE) / 10000.0 AS mean,
+           sqrt(CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0 AS stddev,
+           CASE WHEN sc2 > 0 THEN
+             (CAST(sc3 AS DOUBLE) / CAST(n AS DOUBLE))
+               / ((CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * sqrt(CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)))
+           ELSE 0.0 END AS skewness,
+           CASE WHEN sc2 > 0 THEN
+             (CAST(sc4 AS DOUBLE) / CAST(n AS DOUBLE))
+               / ((CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3
+           ELSE 0.0 END AS kurtosis_excess
+         FROM m ORDER BY event_type""",
     // q76: digit from the exact cent integer's decimal string; the
     // expected-ppm CASE is the SAME generated text both engines run
     "q76_benford" ->

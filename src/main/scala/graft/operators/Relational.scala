@@ -1224,6 +1224,47 @@ object Relational {
           .cast("bigint").as("orphan_ppm"))
   }
 
+  /** Distribution-moment profile per group — the monitoring layer
+    * q56's min/max/distinct profile lacks: exact mean/stddev plus the
+    * SHAPE moments (skewness, excess kurtosis) that tell a pipeline a
+    * value column went fat-tailed or lopsided before any fixed
+    * threshold fires. Cross-engine determinism the q52 way: values
+    * become exact scale-4 integer units; the per-group mean rounds to
+    * that grid (ratRound — a well-defined statistic, and the 1e-4-unit
+    * shift is statistically irrelevant); the CENTERED power sums are
+    * exact DECIMAL(38,0) integers (order-independent, map-side
+    * combinable; bound: |u|⁴·n ≤ 10³⁸ holds through ~10¹⁰ rows/group at
+    * |value| ≤ 10³ — past that, pre-aggregate per sub-key and re-sum);
+    * only the FINAL skew/kurt formulas run in IEEE doubles, computed
+    * from identical exact integers with identical expression shapes in
+    * both engines. Two corpus passes (stats, centered sums) + one
+    * broadcast join of the group-stats row set. */
+  def moments(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      * 10000).cast(dec)
+    val base = events.select(col("event_type"), u.as("u"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s"))
+      .withColumn("mean_u", ratRound("s", "n", 0).cast("long"))
+      .select(col("event_type"), col("n"), col("mean_u"))
+    val m = base.join(broadcast(stats), Seq("event_type"))
+      .withColumn("c", col("u") - col("mean_u").cast(dec))
+      .groupBy(col("event_type"), col("n"), col("mean_u"))
+      .agg(sum((col("c") * col("c")).cast(dec)).as("sc2"),
+        sum((col("c") * col("c") * col("c")).cast(dec)).as("sc3"),
+        sum((col("c") * col("c") * col("c") * col("c")).cast(dec)).as("sc4"))
+    val a2 = col("sc2").cast("double") / col("n").cast("double")
+    val a3 = col("sc3").cast("double") / col("n").cast("double")
+    val a4 = col("sc4").cast("double") / col("n").cast("double")
+    m.select(col("event_type"), col("n"),
+      (col("mean_u").cast("double") / 10000.0).as("mean"),
+      (sqrt(a2) / 10000.0).as("stddev"),
+      when(col("sc2") > 0, a3 / (a2 * sqrt(a2))).otherwise(0.0).as("skewness"),
+      when(col("sc2") > 0, a4 / (a2 * a2) - 3.0).otherwise(0.0)
+        .as("kurtosis_excess"))
+  }
+
   /** Benford first-digit expectations in exact ppm (log10(1 + 1/d)
     * rounded to a millionth — they sum to exactly 1,000,000). Entered
     * as LITERALS on both engines: the law's constants are data, so no

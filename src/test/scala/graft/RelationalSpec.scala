@@ -721,6 +721,28 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out("2020-03") === ((150.0, Some(-500.0))))
   }
 
+  test("moments: hand-checked mean/stddev/skew/kurtosis; constant column degrades to zeros") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val ev = (Seq(1.0, 2.0, 3.0, 4.0).map(v => (1L, ts, 1L, "a", v, "{}")) ++
+      Seq((2L, ts, 1L, "b", 7.0, "{}"), (3L, ts, 1L, "b", 7.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.moments(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") === 4L)
+    assert(a.getAs[Double]("mean") === 2.5)
+    assert(math.abs(a.getAs[Double]("stddev") - math.sqrt(1.25)) < 1e-12)
+    assert(a.getAs[Double]("skewness") === 0.0)   // symmetric by construction
+    // m4/m2² − 3 = 2.5625/1.5625 − 3 = −1.36 exactly in IEEE
+    assert(math.abs(a.getAs[Double]("kurtosis_excess") - (-1.36)) < 1e-12)
+    val b = out("b")                              // zero variance: no NaNs
+    assert(b.getAs[Double]("stddev") === 0.0)
+    assert(b.getAs[Double]("skewness") === 0.0)
+    assert(b.getAs[Double]("kurtosis_excess") === 0.0)
+  }
+
   test("benford: expectations sum to exactly 1e6 ppm; crafted digits counted exactly") {
     import spark.implicits._
     val orders = Seq(1.00, 1.50, 19.99, 2.00, 29.0, 300.0, 0.0, -5.0)

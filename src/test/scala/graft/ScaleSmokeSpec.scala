@@ -216,6 +216,31 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("c65 scale path: domain cap over 1M docs with a 300k-doc hot domain") {
+    gated()
+    // the exact skew the operator exists for: ONE domain holds 30% of
+    // the corpus (a template farm), the rest spread over 1,000 domains —
+    // a single-window form would funnel 300k rows through one reducer;
+    // the two-level form's level-1 cells hold ≤ ~4.7k rows each
+    val skew = spark.range(0, NDocs).select(col("id").as("doc_id"),
+      concat(lit("t"), pmod(xxhash64(col("id")), lit(1000)).cast("string"),
+        lit(" "), pmod(xxhash64(col("id"), lit(5)), lit(97)).cast("string"))
+        .as("text"),
+      when(pmod(col("id"), lit(10)) < 3, lit("srchot"))
+        .otherwise(concat(lit("src"),
+          pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("string")))
+        .as("source"))
+    timed("c65_domain_cap_1m") {
+      val perSource = graft.operators.Curation.domainCap(skew, cap = 100)
+        .filter(col("kept") === 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect()
+      val hot = perSource.find(_.getString(0) == "srchot").map(_.getAs[Long]("n"))
+      assert(hot === Some(100L), s"hot domain kept $hot, want the cap")
+      assert(perSource.forall(_.getAs[Long]("n") <= 100L))
+    }
+  }
+
   test("s22 scale path: graph-ANN beam search over the 500k-vector graph") {
     gated()
     timed("s22_graph_ann_500k") {
