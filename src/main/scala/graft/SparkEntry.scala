@@ -999,6 +999,7 @@ object SparkEntry {
     "m26_ico_meta" -> Seq("doc_id"),
     "m27_gzip_meta" -> Seq("doc_id"),
     "m28_elf_meta" -> Seq("doc_id"),
+    "m29_zstd_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
@@ -1487,6 +1488,10 @@ object SparkEntry {
     // EI_DATA picks the byte order of every later field (all four
     // class×endian variants planted); the code-corpus binary router
     "m28_elf_meta" -> ((s, d) => Multimodal.elfMetaPlanted(s, t(s, d, "documents"))),
+    // m29 (r14): zstd frame-header metadata — one descriptor byte
+    // drives the whole variable layout (window/dict-id/content-size
+    // field widths); the dataset-distribution compression wrapper
+    "m29_zstd_meta" -> ((s, d) => Multimodal.zstdMetaPlanted(s, t(s, d, "documents"))),
     // real PCM frame features (mean |amplitude deviation| per 32-sample
     // frame) — lossless by construction, so fully oracle-replayable
     "m6_wav_frames" -> ((s, d) => Multimodal.wavFramesPlanted(s, t(s, d, "documents"))),
@@ -7018,6 +7023,38 @@ object SparkEntry {
            CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS width,
            CAST(16 + (octet_length(encode(text)) % 4) * 16 AS INTEGER) AS height,
            32 AS bpp
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m29: the four descriptor variants replayed from the plant
+    // formulas — the exponent/mantissa window rule via exact shifts,
+    // single-segment window == content size per spec
+    "m29_zstd_meta" ->
+      """SELECT doc_id, 1 AS is_zstd,
+           CAST(CASE WHEN (doc_id // 8) % 4 = 0 THEN 1 ELSE 0 END
+             AS INTEGER) AS single_segment,
+           CAST(CASE WHEN (doc_id // 8) % 4 IN (1, 3) THEN 1 ELSE 0 END
+             AS INTEGER) AS has_checksum,
+           CAST(CASE (doc_id // 8) % 4 WHEN 0 THEN 0
+             WHEN 1 THEN doc_id % 65536 WHEN 2 THEN doc_id % 256
+             ELSE (doc_id * 31) % 2147483648 END AS BIGINT) AS dict_id,
+           CAST(CASE WHEN (doc_id // 8) % 4 = 0 THEN doc_id % 200
+             ELSE (CAST(1 AS BIGINT) << CAST(10 + doc_id % 5 AS INTEGER))
+               + (CAST(1 AS BIGINT) << CAST(7 + doc_id % 5 AS INTEGER))
+                 * (doc_id % 8)
+             END AS BIGINT) AS window_size,
+           CAST(CASE (doc_id // 8) % 4 WHEN 0 THEN doc_id % 200
+             WHEN 1 THEN 300 + doc_id % 1000
+             WHEN 2 THEN 1000000 + doc_id % 1000000
+             ELSE 5000000000 + doc_id END AS BIGINT) AS content_size
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_zstd,
+           CAST(octet_length(encode(text)) % 2 AS INTEGER) AS single_segment,
+           0 AS has_checksum,
+           CAST(octet_length(encode(text)) % 1000 AS BIGINT) AS dict_id,
+           CAST(1024 * (1 + octet_length(encode(text)) % 7) AS BIGINT)
+             AS window_size,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_size
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m28: planted rows replay class/endian/osabi/type/machine/entry

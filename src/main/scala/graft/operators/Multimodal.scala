@@ -2711,6 +2711,137 @@ object Multimodal {
                      every: Int = PlantedElfs.Every): DataFrame =
     elfMeta(plantedElfMedia(spark, documents, every).toDF())
 
+  /** Deterministic planted zstd frames for m29's gate (RFC 8878): four
+    * descriptor variants cover every field-width the header can take —
+    * v0 single-segment + 1-byte content size, v1 windowed + 2-byte FCS
+    * (the +256 rule) + 2-byte dict id + checksum, v2 windowed + 4-byte
+    * FCS + 1-byte dict id, v3 windowed + 8-byte FCS (a content size
+    * past 2³², exercising the two-half combine) + 4-byte dict id +
+    * checksum. Compressed body is opaque filler. */
+  object PlantedZstds {
+    val Every = 8
+
+    def craftedZstd(docId: Long): Array[Byte] = {
+      val v = ((docId / 8) % 4).toInt
+      val bodyN = (6 + docId % 18).toInt
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x28.toByte).put(0xB5.toByte).put(0x2F.toByte).put(0xFD.toByte)
+      v match {
+        case 0 =>
+          bb.put(0x20.toByte)                       // ss=1, fcs code 0
+          bb.put((docId % 200).toByte)              // 1-byte content size
+        case 1 =>
+          bb.put(0x46.toByte)                       // code1 | checksum | dict2
+          bb.put(((docId % 5) * 8 + docId % 8).toByte)  // window descriptor
+          bb.putShort((docId % 65536).toShort)      // dict id
+          bb.putShort((300 + docId % 1000 - 256).toShort) // FCS − 256
+        case 2 =>
+          bb.put(0x81.toByte)                       // code2 | dict1
+          bb.put(((docId % 5) * 8 + docId % 8).toByte)
+          bb.put((docId % 256).toByte)
+          bb.putInt((1000000 + docId % 1000000).toInt)
+        case _ =>
+          bb.put(0xC7.toByte)                       // code3 | checksum | dict4
+          bb.put(((docId % 5) * 8 + docId % 8).toByte)
+          bb.putInt(((docId * 31) % 2147483648L).toInt)
+          bb.putLong(5000000000L + docId)
+      }
+      (0 until bodyN).foreach(j => bb.put(((docId * 11 + j) % 256).toByte))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+  }
+
+  def plantedZstdMedia(spark: SparkSession, documents: DataFrame,
+                       every: Int = PlantedZstds.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedZstds.craftedZstd(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL zstd frame-header metadata (RFC 8878) from the binary
+    * column — THE compression wrapper of modern dataset distribution
+    * (corpus shards and crawl dumps ship .zst): after the LE magic,
+    * ONE descriptor byte drives the entire layout — Single_Segment
+    * decides whether a Window_Descriptor exists, Dictionary_ID_Flag
+    * picks a 0/1/2/4-byte dict id, and the FCS code picks a 0/1/2/4/
+    * 8-byte content size (2-byte carries the format's +256 rule;
+    * 8-byte reads as two 4-byte halves with the high half bounded to
+    * 2²¹ so the combined size stays Long-exact and a hostile
+    * 0xFF…-size falls back instead of ANSI-throwing — the m28 lesson).
+    * Window size decodes the exponent/mantissa rule; single-segment
+    * frames report their content size as the window, per spec.
+    * `complete` requires the reserved descriptor bit clear, every
+    * declared field in-payload, and a KNOWN content size (streaming
+    * frames without FCS fall to the synthetic tier — the router's
+    * budget question is precisely the size). Map-only column exprs. */
+  def zstdMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p).cast("long")
+    val staged = media
+      .withColumn("_zst", hex(p.substr(lit(1), lit(4))) === "28B52FFD")
+      .withColumn("_flg", leUint(p, 5, 1))
+      .withColumn("_fcsc", expr("_flg div 64"))
+      .withColumn("_ss", pmod(expr("_flg div 32"), lit(2)) === 1)
+      .withColumn("_resv", pmod(expr("_flg div 8"), lit(2)))
+      .withColumn("_cks", pmod(expr("_flg div 4"), lit(2)))
+      .withColumn("_dflag", pmod(col("_flg"), lit(4)))
+      .withColumn("_wd", when(!col("_ss"), leUint(p, 6, 1)))
+      .withColumn("_dpos", lit(6L) + when(col("_ss"), 0L).otherwise(1L))
+      .withColumn("_dsize", when(col("_dflag") === 0, 0L)
+        .when(col("_dflag") === 1, 1L).when(col("_dflag") === 2, 2L)
+        .otherwise(4L))
+    // the dict id read must use the DECLARED width — a fixed 4-byte
+    // read would swallow FCS bytes on narrow ids
+    val withDict = staged.withColumn("_dict",
+      when(col("_dflag") === 0, lit(0L))
+        .when(col("_dflag") === 1, leUintAt(p, col("_dpos"), 1))
+        .when(col("_dflag") === 2, leUintAt(p, col("_dpos"), 2))
+        .otherwise(leUintAt(p, col("_dpos"), 4)))
+      .withColumn("_fpos", col("_dpos") + col("_dsize"))
+      .withColumn("_fsize", when(col("_fcsc") === 0,
+          when(col("_ss"), 1L).otherwise(0L))
+        .when(col("_fcsc") === 1, 2L).when(col("_fcsc") === 2, 4L)
+        .otherwise(8L))
+      .withColumn("_cs", when(col("_fcsc") === 0 && col("_ss"),
+          leUintAt(p, col("_fpos"), 1))
+        .when(col("_fcsc") === 1, leUintAt(p, col("_fpos"), 2) + 256)
+        .when(col("_fcsc") === 2, leUintAt(p, col("_fpos"), 4))
+        .when(col("_fcsc") === 3, {
+          val lo = leUintAt(p, col("_fpos"), 4)
+          val hi = leUintAt(p, col("_fpos") + 4, 4)
+          when(hi < (1L << 21), hi * 4294967296L + lo)
+        }))
+      .withColumn("_ws", when(col("_ss"), col("_cs"))
+        .otherwise(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(10 + _wd div 8 AS INT)) + " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(7 + _wd div 8 AS INT)) * (_wd % 8)")))
+    val complete = coalesce(
+      col("_zst") && col("_resv") === 0 && col("_cs").isNotNull &&
+        col("_fpos") + col("_fsize") - 1 <= len &&
+        (col("_ss") || col("_wd").isNotNull),
+      lit(false))
+    withDict.select(
+      col("doc_id"),
+      complete.cast("int").as("is_zstd"),
+      when(complete, col("_ss").cast("int"))
+        .otherwise(pmod(len, lit(2)).cast("int")).as("single_segment"),
+      when(complete, col("_cks").cast("int")).otherwise(lit(0)).as("has_checksum"),
+      when(complete, col("_dict")).otherwise(pmod(len, lit(1000L))).as("dict_id"),
+      when(complete, col("_ws"))
+        .otherwise(lit(1024L) * (lit(1L) + pmod(len, lit(7)))).as("window_size"),
+      when(complete, col("_cs")).otherwise(len).as("content_size"))
+  }
+
+  /** The m29 gate: zstd frame metadata over the planted corpus. */
+  def zstdMetaPlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedZstds.Every): DataFrame =
+    zstdMeta(plantedZstdMedia(spark, documents, every).toDF())
+
   object PlantedMp3s {
     val Every = 8
 

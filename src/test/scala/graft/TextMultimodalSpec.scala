@@ -195,6 +195,49 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(out(id).getAs[Int]("is_elf") === 0, s"hostile doc $id parsed"))
   }
 
+  test("zstd meta: all four descriptor layouts parse; hostile size, reserved bit and truncation fall back") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // v0 ss+1B, v1 win+2B(+256)+dict2+cks, v2 win+4B+dict1, v3 win+8B+dict4+cks
+    val planted = Seq(0L, 8L, 16L, 24L).map(id =>
+      (id, Multimodal.PlantedZstds.craftedZstd(id)))
+    // hostile 8-byte content size 0xFF… — must fall back, never throw
+    val hostileSize = {
+      val b = Multimodal.PlantedZstds.craftedZstd(24L).clone()
+      (10 until 18).foreach(i => b(i) = 0xFF.toByte)   // FCS after magic+desc+wd+dict4
+      (1L, b)
+    }
+    // reserved descriptor bit set — the format says refuse
+    val reserved = {
+      val b = Multimodal.PlantedZstds.craftedZstd(0L).clone()
+      b(4) = (b(4) | 0x08).toByte
+      (2L, b)
+    }
+    val truncated = (3L, Multimodal.PlantedZstds.craftedZstd(16L).take(8))
+    val media = (planted ++ Seq(hostileSize, reserved, truncated))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.zstdMeta(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("is_zstd") === 1)
+    assert(out(0L).getAs[Int]("single_segment") === 1)
+    assert(out(0L).getAs[Long]("content_size") === 0L % 200)
+    assert(out(0L).getAs[Long]("window_size") ===
+      out(0L).getAs[Long]("content_size"))        // ss: window == content
+    assert(out(8L).getAs[Long]("content_size") === 300L + 8 % 1000)
+    assert(out(8L).getAs[Int]("has_checksum") === 1)
+    assert(out(8L).getAs[Long]("dict_id") === 8L % 65536)
+    // window rule: exp = 8%5 = 3, mant = 8%8 = 0 → 1 << 13
+    assert(out(8L).getAs[Long]("window_size") === (1L << 13))
+    assert(out(16L).getAs[Long]("content_size") === 1000000L + 16 % 1000000)
+    assert(out(16L).getAs[Long]("dict_id") === 16L % 256)
+    // exp = 16%5 = 1, mant = 16%8 = 0 → 2048
+    assert(out(16L).getAs[Long]("window_size") === 2048L)
+    // v3: the two-half combine past 2³²
+    assert(out(24L).getAs[Long]("content_size") === 5000000000L + 24)
+    assert(out(24L).getAs[Long]("dict_id") === (24L * 31) % 2147483648L)
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(out(id).getAs[Int]("is_zstd") === 0, s"hostile doc $id parsed"))
+  }
+
   test("lang-id: deterministic, priority tie-break, und only when all scores 0") {
     val out = TextOps.langId(table("documents")).collect()
     out.foreach { r =>
