@@ -748,6 +748,7 @@ object SparkEntry {
     "q14_percentiles" -> Seq("event_type"),
     "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
+    "q78_session_native" -> Seq("user_id", "session_start"),
     "q16_asof_join" -> Seq("event_id"),
     "q59_asof_forward" -> Seq("event_id"),
     "q62_asof_tolerance" -> Seq("event_id"),
@@ -768,6 +769,7 @@ object SparkEntry {
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
     "q68_time_travel" -> Seq("o_orderkey"),
+    "q79_tx_restore" -> Seq("o_orderkey"),
     "q69_tx_schema_evolve" -> Seq("o_orderkey"),
     "q70_incr_matview" -> Seq("ym"),
     "st34_matview_stream" -> Seq("ym"),
@@ -1086,6 +1088,11 @@ object SparkEntry {
       Relational.percentilesApproxEval(s.read.parquet(stageDir(d) + "/q38_est"), ev)
     }),
     "q15_sessionize" -> ((s, d) => TimeJoins.sessionize(t(s, d, "events"))),
+    // q78 (r14): the NATIVE session_window form of q15 — Spark's
+    // built-in gap-merge aggregation (the one that transfers unchanged
+    // to a watermarked stream), gated against the same lag-form algebra
+    "q78_session_native" -> ((s, d) =>
+      TimeJoins.sessionizeNative(t(s, d, "events"))),
     "q16_asof_join" -> ((s, d) => TimeJoins.asofJoin(t(s, d, "events"))),
     // the labeling join: first outcome at-or-after each feature row,
     // with the time-to-outcome column; reverse-order single carry
@@ -1155,6 +1162,27 @@ object SparkEntry {
       Dedup.bandedSigs(fresh).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d32_banded")
       Dedup.minhashPairsFromSigs(sigs)
+    }),
+    // q79 (r14): RESTORE as a commit — the table is mutated twice (a
+    // value-overwriting merge, then a delete), restored to v1, and the
+    // read-back must equal the RAW create input exactly; a restore that
+    // leaves any merged value or misses a deleted row hash-fails.
+    // History stays intact (spec: the bad versions remain travelable).
+    "q79_tx_restore" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val root = stageDir(d) + "/q79_tx"
+      graft.sources.TxTable.create(s, o, root, "o_orderkey")
+      graft.sources.TxTable.merge(s, root,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      graft.sources.TxTable.deleteKeys(s, root,
+        o.filter(pmod(col("o_orderkey"), lit(11)) === 3)
+          .select(col("o_orderkey")), "o_orderkey")
+      graft.sources.TxTable.restore(root, "o_orderkey", 1L)
+      graft.sources.TxTable.read(s, root)
     }),
     // c66 (r14): right-to-be-forgotten ERASURE through the ACID layer —
     // the GDPR/opt-out governance action a training-data corpus must
@@ -4073,6 +4101,11 @@ object SparkEntry {
              - CAST(${graft.operators.Relational.benfordCaseSql("digit")}
                  AS BIGINT) AS delta_ppm
          FROM g, t ORDER BY digit""",
+    // q79: the restore target IS the raw create input — equality after
+    // merge + delete + restore asserts the version-state swap is exact
+    "q79_tx_restore" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     // q75: the five FK relations replayed with the same planted remaps;
     // count(*) / conditional count / conditional distinct are BIGINT in
     // both engines; the ppm rate is the exact half-away integer rational
@@ -4558,6 +4591,21 @@ object SparkEntry {
           SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
           ${dsum("value")} AS sum_value
           FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q78: the native session_window result replayed with q15's
+    // lag+running-sum island algebra (gap = 1800s + 1 makes the two
+    // boundary conventions identical on whole-second timestamps —
+    // TimeJoinsSpec pins the parity), aggregated per session
+    "q78_session_native" ->
+      s"""WITH e AS (SELECT user_id, value,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+          f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL
+                OR se - lag(se) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY se)),
+          g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY se
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+          SELECT user_id, min(se) AS session_start, count(*) AS n_events,
+            ${dsum("value")} AS sum_value
+          FROM g GROUP BY user_id, sid ORDER BY 1, 2""",
     // st3 drives the STATEFUL streaming sessionizer end-to-end (file
     // source → flatMapGroupsWithState → foreachBatch) and must land on
     // the batch result exactly — the q15 oracle verbatim. st31 is the

@@ -43,17 +43,21 @@ object TimeJoins {
     * watermarked session_window aggregation keeps per-session state in
     * the state store with merge-on-arrival).
     *
-    * Boundary semantics differ by one instant: session_window merges an
-    * event iff it lands STRICTLY inside lastEvent + gap ("diff < gap"),
-    * while the lag form keeps "diff <= gapSec". On whole-second
-    * timestamps gap = gapSec + 1 seconds makes the two identical —
-    * TimeJoinsSpec asserts exact parity including sums. */
+    * Boundary semantics match the lag form EXACTLY at gap = gapSec:
+    * session_window merges an event whose start lies at-or-inside the
+    * running session end (diff <= gap, INCLUSIVE — measured on this
+    * engine and pinned by the boundary spec: a pair exactly gapSec
+    * apart merges, gapSec + 1 splits), which is the same "diff <=
+    * gapSec" rule the lag form keeps. The r14 corpus gate caught a
+    * +1-second adjustment here over-merging pairs at exactly
+    * gapSec + 1 — boundary conventions are MEASURED, never assumed
+    * (the st35 lesson at the batch layer). */
   def sessionizeNative(events: DataFrame, gapSec: Long = 1800): DataFrame =
     events
       .select(col("user_id"), col("value"),
         date_trunc("second", col("ts")).as("tsec"))
       .groupBy(col("user_id"),
-        session_window(col("tsec"), s"${gapSec + 1} seconds").as("w"))
+        session_window(col("tsec"), s"$gapSec seconds").as("w"))
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
       .select(col("user_id"),
         unix_timestamp(col("w.start")).as("session_start"),

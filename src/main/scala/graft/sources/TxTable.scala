@@ -535,6 +535,33 @@ object TxTable {
     doomed.map(_.getFileName.toString)
   }
 
+  /** RESTORE the table to the state of version `asOf`, AS A NEW COMMIT
+    * (the Delta RESTORE semantics): the head version's live set is
+    * swapped for the target version's — adds re-reference the target's
+    * files (immutable, so their logged rows/key-range stats are still
+    * exact), removes de-reference everything the head added since.
+    * History stays intact: the restore is itself a version, so the
+    * "bad" intermediate states remain time-travelable (and auditable —
+    * an erasure must NOT be undone this way without noticing: restore
+    * resurrects logically, subject to vacuum having kept the bytes; a
+    * time-travel read past vacuumed files fails loudly, same contract
+    * as read). Restoring to the current state is a no-op. The target
+    * version's SCHEMA is re-committed when it differs, so a
+    * post-widening restore also narrows the declared schema back. */
+  def restore(root: String, key: String, asOf: Long): Long = occRetry(root) { v =>
+    val target = replayState(root, Some(asOf))
+    val head = replayState(root, None)
+    require(target.live.nonEmpty,
+      s"TxTable at $root has no live files at v$asOf")
+    val headNames = head.live.map(_.name).toSet
+    val targetNames = target.live.map(_.name).toSet
+    val adds = target.live.filterNot(f => headNames.contains(f.name))
+    val removes = head.live.map(_.name).filterNot(targetNames.contains)
+    if (adds.isEmpty && removes.isEmpty) None
+    else Some((adds, removes, key,
+      if (target.schema != head.schema) target.schema else None, None))
+  }
+
   /** Compaction as a commit: rewrite the current live set into
     * `numFiles` files, remove the originals — readers before/after see
     * exactly the same rows (spec-asserted), and time travel to the

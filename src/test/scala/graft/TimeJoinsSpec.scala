@@ -31,6 +31,26 @@ class TimeJoinsSpec extends AnyFunSuite with SharedSpark {
     assert(native.nonEmpty)
   }
 
+  test("native session_window boundary: exactly-gap merges, gap+1 splits (both forms)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1577836800000L + sec * 1000)
+    // user 1: a pair exactly 1800 s apart (must be ONE session in both
+    // forms); user 2: 1801 s apart (must be TWO) — the boundary that
+    // caught the r14 over-merge
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1800), 1L, "view", 2.0, "{}"),
+      (3L, ts(0), 2L, "view", 4.0, "{}"), (4L, ts(1801), 2L, "view", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    val native = shape(TimeJoins.sessionizeNative(ev).collect())
+    assert(native === Set((1L, 2L, 3.0), (2L, 1L, 4.0), (2L, 1L, 8.0)))
+    val lagForm = shape(TimeJoins.sessionize(ev).collect())
+    assert(lagForm === native)
+  }
+
   test("as-of join matches a naive per-row recompute") {
     val out = TimeJoins.asofJoin(table("events")).collect()
       .map(r => r.getAs[Long]("event_id") ->

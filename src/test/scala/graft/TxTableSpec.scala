@@ -253,6 +253,25 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("restore: rolls the live set back as a new commit; history stays travelable") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-restore")
+    TxTable.merge(spark, root,
+      Seq((1L, "MUT"), (5000L, "NEW")).toDF("k", "v"), "k")        // v2
+    TxTable.deleteKeys(spark, root, Seq(2L, 3L).toDF("k"), "k")    // v3
+    val v = TxTable.restore(root, "k", 1L)                         // v4
+    assert(v === 4L)
+    assert(rows(TxTable.read(spark, root)) === rows(base))
+    // the intermediate state is still travelable (restore never erases)
+    val atV3 = rows(TxTable.read(spark, root, asOf = Some(3L)))
+    assert(atV3.contains((1L, "MUT")) && atV3.contains((5000L, "NEW")))
+    assert(!atV3.exists(_._1 == 2L))
+    // restoring to the current state is a no-op (no new version)
+    assert(TxTable.restore(root, "k", 4L) === 4L)
+    // stats stay metadata-exact after the swap
+    assert(TxTable.stats(root).numRows === 1000L)
+  }
+
   test("deleteKeys removes exactly the requested keys; delete-of-absent no-ops") {
     import spark.implicits._
     val (root, base) = mkTable("txt-del")
