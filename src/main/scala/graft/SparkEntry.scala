@@ -780,6 +780,7 @@ object SparkEntry {
     "st38_erasure_stream" -> Seq("source"),
     "q76_benford" -> Seq("digit"),
     "q77_moments" -> Seq("event_type"),
+    "q80_bitmap_overlap" -> Seq("type_a", "type_b"),
     "c65_domain_cap" -> Seq("doc_id"),
     "q25_brand_revenue" -> Seq("p_brand"),
     "q27_salted_join" -> Seq("c_mktsegment"),
@@ -2338,6 +2339,11 @@ object SparkEntry {
     // q77 (r14): per-group distribution moments — exact centered power
     // sums on the scale-4 grid, IEEE only in the final skew/kurt formulas
     "q77_moments" -> ((s, d) => Relational.moments(t(s, d, "events"))),
+    // q80 (r14): exact audience overlap via bit-packed user bitmaps —
+    // c64's HLL estimate made exact at 64× membership compression; the
+    // oracle is independent machinery (distinct sets + user-keyed join)
+    "q80_bitmap_overlap" -> ((s, d) =>
+      Relational.bitmapOverlap(t(s, d, "events"))),
     // WITH RECURSIVE class: pointer-jumping transitive closure over the
     // supplier decimal-trie forest — O(log depth) self-joins
     "q57_hierarchy" -> ((s, d) => Relational.hierarchy(t(s, d, "supplier"))),
@@ -4049,6 +4055,24 @@ object SparkEntry {
            CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INTEGER)
              AS is_interpolated
          FROM nb ORDER BY 1, 2""",
+    // q80: INDEPENDENT relational ground truth — distinct membership
+    // sets and a user-keyed join; any packing/popcount/word-join bug
+    // in the bitmap machinery hash-fails against it
+    "q80_bitmap_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         t AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+         ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ov
+             FROM u a JOIN u b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+             GROUP BY 1, 2)
+         SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           ta.n AS n_a, tb.n AS n_b,
+           COALESCE(ov.n_ov, 0) AS n_overlap
+         FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+         LEFT JOIN ov ON ov.type_a = ta.event_type
+           AND ov.type_b = tb.event_type
+         ORDER BY 1, 2""",
     // q77: the centered power sums replay as exact HUGEINT integers
     // about the SAME grid-rounded mean (the ratRound rational); the
     // final skew/kurt doubles come from identical exact integers

@@ -1224,6 +1224,49 @@ object Relational {
           .cast("bigint").as("orphan_ppm"))
   }
 
+  /** EXACT audience overlap via bit-packed user bitmaps — the precise
+    * counterpart of the HLL inclusion–exclusion estimate (c64), and
+    * the warehouse bitmap-index idiom (roaring's dense case): each
+    * segment's user set becomes ⌈|universe|/64⌉ packed words
+    * (user_id div 64 → word index, a single set bit inside), built by
+    * ONE map-side-combinable bit_or aggregate; pairwise intersections
+    * then join on the 8-byte word index and sum popcounts — work
+    * ∝ segments² × words, never a user-level self-join, and the word
+    * table is a 64× compression of the distinct-membership table. The
+    * oracle is INDEPENDENT machinery: plain distinct sets and a
+    * user-keyed join — so a packing, popcount or join bug hash-fails
+    * against relational ground truth. Sign bit is safe: packing,
+    * bit_or, AND and bit_count all act on the raw two's-complement
+    * pattern. */
+  def bitmapOverlap(events: DataFrame): DataFrame = {
+    val words = events.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        expr("user_id div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("b"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(b)").as("bits"))
+      .localCheckpoint()
+    val totals = words.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n"))
+    val a = words.select(col("event_type").as("type_a"), col("w"),
+      col("bits").as("ba"))
+    val b = words.select(col("event_type").as("type_b"), col("w"),
+      col("bits").as("bb"))
+    val ov = a.join(b, Seq("w")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(bit_count(col("ba").bitwiseAND(col("bb"))).cast("long"))
+        .as("n_ov"))
+    // the pair spine comes from the (tiny) totals cross — a pair whose
+    // segments never share a word block still reports overlap 0
+    totals.select(col("event_type").as("type_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("event_type").as("type_b"),
+        col("n").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+      .join(ov, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_ov"), lit(0L)).as("n_overlap"))
+  }
+
   /** Distribution-moment profile per group — the monitoring layer
     * q56's min/max/distinct profile lacks: exact mean/stddev plus the
     * SHAPE moments (skewness, excess kurtosis) that tell a pipeline a

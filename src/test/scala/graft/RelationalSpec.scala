@@ -721,6 +721,28 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(out("2020-03") === ((150.0, Some(-500.0))))
   }
 
+  test("bitmap overlap: exact counts across word boundaries; zero-overlap pair emits 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    // users straddle the 64-bit word boundary (63, 64) and reach word 2
+    // (130); types a∩b = {1, 64}, a∩c = ∅, b∩c = ∅
+    val rows =
+      Seq(1L, 63L, 64L, 130L).map(u => ("a", u)) ++
+        Seq(1L, 2L, 64L).map(u => ("b", u)) ++
+        Seq(200L).map(u => ("c", u))
+    val ev = rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, ts, u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.bitmapOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "b")) === ((4L, 3L, 2L)))
+    assert(out(("a", "c")) === ((4L, 1L, 0L)))
+    assert(out(("b", "c")) === ((3L, 1L, 0L)))
+    assert(out.size === 3)
+  }
+
   test("moments: hand-checked mean/stddev/skew/kurtosis; constant column degrades to zeros") {
     import spark.implicits._
     import java.sql.Timestamp
