@@ -1282,8 +1282,12 @@ object SparkEntry {
       sh.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d36_sh")
       val corpusSh = sh.filter(pmod(col("doc_id"), lit(2)) === 1).localCheckpoint()
       val corpusDf = Dedup.prefixDfTable(corpusSh).localCheckpoint()
+      // the third persisted index artifact (r14): corpus prefix rows,
+      // computed once at index build — probes never re-rank the corpus
+      val corpusPrefix = Dedup.prefixIndex(corpusSh, corpusDf).localCheckpoint()
       Dedup.prefixIncremental(
-        sh.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSh, corpusDf)
+        sh.filter(pmod(col("doc_id"), lit(2)) === 0), corpusSh, corpusDf,
+        corpusPrefix)
     }),
     // substring-level dedup: maximal repeated 8-token spans (cross- or
     // within-doc), interval-island merged — fully relational, full oracle
@@ -2322,7 +2326,8 @@ object SparkEntry {
     // nearest observed neighbours on a planted-gap daily series; exact
     // integer-cent inputs make the IEEE interpolation bit-equal across
     // engines with no rounding step
-    "q74_interpolate" -> ((s, d) => Relational.interpolate(t(s, d, "events"))),
+    "q74_interpolate" -> ((s, d) => Relational.interpolate(t(s, d, "events"),
+      withhold = day => dayofmonth(day) % 3 === 0)),
     // q75 (r14): referential-integrity audit over the whole star —
     // planted orphans (keyed FK remaps out of the parent key space),
     // five join+aggregate pipelines, exact integer-ppm orphan rates
@@ -4616,9 +4621,11 @@ object SparkEntry {
           ${dsum("value")} AS sum_value
           FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     // q78: the native session_window result replayed with q15's
-    // lag+running-sum island algebra (gap = 1800s + 1 makes the two
-    // boundary conventions identical on whole-second timestamps —
-    // TimeJoinsSpec pins the parity), aggregated per session
+    // lag+running-sum island algebra, aggregated per session.
+    // session_window merges INCLUSIVE of the gap (measured — the r14
+    // gate caught a +1-second adjustment over-merging), so at gap =
+    // 1800 s both forms keep "diff <= 1800" and the lag replay below
+    // breaks on "> 1800"; TimeJoinsSpec pins the boundary pair
     "q78_session_native" ->
       s"""WITH e AS (SELECT user_id, value,
             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
@@ -7086,7 +7093,7 @@ object SparkEntry {
              WHEN 2 THEN 48 ELSE 256 END AS INTEGER) AS width,
            CAST(CASE (doc_id // 8) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
              WHEN 2 THEN 48 ELSE 256 END AS INTEGER) AS height,
-           CAST(CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 4
+           CAST(CASE (doc_id // 16) % 4 WHEN 0 THEN 1 WHEN 1 THEN 4
              WHEN 2 THEN 8 ELSE 32 END AS INTEGER) AS bpp
          FROM documents WHERE doc_id % 8 = 0
          UNION ALL

@@ -31,12 +31,17 @@ object Curation {
     val wc = documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // the 1-row aggregate is materialized ONCE: the three family
+    // selects below each re-evaluate their parent, and without the
+    // checkpoint that is three corpus explode+join+aggregate passes
+    // for one 3-row report (r14 review)
     val tot = wc.join(wordSegs, "word").agg(
       sum(col("cnt")).as("nw"),
       sum(col("cnt") * col("n_bpe")).as("tb"),
       sum(col("cnt") * col("n_ug")).as("tu"),
       sum(col("cnt") * col("n_wp")).as("tw"),
       sum(col("cnt") * col("n_unk_wp")).as("tunk"))
+      .localCheckpoint()
     def fam(name: String, sub: String, unk: Column) = tot.select(
       lit(name).as("family"),
       col("nw").as("n_words"),

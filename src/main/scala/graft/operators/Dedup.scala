@@ -290,9 +290,22 @@ object Dedup {
       threshold)
   }
 
+  /** The corpus PREFIX-ROW artifact for [[prefixIncremental]] — the
+    * third persisted table of the prefix index (beside the shingle
+    * table and its df table): each corpus doc's rarest-shingle prefix
+    * under the (df asc, hash) order. A pure function of
+    * (corpusSh, corpusDf), so a pipeline computes it ONCE when the
+    * index is built and every later batch probe is a key-scan — the
+    * r14 review caught the previous shape recomputing this corpus-wide
+    * explode + rank on EVERY incremental call (per-batch cost ∝ corpus
+    * in st36's loop, contradicting the probe-the-artifact posture). */
+  def prefixIndex(corpusSh: DataFrame, corpusDf: DataFrame,
+                  threshold: Double = 0.5): DataFrame =
+    prefixRows(corpusSh, corpusDf, threshold)
+
   /** Incremental prefix-filter dedup — [[prefixAllPairs]] in the
     * d11/d12 ingest posture: the new batch probes the PERSISTED corpus
-    * artifact (shingle table + its document-frequency table — the
+    * artifacts (shingle table + df table + [[prefixIndex]] — the
     * prefix index a production pipeline keeps) and emits every J ≥ t
     * pair touching the batch (batch-vs-corpus AND batch-vs-batch),
     * which equals the full [[prefixAllPairs]] recompute over the union
@@ -301,12 +314,15 @@ object Dedup {
     * prefix-filter lemma holds for any order both sides share, so a
     * stale index loses zero recall — it only admits a few extra
     * candidates until the index is refreshed, the exactness-under-
-    * staleness property LSH signatures don't have. Corpus work: one
-    * key-scan of the artifact, never a re-shingle. */
+    * staleness property LSH signatures don't have. Corpus work: a
+    * key-scan of the prefix index for candidates + a doc-keyed fetch
+    * of candidate shingle arrays for the verify — never a re-shingle,
+    * never a corpus-wide rank. */
   def prefixIncremental(batchSh: DataFrame, corpusSh: DataFrame,
-                        corpusDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+                        corpusDf: DataFrame, corpusPrefix: DataFrame,
+                        threshold: Double = 0.5): DataFrame = {
     val bp = prefixRows(batchSh, corpusDf, threshold)
-    val cp = prefixRows(corpusSh, corpusDf, threshold)
+    val cp = corpusPrefix
     val cand = bp.select(col("doc_id").as("doc_x"), col("shn").as("nx"), col("h"))
       .join(bp.union(cp).select(col("doc_id").as("doc_y"),
           col("shn").as("ny"), col("h").as("h2")),

@@ -525,7 +525,11 @@ object Multimodal {
       val n = (1 + docId % 3).toInt
       val dims = Array(16, 32, 48, 256)
       val w0 = dims(((docId / 8) % 4).toInt)
-      val bpp = Array(1, 4, 8, 32)(((docId / 4) % 4).toInt)
+      // (docId/16)%4, NOT (docId/4)%4: planted ids are ≡ 0 (mod 8), so
+      // a /4 selector is always even and only ever picked bpp ∈ {1, 8}
+      // — a parser bug visible only at 4 or 32 could never be caught
+      // (r14 review); /16 walks all four values across the plant set
+      val bpp = Array(1, 4, 8, 32)(((docId / 16) % 4).toInt)
       val imgBytes = (8 + docId % 24).toInt    // tiny fake bitmap payloads
       val out = java.nio.ByteBuffer.allocate(6 + 16 * n + imgBytes * n)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -867,16 +867,20 @@ object Relational {
     * (LOCF) sibling, the other production resampling policy: a missing
     * day takes `prev + (next − prev) · (d − d_prev)/(d_next − d_prev)`
     * between its nearest OBSERVED neighbours (edge days extend the
-    * nearest known value). The synthetic series is dense, so gaps are
-    * planted (days-of-month divisible by 3 are withheld — the t15/c24
-    * plant idiom). All inputs are exact integer cents; the
-    * interpolation is the identical IEEE expression on both engines
-    * (integer-valued doubles, one division, one multiply, one add), so
-    * the oracle hashes bit-equal without any rounding step. Plan
-    * shape: one combinable daily aggregate; the neighbour windows run
-    * over the CALENDAR × event-type frame — a dimension-bounded
+    * nearest known value). `withhold` marks observed days to TREAT as
+    * missing — the default withholds nothing (real data comes with its
+    * own gaps); the GATE passes the day-of-month %3 plant because the
+    * synthetic series is dense (the t15/c24 plant idiom, kept in the
+    * driver layer per the r14 review — the operator itself must never
+    * discard real observations). All inputs are exact integer cents;
+    * the interpolation is the identical IEEE expression on both
+    * engines (integer-valued doubles, one division, one multiply, one
+    * add), so the oracle hashes bit-equal without any rounding step.
+    * Plan shape: one combinable daily aggregate; the neighbour windows
+    * run over the CALENDAR × event-type frame — a dimension-bounded
     * post-aggregate window, the sanctioned class (q51/q52). */
-  def interpolate(events: DataFrame): DataFrame = {
+  def interpolate(events: DataFrame,
+                  withhold: Column => Column = _ => lit(false)): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // exact scale-4 integer units (the q52 idiom): value*100 rounding
     // on arbitrary doubles could split engines; the decimal sum cannot
@@ -884,7 +888,7 @@ object Relational {
       .groupBy(col("ts").cast("date").as("day"), col("event_type"))
       .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
         .cast("long").as("cents"))
-    val known = daily.filter(dayofmonth(col("day")) % 3 =!= 0)
+    val known = daily.filter(!withhold(col("day")))
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val types = daily.select(col("event_type")).distinct()
     val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -433,10 +433,22 @@ object TxTable {
           .filter(_ => tblCols.nonEmpty) // legacy no-schema logs: no evolution
         val touchedSet = touchedFileNames(spark, files, updates, key)
         val touched = files.filter(f => touchedSet.contains(f.name))
+        // touched files are read THROUGH the declared table schema
+        // (read-by-name, like read()): a bare inferred read after a
+        // widening commit takes its schema from whichever touched file
+        // it samples — a pre-widening file yields a narrow frame and
+        // Sources.upsert would then silently DROP the widened column's
+        // values from the updates (caught by the r14 review; spec:
+        // "second merge into pre-widening files keeps the column")
         val base0 =
           if (touched.isEmpty) updates.limit(0)
-          else spark.read.parquet(touched.map(f =>
-            dataDir(root).resolve(f.name).toString): _*)
+          else {
+            val paths = touched.map(f => dataDir(root).resolve(f.name).toString)
+            tableSchema match {
+              case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
+              case None => spark.read.parquet(paths: _*)
+            }
+          }
         // widen the rewrite side with the added columns (null for rows
         // whose key the updates don't touch — by-name parquet reads of
         // carried-over files do the same, so the widened schema is total)
@@ -465,13 +477,21 @@ object TxTable {
     if (touchedFileNames(spark, snapshot(root, None), keys, key).isEmpty)
       return currentVersion(root)   // delete-of-absent: no-op
     occRetry(root) { v =>
-      val files = snapshot(root, None)
+      val st = replayState(root, None)
+      val files = st.live
       val touchedSet = touchedFileNames(spark, files, keys, key)
       val touched = files.filter(f => touchedSet.contains(f.name))
       if (touched.isEmpty) None     // raced to a no-op: commit nothing
       else {
-        val base = spark.read.parquet(touched.map(f =>
-          dataDir(root).resolve(f.name).toString): _*)
+        // declared-schema read, same reason as merge: an inferred read
+        // over mixed pre-/post-widening touched files can sample the
+        // narrow file and silently erase the widened column from every
+        // surviving row the delete never mentioned
+        val paths = touched.map(f => dataDir(root).resolve(f.name).toString)
+        val base = st.schema
+          .map(j => spark.read.schema(
+            DataType.fromJson(j).asInstanceOf[StructType]).parquet(paths: _*))
+          .getOrElse(spark.read.parquet(paths: _*))
         val remaining = base.join(keys.select(col(key)).distinct(),
           Seq(key), "left_anti")
         Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete"),

@@ -1225,7 +1225,13 @@ object StreamDrivers {
         .shingleTable(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
       val corpusDf = graft.operators.Dedup.prefixDfTable(corpusSh)
         .localCheckpoint()
+      // the persisted prefix-row index, grown INCREMENTALLY: each batch
+      // appends its own prefix rows (ranked under the frozen corpus-df
+      // order, so earlier rows never change) — per-batch work ∝ batch,
+      // never ∝ the growing state (the r14 review fix)
       var state = corpusSh
+      var statePrefix = graft.operators.Dedup
+        .prefixIndex(corpusSh, corpusDf).localCheckpoint()
       val stamper = new MtimeStamper
       var first = true
       Seq(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
@@ -1247,10 +1253,13 @@ object StreamDrivers {
           val batchSh = graft.operators.Dedup
             .shingleTable(b.localCheckpoint().toDF())
           val found = graft.operators.Dedup
-            .prefixIncremental(batchSh, state, corpusDf).collect()
+            .prefixIncremental(batchSh, state, corpusDf, statePrefix)
+            .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           pairs.synchronized { pairs ++= found }
           state = state.union(batchSh).localCheckpoint()
+          statePrefix = statePrefix.union(graft.operators.Dedup
+            .prefixIndex(batchSh, corpusDf)).localCheckpoint()
           ()
         }
         .start()

@@ -133,8 +133,9 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     val sh = Dedup.shingleTable(docs)
     val corpusSh = sh.filter(col("doc_id") % 2 === 1).localCheckpoint()
     val corpusDf = Dedup.prefixDfTable(corpusSh).localCheckpoint()
+    val corpusPrefix = Dedup.prefixIndex(corpusSh, corpusDf).localCheckpoint()
     val inc = Dedup.prefixIncremental(
-        sh.filter(col("doc_id") % 2 === 0), corpusSh, corpusDf)
+        sh.filter(col("doc_id") % 2 === 0), corpusSh, corpusDf, corpusPrefix)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // == the full exact recompute over the union, restricted to pairs
     // touching at least one batch (even) doc

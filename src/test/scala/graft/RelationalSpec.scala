@@ -29,7 +29,8 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("interpolate: observed days exact, gaps strictly between neighbours, edges extend") {
-    val out = Relational.interpolate(table("events")).collect()
+    val out = Relational.interpolate(table("events"),
+      withhold = day => dayofmonth(day) % 3 === 0).collect()
     assert(out.nonEmpty)
     val byType = out.groupBy(_.getString(1))
     byType.values.foreach { rows =>

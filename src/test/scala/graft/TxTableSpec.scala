@@ -253,6 +253,33 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("post-widening merges and deletes keep the widened column (declared-schema reads)") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-widen2")
+    // widening merge touches ONLY the last range file (keys 900+)
+    TxTable.merge(spark, root,
+      (900L until 1000L).map(k => (k, s"w$k", k * 10)).toDF("k", "v", "score"),
+      "k")
+    // second merge lands in a PRE-widening file (keys < 250) carrying
+    // score values — an inferred read of that narrow file would drop them
+    TxTable.merge(spark, root,
+      (0L until 50L).map(k => (k, s"u$k", k + 7)).toDF("k", "v", "score"), "k")
+    val afterMerge = TxTable.read(spark, root)
+      .filter(col("k") < 50).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    (0L until 50L).foreach(k =>
+      assert(afterMerge(k) === Some(k + 7), s"score lost for key $k"))
+    // a delete spanning a pre-widening file AND the widened file must
+    // not erase surviving rows' scores in either
+    TxTable.deleteKeys(spark, root, Seq(300L, 950L).toDF("k"), "k")
+    val after = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(!after.contains(300L) && !after.contains(950L))
+    assert(after(955L) === Some(9550L), "widened value erased by delete")
+    assert(after(301L) === None)     // pre-widening rows stay null
+    assert(after(10L) === Some(17L)) // merge-2 values survive the delete
+  }
+
   test("restore: rolls the live set back as a new commit; history stays travelable") {
     import spark.implicits._
     val (root, base) = mkTable("txt-restore")
