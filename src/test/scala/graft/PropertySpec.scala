@@ -366,4 +366,53 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("TxTable equals a reference map under random merge/delete/restore interleavings") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val rnd = new Random(41)
+    for (round <- 1 to 3) {
+      val root = tempDir(s"txt-model-$round").toString + "/tbl"
+      // reference model: version -> key->value map (v1 = the create)
+      var model = Map(0L until 40L map (k => k -> s"v$k"): _*)
+      val history = scala.collection.mutable.ArrayBuffer(model)
+      TxTable.create(spark,
+        model.toSeq.toDF("k", "v").repartitionByRange(3, col("k")), root, "k")
+      for (_ <- 1 to 8) {
+        rnd.nextInt(3) match {
+          case 0 =>   // merge: updates + inserts with distinct keys
+            val upd = (1 to 1 + rnd.nextInt(6))
+              .map(_ => rnd.nextInt(60).toLong).distinct
+              .map(k => (k, s"u$round-${rnd.nextInt(1000)}"))
+            TxTable.merge(spark, root, upd.toDF("k", "v"), "k")
+            model = model ++ upd.toMap
+            history += model
+          case 1 =>   // delete (possibly absent keys)
+            val del = (1 to 1 + rnd.nextInt(5))
+              .map(_ => rnd.nextInt(60).toLong).distinct
+            val before = TxTable.currentVersion(root)
+            TxTable.deleteKeys(spark, root, del.toDF("k"), "k")
+            model = model -- del
+            // delete-of-absent may not commit a version — only record
+            // a history step when one was actually created
+            if (TxTable.currentVersion(root) != before) history += model
+          case _ =>   // restore to a random earlier version
+            val target = 1 + rnd.nextInt(history.size)
+            val before = TxTable.currentVersion(root)
+            TxTable.restore(root, "k", target.toLong)
+            model = history(target - 1)
+            if (TxTable.currentVersion(root) != before) history += model
+        }
+        val got = TxTable.read(spark, root).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got === model, s"round $round diverged at v${history.size}")
+      }
+      // every recorded version is still travelable and equals its model
+      history.zipWithIndex.foreach { case (m, i) =>
+        val at = TxTable.read(spark, root, asOf = Some(i + 1L)).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(at === m, s"round $round time travel to v${i + 1} diverged")
+      }
+    }
+  }
+
 }
