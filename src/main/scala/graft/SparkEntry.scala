@@ -7119,7 +7119,7 @@ object SparkEntry {
            CAST(CASE WHEN (doc_id // 8) % 4 = 0 THEN doc_id % 200
              ELSE (CAST(1 AS BIGINT) << CAST(10 + doc_id % 5 AS INTEGER))
                + (CAST(1 AS BIGINT) << CAST(7 + doc_id % 5 AS INTEGER))
-                 * (doc_id % 8)
+                 * ((doc_id // 32) % 8)
              END AS BIGINT) AS window_size,
            CAST(CASE (doc_id // 8) % 4 WHEN 0 THEN doc_id % 200
              WHEN 1 THEN 300 + doc_id % 1000
@@ -7143,8 +7143,8 @@ object SparkEntry {
            CAST(CASE (doc_id // 8) % 2 WHEN 0 THEN 32 ELSE 64 END
              AS INTEGER) AS bits,
            CASE (doc_id // 16) % 2 WHEN 0 THEN 'LE' ELSE 'BE' END AS endian,
-           CAST((doc_id % 4) * 3 AS INTEGER) AS osabi,
-           CAST(1 + doc_id % 4 AS INTEGER) AS e_type,
+           CAST(((doc_id // 16) % 4) * 3 AS INTEGER) AS osabi,
+           CAST(1 + (doc_id // 8) % 4 AS INTEGER) AS e_type,
            CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 40 WHEN 2 THEN 62
              WHEN 3 THEN 183 ELSE 243 END AS INTEGER) AS machine,
            CAST(4194304 + doc_id % 65536 AS BIGINT) AS entry
@@ -7163,9 +7163,9 @@ object SparkEntry {
     "m27_gzip_meta" ->
       """SELECT doc_id, 1 AS is_gzip,
            CAST(1600000000 + doc_id % 100000 AS BIGINT) AS mtime,
-           CAST(doc_id % 14 AS INTEGER) AS os,
+           CAST((doc_id // 8) % 14 AS INTEGER) AS os,
            CAST(CASE WHEN (doc_id // 8) % 4 >= 2
-             THEN 4 + (doc_id % 6) * 2 ELSE 0 END AS INTEGER) AS n_extra,
+             THEN 4 + ((doc_id // 8) % 6) * 2 ELSE 0 END AS INTEGER) AS n_extra,
            CASE WHEN (doc_id // 8) % 4 >= 1
              THEN 'f' || CAST(doc_id AS VARCHAR) || '.txt'
              ELSE 'none' END AS fname,

@@ -2494,7 +2494,9 @@ object Multimodal {
     def craftedGzip(docId: Long): Array[Byte] = {
       val v = ((docId / 8) % 4).toInt
       val flg = Array(0, 8, 12, 30)(v)       // FNAME=8 FEXTRA=4 FCOMMENT=16 FHCRC=2
-      val xlen = (4 + docId % 6 * 2).toInt
+      // /8-based tiers: planted ids are ≡0 (mod 8), so a raw docId%k
+      // selector only ever hits the even residues (the ICO-bpp lesson)
+      val xlen = (4 + (docId / 8) % 6 * 2).toInt
       val name = s"f$docId.txt"
       val bodyN = (10 + docId % 20).toInt
       val cap = 10 + (if (v >= 2) 2 + xlen else 0) +
@@ -2504,7 +2506,7 @@ object Multimodal {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte).put(flg.toByte)
       bb.putInt((1600000000L + docId % 100000).toInt)
-      bb.put(2.toByte).put((docId % 14).toByte)
+      bb.put(2.toByte).put(((docId / 8) % 14).toByte)
       if (v >= 2) {
         bb.putShort(xlen.toShort)
         (0 until xlen).foreach(j => bb.put(((docId + j) % 256).toByte))
@@ -2625,9 +2627,11 @@ object Multimodal {
                else java.nio.ByteOrder.BIG_ENDIAN)
       bb.put(0x7f.toByte).put('E'.toByte).put('L'.toByte).put('F'.toByte)
       bb.put(cls.toByte).put(dat.toByte).put(1.toByte)
-      bb.put((docId % 4 * 3).toByte)           // EI_OSABI
+      // /8- and /16-based tiers: planted ids are ≡0 (mod 8), so raw
+      // docId%4 selectors would pin osabi=0 / e_type=1 forever
+      bb.put(((docId / 16) % 4 * 3).toByte)    // EI_OSABI: 0/3/6/9
       bb.position(16)                          // abiversion + pad stay 0
-      bb.putShort((1 + docId % 4).toShort)     // e_type: REL/EXEC/DYN/CORE
+      bb.putShort((1 + (docId / 8) % 4).toShort) // e_type: REL/EXEC/DYN/CORE
       bb.putShort(Array(3, 40, 62, 183, 243)((docId % 5).toInt).toShort)
       bb.putInt(1)                             // e_version
       val entry = 0x400000L + docId % 65536
@@ -2737,17 +2741,20 @@ object Multimodal {
           bb.put((docId % 200).toByte)              // 1-byte content size
         case 1 =>
           bb.put(0x46.toByte)                       // code1 | checksum | dict2
-          bb.put(((docId % 5) * 8 + docId % 8).toByte)  // window descriptor
+          // mantissa from a /32 tier (planted ids ≡0 mod 8, so a raw
+          // docId%8 mantissa is ALWAYS zero and the mantissa term of
+          // the window rule would never be exercised)
+          bb.put(((docId % 5) * 8 + (docId / 32) % 8).toByte)  // window descriptor
           bb.putShort((docId % 65536).toShort)      // dict id
           bb.putShort((300 + docId % 1000 - 256).toShort) // FCS − 256
         case 2 =>
           bb.put(0x81.toByte)                       // code2 | dict1
-          bb.put(((docId % 5) * 8 + docId % 8).toByte)
+          bb.put(((docId % 5) * 8 + (docId / 32) % 8).toByte)
           bb.put((docId % 256).toByte)
           bb.putInt((1000000 + docId % 1000000).toInt)
         case _ =>
           bb.put(0xC7.toByte)                       // code3 | checksum | dict4
-          bb.put(((docId % 5) * 8 + docId % 8).toByte)
+          bb.put(((docId % 5) * 8 + (docId / 32) % 8).toByte)
           bb.putInt(((docId * 31) % 2147483648L).toInt)
           bb.putLong(5000000000L + docId)
       }

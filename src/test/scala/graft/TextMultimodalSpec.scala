@@ -146,14 +146,14 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       val r = out(id)
       assert(r.getAs[Int]("is_gzip") === 1, s"doc $id not parsed")
       assert(r.getAs[Long]("mtime") === 1600000000L + id % 100000)
-      assert(r.getAs[Int]("os") === (id % 14).toInt)
+      assert(r.getAs[Int]("os") === ((id / 8) % 14).toInt)
       assert(r.getAs[Long]("isize") === id % 100000 + 50)
       assert(r.getAs[Long]("crc32") === (id * 2654435761L) % 4294967296L)
     }
     assert(out(0L).getAs[String]("fname") === "none")
     assert(out(8L).getAs[String]("fname") === "f8.txt")
     assert(out(16L).getAs[String]("fname") === "f16.txt") // past variable FEXTRA
-    assert(out(16L).getAs[Int]("n_extra") === (4 + 16 % 6 * 2))
+    assert(out(16L).getAs[Int]("n_extra") === (4 + (16 / 8) % 6 * 2))
     assert(out(24L).getAs[Int]("has_comment") === 1)
     assert(out(24L).getAs[Int]("has_hcrc") === 1)
     Seq(1L, 2L, 3L, 4L).foreach(id =>
@@ -186,7 +186,8 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(r.getAs[Int]("is_elf") === 1, s"doc $id not parsed")
       assert(r.getAs[Int]("bits") === (if ((id / 8) % 2 == 0) 32 else 64))
       assert(r.getAs[String]("endian") === (if ((id / 16) % 2 == 0) "LE" else "BE"))
-      assert(r.getAs[Int]("e_type") === (1 + id % 4).toInt)
+      assert(r.getAs[Int]("e_type") === (1 + (id / 8) % 4).toInt)
+      assert(r.getAs[Int]("osabi") === ((id / 16) % 4 * 3).toInt)
       assert(r.getAs[Int]("machine") ===
         Seq(3, 40, 62, 183, 243)((id % 5).toInt))
       assert(r.getAs[Long]("entry") === 0x400000L + id % 65536)
@@ -199,7 +200,9 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     import graft.operators.Multimodal
     // v0 ss+1B, v1 win+2B(+256)+dict2+cks, v2 win+4B+dict1, v3 win+8B+dict4+cks
-    val planted = Seq(0L, 8L, 16L, 24L).map(id =>
+    // (40 is a second v1 whose /32-tier window MANTISSA is nonzero —
+    // the term a mantissa-dropping parser would get away with otherwise)
+    val planted = Seq(0L, 8L, 16L, 24L, 40L).map(id =>
       (id, Multimodal.PlantedZstds.craftedZstd(id)))
     // hostile 8-byte content size 0xFF… — must fall back, never throw
     val hostileSize = {
@@ -231,6 +234,9 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out(16L).getAs[Long]("dict_id") === 16L % 256)
     // exp = 16%5 = 1, mant = 16%8 = 0 → 2048
     assert(out(16L).getAs[Long]("window_size") === 2048L)
+    // nonzero mantissa: exp = 40%5 = 0, mant = (40/32)%8 = 1
+    // → 1<<10 + (1<<7)*1 = 1152
+    assert(out(40L).getAs[Long]("window_size") === 1152L)
     // v3: the two-half combine past 2³²
     assert(out(24L).getAs[Long]("content_size") === 5000000000L + 24)
     assert(out(24L).getAs[Long]("dict_id") === (24L * 31) % 2147483648L)

@@ -376,20 +376,165 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.currentVersion(root) === 1L)
   }
 
-  test("string keys: pruning degrades to full rewrite, never a missed file") {
+  test("string keys: lexicographic file stats prune merges to intersecting files") {
     import spark.implicits._
     val root = tempDir("txt-strkey").toString + "/tbl"
-    val base = (0 until 100).map(i => (s"key$i", s"v$i")).toDF("k", "v")
-      .repartition(3)
+    // zero-padded keys so lexicographic order == numeric order; range
+    // partitioning gives the 4 files DISJOINT string ranges
+    val base = (0 until 1000).map(i => (f"url$i%04d", s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
     TxTable.create(spark, base, root, "k")
-    // every string key casts to null on both sides: stats record the
-    // full range, probes touch every file — correct, just unpruned
-    TxTable.merge(spark, root, Seq(("key5", "changed")).toDF("k", "v"), "k")
+    // string stats recorded per file
+    assert(TxTable.snapshot(root).forall(f => f.smin.isDefined && f.smax.isDefined))
+    val before = TxTable.snapshot(root).map(_.name).toSet
+    // updates confined to a narrow lexicographic range → ONE file touched
+    val upd = (10 until 60).map(i => (f"url$i%04d", s"u$i")).toDF("k", "v")
+    TxTable.merge(spark, root, upd, "k")
+    val after = TxTable.snapshot(root).map(_.name).toSet
+    assert((before intersect after).size >= 3,
+      s"string-keyed merge rewrote untouched files: before=$before after=$after")
     val out = TxTable.read(spark, root).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(out.size === 100 && out.contains(("key5", "changed")))
-    TxTable.deleteKeys(spark, root, Seq(Tuple1("key7")).toDF("k"), "k")
-    assert(TxTable.read(spark, root).count() === 99)
+    assert(out.size === 1000 && out.contains(("url0015", "u15")) &&
+      out.contains(("url0900", "v900")))
+    // deleteKeys prunes on the same stats
+    val before2 = TxTable.snapshot(root).map(_.name).toSet
+    TxTable.deleteKeys(spark, root, Seq(Tuple1("url0950")).toDF("k"), "k")
+    val after2 = TxTable.snapshot(root).map(_.name).toSet
+    assert((before2 intersect after2).size >= before2.size - 1)
+    assert(TxTable.read(spark, root).count() === 999)
+    // delete-of-absent stays a no-op (the folded pre-check)
+    val v = TxTable.currentVersion(root)
+    assert(TxTable.deleteKeys(spark, root,
+      Seq(Tuple1("zzz-not-there")).toDF("k"), "k") === v)
+  }
+
+  test("string keys: a pre-r15 file without string stats forces the safe degrade") {
+    import spark.implicits._
+    val root = tempDir("txt-strleg").toString + "/tbl"
+    val base = (0 until 100).map(i => (f"k$i%03d", s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+    TxTable.create(spark, base, root, "k")
+    // simulate a legacy log: strip smin/smax from the commit record
+    val logP = java.nio.file.Paths.get(root, "_graft_log", "v0000000001.json")
+    val rec = new String(java.nio.file.Files.readAllBytes(logP), "UTF-8")
+      .replaceAll("\"smin\":\"[^\"]*\",?", "").replaceAll("\"smax\":\"[^\"]*\",?", "")
+      .replaceAll(",\\}", "}")
+    java.nio.file.Files.write(logP, rec.getBytes("UTF-8"))
+    assert(TxTable.snapshot(root).forall(f => f.smin.isEmpty))
+    // merge must still be CORRECT (touch-all degrade, never a miss)
+    TxTable.merge(spark, root, Seq(("k005", "changed")).toDF("k", "v"), "k")
+    val out = TxTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.size === 100 && out.contains(("k005", "changed")))
+  }
+
+  test("merge type contract: unsafe type change refused; safe widening commits the wider schema") {
+    import spark.implicits._
+    val root = tempDir("txt-widen").toString + "/tbl"
+    val base = (0L until 100L).map(k => (k, k.toInt, s"v$k")).toDF("k", "n", "v")
+      .repartitionByRange(4, col("k"))
+    TxTable.create(spark, base, root, "k")
+    // string arriving where the table declares int → refuse AT THE MERGE
+    val bad = Seq((5L, "not-a-number", "x")).toDF("k", "n", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root, bad, "k")
+    }
+    assert(e.getMessage.contains("'n'") && e.getMessage.contains("widening"))
+    // int→long is a lossless widening: the declared schema widens, the
+    // untouched narrow files upcast on read
+    val wide = Seq((5L, 1234567890123L, "widened")).toDF("k", "n", "v")
+    TxTable.merge(spark, root, wide, "k")
+    val sch = TxTable.schemaOf(root).get
+    assert(sch("n").dataType === org.apache.spark.sql.types.LongType)
+    val out = TxTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n"))).toMap
+    assert(out(5L) === 1234567890123L)
+    assert(out(99L) === 99L, "carried narrow file must upcast on read")
+    assert(out.size === 100)
+    // a later narrow-typed merge against the widened table also refuses
+    val narrow = Seq((6L, 7, "x")).toDF("k", "n", "v")
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root, narrow, "k")
+    }
+  }
+
+  test("restore refuses a target whose files were vacuumed; valid restores still work") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-resvac")
+    val upd = (0L until 100L).map(k => (k, s"u$k")).toDF("k", "v")
+    TxTable.merge(spark, root, upd, "k")                       // v2
+    // reclaim v1's rewritten file (keepVersions=0 retains only the head)
+    val deleted = TxTable.vacuum(root, keepVersions = 0, minAgeMillis = 0)
+    assert(deleted.nonEmpty, "vacuum should have reclaimed v1's file")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.restore(root, "k", 1L)
+    }
+    assert(e.getMessage.contains("vacuumed") &&
+      deleted.exists(n => e.getMessage.contains(n)),
+      s"restore error must name the missing file(s): ${e.getMessage}")
+    // the head is untouched and still readable
+    assert(TxTable.read(spark, root).count() === 1000)
+    // a restore whose target files survive still works
+    TxTable.merge(spark, root, Seq((0L, "v3val")).toDF("k", "v"), "k") // v3
+    TxTable.restore(root, "k", 2L)                                     // v4
+    assert(rows(TxTable.read(spark, root)).contains((0L, "u0")))
+  }
+
+  test("history: one row per version with op kinds, write stats and flags") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-hist")                         // v1 CREATE
+    TxTable.merge(spark, root,
+      (0L until 50L).map(k => (k, s"u$k")).toDF("k", "v"), "k") // v2 MERGE
+    TxTable.deleteKeys(spark, root,
+      Seq(Tuple1(10L), Tuple1(11L)).toDF("k"), "k")             // v3 DELETE
+    TxTable.compact(spark, root, "k", 2)                        // v4 COMPACT
+    TxTable.restore(root, "k", 2L)                              // v5 RESTORE
+    val h = TxTable.history(spark, root).collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[String]("op"), r.getAs[Boolean]("schema_changed"),
+          r.getAs[Boolean]("data_change"), r.getAs[Long]("rows_added"))).toMap
+    assert(h.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(h(1L)._1 === "CREATE" && h(1L)._2 && h(1L)._4 === 1000L)
+    assert(h(2L)._1 === "MERGE" && !h(2L)._2)
+    assert(h(3L)._1 === "DELETE")
+    assert(h(4L)._1 === "COMPACT" && !h(4L)._3,
+      "compaction must be stamped data_change=false")
+    assert(h(4L)._4 === 998L)
+    assert(h(5L)._1 === "RESTORE" && h(5L)._3)
+    // restore only re-references files: nothing rewritten, rows_added
+    // counts the re-referenced entries' rows
+    assert(rows(TxTable.read(spark, root)) ===
+      rows(TxTable.read(spark, root, asOf = Some(2L))))
+  }
+
+  test("changes: per-commit feed classifies inserts/updates/deletes; compaction emits nothing") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-cdf")                           // v1: 1000 inserts
+    val upd = Seq((5L, "u5"), (6L, "u6"), (2000L, "new2000")).toDF("k", "v")
+    TxTable.merge(spark, root, upd, "k")                         // v2
+    TxTable.deleteKeys(spark, root, Seq(Tuple1(7L)).toDF("k"), "k") // v3
+    TxTable.compact(spark, root, "k", 2)                         // v4
+    val ch = TxTable.changes(spark, root, 1L, 4L).collect()
+      .map(r => (r.getAs[Long]("_commit_version"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("k"), r.getAs[String]("v")))
+    // v2: two updates (pre+post), one insert — carried neighbors silent
+    val v2 = ch.filter(_._1 == 2L).toSet
+    assert(v2 === Set(
+      (2L, "update_preimage", 5L, "v5"), (2L, "update_postimage", 5L, "u5"),
+      (2L, "update_preimage", 6L, "v6"), (2L, "update_postimage", 6L, "u6"),
+      (2L, "insert", 2000L, "new2000")))
+    // v3: exactly the deleted key, with its pre-delete value
+    assert(ch.filter(_._1 == 3L).toSet === Set((3L, "delete", 7L, "v7")))
+    // v4 (compaction, dataChange=false): zero rows
+    assert(!ch.exists(_._1 == 4L))
+    // a narrower window sees only its commits
+    val ch23 = TxTable.changes(spark, root, 2L, 3L)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSet
+    assert(ch23 === Set(3L))
+    // the full-from-zero feed includes the create as inserts
+    val all = TxTable.changes(spark, root, 0L, 1L)
+    assert(all.filter(col("_change_type") === "insert").count() === 1000L)
   }
 
   test("optimistic concurrency: version collision retries past the winner") {
