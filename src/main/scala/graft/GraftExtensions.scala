@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
+import graft.functions.{BloomContains, BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -93,13 +93,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
       FnArity.checked("graft_kll_quantiles", 2)(args => KllQuantiles(args(0), args(1)))))
+    // graft-native BloomContains, not Spark's BloomFilterMightContain:
+    // the internal class's codegen breaks (janino mis-parse → silent
+    // interpreter fallback) when the probe side folds to a negative
+    // literal — see BloomContains's scaladoc
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       FnArity.checked("graft_bloom_contains", 2)(args =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1)))))
+        BloomContains(args(0), args(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
