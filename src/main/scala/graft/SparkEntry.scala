@@ -749,6 +749,7 @@ object SparkEntry {
     "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
     "q78_session_native" -> Seq("user_id", "session_start"),
+    "st39_session_native_stream" -> Seq("user_id", "session_start"),
     "q16_asof_join" -> Seq("event_id"),
     "q59_asof_forward" -> Seq("event_id"),
     "q62_asof_tolerance" -> Seq("event_id"),
@@ -2652,6 +2653,12 @@ object SparkEntry {
     // gate logic is source-agnostic; same q15-family oracle as st3
     "st31_memory_source" -> ((s, d) =>
       graft.streaming.StreamDrivers.sessionizeMemoryStream(Tables.tune(s), d)),
+    // st39: q78's NATIVE session_window through a WATERMARKED stream —
+    // the engine-owned-state counterpart of st3's hand-rolled
+    // flatMapGroupsWithState sessionizer; byte-identical aggregation
+    // code path as the batch q78, gated on the q78 oracle verbatim
+    "st39_session_native_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.sessionNativeStream(Tables.tune(s), d)),
     "st4_latest_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.latestStateFileStream(Tables.tune(s), d)),
     "st5_interval_join_stream" -> ((s, d) =>
@@ -3752,6 +3759,24 @@ object SparkEntry {
         SELECT user_id, session_id, min(se) AS session_start, count(*) AS n_events,
         ${dsum("value")} AS sum_value
         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+  // shared by q78 (the native session_window on the batch table) and
+  // st39 (the IDENTICAL aggregation over a watermarked stream): the
+  // lag-form island replay at the native operator's column contract
+  // (no session_id). session_window merges INCLUSIVE of the gap
+  // (measured — the r14 gate caught a +1-second adjustment
+  // over-merging), so at gap = 1800 s both forms keep "diff <= 1800"
+  // and the replay breaks on "> 1800"; TimeJoinsSpec pins the boundary
+  private lazy val sessionNativeSql =
+    s"""WITH e AS (SELECT user_id, value,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
+        f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL
+              OR se - lag(se) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY se)),
+        g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY se
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        SELECT user_id, min(se) AS session_start, count(*) AS n_events,
+          ${dsum("value")} AS sum_value
+        FROM g GROUP BY user_id, sid ORDER BY 1, 2"""
   // shared by q24 (DataFrame upsert) and q67 (the same upsert through
   // the TxTable ACID storage layer — value-invisible by contract)
   /** The d36/st36 shared replay: corpus df (odd rows), prefixes under
@@ -4753,17 +4778,12 @@ object SparkEntry {
     // gate caught a +1-second adjustment over-merging), so at gap =
     // 1800 s both forms keep "diff <= 1800" and the lag replay below
     // breaks on "> 1800"; TimeJoinsSpec pins the boundary pair
-    "q78_session_native" ->
-      s"""WITH e AS (SELECT user_id, value,
-            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS se FROM events),
-          f AS (SELECT *, CASE WHEN lag(se) OVER w IS NULL
-                OR se - lag(se) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM e
-                WINDOW w AS (PARTITION BY user_id ORDER BY se)),
-          g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY se
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
-          SELECT user_id, min(se) AS session_start, count(*) AS n_events,
-            ${dsum("value")} AS sum_value
-          FROM g GROUP BY user_id, sid ORDER BY 1, 2""",
+    "q78_session_native" -> sessionNativeSql,
+    // st39 is q78's operator running over the watermarked stream — the
+    // native oracle gates the streamed emission verbatim (a dropped
+    // late row, an unsealed final session, or a cross-batch merge
+    // failure all change rows and hash-fail)
+    "st39_session_native_stream" -> sessionNativeSql,
     // st3 drives the STATEFUL streaming sessionizer end-to-end (file
     // source → flatMapGroupsWithState → foreachBatch) and must land on
     // the batch result exactly — the q15 oracle verbatim. st31 is the

@@ -53,9 +53,21 @@ object TimeJoins {
     * gapSec + 1 — boundary conventions are MEASURED, never assumed
     * (the st35 lesson at the batch layer). */
   def sessionizeNative(events: DataFrame, gapSec: Long = 1800): DataFrame =
-    events
-      .select(col("user_id"), col("value"),
-        date_trunc("second", col("ts")).as("tsec"))
+    sessionWindowAgg(events.select(col("user_id"), col("value"),
+      date_trunc("second", col("ts")).as("tsec")), gapSec)
+
+  /** The session_window aggregation stage shared BYTE-IDENTICALLY by the
+    * batch form above and the streaming driver (st39): callers hand in a
+    * (user_id, value, tsec) frame — the batch path projects it straight
+    * off the table, the streaming path inserts `withWatermark("tsec", …)`
+    * between the projection and this call (watermark metadata attaches
+    * to the ATTRIBUTE, so it must be declared on the already-truncated
+    * column, after the projection — declaring it on raw `ts` would be
+    * dropped by the date_trunc and the append-mode aggregation refused).
+    * This split is the transfer proof the scaladoc above claims: the
+    * gap-merge operator itself is one code path for both executions. */
+  def sessionWindowAgg(projected: DataFrame, gapSec: Long = 1800): DataFrame =
+    projected
       .groupBy(col("user_id"),
         session_window(col("tsec"), s"$gapSec seconds").as("w"))
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))

@@ -308,6 +308,46 @@ object StreamDrivers {
       runOverEventMemory(spark, sfDir,
         sentinelOffsetSec = Some(7200L + 1800L + 60L))(_))
 
+  /** q78's NATIVE session_window aggregation driven through a
+    * WATERMARKED stream (st39) — the transfer q78's scaladoc claims,
+    * actually executed: the identical
+    * [[graft.operators.TimeJoins.sessionWindowAgg]] call runs over the
+    * file source with `withWatermark("tsec", "2 hours")` inserted
+    * between the projection and the aggregation. Where st3 keeps
+    * per-user session state by hand (flatMapGroupsWithState buffer +
+    * event-time timeout), here the ENGINE owns the state: the state
+    * store holds open sessions, merge-on-arrival extends them across
+    * micro-batch boundaries (the midpoint split guarantees straddling
+    * sessions genuinely cross batches), and append mode emits a session
+    * only once the watermark passes its end — the far-future sentinel
+    * seals the final ones exactly as in st3. Same inclusive-gap
+    * boundary as the batch form because it IS the batch operator.
+    * Gated on the q78 oracle verbatim (no session_id in the native
+    * column contract). */
+  def sessionNativeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var outSchema: StructType = null
+    runOverEventFiles(spark, sfDir,
+        sentinelOffsetSec = Some(7200L + 1800L + 60L)) { (src, chk) =>
+      graft.operators.TimeJoins.sessionWindowAgg(
+          src.select(col("user_id"), col("value"),
+              date_trunc("second", col("ts")).as("tsec"))
+            .withWatermark("tsec", "2 hours"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect()
+          buf.synchronized { buf ++= rows; outSchema = b.schema }; ()
+        }
+        .start()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.toList.asJava, outSchema)
+      .filter(col("user_id") =!= SentinelUser)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** The sessionize gate shape shared by the file and memory drivers:
     * stateful transform → foreachBatch accumulation → per-user
     * session_id numbering. Column contract == TimeJoins.sessionize ==

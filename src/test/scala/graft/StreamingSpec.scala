@@ -90,6 +90,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got === Set((1L, t0 / 1000, 4)))
   }
 
+  test("streaming native session_window: cross-batch merge keeps the inclusive gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offSec: Long) =
+      StreamOps.Ev(id, new Timestamp(t0 + offSec * 1000), user, "view", 1.0)
+    val mem = MemoryStream[StreamOps.Ev]
+    val q = TimeJoins.sessionWindowAgg(
+        mem.toDF().select(col("user_id"), col("value"),
+            date_trunc("second", col("ts")).as("tsec"))
+          .withWatermark("tsec", "2 hours"))
+      .writeStream.format("memory").queryName("session_native_stream")
+      .outputMode("append").start()
+    // batch 1: both users' openers; batch 2: user 1 exactly AT the gap
+    // (must merge across the micro-batch boundary — engine-held state),
+    // user 2 one second PAST it (must split)
+    mem.addData(ev(1, 1, 0), ev(2, 2, 0)); q.processAllAvailable()
+    mem.addData(ev(3, 1, 1800), ev(4, 2, 1801)); q.processAllAvailable()
+    mem.addData(StreamOps.Ev(-1L, new Timestamp(t0 + (7200L + 1800 + 1801 + 60) * 1000),
+      999999L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_native_stream").filter(col("user_id") =!= 999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, t0 / 1000, 2L),                  // merged: diff == gap, one session
+      (2L, t0 / 1000, 1L),                  // split: diff == gap + 1
+      (2L, t0 / 1000 + 1801, 1L)))
+  }
+
   test("stream-stream interval join agrees with the batch equivalent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
