@@ -1009,6 +1009,7 @@ object SparkEntry {
     "m29_zstd_meta" -> Seq("doc_id"),
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
+    "m30_audio_landmarks" -> Seq("doc_a", "doc_b"),
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"),
     "m11_bmp_meta" -> Seq("doc_id"),
@@ -1535,6 +1536,12 @@ object SparkEntry {
     // audio exact-dup pairs: per-doc decoded feature-sequence signature,
     // signature-keyed equi-join (the d22 exact tier for the audio side)
     "m10_audio_dup" -> ((s, d) => Multimodal.audioDupPairs(s, t(s, d, "documents"))),
+    // m30: audio NEAR-dup pairs via landmark fingerprinting (Wang 2003)
+    // over the planted trimmed/gain-halved variant corpus — the copies
+    // m10's exact tier structurally cannot see; peaks → triple-peak
+    // delta/ratio hashes → same-offset match counting, all relational
+    "m30_audio_landmarks" -> ((s, d) =>
+      Multimodal.audioLandmarkPairs(s, t(s, d, "documents"))),
     // real ISO-BMFF (MP4) container parsing over planted payloads
     // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
     // timescale/duration; synthetic fallback mirrors the image path
@@ -7346,6 +7353,61 @@ object SparkEntry {
            CAST(a.n_frames AS INTEGER) AS n_frames
          FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
          ORDER BY doc_a, doc_b""",
+    // m30: the FULL landmark pipeline replayed from the plant formula —
+    // frame features from the per-variant deviation algebra (master /
+    // frame-trimmed / exactly-gain-halved / unrelated), strict-local-max
+    // peaks, triple-peak delta+ratio hashes, hash join, same-offset
+    // counting, dominant-offset selection, threshold. A wrong decode,
+    // peak rule, hash component, offset sign, or tie-break hash-fails.
+    "m30_audio_landmarks" ->
+      """WITH dims AS (
+           SELECT doc_id, doc_id // 32 AS g, (doc_id // 8) % 4 AS v,
+             CAST(24 + (doc_id // 32) % 8 AS INTEGER) AS nm,
+             CASE WHEN (doc_id // 8) % 4 = 1
+               THEN CAST(2 + (doc_id // 32) % 3 AS INTEGER) ELSE 0 END AS off
+           FROM documents WHERE doc_id % 8 = 0),
+         sm AS (
+           SELECT doc_id, g, v, f, (f + off) * 32 + j AS i
+           FROM dims,
+             unnest(generate_series(0, nm - off - 1)) AS t(f),
+             unnest(generate_series(0, 31)) AS u(j)),
+         fr AS (
+           SELECT doc_id, f,
+             sum(abs(CASE
+               WHEN v = 3 THEN 2 * (((doc_id % 127 + 64) * i * i + 53 * i + doc_id * 31) % 127 - 63)
+               WHEN v = 2 THEN ((g % 127 + 1) * i * i + 29 * i + g * 37) % 127 - 63
+               ELSE 2 * (((g % 127 + 1) * i * i + 29 * i + g * 37) % 127 - 63) END)) AS s
+           FROM sm GROUP BY 1, 2),
+         feat AS (SELECT doc_id, f, CAST(s AS DOUBLE) / (128.0 * 32) AS fm FROM fr),
+         pk AS (
+           SELECT doc_id, f AS t0, fm AS f0 FROM (
+             SELECT doc_id, f, fm, lag(fm) OVER w AS pf, lead(fm) OVER w AS nf
+             FROM feat WINDOW w AS (PARTITION BY doc_id ORDER BY f))
+           WHERE pf IS NOT NULL AND nf IS NOT NULL AND fm > pf AND fm >= nf),
+         lm AS (
+           SELECT doc_id, t0,
+             (((t1 - t0) * 17 + (t2 - t0)) * 4096 +
+               least(4095, CAST(floor(f1 / f0 * 256) AS BIGINT))) * 4096 +
+               least(4095, CAST(floor(f2 / f0 * 256) AS BIGINT)) AS lm_hash
+           FROM (
+             SELECT doc_id, t0, f0,
+               lead(t0, 1) OVER w AS t1, lead(f0, 1) OVER w AS f1,
+               lead(t0, 2) OVER w AS t2, lead(f0, 2) OVER w AS f2
+             FROM pk WINDOW w AS (PARTITION BY doc_id ORDER BY t0))
+           WHERE t2 IS NOT NULL AND t2 - t0 <= 12),
+         mt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.t0 - b.t0 AS offset_frames, count(*) AS n
+           FROM lm a JOIN lm b USING (lm_hash)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT doc_a, doc_b, offset_frames, n, row_number() OVER
+             (PARTITION BY doc_a, doc_b ORDER BY n DESC, offset_frames) AS rn
+           FROM mt)
+         SELECT doc_a, doc_b, CAST(offset_frames AS INTEGER) AS offset_frames,
+           CAST(n AS INTEGER) AS n_matched
+         FROM best WHERE rn = 1 AND n >= 3 ORDER BY doc_a, doc_b""",
     "m3_frame_dedup" ->
       """WITH fr AS (SELECT doc_id,
            CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean

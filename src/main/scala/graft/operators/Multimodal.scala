@@ -1618,6 +1618,180 @@ object Multimodal {
         col("n_frames").cast("int").as("n_frames"))
   }
 
+  /** Deterministic planted NEAR-dup audio corpus for m30's landmark
+    * gate: every 8th doc gets an 8-bit mono PCM WAV; within each group
+    * of four planted docs (g = doc_id/32, v = (doc_id/8)%4) the first
+    * three are variants of ONE master signal and the fourth is
+    * unrelated:
+    *   v=0  master verbatim — 32·(24 + g%8) samples,
+    *        dev(i) = 2·((g·37 + i·29) % 127 − 63);
+    *   v=1  TRIMMED copy: the first 2 + g%3 FRAMES dropped (frame-
+    *        aligned trim — landmark offsets stay whole frames, the
+    *        granularity a hop-based fingerprinter actually has);
+    *   v=2  GAIN-HALVED copy: dev/2 exactly (master devs are all even,
+    *        so halving is integer-exact, every frame feature halves
+    *        EXACTLY in IEEE — scaling by a power of two never rounds —
+    *        and peak structure + feature RATIOS are preserved
+    *        bit-for-bit);
+    *   v=3  unrelated: dev(i) = 2·((doc_id·53 + i·29) % 127 − 63)
+    *        (modulus 127 is coprime with the 32-per-group id stride, so
+    *        unrelated signals don't recycle at small scale).
+    * m10's exact-signature tier finds NONE of the v1/v2 copies — that
+    * blind spot is exactly what this plant exists to exercise. */
+  object PlantedAudioVariants {
+    val Every = 8
+
+    /** Planted per-sample deviation from the 8-bit midpoint (128).
+      * The quadratic i² coefficient varies PER SEED (group for the
+      * master, doc for unrelated): a linear-only formula would make
+      * every signal a circular SHIFT of one base progression — mod-127
+      * phase changes, same shape — and the landmark layer would
+      * (correctly!) pair the whole corpus; the first cut did exactly
+      * that, 1 235 "pairs" from 63 docs. Distinct quadratic
+      * coefficients give structurally different series, and master vs
+      * unrelated can never coincide even at equal quadratic residue
+      * because the LINEAR coefficients (29 vs 53) always differ
+      * mod 127. */
+    def dev(docId: Long, i: Int): Int = {
+      val g = docId / 32
+      val m = ((g % 127 + 1) * i * i + 29L * i + g * 37) % 127 - 63
+      (((docId / 8) % 4) match {
+        case 2 => m
+        case 3 => 2 * (((docId % 127 + 64) * i * i + 53L * i + docId * 31) % 127 - 63)
+        case _ => 2 * m
+      }).toInt
+    }
+
+    /** Frames dropped from the front for the v=1 trimmed copy. */
+    def trimFrames(docId: Long): Int =
+      if ((docId / 8) % 4 == 1) (2 + (docId / 32) % 3).toInt else 0
+
+    def craftedWav(docId: Long): Array[Byte] = {
+      val g = docId / 32
+      val nFrames = (24 + g % 8).toInt - trimFrames(docId)
+      val skip = trimFrames(docId) * 32
+      val n = nFrames * 32
+      val out = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)
+        .putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(n)
+      var i = 0
+      while (i < n) {
+        out.put((128 + dev(docId, skip + i)).toByte)
+        i += 1
+      }
+      out.array()
+    }
+  }
+
+  def plantedAudioVariantMedia(spark: SparkSession, documents: DataFrame,
+      every: Int = PlantedAudioVariants.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedAudioVariants.craftedWav(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** Audio NEAR-dup pairs via landmark (constellation) fingerprinting —
+    * the public Shazam idiom (Wang 2003) at the frame-energy layer,
+    * closing the modality gap the r14 verdict named: [[audioDupPairs]]
+    * (m10) catches only byte-exact PCM copies, while a trimmed or
+    * gain-shifted re-encode escapes it. Pipeline, all relational:
+    *
+    *  1. frame features from the REAL decode tier ([[WavPcmDecoder]]'s
+    *     mean-|deviation| per 32-sample frame — integer sums, one IEEE
+    *     division, the m6-proven oracle-replayable feature);
+    *  2. PEAKS: frames that are strict local maxima over the per-doc
+    *     series (`f > prev && f >= next`, both neighbours required — a
+    *     one-window linear pass, no self-join). An anchor's feature is
+    *     necessarily > 0, so the ratio quantisation below never
+    *     divides by zero;
+    *  3. LANDMARKS: each anchor peak + its next TWO peaks within 12
+    *     frames, hashed on (dt1, dt2, q(f1/f0), q(f2/f0)) with
+    *     q = min(4095, ⌊ratio·256⌋). Using time DELTAS makes the hash
+    *     trim-invariant; using feature RATIOS makes it gain-invariant
+    *     (an exact gain scale cancels in f1/f0 — and the planted
+    *     half-gain copy cancels EXACTLY even in IEEE, because dividing
+    *     both operands by 2 never rounds). Quantisation granularity is
+    *     the robustness↔discrimination dial, and it was MEASURED, not
+    *     assumed: a 32-sample mean-|dev| feature concentrates (CLT), so
+    *     peak ratios crowd 1.0 and coarse ⌊ratio·16⌋ bins left ~30
+    *     effective hash values — 205 cross-group phantom pairs against
+    *     48 planted ones at sf0.01; ⌊ratio·256⌋ yields exactly the
+    *     planted 48 with zero phantoms, and costs no recall here
+    *     because the planted transforms are bit-exact invariants. (A
+    *     deployment against lossy re-encodes would coarsen the bins
+    *     and lean on the offset histogram below instead; d30's
+    *     telemetry posture measures hot-hash skew if a real corpus
+    *     misbehaves.)
+    *  4. MATCH: equi-join landmark tables on the hash, count matches
+    *     per (doc_a, doc_b, t0_a − t0_b) — requiring agreement on ONE
+    *     offset is the constellation trick that turns weak individual
+    *     hashes into a strong pair signal — keep each pair's dominant
+    *     offset (deterministic tie-break: smaller offset), threshold
+    *     at `minMatches`.
+    *
+    * Work ∝ landmarks (≈ peaks ≈ frames/3 per doc), shuffles on the
+    * landmark hash and never on audio bytes; the per-pair count is a
+    * map-side-combinable aggregation. Restricted to the real-decode
+    * tier exactly like m10 (stub rows carry id-arithmetic features —
+    * their "matches" would be plant-formula artifacts). */
+  /** Real-decode frame features over the variant corpus — the m30
+    * pipeline's first stage, public so the spec can prove the exact
+    * tier (sequence equality over the SAME corpus) sees none of the
+    * planted near-copies. */
+  def audioVariantFrames(spark: SparkSession, documents: DataFrame,
+                         every: Int = PlantedAudioVariants.Every): DataFrame =
+    decodedMedia(plantedAudioVariantMedia(spark, documents, every), AutoDecoder)
+      .filter(pmod(col("doc_id"), lit(every.toLong)) === 0)
+
+  def audioLandmarkPairs(spark: SparkSession, documents: DataFrame,
+                         every: Int = PlantedAudioVariants.Every,
+                         minMatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = audioVariantFrames(spark, documents, every)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    val pk = fr
+      .withColumn("pf", lag(col("feat_mean"), 1).over(w))
+      .withColumn("nf", lead(col("feat_mean"), 1).over(w))
+      .filter(col("pf").isNotNull && col("nf").isNotNull &&
+        col("feat_mean") > col("pf") && col("feat_mean") >= col("nf"))
+      .select(col("doc_id"), col("frame_id").as("t0"), col("feat_mean").as("f0"))
+    val pw = Window.partitionBy(col("doc_id")).orderBy(col("t0"))
+    val lm = pk
+      .withColumn("t1", lead(col("t0"), 1).over(pw))
+      .withColumn("f1", lead(col("f0"), 1).over(pw))
+      .withColumn("t2", lead(col("t0"), 2).over(pw))
+      .withColumn("f2", lead(col("f0"), 2).over(pw))
+      .filter(col("t2").isNotNull && col("t2") - col("t0") <= 12)
+      .select(col("doc_id"), col("t0"),
+        (((((col("t1") - col("t0")) * 17 + (col("t2") - col("t0"))) * 4096 +
+          least(lit(4095L), floor(col("f1") / col("f0") * 256))) * 4096) +
+          least(lit(4095L), floor(col("f2") / col("f0") * 256))).as("lm_hash"))
+    val a = lm.select(col("doc_id").as("doc_a"), col("t0").as("ta"), col("lm_hash"))
+    val b = lm.select(col("doc_id").as("doc_b"), col("t0").as("tb"), col("lm_hash"))
+    val byOff = a.join(b, Seq("lm_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("ta") - col("tb")).as("offset_frames"))
+      .agg(count(lit(1)).as("n_matched"))
+    val rw = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("n_matched").desc, col("offset_frames"))
+    byOff.withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === 1 && col("n_matched") >= minMatches)
+      .select(col("doc_a"), col("doc_b"),
+        col("offset_frames").cast("int").as("offset_frames"),
+        col("n_matched").cast("int").as("n_matched"))
+  }
+
   /** REAL GIF metadata from the binary payload — pure column exprs, the
     * GIF87a/89a analogue of [[wavMeta]]: magic validation, little-endian
     * logical-screen width/height, the packed flags byte (global-color-

@@ -1101,6 +1101,41 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("audio landmarks: trimmed + gain-halved copies pair at the right offsets; m10 is blind to them") {
+    val pairs = Multimodal.audioLandmarkPairs(spark, table("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val pairSet = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    val planted = table("documents").collect().map(_.getLong(0)).filter(_ % 8 == 0)
+    val groups = planted.groupBy(_ / 32).filter(_._2.length == 4)
+    assert(groups.nonEmpty)
+    groups.foreach { case (g, ids) =>
+      val Array(v0, v1, v2, _) = ids.sorted
+      val d = (2 + g % 3).toInt
+      // trimmed copy: master anchors shift back by exactly the trim
+      assert(pairSet.get((v0, v1)).contains(d), s"group $g: (master, trimmed) missing or wrong offset")
+      // gain-halved copy: bit-exact landmark preservation, offset 0
+      assert(pairSet.get((v0, v2)).contains(0), s"group $g: (master, gain) missing or wrong offset")
+      // trimmed vs gain-halved: both transforms compose
+      assert(pairSet.get((v1, v2)).contains(-d), s"group $g: (trimmed, gain) missing or wrong offset")
+    }
+    // discrimination: nothing pairs ACROSS groups, and the unrelated
+    // fourth member of each group never pairs with its siblings
+    pairs.foreach { case (a, b, _, _) =>
+      assert(a / 32 === b / 32, s"cross-group phantom pair ($a,$b)")
+      assert((a / 8) % 4 != 3 && (b / 8) % 4 != 3, s"unrelated doc paired ($a,$b)")
+    }
+    // the blind spot this operator exists for: m10's exact tier is
+    // full-sequence equality, and over THIS corpus no two variant docs
+    // share a sequence — every landmark pair is invisible to it
+    val sigs = Multimodal.audioVariantFrames(spark, table("documents")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq)
+      .toMap
+    pairs.foreach { case (a, b, _, _) =>
+      assert(sigs(a) !== sigs(b), s"($a,$b) is an exact dup — the near-dup tier is untested")
+    }
+  }
+
   test("phash incremental equals the full pair set restricted to the batch") {
     val ph = Multimodal.imagePhash(spark, table("documents")).localCheckpoint()
     val corpus = ph.filter(pmod(col("doc_id"), lit(32)) === 16)
