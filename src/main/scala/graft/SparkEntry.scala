@@ -769,6 +769,7 @@ object SparkEntry {
     "q82_tx_history" -> Seq("version"),
     "d37_url_state_tx" -> Seq("canon_url"),
     "q73_clustered_compact" -> Seq("o_orderkey"),
+    "q83_tx_zorder" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
@@ -1703,6 +1704,28 @@ object SparkEntry {
       graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+    // q83 (r15): TWO-dimension z-ordered compaction inside the ACID
+    // table (Delta's OPTIMIZE ZORDER BY (a, b)) — the table shape
+    // merged on o_orderkey and range-read on o_custkey. Rows stay
+    // value-invisible (the q73 posture: merge oracle + rectangle
+    // filter); the spec measures the physical win — the SECOND
+    // dimension prunes files after z-compaction where the 1-D cluster
+    // leaves every file spanning its full domain
+    "q83_tx_zorder" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val root = stageDir(d) + "/q83_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      graft.sources.TxTable.compactZOrdered(s, root, "o_orderkey", "o_custkey", 8)
+      graft.sources.TxTable.read(s, root)
+        .filter(col("o_orderkey") <= 30000 && col("o_custkey") <= 750)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
     // q68: time travel through the ACID log — q67's table read AS OF
     // the pre-merge version (the reproducibility read a training
@@ -7529,6 +7552,24 @@ object SparkEntry {
     // q73: value-invisible like q67 — same relational upsert oracle;
     // the pruning win is a physical property the spec measures
     "q73_clustered_compact" -> upsertSql,
+    // q83: the merge algebra with the custkey column carried, gated
+    // through the z-ordered layout + the two-dimensional rectangle —
+    // a z-compaction that loses, duplicates, or reorders values into
+    // the wrong files hash-fails here; the file-count win is measured
+    // in TxTableSpec
+    "q83_tx_zorder" ->
+      """WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         upd AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+                 FROM orders WHERE o_orderkey % 3 = 0),
+         m AS (SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                  ELSE c.o_custkey END AS o_custkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                  ELSE c.o_totalprice END AS o_totalprice
+           FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM m
+         WHERE o_orderkey <= 30000 AND o_custkey <= 750 ORDER BY 1""",
     // q71: the stats path is metadata-only on the engine side; the
     // oracle replays the SEMANTICS — the key-set algebra of the three
     // versions (create / merge-with-inserts / delete) — relationally,

@@ -230,6 +230,19 @@ object Sources {
     * z-slice. */
   def writeZOrdered(df: DataFrame, path: String, colX: String, colY: String,
                     bits: Int = 6, numFiles: Int = 0): Unit = {
+    val z = zOrderCol(df, colX, colY, bits)
+    val ranged = if (numFiles > 0) df.repartitionByRange(numFiles, z)
+                 else df.repartitionByRange(z)
+    ranged.sortWithinPartitions(z).write.mode("overwrite").parquet(path)
+  }
+
+  /** The Morton-curve clustering key for `df`'s (colX, colY) — the
+    * equal-mass bucketing + bit-interleave shared by [[writeZOrdered]]
+    * and TxTable's OPTIMIZE-ZORDER compaction. Runs two approx-quantile
+    * aggs over `df` (GK sketch, bounded memory) to fit the per-dimension
+    * boundaries; the returned Column is pure shift/mask arithmetic. */
+  def zOrderCol(df: DataFrame, colX: String, colY: String,
+                bits: Int = 6): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.col
     require(bits >= 1 && bits <= 12, "bits per dimension must be in [1, 12]")
     val n = 1 << bits
@@ -237,10 +250,7 @@ object Sources {
     val Seq(bx, by) = Seq(colX, colY).map { cn =>
       quantileBucket(col(cn), df.stat.approxQuantile(cn, probs, 0.001))
     }
-    val z = zInterleave(bx, by, bits)
-    val ranged = if (numFiles > 0) df.repartitionByRange(numFiles, z)
-                 else df.repartitionByRange(z)
-    ranged.sortWithinPartitions(z).write.mode("overwrite").parquet(path)
+    zInterleave(bx, by, bits)
   }
 
   /** Key-based upsert (MERGE): rows from `updates` replace same-key rows

@@ -725,6 +725,37 @@ object TxTable {
       files.map(_.name), key, None, None))
   }
 
+  /** Z-ORDERED compaction — [[compactClustered]]'s TWO-dimension form
+    * (Delta's OPTIMIZE ZORDER BY (a, b)), for the table shape the r14
+    * verdict named: MERGED on one key, RANGE-READ on another. A
+    * one-dimension cluster gives the merge key perfect per-file ranges
+    * and leaves the read dimension spanning its full domain in every
+    * file; interleaving both along the Morton curve
+    * ([[Sources.zOrderCol]]: equal-mass quantile buckets per dimension,
+    * then bit-interleave — pure shift/mask column math) makes every
+    * output file a z-cell whose bounding box is TIGHT IN BOTH
+    * DIMENSIONS at once. The commit's logged key stats then prune
+    * merges to the files whose key span intersects (≈√F of F files for
+    * a point key instead of all F after plain compaction), while the
+    * parquet footer stats prune two-dimensional reads at the scan
+    * (q39's measured property, now INSIDE the ACID table). Same commit
+    * semantics as [[compact]]: rows identical (spec + oracle), old
+    * files de-referenced, dataChange=false so the change feed skips it.
+    * The z column is computed, used for layout, and NEVER stored. */
+  def compactZOrdered(spark: SparkSession, root: String, key: String,
+                      zCol: String, numFiles: Int = 4, bits: Int = 6): Long =
+    occRetry(root, "ZORDER", dataChange = false) { v =>
+    val files = snapshot(root, None)
+    val df = read(spark, root)
+    val z = Sources.zOrderCol(df, key, zCol, bits)
+    val laid = df.withColumn("_graft_z", z)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    Some((writeFiles(spark, laid, root, key, f"$v%010d-zorder"),
+      files.map(_.name), key, None, None))
+  }
+
   /** DESCRIBE HISTORY — the commit log surfaced as a DataFrame, one row
     * per version: operation kind, files added/removed, exact rows
     * added (from the logged per-file stats — metadata-only, no data
