@@ -745,6 +745,7 @@ object SparkEntry {
     "q12_distinct" -> Seq("event_type"),
     "q13_approx_distinct" -> Seq("event_type"),
     "c64_overlap_sketch" -> Seq("type_a", "type_b"),
+    "c67_kmv_overlap" -> Seq("seg_a", "seg_b"),
     "q14_percentiles" -> Seq("event_type"),
     "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
@@ -1077,6 +1078,23 @@ object SparkEntry {
       Curation.overlapSketch(ev).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/c64_est")
       Curation.overlapSketchEval(s.read.parquet(stageDir(d) + "/c64_est"), ev)
+    }),
+    // c67 (r15): KMV/theta-sketch audience overlap — the DIRECT
+    // intersection estimator HLL structurally lacks (c64 must go
+    // through inclusion-exclusion). Hash-deterministic ⇒ the WHOLE
+    // pipeline, sketch included, replays in the oracle (no staged
+    // estimates); the sketch table is persisted and estimates are
+    // computed from the read-back artifact alone (the c16 posture)
+    // Segments = order priority over the CUSTOMER key — audiences that
+    // genuinely partially overlap (~1100 shared of ~1480 union at
+    // sf0.01), so the intersection estimator is tested away from the
+    // overlap==union degenerate case
+    "c67_kmv_overlap" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      Curation.kmvSketch(o, "o_orderpriority", "o_custkey")
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c67_sk")
+      Curation.kmvOverlapEval(s.read.parquet(stageDir(d) + "/c67_sk"),
+        o, "o_orderpriority", "o_custkey")
     }),
     "q13_approx_distinct" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -4700,6 +4718,48 @@ object SparkEntry {
            JOIN pt pa ON pa.event_type = est.type_a
            JOIN pt pb ON pb.event_type = est.type_b
          ORDER BY 1, 2""",
+    // c67: KMV is hash-deterministic, so the oracle replays the ENTIRE
+    // pipeline from events — sketch (distinct hash, top-k per segment),
+    // per-segment regime/θ/estimate, pair threshold, below-θ sample
+    // counts, union/intersection estimators, exact audit join. No
+    // staged numbers anywhere: a wrong hash, rank cutoff, θ rule, or
+    // estimator scaling hash-fails.
+    "c67_kmv_overlap" ->
+      """WITH uh AS (SELECT DISTINCT o_orderpriority AS seg,
+             ((o_custkey % 1000003) * 2654435761 + 104729) % 2147483647 AS h
+           FROM orders),
+         sk AS (SELECT seg, h,
+             row_number() OVER (PARTITION BY seg ORDER BY h) AS r
+           FROM uh QUALIFY r <= 64),
+         stats AS (SELECT seg,
+             CASE WHEN count(*) < 64 THEN 2147483647 ELSE max(h) END AS theta,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 * 2147483647 / max(h) END AS est
+           FROM sk GROUP BY 1),
+         pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             least(a.theta, b.theta) AS th, a.est AS est_a, b.est AS est_b
+           FROM stats a JOIN stats b ON a.seg < b.seg),
+         below AS (SELECT p.seg_a, p.seg_b, p.th, s.seg AS ty, s.h
+           FROM pairs p JOIN sk s
+           ON (s.seg = p.seg_a OR s.seg = p.seg_b) AND s.h < p.th),
+         cnts AS (SELECT seg_a, seg_b, count(DISTINCT h) AS n_union,
+             sum(CASE WHEN ty = seg_a THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN ty = seg_b THEN 1 ELSE 0 END) AS n_b
+           FROM below GROUP BY 1, 2),
+         est AS (SELECT p.seg_a, p.seg_b, p.est_a, p.est_b,
+             CAST(c.n_union AS DOUBLE) * 2147483647 / p.th AS est_union,
+             CAST(c.n_a + c.n_b - c.n_union AS DOUBLE) * 2147483647 / p.th
+               AS est_overlap
+           FROM pairs p JOIN cnts c USING (seg_a, seg_b)),
+         uu AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS k
+                FROM orders),
+         ov AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             count(*) AS exact_overlap
+           FROM uu a JOIN uu b ON a.k = b.k AND a.seg < b.seg
+           GROUP BY 1, 2)
+         SELECT e.seg_a, e.seg_b, e.est_a, e.est_b, e.est_union,
+           e.est_overlap, coalesce(o.exact_overlap, 0) AS exact_overlap
+         FROM est e LEFT JOIN ov o USING (seg_a, seg_b) ORDER BY 1, 2""",
     "q13_approx_distinct" ->
       """WITH est AS (SELECT event_type, approx_users
            FROM read_parquet('__GRAFT_STAGE__/q13_est/*.parquet')),

@@ -1566,6 +1566,94 @@ object Curation {
           / col("exact_union"), 6).as("rel_err"))
   }
 
+  /** KMV (k-minimum-values / theta) sketch over per-segment audiences —
+    * the Beyer et al. 2007 / theta-sketch (Dasgupta et al. 2016) family,
+    * closing what [[overlapSketch]]'s HLL cannot do: HLL registers only
+    * UNION, so c64 reaches intersection through inclusion–exclusion
+    * (error grows with |A∪B|/|A∩B|), while a KMV sketch is a uniform
+    * SAMPLE of the hashed keys below a threshold and therefore supports
+    * a DIRECT intersection estimator: with θ = min(θ_A, θ_B), the
+    * sample {x ∈ sk_A ∩ sk_B : h(x) < θ} is a uniform sample of A∩B and
+    * |sample|/θ estimates it. And unlike HLL (engine-specific register
+    * layout, c64 must stage its estimates), KMV built on the project's
+    * engine-independent hash is FULLY deterministic — every number
+    * here, sketch included, replays relationally in the oracle.
+    *
+    * Sketch = the k smallest distinct hash values per segment
+    * (distinct-then-rank: one shuffle on (type, h), top-k per group —
+    * KB-sized mergeable state per segment; merging two sketches is
+    * "k smallest of the concatenation", associative and commutative).
+    * The gated query PERSISTS the sketch table and estimates from the
+    * read-back artifact alone — the c16 posture: pairwise work is
+    * |segments|²·k sketch rows and never touches the corpus. Regimes:
+    * a segment with < k distinct hashes is carried EXACTLY (θ = 1,
+    * estimate ≡ count); otherwise θ = h_k/M and est = (k−1)/θ. The
+    * exact audit join (paid once, at gate scale) bounds the estimator
+    * like c64's eval. */
+  def kmvSketch(df: DataFrame, segCol: String, keyCol: String,
+                k: Int = 64): DataFrame = {
+    val M = 2147483647L
+    val h = pmod(pmod(col(keyCol), lit(1000003L)) * 2654435761L
+      + 104729L, lit(M))
+    val w = Window.partitionBy(col("seg")).orderBy(col("h"))
+    df.select(col(segCol).as("seg"), h.as("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("seg"), col("h"), col("r"))
+  }
+
+  /** Pairwise audience estimates from the persisted KMV sketch table
+    * ALONE (+ the exact audit against `events`). See [[kmvSketch]]. */
+  def kmvOverlapEval(sk: DataFrame, df: DataFrame, segCol: String,
+                     keyCol: String, k: Int = 64): DataFrame = {
+    val M = 2147483647L
+    // per-segment regime: n < k => the sketch IS the hash set (theta = M);
+    // n = k => theta = h_k and est = (k-1)*M/h_k
+    val stats = sk.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .withColumn("theta", when(col("n") < k, lit(M)).otherwise(col("hk")))
+      .withColumn("est",
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * M / col("hk")))
+      .localCheckpoint()
+    val pairs = stats.select(col("seg").as("seg_a"),
+        col("theta").as("tha"), col("est").as("est_a"))
+      .join(stats.select(col("seg").as("seg_b"),
+        col("theta").as("thb"), col("est").as("est_b")),
+        col("seg_a") < col("seg_b"))
+      .withColumn("th", least(col("tha"), col("thb")))
+    // per-pair sample counts below the pair threshold theta
+    val below = pairs.select(col("seg_a"), col("seg_b"), col("th"))
+      .join(sk.withColumnRenamed("seg", "ty"),
+        col("ty") === col("seg_a") || col("ty") === col("seg_b"))
+      .filter(col("h") < col("th"))
+    val cnts = below
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(countDistinct(col("h")).as("n_union"),
+        sum(when(col("ty") === col("seg_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ty") === col("seg_b"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("n_int", col("n_a") + col("n_b") - col("n_union"))
+    val est = pairs.join(cnts, Seq("seg_a", "seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("est_a"), col("est_b"),
+        (col("n_union").cast("double") * M / col("th")).as("est_union"),
+        (col("n_int").cast("double") * M / col("th")).as("est_overlap"))
+    // the exact audit: the key-keyed join the sketch path avoids
+    val uu = df.select(col(segCol).as("seg"), col(keyCol).as("k")).distinct()
+      .localCheckpoint()
+    val ov = uu.select(col("seg").as("seg_a"), col("k"))
+      .join(uu.select(col("seg").as("seg_b"), col("k").as("k2")),
+        col("k") === col("k2") && col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    // LEFT join: a pair with ZERO shared keys is still a pair the
+    // report must carry (est_overlap near 0 is the estimator doing its
+    // job, not a missing row)
+    est.join(ov, Seq("seg_a", "seg_b"), "left")
+      .select(col("seg_a"), col("seg_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   def sketchRollup(events: DataFrame, lgK: Int = 12): DataFrame =
     dailyUserSketches(events, lgK)
       .groupBy(col("event_type"))

@@ -56,6 +56,46 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("kmv sketch: exact regime, merge associativity, estimator near the exact join") {
+    import spark.implicits._
+    val o = table("orders")
+    // exact regime: a corpus with < k distinct keys is carried exactly
+    val tiny = (1L to 40L).map(k => (if (k <= 20) "a" else "b", k * 11))
+      .toDF("o_orderpriority", "o_custkey")
+    val tinyOut = Curation.kmvOverlapEval(
+      Curation.kmvSketch(tiny, "o_orderpriority", "o_custkey"),
+      tiny, "o_orderpriority", "o_custkey").collect()
+    assert(tinyOut.length === 1)
+    assert(tinyOut(0).getAs[Double]("est_a") === 20.0)
+    assert(tinyOut(0).getAs[Double]("est_union") === 40.0)
+    assert(tinyOut(0).getAs[Double]("est_overlap") === 0.0)
+    // mergeability: sketch(A ∪ B) == k-smallest of (sketch(A) ∪ sketch(B))
+    val halves = Seq(o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 === 1))
+      .map(h => Curation.kmvSketch(h, "o_orderpriority", "o_custkey"))
+    val merged = halves.reduce(_ union _)
+      .select(col("seg"), col("h")).distinct()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg").orderBy("h")))
+      .filter(col("r") <= 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val whole = Curation.kmvSketch(o, "o_orderpriority", "o_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === whole, "KMV merge must equal the whole-corpus sketch")
+    // estimator quality on genuinely partial overlaps (k=64 ⇒ ~1/√62 ≈ 13%)
+    val out = Curation.kmvOverlapEval(
+      Curation.kmvSketch(o, "o_orderpriority", "o_custkey"),
+      o, "o_orderpriority", "o_custkey").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_overlap")
+      val exact = r.getAs[Long]("exact_overlap").toDouble
+      val union = r.getAs[Double]("est_union")
+      assert(math.abs(est - exact) <= 0.25 * union,
+        s"${r.getString(0)}∩${r.getString(1)} est $est exact $exact union $union")
+    }
+  }
+
   test("tokenizer eval: per-family totals equal direct tokenization of the corpus") {
     import graft.operators.TextOps
     val docs = table("documents")
