@@ -816,6 +816,7 @@ object SparkEntry {
     "s17_triangles" -> Seq("vec_id"),
     "s21_kcore" -> Seq("vec_id"),
     "s24_bfs_hops" -> Seq("vec_id"),
+    "s27_sssp" -> Seq("vec_id"),
     "s18_silhouette" -> Seq("cluster"),
     "s19_mmr_rerank" -> Seq("q_id", "rank"),
     "d26_snapshot_diff" -> Seq("doc_id"),
@@ -2968,6 +2969,20 @@ object SparkEntry {
           .select(col("q_id").as("src"), col("neighbor_id").as("dst")),
         emb.filter(col("vec_id") < 3).select(col("vec_id")))
     }),
+    // s27 (r15): s24 made WEIGHTED — rank-weighted single-source
+    // shortest paths (synchronous Bellman-Ford, integer path sums) over
+    // the same LSH k-NN edge source; recursive-CTE oracle with the
+    // hop-bounded min collapse matching the R-round relax invariant
+    "s27_sssp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCodes(emb).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/s27_codes")
+      Similarity.shortestPaths(
+        Similarity.knnGraphLsh(emb)
+          .select(col("q_id").as("src"), col("neighbor_id").as("dst"),
+            col("rank").cast("long").as("w")),
+        emb.filter(col("vec_id") < 3).select(col("vec_id")))
+    }),
     // per-node triangle counts over the same sub-quadratic edge source
     // — degree-oriented compact-forward, all-integer. FULL oracle:
     // staged-code edge replay + the identical orientation in SQL
@@ -3125,7 +3140,7 @@ object SparkEntry {
                  count(*) AS n_tokens,
                  string_agg(tok, ' ' ORDER BY p) AS chunk_text
                  FROM cx GROUP BY 1, 2)"""
-  private def lshEdgeCtes(stage: String) =
+  private def lshEdgeCtes(stage: String, withRank: Boolean = false) =
     s"""WITH cd AS (SELECT vec_id, code
            FROM read_parquet('__GRAFT_STAGE__/$stage/*.parquet')),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3139,7 +3154,8 @@ object SparkEntry {
          rr AS (SELECT q_id, id_b, row_number() OVER
                (PARTITION BY q_id ORDER BY CAST(cos AS DECIMAL(38,6)) DESC, id_b)
                AS rank FROM p),
-         e AS (SELECT q_id AS src, id_b AS dst FROM rr WHERE rank <= 3)"""
+         e AS (SELECT q_id AS src, id_b AS dst${
+             if (withRank) ", rank AS w" else ""} FROM rr WHERE rank <= 3)"""
   // Shared s6/s9 k-means replay: staged seed (cid, vec_id) table (the
   // one non-ANSI step) → `iters` unrolled Lloyd iterations → final
   // assignment CTE `fa` (vec_id, cid, d6, rk). Each iteration:
@@ -6441,6 +6457,21 @@ object SparkEntry {
            SELECT e.dst AS vec_id, bfs.hop + 1 AS hop
            FROM bfs JOIN e ON e.src = bfs.vec_id WHERE bfs.hop < 4)
          SELECT vec_id, min(hop) AS hop FROM bfs GROUP BY 1 ORDER BY 1""",
+    // s27: the rank-weighted edge replay feeds a recursive-CTE
+    // Bellman-Ford; hop-bounded UNION recursion (paths of <= 8 edges —
+    // exactly the 8-round synchronous relax invariant), min-dist
+    // collapse. Integer weights ⇒ exact path sums on both engines.
+    "s27_sssp" ->
+      s"""WITH RECURSIVE ${lshEdgeCtes("s27_codes", withRank = true)
+             .stripPrefix("WITH ")},
+         sp AS (
+           SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
+             CAST(0 AS BIGINT) AS dist, 0 AS hop
+           FROM (SELECT unnest(generate_series(0, 2)) AS vec_id) s
+           UNION
+           SELECT e.dst AS vec_id, sp.dist + e.w AS dist, sp.hop + 1 AS hop
+           FROM sp JOIN e ON e.src = sp.vec_id WHERE sp.hop < 8)
+         SELECT vec_id, min(dist) AS dist FROM sp GROUP BY 1 ORDER BY 1""",
     // s14: s1's ranking discipline on the RAW inner product
     "s14_mips" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -506,6 +506,44 @@ object Similarity {
     visited
   }
 
+  /** Rank-weighted single-source shortest paths over an edge list —
+    * [[bfsHops]] made WEIGHTED, completing the distance layer of the
+    * k-NN-graph family (hops answer "reachable in how many steps";
+    * weighted distance answers "how CLOSE is the seed set's influence",
+    * the input a curriculum/propagation pipeline weights labels by).
+    * Edge weight = the k-NN RANK (1..k): integer, engine-independent
+    * (ranks are the DECIMAL-rounded-ordered row_numbers the whole ANN
+    * family already replays exactly), so path sums are exact integer
+    * arithmetic — no IEEE accumulation-order hazard anywhere.
+    *
+    * Synchronous Bellman–Ford: each of `rounds` rounds relaxes EVERY
+    * current distance through the edge list (one join + one min-agg —
+    * both key-partitioned partial aggregations), so after round R the
+    * table holds exactly min-cost-over-paths-of-≤-R-edges — the
+    * invariant the recursive-CTE oracle replays verbatim (hop-bounded
+    * UNION recursion + min collapse). Equals true SSSP whenever every
+    * shortest path uses ≤ `rounds` edges; on corpora with longer
+    * weighted diameters the result is the deterministic ≤R-edge
+    * restriction ON BOTH ENGINES (the s8/kCore fixed-iteration
+    * contract — the sf0.001 spec corpus genuinely has >8-edge shortest
+    * paths, measured, so the spec pins MONOTONICITY under a bigger
+    * budget rather than claiming a fixpoint the graph doesn't have).
+    * Distances localCheckpoint per round (O(1) lineage); cost
+    * rounds × O(|E|). */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    var dist = seeds.select(col("vec_id")).distinct()
+      .select(col("vec_id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = dist.join(e, dist("vec_id") === e("src"))
+        .select(col("dst").as("vec_id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(cand)
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** k-core decomposition membership — the density layer of the
     * k-NN-graph analytics family (components = connectivity, PageRank =
     * centrality, LPA = communities, triangles = local density, k-core =

@@ -103,4 +103,39 @@ class CdcChunkSpec extends AnyFunSuite with SharedSpark {
     // 9/10 unreachable from the seed; nothing past maxHops
     assert(!out.contains(9L) && !out.contains(10L))
   }
+
+  test("shortest paths: weighted min beats fewer-hops, budget invariant, monotone reach") {
+    import spark.implicits._
+    // 0→3 direct costs 5; 0→1→2→3 costs 1+1+1 = 3 — the weighted
+    // answer DISAGREES with BFS (which would take the 1-hop shortcut)
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 5L),
+      (3L, 4L, 2L), (9L, 10L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("vec_id")
+    val out = Similarity.shortestPaths(edges, seeds, rounds = 6)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dist")).toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 5L), s"got $out")
+    assert(!out.contains(9L) && !out.contains(10L))
+    // round budget: with 2 rounds only paths of <= 2 edges exist — the
+    // direct 0→3 edge (cost 5) wins because the 3-edge path is not yet
+    // relaxed; exactly the invariant the recursive-CTE oracle replays
+    val two = Similarity.shortestPaths(edges, seeds, rounds = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dist")).toMap
+    assert(two(3L) === 5L, s"2-round distance should be the 1-hop edge, got ${two(3L)}")
+    // bounded-round contract on the corpus graph: a bigger budget only
+    // ever EXTENDS the reach set and IMPROVES (never worsens) distances
+    val emb = table("embeddings")
+    val e = Similarity.knnGraphLsh(emb)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"),
+        col("rank").cast("long").as("w")).localCheckpoint()
+    val s = emb.filter(col("vec_id") < 3).select(col("vec_id"))
+    def run(r: Int) = Similarity.shortestPaths(e, s, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val r8 = run(8); val r10 = run(10)
+    assert(r8.keySet.subsetOf(r10.keySet))
+    r8.foreach { case (v, d) => assert(r10(v) <= d, s"node $v worsened: $d -> ${r10(v)}") }
+    // and SSSP reach under budget R == BFS reach under R hops (same edges)
+    val bfs = Similarity.bfsHops(e.select(col("src"), col("dst")), s, maxHops = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(r8.keySet === bfs, "reach set must equal BFS at the same edge budget")
+  }
 }
