@@ -892,6 +892,7 @@ object SparkEntry {
     "t15_sentences" -> Seq("doc_id", "sent_id"),
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
+    "t38_heaps_fit" -> Seq("n_points"),
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
     "c35_decontam_scrub" -> Seq("doc_id"),
@@ -2477,6 +2478,12 @@ object SparkEntry {
     "q66_growth_rate" -> ((s, d) => Relational.growthRate(t(s, d, "orders"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
+    // t38 (r15): Heaps'-law vocabulary-growth fit — t10 answers "how
+    // big a vocab for THIS corpus", the Heaps exponent answers "and
+    // when it 100×es": bucket-granular growth curve (two partial aggs
+    // + a <=32-row cumulative window), closed-form log-log least
+    // squares under the t7 ln-decimal discipline
+    "t38_heaps_fit" -> ((s, d) => Curation.heapsFit(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     // CCNet paragraph granularity: planted multi-language / OOV-heavy
     // paragraphs (the corpus has none), language+perplexity scored PER
@@ -8986,6 +8993,43 @@ object SparkEntry {
                  AS DECIMAL(38,4)) AS DOUBLE) AS avg_ll
           FROM tk JOIN tf ON tk.term = tf.term, tot
           GROUP BY doc_id ORDER BY doc_id""",
+    // t38: the whole fit replays — bucket assignment (integer div on
+    // max+1), per-bucket token/new-vocab counts, the cumulative curve,
+    // decimal-6 ln, exact decimal moment sums, and the fixed-shape
+    // double β/lnK expressions. A wrong bucket rule, first-occurrence
+    // min, or regression term hash-fails.
+    "t38_heaps_fit" ->
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          tk0 AS (SELECT (doc_id * 32) // m AS g, unnest(CASE WHEN len(t) >= 2
+                THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+                ELSE [array_to_string(t, ' ')] END) AS term
+              FROM (SELECT doc_id, $toks AS t FROM documents), mx),
+          tk AS (SELECT g, count(*) AS tk FROM tk0 GROUP BY 1),
+          nv AS (SELECT g, count(*) AS nv FROM
+                   (SELECT term, min(g) AS g FROM tk0 GROUP BY 1) GROUP BY 1),
+          curve AS (SELECT tk.g, sum(tk.tk) OVER w AS cum_t,
+              sum(coalesce(nv.nv, 0)) OVER w AS cum_v
+            FROM tk LEFT JOIN nv USING (g)
+            WINDOW w AS (ORDER BY tk.g
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          xy AS (SELECT cum_t, cum_v,
+              CAST(ln(CAST(cum_t AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+              CAST(ln(CAST(cum_v AS DOUBLE)) AS DECIMAL(18,6)) AS y
+            FROM curve),
+          mo AS (SELECT count(*) AS n_points,
+              CAST(max(cum_t) AS BIGINT) AS total_tokens,
+              CAST(max(cum_v) AS BIGINT) AS total_vocab,
+              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x * y) AS DOUBLE) AS sxy,
+              CAST(sum(x * x) AS DOUBLE) AS sxx
+            FROM xy),
+          b AS (SELECT *, CAST(CAST((n_points * sxy - sx * sy) /
+              (n_points * sxx - sx * sx) AS DECIMAL(38,6)) AS DOUBLE) AS beta
+            FROM mo)
+          SELECT n_points, total_tokens, total_vocab, beta,
+            CAST(CAST((sy - beta * sx) / n_points AS DECIMAL(38,6)) AS DOUBLE)
+              AS ln_k
+          FROM b""",
     "c27_perplexity_gate" -> perplexitySql,
     // c34: s1's dense cosine list at k=10 ∪ the BM25-vs-query-doc
     // sparse list (c25's scoring algebra per (q,doc) with the decimal-6

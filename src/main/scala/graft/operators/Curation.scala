@@ -604,6 +604,67 @@ object Curation {
     * itself. A boundary falling inside an equal-count class is resolved
     * by integer ceil within the class (terms of equal count are
     * interchangeable for coverage). */
+  /** Heaps'-law vocabulary-growth fit V(N) = K·N^β — the capacity-
+    * planning number a tokenizer/vocab build reads off the corpus
+    * BEFORE committing to a vocab size ([[vocabCoverage]] answers "how
+    * big for THIS corpus"; the Heaps exponent answers "how does that
+    * grow when the corpus 100×es" — exactly the extrapolation a 100 TB
+    * ingest needs from its sample). Public formulation: Heaps 1978 /
+    * Baeza-Yates & Ribeiro-Neto's log-log least squares.
+    *
+    * Scale shape: the growth curve is measured at BUCKET granularity —
+    * documents in doc_id order split into `buckets` contiguous ranges;
+    * per-bucket token counts and per-bucket NEW-vocab counts (a term's
+    * first occurrence bucket is a min-aggregate, the same first-
+    * occurrence trick as q30's cumulative-users rewrite) reduce the
+    * corpus in TWO key-partitioned aggregations, and only then does the
+    * ≤`buckets`-row curve pass through the cumulative window — the
+    * sanctioned dimension-bounded class, never a corpus-sized
+    * cumulative. The fit is closed-form least squares over the curve's
+    * (ln N, ln V): ln's decimal-6 cast (the t7/c27 cross-engine ln
+    * discipline), EXACT decimal sums of x/y/xy/x², and a fixed-shape
+    * double expression for β and ln K that both engines evaluate
+    * identically. */
+  def heapsFit(documents: DataFrame, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val mx = documents.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // the TYPE class under measurement is word BIGRAMS: the synthetic
+    // corpus has a CLOSED ~31-word unigram vocabulary (measured — a
+    // unigram fit saturates in the first bucket and β degenerates to
+    // 0), while its bigram types keep growing across the whole corpus;
+    // the operator is parametric in the shingle width
+    val toksDf = documents
+      .withColumn("g", expr(s"(doc_id * $buckets) div $mx"))
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("term", explode(rawShinglesFromTokens(col("_toks"), 2)))
+      .select(col("g"), col("term"))
+    val tk = toksDf.groupBy(col("g")).agg(count(lit(1)).as("tk"))
+    val nv = toksDf.groupBy(col("term")).agg(min(col("g")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = tk.join(nv, Seq("g"), "left")
+      .withColumn("cum_t", sum(col("tk")).over(w))
+      .withColumn("cum_v", sum(coalesce(col("nv"), lit(0L))).over(w))
+      .withColumn("x", log(col("cum_t").cast("double")).cast(DecimalType(18, 6)))
+      .withColumn("y", log(col("cum_v").cast("double")).cast(DecimalType(18, 6)))
+    curve.agg(
+        count(lit(1)).as("n_points"),
+        max(col("cum_t")).as("total_tokens"),
+        max(col("cum_v")).as("total_vocab"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .withColumn("beta", decRound(
+        (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")), 6))
+      .withColumn("ln_k", decRound(
+        (col("sy") - col("beta") * col("sx")) / col("n_points"), 6))
+      .select(col("n_points"), col("total_tokens"), col("total_vocab"),
+        col("beta"), col("ln_k"))
+  }
+
   def vocabCoverage(documents: DataFrame,
                     targets: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
     val counts = documents

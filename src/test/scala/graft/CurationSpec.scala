@@ -96,6 +96,33 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("heaps fit: totals exact, closed vocab gives beta 0, all-new types give beta 1") {
+    import spark.implicits._
+    // closed vocabulary: every doc is the same two-bigram sentence —
+    // the cumulative type count is flat and the slope must be EXACTLY 0
+    val closed = (0L until 64L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fc = Curation.heapsFit(closed).head()
+    assert(fc.getAs[Double]("beta") === 0.0)
+    assert(fc.getAs[Long]("total_vocab") === 2L) // "alpha beta", "beta gamma"
+    // all-new types: every doc contributes globally-unique bigrams at a
+    // constant rate, so V == N exactly and the log-log slope is 1
+    val fresh = (0L until 64L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val ff = Curation.heapsFit(fresh).head()
+    assert(ff.getAs[Long]("total_vocab") === ff.getAs[Long]("total_tokens"))
+    assert(math.abs(ff.getAs[Double]("beta") - 1.0) < 1e-4,
+      s"beta ${ff.getAs[Double]("beta")}")
+    // corpus totals equal direct counting
+    val docs = table("documents")
+    val f = Curation.heapsFit(docs).head()
+    val bg = docs.withColumn("_toks", graft.functions.ColumnFns.tokens(col("text")))
+      .select(explode(graft.functions.ColumnFns.rawShinglesFromTokens(col("_toks"), 2)).as("b"))
+    assert(f.getAs[Long]("total_tokens") === bg.count())
+    assert(f.getAs[Long]("total_vocab") === bg.distinct().count())
+    assert(f.getAs[Long]("n_points") <= 32L)
+  }
+
   test("tokenizer eval: per-family totals equal direct tokenization of the corpus") {
     import graft.operators.TextOps
     val docs = table("documents")
