@@ -1014,6 +1014,7 @@ object SparkEntry {
     "m6_wav_frames" -> Seq("doc_id", "frame_id"),
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m30_audio_landmarks" -> Seq("doc_a", "doc_b"),
+    "m31_ogg_meta" -> Seq("doc_id"),
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"),
     "m11_bmp_meta" -> Seq("doc_id"),
@@ -1563,6 +1564,11 @@ object SparkEntry {
     // delta/ratio hashes → same-offset match counting, all relational
     "m30_audio_landmarks" -> ((s, d) =>
       Multimodal.audioLandmarkPairs(s, t(s, d, "documents"))),
+    // m31: real Ogg page-header parsing (RFC 3533) — the segment-table
+    // walk is the parsing test: payload length is a SUM of lacing
+    // bytes, there is no fixed offset to the payload
+    "m31_ogg_meta" -> ((s, d) =>
+      Multimodal.oggMetaPlanted(s, t(s, d, "documents"))),
     // real ISO-BMFF (MP4) container parsing over planted payloads
     // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
     // timescale/duration; synthetic fallback mirrors the image path
@@ -7529,6 +7535,39 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(offset_frames AS INTEGER) AS offset_frames,
            CAST(n AS INTEGER) AS n_matched
          FROM best WHERE rn = 1 AND n >= 3 ORDER BY doc_a, doc_b""",
+    // m31: planted pages replay from the /8-tier plant formulas — the
+    // lacing-byte payload sum replays as a generate_series sum; text
+    // rows replay the synthetic-fallback algebra on the UTF-8 length
+    "m31_ogg_meta" ->
+      """WITH planted AS (
+           SELECT doc_id, (doc_id // 8) % 4 AS tier,
+             CASE (doc_id // 8) % 4 WHEN 0 THEN 2 WHEN 1 THEN 6
+               WHEN 2 THEN 1 ELSE 0 END AS ht,
+             CAST(1 + (doc_id // 8) % 5 AS INTEGER) AS nseg
+           FROM documents WHERE doc_id % 8 = 0),
+         pay AS (
+           SELECT doc_id, CAST(sum((doc_id // 8 + i * 7) % 255) AS BIGINT) AS paylen
+           FROM planted, unnest(generate_series(0, nseg - 1)) AS t(i)
+           GROUP BY 1)
+         SELECT p.doc_id, 1 AS is_ogg,
+           CAST((ht // 2) % 2 AS INTEGER) AS bos,
+           CAST((ht // 4) % 2 AS INTEGER) AS eos,
+           CAST((p.doc_id // 8) % 65536 + 7 AS INTEGER) AS serial,
+           CAST((p.doc_id // 16) % 4 AS INTEGER) AS page_seq,
+           CAST(p.doc_id * 1000 + tier AS BIGINT) AS granule,
+           nseg AS n_segments, pay.paylen AS payload_len
+         FROM planted p JOIN pay USING (doc_id)
+         UNION ALL
+         SELECT doc_id, 0 AS is_ogg,
+           CAST(octet_length(encode(text)) % 2 AS INTEGER) AS bos,
+           CAST((octet_length(encode(text)) + 1) % 2 AS INTEGER) AS eos,
+           CAST(octet_length(encode(text)) * 3 % 65536 AS INTEGER) AS serial,
+           CAST(octet_length(encode(text)) % 16 AS INTEGER) AS page_seq,
+           CAST(octet_length(encode(text)) * 13 % 100000 AS BIGINT) AS granule,
+           CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_segments,
+           CAST(octet_length(encode(text)) * 11 % 999 AS BIGINT) AS payload_len
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
     "m3_frame_dedup" ->
       """WITH fr AS (SELECT doc_id,
            CAST((doc_id * 31 + f * 7) % 997 AS DOUBLE) / 997.0 AS feat_mean

@@ -1792,6 +1792,111 @@ object Multimodal {
         col("n_matched").cast("int").as("n_matched"))
   }
 
+  /** Deterministic planted OGG pages for m31's gate: every 8th doc gets
+    * one complete Ogg page (RFC 3533) whose header fields are pure
+    * functions of doc_id. Selectors use /8- and /16-based TIERS, never
+    * raw docId%k (planted ids are ≡0 mod 8 — the r14 ADVICE aliasing
+    * lesson), so all four header-type flag combinations, all five
+    * segment counts and varying page sequences actually occur. The
+    * segment TABLE is the format's point: payload length is the sum of
+    * a variable-length run of lacing bytes — a fixed-offset reader
+    * cannot even find the payload. */
+  object PlantedOggs {
+    val Every = 8
+
+    def laces(docId: Long): Seq[Int] = {
+      val nseg = (1 + (docId / 8) % 5).toInt
+      (0 until nseg).map(i => ((docId / 8 + i * 7) % 255).toInt)
+    }
+
+    def craftedOgg(docId: Long): Array[Byte] = {
+      val tier = ((docId / 8) % 4).toInt
+      val hdrType = Array(2, 6, 1, 0)(tier) // bos | bos+eos | continued | none
+      val ls = laces(docId)
+      val payloadLen = ls.sum
+      val bb = java.nio.ByteBuffer.allocate(27 + ls.length + payloadLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(hdrType.toByte)
+        .putLong(docId * 1000 + tier)                   // granule position
+        .putInt(((docId / 8) % 65536 + 7).toInt)        // bitstream serial
+        .putInt(((docId / 16) % 4).toInt)               // page sequence
+        .putInt(0)                                      // CRC (not validated)
+        .put(ls.length.toByte)
+      ls.foreach(l => bb.put(l.toByte))
+      var j = 0
+      while (j < payloadLen) { bb.put(((docId + j) % 256).toByte); j += 1 }
+      bb.array()
+    }
+  }
+
+  def plantedOggMedia(spark: SparkSession, documents: DataFrame,
+      every: Int = PlantedOggs.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedOggs.craftedOgg(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL Ogg page-header parsing (RFC 3533) from the binary column —
+    * the container the open audio/video codec family ships in (Vorbis,
+    * Opus, Theora, FLAC-in-Ogg), completing the wrapper tier beside
+    * gzip/zip/tar/zstd. Pure column exprs: capture-pattern validation,
+    * version-0 check, the header-type flag bits (continued/bos/eos),
+    * 64-bit LE granule position, serial, page sequence — and the
+    * format's real parsing test, the SEGMENT TABLE: payload length is
+    * the sum of `n_segments` lacing bytes (a HOF aggregate over the
+    * table span — there is no fixed offset to the payload at all), and
+    * `complete` requires the byte length to equal header + table +
+    * laced payload exactly. Incomplete/non-Ogg rows degrade to
+    * deterministic synthetic metadata — the contract of every media
+    * path. */
+  def oggMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isOgg = hex(p.substr(lit(1), lit(4))) === "4F676753" // "OggS"
+    val staged = media
+      .withColumn("_ver", beUint(p, lit(5L), 1))
+      .withColumn("_ht", beUint(p, lit(6L), 1))
+      .withColumn("_gran", leUint(p, 7, 8))
+      .withColumn("_serial", leUint(p, 15, 4))
+      .withColumn("_pseq", leUint(p, 19, 4))
+      .withColumn("_nseg", beUint(p, lit(27L), 1))
+      .withColumn("_paylen",
+        when(col("_nseg").isNotNull && col("_nseg") >= 1,
+          aggregate(sequence(lit(1L), col("_nseg")), lit(0L),
+            (acc, i) => acc + conv(hex(p.substr((lit(27L) + i).cast("int"), lit(1))),
+              16, 10).cast("long"))))
+    val complete = coalesce(isOgg, lit(false)) &&
+      coalesce(col("_ver") === 0, lit(false)) &&
+      coalesce(col("_nseg") >= 1, lit(false)) &&
+      coalesce(len.cast("long") === lit(27L) + col("_nseg") + col("_paylen"),
+        lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_ogg"),
+      when(complete, pmod(expr("_ht div 2"), lit(2L)).cast("int"))
+        .otherwise(pmod(len, lit(2)).cast("int")).as("bos"),
+      when(complete, pmod(expr("_ht div 4"), lit(2L)).cast("int"))
+        .otherwise(pmod(len + 1, lit(2)).cast("int")).as("eos"),
+      when(complete, col("_serial").cast("int"))
+        .otherwise(pmod(len * 3, lit(65536)).cast("int")).as("serial"),
+      when(complete, col("_pseq").cast("int"))
+        .otherwise(pmod(len, lit(16)).cast("int")).as("page_seq"),
+      when(complete, col("_gran"))
+        .otherwise(pmod(len * 13, lit(100000)).cast("long")).as("granule"),
+      when(complete, col("_nseg").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(7))).cast("int")).as("n_segments"),
+      when(complete, col("_paylen"))
+        .otherwise(pmod(len * 11, lit(999)).cast("long")).as("payload_len"))
+  }
+
+  def oggMetaPlanted(spark: SparkSession, documents: DataFrame,
+                     every: Int = PlantedOggs.Every): DataFrame =
+    oggMeta(plantedOggMedia(spark, documents, every).toDF())
+
   /** REAL GIF metadata from the binary payload — pure column exprs, the
     * GIF87a/89a analogue of [[wavMeta]]: magic validation, little-endian
     * logical-screen width/height, the packed flags byte (global-color-

@@ -1136,6 +1136,33 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ogg meta: planted pages parse, truncated and zero-segment pages degrade") {
+    import spark.implicits._
+    val good = Multimodal.PlantedOggs.craftedOgg(16L)
+    val truncated = good.take(good.length - 1)          // one payload byte short
+    val zeroSeg = good.clone(); zeroSeg(26) = 0.toByte  // n_segments = 0
+    val rows = Seq(
+      Multimodal.MediaIn(16L, good),
+      Multimodal.MediaIn(1L, truncated),
+      Multimodal.MediaIn(2L, zeroSeg),
+      Multimodal.MediaIn(3L, "not an ogg page".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.oggMeta(rows.toDF()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = out(16L)
+    assert(g.getAs[Int]("is_ogg") === 1)
+    assert(g.getAs[Int]("bos") === 0 && g.getAs[Int]("eos") === 0) // tier 2: continued
+    assert(g.getAs[Int]("serial") === 9)                 // 16/8 % 65536 + 7
+    assert(g.getAs[Int]("page_seq") === 1)               // 16/16 % 4
+    assert(g.getAs[Long]("granule") === 16L * 1000 + 2)
+    assert(g.getAs[Int]("n_segments") === 3)             // 1 + 2%5
+    assert(g.getAs[Long]("payload_len") ===
+      Multimodal.PlantedOggs.laces(16L).sum.toLong)
+    // hostile shapes: never parse, always the deterministic fallback
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Int]("is_ogg") === 0, s"doc $id must degrade")
+    }
+  }
+
   test("phash incremental equals the full pair set restricted to the batch") {
     val ph = Multimodal.imagePhash(spark, table("documents")).localCheckpoint()
     val corpus = ph.filter(pmod(col("doc_id"), lit(32)) === 16)
