@@ -940,6 +940,7 @@ object SparkEntry {
     "q60_skew_profile" -> Seq("rank"),
     "q61_cohort_ltv" -> Seq("cohort", "offset"),
     "q66_growth_rate" -> Seq("month"),
+    "q84_calendarize" -> Seq("month"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -2482,6 +2483,11 @@ object SparkEntry {
     // month-over-month growth: calendar-frame lag, exact deltas, the
     // per-mille rate NULL off a zero base
     "q66_growth_rate" -> ((s, d) => Relational.growthRate(t(s, d, "orders"))),
+    // q84 (r15): interval calendarization — revenue recognition's
+    // month proration with the EXACT cumulative-floor allocation
+    // (integer units; the per-month pieces telescope to the invoice
+    // amount with zero penny drift)
+    "q84_calendarize" -> ((s, d) => Relational.calendarize(t(s, d, "orders"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     // t38 (r15): Heaps'-law vocabulary-growth fit — t10 answers "how
@@ -4525,6 +4531,32 @@ object SparkEntry {
          FROM w ORDER BY day, priority""",
     // q66: the same integer-month aggregate, lag over the month frame,
     // exact decimal deltas and the HUGEINT per-mille rate
+    // q84: the whole proration replays — interval derivation, month
+    // explode, day overlaps, the cumulative-floor integer allocation
+    // (a wrong div order or off-by-one day boundary hash-fails)
+    "q84_calendarize" ->
+      """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(30 + o_orderkey % 120 AS INTEGER) AS e,
+             CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS units
+           FROM orders),
+         bm AS (SELECT o_orderkey, s, e, units,
+             CAST(unnest(generate_series(CAST(date_trunc('month', s) AS DATE),
+               CAST(date_trunc('month', e) AS DATE), INTERVAL 1 MONTH)) AS DATE) AS mo
+           FROM iv),
+         ovr AS (SELECT *,
+             date_diff('day', greatest(s, mo), least(e, last_day(mo))) + 1 AS ov,
+             date_diff('day', s, e) + 1 AS total FROM bm),
+         cm AS (SELECT *, CAST(sum(ov) OVER (PARTITION BY o_orderkey ORDER BY mo
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM ovr),
+         al AS (SELECT mo,
+             (units * cum) // total - (units * (cum - ov)) // total AS alloc
+           FROM cm)
+         SELECT strftime(mo, '%Y-%m') AS month,
+           CAST(CAST(CAST(sum(alloc) AS DOUBLE) / 10000 AS DECIMAL(38,4))
+             AS DOUBLE) AS revenue,
+           count(*) AS n_active
+         FROM al GROUP BY 1 ORDER BY 1""",
     "q66_growth_rate" ->
       """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))

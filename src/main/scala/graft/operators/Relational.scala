@@ -1076,6 +1076,53 @@ object Relational {
     * "prior month" is an integer predecessor, immune to calendar
     * types. One map-side-combinable aggregate; the window runs over
     * months. */
+  /** Interval CALENDARIZATION — the revenue-recognition / billing
+    * proration every finance warehouse runs: a service interval
+    * [start, end] with an invoice amount is split across the calendar
+    * months it spans, each month receiving its day-weighted share.
+    * Intervals derive deterministically from orders (duration =
+    * 30 + o_orderkey % 120 days).
+    *
+    * The allocation is EXACT by construction — the cumulative-floor
+    * trick: month m's share = ⌊units·cumdays_m/total⌋ −
+    * ⌊units·cumdays_{m−1}⌋/total⌋, all integer arithmetic on scale-4
+    * currency units, so the per-month pieces telescope to the invoice
+    * amount EXACTLY (no penny drift, no largest-remainder pass, no
+    * float anywhere — spec-pinned per order). Cross-engine safe because
+    * every step is integer div on exact decimal-derived units.
+    *
+    * Scale shape: explode is bounded (≤ ~5 months per interval), the
+    * running window partitions BY ORDER (a handful of rows each), and
+    * the only corpus-wide operation is the final month-keyed partial
+    * aggregation. */
+  def calendarize(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val iv = orders.select(
+      col("o_orderkey"),
+      col("o_orderdate").as("s"),
+      date_add(col("o_orderdate"),
+        (lit(30) + pmod(col("o_orderkey"), lit(120))).cast("int")).as("e"),
+      (col("o_totalprice").cast(DecimalType(12, 4)) * 10000)
+        .cast("long").as("units"))
+    val byMonth = iv
+      .withColumn("mo", explode(sequence(trunc(col("s"), "MM"),
+        trunc(col("e"), "MM"), expr("interval 1 month"))))
+      .withColumn("ov",
+        datediff(least(col("e"), last_day(col("mo"))),
+          greatest(col("s"), col("mo"))) + 1)
+      .withColumn("total", datediff(col("e"), col("s")) + 1)
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byMonth
+      .withColumn("cum", sum(col("ov")).over(w))
+      .withColumn("alloc",
+        expr("(units * cum) div total - (units * (cum - ov)) div total"))
+      .groupBy(date_format(col("mo"), "yyyy-MM").as("month"))
+      .agg((sum(col("alloc")).cast("double") / 10000)
+          .cast(DecimalType(38, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_active"))
+  }
+
   def growthRate(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val monthly = orders

@@ -851,4 +851,31 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(!out.contains(("2020-01", 1)))
     assert(out.keySet.map(_._1) === Set("2020-01", "2020-02"))
   }
+
+  test("calendarize: exact telescoping allocation, single-month identity, conserved total") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2020-01-20 for 30+1%120=31 days -> spans Jan (12 days) + Feb (19)
+    val orders = Seq(
+      (1L, Timestamp.valueOf("2020-01-20 00:00:00"), 310.00),
+      (2L, Timestamp.valueOf("2020-03-05 00:00:00"), 99.99)) // 30+2%120=32 days: Mar 27d + Apr 6d
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Relational.calendarize(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // order 1: 32 days total (inclusive), Jan 20..31 = 12 days, Feb 1..20 = 20 days
+    // alloc_jan = floor(3100000*12/32)/10000 = 116.25 exactly
+    assert(out("2020-01")._1 === 116.25)
+    assert(out("2020-01")._2 === 1L)
+    // conservation: per-month pieces sum to the invoice EXACTLY
+    def cents(x: Double) = math.round(x * 100)
+    assert(cents(out("2020-01")._1) + cents(out("2020-02")._1) === 31000L)
+    assert(cents(out("2020-03")._1) + cents(out("2020-04")._1) === 9999L)
+    // corpus-level conservation: total calendarized revenue == total invoices
+    val o = table("orders")
+    val cal = Relational.calendarize(o).agg(sum(col("revenue"))).head.getDouble(0)
+    val inv = o.agg(sum(col("o_totalprice").cast(
+      org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))).head
+      .getDecimal(0).doubleValue()
+    assert(math.abs(cal - inv) < 1e-4, s"calendarized $cal vs invoiced $inv")
+  }
 }
