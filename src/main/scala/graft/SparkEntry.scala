@@ -834,6 +834,7 @@ object SparkEntry {
     "d2_dedup_minhash" -> Seq("doc_a", "doc_b"),
     "d32_state_table_tx" -> Seq("doc_a", "doc_b"),
     "d27_minhash_eval" -> Seq("doc_a", "doc_b"),
+    "d38_bbit_minhash" -> Seq("doc_a", "doc_b"),
     "d28_fuzzy_join" -> Seq("dirty_id"),
     "c43_hashed_embeddings" -> Seq("doc_id", "dim"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
@@ -1260,6 +1261,18 @@ object SparkEntry {
       Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
         .parquet(stageDir(d) + "/d27_banded")
       Dedup.minhashEvalFromSigs(sigs)
+    }),
+    // d38 (r15): b-bit minhash (Li-König 2010) at b=1 — the 64×
+    // signature-storage shrink with the 2C−1 estimator; same capped
+    // LSH candidates as d2/d27, packed-word XOR+popcount compare; own
+    // staging for gate order-independence
+    "d38_bbit_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigs.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/d38_sigs")
+      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/d38_banded")
+      Dedup.bbitEvalFromSigs(sigs)
     }),
     // entity resolution: a planted dirty feed fuzzy-matched to the part
     // catalog under the UNION of last- and first-token blockings — the
@@ -5771,6 +5784,33 @@ object SparkEntry {
            CAST(inter AS DOUBLE) / (tot - inter) AS exact_jaccard,
            abs(CAST(m AS DOUBLE) / 64.0
              - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
+         FROM v ORDER BY 1, 2""",
+    // d38: same candidate replay as d27 from its own staged tables;
+    // the 1-bit match count verifies from the UNPACKED staged
+    // signatures ((sig&1) equality per component), so a packing bug on
+    // the engine side cannot hide behind its own packing
+    "d38_bbit_minhash" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/d38_banded/*.parquet')),
+         sized AS (SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sized a JOIN sized b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sh AS (SELECT doc_id, hsh, shn, sig
+           FROM read_parquet('__GRAFT_STAGE__/d38_sigs/*.parquet')),
+         v AS (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.hsh, sb.hsh)) AS inter,
+             sa.shn + sb.shn AS tot,
+             len([i for i in generate_series(1, 64)
+                  if (sa.sig[i] & 1) = (sb.sig[i] & 1)]) AS mb
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b,
+           CAST(mb * 2 - 64 AS DOUBLE) / 64 AS est_1bit,
+           CAST(inter AS DOUBLE) / (tot - inter) AS exact_jaccard
          FROM v ORDER BY 1, 2""",
     // c44: the classifier score replay (shared CTEs), quantile-boundary
     // deciles in integer micro-units (score×1e6 as BIGINT — boundaries

@@ -1496,6 +1496,59 @@ object Dedup {
   def minhashEval(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
     minhashEvalFromSigs(minhashSignatures(documents).localCheckpoint(), maxBucket)
 
+  /** b-BIT minhash (Li & König, WWW 2010) at b = 1 — the STORAGE tier
+    * of the minhash family: keep only the lowest bit of each of the 64
+    * minhash components, packed into two 32-bit words (8 bytes per doc
+    * vs 512 for the full signature — the 64× state shrink that makes a
+    * corpus-wide signature table cache-resident at 100 TB). The
+    * estimator is the paper's b=1 identity: a bit COLLIDES with
+    * probability ½(1+J) (components agree with probability J; disagree
+    * and still share the low bit with probability ½), so
+    * Ĵ = 2·C − 1 with C = matched/64 — negative raw estimates for
+    * dissimilar pairs are the estimator being honest about its noise
+    * floor, reported, not clamped. Matching is two XOR+popcounts on
+    * the packed words — no array walk at compare time; the packing
+    * itself is a one-time Horner fold per half (32 bits per word: an
+    * ANSI-safe domain, a 64-bit Horner would overflow the sign bit).
+    * Candidates come from the SAME capped LSH banding as d2/d27, so
+    * the evaluated population is identical by construction; exact
+    * Jaccard rides along as the audit. Packing order is irrelevant to
+    * the XOR count as long as both sides share it — and the oracle
+    * verifies the RESULT from the staged unpacked signatures, so a
+    * packing bug cannot hide. */
+  def bbitEvalFromSigs(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val sized = capBuckets(bandedSigs(sigs), Seq("band", "bh"), maxBucket)
+    val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("band").as("band2"), col("bh").as("bh2"),
+          col("doc_id").as("doc_b")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    def packHalf(off: Int): Column =
+      aggregate(sequence(lit(off + 31), lit(off), lit(-1)), lit(0L),
+        (acc, i) => acc * 2 + element_at(col("sig"), i + lit(1)).bitwiseAND(lit(1L)))
+    val packed = sigs.select(col("doc_id"), col("hsh"), col("shn"),
+      packHalf(0).as("w0"), packHalf(32).as("w1")).localCheckpoint()
+    cand
+      .join(packed.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"),
+        col("shn").as("na"), col("w0").as("w0a"), col("w1").as("w1a")), "doc_a")
+      .join(packed.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"),
+        col("shn").as("nb"), col("w0").as("w0b"), col("w1").as("w1b")), "doc_b")
+      .withColumn("inter",
+        explode(array(call_function("graft_intersect_n", col("sh_a"), col("sh_b")))))
+      .withColumn("matched", lit(64)
+        - bit_count(col("w0a").bitwiseXOR(col("w0b")))
+        - bit_count(col("w1a").bitwiseXOR(col("w1b"))))
+      .withColumn("est_1bit", (col("matched") * 2 - 64).cast("double") / 64)
+      .withColumn("exact_jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("est_1bit"), col("exact_jaccard"))
+  }
+
+  /** [[bbitEvalFromSigs]] from raw documents. */
+  def bbitMinhashEval(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bbitEvalFromSigs(minhashSignatures(documents).localCheckpoint(), maxBucket)
+
   /** Blocked fuzzy string join — entity resolution's workhorse: match a
     * DIRTY feed (typo'd names) back to a clean catalog by edit
     * distance, never O(n·m). Candidates come from TWO REDUNDANT

@@ -493,6 +493,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("b-bit minhash: packed estimate equals the component-wise count; exact dup estimates 1") {
+    import spark.implicits._
+    // plant one verbatim duplicate pair (identical shingle sets ->
+    // identical signatures -> candidates in every band)
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = table("documents").select("doc_id", "text")
+      .union(Seq((9000001L, dupText), (9000002L, dupText)).toDF("doc_id", "text"))
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+    val out = Dedup.bbitEvalFromSigs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("est_1bit"), r.getAs[Double]("exact_jaccard"))).toMap
+    assert(out.nonEmpty)
+    // reference: the low-bit match count computed directly on the
+    // UNPACKED signature arrays — a packing bug diverges here
+    val sigMap = sigs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("sig")).toMap
+    out.foreach { case ((a, b), (est, _)) =>
+      val m = sigMap(a).zip(sigMap(b)).count { case (x, y) => (x & 1L) == (y & 1L) }
+      assert(est === (m * 2 - 64).toDouble / 64, s"pair ($a,$b)")
+    }
+    // an exact duplicate pair has identical signatures -> est exactly 1
+    out.collect { case ((a, b), (est, ex)) if ex == 1.0 =>
+      assert(est === 1.0, s"exact dup ($a,$b) must estimate 1.0, got $est")
+    }
+    assert(out.values.exists(_._2 == 1.0), "corpus must contain an exact dup pair")
+  }
+
   test("incremental minhash dedup equals the full recompute restricted to the batch") {
     // corpus = the documents table; batch = copies of every 5th doc under
     // new ids (identical text ⇒ Jaccard 1.0 ⇒ batch-vs-corpus pairs are
