@@ -894,6 +894,7 @@ object SparkEntry {
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "t38_heaps_fit" -> Seq("n_points"),
+    "c68_novelty" -> Seq("doc_id"),
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
     "c35_decontam_scrub" -> Seq("doc_id"),
@@ -2509,6 +2510,11 @@ object SparkEntry {
     // + a <=32-row cumulative window), closed-form log-log least
     // squares under the t7 ln-decimal discipline
     "t38_heaps_fit" -> ((s, d) => Curation.heapsFit(t(s, d, "documents"))),
+    // c68 (r15): per-document novelty — fraction of a doc's distinct
+    // 3-shingles FIRST seen in that doc (ingestion order); the
+    // data-valuation signal between c7 (within-doc repetition) and c61
+    // (corpus dup rate). First-occurrence trick: no corpus self-join
+    "c68_novelty" -> ((s, d) => Curation.noveltyProfile(t(s, d, "documents"))),
     "c27_perplexity_gate" -> ((s, d) => Curation.perplexityGate(t(s, d, "documents"))),
     // CCNet paragraph granularity: planted multi-language / OOV-heavy
     // paragraphs (the corpus has none), language+perplexity scored PER
@@ -9141,6 +9147,18 @@ object SparkEntry {
             CAST(CAST((sy - beta * sx) / n_points AS DECIMAL(38,6)) AS DOUBLE)
               AS ln_k
           FROM b""",
+    // c68: the shared 3-shingle replay + the first-occurrence algebra —
+    // per-shingle min(doc_id) grouped by first doc, left-joined to the
+    // per-doc shingle counts; int/int novelty division
+    "c68_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(sh) AS s FROM ($shingleTok)),
+          pd AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+          nv AS (SELECT doc_id, count(*) AS n_novel FROM
+            (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1) GROUP BY 1)
+          SELECT pd.doc_id, pd.n_shingles,
+            coalesce(nv.n_novel, 0) AS n_novel,
+            CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / pd.n_shingles AS novelty
+          FROM pd LEFT JOIN nv USING (doc_id) ORDER BY 1""",
     "c27_perplexity_gate" -> perplexitySql,
     // c34: s1's dense cosine list at k=10 ∪ the BM25-vs-query-doc
     // sparse list (c25's scoring algebra per (q,doc) with the decimal-6

@@ -1715,6 +1715,37 @@ object Curation {
         coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
   }
 
+  /** Per-document NOVELTY profile — the data-valuation signal a
+    * dedup-aware curriculum reads before c28's soft weights or c56's
+    * epoch ordering: of each document's distinct 3-shingles, how many
+    * are FIRST seen in that document (under the corpus's doc_id
+    * ingestion order)? A document full of already-seen shingles is
+    * boilerplate/duplication even when no single pair-level detector
+    * fires; a high-novelty document carries new content. This is the
+    * corpus-positional counterpart of c7 (WITHIN-doc repetition) and
+    * c61 (corpus dup RATE) — novelty localizes the duplication to the
+    * documents that contribute nothing.
+    *
+    * Scale shape: the first-occurrence trick (q30's cumulative-users
+    * rewrite, t38's first-bucket min) — per-shingle min(doc_id) is ONE
+    * partial-aggregating shuffle, per-first-doc novel counts need NO
+    * join back to the pair table, and the final doc-keyed left join
+    * joins two doc-sized aggregates. Nothing corpus-quadratic, no
+    * window over the corpus. */
+  def noveltyProfile(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), 3)).as("sh"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("novelty"))
+  }
+
   def sketchRollup(events: DataFrame, lgK: Int = 12): DataFrame =
     dailyUserSketches(events, lgK)
       .groupBy(col("event_type"))

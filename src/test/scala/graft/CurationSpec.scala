@@ -96,6 +96,30 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("novelty: first doc all-novel, verbatim copy zero, mixed doc at the exact fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),              // 4 distinct 3-shingles, all first
+      (1L, "a b c d e f"),              // verbatim copy: zero novelty
+      (2L, "a b c d x y z")             // shingles: abc bcd cde(seen: abc bcd) + cdx dxy xyz new
+    ).toDF("doc_id", "text")
+    val out = Curation.noveltyProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((4L, 4L, 1.0)))
+    assert(out(1L) === ((4L, 0L, 0.0)))
+    // doc2 shingles: "a b c","b c d","c d x","d x y","x y z" — first two seen
+    assert(out(2L) === ((5L, 3L, 0.6)))
+    // conservation on the corpus: novel counts sum to the global
+    // distinct shingle count
+    val real = Curation.noveltyProfile(table("documents"))
+    val totalNovel = real.agg(sum(col("n_novel"))).head.getLong(0)
+    val distinctShingles = table("documents")
+      .withColumn("_toks", graft.functions.ColumnFns.tokens(col("text")))
+      .select(explode(graft.functions.ColumnFns.shinglesFromTokens(col("_toks"), 3)).as("s"))
+      .distinct().count()
+    assert(totalNovel === distinctShingles)
+  }
+
   test("heaps fit: totals exact, closed vocab gives beta 0, all-new types give beta 1") {
     import spark.implicits._
     // closed vocabulary: every doc is the same two-bigram sentence —
