@@ -746,6 +746,7 @@ object SparkEntry {
     "q13_approx_distinct" -> Seq("event_type"),
     "c64_overlap_sketch" -> Seq("type_a", "type_b"),
     "c67_kmv_overlap" -> Seq("seg_a", "seg_b"),
+    "st40_kmv_stream" -> Seq("seg_a", "seg_b"),
     "q14_percentiles" -> Seq("event_type"),
     "q38_percentiles_approx" -> Seq("event_type"),
     "q15_sessionize" -> Seq("user_id", "session_id"),
@@ -2872,6 +2873,12 @@ object SparkEntry {
     // stream's merged estimates stage as parquet; the returned frame is
     // the est-vs-exact audit replayed relationally. FULL oracle (was
     // rows-only; streaming==batch equality remains spec-asserted).
+    // st40 (r15): the KMV sketch table maintained by a streaming
+    // writer — per-micro-batch sketch + associative merge into the
+    // persisted state; hash-determinism means the oracle replays the
+    // SKETCH VALUES from raw events (no staged estimates, unlike st10)
+    "st40_kmv_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.kmvStateStream(Tables.tune(s), d)),
     "st10_sketch_stream" -> ((s, d) => {
       graft.streaming.StreamDrivers.sketchRollupFileStream(Tables.tune(s), d)
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st10_est")
@@ -4804,6 +4811,45 @@ object SparkEntry {
     // counts, union/intersection estimators, exact audit join. No
     // staged numbers anywhere: a wrong hash, rank cutoff, θ rule, or
     // estimator scaling hash-fails.
+    // st40: the streamed state equals the whole-corpus sketch by merge
+    // associativity, so the oracle replays the ENTIRE pipeline from raw
+    // events — sketch values included. A merge bug that depends on
+    // batch boundaries (dropped hash, wrong cut at k) hash-fails here.
+    "st40_kmv_stream" ->
+      """WITH uh AS (SELECT DISTINCT event_type AS seg,
+             ((user_id % 1000003) * 2654435761 + 104729) % 2147483647 AS h
+           FROM events),
+         sk AS (SELECT seg, h,
+             row_number() OVER (PARTITION BY seg ORDER BY h) AS r
+           FROM uh QUALIFY r <= 64),
+         stats AS (SELECT seg,
+             CASE WHEN count(*) < 64 THEN 2147483647 ELSE max(h) END AS theta,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 * 2147483647 / max(h) END AS est
+           FROM sk GROUP BY 1),
+         pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             least(a.theta, b.theta) AS th, a.est AS est_a, b.est AS est_b
+           FROM stats a JOIN stats b ON a.seg < b.seg),
+         below AS (SELECT p.seg_a, p.seg_b, p.th, s.seg AS ty, s.h
+           FROM pairs p JOIN sk s
+           ON (s.seg = p.seg_a OR s.seg = p.seg_b) AND s.h < p.th),
+         cnts AS (SELECT seg_a, seg_b, count(DISTINCT h) AS n_union,
+             sum(CASE WHEN ty = seg_a THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN ty = seg_b THEN 1 ELSE 0 END) AS n_b
+           FROM below GROUP BY 1, 2),
+         est AS (SELECT p.seg_a, p.seg_b, p.est_a, p.est_b,
+             CAST(c.n_union AS DOUBLE) * 2147483647 / p.th AS est_union,
+             CAST(c.n_a + c.n_b - c.n_union AS DOUBLE) * 2147483647 / p.th
+               AS est_overlap
+           FROM pairs p JOIN cnts c USING (seg_a, seg_b)),
+         uu AS (SELECT DISTINCT event_type AS seg, user_id AS k FROM events),
+         ov AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             count(*) AS exact_overlap
+           FROM uu a JOIN uu b ON a.k = b.k AND a.seg < b.seg
+           GROUP BY 1, 2)
+         SELECT e.seg_a, e.seg_b, e.est_a, e.est_b, e.est_union,
+           e.est_overlap, coalesce(o.exact_overlap, 0) AS exact_overlap
+         FROM est e LEFT JOIN ov o USING (seg_a, seg_b) ORDER BY 1, 2""",
     "c67_kmv_overlap" ->
       """WITH uh AS (SELECT DISTINCT o_orderpriority AS seg,
              ((o_custkey % 1000003) * 2654435761 + 104729) % 2147483647 AS h

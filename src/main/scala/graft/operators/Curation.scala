@@ -1663,6 +1663,20 @@ object Curation {
       .select(col("seg"), col("h"), col("r"))
   }
 
+  /** KMV sketch MERGE: k smallest distinct hashes of the union — the
+    * associative/commutative combine that makes the sketch table
+    * incrementally maintainable (st40 merges each micro-batch's sketch
+    * into the persisted state; the spec proves merged halves ≡ the
+    * whole-corpus sketch). */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("seg")).orderBy(col("h"))
+    a.select(col("seg"), col("h")).union(b.select(col("seg"), col("h")))
+      .distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("seg"), col("h"), col("r"))
+  }
+
   /** Pairwise audience estimates from the persisted KMV sketch table
     * ALONE (+ the exact audit against `events`). See [[kmvSketch]]. */
   def kmvOverlapEval(sk: DataFrame, df: DataFrame, segCol: String,

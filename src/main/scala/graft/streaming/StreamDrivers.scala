@@ -603,6 +603,46 @@ object StreamDrivers {
       .orderBy(col("event_type"))
   }
 
+  /** The c67 KMV sketch table maintained INCREMENTALLY by a streaming
+    * writer (st40) — the st14/st18 probe-and-merge ingest posture at the
+    * sketch layer: each micro-batch sketches its own rows
+    * (Curation.kmvSketch) and MERGES into the persisted state
+    * (Curation.kmvMerge — k smallest distinct hashes of the union,
+    * associative and commutative), so the drained state equals the
+    * whole-corpus sketch REGARDLESS of batch boundaries — which is why
+    * this is the first streaming-sketch key whose oracle replays the
+    * sketch VALUES themselves, not just a downstream audit (st10's HLL
+    * must stage its engine-specific estimates; KMV is hash-
+    * deterministic end to end). No watermark or sentinel: the merge is
+    * order- and arrival-insensitive by algebra. State is localCheckpoint'ed
+    * before the overwrite so the read never races its own rewrite. */
+  def kmvStateStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stateDir = Files.createTempDirectory("graft-stream-kmv")
+    val state = s"$stateDir/sk"
+    try {
+      runOverEventFiles(spark, sfDir, sentinelOffsetSec = None) { (src, chk) =>
+        src.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val batchSk = graft.operators.Curation.kmvSketch(
+              b.toDF().select(col("event_type"), col("user_id")),
+              "event_type", "user_id")
+            val merged =
+              if (Files.exists(java.nio.file.Paths.get(state)))
+                graft.operators.Curation.kmvMerge(
+                  spark.read.parquet(state), batchSk).localCheckpoint()
+              else batchSk.localCheckpoint()
+            merged.coalesce(1).write.mode("overwrite").parquet(state); ()
+          }
+          .start()
+      }
+      graft.operators.Curation.kmvOverlapEval(
+        spark.read.parquet(state).localCheckpoint(),
+        graft.Tables.load(spark, sfDir, "events"), "event_type", "user_id")
+    } finally deleteRecursively(stateDir)
+  }
+
   /** The q44 CDC apply driven end-to-end: the changelog's three seq
     * tiers staged as separate files IN SEQ ORDER (maxFilesPerTrigger=1
     * ⇒ the delete-after-update and insert-after-delete collapses happen
