@@ -1019,6 +1019,7 @@ object SparkEntry {
     "m10_audio_dup" -> Seq("doc_a", "doc_b"),
     "m30_audio_landmarks" -> Seq("doc_a", "doc_b"),
     "m31_ogg_meta" -> Seq("doc_id"),
+    "m32_ebml_meta" -> Seq("doc_id"),
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"),
     "m11_bmp_meta" -> Seq("doc_id"),
@@ -1585,6 +1586,12 @@ object SparkEntry {
     // bytes, there is no fixed offset to the payload
     "m31_ogg_meta" -> ((s, d) =>
       Multimodal.oggMetaPlanted(s, t(s, d, "documents"))),
+    // m32: real EBML (Matroska/WebM, RFC 8794) header parsing — all
+    // variable-length integers: size fields have no fixed WIDTH, so
+    // nothing after the magic sits at a fixed offset; the plant forces
+    // non-minimal VINT encodings
+    "m32_ebml_meta" -> ((s, d) =>
+      Multimodal.ebmlMetaPlanted(s, t(s, d, "documents"))),
     // real ISO-BMFF (MP4) container parsing over planted payloads
     // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
     // timescale/duration; synthetic fallback mirrors the image path
@@ -7690,6 +7697,30 @@ object SparkEntry {
            CAST(octet_length(encode(text)) * 13 % 100000 AS BIGINT) AS granule,
            CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_segments,
            CAST(octet_length(encode(text)) * 11 % 999 AS BIGINT) AS payload_len
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m32: planted headers replay from the tier formulas; fallback rows
+    // from the UTF-8 length algebra
+    "m32_ebml_meta" ->
+      """SELECT doc_id, 1 AS is_ebml,
+           CAST(1 + (doc_id // 8) % 2 AS INTEGER) AS version,
+           1 AS read_version,
+           4 AS max_id_len,
+           CAST(4 + (doc_id // 16) % 5 AS INTEGER) AS max_size_len,
+           CASE WHEN (doc_id // 8) % 2 = 0 THEN 'webm' ELSE 'matroska' END
+             AS doc_type,
+           CAST(1 + (doc_id // 16) % 4 AS INTEGER) AS doc_type_version,
+           CAST(1 + (doc_id // 32) % 2 AS INTEGER) AS doc_type_read_version
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_ebml,
+           CAST(1 + octet_length(encode(text)) % 2 AS INTEGER) AS version,
+           1 AS read_version,
+           CAST(1 + octet_length(encode(text)) % 4 AS INTEGER) AS max_id_len,
+           CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS max_size_len,
+           'none' AS doc_type,
+           CAST(1 + octet_length(encode(text)) % 5 AS INTEGER) AS doc_type_version,
+           CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS doc_type_read_version
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     "m3_frame_dedup" ->

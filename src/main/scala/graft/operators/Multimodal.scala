@@ -1897,6 +1897,149 @@ object Multimodal {
                      every: Int = PlantedOggs.Every): DataFrame =
     oggMeta(plantedOggMedia(spark, documents, every).toDF())
 
+  /** Deterministic planted EBML headers (Matroska/WebM's framing layer,
+    * RFC 8794) for m32's gate: every 8th doc gets a complete EBML
+    * header whose seven child elements are pure functions of doc_id.
+    * The parsing test is the VINT: element sizes are encoded at FORCED
+    * NON-MINIMAL widths (1–3 bytes per child, rotating per element —
+    * legal EBML, and exactly what a fixed-width or minimal-width-
+    * assuming reader misparses). Selectors are /8-, /16- and /32-tiers
+    * (the ADVICE aliasing lesson). */
+  object PlantedEbmls {
+    val Every = 8
+
+    /** VINT with a FORCED width: value ORed under the width marker. */
+    def vint(value: Long, w: Int): Array[Byte] = {
+      val raw = value | (1L << (7 * w))
+      (0 until w).map(i => ((raw >> (8 * (w - 1 - i))) & 0xFF).toByte).toArray
+    }
+
+    def docTypeOf(docId: Long): String =
+      if ((docId / 8) % 2 == 0) "webm" else "matroska"
+
+    def craftedEbml(docId: Long): Array[Byte] = {
+      val k = docId / 8
+      def w(i: Int) = (1 + (k + i) % 3).toInt
+      def uintChild(id: Int, i: Int, v: Int): Array[Byte] =
+        Array(((id >> 8) & 0xFF).toByte, (id & 0xFF).toByte) ++
+          vint(1, w(i)) ++ Array(v.toByte)
+      val dt = docTypeOf(docId).getBytes("US-ASCII")
+      val children =
+        uintChild(0x4286, 0, (1 + k % 2).toInt) ++            // EBMLVersion
+        uintChild(0x42F7, 1, 1) ++                            // EBMLReadVersion
+        uintChild(0x42F2, 2, 4) ++                            // EBMLMaxIDLength
+        uintChild(0x42F3, 3, (4 + (docId / 16) % 5).toInt) ++ // EBMLMaxSizeLength
+        (Array(0x42.toByte, 0x82.toByte) ++ vint(dt.length.toLong, w(4)) ++ dt) ++
+        uintChild(0x4287, 5, (1 + (docId / 16) % 4).toInt) ++ // DocTypeVersion
+        uintChild(0x4285, 6, (1 + (docId / 32) % 2).toInt)    // DocTypeReadVersion
+      Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+        vint(children.length.toLong, (1 + k % 2 + 1).toInt) ++ children
+    }
+  }
+
+  def plantedEbmlMedia(spark: SparkSession, documents: DataFrame,
+      every: Int = PlantedEbmls.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedEbmls.craftedEbml(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL EBML header parsing (RFC 8794 — the Matroska/WebM framing
+    * layer) from the binary column: the LAST big crawl container whose
+    * structure is all VARIABLE-LENGTH INTEGERS — an element's size
+    * field doesn't even have a fixed WIDTH (leading-zero count of the
+    * first byte selects 1–8 bytes), so nothing after the 4-byte magic
+    * sits at a fixed offset and a child's position depends on every
+    * VINT before it. The walk: header-size VINT, then an unrolled
+    * child-element walk (2-byte class IDs, VINT sizes up to width 4 —
+    * wider degrades, documented bound) accumulating the seven header
+    * fields by ID with coalesce chains; `complete` requires all seven
+    * present AND the cursor to land exactly on the payload end.
+    * Non-minimal size encodings (the plant forces them) parse
+    * identically to minimal ones — the property a width-assuming
+    * reader lacks. Incomplete/non-EBML rows degrade to deterministic
+    * synthetic metadata. */
+  def ebmlMeta(media: DataFrame, maxChildren: Int = 7): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isEbml = hex(p.substr(lit(1), lit(4))) === "1A45DFA3"
+    def vintW(pos: org.apache.spark.sql.Column) = {
+      val b = beUint(p, pos, 1)
+      when(b >= 128, 1L).when(b >= 64, 2L).when(b >= 32, 3L).when(b >= 16, 4L)
+    }
+    def vintVal(pos: org.apache.spark.sql.Column,
+                w: org.apache.spark.sql.Column) =
+      when(w === 1, beUint(p, pos, 1) - (1L << 7))
+        .when(w === 2, beUint(p, pos, 2) - (1L << 14))
+        .when(w === 3, beUint(p, pos, 3) - (1L << 21))
+        .when(w === 4, beUint(p, pos, 4) - (1L << 28))
+    def uintAt(pos: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column) =
+      when(n === 1, beUint(p, pos, 1)).when(n === 2, beUint(p, pos, 2))
+        .when(n === 3, beUint(p, pos, 3)).when(n === 4, beUint(p, pos, 4))
+    val hw = vintW(lit(5L))
+    var df = media
+      .withColumn("_pos0", when(isEbml, lit(5L) + hw))
+      .withColumn("_ver0", lit(null).cast("long"))
+      .withColumn("_rver0", lit(null).cast("long"))
+      .withColumn("_mid0", lit(null).cast("long"))
+      .withColumn("_msz0", lit(null).cast("long"))
+      .withColumn("_dt0", lit(null).cast("string"))
+      .withColumn("_dtv0", lit(null).cast("long"))
+      .withColumn("_dtrv0", lit(null).cast("long"))
+    for (i <- 1 to maxChildren) {
+      val pos = col(s"_pos${i - 1}")
+      val id = beUint(p, pos, 2)
+      val sw = vintW(pos + 2)
+      val sz = vintVal(pos + 2, sw)
+      val vp = pos + 2 + sw
+      def keep(prev: String, idHex: Long) =
+        coalesce(col(s"$prev${i - 1}"), when(id === idHex, uintAt(vp, sz)))
+      df = df
+        .withColumn(s"_ver$i", keep("_ver", 0x4286L))
+        .withColumn(s"_rver$i", keep("_rver", 0x42F7L))
+        .withColumn(s"_mid$i", keep("_mid", 0x42F2L))
+        .withColumn(s"_msz$i", keep("_msz", 0x42F3L))
+        .withColumn(s"_dt$i", coalesce(col(s"_dt${i - 1}"),
+          when(id === 0x4282L && sz >= 1 && sz <= 16,
+            p.substr(vp.cast("int"), sz.cast("int")).cast("string"))))
+        .withColumn(s"_dtv$i", keep("_dtv", 0x4287L))
+        .withColumn(s"_dtrv$i", keep("_dtrv", 0x4285L))
+        .withColumn(s"_pos$i", vp + sz)
+    }
+    val n = maxChildren
+    val complete = coalesce(isEbml, lit(false)) &&
+      col(s"_ver$n").isNotNull && col(s"_rver$n").isNotNull &&
+      col(s"_mid$n").isNotNull && col(s"_msz$n").isNotNull &&
+      col(s"_dt$n").isNotNull && col(s"_dtv$n").isNotNull &&
+      col(s"_dtrv$n").isNotNull &&
+      coalesce(col(s"_pos$n") - 1 === len.cast("long"), lit(false))
+    df.select(
+      col("doc_id"),
+      complete.cast("int").as("is_ebml"),
+      when(complete, col(s"_ver$n").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(2))).cast("int")).as("version"),
+      when(complete, col(s"_rver$n").cast("int"))
+        .otherwise(lit(1)).as("read_version"),
+      when(complete, col(s"_mid$n").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(4))).cast("int")).as("max_id_len"),
+      when(complete, col(s"_msz$n").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(8))).cast("int")).as("max_size_len"),
+      when(complete, col(s"_dt$n")).otherwise(lit("none")).as("doc_type"),
+      when(complete, col(s"_dtv$n").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(5))).cast("int")).as("doc_type_version"),
+      when(complete, col(s"_dtrv$n").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(3))).cast("int")).as("doc_type_read_version"))
+  }
+
+  def ebmlMetaPlanted(spark: SparkSession, documents: DataFrame,
+                      every: Int = PlantedEbmls.Every): DataFrame =
+    ebmlMeta(plantedEbmlMedia(spark, documents, every).toDF())
+
   /** REAL GIF metadata from the binary payload — pure column exprs, the
     * GIF87a/89a analogue of [[wavMeta]]: magic validation, little-endian
     * logical-screen width/height, the packed flags byte (global-color-

@@ -1163,6 +1163,54 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ebml meta: non-minimal vints parse, truncation and trailing bytes degrade") {
+    import spark.implicits._
+    val good = Multimodal.PlantedEbmls.craftedEbml(16L)
+    val truncated = good.take(good.length - 1)
+    val trailing = good ++ Array(0x00.toByte)   // cursor must land EXACTLY on end
+    val rows = Seq(
+      Multimodal.MediaIn(16L, good),
+      Multimodal.MediaIn(1L, truncated),
+      Multimodal.MediaIn(2L, trailing),
+      Multimodal.MediaIn(3L, "not ebml".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.ebmlMeta(rows.toDF()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = out(16L)
+    assert(g.getAs[Int]("is_ebml") === 1)
+    assert(g.getAs[Int]("version") === 1)            // 1 + (16/8)%2 = 1
+    assert(g.getAs[Int]("read_version") === 1)
+    assert(g.getAs[Int]("max_id_len") === 4)
+    assert(g.getAs[Int]("max_size_len") === 5)       // 4 + (16/16)%5
+    assert(g.getAs[String]("doc_type") === "webm")   // (16/8)%2 = 0
+    assert(g.getAs[Int]("doc_type_version") === 2)   // 1 + (16/16)%4
+    assert(g.getAs[Int]("doc_type_read_version") === 1)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Int]("is_ebml") === 0, s"doc $id must degrade")
+    }
+    // the VINT property: the same header with MINIMAL size encodings
+    // must parse to identical fields (width-independence)
+    val k = 16L / 8
+    def minimalChild(id: Int, v: Int) =
+      Array(((id >> 8) & 0xFF).toByte, (id & 0xFF).toByte) ++
+        Multimodal.PlantedEbmls.vint(1, 1) ++ Array(v.toByte)
+    val dt = "webm".getBytes("US-ASCII")
+    val kids = minimalChild(0x4286, 1) ++ minimalChild(0x42F7, 1) ++
+      minimalChild(0x42F2, 4) ++ minimalChild(0x42F3, 5) ++
+      (Array(0x42.toByte, 0x82.toByte) ++
+        Multimodal.PlantedEbmls.vint(dt.length.toLong, 1) ++ dt) ++
+      minimalChild(0x4287, 2) ++ minimalChild(0x4285, 1)
+    val minimal = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+      Multimodal.PlantedEbmls.vint(kids.length.toLong, 1) ++ kids
+    val m = Multimodal.ebmlMeta(Seq(Multimodal.MediaIn(16L, minimal)).toDS().toDF())
+      .head()
+    assert(m.getAs[Int]("is_ebml") === 1)
+    Seq("version", "read_version", "max_id_len", "max_size_len",
+      "doc_type_version", "doc_type_read_version").foreach { c =>
+      assert(m.getAs[Int](c) === g.getAs[Int](c), s"field $c width-dependent")
+    }
+    assert(m.getAs[String]("doc_type") === "webm")
+  }
+
   test("phash incremental equals the full pair set restricted to the batch") {
     val ph = Multimodal.imagePhash(spark, table("documents")).localCheckpoint()
     val corpus = ph.filter(pmod(col("doc_id"), lit(32)) === 16)
