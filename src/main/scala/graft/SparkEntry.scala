@@ -944,6 +944,7 @@ object SparkEntry {
     "q61_cohort_ltv" -> Seq("cohort", "offset"),
     "q66_growth_rate" -> Seq("month"),
     "q84_calendarize" -> Seq("month"),
+    "q85_bootstrap_ci" -> Seq("seg"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -2510,6 +2511,11 @@ object SparkEntry {
     // (integer units; the per-month pieces telescope to the invoice
     // amount with zero penny drift)
     "q84_calendarize" -> ((s, d) => Relational.calendarize(t(s, d, "orders"))),
+    // q85 (r15): deterministic Poisson-bootstrap CIs (Chamandy et al.
+    // 2012) — hash-seeded multiplicities cut at the 1e6-scaled
+    // Poisson(1) CDF, replicate means under the davg discipline,
+    // order-statistic envelope; engine-exact end to end
+    "q85_bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(t(s, d, "orders"))),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     // t38 (r15): Heaps'-law vocabulary-growth fit — t10 answers "how
@@ -4564,6 +4570,36 @@ object SparkEntry {
          FROM w ORDER BY day, priority""",
     // q66: the same integer-month aggregate, lag over the month frame,
     // exact decimal deltas and the HUGEINT per-mille rate
+    // q85: the full bootstrap replays — per-(row, replicate) hash draw,
+    // Poisson CDF cut, decimal replicate means, order-statistic
+    // envelope; a wrong cutoff, mix constant, or rank index hash-fails
+    "q85_bootstrap_ci" ->
+      """WITH rep AS (SELECT o_orderpriority AS seg, b,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                  ELSE 4 END AS m,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+           FROM (SELECT o_orderkey, o_orderpriority, o_totalprice, b,
+               ((o_orderkey % 1000003 + b * 1000003) * 2654435761 + 104729)
+                 % 1000000 AS u
+             FROM orders, unnest(generate_series(0, 31)) AS t(b))),
+         bm AS (SELECT seg, b,
+             CAST(CAST(CAST(sum(price * m) AS DOUBLE) / sum(m)
+               AS DECIMAL(38,4)) AS DOUBLE) AS mean_b
+           FROM rep GROUP BY 1, 2),
+         rk AS (SELECT seg, mean_b, row_number() OVER
+             (PARTITION BY seg ORDER BY mean_b) AS rk FROM bm),
+         st AS (SELECT seg,
+             max(CASE WHEN rk = 2 THEN mean_b END) AS boot_lo,
+             max(CASE WHEN rk = 31 THEN mean_b END) AS boot_hi
+           FROM rk GROUP BY 1),
+         f AS (SELECT o_orderpriority AS seg, count(*) AS n,
+             CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS DOUBLE)
+               AS mean_full
+           FROM orders GROUP BY 1)
+         SELECT f.seg, f.n, f.mean_full, st.boot_lo, st.boot_hi
+         FROM f JOIN st USING (seg) ORDER BY 1""",
     // q84: the whole proration replays — interval derivation, month
     // explode, day overlaps, the cumulative-floor integer allocation
     // (a wrong div order or off-by-one day boundary hash-fails)

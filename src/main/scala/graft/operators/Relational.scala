@@ -1076,6 +1076,64 @@ object Relational {
     * "prior month" is an integer predecessor, immune to calendar
     * types. One map-side-combinable aggregate; the window runs over
     * months. */
+  /** Deterministic POISSON-BOOTSTRAP confidence intervals — the
+    * distribution-free uncertainty a metrics warehouse attaches to a
+    * mean before anyone compares two segments (the online-experiment /
+    * dashboard-error-bar workhorse; public idiom: the Poisson bootstrap
+    * of Chamandy et al. 2012, the streaming-friendly form of Efron's
+    * resampling, because each row's resample multiplicity is an
+    * independent Poisson(1) draw — no global n needed, so it
+    * distributes trivially).
+    *
+    * Everything is engine-exact: the "draw" for (row, replicate b) is
+    * the project's integer hash mixed with b, reduced mod 1e6 and cut
+    * at the 1e6-scaled Poisson(1) CDF (367879 / 735759 / 919699 /
+    * 981012, multiplicities 0–4, the ≥5 tail's 0.37% mass truncated —
+    * documented, identical on both engines); replicate means use the
+    * davg decimal discipline. CI = the 2nd / (B−1)th order statistics
+    * of the B=32 replicate means (≈ the 3rd/97th percentile envelope).
+    *
+    * Scale shape: the explode is a bounded ×B map-side fan-out feeding
+    * ONE (segment, b)-keyed partial aggregation; the order-statistic
+    * window runs over B rows per segment — dimension-bounded. */
+  def bootstrapCi(orders: DataFrame, b: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // b mixes into the MULTIPLICAND (row-residue + b·1000003) before the
+    // Knuth multiply — an additive post-multiply b-offset (the first
+    // cut's b·97) shifts u by a near-constant and leaves each row's
+    // multiplicity almost IDENTICAL across replicates: the bootstrap
+    // distribution collapses to a point off the sample mean (measured:
+    // 2 of 5 segments missed their own mean). Multiplicand mixing
+    // decorrelates replicates; max operand ≈ 3.3e7·2.65e9 ≪ Long.Max.
+    val u = pmod((pmod(col("o_orderkey"), lit(1000003L)) + col("b") * 1000003L)
+      * 2654435761L + 104729L, lit(1000000L))
+    val mult = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L).otherwise(4L)
+    val rep = orders
+      .select(col("o_orderkey"), col("o_orderpriority").as("seg"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+      .withColumn("b", explode(sequence(lit(0L), lit((b - 1).toLong))))
+      .withColumn("m", mult)
+      .groupBy(col("seg"), col("b"))
+      .agg(sum(col("price") * col("m")).as("_s"), sum(col("m")).as("_n"))
+      .withColumn("mean_b",
+        (col("_s").cast("double") / col("_n")).cast(DecimalType(38, 4))
+          .cast("double"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("mean_b"))
+    val stats = rep.withColumn("rk", row_number().over(w))
+      .groupBy(col("seg"))
+      .agg(max(when(col("rk") === 2, col("mean_b"))).as("boot_lo"),
+        max(when(col("rk") === b - 1, col("mean_b"))).as("boot_hi"))
+    val full = orders.groupBy(col("o_orderpriority").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1))).cast(DecimalType(38, 4)).cast("double")
+          .as("mean_full"))
+    full.join(stats, Seq("seg"))
+      .select(col("seg"), col("n"), col("mean_full"),
+        col("boot_lo"), col("boot_hi"))
+  }
+
   /** Interval CALENDARIZATION — the revenue-recognition / billing
     * proration every finance warehouse runs: a service interval
     * [start, end] with an invoice amount is split across the calendar

@@ -878,4 +878,24 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       .getDecimal(0).doubleValue()
     assert(math.abs(cal - inv) < 1e-4, s"calendarized $cal vs invoiced $inv")
   }
+
+  test("bootstrap ci: constant metric collapses exactly; corpus CIs cover their means") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // constant metric: every replicate mean IS the constant -> zero-width CI
+    val const = (1L to 200L).map(k => (k, "a", 42.5)).toDF(
+      "o_orderkey", "o_orderpriority", "o_totalprice")
+    val c = Relational.bootstrapCi(const).head()
+    assert(c.getAs[Double]("mean_full") === 42.5)
+    assert(c.getAs[Double]("boot_lo") === 42.5)
+    assert(c.getAs[Double]("boot_hi") === 42.5)
+    // real corpus: every segment's CI covers its own sample mean and
+    // has genuine width (the collapsed-replicate bug regression pin)
+    Relational.bootstrapCi(table("orders")).collect().foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean_full"),
+        r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+      assert(lo <= m && m <= hi, s"${r.getString(0)}: $m outside [$lo, $hi]")
+      assert(hi > lo, s"${r.getString(0)}: degenerate CI")
+    }
+  }
 }
