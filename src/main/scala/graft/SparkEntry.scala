@@ -836,6 +836,7 @@ object SparkEntry {
     "d32_state_table_tx" -> Seq("doc_a", "doc_b"),
     "d27_minhash_eval" -> Seq("doc_a", "doc_b"),
     "d38_bbit_minhash" -> Seq("doc_a", "doc_b"),
+    "c69_threshold_sweep" -> Seq("threshold"),
     "d28_fuzzy_join" -> Seq("dirty_id"),
     "c43_hashed_embeddings" -> Seq("doc_id", "dim"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
@@ -1270,6 +1271,17 @@ object SparkEntry {
     // signature-storage shrink with the 2C−1 estimator; same capped
     // LSH candidates as d2/d27, packed-word XOR+popcount compare; own
     // staging for gate order-independence
+    // c69 (r15): the dedup-threshold ROI sweep — pairs/docs touched at
+    // each candidate threshold from ONE candidate+estimate pass;
+    // integer cutoffs (matches >= ceil(64t)) keep compares engine-exact
+    "c69_threshold_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigs.coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c69_sigs")
+      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c69_banded")
+      Dedup.thresholdSweep(sigs)
+    }),
     "d38_bbit_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
@@ -5880,6 +5892,42 @@ object SparkEntry {
            abs(CAST(m AS DOUBLE) / 64.0
              - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
          FROM v ORDER BY 1, 2""",
+    // c69: same candidate replay from its own staged tables; the sweep
+    // replays as a values join on the (threshold, cutoff) literals with
+    // LEFT-join zero rows for thresholds nothing passes
+    "c69_threshold_sweep" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/c69_banded/*.parquet')),
+         sized AS (SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sized a JOIN sized b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sh AS (SELECT doc_id, sig
+           FROM read_parquet('__GRAFT_STAGE__/c69_sigs/*.parquet')),
+         mt AS (SELECT c.doc_a, c.doc_b,
+             len([i for i in generate_series(1, 64)
+                  if sa.sig[i] = sb.sig[i]]) AS matches
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b),
+         th AS (SELECT * FROM (VALUES (0.5, 32), (0.6, 39), (0.7, 45),
+             (0.8, 52), (0.9, 58)) AS t(threshold, min_matches)),
+         ps AS (SELECT th.threshold, th.min_matches, mt.doc_a, mt.doc_b
+           FROM th JOIN mt ON mt.matches >= th.min_matches),
+         pc AS (SELECT threshold, min_matches, count(*) AS n_pairs
+           FROM ps GROUP BY 1, 2),
+         dc AS (SELECT threshold, count(DISTINCT d) AS n_docs FROM (
+             SELECT threshold, doc_a AS d FROM ps
+             UNION ALL SELECT threshold, doc_b AS d FROM ps)
+           GROUP BY 1)
+         SELECT th.threshold, CAST(th.min_matches AS INTEGER) AS min_matches,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_docs, 0) AS n_docs
+         FROM th LEFT JOIN pc USING (threshold, min_matches)
+           LEFT JOIN dc USING (threshold)
+         ORDER BY 1""",
     // d38: same candidate replay as d27 from its own staged tables;
     // the 1-bit match count verifies from the UNPACKED staged
     // signatures ((sig&1) equality per component), so a packing bug on

@@ -1549,6 +1549,53 @@ object Dedup {
   def bbitMinhashEval(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
     bbitEvalFromSigs(minhashSignatures(documents).localCheckpoint(), maxBucket)
 
+  /** Dedup-threshold ROI SWEEP — the tuning table a pipeline reads
+    * BEFORE committing to a near-dup threshold (d30 tells you how the
+    * LSH bands behave; this tells you what each THRESHOLD would do to
+    * the corpus): for each candidate threshold, the pair count and the
+    * number of documents touched by at least one passing pair — the
+    * aggressive-vs-conservative curve whose knee picks the production
+    * setting. One candidate+estimate pass (the same capped LSH
+    * machinery as d2/d27), then a broadcast 5-row threshold join with
+    * INTEGER cutoffs (matches ≥ ⌈64·t⌉ — the float threshold never
+    * meets a float estimate, so the compare is engine-exact). Work is
+    * |candidates|×|thresholds| skinny rows; nothing re-shingles. */
+  def thresholdSweep(sigs: DataFrame, maxBucket: Int = 1000,
+                     thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val sized = capBuckets(bandedSigs(sigs), Seq("band", "bh"), maxBucket)
+    val cand = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("band").as("band2"), col("bh").as("bh2"),
+          col("doc_id").as("doc_b")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val matched = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("matches", size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .select(col("doc_a"), col("doc_b"), col("matches"))
+      .localCheckpoint()
+    val th = thresholds.map(t => (t, math.ceil(64 * t).toInt))
+    val thDf = matched.sparkSession.createDataFrame(th)
+      .toDF("threshold", "min_matches")
+    val passing = matched.join(broadcast(thDf),
+      col("matches") >= col("min_matches"))
+    val pairCounts = passing.groupBy(col("threshold"), col("min_matches"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = passing
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    // LEFT from the threshold table: a threshold nothing passes is a 0
+    // row in the report, not a missing one
+    thDf.join(pairCounts, Seq("threshold", "min_matches"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .select(col("threshold"), col("min_matches"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Blocked fuzzy string join — entity resolution's workhorse: match a
     * DIRTY feed (typo'd names) back to a clean catalog by edit
     * distance, never O(n·m). Candidates come from TWO REDUNDANT

@@ -520,6 +520,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out.values.exists(_._2 == 1.0), "corpus must contain an exact dup pair")
   }
 
+  test("threshold sweep: monotone curve, consistent with the pair operator at its threshold") {
+    val sigs = Dedup.minhashSignatures(table("documents")).localCheckpoint()
+    val sweep = Dedup.thresholdSweep(sigs).collect()
+      .map(r => r.getDouble(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1) === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // raising the threshold can only shrink the corpus impact
+    sweep.sliding(2).foreach { case Array((_, (_, p1, d1)), (_, (_, p2, d2))) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+    // consistency: the 0.5 row counts exactly the d2 pair operator's output
+    val d2pairs = Dedup.minhashPairsFromSigs(sigs).count()
+    assert(sweep.head._2._2 === d2pairs,
+      s"sweep@0.5 ${sweep.head._2._2} vs minhashPairs $d2pairs")
+  }
+
   test("incremental minhash dedup equals the full recompute restricted to the batch") {
     // corpus = the documents table; batch = copies of every 5th doc under
     // new ids (identical text ⇒ Jaccard 1.0 ⇒ batch-vs-corpus pairs are
