@@ -896,6 +896,7 @@ object SparkEntry {
     "t6_normalize" -> Seq("doc_id"),
     "t7_unigram_ll" -> Seq("doc_id"),
     "t38_heaps_fit" -> Seq("n_points"),
+    "t39_flesch" -> Seq("doc_id"),
     "c68_novelty" -> Seq("doc_id"),
     "c27_perplexity_gate" -> Seq("doc_id"),
     "c32_paragraph_gate" -> Seq("doc_id"),
@@ -1513,6 +1514,10 @@ object SparkEntry {
       TextOps.codeDetect(plantCode(t(s, d, "documents")))),
     "t19_readability" -> ((s, d) =>
       TextOps.readability(t(s, d, "documents"))),
+    // t39 (r15): the SYLLABLE-based readability pair (Flesch RE +
+    // Flesch-Kincaid grade) — vowel-group heuristic syllables as a HOF
+    // fold, scores as exact integer rationals (the t19 discipline)
+    "t39_flesch" -> ((s, d) => TextOps.flesch(t(s, d, "documents"))),
     // mojibake repair over planted damage + a correctly-encoded control
     "t21_mojibake" -> ((s, d) =>
       TextOps.fixMojibake(plantMojibake(t(s, d, "documents")))),
@@ -5386,6 +5391,42 @@ object SparkEntry {
                  // (2 * CAST(ad AS HUGEINT)) AS BIGINT)
                * (CASE WHEN an < 0 THEN -1 ELSE 1 END) AS DOUBLE)
                / 1000000.0 END AS ari
+         FROM n ORDER BY doc_id""",
+    // t39: the syllable fold replays as a list comprehension (empty
+    // token lists coalesce to 0 like Spark's aggregate zero), scores as
+    // the same HUGEINT rational rounding as t19
+    "t39_flesch" ->
+      s"""WITH b AS (SELECT doc_id,
+             CAST(len($toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter([trim(x) for x in
+               regexp_extract_all(text, '[^.!?。！？]+[.!?。！？]*')],
+               x -> x <> '')) AS BIGINT) AS n_sentences,
+             CAST(coalesce(list_sum([greatest(1,
+                 len(regexp_extract_all(w, '[aeiouy]+')) -
+                 (CASE WHEN w LIKE '%e'
+                   AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+                   THEN 1 ELSE 0 END)) for w in
+                 [regexp_replace(x, '[^a-z]', '', 'g') for x in $toks]]), 0)
+               AS BIGINT) AS n_syllables
+           FROM documents),
+         n AS (SELECT *,
+             206835 * n_sentences * n_words - 1015 * n_words * n_words
+               - 84600 * n_syllables * n_sentences AS fn,
+             390 * n_words * n_words + 11800 * n_syllables * n_sentences
+               - 15590 * n_sentences * n_words AS kn,
+             1000 * n_sentences * n_words AS dd
+           FROM b)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             CAST(CAST((abs(CAST(fn AS HUGEINT)) * 2000000 + dd)
+                 // (2 * CAST(dd AS HUGEINT)) AS BIGINT)
+               * (CASE WHEN fn < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+               / 1000000.0 END AS fre,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+             CAST(CAST((abs(CAST(kn AS HUGEINT)) * 2000000 + dd)
+                 // (2 * CAST(dd AS HUGEINT)) AS BIGINT)
+               * (CASE WHEN kn < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+               / 1000000.0 END AS fk_grade
          FROM n ORDER BY doc_id""",
     // c40: adjacent-bigram PMI — exact combinable counts, the product in
     // DOUBLE with Spark's op order (the integer form overflows BIGINT at

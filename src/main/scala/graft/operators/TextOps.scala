@@ -978,6 +978,51 @@ object TextOps {
           "100 * n_words * n_sentences")))
   }
 
+  /** Flesch Reading Ease + Flesch–Kincaid grade — the SYLLABLE-based
+    * half of the readability family ([[readability]] ships the two
+    * syllable-FREE formulas; these are the two everyone actually
+    * quotes). Syllables use the standard public heuristic: count of
+    * maximal [aeiouy]+ runs per word, one subtracted for a silent
+    * final 'e' when more than one run exists, floor 1 — computed as a
+    * HOF fold over the materialized token array (no explode, no
+    * shuffle; the count is per-row arithmetic). Both scores multiply
+    * through by 1000·S·W to EXACT integer rationals rounded at 1e-6 by
+    * [[graft.functions.ColumnFns.ratRound]]'s integer arithmetic — the
+    * t19 lesson (double formulas land on decimal halves where engines
+    * round differently, measured 2/500 docs) applied from the start. */
+  def flesch(documents: DataFrame): DataFrame = {
+    val sents = size(filter(
+      transform(regexp_extract_all(col("text"),
+        lit("[^.!?。！？]+[.!?。！？]*"), lit(0)), s => trim(s)),
+      s => s =!= ""))
+    // the rule runs on the LETTERS of the token (tokens keep trailing
+    // punctuation, which would stop the silent-e rule from ever firing
+    // on sentence-final words — caught by the hand-checked spec)
+    def sylOf(raw: Column): Column = {
+      val w = regexp_replace(raw, "[^a-z]", "")
+      val g = regexp_count(w, lit("[aeiouy]+"))
+      greatest(lit(1L),
+        (g - when(w.endsWith("e") && g > 1, 1).otherwise(0)).cast("long"))
+    }
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_words"),
+        sents.cast("long").as("n_sentences"),
+        aggregate(col("_toks"), lit(0L), (acc, w) => acc + sylOf(w))
+          .as("n_syllables"))
+      .withColumn("fre", when(col("n_words") > 0 && col("n_sentences") > 0,
+        ratRound(
+          "206835 * n_sentences * n_words - 1015 * n_words * n_words" +
+            " - 84600 * n_syllables * n_sentences",
+          "1000 * n_sentences * n_words", 6)))
+      .withColumn("fk_grade", when(col("n_words") > 0 && col("n_sentences") > 0,
+        ratRound(
+          "390 * n_words * n_words + 11800 * n_syllables * n_sentences" +
+            " - 15590 * n_sentences * n_words",
+          "1000 * n_sentences * n_words", 6)))
+  }
+
   /** Unicode-script classes for [[scriptMix]], name → character class,
     * names in ALPHABETICAL order (the dominant-script tie order).
     * FIXED codepoint ranges, not `\p{IsXxx}` script properties: ranges

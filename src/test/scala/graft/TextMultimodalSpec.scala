@@ -1136,6 +1136,28 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("flesch: hand-checked syllables and scores; empty doc gated null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banana rhythm there. strength!"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.flesch(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // banana: a-a-a = 3; rhythm: y = 1; there: e..e = 2 minus silent e = 1;
+    // strength: e = 1  → 6 syllables, 4 words, 2 sentences
+    assert(r1.getAs[Long]("n_words") === 4L)
+    assert(r1.getAs[Long]("n_sentences") === 2L)
+    assert(r1.getAs[Long]("n_syllables") === 6L)
+    // FRE = 206.835 − 1.015·(4/2) − 84.6·(6/4) = 77.905 exactly
+    assert(r1.getAs[Double]("fre") === 77.905)
+    // FK = 0.39·2 + 11.8·1.5 − 15.59 = 2.89 exactly
+    assert(math.abs(r1.getAs[Double]("fk_grade") - 2.89) < 1e-9)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_words") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("fre")) && r2.isNullAt(r2.fieldIndex("fk_grade")))
+  }
+
   test("ogg meta: planted pages parse, truncated and zero-segment pages degrade") {
     import spark.implicits._
     val good = Multimodal.PlantedOggs.craftedOgg(16L)
