@@ -837,6 +837,7 @@ object SparkEntry {
     "d27_minhash_eval" -> Seq("doc_a", "doc_b"),
     "d38_bbit_minhash" -> Seq("doc_a", "doc_b"),
     "c69_threshold_sweep" -> Seq("threshold"),
+    "c70_source_matrix" -> Seq("source_a", "source_b"),
     "d28_fuzzy_join" -> Seq("dirty_id"),
     "c43_hashed_embeddings" -> Seq("doc_id", "dim"),
     "d11_incremental" -> Seq("doc_a", "doc_b"),
@@ -1275,6 +1276,19 @@ object SparkEntry {
     // c69 (r15): the dedup-threshold ROI sweep — pairs/docs touched at
     // each candidate threshold from ONE candidate+estimate pass;
     // integer cutoffs (matches >= ceil(64t)) keep compares engine-exact
+    // c70 (r15): cross-source duplication matrix — WHICH sources
+    // duplicate WHICH (c61 gives the single rate; this localizes it to
+    // provenance cells); consumes the d2 pair table + two skinny
+    // endpoint joins, symmetric (least, greatest) cells
+    "c70_source_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+      sigs.select(col("doc_id"), col("hsh"), col("shn"))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/c70_sigs")
+      Dedup.bandedSigs(sigs).coalesce(1).write.mode("overwrite")
+        .parquet(stageDir(d) + "/c70_banded")
+      Curation.sourceDupMatrix(Dedup.minhashPairsFromSigs(sigs), docs)
+    }),
     "c69_threshold_sweep" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
@@ -5933,6 +5947,32 @@ object SparkEntry {
            abs(CAST(m AS DOUBLE) / 64.0
              - CAST(inter AS DOUBLE) / (tot - inter)) AS abs_err
          FROM v ORDER BY 1, 2""",
+    // c70: the d2 pair replay from its own staged tables + the source
+    // endpoint joins and symmetric cell aggregation
+    "c70_source_matrix" ->
+      """WITH banded AS (SELECT doc_id, band, bh
+           FROM read_parquet('__GRAFT_STAGE__/c70_banded/*.parquet')),
+         sized AS (SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bsz FROM banded)
+           WHERE bsz <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sized a JOIN sized b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sh AS (SELECT doc_id, hsh, shn
+           FROM read_parquet('__GRAFT_STAGE__/c70_sigs/*.parquet')),
+         v AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+               / (sa.shn + sb.shn - len(list_intersect(sa.hsh, sb.hsh))) AS jacc
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b),
+         p AS (SELECT doc_a, doc_b FROM v WHERE jacc >= 0.5),
+         m AS (SELECT least(x.source, y.source) AS source_a,
+             greatest(x.source, y.source) AS source_b
+           FROM p JOIN documents x ON x.doc_id = p.doc_a
+             JOIN documents y ON y.doc_id = p.doc_b)
+         SELECT source_a, source_b, count(*) AS n_pairs
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     // c69: same candidate replay from its own staged tables; the sweep
     // replays as a values join on the (threshold, cutoff) literals with
     // LEFT-join zero rows for thresholds nothing passes

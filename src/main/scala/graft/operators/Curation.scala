@@ -1760,6 +1760,26 @@ object Curation {
           .as("novelty"))
   }
 
+  /** Cross-source DUPLICATION MATRIX — the provenance question behind
+    * c61's single dup-rate number: WHICH sources duplicate WHICH
+    * (mirror sites, syndication feeds, scraped re-posts all show up as
+    * hot off-diagonal cells; a hot diagonal cell is a source that
+    * re-crawls itself). Consumes the d2 near-dup pair table verbatim
+    * (work already paid) and joins each endpoint to its source — two
+    * skinny joins of the PAIR table against a doc-keyed projection,
+    * then a symmetric (least, greatest) cell aggregation; the corpus
+    * itself is never re-shuffled. The cell counts are the datasheet
+    * table a multi-source release publishes next to c49. */
+  def sourceDupMatrix(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def sketchRollup(events: DataFrame, lgK: Int = 12): DataFrame =
     dailyUserSketches(events, lgK)
       .groupBy(col("event_type"))

@@ -96,6 +96,20 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("source matrix: cells conserve the pair count, canonical cell order") {
+    import graft.operators.Dedup
+    val docs = table("documents")
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+    val pairs = Dedup.minhashPairsFromSigs(sigs).localCheckpoint()
+    val cells = Curation.sourceDupMatrix(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cells.map(_._3).sum === pairs.count(), "cells must conserve pairs")
+    cells.foreach { case (a, b, n) =>
+      assert(a <= b, s"cell ($a,$b) not canonical")
+      assert(n >= 1L)
+    }
+  }
+
   test("novelty: first doc all-novel, verbatim copy zero, mixed doc at the exact fraction") {
     import spark.implicits._
     val docs = Seq(
