@@ -1993,12 +1993,23 @@ object Multimodal {
       .withColumn("_dtrv0", lit(null).cast("long"))
     for (i <- 1 to maxChildren) {
       val pos = col(s"_pos${i - 1}")
-      val id = beUint(p, pos, 2)
-      val sw = vintW(pos + 2)
-      val sz = vintVal(pos + 2, sw)
-      val vp = pos + 2 + sw
+      // every per-hop intermediate is MATERIALIZED as its own column
+      // before anything references it: sw feeds sz/vp/value reads and
+      // an inlined form would be duplicated ~6× per hop — over 7 hops
+      // that is EXPONENTIAL expression growth, measured as a janino
+      // 64KB method blowup (whole-stage codegen fell back to the
+      // interpreter on the first cut of this walk)
+      df = df
+        .withColumn(s"_id$i", beUint(p, pos, 2))
+        .withColumn(s"_sw$i", vintW(pos + 2))
+        .withColumn(s"_sz$i", vintVal(pos + 2, col(s"_sw$i")))
+        .withColumn(s"_vp$i", pos + 2 + col(s"_sw$i"))
+        // the value read appears ONCE per hop — six uint fields each
+        // inlining the 4-branch read was the second half of the blowup
+        .withColumn(s"_val$i", uintAt(col(s"_vp$i"), col(s"_sz$i")))
+      val id = col(s"_id$i"); val sz = col(s"_sz$i"); val vp = col(s"_vp$i")
       def keep(prev: String, idHex: Long) =
-        coalesce(col(s"$prev${i - 1}"), when(id === idHex, uintAt(vp, sz)))
+        coalesce(col(s"$prev${i - 1}"), when(id === idHex, col(s"_val$i")))
       df = df
         .withColumn(s"_ver$i", keep("_ver", 0x4286L))
         .withColumn(s"_rver$i", keep("_rver", 0x42F7L))
