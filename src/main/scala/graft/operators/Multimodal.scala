@@ -1009,7 +1009,21 @@ object Multimodal {
       when(isJpegApp1, lit(13L)).otherwise(when(isPng, pngExifPos)))
     def at(off: org.apache.spark.sql.Column) = gatedPos(col("_tbase") + off)
     val bo = hex(p.substr(at(lit(0L)).cast("int"), lit(2)))
-    val isLE = bo === "4949"
+    // Endianness + per-entry types are MATERIALIZED (the m12/m32
+    // codegen lesson, same round); that shrinks the fused consume but
+    // this operator's three-level pointer walk is still past janino's
+    // 64 KB single-method limit when whole-stage codegen fuses it
+    // (fused projections cannot split expressions — the currentVars
+    // limitation), and sort/checkpoint barriers don't pin (Catalyst
+    // commutes Project through them — tried, measured). The MEASURED
+    // behavior is benign and documented rather than hidden: Spark logs
+    // "Whole-stage codegen disabled for plan" and executes the child
+    // plan, where every ProjectExec compiles its OWN UnsafeProjection
+    // WITH working expression splitting — per-operator codegen, not
+    // the interpreted row path (categorically different from the r14
+    // CurationSpec finding, which was an UnsafeProjection-level
+    // failure). Only stage FUSION is lost, on this operator's stage.
+    val isLE = col("_le")
     val isBE = bo === "4D4D"
     // IFD and rational offsets come from untrusted inline LONG values
     // (u4, up to 2^32-1); at() gates every absolute position to the
@@ -1020,6 +1034,7 @@ object Multimodal {
     def u4(off: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(p, at(off), 4)).otherwise(beUint(p, at(off), 4))
     val staged = media2
+      .withColumn("_le", bo === "4949")
       .withColumn("_magic", u2(lit(2L)))
       .withColumn("_ifd", u4(lit(4L)))
       .withColumn("_cnt", u2(col("_ifd")))
@@ -1027,9 +1042,10 @@ object Multimodal {
     val withTags = (0 until maxEntries).foldLeft(staged) { (df, i) =>
       val base = col("_ifd") + 2 + i * 12
       df.withColumn(s"_tag$i", when(lit(i) < col("_cnt"), u2(base)))
-        .withColumn(s"_val$i", when(lit(i) < col("_cnt"),
-          when(u2(base + 2) === 3, u2(base + 8))
-            .when(u2(base + 2) === 4, u4(base + 8))))
+        .withColumn(s"_ty$i", when(lit(i) < col("_cnt"), u2(base + 2)))
+        .withColumn(s"_val$i",
+          when(col(s"_ty$i") === 3, u2(base + 8))
+            .when(col(s"_ty$i") === 4, u4(base + 8)))
         .withColumn(s"_pos$i", at(base)) // absolute entry position
     }
     def tagVal(tag: Int) = coalesce((0 until maxEntries).map(i =>
@@ -1062,14 +1078,19 @@ object Multimodal {
     // the scrub: zero the pointer entry, the GPS IFD block, and both
     // rational blocks — positions only, bytes never move
     val gifdLen = lit(2L) + col("_gcnt") * 12 + 4
-    val cleaned = parsed.withColumn("_clean",
-      when(col("_gps"),
-        zeroRegion(zeroRegion(zeroRegion(zeroRegion(p,
-          tagPos(34853), lit(12L)),
-          at(col("_goff")), gifdLen),
-          at(col("_latOff")), lit(24L)),
-          at(col("_lonOff")), lit(24L)))
-        .otherwise(p))
+    // each scrub stage is MATERIALIZED: zeroRegion references its input
+    // payload THREE times (two substrs + the length), so nesting four
+    // calls inline grows the byte-expression tree ~3^4 and the consume
+    // method fails janino (the m12/m32 lesson at the WRITE side)
+    val cleaned = parsed
+      .withColumn("_c1", when(col("_gps"),
+        zeroRegion(p, tagPos(34853), lit(12L))).otherwise(p))
+      .withColumn("_c2", when(col("_gps"),
+        zeroRegion(col("_c1"), at(col("_goff")), gifdLen)).otherwise(col("_c1")))
+      .withColumn("_c3", when(col("_gps"),
+        zeroRegion(col("_c2"), at(col("_latOff")), lit(24L))).otherwise(col("_c2")))
+      .withColumn("_clean", when(col("_gps"),
+        zeroRegion(col("_c3"), at(col("_lonOff")), lit(24L))).otherwise(col("_c3")))
     // audit: RE-READ the pointer slot from the cleaned bytes
     def u2c(off: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(col("_clean"), at(off), 2))
@@ -2149,22 +2170,29 @@ object Multimodal {
     val p = col("payload")
     val len = octet_length(p)
     val bo = hex(p.substr(lit(1), lit(2)))
-    val isLE = bo === "4949"
+    // the endianness flag is MATERIALIZED once: inlined it rides inside
+    // every u2/u4 read (~30 copies of the hex-substr tree across the
+    // 8-entry walk) and the single whole-stage consume method crosses
+    // janino's size limit — measured as a suite-log "Failed to compile"
+    // falling back to interpreted execution (the m32 lesson, same round)
+    val isLE = col("_le")
     val isBE = bo === "4D4D"
     def u2(pos: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(p, pos, 2)).otherwise(beUint(p, pos, 2))
     def u4(pos: org.apache.spark.sql.Column) =
       when(isLE, leUintAt(p, pos, 4)).otherwise(beUint(p, pos, 4))
     val staged = media
+      .withColumn("_le", bo === "4949")
       .withColumn("_magic", u2(lit(3L)))
       .withColumn("_ifd", u4(lit(5L)))
       .withColumn("_cnt", u2(col("_ifd") + 1))
     val withTags = (0 until maxEntries).foldLeft(staged) { (df, i) =>
       val base = col("_ifd") + 3 + i * 12
       df.withColumn(s"_tag$i", when(lit(i) < col("_cnt"), u2(base)))
-        .withColumn(s"_val$i", when(lit(i) < col("_cnt"),
-          when(u2(base + 2) === 3, u2(base + 8))
-            .when(u2(base + 2) === 4, u4(base + 8))))
+        .withColumn(s"_ty$i", when(lit(i) < col("_cnt"), u2(base + 2)))
+        .withColumn(s"_val$i",
+          when(col(s"_ty$i") === 3, u2(base + 8))
+            .when(col(s"_ty$i") === 4, u4(base + 8)))
     }
     def tagVal(tag: Int): org.apache.spark.sql.Column =
       coalesce((0 until maxEntries).map(i =>
