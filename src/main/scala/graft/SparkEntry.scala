@@ -948,6 +948,7 @@ object SparkEntry {
     "q66_growth_rate" -> Seq("month"),
     "q84_calendarize" -> Seq("month"),
     "q85_bootstrap_ci" -> Seq("seg"),
+    "q86_sequence_gaps" -> Seq("gap_start"),
     "q53_abc_pareto" -> Seq("l_partkey"),
     "q54_schema_merge" -> Seq("o_orderkey"),
     "q55_corrupt_json" -> Seq("doc_id", "raw"),
@@ -2547,6 +2548,16 @@ object SparkEntry {
     // Poisson(1) CDF, replicate means under the davg discipline,
     // order-statistic envelope; engine-exact end to end
     "q85_bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(t(s, d, "orders"))),
+    // q86 (r15): sequence-gap detection (the "did the loader drop a
+    // chunk" scan) — two-level bucket decomposition so no window ever
+    // runs over the corpus; oracle = the naive single-window form.
+    // The generator's orderkeys are CONTIGUOUS (measured: zero gaps),
+    // so the gate drops a residue band (k%97 ∈ 13..20 — 8-wide holes
+    // that land at every bucket phase) and runs B=64 so intra-,
+    // inter-bucket AND inter-superbucket paths all carry real gaps
+    "q86_sequence_gaps" -> ((s, d) => Relational.sequenceGaps(
+      t(s, d, "orders").filter(!pmod(col("o_orderkey"), lit(97)).between(13, 20)),
+      bucketSize = 64)),
     "q53_abc_pareto" -> ((s, d) => Relational.abcPareto(t(s, d, "lineitem"))),
     "t7_unigram_ll" -> ((s, d) => Curation.unigramLogLik(t(s, d, "documents"))),
     // t38 (r15): Heaps'-law vocabulary-growth fit — t10 answers "how
@@ -4601,6 +4612,15 @@ object SparkEntry {
          FROM w ORDER BY day, priority""",
     // q66: the same integer-month aggregate, lag over the month frame,
     // exact decimal deltas and the HUGEINT per-mille rate
+    // q86: the oracle is the NAIVE single-window form — the two-level
+    // decomposition must equal it exactly (a missed cross-bucket or
+    // cross-superbucket gap, or a double-reported boundary, hash-fails)
+    "q86_sequence_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                    WHERE o_orderkey % 97 NOT BETWEEN 13 AND 20),
+         g AS (SELECT lag(k) OVER (ORDER BY k) AS p, k FROM k)
+         SELECT p + 1 AS gap_start, k - 1 AS gap_end, k - 1 - p AS width
+         FROM g WHERE p IS NOT NULL AND k - p > 1 ORDER BY 1""",
     // q85: the full bootstrap replays — per-(row, replicate) hash draw,
     // Poisson CDF cut, decimal replicate means, order-statistic
     // envelope; a wrong cutoff, mix constant, or rank index hash-fails

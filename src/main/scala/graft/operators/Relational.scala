@@ -1076,6 +1076,48 @@ object Relational {
     * "prior month" is an integer predecessor, immune to calendar
     * types. One map-side-combinable aggregate; the window runs over
     * months. */
+  /** SEQUENCE-GAP detection — the data-quality scan behind "did the
+    * loader drop a chunk": every maximal run of MISSING ids in a key
+    * sequence, reported as (gap_start, gap_end, width). The naive form
+    * is one unpartitioned lag over the corpus — the forbidden global
+    * window. This is the scale-safe decomposition: keys bucket by
+    * `k div B`, INTRA-bucket gaps come from bucket-partitioned lags
+    * (parallel), INTER-bucket gaps from adjacent present-bucket
+    * (max, next min) summaries — and the summary table (n/B rows) gets
+    * the SAME treatment one level up (b div B partitions), so the only
+    * unpartitioned window runs over the n/B² level-2 summary: at B=4096
+    * that is bounded by a few hundred rows for ANY feasible corpus
+    * (10¹² keys → ~60 rows). Wholly-missing buckets are inter-bucket
+    * gaps by construction (absent summaries never break adjacency).
+    * Distinct-then-bucket = two key-partitioned shuffles total. */
+  def sequenceGaps(orders: DataFrame, bucketSize: Long = 4096): DataFrame = {
+    val ks = orders.select(col("o_orderkey").as("k")).distinct()
+      .withColumn("b", expr(s"k div $bucketSize"))
+      .withColumn("b2", expr(s"k div ($bucketSize * $bucketSize)"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("k"))
+    val intra = ks
+      .withColumn("p", lag(col("k"), 1).over(wIn))
+      .filter(col("p").isNotNull && col("k") - col("p") > 1)
+      .select((col("p") + 1).as("gap_start"), (col("k") - 1).as("gap_end"))
+    val lvl1 = ks.groupBy(col("b2"), col("b"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val w1 = Window.partitionBy(col("b2")).orderBy(col("b"))
+    val inter1 = lvl1
+      .withColumn("pmx", lag(col("mx"), 1).over(w1))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+      .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+    val lvl2 = lvl1.groupBy(col("b2"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val w2 = Window.orderBy(col("b2")) // n/B² rows — bounded, see scaladoc
+    val inter2 = lvl2
+      .withColumn("pmx", lag(col("mx"), 1).over(w2))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+      .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+    intra.union(inter1).union(inter2)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("width"))
+  }
+
   /** Deterministic POISSON-BOOTSTRAP confidence intervals — the
     * distribution-free uncertainty a metrics warehouse attaches to a
     * mean before anyone compares two segments (the online-experiment /

@@ -898,4 +898,32 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       assert(hi > lo, s"${r.getString(0)}: degenerate CI")
     }
   }
+
+  test("sequence gaps: all three decomposition levels fire; equals the naive window") {
+    import spark.implicits._
+    // B=4: intra gap (2..3 missing inside bucket 0), inter-bucket gap
+    // incl. a WHOLLY MISSING bucket (bucket 2 = keys 8..11 absent), and
+    // an inter-superbucket gap (B^2=16: keys 30..46 missing crosses the
+    // superbucket boundary at 32)
+    val keys = Seq(0L, 1L, 4L, 5L, 6L, 7L, 12L, 15L, 20L, 29L, 47L, 48L)
+    val df = keys.toDF("o_orderkey")
+    val got = Relational.sequenceGaps(df, bucketSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = keys.sorted.sliding(2).collect {
+      case Seq(a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+    }.toSet
+    assert(got === expected, s"got $got")
+    assert(expected.contains((2L, 3L, 2L)))    // intra-bucket
+    assert(expected.contains((8L, 11L, 4L)))   // wholly missing bucket
+    assert(expected.contains((30L, 46L, 17L))) // crosses the superbucket
+    // corpus: two-level result equals the naive single-window form
+    val o = table("orders").filter(col("o_orderkey") % 97 =!= 50)
+    val fast = Relational.sequenceGaps(o, bucketSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ks = o.select("o_orderkey").distinct().collect().map(_.getLong(0)).sorted
+    val naive = ks.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a + 1, b - 1)
+    }.toSet
+    assert(fast === naive)
+  }
 }
