@@ -1025,6 +1025,7 @@ object SparkEntry {
     "m30_audio_landmarks" -> Seq("doc_a", "doc_b"),
     "m31_ogg_meta" -> Seq("doc_id"),
     "m32_ebml_meta" -> Seq("doc_id"),
+    "m33_sqlite_meta" -> Seq("doc_id"),
     "m7_video_meta" -> Seq("doc_id"),
     "m8_gif_meta" -> Seq("doc_id"),
     "m11_bmp_meta" -> Seq("doc_id"),
@@ -1625,6 +1626,11 @@ object SparkEntry {
     // non-minimal VINT encodings
     "m32_ebml_meta" -> ((s, d) =>
       Multimodal.ebmlMetaPlanted(s, t(s, d, "documents"))),
+    // m33: real SQLite database-header parsing — page_size is a BE u16
+    // where 1 means 65536 (the documented quirk; one plant tier forces
+    // it), versions/encoding validated, header fields surfaced
+    "m33_sqlite_meta" -> ((s, d) =>
+      Multimodal.sqliteMetaPlanted(s, t(s, d, "documents"))),
     // real ISO-BMFF (MP4) container parsing over planted payloads
     // (every 8th doc_id): ftyp brand + top-level box walk to moov/mvhd
     // timescale/duration; synthetic fallback mirrors the image path
@@ -7882,6 +7888,30 @@ object SparkEntry {
            CAST(octet_length(encode(text)) * 13 % 100000 AS BIGINT) AS granule,
            CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_segments,
            CAST(octet_length(encode(text)) * 11 % 999 AS BIGINT) AS payload_len
+         FROM documents WHERE doc_id % 8 <> 0
+         ORDER BY doc_id""",
+    // m33: plant-formula replay incl. the 1-means-65536 page-size tier;
+    // text rows replay the UTF-8-length fallback algebra
+    "m33_sqlite_meta" ->
+      """SELECT doc_id, 1 AS is_sqlite,
+           CAST(CASE WHEN (doc_id // 8) % 5 = 4 THEN 65536
+             ELSE 512 * (1 << ((doc_id // 8) % 5)) END AS BIGINT) AS page_size,
+           CAST(1 + (doc_id // 16) % 2 AS INTEGER) AS write_version,
+           CAST(1 + (doc_id // 32) % 2 AS INTEGER) AS read_version,
+           CAST(10 + doc_id % 990 AS BIGINT) AS page_count,
+           CAST(1 + (doc_id // 8) % 3 AS INTEGER) AS encoding,
+           CAST(doc_id % 1000 AS BIGINT) AS user_version
+         FROM documents WHERE doc_id % 8 = 0
+         UNION ALL
+         SELECT doc_id, 0 AS is_sqlite,
+           CAST(512 * (1 << (octet_length(encode(text)) % 5)) AS BIGINT)
+             AS page_size,
+           CAST(1 + octet_length(encode(text)) % 2 AS INTEGER) AS write_version,
+           CAST(1 + (octet_length(encode(text)) * 3) % 2 AS INTEGER)
+             AS read_version,
+           CAST(octet_length(encode(text)) * 7 % 1000 AS BIGINT) AS page_count,
+           CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS encoding,
+           CAST(octet_length(encode(text)) * 11 % 1000 AS BIGINT) AS user_version
          FROM documents WHERE doc_id % 8 <> 0
          ORDER BY doc_id""",
     // m32: planted headers replay from the tier formulas; fallback rows

@@ -2072,6 +2072,104 @@ object Multimodal {
                       every: Int = PlantedEbmls.Every): DataFrame =
     ebmlMeta(plantedEbmlMedia(spark, documents, every).toDF())
 
+  /** Deterministic planted SQLite headers for m33's gate: every 8th doc
+    * gets the 100-byte database header with fields as /8- and /16-tier
+    * functions of doc_id. One tier plants the format's documented
+    * quirk: page_size is a BIG-ENDIAN u16 where the value 1 means
+    * 65536 (the only page size that doesn't fit 16 bits) — a reader
+    * without the rule reports a 1-byte page. */
+  object PlantedSqlites {
+    val Every = 8
+
+    def pageSizeOf(docId: Long): Int = {
+      val t = ((docId / 8) % 5).toInt
+      if (t == 4) 65536 else 512 << t // 512, 1024, 2048, 4096, 65536
+    }
+
+    def craftedSqlite(docId: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put("SQLite format 3".getBytes("US-ASCII")).put(0.toByte)
+      val ps = pageSizeOf(docId)
+      bb.putShort((if (ps == 65536) 1 else ps).toShort)
+      bb.put((1 + (docId / 16) % 2).toByte)       // write version (legacy/WAL)
+        .put((1 + (docId / 32) % 2).toByte)       // read version
+      bb.position(28)
+      bb.putInt((10 + docId % 990).toInt)          // page count
+      bb.position(56)
+      bb.putInt((1 + (docId / 8) % 3).toInt)       // text encoding 1..3
+      bb.putInt((docId % 1000).toInt)              // user version
+      bb.array()
+    }
+  }
+
+  def plantedSqliteMedia(spark: SparkSession, documents: DataFrame,
+      every: Int = PlantedSqlites.Every): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % every == 0) MediaIn(id, PlantedSqlites.craftedSqlite(id))
+        else MediaIn(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** REAL SQLite database-header parsing from the binary column — the
+    * embedded-database file every device/app crawl surfaces (browser
+    * profiles, app state, telemetry exports). Pure column exprs over
+    * the 100-byte header: the 16-byte magic, the big-endian page size
+    * WITH the documented 1-means-65536 rule (the only page size that
+    * doesn't fit u16 — a reader without the rule reports a 1-byte
+    * page; one plant tier forces it), write/read file-format versions
+    * (legacy=1 / WAL=2, validated ≤ 2), the in-header page count, the
+    * text encoding (1=UTF-8, 2=UTF-16le, 3=UTF-16be, validated), and
+    * the user version. Non-SQLite / truncated rows degrade to
+    * deterministic synthetic metadata — the media-path contract. */
+  def sqliteMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val len = octet_length(p)
+    val isSq = hex(p.substr(lit(1), lit(16))) ===
+      "53514C69746520666F726D6174203300"
+    val staged = media
+      .withColumn("_psRaw", beUint(p, lit(17L), 2))
+      .withColumn("_wv", beUint(p, lit(19L), 1))
+      .withColumn("_rv", beUint(p, lit(20L), 1))
+      .withColumn("_pc", beUint(p, lit(29L), 4))
+      .withColumn("_enc", beUint(p, lit(57L), 4))
+      .withColumn("_uv", beUint(p, lit(61L), 4))
+      .withColumn("_ps", when(col("_psRaw") === 1, lit(65536L))
+        .otherwise(col("_psRaw")))
+    val psOk = col("_ps") === 65536L ||
+      (col("_ps") >= 512L && col("_ps") <= 32768L &&
+        pmod(col("_ps"), lit(512L)) === 0)
+    val complete = coalesce(isSq, lit(false)) &&
+      coalesce(psOk, lit(false)) &&
+      coalesce(col("_wv").between(1, 2) && col("_rv").between(1, 2), lit(false)) &&
+      coalesce(col("_enc").between(1, 3), lit(false)) &&
+      coalesce(len >= 100, lit(false))
+    staged.select(
+      col("doc_id"),
+      complete.cast("int").as("is_sqlite"),
+      when(complete, col("_ps")).otherwise(
+        element_at(array(lit(512L), lit(1024L), lit(2048L), lit(4096L),
+          lit(8192L)), pmod(len, lit(5)).cast("int") + 1))
+        .as("page_size"),
+      when(complete, col("_wv").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(2))).cast("int")).as("write_version"),
+      when(complete, col("_rv").cast("int"))
+        .otherwise((lit(1) + pmod(len * 3, lit(2))).cast("int")).as("read_version"),
+      when(complete, col("_pc"))
+        .otherwise(pmod(len * 7, lit(1000)).cast("long")).as("page_count"),
+      when(complete, col("_enc").cast("int"))
+        .otherwise((lit(1) + pmod(len, lit(3))).cast("int")).as("encoding"),
+      when(complete, col("_uv"))
+        .otherwise(pmod(len * 11, lit(1000)).cast("long")).as("user_version"))
+  }
+
+  def sqliteMetaPlanted(spark: SparkSession, documents: DataFrame,
+                        every: Int = PlantedSqlites.Every): DataFrame =
+    sqliteMeta(plantedSqliteMedia(spark, documents, every).toDF())
+
   /** REAL GIF metadata from the binary payload — pure column exprs, the
     * GIF87a/89a analogue of [[wavMeta]]: magic validation, little-endian
     * logical-screen width/height, the packed flags byte (global-color-

@@ -1158,6 +1158,27 @@ class TextMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r2.isNullAt(r2.fieldIndex("fre")) && r2.isNullAt(r2.fieldIndex("fk_grade")))
   }
 
+  test("sqlite meta: the 1-means-65536 page size parses; bad page sizes degrade") {
+    import spark.implicits._
+    val big = Multimodal.PlantedSqlites.craftedSqlite(32L)   // tier 4: ps raw = 1
+    val bad = big.clone(); bad(16) = 0.toByte; bad(17) = 3.toByte // ps = 3: invalid
+    val rows = Seq(
+      Multimodal.MediaIn(32L, big),
+      Multimodal.MediaIn(1L, bad),
+      Multimodal.MediaIn(2L, big.take(50)),                  // truncated header
+      Multimodal.MediaIn(3L, "not a database".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.sqliteMeta(rows.toDF()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = out(32L)
+    assert(g.getAs[Int]("is_sqlite") === 1)
+    assert(g.getAs[Long]("page_size") === 65536L, "raw 1 must read as 65536")
+    assert(g.getAs[Int]("encoding") === (1 + (32 / 8) % 3).toInt)
+    assert(g.getAs[Long]("page_count") === 10 + 32 % 990)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Int]("is_sqlite") === 0, s"doc $id must degrade")
+    }
+  }
+
   test("ogg meta: planted pages parse, truncated and zero-segment pages degrade") {
     import spark.implicits._
     val good = Multimodal.PlantedOggs.craftedOgg(16L)
