@@ -772,6 +772,7 @@ object SparkEntry {
     "d37_url_state_tx" -> Seq("canon_url"),
     "q73_clustered_compact" -> Seq("o_orderkey"),
     "q83_tx_zorder" -> Seq("o_orderkey"),
+    "q87_tx_read_where" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
@@ -1813,6 +1814,43 @@ object SparkEntry {
       graft.sources.TxTable.compactZOrdered(s, root, "o_orderkey", "o_custkey", 8)
       graft.sources.TxTable.read(s, root)
         .filter(col("o_orderkey") <= 30000 && col("o_custkey") <= 750)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q87 (r16): READER-SIDE DATA SKIPPING through the TxTable log —
+    // Delta's data skipping, the reader half of the stats the log has
+    // carried since r14: the rectangle read over the z-ordered table
+    // opens ONLY the files whose LOGGED ranges (key stats + declared
+    // secondary o_custkey ColStats) can intersect, and the gate PROVES
+    // it by physically deleting every pruned file BEFORE the read (the
+    // q71 trick at the read layer — a read that listed them would
+    // fail). Both bounds derive from the log's own stats (metadata-
+    // only, so the gate is SF-independent): half the key range × half
+    // the custkey range. Oracle = the unpruned read's algebra (the q83
+    // merge CTE) under the same bounds.
+    "q87_tx_read_where" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val root = stageDir(d) + "/q87_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey",
+        statsCols = Seq("o_custkey"))
+      graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      graft.sources.TxTable.compactZOrdered(s, root, "o_orderkey", "o_custkey", 8)
+      val files = graft.sources.TxTable.snapshot(root)
+      val khi = files.map(_.kmax).max / 2
+      val chi = files.flatMap(_.cols.toSeq.flatMap(_.get("o_custkey"))
+        .flatMap(_.nhi)).max / 2
+      val preds: Seq[(String, Any, Any)] =
+        Seq(("o_orderkey", 0L, khi), ("o_custkey", 0L, chi))
+      val (kept, pruned) = graft.sources.TxTable.liveFilesWhereAll(root, preds)
+      require(pruned.nonEmpty && kept.nonEmpty,
+        s"data skipping inert: kept=${kept.size} pruned=${pruned.size}")
+      pruned.foreach(f => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "data", f.name)))
+      graft.sources.TxTable.readWhereAll(s, root, preds)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
     // q68: time travel through the ACID log — q67's table read AS OF
@@ -8077,6 +8115,26 @@ object SparkEntry {
            FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey)
          SELECT o_orderkey, o_custkey, o_totalprice FROM m
          WHERE o_orderkey <= 30000 AND o_custkey <= 750 ORDER BY 1""",
+    // q87: the skipping read must equal the UNPRUNED read's algebra —
+    // the q83 merge CTE under the same rectangle, with both bounds
+    // derived from the data exactly as the engine derives them from
+    // the log stats (global max / 2, integer division)
+    "q87_tx_read_where" ->
+      """WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         upd AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+                 FROM orders WHERE o_orderkey % 3 = 0),
+         m AS (SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                  ELSE c.o_custkey END AS o_custkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                  ELSE c.o_totalprice END AS o_totalprice
+           FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey),
+         b AS (SELECT max(o_orderkey) // 2 AS khi, max(o_custkey) // 2 AS chi
+               FROM m)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM m, b
+         WHERE o_orderkey BETWEEN 0 AND khi AND o_custkey BETWEEN 0 AND chi
+         ORDER BY 1""",
     // q71: the stats path is metadata-only on the engine side; the
     // oracle replays the SEMANTICS — the key-set algebra of the three
     // versions (create / merge-with-inserts / delete) — relationally,

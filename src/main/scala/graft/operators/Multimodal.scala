@@ -1645,7 +1645,9 @@ object Multimodal {
     * three are variants of ONE master signal and the fourth is
     * unrelated:
     *   v=0  master verbatim — 32·(24 + g%8) samples,
-    *        dev(i) = 2·((g·37 + i·29) % 127 − 63);
+    *        dev(i) = 2·(((g%127+1)·i² + 29·i + g·37) % 127 − 63)
+    *        (the per-group QUADRATIC term is essential — see dev()'s
+    *        scaladoc on the circular-shift degeneracy);
     *   v=1  TRIMMED copy: the first 2 + g%3 FRAMES dropped (frame-
     *        aligned trim — landmark offsets stay whole frames, the
     *        granularity a hop-based fingerprinter actually has);
@@ -1654,8 +1656,10 @@ object Multimodal {
     *        EXACTLY in IEEE — scaling by a power of two never rounds —
     *        and peak structure + feature RATIOS are preserved
     *        bit-for-bit);
-    *   v=3  unrelated: dev(i) = 2·((doc_id·53 + i·29) % 127 − 63)
-    *        (modulus 127 is coprime with the 32-per-group id stride, so
+    *   v=3  unrelated:
+    *        dev(i) = 2·(((doc_id%127+64)·i² + 53·i + doc_id·31) % 127 − 63)
+    *        (distinct quadratic AND linear coefficients from the master;
+    *        modulus 127 is coprime with the 32-per-group id stride, so
     *        unrelated signals don't recycle at small scale).
     * m10's exact-signature tier finds NONE of the v1/v2 copies — that
     * blind spot is exactly what this plant exists to exercise. */
@@ -2139,9 +2143,12 @@ object Multimodal {
       .withColumn("_uv", beUint(p, lit(61L), 4))
       .withColumn("_ps", when(col("_psRaw") === 1, lit(65536L))
         .otherwise(col("_psRaw")))
+    // valid SQLite page sizes are POWERS OF TWO in [512, 32768] (plus
+    // the 65536 sentinel) — a bare multiple-of-512 test would bless
+    // 1536/2560/… corrupt headers with a bogus page_size (r15 ADVICE)
     val psOk = col("_ps") === 65536L ||
       (col("_ps") >= 512L && col("_ps") <= 32768L &&
-        pmod(col("_ps"), lit(512L)) === 0)
+        col("_ps").bitwiseAND(col("_ps") - 1) === 0)
     val complete = coalesce(isSq, lit(false)) &&
       coalesce(psOk, lit(false)) &&
       coalesce(col("_wv").between(1, 2) && col("_rv").between(1, 2), lit(false)) &&

@@ -1086,8 +1086,10 @@ object Relational {
     * (max, next min) summaries — and the summary table (n/B rows) gets
     * the SAME treatment one level up (b div B partitions), so the only
     * unpartitioned window runs over the n/B² level-2 summary: at B=4096
-    * that is bounded by a few hundred rows for ANY feasible corpus
-    * (10¹² keys → ~60 rows). Wholly-missing buckets are inter-bucket
+    * that is n/1.7·10⁷ rows — ~60k at 10¹² keys, a single executor's
+    * trivial sort (a corpus past ~10¹⁴ keys would add a third summary
+    * level to keep the top window constant-size; the decomposition
+    * recurses unchanged). Wholly-missing buckets are inter-bucket
     * gaps by construction (absent summaries never break adjacency).
     * Distinct-then-bucket = two key-partitioned shuffles total. */
   def sequenceGaps(orders: DataFrame, bucketSize: Long = 4096): DataFrame = {

@@ -65,16 +65,33 @@ object TxTable {
   import org.json4s.jackson.{JsonMethods, Serialization}
   private implicit val fmts: Formats = DefaultFormats
 
+  /** min/max statistics of ONE declared secondary column in one file
+    * (r16 — the Delta-style per-column stats that feed reader-side data
+    * skipping): `nlo`/`nhi` carry the numeric range for integral
+    * columns, `lo`/`hi` the lexicographic range for string-comparable
+    * ones (strings verbatim; dates and timestamps as fixed-width ISO
+    * renderings, which order identically to their values). A column
+    * whose type fits neither gets no entry — absence means "cannot
+    * prune on this column for this file", the degrade-never-miss
+    * posture the key stats already have. */
+  case class ColStat(lo: Option[String] = None, hi: Option[String] = None,
+                     nlo: Option[Long] = None, nhi: Option[Long] = None)
+
   /** Per-file log entry: exact row count plus key-range statistics.
     * kmin/kmax are the BIGINT-cast range (full-range sentinels when the
     * key doesn't cast); smin/smax (r15) are the LEXICOGRAPHIC range for
     * string-typed keys — the stats that let a URL-, digest- or
     * shingle-keyed state table (what real 100 TB pipelines key on)
-    * prune merges instead of degrading to full-table rewrites. Option
-    * fields are absent from pre-r15 log records and deserialize to
-    * None, so old tables keep the degrade-never-miss posture. */
+    * prune merges instead of degrading to full-table rewrites. `cols`
+    * (r16) carries the same ranges for the table's DECLARED secondary
+    * statistics columns, consumed by [[readWhere]] — the reader-side
+    * data skipping that lets a time-ranged read on a URL-keyed state
+    * table prune files on a non-key column. Option fields are absent
+    * from older log records and deserialize to None, so old tables
+    * keep the degrade-never-miss posture. */
   case class FileEntry(name: String, rows: Long, kmin: Long, kmax: Long,
-                       smin: Option[String] = None, smax: Option[String] = None)
+                       smin: Option[String] = None, smax: Option[String] = None,
+                       cols: Option[Map[String, ColStat]] = None)
   /** Application-transaction marker (the Delta `txn` action, §4.2 of the
     * VLDB'20 paper): a commit stamped (appId, version) records that the
     * writer `appId` has durably applied ITS OWN version counter up to
@@ -94,7 +111,8 @@ object TxTable {
                     schema: Option[String] = None,
                     txn: Option[TxnAction] = None,
                     op: Option[String] = None,
-                    dataChange: Option[Boolean] = None)
+                    dataChange: Option[Boolean] = None,
+                    statsCols: Option[Seq[String]] = None)
   /** A materialized snapshot of the replay state at `version` — live
     * file entries in replay order, the schema then in force, and the
     * per-app last-transaction watermarks (txns must survive the
@@ -103,11 +121,14 @@ object TxTable {
     * replayed batch would double-apply). */
   private case class Checkpoint(version: Long, key: String,
                                 schema: Option[String], live: Seq[FileEntry],
-                                txns: Option[Map[String, Long]] = None)
+                                txns: Option[Map[String, Long]] = None,
+                                statsCols: Option[Seq[String]] = None)
   /** Replay result: live files in insertion order, schema in force,
-    * per-appId max recorded transaction version. */
+    * per-appId max recorded transaction version, the table's key
+    * column, and its declared secondary statistics columns. */
   private case class State(live: Seq[FileEntry], schema: Option[String],
-                           txns: Map[String, Long])
+                           txns: Map[String, Long], key: String = "",
+                           statsCols: Seq[String] = Seq.empty)
 
   /** Commits between checkpoints; replay reads ≤ this many records. */
   private val CheckpointInterval = 10
@@ -175,9 +196,13 @@ object TxTable {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
     var schema: Option[String] = None
+    var key: String = ""
+    var statsCols: Seq[String] = Seq.empty
     ck.foreach { c =>
       c.live.foreach(a => live.update(a.name, a))
       schema = c.schema
+      key = c.key
+      c.statsCols.foreach(statsCols = _)
       c.txns.foreach(_.foreach { case (app, v) => txns.update(app, v) })
     }
     val from = ck.map(_.version).getOrElse(0L)
@@ -186,10 +211,12 @@ object TxTable {
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live.update(a.name, a))
       if (c.schema.isDefined) schema = c.schema
+      key = c.key
+      c.statsCols.foreach(statsCols = _)
       c.txn.foreach(t => txns.update(t.appId,
         math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))))
     }
-    State(live.values.toSeq, schema, txns.toMap)
+    State(live.values.toSeq, schema, txns.toMap, key, statsCols)
   }
 
   /** Live file entries as of `asOf` (inclusive; None = latest). */
@@ -215,7 +242,8 @@ object TxTable {
     try {
       val st = replayState(root, Some(v))
       val rec = Serialization.write(Checkpoint(v, key, st.schema, st.live,
-        if (st.txns.isEmpty) None else Some(st.txns)))
+        if (st.txns.isEmpty) None else Some(st.txns),
+        if (st.statsCols.isEmpty) None else Some(st.statsCols)))
       val d = logDir(root)
       try Files.write(d.resolve(ckptName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -228,12 +256,37 @@ object TxTable {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** The statistics-column projections by type: integral columns get a
+    * numeric (long) range, string columns their own lexicographic
+    * range, dates/timestamps a FIXED-WIDTH ISO rendering whose
+    * lexicographic order equals the value order (a bare timestamp→
+    * string cast has variable fractional-second width and would NOT
+    * sort correctly — the fixed pattern is the contract). Unsupported
+    * types return None: that column simply records no stats for the
+    * file, and pruning degrades to always-read (never skips). */
+  private def statProjections(dt: DataType, c: String)
+      : Option[(org.apache.spark.sql.Column, Boolean)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((col(c).cast("long"), true))
+      case StringType => Some((col(c), false))
+      case DateType => Some((col(c).cast("string"), false))
+      case TimestampType | TimestampNTZType =>
+        Some((date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"), false))
+      case _ => None
+    }
+  }
+
   /** Write `df` as data files under the table and return their log
-    * entries (with per-file key min/max from one stats pass). The files
-    * are INVISIBLE until a commit references them — the crash-safety
-    * property: an orphaned write is garbage, never a torn table. */
+    * entries (with per-file key min/max — and, when `statsCols` names
+    * declared secondary columns, their per-file ranges too — from one
+    * stats pass). The files are INVISIBLE until a commit references
+    * them — the crash-safety property: an orphaned write is garbage,
+    * never a torn table. */
   private def writeFiles(spark: SparkSession, df: DataFrame, root: String,
-                         key: String, tag: String): Seq[FileEntry] = {
+                         key: String, tag: String,
+                         statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(Paths.get(root), s"stage-$tag-")
     try {
       df.write.mode("overwrite").parquet(tmp.toString)
@@ -265,27 +318,51 @@ object TxTable {
       val back = spark.read.parquet(moved.map(_.toString): _*)
       val keyIsString =
         back.schema(key).dataType == org.apache.spark.sql.types.StringType
+      // declared secondary statistics columns present in this frame,
+      // with their typed min/max projections (same single stats pass)
+      val secondary = statsCols.distinct.filter(_ != key)
+        .filter(c => back.columns.contains(c))
+        .flatMap(c => statProjections(back.schema(c).dataType, c)
+          .map { case (proj, numeric) => (c, proj, numeric) })
+      val secondaryAggs = secondary.zipWithIndex.flatMap {
+        case ((_, proj, _), i) =>
+          Seq(min(proj).as(s"_c${i}lo"), max(proj).as(s"_c${i}hi"))
+      }
       val stats = back
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("rows"),
-          min(expr(s"try_cast(`$key` AS BIGINT)")).as("kmin"),
-          max(expr(s"try_cast(`$key` AS BIGINT)")).as("kmax"),
-          min(if (keyIsString) col(key) else lit(null).cast("string")).as("smin"),
-          max(if (keyIsString) col(key) else lit(null).cast("string")).as("smax"))
+          Seq(
+            min(expr(s"try_cast(`$key` AS BIGINT)")).as("kmin"),
+            max(expr(s"try_cast(`$key` AS BIGINT)")).as("kmax"),
+            min(if (keyIsString) col(key) else lit(null).cast("string")).as("smin"),
+            max(if (keyIsString) col(key) else lit(null).cast("string")).as("smax")
+          ) ++ secondaryAggs: _*)
         .collect()
         .map { r =>
           val kmin = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
           val kmax = if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)
           val smin = if (r.isNullAt(4)) None else Some(r.getString(4))
           val smax = if (r.isNullAt(5)) None else Some(r.getString(5))
-          (r.getString(0), (r.getLong(1), kmin, kmax, smin, smax))
+          val colStats = secondary.zipWithIndex.flatMap {
+            case ((c, _, numeric), i) =>
+              val lo = 6 + 2 * i; val hi = lo + 1
+              if (r.isNullAt(lo) || r.isNullAt(hi)) None
+              else if (numeric)
+                Some(c -> ColStat(nlo = Some(r.getLong(lo)),
+                  nhi = Some(r.getLong(hi))))
+              else
+                Some(c -> ColStat(lo = Some(r.getString(lo)),
+                  hi = Some(r.getString(hi))))
+          }.toMap
+          (r.getString(0), (r.getLong(1), kmin, kmax, smin, smax,
+            if (colStats.isEmpty) None else Some(colStats)))
         }
         .toMap
       moved.map { p =>
-        val (rows, kmin, kmax, smin, smax) = stats.collectFirst {
+        val (rows, kmin, kmax, smin, smax, cols) = stats.collectFirst {
           case (f, s) if f.endsWith(p.getFileName.toString) => s
-        }.getOrElse((0L, 0L, -1L, None, None))
-        FileEntry(p.getFileName.toString, rows, kmin, kmax, smin, smax)
+        }.getOrElse((0L, 0L, -1L, None, None, None))
+        FileEntry(p.getFileName.toString, rows, kmin, kmax, smin, smax, cols)
       }.filter(_.rows > 0)
     } finally {
       // remove the now-empty staging dir (files were moved out)
@@ -310,10 +387,11 @@ object TxTable {
                         schema: Option[String] = None,
                         txn: Option[TxnAction] = None,
                         op: Option[String] = None,
-                        dataChange: Option[Boolean] = None): Boolean = {
+                        dataChange: Option[Boolean] = None,
+                        statsCols: Option[Seq[String]] = None): Boolean = {
     Files.createDirectories(logDir(root))
     val rec = Serialization.write(
-      Commit(v, key, adds, removes, schema, txn, op, dataChange))
+      Commit(v, key, adds, removes, schema, txn, op, dataChange, statsCols))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -324,26 +402,102 @@ object TxTable {
     }
   }
 
+  /** Telemetry/test instrumentation for the OCC loop:
+    * `attemptInvocations` counts diff DERIVATIONS (each one is a full
+    * Spark job — the expensive thing a rebase avoids); `rebasedCommits`
+    * counts lost races resolved by re-stamping the SAME diff at a later
+    * version. Monotonic process-wide counters; specs read deltas. */
+  private[graft] val attemptInvocations = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rebasedCommits = new java.util.concurrent.atomic.AtomicLong
+  /** Test seam: when set, run EXACTLY ONCE between diff derivation and
+    * the commit attempt — the deterministic way to inject a racing
+    * commit in specs (getAndSet(null) keeps the injected action's own
+    * occRetry from re-triggering it). */
+  private[graft] val testRaceInjector =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+
+  /** True when the racing commit `r` provably cannot invalidate OUR
+    * derived diff, so the diff may be REBASED (re-stamped at a later
+    * version) instead of re-derived — the Delta conflict-detection
+    * posture (VLDB'20 §3.2: concurrent transactions commit without
+    * re-execution when their read/write sets are disjoint). Conditions,
+    * each conservative (any doubt → re-derive):
+    *  - `r` changes no schema (a racer's widening invalidates our read);
+    *  - `r` carries no txn stamp for OUR appId (the idempotence
+    *    watermark must be re-evaluated against r's commit);
+    *  - `r` removed none of the files we read-and-removed (overlapping
+    *    rewrites — the lost-update case rebase must never paper over);
+    *  - `r`'s added files' key ranges are DISJOINT from our added
+    *    files' ranges, by the string stats when both sides carry them,
+    *    else by the numeric stats (whose full-range sentinels for
+    *    non-castable keys make overlap the default — degrade to
+    *    re-derive, never to a silent duplicate key: if both commits
+    *    upserted the same key, their add ranges necessarily overlap). */
+  private def rebaseSafe(r: Commit, adds: Seq[FileEntry],
+                         removes: Set[String],
+                         txn: Option[TxnAction]): Boolean = {
+    def overlap(a: FileEntry, b: FileEntry): Boolean = {
+      val strDisjoint = (for (a1 <- a.smin; a2 <- a.smax;
+                              b1 <- b.smin; b2 <- b.smax)
+        yield a2 < b1 || b2 < a1).getOrElse(false)
+      val numDisjoint = a.kmax < b.kmin || b.kmax < a.kmin
+      !(strDisjoint || numDisjoint)
+    }
+    r.schema.isEmpty &&
+      !txn.exists(t => r.txn.exists(_.appId == t.appId)) &&
+      !r.removes.exists(removes.contains) &&
+      !r.adds.exists(ra => adds.exists(a => overlap(a, ra)))
+  }
+
   /** The optimistic-concurrency loop: snapshot → derive → attempt the
     * next version; on collision, re-derive from the NEW snapshot. An
     * attempt returning None signals "raced to a no-op" — the loop exits
     * with the current version, committing nothing (the sentinel replaces
     * the r13 non-local return, which broke under any try/catch wrapper
-    * and is unsupported on Scala 3). */
+    * and is unsupported on Scala 3).
+    *
+    * Rebase fast path (r16, MERGE/DELETE only): on a lost race, the
+    * racing commits are checked with [[rebaseSafe]]; when EVERY racer
+    * is provably disjoint from our diff, the SAME adds/removes re-stamp
+    * at the next free version — no Spark re-run. This is what lets N
+    * streaming sinks with disjoint key ranges share one hot state table
+    * without serializing full-job retries (the st34/st37 fleet
+    * posture). Any doubt — schema change, overlapping files or key
+    * ranges, a same-app txn, an unreadable racer record — falls back to
+    * the full re-derive, which was always correct. */
   private def occRetry(root: String, op: String, dataChange: Boolean = true,
-                       maxAttempts: Int = 20)(
+                       maxAttempts: Int = 20, allowRebase: Boolean = false)(
       attempt: Long => Option[(Seq[FileEntry], Seq[String], String,
         Option[String], Option[TxnAction])]): Long = {
     var tries = 0
     while (tries < maxAttempts) {
       val v = currentVersion(root) + 1
+      attemptInvocations.incrementAndGet()
       attempt(v) match {
         case None => return currentVersion(root)
         case Some((adds, removes, key, schema, txn)) =>
-          if (tryCommit(root, key, v, adds, removes, schema, txn,
-              Some(op), if (dataChange) None else Some(false))) {
-            maybeCheckpoint(root, v, key)
-            return v
+          Option(testRaceInjector.getAndSet(null)).foreach(_.run())
+          var tv = v
+          var rebases = 0
+          var rebasing = true
+          while (rebasing) {
+            if (tryCommit(root, key, tv, adds, removes, schema, txn,
+                Some(op), if (dataChange) None else Some(false))) {
+              maybeCheckpoint(root, tv, key)
+              return tv
+            }
+            val cur = currentVersion(root)
+            val racers = (tv to cur).map { rv =>
+              try Some(readJson[Commit](logDir(root).resolve(logName(rv))))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+            val rset = removes.toSet
+            if (allowRebase && schema.isEmpty && rebases < maxAttempts &&
+                racers.forall(_.exists(rebaseSafe(_, adds, rset, txn)))) {
+              rebasedCommits.incrementAndGet()
+              rebases += 1
+              tv = cur + 1
+            } else rebasing = false
           }
       }
       tries += 1
@@ -352,9 +506,13 @@ object TxTable {
       s"TxTable at $root: lost the commit race $maxAttempts times")
   }
 
-  /** Initialize (or fully replace) the table at `root` with `df`. */
+  /** Initialize (or fully replace) the table at `root` with `df`.
+    * `statsCols` (r16) declares the SECONDARY columns whose per-file
+    * min/max every commit will log from then on (Delta collects
+    * all-column stats; declaring them keeps log records proportional
+    * to what reads actually prune on) — consumed by [[readWhere]]. */
   def create(spark: SparkSession, df: DataFrame, root: String,
-             key: String): Long = {
+             key: String, statsCols: Seq[String] = Seq.empty): Long = {
     val r = Paths.get(root)
     if (Files.exists(r)) { // full replace: drop log + data
       import scala.jdk.CollectionConverters._
@@ -363,9 +521,10 @@ object TxTable {
       files.foreach(Files.deleteIfExists(_))
     }
     Files.createDirectories(dataDir(root))
-    val adds = writeFiles(spark, df, root, key, "base")
+    val adds = writeFiles(spark, df, root, key, "base", statsCols)
     require(tryCommit(root, key, 1L, adds, Seq.empty, Some(df.schema.json),
-        None, Some("CREATE")),
+        None, Some("CREATE"), None,
+        if (statsCols.isEmpty) None else Some(statsCols)),
       s"TxTable at $root: concurrent create detected")
     1L
   }
@@ -393,6 +552,119 @@ object TxTable {
         spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType])
           .parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** A query bound normalized to the two comparison domains the logged
+    * stats speak: numeric (BIGINT) and lexicographic string. Dates
+    * render to ISO strings (which order like their values — the same
+    * rendering the writer's stats pass logs). Timestamps are NOT
+    * normalized: their stats rendering is session-timezone-dependent
+    * and a cross-timezone bound could prune a file that matches — the
+    * degrade is no pruning, never a missed row. Anything unrecognized
+    * normalizes to neither domain, which keeps every file. */
+  private def normBound(v: Any): (Option[Long], Option[String]) = v match {
+    case n: Byte => (Some(n.toLong), None)
+    case n: Short => (Some(n.toLong), None)
+    case n: Int => (Some(n.toLong), None)
+    case n: Long => (Some(n), None)
+    case s: String => (None, Some(s))
+    case d: java.sql.Date => (None, Some(d.toString))
+    case d: java.time.LocalDate => (None, Some(d.toString))
+    case _ => (None, None)
+  }
+
+  /** Partition of the live files at `asOf` into (kept, pruned) for a
+    * closed-range read `lo <= column <= hi` — the decision [[readWhere]]
+    * acts on, exposed so specs and operators can PROVE what a read will
+    * touch without touching it (the q71 posture: metadata only, no data
+    * file opened). The key column prunes on its kmin/kmax (and, for
+    * string keys, smin/smax) stats; declared secondary columns on their
+    * logged [[ColStat]] ranges. A file is pruned ONLY when its range is
+    * provably disjoint from the bounds in a domain both sides speak —
+    * missing stats, unsupported bound types, and full-range sentinels
+    * all keep the file (degrade-never-miss). */
+  def liveFilesWhere(root: String, column: String, lo: Any, hi: Any,
+                     asOf: Option[Long] = None)
+      : (Seq[FileEntry], Seq[FileEntry]) =
+    liveFilesWhereAll(root, Seq((column, lo, hi)), asOf)
+
+  /** [[liveFilesWhere]] for a CONJUNCTION of closed ranges — a file is
+    * pruned when ANY predicate's logged range is provably disjoint
+    * (the rectangle read over a z-ordered table prunes on both
+    * dimensions at once, which is the point of the z layout). */
+  def liveFilesWhereAll(root: String, preds: Seq[(String, Any, Any)],
+                        asOf: Option[Long] = None)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val st = replayState(root, asOf)
+    def mightMatchOne(f: FileEntry, column: String, lo: Any, hi: Any): Boolean = {
+      val (nlo, slo) = normBound(lo)
+      val (nhi, shi) = normBound(hi)
+      val statOf: Option[ColStat] =
+        if (column == st.key)
+          Some(ColStat(f.smin, f.smax, Some(f.kmin), Some(f.kmax)))
+        else f.cols.flatMap(_.get(column))
+      statOf match {
+        case None => true
+        case Some(cs) =>
+          val numDisjoint = (for (a <- cs.nlo; b <- cs.nhi; l <- nlo; h <- nhi)
+            yield b < l || h < a).getOrElse(false)
+          val strDisjoint = (for (a <- cs.lo; b <- cs.hi; l <- slo; h <- shi)
+            yield b < l || h < a).getOrElse(false)
+          !(numDisjoint || strDisjoint)
+      }
+    }
+    st.live.partition(f =>
+      preds.forall { case (c, lo, hi) => mightMatchOne(f, c, lo, hi) })
+  }
+
+  /** Range read with READER-SIDE DATA SKIPPING (r16 — Delta's data
+    * skipping, the reader half of the stats the log has carried since
+    * r14): `lo <= column <= hi` over the snapshot at `asOf`, opening
+    * ONLY the live files whose logged range can intersect the bounds —
+    * every other file is pruned from the LOG alone, before any parquet
+    * footer is touched. On a 100 TB state table this is the difference
+    * between a point/range query that lists-and-opens every live file
+    * (what read()+filter does) and one that opens ~the matching z-cells
+    * (q83's rectangle) or ~one range-clustered file. `column` may be
+    * the table key (kmin/kmax, smin/smax) or any column declared in
+    * `create(statsCols = …)` (per-file [[ColStat]]). The residual
+    * filter still applies — stats prune FILES, the scan prunes ROWS —
+    * so the result equals `read(...).filter(lo <= column <= hi)`
+    * exactly (the oracle contract), while a provably-empty result
+    * opens ZERO files (the empty frame synthesizes from the declared
+    * schema). Pruned-away files are never listed to Spark at all, so
+    * the q71-style proof holds: physically delete them and the range
+    * read still answers. */
+  def readWhere(spark: SparkSession, root: String, column: String,
+                lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame =
+    readWhereAll(spark, root, Seq((column, lo, hi)), asOf)
+
+  /** [[readWhere]] for a CONJUNCTION of closed ranges — the rectangle
+    * read: every predicate prunes files independently from the log,
+    * and all of them apply as residual row filters on the scan. */
+  def readWhereAll(spark: SparkSession, root: String,
+                   preds: Seq[(String, Any, Any)],
+                   asOf: Option[Long] = None): DataFrame = {
+    val st = replayState(root, asOf)
+    require(st.live.nonEmpty, s"TxTable at $root has no live files")
+    val (kept, _) = liveFilesWhereAll(root, preds, asOf)
+    val declared = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (kept.isEmpty) declared match {
+      case Some(ts) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
+      case None => // legacy schema-less log: one file read gives the shape
+        spark.read.parquet(
+          dataDir(root).resolve(st.live.head.name).toString).limit(0)
+    } else {
+      val paths = kept.map(f => dataDir(root).resolve(f.name).toString)
+      val df = declared match {
+        case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }
     }
   }
 
@@ -477,7 +749,7 @@ object TxTable {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String, txn: Option[(String, Long)] = None): Long = {
     requireUniqueKeys(updates, key)
-    occRetry(root, "MERGE") { v =>
+    occRetry(root, "MERGE", allowRebase = true) { v =>
       val st = replayState(root, None)
       if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
         None   // already applied: idempotent no-op (the occRetry sentinel)
@@ -544,7 +816,7 @@ object TxTable {
           else Some(StructType(tableSchema.get.fields.map(f =>
             widened.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++
             added.map(c => updates.schema(c))).json)
-        Some((writeFiles(spark, merged, root, key, f"$v%010d-merge"),
+        Some((writeFiles(spark, merged, root, key, f"$v%010d-merge", st.statsCols),
           touched.map(_.name), key, newSchema,
           txn.map { case (app, tv) => TxnAction(app, tv) }))
       }
@@ -562,7 +834,7 @@ object TxTable {
     // pre-check cost a full duplicate pruning pass (distinct +
     // broadcast range join) per call — measurable at st38's
     // per-micro-batch cadence (r14 judge finding #3)
-    occRetry(root, "DELETE") { v =>
+    occRetry(root, "DELETE", allowRebase = true) { v =>
       val st = replayState(root, None)
       val files = st.live
       val touchedSet = touchedFileNames(spark, files, keys, key)
@@ -580,8 +852,8 @@ object TxTable {
           .getOrElse(spark.read.parquet(paths: _*))
         val remaining = base.join(keys.select(col(key)).distinct(),
           Seq(key), "left_anti")
-        Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete"),
-          touched.map(_.name), key, None, None))
+        Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete",
+          st.statsCols), touched.map(_.name), key, None, None))
       }
     }
   }
@@ -696,10 +968,10 @@ object TxTable {
   def compact(spark: SparkSession, root: String, key: String,
               numFiles: Int = 4): Long =
     occRetry(root, "COMPACT", dataChange = false) { v =>
-    val files = snapshot(root, None)
+    val st = replayState(root, None)
     val df = read(spark, root).repartition(numFiles)
-    Some((writeFiles(spark, df, root, key, f"$v%010d-compact"),
-      files.map(_.name), key, None, None))
+    Some((writeFiles(spark, df, root, key, f"$v%010d-compact", st.statsCols),
+      st.live.map(_.name), key, None, None))
   }
 
   /** CLUSTERED compaction — the pruning-preserving variant (Delta's
@@ -717,12 +989,12 @@ object TxTable {
   def compactClustered(spark: SparkSession, root: String, key: String,
                        numFiles: Int = 4): Long =
     occRetry(root, "CLUSTER", dataChange = false) { v =>
-    val files = snapshot(root, None)
+    val st = replayState(root, None)
     val df = read(spark, root)
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
-    Some((writeFiles(spark, df, root, key, f"$v%010d-cluster"),
-      files.map(_.name), key, None, None))
+    Some((writeFiles(spark, df, root, key, f"$v%010d-cluster", st.statsCols),
+      st.live.map(_.name), key, None, None))
   }
 
   /** Z-ORDERED compaction — [[compactClustered]]'s TWO-dimension form
@@ -745,15 +1017,15 @@ object TxTable {
   def compactZOrdered(spark: SparkSession, root: String, key: String,
                       zCol: String, numFiles: Int = 4, bits: Int = 6): Long =
     occRetry(root, "ZORDER", dataChange = false) { v =>
-    val files = snapshot(root, None)
+    val st = replayState(root, None)
     val df = read(spark, root)
     val z = Sources.zOrderCol(df, key, zCol, bits)
     val laid = df.withColumn("_graft_z", z)
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    Some((writeFiles(spark, laid, root, key, f"$v%010d-zorder"),
-      files.map(_.name), key, None, None))
+    Some((writeFiles(spark, laid, root, key, f"$v%010d-zorder", st.statsCols),
+      st.live.map(_.name), key, None, None))
   }
 
   /** DESCRIBE HISTORY — the commit log surfaced as a DataFrame, one row

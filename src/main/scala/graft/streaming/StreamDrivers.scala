@@ -326,7 +326,16 @@ object StreamDrivers {
     * column contract). */
   def sessionNativeStream(spark: SparkSession, sfDir: String): DataFrame = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    var outSchema: StructType = null
+    // the output schema comes from the BATCH form of the same operator
+    // over a zero-row projection (session_window runs in batch too) —
+    // never captured from the first non-empty micro-batch, which would
+    // NPE the final createDataFrame if the stream emitted zero batches
+    // (r15 ADVICE)
+    val outSchema: StructType = graft.operators.TimeJoins.sessionWindowAgg(
+      graft.Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("value"),
+          date_trunc("second", col("ts")).as("tsec"))
+        .limit(0)).schema
     runOverEventFiles(spark, sfDir,
         sentinelOffsetSec = Some(7200L + 1800L + 60L)) { (src, chk) =>
       graft.operators.TimeJoins.sessionWindowAgg(
@@ -338,7 +347,7 @@ object StreamDrivers {
         .option("checkpointLocation", chk)
         .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
           val rows = b.collect()
-          buf.synchronized { buf ++= rows; outSchema = b.schema }; ()
+          buf.synchronized { buf ++= rows }; ()
         }
         .start()
     }
@@ -615,30 +624,56 @@ object StreamDrivers {
     * must stage its engine-specific estimates; KMV is hash-
     * deterministic end to end). No watermark or sentinel: the merge is
     * order- and arrival-insensitive by algebra. State is localCheckpoint'ed
-    * before the overwrite so the read never races its own rewrite. */
+    * before the write so the read never races its own rewrite.
+    *
+    * State publication is ATOMIC (r15 ADVICE): each batch writes the
+    * merged sketch to a FRESH versioned directory, then flips a pointer
+    * file via temp-write + atomic rename (the TxTable _last_checkpoint
+    * idiom) — a non-atomic overwrite-in-place would leave truncated
+    * state on a crash between delete and rewrite, and a retried batch
+    * merging against it would silently drop hashes. With the pointer, a
+    * retry either sees the PREVIOUS fully-committed sketch (flip never
+    * happened — re-merge is the intended at-least-once replay; KMV merge
+    * of the same batch twice is idempotent, k-smallest of a set union)
+    * or the new one (flip happened — the txn-style no-op is unnecessary
+    * because re-merging identical hashes is a no-op by algebra). */
   def kmvStateStream(spark: SparkSession, sfDir: String): DataFrame = {
     val stateDir = Files.createTempDirectory("graft-stream-kmv")
-    val state = s"$stateDir/sk"
+    val pointer = stateDir.resolve("_current")
+    def currentState(): Option[String] =
+      if (Files.exists(pointer))
+        Some(stateDir.resolve(new String(Files.readAllBytes(pointer),
+          java.nio.charset.StandardCharsets.UTF_8).trim).toString)
+      else None
     try {
       runOverEventFiles(spark, sfDir, sentinelOffsetSec = None) { (src, chk) =>
         src.writeStream
           .outputMode("append")
           .option("checkpointLocation", chk)
-          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], bid: Long) =>
             val batchSk = graft.operators.Curation.kmvSketch(
               b.toDF().select(col("event_type"), col("user_id")),
               "event_type", "user_id")
-            val merged =
-              if (Files.exists(java.nio.file.Paths.get(state)))
-                graft.operators.Curation.kmvMerge(
-                  spark.read.parquet(state), batchSk).localCheckpoint()
-              else batchSk.localCheckpoint()
-            merged.coalesce(1).write.mode("overwrite").parquet(state); ()
+            val merged = currentState() match {
+              case Some(prev) => graft.operators.Curation.kmvMerge(
+                spark.read.parquet(prev), batchSk).localCheckpoint()
+              case None => batchSk.localCheckpoint()
+            }
+            val next = s"sk-v$bid"
+            merged.coalesce(1).write.mode("overwrite")
+              .parquet(stateDir.resolve(next).toString)
+            val tmp = Files.createTempFile(stateDir, "_current", ".tmp")
+            Files.write(tmp,
+              next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Files.move(tmp, pointer,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
           }
           .start()
       }
       graft.operators.Curation.kmvOverlapEval(
-        spark.read.parquet(state).localCheckpoint(),
+        spark.read.parquet(currentState().getOrElse(
+          sys.error("kmvStateStream: stream emitted no batches"))).localCheckpoint(),
         graft.Tables.load(spark, sfDir, "events"), "event_type", "user_id")
     } finally deleteRecursively(stateDir)
   }

@@ -415,4 +415,45 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("TxTable equals the reference map when every commit races an injected writer") {
+    // r16: the concurrent-interleaving extension — each outer merge has
+    // a racing merge injected between its diff derivation and its
+    // commit attempt, with RANDOM key overlap, so the OCC loop takes
+    // the rebase fast path when the diffs are provably disjoint and
+    // the re-derive path when they are not. Either way the table must
+    // equal the model applied in COMMIT order (racer first, outer
+    // second — the outer merge always commits after the injected one).
+    import spark.implicits._
+    import graft.sources.TxTable
+    val rnd = new Random(97)
+    val root = tempDir("txt-model-race").toString + "/tbl"
+    var model = Map(0L until 40L map (k => k -> s"v$k"): _*)
+    TxTable.create(spark,
+      model.toSeq.toDF("k", "v").repartitionByRange(3, col("k")), root, "k")
+    val rb0 = TxTable.rebasedCommits.get()
+    // keys draw from per-writer random BUCKETS (width 15 over [0, 60))
+    // so the interleavings cover both paths: different buckets →
+    // disjoint file sets and add ranges (the rebase fast path), same
+    // or adjacent buckets → genuine conflicts (the re-derive path)
+    def draw(bucket: Int, tag: String): Seq[(Long, String)] =
+      (1 to 1 + rnd.nextInt(4)).map(_ => (bucket * 15 + rnd.nextInt(15)).toLong)
+        .distinct.map(k => (k, s"$tag-$k"))
+    for (step <- 1 to 10) {
+      val a = draw(rnd.nextInt(4), s"a$step")
+      val b = draw(rnd.nextInt(4), s"b$step")
+      TxTable.testRaceInjector.set(new Runnable {
+        def run(): Unit = TxTable.merge(spark, root, b.toDF("k", "v"), "k")
+      })
+      TxTable.merge(spark, root, a.toDF("k", "v"), "k")
+      model = model ++ b.toMap ++ a.toMap
+      val got = TxTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === model, s"raced step $step diverged")
+    }
+    // sanity: the fast path actually fired somewhere in 10 random races
+    // (seed-pinned, so this is deterministic, not flaky)
+    assert(TxTable.rebasedCommits.get() > rb0,
+      "expected at least one rebase across the seeded interleavings")
+  }
+
 }

@@ -585,4 +585,166 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.currentVersion(root) === 3L)
     assert(rows(TxTable.read(spark, root)).contains((1L, "retry")))
   }
+
+  // ---- r16: reader-side data skipping -------------------------------
+
+  /** A table whose files are k-range-clustered WITH two declared
+    * secondary stats columns that correlate with k: a date (d) and a
+    * zero-padded string (s) — both therefore carry disjoint per-file
+    * ranges, the shape data skipping exists for. */
+  private def mkStatsTable(prefix: String) = {
+    import spark.implicits._
+    val root = tempDir(prefix).toString + "/tbl"
+    val base = (0L until 1000L).map { k =>
+      (k, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays((k / 10).toInt)),
+        f"s$k%04d", s"v$k")
+    }.toDF("k", "d", "s", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    TxTable.create(spark, base, root, "k", statsCols = Seq("d", "s"))
+    root
+  }
+
+  private def dataPath(root: String, name: String) =
+    java.nio.file.Paths.get(root, "data", name)
+
+  test("readWhere: key-range read opens a strict subset; pruned files may not exist") {
+    val root = mkStatsTable("txt-skip-key")
+    val (kept, pruned) = TxTable.liveFilesWhere(root, "k", 0L, 99L)
+    assert(kept.nonEmpty && pruned.size >= 6,
+      s"expected most of 8 range files pruned, kept=${kept.size} pruned=${pruned.size}")
+    // the q71 proof: physically delete every pruned file — the range
+    // read must still answer, because it never lists them
+    pruned.foreach(f => java.nio.file.Files.delete(dataPath(root, f.name)))
+    val got = TxTable.readWhere(spark, root, "k", 0L, 99L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got === (0L until 100L).map(k => (k, s"v$k")).toSet)
+  }
+
+  test("readWhere: secondary date and string columns prune from their logged ColStats") {
+    val root = mkStatsTable("txt-skip-col")
+    // date range covering k in [100, 199] → 1-2 of the 8 k-range files
+    val dLo = java.sql.Date.valueOf("2024-01-11")
+    val dHi = java.sql.Date.valueOf("2024-01-20")
+    val (keptD, prunedD) = TxTable.liveFilesWhere(root, "d", dLo, dHi)
+    assert(prunedD.size >= 6, s"date skipping kept ${keptD.size} of 8")
+    // string range s0200..s0299 → same clustering, same pruning
+    val (keptS, prunedS) = TxTable.liveFilesWhere(root, "s", "s0200", "s0299")
+    assert(prunedS.size >= 6, s"string skipping kept ${keptS.size} of 8")
+    // delete everything either query pruned; both must still answer
+    (prunedD.map(_.name).toSet intersect prunedS.map(_.name).toSet)
+      .foreach(n => java.nio.file.Files.delete(dataPath(root, n)))
+    val gotD = TxTable.readWhere(spark, root, "d", dLo, dHi)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotD === (100L until 200L).toSet)
+    val gotS = TxTable.readWhere(spark, root, "s", "s0200", "s0299")
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotS === (200L until 300L).toSet)
+    // provably-empty rectangle: zero files opened even with data gone
+    val empty = TxTable.readWhere(spark, root, "d",
+      java.sql.Date.valueOf("2030-01-01"), java.sql.Date.valueOf("2030-12-31"))
+    assert(empty.count() === 0L)
+  }
+
+  test("readWhere: stats survive merges, compaction and checkpoints; missing stats degrade to read-all") {
+    import spark.implicits._
+    val root = mkStatsTable("txt-skip-carry")
+    // a merge's rewritten + inserted files must re-log secondary stats
+    val upd = (0L until 50L).map(k =>
+      (k, java.sql.Date.valueOf("2024-01-01"), f"s$k%04d", s"u$k"))
+      .toDF("k", "d", "s", "v")
+    TxTable.merge(spark, root, upd, "k")
+    assert(TxTable.snapshot(root).forall(f =>
+      f.cols.exists(m => m.contains("d") && m.contains("s"))),
+      "merge output files lost the declared secondary stats")
+    // clustered compaction re-logs them too, and the declaration
+    // survives the checkpoint replay (compact enough commits to cross
+    // the interval)
+    (1 to 9).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((2000L + i, java.sql.Date.valueOf("2025-06-01"),
+          f"s${2000 + i}%04d", s"n$i")).toDF("k", "d", "s", "v"), "k")
+    }
+    TxTable.compactClustered(spark, root, "k", 8)
+    assert(TxTable.currentVersion(root) >= 11L)
+    assert(TxTable.snapshot(root).forall(f => f.cols.exists(_.contains("d"))),
+      "secondary stats lost after compaction past a checkpoint")
+    // unsupported bound type (a Double) prunes nothing — degrade path
+    val (keptAll, prunedNone) = TxTable.liveFilesWhere(root, "d", 1.5d, 2.5d)
+    assert(prunedNone.isEmpty && keptAll.size === TxTable.snapshot(root).size)
+  }
+
+  // ---- r16: OCC disjoint-commit rebase ------------------------------
+
+  test("OCC rebase: disjoint concurrent merges both commit with zero re-derives") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-rebase-dis")
+    val updA = (0L until 50L).map(k => (k, s"a$k")).toDF("k", "v")
+    val updB = (900L until 950L).map(k => (k, s"b$k")).toDF("k", "v")
+    val a0 = TxTable.attemptInvocations.get()
+    val r0 = TxTable.rebasedCommits.get()
+    TxTable.testRaceInjector.set(new Runnable {
+      def run(): Unit = TxTable.merge(spark, root, updB, "k")
+    })
+    TxTable.merge(spark, root, updA, "k")
+    assert(TxTable.attemptInvocations.get() - a0 === 2L,
+      "disjoint race must not re-derive either diff")
+    assert(TxTable.rebasedCommits.get() - r0 === 1L)
+    val expect = rows(Sources.upsert(Sources.upsert(base, updB, "k"), updA, "k"))
+    assert(rows(TxTable.read(spark, root)) === expect)
+  }
+
+  test("OCC rebase: overlapping concurrent merges re-derive (loser applies on top)") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-rebase-ovl")
+    val updA = (0L until 50L).map(k => (k, s"a$k")).toDF("k", "v")
+    val updB = (25L until 75L).map(k => (k, s"b$k")).toDF("k", "v")
+    val a0 = TxTable.attemptInvocations.get()
+    val r0 = TxTable.rebasedCommits.get()
+    TxTable.testRaceInjector.set(new Runnable {
+      def run(): Unit = TxTable.merge(spark, root, updB, "k")
+    })
+    TxTable.merge(spark, root, updA, "k")
+    assert(TxTable.attemptInvocations.get() - a0 === 3L,
+      "overlapping race must re-derive the loser exactly once")
+    assert(TxTable.rebasedCommits.get() - r0 === 0L)
+    // commit order: B first, then A re-derived on top — A wins overlaps
+    val expect = rows(Sources.upsert(Sources.upsert(base, updB, "k"), updA, "k"))
+    assert(rows(TxTable.read(spark, root)) === expect)
+  }
+
+  test("OCC rebase: disjoint delete races a merge without re-derive; schema change forces one") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-rebase-del")
+    val dels = (0L until 30L).toDF("k")
+    val updB = (900L until 930L).map(k => (k, s"b$k")).toDF("k", "v")
+    val a0 = TxTable.attemptInvocations.get()
+    TxTable.testRaceInjector.set(new Runnable {
+      def run(): Unit = TxTable.merge(spark, root, updB, "k")
+    })
+    TxTable.deleteKeys(spark, root, dels, "k")
+    assert(TxTable.attemptInvocations.get() - a0 === 2L)
+    val expect = rows(Sources.upsert(base, updB, "k"))
+      .filterNot { case (k, _) => k < 30L }
+    assert(rows(TxTable.read(spark, root)) === expect)
+    // a racer that WIDENS the schema invalidates any rebase: the loser
+    // must re-derive — and the re-derive then (correctly, loudly) fails
+    // the merge contract, because the loser's updates are missing the
+    // column the racer just added. A rebase here would have committed
+    // that contract violation silently.
+    val b0 = TxTable.attemptInvocations.get()
+    val rb0 = TxTable.rebasedCommits.get()
+    TxTable.testRaceInjector.set(new Runnable {
+      def run(): Unit = TxTable.merge(spark, root,
+        (900L until 930L).map(k => (k, s"w$k", 1)).toDF("k", "v", "extra"), "k")
+    })
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root,
+        (100L until 110L).map(k => (k, s"z$k")).toDF("k", "v"), "k")
+    }
+    assert(ex.getMessage.contains("missing table column"))
+    assert(TxTable.attemptInvocations.get() - b0 === 3L,
+      "schema-widening racer must force a re-derive")
+    assert(TxTable.rebasedCommits.get() - rb0 === 0L)
+  }
 }
