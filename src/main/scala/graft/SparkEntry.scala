@@ -773,6 +773,7 @@ object SparkEntry {
     "q73_clustered_compact" -> Seq("o_orderkey"),
     "q83_tx_zorder" -> Seq("o_orderkey"),
     "q87_tx_read_where" -> Seq("o_orderkey"),
+    "q88_tx_cdc_merge" -> Seq("o_orderkey"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
@@ -1852,6 +1853,60 @@ object SparkEntry {
         java.nio.file.Paths.get(root, "data", f.name)))
       graft.sources.TxTable.readWhereAll(s, root, preds)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q88 (r16): the q44 CDC apply driven THROUGH the transactional
+    // layer with CONDITIONAL MERGE clauses (Delta's WHEN MATCHED AND
+    // pred THEN UPDATE/DELETE) — delete ops as matched-deletes,
+    // max-seq as update-if-newer, D-of-absent no-op'd by the
+    // not-matched clause, all resolved IN-TABLE instead of in-stream
+    // (the r15 verdict's item 6). The changelog's three seq tiers
+    // apply as three txn-stamped conditional merges; a STALE tier
+    // (seq 0 rows for keys already at seq 1) rides in the last batch
+    // to force the update-if-newer clause to actually keep target
+    // rows; then the first batch REPLAYS verbatim — the (appId,
+    // version) guard must no-op it wholesale (resurrecting a deleted
+    // key here is exactly the at-least-once corruption the guard
+    // exists for). Oracle = the q44 latest-wins replay over the SAME
+    // changelog including the stale tier.
+    "q88_tx_cdc_merge" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snap = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .withColumn("seq", lit(0L))
+      val u = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val dl = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = o.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), lit("NEW").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit(3L).as("seq"), lit("I").as("op"))
+      val stale = o.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+          pmod(col("o_orderkey"), lit(3)) =!= 0 &&
+          pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), lit("STALE").as("o_orderstatus"),
+          lit(0.0).as("o_totalprice"), lit(0L).as("seq"), lit("U").as("op"))
+      val root = stageDir(d) + "/q88_tx"
+      graft.sources.TxTable.create(s, snap, root, "o_orderkey")
+      val del: graft.sources.TxTable.MergeCond = (sc, _) => sc("op") === "D"
+      val newer: graft.sources.TxTable.MergeCond = (sc, tc) => sc("seq") > tc("seq")
+      val notDel: graft.sources.TxTable.MergeCond = (sc, _) => sc("op") =!= "D"
+      def applyBatch(b: org.apache.spark.sql.DataFrame, n: Long): Unit = {
+        graft.sources.TxTable.mergeConditional(s, root, b, "o_orderkey",
+          matchedDelete = Some(del), matchedUpdate = Some(newer),
+          notMatchedInsert = Some(notDel), txn = Some(("q88", n))); ()
+      }
+      applyBatch(u, 1L)
+      applyBatch(dl, 2L)
+      applyBatch(ins.unionByName(stale), 3L)
+      applyBatch(u, 1L)   // at-least-once replay: guard no-ops it
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
     // q68: time travel through the ACID log — q67's table read AS OF
     // the pre-merge version (the reproducibility read a training
@@ -4173,7 +4228,40 @@ object SparkEntry {
        WHERE l.op IS NULL OR l.op <> 'D'
        ORDER BY 1"""
 
+  // q88: the conditional-merge CDC apply must equal the latest-wins
+  // replay over the SAME changelog (q44's CTE + the stale tier, which
+  // latest-wins ignores by seq rank exactly as update-if-newer ignores
+  // it in-table — an engine that applies stale rows diverges here)
+  private val cdcMergeSql =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       snap AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+       ch AS (
+         SELECT o_orderkey, 'U1' AS o_orderstatus,
+           o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 'U' AS op, 1 AS seq
+         FROM base WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, NULL, NULL, 'D', 2 FROM base WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, 'NEW', o_totalprice + 1000.0, 'I', 3
+         FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, 'STALE', CAST(0.0 AS DOUBLE), 'U', 0
+         FROM base WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+           AND o_orderkey % 5 <> 0),
+       latest AS (SELECT * FROM (
+         SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+         FROM ch) WHERE rn = 1)
+       SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
+         CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END
+           AS o_totalprice
+       FROM snap s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey
+       WHERE l.op IS NULL OR l.op <> 'D'
+       ORDER BY 1"""
+
   def oracleSql: Map[String, String] = Map(
+    "q88_tx_cdc_merge" -> cdcMergeSql,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${dsum("l_quantity")} AS sum_qty,

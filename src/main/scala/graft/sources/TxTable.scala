@@ -823,6 +823,114 @@ object TxTable {
     }
   }
 
+  /** Clause-predicate shape for [[mergeConditional]]: a function of the
+    * SOURCE and TARGET column accessors returning a boolean Column —
+    * e.g. update-if-newer is `(s, t) => s("seq") > t("seq")`, a CDC
+    * delete op is `(s, _) => s("op") === "D"`. */
+  type MergeCond = (String => org.apache.spark.sql.Column,
+                    String => org.apache.spark.sql.Column)
+                   => org.apache.spark.sql.Column
+
+  /** CONDITIONAL MERGE — Delta's `WHEN MATCHED [AND pred] THEN
+    * UPDATE/DELETE, WHEN NOT MATCHED [AND pred] THEN INSERT` (r16, the
+    * r15 verdict's item 6), the clause set a CDC apply needs to express
+    * delete-ops and update-if-newer INSIDE the transactional layer
+    * instead of resolving them in-stream first:
+    *
+    *  - matched + `matchedDelete` true            → row deleted
+    *  - matched, not deleted, `matchedUpdate` true (or None) → source
+    *    row replaces the target row; condition FALSE keeps the target
+    *    row untouched (the stale-update no-op)
+    *  - source-only + `notMatchedInsert` true (or None) → insert;
+    *    false → dropped (e.g. delete-of-absent no-ops when the clause
+    *    is `op =!= "D"`)
+    *  - target-only rows always carry over.
+    *
+    * Clause predicates see BOTH sides through the accessors; a null
+    * predicate result counts as false (SQL clause semantics). The
+    * SOURCE may carry EXTRA columns (op flags, sequence numbers) that
+    * exist only for the predicates — the written row is the source
+    * projected to the TABLE schema, so condition columns never leak
+    * into the table and there is NO schema evolution here (unlike
+    * [[merge]]): same-name columns must arrive with the declared type,
+    * anything else fails loudly. File pruning, OCC with the r16 rebase
+    * fast path, and the (appId, version) idempotence guard all work
+    * exactly as in [[merge]]; a txn-stamped batch whose clauses filter
+    * everything still commits an EMPTY record so the watermark
+    * advances (a retried filtered batch must no-op on the guard, not
+    * re-evaluate its clauses). */
+  def mergeConditional(spark: SparkSession, root: String, updates: DataFrame,
+                       key: String,
+                       matchedDelete: Option[MergeCond] = None,
+                       matchedUpdate: Option[MergeCond] = None,
+                       notMatchedInsert: Option[MergeCond] = None,
+                       txn: Option[(String, Long)] = None): Long = {
+    requireUniqueKeys(updates, key)
+    occRetry(root, "MERGE", allowRebase = true) { v =>
+      val st = replayState(root, None)
+      if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
+        None   // already applied: idempotent no-op
+      else {
+        val files = st.live
+        val tableSchema = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+        require(tableSchema.isDefined,
+          "TxTable mergeConditional: requires a schema-bearing log")
+        val ts = tableSchema.get
+        val tblCols = ts.fieldNames.toSeq
+        val missing = tblCols.filterNot(updates.columns.contains)
+        require(missing.isEmpty,
+          s"TxTable mergeConditional: updates missing table column(s) " +
+            s"${missing.mkString(", ")}")
+        tblCols.filterNot(_ == key).foreach { c =>
+          require(updates.schema(c).dataType == ts(c).dataType,
+            s"TxTable mergeConditional: column '$c' arrives as " +
+              s"${updates.schema(c).dataType} but the table declares " +
+              s"${ts(c).dataType} — no schema evolution in conditional " +
+              "merges; cast the updates explicitly")
+        }
+        val touchedSet = touchedFileNames(spark, files, updates, key)
+        val touched = files.filter(f => touchedSet.contains(f.name))
+        val base =
+          if (touched.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
+          else spark.read.schema(ts).parquet(
+            touched.map(f => dataDir(root).resolve(f.name).toString): _*)
+        val src = updates.select(
+          (col(key).as("_mk") +: lit(true).as("_sp") +:
+            updates.columns.filterNot(_ == key).toSeq
+              .map(c => col(c).as(s"_s_$c"))): _*)
+        val tgt = base.select(
+          (col(key).as("_mk") +: lit(true).as("_tp") +:
+            tblCols.filterNot(_ == key).map(c => col(c).as(s"_t_$c"))): _*)
+        val j = tgt.join(src, Seq("_mk"), "full_outer")
+        val srcAcc: String => org.apache.spark.sql.Column =
+          c => if (c == key) col("_mk") else col(s"_s_$c")
+        val tgtAcc: String => org.apache.spark.sql.Column =
+          c => if (c == key) col("_mk") else col(s"_t_$c")
+        val matched = col("_tp").isNotNull && col("_sp").isNotNull
+        val tgtOnly = col("_tp").isNotNull && col("_sp").isNull
+        val srcOnly = col("_tp").isNull && col("_sp").isNotNull
+        val delC = coalesce(
+          matchedDelete.map(_(srcAcc, tgtAcc)).getOrElse(lit(false)), lit(false))
+        val updC = coalesce(
+          matchedUpdate.map(_(srcAcc, tgtAcc)).getOrElse(lit(true)), lit(false))
+        val insC = coalesce(
+          notMatchedInsert.map(_(srcAcc, tgtAcc)).getOrElse(lit(true)), lit(false))
+        val keep = tgtOnly || (matched && !delC) || (srcOnly && insC)
+        val takeSrc = (matched && !delC && updC) || srcOnly
+        val merged = j.filter(keep).select(tblCols.map { c =>
+          if (c == key) col("_mk").as(key)
+          else when(takeSrc, srcAcc(c)).otherwise(tgtAcc(c)).as(c)
+        }: _*)
+        val adds = writeFiles(spark, merged, root, key,
+          f"$v%010d-merge", st.statsCols)
+        if (adds.isEmpty && touched.isEmpty && txn.isEmpty) None
+        else Some((adds, touched.map(_.name), key, None,
+          txn.map { case (app, tv) => TxnAction(app, tv) }))
+      }
+    }
+  }
+
   /** Storage-level DELETE by key — the other half of a CDC sink: prune
     * to the files whose key range intersects the delete set, rewrite
     * them without those keys, one atomic commit. Delete-of-absent is a

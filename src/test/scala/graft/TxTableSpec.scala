@@ -674,6 +674,101 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(prunedNone.isEmpty && keptAll.size === TxTable.snapshot(root).size)
   }
 
+  // ---- r16: conditional MERGE clauses --------------------------------
+
+  private def condTable(prefix: String) = {
+    import spark.implicits._
+    val root = tempDir(prefix).toString + "/tbl"
+    val base = (0L until 10L).map(k => (k, s"v$k", 10L)).toDF("k", "v", "seq")
+    TxTable.create(spark, base, root, "k")
+    root
+  }
+  private val condDel: TxTable.MergeCond = (s, _) => s("op") === "D"
+  private val condNewer: TxTable.MergeCond = (s, t) => s("seq") > t("seq")
+  private val condNotDel: TxTable.MergeCond = (s, _) => s("op") =!= "D"
+
+  test("mergeConditional: delete / update-if-newer / stale-keep / insert gates") {
+    import spark.implicits._
+    val root = condTable("txt-cond")
+    val batch = Seq(
+      (0L, "dead", 99L, "D"),    // matched + delete clause → removed
+      (1L, "fresh", 20L, "U"),   // matched, 20 > 10 → updated
+      (2L, "stale", 5L, "U"),    // matched, 5 > 10 false → target kept
+      (100L, "born", 1L, "U"),   // not matched, op ≠ D → inserted
+      (101L, "ghost", 1L, "D")   // not matched, op = D → dropped
+    ).toDF("k", "v", "seq", "op")
+    TxTable.mergeConditional(spark, root, batch, "k",
+      matchedDelete = Some(condDel), matchedUpdate = Some(condNewer),
+      notMatchedInsert = Some(condNotDel))
+    val got = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!got.contains(0L) && !got.contains(101L))
+    assert(got(1L) === ("fresh", 20L))
+    assert(got(2L) === ("v2", 10L), "stale update must keep the target row")
+    assert(got(100L) === ("born", 1L))
+    assert((3L until 10L).forall(k => got(k) === (s"v$k", 10L)))
+    assert(got.size === 10)   // 9 surviving base keys + the k100 insert
+  }
+
+  test("mergeConditional: null predicate results count as false; defaults are unconditional upsert") {
+    import spark.implicits._
+    val root = condTable("txt-cond-null")
+    // null seq makes s.seq > t.seq evaluate to NULL → not updated
+    val b1 = Seq((1L, "nullseq", null.asInstanceOf[java.lang.Long], "U"))
+      .toDF("k", "v", "seq", "op")
+      .select(col("k"), col("v"), col("seq").cast("long").as("seq"), col("op"))
+    TxTable.mergeConditional(spark, root, b1, "k",
+      matchedUpdate = Some(condNewer))
+    val got1 = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got1(1L) === "v1", "null clause result must not update")
+    // no clauses at all = plain upsert semantics
+    TxTable.mergeConditional(spark, root,
+      Seq((1L, "plain", 0L)).toDF("k", "v", "seq"), "k")
+    val got2 = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(1L) === "plain")
+  }
+
+  test("mergeConditional: txn guard advances on fully-filtered batches and no-ops replays") {
+    import spark.implicits._
+    val root = condTable("txt-cond-txn")
+    // a batch the clauses filter ENTIRELY (stale updates only) still
+    // commits its txn watermark — a retry must hit the guard, not the
+    // clauses
+    val stale = Seq((1L, "stale", 1L, "U")).toDF("k", "v", "seq", "op")
+    val v1 = TxTable.mergeConditional(spark, root, stale, "k",
+      matchedUpdate = Some(condNewer), txn = Some(("app", 1L)))
+    assert(TxTable.lastTxn(root, "app") === Some(1L))
+    // replay at the same version: wholesale no-op, version unchanged
+    val fresh = Seq((1L, "fresh", 50L, "U")).toDF("k", "v", "seq", "op")
+    val v2 = TxTable.mergeConditional(spark, root, fresh, "k",
+      matchedUpdate = Some(condNewer), txn = Some(("app", 1L)))
+    assert(v2 === v1)
+    assert(TxTable.read(spark, root).filter(col("k") === 1L)
+      .collect().head.getString(1) === "v1")
+    // a higher txn version applies
+    TxTable.mergeConditional(spark, root, fresh, "k",
+      matchedUpdate = Some(condNewer), txn = Some(("app", 2L)))
+    assert(TxTable.read(spark, root).filter(col("k") === 1L)
+      .collect().head.getString(1) === "fresh")
+  }
+
+  test("mergeConditional: refuses missing columns and type changes (no evolution)") {
+    import spark.implicits._
+    val root = condTable("txt-cond-types")
+    val missing = Seq((1L, "x")).toDF("k", "v")   // seq column absent
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.mergeConditional(spark, root, missing, "k")
+    }
+    assert(e1.getMessage.contains("missing table column"))
+    val wrongType = Seq((1L, "x", 1)).toDF("k", "v", "seq") // int, not long
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.mergeConditional(spark, root, wrongType, "k")
+    }
+    assert(e2.getMessage.contains("no schema evolution"))
+  }
+
   // ---- r16: OCC disjoint-commit rebase ------------------------------
 
   test("OCC rebase: disjoint concurrent merges both commit with zero re-derives") {
