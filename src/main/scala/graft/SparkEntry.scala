@@ -786,6 +786,7 @@ object SparkEntry {
     "c62_fuzzy_contamination" -> Seq("doc_id", "bench_id"),
     "q75_fk_audit" -> Seq("relation"),
     "c66_erasure_audit" -> Seq("source"),
+    "c71_erasure_cascade" -> Seq("artifact", "k"),
     "st38_erasure_stream" -> Seq("source"),
     "q76_benford" -> Seq("digit"),
     "q77_moments" -> Seq("event_type"),
@@ -1253,6 +1254,86 @@ object SparkEntry {
           (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_revoked"),
           coalesce(col("n_after"), lit(0L)).as("n_after"),
           coalesce(col("chars_after"), lit(0L)).as("chars_after"))
+    }),
+    // c71 (r16): ERASURE CASCADE to derived state — the r15 verdict's
+    // item 3: c66/st38 delete revoked docs from the CORPUS table, but
+    // GDPR erasure is only done when it propagates to the persisted
+    // DERIVED artifacts that still carry the revoked content. The
+    // cascade is driven from the CHANGE FEED (q81's pre-image delete
+    // rows — what a downstream consumer actually has), never from the
+    // revocation list, so repair work is ∝ the delta:
+    //  (1) the d32 signature STATE TABLE: a file-pruned transactional
+    //      deleteKeys of the feed's keys;
+    //  (2) the d17 SHINGLE artifact (corpus-wide (sh, cnt) counts):
+    //      the deleted docs' own window counts DECREMENT the corpus
+    //      counts (cnt is additive over docs; zero rows drop out) —
+    //      no corpus recompute;
+    //  (3) the st40 KMV sketch table: k-smallest CANNOT un-merge (the
+    //      honest asymmetry) — affected segments REBUILD from the
+    //      post-erasure corpus, untouched segments carry verbatim
+    //      (revocation is source-skewed to srcs 0-4 so 15 of 20
+    //      segments genuinely take the carry path).
+    // Oracle = the from-scratch recompute over the post-erasure corpus
+    // for ALL THREE artifacts (doc/char counts per source, signature
+    // row/shingle-count totals, the 8-token-window count histogram,
+    // and the per-segment KMV sketch sizes + hash sums — every value
+    // relationally replayable).
+    "c71_erasure_cascade" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val root = stageDir(d) + "/c71_tx"
+      val sigRoot = stageDir(d) + "/c71_sigs_tx"
+      graft.sources.TxTable.create(s, docs, root, "doc_id")
+      graft.sources.TxTable.create(s, Dedup.minhashSignatures(docs),
+        sigRoot, "doc_id")
+      val shingleArt = Dedup.dupSpanShingles(docs).localCheckpoint()
+      val kmvArt = Curation.kmvSketch(docs, "source", "doc_id").localCheckpoint()
+      val revoked = docs.filter(pmod(col("doc_id"), lit(13)) === 5 &&
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id"))
+      val v2 = graft.sources.TxTable.deleteKeys(s, root, revoked, "doc_id")
+      val feed = graft.sources.TxTable.changes(s, root, 1L, v2)
+        .filter(col("_change_type") === "delete")
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+        .localCheckpoint()
+      graft.sources.TxTable.deleteKeys(s, sigRoot,
+        feed.select(col("doc_id")), "doc_id")
+      val delOcc = Dedup.dupSpanShingles(feed)
+      val shingleRepaired = shingleArt
+        .join(delOcc.select(col("sh"), col("cnt").as("dc")), Seq("sh"), "left")
+        .select(col("sh"),
+          (col("cnt") - coalesce(col("dc"), lit(0L))).as("cnt"), col("w"))
+        .filter(col("cnt") > 0)
+      val affected = feed.select(col("source").as("seg")).distinct()
+        .localCheckpoint()
+      val rebuilt = Curation.kmvSketch(
+        graft.sources.TxTable.read(s, root).join(
+          broadcast(affected.select(col("seg").as("source"))),
+          Seq("source"), "left_semi"),
+        "source", "doc_id")
+      val kmvRepaired = kmvArt
+        .join(broadcast(affected), Seq("seg"), "left_anti")
+        .unionByName(rebuilt)
+      val corpusPart = graft.sources.TxTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("v"))
+        .select(lit("corpus").as("artifact"), col("source").as("k"),
+          col("n"), col("v"))
+      val sigsPart = graft.sources.TxTable.read(s, sigRoot)
+        .agg(count(lit(1)).as("n"), sum(col("shn")).cast("long").as("v"))
+        .select(lit("sigs").as("artifact"), lit("all").as("k"),
+          col("n"), col("v"))
+      val shinglePart = shingleRepaired.groupBy(col("cnt"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("shingles").as("artifact"),
+          col("cnt").cast("string").as("k"), col("n"),
+          (col("cnt") * col("n")).as("v"))
+      val kmvPart = kmvRepaired.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("v"))
+        .select(lit("kmv").as("artifact"), col("seg").as("k"),
+          col("n"), col("v"))
+      corpusPart.unionByName(sigsPart).unionByName(shinglePart)
+        .unionByName(kmvPart)
     }),
     // LSH banding telemetry over its OWN staged banded table (gate
     // order-independence, the d27 posture)
@@ -4260,8 +4341,47 @@ object SparkEntry {
        WHERE l.op IS NULL OR l.op <> 'D'
        ORDER BY 1"""
 
+  // c71: the from-scratch recompute over the POST-erasure corpus for
+  // all three derived artifacts — the cascade (change-feed-driven
+  // deletes, count decrements, affected-segment sketch rebuilds) must
+  // land exactly where a full rebuild over the survivors lands
+  private lazy val erasureCascadeSql =
+    s"""WITH surv AS (SELECT doc_id, source, text, n_chars FROM documents
+           WHERE NOT (doc_id % 13 = 5
+             AND source IN ('src0','src1','src2','src3','src4'))),
+       tokd AS (SELECT doc_id, source, ${toksOf("text")} AS t FROM surv),
+       corpus AS (SELECT 'corpus' AS artifact, source AS k,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS v
+         FROM surv GROUP BY 2),
+       sh3 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             for i in generate_series(1, len(t)-2)])
+           ELSE [array_to_string(t, ' ')] END AS sh FROM tokd),
+       sigs AS (SELECT 'sigs' AS artifact, 'all' AS k,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(len(sh)) AS BIGINT) AS v
+         FROM sh3),
+       w8 AS (SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+             for i in generate_series(1, len(t)-7)]) AS sh
+           FROM tokd WHERE len(t) >= 8),
+       occ AS (SELECT sh, count(*) AS cnt FROM w8 GROUP BY 1),
+       shing AS (SELECT 'shingles' AS artifact, CAST(cnt AS VARCHAR) AS k,
+           CAST(count(*) AS BIGINT) AS n, CAST(cnt * count(*) AS BIGINT) AS v
+         FROM occ GROUP BY cnt),
+       uh AS (SELECT DISTINCT source AS seg,
+           ((doc_id % 1000003) * 2654435761 + 104729) % 2147483647 AS h
+         FROM surv),
+       sk AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS r
+         FROM uh QUALIFY r <= 64),
+       kmv AS (SELECT 'kmv' AS artifact, seg AS k,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(h) AS BIGINT) AS v
+         FROM sk GROUP BY 2)
+       SELECT * FROM corpus UNION ALL SELECT * FROM sigs
+       UNION ALL SELECT * FROM shing UNION ALL SELECT * FROM kmv
+       ORDER BY artifact, k"""
+
   def oracleSql: Map[String, String] = Map(
     "q88_tx_cdc_merge" -> cdcMergeSql,
+    "c71_erasure_cascade" -> erasureCascadeSql,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${dsum("l_quantity")} AS sum_qty,
