@@ -787,6 +787,7 @@ object SparkEntry {
     "q75_fk_audit" -> Seq("relation"),
     "c66_erasure_audit" -> Seq("source"),
     "c71_erasure_cascade" -> Seq("artifact", "k"),
+    "st41_ivf_stream" -> Seq("cell"),
     "st38_erasure_stream" -> Seq("source"),
     "q76_benford" -> Seq("digit"),
     "q77_moments" -> Seq("event_type"),
@@ -3006,6 +3007,17 @@ object SparkEntry {
     // sign-code state — the last asymmetric cell of the matrix
     "st22_embed_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.embedIngestFileStream(Tables.tune(s), d)),
+    // st41 (r16): incremental IVF index maintenance — the frozen
+    // corpus-fit pivots stage for the oracle's assignment replay; the
+    // driver streams the even-id vectors through ivfAssign into the
+    // TxTable index state and audits the read-back (see the driver
+    // scaladoc for the full contract)
+    "st41_ivf_stream" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPivotIds(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st41_pivots")
+      graft.streaming.StreamDrivers.ivfIngestFileStream(Tables.tune(s), d)
+    }),
     "st18_phash_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.phashIngestFileStream(Tables.tune(s), d)),
     "st19_url_stream" -> ((s, d) =>
@@ -4382,6 +4394,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q88_tx_cdc_merge" -> cdcMergeSql,
     "c71_erasure_cascade" -> erasureCascadeSql,
+    // st41: the maintained index must equal the batch assignment of the
+    // UNION corpus under the staged frozen pivots — the s3 assignment
+    // replay (decimal-6 argmax, smallest-pivot tie-break) aggregated to
+    // per-cell corpus/streamed counts + the id-sum checksum + the exact
+    // cross-multiplication drift rule at 4 per-mille
+    "st41_ivf_stream" ->
+      """WITH pid AS (SELECT pivot_id
+           FROM read_parquet('__GRAFT_STAGE__/st41_pivots/*.parquet')),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pv AS (SELECT pid.pivot_id, v.v AS pvec FROM pid
+                JOIN v ON v.vec_id = pid.pivot_id),
+         sc AS (SELECT v.vec_id, pv.pivot_id,
+                CAST((list_inner_product(v.v, pv.pvec) * CAST(-1 AS DOUBLE)) /
+                     (sqrt(list_inner_product(v.v, v.v)) *
+                      sqrt(list_inner_product(pv.pvec, pv.pvec)))
+                     AS DECIMAL(38,6)) AS negcos
+                FROM v CROSS JOIN pv),
+         rkc AS (SELECT vec_id, pivot_id, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY negcos, pivot_id) AS rk FROM sc),
+         asg AS (SELECT vec_id, pivot_id AS cell FROM rkc WHERE rk = 1),
+         agg AS (SELECT cell,
+                 CAST(count(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS n_corpus,
+                 CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_streamed,
+                 CAST(sum(vec_id) AS BIGINT) AS id_sum
+                 FROM asg GROUP BY 1),
+         tot AS (SELECT sum(n_corpus) AS nc, sum(n_streamed) AS nb FROM agg)
+         SELECT cell, n_corpus, n_streamed, id_sum,
+           CAST(abs(n_streamed * nc - n_corpus * nb) * 1000 > 4 * nc * nb
+             AS INTEGER) AS drifted
+         FROM agg, tot ORDER BY cell""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${dsum("l_quantity")} AS sum_qty,

@@ -143,6 +143,25 @@ object Similarity {
     base.select(col("vec_id"), col("v"), col("nrm"), cell.as("cell"))
   }
 
+  /** IVF cell ASSIGNMENT of `vectors` under pivots fit on `fitCorpus`
+    * (r16, the st41 incremental-index surface): assignment is a pure
+    * broadcast projection over the FROZEN pivot set — no refit — so a
+    * streaming ingest batch can index itself with the same per-row
+    * cost the build paid (the s20/s23 frozen-fit posture; drift
+    * monitoring decides when the fit itself rots). Returns
+    * (vec_id, cell); cell ids are pivot vec_ids, decimal-6 argmax
+    * with the smallest-id tie-break — identical to [[ivfTopK]]'s
+    * corpus assignment by construction (same private machinery). */
+  def ivfAssign(vectors: DataFrame, fitCorpus: DataFrame,
+                nPivots: Int = 32): DataFrame = {
+    val fv = fitCorpus.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val parr = ivfPivotArr(fv, fitCorpus, nPivots)
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    ivfNearestCells(v, parr, 1).select(col("vec_id"), col("cell"))
+  }
+
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               nPivots: Int = 32, nProbe: Int = 8): DataFrame = {
     val v = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -1498,6 +1498,75 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st41 (r16): incremental IVF INDEX maintenance — the st14
+    * probe-and-append posture at the INDEX layer (the r15 verdict's
+    * item 7): the cell-assignment state (vec_id → cell under the
+    * FROZEN corpus-fit pivots) lives in a TxTable; each embedding
+    * micro-batch assigns ITSELF through the pure broadcast projection
+    * ([[graft.operators.Similarity.ivfAssign]] — no refit, the s20/s23
+    * frozen-fit posture) and MERGEs in as one txn-stamped commit
+    * (exactly-once under at-least-once delivery, the st37 guard). The
+    * drained index must equal the batch-built assignment over the
+    * union corpus under the same pivots — the oracle replays pivot
+    * join + decimal-6 argmax assignment from the staged pivot ids and
+    * checks per-cell counts AND the member id-sum (an assignment
+    * checksum: one vector in the wrong cell moves two cells' sums).
+    * The output carries the DRIFT layer that decides refit: per-cell
+    * corpus vs streamed occupancy with the s20 exact
+    * cross-multiplication rate-shift rule at ±4‰ (the s23 mini-batch
+    * update is the gated remediation once it fires). */
+  def ivfIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-ivf")
+    val in = s"$dir/in"; val chk = s"$dir/chk"; val root = s"$dir/state"
+    try withStatePartitions(spark, 8) {
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 1).localCheckpoint()
+      graft.sources.TxTable.create(spark,
+        graft.operators.Similarity.ivfAssign(corpus, corpus)
+          .withColumn("streamed", lit(0)), root, "vec_id")
+      val stamper = new MtimeStamper
+      var first = true
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      Seq(batch.filter(pmod(col("vec_id"), lit(4)) === 0),
+          batch.filter(pmod(col("vec_id"), lit(4)) === 2)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val src = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val assigned = graft.operators.Similarity
+            .ivfAssign(b.toDF().localCheckpoint(), corpus)
+            .withColumn("streamed", lit(1))
+          graft.sources.TxTable.merge(spark, root, assigned, "vec_id",
+            txn = Some(("st41", bid))); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // the audit reads ONLY the maintained table — counts, the id-sum
+      // assignment checksum, and the exact-integer drift rule
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val agg = graft.sources.TxTable.read(spark, root)
+        .groupBy(col("cell")).agg(
+          sum(when(col("streamed") === 0, 1L).otherwise(0L)).as("n_corpus"),
+          sum(when(col("streamed") === 1, 1L).otherwise(0L)).as("n_streamed"),
+          sum(col("vec_id")).as("id_sum"))
+      val totals = agg.agg(sum(col("n_corpus")).as("nc"),
+        sum(col("n_streamed")).as("nb"))
+      agg.crossJoin(broadcast(totals))
+        .select(col("cell"), col("n_corpus"), col("n_streamed"), col("id_sum"),
+          (abs(col("n_streamed").cast(dec) * col("nc") -
+               col("n_corpus").cast(dec) * col("nb")) * 1000 >
+            lit(4).cast(dec) * col("nc") * col("nb"))
+            .cast("int").as("drifted"))
+        .localCheckpoint()  // materialize BEFORE the temp table dir dies
+    } finally deleteRecursively(dir)
+  }
+
   def phashIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-phash")
