@@ -112,7 +112,8 @@ object TxTable {
                     txn: Option[TxnAction] = None,
                     op: Option[String] = None,
                     dataChange: Option[Boolean] = None,
-                    statsCols: Option[Seq[String]] = None)
+                    statsCols: Option[Seq[String]] = None,
+                    clearSchema: Option[Boolean] = None)
   /** A materialized snapshot of the replay state at `version` — live
     * file entries in replay order, the schema then in force, and the
     * per-app last-transaction watermarks (txns must survive the
@@ -210,7 +211,8 @@ object TxTable {
       val c = readJson[Commit](logDir(root).resolve(logName(v)))
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live.update(a.name, a))
-      if (c.schema.isDefined) schema = c.schema
+      if (c.clearSchema.contains(true)) schema = None
+      else if (c.schema.isDefined) schema = c.schema
       key = c.key
       c.statsCols.foreach(statsCols = _)
       c.txn.foreach(t => txns.update(t.appId,
@@ -382,6 +384,15 @@ object TxTable {
     * replaced (a lost-update/duplicate-row corruption, caught in the
     * r13 self-review). Orphaned data files from the losing attempt stay
     * unreferenced — garbage for vacuum, never visible. */
+  /** In-process marker an occRetry attempt returns in the schema slot
+    * to mean "commit an EXPLICIT schema clear" (the Commit.clearSchema
+    * action, r16) — never serialized: tryCommit translates it. Closes
+    * the r14 legacy-log exception: a restore to a pre-r14 schema-less
+    * version now records the clear instead of silently keeping the
+    * head's declared schema (None in the commit field means
+    * "unchanged", so absent this marker the clear was inexpressible). */
+  private val ClearSchemaMarker = " CLEAR_SCHEMA"
+
   private def tryCommit(root: String, key: String, v: Long,
                         adds: Seq[FileEntry], removes: Seq[String],
                         schema: Option[String] = None,
@@ -390,8 +401,12 @@ object TxTable {
                         dataChange: Option[Boolean] = None,
                         statsCols: Option[Seq[String]] = None): Boolean = {
     Files.createDirectories(logDir(root))
+    val (schemaField, clearFlag) =
+      if (schema.contains(ClearSchemaMarker)) (None, Some(true))
+      else (schema, None)
     val rec = Serialization.write(
-      Commit(v, key, adds, removes, schema, txn, op, dataChange, statsCols))
+      Commit(v, key, adds, removes, schemaField, txn, op, dataChange,
+        statsCols, clearFlag))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -1034,11 +1049,13 @@ object TxTable {
     * as read). Restoring to the current state is a no-op. The target
     * version's SCHEMA is re-committed when it differs, so a
     * post-widening restore also narrows the declared schema back —
-    * EXCEPT when the target is a pre-r14 legacy version that never
-    * recorded a schema: the commit field uses None to mean "unchanged",
-    * so a schema-bearing head restored to a schema-less target keeps
-    * the head's declared schema (the legacy-log exception; by-name
-    * reads of the restored files are unaffected).
+    * including to a pre-r14 legacy version that never recorded one:
+    * since r16 the restore commits an EXPLICIT clearSchema action
+    * (None in the commit field means "unchanged", so the clear was
+    * previously inexpressible and the head's schema silently
+    * survived — the r14 ADVICE #4 exception, now closed), and the
+    * restored table reads schema-less (inferred) exactly as the
+    * target version did.
     *
     * Restore VALIDATES that every target file still physically exists
     * (r15): after `vacuum` has reclaimed the target's bytes, a restore
@@ -1065,7 +1082,13 @@ object TxTable {
       val removes = head.live.map(_.name).filterNot(targetNames.contains)
       if (adds.isEmpty && removes.isEmpty) None
       else Some((adds, removes, key,
-        if (target.schema != head.schema) target.schema else None, None))
+        if (target.schema != head.schema)
+          // a schema-less target under a schema-bearing head commits an
+          // EXPLICIT clear (r16 — the marker closes the r14 legacy-log
+          // exception where None meant "unchanged" and the clear was
+          // inexpressible)
+          target.schema.orElse(Some(ClearSchemaMarker))
+        else None, None))
     }
 
   /** Compaction as a commit: rewrite the current live set into
@@ -1151,7 +1174,8 @@ object TxTable {
       val c = readJson[Commit](logDir(root).resolve(logName(v)))
       (c.version, c.op.getOrElse("UNKNOWN"),
         c.adds.size, c.removes.size, c.adds.map(_.rows).sum,
-        c.schema.isDefined, c.dataChange.getOrElse(true),
+        c.schema.isDefined || c.clearSchema.contains(true),
+        c.dataChange.getOrElse(true),
         c.txn.map(_.appId), c.txn.map(_.version))
     }.toDF("version", "op", "n_added_files", "n_removed_files",
       "rows_added", "schema_changed", "data_change", "txn_app", "txn_version")

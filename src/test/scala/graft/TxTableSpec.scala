@@ -674,6 +674,39 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(prunedNone.isEmpty && keptAll.size === TxTable.snapshot(root).size)
   }
 
+  // ---- r16: restore's explicit schema clear --------------------------
+
+  test("restore to a schema-less legacy version commits an explicit clear") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-clear")
+    // widen at v2 so the head carries a declared 3-column schema
+    TxTable.merge(spark, root,
+      Seq((0L, "w0", 7)).toDF("k", "v", "extra"), "k")
+    assert(TxTable.schemaOf(root).exists(_.fieldNames.contains("extra")))
+    // simulate a pre-r14 legacy target: strip v1's schema field
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = java.nio.file.Paths.get(root, "_graft_log", "v0000000001.json")
+    val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val stripped = j.removeField { case (n, _) => n == "schema" }
+    java.nio.file.Files.write(p,
+      JsonMethods.compact(JsonMethods.render(stripped))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // restore to the (now schema-less) v1: the head's widened schema
+    // must NOT silently survive — the restore commits an explicit clear
+    val v3 = TxTable.restore(root, "k", 1L)
+    assert(TxTable.schemaOf(root).isEmpty,
+      "restore to a schema-less target must clear the declared schema")
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "v"))
+    // the clear is an audited schema change; the widened version is
+    // still travelable with its schema intact
+    val h = TxTable.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(h(v3) === true, "clearSchema must report as schema_changed")
+    assert(TxTable.schemaOf(root, Some(2L)).exists(_.fieldNames.contains("extra")))
+  }
+
   // ---- r16: conditional MERGE clauses --------------------------------
 
   private def condTable(prefix: String) = {
