@@ -788,6 +788,7 @@ object SparkEntry {
     "c66_erasure_audit" -> Seq("source"),
     "c71_erasure_cascade" -> Seq("artifact", "k"),
     "st41_ivf_stream" -> Seq("cell"),
+    "st42_multi_sink" -> Seq("o_orderkey"),
     "st38_erasure_stream" -> Seq("source"),
     "q76_benford" -> Seq("digit"),
     "q77_moments" -> Seq("event_type"),
@@ -3018,6 +3019,12 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(stageDir(d) + "/st41_pivots")
       graft.streaming.StreamDrivers.ivfIngestFileStream(Tables.tune(s), d)
     }),
+    // st42 (r16): two CONCURRENT streaming sinks sharding one hot state
+    // table by key ownership — the fleet posture the OCC rebase fast
+    // path exists for; final state is deterministic because disjoint
+    // merges commute (see the driver scaladoc)
+    "st42_multi_sink" -> ((s, d) =>
+      graft.streaming.StreamDrivers.multiSinkFileStream(Tables.tune(s), d)),
     "st18_phash_stream" -> ((s, d) =>
       graft.streaming.StreamDrivers.phashIngestFileStream(Tables.tune(s), d)),
     "st19_url_stream" -> ((s, d) =>
@@ -4424,6 +4431,25 @@ object SparkEntry {
            CAST(abs(n_streamed * nc - n_corpus * nb) * 1000 > 4 * nc * nb
              AS INTEGER) AS drifted
          FROM agg, tot ORDER BY cell""",
+    // st42: whatever order the two racing sinks' commits landed in, the
+    // table must equal the plain upsert of BOTH sinks' update sets over
+    // the base snapshot — disjoint merges commute, so one relational
+    // replay covers every interleaving
+    "st42_multi_sink" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 3 = 0),
+         upd AS (SELECT o_orderkey,
+             (CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END
+               || CAST(o_orderkey % 10 AS VARCHAR)) AS o_orderstatus,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 < 2)
+         SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+         FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+         ORDER BY 1""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${dsum("l_quantity")} AS sum_qty,

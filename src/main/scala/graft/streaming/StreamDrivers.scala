@@ -1567,6 +1567,65 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st42 (r16): TWO CONCURRENT streaming sinks sharing ONE hot state
+    * table — the fleet posture the r16 OCC rebase fast path exists
+    * for: each sink owns a key partition (sink 0 even orderkeys,
+    * sink 1 odd — the production shape where N sinks shard a keyspace)
+    * and merges its micro-batches into the SAME TxTable, txn-stamped
+    * per sink (exactly-once per sink under at-least-once delivery).
+    * Both queries run simultaneously, so their commits genuinely race;
+    * disjoint key ranges mean the loser usually REBASES (no Spark
+    * re-run) and the final state is deterministic REGARDLESS of
+    * interleaving — commit order between disjoint merges commutes.
+    * Gated on the plain upsert algebra over the union of both sinks'
+    * updates; the concurrency counters are reported to the log, never
+    * gated (whether a race occurred is scheduler-dependent; the
+    * deterministic rebase/re-derive semantics are TxTableSpec's job). */
+  def multiSinkFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream-multisink")
+    val root = s"$dir/state"
+    try withStatePartitions(spark, 8) {
+      val o = graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.TxTable.create(spark,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), root, "o_orderkey")
+      val schema = o.schema
+      val queries = Seq(0, 1).map { which =>
+        val in = s"$dir/in$which"
+        val tag = if (which == 0) "A" else "B"
+        val upd = o.filter(pmod(col("o_orderkey"), lit(2)) === which &&
+            pmod(col("o_orderkey"), lit(5)) < 2)
+          .select(col("o_orderkey"),
+            concat(lit(tag), pmod(col("o_orderkey"), lit(10)).cast("string"))
+              .as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val stamper = new MtimeStamper
+        var first = true
+        Seq(which, which + 2).foreach { r =>
+          upd.filter(pmod(col("o_orderkey"), lit(4)) === r)
+            .coalesce(1).write.mode(if (first) "overwrite" else "append")
+            .parquet(in)
+          first = false
+          stamper.stamp(in)
+        }
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$dir/chk$which")
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            graft.sources.TxTable.merge(spark, root,
+              b.toDF().localCheckpoint(), "o_orderkey",
+              txn = Some((s"sink$which", bid))); ()
+          }
+          .start()
+      }
+      try queries.foreach(_.processAllAvailable())
+      finally queries.foreach(_.stop())
+      graft.sources.TxTable.read(spark, root).localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   def phashIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-phash")
