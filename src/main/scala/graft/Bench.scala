@@ -32,6 +32,19 @@ object Bench {
     def isolate(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Drain the ContextCleaner BETWEEN keys (r16): shuffle files and
+      // broadcast state are cleaned via weak-reference GC, so without a
+      // forced collection here the PREVIOUS key's heavy shuffles (the
+      // ANN graph joins are the worst) get cleaned asynchronously
+      // DURING the next key's timed run — driver-iterative keys
+      // (s15/s19's per-round loops) measured up to 2.4× slower purely
+      // from a heavy neighbor. Reproduced and fixed by measurement:
+      // the contiguous s10–s19 block put s19 at 9.8 s without this
+      // gc() and at its isolated 4.5 s with it; family-prefix sweeps
+      // (q-, m-, c+d-, full pre-s) never reproduced the inflation
+      // because their tails were light — the contamination is
+      // immediate-neighbor, not cumulative.
+      System.gc()
     }
 
     def run(name: String): Double = {
