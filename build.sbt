@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the committed heap (r17): Bench.isolate()'s forced full GC
+  // otherwise SHRINKS the committed heap toward the live set and the
+  // next key's timed window pays the re-expansion (page re-commit) —
+  // the residual half of the r16 gc-tax the ContextCleaner drain
+  // doesn't cover; with Xms=Xmx the heap can never shrink, so the
+  // between-keys gc costs nothing inside any timed window
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

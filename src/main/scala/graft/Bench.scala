@@ -14,11 +14,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Dedicated local dir (r17): shuffle/broadcast spill files land ONLY
+    // here, so isolate() can poll this one tree for quiescence instead of
+    // guessing which /tmp entries belong to this app.
+    val benchLocal = java.nio.file.Files
+      .createTempDirectory("graft-bench-local").toFile
+    benchLocal.deleteOnExit()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", benchLocal.getAbsolutePath)
+      // Make the ContextCleaner's per-ref cleanup synchronous INSIDE the
+      // cleaner thread (shuffle cleanup defaults to fire-and-forget): once
+      // the cleaner has consumed the reference queue, the files are gone —
+      // which is what makes the quiescence poll in isolate() meaningful.
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       // heap comes from build.sbt's javaOptions (-Xmx$SPARK_DRIVER_MEM,
       // fork=true); setting spark.driver.memory here would be a no-op
       .getOrCreate()
@@ -29,6 +42,18 @@ object Bench {
     // leave persisted blocks behind; without eviction those blocks pile up
     // across the 66-query sweep and later queries pay their memory
     // pressure — one contaminated measurement poisons the round artifact.
+    // Count regular files under the dedicated local dir. Entries can
+    // vanish mid-walk (the cleaner is deleting them — that's the point),
+    // so a failed walk just reports "not yet stable".
+    def localFootprint(): Long = {
+      def walk(f: java.io.File): Long = {
+        val kids = f.listFiles()
+        if (kids == null) 0L
+        else kids.foldLeft(0L)((n, k) => n + (if (k.isDirectory) walk(k) else 1L))
+      }
+      try walk(benchLocal) catch { case _: Exception => -1L }
+    }
+
     def isolate(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -38,13 +63,28 @@ object Bench {
       // ANN graph joins are the worst) get cleaned asynchronously
       // DURING the next key's timed run — driver-iterative keys
       // (s15/s19's per-round loops) measured up to 2.4× slower purely
-      // from a heavy neighbor. Reproduced and fixed by measurement:
-      // the contiguous s10–s19 block put s19 at 9.8 s without this
-      // gc() and at its isolated 4.5 s with it; family-prefix sweeps
-      // (q-, m-, c+d-, full pre-s) never reproduced the inflation
-      // because their tails were light — the contamination is
-      // immediate-neighbor, not cumulative.
+      // from a heavy neighbor (s19 9.8 s in the contiguous s-block vs
+      // 4.5 s isolated).
       System.gc()
+      // …and WAIT for that cleanup to finish before the clock starts
+      // (r17): the gc() alone moved the contamination, it didn't remove
+      // it — the collection enqueues the dead shuffle/broadcast weak
+      // refs and the ContextCleaner thread processes the queue
+      // ASYNCHRONOUSLY, deleting files DURING the next key's timed
+      // window. Judge-measured one-line A/B in r16: the bare gc() taxed
+      // every key 15-60% (q1_pricing_summary 1.16→1.64 s). With
+      // blocking shuffle cleanup configured above, queue-drained ≡
+      // local-dir quiescent, so poll the dedicated local dir until its
+      // file count is stable across consecutive samples (bounded, so a
+      // wedged cleaner can't hang the sweep).
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var prev = -2L
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(120)
+        val n = localFootprint()
+        if (n >= 0 && n == prev) stable += 1 else { stable = 0; prev = n }
+      }
     }
 
     def run(name: String): Double = {
