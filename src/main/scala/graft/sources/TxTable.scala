@@ -86,12 +86,22 @@ object TxTable {
     * (r16) carries the same ranges for the table's DECLARED secondary
     * statistics columns, consumed by [[readWhere]] — the reader-side
     * data skipping that lets a time-ranged read on a URL-keyed state
-    * table prune files on a non-key column. Option fields are absent
-    * from older log records and deserialize to None, so old tables
-    * keep the degrade-never-miss posture. */
+    * table prune files on a non-key column. `dv` (r17) names this
+    * file's DELETION-VECTOR sidecar when one exists (Delta's
+    * merge-on-read deletes, the key-list form): a tiny parquet file of
+    * the keys deleted from THIS data file, applied by readers as an
+    * anti-join — see [[deleteKeysDV]]. A DV'd entry's `rows` is the
+    * exact LIVE count (physical minus deleted), so the metadata-only
+    * [[stats]] path stays exact; its key min/max stay the PHYSICAL
+    * file's (deleting rows can only shrink a range, so pruning on the
+    * stale range is conservative — reads a file it could skip, never
+    * skips one it must read). Option fields are absent from older log
+    * records and deserialize to None, so old tables keep the
+    * degrade-never-miss posture. */
   case class FileEntry(name: String, rows: Long, kmin: Long, kmax: Long,
                        smin: Option[String] = None, smax: Option[String] = None,
-                       cols: Option[Map[String, ColStat]] = None)
+                       cols: Option[Map[String, ColStat]] = None,
+                       dv: Option[String] = None)
   /** Application-transaction marker (the Delta `txn` action, §4.2 of the
     * VLDB'20 paper): a commit stamped (appId, version) records that the
     * writer `appId` has durably applied ITS OWN version counter up to
@@ -113,7 +123,8 @@ object TxTable {
                     op: Option[String] = None,
                     dataChange: Option[Boolean] = None,
                     statsCols: Option[Seq[String]] = None,
-                    clearSchema: Option[Boolean] = None)
+                    clearSchema: Option[Boolean] = None,
+                    invariants: Option[Map[String, String]] = None)
   /** A materialized snapshot of the replay state at `version` — live
     * file entries in replay order, the schema then in force, and the
     * per-app last-transaction watermarks (txns must survive the
@@ -123,13 +134,15 @@ object TxTable {
   private case class Checkpoint(version: Long, key: String,
                                 schema: Option[String], live: Seq[FileEntry],
                                 txns: Option[Map[String, Long]] = None,
-                                statsCols: Option[Seq[String]] = None)
+                                statsCols: Option[Seq[String]] = None,
+                                invariants: Option[Map[String, String]] = None)
   /** Replay result: live files in insertion order, schema in force,
     * per-appId max recorded transaction version, the table's key
     * column, and its declared secondary statistics columns. */
   private case class State(live: Seq[FileEntry], schema: Option[String],
                            txns: Map[String, Long], key: String = "",
-                           statsCols: Seq[String] = Seq.empty)
+                           statsCols: Seq[String] = Seq.empty,
+                           invariants: Map[String, String] = Map.empty)
 
   /** Commits between checkpoints; replay reads ≤ this many records. */
   private val CheckpointInterval = 10
@@ -199,11 +212,13 @@ object TxTable {
     var schema: Option[String] = None
     var key: String = ""
     var statsCols: Seq[String] = Seq.empty
+    var invariants: Map[String, String] = Map.empty
     ck.foreach { c =>
       c.live.foreach(a => live.update(a.name, a))
       schema = c.schema
       key = c.key
       c.statsCols.foreach(statsCols = _)
+      c.invariants.foreach(invariants = _)
       c.txns.foreach(_.foreach { case (app, v) => txns.update(app, v) })
     }
     val from = ck.map(_.version).getOrElse(0L)
@@ -215,10 +230,11 @@ object TxTable {
       else if (c.schema.isDefined) schema = c.schema
       key = c.key
       c.statsCols.foreach(statsCols = _)
+      c.invariants.foreach(invariants = _)
       c.txn.foreach(t => txns.update(t.appId,
         math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))))
     }
-    State(live.values.toSeq, schema, txns.toMap, key, statsCols)
+    State(live.values.toSeq, schema, txns.toMap, key, statsCols, invariants)
   }
 
   /** Live file entries as of `asOf` (inclusive; None = latest). */
@@ -245,7 +261,8 @@ object TxTable {
       val st = replayState(root, Some(v))
       val rec = Serialization.write(Checkpoint(v, key, st.schema, st.live,
         if (st.txns.isEmpty) None else Some(st.txns),
-        if (st.statsCols.isEmpty) None else Some(st.statsCols)))
+        if (st.statsCols.isEmpty) None else Some(st.statsCols),
+        if (st.invariants.isEmpty) None else Some(st.invariants)))
       val d = logDir(root)
       try Files.write(d.resolve(ckptName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -383,15 +400,34 @@ object TxTable {
     * rewritten files whose originals a concurrent commit already
     * replaced (a lost-update/duplicate-row corruption, caught in the
     * r13 self-review). Orphaned data files from the losing attempt stay
-    * unreferenced — garbage for vacuum, never visible. */
+    * unreferenced — garbage for vacuum, never visible.
+    *
+    * OBJECT-STORE CONTRACT (r17, documentation of the deployment
+    * boundary): the table's entire atomicity and isolation story rests
+    * on this ONE primitive — `Files.write(..., CREATE_NEW)` as an
+    * atomic put-if-absent on the versioned log record name. POSIX
+    * filesystems (and HDFS create-no-overwrite) provide it natively.
+    * An S3-class object store does NOT get this from a bare PUT
+    * (last-writer-wins): a deployment there must substitute a
+    * conditional-put primitive — S3 `If-None-Match:*`, GCS
+    * `ifGenerationMatch=0`, Azure lease/ETag — or an external
+    * arbitrator (the DynamoDB-backed LogStore of the Delta paper's §3
+    * discussion). Everything else in this file is plain reads, listing
+    * and immutable-file writes, which eventually-consistent stores
+    * serve as-is; ONLY the log-record create needs the stronger
+    * primitive, which is exactly Delta's LogStore plug-in boundary. */
   /** In-process marker an occRetry attempt returns in the schema slot
     * to mean "commit an EXPLICIT schema clear" (the Commit.clearSchema
     * action, r16) — never serialized: tryCommit translates it. Closes
     * the r14 legacy-log exception: a restore to a pre-r14 schema-less
     * version now records the clear instead of silently keeping the
     * head's declared schema (None in the commit field means
-    * "unchanged", so absent this marker the clear was inexpressible). */
-  private val ClearSchemaMarker = " CLEAR_SCHEMA"
+    * "unchanged", so absent this marker the clear was inexpressible).
+    * Any string that can never be a real `StructType.json` rendering
+    * (those always start with '{') is a safe sentinel; r17 swapped the
+    * original NUL-prefixed form for this printable one so the source
+    * file stops registering as binary to grep-family tools. */
+  private val ClearSchemaMarker = "!GRAFT_CLEAR_SCHEMA!"
 
   private def tryCommit(root: String, key: String, v: Long,
                         adds: Seq[FileEntry], removes: Seq[String],
@@ -399,14 +435,15 @@ object TxTable {
                         txn: Option[TxnAction] = None,
                         op: Option[String] = None,
                         dataChange: Option[Boolean] = None,
-                        statsCols: Option[Seq[String]] = None): Boolean = {
+                        statsCols: Option[Seq[String]] = None,
+                        invariants: Option[Map[String, String]] = None): Boolean = {
     Files.createDirectories(logDir(root))
     val (schemaField, clearFlag) =
       if (schema.contains(ClearSchemaMarker)) (None, Some(true))
       else (schema, None)
     val rec = Serialization.write(
       Commit(v, key, adds, removes, schemaField, txn, op, dataChange,
-        statsCols, clearFlag))
+        statsCols, clearFlag, invariants))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -437,7 +474,11 @@ object TxTable {
     * posture (VLDB'20 §3.2: concurrent transactions commit without
     * re-execution when their read/write sets are disjoint). Conditions,
     * each conservative (any doubt → re-derive):
-    *  - `r` changes no schema (a racer's widening invalidates our read);
+    *  - `r` changes no schema — neither a declared schema nor an
+    *    explicit clearSchema action (r17: a racing RESTORE to a legacy
+    *    schema-less version is a schema change too — a re-derive would
+    *    see the cleared schema and behave differently, so it must force
+    *    one);
     *  - `r` carries no txn stamp for OUR appId (the idempotence
     *    watermark must be re-evaluated against r's commit);
     *  - `r` removed none of the files we read-and-removed (overlapping
@@ -458,7 +499,7 @@ object TxTable {
       val numDisjoint = a.kmax < b.kmin || b.kmax < a.kmin
       !(strDisjoint || numDisjoint)
     }
-    r.schema.isEmpty &&
+    r.schema.isEmpty && !r.clearSchema.contains(true) &&
       !txn.exists(t => r.txn.exists(_.appId == t.appId)) &&
       !r.removes.exists(removes.contains) &&
       !r.adds.exists(ra => adds.exists(a => overlap(a, ra)))
@@ -521,13 +562,46 @@ object TxTable {
       s"TxTable at $root: lost the commit race $maxAttempts times")
   }
 
+  /** CHECK-constraint enforcement (r17, the r16 verdict's item 4 —
+    * Delta's table constraints): evaluate every declared invariant
+    * against the rows a commit is about to write, in ONE aggregate
+    * pass, and REFUSE the whole commit atomically on any violation.
+    * SQL CHECK semantics: a NULL predicate result passes (only FALSE
+    * violates). Enforcement is ∝ written rows, never the table —
+    * carried-over files were validated when written. Runs BEFORE
+    * [[writeFiles]], so a refused commit leaves zero garbage and the
+    * table version/live set untouched. */
+  private def enforceInvariants(frame: DataFrame,
+                                invs: Map[String, String],
+                                op: String): Unit = {
+    if (invs.isEmpty) return
+    val named = invs.toSeq
+    val aggs = named.map { case (n, p) =>
+      sum(when(!coalesce(expr(p), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val r = frame.agg(aggs.head, aggs.tail: _*).collect().head
+    val violated = named.zipWithIndex.collect {
+      case ((n, p), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"'$n' [$p] on ${r.getLong(i)} row(s)"
+    }
+    require(violated.isEmpty,
+      s"TxTable $op: CHECK constraint violated — ${violated.mkString("; ")} " +
+        "— the commit was refused atomically, nothing was written")
+  }
+
   /** Initialize (or fully replace) the table at `root` with `df`.
     * `statsCols` (r16) declares the SECONDARY columns whose per-file
     * min/max every commit will log from then on (Delta collects
     * all-column stats; declaring them keeps log records proportional
-    * to what reads actually prune on) — consumed by [[readWhere]]. */
+    * to what reads actually prune on) — consumed by [[readWhere]].
+    * `invariants` (r17) declares named CHECK constraints (SQL boolean
+    * expressions over the table columns) recorded in the log and
+    * enforced — atomically, refusal commits nothing — on the initial
+    * load and on every [[merge]]/[[mergeConditional]] from then on. */
   def create(spark: SparkSession, df: DataFrame, root: String,
-             key: String, statsCols: Seq[String] = Seq.empty): Long = {
+             key: String, statsCols: Seq[String] = Seq.empty,
+             invariants: Seq[(String, String)] = Seq.empty): Long = {
+    enforceInvariants(df, invariants.toMap, "create")
     val r = Paths.get(root)
     if (Files.exists(r)) { // full replace: drop log + data
       import scala.jdk.CollectionConverters._
@@ -539,10 +613,15 @@ object TxTable {
     val adds = writeFiles(spark, df, root, key, "base", statsCols)
     require(tryCommit(root, key, 1L, adds, Seq.empty, Some(df.schema.json),
         None, Some("CREATE"), None,
-        if (statsCols.isEmpty) None else Some(statsCols)),
+        if (statsCols.isEmpty) None else Some(statsCols),
+        if (invariants.isEmpty) None else Some(invariants.toMap)),
       s"TxTable at $root: concurrent create detected")
     1L
   }
+
+  /** The declared CHECK constraints in force (name → SQL predicate). */
+  def invariantsOf(root: String): Map[String, String] =
+    replayState(root, None).invariants
 
   /** The table schema in force at `asOf` (None = latest); None only for
     * pre-r14 logs that never recorded one. */
@@ -558,15 +637,65 @@ object TxTable {
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None): DataFrame = {
     val st = replayState(root, asOf)
-    val files = st.live
-    val schemaJson = st.schema
-    require(files.nonEmpty, s"TxTable at $root has no live files")
-    val paths = files.map(f => dataDir(root).resolve(f.name).toString)
-    schemaJson match {
-      case Some(j) =>
-        spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType])
-          .parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    require(st.live.nonEmpty, s"TxTable at $root has no live files")
+    readEntries(spark, root, st.live,
+      st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), st.key)
+  }
+
+  /** Read a set of live entries, applying per-file DELETION VECTORS
+    * (r17 — the read half of [[deleteKeysDV]]). Files WITHOUT a DV
+    * scan in one multi-file read, exactly the pre-r17 plan — a table
+    * that never took a DV delete reads byte-identically to before.
+    * Files WITH one scan together in a second multi-file read tagged
+    * by `input_file_name`, and drop their deleted keys via ONE
+    * broadcast anti-join on (file, key): sidecars are tiny key lists
+    * (∝ deleted keys, never data), so the anti side always broadcasts
+    * and the whole DV application adds no shuffle. Each sidecar
+    * belongs to exactly ONE data file and lists only keys physically
+    * present in it, so a key deleted from file A never masks a live
+    * row of file B (the pair join, not a bare key join, is what makes
+    * that hold). Sidecars read through the declared key field
+    * (read-by-name, same widening rules as data files). */
+  private def readEntries(spark: SparkSession, root: String,
+                          entries: Seq[FileEntry],
+                          declared: Option[StructType],
+                          key: String): DataFrame = {
+    require(entries.nonEmpty, "TxTable readEntries: no entries")
+    def rd(names: Seq[String]): DataFrame = {
+      val paths = names.map(n => dataDir(root).resolve(n).toString)
+      declared match {
+        case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    }
+    val (dvd, plain) = entries.partition(_.dv.isDefined)
+    val plainDf = if (plain.isEmpty) None else Some(rd(plain.map(_.name)))
+    val dvdDf = if (dvd.isEmpty) None else {
+      import spark.implicits._
+      val base = rd(dvd.map(_.name)).withColumn("_graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+      val outCols = base.columns.filterNot(_ == "_graft_file").toSeq.map(col)
+      val dvPaths = dvd.map(e => dataDir(root).resolve(e.dv.get).toString)
+      val dvRaw = declared match {
+        case Some(ts) =>
+          spark.read.schema(StructType(Seq(ts(key)))).parquet(dvPaths: _*)
+        case None => spark.read.parquet(dvPaths: _*)
+      }
+      val sidecarToFile = dvd.map(e => (e.dv.get, e.name))
+        .toDF("_graft_dv", "_graft_file")
+      val pairs = dvRaw
+        .withColumn("_graft_dv", element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(sidecarToFile), Seq("_graft_dv"))
+        .select(col("_graft_file"), col(key))
+      Some(base.join(broadcast(pairs),
+          base("_graft_file") === pairs("_graft_file") &&
+            base(key) === pairs(key), "left_anti")
+        .select(outCols: _*))
+    }
+    (plainDf, dvdDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, b) => b.get
     }
   }
 
@@ -661,22 +790,37 @@ object TxTable {
   def readWhereAll(spark: SparkSession, root: String,
                    preds: Seq[(String, Any, Any)],
                    asOf: Option[Long] = None): DataFrame = {
-    val st = replayState(root, asOf)
+    // Pin ONE snapshot version up front (r17, ADVICE): with asOf=None
+    // the state replay and the pruning decision used to replay
+    // independently — a commit landing between the two could mix
+    // snapshots (live/schema from v, kept-file set from v+1), breaking
+    // snapshot isolation for this read path.
+    val pinned = Some(asOf.getOrElse(currentVersion(root)))
+    val st = replayState(root, pinned)
     require(st.live.nonEmpty, s"TxTable at $root has no live files")
-    val (kept, _) = liveFilesWhereAll(root, preds, asOf)
+    val (kept, _) = liveFilesWhereAll(root, preds, pinned)
     val declared = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
     if (kept.isEmpty) declared match {
       case Some(ts) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
-      case None => // legacy schema-less log: one file read gives the shape
+      case None =>
+        // legacy schema-less log: one file read gives the zero-row
+        // shape — but the pruned-files contract ("physically delete
+        // them and the range read still answers") means live.head may
+        // itself be deleted, so pick a file that still EXISTS (r17,
+        // ADVICE); if none does, the shape is unknowable — fail loudly
+        // naming the degrade instead of a bare FileNotFoundException.
+        val present = st.live.find(f =>
+          Files.exists(dataDir(root).resolve(f.name)))
+        require(present.isDefined,
+          s"TxTable at $root: provably-empty range read on a legacy " +
+            "schema-less table whose live files are all physically " +
+            "absent — the zero-row shape needs a schema-bearing log or " +
+            "one readable file footer")
         spark.read.parquet(
-          dataDir(root).resolve(st.live.head.name).toString).limit(0)
+          dataDir(root).resolve(present.get.name).toString).limit(0)
     } else {
-      val paths = kept.map(f => dataDir(root).resolve(f.name).toString)
-      val df = declared match {
-        case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
+      val df = readEntries(spark, root, kept, declared, st.key)
       preds.foldLeft(df) { case (d, (c, lo, hi)) =>
         d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
       }
@@ -809,15 +953,13 @@ object TxTable {
         // Sources.upsert would then silently DROP the widened column's
         // values from the updates (caught by the r14 review; spec:
         // "second merge into pre-widening files keeps the column")
+        // DV-aware (r17): a touched file's deletion vector applies to
+        // the rewrite's base read, and the rewrite then MATERIALIZES it
+        // away — the new files carry no dv, the old sidecar becomes
+        // vacuum garbage with its data file
         val base0 =
           if (touched.isEmpty) updates.limit(0)
-          else {
-            val paths = touched.map(f => dataDir(root).resolve(f.name).toString)
-            tableSchema match {
-              case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
-              case None => spark.read.parquet(paths: _*)
-            }
-          }
+          else readEntries(spark, root, touched, tableSchema, key)
         // widen the rewrite side with the added columns (null for rows
         // whose key the updates don't touch — by-name parquet reads of
         // carried-over files do the same, so the widened schema is total)
@@ -826,6 +968,7 @@ object TxTable {
         // ALL updates enter the rewrite: matched keys replace rows read
         // from the touched files, unmatched keys are pure inserts
         val merged = Sources.upsert(base, updates, key)
+        enforceInvariants(merged, st.invariants, "merge")
         val newSchema =
           if (added.isEmpty && widened.isEmpty) None
           else Some(StructType(tableSchema.get.fields.map(f =>
@@ -908,8 +1051,7 @@ object TxTable {
         val base =
           if (touched.isEmpty) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
-          else spark.read.schema(ts).parquet(
-            touched.map(f => dataDir(root).resolve(f.name).toString): _*)
+          else readEntries(spark, root, touched, Some(ts), key)
         val src = updates.select(
           (col(key).as("_mk") +: lit(true).as("_sp") +:
             updates.columns.filterNot(_ == key).toSeq
@@ -937,6 +1079,7 @@ object TxTable {
           if (c == key) col("_mk").as(key)
           else when(takeSrc, srcAcc(c)).otherwise(tgtAcc(c)).as(c)
         }: _*)
+        enforceInvariants(merged, st.invariants, "mergeConditional")
         val adds = writeFiles(spark, merged, root, key,
           f"$v%010d-merge", st.statsCols)
         if (adds.isEmpty && touched.isEmpty && txn.isEmpty) None
@@ -967,12 +1110,10 @@ object TxTable {
         // declared-schema read, same reason as merge: an inferred read
         // over mixed pre-/post-widening touched files can sample the
         // narrow file and silently erase the widened column from every
-        // surviving row the delete never mentioned
-        val paths = touched.map(f => dataDir(root).resolve(f.name).toString)
-        val base = st.schema
-          .map(j => spark.read.schema(
-            DataType.fromJson(j).asInstanceOf[StructType]).parquet(paths: _*))
-          .getOrElse(spark.read.parquet(paths: _*))
+        // surviving row the delete never mentioned; DV-aware (r17) so a
+        // rewrite-delete after a DV delete materializes both
+        val base = readEntries(spark, root, touched,
+          st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), key)
         val remaining = base.join(keys.select(col(key)).distinct(),
           Seq(key), "left_anti")
         Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete",
@@ -980,6 +1121,95 @@ object TxTable {
       }
     }
   }
+
+  /** Merge-on-read DELETE via DELETION VECTORS (r17, the r16 verdict's
+    * item 2 — Delta's deletion vectors in key-list form): instead of
+    * rewriting every touched data file without the deleted keys (what
+    * [[deleteKeys]] does — at 100 TB the dominant delete cost when a
+    * compliance/CDC feed deletes a few keys per file, since one key
+    * forces a whole-file rewrite), the commit writes one TINY sidecar
+    * per touched file listing the keys deleted FROM THAT FILE and
+    * re-stamps the file's log entry with `dv` naming it. ZERO data
+    * files are rewritten — the only reads are column-pruned key-column
+    * scans of the touched files (needed to keep the logged `rows`
+    * exact and the sidecars restricted to keys actually present);
+    * write volume ∝ deleted keys, never data. Readers ([[read]],
+    * [[readWhere]], the merge/delete base reads, [[changes]]) apply
+    * the sidecar as a broadcast anti-join; a later [[merge]]/
+    * [[deleteKeys]]/compaction that rewrites the file MATERIALIZES the
+    * vector away (rewritten entries carry no dv). A repeat DV delete
+    * on an already-DV'd file writes a new sidecar carrying the UNION
+    * of old and new keys, so an entry always references exactly one
+    * sidecar. A file whose live rows reach zero is simply removed
+    * (still zero rewrites). Delete-of-absent no-ops; file pruning, OCC
+    * with the rebase fast path, and the (appId, version) idempotence
+    * guard all match [[deleteKeys]] — a txn-stamped batch that touches
+    * nothing still commits an empty record so the watermark advances
+    * (the mergeConditional posture: a retried batch must no-op on the
+    * guard, not re-evaluate). Sidecars live beside the data files, so
+    * [[vacuum]] retention and [[restore]]'s existence validation cover
+    * them by name like any other referenced file. */
+  def deleteKeysDV(spark: SparkSession, root: String, keys: DataFrame,
+                   key: String, txn: Option[(String, Long)] = None): Long =
+    occRetry(root, "DELETE_DV", allowRebase = true) { v =>
+      val st = replayState(root, None)
+      if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
+        None   // already applied: idempotent no-op
+      else {
+        val files = st.live
+        val touchedSet = touchedFileNames(spark, files, keys, key)
+        val touched = files.filter(f => touchedSet.contains(f.name))
+        val declared = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+        val keyOnly = declared.map(ts => StructType(Seq(ts(key))))
+        def keyCol(path: Path): DataFrame = keyOnly match {
+          case Some(sch) => spark.read.schema(sch).parquet(path.toString)
+          case None => spark.read.parquet(path.toString).select(col(key))
+        }
+        val ks = keys.select(col(key)).filter(col(key).isNotNull)
+          .distinct().localCheckpoint()
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        // per-touched-file: the pruning contract keeps this loop short
+        // (∝ files whose key range intersects the deletes), and each
+        // pass is a single-file key-column scan
+        val changed = touched.zipWithIndex.flatMap { case (f, i) =>
+          val phys = keyCol(dataDir(root).resolve(f.name))
+          val oldDv = f.dv.map(n => keyCol(dataDir(root).resolve(n)))
+          val hit = phys.join(ks, Seq(key), "left_semi")
+          val combined = oldDv.map(_.unionByName(hit)).getOrElse(hit)
+            .distinct().localCheckpoint()
+          val newCnt = combined.count()
+          val oldCnt = oldDv.map(_.count()).getOrElse(0L)
+          if (newCnt == oldCnt) None  // no key of this file newly deleted
+          else {
+            // exact live count by anti-join (robust to duplicate keys
+            // inside a created-not-merged file, where per-key
+            // arithmetic would drift)
+            val liveRows = phys.join(combined, Seq(key), "left_anti").count()
+            if (liveRows == 0L) Some((f, None)) // whole file dead: pure remove
+            else {
+              val tmp = Files.createTempDirectory(Paths.get(root), "stage-dv-")
+              try {
+                combined.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+                val part = listDir(tmp)
+                  .find(_.getFileName.toString.startsWith("part-"))
+                  .getOrElse(throw new IllegalStateException(
+                    s"TxTable deleteKeysDV: no part file for ${f.name}"))
+                val dvName = f"dv-$v%010d-$nonce-$i.parquet"
+                Files.move(part, dataDir(root).resolve(dvName),
+                  StandardCopyOption.ATOMIC_MOVE)
+                Some((f, Some(f.copy(rows = liveRows, dv = Some(dvName)))))
+              } finally {
+                listDir(tmp).foreach(Files.deleteIfExists(_))
+                Files.deleteIfExists(tmp)
+              }
+            }
+          }
+        }
+        if (changed.isEmpty && txn.isEmpty) None // raced to a no-op
+        else Some((changed.flatMap(_._2), changed.map(_._1.name), key, None,
+          txn.map { case (app, tv) => TxnAction(app, tv) }))
+      }
+    }
 
   /** Metadata-only statistics of a snapshot. */
   case class TableStats(version: Long, numFiles: Long, numRows: Long,
@@ -992,11 +1222,14 @@ object TxTable {
     * `count(*)`/`min(key)`/`max(key)`, and the planning input a 100 TB
     * merge/compaction scheduler reads constantly (it cannot afford a
     * data scan to decide what to touch). Exact at every version: merges
-    * and deletes REWRITE the files they touch, so carried-over entries
-    * are always live rows (spec-asserted, including after the data
-    * directory is physically removed — the stats path provably reads no
-    * data). Key range is exact for integral keys; non-integral keys
-    * degrade to the full-range sentinels, the same posture as pruning. */
+    * and deletes REWRITE the files they touch, and a [[deleteKeysDV]]
+    * commit re-stamps the touched entries with their exact post-vector
+    * live counts, so carried-over entries are always live rows
+    * (spec-asserted, including after the data directory is physically
+    * removed — the stats path provably reads no data). Key range is
+    * exact for integral keys up to DV conservatism (a vectored file
+    * keeps its physical range); non-integral keys degrade to the
+    * full-range sentinels, the same posture as pruning. */
   def stats(root: String, asOf: Option[Long] = None): TableStats = {
     val v = asOf.getOrElse(currentVersion(root))
     val files = snapshot(root, Some(v))
@@ -1024,8 +1257,12 @@ object TxTable {
              minAgeMillis: Long = DefaultVacuumRetentionMillis): Seq[String] = {
     val head = currentVersion(root)
     val horizon = math.max(1L, head - keepVersions)
+    // a retained entry's DELETION-VECTOR sidecar is as load-bearing as
+    // its data file (r17): reclaiming one would break every DV-aware
+    // read of a still-retained version
     val retained = (horizon to head)
-      .flatMap(v => snapshot(root, Some(v)).map(_.name)).toSet
+      .flatMap(v => snapshot(root, Some(v))
+        .flatMap(f => f.name +: f.dv.toSeq)).toSet
     val d = dataDir(root)
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val doomed = listDir(d).filter(p =>
@@ -1070,16 +1307,22 @@ object TxTable {
       val head = replayState(root, None)
       require(target.live.nonEmpty,
         s"TxTable at $root has no live files at v$asOf")
-      val gone = target.live.map(_.name)
+      val gone = target.live.flatMap(f => f.name +: f.dv.toSeq)
         .filterNot(n => Files.exists(dataDir(root).resolve(n)))
       require(gone.isEmpty,
         s"TxTable at $root: cannot restore to v$asOf — ${gone.size} of its " +
           s"data file(s) were vacuumed (${gone.take(3).mkString(", ")}" +
           (if (gone.size > 3) ", …" else "") + ")")
-      val headNames = head.live.map(_.name).toSet
-      val targetNames = target.live.map(_.name).toSet
-      val adds = target.live.filterNot(f => headNames.contains(f.name))
-      val removes = head.live.map(_.name).filterNot(targetNames.contains)
+      // diff by FULL entry, not name (r17): a DV delete re-stamps the
+      // SAME data-file name under a different sidecar, so a name-level
+      // diff would silently keep the head's vector (or drop the
+      // target's) across the restore — the restored snapshot must
+      // carry the target's exact entries, vectors included
+      val headByName = head.live.map(f => f.name -> f).toMap
+      val targetByName = target.live.map(f => f.name -> f).toMap
+      val adds = target.live.filterNot(f => headByName.get(f.name).contains(f))
+      val removes = head.live
+        .filterNot(f => targetByName.get(f.name).contains(f)).map(_.name)
       if (adds.isEmpty && removes.isEmpty) None
       else Some((adds, removes, key,
         if (target.schema != head.schema)
@@ -1206,46 +1449,64 @@ object TxTable {
     * covers the whole range. Requires the range's data files to still
     * exist — a feed past vacuumed files fails loudly, same contract as
     * time travel. */
+  /** CHANGE-FEED TAIL (r17, the r16 verdict's item 3) — the
+    * streaming-source read of [[changes]]: everything committed past
+    * `fromVersion`, plus the version the read advanced to; None when
+    * the log has nothing new (a poll, not a busy read — answered from
+    * log FILENAMES alone). A subscriber loop persists the returned
+    * version as its watermark — durably, by stamping it into its OWN
+    * sink table's txn action (the st37 posture), so recovery needs no
+    * side checkpoint: `lastTxn(sink, appId)` IS the resume point, and
+    * a replayed window no-ops on the sink's idempotence guard. The
+    * window is a consistent log range: commits racing the poll land
+    * past `head` and belong to the next window. */
+  def changesSince(spark: SparkSession, root: String, fromVersion: Long)
+      : Option[(Long, DataFrame)] = {
+    val head = currentVersion(root)
+    if (head <= fromVersion) None
+    else Some((head, changes(spark, root, fromVersion, head)))
+  }
+
   def changes(spark: SparkSession, root: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion > fromVersion,
       s"TxTable changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
     val outSchema = replayState(root, Some(toVersion)).schema
       .map(DataType.fromJson(_).asInstanceOf[StructType])
-    def readNames(names: Seq[String]): DataFrame = {
-      val paths = names.map(n => dataDir(root).resolve(n).toString)
-      outSchema match {
-        case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
-    }
     // one incremental walk: the live map at fromVersion, advanced per
-    // commit, resolves remove NAMES to the file entries they replace
+    // commit, resolves remove NAMES to the file ENTRIES they replace —
+    // entries, not names, so each side reads with ITS OWN deletion
+    // vector applied (r17): a DV-delete commit re-adds the same data
+    // file under a fatter sidecar, and the pre/post diff below then
+    // classifies exactly the newly-vectored keys as deletes without
+    // reading anything but that file
     val st0 = replayState(root, Some(fromVersion))
     val live = scala.collection.mutable.LinkedHashMap(
       st0.live.map(f => f.name -> f): _*)
     val steps = logVersions(root)
       .filter(v => v > fromVersion && v <= toVersion).map { v =>
         val c = readJson[Commit](logDir(root).resolve(logName(v)))
-        val pre = c.removes.flatMap(live.get).map(_.name)
+        val pre = c.removes.flatMap(live.get)
         c.removes.foreach(live.remove)
         c.adds.foreach(a => live.update(a.name, a))
-        (v, c.key, pre, c.adds.map(_.name), c.dataChange.getOrElse(true))
+        (v, c.key, pre, c.adds, c.dataChange.getOrElse(true))
       }
     val frames = steps.filter(_._5).flatMap { case (v, key, pre, post, _) =>
+      def rdE(entries: Seq[FileEntry]): DataFrame =
+        readEntries(spark, root, entries, outSchema, key)
       def tagged(df: DataFrame, tpe: String): DataFrame =
         df.withColumn("_change_type", lit(tpe))
           .withColumn("_commit_version", lit(v))
       (pre.nonEmpty, post.nonEmpty) match {
         case (false, false) => Seq.empty
-        case (false, true) => Seq(tagged(readNames(post), "insert"))
-        case (true, false) => Seq(tagged(readNames(pre), "delete"))
+        case (false, true) => Seq(tagged(rdE(post), "insert"))
+        case (true, false) => Seq(tagged(rdE(pre), "delete"))
         case (true, true) =>
-          val preDf = readNames(pre)
+          val preDf = rdE(pre)
           val cols = preDf.columns.toSeq
           val p = preDf.select(col(key).as("_k"),
             struct(cols.map(col): _*).as("_pre"))
-          val q = readNames(post).select(col(key).as("_k"),
+          val q = rdE(post).select(col(key).as("_k"),
             struct(cols.map(col): _*).as("_post"))
           // null-safe key match: a (degenerate) null-keyed row carried
           // through a rewrite must classify as unchanged, not as a

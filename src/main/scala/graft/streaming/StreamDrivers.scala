@@ -1841,6 +1841,123 @@ object StreamDrivers {
       onStream = df => graft.operators.Curation.robotsGate(df))
   }
 
+  /** st43: the TxTable CHANGE FEED consumed as a STREAMING SOURCE
+    * (r17, the r16 verdict's item 3 — Delta's readChangeFeed in
+    * streaming mode). A subscriber TAILS the upstream commit log
+    * ([[graft.sources.TxTable.changesSince]] — a filename-only poll)
+    * while the upstream writer keeps committing, and maintains a
+    * DERIVED artifact — the per-customer revenue aggregate —
+    * incrementally from the change rows alone: insert/update_postimage
+    * add, delete/update_preimage subtract (incremental view
+    * maintenance over a row-level diff; work per window ∝ the files
+    * the upstream commits touched, never the table). The watermark
+    * lives IN the sink table's txn action (the st37 exactly-once
+    * posture): `lastTxn(sink, appId)` IS the resume point — no side
+    * checkpoint to lose. The driver proves the whole protocol:
+    *  - a single-commit window, then a MULTI-commit window (update
+    *    merge + rewrite delete, one poll);
+    *  - a DELETION-VECTOR delete (q89's merge-on-read path) flowing
+    *    through the feed — subscribers see the deletes although no
+    *    data file was rewritten;
+    *  - an empty poll committing nothing;
+    *  - the last window REPLAYED verbatim (at-least-once re-delivery,
+    *    its delta recomputed from the feed as a recovering subscriber
+    *    would) — the sink's idempotence guard alone stops the
+    *    double-apply;
+    *  - watermark recovery from the sink table alone.
+    * Oracle = the from-scratch per-customer aggregate over the
+    * upstream HEAD — any missed or double-applied change row
+    * hash-fails. */
+  def changeFeedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.TxTable
+    val dir = Files.createTempDirectory("graft-stream-chfeed")
+    val src = s"$dir/src"; val snk = s"$dir/agg"
+    val appId = "st43-subscriber"
+    try withStatePartitions(spark, 8) {
+      val o = graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(spark,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), src, "o_orderkey") // v1
+      def aggOf(df: DataFrame) = df.groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_rows"))
+      // sink create = the initial FULL load at src v1; the implied
+      // watermark of a fresh subscriber is the version its initial
+      // load saw
+      TxTable.create(spark, aggOf(TxTable.read(spark, src)), snk, "o_custkey")
+      def deltaOf(ch: DataFrame) = ch
+        .withColumn("_sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("_sgn") * round(col("o_totalprice") * 100).cast("long"))
+            .as("rev_cents"),
+          sum(col("_sgn")).as("n_rows"))
+      def applyDelta(delta: DataFrame, to: Long): Unit = {
+        val cur = TxTable.read(spark, snk)
+        val upd = delta.as("d").join(cur.as("c"), Seq("o_custkey"), "left")
+          .select(col("o_custkey"),
+            (coalesce(col("c.rev_cents"), lit(0L)) + col("d.rev_cents"))
+              .as("rev_cents"),
+            (coalesce(col("c.n_rows"), lit(0L)) + col("d.n_rows"))
+              .as("n_rows"))
+        TxTable.merge(spark, snk, upd, "o_custkey", txn = Some((appId, to)))
+        ()
+      }
+      // one poll of the tail: read past the durable watermark, apply,
+      // advance the watermark in the SAME sink commit
+      def poll(): Unit =
+        TxTable.changesSince(spark, src,
+            TxTable.lastTxn(snk, appId).getOrElse(1L)).foreach {
+          case (to, ch) => applyDelta(deltaOf(ch).localCheckpoint(), to)
+        }
+      // window 1: pure inserts, one commit
+      TxTable.merge(spark, src,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "o_orderkey") // v2
+      poll()
+      // window 2: TWO upstream commits, ONE poll — an update merge
+      // (every even key's price doubles) and a rewrite delete
+      val upd2 = TxTable.read(spark, src)
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .localCheckpoint()
+      TxTable.merge(spark, src, upd2, "o_orderkey")                   // v3
+      TxTable.deleteKeys(spark, src,
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select(col("o_orderkey")), "o_orderkey")                   // v4
+      poll()
+      // window 3: a merge-on-read DV delete flows through the feed
+      TxTable.deleteKeysDV(spark, src,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey")), "o_orderkey")                   // v5
+      poll()
+      val wm = TxTable.lastTxn(snk, appId)
+      require(wm.contains(TxTable.currentVersion(src)),
+        s"subscriber watermark $wm must reach the upstream head")
+      // empty poll: nothing new → the sink must not commit
+      val vSnk = TxTable.currentVersion(snk)
+      poll()
+      require(TxTable.currentVersion(snk) == vSnk,
+        "an empty poll must commit nothing")
+      // at-least-once replay of the LAST window: recompute its delta
+      // from the feed (what a subscriber recovering mid-window does)
+      // and re-apply under the same watermark — only the guard stands
+      // between this and a doubled aggregate
+      applyDelta(deltaOf(TxTable.changes(spark, src, 4L, 5L))
+        .localCheckpoint(), 5L)
+      require(TxTable.currentVersion(snk) == vSnk,
+        "a replayed window must no-op on the idempotence guard")
+      // recovery: the resume point survives in the sink table alone
+      require(TxTable.lastTxn(snk, appId).contains(5L),
+        "the watermark must be recoverable from the sink's txn state")
+      TxTable.read(spark, snk)
+        .filter(col("n_rows") > 0)
+        .select(col("o_custkey"), col("rev_cents"), col("n_rows"))
+        .localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   /** st26: the c55 WARC→text front door AS THE STREAM SOURCE — the
     * production topology: crawl containers land as files, the ingest
     * is a zero-state pure map of each container's own bytes, so the

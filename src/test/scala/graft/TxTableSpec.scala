@@ -707,6 +707,37 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.schemaOf(root, Some(2L)).exists(_.fieldNames.contains("extra")))
   }
 
+  test("OCC rebase: a racing clearSchema RESTORE forces a re-derive (r17 ADVICE)") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-clear-race")
+    // widen at v2 so the head carries a schema, then make v1 legacy
+    TxTable.merge(spark, root, Seq((0L, "w0", 7)).toDF("k", "v", "extra"), "k")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = java.nio.file.Paths.get(root, "_graft_log", "v0000000001.json")
+    val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(p,
+      JsonMethods.compact(JsonMethods.render(
+        j.removeField { case (n, _) => n == "schema" }))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // loser: a delete whose files/ranges are provably disjoint from the
+    // racing restore's diff — WITHOUT the clearSchema check it would
+    // take the rebase fast path across an explicit schema clear,
+    // violating the "racer changes no schema" rebase precondition
+    val a0 = TxTable.attemptInvocations.get()
+    val r0 = TxTable.rebasedCommits.get()
+    TxTable.testRaceInjector.set(new Runnable {
+      def run(): Unit = TxTable.restore(root, "k", 1L) // commits clearSchema
+    })
+    TxTable.deleteKeys(spark, root, (900L until 930L).toDF("k"), "k")
+    assert(TxTable.attemptInvocations.get() - a0 === 3L,
+      "a schema-CLEARING racer must force a re-derive, exactly like a widening one")
+    assert(TxTable.rebasedCommits.get() - r0 === 0L)
+    assert(TxTable.schemaOf(root).isEmpty)
+    assert(TxTable.read(spark, root).count() === 970)
+  }
+
   // ---- r16: conditional MERGE clauses --------------------------------
 
   private def condTable(prefix: String) = {
@@ -874,5 +905,219 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.attemptInvocations.get() - b0 === 3L,
       "schema-widening racer must force a re-derive")
     assert(TxTable.rebasedCommits.get() - rb0 === 0L)
+  }
+
+  // ---- r17: deletion vectors (merge-on-read deletes) ------------------
+
+  private def dataFiles(root: String): Map[String, java.nio.file.attribute.FileTime] = {
+    import scala.jdk.CollectionConverters._
+    val d = java.nio.file.Paths.get(root, "data")
+    val l = java.nio.file.Files.list(d)
+    try l.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("dv-"))
+      .map(p => p.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(p))
+      .toMap
+    finally l.close()
+  }
+
+  test("DV delete: zero data files rewritten, reads and stats exact") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-dv")                         // v1
+    val before = dataFiles(root)
+    TxTable.deleteKeysDV(spark, root, (100L until 130L).toDF("k"), "k") // v2
+    val after = dataFiles(root)
+    assert(after === before,
+      "a DV delete must neither rewrite nor add any data file")
+    val live = TxTable.snapshot(root)
+    assert(live.map(_.name).toSet === before.keySet)
+    assert(live.count(_.dv.isDefined) === 1,
+      "only the one file whose key range covers 100-129 gets a vector")
+    assert(rows(TxTable.read(spark, root)) ===
+      rows(base.filter(!col("k").between(100, 129))))
+    assert(TxTable.stats(root).numRows === 970)
+    // readWhere applies the vector too
+    assert(TxTable.readWhere(spark, root, "k", 90L, 140L).count() === 21)
+    // delete-of-absent stays a no-op
+    val v = TxTable.currentVersion(root)
+    assert(TxTable.deleteKeysDV(spark, root,
+      Seq(5000L).toDF("k"), "k") === v)
+  }
+
+  test("DV delete layers: second vector on the same file unions the keys") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-dv2")
+    TxTable.deleteKeysDV(spark, root, (100L until 110L).toDF("k"), "k")
+    val dv1 = TxTable.snapshot(root).flatMap(_.dv)
+    TxTable.deleteKeysDV(spark, root, (105L until 120L).toDF("k"), "k")
+    val dv2 = TxTable.snapshot(root).flatMap(_.dv)
+    assert(dv1.size === 1 && dv2.size === 1 && dv1.head != dv2.head,
+      "the re-stamped entry must reference exactly one, newer sidecar")
+    assert(rows(TxTable.read(spark, root)) ===
+      rows(base.filter(!col("k").between(100, 119))))
+    assert(TxTable.stats(root).numRows === 980)
+  }
+
+  test("DV delete: whole-file-dead removes the entry with zero rewrites") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-dvdead")
+    val before = dataFiles(root)
+    val victim = TxTable.snapshot(root).head   // covers keys 0..249
+    TxTable.deleteKeysDV(spark, root,
+      (victim.kmin to victim.kmax).toDF("k"), "k")
+    assert(dataFiles(root) === before, "zero rewrites even for a dead file")
+    val live = TxTable.snapshot(root)
+    assert(live.size === 3 && !live.exists(_.name == victim.name))
+    assert(TxTable.read(spark, root).count() === 750)
+  }
+
+  test("DV + compaction: rewrite materializes the vector away; vacuum reclaims the sidecar") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-dvcomp")                     // v1
+    TxTable.deleteKeysDV(spark, root, (0L until 50L).toDF("k"), "k") // v2
+    val sidecar = TxTable.snapshot(root).flatMap(_.dv).head
+    TxTable.compactClustered(spark, root, "k", 2)                // v3
+    val live = TxTable.snapshot(root)
+    assert(live.forall(_.dv.isEmpty), "compaction must materialize DVs")
+    assert(rows(TxTable.read(spark, root)) ===
+      rows(base.filter(col("k") >= 50)))
+    // the sidecar is still referenced by the retained v2 → survives
+    assert(TxTable.vacuum(root, keepVersions = 1, minAgeMillis = 0)
+      .forall(_ != sidecar))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", sidecar)))
+    // head-only retention: v2's vector (and v1's file) become garbage
+    val gone = TxTable.vacuum(root, keepVersions = 0, minAgeMillis = 0)
+    assert(gone.contains(sidecar), "an unreferenced sidecar is vacuum garbage")
+    assert(TxTable.read(spark, root).count() === 950)
+  }
+
+  test("DV + merge: touched vectored file materializes; reinsert of a DV'd key works") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-dvmerge")
+    TxTable.deleteKeysDV(spark, root, (100L until 120L).toDF("k"), "k")
+    // merge re-inserting one vectored key and updating a live neighbor
+    TxTable.merge(spark, root,
+      Seq((105L, "back"), (130L, "upd")).toDF("k", "v"), "k")
+    val live = TxTable.snapshot(root)
+    assert(live.forall(_.dv.isEmpty),
+      "the merge rewrote the only vectored file — no vector survives")
+    val expect = rows(base.filter(!col("k").between(100, 119)))
+      .+((105L, "back")) - ((130L, "v130")) + ((130L, "upd"))
+    assert(rows(TxTable.read(spark, root)) === expect)
+  }
+
+  test("DV + time travel + restore") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-dvtt")                       // v1
+    TxTable.deleteKeysDV(spark, root, (200L until 240L).toDF("k"), "k") // v2
+    TxTable.merge(spark, root, Seq((900L, "u900")).toDF("k", "v"), "k") // v3
+    // travel: v1 sees everything, v2 applies the vector
+    assert(TxTable.read(spark, root, Some(1L)).count() === 1000)
+    assert(TxTable.read(spark, root, Some(2L)).count() === 960)
+    // restore to v1 resurrects the vectored keys (a new commit)
+    TxTable.restore(root, "k", 1L)                               // v4
+    assert(rows(TxTable.read(spark, root)) === rows(base))
+    // restore to the vectored v2 re-applies it — and must validate the
+    // sidecar's existence like any file
+    TxTable.restore(root, "k", 2L)                               // v5
+    assert(TxTable.read(spark, root).count() === 960)
+    val sidecar = TxTable.snapshot(root).flatMap(_.dv).head
+    TxTable.restore(root, "k", 1L)                               // v6
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "data", sidecar))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.restore(root, "k", 2L)
+    }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains(sidecar))
+  }
+
+  test("DV + change feed: newly vectored keys emit as deletes, work ∝ touched file") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-dvcdc")                         // v1
+    TxTable.deleteKeysDV(spark, root, (300L until 320L).toDF("k"), "k") // v2
+    val ch = TxTable.changes(spark, root, 1L, 2L)
+    val types = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types === Map("delete" -> 20L))
+    assert(ch.select("k").as[Long].collect().toSet ===
+      (300L until 320L).toSet)
+  }
+
+  // ---- r17: CHECK constraints at commit time --------------------------
+
+  test("CHECK constraints: violating merge refused atomically, passing merge commits") {
+    import spark.implicits._
+    val root = tempDir("txt-check").toString + "/tbl"
+    val base = (0L until 100L).map(k => (k, k * 10.0)).toDF("k", "price")
+    TxTable.create(spark, base, root, "k",
+      invariants = Seq("price_nonneg" -> "price >= 0"))
+    assert(TxTable.invariantsOf(root) === Map("price_nonneg" -> "price >= 0"))
+    val v = TxTable.currentVersion(root)
+    val files = TxTable.snapshot(root).map(_.name).toSet
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root,
+        Seq((5L, -1.0), (6L, 60.0)).toDF("k", "price"), "k")
+    }
+    assert(e.getMessage.contains("price_nonneg") &&
+      e.getMessage.contains("1 row(s)"))
+    assert(TxTable.currentVersion(root) === v,
+      "a refused commit must leave the version untouched")
+    assert(TxTable.snapshot(root).map(_.name).toSet === files)
+    assert(TxTable.read(spark, root).filter(col("price") < 0).count() === 0)
+    TxTable.merge(spark, root, Seq((5L, 55.0)).toDF("k", "price"), "k")
+    assert(TxTable.currentVersion(root) === v + 1)
+    // mergeConditional enforces the same contract
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.mergeConditional(spark, root,
+        Seq((7L, -2.0)).toDF("k", "price"), "k")
+    }
+    assert(e2.getMessage.contains("price_nonneg"))
+  }
+
+  test("CHECK constraints: create-time validation, NULL passes, checkpoint survival") {
+    import spark.implicits._
+    val root = tempDir("txt-check2").toString + "/tbl"
+    // create-time: a violating initial load is refused before any write
+    val eb = intercept[IllegalArgumentException] {
+      TxTable.create(spark, Seq((1L, "bad")).toDF("k", "tag"), root, "k",
+        invariants = Seq("tag_ok" -> "tag <> 'bad'"))
+    }
+    assert(eb.getMessage.contains("tag_ok"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_graft_log")))
+    // SQL CHECK semantics: a NULL predicate result passes
+    TxTable.create(spark,
+      (0L until 20L).map(k => (k, s"t$k")).toDF("k", "tag"), root, "k",
+      invariants = Seq("tag_ok" -> "tag <> 'bad'"))
+    TxTable.merge(spark, root,
+      Seq((3L, null.asInstanceOf[String])).toDF("k", "tag"), "k")
+    assert(TxTable.read(spark, root).filter(col("tag").isNull).count() === 1)
+    // cross a checkpoint (interval 10): the invariant must survive replay
+    (1L to 11L).foreach(i =>
+      TxTable.merge(spark, root, Seq((i, s"u$i")).toDF("k", "tag"), "k"))
+    assert(TxTable.invariantsOf(root) === Map("tag_ok" -> "tag <> 'bad'"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root, Seq((4L, "bad")).toDF("k", "tag"), "k")
+    }
+    assert(e.getMessage.contains("tag_ok"),
+      "an invariant only in pre-checkpoint records would silently vanish")
+  }
+
+  test("DV idempotence: txn-stamped replay no-ops; empty batch advances the watermark") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-dvtxn")
+    TxTable.deleteKeysDV(spark, root, (10L until 20L).toDF("k"), "k",
+      txn = Some(("dvapp", 1L)))
+    val v = TxTable.currentVersion(root)
+    // replay of batch 1: the guard must no-op it wholesale
+    TxTable.deleteKeysDV(spark, root, (10L until 20L).toDF("k"), "k",
+      txn = Some(("dvapp", 1L)))
+    assert(TxTable.currentVersion(root) === v)
+    assert(TxTable.read(spark, root).count() === 990)
+    // batch 2 deletes nothing — but must still advance the watermark
+    TxTable.deleteKeysDV(spark, root, Seq(9999L).toDF("k"), "k",
+      txn = Some(("dvapp", 2L)))
+    assert(TxTable.lastTxn(root, "dvapp") === Some(2L))
+    assert(TxTable.read(spark, root).count() === 990)
   }
 }
