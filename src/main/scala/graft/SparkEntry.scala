@@ -776,7 +776,9 @@ object SparkEntry {
     "q88_tx_cdc_merge" -> Seq("o_orderkey"),
     "q89_tx_dv_delete" -> Seq("o_orderkey"),
     "q90_tx_vacuum" -> Seq("o_orderkey"),
+    "q91_tx_clone" -> Seq("o_orderkey"),
     "st43_change_feed" -> Seq("o_custkey"),
+    "st44_erasure_dv_stream" -> Seq("source"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
     "st11_cdc_stream" -> Seq("o_orderkey"),
     "st32_cdc_tx_sink" -> Seq("o_orderkey"),
@@ -1509,6 +1511,15 @@ object SparkEntry {
     // aggregate over the upstream head
     "st43_change_feed" -> ((s, d) =>
       graft.streaming.StreamDrivers.changeFeedStream(Tables.tune(s), d)),
+    // st44 (r17): st38's continuous-compliance erasure with
+    // MERGE-ON-READ deletes — per-batch deleteKeysDV commits sidecars
+    // only (data-file mtime map required unchanged across the whole
+    // stream), the scheduled compaction materializes the vectors, and
+    // vacuum completes PHYSICAL erasure (pre-compaction bytes and
+    // sidecars required gone, time travel to them required loud);
+    // same oracle as st38/c66 — vectors are invisible to the algebra
+    "st44_erasure_dv_stream" -> ((s, d) =>
+      graft.streaming.StreamDrivers.erasureDvFileStream(Tables.tune(s), d)),
     // st37 (r14): exactly-once table state from an at-least-once stream —
     // every micro-batch deliberately applied TWICE plus a post-stream
     // replay of the last batch; the TxTable txn watermark (the Delta txn
@@ -2108,6 +2119,63 @@ object SparkEntry {
         graft.sources.TxTable.read(s, root, Some(preVacuum)).count())
       require(loud.isFailure, "a read past vacuumed files must fail, not lie")
       graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q91 (r17): SHALLOW CLONE — Delta's CLONE, zero-copy branching: a
+    // 100 TB table branches for an experiment in ONE metadata write
+    // (the clone's v1 references the source's live files — including
+    // its deletion-vector sidecar — by absolute path). The gate proves
+    // zero-copy physically (the clone's data directory holds ZERO
+    // files while its read answers in full) and copy-on-write
+    // isolation both ways: a merge into the CLONE leaves the source's
+    // data directory byte-identical (mtime map), and a delete in the
+    // SOURCE after the clone rewrites only source state — the clone
+    // still reads the immutable originals, which the oracle pins (any
+    // leak of the source delete into the clone hash-fails). Oracle =
+    // the clone branch's algebra: source snapshot minus the DV'd keys,
+    // merged with the doubled-price updates.
+    "q91_tx_clone" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val srcRoot = stageDir(d) + "/q91_src"
+      val cloneRoot = stageDir(d) + "/q91_clone"
+      graft.sources.TxTable.create(s, cur, srcRoot, "o_orderkey")
+      graft.sources.TxTable.deleteKeysDV(s, srcRoot,
+        orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_orderkey")), "o_orderkey")
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(p)
+          val all = try w.iterator().asScala.toSeq.reverse finally w.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      wipe(java.nio.file.Paths.get(cloneRoot)) // stage dirs persist across runs
+      graft.sources.TxTable.cloneShallow(srcRoot, cloneRoot)
+      def dataList(root: String): Map[String, java.nio.file.attribute.FileTime] = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+        try l.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p)).toMap
+        finally l.close()
+      }
+      require(dataList(cloneRoot).isEmpty,
+        "a shallow clone must copy zero bytes")
+      val srcState = dataList(srcRoot)
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      graft.sources.TxTable.merge(s, cloneRoot, upd, "o_orderkey")
+      require(dataList(srcRoot) == srcState,
+        "a clone merge must copy-on-write into the clone, never the source")
+      // the source evolves independently AFTER the clone: the clone
+      // keeps reading the immutable originals (oracle-pinned)
+      graft.sources.TxTable.deleteKeys(s, srcRoot,
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .select(col("o_orderkey")), "o_orderkey")
+      graft.sources.TxTable.read(s, cloneRoot)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
     // q68: time travel through the ACID log — q67's table read AS OF
@@ -4991,6 +5059,25 @@ object SparkEntry {
     // invariant, so the two-batch streamed erasure equals c66's
     // one-shot delete and the same raw-recompute oracle gates it
     "st38_erasure_stream" -> erasureSql,
+    // st44: the DV erasure stream's algebra is identical — merge-on-
+    // read is a storage strategy, not a semantics change (the
+    // zero-rewrite and physical-completion proofs are gate require()s)
+    "st44_erasure_dv_stream" -> erasureSql,
+    // q91: the clone branch = source snapshot minus the DV'd keys,
+    // merged with doubled-price updates; the source's own post-clone
+    // delete (%4) must be INVISIBLE here — its leak would change m
+    "q91_tx_clone" ->
+      """WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 2 = 0 AND o_orderkey % 13 <> 0),
+         upd AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+                 FROM orders WHERE o_orderkey % 3 = 0),
+         m AS (SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                  ELSE c.o_custkey END AS o_custkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                  ELSE c.o_totalprice END AS o_totalprice
+           FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM m ORDER BY 1""",
     // c65: the single-window replay of the two-level cap (global top-N
     // per source is a subset of the union of salted-cell top-Ns, so the
     // forms are identical — spec-asserted on the Spark side)

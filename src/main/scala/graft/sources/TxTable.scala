@@ -623,6 +623,43 @@ object TxTable {
   def invariantsOf(root: String): Map[String, String] =
     replayState(root, None).invariants
 
+  /** SHALLOW CLONE (r17 — Delta's CLONE, VLDB'20 ecosystem's zero-copy
+    * branching): create at `dest` a new one-commit table whose v1
+    * REFERENCES the source's live data files (and DV sidecars) at
+    * `asOf` without copying a byte — the entries carry the source
+    * files' ABSOLUTE paths, which every reader resolves verbatim
+    * (`Path.resolve` returns an absolute operand unchanged), so a
+    * 100 TB table branches for an experiment in one metadata write.
+    * The clone's log is INDEPENDENT from the moment it exists:
+    * merges/deletes rewrite touched files INTO the clone's own data
+    * directory (copy-on-write — the source never observes them),
+    * compaction materializes the clone fully local, and the clone's
+    * vacuum lists only its own directory so it can never reclaim
+    * source bytes. Schema, declared statsCols and CHECK invariants
+    * carry over (Delta clones carry table properties). Metadata-only:
+    * no Spark session, no data read. Caveat, same as Delta's:
+    * vacuuming the SOURCE can reclaim files a clone still references —
+    * a clone is a branch, not a backup; the clone's reads then fail
+    * loudly like any read of vacuumed history. */
+  def cloneShallow(src: String, dest: String,
+                   asOf: Option[Long] = None): Long = {
+    val st = replayState(src, asOf)
+    require(st.live.nonEmpty, s"TxTable at $src has no live files to clone")
+    require(logVersions(dest).isEmpty,
+      s"TxTable cloneShallow: $dest already has a log — clone into a fresh root")
+    val srcData = dataDir(src).toAbsolutePath
+    val entries = st.live.map(f => f.copy(
+      name = srcData.resolve(f.name).toString,
+      dv = f.dv.map(n => srcData.resolve(n).toString)))
+    Files.createDirectories(dataDir(dest))
+    require(tryCommit(dest, st.key, 1L, entries, Seq.empty, st.schema,
+        None, Some("CLONE"), None,
+        if (st.statsCols.isEmpty) None else Some(st.statsCols),
+        if (st.invariants.isEmpty) None else Some(st.invariants)),
+      s"TxTable cloneShallow: concurrent create at $dest")
+    1L
+  }
+
   /** The table schema in force at `asOf` (None = latest); None only for
     * pre-r14 logs that never recorded one. */
   def schemaOf(root: String, asOf: Option[Long] = None): Option[StructType] =
@@ -672,6 +709,15 @@ object TxTable {
     val plainDf = if (plain.isEmpty) None else Some(rd(plain.map(_.name)))
     val dvdDf = if (dvd.isEmpty) None else {
       import spark.implicits._
+      // entry names may be ABSOLUTE (a shallow clone references the
+      // source's files by absolute path) while input_file_name yields
+      // the scan path — normalize BOTH sides of the (file, key) pair
+      // join to basenames (collision-free: every writer embeds a UUID
+      // nonce, and the guard below makes the assumption loud)
+      def baseName(n: String): String =
+        Paths.get(n).getFileName.toString
+      require(dvd.map(e => baseName(e.name)).distinct.size == dvd.size,
+        "TxTable readEntries: DV'd entries with colliding file basenames")
       val base = rd(dvd.map(_.name)).withColumn("_graft_file",
         element_at(split(input_file_name(), "/"), -1))
       val outCols = base.columns.filterNot(_ == "_graft_file").toSeq.map(col)
@@ -681,7 +727,7 @@ object TxTable {
           spark.read.schema(StructType(Seq(ts(key)))).parquet(dvPaths: _*)
         case None => spark.read.parquet(dvPaths: _*)
       }
-      val sidecarToFile = dvd.map(e => (e.dv.get, e.name))
+      val sidecarToFile = dvd.map(e => (baseName(e.dv.get), baseName(e.name)))
         .toDF("_graft_dv", "_graft_file")
       val pairs = dvRaw
         .withColumn("_graft_dv", element_at(split(input_file_name(), "/"), -1))

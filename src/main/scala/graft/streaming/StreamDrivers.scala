@@ -1017,6 +1017,107 @@ object StreamDrivers {
     } finally deleteRecursively(dir)
   }
 
+  /** st44: st38's continuous-compliance erasure with MERGE-ON-READ
+    * deletes (r17) — the exact cost case the r16 verdict's
+    * deletion-vector item named: st38 rewrites a whole data file per
+    * touched revocation, so at 100 TB the erasure stream's write
+    * volume is ∝ data, not requests. Here each revocation micro-batch
+    * commits [[graft.sources.TxTable.deleteKeysDV]] — sidecars only;
+    * the driver REQUIRES the data-file (name → mtime) map unchanged
+    * across the WHOLE stream — while readers between batches see
+    * consistent post-revocation state through the vectors (durably
+    * applied when the batch's commit lands, same contract as st38).
+    * The scheduled OPTIMIZE pass (clustered compaction) then
+    * MATERIALIZES the deletes, and vacuum completes PHYSICAL erasure —
+    * the GDPR obligation merge-on-read defers: the driver requires
+    * every pre-compaction data file AND every sidecar physically
+    * reclaimed, and the time-travel read that could resurrect the
+    * revoked rows to fail loudly. Same output shape and oracle as
+    * st38/c66 — the vectors are invisible to the algebra. */
+  def erasureDvFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.TxTable
+    val dir = Files.createTempDirectory("graft-stream-erasure-dv")
+    val in = s"$dir/in"; val chk = s"$dir/chk"; val root = s"$dir/corpus"
+    def listData(): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(java.nio.file.Paths.get(root, "data"))
+      try l.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("dv-"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toMap
+      finally l.close()
+    }
+    try withStatePartitions(spark, 8) {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      TxTable.create(spark, docs, root, "doc_id")
+      val physical0 = listData()
+      val revoked = docs.filter(pmod(col("doc_id"), lit(13)) === 5)
+        .select(col("doc_id"))
+      val stamper = new MtimeStamper
+      var first = true
+      Seq(revoked.filter(pmod(col("doc_id"), lit(2)) === 0),
+          revoked.filter(pmod(col("doc_id"), lit(2)) === 1)).foreach { h =>
+        h.coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+        first = false
+        stamper.stamp(in)
+      }
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TxTable.deleteKeysDV(spark, root, b.toDF(), "doc_id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // merge-on-read held for the whole stream: not one data file
+      // rewritten or added, and at least one vector exists
+      require(listData() == physical0,
+        "a DV erasure stream must never rewrite a data file")
+      require(TxTable.snapshot(root).exists(_.dv.isDefined),
+        "the stream committed no deletion vector")
+      // before/after aggregates materialize BEFORE physical erasure
+      // (vacuum below reclaims v1's bytes, after which time travel
+      // must refuse — resurrecting revoked rows is the bug)
+      val before = TxTable.read(spark, root, asOf = Some(1L))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+        .localCheckpoint()
+      val after = TxTable.read(spark, root)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"),
+          sum(col("n_chars")).as("chars_after"))
+        .localCheckpoint()
+      // the scheduled OPTIMIZE: materialize the vectors, then complete
+      // the PHYSICAL half of the erasure
+      TxTable.compactClustered(spark, root, "doc_id", 4)
+      require(TxTable.snapshot(root).forall(_.dv.isEmpty),
+        "compaction must materialize every vector")
+      TxTable.vacuum(root, keepVersions = 0, minAgeMillis = 0)
+      val survivors = {
+        import scala.jdk.CollectionConverters._
+        val l = Files.list(java.nio.file.Paths.get(root, "data"))
+        try l.iterator().asScala.map(_.getFileName.toString).toSet
+        finally l.close()
+      }
+      require(physical0.keySet.intersect(survivors).isEmpty &&
+          !survivors.exists(_.startsWith("dv-")),
+        "physical erasure incomplete: revoked bytes or sidecars survive")
+      require(scala.util.Try(
+          TxTable.read(spark, root, Some(1L)).count()).isFailure,
+        "a post-vacuum time travel to the revoked rows must fail loudly")
+      before.join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_revoked"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("chars_after"), lit(0L)).as("chars_after"))
+        .localCheckpoint()
+    } finally deleteRecursively(dir)
+  }
+
   /** Streaming ingest dedup driven end-to-end against a STATIC corpus:
     * ALL documents staged as two doc_id-halves × 2 copies (four
     * micro-batches) → [[StreamOps.ingestDedup]] vs the odd-id corpus →

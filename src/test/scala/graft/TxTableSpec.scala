@@ -1103,6 +1103,81 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
       "an invariant only in pre-checkpoint records would silently vanish")
   }
 
+  // ---- r17: shallow clone ---------------------------------------------
+
+  private def dataDirNames(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = java.nio.file.Paths.get(root, "data")
+    if (!java.nio.file.Files.isDirectory(d)) return Set.empty
+    val l = java.nio.file.Files.list(d)
+    try l.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSet
+    finally l.close()
+  }
+
+  test("shallow clone: zero-copy, vectors carried, branches diverge independently") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-clone")
+    TxTable.deleteKeysDV(spark, root, (100L until 120L).toDF("k"), "k")
+    val dest = tempDir("txt-clone-dst").toString + "/tbl"
+    TxTable.cloneShallow(root, dest)
+    assert(dataDirNames(dest).isEmpty, "a shallow clone must copy zero bytes")
+    val branchPoint = rows(base.filter(!col("k").between(100, 119)))
+    assert(rows(TxTable.read(spark, dest)) === branchPoint,
+      "the clone must read the source snapshot, source DV applied")
+    // diverge both ways: merge into the clone, delete in the source
+    TxTable.merge(spark, dest, Seq((5L, "clone5")).toDF("k", "v"), "k")
+    TxTable.deleteKeys(spark, root, Seq(6L).toDF("k"), "k")
+    val cloneRows = rows(TxTable.read(spark, dest))
+    assert(cloneRows.contains((5L, "clone5")) && cloneRows.contains((6L, "v6")),
+      "the source's post-clone delete must be invisible to the clone")
+    val srcRows = rows(TxTable.read(spark, root))
+    assert(!srcRows.exists(_._1 == 6L) && srcRows.contains((5L, "v5")),
+      "the clone's merge must be invisible to the source")
+    // the clone's own maintenance stays local: compaction materializes
+    // it fully into its own data dir
+    TxTable.compactClustered(spark, dest, "k", 2)
+    assert(TxTable.snapshot(dest).forall(f =>
+      dataDirNames(dest).contains(f.name)),
+      "a compacted clone must be fully local")
+  }
+
+  test("shallow clone: asOf branch point, invariants carried, non-empty dest refused") {
+    import spark.implicits._
+    val root = tempDir("txt-clone2").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 50L).map(k => (k, k * 1.0)).toDF("k", "price"), root, "k",
+      invariants = Seq("pos" -> "price >= 0"))                    // v1
+    TxTable.merge(spark, root,
+      Seq((3L, 333.0)).toDF("k", "price"), "k")                   // v2
+    val dest = tempDir("txt-clone2-dst").toString + "/tbl"
+    TxTable.cloneShallow(root, dest, asOf = Some(1L))
+    val vals = TxTable.read(spark, dest).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals(3L) === 3.0, "asOf clone must branch at the pinned version")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, dest, Seq((4L, -1.0)).toDF("k", "price"), "k")
+    }
+    assert(e.getMessage.contains("pos"),
+      "CHECK invariants must carry into the clone")
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.cloneShallow(root, dest)
+    }
+    assert(e2.getMessage.contains("already has a log"))
+  }
+
+  test("shallow clone: vacuuming the source breaks the clone loudly (branch, not backup)") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-clone3")
+    val dest = tempDir("txt-clone3-dst").toString + "/tbl"
+    TxTable.cloneShallow(root, dest)
+    // the source rewrites everything, then reclaims the clone's bytes
+    TxTable.compact(spark, root, "k", 2)
+    TxTable.vacuum(root, keepVersions = 0, minAgeMillis = 0)
+    val e = intercept[Exception] { TxTable.read(spark, dest).count() }
+    assert(e != null, "a clone over vacuumed source bytes must fail, not lie")
+  }
+
   test("DV idempotence: txn-stamped replay no-ops; empty batch advances the watermark") {
     import spark.implicits._
     val (root, _) = mkTable("txt-dvtxn")
