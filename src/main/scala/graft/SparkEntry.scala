@@ -777,6 +777,8 @@ object SparkEntry {
     "q89_tx_dv_delete" -> Seq("o_orderkey"),
     "q90_tx_vacuum" -> Seq("o_orderkey"),
     "q91_tx_clone" -> Seq("o_orderkey"),
+    "q92_tx_optimize" -> Seq("o_orderkey"),
+    "q93_tx_log_retention" -> Seq("o_orderkey"),
     "st43_change_feed" -> Seq("o_custkey"),
     "st44_erasure_dv_stream" -> Seq("source"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
@@ -2118,6 +2120,89 @@ object SparkEntry {
       val loud = scala.util.Try(
         graft.sources.TxTable.read(s, root, Some(preVacuum)).count())
       require(loud.isFailure, "a read past vacuumed files must fail, not lie")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q92 (r17): INCREMENTAL bin-packing OPTIMIZE — Delta OPTIMIZE's
+    // real form: whole-table compaction (q73/q83) is the cost a
+    // 100 TB maintenance pass cannot pay, so the small-file debt a
+    // streaming ingest accumulates is packed WITHOUT touching the big
+    // well-formed files — the gate REQUIRES the base files'
+    // (name → mtime) entries unchanged while the six single-slice
+    // ingest files pack into range-adjacent bins (candidates sorted
+    // by key range so per-file pruning survives), rows identical
+    // (the oracle), dataChange=false (the change feed skips it).
+    "q92_tx_optimize" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = stageDir(d) + "/q92_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      graft.sources.TxTable.compactClustered(s, root, "o_orderkey", 4)
+      val big = graft.sources.TxTable.snapshot(root)
+      def dataState(): Map[String, java.nio.file.attribute.FileTime] = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+        try l.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p)).toMap
+        finally l.close()
+      }
+      // six small ingest bursts in DISJOINT key bands ABOVE the base
+      // range (band i = base keys + i·maxK): each burst's range
+      // intersects nothing existing, so it lands as pure-insert small
+      // files — the small-file debt a streaming ingest accumulates
+      val maxK = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      (1 to 6).foreach { i =>
+        graft.sources.TxTable.merge(s, root,
+          orders.filter(pmod(col("o_orderkey"), lit(32)) === 1)
+            .select((col("o_orderkey") + lit(i.toLong * maxK)).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice")), "o_orderkey")
+      }
+      val before = dataState()
+      val bigNames = big.map(_.name).toSet
+      val smallBefore = graft.sources.TxTable.snapshot(root)
+        .count(f => !bigNames.contains(f.name))
+      val smallRows = big.map(_.rows).min / 2
+      graft.sources.TxTable.compactBinPack(s, root, "o_orderkey",
+        smallRows = smallRows, targetRows = smallRows)
+      val after = dataState()
+      require(bigNames.forall(n => after.get(n) == before.get(n)),
+        "OPTIMIZE must not touch the big files")
+      val smallAfter = graft.sources.TxTable.snapshot(root)
+        .count(f => !bigNames.contains(f.name))
+      require(smallAfter < smallBefore,
+        s"OPTIMIZE packed nothing: $smallBefore -> $smallAfter small files")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q93 (r17): LOG RETENTION — the metadata half of vacuum: a
+    // per-micro-batch committer grows the log without bound (every
+    // commit lists it), so records subsumed by a checkpoint older
+    // than the horizon are physically deleted; the head read is
+    // oracle-pinned unchanged, v1's record is REQUIRED gone, and a
+    // time travel below the horizon REQUIRED loud (a truncated
+    // replay must refuse, not return a silently partial state).
+    "q93_tx_log_retention" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = stageDir(d) + "/q93_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")     // v1
+      (1 to 15).foreach { i =>                                     // v2..v16
+        graft.sources.TxTable.merge(s, root,
+          orders.filter(pmod(col("o_orderkey"), lit(17)) === i)
+            .select(col("o_orderkey"), col("o_custkey"),
+              lit(i.toDouble).as("o_totalprice")), "o_orderkey")
+      }
+      val gone = graft.sources.TxTable.cleanupLog(root, keepVersions = 3)
+      require(gone.nonEmpty, "retention reclaimed nothing")
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+          root, "_graft_log", "v0000000001.json")),
+        "v1's record must be physically gone")
+      require(scala.util.Try(graft.sources.TxTable
+          .read(s, root, Some(5L)).count()).isFailure,
+        "a replay below the retention horizon must refuse loudly")
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
@@ -4613,6 +4698,34 @@ object SparkEntry {
            FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey)
          SELECT o_orderkey, o_custkey, o_totalprice FROM m
          WHERE o_orderkey % 5 <> 0 ORDER BY 1""",
+    // q92: OPTIMIZE moves bytes, never rows — the read after packing
+    // equals the base snapshot plus the six offset ingest bands (the
+    // big-files-untouched and fewer-small-files claims are gate
+    // require()s over mtimes and the live set)
+    "q92_tx_optimize" ->
+      """WITH mk AS (SELECT max(o_orderkey) + 1 AS k FROM orders),
+         base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o.o_orderkey + t.i * mk.k AS o_orderkey,
+                      o.o_custkey, o.o_totalprice
+               FROM orders o CROSS JOIN mk
+                 CROSS JOIN generate_series(1, 6) AS t(i)
+               WHERE o.o_orderkey % 32 = 1)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM base
+         UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM b
+         ORDER BY 1""",
+    // q93: retention deletes metadata, never state — the head equals
+    // the 15-merge chain's algebra (each key hit by at most the one
+    // residue merge that owns it); the v1-record-gone and
+    // loud-below-horizon claims are gate require()s
+    "q93_tx_log_retention" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(o_orderkey % 17 AS DOUBLE) AS o_totalprice
+         FROM orders WHERE o_orderkey % 17 BETWEEN 1 AND 15
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey % 2 = 0 AND o_orderkey % 17 NOT BETWEEN 1 AND 15
+         ORDER BY 1""",
     // st43: the incrementally-maintained aggregate must equal the
     // from-scratch recompute over the upstream head — initial %3=0
     // load, %3=1 inserts, even keys' prices doubled, %5 rewrite-

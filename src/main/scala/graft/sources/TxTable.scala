@@ -207,6 +207,17 @@ object TxTable {
   private def replayState(root: String, asOf: Option[Long]): State = {
     val bound = asOf.getOrElse(Long.MaxValue)
     val ck = checkpointAtOrBelow(root, bound)
+    // truncated-history guard (r17, cleanupLog's contract): without a
+    // checkpoint at-or-below the bound, a sound replay needs the log
+    // to start at v1 — if cleanupLog removed that prefix, replaying
+    // would silently return a PARTIAL state; refuse loudly instead
+    // (the same posture as a time-travel read past vacuumed files)
+    if (ck.isEmpty) {
+      val minLog = logVersions(root).headOption
+      require(minLog.forall(_ == 1L),
+        s"TxTable at $root: cannot replay to v$bound — the log below " +
+          s"v${minLog.getOrElse(0L)} was cleaned past the retention horizon")
+    }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
     var schema: Option[String] = None
@@ -1415,6 +1426,84 @@ object TxTable {
       .sortWithinPartitions(key)
     Some((writeFiles(spark, df, root, key, f"$v%010d-cluster", st.statsCols),
       st.live.map(_.name), key, None, None))
+  }
+
+  /** INCREMENTAL bin-packing compaction (r17 — Delta OPTIMIZE's real
+    * form): [[compact]]/[[compactClustered]] rewrite the WHOLE live
+    * set, which is exactly the cost a 100 TB maintenance pass cannot
+    * pay — production OPTIMIZE rewrites ONLY files smaller than a
+    * threshold, bin-packed toward a target size, and leaves the big
+    * well-formed files untouched. Selects live files with
+    * `rows < smallRows`, sorts them by key range (kmin, then smin) so
+    * the packed outputs stay range-ADJACENT (per-file pruning
+    * survives — a hash-random packing would give every output the
+    * full key span), greedily bins consecutive candidates up to
+    * `targetRows`, rewrites each bin into ONE file, and commits every
+    * bin atomically (dataChange=false — the change feed skips it, no
+    * row changed). A bin of one is left alone (rewriting a lone small
+    * file buys nothing); a DV'd small file entering a bin
+    * materializes its vector like any rewrite. Returns the current
+    * version untouched when no bin forms — the steady state a
+    * scheduled OPTIMIZE loop hits between ingest bursts. */
+  def compactBinPack(spark: SparkSession, root: String, key: String,
+                     smallRows: Long, targetRows: Long): Long =
+    occRetry(root, "OPTIMIZE", dataChange = false) { v =>
+      val st = replayState(root, None)
+      val small = st.live.filter(_.rows < smallRows)
+        .sortBy(f => (f.kmin, f.smin.getOrElse("")))
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[FileEntry]]
+      var bin = Vector.empty[FileEntry]
+      var rows = 0L
+      small.foreach { f =>
+        bin :+= f; rows += f.rows
+        if (rows >= targetRows) { bins += bin; bin = Vector.empty; rows = 0L }
+      }
+      if (bin.size >= 2) bins += bin  // the tail bin still packs
+      val packable = bins.filter(_.size >= 2).toSeq
+      if (packable.isEmpty) None
+      else {
+        val declared = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+        val adds = packable.zipWithIndex.flatMap { case (b, i) =>
+          writeFiles(spark,
+            readEntries(spark, root, b, declared, key).coalesce(1),
+            root, key, f"$v%010d-optimize$i", st.statsCols)
+        }
+        Some((adds, packable.flatten.map(_.name), key, None, None))
+      }
+    }
+
+  /** LOG RETENTION (r17 — Delta's logRetentionDuration, the metadata
+    * half of [[vacuum]]): physically delete commit records SUBSUMED by
+    * a checkpoint older than the retention horizon, plus the
+    * checkpoints older still. A long-lived CDC sink commits per
+    * micro-batch forever; checkpointing made REPLAY flat, but the log
+    * directory itself grows without bound — every commit lists it
+    * (O(history) per commit, O(n²) over a stream's life) and a 100 TB
+    * deployment's object-store listing pays per entry. Keeps: every
+    * record above `head - keepVersions`, the newest checkpoint at or
+    * below the horizon (the replay base), and everything after it.
+    * Time travel below the horizon then fails LOUDLY (replayState
+    * refuses a truncated-history replay rather than returning a
+    * silently partial state); head reads, history() and the change
+    * feed over the retained suffix are untouched. Returns deleted
+    * file names. No-ops (returns empty) until a checkpoint ≤ horizon
+    * exists — cleanup never sacrifices replayability. */
+  def cleanupLog(root: String, keepVersions: Int): Seq[String] = {
+    val head = currentVersion(root)
+    val horizon = head - keepVersions
+    val base = checkpointAtOrBelow(root, horizon).map(_.version).getOrElse {
+      return Seq.empty
+    }
+    val d = logDir(root)
+    val doomedRecords = logVersions(root).filter(_ <= base)
+      .map(logName)
+    val doomedCkpts = listDir(d).map(_.getFileName.toString)
+      .filter(_.matches("ckpt-v\\d{10}\\.json"))
+      .filter(_.stripPrefix("ckpt-v").stripSuffix(".json").toLong < base)
+    val doomed = doomedRecords ++ doomedCkpts
+    doomed.foreach(n => Files.deleteIfExists(d.resolve(n)))
+    doomed
   }
 
   /** Z-ORDERED compaction — [[compactClustered]]'s TWO-dimension form

@@ -1103,6 +1103,76 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
       "an invariant only in pre-checkpoint records would silently vanish")
   }
 
+  // ---- r17: incremental OPTIMIZE + log retention -----------------------
+
+  test("compactBinPack: packs only the small files, range-adjacent, rows identical") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-binpack")          // 4 files × 250 rows
+    val big = TxTable.snapshot(root)
+    // six 2-row ingest bursts in disjoint bands above the base range
+    (1 to 6).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((1000L + i * 10, s"s$i"), (1001L + i * 10, s"t$i")).toDF("k", "v"),
+        "k")
+    }
+    val bigNames = big.map(_.name).toSet
+    def mtimes(): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      try l.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally l.close()
+    }
+    val before = mtimes()
+    val smallBefore = TxTable.snapshot(root).count(f => !bigNames.contains(f.name))
+    TxTable.compactBinPack(spark, root, "k", smallRows = 100L, targetRows = 6L)
+    assert(bigNames.forall(n => mtimes().get(n) == before.get(n)),
+      "OPTIMIZE must leave the big files byte-untouched")
+    val live = TxTable.snapshot(root)
+    val packed = live.filter(f => !bigNames.contains(f.name))
+    assert(packed.size < smallBefore, "small files must pack")
+    // range adjacency preserved: packed files' key ranges are disjoint
+    val sorted = packed.sortBy(_.kmin)
+    assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a.kmax < b.kmin },
+      "packed outputs must keep disjoint key ranges for pruning")
+    val expect = rows(base) ++ (1 to 6).flatMap(i =>
+      Seq((1000L + i * 10, s"s$i"), (1001L + i * 10, s"t$i")))
+    assert(rows(TxTable.read(spark, root)) === expect.toSet)
+    // the steady state: nothing small remains unpacked → no-op commit
+    val v = TxTable.currentVersion(root)
+    TxTable.compactBinPack(spark, root, "k", smallRows = 3L, targetRows = 6L)
+    assert(TxTable.currentVersion(root) === v,
+      "an OPTIMIZE with nothing to pack must not commit")
+  }
+
+  test("cleanupLog: bounded log metadata; loud below the horizon; txns survive") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-logret")                        // v1
+    (1 to 12).foreach { i =>                                     // v2..v13
+      TxTable.merge(spark, root,
+        Seq((i.toLong, s"u$i")).toDF("k", "v"), "k",
+        txn = if (i == 4) Some(("app", 5L)) else None)
+    }
+    // nothing reclaimable while the horizon predates every checkpoint
+    assert(TxTable.cleanupLog(root, keepVersions = 20).isEmpty)
+    val gone = TxTable.cleanupLog(root, keepVersions = 2)
+    assert(gone.contains("v0000000001.json") &&
+      gone.contains("v0000000010.json") && !gone.exists(_.contains("0011")))
+    // head unchanged, the checkpoint version readable, below it loud
+    assert(TxTable.read(spark, root).count() === 1000)
+    assert(TxTable.read(spark, root, Some(10L)).count() === 1000)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.read(spark, root, Some(9L))
+    }
+    assert(e.getMessage.contains("retention horizon"))
+    // the idempotence watermark recorded BEFORE the horizon survives
+    // via the checkpoint, not the (deleted) commit records
+    assert(TxTable.lastTxn(root, "app") === Some(5L))
+    assert(TxTable.history(spark, root).count() === 3)
+    assert(TxTable.currentVersion(root) === 13L)
+  }
+
   // ---- r17: shallow clone ---------------------------------------------
 
   private def dataDirNames(root: String): Set[String] = {
