@@ -779,6 +779,7 @@ object SparkEntry {
     "q91_tx_clone" -> Seq("o_orderkey"),
     "q92_tx_optimize" -> Seq("o_orderkey"),
     "q93_tx_log_retention" -> Seq("o_orderkey"),
+    "q94_tx_cdc_files" -> Seq("_commit_version", "o_orderkey", "_change_type"),
     "st43_change_feed" -> Seq("o_custkey"),
     "st44_erasure_dv_stream" -> Seq("source"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
@@ -2205,6 +2206,45 @@ object SparkEntry {
         "a replay below the retention horizon must refuse loudly")
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q94 (r17): WRITE-TIME CDC FILES — Delta's _change_data: a table
+    // created with cdc=true MATERIALIZES each commit's change rows as
+    // tiny sidecar files, so the feed is write-once-read-many — every
+    // consumer (st43 subscribers, c71 cascades, q81 audits) reads the
+    // change files instead of re-reading full pre/post data files and
+    // re-running the diff join per read. The gate's proof is physical
+    // and load-bearing: EVERY non-cdc file in the data directory is
+    // deleted before the feed is read — a diff replay would need the
+    // pre/post files and fail; the materialized feed answers in full.
+    // A no-op update tier (%12 keys arrive unchanged) pins the
+    // exclusion contract at write time. Oracle = the relational CDC
+    // of the merge (inserts + real updates) and the delete.
+    "q94_tx_cdc_files" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = stageDir(d) + "/q94_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey", cdc = true)
+      val u = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(pmod(col("o_orderkey"), lit(12)) === 0, col("o_totalprice"))
+            .otherwise(col("o_totalprice") * 2).as("o_totalprice"))
+      graft.sources.TxTable.merge(s, root, u, "o_orderkey")          // v2
+      graft.sources.TxTable.deleteKeys(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select(col("o_orderkey")), "o_orderkey")                  // v3
+      // the load-bearing proof: the feed must need ONLY the cdc files
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      val doomed = try l.iterator().asScala
+        .filter(p => !p.getFileName.toString.startsWith("cdc-")).toSeq
+        finally l.close()
+      require(doomed.nonEmpty)
+      doomed.foreach(java.nio.file.Files.delete(_))
+      graft.sources.TxTable.changes(s, root, 1L,
+          graft.sources.TxTable.currentVersion(root))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("_change_type"), col("_commit_version"))
     }),
     // q91 (r17): SHALLOW CLONE — Delta's CLONE, zero-copy branching: a
     // 100 TB table branches for an experiment in ONE metadata write
@@ -4726,6 +4766,43 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey % 2 = 0 AND o_orderkey % 17 NOT BETWEEN 1 AND 15
          ORDER BY 1""",
+    // q94: the materialized feed equals the relational CDC — inserts
+    // (odd %3 keys), real updates pre+post (%3 even keys whose doubled
+    // price differs; %12 no-ops and zero prices stay silent), then the
+    // %5 deletes over the post-merge state (the physical
+    // only-cdc-files-survive proof is a gate require)
+    "q94_tx_cdc_files" ->
+      """WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         u AS (SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice
+                      ELSE o_totalprice * 2 END AS o_totalprice
+               FROM orders WHERE o_orderkey % 3 = 0),
+         ins AS (SELECT u.o_orderkey, u.o_custkey, u.o_totalprice,
+                   'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+                 FROM u WHERE u.o_orderkey % 2 <> 0),
+         ch AS (SELECT u.o_orderkey FROM u JOIN cur c USING (o_orderkey)
+                WHERE u.o_totalprice <> c.o_totalprice),
+         upre AS (SELECT c.o_orderkey, c.o_custkey, c.o_totalprice,
+                    'update_preimage' AS _change_type,
+                    CAST(2 AS BIGINT) AS _commit_version
+                  FROM cur c JOIN ch USING (o_orderkey)),
+         upost AS (SELECT u.o_orderkey, u.o_custkey, u.o_totalprice,
+                     'update_postimage' AS _change_type,
+                     CAST(2 AS BIGINT) AS _commit_version
+                   FROM u JOIN ch USING (o_orderkey)),
+         m AS (SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+                 CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                      ELSE c.o_custkey END AS o_custkey,
+                 CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                      ELSE c.o_totalprice END AS o_totalprice
+               FROM cur c FULL OUTER JOIN u ON c.o_orderkey = u.o_orderkey),
+         del AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                   'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+                 FROM m WHERE o_orderkey % 5 = 0)
+         SELECT * FROM ins UNION ALL SELECT * FROM upre
+         UNION ALL SELECT * FROM upost UNION ALL SELECT * FROM del
+         ORDER BY _commit_version, o_orderkey, _change_type""",
     // st43: the incrementally-maintained aggregate must equal the
     // from-scratch recompute over the upstream head — initial %3=0
     // load, %3=1 inserts, even keys' prices doubled, %5 rewrite-

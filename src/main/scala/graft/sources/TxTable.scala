@@ -124,7 +124,9 @@ object TxTable {
                     dataChange: Option[Boolean] = None,
                     statsCols: Option[Seq[String]] = None,
                     clearSchema: Option[Boolean] = None,
-                    invariants: Option[Map[String, String]] = None)
+                    invariants: Option[Map[String, String]] = None,
+                    cdc: Option[Seq[String]] = None,
+                    cdcOn: Option[Boolean] = None)
   /** A materialized snapshot of the replay state at `version` — live
     * file entries in replay order, the schema then in force, and the
     * per-app last-transaction watermarks (txns must survive the
@@ -135,14 +137,16 @@ object TxTable {
                                 schema: Option[String], live: Seq[FileEntry],
                                 txns: Option[Map[String, Long]] = None,
                                 statsCols: Option[Seq[String]] = None,
-                                invariants: Option[Map[String, String]] = None)
+                                invariants: Option[Map[String, String]] = None,
+                                cdcOn: Option[Boolean] = None)
   /** Replay result: live files in insertion order, schema in force,
     * per-appId max recorded transaction version, the table's key
     * column, and its declared secondary statistics columns. */
   private case class State(live: Seq[FileEntry], schema: Option[String],
                            txns: Map[String, Long], key: String = "",
                            statsCols: Seq[String] = Seq.empty,
-                           invariants: Map[String, String] = Map.empty)
+                           invariants: Map[String, String] = Map.empty,
+                           cdcOn: Boolean = false)
 
   /** Commits between checkpoints; replay reads ≤ this many records. */
   private val CheckpointInterval = 10
@@ -224,12 +228,14 @@ object TxTable {
     var key: String = ""
     var statsCols: Seq[String] = Seq.empty
     var invariants: Map[String, String] = Map.empty
+    var cdcOn: Boolean = false
     ck.foreach { c =>
       c.live.foreach(a => live.update(a.name, a))
       schema = c.schema
       key = c.key
       c.statsCols.foreach(statsCols = _)
       c.invariants.foreach(invariants = _)
+      c.cdcOn.foreach(cdcOn = _)
       c.txns.foreach(_.foreach { case (app, v) => txns.update(app, v) })
     }
     val from = ck.map(_.version).getOrElse(0L)
@@ -242,10 +248,12 @@ object TxTable {
       key = c.key
       c.statsCols.foreach(statsCols = _)
       c.invariants.foreach(invariants = _)
+      c.cdcOn.foreach(cdcOn = _)
       c.txn.foreach(t => txns.update(t.appId,
         math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))))
     }
-    State(live.values.toSeq, schema, txns.toMap, key, statsCols, invariants)
+    State(live.values.toSeq, schema, txns.toMap, key, statsCols, invariants,
+      cdcOn)
   }
 
   /** Live file entries as of `asOf` (inclusive; None = latest). */
@@ -273,7 +281,8 @@ object TxTable {
       val rec = Serialization.write(Checkpoint(v, key, st.schema, st.live,
         if (st.txns.isEmpty) None else Some(st.txns),
         if (st.statsCols.isEmpty) None else Some(st.statsCols),
-        if (st.invariants.isEmpty) None else Some(st.invariants)))
+        if (st.invariants.isEmpty) None else Some(st.invariants),
+        if (st.cdcOn) Some(true) else None))
       val d = logDir(root)
       try Files.write(d.resolve(ckptName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -404,6 +413,64 @@ object TxTable {
     }
   }
 
+  /** Write change rows (table columns + `_change_type`) as CDC sidecar
+    * files for commit `v` (r17 — Delta's `_change_data`, written only
+    * for tables created with `cdc = true`): the feed's rows are
+    * MATERIALIZED once at commit time, so every downstream consumer
+    * ([[changes]], the st43 subscribers, c71-style cascades) reads the
+    * tiny change files instead of re-reading the full pre/post data
+    * files and re-running the diff join — write-once-read-many, work
+    * ∝ changed rows. Empty change sets write nothing (a no-op commit
+    * stays metadata-only). */
+  private def writeCdcFiles(spark: SparkSession, df: DataFrame,
+                            root: String, v: Long): Option[Seq[String]] = {
+    if (df.isEmpty) return None
+    val tmp = Files.createTempDirectory(Paths.get(root), "stage-cdc-")
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val moved = listDir(tmp)
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString).zipWithIndex.map { case (p, i) =>
+          val dest = dataDir(root).resolve(f"cdc-$v%010d-$nonce-$i.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          dest.getFileName.toString
+        }
+      if (moved.isEmpty) None else Some(moved)
+    } finally {
+      listDir(tmp).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** The change rows an upsert produces, computed AT WRITE TIME from
+    * the same (pre, post) struct comparison the diff-based [[changes]]
+    * replay uses — parity is spec-pinned: carried rows are silent,
+    * no-op updates (pre <=> post) are silent, source-only keys are
+    * inserts, value changes emit pre+post. Both sides project through
+    * the FINAL column set so widening merges compare in one type
+    * domain. */
+  private def cdcOfUpsert(base: DataFrame, updates: DataFrame, key: String,
+                          fields: Seq[org.apache.spark.sql.types.StructField])
+      : DataFrame = {
+    def norm(df: DataFrame) = df.select(fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val cols = fields.map(_.name)
+    val p = norm(base).select(col(key).as("_k"),
+      struct(cols.map(col): _*).as("_pre"))
+    val u = norm(updates).select(col(key).as("_k"),
+      struct(cols.map(col): _*).as("_post"))
+    val j = p.join(u, p("_k") <=> u("_k"), "full_outer")
+    val diff = col("_pre").isNotNull && col("_post").isNotNull &&
+      !(col("_pre") <=> col("_post"))
+    j.filter(col("_pre").isNull && col("_post").isNotNull)
+      .select(col("_post.*")).withColumn("_change_type", lit("insert"))
+      .unionByName(j.filter(diff).select(col("_pre.*"))
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(j.filter(diff).select(col("_post.*"))
+        .withColumn("_change_type", lit("update_postimage")))
+  }
+
   /** Atomic create-if-absent commit AT a specific version; false when
     * another committer won that version. The caller (the OCC loop in
     * [[occRetry]]) must then RE-DERIVE its diff from the new snapshot —
@@ -447,14 +514,16 @@ object TxTable {
                         op: Option[String] = None,
                         dataChange: Option[Boolean] = None,
                         statsCols: Option[Seq[String]] = None,
-                        invariants: Option[Map[String, String]] = None): Boolean = {
+                        invariants: Option[Map[String, String]] = None,
+                        cdc: Option[Seq[String]] = None,
+                        cdcOn: Option[Boolean] = None): Boolean = {
     Files.createDirectories(logDir(root))
     val (schemaField, clearFlag) =
       if (schema.contains(ClearSchemaMarker)) (None, Some(true))
       else (schema, None)
     val rec = Serialization.write(
       Commit(v, key, adds, removes, schemaField, txn, op, dataChange,
-        statsCols, clearFlag, invariants))
+        statsCols, clearFlag, invariants, cdc, cdcOn))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -535,21 +604,22 @@ object TxTable {
   private def occRetry(root: String, op: String, dataChange: Boolean = true,
                        maxAttempts: Int = 20, allowRebase: Boolean = false)(
       attempt: Long => Option[(Seq[FileEntry], Seq[String], String,
-        Option[String], Option[TxnAction])]): Long = {
+        Option[String], Option[TxnAction], Option[Seq[String]])]): Long = {
     var tries = 0
     while (tries < maxAttempts) {
       val v = currentVersion(root) + 1
       attemptInvocations.incrementAndGet()
       attempt(v) match {
         case None => return currentVersion(root)
-        case Some((adds, removes, key, schema, txn)) =>
+        case Some((adds, removes, key, schema, txn, cdc)) =>
           Option(testRaceInjector.getAndSet(null)).foreach(_.run())
           var tv = v
           var rebases = 0
           var rebasing = true
           while (rebasing) {
             if (tryCommit(root, key, tv, adds, removes, schema, txn,
-                Some(op), if (dataChange) None else Some(false))) {
+                Some(op), if (dataChange) None else Some(false),
+                cdc = cdc)) {
               maybeCheckpoint(root, tv, key)
               return tv
             }
@@ -608,10 +678,17 @@ object TxTable {
     * `invariants` (r17) declares named CHECK constraints (SQL boolean
     * expressions over the table columns) recorded in the log and
     * enforced — atomically, refusal commits nothing — on the initial
-    * load and on every [[merge]]/[[mergeConditional]] from then on. */
+    * load and on every [[merge]]/[[mergeConditional]] from then on.
+    * `cdc = true` (r17 — Delta's enableChangeDataFeed) makes every
+    * data-changing commit MATERIALIZE its change rows as CDC sidecar
+    * files, so [[changes]] serves consumers from the tiny change
+    * files instead of re-diffing pre/post data files per read —
+    * write-once-read-many; opt-in because it adds write cost
+    * (a DV delete then reads full rows, not just keys). */
   def create(spark: SparkSession, df: DataFrame, root: String,
              key: String, statsCols: Seq[String] = Seq.empty,
-             invariants: Seq[(String, String)] = Seq.empty): Long = {
+             invariants: Seq[(String, String)] = Seq.empty,
+             cdc: Boolean = false): Long = {
     enforceInvariants(df, invariants.toMap, "create")
     val r = Paths.get(root)
     if (Files.exists(r)) { // full replace: drop log + data
@@ -625,7 +702,8 @@ object TxTable {
     require(tryCommit(root, key, 1L, adds, Seq.empty, Some(df.schema.json),
         None, Some("CREATE"), None,
         if (statsCols.isEmpty) None else Some(statsCols),
-        if (invariants.isEmpty) None else Some(invariants.toMap)),
+        if (invariants.isEmpty) None else Some(invariants.toMap),
+        None, if (cdc) Some(true) else None),
       s"TxTable at $root: concurrent create detected")
     1L
   }
@@ -1031,9 +1109,17 @@ object TxTable {
           else Some(StructType(tableSchema.get.fields.map(f =>
             widened.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++
             added.map(c => updates.schema(c))).json)
+        val cdc = if (!st.cdcOn) None else {
+          val finalFields = newSchema
+            .map(DataType.fromJson(_).asInstanceOf[StructType].fields.toSeq)
+            .orElse(tableSchema.map(_.fields.toSeq))
+            .getOrElse(merged.schema.fields.toSeq)
+          writeCdcFiles(spark, cdcOfUpsert(base, updates, key, finalFields),
+            root, v)
+        }
         Some((writeFiles(spark, merged, root, key, f"$v%010d-merge", st.statsCols),
           touched.map(_.name), key, newSchema,
-          txn.map { case (app, tv) => TxnAction(app, tv) }))
+          txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
       }
     }
   }
@@ -1137,11 +1223,34 @@ object TxTable {
           else when(takeSrc, srcAcc(c)).otherwise(tgtAcc(c)).as(c)
         }: _*)
         enforceInvariants(merged, st.invariants, "mergeConditional")
+        val cdc = if (!st.cdcOn) None else {
+          // change rows straight from the clause join: the same
+          // outcomes the rewrite materializes, emitted as the feed —
+          // deletes carry the target row, updates pre+post (no-op
+          // updates where the source equals the target stay silent),
+          // clause-admitted source-only keys insert
+          def side(acc: String => org.apache.spark.sql.Column) =
+            struct(tblCols.map(c =>
+              (if (c == key) col("_mk") else acc(c)).as(c)): _*)
+          def rows(cond: org.apache.spark.sql.Column,
+                   acc: String => org.apache.spark.sql.Column,
+                   tpe: String) =
+            j.filter(cond).select(tblCols.map(c =>
+                (if (c == key) col("_mk") else acc(c)).as(c)): _*)
+              .withColumn("_change_type", lit(tpe))
+          val updDiff = matched && !delC && updC &&
+            !(side(srcAcc) <=> side(tgtAcc))
+          val cdcDf = rows(matched && delC, tgtAcc, "delete")
+            .unionByName(rows(updDiff, tgtAcc, "update_preimage"))
+            .unionByName(rows(updDiff, srcAcc, "update_postimage"))
+            .unionByName(rows(srcOnly && insC, srcAcc, "insert"))
+          writeCdcFiles(spark, cdcDf, root, v)
+        }
         val adds = writeFiles(spark, merged, root, key,
           f"$v%010d-merge", st.statsCols)
         if (adds.isEmpty && touched.isEmpty && txn.isEmpty) None
         else Some((adds, touched.map(_.name), key, None,
-          txn.map { case (app, tv) => TxnAction(app, tv) }))
+          txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
       }
     }
   }
@@ -1173,8 +1282,12 @@ object TxTable {
           st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), key)
         val remaining = base.join(keys.select(col(key)).distinct(),
           Seq(key), "left_anti")
+        val cdc = if (!st.cdcOn) None else
+          writeCdcFiles(spark,
+            base.join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
+              .withColumn("_change_type", lit("delete")), root, v)
         Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete",
-          st.statsCols), touched.map(_.name), key, None, None))
+          st.statsCols), touched.map(_.name), key, None, None, cdc))
       }
     }
   }
@@ -1225,6 +1338,11 @@ object TxTable {
         val ks = keys.select(col(key)).filter(col(key).isNotNull)
           .distinct().localCheckpoint()
         val nonce = java.util.UUID.randomUUID().toString.take(8)
+        // change-feed materialization (cdc-enabled tables only): the
+        // newly-dead FULL rows per file — the one case where a DV
+        // delete reads more than the key column, the documented CDF
+        // write cost (Delta pays the same)
+        val cdcFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         // per-touched-file: the pruning contract keeps this loop short
         // (∝ files whose key range intersects the deletes), and each
         // pass is a single-file key-column scan
@@ -1238,6 +1356,19 @@ object TxTable {
           val oldCnt = oldDv.map(_.count()).getOrElse(0L)
           if (newCnt == oldCnt) None  // no key of this file newly deleted
           else {
+            if (st.cdcOn) {
+              val newDead = oldDv
+                .map(d => combined.join(d, Seq(key), "left_anti"))
+                .getOrElse(combined)
+              val full = declared match {
+                case Some(ts) => spark.read.schema(ts)
+                  .parquet(dataDir(root).resolve(f.name).toString)
+                case None => spark.read
+                  .parquet(dataDir(root).resolve(f.name).toString)
+              }
+              cdcFrames += full.join(newDead, Seq(key), "left_semi")
+                .withColumn("_change_type", lit("delete"))
+            }
             // exact live count by anti-join (robust to duplicate keys
             // inside a created-not-merged file, where per-key
             // arithmetic would drift)
@@ -1263,8 +1394,12 @@ object TxTable {
           }
         }
         if (changed.isEmpty && txn.isEmpty) None // raced to a no-op
-        else Some((changed.flatMap(_._2), changed.map(_._1.name), key, None,
-          txn.map { case (app, tv) => TxnAction(app, tv) }))
+        else {
+          val cdc = cdcFrames.reduceOption(_.unionByName(_))
+            .flatMap(df => writeCdcFiles(spark, df, root, v))
+          Some((changed.flatMap(_._2), changed.map(_._1.name), key, None,
+            txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
+        }
       }
     }
 
@@ -1316,10 +1451,19 @@ object TxTable {
     val horizon = math.max(1L, head - keepVersions)
     // a retained entry's DELETION-VECTOR sidecar is as load-bearing as
     // its data file (r17): reclaiming one would break every DV-aware
-    // read of a still-retained version
+    // read of a still-retained version. CDC change files of retained
+    // versions are likewise load-bearing for the feed over that range;
+    // older ones (and those whose records cleanupLog removed) are
+    // reclaimable — a feed read past them fails loudly, the same
+    // contract as time travel.
+    val cdcRetained = logVersions(root).filter(_ >= horizon).flatMap { v =>
+      try readJson[Commit](logDir(root).resolve(logName(v))).cdc
+        .getOrElse(Seq.empty)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }.toSet
     val retained = (horizon to head)
       .flatMap(v => snapshot(root, Some(v))
-        .flatMap(f => f.name +: f.dv.toSeq)).toSet
+        .flatMap(f => f.name +: f.dv.toSeq)).toSet ++ cdcRetained
     val d = dataDir(root)
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val doomed = listDir(d).filter(p =>
@@ -1388,7 +1532,7 @@ object TxTable {
           // exception where None meant "unchanged" and the clear was
           // inexpressible)
           target.schema.orElse(Some(ClearSchemaMarker))
-        else None, None))
+        else None, None, None))
     }
 
   /** Compaction as a commit: rewrite the current live set into
@@ -1402,7 +1546,7 @@ object TxTable {
     val st = replayState(root, None)
     val df = read(spark, root).repartition(numFiles)
     Some((writeFiles(spark, df, root, key, f"$v%010d-compact", st.statsCols),
-      st.live.map(_.name), key, None, None))
+      st.live.map(_.name), key, None, None, None))
   }
 
   /** CLUSTERED compaction — the pruning-preserving variant (Delta's
@@ -1425,7 +1569,7 @@ object TxTable {
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
     Some((writeFiles(spark, df, root, key, f"$v%010d-cluster", st.statsCols),
-      st.live.map(_.name), key, None, None))
+      st.live.map(_.name), key, None, None, None))
   }
 
   /** INCREMENTAL bin-packing compaction (r17 — Delta OPTIMIZE's real
@@ -1469,7 +1613,7 @@ object TxTable {
             readEntries(spark, root, b, declared, key).coalesce(1),
             root, key, f"$v%010d-optimize$i", st.statsCols)
         }
-        Some((adds, packable.flatten.map(_.name), key, None, None))
+        Some((adds, packable.flatten.map(_.name), key, None, None, None))
       }
     }
 
@@ -1534,7 +1678,7 @@ object TxTable {
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
     Some((writeFiles(spark, laid, root, key, f"$v%010d-zorder", st.statsCols),
-      st.live.map(_.name), key, None, None))
+      st.live.map(_.name), key, None, None, None))
   }
 
   /** DESCRIBE HISTORY — the commit log surfaced as a DataFrame, one row
@@ -1624,15 +1768,30 @@ object TxTable {
         val pre = c.removes.flatMap(live.get)
         c.removes.foreach(live.remove)
         c.adds.foreach(a => live.update(a.name, a))
-        (v, c.key, pre, c.adds, c.dataChange.getOrElse(true))
+        (v, c.key, pre, c.adds, c.dataChange.getOrElse(true), c.cdc)
       }
-    val frames = steps.filter(_._5).flatMap { case (v, key, pre, post, _) =>
+    val frames = steps.filter(_._5).flatMap { case (v, key, pre, post, _, cdc) =>
       def rdE(entries: Seq[FileEntry]): DataFrame =
         readEntries(spark, root, entries, outSchema, key)
       def tagged(df: DataFrame, tpe: String): DataFrame =
         df.withColumn("_change_type", lit(tpe))
           .withColumn("_commit_version", lit(v))
-      (pre.nonEmpty, post.nonEmpty) match {
+      // MATERIALIZED change files (r17, cdc-enabled tables): the
+      // commit wrote its own change rows, so serve them directly —
+      // work ∝ changed rows, no pre/post re-read, no diff join; the
+      // diff replay below remains the fallback for commits (and
+      // whole tables) without them
+      cdc match {
+        case Some(names) =>
+          val paths = names.map(n => dataDir(root).resolve(n).toString)
+          val df = outSchema match {
+            case Some(ts) => spark.read.schema(StructType(ts.fields :+
+                org.apache.spark.sql.types.StructField("_change_type",
+                  org.apache.spark.sql.types.StringType))).parquet(paths: _*)
+            case None => spark.read.parquet(paths: _*)
+          }
+          Seq(df.withColumn("_commit_version", lit(v)))
+        case None => (pre.nonEmpty, post.nonEmpty) match {
         case (false, false) => Seq.empty
         case (false, true) => Seq(tagged(rdE(post), "insert"))
         case (true, false) => Seq(tagged(rdE(pre), "delete"))
@@ -1656,6 +1815,7 @@ object TxTable {
             tagged(j.filter(col("_pre").isNotNull && col("_post").isNotNull &&
               !(col("_pre") <=> col("_post")))
               .select(col("_post.*")), "update_postimage"))
+        }
       }
     }
     frames.reduceOption(_.unionByName(_)).getOrElse {

@@ -1173,6 +1173,79 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.currentVersion(root) === 13L)
   }
 
+  // ---- r17: write-time CDC files ---------------------------------------
+
+  test("CDC files: feed parity with the diff replay, across every operation kind") {
+    import spark.implicits._
+    def build(prefix: String, cdc: Boolean): String = {
+      val root = tempDir(prefix).toString + "/tbl"
+      val base = (0L until 200L).map(k => (k, s"v$k", 0L)).toDF("k", "v", "seq")
+        .repartitionByRange(2, col("k"))
+      TxTable.create(spark, base, root, "k", cdc = cdc)
+      // merge: an insert, a real update, and a NO-OP update (same row)
+      TxTable.merge(spark, root,
+        Seq((500L, "ins", 1L), (5L, "upd", 1L), (6L, "v6", 0L))
+          .toDF("k", "v", "seq"), "k")
+      // conditional merge: delete-op, stale update (kept), fresh update
+      val del: TxTable.MergeCond = (s, _) => s("v") === "DEL"
+      val newer: TxTable.MergeCond = (s, t) => s("seq") > t("seq")
+      TxTable.mergeConditional(spark, root,
+        Seq((10L, "DEL", 9L), (11L, "stale", -1L), (12L, "fresh", 3L))
+          .toDF("k", "v", "seq"), "k",
+        matchedDelete = Some(del), matchedUpdate = Some(newer))
+      TxTable.deleteKeys(spark, root, Seq(20L, 21L).toDF("k"), "k")
+      TxTable.deleteKeysDV(spark, root, Seq(30L, 31L).toDF("k"), "k")
+      root
+    }
+    val plain = build("txt-cdc-plain", cdc = false)
+    val withCdc = build("txt-cdc-on", cdc = true)
+    def feed(root: String): Set[(Long, String, Long, String, Long)] =
+      TxTable.changes(spark, root, 1L, TxTable.currentVersion(root))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+        .toSet
+    val expected = feed(plain)
+    assert(feed(withCdc) === expected,
+      "materialized change files must equal the diff replay exactly")
+    // the materialized feed needs NO data files: physically delete
+    // every non-cdc file and ask again
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(withCdc, "data"))
+    val doomed = try l.iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("cdc-")).toSeq
+      finally l.close()
+    doomed.foreach(java.nio.file.Files.delete(_))
+    assert(feed(withCdc) === expected,
+      "the feed must serve from the change files alone")
+  }
+
+  test("CDC files: vacuum keeps the retained window's change files, reclaims older") {
+    import spark.implicits._
+    val root = tempDir("txt-cdc-vac").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"), root, "k",
+      cdc = true)                                                   // v1
+    TxTable.merge(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")  // v2
+    TxTable.merge(spark, root, Seq((2L, "b")).toDF("k", "v"), "k")  // v3
+    def cdcOnDisk(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("cdc-")).toSet
+      finally l.close()
+    }
+    assert(cdcOnDisk().count(_.startsWith("cdc-0000000002")) > 0)
+    // keepVersions=1 → horizon v2: v2's and v3's change files survive
+    TxTable.vacuum(root, keepVersions = 1, minAgeMillis = 0)
+    assert(cdcOnDisk().count(_.startsWith("cdc-0000000002")) > 0)
+    assert(TxTable.changes(spark, root, 1L, 3L)
+      .filter(col("_change_type") === "update_postimage").count() === 2)
+    // head-only retention: v2's change file is now reclaimable
+    TxTable.vacuum(root, keepVersions = 0, minAgeMillis = 0)
+    assert(cdcOnDisk().count(_.startsWith("cdc-0000000002")) === 0)
+    assert(cdcOnDisk().count(_.startsWith("cdc-0000000003")) > 0)
+  }
+
   // ---- r17: shallow clone ---------------------------------------------
 
   private def dataDirNames(root: String): Set[String] = {
