@@ -487,6 +487,34 @@ class ExplainSourcesSpec extends AnyFunSuite with SharedSpark {
     assert(joins <= 4, s"lineage not cut (expected <=4 joins, got $joins) in:\n$p")
   }
 
+  test("DV read plan: pairs broadcast as a hash anti-join, no shuffle, filters pushed to both branches") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = Files.createTempDirectory("explain-dv").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), root, "k")
+    TxTable.deleteKeysDV(spark, root, (10L until 20L).toDF("k"), "k")
+    val df = TxTable.readWhere(spark, root, "k", 0L, 600L)
+    df.collect() // AQE finalizes on execution
+    val p = plan(df)
+    // the (file, key) DV pairs must broadcast into a HASH anti-join —
+    // a nested-loop here would be a per-row scan of the pair list
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV application is not a broadcast hash anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"DV application degraded to a nested loop:\n$p")
+    // applying a vector must add no shuffle: the only Exchanges allowed
+    // are broadcast ones
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && !l.contains("Broadcast")),
+      s"DV read grew a shuffle:\n$p")
+    // the residual range filter reaches BOTH scans (plain + DV'd)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.count(_.contains("LessThanOrEqual(k,600)")) >= 2,
+      s"range filter not pushed into both union branches:\n${pushed.mkString("\n")}")
+  }
+
   test("date extract and ocr repair are pure maps: no exchange at all") {
     Seq(graft.operators.TextOps.dateExtract(table("documents")),
         graft.operators.TextOps.confusableScrub(table("documents")))
