@@ -57,6 +57,14 @@ object Bench {
     def isolate(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Streaming residue (r17): a stopped streaming query leaves its
+      // loaded state-store providers and the store maintenance thread
+      // behind — both keyed to checkpoint directories the gate already
+      // deleted, so follow-up keys inherit maintenance work and retry
+      // logging they never caused. Unload the lot; it re-initializes
+      // lazily on the next streaming key.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
       // Drain the ContextCleaner BETWEEN keys (r16): shuffle files and
       // broadcast state are cleaned via weak-reference GC, so without a
       // forced collection here the PREVIOUS key's heavy shuffles (the

@@ -2190,9 +2190,17 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val root = stageDir(d) + "/q93_tx"
       graft.sources.TxTable.create(s, cur, root, "o_orderkey")     // v1
-      (1 to 15).foreach { i =>                                     // v2..v16
+      graft.sources.TxTable.compactClustered(s, root, "o_orderkey", 8) // v2
+      // 15 merges over CONTIGUOUS key bands (band i = [i·W, (i+1)·W)):
+      // against the clustered layout each merge prunes to ~one file —
+      // the log grows per commit while the data work stays ∝ the band,
+      // which is the posture whose metadata this gate is about
+      val w = math.max(1L,
+        (orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1) / 100)
+      (1 to 15).foreach { i =>                                     // v3..v17
         graft.sources.TxTable.merge(s, root,
-          orders.filter(pmod(col("o_orderkey"), lit(17)) === i)
+          orders.filter(col("o_orderkey") >= i * w &&
+              col("o_orderkey") < (i + 1) * w)
             .select(col("o_orderkey"), col("o_custkey"),
               lit(i.toDouble).as("o_totalprice")), "o_orderkey")
       }
@@ -4755,16 +4763,19 @@ object SparkEntry {
          UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM b
          ORDER BY 1""",
     // q93: retention deletes metadata, never state — the head equals
-    // the 15-merge chain's algebra (each key hit by at most the one
-    // residue merge that owns it); the v1-record-gone and
-    // loud-below-horizon claims are gate require()s
+    // the 15-band merge chain's algebra (band i = keys in
+    // [i·W, (i+1)·W), W = (max+1)//100, each key owned by one band);
+    // the v1-record-gone and loud-below-horizon claims are gate
+    // require()s
     "q93_tx_log_retention" ->
-      """SELECT o_orderkey, o_custkey,
-                CAST(o_orderkey % 17 AS DOUBLE) AS o_totalprice
-         FROM orders WHERE o_orderkey % 17 BETWEEN 1 AND 15
+      """WITH mk AS (SELECT greatest((max(o_orderkey) + 1) // 100, 1) AS w
+                     FROM orders)
+         SELECT o_orderkey, o_custkey,
+                CAST(o_orderkey // w AS DOUBLE) AS o_totalprice
+         FROM orders, mk WHERE o_orderkey // w BETWEEN 1 AND 15
          UNION ALL
-         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_orderkey % 2 = 0 AND o_orderkey % 17 NOT BETWEEN 1 AND 15
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders, mk
+         WHERE o_orderkey % 2 = 0 AND o_orderkey // w NOT BETWEEN 1 AND 15
          ORDER BY 1""",
     // q94: the materialized feed equals the relational CDC — inserts
     // (odd %3 keys), real updates pre+post (%3 even keys whose doubled
@@ -4805,7 +4816,7 @@ object SparkEntry {
          ORDER BY _commit_version, o_orderkey, _change_type""",
     // st43: the incrementally-maintained aggregate must equal the
     // from-scratch recompute over the upstream head — initial %3=0
-    // load, %3=1 inserts, even keys' prices doubled, %5 rewrite-
+    // load, %3=1 inserts, %9 keys' prices doubled, %5 rewrite-
     // deleted, %7 DV-deleted; cents are per-row rounded longs (the
     // st34/q70 discipline), the sum CAST back to BIGINT for DuckDB's
     // HUGEINT sum
@@ -4813,7 +4824,7 @@ object SparkEntry {
       """WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                     WHERE o_orderkey % 3 IN (0, 1)),
          m AS (SELECT o_orderkey, o_custkey,
-                 CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                 CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
                       ELSE o_totalprice END AS o_totalprice FROM u),
          h AS (SELECT * FROM m
                WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)

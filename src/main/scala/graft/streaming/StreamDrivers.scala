@@ -1977,8 +1977,13 @@ object StreamDrivers {
     try withStatePartitions(spark, 8) {
       val o = graft.Tables.load(spark, sfDir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // cdc=true: the upstream MATERIALIZES change rows at commit
+      // (q94's write-once-read-many), so each subscriber window reads
+      // tiny change files instead of re-diffing pre/post data files —
+      // the production posture for a table with standing subscribers
       TxTable.create(spark,
-        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), src, "o_orderkey") // v1
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), src, "o_orderkey",
+        cdc = true)                                                  // v1
       def aggOf(df: DataFrame) = df.groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
           count(lit(1)).as("n_rows"))
@@ -2017,9 +2022,11 @@ object StreamDrivers {
         o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "o_orderkey") // v2
       poll()
       // window 2: TWO upstream commits, ONE poll — an update merge
-      // (every even key's price doubles) and a rewrite delete
+      // (every %9 key's price doubles — a selective slice, so the
+      // rewrite and the feed window stay ∝ the touched keys) and a
+      // rewrite delete
       val upd2 = TxTable.read(spark, src)
-        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .filter(pmod(col("o_orderkey"), lit(9)) === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_totalprice") * 2).as("o_totalprice"))
         .localCheckpoint()
