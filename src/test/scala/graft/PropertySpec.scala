@@ -367,6 +367,14 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
   }
 
   test("TxTable equals a reference map under random merge/delete/restore interleavings") {
+    // r17: the op mix now draws DV deletes (merge-on-read) and
+    // compactions (plain + bin-packed, dataChange=false) too, the
+    // table is cdc-enabled, and after every history a RANDOM
+    // change-feed window is replayed onto its starting model and must
+    // land exactly on its ending model — one property covering
+    // materialized CDC commits, diff-fallback commits (restore writes
+    // no change file), vectors, and compaction skipping, across
+    // arbitrary interleavings.
     import spark.implicits._
     import graft.sources.TxTable
     val rnd = new Random(41)
@@ -376,9 +384,10 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       var model = Map(0L until 40L map (k => k -> s"v$k"): _*)
       val history = scala.collection.mutable.ArrayBuffer(model)
       TxTable.create(spark,
-        model.toSeq.toDF("k", "v").repartitionByRange(3, col("k")), root, "k")
+        model.toSeq.toDF("k", "v").repartitionByRange(3, col("k")), root, "k",
+        cdc = true)
       for (_ <- 1 to 8) {
-        rnd.nextInt(3) match {
+        rnd.nextInt(5) match {
           case 0 =>   // merge: updates + inserts with distinct keys
             val upd = (1 to 1 + rnd.nextInt(6))
               .map(_ => rnd.nextInt(60).toLong).distinct
@@ -386,7 +395,7 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
             TxTable.merge(spark, root, upd.toDF("k", "v"), "k")
             model = model ++ upd.toMap
             history += model
-          case 1 =>   // delete (possibly absent keys)
+          case 1 =>   // rewrite delete (possibly absent keys)
             val del = (1 to 1 + rnd.nextInt(5))
               .map(_ => rnd.nextInt(60).toLong).distinct
             val before = TxTable.currentVersion(root)
@@ -395,11 +404,26 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
             // delete-of-absent may not commit a version — only record
             // a history step when one was actually created
             if (TxTable.currentVersion(root) != before) history += model
-          case _ =>   // restore to a random earlier version
+          case 2 =>   // merge-on-read delete: same semantics, zero rewrites
+            val del = (1 to 1 + rnd.nextInt(5))
+              .map(_ => rnd.nextInt(60).toLong).distinct
+            val before = TxTable.currentVersion(root)
+            TxTable.deleteKeysDV(spark, root, del.toDF("k"), "k")
+            model = model -- del
+            if (TxTable.currentVersion(root) != before) history += model
+          case 3 =>   // restore to a random earlier version
             val target = 1 + rnd.nextInt(history.size)
             val before = TxTable.currentVersion(root)
             TxTable.restore(root, "k", target.toLong)
             model = history(target - 1)
+            if (TxTable.currentVersion(root) != before) history += model
+          case _ =>   // compaction: bytes move, rows don't, feed skips it
+            val before = TxTable.currentVersion(root)
+            if (rnd.nextBoolean())
+              TxTable.compactClustered(spark, root, "k", 2)
+            else
+              TxTable.compactBinPack(spark, root, "k",
+                smallRows = 30L, targetRows = 40L)
             if (TxTable.currentVersion(root) != before) history += model
         }
         val got = TxTable.read(spark, root).collect()
@@ -412,6 +436,24 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
           .map(r => r.getLong(0) -> r.getString(1)).toMap
         assert(at === m, s"round $round time travel to v${i + 1} diverged")
       }
+      // the change feed over a random window, replayed onto the
+      // window-start model, must land exactly on the window-end model
+      val i = 1 + rnd.nextInt(history.size - 1)
+      val j = i + 1 + rnd.nextInt(history.size - i)
+      val byVersion = TxTable.changes(spark, root, i.toLong, j.toLong)
+        .collect()
+        .groupBy(_.getAs[Long]("_commit_version")).toSeq.sortBy(_._1)
+      var replay = history(i - 1)
+      byVersion.foreach { case (_, rows) =>
+        val dead = rows.filter(r => r.getAs[String]("_change_type") == "delete")
+          .map(_.getLong(0)).toSet
+        val put = rows.filter(r => Set("insert", "update_postimage")
+            .contains(r.getAs[String]("_change_type")))
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        replay = (replay -- dead) ++ put
+      }
+      assert(replay === history(j - 1),
+        s"round $round: feed replay v$i->v$j diverged from the model")
     }
   }
 
