@@ -780,6 +780,7 @@ object SparkEntry {
     "q92_tx_optimize" -> Seq("o_orderkey"),
     "q93_tx_log_retention" -> Seq("o_orderkey"),
     "q94_tx_cdc_files" -> Seq("_commit_version", "o_orderkey", "_change_type"),
+    "q95_tx_append" -> Seq("o_orderkey"),
     "st43_change_feed" -> Seq("o_custkey"),
     "st44_erasure_dv_stream" -> Seq("source"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
@@ -2212,6 +2213,49 @@ object SparkEntry {
       require(scala.util.Try(graft.sources.TxTable
           .read(s, root, Some(5L)).count()).isFailure,
         "a replay below the retention horizon must refuse loudly")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // q95 (r17): blind APPEND — Delta's append mode, the ingest fast
+    // path merge cannot be: no snapshot read, no key join, no rewrite,
+    // adds-only commits. Three txn-stamped streaming bursts land as
+    // new files; the gate REQUIRES every append commit removed zero
+    // files (history), every pre-existing data file byte-untouched
+    // (mtime map), and the replay of the last burst under its txn to
+    // no-op (at-least-once ingest × the guard = exactly-once). Oracle
+    // = the union: the four %4 slices reassemble the whole table.
+    "q95_tx_append" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      def slice(r: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === r)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = stageDir(d) + "/q95_tx"
+      graft.sources.TxTable.create(s, slice(0), root, "o_orderkey")
+      def dataState(): Map[String, java.nio.file.attribute.FileTime] = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+        try l.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p)).toMap
+        finally l.close()
+      }
+      val before = dataState()
+      (1 to 3).foreach { r =>
+        graft.sources.TxTable.append(s, root, slice(r), "o_orderkey",
+          txn = Some(("q95", r.toLong)))
+      }
+      val after = dataState()
+      require(before.forall { case (n, t) => after.get(n).contains(t) },
+        "append must never rewrite an existing file")
+      val h = graft.sources.TxTable.history(s, root).collect()
+      require(h.filter(_.getAs[String]("op") == "APPEND")
+          .forall(_.getAs[Int]("n_removed_files") == 0),
+        "an append commit must remove nothing")
+      // at-least-once replay of the last burst: the guard must no-op it
+      val v = graft.sources.TxTable.currentVersion(root)
+      graft.sources.TxTable.append(s, root, slice(3), "o_orderkey",
+        txn = Some(("q95", 3L)))
+      require(graft.sources.TxTable.currentVersion(root) == v,
+        "a replayed append must no-op on the idempotence guard")
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
@@ -4746,6 +4790,11 @@ object SparkEntry {
            FROM cur c FULL OUTER JOIN upd u ON c.o_orderkey = u.o_orderkey)
          SELECT o_orderkey, o_custkey, o_totalprice FROM m
          WHERE o_orderkey % 5 <> 0 ORDER BY 1""",
+    // q95: the four %4 slices reassemble the table exactly — append
+    // adds rows, never touches existing ones (the adds-only, zero-
+    // rewrite and replay-no-op claims are gate require()s)
+    "q95_tx_append" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY 1""",
     // q92: OPTIMIZE moves bytes, never rows — the read after packing
     // equals the base snapshot plus the six offset ingest bands (the
     // big-files-untouched and fewer-small-files claims are gate

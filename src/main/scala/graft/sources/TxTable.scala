@@ -1255,6 +1255,58 @@ object TxTable {
     }
   }
 
+  /** Blind APPEND (r17 — Delta's append mode): write `df` as new data
+    * files and commit ADDS ONLY — no snapshot read, no key join, no
+    * file rewrite, nothing removed. This is the cheapest ingest path a
+    * log-structured table has, and the one a high-volume streaming
+    * ingest should take when its rows are known-new (event logs,
+    * immutable records): [[merge]] pays a uniqueness check, file
+    * pruning and a rewrite join even when every key is fresh. Two
+    * appends can NEVER conflict semantically, and an append removes
+    * nothing, so OCC races against other appends resolve by rebase
+    * when ranges are disjoint and by a re-stamp-after-re-derive
+    * otherwise — both cheap (the derivation is just the staged write).
+    * CAVEAT, same as Delta's: append does NOT enforce one-row-per-key —
+    * the caller owns key uniqueness; appending an existing key makes
+    * later merges/deletes treat both rows as that key's rows. Schema:
+    * the frame must carry every table column at its declared type (no
+    * evolution here — widen through [[merge]]). CHECK invariants are
+    * enforced on the appended rows (∝ batch); the (appId, version)
+    * idempotence guard makes at-least-once streaming appends
+    * exactly-once; cdc-enabled tables materialize every appended row
+    * as an `insert` change. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             key: String, txn: Option[(String, Long)] = None): Long =
+    occRetry(root, "APPEND", allowRebase = true) { v =>
+      val st = replayState(root, None)
+      if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
+        None   // already applied: idempotent no-op
+      else {
+        st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]).foreach {
+          ts =>
+            val missing = ts.fieldNames.filterNot(df.columns.contains)
+            require(missing.isEmpty,
+              s"TxTable append: frame missing table column(s) " +
+                s"${missing.mkString(", ")}")
+            ts.fields.filter(f => df.columns.contains(f.name)).foreach { f =>
+              require(df.schema(f.name).dataType == f.dataType,
+                s"TxTable append: column '${f.name}' arrives as " +
+                  s"${df.schema(f.name).dataType} but the table declares " +
+                  s"${f.dataType} — no schema evolution on append")
+            }
+        }
+        enforceInvariants(df, st.invariants, "append")
+        val cdc = if (!st.cdcOn) None else
+          writeCdcFiles(spark,
+            df.withColumn("_change_type", lit("insert")), root, v)
+        val adds = writeFiles(spark, df, root, key,
+          f"$v%010d-append", st.statsCols)
+        if (adds.isEmpty && txn.isEmpty) None   // empty batch, no watermark
+        else Some((adds, Seq.empty, key, None,
+          txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
+      }
+    }
+
   /** Storage-level DELETE by key — the other half of a CDC sink: prune
     * to the files whose key range intersects the delete set, rewrite
     * them without those keys, one atomic commit. Delete-of-absent is a

@@ -1173,6 +1173,71 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.currentVersion(root) === 13L)
   }
 
+  // ---- r17: blind append ------------------------------------------------
+
+  test("append: adds-only, zero rewrites, schema enforced, merge interplay") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-append")
+    val before = dataFiles(root)
+    TxTable.append(spark, root,
+      (2000L until 2020L).map(k => (k, s"a$k")).toDF("k", "v"), "k")
+    assert(dataFiles(root).filterKeys(before.contains).toMap === before,
+      "append must not touch existing files")
+    assert(TxTable.read(spark, root).count() === 1020)
+    // schema contract: missing column and type change both refuse
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.append(spark, root, Seq(Tuple1(1L)).toDF("k"), "k")
+    }
+    assert(e1.getMessage.contains("missing table column"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.append(spark, root, Seq((1L, 2)).toDF("k", "v"), "k")
+    }
+    assert(e2.getMessage.contains("no schema evolution on append"))
+    // a later merge treats appended keys like any others
+    TxTable.merge(spark, root, Seq((2005L, "merged")).toDF("k", "v"), "k")
+    assert(rows(TxTable.read(spark, root)) ===
+      rows(base) ++ (2000L until 2020L).map(k =>
+        (k, if (k == 2005L) "merged" else s"a$k")))
+    // the appended files' key stats prune: that merge touched only
+    // the appended range, never the base files
+    assert(dataFiles(root).filterKeys(before.contains).toMap === before)
+  }
+
+  test("append: txn guard, empty-batch watermark, CDC inserts, OCC race") {
+    import spark.implicits._
+    val root = tempDir("txt-append2").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"), root, "k",
+      cdc = true)
+    TxTable.append(spark, root,
+      (200L until 210L).map(k => (k, s"a$k")).toDF("k", "v"), "k",
+      txn = Some(("ing", 1L)))
+    val v = TxTable.currentVersion(root)
+    // at-least-once replay no-ops; an empty batch still advances
+    TxTable.append(spark, root,
+      (200L until 210L).map(k => (k, s"a$k")).toDF("k", "v"), "k",
+      txn = Some(("ing", 1L)))
+    assert(TxTable.currentVersion(root) === v)
+    TxTable.append(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "v"), "k", txn = Some(("ing", 2L)))
+    assert(TxTable.lastTxn(root, "ing") === Some(2L))
+    assert(TxTable.read(spark, root).count() === 110)
+    // cdc: the appended rows arrive as inserts in the feed
+    val ch = TxTable.changes(spark, root, 1L, v)
+    assert(ch.filter(col("_change_type") === "insert").count() === 10)
+    // two appends racing: both land (rebase or re-derive, never lost)
+    val a0 = TxTable.attemptInvocations.get()
+    TxTable.testRaceInjector.set(new Runnable {
+      def run(): Unit = { TxTable.append(spark, root,
+        Seq((900L, "race")).toDF("k", "v"), "k"); () }
+    })
+    TxTable.append(spark, root, Seq((950L, "main")).toDF("k", "v"), "k")
+    assert(TxTable.attemptInvocations.get() - a0 === 2L,
+      "disjoint racing appends must not re-derive")
+    val got = rows(TxTable.read(spark, root))
+    assert(got.contains((900L, "race")) && got.contains((950L, "main")))
+  }
+
   // ---- r17: write-time CDC files ---------------------------------------
 
   test("CDC files: feed parity with the diff replay, across every operation kind") {
