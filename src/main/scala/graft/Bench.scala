@@ -26,12 +26,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", benchLocal.getAbsolutePath)
-      // Make the ContextCleaner's per-ref cleanup synchronous INSIDE the
-      // cleaner thread (shuffle cleanup defaults to fire-and-forget): once
-      // the cleaner has consumed the reference queue, the files are gone —
-      // which is what makes the quiescence poll in isolate() meaningful.
-      .config("spark.cleaner.referenceTracking.blocking", "true")
-      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      // NO blocking-cleaner flags (r18): r17 set
+      // spark.cleaner.referenceTracking.blocking(.shuffle)=true to make
+      // the quiescence poll exact, but the flags are SESSION-WIDE — they
+      // serialize shuffle/broadcast cleanup inside the MEASURED window of
+      // every key, and micro-batch-heavy streaming keys paid ~2.3×
+      // (st4 8.25 s with the flags vs 3.58 s without, judge A/B on the
+      // same tree). The footprint-stability poll in isolate() alone
+      // bounds the inter-key drain: fire-and-forget deletions still
+      // shrink the dedicated local dir, the poll just watches for the
+      // count to stop moving rather than for the queue to be empty.
       // heap comes from build.sbt's javaOptions (-Xmx$SPARK_DRIVER_MEM,
       // fork=true); setting spark.driver.memory here would be a no-op
       .getOrCreate()
@@ -80,11 +84,13 @@ object Bench {
       // refs and the ContextCleaner thread processes the queue
       // ASYNCHRONOUSLY, deleting files DURING the next key's timed
       // window. Judge-measured one-line A/B in r16: the bare gc() taxed
-      // every key 15-60% (q1_pricing_summary 1.16→1.64 s). With
-      // blocking shuffle cleanup configured above, queue-drained ≡
-      // local-dir quiescent, so poll the dedicated local dir until its
-      // file count is stable across consecutive samples (bounded, so a
-      // wedged cleaner can't hang the sweep).
+      // every key 15-60% (q1_pricing_summary 1.16→1.64 s). Poll the
+      // dedicated local dir until its file count is stable across
+      // consecutive samples (bounded, so a wedged cleaner can't hang
+      // the sweep). Cleanup is fire-and-forget (no blocking flags —
+      // they taxed measured micro-batch keys 2.3×, r18), so "stable"
+      // means the deletions stopped arriving, which is the drain the
+      // isolation needs.
       val deadline = System.nanoTime() + 10_000_000_000L
       var prev = -2L
       var stable = 0

@@ -781,6 +781,7 @@ object SparkEntry {
     "q93_tx_log_retention" -> Seq("o_orderkey"),
     "q94_tx_cdc_files" -> Seq("_commit_version", "o_orderkey", "_change_type"),
     "q95_tx_append" -> Seq("o_orderkey"),
+    "q96_tx_delete_where" -> Seq("o_orderkey"),
     "st43_change_feed" -> Seq("o_custkey"),
     "st44_erasure_dv_stream" -> Seq("source"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
@@ -2224,6 +2225,44 @@ object SparkEntry {
     // (mtime map), and the replay of the last burst under its txn to
     // no-op (at-least-once ingest × the guard = exactly-once). Oracle
     // = the union: the four %4 slices reassemble the whole table.
+    // q96 (r18): PREDICATE-SCOPED DELETE with the METADATA-ONLY fast
+    // path (the r17 verdict's item 4 — Delta's `DELETE WHERE` with
+    // stats pruning): the retention purge every lakehouse runs —
+    // `DELETE WHERE o_orderkey <= cut` over a range-clustered table —
+    // classified per file from the LOG alone: files whose logged
+    // range (and zero null count) prove every row matches DROP
+    // WITHOUT BEING READ; only the boundary-straddling file rewrites
+    // its residual; out-of-range files are never listed. The
+    // metadata-only claim's proof is PHYSICAL: every covered file is
+    // deleted from disk BEFORE the call and the DELETE still commits
+    // (the q87 idiom); the untouched files' mtime map pins the
+    // never-listed claim. Oracle = the filter algebra.
+    "q96_tx_delete_where" -> ((s, d) => {
+      val cur = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = stageDir(d) + "/q96_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")
+      graft.sources.TxTable.compactClustered(s, root, "o_orderkey", 8)
+      val cut = cur.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+      val preds: Seq[(String, Any, Any)] = Seq(("o_orderkey", 0L, cut))
+      val (covered, partial, untouched) =
+        graft.sources.TxTable.deleteWhereFiles(root, preds)
+      require(covered.size >= 3 && covered.size >= partial.size &&
+          untouched.nonEmpty,
+        s"metadata-only pruning inert: covered=${covered.size} " +
+          s"partial=${partial.size} untouched=${untouched.size}")
+      covered.foreach(f => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "data", f.name)))
+      def mtimes(): Map[String, java.nio.file.attribute.FileTime] =
+        untouched.map(f => f.name -> java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(root, "data", f.name))).toMap
+      val before = mtimes()
+      graft.sources.TxTable.deleteWhere(s, root, preds)
+      require(mtimes() == before,
+        "a purge must never touch files outside the predicate range")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
     "q95_tx_append" -> ((s, d) => {
       val orders = t(s, d, "orders")
       def slice(r: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === r)
@@ -2406,12 +2445,17 @@ object SparkEntry {
       graft.sources.TxTable.read(s, root)
         .select(col("o_orderkey"), col("status"), col("c_len"))
     }),
-    // q70 (r14): incremental MATERIALIZED-VIEW maintenance through the
-    // ACID table — the warehouse pattern that never recomputes the
-    // corpus aggregate: the monthly revenue MV is created from the
-    // initial load, then a delta batch is aggregated ALONE and merged
-    // additively (read current values for affected keys, add, MERGE
-    // back — file-pruned, transactional). Sums ride as exact integer
+    // q70 (r14, rewritten r18): incremental MATERIALIZED-VIEW
+    // maintenance through the ACID table — the warehouse pattern that
+    // never recomputes the corpus aggregate: the monthly revenue MV is
+    // created from the initial load, then a delta batch is aggregated
+    // ALONE and combined additively INSIDE a SET-expression merge
+    // (TxTable.mergeConditional's matchedUpdateSet — Delta's `UPDATE
+    // SET t.rev = t.rev + s.rev`): the merge reads ONLY the files
+    // whose key range the delta touches, adds there, and inserts fresh
+    // keys — work ∝ delta, never the MV (the pre-r18 form read the
+    // ENTIRE sink per delta to compute the combine outside the merge,
+    // the r17 verdict's lead weak item). Sums ride as exact integer
     // cents (associative, so incremental == recompute); oracle = the
     // full recompute from raw orders.
     "q70_incr_matview" -> ((s, d) => {
@@ -2426,15 +2470,10 @@ object SparkEntry {
         aggOf(orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)), root, "ym")
       val delta = aggOf(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
         .localCheckpoint()
-      val cur = graft.sources.TxTable.read(s, root)
-      val upd = delta.as("d")
-        .join(cur.as("c"), Seq("ym"), "left")
-        .select(col("ym"),
-          (coalesce(col("c.rev_cents"), lit(0L)) + col("d.rev_cents"))
-            .as("rev_cents"),
-          (coalesce(col("c.n_orders"), lit(0L)) + col("d.n_orders"))
-            .as("n_orders"))
-      graft.sources.TxTable.merge(s, root, upd, "ym")
+      graft.sources.TxTable.mergeConditional(s, root, delta, "ym",
+        matchedUpdateSet = Some(Map(
+          "rev_cents" -> ((sc, tc) => tc("rev_cents") + sc("rev_cents")),
+          "n_orders" -> ((sc, tc) => tc("n_orders") + sc("n_orders")))))
       graft.sources.TxTable.read(s, root)
         .select(col("ym"),
           (col("rev_cents").cast("double") / 100.0).as("revenue"),
@@ -3193,13 +3232,15 @@ object SparkEntry {
       graft.sources.TxTable.create(s, Dedup.urlDedup(corpus), root, "canon_url")
       graft.sources.TxTable.compactClustered(s, root, "canon_url", 8)
       val bAgg = Dedup.urlDedup(batch).localCheckpoint()
-      val cur = graft.sources.TxTable.read(s, root)
-      val upd = bAgg.as("b").join(cur.as("c"), Seq("canon_url"), "left")
-        .select(least(col("b.doc_id"), col("c.doc_id")).as("doc_id"),
-          col("canon_url"),
-          (coalesce(col("c.dup_count"), lit(0L)) + col("b.dup_count"))
-            .as("dup_count"))
-      graft.sources.TxTable.merge(s, root, upd, "canon_url")
+      // the associative combine rides INSIDE the SET-expression merge
+      // (r18): counts sum, doc_id takes the min, fresh URLs insert —
+      // and the merge reads only the clustered files whose string
+      // range the batch touches (the pre-r18 form read the whole
+      // state table per batch to combine outside the merge)
+      graft.sources.TxTable.mergeConditional(s, root, bAgg, "canon_url",
+        matchedUpdateSet = Some(Map(
+          "doc_id" -> ((sc, tc) => least(sc("doc_id"), tc("doc_id"))),
+          "dup_count" -> ((sc, tc) => tc("dup_count") + sc("dup_count")))))
       graft.sources.TxTable.read(s, root)
         .select(col("doc_id"), col("canon_url"), col("dup_count"))
     }),
@@ -4795,6 +4836,15 @@ object SparkEntry {
     // rewrite and replay-no-op claims are gate require()s)
     "q95_tx_append" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY 1""",
+    // q96: the predicate purge reads as its filter algebra — survivors
+    // are exactly the keys above the half-range cut (the metadata-only
+    // drop, never-read and never-listed claims are gate require()s +
+    // the physical pre-delete of covered files)
+    "q96_tx_delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey >
+           (SELECT CAST(floor(max(o_orderkey) / 2.0) AS BIGINT) FROM orders)
+         ORDER BY 1""",
     // q92: OPTIMIZE moves bytes, never rows — the read after packing
     // equals the base snapshot plus the six offset ingest bands (the
     // big-files-untouched and fewer-small-files claims are gate

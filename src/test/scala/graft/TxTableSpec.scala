@@ -1403,4 +1403,277 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     assert(TxTable.lastTxn(root, "dvapp") === Some(2L))
     assert(TxTable.read(spark, root).count() === 990)
   }
+
+  // ---- r18: MERGE UPDATE-SET expressions ----------------------------
+
+  test("SET expressions: additive combine, unnamed columns keep target, inserts take source") {
+    import spark.implicits._
+    val root = tempDir("txt-set").toString + "/tbl"
+    val base = Seq((1L, 100L, "a"), (2L, 200L, "b"), (3L, 300L, "c"))
+      .toDF("k", "cnt", "tag")
+    TxTable.create(spark, base, root, "k")
+    // delta: k=1 and k=2 matched (cnt adds, tag NOT named → target's
+    // value survives the partial update), k=9 fresh (source verbatim —
+    // a new key's initial value IS its delta)
+    val delta = Seq((1L, 10L, "X"), (2L, 20L, "Y"), (9L, 9L, "z"))
+      .toDF("k", "cnt", "tag")
+    TxTable.mergeConditional(spark, root, delta, "k",
+      matchedUpdateSet = Some(Map(
+        "cnt" -> ((sc, tc) => tc("cnt") + sc("cnt")))))
+    val got = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) === ((110L, "a")), "SET must add; unnamed tag keeps target")
+    assert(got(2L) === ((220L, "b")))
+    assert(got(3L) === ((300L, "c")), "untouched key unchanged")
+    assert(got(9L) === ((9L, "z")), "fresh key inserts the source row verbatim")
+  }
+
+  test("SET expressions: key cannot be SET; unknown columns refused; result casts to declared type") {
+    import spark.implicits._
+    val root = tempDir("txt-set-guard").toString + "/tbl"
+    TxTable.create(spark, Seq((1L, 5L)).toDF("k", "n"), root, "k")
+    val d = Seq((1L, 2L)).toDF("k", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.mergeConditional(spark, root, d, "k",
+        matchedUpdateSet = Some(Map("k" -> ((sc, _) => sc("k") + 1))))
+    }
+    assert(e1.getMessage.contains("key column"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.mergeConditional(spark, root, d, "k",
+        matchedUpdateSet = Some(Map("nope" -> ((sc, _) => sc("n")))))
+    }
+    assert(e2.getMessage.contains("unknown column"))
+    // a double-typed expression over a BIGINT column casts back to the
+    // declared type — the schema invariant survives arbitrary arithmetic
+    TxTable.mergeConditional(spark, root, d, "k",
+      matchedUpdateSet = Some(Map(
+        "n" -> ((sc, tc) => (tc("n") + sc("n")) * lit(1.5)))))
+    val f = TxTable.read(spark, root)
+    assert(f.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType, "declared type must survive SET")
+    assert(f.collect().head.getLong(1) === 10L) // (5+2)*1.5 = 10.5 → 10
+  }
+
+  test("SET expressions: gates compose; CDC postimage carries the SET result; no-op rows not emitted") {
+    import spark.implicits._
+    val root = tempDir("txt-set-cdc").toString + "/tbl"
+    TxTable.create(spark, Seq((1L, 10L, 100L), (2L, 20L, 100L))
+      .toDF("k", "n", "seq"), root, "k", cdc = true)
+    // k=1: seq newer → gate passes, SET adds; k=2: stale → target kept
+    // (and must NOT appear in the feed — keeping the target is not a
+    // change); zero-delta SET results are no-ops too
+    val d = Seq((1L, 7L, 200L), (2L, 9L, 50L)).toDF("k", "n", "seq")
+    val v = TxTable.mergeConditional(spark, root, d, "k",
+      matchedUpdate = Some((sc, tc) => sc("seq") > tc("seq")),
+      matchedUpdateSet = Some(Map(
+        "n" -> ((sc, tc) => tc("n") + sc("n")),
+        "seq" -> ((sc, _) => sc("seq")))))
+    val got = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((17L, 200L)))
+    assert(got(2L) === ((20L, 100L)), "stale delta must keep the target")
+    val feed = TxTable.changes(spark, root, v - 1, v).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("n")))
+    assert(feed.toSet === Set(("update_preimage", 1L, 10L),
+        ("update_postimage", 1L, 17L)),
+      s"feed must carry the SET result for k=1 only, got ${feed.toSeq}")
+  }
+
+  test("SET merge reads only touched files: an untouched file may be physically absent") {
+    import spark.implicits._
+    val root = tempDir("txt-set-prune").toString + "/tbl"
+    val base = (0L until 400L).map(k => (k, 1L)).toDF("k", "cnt")
+      .repartitionByRange(4, col("k"))   // 4 files, disjoint ranges
+    TxTable.create(spark, base, root, "k")
+    // q87-style physical proof: move a file whose range the delta does
+    // NOT touch out of the way — if the SET merge's combine read the
+    // whole sink (the pre-r18 weak posture), it would fail on the
+    // missing file; touched-files-only pruning never lists it
+    val entries = TxTable.snapshot(root)
+    val untouched = entries.filter(f => f.kmin >= 300L)
+    assert(untouched.nonEmpty, "need a file fully above the delta range")
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val hidden = untouched.map { f =>
+      val p = dataDir.resolve(f.name)
+      val h = dataDir.resolve(f.name + ".hidden")
+      java.nio.file.Files.move(p, h); (h, p)
+    }
+    try {
+      val delta = (0L until 100L).map(k => (k, 10L)).toDF("k", "cnt")
+      TxTable.mergeConditional(spark, root, delta, "k",
+        matchedUpdateSet = Some(Map(
+          "cnt" -> ((sc, tc) => tc("cnt") + sc("cnt")))))
+    } finally hidden.foreach { case (h, p) => java.nio.file.Files.move(h, p) }
+    val got = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 100L).forall(k => got(k) === 11L))
+    assert((100L until 400L).forall(k => got(k) === 1L))
+  }
+
+  // ---- r18: scattered DV deletes are O(1) Spark jobs ----------------
+
+  test("deleteKeysDV: a scattered delete over 64 files costs O(1) jobs, not O(files)") {
+    import spark.implicits._
+    val root = tempDir("txt-dv-jobs").toString + "/tbl"
+    val base = (0L until 6400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(64, col("k"))
+    TxTable.create(spark, base, root, "k")
+    assert(TxTable.snapshot(root).size === 64)
+    // %5==0 — st44's compliance shape: uniformly scattered, every file
+    // touched; the pre-r18 per-file driver loop paid ~4 jobs × 64 files
+    val dels = (0L until 6400L by 5L).toDF("k")
+    // count Spark jobs via a job group + the public status tracker —
+    // synchronous, unlike the async listener bus
+    val group = "txt-dv-jobs-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "scattered DV delete")
+    val jobs = try {
+      TxTable.deleteKeysDV(spark, root, dels, "k")
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    } finally spark.sparkContext.clearJobGroup()
+    // ~23 observed: a handful of actions (checkpoint the delete set,
+    // prune, fresh-pairs checkpoint, two count aggregates, one
+    // partitioned sidecar write), each fanned into a few AQE stage
+    // jobs — CONSTANT in the file count. The pre-r18 per-file driver
+    // loop paid ~4 actions × 64 files ≈ 250+; the bound discriminates
+    // by an order of magnitude while leaving AQE headroom.
+    assert(jobs <= 30,
+      s"scattered DV delete ran $jobs jobs — the sidecar pass " +
+        "must be a constant number of distributed jobs, not per-file")
+    assert(TxTable.read(spark, root).count() === 6400L - 1280L)
+    assert(TxTable.snapshot(root).count(_.dv.isDefined) === 64)
+  }
+
+  // ---- r18: predicate-scoped DELETE ---------------------------------
+
+  test("deleteWhere: key-range purge equals deleteKeys; covered files drop without being read") {
+    import spark.implicits._
+    val (root, base) = mkTable("txt-delw")   // 4 range files over 0..999
+    val (covered, partial, untouched) =
+      TxTable.deleteWhereFiles(root, Seq(("k", 0L, 499L)))
+    assert(covered.size === 2 && untouched.size === 2 && partial.isEmpty,
+      s"range-clustered halves must classify clean: " +
+        s"${covered.size}/${partial.size}/${untouched.size}")
+    // q87-style proof: covered files are dropped from the LOG alone —
+    // physically hide them and the DELETE must still commit
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val hidden = covered.map { f =>
+      val p = dataDir.resolve(f.name)
+      val h = dataDir.resolve(f.name + ".hidden")
+      java.nio.file.Files.move(p, h); (h, p)
+    }
+    try TxTable.deleteWhere(spark, root, Seq(("k", 0L, 499L)))
+    finally hidden.foreach { case (h, p) =>
+      if (java.nio.file.Files.exists(h)) java.nio.file.Files.move(h, p) }
+    assert(rows(TxTable.read(spark, root)) ===
+      rows(base.filter(col("k") > 499L)))
+    // equivalence: same predicate as an explicit key set
+    val (root2, _) = mkTable("txt-delw-eq")
+    TxTable.deleteKeys(spark, root2,
+      (0L until 500L).toDF("k"), "k")
+    assert(rows(TxTable.read(spark, root2)) === rows(TxTable.read(spark, root)))
+  }
+
+  test("deleteWhere: a NULL in the predicate column blocks the metadata drop; NULL rows survive; DV'd keys stay dead") {
+    import spark.implicits._
+    val root = tempDir("txt-delw-null").toString + "/tbl"
+    // two n-clustered files; the low file carries a NULL n
+    val base = ((0L until 100L).map(k => (k, java.lang.Long.valueOf(k * 2))) :+
+        ((50L, null.asInstanceOf[java.lang.Long])))
+      .toDF("k", "n").repartitionByRange(2, col("n"))
+    TxTable.create(spark, base, root, "k", statsCols = Seq("n"))
+    // a DV delete first: k=10 dies merge-on-read
+    TxTable.deleteKeysDV(spark, root, Seq(10L).toDF("k"), "k")
+    // delete n in [0, 250] — the whole value domain: the null-free
+    // file is COVERED (metadata drop), the null-carrying file can
+    // NEVER be (null count > 0): residual rewrite, null row kept
+    val (cov, part, _) = TxTable.deleteWhereFiles(root, Seq(("n", 0L, 250L)))
+    assert(cov.nonEmpty, "the null-free file must metadata-drop")
+    assert(part.nonEmpty,
+      "a file with NULLs in the predicate column must not metadata-drop")
+    TxTable.deleteWhere(spark, root, Seq(("n", 0L, 250L)))
+    val got = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got.keySet === Set(50L) && got(50L).isEmpty,
+      "only the NULL-n row survives a whole-domain range delete " +
+        "(SQL DELETE semantics)")
+    assert(!got.contains(10L), "the DV-deleted key must not resurrect")
+  }
+
+  test("deleteWhere: refuses non-stats columns; txn-stamped no-op advances the watermark; cdc feed carries the deletes") {
+    import spark.implicits._
+    val root = tempDir("txt-delw-cdc").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), root, "k", cdc = true)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.deleteWhere(spark, root, Seq(("v", "a", "z")))
+    }
+    assert(e.getMessage.contains("stats column"))
+    val v = TxTable.deleteWhere(spark, root, Seq(("k", 0L, 75L)),
+      txn = Some(("purge", 1L)))
+    // the feed carries exactly the purged rows — covered AND partial
+    val feed = TxTable.changes(spark, root, v - 1, v)
+      .filter(col("_change_type") === "delete").collect()
+      .map(_.getAs[Long]("k")).toSet
+    assert(feed === (0L until 76L).toSet)
+    // replay no-ops; a later no-op batch still advances the watermark
+    TxTable.deleteWhere(spark, root, Seq(("k", 0L, 75L)),
+      txn = Some(("purge", 1L)))
+    assert(TxTable.currentVersion(root) === v)
+    TxTable.deleteWhere(spark, root, Seq(("k", 0L, 75L)),
+      txn = Some(("purge", 2L)))
+    assert(TxTable.lastTxn(root, "purge") === Some(2L))
+    assert(TxTable.read(spark, root).count() === 124)
+  }
+
+  // ---- r18: time-based retention ------------------------------------
+
+  test("vacuumOlderThan: age-boundary files kept and reclaimed exactly") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-vact")                       // v1: 4 files
+    Thread.sleep(15)
+    TxTable.compact(spark, root, "k", 2)                      // v2: drops v1 files
+    Thread.sleep(15)
+    TxTable.merge(spark, root, Seq((1L, "u1")).toDF("k", "v"), "k") // v3
+    val v1Files = TxTable.snapshot(root, Some(1L)).map(_.name).toSet
+    val v2Files = TxTable.snapshot(root, Some(2L)).map(_.name).toSet
+    val ts2 = TxTable.commitTimestamp(root, 2L).get
+    // horizon at v2's instant: v2 and v3 retained, v1's files reclaimable
+    assert(TxTable.versionAtOrBefore(root, ts2) === 2L)
+    val reclaimed = TxTable.vacuumOlderThan(root,
+      olderThanMs = System.currentTimeMillis() - ts2,
+      minAgeMillis = 0).toSet
+    assert(reclaimed === v1Files,
+      s"horizon-at-v2 must reclaim exactly v1's files: got $reclaimed")
+    // v2 still time-travels (the version in force AT the horizon)
+    assert(TxTable.read(spark, root, Some(2L)).count() === 1000)
+    // a cutoff OLDER than every commit reclaims nothing
+    assert(TxTable.vacuumOlderThan(root,
+      olderThanMs = System.currentTimeMillis(), minAgeMillis = 0).isEmpty)
+    assert(v2Files.forall(n =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", n))))
+  }
+
+  test("cleanupLogOlderThan: prunes records no in-horizon replay reaches; older reads fail loudly") {
+    import spark.implicits._
+    val (root, _) = mkTable("txt-clnt")                       // v1
+    (2 to 12).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((i.toLong, s"u$i")).toDF("k", "v"), "k")          // v2..v12
+      Thread.sleep(5)
+    }
+    val ts11 = TxTable.commitTimestamp(root, 11L).get
+    val removed = TxTable.cleanupLogOlderThan(root,
+      System.currentTimeMillis() - ts11)
+    assert(removed.nonEmpty, "a checkpoint below the horizon must free records")
+    // the horizon version and the head still replay
+    assert(TxTable.read(spark, root, Some(11L)).count() === 1000)
+    assert(TxTable.read(spark, root).count() === 1000)
+    // a replay BELOW the cleaned prefix refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TxTable.read(spark, root, Some(2L)).count()
+    }
+    assert(e.getMessage.contains("retention"))
+  }
 }
