@@ -782,6 +782,7 @@ object SparkEntry {
     "q94_tx_cdc_files" -> Seq("_commit_version", "o_orderkey", "_change_type"),
     "q95_tx_append" -> Seq("o_orderkey"),
     "q96_tx_delete_where" -> Seq("o_orderkey"),
+    "q97_tx_column_map" -> Seq("o_orderkey"),
     "st43_change_feed" -> Seq("o_custkey"),
     "st44_erasure_dv_stream" -> Seq("source"),
     "q44_cdc_apply" -> Seq("o_orderkey"),
@@ -2225,6 +2226,57 @@ object SparkEntry {
     // (mtime map), and the replay of the last burst under its txn to
     // no-op (at-least-once ingest × the guard = exactly-once). Oracle
     // = the union: the four %4 slices reassemble the whole table.
+    // q97 (r18): COLUMN MAPPING — rename/drop as METADATA (the r17
+    // verdict's item 6 — Delta's column mapping, name mode): logical
+    // names live in the declared schema, physical names in the parquet
+    // bytes are fixed at column birth, and the log carries the
+    // logical→physical map. The gate drives the full lifecycle:
+    // rename o_totalprice→amount with ZERO data files touched (mtime
+    // map), a MERGE under the NEW name whose writes land under the OLD
+    // physical (pre-rename files keep answering), a time-travel read
+    // that resolves the PRE-rename era under ITS name, a metadata-only
+    // DROP of o_custkey, and the corruption guard: a merge re-adding
+    // the dropped name is REFUSED (by-name reads of pre-drop files
+    // would resurrect stale bytes — the r14 class). Oracle = the
+    // rename+merge algebra over orders.
+    "q97_tx_column_map" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cur = orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = stageDir(d) + "/q97_tx"
+      graft.sources.TxTable.create(s, cur, root, "o_orderkey")       // v1
+      graft.sources.TxTable.compactClustered(s, root, "o_orderkey", 6)
+      def dataState(): Map[String, java.nio.file.attribute.FileTime] = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+        try l.iterator().asScala.map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+        finally l.close()
+      }
+      val before = dataState()
+      graft.sources.TxTable.renameColumn(root, "o_totalprice", "amount")
+      graft.sources.TxTable.dropColumn(root, "o_custkey")
+      require(dataState() == before,
+        "rename and drop must touch zero data files")
+      // a merge UNDER THE NEW NAME: %3 keys double — the write lands
+      // under the old physical name, pruned to the touched files
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("amount"))
+      graft.sources.TxTable.merge(s, root, upd, "o_orderkey")
+      // the PRE-rename era resolves under ITS OWN names
+      val era1 = graft.sources.TxTable.read(s, root, Some(1L))
+      require(era1.columns.toSeq ==
+          Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        s"era-1 schema leaked the rename: ${era1.columns.toSeq}")
+      // the corruption guard: re-adding the DROPPED name must refuse
+      val smuggle = scala.util.Try(graft.sources.TxTable.merge(s, root,
+        upd.limit(1).withColumn("o_custkey", lit(0L)), "o_orderkey"))
+      require(smuggle.isFailure &&
+          smuggle.failed.get.getMessage.contains("physical storage"),
+        "a dropped column's name must never be reusable")
+      graft.sources.TxTable.read(s, root)
+        .select(col("o_orderkey"), col("amount"))
+    }),
     // q96 (r18): PREDICATE-SCOPED DELETE with the METADATA-ONLY fast
     // path (the r17 verdict's item 4 — Delta's `DELETE WHERE` with
     // stats pruning): the retention purge every lakehouse runs —
@@ -4845,6 +4897,14 @@ object SparkEntry {
          WHERE o_orderkey >
            (SELECT CAST(floor(max(o_orderkey) / 2.0) AS BIGINT) FROM orders)
          ORDER BY 1""",
+    // q97: rename + drop are metadata — the surviving columns read as
+    // the merge algebra under the new name (zero-file-touch, era
+    // resolution and the dropped-name refusal are gate require()s)
+    "q97_tx_column_map" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS amount
+         FROM orders ORDER BY 1""",
     // q92: OPTIMIZE moves bytes, never rows — the read after packing
     // equals the base snapshot plus the six offset ingest bands (the
     // big-files-untouched and fewer-small-files claims are gate

@@ -99,7 +99,7 @@ private[sources] object GraftChangeFeed {
     * output schema. Runs at stream DEFINITION — every refusal here
     * fires before a query starts, not at batch N. */
   def outputSchema(root: String): StructType = {
-    val (declared, cdcOn, _) = TxTable.feedMeta(root)
+    val (declared, cdcOn, _, _) = TxTable.feedMeta(root)
     require(cdcOn,
       s"graft change-feed source: the table at $root is not cdc-enabled " +
         "— create it with cdc = true (materialized change files are " +
@@ -147,7 +147,8 @@ private[sources] class GraftFeedTable(root: String, outSchema: StructType)
             .getOrElse(TxTable.currentVersion(root) + 1)
           require(startAt >= 1,
             s"graft change-feed source: startingVersion must be >= 1, got $startAt")
-          new GraftFeedStream(root, outSchema, startAt)
+          new GraftFeedStream(root, outSchema, startAt,
+            TxTable.feedMeta(root)._4)
         }
       }
     }
@@ -160,7 +161,8 @@ private[sources] case class GraftFeedOffset(version: Long) extends Offset {
 }
 
 private[sources] class GraftFeedStream(root: String, outSchema: StructType,
-                                       startAt: Long)
+                                       startAt: Long,
+                                       colMap: Map[String, String])
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = GraftFeedOffset(startAt - 1)
@@ -208,7 +210,7 @@ private[sources] class GraftFeedStream(root: String, outSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftFeedReaderFactory(outSchema.json)
+    GraftFeedReaderFactory(outSchema.json, colMap)
 }
 
 /** One change (or added-data) parquet file of one commit. */
@@ -216,11 +218,12 @@ private[sources] case class GraftFeedPartition(path: String, version: Long,
                                                ctypeInFile: Boolean)
     extends InputPartition
 
-private[sources] case class GraftFeedReaderFactory(schemaJson: String)
+private[sources] case class GraftFeedReaderFactory(schemaJson: String,
+                                                   colMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftFeedReader(p.asInstanceOf[GraftFeedPartition],
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], colMap)
 }
 
 /** Per-task parquet→InternalRow reader over ONE file, via the
@@ -231,7 +234,8 @@ private[sources] case class GraftFeedReaderFactory(schemaJson: String)
   * declared widens (INT32→long, FLOAT→double) exactly like the batch
   * reader's parquet promotion. */
 private[sources] class GraftFeedReader(part: GraftFeedPartition,
-                                       outSchema: StructType)
+                                       outSchema: StructType,
+                                       colMap: Map[String, String])
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -258,11 +262,16 @@ private[sources] class GraftFeedReader(part: GraftFeedPartition,
         case "_commit_version" => part.version
         case "_change_type" if !part.ctypeInFile =>
           UTF8String.fromString("insert")
-        case n if !gt.containsField(n) => null   // pre-widening file
-        case n =>
-          val idx = gt.getFieldIndex(n)
-          if (g.getFieldRepetitionCount(idx) == 0) null
-          else read(g, idx, f.dataType)
+        case logical =>
+          // files store PHYSICAL names (column mapping) — stable since
+          // column birth, so one lookup serves every era's files
+          val n = colMap.getOrElse(logical, logical)
+          if (!gt.containsField(n)) null           // pre-widening file
+          else {
+            val idx = gt.getFieldIndex(n)
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else read(g, idx, f.dataType)
+          }
       }
       i += 1
     }

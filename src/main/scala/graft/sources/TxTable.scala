@@ -143,7 +143,9 @@ object TxTable {
                     invariants: Option[Map[String, String]] = None,
                     cdc: Option[Seq[String]] = None,
                     cdcOn: Option[Boolean] = None,
-                    ts: Option[Long] = None)
+                    ts: Option[Long] = None,
+                    colMap: Option[Map[String, String]] = None,
+                    retired: Option[Seq[String]] = None)
   /** A materialized snapshot of the replay state at `version` — live
     * file entries in replay order, the schema then in force, and the
     * per-app last-transaction watermarks (txns must survive the
@@ -155,7 +157,9 @@ object TxTable {
                                 txns: Option[Map[String, Long]] = None,
                                 statsCols: Option[Seq[String]] = None,
                                 invariants: Option[Map[String, String]] = None,
-                                cdcOn: Option[Boolean] = None)
+                                cdcOn: Option[Boolean] = None,
+                                colMap: Option[Map[String, String]] = None,
+                                retired: Option[Seq[String]] = None)
   /** Replay result: live files in insertion order, schema in force,
     * per-appId max recorded transaction version, the table's key
     * column, and its declared secondary statistics columns. */
@@ -163,7 +167,22 @@ object TxTable {
                            txns: Map[String, Long], key: String = "",
                            statsCols: Seq[String] = Seq.empty,
                            invariants: Map[String, String] = Map.empty,
-                           cdcOn: Boolean = false)
+                           cdcOn: Boolean = false,
+                           colMap: Map[String, String] = Map.empty,
+                           retired: Seq[String] = Seq.empty) {
+    /** COLUMN MAPPING (r18 — Delta's column mapping in name mode):
+      * `colMap` maps LOGICAL column names (what the declared schema,
+      * every API frame and every query speak) to PHYSICAL names (what
+      * the parquet bytes store — assigned at column birth, NEVER
+      * changed). An absent entry means logical == physical, so a table
+      * that never renamed anything has an empty map and every code
+      * path is bit-identical to pre-r18. `retired` holds the physical
+      * names of DROPPED columns: the physical namespace is never
+      * reused (a merge re-adding a dropped name is REFUSED — by-name
+      * reads of old files would otherwise resurrect the dropped
+      * column's stale values, the r14 silent-corruption class). */
+    def physOf(logical: String): String = colMap.getOrElse(logical, logical)
+  }
 
   /** Commits between checkpoints; replay reads ≤ this many records. */
   private val CheckpointInterval = 10
@@ -246,6 +265,8 @@ object TxTable {
     var statsCols: Seq[String] = Seq.empty
     var invariants: Map[String, String] = Map.empty
     var cdcOn: Boolean = false
+    var colMap: Map[String, String] = Map.empty
+    var retired: Seq[String] = Seq.empty
     ck.foreach { c =>
       c.live.foreach(a => live.update(a.name, a))
       schema = c.schema
@@ -253,6 +274,8 @@ object TxTable {
       c.statsCols.foreach(statsCols = _)
       c.invariants.foreach(invariants = _)
       c.cdcOn.foreach(cdcOn = _)
+      c.colMap.foreach(colMap = _)
+      c.retired.foreach(retired = _)
       c.txns.foreach(_.foreach { case (app, v) => txns.update(app, v) })
     }
     val from = ck.map(_.version).getOrElse(0L)
@@ -266,11 +289,13 @@ object TxTable {
       c.statsCols.foreach(statsCols = _)
       c.invariants.foreach(invariants = _)
       c.cdcOn.foreach(cdcOn = _)
+      c.colMap.foreach(colMap = _)
+      c.retired.foreach(retired = _)
       c.txn.foreach(t => txns.update(t.appId,
         math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))))
     }
     State(live.values.toSeq, schema, txns.toMap, key, statsCols, invariants,
-      cdcOn)
+      cdcOn, colMap, retired)
   }
 
   /** Live file entries as of `asOf` (inclusive; None = latest). */
@@ -299,7 +324,9 @@ object TxTable {
         if (st.txns.isEmpty) None else Some(st.txns),
         if (st.statsCols.isEmpty) None else Some(st.statsCols),
         if (st.invariants.isEmpty) None else Some(st.invariants),
-        if (st.cdcOn) Some(true) else None))
+        if (st.cdcOn) Some(true) else None,
+        if (st.colMap.isEmpty) None else Some(st.colMap),
+        if (st.retired.isEmpty) None else Some(st.retired)))
       val d = logDir(root)
       try Files.write(d.resolve(ckptName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -342,10 +369,18 @@ object TxTable {
     * never a torn table. */
   private def writeFiles(spark: SparkSession, df: DataFrame, root: String,
                          key: String, tag: String,
-                         statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+                         statsCols: Seq[String] = Seq.empty,
+                         colMap: Map[String, String] = Map.empty)
+      : Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(Paths.get(root), s"stage-$tag-")
     try {
-      df.write.mode("overwrite").parquet(tmp.toString)
+      // COLUMN MAPPING (r18): bytes land under PHYSICAL names — every
+      // era's files agree on them, so renames stay metadata-only
+      val physDf =
+        if (colMap.isEmpty) df
+        else df.select(df.columns.toSeq.map(c =>
+          col(c).as(colMap.getOrElse(c, c))): _*)
+      physDf.write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
       val listing = Files.list(tmp)
       val parts = try listing.iterator().asScala.toSeq finally listing.close()
@@ -375,8 +410,13 @@ object TxTable {
       val keyIsString =
         back.schema(key).dataType == org.apache.spark.sql.types.StringType
       // declared secondary statistics columns present in this frame,
-      // with their typed min/max projections (same single stats pass)
+      // with their typed min/max projections (same single stats pass).
+      // `back` is the PHYSICAL frame, and ColStat keys are PHYSICAL
+      // names (r18): physical names never change, so a rename leaves
+      // every old entry's stats addressable — readers translate
+      // logical → physical before the lookup
       val secondary = statsCols.distinct.filter(_ != key)
+        .map(c => colMap.getOrElse(c, c))
         .filter(c => back.columns.contains(c))
         .flatMap(c => statProjections(back.schema(c).dataType, c)
           .map { case (proj, numeric) => (c, proj, numeric) })
@@ -449,14 +489,23 @@ object TxTable {
     * ∝ changed rows. Empty change sets write nothing (a no-op commit
     * stays metadata-only). */
   private def writeCdcFiles(spark: SparkSession, df: DataFrame,
-                            root: String, v: Long): Option[Seq[String]] = {
+                            root: String, v: Long,
+                            colMap: Map[String, String] = Map.empty)
+      : Option[Seq[String]] = {
+    // COLUMN MAPPING (r18): change files store PHYSICAL names like the
+    // data files, so a feed spanning a rename reads every era's change
+    // files through one stable schema (_change_type is never mapped)
+    val physDf =
+      if (colMap.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(colMap.getOrElse(c, c))): _*)
     // materialize ONCE (r18, ADVICE): the emptiness probe used to run
     // the full CDC plan (for a merge, the full_outer pre/post diff
     // join) and the parquet write then ran it AGAIN — localCheckpoint
     // executes the plan a single time and both the probe and the write
     // read the checkpointed blocks (same pattern as touchedFileNames;
     // the blocks are ∝ changed rows, never data)
-    val mat = df.localCheckpoint()
+    val mat = physDf.localCheckpoint()
     if (mat.isEmpty) return None
     val tmp = Files.createTempDirectory(Paths.get(root), "stage-cdc-")
     try {
@@ -549,7 +598,9 @@ object TxTable {
                         statsCols: Option[Seq[String]] = None,
                         invariants: Option[Map[String, String]] = None,
                         cdc: Option[Seq[String]] = None,
-                        cdcOn: Option[Boolean] = None): Boolean = {
+                        cdcOn: Option[Boolean] = None,
+                        colMap: Option[Map[String, String]] = None,
+                        retired: Option[Seq[String]] = None): Boolean = {
     Files.createDirectories(logDir(root))
     val (schemaField, clearFlag) =
       if (schema.contains(ClearSchemaMarker)) (None, Some(true))
@@ -557,7 +608,8 @@ object TxTable {
     val rec = Serialization.write(
       Commit(v, key, adds, removes, schemaField, txn, op, dataChange,
         statsCols, clearFlag, invariants, cdc, cdcOn,
-        ts = Some(System.currentTimeMillis())))
+        ts = Some(System.currentTimeMillis()), colMap = colMap,
+        retired = retired))
     try {
       Files.write(logDir(root).resolve(logName(v)),
         rec.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -783,7 +835,9 @@ object TxTable {
         None, Some("CLONE"), None,
         if (st.statsCols.isEmpty) None else Some(st.statsCols),
         if (st.invariants.isEmpty) None else Some(st.invariants),
-        None, if (st.cdcOn) Some(true) else None),
+        None, if (st.cdcOn) Some(true) else None,
+        if (st.colMap.isEmpty) None else Some(st.colMap),
+        if (st.retired.isEmpty) None else Some(st.retired)),
       s"TxTable cloneShallow: concurrent create at $dest")
     1L
   }
@@ -804,7 +858,8 @@ object TxTable {
     val st = replayState(root, asOf)
     require(st.live.nonEmpty, s"TxTable at $root has no live files")
     readEntries(spark, root, st.live,
-      st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), st.key)
+      st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), st.key,
+      st.colMap)
   }
 
   /** Read a set of live entries, applying per-file DELETION VECTORS
@@ -824,11 +879,22 @@ object TxTable {
   private def readEntries(spark: SparkSession, root: String,
                           entries: Seq[FileEntry],
                           declared: Option[StructType],
-                          key: String): DataFrame = {
+                          key: String,
+                          colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
     require(entries.nonEmpty, "TxTable readEntries: no entries")
+    // COLUMN MAPPING (r18): parquet bytes store PHYSICAL names (stable
+    // since column birth); the scan schema is the declared one with
+    // names mapped, and the final select aliases back to logical — so
+    // a renamed column reads every era's files by its one physical
+    // name, and an empty map (no renames ever) is the identity
+    require(colMap.isEmpty || declared.isDefined,
+      "TxTable readEntries: a column-mapped table always has a schema")
+    val physDeclared = declared.map(ts => StructType(ts.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name)))))
     def rd(names: Seq[String]): DataFrame = {
       val paths = names.map(n => dataDir(root).resolve(n).toString)
-      declared match {
+      physDeclared match {
         case Some(ts) => spark.read.schema(ts).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
@@ -866,11 +932,15 @@ object TxTable {
             base(key) === pairs(key), "left_anti")
         .select(outCols: _*))
     }
-    (plainDf, dvdDf) match {
+    val phys = (plainDf, dvdDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, b) => b.get
     }
+    // alias physical → logical (key never maps: rename/drop refuse it)
+    if (colMap.isEmpty) phys
+    else phys.select(declared.get.fields.map(f =>
+      col(colMap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
   }
 
   /** A query bound normalized to the two comparison domains the logged
@@ -921,7 +991,7 @@ object TxTable {
       val statOf: Option[ColStat] =
         if (column == st.key)
           Some(ColStat(f.smin, f.smax, Some(f.kmin), Some(f.kmax)))
-        else f.cols.flatMap(_.get(column))
+        else f.cols.flatMap(_.get(st.physOf(column)))   // stats key physical
       statOf match {
         case None => true
         case Some(cs) =>
@@ -994,7 +1064,7 @@ object TxTable {
         spark.read.parquet(
           dataDir(root).resolve(present.get.name).toString).limit(0)
     } else {
-      val df = readEntries(spark, root, kept, declared, st.key)
+      val df = readEntries(spark, root, kept, declared, st.key, st.colMap)
       preds.foldLeft(df) { case (d, (c, lo, hi)) =>
         d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
       }
@@ -1118,6 +1188,22 @@ object TxTable {
           }.toMap
         val added = updates.columns.toSeq.filterNot(c => tblCols.contains(c))
           .filter(_ => tblCols.nonEmpty) // legacy no-schema logs: no evolution
+        // COLUMN MAPPING guard (r18): the physical namespace is
+        // write-once — an added column may not collide with a RETIRED
+        // physical (a dropped column's bytes are still in old files;
+        // by-name reads would resurrect its stale values — the r14
+        // corruption class, which is why drop REFUSES reuse rather
+        // than silently remapping) nor with a renamed column's
+        // physical slot
+        if (added.nonEmpty) {
+          val usedPhys = tblCols.map(st.physOf).toSet ++ st.retired
+          val clash = added.filter(usedPhys.contains)
+          require(clash.isEmpty,
+            s"TxTable merge: column(s) ${clash.mkString(", ")} collide " +
+              "with a dropped or renamed column's physical storage name " +
+              "— dropped names are never reusable (old files still hold " +
+              "their bytes); pick a different name")
+        }
         val touchedSet = touchedFileNames(spark, files, updates, key)
         val touched = files.filter(f => touchedSet.contains(f.name))
         // touched files are read THROUGH the declared table schema
@@ -1133,7 +1219,7 @@ object TxTable {
         // vacuum garbage with its data file
         val base0 =
           if (touched.isEmpty) updates.limit(0)
-          else readEntries(spark, root, touched, tableSchema, key)
+          else readEntries(spark, root, touched, tableSchema, key, st.colMap)
         // widen the rewrite side with the added columns (null for rows
         // whose key the updates don't touch — by-name parquet reads of
         // carried-over files do the same, so the widened schema is total)
@@ -1154,9 +1240,10 @@ object TxTable {
             .orElse(tableSchema.map(_.fields.toSeq))
             .getOrElse(merged.schema.fields.toSeq)
           writeCdcFiles(spark, cdcOfUpsert(base, updates, key, finalFields),
-            root, v)
+            root, v, st.colMap)
         }
-        Some((writeFiles(spark, merged, root, key, f"$v%010d-merge", st.statsCols),
+        Some((writeFiles(spark, merged, root, key, f"$v%010d-merge",
+            st.statsCols, st.colMap),
           touched.map(_.name), key, newSchema,
           txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
       }
@@ -1262,7 +1349,7 @@ object TxTable {
         val base =
           if (touched.isEmpty) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
-          else readEntries(spark, root, touched, Some(ts), key)
+          else readEntries(spark, root, touched, Some(ts), key, st.colMap)
         val src = updates.select(
           (col(key).as("_mk") +: lit(true).as("_sp") +:
             updates.columns.filterNot(_ == key).toSeq
@@ -1329,10 +1416,10 @@ object TxTable {
             .unionByName(rows(updDiff, tgtAcc, "update_preimage"))
             .unionByName(rows(updDiff, updAcc, "update_postimage"))
             .unionByName(rows(srcOnly && insC, srcAcc, "insert"))
-          writeCdcFiles(spark, cdcDf, root, v)
+          writeCdcFiles(spark, cdcDf, root, v, st.colMap)
         }
         val adds = writeFiles(spark, merged, root, key,
-          f"$v%010d-merge", st.statsCols)
+          f"$v%010d-merge", st.statsCols, st.colMap)
         if (adds.isEmpty && touched.isEmpty && txn.isEmpty) None
         else Some((adds, touched.map(_.name), key, None,
           txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
@@ -1396,9 +1483,9 @@ object TxTable {
         enforceInvariants(df, st.invariants, "append")
         val cdc = if (!st.cdcOn) None else
           writeCdcFiles(spark,
-            df.withColumn("_change_type", lit("insert")), root, v)
+            df.withColumn("_change_type", lit("insert")), root, v, st.colMap)
         val adds = writeFiles(spark, df, root, key,
-          f"$v%010d-append", st.statsCols)
+          f"$v%010d-append", st.statsCols, st.colMap)
         if (adds.isEmpty && txn.isEmpty) None   // empty batch, no watermark
         else Some((adds, Seq.empty, key, None,
           txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
@@ -1429,15 +1516,16 @@ object TxTable {
         // surviving row the delete never mentioned; DV-aware (r17) so a
         // rewrite-delete after a DV delete materializes both
         val base = readEntries(spark, root, touched,
-          st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), key)
+          st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), key,
+          st.colMap)
         val remaining = base.join(keys.select(col(key)).distinct(),
           Seq(key), "left_anti")
         val cdc = if (!st.cdcOn) None else
           writeCdcFiles(spark,
             base.join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
-              .withColumn("_change_type", lit("delete")), root, v)
+              .withColumn("_change_type", lit("delete")), root, v, st.colMap)
         Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete",
-          st.statsCols), touched.map(_.name), key, None, None, cdc))
+          st.statsCols, st.colMap), touched.map(_.name), key, None, None, cdc))
       }
     }
   }
@@ -1458,7 +1546,7 @@ object TxTable {
       if (column == st.key)
         (Some(ColStat(f.smin, f.smax, Some(f.kmin), Some(f.kmax))), f.knn)
       else {
-        val c = f.cols.flatMap(_.get(column))
+        val c = f.cols.flatMap(_.get(st.physOf(column)))  // stats key physical
         (c, c.flatMap(_.nn))
       }
     cs match {
@@ -1566,23 +1654,26 @@ object TxTable {
           val adds =
             if (partial.isEmpty) Seq.empty
             else {
-              val base = readEntries(spark, root, partial, declared, st.key)
+              val base = readEntries(spark, root, partial, declared, st.key,
+                st.colMap)
               // NULL predicate results KEEP the row (SQL DELETE)
               writeFiles(spark, base.filter(!coalesce(delCond, lit(false))),
-                root, st.key, f"$v%010d-delwhere", st.statsCols)
+                root, st.key, f"$v%010d-delwhere", st.statsCols, st.colMap)
             }
           val cdc = if (!st.cdcOn) None else {
             val doomedCovered =
               if (covered.isEmpty) None
-              else Some(readEntries(spark, root, covered, declared, st.key))
+              else Some(readEntries(spark, root, covered, declared, st.key,
+                st.colMap))
             val doomedPartial =
               if (partial.isEmpty) None
-              else Some(readEntries(spark, root, partial, declared, st.key)
-                .filter(coalesce(delCond, lit(false))))
+              else Some(readEntries(spark, root, partial, declared, st.key,
+                st.colMap).filter(coalesce(delCond, lit(false))))
             val doomed = (doomedCovered ++ doomedPartial)
               .reduceOption(_.unionByName(_))
             doomed.flatMap(d => writeCdcFiles(spark,
-              d.withColumn("_change_type", lit("delete")), root, v))
+              d.withColumn("_change_type", lit("delete")), root, v,
+              st.colMap))
           }
           Some((adds, (covered ++ partial).map(_.name), st.key, None,
             txn.map { case (app, tv) => TxnAction(app, tv) }, cdc))
@@ -1761,16 +1852,27 @@ object TxTable {
           // broadcast semi-join on the (file, key) pairs
           val cdc = if (!st.cdcOn) None else {
             val changedEntries = changedBase.map(byBase)
-            val full = tagged(declared match {
-              case Some(ts) => spark.read.schema(ts).parquet(changedEntries
-                .map(f => dataDir(root).resolve(f.name).toString): _*)
+            // files store PHYSICAL names (column mapping): scan through
+            // the mapped schema, alias back to logical for the feed
+            val fullPhys = tagged(declared match {
+              case Some(ts) =>
+                val physTs = StructType(ts.fields.map(f =>
+                  f.copy(name = st.physOf(f.name))))
+                spark.read.schema(physTs).parquet(changedEntries
+                  .map(f => dataDir(root).resolve(f.name).toString): _*)
               case None => spark.read.parquet(changedEntries
                 .map(f => dataDir(root).resolve(f.name).toString): _*)
             })
+            val full = declared match {
+              case Some(ts) if st.colMap.nonEmpty =>
+                fullPhys.select((ts.fields.map(f =>
+                  col(st.physOf(f.name)).as(f.name)) :+ col("_gf")).toSeq: _*)
+              case _ => fullPhys
+            }
             writeCdcFiles(spark,
               full.join(broadcast(fresh), Seq("_gf", key), "left_semi")
                 .drop("_gf").withColumn("_change_type", lit("delete")),
-              root, v)
+              root, v, st.colMap)
           }
           val adds = changedBase.flatMap { b =>
             val f = byBase(b)
@@ -1808,12 +1910,13 @@ object TxTable {
                                      to: Long): Seq[Long] =
     logVersions(root).filter(v => v > from && v <= to)
 
-  /** (declared schema, cdcOn, key) at head — the stream-open metadata. */
+  /** (declared schema, cdcOn, key, logical→physical map) at head — the
+    * stream-open metadata. */
   private[sources] def feedMeta(root: String)
-      : (Option[StructType], Boolean, String) = {
+      : (Option[StructType], Boolean, String, Map[String, String]) = {
     val st = replayState(root, None)
     (st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
-      st.cdcOn, st.key)
+      st.cdcOn, st.key, st.colMap)
   }
 
   /** Absolute path of a logged file name under this table's data dir
@@ -1944,6 +2047,120 @@ object TxTable {
     cleanupLog(root, keepVersions = (head - horizon).toInt)
   }
 
+  /** Refuse a metadata-only column operation when a CHECK invariant
+    * mentions the column — the invariant string would silently dangle
+    * and explode at the NEXT write, far from the cause. Word-boundary
+    * match: conservative (may refuse a column whose name appears as a
+    * whole word in an unrelated predicate — rename the invariant
+    * first), never permissive. */
+  private def requireNoInvariantRef(st: State, column: String,
+                                    op: String): Unit = {
+    val pat = ("\\b" + java.util.regex.Pattern.quote(column) + "\\b").r
+    val refd = st.invariants.collect {
+      case (n, p) if pat.findFirstIn(p).isDefined => n }
+    require(refd.isEmpty,
+      s"TxTable $op: CHECK invariant(s) ${refd.mkString(", ")} reference " +
+        s"column '$column' — drop or rewrite the invariant first")
+  }
+
+  /** RENAME a column as METADATA ONLY (r18, the r17 verdict's item 6 —
+    * Delta's column mapping, name mode): the declared schema's LOGICAL
+    * name changes; the PHYSICAL name in every parquet file — past and
+    * future — stays what it was at column birth, recorded in the log's
+    * logical→physical map. Zero data files are touched (spec: mtime
+    * map identical); reads at any version resolve through THAT era's
+    * schema+map, so time travel across the rename answers under each
+    * era's own name; merges/appends/deletes after the rename speak the
+    * new name and write the old physical. The KEY column is refused
+    * (it is the table's merge identity, baked into every sidecar and
+    * log stat); a column referenced by a CHECK invariant is refused
+    * until the invariant is rewritten. Renaming onto a just-vacated
+    * logical name is fine — the map keys are logical, the physical
+    * slot never moves. */
+  def renameColumn(root: String, from: String, to: String): Long = {
+    var tries = 0
+    while (tries < 20) {
+      val v = currentVersion(root) + 1
+      val st = replayState(root, None)
+      val ts = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalArgumentException(
+          s"TxTable renameColumn: the table at $root has no declared " +
+            "schema (legacy log) — column mapping needs one"))
+      require(from != st.key,
+        s"TxTable renameColumn: '$from' is the key column — the merge " +
+          "identity cannot be renamed")
+      require(ts.fieldNames.contains(from),
+        s"TxTable renameColumn: no column '$from'")
+      require(!ts.fieldNames.contains(to),
+        s"TxTable renameColumn: column '$to' already exists")
+      requireNoInvariantRef(st, from, "renameColumn")
+      val newTs = StructType(ts.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      // map the new logical to the OLD physical; identity entries drop
+      // (rename a→b→a round-trips to an empty map)
+      val phys = st.physOf(from)
+      val newMap = (st.colMap - from) ++
+        (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+      val newStats =
+        if (!st.statsCols.contains(from)) None
+        else Some(st.statsCols.map(c => if (c == from) to else c))
+      if (tryCommit(root, st.key, v, Seq.empty, Seq.empty, Some(newTs.json),
+          None, Some("RENAME_COLUMN"), Some(false), newStats, None, None,
+          None, Some(newMap), None)) {
+        maybeCheckpoint(root, v, st.key)
+        return v
+      }
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"TxTable at $root: lost the rename race 20 times")
+  }
+
+  /** DROP a column as METADATA ONLY (r18 — the other half of column
+    * mapping): the field leaves the declared schema; the bytes stay in
+    * every existing file, ignored by reads (scans project through the
+    * declared schema). The physical name is RETIRED forever: a later
+    * merge that evolves a column of the same name back in is REFUSED —
+    * by-name reads of pre-drop files would resurrect the dropped
+    * column's stale values under the new column (the r14
+    * silent-corruption class; Delta assigns fresh physical ids for the
+    * same reason, we refuse reuse outright which is stricter and
+    * equally loud). Time travel before the drop still reads the
+    * column; the key column and invariant-referenced columns are
+    * refused as in [[renameColumn]]. */
+  def dropColumn(root: String, name: String): Long = {
+    var tries = 0
+    while (tries < 20) {
+      val v = currentVersion(root) + 1
+      val st = replayState(root, None)
+      val ts = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalArgumentException(
+          s"TxTable dropColumn: the table at $root has no declared " +
+            "schema (legacy log) — column mapping needs one"))
+      require(name != st.key,
+        s"TxTable dropColumn: '$name' is the key column")
+      require(ts.fieldNames.contains(name),
+        s"TxTable dropColumn: no column '$name'")
+      require(ts.fields.length > 1,
+        s"TxTable dropColumn: '$name' is the only column")
+      requireNoInvariantRef(st, name, "dropColumn")
+      val newTs = StructType(ts.fields.filterNot(_.name == name))
+      val newStats =
+        if (!st.statsCols.contains(name)) None
+        else Some(st.statsCols.filterNot(_ == name))
+      if (tryCommit(root, st.key, v, Seq.empty, Seq.empty, Some(newTs.json),
+          None, Some("DROP_COLUMN"), Some(false), newStats, None, None,
+          None, Some(st.colMap - name),
+          Some(st.retired :+ st.physOf(name)))) {
+        maybeCheckpoint(root, v, st.key)
+        return v
+      }
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"TxTable at $root: lost the drop race 20 times")
+  }
+
   /** RESTORE the table to the state of version `asOf`, AS A NEW COMMIT
     * (the Delta RESTORE semantics): the head version's live set is
     * swapped for the target version's — adds re-reference the target's
@@ -1978,6 +2195,15 @@ object TxTable {
       val head = replayState(root, None)
       require(target.live.nonEmpty,
         s"TxTable at $root has no live files at v$asOf")
+      // COLUMN MAPPING (r18): a restore across a rename/drop would
+      // need to re-commit the target era's logical→physical map
+      // atomically with the file swap; refuse loudly for now — the
+      // caller re-applies the rename first (physical bytes are
+      // era-independent, so no data is at stake, only the mapping)
+      require(target.colMap == head.colMap,
+        s"TxTable at $root: cannot restore to v$asOf across a column " +
+          "rename/drop — re-apply the rename (or re-add the column) " +
+          "so the head's column mapping matches the target's first")
       val gone = target.live.flatMap(f => f.name +: f.dv.toSeq)
         .filterNot(n => Files.exists(dataDir(root).resolve(n)))
       require(gone.isEmpty,
@@ -2015,7 +2241,8 @@ object TxTable {
     occRetry(root, "COMPACT", dataChange = false) { v =>
     val st = replayState(root, None)
     val df = read(spark, root).repartition(numFiles)
-    Some((writeFiles(spark, df, root, key, f"$v%010d-compact", st.statsCols),
+    Some((writeFiles(spark, df, root, key, f"$v%010d-compact", st.statsCols,
+      st.colMap),
       st.live.map(_.name), key, None, None, None))
   }
 
@@ -2038,7 +2265,8 @@ object TxTable {
     val df = read(spark, root)
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
-    Some((writeFiles(spark, df, root, key, f"$v%010d-cluster", st.statsCols),
+    Some((writeFiles(spark, df, root, key, f"$v%010d-cluster", st.statsCols,
+      st.colMap),
       st.live.map(_.name), key, None, None, None))
   }
 
@@ -2080,8 +2308,8 @@ object TxTable {
         val declared = st.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
         val adds = packable.zipWithIndex.flatMap { case (b, i) =>
           writeFiles(spark,
-            readEntries(spark, root, b, declared, key).coalesce(1),
-            root, key, f"$v%010d-optimize$i", st.statsCols)
+            readEntries(spark, root, b, declared, key, st.colMap).coalesce(1),
+            root, key, f"$v%010d-optimize$i", st.statsCols, st.colMap)
         }
         Some((adds, packable.flatten.map(_.name), key, None, None, None))
       }
@@ -2147,7 +2375,8 @@ object TxTable {
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    Some((writeFiles(spark, laid, root, key, f"$v%010d-zorder", st.statsCols),
+    Some((writeFiles(spark, laid, root, key, f"$v%010d-zorder", st.statsCols,
+      st.colMap),
       st.live.map(_.name), key, None, None, None))
   }
 
@@ -2220,7 +2449,8 @@ object TxTable {
               fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion > fromVersion,
       s"TxTable changes: need fromVersion < toVersion, got $fromVersion, $toVersion")
-    val outSchema = replayState(root, Some(toVersion)).schema
+    val stTo = replayState(root, Some(toVersion))
+    val outSchema = stTo.schema
       .map(DataType.fromJson(_).asInstanceOf[StructType])
     // one incremental walk: the live map at fromVersion, advanced per
     // commit, resolves remove NAMES to the file ENTRIES they replace —
@@ -2242,7 +2472,7 @@ object TxTable {
       }
     val frames = steps.filter(_._5).flatMap { case (v, key, pre, post, _, cdc) =>
       def rdE(entries: Seq[FileEntry]): DataFrame =
-        readEntries(spark, root, entries, outSchema, key)
+        readEntries(spark, root, entries, outSchema, key, stTo.colMap)
       def tagged(df: DataFrame, tpe: String): DataFrame =
         df.withColumn("_change_type", lit(tpe))
           .withColumn("_commit_version", lit(v))
@@ -2255,9 +2485,18 @@ object TxTable {
         case Some(names) =>
           val paths = names.map(n => dataDir(root).resolve(n).toString)
           val df = outSchema match {
-            case Some(ts) => spark.read.schema(StructType(ts.fields :+
-                org.apache.spark.sql.types.StructField("_change_type",
-                  org.apache.spark.sql.types.StringType))).parquet(paths: _*)
+            case Some(ts) =>
+              // change files store PHYSICAL names (column mapping):
+              // scan mapped, alias back to the toVersion logical names
+              val physFields = ts.fields.map(f =>
+                f.copy(name = stTo.physOf(f.name)))
+              val raw = spark.read.schema(StructType(physFields :+
+                  org.apache.spark.sql.types.StructField("_change_type",
+                    org.apache.spark.sql.types.StringType))).parquet(paths: _*)
+              if (stTo.colMap.isEmpty) raw
+              else raw.select((ts.fields.map(f =>
+                col(stTo.physOf(f.name)).as(f.name)) :+
+                col("_change_type")).toSeq: _*)
             case None => spark.read.parquet(paths: _*)
           }
           Seq(df.withColumn("_commit_version", lit(v)))

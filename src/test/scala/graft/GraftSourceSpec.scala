@@ -133,6 +133,27 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(norm(got) === norm(base.collect()))
   }
 
+  test("the source spans a COLUMN RENAME: every era's files serve under the new logical name") {
+    import spark.implicits._
+    val dir = tempDir("gsrc-rename")
+    val root = s"$dir/tbl"; val chk = s"$dir/chk"
+    TxTable.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      root, "k", cdc = true)                                         // v1
+    TxTable.merge(spark, root, Seq((2L, 22L)).toDF("k", "n"), "k")   // v2
+    TxTable.renameColumn(root, "n", "m")                             // v3: skipped
+    TxTable.merge(spark, root, Seq((3L, 33L)).toDF("k", "m"), "k")   // v4
+    val (got, _) = drain(root, chk, startingVersion = Some(1L))
+    val rows = got.map(r => (r.getAs[Long]("k"), r.getAs[Long]("m"),
+      r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+      .toSet
+    // v1 create files + v2 change files store the OLD physical name;
+    // the task-side reader resolves the new logical through the map
+    assert(rows === Set(
+      (1L, 10L, "insert", 1L), (2L, 20L, "insert", 1L),
+      (2L, 20L, "update_preimage", 2L), (2L, 22L, "update_postimage", 2L),
+      (3L, 33L, "insert", 4L)), s"rename broke the feed: $rows")
+  }
+
   test("a non-cdc table is refused at stream definition, loudly") {
     import spark.implicits._
     val dir = tempDir("gsrc-nocdc")

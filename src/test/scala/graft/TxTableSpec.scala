@@ -1676,4 +1676,131 @@ class TxTableSpec extends AnyFunSuite with SharedSpark {
     }
     assert(e.getMessage.contains("retention"))
   }
+
+  // ---- r18: column mapping (rename/drop as metadata) ----------------
+
+  private def dataMtimes(root: String): Map[String, java.nio.file.attribute.FileTime] = {
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+    try l.iterator().asScala.map(p => p.getFileName.toString ->
+      java.nio.file.Files.getLastModifiedTime(p)).toMap
+    finally l.close()
+  }
+
+  test("rename is metadata-only; both eras resolve; merges speak the new name; checkpoints carry the map") {
+    import spark.implicits._
+    val root = tempDir("txt-cm-rename").toString + "/tbl"
+    val base = (0L until 100L).map(k => (k, k * 10.0, s"n$k"))
+      .toDF("k", "price", "note").repartitionByRange(4, col("k"))
+    TxTable.create(spark, base, root, "k")                           // v1
+    val before = dataMtimes(root)
+    TxTable.renameColumn(root, "price", "amount")                    // v2
+    assert(dataMtimes(root) == before, "rename must touch zero data files")
+    val got = TxTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "amount", "note"))
+    assert(got.filter(col("k") === 7L).head.getDouble(1) === 70.0)
+    // merge UNDER THE NEW NAME — writes land under the old physical
+    TxTable.merge(spark, root,
+      Seq((7L, 777.0, "seven")).toDF("k", "amount", "note"), "k")    // v3
+    assert(TxTable.read(spark, root).filter(col("k") === 7L)
+      .head.getDouble(1) === 777.0)
+    // time travel BEFORE the rename resolves the old era's name
+    val era1 = TxTable.read(spark, root, Some(1L))
+    assert(era1.columns.toSeq === Seq("k", "price", "note"))
+    assert(era1.filter(col("k") === 7L).head.getDouble(1) === 70.0)
+    // refusals: key, missing source, occupied target
+    assert(intercept[IllegalArgumentException] {
+      TxTable.renameColumn(root, "k", "kk") }.getMessage.contains("key"))
+    assert(intercept[IllegalArgumentException] {
+      TxTable.renameColumn(root, "ghost", "g") }
+      .getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException] {
+      TxTable.renameColumn(root, "note", "amount") }
+      .getMessage.contains("already exists"))
+    // cross a checkpoint (interval 10): the map must survive replay
+    // from the checkpoint alone
+    (0 until 10).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((i.toLong, 1.0 * i, s"m$i")).toDF("k", "amount", "note"), "k")
+    }
+    val after = TxTable.read(spark, root)
+    assert(after.columns.toSeq === Seq("k", "amount", "note"))
+    assert(after.filter(col("k") === 3L).head.getDouble(1) === 3.0)
+    // a rename back to the original name round-trips to identity
+    TxTable.renameColumn(root, "amount", "price")
+    assert(TxTable.read(spark, root).columns.toSeq ===
+      Seq("k", "price", "note"))
+  }
+
+  test("drop is metadata-only; the dropped name is never reusable; old eras still see it") {
+    import spark.implicits._
+    val root = tempDir("txt-cm-drop").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 50L).map(k => (k, k * 2, s"s$k")).toDF("k", "n", "s"),
+      root, "k")                                                     // v1
+    val before = dataMtimes(root)
+    TxTable.dropColumn(root, "s")                                    // v2
+    assert(dataMtimes(root) == before, "drop must touch zero data files")
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "n"))
+    // time travel BEFORE the drop still reads the column's bytes
+    assert(TxTable.read(spark, root, Some(1L))
+      .filter(col("k") === 9L).head.getString(2) === "s9")
+    // re-adding the dropped name via merge evolution is REFUSED —
+    // by-name reads of pre-drop files would resurrect stale values
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root,
+        Seq((1L, 2L, "smuggled")).toDF("k", "n", "s"), "k")
+    }
+    assert(e.getMessage.contains("physical storage"))
+    // a DIFFERENT fresh name evolves fine
+    TxTable.merge(spark, root,
+      Seq((1L, 2L, "ok")).toDF("k", "n", "s2"), "k")
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "n", "s2"))
+    // restore across the mapping change is refused loudly
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.renameColumn(root, "n", "m")
+      TxTable.restore(root, "k", 1L)
+    }
+    assert(e2.getMessage.contains("column"))
+  }
+
+  test("logged stats survive a rename: pruning and deleteWhere answer under the new name") {
+    import spark.implicits._
+    val root = tempDir("txt-cm-stats").toString + "/tbl"
+    val base = (0L until 400L).map(k => (k, k * 3, s"v$k"))
+      .toDF("k", "price", "v").repartitionByRange(4, col("price"))
+    TxTable.create(spark, base, root, "k", statsCols = Seq("price"))
+    TxTable.renameColumn(root, "price", "amount")
+    // reader-side skipping under the NEW name hits the OLD files'
+    // physically-keyed stats
+    val (kept, pruned) = TxTable.liveFilesWhere(root, "amount", 0L, 200L)
+    assert(pruned.nonEmpty, "rename must not orphan the logged stats")
+    assert(TxTable.readWhere(spark, root, "amount", 0L, 200L).count() === 67)
+    // and the metadata-only delete path still classifies: [0, 600]
+    // covers the low amount-clustered files whole, straddles one
+    val (cov, _, untouched) =
+      TxTable.deleteWhereFiles(root, Seq(("amount", 0L, 600L)))
+    assert(cov.nonEmpty && untouched.nonEmpty)
+    TxTable.deleteWhere(spark, root, Seq(("amount", 0L, 600L)))
+    // amount = 3k <= 600 → k <= 200 → 201 rows deleted
+    assert(TxTable.read(spark, root).count() === 400 - 201)
+  }
+
+  test("the change feed spans a rename: old-era change files serve under the new logical names") {
+    import spark.implicits._
+    val root = tempDir("txt-cm-cdc").toString + "/tbl"
+    TxTable.create(spark,
+      (0L until 20L).map(k => (k, k * 1L)).toDF("k", "n"), root, "k",
+      cdc = true)                                                    // v1
+    TxTable.merge(spark, root, Seq((3L, 333L)).toDF("k", "n"), "k")  // v2
+    TxTable.renameColumn(root, "n", "m")                             // v3
+    TxTable.merge(spark, root, Seq((4L, 444L)).toDF("k", "m"), "k")  // v4
+    val feed = TxTable.changes(spark, root, 1L, 4L)
+    assert(feed.columns.contains("m") && !feed.columns.contains("n"))
+    val got = feed.filter(col("_change_type") === "update_postimage")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("m"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(got === Set((3L, 333L, 2L), (4L, 444L, 4L)),
+      s"both eras' change files must serve under the new name: $got")
+  }
 }
