@@ -810,8 +810,10 @@ object TxTable {
     * directory (copy-on-write — the source never observes them),
     * compaction materializes the clone fully local, and the clone's
     * vacuum lists only its own directory so it can never reclaim
-    * source bytes. Schema, declared statsCols, CHECK invariants and the
-    * cdc flag carry over (Delta clones carry table properties,
+    * source bytes. Schema, declared statsCols, CHECK invariants, the
+    * cdc flag and the column-mapping state (colMap + retired — a clone
+    * of a renamed table must keep reading the source's physical names)
+    * carry over (Delta clones carry table properties,
     * enableChangeDataFeed included — r18, ADVICE: dropping cdcOn made a
     * clone of a feed-bearing table silently stop materializing change
     * files, degrading its subscribers to per-read diff replay).
