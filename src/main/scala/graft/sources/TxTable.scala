@@ -361,12 +361,155 @@ object TxTable {
     }
   }
 
+  /** Per-file stats straight from the parquet FOOTERS of just-written
+    * files (r18 optimization round, guide §1.2: remove whole passes):
+    * parquet-mr records min/max/null-count per column chunk at write
+    * time, so the old stats pass — one full Spark job per commit that
+    * re-read every new file (multi-file scan + groupBy(input_file_name)
+    * + collect) — duplicated work the writer already did. Footer reads
+    * are driver-side metadata I/O, ∝ files in THIS commit (never the
+    * table): ~1 ms per file locally, one small ranged GET per file on
+    * an object store — the same footer read Delta/Iceberg writers do to
+    * stamp their logs. Returns None whenever exact parity with the
+    * Spark pass can't be PROVEN from the footer alone — unsupported
+    * column type (timestamps: their logged rendering is
+    * session-timezone-dependent), missing/truncated statistics
+    * (parquet-mr drops binary min/max above 4 KiB), unset null counts,
+    * physical/declared type mismatch — and the caller then runs the
+    * old Spark pass, so the logged stats are identical either way;
+    * this path is just cheaper. Parity, case by case:
+    *  - integral columns: footer min/max/null-count are exact — the
+    *    same values `min/max(try_cast(c AS BIGINT))`+`sum(isNull)`
+    *    computed;
+    *  - string columns: footer min/max use unsigned-lexicographic
+    *    byte order, the SAME order Spark's min/max over UTF8String
+    *    uses, and are exact below parquet's stats size cutoff
+    *    (dropped stats → None → fallback, never a wrong bound);
+    *  - dates render as LocalDate.ofEpochDay(days).toString — the ISO
+    *    form `cast(date AS string)` produced;
+    *  - a STRING-typed key logs the full-range kmin/kmax sentinels:
+    *    `try_cast(string AS BIGINT)` could in principle parse an
+    *    all-digit key, but every string-keyed table here (URL-,
+    *    digest-, date-string-keyed state) casts to null → the same
+    *    sentinels; and a wider kmin/kmax can only make pruning MORE
+    *    conservative, never wrong (degrade-never-miss). */
+  private def footerEntries(conf: org.apache.hadoop.conf.Configuration,
+                            moved: Seq[Path], schema: StructType, key: String,
+                            secondary: Seq[(String, DataType)])
+      : Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val keyDt = schema(key).dataType
+    if (!isIntegral(keyDt) && keyDt != StringType) return None
+    if (!secondary.forall { case (_, dt) =>
+        isIntegral(dt) || dt == StringType || dt == DateType }) return None
+    // merged (min, max, nulls) of one top-level column across a file's
+    // row groups, in the chunk statistics' own typed domain (merged via
+    // the column's own comparator — unsigned for strings); None = stats
+    // unusable for an exactness proof
+    def agg(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+            name: String): Option[(Option[AnyRef], Option[AnyRef], Long)] = {
+      var nulls = 0L
+      var mn: AnyRef = null
+      var mx: AnyRef = null
+      val it = blocks.iterator
+      while (it.hasNext) {
+        val b = it.next()
+        b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+          case None => return None
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val c = st.comparator().asInstanceOf[java.util.Comparator[AnyRef]]
+              val lo = st.genericGetMin.asInstanceOf[AnyRef]
+              val hi = st.genericGetMax.asInstanceOf[AnyRef]
+              if (mn == null || c.compare(lo, mn) < 0) mn = lo
+              if (mx == null || c.compare(hi, mx) > 0) mx = hi
+            } else if (st.getNumNulls < cc.getValueCount) {
+              // non-null values exist but min/max were dropped (e.g.
+              // oversized binaries): the range can't be proven
+              return None
+            }
+        }
+      }
+      Some((Option(mn), Option(mx), nulls))
+    }
+    def asLong(v: AnyRef): Option[Long] = v match {
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Long => Some(n.longValue())
+      case _ => None
+    }
+    def asStr(v: AnyRef, dt: DataType): Option[String] = (v, dt) match {
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        Some(b.toStringUsingUTF8)
+      case (n: java.lang.Integer, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(n.longValue()).toString)
+      case _ => None
+    }
+    try {
+      val out = Seq.newBuilder[FileEntry]
+      moved.foreach { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val footer = try rdr.getFooter finally rdr.close()
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows > 0) {
+          val (kmin, kmax, smin, smax, knn) = agg(blocks, key) match {
+            case None => return None
+            case Some((mn, mx, nulls)) =>
+              if (isIntegral(keyDt)) {
+                if (mn.isDefined && asLong(mn.get).isEmpty) return None
+                (mn.flatMap(asLong).getOrElse(Long.MinValue),
+                  mx.flatMap(asLong).getOrElse(Long.MaxValue),
+                  None, None, Some(nulls))
+              } else {
+                if (mn.isDefined && asStr(mn.get, StringType).isEmpty)
+                  return None
+                (Long.MinValue, Long.MaxValue,
+                  mn.flatMap(asStr(_, StringType)),
+                  mx.flatMap(asStr(_, StringType)), Some(nulls))
+              }
+          }
+          val colStats = secondary.flatMap { case (c, dt) =>
+            agg(blocks, c) match {
+              case None => return None
+              case Some((mn, mx, nulls)) =>
+                if (mn.isEmpty || mx.isEmpty) None // all-null: no entry
+                else if (isIntegral(dt)) {
+                  val lo = asLong(mn.get); val hi = asLong(mx.get)
+                  if (lo.isEmpty || hi.isEmpty) return None
+                  Some(c -> ColStat(nlo = lo, nhi = hi, nn = Some(nulls)))
+                } else {
+                  val lo = asStr(mn.get, dt); val hi = asStr(mx.get, dt)
+                  if (lo.isEmpty || hi.isEmpty) return None
+                  Some(c -> ColStat(lo = lo, hi = hi, nn = Some(nulls)))
+                }
+            }
+          }.toMap
+          out += FileEntry(p.getFileName.toString, rows, kmin, kmax,
+            smin, smax, if (colStats.isEmpty) None else Some(colStats),
+            dv = None, knn = knn)
+        }
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Write `df` as data files under the table and return their log
     * entries (with per-file key min/max — and, when `statsCols` names
-    * declared secondary columns, their per-file ranges too — from one
-    * stats pass). The files are INVISIBLE until a commit references
-    * them — the crash-safety property: an orphaned write is garbage,
-    * never a torn table. */
+    * declared secondary columns, their per-file ranges too — read from
+    * the parquet footers, with the one-pass Spark stats job as the
+    * exactness fallback, see [[footerEntries]]). The files are
+    * INVISIBLE until a commit references them — the crash-safety
+    * property: an orphaned write is garbage, never a torn table. */
   private def writeFiles(spark: SparkSession, df: DataFrame, root: String,
                          key: String, tag: String,
                          statsCols: Seq[String] = Seq.empty,
@@ -397,6 +540,20 @@ object TxTable {
           dest
         }
       if (moved.isEmpty) return Seq.empty
+      // r18 (optimization round): per-file stats come FROM THE FOOTERS
+      // the parquet writer just produced — no Spark job, no re-read of
+      // the data pages (guide §1.2: remove whole passes first). The
+      // old one-pass Spark stats job below remains as the exactness
+      // fallback for anything the footers can't prove (None).
+      val footerStats = if (!physDf.columns.contains(key)) None else {
+        val secondaryTyped = statsCols.distinct.filter(_ != key)
+          .map(c => colMap.getOrElse(c, c))
+          .filter(physDf.columns.contains)
+          .map(c => (c, physDf.schema(c).dataType))
+        footerEntries(spark.sessionState.newHadoopConf(), moved,
+          physDf.schema, key, secondaryTyped)
+      }
+      if (footerStats.isDefined) return footerStats.get
       // one pass over the new files for per-file stats (the log never
       // stores data, only names + ranges)
       // integral keys record a BIGINT range; STRING keys additionally
@@ -1084,21 +1241,26 @@ object TxTable {
     * such null probe degrades to touch-ALL-files (a full rewrite is
     * correct, a missed file is not), matching the writer side's
     * full-range stats for those keys. */
+  /** `preDistinct = true` (r18 optimization round) tells the pruning
+    * pass the caller ALREADY distinct'ed and materialized the key set —
+    * skip the internal distinct + localCheckpoint (one Spark job + one
+    * block write per commit) and read the caller's blocks directly. */
   private def touchedFileNames(spark: SparkSession, files: Seq[FileEntry],
-                               updates: DataFrame, key: String): Set[String] = {
+                               updates: DataFrame, key: String,
+                               preDistinct: Boolean = false): Set[String] = {
     import spark.implicits._
     val keyIsString =
       updates.schema(key).dataType == org.apache.spark.sql.types.StringType
     if (keyIsString && files.forall(f => f.smin.isDefined && f.smax.isDefined)) {
-      val ks = updates.select(col(key).as("k"))
-        .filter(col("k").isNotNull).distinct().localCheckpoint()
+      val ks0 = updates.select(col(key).as("k")).filter(col("k").isNotNull)
+      val ks = if (preDistinct) ks0 else ks0.distinct().localCheckpoint()
       val ranges = files.map(f => (f.name, f.smin.get, f.smax.get))
         .toDF("name", "smin", "smax")
       ks.join(broadcast(ranges), col("k").between(col("smin"), col("smax")))
         .select(col("name")).distinct().as[String].collect().toSet
     } else {
-      val ks = updates.select(expr(s"try_cast(`$key` AS BIGINT)").as("k"))
-        .distinct().localCheckpoint()
+      val ks0 = updates.select(expr(s"try_cast(`$key` AS BIGINT)").as("k"))
+      val ks = if (preDistinct) ks0 else ks0.distinct().localCheckpoint()
       if (ks.filter(col("k").isNull).limit(1).count() > 0)
         files.map(_.name).toSet
       else {
@@ -1151,8 +1313,16 @@ object TxTable {
     * guard re-evaluates inside the OCC loop against each fresh
     * snapshot, so two racing re-deliveries of the same micro-batch
     * linearize to exactly one application. */
-  def merge(spark: SparkSession, root: String, updates: DataFrame,
+  def merge(spark: SparkSession, root: String, updates0: DataFrame,
             key: String, txn: Option[(String, Long)] = None): Long = {
+    // r18 (optimization round, guide §1.2/§5): materialize the updates
+    // ONCE — Delta materializes its merge source for the same reason.
+    // The merge used to re-execute the updates PLAN up to four times
+    // (uniqueness check, key-range pruning, the rewrite join, the CDC
+    // diff when enabled); now every consumer reads the checkpointed
+    // blocks (∝ the batch, never the table), and an OCC re-derivation
+    // re-reads blocks instead of re-running the plan.
+    val updates = updates0.localCheckpoint()
     requireUniqueKeys(updates, key)
     occRetry(root, "MERGE", allowRebase = true) { v =>
       val st = replayState(root, None)
@@ -1225,8 +1395,15 @@ object TxTable {
         // widen the rewrite side with the added columns (null for rows
         // whose key the updates don't touch — by-name parquet reads of
         // carried-over files do the same, so the widened schema is total)
-        val base = added.foldLeft(base0)((b, c) =>
+        val base1 = added.foldLeft(base0)((b, c) =>
           b.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+        // a CDC-enabled merge consumes the touched-files read TWICE
+        // (the rewrite join and the pre/post diff): checkpoint it so
+        // the touched files' pages are read once (r18 optimization
+        // round); without cdc the read executes once anyway — no
+        // checkpoint, no extra pass
+        val base = if (st.cdcOn && touched.nonEmpty) base1.localCheckpoint()
+          else base1
         // ALL updates enter the rewrite: matched keys replace rows read
         // from the touched files, unmatched keys are pure inserts
         val merged = Sources.upsert(base, updates, key)
@@ -1308,13 +1485,17 @@ object TxTable {
     * not-matched inserts still take the source row verbatim (a fresh
     * key's initial value IS its delta). None preserves the replace
     * semantics exactly. */
-  def mergeConditional(spark: SparkSession, root: String, updates: DataFrame,
+  def mergeConditional(spark: SparkSession, root: String, updates0: DataFrame,
                        key: String,
                        matchedDelete: Option[MergeCond] = None,
                        matchedUpdate: Option[MergeCond] = None,
                        matchedUpdateSet: Option[Map[String, MergeCond]] = None,
                        notMatchedInsert: Option[MergeCond] = None,
                        txn: Option[(String, Long)] = None): Long = {
+    // same source materialization as [[merge]] (r18 optimization
+    // round): one execution of the updates plan, every consumer below
+    // reads the checkpointed blocks
+    val updates = updates0.localCheckpoint()
     requireUniqueKeys(updates, key)
     occRetry(root, "MERGE", allowRebase = true) { v =>
       val st = replayState(root, None)
@@ -1359,7 +1540,13 @@ object TxTable {
         val tgt = base.select(
           (col(key).as("_mk") +: lit(true).as("_tp") +:
             tblCols.filterNot(_ == key).map(c => col(c).as(s"_t_$c"))): _*)
-        val j = tgt.join(src, Seq("_mk"), "full_outer")
+        val j0 = tgt.join(src, Seq("_mk"), "full_outer")
+        // a CDC-enabled conditional merge derives FIVE frames from this
+        // join (the rewrite + four change-row branches): checkpoint it
+        // so the full_outer executes once and every branch reads the
+        // blocks (r18 optimization round); without cdc the join runs
+        // once anyway — no checkpoint, no extra pass
+        val j = if (st.cdcOn) j0.localCheckpoint() else j0
         val srcAcc: String => org.apache.spark.sql.Column =
           c => if (c == key) col("_mk") else col(s"_s_$c")
         val tgtAcc: String => org.apache.spark.sql.Column =
@@ -1505,10 +1692,19 @@ object TxTable {
     // pre-check cost a full duplicate pruning pass (distinct +
     // broadcast range join) per call — measurable at st38's
     // per-micro-batch cadence (r14 judge finding #3)
+    //
+    // r18 (optimization round): the distinct key set materializes ONCE
+    // — pruning, the anti-join and the CDC semi-join used to each
+    // re-execute the caller's keys plan; now they read these blocks.
+    // (Null keys match no equality join and no file range — dropping
+    // them up front changes nothing downstream.)
+    val ks = keys.select(col(key)).filter(col(key).isNotNull)
+      .distinct().localCheckpoint()
     occRetry(root, "DELETE", allowRebase = true) { v =>
       val st = replayState(root, None)
       val files = st.live
-      val touchedSet = touchedFileNames(spark, files, keys, key)
+      val touchedSet = touchedFileNames(spark, files, ks, key,
+        preDistinct = true)
       val touched = files.filter(f => touchedSet.contains(f.name))
       if (touched.isEmpty) None     // raced to a no-op: commit nothing
       else {
@@ -1517,14 +1713,15 @@ object TxTable {
         // narrow file and silently erase the widened column from every
         // surviving row the delete never mentioned; DV-aware (r17) so a
         // rewrite-delete after a DV delete materializes both
-        val base = readEntries(spark, root, touched,
+        val base0 = readEntries(spark, root, touched,
           st.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), key,
           st.colMap)
-        val remaining = base.join(keys.select(col(key)).distinct(),
-          Seq(key), "left_anti")
+        // cdc consumes the touched-files read twice: one pass (r18)
+        val base = if (st.cdcOn) base0.localCheckpoint() else base0
+        val remaining = base.join(ks, Seq(key), "left_anti")
         val cdc = if (!st.cdcOn) None else
           writeCdcFiles(spark,
-            base.join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
+            base.join(ks, Seq(key), "left_semi")
               .withColumn("_change_type", lit("delete")), root, v, st.colMap)
         Some((writeFiles(spark, remaining, root, key, f"$v%010d-delete",
           st.statsCols, st.colMap), touched.map(_.name), key, None, None, cdc))
@@ -1712,14 +1909,20 @@ object TxTable {
     * [[vacuum]] retention and [[restore]]'s existence validation cover
     * them by name like any other referenced file. */
   def deleteKeysDV(spark: SparkSession, root: String, keys: DataFrame,
-                   key: String, txn: Option[(String, Long)] = None): Long =
+                   key: String, txn: Option[(String, Long)] = None): Long = {
+    // r18 (optimization round): one materialization of the delete-key
+    // set, shared by the pruning pass and the hit semi-join below (the
+    // raw keys plan used to execute for each)
+    val ks = keys.select(col(key)).filter(col(key).isNotNull)
+      .distinct().localCheckpoint()
     occRetry(root, "DELETE_DV", allowRebase = true) { v =>
       val st = replayState(root, None)
       if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
         None   // already applied: idempotent no-op
       else {
         val files = st.live
-        val touchedSet = touchedFileNames(spark, files, keys, key)
+        val touchedSet = touchedFileNames(spark, files, ks, key,
+          preDistinct = true)
         val touched = files.filter(f => touchedSet.contains(f.name))
         if (touched.isEmpty) {
           if (txn.isEmpty) None // raced to a no-op
@@ -1748,10 +1951,9 @@ object TxTable {
           case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*).select(col(key))
         })
-        val ks = keys.select(col(key)).filter(col(key).isNotNull)
-          .distinct().localCheckpoint()
         // (file, key) pairs physically present — the scan every count
-        // below derives from; column-pruned to the key
+        // below derives from; column-pruned to the key (`ks`, the
+        // materialized delete-key set, is hoisted above occRetry — r18)
         val phys = keyScan(touched.map(f =>
           dataDir(root).resolve(f.name).toString))
         // keys ALREADY vectored, per file (old sidecars mapped to
@@ -1888,6 +2090,7 @@ object TxTable {
         }
       }
     }
+  }
 
   // ---- change-feed source seams (r18) --------------------------------
   // The DataSourceV2 streaming source (GraftChangeFeed) plans its
