@@ -387,15 +387,139 @@ object Similarity {
   def kmeansFitIds(embeddings: DataFrame, cap: Int = FitCap): DataFrame =
     fitSample(embeddings.select(col("vec_id")), cap).select(col("vec_id"))
 
+  /** One Lloyd step on the DRIVER over the collected fit sample, with
+    * arithmetic BIT-IDENTICAL to the relational form it replaced (r18
+    * optimization round — see [[kmeansCentroids]]): per row, vv and
+    * every centroid dot run left-to-right double summation (the
+    * graft_dot order), the distance is `(vv - 2.0·dot) + cc` with
+    * cc = Σc² in array order, optionally rounded through
+    * Decimal(38, 6) (assignToCentroids' decRound — Spark's own Cast
+    * path via [[org.apache.spark.sql.types.Decimal]]); argmin ties
+    * break to the smallest cid (array_min's struct order); centroid
+    * sums accumulate each coordinate through the exact
+    * double→Decimal(28, 12) cast and divide at scale 12 HALF_UP —
+    * decimal addition is associative, so driver order == any shuffle
+    * order. KmeansDriverParitySpec asserts centroid-for-centroid
+    * equality against the retained relational reference. */
+  private def lloydStepDriver(rows: Array[Array[Double]],
+                              cents: Array[Array[Double]],
+                              round6: Boolean): Array[Array[Double]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.types.Decimal
+    val k = cents.length
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val ccs = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+    def dec(x: Double, precision: Int, scale: Int): Decimal = {
+      val d = Decimal(x)
+      // unreachable overflow for unit-scale embeddings; the relational
+      // form nulled and kept the previous centroid — mirror by throwing
+      // into the same keep-previous branch below
+      if (!d.changePrecision(precision, scale)) null else d
+    }
+    val sums = Array.fill(k, dim)(JBD.ZERO)
+    val ns = new Array[Long](k)
+    var overflow = false
+    rows.foreach { v =>
+      var vv = 0.0
+      var i = 0
+      while (i < v.length) { vv += v(i) * v(i); i += 1 }
+      var best = -1
+      var bestD = 0.0
+      var bestD6: JBD = null
+      var cid = 0
+      while (cid < k) {
+        val c = cents(cid)
+        var dp = 0.0
+        val n = math.min(v.length, c.length)
+        var j = 0
+        while (j < n) { dp += v(j) * c(j); j += 1 }
+        val d = (vv - 2.0 * dp) + ccs(cid)
+        if (round6) {
+          val d6 = dec(d, 38, 6)
+          val jb = if (d6 == null) null else d6.toJavaBigDecimal
+          // struct(d6, cid) array_min: smallest d6, ties → smallest cid
+          if (best < 0 || (jb != null && bestD6 != null &&
+              jb.compareTo(bestD6) < 0)) { best = cid; bestD6 = jb }
+        } else {
+          if (best < 0 || d < bestD) { best = cid; bestD = d }
+        }
+        cid += 1
+      }
+      ns(best) += 1
+      var p = 0
+      while (p < v.length && p < dim) {
+        val dx = dec(v(p), 28, 12)
+        if (dx == null) overflow = true
+        else sums(best)(p) = sums(best)(p).add(dx.toJavaBigDecimal)
+        p += 1
+      }
+    }
+    val next = cents.map(_.clone()) // empty cluster keeps its centroid
+    if (!overflow) {
+      var cid = 0
+      while (cid < k) {
+        if (ns(cid) > 0) {
+          var p = 0
+          while (p < dim) {
+            next(cid)(p) = sums(cid)(p)
+              .divide(new JBD(ns(cid)), 12, RoundingMode.HALF_UP)
+              .doubleValue()
+            p += 1
+          }
+        }
+        cid += 1
+      }
+    }
+    next
+  }
+
+  /** The RELATIONAL Lloyd step — one Spark job per iteration — kept as
+    * the executable parity SPEC for [[lloydStepDriver]] (the
+    * tokensAlgebra idiom: the driver form must stay provably equal to
+    * the distributed algebra the oracle replays). Not on any hot path:
+    * KmeansDriverParitySpec is its only caller. */
+  private[graft] def lloydStepRelational(fit: DataFrame,
+                                         cents: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val sums = assignToCentroids(fit, cents)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val next = cents.map(_.clone()) // empty cluster keeps its centroid
+    sums.foreach { r =>
+      val sx = r.getAs[JBD]("sx")
+      if (sx != null)
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          sx.divide(new JBD(r.getAs[Long]("n")), 12, RoundingMode.HALF_UP)
+            .doubleValue()
+    }
+    next
+  }
+
   /** The Lloyd iteration loop, returning the final centroids (the
     * persistable model artifact). `v` must be a materialized
     * (vec_id, v: array<double>) frame. The ITERATION sums run over a
     * [[fitSample]] (identity at gate scale, ~`fitCap` rows at corpus
     * scale — the centroid artifact needs a sample, not the corpus);
-    * seeds always come from the full frame's smallest-hash order. */
+    * seeds always come from the full frame's smallest-hash order.
+    *
+    * r18 (optimization round, guide §1.2): the sample is collected ONCE
+    * and the iterations run on the DRIVER ([[lloydStepDriver]], bit-
+    * identical arithmetic — spec-pinned against the retained relational
+    * step). The old form paid one Spark job + one fresh codegen compile
+    * PER ITERATION for ≤ fitCap (100k) rows of work — the faiss
+    * posture is exactly this: indexes train in-process on a bounded
+    * sample, the corpus-scale work (assignment, scoring) stays
+    * distributed. Driver memory is bounded by the cap: 100k × 64
+    * doubles ≈ 51 MB. */
   private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int,
                                      fitCap: Int = FitCap): Array[Array[Double]] = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     // a cap near k would let the binomial sample dip below the seed
     // count, and a sample missing a seed silently degrades the fit —
     // fail fast instead (the r12 self-review guard)
@@ -405,29 +529,9 @@ object Similarity {
       .join(v, "vec_id").orderBy(col("cid"))
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val fit = fitSample(v, fitCap)
-    for (_ <- 1 to iters) {
-      val sums = assignToCentroids(fit, cents)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("sx"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone()) // empty cluster keeps its centroid
-      sums.foreach { r =>
-        val sx = r.getAs[JBD]("sx")
-        // a DecimalType(38,12) sum overflow (|Σx| ≥ 1e26 per
-        // cluster-coordinate — unreachable for unit-scale embeddings at
-        // any real corpus size, and the DuckDB replay errors loudly at
-        // its own 1e14 bound long before) yields null under non-ANSI
-        // mode; keep the previous centroid instead of NPE-ing the loop
-        if (sx != null)
-          next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
-            sx.divide(new JBD(r.getAs[Long]("n")), 12, RoundingMode.HALF_UP)
-              .doubleValue()
-      }
-      cents = next
-    }
+    val rows = fitSample(v, fitCap).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) cents = lloydStepDriver(rows, cents, round6 = true)
     cents
   }
 
@@ -1036,23 +1140,70 @@ object Similarity {
     val dim = v0.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim is not divisible by m = $m subspaces")
     val sub = dim / m
-    // ALL m Lloyd loops run JOINTLY over one exploded (vec_id, subsp, sv)
-    // frame — the subspaces are mathematically independent, so keying
-    // every assignment and every centroid sum by subsp yields centroids
-    // identical to m separate loops while collapsing m·iters sequential
-    // Spark jobs into iters (the first per-subspace formulation spent
-    // 30+ s of its 36 s sf0.1 wall-clock on driver scheduling overhead
-    // for 160 micro-jobs; this shape runs the same math in 5)
-    // fit-sampled BEFORE the explode (whole vectors in or out, so every
+    // r18 (optimization round, guide §1.2): the fit sample is collected
+    // ONCE and ALL m Lloyd loops run on the DRIVER — [[lloydStepDriver]]
+    // per subspace slice, raw-double argmin (round6 = false: ties →
+    // smallest cid via the same first-wins scan the struct array_min
+    // performed), exact Decimal(28,12) centroid sums. The pre-r18 joint
+    // relational form (one exploded (vec_id, subsp, sv) frame, one job
+    // per iteration over two nested typedLits) already collapsed m·iters
+    // jobs into iters; what remained was iters× (job + a fresh codegen
+    // compile of the m·k-literal assignment expression) for ≤ fitCap
+    // rows of arithmetic — measured ~1.7 s/iteration at sf0.1 against
+    // ~50 ms of driver math. The fit is a bounded-sample in-process
+    // computation (the faiss posture); assignment/scoring of the CORPUS
+    // stays distributed in [[pqCodes]]/[[pqTopK]]. Sample membership,
+    // seeds, slicing and every arithmetic step are unchanged, so the
+    // staged codebooks are bit-identical (PqDriverParitySpec pins this
+    // against the r17 relational fit kept below).
+    // fit-sampled BEFORE the slicing (whole vectors in or out, so every
     // subspace trains on the same membership); identity at gate scale
+    val rows = fitSample(v0, fitCap)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // seed ids are hash-of-vec_id only — identical for every subspace;
+    // threshold-sample membership is a prefix of the same hash order,
+    // so the k smallest-hash seeds are always inside the sample
+    val seedCid = kmeansSeedIds(v0, k).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val byId = rows.toMap
+    val slices: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => rows.map(_._2.slice(j * sub, (j + 1) * sub)))
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val init = Array.fill(k)(Array.empty[Double])
+      seedCid.foreach { case (id, cid) =>
+        init(cid) = byId(id).slice(j * sub, (j + 1) * sub) }
+      init
+    }
+    for (_ <- 1 to iters)
+      cents = Array.tabulate(m)(j =>
+        lloydStepDriver(slices(j), cents(j), round6 = false))
+    cents.zipWithIndex.flatMap { case (ck, j) =>
+      ck.zipWithIndex.map { case (c, cid) => (j, cid, c.toSeq) }
+    }.toSeq.toDF("subsp", "cid", "c")
+  }
+
+  /** The r17 RELATIONAL PQ fit — kept verbatim as the executable parity
+    * SPEC for the driver fit above (PqDriverParitySpec asserts staged-
+    * codebook equality); not on any hot path. */
+  private[graft] def pqCodebooksRelational(embeddings: DataFrame, m: Int = 32,
+                                           k: Int = 32, iters: Int = 4,
+                                           fitCap: Int = FitCap): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.types.DecimalType
+    require(fitCap <= 0 || fitCap >= 10 * k,
+      s"fitCap $fitCap is too close to k = $k for a safe sample; use >= ${10 * k} or <= 0")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v0 = embeddings.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val dim = v0.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m = $m subspaces")
+    val sub = dim / m
     val sv = fitSample(v0, fitCap).select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("v"), j * lit(sub) + 1, lit(sub))))
         .as(Seq("subsp", "sv")))
-      .localCheckpoint() // the loop re-reads its working set every pass
-    // seed ids are hash-of-vec_id only — identical for every subspace;
-    // threshold-sample membership is a prefix of the same hash order,
-    // so the k smallest-hash seeds are always inside the sampled sv
+      .localCheckpoint()
     val seedCid = kmeansSeedIds(v0, k).collect()
       .map(r => r.getLong(1) -> r.getInt(0)).toMap
     var cents: Array[Array[Array[Double]]] = {
@@ -1063,18 +1214,6 @@ object Similarity {
       init
     }
     for (_ <- 1 to iters) {
-      // the (subsp → cid → centroid) table rides as TWO single-node
-      // nested typedLits (values + squared norms) — a struct-per-centroid
-      // literal array is a ~5k-node expression tree that costs seconds
-      // of analysis/codegen PER ITERATION at m·k=1024; assignment is the
-      // assignToCentroids argmin with the row's subspace slab picked by
-      // element_at and cid supplied by the transform index. The argmin
-      // here is RAW double (ties → smallest cid via the struct order):
-      // per-row deterministic regardless of partitioning, and the
-      // oracle never replays the fit — it reads the STAGED codebooks —
-      // so the decimal boundary lives where parity is needed (the
-      // centroid sums below and withPqCodes' code assignment), not on
-      // m·k·n distance roundings per pass
       val cvs = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
       val ccs = typedLit(cents.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
       val sums = sv
