@@ -1559,29 +1559,43 @@ object Similarity {
         col("q_id") === col("q2") && col("a") =!= col("b"))
       .withColumn("p6", micro(dot(col("va"), col("vb2")) / (col("na2") * col("nb2"))))
       .select(col("q_id"), col("a"), col("b"), col("p6"))
-      .localCheckpoint()
-    val slate = cand.select(col("q_id"), col("id_b"), col("c6"))
-    var picked = slate
-      .withColumn("rk", row_number().over(byQ.orderBy(col("c6").desc, col("id_b"))))
-      .filter(col("rk") === 1)
-      .select(col("q_id"), col("id_b"), lit(1).as("rank"))
-    for (r <- 2 to k) {
-      val pickedIds = picked.select(col("q_id"), col("id_b"))
-      val maxSim = cp
-        .join(pickedIds.select(col("q_id"), col("id_b").as("b")), Seq("q_id", "b"), "left_semi")
-        .groupBy(col("q_id"), col("a")).agg(max(col("p6")).as("m6"))
-      val next = slate
-        .join(pickedIds, Seq("q_id", "id_b"), "left_anti")
-        .join(maxSim.select(col("q_id"), col("a").as("id_b"), col("m6")),
-          Seq("q_id", "id_b"))
-        .withColumn("score10", lit(7L) * col("c6") - lit(3L) * col("m6"))
-        .withColumn("rk", row_number().over(
-          byQ.orderBy(col("score10").desc, col("id_b"))))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("id_b"), lit(r).as("rank"))
-      picked = picked.unionByName(next)
+    // r18 (optimization round, guide §1.2/§5): the greedy selection runs
+    // on the DRIVER. The slate is bounded BY CONSTRUCTION (nQueries ×
+    // nCand candidates, nQueries × nCand² pairwise sims — a rerank
+    // operates on a retrieved slate, never the corpus, at any scale),
+    // and every quantity below is an exact micro-long, so the driver
+    // greedy replays the relational one bit-for-bit (max score10 = 7·c6
+    // − 3·max-picked-p6, ties → smallest id_b — the row_number order).
+    // The pre-r18 form grew `picked` as an uncheckpointed union whose
+    // round-r plan re-derived every earlier round — a plan tree (and
+    // analysis cost) exponential in k for ~200 rows of data. The corpus
+    // work (cosines against every vector) stays distributed above.
+    val candRows = cand.select(col("q_id"), col("id_b"), col("c6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSim = cp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val slate = cs.map { case (_, b, c6) => (b, c6) }
+      var remaining = slate.sortBy { case (b, c6) => (-c6, b) }.toBuffer
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      var r = 1
+      while (r <= k && remaining.nonEmpty) {
+        val choice =
+          if (r == 1) remaining.head._1
+          else remaining.map { case (a, c6) =>
+            val m6 = picked.map { case (b, _) => pairSim((qid, a, b)) }.max
+            (a, 7L * c6 - 3L * m6)
+          }.minBy { case (a, s10) => (-s10, a) }._1
+        picked += ((choice, r))
+        remaining = remaining.filterNot(_._1 == choice)
+        r += 1
+      }
+      picked.map { case (b, rank) => (qid, b, rank) }
     }
-    picked.select(col("q_id"), col("id_b").as("neighbor_id"), col("rank"))
+    import embeddings.sparkSession.implicits._
+    out.sortBy { case (q, b, rank) => (q, rank, b) }
+      .toDF("q_id", "neighbor_id", "rank")
   }
 
   /** Simplified-silhouette cluster quality over the [[kmeans]] partition
