@@ -1821,38 +1821,55 @@ object Similarity {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val qx = transform(toDoubleVec(col("embedding")),
       x => round(x * PcaQ).cast("long"))
-    val base = fitSample(
+    // r18 (optimization round, guide §1.2): the quantized fit sample is
+    // collected ONCE (bounded by fitCap — 100k × 64 longs ≈ 51 MB) and
+    // means + scatter run as driver integer math. The pre-r18 relational
+    // scatter double-exploded the sample into n·d² rows (33M at gate
+    // scale) and shuffled them into d² decimal sums — the dominant cost
+    // of the whole key for arithmetic a single core does in ~100 ms.
+    // Exactness is unchanged: the quantized coordinates come off the
+    // SAME qx expression (collected, never recomputed), sums accumulate
+    // in overflow-CHECKED longs (|ci·cj| ≤ 2^42, × fitCap ≤ 2^59 — the
+    // exact range the DECIMAL(38,0) sums occupied; addExact throws on
+    // the unreachable overflow instead of wrapping), the mean divides
+    // HALF_UP at scale 0 and the scatter converts through the identical
+    // `.doubleValue / n / PcaQ / PcaQ` op order — bit-identical to the
+    // relational form (asserted by the s26 oracle, which replays the
+    // full fit relationally from the staged artifacts).
+    val rows = fitSample(
       embeddings.select(col("vec_id"), qx.as("qx")), fitCap)
-      .localCheckpoint()
-    val n = base.count()
+      .select(col("qx")).collect().map(_.getSeq[Long](0).toArray)
+    val n = rows.length.toLong
     require(n > 1, "PCA fit needs at least 2 vectors")
-    // exact per-dim means on the quantized grid (HALF_UP to the grid)
-    val sums = base
-      .select(posexplode(col("qx")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
-    val dim = sums.size
-    val muq = (0 until dim).map(i =>
-      sums(i).divide(new JBD(n), 0, RoundingMode.HALF_UP)
-        .longValueExact()).toArray
-    // centered scatter: d² exact integer sums, one skinny shuffle
-    val muLit = typedLit(muq.toSeq)
-    val cen = base.select(
-      zip_with(col("qx"), muLit, (a, b) => a - b).as("c"))
-    val p1 = cen.select(posexplode(col("c")).as(Seq("i", "ci")), col("c"))
-    val gram = p1
-      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("ci").cast(org.apache.spark.sql.types.DecimalType(38, 0))
-        * col("cj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .as("s"))
-      .collect()
-    val c = Array.ofDim[Double](dim, dim)
-    gram.foreach { r =>
-      c(r.getInt(0))(r.getInt(1)) =
-        r.getDecimal(2).doubleValue / n / PcaQ / PcaQ
+    val dim = rows.head.length
+    val muq = {
+      val s = new Array[Long](dim)
+      rows.foreach { q =>
+        var i = 0
+        while (i < dim) { s(i) = Math.addExact(s(i), q(i)); i += 1 }
+      }
+      s.map(si => new JBD(si).divide(new JBD(n), 0, RoundingMode.HALF_UP)
+        .longValueExact())
+    }
+    val c = {
+      val acc = Array.ofDim[Long](dim, dim)
+      val cen = new Array[Long](dim)
+      rows.foreach { q =>
+        var i = 0
+        while (i < dim) { cen(i) = q(i) - muq(i); i += 1 }
+        i = 0
+        while (i < dim) {
+          val ci = cen(i)
+          val row = acc(i)
+          var j = 0
+          while (j < dim) {
+            row(j) = Math.addExact(row(j), Math.multiplyExact(ci, cen(j)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      acc.map(_.map(s => new JBD(s).doubleValue / n / PcaQ / PcaQ))
     }
     // driver-side power iteration with deflation — d×d, deterministic
     def matVec(m: Array[Array[Double]], v: Array[Double]) =
