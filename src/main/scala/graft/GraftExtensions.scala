@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomContains, BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
+import graft.functions.{BloomContains, BpeSegment, CharWindowHashesExpr, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time —
@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[TokenizeText].getName, "graft_tokens"),
       FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_window_hashes"),
+      new ExpressionInfo(classOf[CharWindowHashesExpr].getName,
+        "graft_char_window_hashes"),
+      FnArity.checked("graft_char_window_hashes", 2)(args =>
+        CharWindowHashesExpr(args(0), args(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_ngram_score"),
       new ExpressionInfo(classOf[NgramScore].getName, "graft_ngram_score"),

@@ -1236,14 +1236,31 @@ object Dedup {
     * corpus size. */
   def dupSpansChars(documents: DataFrame, w: Int = 20,
                     hashKeys: Boolean = true): DataFrame = {
-    val occ = documents
-      .withColumn("n", length(col("text")))
-      .filter(col("n") >= w)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), col("n") - (w - 1)),
-        i => col("text").substr(i, lit(w)))))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
-    mergeIslands(dupWindowPositions(keyedOcc(occ, hashKeys)), w)
+    // hashed tier (the default): the window emission fuses into ONE
+    // native pass per document (graft_char_window_hashes — r18
+    // optimization round): the algebra form allocated a w-char
+    // UTF8String per CHARACTER of the corpus and re-walked the string
+    // per substr (O(i) codepoint seek), then hashed each piece
+    // separately; the native expression hashes each window's byte
+    // range in place and emits the IDENTICAL xxhash64 longs
+    // (HashedSpanSpec pins native == algebra). The string tier below
+    // stays the executable spec and the hashKeys=false path.
+    val occ =
+      if (hashKeys) documents
+        .withColumn("n", length(col("text")))
+        .filter(col("n") >= w)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_char_window_hashes",
+            col("text"), lit(w))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+      else documents
+        .withColumn("n", length(col("text")))
+        .filter(col("n") >= w)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), col("n") - (w - 1)),
+          i => col("text").substr(i, lit(w)))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+    mergeIslands(dupWindowPositions(occ), w)
       .withColumnRenamed("n_span_tokens", "n_span_chars")
   }
 

@@ -1286,13 +1286,19 @@ object TxTable {
     * full_outer on the key, so duplicate update keys would FAN OUT into
     * duplicate table rows — silent corruption of the one-row-per-key
     * invariant. Fail loudly instead (Delta's MERGE throws on multiple
-    * source matches for the same reason). */
-  private def requireUniqueKeys(updates: DataFrame, key: String): Unit = {
-    val dup = updates.groupBy(col(key)).count()
-      .filter(col("count") > 1).limit(1).collect()
+    * source matches for the same reason).
+    *
+    * r18 (optimization round): returns the materialized per-key count
+    * table so the caller's file pruning reads the SAME pass — the
+    * uniqueness scan and the distinct-key derivation used to be two
+    * separate shuffles over the updates per commit. */
+  private def requireUniqueKeys(updates: DataFrame, key: String): DataFrame = {
+    val keyCnt = updates.groupBy(col(key)).count().localCheckpoint()
+    val dup = keyCnt.filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"TxTable merge: updates carry duplicate key '${dup.head.get(0)}' — " +
         "one row per key required (dedupe with an explicit latest-wins rule first)")
+    keyCnt.select(col(key))
   }
 
   /** Storage-level MERGE (upsert by `key`): only files whose key range
@@ -1323,7 +1329,7 @@ object TxTable {
     // blocks (∝ the batch, never the table), and an OCC re-derivation
     // re-reads blocks instead of re-running the plan.
     val updates = updates0.localCheckpoint()
-    requireUniqueKeys(updates, key)
+    val distinctKeys = requireUniqueKeys(updates, key)
     occRetry(root, "MERGE", allowRebase = true) { v =>
       val st = replayState(root, None)
       if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
@@ -1376,7 +1382,8 @@ object TxTable {
               "— dropped names are never reusable (old files still hold " +
               "their bytes); pick a different name")
         }
-        val touchedSet = touchedFileNames(spark, files, updates, key)
+        val touchedSet = touchedFileNames(spark, files, distinctKeys, key,
+          preDistinct = true)
         val touched = files.filter(f => touchedSet.contains(f.name))
         // touched files are read THROUGH the declared table schema
         // (read-by-name, like read()): a bare inferred read after a
@@ -1496,7 +1503,7 @@ object TxTable {
     // round): one execution of the updates plan, every consumer below
     // reads the checkpointed blocks
     val updates = updates0.localCheckpoint()
-    requireUniqueKeys(updates, key)
+    val distinctKeys = requireUniqueKeys(updates, key)
     occRetry(root, "MERGE", allowRebase = true) { v =>
       val st = replayState(root, None)
       if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
@@ -1527,7 +1534,8 @@ object TxTable {
             s"TxTable mergeConditional: SET names unknown column(s) " +
               s"${unknown.mkString(", ")}")
         }
-        val touchedSet = touchedFileNames(spark, files, updates, key)
+        val touchedSet = touchedFileNames(spark, files, distinctKeys, key,
+          preDistinct = true)
         val touched = files.filter(f => touchedSet.contains(f.name))
         val base =
           if (touched.isEmpty) spark.createDataFrame(

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
-import graft.functions.{BpeSegment, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
+import graft.functions.{BpeSegment, CharWindowHashesExpr, DeflateLen, DotProduct, FnArity, KllMergeAgg, KllQuantiles, KllSketchAgg, LuhnValid, MinHashSignature, NfkcNormalize, NgramScore, PorterStem, RollingFingerprint, SimHash, SortedIntersectCount, TokenizeText, UnigramSegment, WordpieceSegment}
 
 /** Session-registry bridge (lives under org.apache.spark.sql to reach the
   * private[sql] session internals — the standard library-extension
@@ -37,6 +37,10 @@ object GraftFunctions {
       "built-in")
     // single-pass script-aware tokenization (the t-family's hot loop —
     // fuses segmentScripts+trim+lower+split+filter into one scan)
+    registry.createOrReplaceTempFunction("graft_char_window_hashes",
+      FnArity.checked("graft_char_window_hashes", 2)(args =>
+        CharWindowHashesExpr(args(0), args(1))),
+      "built-in")
     registry.createOrReplaceTempFunction("graft_tokens",
       FnArity.checked("graft_tokens", 1)(args => TokenizeText(args(0))),
       "built-in")

@@ -45,6 +45,30 @@ class HashedSpanSpec extends AnyFunSuite with SharedSpark {
     assert(viaHashed.nonEmpty && viaHashed === viaStrings)
   }
 
+  test("graft_char_window_hashes == xxhash64(substr) hash-for-hash (r18 fused tier)") {
+    import spark.implicits._
+    val w = 5
+    val nasty = Seq(
+      (1L, "plain ascii window text"),
+      (2L, "naïve café déjà-vu — ünïcödé"),          // 2-byte codepoints
+      (3L, "日本語のテキストですここに重複あり"),       // 3-byte CJK
+      (4L, "mix 𠜎𠜱𠝹𠱓 supplementary 𠱸𠲖 planes"), // 4-byte (surrogate pairs)
+      (5L, "shrt"),                                   // below w: empty array
+      (6L, "exact"),                                  // exactly w: one window
+      (7L, "")                                        // empty string
+    ).toDF("doc_id", "text")
+    val native = nasty.select(col("doc_id"),
+        posexplode(call_function("graft_char_window_hashes", col("text"), lit(w))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val algebra = nasty
+      .withColumn("n", length(col("text"))).filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), col("n") - (w - 1)),
+        i => xxhash64(col("text").substr(i, lit(w))))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native.nonEmpty && native === algebra)
+  }
+
   test("hashed path shuffles long keys: no string shingle in the exchange") {
     // the point of the flag — the count/semi-join key is 8 bytes. The
     // hashed plan's hashpartitioning on sh must be over the xxhash64
